@@ -1,0 +1,144 @@
+"""Scalar function library (SURVEY.md §2.7 F1–F16).
+
+All pure Column expressions — JVM-side, whole-stage-codegen friendly.
+No Python UDFs in this module: at 100 TB every one of these runs per
+row, so they must stay inside codegen.
+
+Reference parity citations (semantics source only, no code reuse):
+  F1  ntp id format/parse      — nextplib/ntp_entry.py:48-50, ntp_utils.py:14-19
+  F2  id syntax check          — nextplib/ntp_utils.py:21-26
+  F3  field-name sanitize      — nextplib/ntp_utils.py:43-49
+  F4  NaN→'' normalize         — nextplib/ntp_utils.py:95-99
+  F5  stringified-list parse   — nextplib/ntp_utils.py:79-94 (eval → from_json)
+  F7  timestamp truncate       — nextplib/ntp_utils.py:231-246
+  F9  URL decode/clean         — nextplib/ntp_entry.py:136-141
+  F10 URL host extract         — nextplib/ntp_utils.py:217-223
+  F11 basename → place_id      — checking/clean_place.py:121
+  F12 file-name compose/split  — nextplib/ntp_utils.py:225-227, ntp_storage.py:25-30
+  F13 NIF/DNI/CIF/NIE check    — OLD/get_entities.py:32-43
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+NTP_ID_RE = r"^ntp[0-9]{8}$"
+# group boundaries: insiders/outsiders ids start at 0, minors at 10,000,000
+# (reference nextplib/ntp_constants.py:23-27)
+MIN_ORDER = {"insiders": 0, "outsiders": 0, "minors": 10_000_000}
+
+
+def format_ntp_id(order: Column) -> Column:
+    """F1: int order → 'ntp%08d' surrogate key."""
+    return F.format_string("ntp%08d", order.cast("long"))
+
+
+def parse_ntp_id(ntp_id: Column) -> Column:
+    """F1 inverse: 'ntp00001234' → 1234 (NULL when malformed)."""
+    return F.when(
+        ntp_id.rlike(NTP_ID_RE), F.substring(ntp_id, 4, 8).cast("long")
+    )
+
+
+def is_valid_ntp_id(ntp_id: Column) -> Column:
+    """F2: regex syntax check."""
+    return ntp_id.rlike(NTP_ID_RE)
+
+
+def ntp_group(ntp_id: Column) -> Column:
+    """Decode group partition from the first id digit
+    (reference ntp_utils.py:28-32): 0.. → contracts, 1.. → minors."""
+    return F.when(parse_ntp_id(ntp_id) >= MIN_ORDER["minors"], F.lit("minors")).otherwise(
+        F.lit("contracts")
+    )
+
+
+def sanitize_field_name(original: Column) -> Column:
+    """F3: derive a DBFIELD-style name from a raw source header:
+    strip the 'ContractFolderStatus - ' prefix, promote a trailing
+    parenthesized qualifier to a 'Qualifier/name' path, ' - ' and
+    spaces → '_', strip accents (semantics of ntp_utils.py:43-49)."""
+    c = F.regexp_replace(original, r"^ContractFolderStatus - ", "")
+    # "Name (Qualifier)" → "Qualifier/Name"
+    c = F.when(
+        c.rlike(r"^.+ \([^)]+\)$"),
+        F.concat_ws(
+            "/",
+            F.regexp_extract(c, r"\(([^)]+)\)$", 1),
+            F.regexp_extract(c, r"^(.+?) \([^)]+\)$", 1),
+        ),
+    ).otherwise(c)
+    c = F.regexp_replace(c, r" - ", "_")
+    c = F.regexp_replace(c, r" ", "_")
+    # transliterate the Spanish accent set (unidecode subset that the
+    # source headers actually use)
+    return F.translate(c, "áéíóúüñÁÉÍÓÚÜÑ", "aeiouunAEIOUUN")
+
+
+def null_to_empty(c: Column) -> Column:
+    """F4: NULL/NaN → '' for string business fields."""
+    return F.coalesce(c.cast("string"), F.lit(""))
+
+
+def parse_stringified_list(c: Column) -> Column:
+    """F5: values like "['a', 'b']" → ARRAY<STRING>; scalars wrap to a
+    1-element array. Replaces the reference's ``eval`` (ntp_utils.py:84)
+    with from_json — never eval. Single quotes are converted to double
+    quotes first (the stringified form never contains escaped quotes in
+    the source data; anything unparseable falls back to a 1-elem wrap)."""
+    as_json = F.regexp_replace(c, r"'", '"')
+    parsed = F.from_json(as_json, "array<string>")
+    return (
+        F.when(c.isNull(), F.lit(None).cast("array<string>"))
+        .when(c.startswith("[") & parsed.isNotNull(), parsed)
+        .otherwise(F.array(c))
+    )
+
+
+def truncate_ts(c: Column) -> Column:
+    """F7: timestamp-ish string → canonical 19-char 'yyyy-MM-dd HH:mm:ss'.
+    Accepts either a timestamp or a string with optional fraction."""
+    return F.substring(F.regexp_replace(c.cast("string"), r"T", " "), 1, 19)
+
+
+def clean_url(c: Column) -> Column:
+    """F9: percent-decode, then re-escape spaces and drop '+'."""
+    decoded = F.try_url_decode(c)
+    decoded = F.coalesce(decoded, c)
+    return F.regexp_replace(F.regexp_replace(decoded, r" ", "%20"), r"\+", "")
+
+
+def url_host(c: Column) -> Column:
+    """F10: URL → host (netloc)."""
+    return F.parse_url(c, F.lit("HOST"))
+
+
+def basename(c: Column) -> Column:
+    """F11: last '/'-separated segment (place_id from the ATOM URL)."""
+    return F.element_at(F.split(c, "/"), -1)
+
+
+def compose_file_name(ntp_id: Column, field: Column, ext: Column) -> Column:
+    """F12: '{ntp_id}_{field}.{ext}' stored-document name."""
+    return F.concat_ws("", ntp_id, F.lit("_"), field, F.lit("."), ext)
+
+
+def split_file_name(name: Column) -> dict[str, Column]:
+    """F12 inverse: file name → (ntp_id, field, ext) columns."""
+    return {
+        "ntp_id": F.regexp_extract(name, r"^(ntp[0-9]{8})_", 1),
+        "field": F.regexp_extract(name, r"^ntp[0-9]{8}_(.+)\.[^.]+$", 1),
+        "ext": F.regexp_extract(name, r"\.([^.]+)$", 1),
+    }
+
+
+def is_valid_nif(c: Column) -> Column:
+    """F13: Spanish fiscal id shape check (NIF / CIF / NIE) after
+    uppercasing and stripping '-', '.', ' ' — same normalization and
+    regex family as OLD/get_entities.py:32-43."""
+    n = F.upper(F.translate(c, "-. ", ""))
+    nif = n.rlike(r"^[0-9]{8}[A-Z]$")
+    cif = n.rlike(r"^[ABCDEFGHJKLMNPQRSUVW][0-9]{7}[0-9A-J]$")
+    nie = n.rlike(r"^[XYZ][0-9]{7}[A-Z]$")
+    return nif | cif | nie

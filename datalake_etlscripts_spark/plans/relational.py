@@ -1,0 +1,461 @@
+"""Relational query inventory over the synthetic test tables.
+
+Covers SURVEY.md §2.1–§2.6: scans, projections/filters, joins,
+aggregations, windows, set ops. Every query here has a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from datalake_etlscripts_spark.io.readers import read_table
+from datalake_etlscripts_spark.plans.registry import query
+from datalake_etlscripts_spark.summary import summary_counts
+
+
+def dec(c, scale: int = 4):
+    """Exact decimal view of a double column (see registry docstring)."""
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+def money(c):
+    """Money column view for products: decimal(12,4). Together with
+    rate() operands, a triple product stays within precision 38 in BOTH
+    Spark and DuckDB, so no engine-specific precision-loss rounding
+    ever fires — products are exact → identical doubles after cast."""
+    return F.col(c).cast("decimal(12,4)")
+
+
+def rate(c):
+    """Rate column (discount/tax, |x| < 10) view: decimal(6,4)."""
+    return F.col(c).cast("decimal(6,4)")
+
+
+# ---------------------------------------------------------------------------
+# A2 generalized — the calc_summary flagship shape (reference
+# calc_summary.py:53-81): per-field value counts + grand total, one scan.
+# ---------------------------------------------------------------------------
+@query(
+    "summary_counts",
+    oracle="""
+    SELECT 'o_orderstatus' AS field, CAST(o_orderstatus AS VARCHAR) AS value,
+           count(*) AS cnt
+    FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR), count(*)
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT '__total__', NULL, count(*) FROM orders
+    """,
+)
+def q_summary_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return summary_counts(orders, ["o_orderstatus", "o_orderpriority"])
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 shape — scan → filter → groupBy 2 keys → 8 aggregates → sort.
+# The headline relational aggregate (pushdown + partial agg + AQE).
+# ---------------------------------------------------------------------------
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                    * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
+    charge = disc_price * (F.lit(1) + rate("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P2/P8 — projection + range + compound predicates; Catalyst pushes
+# both the filter and the 3-column projection into the parquet scan.
+# ---------------------------------------------------------------------------
+@query(
+    "project_filter_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DOUBLE) AS price
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'
+    """,
+)
+def q_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity").between(10, 20) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber", dec("l_extendedprice").cast("double").alias("price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5/P6 — membership + prefix predicates (isin for small lists;
+# startswith maps to a parquet-pushable StringStartsWith).
+# ---------------------------------------------------------------------------
+@query(
+    "membership_prefix",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AND c_name LIKE 'Customer#00000%'
+    """,
+)
+def q_membership_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    return c.filter(
+        F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+        & F.col("c_name").startswith("Customer#00000")
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# J9 — broadcast dimension join chain (region→nation→customer), the
+# star-schema lookup. Dims are tiny → broadcast, zero shuffle of facts.
+# ---------------------------------------------------------------------------
+@query(
+    "dim_join_broadcast",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation, count(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2-shape equi join + aggregate: revenue per nation (TPC-H Q5 cut).
+# Fact-fact join shuffles on the key; dims broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_per_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    """,
+)
+def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    revenue = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — anti/semi join set-difference (sync_documents.py:214-231 shape):
+# customers with no orders (anti) and, separately, counts via semi.
+# ---------------------------------------------------------------------------
+@query(
+    "anti_join_missing",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "semi_join_existing",
+    oracle="""
+    SELECT count(*) AS n_with_orders FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — max-id aggregate (get_last_order, ntp_utils.py:51-69 shape).
+# ---------------------------------------------------------------------------
+@query(
+    "max_key",
+    oracle="SELECT max(o_orderkey) AS max_id FROM orders WHERE o_orderstatus = 'O'",
+)
+def q_max_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "O").agg(F.max("o_orderkey").alias("max_id"))
+
+
+# ---------------------------------------------------------------------------
+# A4/A5 — duplicate detection + histogram of group sizes
+# (clean_place.py:125-132, OLD/cleanPlace.py_old:65).
+# ---------------------------------------------------------------------------
+@query(
+    "dup_detection",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING count(*) > 10
+    """,
+)
+def q_dup_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 10)
+    )
+
+
+@query(
+    "group_size_histogram",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers FROM (
+      SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+    ) GROUP BY n_orders
+    """,
+)
+def q_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6/W2 — argmax / latest-per-key (clean_place.py:153-165):
+# each customer's most recent order via max_by semantics.
+# ---------------------------------------------------------------------------
+@query(
+    "latest_per_key",
+    oracle="""
+    SELECT o_custkey, o_orderdate AS last_date, o_orderkey AS last_orderkey FROM (
+      SELECT o_custkey, o_orderdate, o_orderkey, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    # deterministic argmax: tie-break on the key itself (max_by over a struct)
+    return o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_date"),
+        F.max_by("o_orderkey", F.struct("o_orderdate", "o_orderkey")).alias("last_orderkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/W2 — row_number latest-per-key window (the SCD2 current-version view).
+# ---------------------------------------------------------------------------
+@query(
+    "window_row_number",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+)
+def q_window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5 — lag-diff over versions (OLD/process_place.py:115-141 shape):
+# per customer, gap in days between consecutive orders.
+# ---------------------------------------------------------------------------
+@query(
+    "window_lag_diff",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT) AS days_since_prev
+    FROM orders
+    """,
+)
+def q_window_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).cast("bigint").alias("days_since_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-K per group — window rank ≤ K (the reference's latest-version pick
+# generalized; SURVEY.md §2.5).
+# ---------------------------------------------------------------------------
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 set operations — union / intersect / except over key sets.
+# ---------------------------------------------------------------------------
+@query(
+    "set_ops",
+    oracle="""
+    SELECT 'only_building' AS tag, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    UNION ALL
+    SELECT 'both', c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey")
+    )
+    f_orders = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    only = building.exceptAll(f_orders.dropDuplicates()).dropDuplicates()
+    both = building.intersect(f_orders)
+    return only.select(F.lit("only_building").alias("tag"), "c_custkey").unionAll(
+        both.select(F.lit("both").alias("tag"), "c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — distinct-set per key + violation filter
+# (check_unique_place_id.py:48-59): natural keys mapping to >1 URL.
+# Arrays hash-compare, so both sides sort them.
+# ---------------------------------------------------------------------------
+@query(
+    "distinct_set_per_key",
+    oracle="""
+    SELECT o_custkey, list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           count(DISTINCT o_orderpriority) AS n_distinct
+    FROM orders GROUP BY o_custkey HAVING count(DISTINCT o_orderpriority) > 3
+    """,
+)
+def q_distinct_set_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.count_distinct("o_orderpriority").alias("n_distinct"),
+        )
+        .filter(F.col("n_distinct") > 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup — the A2 summary generalized to hierarchies (SURVEY.md §2.4 note).
+# ---------------------------------------------------------------------------
+@query(
+    "rollup_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(dec("o_totalprice")).cast("double").alias("total"),
+    )

@@ -1,0 +1,46 @@
+"""Group-by count summaries (reference calc_summary.py:53-81 semantics).
+
+The reference loops six configured fields, each a separate Mongo
+aggregation ($group count) plus an estimated total, and upserts one
+summary document. Here a single pass computes all field summaries via
+grouping sets so the 100 TB table is scanned once, not once per field.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def field_counts(df: DataFrame, field: str) -> DataFrame:
+    """A2: value → count for one field, plus Catalyst-pruned scan."""
+    return df.groupBy(field).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def summary_counts(df: DataFrame, fields: list[str]) -> DataFrame:
+    """A2 generalized: one scan → (field, value, cnt) for every
+    configured field, using GROUPING SETS instead of N scans.
+
+    Output: field STRING, value STRING, cnt BIGINT — plus a
+    ('__total__', NULL, count(*)) row standing in for the reference's
+    estimated_document_count() (calc_summary.py:76-78).
+    """
+    # grouping sets over the N single-field sets + the grand total
+    gs = df.groupingSets(
+        [[F.col(f)] for f in fields] + [[]],
+        *[F.col(f) for f in fields],
+    ).agg(F.count(F.lit(1)).alias("cnt"), *[F.grouping(f).alias(f"_g_{f}") for f in fields])
+
+    # decode which grouping set each row belongs to
+    field_col = F.lit("__total__")
+    value_col = F.lit(None).cast("string")
+    for f in fields:
+        is_this = (F.col(f"_g_{f}") == 0)
+        for g in fields:
+            if g != f:
+                is_this = is_this & (F.col(f"_g_{g}") == 1)
+        field_col = F.when(is_this, F.lit(f)).otherwise(field_col)
+        value_col = F.when(is_this, F.col(f).cast("string")).otherwise(value_col)
+    return gs.select(
+        field_col.alias("field"), value_col.alias("value"), F.col("cnt")
+    )
