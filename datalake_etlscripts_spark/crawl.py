@@ -1,0 +1,150 @@
+"""Document-crawl plumbing — get_documents.py semantics, Spark-shaped.
+
+The reference walks notices sequentially, extracts URLs from document
+fields, sleeps between same-host requests, and stores fetched files
+(get_documents.py:156-214, ntp_entry.py:124-216). The Spark shape:
+
+  1. URL table: stack the URL-bearing string columns + posexplode the
+     array ones → (ntp_id, field, idx, url) rows (F8 semantics,
+     ntp_entry.py:111-121)
+  2. prune: skip-listed fields/servers anti-joined away
+     (get_documents.py:170-184); already-fetched files anti-joined
+     against the documents metadata table (ntp_entry.py:143-149)
+  3. repartition by host so each partition holds whole hosts →
+     per-host politeness delay inside the fetch UDF is LOCAL to a
+     partition (per-key rate limiting without coordination)
+  4. fetch via mapInPandas (Arrow batches); the HTTP client is
+     injectable — tests use a deterministic fake, production drops in
+     ``requests`` with the reference's timeout/redirect policy
+     (ntp_constants.py:10-13: 10 s timeout, ≤30 hops)
+
+No live HTTP in this repo's tests (SURVEY.md §7 Phase 4).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datalake_etlscripts_spark.functions.scalar import clean_url, url_host
+
+FETCH_SCHEMA = (
+    "ntp_id string, field string, url string, status int, "
+    "doc_type string, n_bytes bigint"
+)
+
+# reference status codes (nextplib/ntp_constants.py:15-20)
+STATUS_OK = 200
+STATUS_SKIPPED = 1
+STATUS_UNWANTED = 2
+STATUS_SSL_ERROR = 3
+STATUS_ERROR = -1
+
+
+def extract_urls(
+    df: DataFrame,
+    id_col: str = "_id",
+    scalar_cols: tuple[str, ...] = (),
+    array_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """F8: (ntp_id, field, idx, url) from URL-bearing columns; arrays
+    address elements as 'field:idx' like the reference
+    (ntp_entry.py:111-121)."""
+    parts = []
+    for c in scalar_cols:
+        parts.append(
+            df.select(
+                F.col(id_col).alias("ntp_id"),
+                F.lit(c).alias("field"),
+                F.lit(None).cast("int").alias("idx"),
+                F.col(c).alias("url"),
+            )
+        )
+    for c in array_cols:
+        parts.append(
+            df.select(F.col(id_col).alias("ntp_id"), F.posexplode(c).alias("idx", "url"))
+            .select(
+                "ntp_id",
+                F.concat_ws(":", F.lit(c), F.col("idx")).alias("field"),
+                "idx",
+                "url",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.filter(F.col("url").startswith("http")).withColumn(
+        "url", clean_url(F.col("url"))
+    )
+
+
+def prune_urls(
+    urls: DataFrame,
+    skip_fields: DataFrame | None = None,
+    skip_servers: DataFrame | None = None,
+    already_fetched: DataFrame | None = None,
+) -> DataFrame:
+    """P10 + skip-early: anti-join the three exclusion sets
+    (get_documents.py:170-184; ntp_entry.py:143-149)."""
+    out = urls.withColumn("host", url_host(F.col("url")))
+    if skip_fields is not None:
+        out = out.join(F.broadcast(skip_fields), "field", "left_anti")
+    if skip_servers is not None:
+        out = out.join(F.broadcast(skip_servers), "host", "left_anti")
+    if already_fetched is not None:
+        out = out.join(already_fetched, ["ntp_id", "field"], "left_anti")
+    return out
+
+
+def fake_fetcher(url: str) -> tuple[int, str, bytes]:
+    """Deterministic offline fetcher for tests: status/type/bytes
+    derived from the URL text."""
+    if "missing" in url:
+        return STATUS_ERROR, "", b""
+    body = f"content-of:{url}".encode()
+    ext = "pdf" if len(url) % 2 == 0 else "docx"
+    return STATUS_OK, ext, body
+
+
+def crawl(
+    urls: DataFrame,
+    fetcher: Callable[[str], tuple[int, str, bytes]] = fake_fetcher,
+    delay_s: float = 0.0,
+    host_partitions: int | None = None,
+) -> DataFrame:
+    """Fetch stage: repartition by host (politeness locality), then
+    mapInPandas batches call the fetcher with a same-host delay
+    (get_documents.py:177-180). Returns FETCH_SCHEMA rows; the body
+    bytes are summarized as n_bytes here — the storage write happens
+    in the sink callback (K3), keeping fetch and store composable."""
+    parts = urls.repartition(
+        *( [host_partitions] if host_partitions else [] ), F.col("host")
+    ).sortWithinPartitions("host", "url")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last_host = None
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                if delay_s and row.host == last_host:
+                    time.sleep(delay_s)
+                last_host = row.host
+                try:
+                    status, doc_type, body = fetcher(row.url)
+                except Exception:  # noqa: BLE001 — fetch errors are data
+                    status, doc_type, body = STATUS_ERROR, "", b""
+                out.append(
+                    (row.ntp_id, row.field, row.url, status, doc_type, len(body))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["ntp_id", "field", "url", "status", "doc_type", "n_bytes"],
+            )
+
+    return parts.select("ntp_id", "field", "url", "host").mapInPandas(
+        run, FETCH_SCHEMA
+    )

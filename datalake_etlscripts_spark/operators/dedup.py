@@ -1,0 +1,261 @@
+"""Deduplication operators for training-data pipelines, at 100 TB scale.
+
+Five strategies, cheapest first:
+
+  exact          hash-groupBy on the content fingerprint — one shuffle
+  bag-of-words   same, on the sorted-token-set fingerprint
+  ngram-jaccard  exact Jaccard over k-token shingles within blocking
+                 groups (language × length bucket) — self-join per
+                 block, never全-pairs
+  minhash-lsh    shingle → minhash signature → banded LSH buckets →
+                 candidate pairs → exact-Jaccard verification. The
+                 scale path: candidates come from equi-joins on
+                 (band, bucket-hash), so the shuffle is linear in data
+                 size, not quadratic
+  simhash        64-bit simhash from token hashes; near-dup = small
+                 Hamming distance within same simhash band
+
+MinHash/SimHash use xxhash64/crc32 (deterministic JVM-side hashes) —
+no Python, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datalake_etlscripts_spark.operators.text import bow_fingerprint, content_fingerprint, shingles
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical documents: (fingerprint, n_docs, doc_ids)."""
+    return (
+        df.select(F.col(id_col), content_fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.array_sort(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def bow_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups sharing the same token SET (order/repetition-insensitive)."""
+    return (
+        df.select(F.col(id_col), bow_fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.array_sort(F.collect_list(id_col)).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Corpus after exact dedup: lowest id per fingerprint survives.
+    One shuffle (groupBy fp + min id) + semi join back."""
+    keep = (
+        df.select(F.col(id_col), content_fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep.select(id_col), id_col, "left_semi")
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter.cast("double") / union
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    block_cols: tuple[str, ...] = ("lang",),
+    length_bucket: int = 100,
+) -> DataFrame:
+    """Near-duplicate pairs by exact shingle Jaccard, blocked so the
+    self-join is per-block (block = lang × length bucket), never the
+    full n² cross product. Returns (id_a, id_b, jaccard)."""
+    base = df.select(
+        F.col(id_col).alias("_did"),
+        *[F.col(c) for c in block_cols],
+        (F.length(text_col) / F.lit(length_bucket)).cast("int").alias("_lb"),
+        shingles(F.col(text_col), k).alias("_sh"),
+    )
+    a = base.select(
+        F.col("_did").alias("id_a"), *block_cols, "_lb", F.col("_sh").alias("_sh_a")
+    )
+    b = base.select(
+        F.col("_did").alias("id_b"), *block_cols, "_lb", F.col("_sh").alias("_sh_b")
+    )
+    pairs = a.join(b, [*block_cols, "_lb"]).filter(F.col("id_a") < F.col("id_b"))
+    jac = _jaccard(F.col("_sh_a"), F.col("_sh_b"))
+    return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>): minhash over k-shingles. Hash family:
+    xxhash64(shingle, seed_i) — JVM-side, no UDF.
+
+    Shape: explode shingles ONCE, compute all hash lanes per shingle
+    row, then a map-side-combined min-agg per doc — the shingle array
+    is built once per document (an expression-level ``array_min(
+    transform(...))`` per lane would rebuild it num_hashes times).
+    Docs with no shingles get a sentinel signature so they group
+    together harmlessly."""
+    exploded = df.select(
+        F.col(id_col).alias("_did"), F.explode(shingles(F.col(text_col), k)).alias("_s")
+    )
+    mins = exploded.groupBy("_did").agg(
+        *[F.min(F.xxhash64("_s", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
+    )
+    sig = F.array(*[F.col(f"_h{i}") for i in range(num_hashes)])
+    sigs = mins.select("_did", sig.alias("sig"))
+    # re-attach empty-shingle docs with a constant signature
+    empties = (
+        df.select(F.col(id_col).alias("_did"))
+        .join(sigs.select("_did"), "_did", "left_anti")
+        .withColumn(
+            "sig",
+            F.array(*[F.lit(-(1 << 62)).cast("long") for _ in range(num_hashes)]),
+        )
+    )
+    return sigs.unionByName(empties)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, then exact-Jaccard
+    verification of candidates only. rows/band = num_hashes/bands; with
+    32 hashes × 8 bands (r=4) the s-curve crosses ~0.5 ≈ (1/8)^(1/4).
+
+    Scale shape: explode to (band, bucket) keys → groupBy join →
+    candidates ~ linear; only candidate pairs pay the exact-Jaccard
+    verification. Returns (id_a, id_b, jaccard) verified ≥ threshold.
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    banded = sigs.select(
+        "_did",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.select(F.col("_did").alias("id_a"), "band", "bucket")
+    right = banded.select(F.col("_did").alias("id_b"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+    sh = df.select(
+        F.col(id_col).alias("_did"), shingles(F.col(text_col), k).alias("_sh")
+    )
+    verified = (
+        cand.join(sh.select(F.col("_did").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
+        .join(sh.select(F.col("_did").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
+        .select("id_a", "id_b", _jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard"))
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+def simhash_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 1,
+    bits: int = 64,
+) -> DataFrame:
+    """(id, simhash BIGINT): per-bit majority vote over shingle hashes.
+
+    Same scalable shape as minhash: explode shingles once, per-bit ±1
+    contributions as columns, map-side-combined sums per doc, then the
+    64-bit word reassembled from the votes — fully JVM-side."""
+    exploded = df.select(
+        F.col(id_col).alias("_did"), F.explode(shingles(F.col(text_col), k)).alias("_s")
+    ).select("_did", F.xxhash64("_s").alias("_h"))
+    votes = exploded.groupBy("_did").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+            ).alias(f"_b{i}")
+            for i in range(bits)
+        ]
+    )
+    word = F.lit(0).cast("long")
+    for i in range(bits):
+        word = word + F.when(
+            F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+    hashed = votes.select("_did", word.alias("simhash"))
+    empties = (
+        df.select(F.col(id_col).alias("_did"))
+        .join(hashed.select("_did"), "_did", "left_anti")
+        .withColumn("simhash", F.lit(0).cast("long"))
+    )
+    return hashed.unionByName(empties)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    band_bits: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit bands (a pair within
+    hamming ≤ 3 of 4 bands shares at least one exact band), verify
+    Hamming distance on candidates. Returns (id_a, id_b, hamming)."""
+    hashed = simhash_table(df, text_col, id_col, k=shingle_k).select(
+        "_did", F.col("simhash").alias("_sh")
+    )
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = hashed.select(
+        "_did",
+        "_sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("_sh", b * band_bits).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    l_ = banded.select(F.col("_did").alias("id_a"), F.col("_sh").alias("sh_a"), "band", "bucket")
+    r_ = banded.select(F.col("_did").alias("id_b"), F.col("_sh").alias("sh_b"), "band", "bucket")
+    cand = (
+        l_.join(r_, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

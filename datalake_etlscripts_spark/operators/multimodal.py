@@ -1,0 +1,133 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
+
+The container has no image/audio codecs, so the DECODE step is stubbed
+behind ``set_decoder`` (a deterministic fake ships for tests) — but the
+Spark-side plumbing is real and exercised: schema, Arrow batch shape,
+``mapInPandas`` signatures, partition sizing. Swapping in Pillow/librosa
+on a real cluster is a one-function change.
+
+Design for 100 TB of binaries:
+- binaries travel as BINARY columns read via ``spark.read.format
+  ("binaryFile")`` or parquet BLOB columns; metadata (dims, codec,
+  duration) lives beside them in typed columns so filters prune
+  WITHOUT touching bytes.
+- decode/feature steps are ``mapInPandas`` (Arrow-batched); batch size
+  is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch`` so a
+  partition of 100 MB images doesn't materialize at once.
+- frame sampling / resize emit NEW binary columns; the pipeline stays
+  columnar end to end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = "id bigint, width int, height int, n_bytes bigint, sha256 string"
+EMBED_SCHEMA = "id bigint, feature array<float>"
+
+
+def fake_decode(raw: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for an image decoder: 'dimensions' derived
+    from the payload size (simple arithmetic so the oracle can replicate
+    it in SQL). Replace via set_decoder on a real cluster."""
+    if raw is None or len(raw) == 0:
+        raise ValueError("empty binary payload")
+    n = len(raw)
+    return 16 + n % 240, 16 + (n * 7) % 240
+
+
+_decoder: Callable[[bytes], tuple[int, int]] = fake_decode
+
+
+def set_decoder(fn: Callable[[bytes], tuple[int, int]]) -> None:
+    """Install a real decoder (e.g. PIL.Image.open → size)."""
+    global _decoder
+    _decoder = fn
+
+
+def real_decoder_unavailable(raw: bytes) -> tuple[int, int]:
+    raise NotImplementedError(
+        "image/audio codecs are not installed in this container; "
+        "call set_decoder(...) with a real implementation"
+    )
+
+
+def decode_metadata(df: DataFrame, id_col: str = "id", bin_col: str = "data") -> DataFrame:
+    """BINARY column → typed metadata rows via Arrow-batched mapInPandas.
+    Output: (id, width, height, n_bytes, sha256)."""
+    dec = _decoder
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, raw in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(raw)
+                w, h = dec(raw)
+                out.append((i, w, h, len(raw), hashlib.sha256(raw).hexdigest()))
+            yield pd.DataFrame(
+                out, columns=["id", "width", "height", "n_bytes", "sha256"]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, DECODE_SCHEMA)
+
+
+def feature_extract(
+    df: DataFrame, id_col: str = "id", bin_col: str = "data", dim: int = 8
+) -> DataFrame:
+    """Binary → fixed-dim float feature vector (stub: normalized byte
+    histogram folded to ``dim``). Real model inference plugs into the
+    same mapInPandas seam (batch-parallel, Arrow transfer)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, raw in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(raw)
+                hist = [0.0] * dim
+                for b in raw:
+                    hist[b % dim] += 1.0
+                total = sum(hist) or 1.0
+                out.append((i, [v / total for v in hist]))
+            yield pd.DataFrame(out, columns=["id", "feature"])
+
+    return df.select(id_col, bin_col).mapInPandas(run, EMBED_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "data",
+    every: int = 64,
+    frame_size: int = 16,
+) -> DataFrame:
+    """'Video' → sampled 'frames' (stub: every Nth fixed-size byte
+    slice), one row per frame: (id, frame_no, frame BINARY). Shows the
+    UDTF-ish 1→N expansion shape with bounded output batches."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for i, raw in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(raw)
+                for n, off in enumerate(range(0, len(raw), every)):
+                    ids.append(i)
+                    nos.append(n)
+                    frames.append(raw[off : off + frame_size])
+            yield pd.DataFrame({"id": ids, "frame_no": nos, "frame": frames})
+
+    return df.select(id_col, bin_col).mapInPandas(
+        run, "id bigint, frame_no int, frame binary"
+    )
+
+
+def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Test helper: synthesize a BINARY column from a text column so the
+    multimodal plumbing is exercisable on the synthetic tables."""
+    return df.select(
+        F.col(id_col).alias("id"), F.encode(F.col(text_col), "UTF-8").alias("data")
+    )

@@ -1,0 +1,159 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+Two paths:
+
+- brute-force cosine top-k: exact baseline. The query set is small →
+  broadcast it; each partition of the corpus scores locally, then a
+  per-query top-k window. Shuffle = corpus × 0 (broadcast) + one
+  top-k aggregation — the right shape when |queries| ≪ |corpus|.
+- LSH-bucketed ANN (random hyperplane signatures): corpus hashed once
+  to b-bit signatures; candidates = same-bucket (multi-probe via
+  bands), exact cosine only on candidates. The 100 TB path: turns the
+  n×m cross product into equi-joins.
+
+Dot products run in F.aggregate folds over zip_with — JVM-side, no
+Python. An IVF variant (k-means coarse quantizer) would slot in the
+same candidate-generation seam; LSH chosen because it needs no
+training pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left fold → deterministic, engine-independent sum."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+    Returns (query_id, neighbor_id, cos_sim, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _rh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane b-bit signature (sign of ⟨v, plane_i⟩)."""
+    bits = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(x) for x in p]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits = bits + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return bits
+
+
+def random_planes(dim: int, bits: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG; no numpy RNG state
+    so the plan is reproducible across sessions)."""
+    state = seed
+    planes = []
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    sig_bits: int = 16,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH buckets (banded →
+    multi-probe) generate candidates; exact cosine re-ranks them.
+    Returns (query_id, neighbor_id, cos_sim, rank) — rank within
+    retrieved candidates."""
+    planes = random_planes(dim, sig_bits)
+    n_bands = sig_bits // band_bits
+    mask = (1 << band_bits) - 1
+
+    def banded(df: DataFrame, prefix: str) -> DataFrame:
+        sig = _rh_signature(F.col(vec_col), planes)
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"_{prefix}v"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftrightunsigned(sig, b * band_bits).bitwiseAND(F.lit(mask))
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("band", "bucket"),
+        )
+
+    c = banded(corpus, "neighbor")
+    q = banded(queries, "query")
+    cand = (
+        c.join(q, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_queryv", "_neighborv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("_queryv"), F.col("_neighborv")).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,121 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure Column expressions (JVM-side, codegen) — no Python in the hot
+path; a 100 TB documents table never leaves Tungsten. Operators:
+
+- tokenization (whitespace + BPE-ish regex token counting)
+- quality scoring (length / punctuation / stopword / repetition)
+- language ID (stopword-hit n-gram heuristic)
+- document fingerprinting (md5 content hash + bag-of-words hash +
+  rolling-shingle fingerprints)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the heuristic language ID
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "por", "con"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "du", "est"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"],
+}
+
+BPE_ISH_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (single-space split; filter empties)."""
+    return F.filter(F.split(text, " "), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def regex_token_count(text: Column) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single punctuation."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_TOKEN_RE), 0))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def detect_language(text: Column) -> Column:
+    """Heuristic language ID: argmax stopword hits; deterministic
+    tie-break on language code order; 'und' when no hits at all."""
+    scored = F.array(
+        *[
+            F.struct(
+                stopword_hits(text, lang).alias("hits"),
+                # ties pick the alphabetically-first language: higher
+                # rank for earlier languages wins under array_max
+                F.lit(-i).alias("rank"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(sorted(STOPWORDS))
+        ]
+    )
+    best = F.array_max(scored)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-scoring features used for corpus filtering:
+    n_chars, n_tokens, avg token length, punctuation count + ratio,
+    distinct-token ratio (repetition detector), uppercase ratio."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    n_upper = F.size(F.regexp_extract_all(t, F.lit(r"[A-Z]"), 0))
+    n_distinct = F.size(F.array_distinct(toks))
+    return (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "avg_token_len",
+            (n_chars - (n_tokens - 1)).cast("double") / n_tokens,
+        )
+        .withColumn("n_punct", n_punct)
+        .withColumn("punct_ratio", n_punct.cast("double") / n_chars)
+        .withColumn("distinct_ratio", n_distinct.cast("double") / n_tokens)
+        .withColumn("upper_ratio", n_upper.cast("double") / n_chars)
+    )
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Exact-content fingerprint (md5 hex)."""
+    return F.md5(text)
+
+
+def bow_fingerprint(text: Column) -> Column:
+    """Bag-of-words fingerprint: md5 of the sorted distinct token set —
+    catches token-order shuffles as duplicates."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-token shingles (distinct), the unit for Jaccard/MinHash dedup.
+
+    Built with zip_with over k shifted slices of the token array —
+    NOT per-index element_at, which would re-evaluate the tokenizer
+    expression for every element after projection collapse (measured
+    ~10× slower on the dedup path)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    m = F.greatest(n - (k - 1), F.lit(0))
+    out = F.slice(toks, 1, m)
+    for j in range(1, k):
+        out = F.zip_with(
+            out,
+            F.slice(toks, 1 + j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.array_distinct(out)

@@ -7,4 +7,10 @@ from datalake_etlscripts_spark.plans.registry import (  # noqa: F401
 )
 
 # importing the modules registers their queries
-from datalake_etlscripts_spark.plans import relational, versioned  # noqa: F401, E402
+from datalake_etlscripts_spark.plans import (  # noqa: F401, E402
+    events,
+    relational,
+    sync,
+    textops,
+    versioned,
+)

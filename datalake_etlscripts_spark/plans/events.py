@@ -1,0 +1,176 @@
+"""Event-stream query inventory over ``events``: sessionization,
+tumbling windows, JSON extraction, as-of joins. The same logic is
+exposed for Structured Streaming in streaming/ (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from datalake_etlscripts_spark.io.readers import read_table
+from datalake_etlscripts_spark.operators.events import as_of_join, sessionize
+from datalake_etlscripts_spark.plans.registry import query
+
+SESSION_GAP_MIN = 30
+
+
+# ---------------------------------------------------------------------------
+# gap-based sessionization: lag + cumulative session counter per user
+# ---------------------------------------------------------------------------
+@query(
+    "sessionize_events",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_MIN} * 60 * 1000000
+             OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM marked
+    )
+    SELECT user_id, session_no, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    s = sessionize(e, gap_minutes=SESSION_GAP_MIN)
+    return s.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tumbling-window aggregation (batch shape of the streaming windowed agg)
+# ---------------------------------------------------------------------------
+@query(
+    "tumbling_window_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction (F5-adjacent: semi-structured payloads)
+# ---------------------------------------------------------------------------
+@query(
+    "json_extract_props",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, count(*) AS n,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join: each purchase matched to the user's most recent prior view
+# (Spark lacks a native ASOF JOIN — union + last-value window, one
+# shuffle on user_id, no range explosion; DuckDB verifies with its
+# native ASOF JOIN)
+# ---------------------------------------------------------------------------
+@query(
+    "asof_join_events",
+    oracle="""
+    SELECT l.event_id AS purchase_id, l.user_id,
+           r.event_id AS matched_view_id,
+           CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS lag_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase")
+    right = e.filter(F.col("event_type") == "view")
+    joined = as_of_join(
+        left, right, on="user_id", ts_col="ts", suffix="_view"
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("event_id_view").alias("matched_view_id"),
+        (F.unix_micros("ts") - F.unix_micros("ts_view")).alias("lag_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-k per group over sessions: longest session per user (windows over
+# the sessionized result — composability check)
+# ---------------------------------------------------------------------------
+@query(
+    "longest_session_per_user",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_MIN} * 60 * 1000000
+             OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM marked
+    ),
+    sized AS (
+      SELECT user_id, session_no, count(*) AS n_events
+      FROM sess GROUP BY user_id, session_no
+    )
+    SELECT user_id, session_no, n_events FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY n_events DESC, session_no) AS rk
+      FROM sized
+    ) WHERE rk = 1
+    """,
+)
+def q_longest_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    sized = (
+        sessionize(e, gap_minutes=SESSION_GAP_MIN)
+        .groupBy("user_id", "session_no")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"), "session_no")
+    return (
+        sized.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "session_no", "n_events")
+    )

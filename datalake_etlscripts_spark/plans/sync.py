@@ -1,0 +1,82 @@
+"""Storage-sync + crawl-shaped queries (SURVEY.md §2.1 S8/J5/K3,
+§3.2/§3.3), file listings derived from ``part`` so they scale with sf."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_etlscripts_spark.functions.scalar import format_ntp_id
+from datalake_etlscripts_spark.io.readers import read_table
+from datalake_etlscripts_spark.plans.registry import query
+from datalake_etlscripts_spark.storesync import parse_ntp_range, plan_sync
+
+
+def _listing(spark: SparkSession, sf_dir: str, side: str) -> DataFrame:
+    """Deterministic synthetic file listing: name '{ntp_id}_doc.pdf'
+    from the part key; src/dst membership and sizes differ by key
+    residues so ADD/DEL/UPD all occur."""
+    p = read_table(spark, sf_dir, "part")
+    keep = (F.col("p_partkey") % 7 != 0) if side == "src" else (F.col("p_partkey") % 5 != 0)
+    size = (
+        F.col("p_size")
+        if side == "src"
+        else F.col("p_size")
+        + F.when(F.col("p_partkey") % 3 == 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    return p.filter(keep).select(
+        F.concat(format_ntp_id(F.col("p_partkey")), F.lit("_doc.pdf")).alias("file_name"),
+        size.alias("size"),
+    )
+
+
+@query(
+    "storage_sync_plan",
+    oracle="""
+    WITH src AS (
+      SELECT printf('ntp%08d', p_partkey) || '_doc.pdf' AS file_name, p_size AS size
+      FROM part WHERE p_partkey % 7 <> 0
+    ),
+    dst AS (
+      SELECT printf('ntp%08d', p_partkey) || '_doc.pdf' AS file_name,
+             p_size + CASE WHEN p_partkey % 3 = 0 THEN 1 ELSE 0 END AS size
+      FROM part WHERE p_partkey % 5 <> 0
+    )
+    SELECT 'ADD' AS op, s.file_name FROM src s
+    WHERE s.file_name NOT IN (SELECT file_name FROM dst)
+    UNION ALL
+    SELECT 'UPD', s.file_name FROM src s JOIN dst d USING (file_name)
+    WHERE s.size <> d.size
+    UNION ALL
+    SELECT 'DEL', d.file_name FROM dst d
+    WHERE d.file_name NOT IN (SELECT file_name FROM src)
+    """,
+)
+def q_storage_sync_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _listing(spark, sf_dir, "src")
+    dst = _listing(spark, sf_dir, "dst")
+    return plan_sync(src, dst, content_cols=("size",))
+
+
+@query(
+    "listing_id_range",
+    oracle="""
+    WITH listing AS (
+      SELECT printf('ntp%08d', p_partkey) || '_doc.pdf' AS file_name
+      FROM part WHERE p_partkey % 7 <> 0
+    )
+    SELECT file_name,
+           regexp_extract(file_name, '^(ntp[0-9]{8})_', 1) AS ntp_id,
+           regexp_extract(file_name, '^ntp[0-9]{8}_(.+)\\.[^.]+$', 1) AS field,
+           regexp_extract(file_name, '\\.([^.]+)$', 1) AS ext
+    FROM listing
+    WHERE regexp_extract(file_name, '^(ntp[0-9]{8})_', 1)
+          BETWEEN 'ntp00000010' AND 'ntp00000099'
+    """,
+)
+def q_listing_id_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/P2/P3: storage listing decorated with parsed ntp ids, pruned
+    to an id range (ntp_storage.py:74-80 file_list semantics)."""
+    listing = _listing(spark, sf_dir, "src").select("file_name")
+    parsed = parse_ntp_range(listing)
+    return parsed.filter(F.col("ntp_id").between("ntp00000010", "ntp00000099"))

@@ -1,0 +1,277 @@
+"""Text-analysis / dedup / similarity / multimodal query inventory —
+the LLM-training-data-pipeline operators over ``documents`` and
+``embeddings`` (BASELINE.json north star)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_etlscripts_spark.io.readers import read_table
+from datalake_etlscripts_spark.operators import dedup, multimodal, similarity, text
+from datalake_etlscripts_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+@query(
+    "token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_re_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_ws_tokens"),
+        text.regex_token_count(F.col("text")).alias("n_re_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring (corpus-filter features)
+# ---------------------------------------------------------------------------
+@query(
+    "text_quality",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text, length(text) AS n_chars,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+             len(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS n_distinct,
+             len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+             len(regexp_extract_all(text, '[A-Z]')) AS n_upper
+      FROM documents
+    )
+    SELECT doc_id, n_chars AS n_chars_calc, n_tokens,
+           CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+           n_punct, CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+           CAST(n_upper AS DOUBLE) / n_chars AS upper_ratio
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text.quality_features(d).select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        "avg_token_len",
+        "n_punct",
+        "punct_ratio",
+        "distinct_ratio",
+        "upper_ratio",
+    )
+
+
+# ---------------------------------------------------------------------------
+# language ID (stopword-hit argmax; docs salted with stopwords by
+# doc_id so every branch of the classifier is exercised)
+# ---------------------------------------------------------------------------
+@query(
+    "lang_id",
+    oracle="""
+    WITH salted AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN ' the and of to the'
+               WHEN 1 THEN ' el la de que y'
+               ELSE '' END AS text
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+        len(list_filter(list_filter(string_split(text,' '), x -> x <> ''),
+            x -> list_contains(['der','die','und','das','von','zu','mit','den','ist','ein'], x))) AS h_de,
+        len(list_filter(list_filter(string_split(text,' '), x -> x <> ''),
+            x -> list_contains(['the','and','of','to','a','in','is','it','for','on'], x))) AS h_en,
+        len(list_filter(list_filter(string_split(text,' '), x -> x <> ''),
+            x -> list_contains(['el','la','de','que','y','en','un','los','por','con'], x))) AS h_es,
+        len(list_filter(list_filter(string_split(text,' '), x -> x <> ''),
+            x -> list_contains(['le','la','de','et','les','des','un','une','du','est'], x))) AS h_fr
+      FROM salted
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS pred_lang
+    FROM hits
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    salt = (
+        F.when(
+            (F.col("doc_id") % 3).cast("int") == 0, F.lit(" the and of to the")
+        )
+        .when((F.col("doc_id") % 3).cast("int") == 1, F.lit(" el la de que y"))
+        .otherwise(F.lit(""))
+    )
+    salted = d.select("doc_id", F.concat(F.col("text"), salt).alias("text"))
+    return salted.select(
+        "doc_id", text.detect_language(F.col("text")).alias("pred_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (exact + bag-of-words)
+# ---------------------------------------------------------------------------
+@query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp_exact,
+           md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split(text,' '), x -> x <> ''))), ' ')) AS fp_bow
+    FROM documents
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.content_fingerprint(F.col("text")).alias("fp_exact"),
+        text.bow_fingerprint(F.col("text")).alias("fp_bow"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup — exact (hash groupBy); synthetic corpus is all-distinct, so
+# duplicates are injected deterministically by re-appending docs with
+# doc_id % 10 == 0 under shifted ids (both engines do the same).
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT fp, n_docs, doc_ids FROM (
+      SELECT md5(text) AS fp, count(*) AS n_docs,
+             list_sort(list(doc_id)) AS doc_ids
+      FROM corpus GROUP BY md5(text)
+    ) WHERE n_docs > 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return dedup.exact_duplicates(corpus)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, lang, CAST(floor(length(text) / 100) AS INT) AS lb,
+             list_distinct(list_transform(
+               range(1, greatest(len(list_filter(string_split(text,' '), x -> x <> '')) - 1, 1)),
+               i -> list_filter(string_split(text,' '), x -> x <> '')[i] || ' ' ||
+                    list_filter(string_split(text,' '), x -> x <> '')[i+1] || ' ' ||
+                    list_filter(string_split(text,' '), x -> x <> '')[i+2]
+             )) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+    FROM base a JOIN base b ON a.lang = b.lang AND a.lb = b.lb
+    WHERE a.doc_id < b.doc_id
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.04
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, threshold=0.04)
+
+
+@query("dedup_minhash_lsh")  # approximate candidate set → rows-only check
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, threshold=0.04)
+
+
+@query("dedup_simhash")  # approximate candidate set → rows-only check
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+@query(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        list_reduce(list_prepend(0.0, list_transform(list_zip(qv, cv),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a,b) -> a + b)
+        / (sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b))
+         * sqrt(list_reduce(list_prepend(0.0, list_transform(cv,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b))) AS cos_sim
+      FROM c, q WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+
+
+@query("ann_lsh_topk")  # approximate retrieval → rows-only check
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing: text→binary, mapInPandas decode + frame sampling
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id AS id,
+           CAST(16 + octet_length(encode(text)) % 240 AS INT) AS width,
+           CAST(16 + (octet_length(encode(text)) * 7) % 240 AS INT) AS height,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return multimodal.decode_metadata(multimodal.attach_binary(d))
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+    SELECT doc_id AS id, CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    frames = multimodal.frame_sample(multimodal.attach_binary(d))
+    return frames.groupBy("id").agg(F.count(F.lit(1)).alias("n_frames"))
