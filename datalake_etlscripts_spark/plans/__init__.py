@@ -9,7 +9,9 @@ from datalake_etlscripts_spark.plans.registry import (  # noqa: F401
 # importing the modules registers their queries
 from datalake_etlscripts_spark.plans import (  # noqa: F401, E402
     events,
+    functions_showcase,
     relational,
+    sources,
     sync,
     textops,
     versioned,

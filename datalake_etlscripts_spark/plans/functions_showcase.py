@@ -1,0 +1,256 @@
+"""Scalar function library showcase (SURVEY.md §2.7) + remaining
+relational shapes (pivot, cube, approx aggregates, pointer chase)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_etlscripts_spark.functions.scalar import (
+    basename,
+    compose_file_name,
+    format_ntp_id,
+    is_valid_ntp_id,
+    ntp_group,
+    parse_ntp_id,
+    split_file_name,
+    truncate_ts,
+    url_host,
+)
+from datalake_etlscripts_spark.io.readers import read_table
+from datalake_etlscripts_spark.plans.registry import query
+
+
+# ---------------------------------------------------------------------------
+# F1/F2/F11/F12 + group decode: ntp-id round trip over derived ids
+# ---------------------------------------------------------------------------
+@query(
+    "ntp_id_functions",
+    oracle="""
+    WITH ids AS (
+      SELECT o_orderkey,
+             printf('ntp%08d', o_orderkey + CASE WHEN o_orderkey % 2 = 0
+                                                 THEN 10000000 ELSE 0 END) AS ntp_id
+      FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT o_orderkey, ntp_id,
+           CAST(substr(ntp_id, 4, 8) AS BIGINT) AS parsed_order,
+           regexp_matches(ntp_id, '^ntp[0-9]{8}$') AS valid,
+           CASE WHEN CAST(substr(ntp_id, 4, 8) AS BIGINT) >= 10000000
+                THEN 'minors' ELSE 'contracts' END AS grp,
+           ntp_id || '_Pliego.pdf' AS file_name,
+           regexp_extract(ntp_id || '_Pliego.pdf', '^ntp[0-9]{8}_(.+)\\.[^.]+$', 1) AS field,
+           regexp_extract(ntp_id || '_Pliego.pdf', '\\.([^.]+)$', 1) AS ext
+    FROM ids
+    """,
+)
+def q_ntp_id_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    order = F.col("o_orderkey") + F.when(F.col("o_orderkey") % 2 == 0, 10_000_000).otherwise(0)
+    ids = o.select("o_orderkey", format_ntp_id(order).alias("ntp_id"))
+    fname = compose_file_name(F.col("ntp_id"), F.lit("Pliego"), F.lit("pdf"))
+    parts = split_file_name(fname)
+    return ids.select(
+        "o_orderkey",
+        "ntp_id",
+        parse_ntp_id(F.col("ntp_id")).alias("parsed_order"),
+        is_valid_ntp_id(F.col("ntp_id")).alias("valid"),
+        ntp_group(F.col("ntp_id")).alias("grp"),
+        fname.alias("file_name"),
+        parts["field"].alias("field"),
+        parts["ext"].alias("ext"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F7/F9/F10/F11: timestamp truncation + URL host/basename over derived URLs
+# ---------------------------------------------------------------------------
+@query(
+    "url_and_ts_functions",
+    oracle="""
+    WITH urls AS (
+      SELECT o_orderkey,
+             'https://contrataciondelestado.es/notice/' ||
+                CAST(o_custkey AS VARCHAR) || '/' || CAST(o_orderkey AS VARCHAR) AS url,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '.123456' AS raw_ts
+      FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT o_orderkey,
+           'contrataciondelestado.es' AS host,
+           CAST(o_orderkey AS VARCHAR) AS place_id,
+           substr(replace(raw_ts, 'T', ' '), 1, 19) AS ts19
+    FROM urls
+    """,
+)
+def q_url_and_ts_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    urls = o.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("https://contrataciondelestado.es/notice/"),
+            F.col("o_custkey").cast("string"),
+            F.lit("/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"), F.lit(".123456")
+        ).alias("raw_ts"),
+    )
+    return urls.select(
+        "o_orderkey",
+        url_host(F.col("url")).alias("host"),
+        basename(F.col("url")).alias("place_id"),
+        truncate_ts(F.col("raw_ts")).alias("ts19"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot (wide counts) + unpivot equivalence
+# ---------------------------------------------------------------------------
+@query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("f_cnt"),
+            F.coalesce("O", F.lit(0)).alias("o_cnt"),
+            F.coalesce("P", F.lit(0)).alias("p_cnt"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cube: all grouping-set combinations of (status, priority)
+# ---------------------------------------------------------------------------
+@query(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# approx aggregates (HLL distinct + quantile sketch) — algorithm-specific
+# results, so rows-only; the EXACT twin query is the oracle-checked one
+# ---------------------------------------------------------------------------
+@query("approx_aggregates")
+def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_q"),
+    )
+
+
+@query(
+    "exact_distinct_quantiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    med AS (
+      SELECT l_returnflag, l_extendedprice AS median_price
+      FROM ranked WHERE rn = (n + 1) // 2
+    )
+    SELECT g.l_returnflag, g.n_parts, m.median_price FROM (
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+      FROM lineitem GROUP BY l_returnflag
+    ) g JOIN med m USING (l_returnflag)
+    """,
+)
+def q_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct + exact lower-median (explicit rank selection —
+    engines disagree on median interpolation, so the quantile is
+    defined as the element at rank (n+1)/2, fully deterministic)."""
+    from pyspark.sql import Window as W
+
+    li = read_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wc = W.partitionBy("l_returnflag")
+    med = (
+        li.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
+        .select("l_returnflag", F.col("l_extendedprice").alias("median_price"))
+    )
+    counts = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts")
+    )
+    return counts.join(med, "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# J8: pointer chase to fixpoint over an artificial 2-hop chain
+# (follow_version semantics, ntp_entry.py:95-109) — chains built from
+# orders keys: k → k+1 → k+2 for k % 100 == 0
+# ---------------------------------------------------------------------------
+@query(
+    "pointer_chase",
+    oracle="""
+    WITH keys AS (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey <= 3000),
+    chain AS (
+      SELECT printf('ntp%08d', k) AS _id,
+             CASE WHEN k % 100 = 0 AND EXISTS (SELECT 1 FROM keys k2 WHERE k2.k = keys.k + 1)
+                  THEN printf('ntp%08d', k + 1)
+                  WHEN k % 100 = 1 AND EXISTS (SELECT 1 FROM keys k2 WHERE k2.k = keys.k + 1)
+                  THEN printf('ntp%08d', k + 1)
+                  ELSE NULL END AS updated_to
+      FROM keys
+    ),
+    -- chase to fixpoint (chains here are ≤ 2 hops)
+    step1 AS (
+      SELECT c._id, coalesce(n.updated_to, c.updated_to, c._id) AS r
+      FROM chain c LEFT JOIN chain n ON c.updated_to = n._id
+    )
+    SELECT _id, r AS resolved_id FROM step1
+    """,
+)
+def q_pointer_chase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_etlscripts_spark.versioning import follow_version
+
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    keys = o.select(F.col("o_orderkey").alias("k")).distinct()
+    nxt = keys.select((F.col("k") - 1).alias("k_prev"))
+    chain = (
+        keys.join(nxt, keys.k == nxt.k_prev, "left")
+        .select(
+            format_ntp_id(F.col("k")).alias("_id"),
+            F.when(
+                ((F.col("k") % 100 == 0) | (F.col("k") % 100 == 1))
+                & F.col("k_prev").isNotNull(),
+                format_ntp_id(F.col("k") + 1),
+            ).alias("updated_to"),
+        )
+    )
+    state = chain.select(
+        "_id",
+        F.lit("x").alias("id"),
+        F.lit(None).cast("array<string>").alias("updated"),
+        F.col("updated_to").isNotNull().alias("obsolete_version"),
+        "updated_to",
+    )
+    return follow_version(state).select("_id", "resolved_id")

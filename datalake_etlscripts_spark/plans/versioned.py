@@ -45,17 +45,20 @@ def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _collapse(rows: DataFrame, keys: list[str]) -> DataFrame:
-    """One row per key group: sorted distinct ts set + latest fields."""
-    w = W.partitionBy(*keys).orderBy(F.desc("ts"), F.desc("o_orderkey"))
-    latest = (
-        rows.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(*keys, F.col("prio").alias("title"), "price")
-    )
+    """One row per key group: sorted distinct ts set + latest fields.
+    Single groupBy (map-side combined) — max_by picks the latest row's
+    fields in the same shuffle that unions the timestamp sets, instead
+    of a window + join (3 shuffles → 1)."""
     agg = rows.groupBy(*keys).agg(
-        F.array_sort(F.collect_set("ts")).alias("updated")
+        F.array_sort(F.collect_set("ts")).alias("updated"),
+        F.max_by(
+            F.struct(F.col("prio").alias("title"), F.col("price")),
+            F.struct("ts", "o_orderkey"),
+        ).alias("_f"),
     )
-    return agg.join(latest, keys)
+    return agg.select(
+        *keys, "updated", F.col("_f.title").alias("title"), F.col("_f.price").alias("price")
+    )
 
 
 def build_store(spark: SparkSession, sf_dir: str) -> DataFrame:

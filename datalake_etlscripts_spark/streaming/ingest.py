@@ -1,0 +1,94 @@
+"""Structured Streaming entry points (SURVEY.md §2.9).
+
+The reference is batch re-run periodically over incremental dumps with
+idempotent merge semantics standing in for streaming state
+(read_parquet.py:85-122; scripts/process_parquets.sh). The engine
+exposes the SAME merge as a ``foreachBatch`` sink, so an incremental
+parquet drop-directory becomes a streaming ingest with exactly-once
+semantics per micro-batch — no logic fork between batch and stream.
+
+Also provided: the watermarked tumbling-window aggregation (the
+streaming twin of plans/events.q_tumbling_window), demonstrating
+event-time handling for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_etlscripts_spark.versioning import STATE_META, empty_state, merge_batch
+
+
+def streaming_merge_batch(
+    spark: SparkSession,
+    state_path: str,
+    fields: list[str],
+    group: str = "contracts",
+):
+    """Build a foreachBatch callback that merges each micro-batch into
+    the versioned store at ``state_path`` (parquet; a Delta MERGE in a
+    Delta deployment — same shape, one writer per table as Delta's
+    optimistic concurrency requires)."""
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        try:
+            existing = spark.read.parquet(state_path)
+        except Exception:  # noqa: BLE001 — first batch: empty store
+            existing = empty_state(spark, fields)
+        merged = merge_batch(existing, batch_df, fields, group=group)
+        # parquet has no in-place MERGE: write-new-then-swap keeps the
+        # store readable; Delta replaces this with a single MERGE INTO
+        tmp = f"{state_path}__epoch{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)  # local FS staging cleanup
+
+    return apply
+
+
+def run_streaming_ingest(
+    spark: SparkSession,
+    incoming_dir: str,
+    state_path: str,
+    fields: list[str],
+    schema: str,
+    group: str = "contracts",
+):
+    """File-source streaming ingest: watch ``incoming_dir`` for new
+    parquet drops, merge each micro-batch into the versioned store.
+    availableNow processes the backlog then stops (test/backfill mode);
+    drop the trigger for a long-running ingest."""
+    stream = spark.readStream.schema(schema).parquet(incoming_dir)
+    return (
+        stream.writeStream.foreachBatch(
+            streaming_merge_batch(spark, state_path, fields, group)
+        )
+        .option("checkpointLocation", f"{state_path}__checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream —
+    late rows beyond the watermark are dropped, state is bounded.
+    Works on both streaming and batch DataFrames (same plan)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,4)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+__all__ = ["streaming_merge_batch", "run_streaming_ingest", "windowed_event_counts", "STATE_META"]

@@ -75,6 +75,9 @@ def preaggregate_batch(incoming: DataFrame, fields: list[str]) -> DataFrame:
         F.struct(*[F.col(f) for f in fields]),
         F.struct(F.array_max("updated"), F.col("updated")),
     ).alias("_fields")
+    # rows without a natural key cannot be versioned — reject them here
+    # rather than minting ids for corrupt/misschema'd input
+    incoming = incoming.filter(F.col("id").isNotNull() & (F.col("id") != ""))
     agg = incoming.groupBy("id").agg(
         F.array_sort(F.array_distinct(F.flatten(F.collect_list("updated")))).alias("updated"),
         latest,

@@ -1,0 +1,183 @@
+"""Unit tests: normalize (column mapping), crawl plumbing, storage
+sync, multimodal plumbing, similarity recall, summary."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datalake_etlscripts_spark.crawl import (
+    STATUS_ERROR,
+    STATUS_OK,
+    crawl,
+    extract_urls,
+    prune_urls,
+)
+from datalake_etlscripts_spark.normalize import apply_mapping, normalize_updated
+from datalake_etlscripts_spark.operators import multimodal, similarity
+from datalake_etlscripts_spark.storesync import apply_sync, plan_sync
+from datalake_etlscripts_spark.summary import summary_counts
+
+
+# --------------------------------------------------------------- normalize
+MAPPING = [
+    ("id", "id"),
+    ("Número de Expediente", "Datos_Generales_del_Expediente/Numero_de_Expediente"),
+    ("Identificador (Entidad Adjudicadora)", "Entidad_Adjudicadora/ID"),
+    ("Identificador único", "Entidad_Adjudicadora/ID"),  # collision → array
+    ("Clasificación CPV", "Clasificacion_CPV"),
+]
+
+
+def test_apply_mapping_renames_collides_and_collects_extra(spark):
+    df = spark.createDataFrame(
+        [
+            (
+                "url/1",
+                "EXP-1",
+                "A111",
+                "A222",
+                "['03000000', '45000000']",
+                "surprise",
+            )
+        ],
+        [
+            "id",
+            "Número de Expediente",
+            "Identificador (Entidad Adjudicadora)",
+            "Identificador único",
+            "Clasificación CPV",
+            "Unknown Column",
+        ],
+    )
+    out = apply_mapping(df, MAPPING, list_fields={"Clasificacion_CPV"})
+    row = out.first()
+    assert row["id"] == "url/1"
+    assert row["Datos_Generales_del_Expediente/Numero_de_Expediente"] == "EXP-1"
+    # collision merged into array (reference ntp_utils.py:102-105)
+    assert row["Entidad_Adjudicadora/ID"] == ["A111", "A222"]
+    # stringified list parsed, never eval'd (ntp_utils.py:84 → from_json)
+    assert row["Clasificacion_CPV"] == ["03000000", "45000000"]
+    assert row["extra"] == {"Unknown Column": "surprise"}
+
+
+def test_normalize_updated_scalar_and_list(spark):
+    df1 = spark.createDataFrame(
+        [("2024-05-01T10:20:30.123456",)], "updated string"
+    )
+    assert normalize_updated(df1).first()["updated"] == ["2024-05-01 10:20:30"]
+    df2 = spark.createDataFrame(
+        [(["2024-05-01 10:20:30.9", "2024-01-01 00:00:00", "2024-05-01 10:20:30.1"],)],
+        "updated array<string>",
+    )
+    assert normalize_updated(df2).first()["updated"] == [
+        "2024-01-01 00:00:00",
+        "2024-05-01 10:20:30",
+    ]
+
+
+# ------------------------------------------------------------------- crawl
+def test_crawl_pipeline_offline(spark):
+    docs = spark.createDataFrame(
+        [
+            ("ntp00000001", "http://a.example/x.pdf", ["http://b.example/y.pdf", "nope"]),
+            ("ntp00000002", "not-a-url", ["http://skip.example/z.pdf"]),
+            ("ntp00000003", "http://a.example/missing.pdf", []),
+        ],
+        "_id string, pliego string, anexos array<string>",
+    )
+    urls = extract_urls(docs, scalar_cols=("pliego",), array_cols=("anexos",))
+    rows = {(r["ntp_id"], r["field"]) for r in urls.collect()}
+    assert rows == {
+        ("ntp00000001", "pliego"),
+        ("ntp00000001", "anexos:0"),
+        ("ntp00000002", "anexos:0"),
+        ("ntp00000003", "pliego"),
+    }
+
+    skip_servers = spark.createDataFrame([("skip.example",)], "host string")
+    pruned = prune_urls(urls, skip_servers=skip_servers)
+    assert pruned.count() == 3
+
+    fetched = {r["url"]: r for r in crawl(pruned).collect()}
+    assert all(
+        r["status"] == (STATUS_ERROR if "missing" in u else STATUS_OK)
+        for u, r in fetched.items()
+    )
+    ok = [r for r in fetched.values() if r["status"] == STATUS_OK]
+    assert all(r["n_bytes"] > 0 and r["doc_type"] in ("pdf", "docx") for r in ok)
+
+
+# --------------------------------------------------------------- storesync
+def test_plan_and_apply_sync(spark):
+    src = spark.createDataFrame(
+        [("a.pdf", 10), ("b.pdf", 20), ("c.pdf", 30)], "file_name string, size long"
+    )
+    dst = spark.createDataFrame(
+        [("b.pdf", 20), ("c.pdf", 31), ("d.pdf", 40)], "file_name string, size long"
+    )
+    plan = plan_sync(src, dst, content_cols=("size",))
+    ops = {(r["op"], r["file_name"]) for r in plan.collect()}
+    assert ops == {("ADD", "a.pdf"), ("UPD", "c.pdf"), ("DEL", "d.pdf")}
+
+    counts = apply_sync(plan, transfer=lambda n: None, delete=lambda n: None)
+    assert counts == {"ADD": 1, "UPD": 1, "DEL": 1}
+
+
+# -------------------------------------------------------------- multimodal
+def test_multimodal_decode_and_frames(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 100), (2, "hello world")], "doc_id long, text string"
+    )
+    binary = multimodal.attach_binary(docs)
+    meta = {r["id"]: r for r in multimodal.decode_metadata(binary).collect()}
+    assert meta[1]["n_bytes"] == 100
+    assert meta[1]["width"] == 16 + 100 % 240
+    assert meta[2]["sha256"] != meta[1]["sha256"]
+
+    feats = {r["id"]: r["feature"] for r in multimodal.feature_extract(binary).collect()}
+    assert len(feats[1]) == 8 and abs(sum(feats[1]) - 1.0) < 1e-6
+
+    frames = multimodal.frame_sample(binary, every=30, frame_size=10).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["id"], []).append(r)
+    assert len(by_id[1]) == 4  # ceil(100/30)
+    assert all(len(bytes(r["frame"])) <= 10 for r in frames)
+
+    # stub decoder raises cleanly on empty payloads
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.fake_decode(b"")
+
+
+# -------------------------------------------------------------- similarity
+def test_lsh_ann_recall_against_brute_force(spark, sf_dir):
+    from datalake_etlscripts_spark.io.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(e, q, k=5).collect()
+    approx = similarity.lsh_ann_topk(e, q, k=5).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # LSH is approximate: require non-trivial recall of true neighbors
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+    # scores for overlapping pairs must be identical (same cosine code)
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_scores:
+            assert abs(r["cos_sim"] - exact_scores[key]) < 1e-12
+
+
+# ----------------------------------------------------------------- summary
+def test_summary_counts_single_scan(spark, sf_dir):
+    from datalake_etlscripts_spark.io.readers import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    out = summary_counts(orders, ["o_orderstatus"]).collect()
+    total = [r for r in out if r["field"] == "__total__"][0]["cnt"]
+    per_value = sum(r["cnt"] for r in out if r["field"] == "o_orderstatus")
+    assert total == per_value == orders.count()
