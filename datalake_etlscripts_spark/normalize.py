@@ -92,3 +92,26 @@ def normalize_updated(df: DataFrame, col: str = "updated") -> DataFrame:
         F.array_distinct(F.transform(arr, lambda x: truncate_ts(x)))
     )
     return df.withColumn(col, canon)
+
+
+def rename_fields(df: DataFrame, renames: dict[str, str]) -> DataFrame:
+    """K5-style field migration (checking/clean_fields_place.py:81-97):
+    the reference renames fields document-by-document with $set/$unset;
+    here it is a metadata-only column rename — zero data movement."""
+    for old, new in renames.items():
+        if old in df.columns:
+            df = df.withColumnRenamed(old, new)
+    return df
+
+
+def normalize_to_list(df: DataFrame, field: str) -> DataFrame:
+    """K5-style type repair (checking/fix_contracter_ids.py:69-88):
+    scalar-or-list dynamism collapsed to ARRAY<STRING> — a full-column
+    rewrite instead of per-document update_one round trips."""
+    dt = dict(df.dtypes).get(field)
+    if dt is None or dt.startswith("array"):
+        return df
+    c = F.col(field)
+    return df.withColumn(
+        field, F.when(c.isNull() | (c == ""), F.array()).otherwise(F.array(c))
+    )

@@ -8,6 +8,7 @@ from datalake_etlscripts_spark.plans.registry import (  # noqa: F401
 
 # importing the modules registers their queries
 from datalake_etlscripts_spark.plans import (  # noqa: F401, E402
+    diffcrawl,
     events,
     functions_showcase,
     relational,

@@ -56,13 +56,13 @@ from pyspark.sql import functions as F
 
 from datalake_etlscripts_spark.functions.scalar import MIN_ORDER, format_ntp_id, parse_ntp_id
 
-STATE_META = ["_id", "id", "updated", "obsolete_version", "updated_to"]
+STATE_META = ["_id", "id", "updated", "obsolete_version", "updated_to", "patch_data"]
 
 
 def empty_state(spark, fields: list[str]) -> DataFrame:
     schema = (
         "_id string, id string, updated array<string>, "
-        "obsolete_version boolean, updated_to string, "
+        "obsolete_version boolean, updated_to string, patch_data string, "
         + ", ".join(f"`{f}` string" for f in fields)
     )
     return spark.createDataFrame([], schema)
@@ -114,6 +114,9 @@ def merge_batch(
     """
     batch = preaggregate_batch(incoming, fields)
 
+    if "patch_data" not in existing.columns:
+        existing = existing.withColumn("patch_data", F.lit(None).cast("string"))
+
     actives = existing.filter(~F.coalesce(F.col("obsolete_version"), F.lit(False)))
 
     # J2/J3: resolve each batch key against its active version(s):
@@ -123,6 +126,7 @@ def merge_batch(
         F.col("_id").alias("_old_id"),
         "id",
         F.col("updated").alias("_old_updated"),
+        F.col("patch_data").alias("_old_patch_data"),
         *[F.col(f).alias(f"_old_{f}") for f in fields],
     )
     j = batch.join(a, "id", "left")
@@ -170,6 +174,8 @@ def merge_batch(
             F.coalesce(F.nullif(F.col(f), F.lit("")), F.col(f"_old_{f}")),
         ).otherwise(F.col(f))
 
+    from datalake_etlscripts_spark.operators.diffpatch import patch_map
+
     upserts = resolved.select(
         F.col("_target_id").alias("_id"),
         "id",
@@ -183,6 +189,14 @@ def merge_batch(
         .alias("updated"),
         F.lit(False).alias("obsolete_version"),
         F.lit(None).cast("string").alias("updated_to"),
+        # per-merge change record (ntp_entry.py:30-46 patch_data);
+        # a no-op re-ingest keeps the previous patch (idempotency)
+        F.when(
+            F.col("_action") == "merge",
+            F.when(
+                F.size(patch_map(fields)) > 0, F.to_json(patch_map(fields))
+            ).otherwise(F.col("_old_patch_data")),
+        ).alias("patch_data"),
         *[merged_field(f).alias(f) for f in fields],
     )
 
@@ -199,6 +213,7 @@ def merge_batch(
             "updated",
             F.lit(True).alias("obsolete_version"),
             F.col("_target_id").alias("updated_to"),
+            F.lit(None).cast("string").alias("patch_data"),
             *[F.lit(None).cast("string").alias(f) for f in fields],
         )
     )

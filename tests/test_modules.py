@@ -181,3 +181,61 @@ def test_summary_counts_single_scan(spark, sf_dir):
     total = [r for r in out if r["field"] == "__total__"][0]["cnt"]
     per_value = sum(r["cnt"] for r in out if r["field"] == "o_orderstatus")
     assert total == per_value == orders.count()
+
+
+# ------------------------------------------------------- field repairs (K5)
+def test_rename_and_listify_fields(spark):
+    from datalake_etlscripts_spark.normalize import normalize_to_list, rename_fields
+
+    df = spark.createDataFrame(
+        [("x", "A111"), ("y", ""), ("z", None)], "old_name string, ent_id string"
+    )
+    out = rename_fields(df, {"old_name": "new_name", "missing": "ignored"})
+    assert "new_name" in out.columns and "old_name" not in out.columns
+    fixed = {r["new_name"]: r["ent_id"] for r in normalize_to_list(out, "ent_id").collect()}
+    assert fixed == {"x": ["A111"], "y": [], "z": []}
+
+
+# --------------------------------------------------- S11 line-range reader
+def test_read_text_lines_range(spark):
+    from datalake_etlscripts_spark.io.readers import read_text_lines
+
+    rows = read_text_lines(
+        spark, "/root/repo/fixtures/company_annotations.jsonl", ini=2, fin=4
+    ).collect()
+    assert [r["line_no"] for r in rows] == [2, 3, 4]
+    assert all(r["value"].startswith("{") for r in rows)
+
+
+# ------------------------------------------------- patch recording (F17/18)
+def test_merge_records_patch_data(spark):
+    import json
+
+    from datalake_etlscripts_spark.versioning import empty_state, merge_batch
+
+    fields = ["title", "cpv"]
+    schema = "id string, updated array<string>, title string, cpv string"
+    s1 = merge_batch(
+        empty_state(spark, fields),
+        spark.createDataFrame([("u/a", ["2024-01-01 00:00:00"], "A", "1")], schema),
+        fields,
+    ).localCheckpoint()
+    assert s1.first()["patch_data"] is None  # fresh insert: no patch
+    s2 = merge_batch(
+        s1,
+        spark.createDataFrame(
+            [("u/a", ["2024-02-01 00:00:00"], "A2", "")], schema
+        ),
+        fields,
+    ).localCheckpoint()
+    patch = json.loads(s2.first()["patch_data"])
+    assert patch == {"title": "A2"}  # changed field recorded, empty cpv not
+    # idempotent re-merge keeps the last patch
+    s3 = merge_batch(
+        s2,
+        spark.createDataFrame(
+            [("u/a", ["2024-02-01 00:00:00"], "A2", "")], schema
+        ),
+        fields,
+    ).localCheckpoint()
+    assert json.loads(s3.first()["patch_data"]) == {"title": "A2"}
