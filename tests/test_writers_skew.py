@@ -1,0 +1,114 @@
+"""Tests: partitioned/bucketed store writes, skew utilities, and
+plan-shape guards (pushdown + broadcast must not regress)."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from datalake_etlscripts_spark.io.writers import (
+    read_store,
+    with_partition_cols,
+    write_store,
+)
+from datalake_etlscripts_spark.operators.skew import salted_aggregate, salted_join
+
+
+def _mini_state(spark):
+    return spark.createDataFrame(
+        [
+            ("ntp00000001", "u/a", ["2023-05-01 00:00:00"], False, None, None, "A"),
+            ("ntp00000002", "u/b", ["2024-01-01 00:00:00"], False, None, None, "B"),
+            ("ntp10000001", "u/m", ["2024-02-01 00:00:00"], False, None, None, "M"),
+        ],
+        "_id string, id string, updated array<string>, obsolete_version boolean, "
+        "updated_to string, patch_data string, title string",
+    )
+
+
+def test_write_store_partitions_and_prunes(spark):
+    tmp = tempfile.mkdtemp(prefix="store_")
+    try:
+        write_store(_mini_state(spark), tmp)
+        # physical layout: group=... / upd_year=... directories
+        assert any(d.startswith("group=") for d in os.listdir(tmp))
+        got = read_store(spark, tmp)
+        assert got.count() == 3
+        minors = got.filter(F.col("group") == "minors")
+        assert minors.count() == 1 and minors.first()["_id"] == "ntp10000001"
+        # partition filter must prune (plan shows partition count 1)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            got.filter(F.col("group") == "minors").explain(True)
+        assert "PartitionFilters" in buf.getvalue()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_partition_cols_derivation(spark):
+    out = {r["_id"]: r for r in with_partition_cols(_mini_state(spark)).collect()}
+    assert out["ntp00000001"]["group"] == "contracts"
+    assert out["ntp00000001"]["upd_year"] == "2023"
+    assert out["ntp10000001"]["group"] == "minors"
+
+
+def test_salted_aggregate_matches_plain(spark, sf_dir):
+    from datalake_etlscripts_spark.io.readers import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    plain = {
+        r["o_custkey"]: r["n"]
+        for r in o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        r["o_custkey"]: r["n"]
+        for r in salted_aggregate(
+            o, "o_custkey", [F.count(F.lit(1)).alias("n")]
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    from datalake_etlscripts_spark.io.readers import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = o.join(c, "o_custkey").groupBy("c_mktsegment").count()
+    salted = salted_join(o, c, "o_custkey").groupBy("c_mktsegment").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+# ------------------------------------------------------ plan-shape guards
+def _plan_of(q_name, spark):
+    import __spark_entry__ as e
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        e.queries()[q_name](spark, "/root/testdata/sf0.001").explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan_of("project_filter_range", spark)
+    assert "PushedFilters: [IsNotNull(l_quantity)" in plan
+    # projection pruned to exactly the referenced columns
+    assert "l_tax" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_dim_join_stays_broadcast(spark):
+    plan = _plan_of("dim_join_broadcast", spark)
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    plan = _plan_of("pricing_summary", spark)
+    # two HashAggregates (partial + final) around the exchange
+    assert plan.count("HashAggregate") >= 2
