@@ -174,3 +174,50 @@ def q_longest_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("user_id", "session_no", "n_events")
     )
+
+
+# ---------------------------------------------------------------------------
+# range join: pairs of events by the same user within 5 minutes —
+# bucketized equi-join (time bucket + neighbor bucket) + exact filter,
+# never the per-user cross product; DuckDB verifies with a plain
+# inequality join
+# ---------------------------------------------------------------------------
+@query(
+    "range_join_events",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND b.ts >= a.ts AND epoch_us(b.ts) - epoch_us(a.ts) <= 300 * 1000000
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    bucket_us = 300 * 1_000_000
+    a = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("id_a"),
+        "user_id",
+        F.unix_micros("ts").alias("us_a"),
+        (F.unix_micros("ts") / bucket_us).cast("long").alias("_b"),
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("id_b"),
+        "user_id",
+        F.unix_micros("ts").alias("us_b"),
+        F.explode(
+            F.array(
+                (F.unix_micros("ts") / bucket_us).cast("long"),
+                (F.unix_micros("ts") / bucket_us).cast("long") - 1,
+            )
+        ).alias("_b"),
+    )
+    pairs = a.join(b, ["user_id", "_b"]).filter(
+        (F.col("id_a") < F.col("id_b"))
+        & (F.col("us_b") >= F.col("us_a"))
+        & (F.col("us_b") - F.col("us_a") <= bucket_us)
+    )
+    return pairs.select(
+        "id_a", "id_b", "user_id", (F.col("us_b") - F.col("us_a")).alias("gap_us")
+    ).dropDuplicates(["id_a", "id_b"])

@@ -254,3 +254,42 @@ def q_pointer_chase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "updated_to",
     )
     return follow_version(state).select("_id", "resolved_id")
+
+
+# ---------------------------------------------------------------------------
+# unpivot (stack): wide per-status counts back to long form —
+# the inverse of pivot_status_by_priority
+# ---------------------------------------------------------------------------
+@query(
+    "unpivot_counts",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority,
+             count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+             count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, 'F' AS status, f_cnt AS cnt FROM wide
+    UNION ALL
+    SELECT o_orderpriority, 'O', o_cnt FROM wide
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("f_cnt"),
+            F.coalesce("O", F.lit(0)).alias("o_cnt"),
+        )
+    )
+    return wide.unpivot(
+        ["o_orderpriority"], ["f_cnt", "o_cnt"], "status_col", "cnt"
+    ).select(
+        "o_orderpriority",
+        F.when(F.col("status_col") == "f_cnt", "F").otherwise("O").alias("status"),
+        "cnt",
+    )

@@ -191,7 +191,10 @@ def build_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    store = build_store(spark, sf_dir)
+    # in production the store is a materialized table; merge_batch
+    # references it 4× (max_order + three joins), so materialize the
+    # demo construction once instead of re-deriving it per reference
+    store = build_store(spark, sf_dir).localCheckpoint()
     incoming = build_incoming(spark, sf_dir)
     state = merge_batch(store, incoming, VFIELDS)
     return state.select(
