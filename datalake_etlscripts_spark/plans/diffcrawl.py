@@ -144,7 +144,7 @@ def q_crawl_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ex_groups
     )
     SELECT id, count(*) AS n_versions,
-           list_sort(list(first_upd || '|' || _id)) AS updates_dates_list
+           array_to_string(list_sort(list(first_upd || '|' || _id)), ';') AS updates_dates_list
     FROM store GROUP BY id
     """,
 )
@@ -165,7 +165,7 @@ def q_version_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return store.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_versions"),
-        F.array_sort(
-            F.collect_list(F.concat_ws("|", "first_upd", "_id"))
+        F.array_join(
+            F.array_sort(F.collect_list(F.concat_ws("|", "first_upd", "_id"))), ";"
         ).alias("updates_dates_list"),
     )

@@ -425,7 +425,8 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "distinct_set_per_key",
     oracle="""
-    SELECT o_custkey, list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+    SELECT o_custkey,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
            count(DISTINCT o_orderpriority) AS n_distinct
     FROM orders GROUP BY o_custkey HAVING count(DISTINCT o_orderpriority) > 3
     """,
@@ -435,7 +436,9 @@ def q_distinct_set_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.array_join(F.array_sort(F.collect_set("o_orderpriority")), ",").alias(
+                "priorities"
+            ),
             F.count_distinct("o_orderpriority").alias("n_distinct"),
         )
         .filter(F.col("n_distinct") > 3)

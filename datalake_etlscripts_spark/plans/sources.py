@@ -25,7 +25,7 @@ JSONL = os.path.join(FIXTURES, "company_annotations.jsonl")
     "tsv_mapping_scan",
     oracle=f"""
     SELECT DBFIELD AS dbfield, count(*) AS n_sources,
-           list_sort(list(ORIGINAL)) AS originals
+           array_to_string(list_sort(list(ORIGINAL)), '|') AS originals
     FROM read_csv('{TSV}', delim='\t', header=true, all_varchar=true)
     GROUP BY DBFIELD
     """,
@@ -34,7 +34,7 @@ def q_tsv_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = read_mapping_tsv(spark, TSV)
     return m.groupBy(F.col("DBFIELD").alias("dbfield")).agg(
         F.count(F.lit(1)).alias("n_sources"),
-        F.array_sort(F.collect_list("ORIGINAL")).alias("originals"),
+        F.array_join(F.array_sort(F.collect_list("ORIGINAL")), "|").alias("originals"),
     )
 
 
@@ -77,8 +77,8 @@ def q_csv_cpv_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
                                'SINGLE_COMPANY':'VARCHAR[]','UTE':'VARCHAR[]'}})
     )
     SELECT procurement_id, count(*) AS n_docs,
-           list_sort(flatten(list(singles))) AS all_singles,
-           list_sort(flatten(list(utes))) AS all_utes
+           coalesce(array_to_string(list_sort(flatten(list(singles))), ','), '') AS all_singles,
+           coalesce(array_to_string(list_sort(flatten(list(utes))), ','), '') AS all_utes
     FROM ann GROUP BY procurement_id
     """,
 )
@@ -93,11 +93,15 @@ def q_jsonl_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann.groupBy("procurement_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.array_sort(
-                F.flatten(F.collect_list(F.coalesce("SINGLE_COMPANY", F.array())))
+            F.array_join(
+                F.array_sort(
+                    F.flatten(F.collect_list(F.coalesce("SINGLE_COMPANY", F.array())))
+                ),
+                ",",
             ).alias("all_singles"),
-            F.array_sort(
-                F.flatten(F.collect_list(F.coalesce("UTE", F.array())))
+            F.array_join(
+                F.array_sort(F.flatten(F.collect_list(F.coalesce("UTE", F.array())))),
+                ",",
             ).alias("all_utes"),
         )
     )

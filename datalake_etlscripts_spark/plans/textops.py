@@ -155,7 +155,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT fp, n_docs, doc_ids FROM (
       SELECT md5(text) AS fp, count(*) AS n_docs,
-             list_sort(list(doc_id)) AS doc_ids
+             array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
       FROM corpus GROUP BY md5(text)
     ) WHERE n_docs > 1
     """,
@@ -167,7 +167,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 1000000).alias("doc_id"), "text"
         )
     )
-    return dedup.exact_duplicates(corpus)
+    return dedup.exact_duplicates(corpus).withColumn(
+        "doc_ids", F.array_join("doc_ids", ",")
+    )
 
 
 @query(

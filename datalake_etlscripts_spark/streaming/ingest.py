@@ -92,3 +92,30 @@ def windowed_event_counts(
 
 
 __all__ = ["streaming_merge_batch", "run_streaming_ingest", "windowed_event_counts", "STATE_META"]
+
+
+def running_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user running event count + value total maintained in state
+    across micro-batches — the shape for reference-style incremental
+    counters (A9) under Structured Streaming. Emits one row per user
+    per batch with the cumulative totals."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    output_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, output_schema, state_schema, "append", timeout
+    )

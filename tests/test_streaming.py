@@ -83,3 +83,101 @@ def test_windowed_counts_streaming_matches_batch(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_watermark_drops_late_rows(spark):
+    """Late-data semantics: rows older than the watermark are excluded
+    from finalized windows (append mode only emits closed windows)."""
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="strm_wm_")
+    try:
+        rows = [
+            (1, "2024-01-01 00:05:00", "click", 1.0),  # on-time
+            (2, "2024-01-01 03:30:00", "click", 1.0),  # advances watermark to 01:30
+            (3, "2024-01-01 03:40:00", "click", 1.0),  # triggers eviction/emission of the 00:00 window
+            (4, "2024-01-01 00:10:00", "click", 1.0),  # late: window end 01:00 < watermark
+        ]
+        df = spark.createDataFrame(rows, "event_id long, ts_s string, event_type string, value double")
+        df = df.select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+        src = os.path.join(tmp, "src")
+        # three files/micro-batches: on-time row, watermark advancer,
+        # then the late row — input filtering uses the PREVIOUS batch's
+        # watermark, so the late row must arrive after the window closed
+        import time as _time
+
+        for fid in (1, 2, 3, 4):
+            df.filter(f"event_id = {fid}").coalesce(1).write.parquet(f"{src}/f{fid}")
+            _time.sleep(1.2)
+
+        stream = spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src + "/*")
+        agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("wm_counts")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (str(r["window_start"]), r["n"])
+            for r in spark.sql("SELECT * FROM wm_counts").collect()
+        }
+        # the 00:00 window is finalized once the watermark (01:30) passes
+        # its end (emitted during the third batch); the late arrival in
+        # the fourth batch is dropped — count stays 1, no re-emission
+        assert got == {("2024-01-01 00:00:00", 1)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stateful_running_totals(spark):
+    import os
+    import shutil
+    import tempfile
+
+    from datalake_etlscripts_spark.streaming.ingest import running_user_totals
+
+    tmp = tempfile.mkdtemp(prefix="strm_st_")
+    try:
+        schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+        b1 = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:01", 7, "click", 2.0), (2, "2024-01-01 00:00:02", 7, "view", 3.0)],
+            "event_id long, ts string, user_id long, event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        b2 = spark.createDataFrame(
+            [(3, "2024-01-01 00:00:03", 7, "click", 5.0), (4, "2024-01-01 00:00:04", 9, "view", 1.0)],
+            "event_id long, ts string, user_id long, event_type string, value double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        src = os.path.join(tmp, "src")
+        b1.coalesce(1).write.parquet(src + "/a")
+        b2.coalesce(1).write.parquet(src + "/b")
+
+        stream = (
+            spark.readStream.schema(b1.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        out = running_user_totals(stream)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("running_totals")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        rows = spark.sql("SELECT * FROM running_totals").collect()
+        final = {}
+        for r in rows:
+            final[r["user_id"]] = max(
+                final.get(r["user_id"], (0, 0.0)), (r["n_events"], r["total_value"])
+            )
+        assert final[7] == (3, 10.0)  # state accumulated across batches
+        assert final[9] == (1, 1.0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
