@@ -26,6 +26,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality",
     "sessionize_events",
+    "asof_join_events",
+    "range_join_events",
 ]
 
 

@@ -1,0 +1,128 @@
+"""CLI mirroring the reference's script surface (read_parquet.py,
+calc_summary.py, sync_documents.py, get_documents.py, clean_place.py):
+
+    python -m datalake_etlscripts_spark ingest   --incoming B.parquet --state S --fields title,cpv
+    python -m datalake_etlscripts_spark summary  --table T.parquet --fields f1,f2
+    python -m datalake_etlscripts_spark sync     --src A.parquet --dst B.parquet [--check-only]
+    python -m datalake_etlscripts_spark compact  --state S --out OUT
+    python -m datalake_etlscripts_spark check    --state S
+
+Each subcommand is a thin argparse wrapper over the library — the
+same DataFrame plans the driver queries use.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import functions as F
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="datalake_etlscripts_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("ingest", help="versioned merge of a batch into the store")
+    p.add_argument("--incoming", required=True)
+    p.add_argument("--state", required=True)
+    p.add_argument("--fields", required=True, help="comma-separated business fields")
+    p.add_argument("--group", default="contracts", choices=["contracts", "minors"])
+    p.add_argument("--drop", action="store_true", help="start from an empty store")
+
+    p = sub.add_parser("summary", help="group-by count summaries (calc_summary)")
+    p.add_argument("--table", required=True)
+    p.add_argument("--fields", required=True)
+
+    p = sub.add_parser("sync", help="storage reconciliation plan (sync_documents)")
+    p.add_argument("--src", required=True)
+    p.add_argument("--dst", required=True)
+    p.add_argument("--name-col", default="file_name")
+    p.add_argument("--content-cols", default="")
+    p.add_argument("--check-only", action="store_true")
+    p.add_argument("--patch-list", default=None, help="write the plan as text here")
+
+    p = sub.add_parser("compact", help="current-versions view (clean_place)")
+    p.add_argument("--state", required=True)
+    p.add_argument("--out", required=True)
+
+    p = sub.add_parser("check", help="store invariants (checking/*)")
+    p.add_argument("--state", required=True)
+
+    args = ap.parse_args(argv)
+
+    from datalake_etlscripts_spark.session import get_spark
+
+    spark = get_spark(f"cli-{args.cmd}")
+
+    if args.cmd == "ingest":
+        from datalake_etlscripts_spark.versioning import empty_state, merge_batch
+
+        fields = args.fields.split(",")
+        incoming = spark.read.parquet(args.incoming)
+        if args.drop:
+            existing = empty_state(spark, fields)
+        else:
+            try:
+                existing = spark.read.parquet(args.state)
+            except Exception:  # noqa: BLE001 — first run
+                existing = empty_state(spark, fields)
+        merged = merge_batch(existing, incoming, fields, group=args.group)
+        tmp = args.state + "__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(args.state)
+        n = spark.read.parquet(args.state).count()
+        print(f"ingested: store now holds {n} rows at {args.state}")
+
+    elif args.cmd == "summary":
+        from datalake_etlscripts_spark.summary import summary_counts
+
+        df = spark.read.parquet(args.table)
+        for r in summary_counts(df, args.fields.split(",")).collect():
+            print(f"{r['field']}\t{r['value']}\t{r['cnt']}")
+
+    elif args.cmd == "sync":
+        from datalake_etlscripts_spark.storesync import plan_sync
+
+        content = tuple(c for c in args.content_cols.split(",") if c)
+        plan = plan_sync(
+            spark.read.parquet(args.src),
+            spark.read.parquet(args.dst),
+            name_col=args.name_col,
+            content_cols=content,
+        )
+        rows = plan.collect()
+        for r in rows:
+            print(f"{r['op']}\t{r[args.name_col]}")
+        if args.patch_list:
+            with open(args.patch_list, "w") as fh:
+                for r in rows:
+                    fh.write(f"{r['op']}\t{r[args.name_col]}\n")
+        if not args.check_only:
+            print(f"# plan only — wire apply_sync callbacks for transfer ({len(rows)} ops)")
+
+    elif args.cmd == "compact":
+        from datalake_etlscripts_spark.versioning import current_versions
+
+        current_versions(spark.read.parquet(args.state)).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+        print(f"compacted current versions to {args.out}")
+
+    elif args.cmd == "check":
+        from datalake_etlscripts_spark.versioning import (
+            check_pointers_resolve,
+            check_unique_active,
+        )
+
+        state = spark.read.parquet(args.state)
+        multi = check_unique_active(state).count()
+        dangling = check_pointers_resolve(state).count()
+        print(f"multi_active={multi} dangling_pointers={dangling}")
+        return 0 if (multi == 0 and dangling == 0) else 1
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -277,3 +277,9 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     frames = multimodal.frame_sample(multimodal.attach_binary(d))
     return frames.groupBy("id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+@query("ann_ivf_topk")  # trained quantizer → rows-only check
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann_topk(e, e.filter(F.col("vec_id") < 8), k=5)

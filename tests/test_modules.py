@@ -239,3 +239,23 @@ def test_merge_records_patch_data(spark):
         fields,
     ).localCheckpoint()
     assert json.loads(s3.first()["patch_data"]) == {"title": "A2"}
+
+
+def test_ivf_and_pandas_ann_agree_with_brute_force(spark, sf_dir):
+    from datalake_etlscripts_spark.io.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(e, q, k=5).collect()
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact}
+
+    ivf = similarity.ivf_ann_topk(e, q, k=5).collect()
+    ivf_pairs = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    recall = len(exact_pairs & ivf_pairs) / len(exact_pairs)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+    # the numpy path must reproduce brute force exactly by ids (cos_sim
+    # may differ in the last ulp, ranking ties broken identically)
+    fast = similarity.brute_force_topk_pandas(e, q, k=5).collect()
+    fast_pairs = {(r["query_id"], r["neighbor_id"]) for r in fast}
+    assert fast_pairs == exact_pairs
