@@ -39,6 +39,17 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs every query depends on, set defensively because
+    the harness may hand us a session built elsewhere: UTC timestamps
+    (timestamp formatting must match the UTC-naive oracle), nanos
+    parquet reads, and AQE for sane shuffle sizing."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic test table (TESTDATA.md) by name.
 
@@ -46,7 +57,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     only reads as raw INT64 (nanosAsLong); normalize it back to a
     microsecond timestamp so downstream operators see TimestampType.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -113,9 +113,20 @@ def minhash_signatures(
     together harmlessly."""
     exploded = df.select(
         F.col(id_col).alias("_did"), F.explode(shingles(F.col(text_col), k)).alias("_s")
+    ).select(
+        "_did",
+        # Kirsch-Mitzenmacher: all hash lanes derived from two base
+        # hashes h1 + i*h2 — 2 string hashes per shingle instead of
+        # num_hashes. Bases masked to 32 bits so no lane overflows a
+        # long under ANSI arithmetic
+        F.xxhash64("_s", F.lit(1)).bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h1"),
+        F.xxhash64("_s", F.lit(2)).bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h2"),
     )
     mins = exploded.groupBy("_did").agg(
-        *[F.min(F.xxhash64("_s", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)]
+        *[
+            F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"_h{i}")
+            for i in range(num_hashes)
+        ]
     )
     sig = F.array(*[F.col(f"_h{i}") for i in range(num_hashes)])
     sigs = mins.select("_did", sig.alias("sig"))
