@@ -571,3 +571,38 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# scalar-subquery shape: customers above their segment's average balance
+# (correlated aggregate decorrelated into a join — TPC-H Q17 family).
+# ---------------------------------------------------------------------------
+@query(
+    "above_segment_average",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment,
+             CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+               / count(*) AS avg_bal
+      FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           CAST(CAST(CAST(c.c_acctbal AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS acctbal
+    FROM customer c JOIN seg s USING (c_mktsegment)
+    WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) > CAST(s.avg_bal AS DECIMAL(18,4))
+    """,
+)
+def q_above_segment_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    seg = c.groupBy("c_mktsegment").agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(seg), "c_mktsegment")
+        .filter(dec("c_acctbal") > F.col("avg_bal").cast("decimal(18,4)"))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            dec("c_acctbal").cast("double").alias("acctbal"),
+        )
+    )

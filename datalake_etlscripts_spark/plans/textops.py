@@ -283,3 +283,35 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     return similarity.ivf_ann_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+
+
+@query(
+    "dedup_bow",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      -- shuffled-token twin: same token SET, different order
+      SELECT doc_id + 2000000,
+             array_to_string(list_reverse(list_filter(string_split(text,' '), x -> x <> '')), ' ')
+      FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT fp, n_docs, doc_ids FROM (
+      SELECT md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split(text,' '), x -> x <> ''))), ' ')) AS fp,
+             count(*) AS n_docs,
+             array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+      FROM corpus GROUP BY 1
+    ) WHERE n_docs > 1
+    """,
+)
+def q_dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    shuffled = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(F.reverse(text.tokens(F.col("text"))), " ").alias("text"),
+    )
+    corpus = d.unionByName(shuffled)
+    return dedup.bow_duplicates(corpus).withColumn(
+        "doc_ids", F.array_join("doc_ids", ",")
+    )
