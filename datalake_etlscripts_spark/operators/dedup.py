@@ -24,7 +24,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from datalake_etlscripts_spark.operators.text import bow_fingerprint, content_fingerprint, shingles
+from datalake_etlscripts_spark.operators.text import (
+    bow_fingerprint,
+    content_fingerprint,
+    shingles,
+    tokens,
+)
+
+_MASK32 = 0xFFFFFFFF
+
+
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """ARRAY<BIGINT> of k-shingle hashes built arithmetically: one
+    xxhash64 per TOKEN, then a masked polynomial combine over k shifted
+    slices — no per-shingle string concatenation (the string version
+    dominates signature cost on long documents). Distinct per doc."""
+    th = F.transform(tokens(text), lambda t: F.xxhash64(t).bitwiseAND(F.lit(_MASK32)))
+    n = F.size(th)
+    m = F.greatest(n - (k - 1), F.lit(0))
+    out = F.slice(th, 1, m)
+    for j in range(1, k):
+        out = F.zip_with(
+            out,
+            F.slice(th, 1 + j, m),
+            lambda a, b: (a * 31 + b).bitwiseAND(F.lit(_MASK32)),
+        )
+    return F.array_distinct(out)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -112,11 +137,12 @@ def minhash_signatures(
     Docs with no shingles get a sentinel signature so they group
     together harmlessly."""
     exploded = df.select(
-        F.col(id_col).alias("_did"), F.explode(shingles(F.col(text_col), k)).alias("_s")
+        F.col(id_col).alias("_did"),
+        F.explode(shingle_hashes(F.col(text_col), k)).alias("_s"),
     ).select(
         "_did",
         # Kirsch-Mitzenmacher: all hash lanes derived from two base
-        # hashes h1 + i*h2 — 2 string hashes per shingle instead of
+        # hashes h1 + i*h2 — 2 hashes per shingle instead of
         # num_hashes. Bases masked to 32 bits so no lane overflows a
         # long under ANSI arithmetic
         F.xxhash64("_s", F.lit(1)).bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h1"),
@@ -204,7 +230,8 @@ def simhash_table(
     contributions as columns, map-side-combined sums per doc, then the
     64-bit word reassembled from the votes — fully JVM-side."""
     exploded = df.select(
-        F.col(id_col).alias("_did"), F.explode(shingles(F.col(text_col), k)).alias("_s")
+        F.col(id_col).alias("_did"),
+        F.explode(shingle_hashes(F.col(text_col), k)).alias("_s"),
     ).select("_did", F.xxhash64("_s").alias("_h"))
     votes = exploded.groupBy("_did").agg(
         *[

@@ -130,25 +130,38 @@ def merge_batch(
         *[F.col(f).alias(f"_old_{f}") for f in fields],
     )
     j = batch.join(a, "id", "left")
-    overlap = F.arrays_overlap(F.col("updated"), F.col("_old_updated"))
-    pick = W.partitionBy("id").orderBy(
-        F.desc(F.coalesce(overlap, F.lit(False))), F.desc("_old_id")
+    overlap = F.coalesce(
+        F.arrays_overlap(F.col("updated"), F.col("_old_updated")), F.lit(False)
     )
-    win = W.partitionBy("id")
-    j = (
-        j.withColumn("_rk", F.row_number().over(pick))
-        .withColumn("_has_overlap", F.max(F.coalesce(overlap, F.lit(False))).over(win))
-        .withColumn(
-            "_all_active_updated",
-            F.flatten(F.collect_list("_old_updated").over(win)),
-        )
-        .filter(F.col("_rk") == 1)
+    # single-aggregate resolution (no WindowExec): per key, pick the
+    # overlap-preferred / max-_id active via max_by over (overlap, _id),
+    # and union all actives' timestamp sets in the same shuffle
+    old_cols = ["_old_id", "_old_updated", "_old_patch_data"] + [
+        f"_old_{f}" for f in fields
+    ]
+    resolved = j.groupBy("id").agg(
+        F.first("updated").alias("updated"),
+        *[F.first(f).alias(f) for f in fields],
+        F.max_by(
+            F.struct(*[F.col(c) for c in old_cols]),
+            F.struct(overlap.alias("o"), F.col("_old_id").alias("i")),
+        ).alias("_best"),
+        F.max(overlap).alias("_has_overlap"),
+        F.flatten(F.collect_list("_old_updated")).alias("_all_active_updated"),
+    )
+    resolved = resolved.select(
+        "id",
+        "updated",
+        *fields,
+        *[F.col(f"_best.{c}").alias(c) for c in old_cols],
+        "_has_overlap",
+        "_all_active_updated",
     )
 
     matched = F.col("_old_id").isNotNull() & (
         F.lit(not version_on_disjoint) | F.col("_has_overlap")
     )
-    resolved = j.withColumn(
+    resolved = resolved.withColumn(
         "_action", F.when(matched, F.lit("merge")).otherwise(F.lit("new"))
     )
 
