@@ -15,5 +15,6 @@ from datalake_etlscripts_spark.plans import (  # noqa: F401, E402
     sources,
     sync,
     textops,
+    txstore_plan,
     versioned,
 )

@@ -1,0 +1,96 @@
+"""Transactional-store queries: time travel across a CREATE + COW
+MERGE, oracle-checked against DuckDB replaying the same upsert in SQL.
+
+The store under test is io/txstore.py — the engine's replacement for
+the reference's MongoDB collection (atomic upserts, read_parquet.py
+ingest). Here it is driven with deterministic content derived from
+``orders`` so the oracle can reconstruct both versions exactly:
+
+  v0 CREATE : orders with o_orderkey % 2 = 0   (key=o_orderkey, price)
+  v1 MERGE  : upsert orders with o_orderkey % 3 = 0, price doubled
+
+The query aggregates BOTH snapshots via time travel — proving that v0
+is still readable bit-exact after the COW merge replaced files.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_etlscripts_spark.io.readers import read_table
+from datalake_etlscripts_spark.io.txstore import TransactionalStore
+from datalake_etlscripts_spark.plans.registry import query
+
+
+def _orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.col("o_totalprice").cast("decimal(14,2)").alias("p"),
+    )
+
+
+def build_demo_store(spark: SparkSession, sf_dir: str) -> TransactionalStore:
+    base = tempfile.mkdtemp(prefix="txstore_demo_")
+    o = _orders(spark, sf_dir)
+    v0 = o.filter(F.col("o_orderkey") % 2 == 0).select("id", "p")
+    st = TransactionalStore.create(
+        spark, os.path.join(base, "t"), v0.repartition(4, "id"), key="id"
+    )
+    src = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .select("id", (F.col("p") * 2).cast("decimal(14,2)").alias("p"))
+    )
+
+    def upsert(subset: DataFrame, source: DataFrame) -> DataFrame:
+        return subset.join(source.select("id"), "id", "left_anti").unionByName(source)
+
+    st.merge(src, upsert)
+    return st
+
+
+@query(
+    "txstore_time_travel",
+    oracle="""
+    WITH v0 AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS id,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS p
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    src AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS id,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 2 AS DECIMAL(14,2)) AS p
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    v1 AS (
+      SELECT v0.id, v0.p FROM v0 LEFT JOIN src ON v0.id = src.id
+      WHERE src.id IS NULL
+      UNION ALL SELECT id, p FROM src
+    )
+    SELECT 0 AS version, COUNT(*) AS n_rows,
+           CAST(CAST(SUM(p) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM v0
+    UNION ALL
+    SELECT 1 AS version, COUNT(*) AS n_rows,
+           CAST(CAST(SUM(p) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM v1
+    """,
+)
+def q_txstore_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = build_demo_store(spark, sf_dir)
+
+    def agg(version: int) -> DataFrame:
+        return (
+            st.snapshot(version=version)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("p").cast("double").alias("sum_price"),
+            )
+            .withColumn("version", F.lit(version))
+        )
+
+    return agg(0).unionByName(agg(1))

@@ -1,0 +1,177 @@
+"""Transactional store: ACID commits, time travel, COW merge pruning,
+optimistic concurrency, vacuum, and versioned ingest through the store
+(reference parity: read_parquet.py ingest over an atomic table instead
+of MongoDB upserts)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_etlscripts_spark.io.txstore import (
+    ConcurrentCommitError,
+    TransactionalStore,
+    VersionNotFoundError,
+    ingest_versioned,
+)
+from datalake_etlscripts_spark.versioning import (
+    check_pointers_resolve,
+    check_unique_active,
+    merge_batch,
+)
+
+
+def _mk(spark, tmp_path, rows, name="t", key="id"):
+    df = spark.createDataFrame(rows, "id string, val long")
+    return TransactionalStore.create(spark, os.path.join(str(tmp_path), name), df, key=key)
+
+
+def test_create_append_time_travel(spark, tmp_path):
+    st = _mk(spark, tmp_path, [("a", 1), ("b", 2)])
+    assert st.latest_version() == 0
+    st.append(spark.createDataFrame([("c", 3)], "id string, val long"))
+    assert st.latest_version() == 1
+    assert st.snapshot(version=0).count() == 2
+    assert st.snapshot().count() == 3
+    hist = st.history().collect()
+    assert [r["operation"] for r in hist] == ["CREATE", "APPEND"]
+    assert hist[-1]["n_rows"] == 3
+
+
+def test_snapshot_as_of_timestamp(spark, tmp_path):
+    st = _mk(spark, tmp_path, [("a", 1)])
+    t0 = st._read_manifest(0)["timestamp"]
+    st.append(spark.createDataFrame([("b", 2)], "id string, val long"))
+    assert st.snapshot(as_of=t0).count() == 1
+    assert st.snapshot(as_of=t0 + 10**6).count() == 2
+    with pytest.raises(VersionNotFoundError):
+        st.snapshot(as_of=t0 - 10)
+
+
+def test_concurrent_commit_conflict(spark, tmp_path):
+    st = _mk(spark, tmp_path, [("a", 1)])
+    extra = spark.createDataFrame([("b", 2)], "id string, val long")
+    st.append(extra)
+    # a second writer that had read v0 tries to commit v1 again
+    stale = TransactionalStore(spark, st.path)
+    files, m = stale._live(0)
+    new = stale._write_data(extra, 1, "id")
+    with pytest.raises(ConcurrentCommitError):
+        stale._commit(1, files + new, "APPEND", [e.path for e in new], [], m["metadata"])
+    # the winning commit is intact
+    assert st.snapshot(version=1).count() == 2
+
+
+def test_merge_rewrites_only_touched_files(spark, tmp_path):
+    # two disjoint key ranges written as separate commits → separate files
+    lo = spark.createDataFrame([(f"a{i:02d}", i) for i in range(10)], "id string, val long")
+    hi = spark.createDataFrame([(f"z{i:02d}", i) for i in range(10)], "id string, val long")
+    st = TransactionalStore.create(
+        spark, os.path.join(str(tmp_path), "cow"), lo.repartition(1), key="id"
+    )
+    st.append(hi.repartition(1))
+    before = {e.path for e in st._live(st.latest_version())[0]}
+
+    src = spark.createDataFrame([("a05", 500)], "id string, val long")
+
+    def upsert(subset, source):
+        keep = subset.join(source.select("id"), "id", "left_anti")
+        return keep.unionByName(source)
+
+    st.merge(src, upsert)
+    after = {e.path for e in st._live(st.latest_version())[0]}
+    # the z-range file survived untouched; the a-range file was replaced
+    z_files = {p for p in before if p in after}
+    assert z_files, "untouched file should be carried over"
+    snap = {(r["id"], r["val"]) for r in st.snapshot().collect()}
+    assert ("a05", 500) in snap and ("z09", 9) in snap and len(snap) == 20
+
+
+def test_delete_where_and_vacuum(spark, tmp_path):
+    st = _mk(spark, tmp_path, [("a", 1), ("b", 2), ("c", 3)])
+    st.delete_where(F.col("id") == "b")
+    assert {r["id"] for r in st.snapshot().collect()} == {"a", "c"}
+    # pre-delete version still readable before vacuum
+    assert st.snapshot(version=0).count() == 3
+    removed = st.vacuum(keep_last=1)
+    assert removed, "vacuum should drop the superseded files"
+    with pytest.raises(VersionNotFoundError):
+        st.snapshot(version=0)
+    assert {r["id"] for r in st.snapshot().collect()} == {"a", "c"}
+
+
+def _vrows(spark, rows):
+    return spark.createDataFrame(
+        rows, "id string, updated array<string>, title string, price string"
+    )
+
+
+def _vstate(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "_id string, id string, updated array<string>, obsolete_version boolean, "
+        "updated_to string, patch_data string, title string, price string",
+    )
+
+
+def test_ingest_versioned_matches_direct_merge(spark, tmp_path):
+    """COW ingest through the store ≡ merge_batch over the whole state."""
+    fields = ["title", "price"]
+    state = _vstate(
+        spark,
+        [
+            ("ntp00000001", "k1", ["2024-01-01 00:00:00"], False, None, None, "t1", "1"),
+            ("ntp00000002", "k2", ["2024-02-01 00:00:00"], False, None, None, "t2", "2"),
+            ("ntp00000003", "k3", ["2024-03-01 00:00:00"], False, None, None, "t3", "3"),
+        ],
+    )
+    st = TransactionalStore.create(
+        spark,
+        os.path.join(str(tmp_path), "ingest"),
+        state.repartition(3, "id"),
+        key="id",
+        metadata={"max_order": 3},
+    )
+    batch = _vrows(
+        spark,
+        [
+            ("k2", ["2024-02-15 00:00:00"], "t2b", ""),  # merge onto ntp00000002
+            ("k9", ["2024-09-01 00:00:00"], "t9", "9"),  # fresh id ntp00000004
+        ],
+    )
+    ingest_versioned(st, batch, fields)
+    got = st.snapshot()
+    expect = merge_batch(state, batch, fields, start_order=3)
+    sel = lambda d: {  # noqa: E731
+        (r["_id"], r["id"], tuple(r["updated"]), r["obsolete_version"], r["title"])
+        for r in d.collect()
+    }
+    assert sel(got) == sel(expect)
+    assert check_unique_active(got).isEmpty()
+    assert check_pointers_resolve(got).isEmpty()
+    # counter advanced by exactly the one fresh key, recorded in metadata
+    assert st._read_manifest(st.latest_version())["metadata"]["max_order"] == 4
+
+
+def test_ingest_versioned_idempotent_counter(spark, tmp_path):
+    """Re-ingesting the same batch is a no-op on rows AND the counter."""
+    fields = ["title", "price"]
+    st = TransactionalStore.create(
+        spark,
+        os.path.join(str(tmp_path), "idem"),
+        _vstate(
+            spark,
+            [("ntp00000001", "k1", ["2024-01-01 00:00:00"], False, None, None, "t1", "1")],
+        ),
+        key="id",
+        metadata={"max_order": 1},
+    )
+    batch = _vrows(spark, [("k5", ["2024-05-01 00:00:00"], "t5", "5")])
+    ingest_versioned(st, batch, fields)
+    first = {(r["_id"], r["id"]) for r in st.snapshot().collect()}
+    ingest_versioned(st, batch, fields)
+    second = {(r["_id"], r["id"]) for r in st.snapshot().collect()}
+    assert first == second
+    assert st._read_manifest(st.latest_version())["metadata"]["max_order"] == 2
