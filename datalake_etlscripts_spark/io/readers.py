@@ -124,3 +124,58 @@ def read_text_lines(
     if fin is not None:
         df = df.filter(F.col("line_no") <= fin)
     return df
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning contract as parquet
+    (filters and column pruning reach the ORC reader)."""
+    return spark.read.orc(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """JDBC scan. For anything bigger than a broadcastable dimension,
+    pass the partition quadruple — Spark then issues one range query
+    per partition instead of a single-threaded full read."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        reader = reader.option("driver", driver)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 4))
+        )
+    return reader.load()
+
+
+def read_xml(spark: SparkSession, path: str, row_tag: str, schema=None) -> DataFrame:
+    """XML scan (native in Spark 4). Pass a schema in production —
+    inference widens types and costs an extra pass."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan — requires the external `spark-avro` module, which is
+    NOT in this distribution. Fails with the exact remedy rather than
+    pretending the connector exists."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "Avro needs the org.apache.spark:spark-avro package on the "
+            "classpath (spark-submit --packages org.apache.spark:"
+            "spark-avro_2.13:<spark-version>); it is not bundled here"
+        ) from exc

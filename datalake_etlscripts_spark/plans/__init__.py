@@ -13,6 +13,7 @@ from datalake_etlscripts_spark.plans import (  # noqa: F401, E402
     functions_showcase,
     relational,
     sources,
+    sources_formats,
     sync,
     textops,
     txstore_plan,
