@@ -16,6 +16,7 @@ from datalake_etlscripts_spark.plans import (  # noqa: F401, E402
     sources_formats,
     sync,
     textops,
+    tpch_more,
     txstore_plan,
     versioned,
 )
