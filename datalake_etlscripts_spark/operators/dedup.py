@@ -6,7 +6,7 @@ Five strategies, cheapest first:
   bag-of-words   same, on the sorted-token-set fingerprint
   ngram-jaccard  exact Jaccard over k-token shingles within blocking
                  groups (language × length bucket) — self-join per
-                 block, never全-pairs
+                 block, never all-pairs
   minhash-lsh    shingle → minhash signature → banded LSH buckets →
                  candidate pairs → exact-Jaccard verification. The
                  scale path: candidates come from equi-joins on
@@ -14,6 +14,11 @@ Five strategies, cheapest first:
                  size, not quadratic
   simhash        64-bit simhash from token hashes; near-dup = small
                  Hamming distance within same simhash band
+  embedding      cosine similarity over an embedding column — exact
+                 all-pairs baseline (unit-normalize once per row, one
+                 fold dot per pair) and an LSH-bucketed scale path
+                 (random-hyperplane bands → equi-join candidates →
+                 exact-cosine verification)
 
 MinHash/SimHash use xxhash64/crc32 (deterministic JVM-side hashes) —
 no Python, no UDFs.
@@ -296,4 +301,95 @@ def simhash_pairs(
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
+    )
+
+
+def _unit(vec: Column) -> Column:
+    """Unit-normalize once per row so the pair join needs a single
+    fold dot product instead of dot + two norms per pair."""
+    n = F.sqrt(
+        F.aggregate(
+            F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return F.transform(vec, lambda x: x.cast("double") / n)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: (id_a, id_b, cos_sim)
+    for every unordered pair with cosine ≥ threshold.
+
+    Correctness baseline (reference scope: OLD/get_entities.py-style
+    entity matching generalized to vectors): O(n²/2) self-join — use
+    embedding_near_dup_lsh for the linear-shuffle scale path. Unit
+    vectors are computed once per row BEFORE the join; the per-pair
+    work is one zip_with/aggregate fold, JVM-side.
+    """
+    unit = df.select(F.col(id_col).alias("_eid"), _unit(F.col(vec_col)).alias("_ev"))
+    l_ = unit.select(F.col("_eid").alias("id_a"), F.col("_ev").alias("_va"))
+    r_ = unit.select(F.col("_eid").alias("id_b"), F.col("_ev").alias("_vb"))
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        l_.join(r_, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dot.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    sig_bits: int = 16,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane signatures
+    banded into equi-join buckets (shuffle linear in rows, not pairs),
+    then exact cosine ≥ threshold verified on candidates only. Output
+    schema matches embedding_near_dup_pairs; recall < 1 by design
+    (pairs agreeing in no band are never compared)."""
+    from datalake_etlscripts_spark.operators.similarity import _rh_signature, random_planes
+
+    planes = random_planes(dim, sig_bits)
+    n_bands = sig_bits // band_bits
+    mask = (1 << band_bits) - 1
+    sig = _rh_signature(F.col(vec_col), planes)
+    banded = df.select(
+        F.col(id_col).alias("_eid"),
+        _unit(F.col(vec_col)).alias("_ev"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(sig, b * band_bits).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    l_ = banded.select(F.col("_eid").alias("id_a"), F.col("_ev").alias("_va"), "band", "bucket")
+    r_ = banded.select(F.col("_eid").alias("id_b"), F.col("_ev").alias("_vb"), "band", "bucket")
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        l_.join(r_, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", dot.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
     )

@@ -211,6 +211,57 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(d, max_hamming=3)
 
 
+def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus injected near-duplicates: every 20th vector is
+    re-appended under a shifted id with +0.001 added to each component
+    (cosine vs the original ≈ 1, vs everything else ≤ ~0.52). The
+    DuckDB oracle performs the identical double arithmetic."""
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bumped = e.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + F.lit(0.001)).alias(
+            "embedding"
+        ),
+    )
+    return e.unionByName(bumped)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.001)
+      FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    unit AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x /
+               sqrt(list_reduce(list_prepend(0.0,
+                 list_transform(embedding, y -> y * y)), (a, b) -> a + b))) AS uv
+      FROM corpus
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_reduce(list_prepend(0.0,
+               list_transform(list_zip(a.uv, b.uv), x -> x[1] * x[2])),
+               (acc, v) -> acc + v) AS cos_sim
+      FROM unit a JOIN unit b ON a.vec_id < b.vec_id
+    ) WHERE cos_sim >= 0.9
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_pairs(_near_dup_corpus(spark, sf_dir), threshold=0.9)
+
+
+@query("dedup_embedding_lsh")  # banded candidates miss pairs by design → rows-only
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_lsh(_near_dup_corpus(spark, sf_dir), threshold=0.9)
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------

@@ -13,7 +13,7 @@ from datalake_etlscripts_spark.crawl import (
     prune_urls,
 )
 from datalake_etlscripts_spark.normalize import apply_mapping, normalize_updated
-from datalake_etlscripts_spark.operators import multimodal, similarity
+from datalake_etlscripts_spark.operators import dedup, multimodal, similarity
 from datalake_etlscripts_spark.storesync import apply_sync, plan_sync
 from datalake_etlscripts_spark.summary import summary_counts
 
@@ -152,6 +152,25 @@ def test_multimodal_decode_and_frames(spark):
 
 
 # -------------------------------------------------------------- similarity
+def test_embedding_near_dup_exact_and_lsh(spark, sf_dir):
+    """The injected +0.001 twins are found by the exact path; the LSH
+    path returns a subset of them (bucketing can only miss, never
+    invent — scores are the same exact cosine)."""
+    from datalake_etlscripts_spark.plans.textops import _near_dup_corpus
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    exact = dedup.embedding_near_dup_pairs(corpus, threshold=0.9).collect()
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact}
+    twins = [r["vec_id"] for r in corpus.filter(F.col("vec_id") >= 100000).collect()]
+    assert exact_pairs == {(v - 100000, v) for v in twins}
+    assert all(r["cos_sim"] > 0.999 for r in exact)
+
+    lsh = dedup.embedding_near_dup_lsh(corpus, threshold=0.9).collect()
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in lsh}
+    assert lsh_pairs <= exact_pairs
+    assert len(lsh_pairs) / len(exact_pairs) >= 0.5, "LSH recall collapsed"
+
+
 def test_lsh_ann_recall_against_brute_force(spark, sf_dir):
     from datalake_etlscripts_spark.io.readers import read_table
 
