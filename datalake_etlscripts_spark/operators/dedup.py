@@ -393,3 +393,53 @@ def embedding_near_dup_lsh(
         .select("id_a", "id_b", dot.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
+    components by iterative hash-min label propagation. Returns
+    (node, component) where component = min node id in the cluster.
+
+    Each round is one shuffle (edge join + min-agg); the label front
+    converges in O(log diameter) rounds for near-dup graphs, whose
+    components are tiny. Lineage is cut per round (localCheckpoint) so
+    the plan stays constant-size — an uncheckpointed loop compounds
+    the plan ~4× per round. At 100 TB swap the hash-min rounds for
+    large-star/small-star (same join shape, provably O(log n) rounds)
+    and checkpoint to the object store instead of executor memory.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    e = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        e.select(F.col("src").alias("node")).distinct().withColumn("lab", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            e.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new = labels.join(nbr, "node", "left").select(
+            "node", F.least("lab", F.coalesce("nlab", "lab")).alias("lab")
+        )
+        new = new.localCheckpoint()
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lab").alias("component"))

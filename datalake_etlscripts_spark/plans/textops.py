@@ -199,6 +199,48 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, threshold=0.04)
 
 
+@query(
+    "dedup_clusters",
+    oracle=r"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, lang, CAST(floor(length(text) / 100) AS INT) AS lb,
+             list_distinct(list_transform(
+               range(1, greatest(len(list_filter(string_split(text,' '), x -> x <> '')) - 1, 1)),
+               i -> list_filter(string_split(text,' '), x -> x <> '')[i] || ' ' ||
+                    list_filter(string_split(text,' '), x -> x <> '')[i+1] || ' ' ||
+                    list_filter(string_split(text,' '), x -> x <> '')[i+2]
+             )) AS sh
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM base a JOIN base b ON a.lang = b.lang AND a.lb = b.lb
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.04
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node, min(lab) AS component FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters (transitive closure). The
+    engine iterates hash-min label propagation; the oracle replays it
+    as a recursive CTE over the identical edge set."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.04)
+    return dedup.connected_components(pairs)
+
+
 @query("dedup_minhash_lsh")  # approximate candidate set → rows-only check
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")

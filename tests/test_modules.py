@@ -171,6 +171,25 @@ def test_embedding_near_dup_exact_and_lsh(spark, sf_dir):
     assert len(lsh_pairs) / len(exact_pairs) >= 0.5, "LSH recall collapsed"
 
 
+def test_connected_components_resolves_chains(spark):
+    """A 4-node chain, a triangle, and a disjoint pair each collapse to
+    one component labeled by their min node id — transitive closure,
+    not just pairwise grouping."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
+
+
 def test_lsh_ann_recall_against_brute_force(spark, sf_dir):
     from datalake_etlscripts_spark.io.readers import read_table
 
