@@ -1,0 +1,110 @@
+"""Deterministic sampling and sequence packing for training-data
+pipelines.
+
+Random `df.sample()` is useless at 100 TB: it is non-reproducible
+across retries, speculative tasks, and engine versions, and a re-run
+silently changes the corpus. Everything here keys off a content hash
+(md5 of the stable id) instead:
+
+  hash_sample        keep rows whose hex hash sorts below a threshold
+                     prefix — the same rows forever, on any engine,
+                     with no RNG state and no shuffle (pure filter,
+                     fully pushed down next to the scan)
+  train_test_split   disjoint, exhaustive split from the same hash —
+                     membership is a property of the ROW, so late-
+                     arriving data lands in a stable bucket
+  stratified_hash_sample
+                     per-stratum thresholds (e.g. downsample the
+                     dominant language) via a broadcast threshold dim
+  pack_sequences     GPT-style packing: concatenate documents in a
+                     deterministic order and chunk the token stream
+                     every `capacity` tokens; a document belongs to
+                     the bin where it starts. One window cumsum per
+                     partition — no stateful loop.
+
+Reference scope note: the reference repo samples nothing (full-scan
+batch ETL, read_parquet.py:85); these are the beyond-reference
+operators the engine adds for LLM-corpus work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _hex_key(key: Column) -> Column:
+    """Lowercase md5 hex of the stringified key — identical in Spark
+    and DuckDB, so oracle queries can replay the exact membership."""
+    return F.md5(key.cast("string"))
+
+
+def hash_sample(df: DataFrame, key_col: str, threshold_hex: str) -> DataFrame:
+    """Deterministic ~(int(threshold,16)/16^len) sample: rows where
+    md5(key) < threshold_hex. '1a' ≈ 10.2%, '0d' ≈ 5.1%."""
+    return df.filter(_hex_key(F.col(key_col)) < F.lit(threshold_hex))
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_threshold_hex: str = "1a"
+) -> DataFrame:
+    """Adds a `split` column: 'test' below the hash threshold, 'train'
+    otherwise. Disjoint and exhaustive by construction."""
+    return df.withColumn(
+        "split",
+        F.when(_hex_key(F.col(key_col)) < F.lit(test_threshold_hex), F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    thresholds: dict[str, str],
+    default_threshold_hex: str = "00",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each stratum keeps rows
+    under its own hex threshold (strata absent from the map use the
+    default — '00' drops them). The thresholds ride a broadcast join,
+    so the plan is scan → broadcast hash join → filter: no shuffle of
+    the fact side."""
+    spark = df.sparkSession
+    dim = spark.createDataFrame(
+        [(k, v) for k, v in thresholds.items()], [stratum_col, "_thr"]
+    )
+    return (
+        df.join(F.broadcast(dim), stratum_col, "left")
+        .withColumn("_thr", F.coalesce("_thr", F.lit(default_threshold_hex)))
+        .filter(_hex_key(F.col(key_col)) < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    capacity: int,
+    order_col: str,
+    partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Assign each document to a training-sequence bin: documents are
+    concatenated in (partition_cols, order_col) order and the token
+    stream is chunked every `capacity` tokens; a document's bin is
+    where its first token lands. Adds `seq_bin` and `bin_offset`.
+
+    One window cumulative sum per partition. At scale, partition by a
+    corpus shard key so each window fits an executor; the stream is
+    chunked independently per shard, which is exactly how packed
+    pretraining shards are built."""
+    w = (
+        W.partitionBy(*[F.col(c) for c in partition_cols]).orderBy(order_col)
+        if partition_cols
+        else W.partitionBy().orderBy(order_col)
+    )
+    start = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).cast("bigint")
+    return df.withColumn("seq_bin", F.floor(start / F.lit(capacity))).withColumn(
+        "bin_offset", (start % F.lit(capacity)).cast("bigint")
+    )

@@ -8,7 +8,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datalake_etlscripts_spark.io.readers import read_table
-from datalake_etlscripts_spark.operators import dedup, multimodal, similarity, text
+from datalake_etlscripts_spark.operators import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    text,
+)
 from datalake_etlscripts_spark.plans.registry import query
 
 # ---------------------------------------------------------------------------
@@ -251,6 +257,68 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     return dedup.simhash_pairs(d, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling / splits / sequence packing
+# ---------------------------------------------------------------------------
+@query(
+    "train_test_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    return sampling.train_test_split(d, "doc_id", test_threshold_hex="1a")
+
+
+@query(
+    "stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE md5(CAST(doc_id AS VARCHAR)) <
+          CASE lang WHEN 'en' THEN '40' WHEN 'es' THEN '80' ELSE '10' END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.stratified_hash_sample(
+        d, "doc_id", "lang", {"en": "40", "es": "80"}, default_threshold_hex="10"
+    ).select("doc_id", "lang")
+
+
+@query(
+    "pack_sequences",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    runs AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok
+      FROM toks
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor(start_tok / 512) AS BIGINT) AS seq_bin,
+           start_tok % 512 AS bin_offset
+    FROM runs
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", text.token_count(F.col("text")).alias("n_tokens")
+    )
+    return sampling.pack_sequences(
+        toks, "n_tokens", capacity=512, order_col="doc_id", partition_cols=("lang",)
+    )
 
 
 def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

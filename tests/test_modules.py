@@ -171,6 +171,40 @@ def test_embedding_near_dup_exact_and_lsh(spark, sf_dir):
     assert len(lsh_pairs) / len(exact_pairs) >= 0.5, "LSH recall collapsed"
 
 
+def test_sampling_and_packing_invariants(spark, sf_dir):
+    from datalake_etlscripts_spark.io.readers import read_table
+    from datalake_etlscripts_spark.operators import sampling, text
+
+    d = read_table(spark, sf_dir, "documents")
+    split = sampling.train_test_split(d.select("doc_id"), "doc_id")
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("test", 0) + counts.get("train", 0) == d.count()
+    # ~10% test fraction, deterministic: re-running yields identical membership
+    assert 0.02 < counts.get("test", 0) / d.count() < 0.3
+    again = {r["doc_id"] for r in split.filter("split = 'test'").collect()}
+    assert again == {
+        r["doc_id"]
+        for r in sampling.train_test_split(d.select("doc_id"), "doc_id")
+        .filter("split = 'test'")
+        .collect()
+    }
+
+    toks = d.select("doc_id", "lang", text.token_count(F.col("text")).alias("n_tokens"))
+    packed = sampling.pack_sequences(
+        toks, "n_tokens", capacity=512, order_col="doc_id", partition_cols=("lang",)
+    ).collect()
+    by_lang: dict[str, list] = {}
+    for r in packed:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for rows in by_lang.values():
+        rows.sort(key=lambda r: r["doc_id"])
+        stream_pos = 0
+        for r in rows:
+            assert r["seq_bin"] == stream_pos // 512
+            assert r["bin_offset"] == stream_pos % 512
+            stream_pos += r["n_tokens"]
+
+
 def test_connected_components_resolves_chains(spark):
     """A 4-node chain, a triangle, and a disjoint pair each collapse to
     one component labeled by their min node id — transitive closure,
