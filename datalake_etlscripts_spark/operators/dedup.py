@@ -211,8 +211,23 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates()
     )
-    sh = df.select(
-        F.col(id_col).alias("_did"), shingles(F.col(text_col), k).alias("_sh")
+    # verification Jaccard runs over the ARITHMETIC shingle-hash sets
+    # (same value as string-shingle Jaccard modulo negligible 32-bit
+    # collisions), and only for docs that appear in some candidate
+    # pair — at scale candidates ≪ corpus, so the expensive shingle
+    # build is semi-join-pruned to the candidate support set. The
+    # candidate set is tiny and referenced three times below;
+    # materialize it so the signature/banding pipeline runs once.
+    cand = cand.localCheckpoint()
+    support = (
+        cand.select(F.col("id_a").alias("_did"))
+        .unionByName(cand.select(F.col("id_b").alias("_did")))
+        .distinct()
+    )
+    sh = (
+        df.select(F.col(id_col).alias("_did"), F.col(text_col).alias("_t"))
+        .join(support, "_did", "left_semi")
+        .select("_did", shingle_hashes(F.col("_t"), k).alias("_sh"))
     )
     verified = (
         cand.join(sh.select(F.col("_did").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")

@@ -177,7 +177,13 @@ def merge_batch(
     merged_target = resolved.filter(F.col("_action") == "merge").withColumn(
         "_target_id", F.col("_old_id")
     )
-    resolved = merged_target.unionByName(with_new_id)
+    # The resolution result feeds three consumers (upserts, demotion
+    # targets, untouched anti-join) and its two action branches union
+    # here — without a barrier the whole batch-aggregation pipeline
+    # re-executes once per reference (6× observed). It is batch-sized
+    # (keys only), so materialize it once; in production this is the
+    # staged MERGE source table.
+    resolved = merged_target.unionByName(with_new_id).localCheckpoint()
 
     # upserted rows. Field merge rule: non-empty incoming overwrites
     # (ntp_entry.py:30-46); merged updated = union(incoming, all actives).
