@@ -458,3 +458,35 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("lab").alias("component"))
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing at least one
+    k-token shingle with the benchmark/eval set. Returns
+    (doc_id, n_hit_shingles) for contaminated documents only.
+
+    Scale shape: the benchmark side is tiny relative to a 100 TB
+    corpus, so its distinct shingle set is BROADCAST — the corpus-side
+    explode joins map-side with no shuffle of corpus data; the only
+    shuffle is the per-doc hit-count aggregation (hit rows ≪ corpus).
+    For very large benchmark suites swap the shingle strings for
+    xxhash64 values on both sides (8-byte keys, same join shape).
+    """
+    bench_sh = (
+        benchmark.select(F.explode(shingles(F.col(text_col), k)).alias("_sh"))
+        .distinct()
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("_sh")
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "_sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
+    )

@@ -101,8 +101,8 @@ def bow_fingerprint(text: Column) -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """k-token shingles (distinct), the unit for Jaccard/MinHash dedup.
+def ngrams(text: Column, k: int = 3) -> Column:
+    """All k-token grams in document order (duplicates kept).
 
     Built with zip_with over k shifted slices of the token array —
     NOT per-index element_at, which would re-evaluate the tokenizer
@@ -118,4 +118,60 @@ def shingles(text: Column, k: int = 3) -> Column:
             F.slice(toks, 1 + j, m),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
-    return F.array_distinct(out)
+    return out
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-token shingles (distinct), the unit for Jaccard/MinHash dedup."""
+    return F.array_distinct(ngrams(text, k))
+
+
+def _top_fraction(arr: Column) -> Column:
+    """Fraction of array elements taken by the single most frequent
+    element. Per-row O(distinct × n) array fold — no shuffle, stays in
+    codegen; fine for document-length arrays (the corpus-filter use
+    case caps documents well below shuffle-worthy sizes)."""
+    counts = F.transform(
+        F.array_distinct(arr),
+        lambda d: F.size(F.filter(arr, lambda x: x == d)),
+    )
+    return F.array_max(counts).cast("double") / F.size(arr)
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals for corpus filtering (Rae et al.
+    2021 §A1.1): fraction of tokens in the most common token / 2-gram /
+    3-gram. High values flag boilerplate and degenerate generations."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("top_token_frac", _top_fraction(tokens(t)))
+        .withColumn("top_2gram_frac", _top_fraction(ngrams(t, 2)))
+        .withColumn("top_3gram_frac", _top_fraction(ngrams(t, 3)))
+    )
+
+
+# PII patterns chosen to be regex-dialect-portable (same semantics in
+# Java regex and RE2): no backreferences, no lookaround.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9]{2} [0-9]{3} [0-9]{3} [0-9]{3}",
+    "iban": r"[A-Z]{2}[0-9]{2}( [0-9]{4}){5}",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (emails / intl phones / IBANs)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every PII match with a typed placeholder ('<EMAIL>',
+    '<PHONE>', '<IBAN>'). Pure regexp_replace chain — JVM-side, the
+    whole 100 TB corpus is redacted without leaving Tungsten."""
+    out = text
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
+    return out

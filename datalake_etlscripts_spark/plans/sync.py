@@ -80,3 +80,36 @@ def q_listing_id_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     listing = _listing(spark, sf_dir, "src").select("file_name")
     parsed = parse_ntp_range(listing)
     return parsed.filter(F.col("ntp_id").between("ntp00000010", "ntp00000099"))
+
+
+@query(
+    "purge_plan",
+    oracle="""
+    WITH listing AS (
+      SELECT printf('ntp%08d', p_partkey) || '_doc.pdf' AS file_name
+      FROM part WHERE p_partkey % 7 <> 0
+    ),
+    obsolete AS (
+      SELECT printf('ntp%08d', p_partkey) AS _id FROM part WHERE p_partkey % 4 = 0
+    ),
+    doomed AS (
+      SELECT file_name, regexp_extract(file_name, '^(ntp[0-9]{8})_', 1) AS ntp_id
+      FROM listing
+      WHERE regexp_extract(file_name, '^(ntp[0-9]{8})_', 1) IN (SELECT _id FROM obsolete)
+    )
+    SELECT 'BACKUP' AS op, file_name, ntp_id FROM doomed
+    UNION ALL
+    SELECT 'DEL', file_name, ntp_id FROM doomed
+    """,
+)
+def q_purge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """purge_documents.py:97-118 parity: files of obsolete versions are
+    backed up then deleted; the plan is the --dry_run output."""
+    from datalake_etlscripts_spark.storesync import plan_purge
+
+    listing = _listing(spark, sf_dir, "src").select("file_name")
+    store = read_table(spark, sf_dir, "part").select(
+        format_ntp_id(F.col("p_partkey")).alias("_id"),
+        (F.col("p_partkey") % 4 == 0).alias("obsolete_version"),
+    )
+    return plan_purge(listing, store)

@@ -476,3 +476,169 @@ def q_dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.bow_duplicates(corpus).withColumn(
         "doc_ids", F.array_join("doc_ids", ",")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (corpus filtering)
+# ---------------------------------------------------------------------------
+@query(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, tk,
+             list_transform(range(1, greatest(len(tk), 1)),
+                            i -> tk[i] || ' ' || tk[i+1]) AS g2,
+             list_transform(range(1, greatest(len(tk) - 1, 1)),
+                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g3
+      FROM toks
+    )
+    SELECT doc_id,
+      CAST(list_max(list_transform(list_distinct(tk),
+           d -> len(list_filter(tk, x -> x = d)))) AS DOUBLE) / len(tk) AS top_token_frac,
+      CAST(list_max(list_transform(list_distinct(g2),
+           d -> len(list_filter(g2, x -> x = d)))) AS DOUBLE) / len(g2) AS top_2gram_frac,
+      CAST(list_max(list_transform(list_distinct(g3),
+           d -> len(list_filter(g3, x -> x = d)))) AS DOUBLE) / len(g3) AS top_3gram_frac
+    FROM grams
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text.repetition_features(d).select(
+        "doc_id", "top_token_frac", "top_2gram_frac", "top_3gram_frac"
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (documents salted deterministically with
+# synthetic PII so every pattern fires; both engines salt identically)
+# ---------------------------------------------------------------------------
+@query(
+    "pii_redaction",
+    oracle=r"""
+    WITH salted AS (
+      SELECT doc_id,
+             text || CASE CAST(doc_id % 4 AS INT)
+               WHEN 0 THEN ' contact john.doe@example.com now'
+               WHEN 1 THEN ' call +34 612 345 678 ok'
+               WHEN 2 THEN ' iban ES91 2100 0418 4502 0005 1332 end'
+               ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+      len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+      len(regexp_extract_all(text, '\+[0-9]{2} [0-9]{3} [0-9]{3} [0-9]{3}')) AS n_phone,
+      len(regexp_extract_all(text, '[A-Z]{2}[0-9]{2}( [0-9]{4}){5}')) AS n_iban,
+      regexp_replace(regexp_replace(regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\+[0-9]{2} [0-9]{3} [0-9]{3} [0-9]{3}', '<PHONE>', 'g'),
+        '[A-Z]{2}[0-9]{2}( [0-9]{4}){5}', '<IBAN>', 'g') AS redacted
+    FROM salted
+    """,
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    salt = (
+        F.when(
+            (F.col("doc_id") % 4).cast("int") == 0,
+            F.lit(" contact john.doe@example.com now"),
+        )
+        .when((F.col("doc_id") % 4).cast("int") == 1, F.lit(" call +34 612 345 678 ok"))
+        .when(
+            (F.col("doc_id") % 4).cast("int") == 2,
+            F.lit(" iban ES91 2100 0418 4502 0005 1332 end"),
+        )
+        .otherwise(F.lit(""))
+    )
+    salted = d.select("doc_id", F.concat(F.col("text"), salt).alias("text"))
+    counts = text.pii_counts(F.col("text"))
+    return salted.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["iban"].alias("n_iban"),
+        text.redact_pii(F.col("text")).alias("redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination: corpus docs sharing a 5-gram with the
+# benchmark set (benchmark = doc_id % 97 == 0; contamination injected
+# as prefixed twins of benchmark docs, identically in both engines)
+# ---------------------------------------------------------------------------
+@query(
+    "decontaminate",
+    oracle="""
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+    corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT doc_id + 3000000, 'copied doc ' || text FROM bench
+    ),
+    btk AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM bench),
+    bsh AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 3, 1)),
+               i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]))) AS sh
+      FROM btk
+    ),
+    ctk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM corpus
+    ),
+    csh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 3, 1)),
+               i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]))) AS sh
+      FROM ctk
+    )
+    SELECT doc_id, count(*) AS n_hit_shingles
+    FROM csh WHERE sh IN (SELECT sh FROM bsh)
+    GROUP BY doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0).unionByName(
+        bench.select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat(F.lit("copied doc "), F.col("text")).alias("text"),
+        )
+    )
+    return dedup.contamination_hits(corpus, bench, k=5)
+
+
+# ---------------------------------------------------------------------------
+# quality-decile bucketing (audit the worst slices of the corpus)
+# ---------------------------------------------------------------------------
+@query(
+    "quality_deciles",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(list_filter(string_split(text,' '), x -> x <> ''))) AS DOUBLE)
+             / len(list_filter(string_split(text,' '), x -> x <> '')) AS distinct_ratio
+      FROM documents
+    )
+    SELECT doc_id, distinct_ratio,
+           ntile(10) OVER (ORDER BY distinct_ratio, doc_id) AS decile
+    FROM t
+    """,
+)
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile over a global order is a single-partition window — fine
+    for the oracle-exact audit query; the scale path computes decile
+    BOUNDARIES with approxQuantile (or exact per-partition histograms)
+    and assigns buckets with a broadcast range lookup, never sorting
+    the corpus globally."""
+    from pyspark.sql import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = text.quality_features(d).select("doc_id", "distinct_ratio")
+    return scored.withColumn(
+        "decile", F.ntile(10).over(W.orderBy("distinct_ratio", "doc_id"))
+    )

@@ -92,3 +92,34 @@ def parse_ntp_range(listing: DataFrame, name_col: str = "file_name") -> DataFram
     for k, c in parts.items():
         out = out.withColumn(k, c)
     return out
+
+
+def plan_purge(
+    listing: DataFrame,
+    store: DataFrame,
+    name_col: str = "file_name",
+) -> DataFrame:
+    """Purge plan (purge_documents.py:97-118 semantics, set-oriented):
+    files belonging to OBSOLETE store rows are backed up then deleted.
+    Returns (op 'BACKUP'|'DEL', file_name, ntp_id) — two ordered rows
+    per doomed file, so apply callbacks can run the backup strictly
+    before the delete (the reference's store-to-backup-bucket-then-
+    delete loop). The reference's --dry_run is simply not applying
+    the plan.
+
+    One semi-join of the listing (parsed ntp_id) against the obsolete
+    ids: the store side is projected to its key column only, so at
+    100 TB the probe side is a column-pruned scan, not a row fetch
+    per file (the reference does one find() per obsolete doc).
+    """
+    obsolete_ids = store.filter(
+        F.coalesce(F.col("obsolete_version"), F.lit(False))
+    ).select(F.col("_id").alias("ntp_id"))
+    doomed = (
+        parse_ntp_range(listing, name_col)
+        .join(obsolete_ids, "ntp_id", "left_semi")
+        .select(name_col, "ntp_id")
+    )
+    return doomed.select(F.lit("BACKUP").alias("op"), name_col, "ntp_id").unionByName(
+        doomed.select(F.lit("DEL").alias("op"), name_col, "ntp_id")
+    )
