@@ -16,6 +16,7 @@ single shuffle on l_orderkey.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datalake_etlscripts_spark.io.readers import read_table
@@ -591,4 +592,254 @@ def q_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum(money("c_acctbal")).cast("double").alias("totacctbal"),
         )
+    )
+
+
+# Q2 — minimum-cost supplier. Adapted: no partsupp, so the part↔supplier
+# bridge is lineitem and "supply cost" is the cheapest observed line
+# price for the pair. The correlated min subquery decorrelates to a
+# window MIN over the per-pair aggregate (one shuffle on l_partkey,
+# reused by the window — no second shuffle); cost stays exact DECIMAL
+# through the min/equality and is cast to double only on output.
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey, MIN(CAST(l_extendedprice AS DECIMAL(12,4))) AS cost
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+           CAST(CAST(c.cost AS VARCHAR) AS DOUBLE) AS supplycost
+    FROM costs c
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_size = 15 AND p.p_type = 'SMALL'
+      AND c.cost = (SELECT MIN(c2.cost) FROM costs c2 WHERE c2.l_partkey = c.l_partkey)
+    """,
+)
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    eur_supp = (
+        s.join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r.filter(F.col("r_name") == "EUROPE").select("r_regionkey")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = (
+        li.join(eur_supp.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(money("l_extendedprice")).alias("cost"))
+    )
+    best = W.partitionBy("l_partkey")
+    return (
+        costs.withColumn("min_cost", F.min("cost").over(best))
+        .filter(F.col("cost") == F.col("min_cost"))
+        .join(
+            p.filter((F.col("p_size") == 15) & (F.col("p_type") == "SMALL")).select(
+                "p_partkey", "p_name"
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            F.col("cost").cast("double").alias("supplycost"),
+        )
+    )
+
+
+# Q11 — important parts. Adapted: per-part "inventory value" is the
+# lineitem revenue contributed by one nation's suppliers; parts kept if
+# their value exceeds fraction × the nation-wide total (scalar subquery
+# → 1-row aggregate broadcast to every group). Both engines derive the
+# comparison doubles from exact decimal sums.
+@query(
+    "q11_important_parts",
+    oracle="""
+    WITH vpp AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_2'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey AS ps_partkey,
+           CAST(CAST(val AS VARCHAR) AS DOUBLE) AS part_value
+    FROM vpp
+    WHERE CAST(CAST(val AS VARCHAR) AS DOUBLE)
+          > 0.001 * (SELECT CAST(CAST(SUM(val) AS VARCHAR) AS DOUBLE) FROM vpp)
+    """,
+)
+def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    nat_supp = s.join(
+        F.broadcast(n.filter(F.col("n_name") == "NATION_2").select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    vpp = (
+        li.join(nat_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(money("l_extendedprice")).alias("val"))
+    )
+    total = vpp.agg(F.sum("val").cast("double").alias("total_val"))
+    return (
+        vpp.crossJoin(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.lit(0.001) * F.col("total_val"))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("val").cast("double").alias("part_value"),
+        )
+    )
+
+
+# Q20 — potential part promotion. Adapted: a supplier has "excess
+# stock" of a part when their 1996 shipped quantity exceeds half their
+# 1995 shipped quantity for the same part (the reference's
+# availqty > 0.5×sum(l_quantity) probe, re-expressed over the lineitem
+# bridge). Nested IN chain → semi joins; conditional year sums are
+# map-side combined in ONE pass over lineitem (no per-year rescan).
+@query(
+    "q20_potential_promotion",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+                       AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+                      THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS qty95,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                       AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                      THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS qty96
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM shipped
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%')
+        AND CAST(CAST(qty96 AS VARCHAR) AS DOUBLE)
+            > 0.5 * CAST(CAST(qty95 AS VARCHAR) AS DOUBLE)
+    )
+    """,
+)
+def q_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    in95 = (F.col("l_shipdate") >= "1995-01-01 00:00:00") & (
+        F.col("l_shipdate") < "1996-01-01 00:00:00"
+    )
+    in96 = (F.col("l_shipdate") >= "1996-01-01 00:00:00") & (
+        F.col("l_shipdate") < "1997-01-01 00:00:00"
+    )
+    shipped = (
+        li.filter(in95 | in96)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(in95, dec("l_quantity"))).alias("qty95"),
+            F.sum(F.when(in96, dec("l_quantity"))).alias("qty96"),
+        )
+    )
+    blue = p.filter(F.col("p_name").contains("blue")).select("p_partkey")
+    excess = (
+        shipped.join(blue, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .filter(
+            F.col("qty96").cast("double") > F.lit(0.5) * F.col("qty95").cast("double")
+        )
+        .select("l_suppkey")
+    )
+    return (
+        s.join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+# Q21 — suppliers who kept orders waiting. Adapted: no
+# commit/receipt dates, so "late" = shipped ≥60 days after the order
+# date. A line qualifies when its order is finalized ('F'), involves
+# another supplier (EXISTS), and NO other supplier was late on it
+# (NOT EXISTS). Instead of the textbook double self-join (two extra
+# lineitem shuffles), per-order supplier/late-supplier distinct counts
+# are computed in the SAME single shuffle pipeline and joined back —
+# the exists/not-exists pair becomes `n_supps > 1 AND n_late_supps = 1`
+# on the late supplier's own rows, which is algebraically identical.
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH late_lines AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late_lines l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    """,
+)
+def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    s = read_table(spark, sf_dir, "supplier")
+    f_orders = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    lines = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        f_orders, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    late = F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = (
+        lines.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supps"),
+        )
+        .withColumnRenamed("l_orderkey", "agg_orderkey")
+    )
+    qualifying = (
+        lines.filter(late)
+        .join(per_order, F.col("l_orderkey") == F.col("agg_orderkey"))
+        .filter((F.col("n_supps") > 1) & (F.col("n_late_supps") == 1))
+    )
+    return (
+        qualifying.join(
+            s.select("s_suppkey", "s_name"), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
     )
