@@ -490,3 +490,50 @@ def contamination_hits(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Paragraph-level exact dedup (the C4 recipe: drop every repeat of
+    a paragraph corpus-wide, keeping its first occurrence). "First" is
+    deterministic — min (doc_id, position) — not arrival order, so the
+    result is stable under any partitioning. Returns (doc_id, text)
+    with surviving paragraphs rejoined in original order; documents
+    whose every paragraph was dropped come back with ''.
+
+    Shape: posexplode → ONE shuffle on the paragraph value (window
+    row_number keeps the arg-min occurrence) → per-doc reassembly
+    (second shuffle, map-side combinable collect_list) → left join
+    back to the id spine. Skewed boilerplate paragraphs are bounded:
+    the window only ranks within one paragraph's occurrences, and AQE
+    skew-split handles the heavy keys."""
+    from pyspark.sql import Window as W
+
+    paras = df.select(
+        F.col(id_col).alias("_did"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_ord", "_p"),
+    ).filter(F.col("_p") != "")
+    first = F.row_number().over(
+        W.partitionBy("_p").orderBy("_did", "_ord")
+    )
+    kept = paras.withColumn("_rn", first).filter(F.col("_rn") == 1)
+    rebuilt = kept.groupBy("_did").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_ord", "_p"))), lambda s: s["_p"]
+            ),
+            sep,
+        ).alias("_clean")
+    )
+    return (
+        df.select(F.col(id_col).alias("_did"))
+        .join(rebuilt, "_did", "left")
+        .select(
+            F.col("_did").alias(id_col),
+            F.coalesce("_clean", F.lit("")).alias(text_col),
+        )
+    )

@@ -108,3 +108,50 @@ def pack_sequences(
     return df.withColumn("seq_bin", F.floor(start / F.lit(capacity))).withColumn(
         "bin_offset", (start % F.lit(capacity)).cast("bigint")
     )
+
+
+def uniform_hash(key: Column) -> Column:
+    """Deterministic uniform [0,1) from the key: first 8 md5 hex chars
+    as an integer / 2^32. Engine-portable (DuckDB:
+    CAST('0x'||substr(md5(k),1,8) AS UBIGINT) / 4294967296.0)."""
+    return F.conv(F.substring(_hex_key(key), 1, 8), 16, 10).cast("double") / F.lit(
+        4294967296.0
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """Downsample strata to a target mixture: stratum s keeps rate
+    min(1, weight_s × N / n_s) of its rows, chosen by the deterministic
+    uniform hash — the way pretraining mixes rebalance domains/languages
+    without an RNG. Strata absent from ``weights`` are dropped.
+
+    Two passes over the data (count aggregate, then filter) but the
+    expensive side is the second scan: rates ride a BROADCAST dim onto
+    a pure scan→filter plan, no shuffle of the corpus. At 100 TB the
+    count pass is a column-pruned scan of the stratum column only."""
+    spark = df.sparkSession
+    wdim = spark.createDataFrame(
+        [(k, float(v)) for k, v in weights.items()], [stratum_col, "_w"]
+    )
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(wdim, stratum_col, "inner")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        stratum_col,
+        F.least(
+            F.lit(1.0), F.col("_w") * F.col("_total") / F.col("_n").cast("double")
+        ).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col, "inner")
+        .filter(uniform_hash(F.col(key_col)) < F.col("_rate"))
+        .drop("_rate")
+    )

@@ -175,3 +175,68 @@ def redact_pii(text: Column) -> Column:
     for kind, pat in PII_PATTERNS.items():
         out = F.regexp_replace(out, pat, f"<{kind.upper()}>")
     return out
+
+
+def term_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary statistics: (term, doc_freq, total_tf).
+
+    One explode + one shuffle on term; both aggregates are map-side
+    combined (the distinct doc count runs as Spark's two-phase partial
+    distinct). At 100 TB the term key space is Zipfian — the heavy
+    head terms are exactly what AQE skew-split handles; nothing here
+    collects to the driver."""
+    ex = df.select(
+        F.col(id_col).alias("_did"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    return ex.groupBy("term").agg(
+        F.countDistinct("_did").alias("doc_freq"),
+        F.count(F.lit(1)).alias("total_tf"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k terms by a log-free tf-idf score:
+    (tf/doc_len) × (n_docs/doc_freq). The score is a product of two
+    ratios of exact integers, so it is bit-identical across engines
+    (no transcendental log whose last ULP differs per libm).
+
+    Shape: explode once → per-(doc,term) counts (shuffle 1) → doc
+    length as a window sum over the same partitioning (no extra join)
+    → term-keyed join against the doc-frequency aggregate (shuffle 2)
+    → per-doc top-k window (shuffle 3, partitioned by doc — never a
+    global sort). n_docs rides a broadcast 1-row aggregate."""
+    from pyspark.sql import Window as W
+
+    ex = df.select(
+        F.col(id_col).alias("_did"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    counts = ex.groupBy("_did", "term").agg(F.count(F.lit(1)).alias("tf"))
+    counts = counts.withColumn(
+        "doc_len", F.sum("tf").over(W.partitionBy("_did")).cast("bigint")
+    )
+    dfreq = ex.groupBy("term").agg(F.countDistinct("_did").alias("doc_freq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        counts.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf").cast("double") / F.col("doc_len"))
+            * (F.col("n_docs").cast("double") / F.col("doc_freq")),
+        )
+    )
+    rn = F.row_number().over(
+        W.partitionBy("_did").orderBy(F.col("score").desc(), F.col("term"))
+    )
+    return (
+        scored.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= k)
+        .select(F.col("_did").alias(id_col), "term", "tf", "doc_freq", "score")
+    )

@@ -642,3 +642,133 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "decile", F.ntile(10).over(W.orderBy("distinct_ratio", "doc_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary statistics (corpus term/document frequencies)
+# ---------------------------------------------------------------------------
+@query(
+    "vocab_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      FROM documents
+    )
+    SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_tf
+    FROM tok GROUP BY term
+    ORDER BY doc_freq DESC, total_tf DESC, term LIMIT 100
+    """,
+)
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        text.term_stats(d)
+        .orderBy(F.col("doc_freq").desc(), F.col("total_tf").desc(), "term")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-document tf-idf top terms (log-free score — see operator docstring)
+# ---------------------------------------------------------------------------
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      FROM documents
+    ),
+    counts AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    lens AS (
+      SELECT doc_id, term, tf,
+             CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS doc_len
+      FROM counts
+    ),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, doc_freq,
+             (CAST(tf AS DOUBLE) / doc_len) * (CAST(n_docs AS DOUBLE) / doc_freq) AS score
+      FROM lens JOIN dfreq USING (term), n
+    )
+    SELECT doc_id, term, tf, doc_freq, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text.tfidf_top_terms(d, k=3)
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (C4 recipe). The synthetic documents are
+# single-line, so both engines first synthesize identical paragraph
+# breaks: 8-token chunks joined with newlines.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_paragraphs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    chunked AS (
+      SELECT doc_id,
+             list_transform(range(0, CAST(ceil(len(tk) / 8.0) AS INT)),
+               i -> struct_pack(ord := i,
+                                p := array_to_string(tk[(i*8+1):(i*8+8)], ' '))) AS cs
+      FROM toks
+    ),
+    paras AS (SELECT doc_id, unnest(cs) AS u FROM chunked),
+    flat AS (SELECT doc_id, u.ord AS ord, u.p AS p FROM paras WHERE u.p <> ''),
+    kept AS (
+      SELECT doc_id, ord, p FROM (
+        SELECT *, row_number() OVER (PARTITION BY p ORDER BY doc_id, ord) AS rn
+        FROM flat
+      ) WHERE rn = 1
+    )
+    SELECT d.doc_id,
+           coalesce((SELECT string_agg(k.p, chr(10) ORDER BY k.ord)
+                     FROM kept k WHERE k.doc_id = d.doc_id), '') AS text
+    FROM documents d
+    """,
+)
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    toks = text.tokens(F.col("text"))
+    nc = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    chunks = F.when(
+        nc > 0,
+        F.transform(
+            F.sequence(F.lit(0), nc - 1),
+            lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    synth = d.select("doc_id", F.array_join(chunks, "\n").alias("text"))
+    return dedup.dedup_paragraphs(synth)
+
+
+# ---------------------------------------------------------------------------
+# domain/language mixture resampling (pretraining-mix rebalancing)
+# ---------------------------------------------------------------------------
+@query(
+    "domain_mixture_sample",
+    oracle="""
+    WITH n AS (SELECT count(*) AS total FROM documents),
+    rates AS (
+      SELECT lang, least(1.0, (0.2 * total) / count(*)) AS rate
+      FROM documents, n GROUP BY lang, total
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+          / 4294967296.0 < r.rate
+    """,
+)
+def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    weights = {lang: 0.2 for lang in ["de", "en", "es", "fr", "zh"]}
+    return sampling.mixture_sample(d, "doc_id", "lang", weights)

@@ -331,3 +331,56 @@ def test_ivf_and_pandas_ann_agree_with_brute_force(spark, sf_dir):
     fast = similarity.brute_force_topk_pandas(e, q, k=5).collect()
     fast_pairs = {(r["query_id"], r["neighbor_id"]) for r in fast}
     assert fast_pairs == exact_pairs
+
+
+def test_dedup_paragraphs_keeps_first_occurrence(spark):
+    from datalake_etlscripts_spark.operators.dedup import dedup_paragraphs
+
+    d = spark.createDataFrame(
+        [
+            (1, "alpha beta\nshared para\nunique one"),
+            (2, "shared para\nunique two"),
+            (3, "shared para"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_paragraphs(d).collect()}
+    assert out[1] == "alpha beta\nshared para\nunique one"  # first occurrence kept
+    assert out[2] == "unique two"  # repeat dropped, order preserved
+    assert out[3] == ""  # fully-duplicated doc survives as empty
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from datalake_etlscripts_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "en" if i % 10 != 0 else "zh") for i in range(1000)]
+    d = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    # zh is rare (100 rows): target 50/50 keeps all of it (rate 1)
+    out = mixture_sample(d, "doc_id", "lang", {"en": 0.5, "zh": 0.5})
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["zh"] == 100
+    # en downsampled to ~ 0.5*1000/900 = 55.6% — hash-uniform, wide tolerance
+    assert 400 <= counts["en"] <= 600
+    # deterministic: same input → identical membership
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in mixture_sample(d, "doc_id", "lang", {"en": 0.5, "zh": 0.5}).collect()}
+    assert a == b
+    # strata not in the weight map are dropped
+    assert mixture_sample(d, "doc_id", "lang", {"zh": 1.0}).filter(F.col("lang") == "en").count() == 0
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from datalake_etlscripts_spark.operators.text import tfidf_top_terms
+
+    d = spark.createDataFrame(
+        [
+            (1, "common common rare"),
+            (2, "common common common"),
+            (3, "common filler words"),
+        ],
+        "doc_id bigint, text string",
+    )
+    top = tfidf_top_terms(d, k=1)
+    r1 = top.filter(F.col("doc_id") == 1).first()
+    assert r1["term"] == "rare"  # df=1 beats the corpus-wide 'common'
+    assert r1["doc_freq"] == 1
