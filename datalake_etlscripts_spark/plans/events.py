@@ -221,3 +221,49 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", "user_id", (F.col("us_b") - F.col("us_a")).alias("gap_us")
     ).dropDuplicates(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# full ranking-window suite: rank / dense_rank / percent_rank /
+# cume_dist / lead / lag / bounded-frame moving sum, all in ONE window
+# partitioning (user_id) — a single shuffle serves every function.
+# percent_rank and cume_dist are ratios of exact integers (bit-identical
+# across engines); the moving sum runs in exact DECIMAL per the float
+# policy (plans/registry.py).
+# ---------------------------------------------------------------------------
+@query(
+    "window_functions_suite",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist() OVER w AS cdist,
+           lag(event_type, 1) OVER w AS prev_type,
+           lead(event_type, 1) OVER w AS next_type,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(12,4)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS VARCHAR) AS DOUBLE) AS moving_sum3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-2, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.lag("event_type", 1).over(w).alias("prev_type"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        F.sum(F.col("value").cast("decimal(12,4)"))
+        .over(frame)
+        .cast("double")
+        .alias("moving_sum3"),
+    )

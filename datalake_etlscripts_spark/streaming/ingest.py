@@ -119,3 +119,21 @@ def running_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFr
     return events.groupBy("user_id").applyInPandasWithState(
         update, output_schema, state_schema, "append", timeout
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: emit only the first occurrence of each
+    key, with state bounded by the event-time watermark
+    (dropDuplicatesWithinWatermark — duplicates arriving within the
+    watermark horizon are suppressed; state for keys older than the
+    horizon is evicted, so unbounded streams run in bounded memory).
+    The batch twin is dropDuplicates on the same keys. At 100 TB/day
+    the state store shards by key hash across executors — the same
+    partitioning the groupBy would use."""
+    keys = key_cols or ["event_id"]
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

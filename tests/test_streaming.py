@@ -181,3 +181,42 @@ def test_stateful_running_totals(spark):
         assert final[9] == (1, 1.0)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_dedup_drops_in_horizon_duplicates(spark, tmp_path):
+    """dedup_stream suppresses re-deliveries of the same key arriving
+    within the watermark; distinct keys all pass through."""
+    import time as _time
+
+    from datalake_etlscripts_spark.streaming.ingest import dedup_stream
+
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    schema = "event_id bigint, ts timestamp, value double"
+    rows1 = [(1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-01 10:01:00", 2.0)]
+    rows2 = [(1, "2024-01-01 10:00:00", 1.0), (3, "2024-01-01 10:02:00", 3.0)]  # 1 is a dup
+    spark.createDataFrame(
+        [(i, __import__("datetime").datetime.fromisoformat(t), v) for i, t, v in rows1],
+        schema,
+    ).write.mode("overwrite").parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(i, __import__("datetime").datetime.fromisoformat(t), v) for i, t, v in rows2],
+        schema,
+    ).write.mode("overwrite").parquet(str(src / "b2"))
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src / "*"))
+    q = (
+        dedup_stream(stream, ["event_id"], watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.read.parquet(str(out)).collect())
+    assert got == [1, 2, 3]  # each key exactly once, duplicate suppressed
