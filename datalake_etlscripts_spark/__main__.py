@@ -6,6 +6,7 @@ calc_summary.py, sync_documents.py, get_documents.py, clean_place.py):
     python -m datalake_etlscripts_spark sync     --src A.parquet --dst B.parquet [--check-only]
     python -m datalake_etlscripts_spark compact  --state S --out OUT
     python -m datalake_etlscripts_spark check    --state S
+    python -m datalake_etlscripts_spark purge    --listing L.parquet --state S --dry-run
 
 Each subcommand is a thin argparse wrapper over the library — the
 same DataFrame plans the driver queries use.
@@ -48,6 +49,12 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("check", help="store invariants (checking/*)")
     p.add_argument("--state", required=True)
+
+    p = sub.add_parser("purge", help="backup-then-delete plan for obsolete versions' files (purge_documents)")
+    p.add_argument("--listing", required=True, help="parquet with the file listing")
+    p.add_argument("--state", required=True, help="parquet versioned store")
+    p.add_argument("--name-col", default="file_name")
+    p.add_argument("--dry-run", action="store_true")
 
     args = ap.parse_args(argv)
 
@@ -108,6 +115,22 @@ def main(argv: list[str] | None = None) -> int:
             "overwrite"
         ).parquet(args.out)
         print(f"compacted current versions to {args.out}")
+
+    elif args.cmd == "purge":
+        from datalake_etlscripts_spark.storesync import plan_purge
+
+        plan = plan_purge(
+            spark.read.parquet(args.listing),
+            spark.read.parquet(args.state),
+            name_col=args.name_col,
+        )
+        rows = plan.collect()
+        for r in rows:
+            print(f"{r['op']}\t{r[args.name_col]}")
+        if args.dry_run:
+            print(f"# dry run — {len(rows)} ops planned, nothing deleted")
+        else:
+            print(f"# plan only — wire apply_sync callbacks for backup+delete ({len(rows)} ops)")
 
     elif args.cmd == "check":
         from datalake_etlscripts_spark.versioning import (
