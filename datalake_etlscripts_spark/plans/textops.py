@@ -772,3 +772,35 @@ def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     weights = {lang: 0.2 for lang in ["de", "en", "es", "fr", "zh"]}
     return sampling.mixture_sample(d, "doc_id", "lang", weights)
+
+
+# ---------------------------------------------------------------------------
+# BPE-style adjacent-pair counts (the inner counting step of tokenizer
+# training): corpus-wide frequency of every adjacent token pair, top-100.
+# One explode of the 2-gram array → one map-side-combined shuffle; at
+# 100 TB the Zipfian head pairs are AQE-skew-split like any hot key.
+# ---------------------------------------------------------------------------
+@query(
+    "bpe_pair_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, greatest(len(tk), 1)),
+                    i -> tk[i] || ' ' || tk[i+1])) AS pair
+      FROM toks
+    )
+    SELECT pair, count(*) AS n FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT 100
+    """,
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(text.ngrams(F.col("text"), 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(100)
+    )
