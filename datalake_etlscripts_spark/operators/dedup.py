@@ -91,7 +91,9 @@ def dedup_keep_first(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 def _jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
-    return inter.cast("double") / union
+    # two empty shingle sets → undefined similarity → NULL (dropped by
+    # every >= threshold filter), not an ANSI divide-by-zero crash
+    return F.try_divide(inter.cast("double"), union)
 
 
 def ngram_jaccard_pairs(

@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis): Spark column expressions vs
+pure-Python reference implementations on generated inputs.
+
+The reference repo has no tests at all (SURVEY.md §5); beyond the
+golden/invariant suites, these pin the engine's scalar/array semantics
+against an independent Python model with shrinking counterexamples.
+Each example batches all generated rows into ONE DataFrame → one Spark
+job, so the suite stays fast despite JVM round-trips.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# words over a small alphabet, joined with single spaces (the engine's
+# tokenizer splits on single spaces and drops empties)
+word = st.text(alphabet="abXé9.", min_size=1, max_size=4)
+doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in text.split(" ") if t != ""]
+
+
+def _py_shingles(text: str, k: int) -> list[str]:
+    toks = _py_tokens(text)
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    seen: list[str] = []
+    for g in grams:
+        if g not in seen:
+            seen.append(g)  # array_distinct keeps first-occurrence order
+    return seen
+
+
+@SET
+@given(docs=st.lists(doc, min_size=1, max_size=30), k=st.integers(1, 4))
+def test_shingles_match_python_reference(spark, docs, k):
+    from datalake_etlscripts_spark.operators.text import shingles
+
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i int, t string")
+    got = {
+        r["i"]: r["s"] for r in df.select("i", shingles(F.col("t"), k).alias("s")).collect()
+    }
+    for i, d in enumerate(docs):
+        assert got[i] == _py_shingles(d, k), (d, k)
+
+
+@SET
+@given(orders=st.lists(st.integers(0, 19_999_999), min_size=1, max_size=50))
+def test_ntp_id_format_parse_roundtrip(spark, orders):
+    from datalake_etlscripts_spark.functions.scalar import (
+        format_ntp_id,
+        is_valid_ntp_id,
+        ntp_group,
+        parse_ntp_id,
+    )
+
+    df = spark.createDataFrame([(o,) for o in orders], "o long")
+    out = df.select(
+        "o",
+        parse_ntp_id(format_ntp_id(F.col("o"))).alias("back"),
+        is_valid_ntp_id(format_ntp_id(F.col("o"))).alias("ok"),
+        ntp_group(format_ntp_id(F.col("o"))).alias("grp"),
+    ).collect()
+    for r in out:
+        assert r["back"] == r["o"]
+        assert r["ok"] is True
+        # id space partition: minors start at 10,000,000 (ntp1…)
+        assert r["grp"] == ("minors" if r["o"] >= 10_000_000 else "contracts")
+
+
+ts_str = st.datetimes(
+    min_value=__import__("datetime").datetime(2000, 1, 1),
+    max_value=__import__("datetime").datetime(2030, 1, 1),
+).map(lambda d: d.strftime("%Y-%m-%d %H:%M:%S") + (".123" if d.second % 2 else ""))
+
+
+@SET
+@given(
+    a=st.lists(ts_str, min_size=0, max_size=6),
+    b=st.lists(ts_str, min_size=0, max_size=6),
+)
+def test_merge_updates_union_truncate_sort(spark, a, b):
+    """A8 (ntp_utils.py:257-265 semantics): merged timestamp set =
+    sorted distinct union of the 19-char-truncated strings."""
+    from datalake_etlscripts_spark.functions.scalar import truncate_ts
+
+    df = spark.createDataFrame([(a, b)], "a array<string>, b array<string>")
+    merged = df.select(
+        F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.transform("a", lambda x: truncate_ts(x)),
+                    F.transform("b", lambda x: truncate_ts(x)),
+                )
+            )
+        ).alias("m")
+    ).first()["m"]
+    assert merged == sorted({x[:19] for x in a} | {x[:19] for x in b})
+
+
+@SET
+@given(docs=st.lists(doc, min_size=2, max_size=12))
+def test_ngram_jaccard_matches_python(spark, docs):
+    from datalake_etlscripts_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, d, "xx") for i, d in enumerate(docs)], "doc_id long, text string, lang string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, k=2, threshold=0.0, length_bucket=10**9
+        ).collect()
+    }
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            sa, sb = set(_py_shingles(docs[i], 2)), set(_py_shingles(docs[j], 2))
+            if not sa and not sb:
+                continue  # no shingles on either side: pair is undefined/absent
+            expect = len(sa & sb) / len(sa | sb) if (sa | sb) else 0.0
+            assert abs(got.get((i, j), 0.0) - expect) < 1e-12, (docs[i], docs[j])
