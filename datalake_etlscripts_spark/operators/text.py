@@ -76,17 +76,21 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
     n_upper = F.size(F.regexp_extract_all(t, F.lit(r"[A-Z]"), 0))
     n_distinct = F.size(F.array_distinct(toks))
+    # try_divide: empty / whitespace-only documents have undefined
+    # ratios → NULL, not an ANSI divide-by-zero job abort (at corpus
+    # scale empty docs are a certainty, and one row must never kill
+    # the stage)
     return (
         df.withColumn("n_chars_calc", n_chars)
         .withColumn("n_tokens", n_tokens)
         .withColumn(
             "avg_token_len",
-            (n_chars - (n_tokens - 1)).cast("double") / n_tokens,
+            F.try_divide((n_chars - (n_tokens - 1)).cast("double"), n_tokens),
         )
         .withColumn("n_punct", n_punct)
-        .withColumn("punct_ratio", n_punct.cast("double") / n_chars)
-        .withColumn("distinct_ratio", n_distinct.cast("double") / n_tokens)
-        .withColumn("upper_ratio", n_upper.cast("double") / n_chars)
+        .withColumn("punct_ratio", F.try_divide(n_punct.cast("double"), n_chars))
+        .withColumn("distinct_ratio", F.try_divide(n_distinct.cast("double"), n_tokens))
+        .withColumn("upper_ratio", F.try_divide(n_upper.cast("double"), n_chars))
     )
 
 
@@ -135,7 +139,8 @@ def _top_fraction(arr: Column) -> Column:
         F.array_distinct(arr),
         lambda d: F.size(F.filter(arr, lambda x: x == d)),
     )
-    return F.array_max(counts).cast("double") / F.size(arr)
+    # empty array → NULL fraction (not an ANSI divide-by-zero abort)
+    return F.try_divide(F.array_max(counts).cast("double"), F.size(arr))
 
 
 def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -128,3 +128,45 @@ def test_ngram_jaccard_matches_python(spark, docs):
                 continue  # no shingles on either side: pair is undefined/absent
             expect = len(sa & sb) / len(sa | sb) if (sa | sb) else 0.0
             assert abs(got.get((i, j), 0.0) - expect) < 1e-12, (docs[i], docs[j])
+
+
+EDGE_DOCS = ["", " ", "   ", "a", ".", "A B", "é", "a a a", "\t", "x " * 200]
+
+
+def test_text_operators_survive_degenerate_documents(spark):
+    """Empty / whitespace / single-token documents must produce NULL
+    ratios, never an ANSI divide-by-zero job abort — at 100 TB a
+    degenerate row is a certainty and one row must not kill a stage."""
+    from datalake_etlscripts_spark.operators.dedup import (
+        minhash_signatures,
+        ngram_jaccard_pairs,
+        simhash_table,
+    )
+    from datalake_etlscripts_spark.operators.text import (
+        bow_fingerprint,
+        content_fingerprint,
+        detect_language,
+        quality_features,
+        repetition_features,
+        tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        [(i, d, "xx") for i, d in enumerate(EDGE_DOCS)],
+        "doc_id long, text string, lang string",
+    )
+    q = quality_features(df).collect()
+    empty = {r["doc_id"]: r for r in q}
+    assert empty[0]["punct_ratio"] is None  # '' → undefined, not a crash
+    assert empty[1]["distinct_ratio"] is None  # ' ' → zero tokens
+    rep = repetition_features(df).collect()
+    assert {r["doc_id"] for r in rep} == set(range(len(EDGE_DOCS)))
+    # fingerprints, language id: total functions, defined everywhere
+    df.select(
+        content_fingerprint(F.col("text")), bow_fingerprint(F.col("text")), detect_language(F.col("text"))
+    ).collect()
+    # pair/signature pipelines: run end-to-end without raising
+    ngram_jaccard_pairs(df, k=2, threshold=0.0, length_bucket=10**9).collect()
+    assert minhash_signatures(df).count() == len(EDGE_DOCS)
+    assert simhash_table(df).count() == len(EDGE_DOCS)
+    assert tfidf_top_terms(df, k=2).count() > 0
