@@ -62,3 +62,42 @@ def write_bucketed_store(
 def overwrite_table(df: DataFrame, path: str) -> None:
     """K7: drop/recreate semantics (read_parquet.py:75-78 --drop)."""
     df.write.mode("overwrite").parquet(path)
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    order_cols: tuple[str, ...] = (),
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target) files (optionally range-ordered for
+    data-skipping locality). THE recurring data-lake ops problem:
+    every incremental merge/stream epoch leaves per-task files, and a
+    100 TB table read through 10⁶ tiny files is footer-bound, not
+    data-bound. Returns the new file count.
+
+    repartitionByRange (when order_cols given) gives min/max-tight
+    files — the parquet row-group stats then prune range predicates;
+    plain repartition otherwise. Write-new-then-swap like the store
+    writers (Delta replaces this with OPTIMIZE)."""
+    import math
+    import shutil
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # noqa: SLF001
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    total = fs.getContentSummary(jvm_path).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    out = (
+        df.repartitionByRange(n_files, *[F.col(c) for c in order_cols])
+        if order_cols
+        else df.repartition(n_files)
+    )
+    tmp = path.rstrip("/") + "__compacting"
+    out.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    written = spark.read.parquet(path)
+    return written.rdd.getNumPartitions()

@@ -137,3 +137,25 @@ def dedup_stream(
     partitioning the groupBy would use."""
     keys = key_cols or ["event_id"]
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based session aggregation via the native session_window —
+    the streaming twin of operators.events.sessionize (same gap
+    semantics, merge-on-overlap state under the watermark). Works on
+    batch DataFrames too (same plan, no state)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -220,3 +220,26 @@ def test_stream_dedup_drops_in_horizon_duplicates(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["event_id"] for r in spark.read.parquet(str(out)).collect())
     assert got == [1, 2, 3]  # each key exactly once, duplicate suppressed
+
+
+def test_session_window_matches_batch_sessionize(spark, sf_dir):
+    """session_window (native) and sessionize (lag+cumsum) agree on
+    session membership: same number of sessions and events per user."""
+    from datalake_etlscripts_spark.io.readers import read_table
+    from datalake_etlscripts_spark.operators.events import sessionize
+    from datalake_etlscripts_spark.streaming.ingest import session_window_counts
+
+    e = read_table(spark, sf_dir, "events")
+    native = session_window_counts(e, gap="30 minutes").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events")
+    )
+    manual = (
+        sessionize(e, gap_minutes=30)
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_no").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    diff = native.exceptAll(manual).count() + manual.exceptAll(native).count()
+    assert diff == 0

@@ -112,3 +112,20 @@ def test_pricing_summary_partial_aggregation(spark):
     plan = _plan_of("pricing_summary", spark)
     # two HashAggregates (partial + final) around the exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_compact_files_reduces_file_count(spark, tmp_path):
+    from datalake_etlscripts_spark.io.writers import compact_files
+
+    path = str(tmp_path / "frag")
+    # fragment: 64 tiny files from 64 partitions
+    spark.range(0, 10000).repartition(64).write.parquet(path)
+    import glob
+
+    before = len(glob.glob(path + "/*.parquet"))
+    assert before >= 32
+    n = compact_files(spark, path, target_file_bytes=64 * 1024 * 1024, order_cols=("id",))
+    after = len(glob.glob(path + "/*.parquet"))
+    assert after < before and after <= max(n, 1) + 1
+    # data intact and range-ordered files carry tight min/max
+    assert spark.read.parquet(path).count() == 10000
