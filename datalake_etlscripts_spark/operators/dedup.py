@@ -141,11 +141,19 @@ def minhash_signatures(
     row, then a map-side-combined min-agg per doc — the shingle array
     is built once per document (an expression-level ``array_min(
     transform(...))`` per lane would rebuild it num_hashes times).
-    Docs with no shingles get a sentinel signature so they group
-    together harmlessly."""
+    Shingle-less docs explode a single sentinel token instead, so ONE
+    scan + ONE shuffle covers every document — no separate
+    empties anti-join/union pass; all empty docs share one constant
+    signature and bucket together harmlessly."""
+    sh = shingle_hashes(F.col(text_col), k)
     exploded = df.select(
         F.col(id_col).alias("_did"),
-        F.explode(shingle_hashes(F.col(text_col), k)).alias("_s"),
+        F.explode(
+            F.coalesce(
+                F.nullif(sh, F.array().cast("array<bigint>")),
+                F.array(F.lit(-(1 << 62)).cast("bigint")),
+            )
+        ).alias("_s"),
     ).select(
         "_did",
         # Kirsch-Mitzenmacher: all hash lanes derived from two base
@@ -162,17 +170,7 @@ def minhash_signatures(
         ]
     )
     sig = F.array(*[F.col(f"_h{i}") for i in range(num_hashes)])
-    sigs = mins.select("_did", sig.alias("sig"))
-    # re-attach empty-shingle docs with a constant signature
-    empties = (
-        df.select(F.col(id_col).alias("_did"))
-        .join(sigs.select("_did"), "_did", "left_anti")
-        .withColumn(
-            "sig",
-            F.array(*[F.lit(-(1 << 62)).cast("long") for _ in range(num_hashes)]),
-        )
-    )
-    return sigs.unionByName(empties)
+    return mins.select("_did", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -251,9 +249,15 @@ def simhash_table(
     Same scalable shape as minhash: explode shingles once, per-bit ±1
     contributions as columns, map-side-combined sums per doc, then the
     64-bit word reassembled from the votes — fully JVM-side."""
+    sh = shingle_hashes(F.col(text_col), k)
     exploded = df.select(
         F.col(id_col).alias("_did"),
-        F.explode(shingle_hashes(F.col(text_col), k)).alias("_s"),
+        F.explode(
+            F.coalesce(
+                F.nullif(sh, F.array().cast("array<bigint>")),
+                F.array(F.lit(-(1 << 62)).cast("bigint")),
+            )
+        ).alias("_s"),
     ).select("_did", F.xxhash64("_s").alias("_h"))
     votes = exploded.groupBy("_did").agg(
         *[
@@ -270,13 +274,7 @@ def simhash_table(
         word = word + F.when(
             F.col(f"_b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
-    hashed = votes.select("_did", word.alias("simhash"))
-    empties = (
-        df.select(F.col(id_col).alias("_did"))
-        .join(hashed.select("_did"), "_did", "left_anti")
-        .withColumn("simhash", F.lit(0).cast("long"))
-    )
-    return hashed.unionByName(empties)
+    return votes.select("_did", word.alias("simhash"))
 
 
 def simhash_pairs(
