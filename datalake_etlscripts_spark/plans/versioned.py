@@ -1,28 +1,35 @@
 """Flagship versioned-ingest query, oracle-checkable.
 
 Derives a versioned store + one incoming batch deterministically from
-the ``orders`` table (so it scales with the scale factor), runs the
+the ``customer`` key spine (scales with the scale factor), runs the
 real ``versioning.merge_batch``, and exposes the resulting state.
 The DuckDB oracle replicates the merge semantics in pure SQL.
 
-Construction (deterministic in both engines):
-- natural key ``id``     = customer key as string
-- version timestamps     = the customer's order dates ('yyyy-MM-dd HH:mm:ss')
-- store                  = orders with o_orderkey % 3 != 0; customers with
-                           o_custkey % 50 == 0 get TWO active rows (split by
-                           orderkey parity) to exercise the multi-active
-                           demotion path (read_parquet.py:112-118)
-- incoming batch         = orders with o_orderkey % 3 == 0 OR % 5 == 0;
-                           the % 5 overlap makes some keys idempotent
-                           re-ingests (timestamp-set overlap), % 3-only
-                           keys merge without overlap, never-seen keys
-                           get fresh ids
+Fixture construction (arithmetic, identical in both engines — no
+aggregation, no global window: the store fixture is pure projection,
+so the benched time is the MERGE, not scaffolding):
+- natural key ``id``   = customer key as string
+- timestamps           = printf('2024-%02d-%02d 00:00:0%d') derived
+                         from (custkey, lane) — distinct per lane
+- store                = custkeys with ck % 3 != 0; one active row
+                         (part 0, lanes {0,1}); ck % 50 == 0 adds a
+                         SECOND active (part 1, lane {2}) to exercise
+                         the multi-active demotion path
+                         (read_parquet.py:112-118); _id = ntp(2·ck+part)
+- incoming             = custkeys with ck % 3 == 0 OR ck % 5 == 0:
+                         ck % 10 == 0 → lanes {1,9}: overlaps the
+                         store (idempotent re-ingest); other ck % 5
+                         → lane {8}: disjoint → merge onto max-_id
+                         active (reference fallback); ck % 3-only →
+                         never-seen keys, fresh ids from max_order+1
+- fields               = title always overwrites (non-empty); price
+                         is '' for ck % 4 == 0 → keeps the old value
+                         (ntp_entry.py:30-46 empty-keeps-old)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datalake_etlscripts_spark.functions.scalar import format_ntp_id
@@ -33,104 +40,100 @@ from datalake_etlscripts_spark.versioning import merge_batch
 VFIELDS = ["title", "price"]
 
 
-def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = read_table(spark, sf_dir, "orders")
-    return o.select(
-        F.col("o_custkey").cast("string").alias("id"),
-        "o_orderkey",
-        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("ts"),
-        F.col("o_orderpriority").alias("prio"),
-        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("price"),
+def _ts(ck: Column, j: int) -> Column:
+    return F.format_string(
+        "2024-%02d-%02d 00:00:0%d",
+        (ck + F.lit(j)) % 12 + 1,
+        (ck * 3 + F.lit(j)) % 28 + 1,
+        F.lit(j),
     )
 
 
-def _collapse(rows: DataFrame, keys: list[str]) -> DataFrame:
-    """One row per key group: sorted distinct ts set + latest fields.
-    Single groupBy (map-side combined) — max_by picks the latest row's
-    fields in the same shuffle that unions the timestamp sets, instead
-    of a window + join (3 shuffles → 1)."""
-    agg = rows.groupBy(*keys).agg(
-        F.array_sort(F.collect_set("ts")).alias("updated"),
-        F.max_by(
-            F.struct(F.col("prio").alias("title"), F.col("price")),
-            F.struct("ts", "o_orderkey"),
-        ).alias("_f"),
-    )
-    return agg.select(
-        *keys, "updated", F.col("_f.title").alias("title"), F.col("_f.price").alias("price")
+def _spine(spark: SparkSession, sf_dir: str) -> Column:
+    return read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck")
     )
 
 
 def build_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rows = _base(spark, sf_dir).filter(F.col("o_orderkey") % 3 != 0)
-    rows = rows.withColumn(
-        "part",
-        F.when(F.col("id").cast("long") % 50 == 0, F.col("o_orderkey") % 2).otherwise(
-            F.lit(0)
-        ),
-    )
-    groups = _collapse(rows, ["id", "part"])
-    # demo-store construction only: a global row_number builds the fake
-    # id space; real ingest never renumbers the store (see versioning.py)
-    return groups.select(
-        format_ntp_id(F.row_number().over(W.orderBy("id", "part"))).alias("_id"),
-        "id",
-        "updated",
+    c = _spine(spark, sf_dir).filter(F.col("ck") % 3 != 0)
+    ck = F.col("ck")
+    part0 = c.select(ck, F.lit(0).alias("part"))
+    part1 = c.filter(ck % 50 == 0).select(ck, F.lit(1).alias("part"))
+    rows = part0.unionByName(part1)
+    return rows.select(
+        format_ntp_id(ck * 2 + F.col("part")).alias("_id"),
+        ck.cast("string").alias("id"),
+        F.when(
+            F.col("part") == 0, F.array_sort(F.array(_ts(ck, 0), _ts(ck, 1)))
+        )
+        .otherwise(F.array(_ts(ck, 2)))
+        .alias("updated"),
         F.lit(False).alias("obsolete_version"),
         F.lit(None).cast("string").alias("updated_to"),
-        "title",
-        "price",
+        F.concat(F.lit("T"), (ck % 7).cast("string")).alias("title"),
+        (ck * 10).cast("string").alias("price"),
     )
 
 
 def build_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rows = _base(spark, sf_dir).filter(
-        (F.col("o_orderkey") % 3 == 0) | (F.col("o_orderkey") % 5 == 0)
+    c = _spine(spark, sf_dir).filter(
+        (F.col("ck") % 3 == 0) | (F.col("ck") % 5 == 0)
     )
-    return _collapse(rows, ["id"]).select("id", "updated", "title", "price")
+    ck = F.col("ck")
+    return c.select(
+        ck.cast("string").alias("id"),
+        F.when(ck % 10 == 0, F.array_sort(F.array(_ts(ck, 1), _ts(ck, 9))))
+        .when(ck % 5 == 0, F.array(_ts(ck, 8)))
+        .otherwise(F.array(_ts(ck, 7)))
+        .alias("updated"),
+        F.concat(F.lit("I"), (ck % 5).cast("string")).alias("title"),
+        F.when(ck % 4 == 0, F.lit("")).otherwise((ck * 11).cast("string")).alias(
+            "price"
+        ),
+    )
+
+
+_CONSTRUCTION_SQL = """
+    cust AS (SELECT c_custkey AS ck FROM customer),
+    ex_rows AS (
+      SELECT ck, 0 AS part FROM cust WHERE ck % 3 <> 0
+      UNION ALL
+      SELECT ck, 1 FROM cust WHERE ck % 3 <> 0 AND ck % 50 = 0
+    ),
+    existing AS (
+      SELECT printf('ntp%08d', ck * 2 + part) AS _id,
+             CAST(ck AS VARCHAR) AS id,
+             CASE WHEN part = 0 THEN list_sort([
+               printf('2024-%02d-%02d 00:00:0%d', (ck + 0) % 12 + 1, (ck*3 + 0) % 28 + 1, 0),
+               printf('2024-%02d-%02d 00:00:0%d', (ck + 1) % 12 + 1, (ck*3 + 1) % 28 + 1, 1)])
+             ELSE [printf('2024-%02d-%02d 00:00:0%d', (ck + 2) % 12 + 1, (ck*3 + 2) % 28 + 1, 2)]
+             END AS updated,
+             'T' || CAST(ck % 7 AS VARCHAR) AS title,
+             CAST(ck * 10 AS VARCHAR) AS price
+      FROM ex_rows
+    ),
+    incoming AS (
+      SELECT CAST(ck AS VARCHAR) AS id,
+             CASE WHEN ck % 10 = 0 THEN list_sort([
+               printf('2024-%02d-%02d 00:00:0%d', (ck + 1) % 12 + 1, (ck*3 + 1) % 28 + 1, 1),
+               printf('2024-%02d-%02d 00:00:0%d', (ck + 9) % 12 + 1, (ck*3 + 9) % 28 + 1, 9)])
+             WHEN ck % 5 = 0 THEN
+               [printf('2024-%02d-%02d 00:00:0%d', (ck + 8) % 12 + 1, (ck*3 + 8) % 28 + 1, 8)]
+             ELSE
+               [printf('2024-%02d-%02d 00:00:0%d', (ck + 7) % 12 + 1, (ck*3 + 7) % 28 + 1, 7)]
+             END AS updated,
+             'I' || CAST(ck % 5 AS VARCHAR) AS title,
+             CASE WHEN ck % 4 = 0 THEN '' ELSE CAST(ck * 11 AS VARCHAR) END AS price
+      FROM cust WHERE ck % 3 = 0 OR ck % 5 = 0
+    )
+"""
 
 
 @query(
     "versioned_ingest",
-    oracle="""
-    WITH base AS (
-      SELECT CAST(o_custkey AS VARCHAR) AS id, o_custkey, o_orderkey,
-             strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts,
-             o_orderpriority AS prio,
-             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price
-      FROM orders
-    ),
-    ex_rows AS (
-      SELECT *, CASE WHEN o_custkey % 50 = 0 THEN o_orderkey % 2 ELSE 0 END AS part
-      FROM base WHERE o_orderkey % 3 <> 0
-    ),
-    ex_latest AS (
-      SELECT id, part, prio, price FROM (
-        SELECT *, row_number() OVER (PARTITION BY id, part
-                                     ORDER BY ts DESC, o_orderkey DESC) AS rn
-        FROM ex_rows) WHERE rn = 1
-    ),
-    ex_groups AS (
-      SELECT id, part, list_sort(list(DISTINCT ts)) AS updated
-      FROM ex_rows GROUP BY id, part
-    ),
-    existing AS (
-      SELECT printf('ntp%08d', row_number() OVER (ORDER BY g.id, g.part)) AS _id,
-             g.id, g.updated, l.prio AS title, l.price
-      FROM ex_groups g JOIN ex_latest l ON g.id = l.id AND g.part = l.part
-    ),
-    inc_rows AS (SELECT * FROM base WHERE o_orderkey % 3 = 0 OR o_orderkey % 5 = 0),
-    inc_latest AS (
-      SELECT id, prio, price FROM (
-        SELECT *, row_number() OVER (PARTITION BY id
-                                     ORDER BY ts DESC, o_orderkey DESC) AS rn
-        FROM inc_rows) WHERE rn = 1
-    ),
-    incoming AS (
-      SELECT r.id, list_sort(list(DISTINCT r.ts)) AS updated, l.prio AS title, l.price
-      FROM inc_rows r JOIN inc_latest l ON r.id = l.id
-      GROUP BY r.id, l.prio, l.price
-    ),
+    oracle=f"""
+    WITH {_CONSTRUCTION_SQL},
     cand AS (
       SELECT i.id, i.updated AS inc_updated, i.title AS inc_title,
              i.price AS inc_price, e._id AS old_id, e.updated AS old_updated,
@@ -147,7 +150,7 @@ def build_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT *, CASE WHEN old_id IS NULL THEN 'new' ELSE 'merge' END AS action
       FROM ranked WHERE rk = 1
     ),
-    mo AS (SELECT count(*) AS m FROM existing),
+    mo AS (SELECT coalesce(max(ck * 2 + part), 0) AS m FROM ex_rows),
     with_target AS (
       SELECT r.*, CASE WHEN action = 'merge' THEN old_id
                        ELSE printf('ntp%08d', (SELECT m FROM mo) +
@@ -191,9 +194,9 @@ def build_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # in production the store is a materialized table; merge_batch
-    # references it 4× (max_order + three joins), so materialize the
-    # demo construction once instead of re-deriving it per reference
+    # the store is projection-only (no shuffle), but merge_batch
+    # references it 4× (max_order + three joins) — materialize once;
+    # in production this is the already-materialized store table
     store = build_store(spark, sf_dir).localCheckpoint()
     incoming = build_incoming(spark, sf_dir)
     state = merge_batch(store, incoming, VFIELDS)
