@@ -443,3 +443,37 @@ def ingest_versioned(
         operation="INGEST",
         metadata_update=lambda: {"max_order": start + n_new},
     )
+
+
+def snapshot_diff(
+    store: "TransactionalStore",
+    v_old: int,
+    v_new: int,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data-feed between two store versions (Delta CDF shape):
+    one row per changed key with change_type ∈ insert/update/delete.
+    Unchanged keys are dropped. One full-outer join on the key — both
+    snapshots scan their own manifests' files, so the diff never
+    rewrites or re-reads more than the two versions' data."""
+    old = store.snapshot(version=v_old)
+    new = store.snapshot(version=v_new)
+    cols = compare_cols or [c for c in new.columns if c != key]
+    o = old.select(
+        F.col(key), F.struct(*[F.col(c) for c in cols]).alias("_old")
+    )
+    n = new.select(
+        F.col(key), F.struct(*[F.col(c) for c in cols]).alias("_new")
+    )
+    joined = o.join(n, key, "full_outer")
+    change = (
+        F.when(F.col("_old").isNull(), F.lit("insert"))
+        .when(F.col("_new").isNull(), F.lit("delete"))
+        .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(key, "change_type", "_old", "_new")
+    )

@@ -1,0 +1,79 @@
+"""Data-quality expectations — the reference's ``checking/`` audits
+(check_unique_place_id.py:48-61, check_versions_completness.py:71-117,
+fix_contracter_ids.py:69-88) generalized into a declarative rules
+engine (Delta-expectations style).
+
+Three primitives, each returning (rule, n_violations) rows:
+
+  row_rules     per-row boolean predicates — ALL rules evaluated in
+                ONE scan as conditional sums (map-side combined;
+                adding a rule adds zero passes over the data)
+  unique_rule   key-uniqueness via one groupBy (violations = rows in
+                excess of one per key)
+  fk_rule       referential integrity via left-anti join (orphans);
+                broadcast the parent when it is dimension-sized
+
+At 100 TB the row_rules pass piggybacks on any existing scan and the
+two aggregate rules shuffle only their key columns (column-pruned).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SCHEMA = ["rule", "n_violations"]
+
+
+def row_rules(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """``rules``: name → boolean Column, True = row passes. One scan,
+    one 1-row aggregate, unpivoted to (rule, n_violations)."""
+    aggs = [
+        F.sum(F.when(~cond, 1).otherwise(0)).cast("bigint").alias(name)
+        for name, cond in rules.items()
+    ]
+    wide = df.agg(*aggs)
+    stack_args: list[Column] = []
+    for name in rules:
+        stack_args += [F.lit(name), F.col(name)]
+    return wide.select(
+        F.stack(F.lit(len(rules)), *stack_args).alias("rule", "n_violations")
+    )
+
+
+def unique_rule(df: DataFrame, cols: list[str], name: str | None = None) -> DataFrame:
+    """Violations = rows beyond the first per key (0 when unique)."""
+    name = name or f"unique_{'_'.join(cols)}"
+    excess = (
+        df.groupBy(*cols)
+        .agg((F.count(F.lit(1)) - 1).alias("_extra"))
+        .agg(F.coalesce(F.sum("_extra"), F.lit(0)).cast("bigint").alias("n"))
+    )
+    return excess.select(F.lit(name).alias("rule"), F.col("n").alias("n_violations"))
+
+
+def fk_rule(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+    name: str | None = None,
+    broadcast_parent: bool = False,
+) -> DataFrame:
+    """Violations = child rows whose key has no parent (orphans)."""
+    name = name or f"fk_{child_key}"
+    p = parent.select(F.col(parent_key).alias(child_key)).dropDuplicates()
+    if broadcast_parent:
+        p = F.broadcast(p)
+    orphans = child.select(child_key).join(p, child_key, "left_anti")
+    return orphans.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_violations")
+    ).select(F.lit(name).alias("rule"), "n_violations")
+
+
+def run_expectations(*checks: DataFrame) -> DataFrame:
+    """Union any number of rule results into one report."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -606,3 +606,77 @@ def q_above_segment_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec("c_acctbal").cast("double").alias("acctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# declarative data-quality expectations (checking/* generalized):
+# row predicates in ONE scan + uniqueness + referential integrity,
+# one (rule, n_violations) report. 'price_above_100k' is deliberately
+# violated so the report shape is visibly non-trivial.
+# ---------------------------------------------------------------------------
+@query(
+    "data_quality_checks",
+    oracle="""
+    SELECT 'totalprice_nonneg' AS rule,
+           CAST(SUM(CASE WHEN NOT (o_totalprice >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orderdate_not_null',
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'priority_known',
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN
+             ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+             THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'price_above_100k',
+           CAST(SUM(CASE WHEN NOT (o_totalprice <= 100000) THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique_o_orderkey',
+           CAST(coalesce(SUM(n - 1), 0) AS BIGINT)
+    FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'fk_l_orderkey',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'fk_o_custkey',
+           CAST(count(*) AS BIGINT)
+    FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    """,
+)
+def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_etlscripts_spark.operators.expectations import (
+        fk_rule,
+        row_rules,
+        run_expectations,
+        unique_rule,
+    )
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    c = read_table(spark, sf_dir, "customer")
+    rules = row_rules(
+        o,
+        {
+            "totalprice_nonneg": F.col("o_totalprice") >= 0,
+            "orderdate_not_null": F.col("o_orderdate").isNotNull(),
+            "priority_known": F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            ),
+            "price_above_100k": F.col("o_totalprice") <= 100000,
+        },
+    )
+    return run_expectations(
+        rules,
+        unique_rule(o, ["o_orderkey"], name="unique_o_orderkey"),
+        fk_rule(li, o, "l_orderkey", "o_orderkey", name="fk_l_orderkey"),
+        fk_rule(o, c, "o_custkey", "c_custkey", name="fk_o_custkey"),
+    )

@@ -94,3 +94,50 @@ def q_txstore_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return agg(0).unionByName(agg(1))
+
+
+# ---------------------------------------------------------------------------
+# CDC between two store versions (Delta change-data-feed shape):
+# v0→v1 of the demo store has only updates (the merge upserts keys
+# already present when o_orderkey % 6 == 0) and inserts (% 3 but not
+# % 2). The struct payloads are flattened to strings for the compare.
+# ---------------------------------------------------------------------------
+@query(
+    "txstore_snapshot_diff",
+    oracle="""
+    WITH v0 AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS id,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS p
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    src AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS id,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 2 AS DECIMAL(14,2)) AS p
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    v1 AS (
+      SELECT v0.id, v0.p FROM v0 LEFT JOIN src ON v0.id = src.id
+      WHERE src.id IS NULL
+      UNION ALL SELECT id, p FROM src
+    )
+    SELECT coalesce(v1.id, v0.id) AS id,
+           CASE WHEN v0.id IS NULL THEN 'insert'
+                WHEN v1.id IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           coalesce(CAST(v0.p AS VARCHAR), '') AS old_p,
+           coalesce(CAST(v1.p AS VARCHAR), '') AS new_p
+    FROM v0 FULL OUTER JOIN v1 ON v0.id = v1.id
+    WHERE v0.id IS NULL OR v1.id IS NULL OR v0.p <> v1.p
+    """,
+)
+def q_txstore_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_etlscripts_spark.io.txstore import snapshot_diff
+
+    st = build_demo_store(spark, sf_dir)
+    d = snapshot_diff(st, 0, 1, key="id")
+    return d.select(
+        "id",
+        "change_type",
+        F.coalesce(F.col("_old.p").cast("string"), F.lit("")).alias("old_p"),
+        F.coalesce(F.col("_new.p").cast("string"), F.lit("")).alias("new_p"),
+    )
