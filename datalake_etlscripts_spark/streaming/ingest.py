@@ -159,3 +159,31 @@ def session_window_counts(
             "n_events",
         )
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left event with
+    right events of the same key that occur within [0, max_delay]
+    AFTER it (e.g. click → purchase attribution). Both sides carry a
+    watermark and the time-range predicate bounds the join state, so
+    an unbounded pair of streams runs in bounded memory — the
+    textbook Structured Streaming interval join. Works identically on
+    batch frames (plain range join, no state)."""
+    l_ = left.withWatermark("ts", watermark).select(
+        F.col(key), F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    r_ = right.withWatermark("ts", watermark).select(
+        F.col(key).alias(f"_r_{key}"), F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")
+    )
+    cond = (
+        (F.col(key) == F.col(f"_r_{key}"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l_.join(r_, cond, "inner").select(key, "l_id", "l_ts", "r_id", "r_ts")

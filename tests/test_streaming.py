@@ -243,3 +243,35 @@ def test_session_window_matches_batch_sessionize(spark, sf_dir):
     )
     diff = native.exceptAll(manual).count() + manual.exceptAll(native).count()
     assert diff == 0
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path, sf_dir):
+    """The watermarked interval join produces the same pairs running
+    as two file streams as it does as a plain batch join."""
+    from datalake_etlscripts_spark.io.readers import read_table
+    from datalake_etlscripts_spark.streaming.ingest import stream_stream_join
+
+    e = read_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type")
+    left_b = e.filter(F.col("event_type") == "click")
+    right_b = e.filter(F.col("event_type") == "purchase")
+    expected = stream_stream_join(left_b, right_b).collect()
+
+    lp, rp = str(tmp_path / "l"), str(tmp_path / "r")
+    left_b.write.parquet(lp)
+    right_b.write.parquet(rp)
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    ls = spark.readStream.schema(schema).parquet(lp)
+    rs = spark.readStream.schema(schema).parquet(rp)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        stream_stream_join(ls, rs)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+    assert len(expected) > 0  # the fixture actually produces pairs

@@ -175,3 +175,22 @@ def test_ingest_versioned_idempotent_counter(spark, tmp_path):
     second = {(r["_id"], r["id"]) for r in st.snapshot().collect()}
     assert first == second
     assert st._read_manifest(st.latest_version())["metadata"]["max_order"] == 2
+
+
+def test_snapshot_diff_cdc_all_change_types(spark, tmp_path):
+    """snapshot_diff reports insert/update/delete between any two
+    versions — including across a COW delete."""
+    from datalake_etlscripts_spark.io.txstore import TransactionalStore, snapshot_diff
+
+    v0 = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "id string, v int"
+    )
+    st = TransactionalStore.create(spark, str(tmp_path / "t"), v0, key="id")
+    src = spark.createDataFrame([("b", 20), ("d", 4)], "id string, v int")
+    st.merge(src, lambda sub, s: sub.join(s.select("id"), "id", "left_anti").unionByName(s))
+    st.delete_where(F.col("id") == "a")
+    diff = {
+        r["id"]: r["change_type"]
+        for r in snapshot_diff(st, 0, st.latest_version(), key="id").collect()
+    }
+    assert diff == {"a": "delete", "b": "update", "d": "insert"}  # c unchanged → absent
