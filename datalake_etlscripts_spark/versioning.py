@@ -166,14 +166,27 @@ def merge_batch(
     )
 
     # W1: fresh ids for unmatched keys. Only these (batch-sized, not
-    # store-sized) rows cross the single-partition window.
-    if start_order is None:
-        start_order = max_order(existing, group)
+    # store-sized) rows cross the single-partition window. The id
+    # counter (A1 max over the store) rides the plan as a broadcast
+    # 1-row aggregate instead of a separate driver round-trip — one
+    # fewer blocking job per merge.
     needs_id = resolved.filter(F.col("_action") != "merge")
+    if start_order is None:
+        lo = MIN_ORDER["minors"] if group == "minors" else 0
+        hi = lo + MIN_ORDER["minors"] - 1
+        mo = (
+            existing.select(parse_ntp_id(F.col("_id")).alias("_o"))
+            .filter(F.col("_o").between(lo, hi))
+            .agg(F.coalesce(F.max("_o"), F.lit(lo)).alias("_start_order"))
+        )
+        needs_id = needs_id.crossJoin(F.broadcast(mo))
+        start_col = F.col("_start_order")
+    else:
+        start_col = F.lit(start_order)
     with_new_id = needs_id.withColumn(
         "_target_id",
-        format_ntp_id(F.row_number().over(W.orderBy("id")) + F.lit(start_order)),
-    )
+        format_ntp_id(F.row_number().over(W.orderBy("id")) + start_col),
+    ).drop("_start_order")
     merged_target = resolved.filter(F.col("_action") == "merge").withColumn(
         "_target_id", F.col("_old_id")
     )
