@@ -141,3 +141,56 @@ def q_txstore_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("_old.p").cast("string"), F.lit("")).alias("old_p"),
         F.coalesce(F.col("_new.p").cast("string"), F.lit("")).alias("new_p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: the calc_summary counts (A2) refreshed
+# from the v0→v1 CDC delta alone — the engine never rescans v1. The
+# oracle recomputes the summary over v1 from scratch; hash-equality IS
+# the IVM correctness claim (incremental ≡ full recompute).
+# The summarized field is a derived price band; cents DIV 2_000_000
+# stays in integer arithmetic so Spark and DuckDB band identically
+# (decimal division would round differently at band edges).
+# ---------------------------------------------------------------------------
+_BAND = "CAST(p * 100 AS BIGINT) div 2000000"
+
+
+@query(
+    "summary_incremental",
+    oracle="""
+    WITH v0 AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS id,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS p
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    src AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS id,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 2 AS DECIMAL(14,2)) AS p
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    v1 AS (
+      SELECT v0.id, v0.p FROM v0 LEFT JOIN src ON v0.id = src.id
+      WHERE src.id IS NULL
+      UNION ALL SELECT id, p FROM src
+    )
+    SELECT 'band' AS field,
+           CAST(CAST(p * 100 AS BIGINT) // 2000000 AS VARCHAR) AS value,
+           count(*) AS cnt
+    FROM v1 GROUP BY 2
+    UNION ALL
+    SELECT '__total__', NULL, count(*) FROM v1
+    """,
+)
+def q_summary_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_etlscripts_spark.io.txstore import snapshot_diff
+    from datalake_etlscripts_spark.summary import (
+        cdc_images,
+        incremental_summary,
+        summary_counts,
+    )
+
+    st = build_demo_store(spark, sf_dir)
+    band = lambda df: df.withColumn("band", F.expr(_BAND))  # noqa: E731
+    old_sum = summary_counts(band(st.snapshot(version=0)), ["band"])
+    removed, added = cdc_images(snapshot_diff(st, 0, 1, key="id"))
+    return incremental_summary(old_sum, band(removed), band(added), ["band"])

@@ -44,3 +44,51 @@ def summary_counts(df: DataFrame, fields: list[str]) -> DataFrame:
     return gs.select(
         field_col.alias("field"), value_col.alias("value"), F.col("cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance for the summary (A2 at 100 TB)
+# ---------------------------------------------------------------------------
+
+
+def cdc_images(diff: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a ``snapshot_diff`` result (io/txstore.snapshot_diff:
+    change_type + ``_old``/``_new`` row structs) into its before/after
+    row images: ``removed`` = rows leaving the table (delete + update
+    pre-image), ``added`` = rows entering (insert + update post-image).
+    """
+    removed = diff.filter(F.col("change_type").isin("update", "delete")).select("_old.*")
+    added = diff.filter(F.col("change_type").isin("insert", "update")).select("_new.*")
+    return removed, added
+
+
+def incremental_summary(
+    old_summary: DataFrame,
+    removed: DataFrame,
+    added: DataFrame,
+    fields: list[str],
+) -> DataFrame:
+    """Maintain a ``summary_counts`` view from a CDC delta WITHOUT
+    rescanning the base table (the reference recomputes calc_summary.py
+    over the full collection every run; at 100 TB the recompute scans
+    everything to refresh counts a batch barely moved).
+
+    Count sketches are self-maintainable: the new summary is
+
+        old  ∪  (+1 per added row)  ∪  (−1 per removed row)
+        → groupBy (field, value) → sum → drop zeros
+
+    so the only inputs are the (small) summary table and the
+    (batch-sized) delta images — one shuffle over summary-sized data,
+    never the base. Delta counts reuse the same grouping-sets plan as
+    the full recompute, so ``__total__`` maintains itself too.
+    """
+    plus = summary_counts(added, fields)
+    minus = summary_counts(removed, fields).withColumn("cnt", -F.col("cnt"))
+    return (
+        old_summary.unionByName(plus)
+        .unionByName(minus)
+        .groupBy("field", "value")
+        .agg(F.sum("cnt").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )

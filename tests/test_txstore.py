@@ -194,3 +194,35 @@ def test_snapshot_diff_cdc_all_change_types(spark, tmp_path):
         for r in snapshot_diff(st, 0, st.latest_version(), key="id").collect()
     }
     assert diff == {"a": "delete", "b": "update", "d": "insert"}  # c unchanged → absent
+
+
+def test_incremental_summary_matches_recompute(spark, tmp_path):
+    """IVM: folding the CDC delta into the old summary must equal a
+    full recompute over the new snapshot — across insert, update, AND
+    delete (the oracle-checked summary_incremental query only sees
+    inserts/updates; the delete path is covered here)."""
+    from datalake_etlscripts_spark.io.txstore import TransactionalStore, snapshot_diff
+    from datalake_etlscripts_spark.summary import (
+        cdc_images,
+        incremental_summary,
+        summary_counts,
+    )
+
+    v0 = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "y"), ("d", "z")], "id string, tag string"
+    )
+    st = TransactionalStore.create(spark, str(tmp_path / "t"), v0, key="id")
+    # update b: x→y, insert e: y, then delete every z (d) and c
+    src = spark.createDataFrame([("b", "y"), ("e", "y")], "id string, tag string")
+    st.merge(src, lambda sub, s: sub.join(s.select("id"), "id", "left_anti").unionByName(s))
+    st.delete_where(F.col("id").isin("c", "d"))
+
+    old_sum = summary_counts(st.snapshot(version=0), ["tag"])
+    removed, added = cdc_images(snapshot_diff(st, 0, st.latest_version(), key="id"))
+    got = incremental_summary(old_sum, removed, added, ["tag"])
+    want = summary_counts(st.snapshot(), ["tag"])
+
+    as_map = lambda df: {(r["field"], r["value"]): r["cnt"] for r in df.collect()}  # noqa: E731
+    assert as_map(got) == as_map(want)
+    # the vanished 'z' group is dropped, not kept at zero
+    assert ("tag", "z") not in as_map(got)
