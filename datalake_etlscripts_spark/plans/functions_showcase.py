@@ -293,3 +293,34 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("status_col") == "f_cnt", "F").otherwise("O").alias("status"),
         "cnt",
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable HLL sketch state (operators/sketches.py): distinct
+# customers per priority built INCREMENTALLY from two half-batches,
+# grand total derived by union-merging the per-priority sketches —
+# the fact table is scanned once per batch, never re-scanned.
+# Sketch payloads are DataSketches-specific → rows-only; the exact
+# twin for accuracy is asserted in tests/test_modules.py.
+# ---------------------------------------------------------------------------
+@query("approx_distinct_incremental")
+def q_approx_distinct_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_etlscripts_spark.operators import sketches
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey"
+    )
+    halves = [o.filter(F.col("o_orderkey") % 2 == i) for i in (0, 1)]
+    state = sketches.merge_sketch_tables(
+        *[
+            sketches.distinct_sketch_table(h, ["o_orderpriority"], "o_custkey")
+            for h in halves
+        ]
+    )
+    per = sketches.estimate_distinct(state).withColumn("level", F.lit("priority"))
+    total = (
+        sketches.estimate_distinct(sketches.rollup_sketches(state, []))
+        .withColumn("o_orderpriority", F.lit("__all__"))
+        .withColumn("level", F.lit("total"))
+    )
+    return per.unionByName(total)

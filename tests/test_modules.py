@@ -384,3 +384,48 @@ def test_tfidf_rare_term_outranks_common(spark):
     r1 = top.filter(F.col("doc_id") == 1).first()
     assert r1["term"] == "rare"  # df=1 beats the corpus-wide 'common'
     assert r1["doc_freq"] == 1
+
+
+def test_hll_sketch_state_merge_and_rollup(spark, sf_dir):
+    """Mergeable sketch state: split-batch union-merge must estimate
+    within HLL error of exact distinct, and the derived rollup must
+    equal the sketch built directly at the coarse grain."""
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.io.readers import read_table
+    from datalake_etlscripts_spark.operators import sketches
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey"
+    )
+    halves = [o.filter(F.col("o_orderkey") % 2 == i) for i in (0, 1)]
+    merged = sketches.merge_sketch_tables(
+        *[
+            sketches.distinct_sketch_table(h, ["o_orderpriority"], "o_custkey")
+            for h in halves
+        ]
+    )
+    est = {
+        r["o_orderpriority"]: r["approx_distinct"]
+        for r in sketches.estimate_distinct(merged).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(3, 0.05 * n), (k, est[k], n)
+
+    # rollup-from-fine == built-at-coarse (same union algebra)
+    total_from_rollup = sketches.estimate_distinct(
+        sketches.rollup_sketches(merged, [])
+    ).collect()[0]["approx_distinct"]
+    total_direct = sketches.estimate_distinct(
+        sketches.distinct_sketch_table(o, [], "o_custkey")
+    ).collect()[0]["approx_distinct"]
+    n_total = o.select("o_custkey").distinct().count()
+    assert abs(total_from_rollup - n_total) <= max(3, 0.05 * n_total)
+    assert abs(total_from_rollup - total_direct) <= max(3, 0.02 * n_total)
