@@ -324,3 +324,38 @@ def q_approx_distinct_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("level", F.lit("total"))
     )
     return per.unionByName(total)
+
+
+# ---------------------------------------------------------------------------
+# Z-order key (io/layout.py): bit-interleave of integer-quantized
+# columns — the clustering key behind cluster_write's data-skipping
+# layout. Quantization here is integer modulo so DuckDB reproduces the
+# key bit-exactly; the layout effect itself (fewer candidate files for
+# box predicates) is asserted in tests/test_writers_skew.py.
+# ---------------------------------------------------------------------------
+_Z_TERMS = " | ".join(
+    f"((((l_partkey % 256) >> {i}) & 1) << {2 * i})"
+    f" | ((((l_suppkey % 256) >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
+
+
+@query(
+    "zorder_key",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST({_Z_TERMS} AS BIGINT) AS zkey
+    FROM lineitem
+    """,
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_etlscripts_spark.io.layout import interleave_bits
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        interleave_bits(
+            [F.col("l_partkey") % 256, F.col("l_suppkey") % 256], bits=8
+        ).alias("zkey"),
+    )

@@ -129,3 +129,47 @@ def test_compact_files_reduces_file_count(spark, tmp_path):
     assert after < before and after <= max(n, 1) + 1
     # data intact and range-ordered files carry tight min/max
     assert spark.read.parquet(path).count() == 10000
+
+
+def test_zorder_layout_prunes_box_queries(spark, sf_dir):
+    """Data skipping: for a predicate narrow in the SECOND dimension, a
+    layout sorted only by the first keeps every file a candidate, while
+    the Z-ordered layout confines each file to a compact 2-D region so
+    most files' min/max stats exclude the box."""
+    from datalake_etlscripts_spark.io.layout import candidate_files, cluster_write
+    from datalake_etlscripts_spark.io.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    lo, hi = li.agg(F.min("l_suppkey"), F.max("l_suppkey")).first()
+    box = {
+        "l_partkey": (-(1 << 40), 1 << 40),  # full range
+        "l_suppkey": (lo, lo),  # one supplier
+    }
+
+    z_dir = tempfile.mkdtemp(prefix="zorder_")
+    lin_dir = tempfile.mkdtemp(prefix="linear_")
+    try:
+        cluster_write(li, z_dir, ["l_partkey", "l_suppkey"], n_files=16)
+        (
+            li.repartitionByRange(16, "l_partkey")
+            .sortWithinPartitions("l_partkey")
+            .write.mode("overwrite")
+            .parquet(lin_dir)
+        )
+        z_hit, z_total = candidate_files(spark, z_dir, box)
+        l_hit, l_total = candidate_files(spark, lin_dir, box)
+        assert z_total >= 8 and l_total >= 8
+        # linear-by-partkey spreads every supplier across all files
+        assert l_hit == l_total
+        # z-order: most files excluded by stats
+        assert z_hit < l_hit and z_hit <= z_total // 2, (z_hit, z_total, l_hit)
+        # correctness: skipping is advisory — both layouts hold the same rows
+        assert (
+            spark.read.parquet(z_dir).filter(F.col("l_suppkey") == lo).count()
+            == li.filter(F.col("l_suppkey") == lo).count()
+        )
+    finally:
+        shutil.rmtree(z_dir, ignore_errors=True)
+        shutil.rmtree(lin_dir, ignore_errors=True)
