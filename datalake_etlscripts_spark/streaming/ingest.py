@@ -72,6 +72,95 @@ def run_streaming_ingest(
     )
 
 
+def fold_batch_views(
+    spark: SparkSession,
+    views_dir: str,
+    batch_df: DataFrame,
+    summary_fields: list[str],
+    sketch_keys: list[str] | None = None,
+    sketch_value: str | None = None,
+) -> None:
+    """Fold one micro-batch into continuously-maintained view tables
+    under ``views_dir``: running value counts (summary.incremental_
+    summary over an append-only log — no removals) and, optionally,
+    per-group HLL distinct sketches (operators/sketches union-merge).
+    Each view is summary/batch-sized — the ingest history is never
+    re-scanned. This is the streaming face of the same IVM operators
+    the batch path uses."""
+    import os
+
+    from datalake_etlscripts_spark.operators import sketches
+    from datalake_etlscripts_spark.summary import incremental_summary, summary_counts
+
+    def _load(path: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(path)
+        except Exception:  # noqa: BLE001 — first batch: view not created yet
+            return None
+
+    def _swap(df: DataFrame, path: str) -> None:
+        # small view tables: stage-then-swap like the store itself
+        import shutil
+
+        tmp = f"{path}__staging"
+        df.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    sum_path = os.path.join(views_dir, "summary")
+    old = _load(sum_path)
+    empty = batch_df.filter(F.lit(False))
+    if old is None:
+        new_sum = summary_counts(batch_df, summary_fields)
+    else:
+        new_sum = incremental_summary(old, empty, batch_df, summary_fields)
+    _swap(new_sum, sum_path)
+
+    if sketch_keys is not None and sketch_value is not None:
+        sk_path = os.path.join(views_dir, "distinct_sketch")
+        batch_state = sketches.distinct_sketch_table(batch_df, sketch_keys, sketch_value)
+        old_state = _load(sk_path)
+        state = (
+            batch_state
+            if old_state is None
+            else sketches.merge_sketch_tables(old_state, batch_state)
+        )
+        _swap(state, sk_path)
+
+
+def run_streaming_ingest_with_views(
+    spark: SparkSession,
+    incoming_dir: str,
+    state_path: str,
+    fields: list[str],
+    schema: str,
+    views_dir: str,
+    summary_fields: list[str],
+    sketch_keys: list[str] | None = None,
+    sketch_value: str | None = None,
+    group: str = "contracts",
+):
+    """Streaming ingest + continuous materialized views in ONE
+    foreachBatch: each micro-batch merges into the versioned store AND
+    folds into the running summary/sketch views, so dashboards read
+    summary-sized tables instead of aggregating the store."""
+    merge = streaming_merge_batch(spark, state_path, fields, group)
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        merge(batch_df, epoch_id)
+        fold_batch_views(
+            spark, views_dir, batch_df, summary_fields, sketch_keys, sketch_value
+        )
+
+    stream = spark.readStream.schema(schema).parquet(incoming_dir)
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", f"{state_path}__checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

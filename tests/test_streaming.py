@@ -275,3 +275,53 @@ def test_stream_stream_join_matches_batch(spark, tmp_path, sf_dir):
     got = spark.read.parquet(out).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
     assert len(expected) > 0  # the fixture actually produces pairs
+
+
+def test_streaming_ingest_maintains_views(spark):
+    """foreachBatch ingest + continuous materialized views: after two
+    file drops the running summary equals a full recompute over ALL
+    ingested rows, and the distinct sketch matches the exact count —
+    without either view ever rescanning the ingest history."""
+    from datalake_etlscripts_spark.streaming import run_streaming_ingest_with_views
+    from datalake_etlscripts_spark.summary import summary_counts
+
+    tmp = tempfile.mkdtemp(prefix="strmv_")
+    incoming = os.path.join(tmp, "in")
+    state = os.path.join(tmp, "state")
+    views = os.path.join(tmp, "views")
+    os.makedirs(incoming)
+    try:
+        b1 = spark.createDataFrame(
+            [("url/a", ["2024-01-01 00:00:00"], "A"), ("url/b", ["2024-01-02 00:00:00"], "B")],
+            SCHEMA,
+        )
+        b2 = spark.createDataFrame(
+            [("url/a", ["2024-01-05 00:00:00"], "A"), ("url/c", ["2024-01-03 00:00:00"], "C")],
+            SCHEMA,
+        )
+        for i, b in enumerate([b1, b2]):
+            b.write.parquet(os.path.join(incoming, f"batch{i}"))
+            q = run_streaming_ingest_with_views(
+                spark, incoming + "/*", state, FIELDS, SCHEMA, views,
+                summary_fields=["title"], sketch_keys=[], sketch_value="id",
+            )
+            q.awaitTermination(120)
+
+        got = {
+            (r["field"], r["value"]): r["cnt"]
+            for r in spark.read.parquet(os.path.join(views, "summary")).collect()
+        }
+        want = {
+            (r["field"], r["value"]): r["cnt"]
+            for r in summary_counts(b1.unionByName(b2), ["title"]).collect()
+        }
+        assert got == want  # incl. ('title','A')→2 across batches, total→4
+
+        from datalake_etlscripts_spark.operators import sketches
+
+        est = sketches.estimate_distinct(
+            spark.read.parquet(os.path.join(views, "distinct_sketch"))
+        ).collect()[0]["approx_distinct"]
+        assert est == 3  # url/a,b,c — tiny cardinality: HLL exact
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
