@@ -59,6 +59,12 @@ class VersionNotFoundError(ValueError):
     """Requested version does not exist (never created or vacuumed away)."""
 
 
+class SchemaMismatchError(ValueError):
+    """Writer schema differs from the table schema and evolution was
+    not requested — schema ENFORCEMENT is the default (a mis-schema'd
+    batch must fail loudly, not silently fork the table's schema)."""
+
+
 @dataclass
 class FileEntry:
     path: str  # relative to table root
@@ -229,7 +235,47 @@ class TransactionalStore:
         files, _ = self._live(v)
         if not files:
             raise VersionNotFoundError(f"version {v} has no data files")
-        return self.spark.read.parquet(*[os.path.join(self.path, e.path) for e in files])
+        # mergeSchema: commits made after an ADD COLUMNS evolution read
+        # uniformly with older files (missing columns null-filled); a
+        # footer union over the live files, no data rewrite
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, e.path) for e in files]
+        )
+
+    # ------------------------------------------------------------------
+    # schema enforcement / evolution
+    # ------------------------------------------------------------------
+
+    def _align_schema(
+        self, df: DataFrame, evolve: bool, label: str
+    ) -> DataFrame:
+        """Enforce writer-schema == table-schema by default; with
+        ``evolve`` align instead (Delta mergeSchema semantics): new
+        writer columns are ADDED to the table, columns the writer omits
+        are null-filled. Same-name/different-type is ALWAYS an error —
+        silent casts corrupt data at scale."""
+        current = {f.name: f.dataType for f in self.snapshot().schema.fields}
+        incoming = {f.name: f.dataType for f in df.schema.fields}
+        conflicts = [
+            n for n in incoming
+            if n in current and incoming[n].simpleString() != current[n].simpleString()
+        ]
+        if conflicts:
+            raise SchemaMismatchError(
+                f"{label}: column type conflicts {conflicts} "
+                f"(stored vs incoming types differ)"
+            )
+        extra = [n for n in incoming if n not in current]
+        missing = [n for n in current if n not in incoming]
+        if not evolve and (extra or missing):
+            raise SchemaMismatchError(
+                f"{label}: schema differs from table (extra={extra}, "
+                f"missing={missing}); pass evolve_schema=True to evolve"
+            )
+        for n in missing:
+            df = df.withColumn(n, F.lit(None).cast(current[n]))
+        # stable order: table columns first, evolved additions after
+        return df.select(*[n for n in current], *extra)
 
     def history(self) -> DataFrame:
         rows = []
@@ -252,9 +298,12 @@ class TransactionalStore:
             "n_rows long, n_added long, n_removed long",
         )
 
-    def append(self, df: DataFrame, operation: str = "APPEND") -> int:
+    def append(
+        self, df: DataFrame, operation: str = "APPEND", evolve_schema: bool = False
+    ) -> int:
         v = self.latest_version()
         files, m = self._live(v)
+        df = self._align_schema(df, evolve_schema, operation)
         new = self._write_data(df, v + 1, m["metadata"].get("key"))
         self._commit(v + 1, files + new, operation, [e.path for e in new], [], m["metadata"])
         return v + 1
@@ -310,12 +359,15 @@ class TransactionalStore:
         source_key: str | None = None,
         operation: str = "MERGE",
         metadata_update: dict | None = None,
+        evolve_schema: bool = False,
     ) -> int:
         """Copy-on-write MERGE: rewrite only the files whose key range
         overlaps the source's keys; ``merge_fn(touched_subset, source)
         -> DataFrame`` computes the replacement rows (it sees every
         stored row that could match a source key, plus the full
-        source — Delta's MERGE INTO contract)."""
+        source — Delta's MERGE INTO contract). With ``evolve_schema``
+        new source columns join the table schema and both frames are
+        aligned before ``merge_fn`` sees them."""
         v = self.latest_version()
         files, m = self._live(v)
         key = m["metadata"].get("key")
@@ -325,12 +377,31 @@ class TransactionalStore:
         touched = self._prune_touched(files, source.select(sk))
         untouched = [e for e in files if e not in touched]
         if touched:
-            subset = self.spark.read.parquet(
+            subset = self.spark.read.option("mergeSchema", "true").parquet(
                 *[os.path.join(self.path, e.path) for e in touched]
             )
         else:
             subset = self.snapshot(v).limit(0)
+        if evolve_schema:
+            # align both frames to their union schema so merge_fn can
+            # unionByName without caring which side carried a column
+            src_types = dict(source.dtypes)
+            sub_types = dict(subset.dtypes)
+            conflict = [
+                n for n in src_types if n in sub_types and src_types[n] != sub_types[n]
+            ]
+            if conflict:
+                raise SchemaMismatchError(f"{operation}: column type conflicts {conflict}")
+            for n in [c for c in subset.columns if c not in source.columns]:
+                source = source.withColumn(n, F.lit(None).cast(sub_types[n]))
+            for n in [c for c in src_types if c not in subset.columns]:
+                subset = subset.withColumn(n, F.lit(None).cast(src_types[n]))
+            subset = subset.select(*source.columns)
         replacement = merge_fn(subset, source)
+        # schema enforcement happens on what gets WRITTEN: a MERGE
+        # source may be any relation, but the replacement rows must
+        # match the table unless evolution was requested
+        replacement = self._align_schema(replacement, evolve_schema, operation)
         # metadata_update may be a callable so it can observe state the
         # merge_fn computed (e.g. how many fresh ids it assigned)
         upd = metadata_update() if callable(metadata_update) else (metadata_update or {})
@@ -360,7 +431,8 @@ class TransactionalStore:
             self._commit(v + 1, files, "DELETE", [], [], m["metadata"])
             return v + 1
         keep = (
-            self.spark.read.parquet(*[os.path.join(self.path, e.path) for e in touched])
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(self.path, e.path) for e in touched])
             .filter(~condition)
         )
         new = self._write_data(keep, v + 1, m["metadata"].get("key"))

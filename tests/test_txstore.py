@@ -226,3 +226,49 @@ def test_incremental_summary_matches_recompute(spark, tmp_path):
     assert as_map(got) == as_map(want)
     # the vanished 'z' group is dropped, not kept at zero
     assert ("tag", "z") not in as_map(got)
+
+
+def test_schema_enforcement_rejects_drift(spark, tmp_path):
+    """Default = enforcement: a batch whose schema differs (extra or
+    missing columns, or a type conflict) must fail loudly."""
+    from datalake_etlscripts_spark.io.txstore import SchemaMismatchError
+
+    st = _mk(spark, tmp_path, [("a", 1)])
+    with pytest.raises(SchemaMismatchError):
+        st.append(spark.createDataFrame([("b", 2, "x")], "id string, val long, note string"))
+    with pytest.raises(SchemaMismatchError):
+        st.append(spark.createDataFrame([("b",)], "id string"))
+    with pytest.raises(SchemaMismatchError):  # same name, different type
+        st.append(
+            spark.createDataFrame([("b", "2")], "id string, val string"),
+            evolve_schema=True,
+        )
+    assert st.latest_version() == 0  # nothing committed
+
+
+def test_schema_evolution_append_and_merge(spark, tmp_path):
+    """Opt-in evolution: new columns join the table (old rows read as
+    NULL), omitted columns null-fill, and time travel still returns
+    the ORIGINAL schema for pre-evolution versions."""
+    st = _mk(spark, tmp_path, [("a", 1), ("b", 2)])
+    st.append(
+        spark.createDataFrame([("c", 3, "hello")], "id string, val long, note string"),
+        evolve_schema=True,
+    )
+    snap = st.snapshot()
+    assert set(snap.columns) == {"id", "val", "note"}
+    rows = {r["id"]: r for r in snap.collect()}
+    assert rows["a"]["note"] is None and rows["c"]["note"] == "hello"
+    assert st.snapshot(version=0).columns == ["id", "val"]  # time travel: old schema
+
+    # COW merge with a source that omits 'note' and adds 'flag'
+    src = spark.createDataFrame([("a", 10, True)], "id string, val long, flag boolean")
+    st.merge(
+        src,
+        lambda sub, s: sub.join(s.select("id"), "id", "left_anti").unionByName(s),
+        evolve_schema=True,
+    )
+    out = {r["id"]: r for r in st.snapshot().collect()}
+    assert set(st.snapshot().columns) == {"id", "val", "note", "flag"}
+    assert out["a"]["val"] == 10 and out["a"]["flag"] is True and out["a"]["note"] is None
+    assert out["c"]["note"] == "hello" and out["c"]["flag"] is None
