@@ -186,11 +186,16 @@ def minhash_lsh_pairs(
     verification of candidates only. rows/band = num_hashes/bands; with
     32 hashes × 8 bands (r=4) the s-curve crosses ~0.5 ≈ (1/8)^(1/4).
 
-    Scale shape: explode to (band, bucket) keys → groupBy join →
-    candidates ~ linear; only candidate pairs pay the exact-Jaccard
-    verification. Returns (id_a, id_b, jaccard) verified ≥ threshold.
+    Scale shape: explode to (band, bucket) keys → per-bucket pair
+    explode → candidates ~ linear; only candidate pairs pay the
+    exact-Jaccard verification. Returns (id_a, id_b, jaccard)
+    verified ≥ threshold (> 0: a pair needs a shared shingle, so
+    shingle-less docs are excluded from banding up front — their
+    shared sentinel bucket is the one genuinely quadratic bucket and
+    its pairs could never verify).
     """
     r = num_hashes // bands
+    df = df.filter(F.size(tokens(F.col(text_col))) >= F.lit(k))
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
     banded = sigs.select(
         "_did",
@@ -203,12 +208,30 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    left = banded.select(F.col("_did").alias("id_a"), "band", "bucket")
-    right = banded.select(F.col("_did").alias("id_b"), "band", "bucket")
+    # pairs via per-bucket collect + ordered-pair explode, NOT a
+    # banded self-join: a self-join evaluates the (expensive) shingle
+    # explode + min-agg signature pipeline once per side — Catalyst
+    # can't reuse the exchange across the join's probe/broadcast
+    # subplans — and at 100 TB the broadcast side (docs × bands rows)
+    # stops fitting, degrading to a sort-merge join with two more
+    # exchanges ON TOP of the duplicated signature compute. This shape
+    # runs the pipeline once and adds only one shuffle of the banded
+    # keys (local timing: equal within noise). Output is identical:
+    # every within-bucket ordered pair, deduped across bands; bucket
+    # sizes are s-curve-small now that the sentinel bucket is gone.
+    pair_expr = F.expr(
+        """
+        flatten(transform(ids, (x, i) ->
+          transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+            struct(x AS id_a, y AS id_b))))
+        """
+    )
     cand = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("_did")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates()
     )
     # verification Jaccard runs over the ARITHMETIC shingle-hash sets
