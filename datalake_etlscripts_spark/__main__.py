@@ -7,6 +7,7 @@ calc_summary.py, sync_documents.py, get_documents.py, clean_place.py):
     python -m datalake_etlscripts_spark compact  --state S --out OUT
     python -m datalake_etlscripts_spark check    --state S
     python -m datalake_etlscripts_spark purge    --listing L.parquet --state S --dry-run
+    python -m datalake_etlscripts_spark optimize --table T --out OUT --zorder-by c1,c2
 
 Each subcommand is a thin argparse wrapper over the library — the
 same DataFrame plans the driver queries use.
@@ -55,6 +56,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--state", required=True, help="parquet versioned store")
     p.add_argument("--name-col", default="file_name")
     p.add_argument("--dry-run", action="store_true")
+
+    p = sub.add_parser("optimize", help="Z-order rewrite for multi-column data skipping")
+    p.add_argument("--table", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--zorder-by", required=True, help="comma-separated numeric columns")
+    p.add_argument("--files", type=int, default=64)
 
     args = ap.parse_args(argv)
 
@@ -131,6 +138,13 @@ def main(argv: list[str] | None = None) -> int:
             print(f"# dry run — {len(rows)} ops planned, nothing deleted")
         else:
             print(f"# plan only — wire apply_sync callbacks for backup+delete ({len(rows)} ops)")
+
+    elif args.cmd == "optimize":
+        from datalake_etlscripts_spark.io.layout import cluster_write
+
+        cols = args.zorder_by.split(",")
+        cluster_write(spark.read.parquet(args.table), args.out, cols, args.files)
+        print(f"z-ordered {args.table} by {cols} into {args.files} files at {args.out}")
 
     elif args.cmd == "check":
         from datalake_etlscripts_spark.versioning import (
