@@ -57,6 +57,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--name-col", default="file_name")
     p.add_argument("--dry-run", action="store_true")
 
+    p = sub.add_parser("crawl", help="URL extract → prune → fetch plan (get_documents)")
+    p.add_argument("--state", required=True, help="parquet store to scan for URLs")
+    p.add_argument("--fields", required=True, help="comma-separated columns to scan")
+    p.add_argument("--skip-servers", default="", help="comma-separated hosts to skip")
+    p.add_argument("--out", default=None, help="write fetch results parquet here")
+    p.add_argument(
+        "--plan-only", action="store_true",
+        help="print the pruned URL plan without fetching (this container has no "
+        "network; without --plan-only the deterministic offline fetcher runs)",
+    )
+
     p = sub.add_parser("optimize", help="Z-order rewrite for multi-column data skipping")
     p.add_argument("--table", required=True)
     p.add_argument("--out", required=True)
@@ -138,6 +149,31 @@ def main(argv: list[str] | None = None) -> int:
             print(f"# dry run — {len(rows)} ops planned, nothing deleted")
         else:
             print(f"# plan only — wire apply_sync callbacks for backup+delete ({len(rows)} ops)")
+
+    elif args.cmd == "crawl":
+        from datalake_etlscripts_spark.crawl import crawl, extract_urls, prune_urls
+
+        state = spark.read.parquet(args.state)
+        urls = extract_urls(state, scalar_cols=tuple(args.fields.split(",")))
+        skip = (
+            spark.createDataFrame(
+                [(h,) for h in args.skip_servers.split(",") if h], "host string"
+            )
+            if args.skip_servers
+            else None
+        )
+        plan = prune_urls(urls, skip_servers=skip)
+        if args.plan_only:
+            for r in plan.collect():
+                print(f"{r['ntp_id']}\t{r['field']}\t{r['url']}")
+        else:
+            fetched = crawl(plan)
+            if args.out:
+                fetched.write.mode("overwrite").parquet(args.out)
+                print(f"fetched {spark.read.parquet(args.out).count()} docs to {args.out}")
+            else:
+                for r in fetched.collect():
+                    print(f"{r['ntp_id']}\t{r['field']}\t{r['status']}\t{r['doc_type']}")
 
     elif args.cmd == "optimize":
         from datalake_etlscripts_spark.io.layout import cluster_write

@@ -205,9 +205,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, threshold=0.04)
 
 
-@query(
-    "dedup_clusters",
-    oracle=r"""
+_CLUSTERS_ORACLE = r"""
     WITH RECURSIVE base AS (
       SELECT doc_id, lang, CAST(floor(length(text) / 100) AS INT) AS lb,
              list_distinct(list_transform(
@@ -236,8 +234,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
     )
     SELECT node, min(lab) AS component FROM reach GROUP BY node
-    """,
-)
+    """
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → duplicate clusters (transitive closure). The
     engine iterates hash-min label propagation; the oracle replays it
@@ -245,6 +245,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, threshold=0.04)
     return dedup.connected_components(pairs)
+
+
+@query("dedup_clusters_star", oracle=_CLUSTERS_ORACLE)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical clusters via alternating large-star/small-star
+    (Kiveris et al.) — O(log n) rounds regardless of component
+    DIAMETER, where hash-min label propagation needs O(diameter)
+    rounds. This is the 100 TB path for pathological near-dup graphs
+    (boilerplate chains); oracle = the same recursive CTE."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.04)
+    return dedup.connected_components_star(pairs)
 
 
 @query("dedup_minhash_lsh")  # approximate candidate set → rows-only check

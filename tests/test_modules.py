@@ -429,3 +429,60 @@ def test_hll_sketch_state_merge_and_rollup(spark, sf_dir):
     n_total = o.select("o_custkey").distinct().count()
     assert abs(total_from_rollup - n_total) <= max(3, 0.05 * n_total)
     assert abs(total_from_rollup - total_direct) <= max(3, 0.02 * n_total)
+
+
+def test_connected_components_star_equivalence(spark, sf_dir):
+    """large-star/small-star must produce the identical node→component
+    map as hash-min across adversarial graph shapes (chain = worst
+    diameter, star, disjoint cliques, random, and the real near-dup
+    pair set)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.io.readers import read_table
+    from datalake_etlscripts_spark.operators import dedup
+
+    def labels(fn, pairs):
+        return {r["node"]: r["component"] for r in fn(pairs).collect()}
+
+    graphs = {
+        "chain": [(i, i + 1) for i in range(40)],
+        "star": [(0, i) for i in range(1, 40)],
+        "cliques": [
+            (a, b)
+            for base in (100, 200, 300)
+            for a in range(base, base + 8)
+            for b in range(a + 1, base + 8)
+        ],
+    }
+    rng = random.Random(7)
+    graphs["random"] = [(rng.randrange(150), rng.randrange(150)) for _ in range(120)]
+    for name, edges in graphs.items():
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+        )
+        a = labels(dedup.connected_components, pairs)
+        b = labels(dedup.connected_components_star, pairs)
+        assert a == b, f"{name}: hash-min vs star disagree"
+
+    d = read_table(spark, sf_dir, "documents")
+    real = dedup.ngram_jaccard_pairs(d, threshold=0.04).select("id_a", "id_b")
+    assert labels(dedup.connected_components, real) == labels(
+        dedup.connected_components_star, real
+    )
+
+    # the round-complexity difference, demonstrated: a 60-hop chain
+    # needs >20 hash-min rounds (one hop per round) but lands in a
+    # single component well inside star's O(log n) budget
+    long_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    hashmin_comps = set(labels(
+        lambda p: dedup.connected_components(p, max_iter=20), long_chain
+    ).values())
+    star_comps = set(labels(
+        lambda p: dedup.connected_components_star(p, max_iter=20), long_chain
+    ).values())
+    assert len(hashmin_comps) > 1  # truncated hash-min leaves the chain split
+    assert star_comps == {0}
