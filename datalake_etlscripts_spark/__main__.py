@@ -7,6 +7,8 @@ calc_summary.py, sync_documents.py, get_documents.py, clean_place.py):
     python -m datalake_etlscripts_spark compact  --state S --out OUT
     python -m datalake_etlscripts_spark check    --state S
     python -m datalake_etlscripts_spark purge    --listing L.parquet --state S --dry-run
+    python -m datalake_etlscripts_spark crawl    --state S --fields f1,f2 [--plan-only]
+    python -m datalake_etlscripts_spark enrich   --state S --annotations A.jsonl [--dry-run]
     python -m datalake_etlscripts_spark optimize --table T --out OUT --zorder-by c1,c2
 
 Each subcommand is a thin argparse wrapper over the library — the
@@ -66,6 +68,19 @@ def main(argv: list[str] | None = None) -> int:
         "--plan-only", action="store_true",
         help="print the pruned URL plan without fetching (this container has no "
         "network; without --plan-only the deterministic offline fetcher runs)",
+    )
+
+    p = sub.add_parser(
+        "enrich",
+        help="company-annotation enrichment onto the store (parse_bsc_companies)",
+    )
+    p.add_argument("--state", required=True, help="parquet versioned store")
+    p.add_argument("--annotations", required=True, help="JSONL company annotations")
+    p.add_argument("--out", default=None, help="write the enriched store parquet here")
+    p.add_argument(
+        "--dry-run", action="store_true",
+        help="report resolve/redirect/unknown tallies without writing (reference "
+        "parse_bsc_companies.py --dry_run)",
     )
 
     p = sub.add_parser("optimize", help="Z-order rewrite for multi-column data skipping")
@@ -174,6 +189,37 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 for r in fetched.collect():
                     print(f"{r['ntp_id']}\t{r['field']}\t{r['status']}\t{r['doc_type']}")
+
+    elif args.cmd == "enrich":
+        from datalake_etlscripts_spark.io.readers import read_jsonl
+        from datalake_etlscripts_spark.operators.enrichment import (
+            ANNOTATION_SCHEMA,
+            enrich_state,
+            resolve_annotations,
+        )
+
+        state = spark.read.parquet(args.state)
+        ann = read_jsonl(spark, args.annotations, schema=ANNOTATION_SCHEMA)
+        resolved = resolve_annotations(state, ann)
+        tallies = (
+            resolved.select(
+                F.when(~F.col("found"), F.lit("unknown"))
+                .when(F.col("resolved_id") != F.col("procurement_id"), F.lit("redirected"))
+                .otherwise(F.lit("direct"))
+                .alias("outcome")
+            )
+            .groupBy("outcome")
+            .count()
+        )
+        for r in tallies.collect():
+            print(f"{r['outcome']}\t{r['count']}")
+        if not args.dry_run:
+            out = args.out or (args.state + "__enriched")
+            enrich_state(state, ann).write.mode("overwrite").parquet(out)
+            n = spark.read.parquet(out).filter(
+                F.col("empresas_en_docs").isNotNull()
+            ).count()
+            print(f"enriched {n} notices → {out}")
 
     elif args.cmd == "optimize":
         from datalake_etlscripts_spark.io.layout import cluster_write

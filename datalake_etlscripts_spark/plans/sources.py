@@ -192,3 +192,156 @@ def q_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.coalesce("SINGLE_COMPANY", F.array())).alias("n_companies"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# parse_bsc_companies end-to-end (operators/enrichment.py): annotations
+# redirected through the version chain, then folded into the nested
+# empresas_en_docs payload. Fixtures are arithmetic projections of the
+# customer spine (identical in both engines, no shuffle to build):
+#   store        active row ntp(2·ck) per ck; even ck adds an OBSOLETE
+#                row ntp(2·ck+1) pointing at the active (1-hop chain)
+#   annotations  ck % 3 == 0 → targets ntp(2·ck+1): redirect for even
+#                ck, UNKNOWN id for odd ck (found=false — the
+#                reference's warn-and-skip path);
+#                ck % 5 == 0 → targets the active directly
+# ---------------------------------------------------------------------------
+_ENRICH_FIXTURE_SQL = """
+    cust AS (SELECT c_custkey AS ck FROM customer),
+    store AS (
+      SELECT printf('ntp%08d', ck * 2) AS _id, CAST(ck AS VARCHAR) AS id,
+             FALSE AS obsolete_version, CAST(NULL AS VARCHAR) AS updated_to,
+             'T' || CAST(ck % 7 AS VARCHAR) AS title
+      FROM cust
+      UNION ALL
+      SELECT printf('ntp%08d', ck * 2 + 1), CAST(ck AS VARCHAR),
+             TRUE, printf('ntp%08d', ck * 2), CAST(NULL AS VARCHAR)
+      FROM cust WHERE ck % 2 = 0
+    ),
+    ann AS (
+      SELECT printf('ntp%08d', ck * 2 + 1) AS procurement_id,
+             'doc' || CAST(ck % 4 AS VARCHAR) AS doc_name,
+             ['C' || CAST(ck % 5 AS VARCHAR)] AS SINGLE_COMPANY,
+             CASE WHEN ck % 4 = 0 THEN ['U' || CAST(ck % 3 AS VARCHAR)]
+                  ELSE CAST(NULL AS VARCHAR[]) END AS UTE
+      FROM cust WHERE ck % 3 = 0
+      UNION ALL
+      SELECT printf('ntp%08d', ck * 2), 'extra',
+             CAST(NULL AS VARCHAR[]), ['U' || CAST(ck % 7 AS VARCHAR)]
+      FROM cust WHERE ck % 5 = 0
+    )
+"""
+
+
+def _enrich_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_etlscripts_spark.functions.scalar import format_ntp_id
+
+    c = read_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("ck"))
+    ck = F.col("ck")
+    active = c.select(
+        format_ntp_id(ck * 2).alias("_id"),
+        ck.cast("string").alias("id"),
+        F.lit(False).alias("obsolete_version"),
+        F.lit(None).cast("string").alias("updated_to"),
+        F.concat(F.lit("T"), (ck % 7).cast("string")).alias("title"),
+    )
+    obsolete = c.filter(ck % 2 == 0).select(
+        format_ntp_id(ck * 2 + 1).alias("_id"),
+        ck.cast("string").alias("id"),
+        F.lit(True).alias("obsolete_version"),
+        format_ntp_id(ck * 2).alias("updated_to"),
+        F.lit(None).cast("string").alias("title"),
+    )
+    return active.unionByName(obsolete)
+
+
+def _enrich_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_etlscripts_spark.functions.scalar import format_ntp_id
+
+    c = read_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("ck"))
+    ck = F.col("ck")
+    a = c.filter(ck % 3 == 0).select(
+        format_ntp_id(ck * 2 + 1).alias("procurement_id"),
+        F.concat(F.lit("doc"), (ck % 4).cast("string")).alias("doc_name"),
+        F.array(F.concat(F.lit("C"), (ck % 5).cast("string"))).alias("SINGLE_COMPANY"),
+        F.when(
+            ck % 4 == 0, F.array(F.concat(F.lit("U"), (ck % 3).cast("string")))
+        ).alias("UTE"),
+    )
+    b = c.filter(ck % 5 == 0).select(
+        format_ntp_id(ck * 2).alias("procurement_id"),
+        F.lit("extra").alias("doc_name"),
+        F.lit(None).cast("array<string>").alias("SINGLE_COMPANY"),
+        F.array(F.concat(F.lit("U"), (ck % 7).cast("string"))).alias("UTE"),
+    )
+    return a.unionByName(b)
+
+
+@query(
+    "enrichment_resolved",
+    oracle=f"""
+    WITH {_ENRICH_FIXTURE_SQL}
+    SELECT a.procurement_id, a.doc_name,
+           coalesce(CASE WHEN s.obsolete_version THEN s.updated_to
+                         ELSE s._id END, '') AS resolved_id,
+           s._id IS NOT NULL AS found,
+           len(coalesce(a.SINGLE_COMPANY, [])) AS n_singles,
+           len(coalesce(a.UTE, [])) AS n_utes
+    FROM ann a LEFT JOIN store s ON a.procurement_id = s._id
+    """,
+)
+def q_enrichment_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation → version-chain redirect (parse_bsc_companies.py:78-96)
+    as a join against follow_version; unknown targets surface as
+    found=false instead of vanishing. Oracle replays the 1-hop chase
+    with a CASE over the obsolete flag."""
+    from datalake_etlscripts_spark.operators.enrichment import resolve_annotations
+
+    resolved = resolve_annotations(
+        _enrich_store(spark, sf_dir), _enrich_annotations(spark, sf_dir)
+    )
+    return resolved.select(
+        "procurement_id",
+        "doc_name",
+        F.coalesce("resolved_id", F.lit("")).alias("resolved_id"),
+        "found",
+        F.size(F.coalesce("SINGLE_COMPANY", F.array())).alias("n_singles"),
+        F.size(F.coalesce("UTE", F.array())).alias("n_utes"),
+    )
+
+
+@query(
+    "enrichment_nested",
+    oracle=f"""
+    WITH {_ENRICH_FIXTURE_SQL},
+    resolved AS (
+      SELECT CASE WHEN s.obsolete_version THEN s.updated_to ELSE s._id END AS _id,
+             a.doc_name, coalesce(a.SINGLE_COMPANY, []) AS singles,
+             coalesce(a.UTE, []) AS utes
+      FROM ann a JOIN store s ON a.procurement_id = s._id
+    ),
+    payload AS (
+      SELECT _id,
+             CAST(to_json(list_sort(list(struct_pack(
+               doc_name := doc_name, singles := singles, utes := utes
+             )))) AS VARCHAR) AS empresas_en_docs
+      FROM resolved GROUP BY _id
+    )
+    SELECT s._id, s.id, s.title, p.empresas_en_docs
+    FROM store s JOIN payload p ON s._id = p._id
+    """,
+)
+def q_enrichment_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full enrich_state pipeline: the nested empresas_en_docs
+    payload (parse_bsc_companies.py:98-104) lands as a byte-stable JSON
+    column, hash-compared against DuckDB building the identical JSON.
+    Only enriched notices are returned (the untouched rest of the store
+    is covered by the row-preservation unit test)."""
+    from datalake_etlscripts_spark.operators.enrichment import enrich_state
+
+    out = enrich_state(
+        _enrich_store(spark, sf_dir), _enrich_annotations(spark, sf_dir)
+    )
+    return out.filter(F.col("empresas_en_docs").isNotNull()).select(
+        "_id", "id", "title", "empresas_en_docs"
+    )

@@ -486,3 +486,53 @@ def test_connected_components_star_equivalence(spark, sf_dir):
     ).values())
     assert len(hashmin_comps) > 1  # truncated hash-min leaves the chain split
     assert star_comps == {0}
+
+
+def test_enrichment_redirect_and_row_preservation(spark):
+    """parse_bsc_companies semantics: annotations onto an obsolete
+    version land on its active target; unknown ids are reported, not
+    dropped; enrich_state keeps every store row and adds exactly one
+    JSON column with deterministic bytes."""
+    from datalake_etlscripts_spark.operators.enrichment import (
+        company_map,
+        enrich_state,
+        resolve_annotations,
+    )
+
+    state = spark.createDataFrame(
+        [
+            ("ntp00000002", "k1", False, None, "t1"),
+            ("ntp00000003", "k1", True, "ntp00000002", None),  # obsolete → 2
+            ("ntp00000004", "k2", False, None, "t2"),
+        ],
+        "_id string, id string, obsolete_version boolean, "
+        "updated_to string, title string",
+    )
+    ann = spark.createDataFrame(
+        [
+            ("ntp00000003", "pliego", ["C1"], None),      # redirect → ntp...2
+            ("ntp00000002", "anexo", None, ["U1", "U2"]),  # direct
+            ("ntp00000099", "pliego", ["CX"], None),       # unknown
+        ],
+        "procurement_id string, doc_name string, "
+        "SINGLE_COMPANY array<string>, UTE array<string>",
+    )
+    resolved = resolve_annotations(state, ann)
+    by_pid = {r["procurement_id"]: r for r in resolved.collect()}
+    assert by_pid["ntp00000003"]["resolved_id"] == "ntp00000002"
+    assert by_pid["ntp00000002"]["resolved_id"] == "ntp00000002"
+    assert by_pid["ntp00000099"]["found"] is False
+    assert by_pid["ntp00000099"]["resolved_id"] is None
+
+    payload = {r["resolved_id"]: r["empresas_en_docs"] for r in company_map(resolved).collect()}
+    assert payload == {
+        "ntp00000002": '[{"doc_name":"anexo","singles":[],"utes":["U1","U2"]},'
+        '{"doc_name":"pliego","singles":["C1"],"utes":[]}]'
+    }
+
+    enriched = enrich_state(state, ann)
+    assert enriched.count() == state.count()
+    assert set(enriched.columns) == set(state.columns) | {"empresas_en_docs"}
+    rows = {r["_id"]: r["empresas_en_docs"] for r in enriched.collect()}
+    assert rows["ntp00000002"] == payload["ntp00000002"]
+    assert rows["ntp00000003"] is None and rows["ntp00000004"] is None
