@@ -1,0 +1,149 @@
+"""Distributed BPE tokenizer training (byte-pair encoding, Sennrich et
+al. 2016) — the iterative generalization of the single-round
+bpe_pair_counts query.
+
+Scale shape (the part that matters at 100 TB): the ONLY corpus-scale
+operation is the word-frequency count — one explode + one map-side-
+combined shuffle. Every merge iteration after that runs on the
+DISTINCT-WORD table (Zipf: ~10 M rows for a 100 TB corpus — thousands
+of times smaller than the corpus), so the training loop never touches
+the corpus again. Per iteration: one adjacent-pair aggregate over the
+vocab (argmax pair collected to the driver — a single scalar, like the
+reference's id-counter handoff) and one JVM-side fold that rewrites
+each word's symbol array. The vocab table is localCheckpoint()ed per
+round, so each round's plan is constant-size and nothing recomputes.
+
+No UDFs anywhere: the merge-application is a pyspark.sql.functions
+``aggregate`` fold (greedy non-overlapping left-to-right, exactly the
+classic algorithm's ``re``-free formulation), and pair counting is
+zip_with over shifted slices.
+
+Determinism: ties on pair frequency break to the lexicographically
+smallest (a, b) — both here and in the pure-Python reference the tests
+compare against, so merge sequences are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datalake_etlscripts_spark.operators.text import tokens
+
+END_OF_WORD = "</w>"
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the corpus — the one corpus-scale shuffle."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def initial_symbols(word: Column) -> Column:
+    """A word's starting symbol sequence: characters + the end-of-word
+    marker (so merges can learn suffixes distinctly)."""
+    chars = F.filter(F.split(word, ""), lambda c: c != F.lit(""))
+    return F.concat(chars, F.array(F.lit(END_OF_WORD)))
+
+
+def adjacent_pairs(symbols: Column) -> Column:
+    """ARRAY<STRUCT<a,b>> of adjacent symbol pairs."""
+    n = F.size(symbols)
+    return F.zip_with(
+        F.slice(symbols, 1, n - 1),
+        F.slice(symbols, 2, n - 1),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
+
+
+def merge_pair(symbols: Column, a: str, b: str) -> Column:
+    """Replace every non-overlapping adjacent (a, b) with the merged
+    symbol a+b, greedy left-to-right — one JVM-side fold, no UDF."""
+    merged = F.lit(a + b)
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("carry"),
+    )
+
+    def step(acc, x):
+        out, carry = acc["out"], acc["carry"]
+        return (
+            F.when(
+                carry.isNotNull() & (carry == F.lit(a)) & (x == F.lit(b)),
+                F.struct(
+                    F.concat(out, F.array(merged)).alias("out"),
+                    F.lit(None).cast("string").alias("carry"),
+                ),
+            )
+            .when(carry.isNull(), F.struct(out.alias("out"), x.alias("carry")))
+            .otherwise(
+                F.struct(F.concat(out, F.array(carry)).alias("out"), x.alias("carry"))
+            )
+        )
+
+    def finish(acc):
+        return F.when(acc["carry"].isNull(), acc["out"]).otherwise(
+            F.concat(acc["out"], F.array(acc["carry"]))
+        )
+
+    return F.aggregate(symbols, init, step, finish)
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 32,
+    min_freq: int = 2,
+) -> list[tuple[str, str, int]]:
+    """Learn up to ``num_merges`` merges; stops early when the best
+    pair's corpus frequency drops below ``min_freq``. Returns the
+    ordered merge list [(a, b, freq), ...]."""
+    vocab = (
+        word_frequencies(df, text_col)
+        .select(initial_symbols(F.col("word")).alias("sym"), "freq")
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(num_merges):
+        best = (
+            vocab.select(F.explode(adjacent_pairs(F.col("sym"))).alias("p"), "freq")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .first()
+        )
+        if best is None or best["cnt"] < min_freq:
+            break
+        a, b = best["a"], best["b"]
+        merges.append((a, b, best["cnt"]))
+        # rewrite + eager re-materialize: each round's action would
+        # otherwise re-execute every previous fold over the vocab
+        vocab = vocab.select(
+            merge_pair(F.col("sym"), a, b).alias("sym"), "freq"
+        ).localCheckpoint()
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Apply a learned merge list to a corpus: per token, chars +
+    end-of-word marker folded through each merge in training order,
+    then flattened to one token stream per document. Chained folds are
+    pure column expressions; the plan is cut every ``checkpoint_every``
+    merges so codegen never sees an unboundedly deep expression."""
+    out = df.withColumn(out_col, F.transform(tokens(F.col(text_col)), initial_symbols))
+    for i, (a, b, _) in enumerate(merges):
+        out = out.withColumn(
+            out_col, F.transform(F.col(out_col), lambda w, a=a, b=b: merge_pair(w, a, b))
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < len(merges):
+            out = out.localCheckpoint()
+    return out.withColumn(out_col, F.flatten(F.col(out_col)))
