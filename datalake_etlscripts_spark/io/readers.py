@@ -53,14 +53,19 @@ def ensure_session_confs(spark: SparkSession) -> None:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic test table (TESTDATA.md) by name.
 
-    The events table carries TIMESTAMP(NANOS) — a parquet type Spark
-    only reads as raw INT64 (nanosAsLong); normalize it back to a
-    microsecond timestamp so downstream operators see TimestampType.
+    Timestamp normalization (the driver has shipped both shapes):
+    TIMESTAMP(NANOS) parquet reads as raw INT64 (nanosAsLong) —
+    rebuild a microsecond timestamp; naive timestamp[us] parquet
+    infers as TIMESTAMP_NTZ in Spark 4 — cast to TIMESTAMP (exact
+    under the UTC session zone, and what unix_micros/window expect).
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
