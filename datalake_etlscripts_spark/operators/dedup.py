@@ -39,6 +39,21 @@ from datalake_etlscripts_spark.operators.text import (
 _MASK32 = 0xFFFFFFFF
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure a CPU-bound per-document pipeline (shingle explode + hash
+    lanes) has at least one input partition per core. Small-file scans
+    under-partition — locally a single-file documents table is ONE scan
+    split, serializing the signature stage on one core. At 100 TB the
+    scan already yields thousands of splits and this is a no-op; the
+    repartition only fires (and only shuffles the under-partitioned,
+    therefore small, input) when the scan gives fewer splits than
+    cores."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_hashes(text: Column, k: int = 3) -> Column:
     """ARRAY<BIGINT> of k-shingle hashes built arithmetically: one
     xxhash64 per TOKEN, then a masked polynomial combine over k shifted
@@ -195,7 +210,7 @@ def minhash_lsh_pairs(
     its pairs could never verify).
     """
     r = num_hashes // bands
-    df = df.filter(F.size(tokens(F.col(text_col))) >= F.lit(k))
+    df = _spread(df.filter(F.size(tokens(F.col(text_col))) >= F.lit(k)))
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
     banded = sigs.select(
         "_did",
@@ -311,7 +326,7 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: block on 16-bit bands (a pair within
     hamming ≤ 3 of 4 bands shares at least one exact band), verify
     Hamming distance on candidates. Returns (id_a, id_b, hamming)."""
-    hashed = simhash_table(df, text_col, id_col, k=shingle_k).select(
+    hashed = simhash_table(_spread(df), text_col, id_col, k=shingle_k).select(
         "_did", F.col("simhash").alias("_sh")
     )
     n_bands = 64 // band_bits
@@ -430,6 +445,58 @@ def embedding_near_dup_lsh(
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", dot.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.92,
+    n_clusters: int = 16,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means the
+    embedding space into cells, find near-duplicate pairs ONLY within a
+    cell (equi-join on the cell id — shuffle linear in rows, never the
+    corpus cross product), resolve pairs to clusters, keep the min-id
+    representative per cluster. Returns (vec_id, component, keep).
+
+    The coarse quantizer is the same bounded-sample Lloyd's as IVF ANN
+    (operators/similarity.py) — centroids come from a driver-side
+    sample, full-corpus cell assignment stays distributed. Recall < 1
+    by design: a pair split across cells is never compared (IVF-style
+    n_probe > 1 on one side would trade shuffle for recall)."""
+    from datalake_etlscripts_spark.operators.similarity import (
+        _nearest_centroids,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(df, vec_col, k=n_clusters)
+    cells = df.select(
+        F.col(id_col).alias("_eid"),
+        _unit(F.col(vec_col)).alias("_ev"),
+        F.element_at(_nearest_centroids(F.col(vec_col), cents, 1), 1).alias("_cell"),
+    )
+    l_ = cells.select(F.col("_eid").alias("id_a"), F.col("_ev").alias("_va"), "_cell")
+    r_ = cells.select(F.col("_eid").alias("id_b"), F.col("_ev").alias("_vb"), "_cell")
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pairs = (
+        l_.join(r_, "_cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dot.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", "node").alias("component"),
+            (F.coalesce("component", "node") == F.col("node")).alias("keep"),
+        )
     )
 
 

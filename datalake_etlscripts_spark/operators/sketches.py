@@ -63,3 +63,84 @@ def estimate_distinct(state: DataFrame, alias: str = "approx_distinct") -> DataF
     return state.select(
         *keys, F.hll_sketch_estimate(F.col(SKETCH_COL)).alias(alias)
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable FREQUENCY state (the counts analogue of
+# the HLL distinct state above). Spark ships count_min_sketch() as an
+# opaque binary with no SQL-side estimator or merge, so the sketch is
+# built arithmetically as a TABLE of (depth, bucket, n) counters:
+#   - mergeable by union + sum (exact — counter addition is lossless,
+#     unlike re-aggregating raw data), so per-batch sketches fold into
+#     running state without rescanning history;
+#   - estimable in SQL: point estimate for an item = min over depths
+#     of its counter (classic CM overestimate ≤ εN with prob 1−δ);
+#   - sized (depth × width) counters regardless of corpus size.
+# Hash lanes are Kirsch-Mitzenmacher over xxhash64 like the minhash
+# signatures (operators/dedup.py) — JVM-side, no UDF.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 5
+CMS_WIDTH = 2048
+
+
+def _cms_bucket(item: F.Column, depth_idx: int, width: int) -> F.Column:
+    h1 = F.xxhash64(item, F.lit(101)).bitwiseAND(F.lit(0x7FFFFFFF))
+    h2 = F.xxhash64(item, F.lit(202)).bitwiseAND(F.lit(0x7FFFFFFF))
+    return (h1 + F.lit(depth_idx) * h2) % F.lit(width)
+
+
+def cms_sketch_table(
+    df: DataFrame,
+    item: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    weight: str | None = None,
+) -> DataFrame:
+    """Build count-min state from item rows: (depth, bucket, n).
+    One explode to ``depth`` counter updates per row, one shuffle of
+    (depth, bucket) keys — map-side combined, so shuffle volume is
+    bounded by depth × width per input partition, not by row count."""
+    w = F.col(weight) if weight else F.lit(1).cast("long")
+    lanes = df.select(
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col(item), d, width) for d in range(depth)])
+        ).alias("depth", "bucket"),
+        w.alias("_w"),
+    )
+    return lanes.groupBy("depth", "bucket").agg(F.sum("_w").alias("n"))
+
+
+def merge_cms_tables(*tables: DataFrame) -> DataFrame:
+    """Fold sketch states (running state ∪ new batch): counter-wise sum.
+    Exact — merging per-batch sketches equals sketching the whole."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("depth", "bucket").agg(F.sum("n").alias("n"))
+
+
+def cms_estimate(
+    state: DataFrame,
+    items: DataFrame,
+    item: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point-estimate the frequency of each item in ``items`` against
+    sketch state: min over depths of the item's counter. The sketch
+    state is counter-sized — broadcast it so per-item lookup is a
+    map-side join, no shuffle of the item side."""
+    lanes = items.select(
+        F.col(item),
+        F.posexplode(
+            F.array(
+                *[_cms_bucket(F.col(item), d, width) for d in range(depth)]
+            )
+        ).alias("depth", "bucket"),
+    )
+    return (
+        lanes.join(F.broadcast(state), ["depth", "bucket"], "left")
+        .groupBy(item)
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("approx_count"))
+    )

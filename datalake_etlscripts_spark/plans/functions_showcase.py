@@ -327,6 +327,38 @@ def q_approx_distinct_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Count-min sketch: mergeable FREQUENCY state (operators/sketches.py) —
+# per-half-corpus sketches counter-sum into one state (exact merge,
+# asserted in tests), then the exact top-20 terms are point-estimated
+# against the merged state. Estimates are hash-dependent overcounts
+# (≥ true, ≤ true + εN w.h.p.) → rows-only; the accuracy envelope and
+# merge-exactness are asserted in tests/test_modules.py.
+# ---------------------------------------------------------------------------
+@query("approx_topk_terms")
+def q_approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_etlscripts_spark.operators import sketches
+    from datalake_etlscripts_spark.operators.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    halves = [toks.filter(F.crc32(F.col("term")) % 2 == i) for i in (0, 1)]
+    state = sketches.merge_cms_tables(
+        *[sketches.cms_sketch_table(h, "term") for h in halves]
+    ).localCheckpoint()
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), "term")
+        .limit(20)
+    )
+    return (
+        sketches.cms_estimate(state, top.select("term"), "term")
+        .join(top, "term")
+        .select("term", "exact_count", "approx_count")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Z-order key (io/layout.py): bit-interleave of integer-quantized
 # columns — the clustering key behind cluster_write's data-skipping
 # layout. Quantization here is integer modulo so DuckDB reproduces the

@@ -384,6 +384,14 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_lsh(_near_dup_corpus(spark, sf_dir), threshold=0.9)
 
 
+@query("dedup_semantic")  # k-means cells (driver-sampled quantizer) → rows-only
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the injected-near-dup corpus: cluster, pair within
+    cells, keep one representative per duplicate group (operators/
+    dedup.semantic_dedup; recall property tested in test_modules)."""
+    return dedup.semantic_dedup(_near_dup_corpus(spark, sf_dir), threshold=0.9)
+
+
 # ---------------------------------------------------------------------------
 # similarity search over embeddings
 # ---------------------------------------------------------------------------

@@ -536,3 +536,85 @@ def test_enrichment_redirect_and_row_preservation(spark):
     rows = {r["_id"]: r["empresas_en_docs"] for r in enriched.collect()}
     assert rows["ntp00000002"] == payload["ntp00000002"]
     assert rows["ntp00000003"] is None and rows["ntp00000004"] is None
+
+
+def test_read_table_normalizes_ntz_timestamps(spark, tmp_path):
+    """Regression: driver-generated parquet has shipped events.ts both
+    as TIMESTAMP(NANOS) (→ bigint under nanosAsLong) and as naive
+    timestamp[us] (→ TIMESTAMP_NTZ in Spark 4). read_table must hand
+    every downstream operator plain TIMESTAMP either way."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datalake_etlscripts_spark.io.readers import read_table
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1700000000000000, 1700000060000000], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    df = read_table(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    from pyspark.sql import functions as F
+
+    us = [r[0] for r in df.select(F.unix_micros("ts")).orderBy("event_id").collect()]
+    assert us == [1700000000000000, 1700000060000000]
+
+
+def test_cms_sketch_merge_exact_and_estimate_envelope(spark):
+    """Count-min state: (a) merging per-half sketches equals sketching
+    the whole corpus COUNTER-EXACTLY (the incremental-maintenance
+    guarantee); (b) point estimates are classic CM overcounts — ≥ the
+    true frequency, and within εN of it for the sketch's width."""
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.operators import sketches
+
+    rows = [("alpha",)] * 500 + [("beta",)] * 120 + [("gamma",)] * 7 + [
+        (f"tail{i}",) for i in range(400)
+    ]
+    toks = spark.createDataFrame(rows, "term string")
+    whole = sketches.cms_sketch_table(toks, "term")
+    halves = [toks.filter(F.crc32(F.col("term")) % 2 == i) for i in (0, 1)]
+    merged = sketches.merge_cms_tables(
+        *[sketches.cms_sketch_table(h, "term") for h in halves]
+    )
+    assert whole.exceptAll(merged).isEmpty() and merged.exceptAll(whole).isEmpty()
+
+    n_total = len(rows)
+    eps_n = (2.0 / sketches.CMS_WIDTH) * n_total  # generous ε for w=2048
+    exact = {"alpha": 500, "beta": 120, "gamma": 7}
+    items = spark.createDataFrame([(t,) for t in exact], "term string")
+    est = {
+        r["term"]: r["approx_count"]
+        for r in sketches.cms_estimate(merged, items, "term").collect()
+    }
+    for term, true_n in exact.items():
+        assert est[term] >= true_n
+        assert est[term] <= true_n + eps_n
+
+
+def test_semantic_dedup_clusters_and_representatives(spark):
+    """SemDeDup on hand-built vectors: three well-separated directions,
+    each with exact/near duplicates. Every duplicate group resolves to
+    one component with exactly one keep=True representative (the min
+    id); singletons keep themselves."""
+    from datalake_etlscripts_spark.operators.dedup import semantic_dedup
+
+    def v(base, eps=0.0):
+        return [x + eps for x in base]
+
+    a, b, c = [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]
+    rows = [
+        (1, v(a)), (2, v(a, 0.001)), (3, v(a, 0.002)),   # dup group {1,2,3}
+        (10, v(b)), (11, v(b, 0.001)),                   # dup group {10,11}
+        (20, v(c)),                                      # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.99, n_clusters=3)
+    got = {r["vec_id"]: (r["component"], r["keep"]) for r in out.collect()}
+    assert got[1] == (1, True) and got[2] == (1, False) and got[3] == (1, False)
+    assert got[10] == (10, True) and got[11] == (10, False)
+    assert got[20] == (20, True)
