@@ -39,21 +39,6 @@ from datalake_etlscripts_spark.operators.text import (
 _MASK32 = 0xFFFFFFFF
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure a CPU-bound per-document pipeline (shingle explode + hash
-    lanes) has at least one input partition per core. Small-file scans
-    under-partition — locally a single-file documents table is ONE scan
-    split, serializing the signature stage on one core. At 100 TB the
-    scan already yields thousands of splits and this is a no-op; the
-    repartition only fires (and only shuffles the under-partitioned,
-    therefore small, input) when the scan gives fewer splits than
-    cores."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
-
-
 def shingle_hashes(text: Column, k: int = 3) -> Column:
     """ARRAY<BIGINT> of k-shingle hashes built arithmetically: one
     xxhash64 per TOKEN, then a masked polynomial combine over k shifted
@@ -210,7 +195,7 @@ def minhash_lsh_pairs(
     its pairs could never verify).
     """
     r = num_hashes // bands
-    df = _spread(df.filter(F.size(tokens(F.col(text_col))) >= F.lit(k)))
+    df = df.filter(F.size(tokens(F.col(text_col))) >= F.lit(k))
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
     banded = sigs.select(
         "_did",
@@ -326,7 +311,7 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: block on 16-bit bands (a pair within
     hamming ≤ 3 of 4 bands shares at least one exact band), verify
     Hamming distance on candidates. Returns (id_a, id_b, hamming)."""
-    hashed = simhash_table(_spread(df), text_col, id_col, k=shingle_k).select(
+    hashed = simhash_table(df, text_col, id_col, k=shingle_k).select(
         "_did", F.col("simhash").alias("_sh")
     )
     n_bands = 64 // band_bits
