@@ -245,3 +245,101 @@ def tfidf_top_terms(
         .filter(F.col("_rn") <= k)
         .select(F.col("_did").alias(id_col), "term", "tf", "doc_freq", "score")
     )
+
+
+def ngram_lm_counts(
+    df: DataFrame, text_col: str = "text", max_order: int = 3
+) -> DataFrame:
+    """KenLM-style n-gram count tables for language-model training /
+    perplexity filtering: (order, gram, count, n_left_contexts) for
+    every order 1..max_order, where n_left_contexts is the
+    Kneser-Ney continuation count N1+(·g) — the number of DISTINCT
+    single-word left contexts the gram appears after (NULL at the top
+    order, which has no (order+1) table to derive from).
+
+    Scale shape: the corpus is scanned ONCE — every order's grams
+    explode out of the same row (flatten of per-order transform
+    arrays) into one (order, gram) shuffle. Continuation counts then
+    derive from the COUNT TABLE, not the corpus: a distinct
+    (k+1)-gram decomposes uniquely into (first word, k-gram suffix),
+    so N1+(·g) is a count(*) per suffix over the order-k+1 rows —
+    gram-table-sized work. Zipfian head grams are exactly what AQE
+    skew-split handles."""
+    tc = F.col(text_col)
+
+    # NB: a factory, not a default-arg lambda — F.transform treats a
+    # two-parameter lambda as (element, index)
+    def _tagged(k: int):
+        return F.transform(
+            ngrams(tc, k),
+            lambda g: F.struct(F.lit(k).cast("int").alias("order"), g.alias("gram")),
+        )
+
+    per_order = [_tagged(k) for k in range(1, max_order + 1)]
+    counts = (
+        df.select(F.explode(F.flatten(F.array(*per_order))).alias("x"))
+        .select("x.order", "x.gram")
+        .groupBy("order", "gram")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    first = F.substring_index("gram", " ", 1)
+    suffix = F.expr("substring(gram, length(substring_index(gram, ' ', 1)) + 2)")
+    conts = (
+        counts.filter(F.col("order") > 1)
+        .select((F.col("order") - 1).alias("order"), suffix.alias("gram"), first)
+        .groupBy("order", "gram")
+        .agg(F.count(F.lit(1)).alias("n_left_contexts"))
+    )
+    return counts.join(conts, ["order", "gram"], "left").select(
+        "order",
+        "gram",
+        "count",
+        F.when(
+            F.col("order") < max_order, F.coalesce("n_left_contexts", F.lit(0))
+        ).alias("n_left_contexts"),
+    )
+
+
+def rare_token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Per-document rare-token quality signal: (doc_id, n_tokens,
+    n_rare, rare_ratio) where a token is rare when its CORPUS
+    frequency < min_count. High ratios flag OCR noise, mojibake and
+    codey boilerplate; near-zero ratios flag templated text.
+
+    Scale shape: the frequent set (count ≥ min_count) is the Zipf
+    HEAD — vocabulary-head-sized, so it broadcasts; tokens mark
+    rareness map-side against it (left join, no corpus shuffle on the
+    term key beyond the head count itself) and one doc-keyed shuffle
+    aggregates the ratio. Docs with no tokens keep NULL ratio."""
+    ex = df.select(
+        F.col(id_col).alias("_did"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    frequent = (
+        ex.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_count)
+        .select("term", F.lit(True).alias("_freq"))
+    )
+    per_doc = (
+        ex.join(F.broadcast(frequent), "term", "left")
+        .groupBy("_did")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_freq").isNull(), 1).otherwise(0)).alias("n_rare"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("_did"))
+        .join(per_doc, "_did", "left")
+        .select(
+            F.col("_did").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_rare", F.lit(0)).alias("n_rare"),
+            (F.col("n_rare").cast("double") / F.col("n_tokens")).alias("rare_ratio"),
+        )
+    )

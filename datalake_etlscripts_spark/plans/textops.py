@@ -689,6 +689,77 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# n-gram language-model count tables (KenLM-shape) with Kneser-Ney
+# continuation counts; corpus scanned once, continuation derived from
+# the count table (operators/text.ngram_lm_counts)
+# ---------------------------------------------------------------------------
+@query(
+    "ngram_lm_counts",
+    oracle="""
+    WITH tok AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents
+    ),
+    grams AS (
+      SELECT 1 AS ord, unnest(t) AS gram FROM tok
+      UNION ALL
+      SELECT 2, unnest(list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i+1])) FROM tok
+      UNION ALL
+      SELECT 3, unnest(list_transform(range(1, len(t) - 1),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      FROM tok
+    ),
+    counts AS (SELECT ord, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+    conts AS (
+      SELECT ord - 1 AS ord,
+             substr(gram, length(split_part(gram, ' ', 1)) + 2) AS gram,
+             count(*) AS n_left
+      FROM counts WHERE ord > 1 GROUP BY 1, 2
+    )
+    SELECT c.ord AS "order", c.gram AS gram, c.cnt AS count,
+           CASE WHEN c.ord < 3 THEN coalesce(n.n_left, 0) END AS n_left_contexts
+    FROM counts c LEFT JOIN conts n ON c.ord = n.ord AND c.gram = n.gram
+    ORDER BY count DESC, "order", c.gram LIMIT 500
+    """,
+)
+def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        text.ngram_lm_counts(d, max_order=3)
+        .orderBy(F.desc("count"), "order", "gram")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------------------
+# rare-token quality signal: corpus-frequency head broadcast, per-doc
+# rare fraction (operators/text.rare_token_stats)
+# ---------------------------------------------------------------------------
+@query(
+    "rare_token_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      FROM documents
+    ),
+    freq AS (SELECT term FROM tok GROUP BY term HAVING count(*) >= 5),
+    per AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             CAST(sum(CASE WHEN f.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      FROM tok t LEFT JOIN freq f USING (term) GROUP BY t.doc_id
+    )
+    SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+           coalesce(p.n_rare, 0) AS n_rare,
+           CAST(p.n_rare AS DOUBLE) / p.n_tokens AS rare_ratio
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text.rare_token_stats(d, min_count=5)
+
+
+# ---------------------------------------------------------------------------
 # per-document tf-idf top terms (log-free score — see operator docstring)
 # ---------------------------------------------------------------------------
 @query(
