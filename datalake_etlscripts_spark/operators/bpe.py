@@ -139,11 +139,15 @@ def bpe_encode(
     then flattened to one token stream per document. Chained folds are
     pure column expressions; the plan is cut every ``checkpoint_every``
     merges so codegen never sees an unboundedly deep expression."""
+    # NB: factory, not default-arg lambdas — F.transform dispatches on
+    # lambda arity ((element) vs (element, index)), so extra default
+    # parameters break the call
+    def _apply(a: str, b: str):
+        return lambda w: merge_pair(w, a, b)
+
     out = df.withColumn(out_col, F.transform(tokens(F.col(text_col)), initial_symbols))
     for i, (a, b, _) in enumerate(merges):
-        out = out.withColumn(
-            out_col, F.transform(F.col(out_col), lambda w, a=a, b=b: merge_pair(w, a, b))
-        )
+        out = out.withColumn(out_col, F.transform(F.col(out_col), _apply(a, b)))
         if (i + 1) % checkpoint_every == 0 and i + 1 < len(merges):
             out = out.localCheckpoint()
     return out.withColumn(out_col, F.flatten(F.col(out_col)))

@@ -173,6 +173,84 @@ def minhash_signatures(
     return mins.select("_did", sig.alias("sig"))
 
 
+# within-bucket ordered pairs via per-bucket collect + explode, NOT a
+# banded self-join: a self-join evaluates the (expensive) shingle
+# explode + min-agg signature pipeline once per side — Catalyst can't
+# reuse the exchange across the join's probe/broadcast subplans — and
+# at 100 TB the broadcast side (docs × bands rows) stops fitting,
+# degrading to a sort-merge join with two more exchanges ON TOP of the
+# duplicated signature compute. This shape runs the pipeline once and
+# adds only one shuffle of the banded keys. Bucket sizes are
+# s-curve-small once shingle-less docs are excluded.
+def _pair_expr() -> Column:
+    # built lazily — F.expr needs an active session, and this module
+    # imports before any SparkSession exists in tests/CLI startup
+    return F.expr(
+        """
+        flatten(transform(ids, (x, i) ->
+          transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+            struct(x AS id_a, y AS id_b))))
+        """
+    )
+
+
+def lsh_bucket_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(band, bucket, _did): banded-LSH index rows for ``df`` — the
+    persistable state of incremental dedup (incremental_minhash_dedup
+    appends each batch's rows). Shingle-less docs are excluded up
+    front: a real pair needs a shared shingle, and their common
+    sentinel bucket would be the one genuinely quadratic bucket."""
+    r = num_hashes // bands
+    df = df.filter(F.size(tokens(F.col(text_col))) >= F.lit(k))
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    return sigs.select(
+        "_did",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    ).select("band", "bucket", "_did")
+
+
+def _verify_jaccard(
+    cand: DataFrame, texts: DataFrame, k: int, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs (id_a, id_b)
+    against ``texts`` (_did, _t). Jaccard runs over the ARITHMETIC
+    shingle-hash sets (same value as string-shingle Jaccard modulo
+    negligible 32-bit collisions) and only for docs appearing in some
+    pair — at scale candidates ≪ corpus, so the expensive shingle
+    build is semi-join-pruned to the candidate support set. ``cand``
+    is tiny and referenced three times — callers pass it
+    materialized (localCheckpoint / staged table)."""
+    support = (
+        cand.select(F.col("id_a").alias("_did"))
+        .unionByName(cand.select(F.col("id_b").alias("_did")))
+        .distinct()
+    )
+    sh = (
+        texts.join(support, "_did", "left_semi")
+        .select("_did", shingle_hashes(F.col("_t"), k).alias("_sh"))
+    )
+    verified = (
+        cand.join(sh.select(F.col("_did").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
+        .join(sh.select(F.col("_did").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
+        .select("id_a", "id_b", _jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard"))
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -187,77 +265,76 @@ def minhash_lsh_pairs(
     32 hashes × 8 bands (r=4) the s-curve crosses ~0.5 ≈ (1/8)^(1/4).
 
     Scale shape: explode to (band, bucket) keys → per-bucket pair
-    explode → candidates ~ linear; only candidate pairs pay the
-    exact-Jaccard verification. Returns (id_a, id_b, jaccard)
-    verified ≥ threshold (> 0: a pair needs a shared shingle, so
-    shingle-less docs are excluded from banding up front — their
-    shared sentinel bucket is the one genuinely quadratic bucket and
-    its pairs could never verify).
+    explode (see _PAIR_EXPR note) → candidates ~ linear; only
+    candidate pairs pay the exact-Jaccard verification. Returns
+    (id_a, id_b, jaccard) verified ≥ threshold.
     """
-    r = num_hashes // bands
-    df = df.filter(F.size(tokens(F.col(text_col))) >= F.lit(k))
-    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
-    banded = sigs.select(
-        "_did",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)])
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
-    # pairs via per-bucket collect + ordered-pair explode, NOT a
-    # banded self-join: a self-join evaluates the (expensive) shingle
-    # explode + min-agg signature pipeline once per side — Catalyst
-    # can't reuse the exchange across the join's probe/broadcast
-    # subplans — and at 100 TB the broadcast side (docs × bands rows)
-    # stops fitting, degrading to a sort-merge join with two more
-    # exchanges ON TOP of the duplicated signature compute. This shape
-    # runs the pipeline once and adds only one shuffle of the banded
-    # keys (local timing: equal within noise). Output is identical:
-    # every within-bucket ordered pair, deduped across bands; bucket
-    # sizes are s-curve-small now that the sentinel bucket is gone.
-    pair_expr = F.expr(
-        """
-        flatten(transform(ids, (x, i) ->
-          transform(slice(ids, i + 2, size(ids) - i - 1), y ->
-            struct(x AS id_a, y AS id_b))))
-        """
-    )
+    banded = lsh_bucket_table(df, text_col, id_col, k, num_hashes, bands)
     cand = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("_did")).alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(F.explode(pair_expr).alias("p"))
+        .select(F.explode(_pair_expr()).alias("p"))
         .select("p.id_a", "p.id_b")
         .dropDuplicates()
+        .localCheckpoint()
     )
-    # verification Jaccard runs over the ARITHMETIC shingle-hash sets
-    # (same value as string-shingle Jaccard modulo negligible 32-bit
-    # collisions), and only for docs that appear in some candidate
-    # pair — at scale candidates ≪ corpus, so the expensive shingle
-    # build is semi-join-pruned to the candidate support set. The
-    # candidate set is tiny and referenced three times below;
-    # materialize it so the signature/banding pipeline runs once.
-    cand = cand.localCheckpoint()
-    support = (
-        cand.select(F.col("id_a").alias("_did"))
-        .unionByName(cand.select(F.col("id_b").alias("_did")))
-        .distinct()
+    texts = df.select(F.col(id_col).alias("_did"), F.col(text_col).alias("_t"))
+    return _verify_jaccard(cand, texts, k, threshold)
+
+
+def incremental_minhash_dedup(
+    index: DataFrame,
+    existing_docs: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup detection — the 100 TB shape where the
+    corpus is ingested in batches and NEVER re-signatured: ``index``
+    is the persisted (band, bucket, _did) state (lsh_bucket_table
+    rows of everything ingested so far), ``existing_docs`` the stored
+    corpus (for verification text lookup), ``batch`` the new
+    documents. Returns (verified pairs touching the batch, updated
+    index rows to persist).
+
+    Candidates are (a) batch×existing via an equi-join probe of the
+    index on (band, bucket) — shuffle linear in batch size, the index
+    side is hash-partitioned state — and (b) within-batch pairs via
+    the same per-bucket explode as the batch path. Only candidates
+    pay verification; union-of-batches equals a full recompute
+    (asserted in tests) because banding is deterministic per doc."""
+    bt = lsh_bucket_table(batch, text_col, id_col, k, num_hashes, bands)
+    bt = bt.localCheckpoint()  # feeds probe, within-pairs and the new index
+    probe = (
+        bt.join(index.withColumnRenamed("_did", "_old"), ["band", "bucket"])
+        .filter(F.col("_did") != F.col("_old"))
+        .select(
+            F.least("_did", "_old").alias("id_a"),
+            F.greatest("_did", "_old").alias("id_b"),
+        )
     )
-    sh = (
-        df.select(F.col(id_col).alias("_did"), F.col(text_col).alias("_t"))
-        .join(support, "_did", "left_semi")
-        .select("_did", shingle_hashes(F.col("_t"), k).alias("_sh"))
+    within = (
+        bt.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list("_did")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_pair_expr()).alias("p"))
+        .select("p.id_a", "p.id_b")
     )
-    verified = (
-        cand.join(sh.select(F.col("_did").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
-        .join(sh.select(F.col("_did").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
-        .select("id_a", "id_b", _jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard"))
+    cand = probe.unionByName(within).dropDuplicates().localCheckpoint()
+    texts = (
+        existing_docs.select(F.col(id_col).alias("_did"), F.col(text_col).alias("_t"))
+        .unionByName(
+            batch.select(F.col(id_col).alias("_did"), F.col(text_col).alias("_t"))
+        )
+        .dropDuplicates(["_did"])
     )
-    return verified.filter(F.col("jaccard") >= threshold)
+    pairs = _verify_jaccard(cand, texts, k, threshold)
+    return pairs, index.unionByName(bt)
 
 
 def simhash_table(

@@ -271,6 +271,23 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(d, max_hamming=3)
 
 
+@query("dedup_incremental_lsh")  # approximate candidate set → rows-only check
+def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch incremental LSH dedup: batch 2 probes the persisted
+    bucket index built from batch 1 — no re-signaturing of ingested
+    docs. Equals a full recompute (asserted in tests/test_modules.py::
+    test_incremental_minhash_dedup_equals_full_recompute)."""
+    d = read_table(spark, sf_dir, "documents")
+    b1 = d.filter(F.col("doc_id") % 2 == 0)
+    b2 = d.filter(F.col("doc_id") % 2 == 1)
+    empty_index = spark.createDataFrame([], "band int, bucket bigint, _did bigint")
+    p1, idx1 = dedup.incremental_minhash_dedup(
+        empty_index, d.limit(0), b1, threshold=0.04
+    )
+    p2, _ = dedup.incremental_minhash_dedup(idx1, b1, b2, threshold=0.04)
+    return p1.unionByName(p2)
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling / splits / sequence packing
 # ---------------------------------------------------------------------------
@@ -894,4 +911,24 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "pair")
         .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# full BPE tokenizer training (operators/bpe.py): the iterative
+# generalization of bpe_pair_counts. Corpus touched ONCE (word-freq
+# shuffle); every merge round runs on the distinct-word vocab table.
+# Iterative driver-side argmax loop -> not SQL-expressible -> rows-only;
+# bit-identical to the classic algorithm by
+# tests/test_modules.py::test_bpe_train_matches_reference_and_encode_applies.
+# ---------------------------------------------------------------------------
+@query("bpe_learned_merges")
+def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_etlscripts_spark.operators.bpe import bpe_train
+
+    d = read_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, num_merges=8, min_freq=2)
+    return spark.createDataFrame(
+        [(i, a, b, int(n)) for i, (a, b, n) in enumerate(merges)],
+        "step int, a string, b string, freq bigint",
     )

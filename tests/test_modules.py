@@ -618,3 +618,121 @@ def test_semantic_dedup_clusters_and_representatives(spark):
     assert got[1] == (1, True) and got[2] == (1, False) and got[3] == (1, False)
     assert got[10] == (10, True) and got[11] == (10, False)
     assert got[20] == (20, True)
+
+
+def test_incremental_minhash_dedup_equals_full_recompute(spark):
+    """Batch-wise incremental LSH dedup must find exactly the pairs a
+    full-corpus recompute finds: banding is deterministic per doc, so
+    probe(batch2 vs index1) ∪ within-batch pairs over both batches
+    covers every bucket collision of the union corpus."""
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.io.readers import read_table
+    from datalake_etlscripts_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_lsh_pairs,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    empty_index = spark.createDataFrame([], "band int, bucket bigint, _did bigint")
+    empty_docs = docs.limit(0)
+
+    p1, idx1 = incremental_minhash_dedup(empty_index, empty_docs, b1, threshold=0.04)
+    p2, idx2 = incremental_minhash_dedup(idx1, b1, b2, threshold=0.04)
+    incremental = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in p1.unionByName(p2).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in minhash_lsh_pairs(docs, threshold=0.04).collect()
+    }
+    assert incremental == full and len(full) > 0
+    # the updated index is exactly the full corpus' bucket table
+    from datalake_etlscripts_spark.operators.dedup import lsh_bucket_table
+
+    full_index = lsh_bucket_table(docs)
+    assert idx2.exceptAll(full_index).isEmpty()
+    assert full_index.exceptAll(idx2).isEmpty()
+
+
+def _bpe_reference(texts, num_merges, min_freq):
+    """Pure-Python classic BPE (Sennrich et al.): same tie-break
+    (freq desc, then lexicographic pair) as operators/bpe.py."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                words[w] += 1
+    vocab = {tuple(list(w) + ["</w>"]): n for w, n in words.items()}
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for sym, n in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += n
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_freq:
+            break
+        merges.append((a, b, cnt))
+        new_vocab = {}
+        for sym, n in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference_and_encode_applies(spark):
+    """Distributed BPE training must reproduce the classic algorithm's
+    merge sequence bit-identically (same greedy argmax + tie-break),
+    and bpe_encode must apply the learned merges left-to-right
+    non-overlapping exactly like the reference."""
+    from datalake_etlscripts_spark.operators.bpe import bpe_encode, bpe_train
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "wide wider widest wide",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = bpe_train(df, num_merges=12, min_freq=2)
+    want = _bpe_reference(texts, num_merges=12, min_freq=2)
+    assert got == want
+
+    enc = {
+        r["text"]: r["bpe_tokens"]
+        for r in bpe_encode(df, got, checkpoint_every=4).collect()
+    }
+
+    def ref_apply(word):
+        sym = list(word) + ["</w>"]
+        for a, b, _ in want:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    for t in texts:
+        expect = [s for w in t.split(" ") if w for s in ref_apply(w)]
+        assert enc[t] == expect
