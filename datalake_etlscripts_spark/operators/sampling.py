@@ -155,3 +155,46 @@ def mixture_sample(
         .filter(uniform_hash(F.col(key_col)) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 200,
+    overlap: int = 40,
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    the RAG / context-window preprocessing shape. Returns (doc_id,
+    chunk_no, chunk_text, chunk_start) with chunk_start 1-based;
+    chunks step by (chunk_chars - overlap) and the final partial chunk
+    is kept. Empty documents yield no chunks.
+
+    Scale shape: pure per-row expression work (sequence + transform +
+    posexplode) — no shuffle at all; chunking composes with any
+    downstream repartition. Substring on the JVM; no Python."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    t = F.col(text_col)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(t) - F.lit(overlap), F.lit(1)),
+        F.lit(step),
+    )
+    chunks = F.transform(
+        starts, lambda s: F.struct(s.alias("start"), F.substring(t, s, chunk_chars).alias("txt"))
+    )
+    return (
+        df.filter(F.length(t) > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_no", "_c"),
+        )
+        .select(
+            id_col,
+            "chunk_no",
+            F.col("_c.txt").alias("chunk_text"),
+            F.col("_c.start").alias("chunk_start"),
+        )
+    )

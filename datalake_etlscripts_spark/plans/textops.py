@@ -706,6 +706,34 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# fixed-size overlapping character chunks (RAG / context-window prep);
+# pure per-row expression work, no shuffle (operators/sampling.chunk_documents)
+# ---------------------------------------------------------------------------
+@query(
+    "chunk_documents",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, text,
+             range(1, greatest(length(text) - 40, 1) + 1, 160) AS starts
+      FROM documents WHERE length(text) > 0
+    ),
+    e AS (
+      SELECT doc_id, text, unnest(starts) AS s,
+             unnest(range(0, len(starts))) AS chunk_no
+      FROM c
+    )
+    SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+           substr(text, CAST(s AS INT), 200) AS chunk_text,
+           CAST(s AS INT) AS chunk_start
+    FROM e
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return sampling.chunk_documents(d, chunk_chars=200, overlap=40)
+
+
+# ---------------------------------------------------------------------------
 # n-gram language-model count tables (KenLM-shape) with Kneser-Ney
 # continuation counts; corpus scanned once, continuation derived from
 # the count table (operators/text.ngram_lm_counts)
