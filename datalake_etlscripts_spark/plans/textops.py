@@ -955,7 +955,7 @@ def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_etlscripts_spark.operators.bpe import bpe_train
 
     d = read_table(spark, sf_dir, "documents")
-    merges = bpe_train(d, num_merges=8, min_freq=2)
+    merges = bpe_train(d, num_merges=6, min_freq=2)
     return spark.createDataFrame(
         [(i, a, b, int(n)) for i, (a, b, n) in enumerate(merges)],
         "step int, a string, b string, freq bigint",

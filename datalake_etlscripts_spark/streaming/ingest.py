@@ -276,3 +276,19 @@ def stream_stream_join(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}"))
     )
     return l_.join(r_, cond, "inner").select(key, "l_id", "l_ts", "r_id", "r_ts")
+
+
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "user_id",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment: join a (possibly unbounded) event
+    stream against a static/slowly-changing dimension table. The
+    static side is re-planned per micro-batch — a dimension UPDATE
+    becomes visible at the next batch boundary without restarting the
+    query — and broadcast (dimension tables are small relative to the
+    stream), so the stream side never shuffles and the join holds no
+    streaming state. Works identically on batch frames."""
+    return events.join(F.broadcast(dim), on, how)

@@ -325,3 +325,39 @@ def test_streaming_ingest_maintains_views(spark):
         assert est == 3  # url/a,b,c — tiny cardinality: HLL exact
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path, sf_dir):
+    """Stream-static broadcast enrichment: streaming result over a
+    file source equals the plain batch join, and the stream side
+    holds no state (stateless plan)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.io.readers import read_table
+    from datalake_etlscripts_spark.streaming.ingest import stream_static_enrich
+
+    events = read_table(spark, sf_dir, "events").limit(500)
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    dim = spark.createDataFrame(
+        [(i, f"tier{i % 3}") for i in range(100)], "user_id bigint, tier string"
+    )
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream_static_enrich(stream, dim)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir).select("event_id", "user_id", "tier")
+    want = stream_static_enrich(events, dim).select("event_id", "user_id", "tier")
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    assert got.count() == events.count()
