@@ -144,3 +144,81 @@ def cms_estimate(
         .groupBy(item)
         .agg(F.min(F.coalesce("n", F.lit(0))).alias("approx_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram sketch: mergeable QUANTILE state completing the trio
+# (HLL → distinct, CMS → frequency, histogram → quantiles). Fixed-bin
+# counters over a declared value range: (bin, n) rows merge by
+# bin-sum (exact, like CMS), and any quantile reads off the cumulative
+# bin distribution within one bin width of truth. The 100 TB use: the
+# quality-score decile boundaries of quality_deciles maintained
+# incrementally — per-batch histograms fold into running state, the
+# corpus is never rescanned to re-rank.
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 1024
+
+
+def histogram_sketch_table(
+    df: DataFrame,
+    value: str,
+    lo: float,
+    hi: float,
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Build histogram state from value rows: (bin, n). Values are
+    clamped to [lo, hi]; one map-side-combined shuffle bounded by
+    ``bins`` rows per input partition."""
+    width = (hi - lo) / bins
+    b = F.least(
+        F.greatest(
+            ((F.col(value) - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)
+        ),
+        F.lit(bins - 1),
+    )
+    return df.select(b.alias("bin")).groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def merge_histogram_tables(*tables: DataFrame) -> DataFrame:
+    """Fold histogram states (running ∪ batch): bin-wise sum — exact,
+    so per-batch histograms equal one histogram of the whole."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bin").agg(F.sum("n").alias("n"))
+
+
+def histogram_quantiles(
+    state: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Estimate quantiles from histogram state: the left edge of the
+    first bin whose cumulative count reaches q·N. Error ≤ one bin
+    width. State is bins-sized — the cumulative window runs on a
+    single partition of ≤ ``bins`` rows, never on data."""
+    from pyspark.sql import Window as W
+
+    width = (hi - lo) / bins
+    cum = state.select(
+        "bin",
+        F.sum("n").over(W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.sum("n").over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("total"),
+    )
+    out = None
+    for q in qs:
+        est = (
+            cum.filter(F.col("cum") >= F.ceil(F.lit(q) * F.col("total")))
+            .agg(F.min("bin").alias("bin"))
+            .select(
+                F.lit(q).alias("q"),
+                (F.lit(lo) + F.col("bin") * F.lit(width)).alias("estimate"),
+            )
+        )
+        out = est if out is None else out.unionByName(est)
+    return out

@@ -359,6 +359,55 @@ def q_approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Histogram-state quantiles (operators/sketches.py): mergeable (bin, n)
+# counters; per-half sketches bin-sum into one state (exact merge,
+# asserted in tests) and quantiles read off the cumulative bins. The
+# integer binning + bin-edge arithmetic is deterministic, so this one
+# IS oracle-checkable, unlike the HLL/CMS estimates.
+# ---------------------------------------------------------------------------
+_H_LO, _H_HI, _H_BINS = 0.0, 110000.0, 1024
+_H_W = (_H_HI - _H_LO) / _H_BINS
+
+
+@query(
+    "approx_quantiles_incremental",
+    oracle=f"""
+    WITH h AS (
+      SELECT least(greatest(CAST(floor(l_extendedprice / {_H_W!r}) AS INT), 0),
+                   {_H_BINS - 1}) AS bin,
+             count(*) AS n
+      FROM lineitem GROUP BY 1
+    ),
+    c AS (
+      SELECT bin, sum(n) OVER (ORDER BY bin) AS cum, sum(n) OVER () AS total
+      FROM h
+    )
+    SELECT q, {_H_LO!r} + min_bin * {_H_W!r} AS estimate
+    FROM (
+      SELECT CAST(v.q AS DOUBLE) AS q, min(c.bin) AS min_bin
+      FROM (VALUES (0.25), (0.5), (0.75), (0.9)) v(q)
+      JOIN c ON c.cum >= ceil(CAST(v.q AS DOUBLE) * c.total)
+      GROUP BY 1
+    )
+    """,
+)
+def q_approx_quantiles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_etlscripts_spark.operators import sketches
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    halves = [li.filter(F.col("l_orderkey") % 2 == i) for i in (0, 1)]
+    state = sketches.merge_histogram_tables(
+        *[
+            sketches.histogram_sketch_table(h, "l_extendedprice", _H_LO, _H_HI, _H_BINS)
+            for h in halves
+        ]
+    )
+    return sketches.histogram_quantiles(
+        state, [0.25, 0.5, 0.75, 0.9], _H_LO, _H_HI, _H_BINS
+    )
+
+
+# ---------------------------------------------------------------------------
 # Z-order key (io/layout.py): bit-interleave of integer-quantized
 # columns — the clustering key behind cluster_write's data-skipping
 # layout. Quantization here is integer modulo so DuckDB reproduces the

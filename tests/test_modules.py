@@ -736,3 +736,32 @@ def test_bpe_train_matches_reference_and_encode_applies(spark):
     for t in texts:
         expect = [s for w in t.split(" ") if w for s in ref_apply(w)]
         assert enc[t] == expect
+
+
+def test_histogram_sketch_merge_exact_and_quantile_accuracy(spark, sf_dir):
+    """Histogram quantile state: per-half merge equals whole-corpus
+    histogram bin-exactly, and quantile estimates land within one bin
+    width of the exact percentile."""
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.io.readers import read_table
+    from datalake_etlscripts_spark.operators import sketches
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    lo, hi, bins = 0.0, 110000.0, 1024
+    width = (hi - lo) / bins
+    halves = [li.filter(F.col("l_orderkey") % 2 == i) for i in (0, 1)]
+    merged = sketches.merge_histogram_tables(
+        *[sketches.histogram_sketch_table(h, "l_extendedprice", lo, hi, bins) for h in halves]
+    )
+    whole = sketches.histogram_sketch_table(li, "l_extendedprice", lo, hi, bins)
+    assert merged.exceptAll(whole).isEmpty() and whole.exceptAll(merged).isEmpty()
+
+    qs = [0.25, 0.5, 0.75, 0.9]
+    est = {
+        r["q"]: r["estimate"]
+        for r in sketches.histogram_quantiles(merged, qs, lo, hi, bins).collect()
+    }
+    exact = li.approxQuantile("l_extendedprice", qs, 0.0)
+    for q, ex in zip(qs, exact):
+        assert abs(est[q] - ex) <= width + 1e-9, (q, est[q], ex)
