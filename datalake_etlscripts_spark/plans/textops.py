@@ -706,6 +706,68 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# END-TO-END corpus preparation: the canonical training-data pipeline
+# composed from the operators above — inject dups (deterministic, both
+# engines) → quality filter → exact dedup keep-first → overlapping
+# chunking. One query proving the stages compose; each stage's scale
+# shape is documented/tested at its own operator.
+# ---------------------------------------------------------------------------
+@query(
+    "prepare_training_corpus",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    q AS (
+      SELECT doc_id, text,
+             len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens,
+             len(list_distinct(list_filter(string_split(text,' '), x -> x <> ''))) AS n_distinct
+      FROM corpus
+    ),
+    filtered AS (
+      SELECT doc_id, text FROM q
+      WHERE n_tokens >= 10 AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.2
+    ),
+    keep AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY md5(text)),
+    deduped AS (
+      SELECT f.doc_id, f.text FROM filtered f
+      WHERE f.doc_id IN (SELECT doc_id FROM keep)
+    ),
+    c AS (
+      SELECT doc_id, text,
+             range(1, greatest(length(text) - 40, 1) + 1, 160) AS starts
+      FROM deduped WHERE length(text) > 0
+    ),
+    e AS (
+      SELECT doc_id, text, unnest(starts) AS s,
+             unnest(range(0, len(starts))) AS chunk_no
+      FROM c
+    )
+    SELECT doc_id, CAST(chunk_no AS INT) AS chunk_no,
+           substr(text, CAST(s AS INT), 200) AS chunk_text,
+           CAST(s AS INT) AS chunk_start
+    FROM e
+    """,
+)
+def q_prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    filtered = (
+        text.quality_features(corpus)
+        .filter((F.col("n_tokens") >= 10) & (F.col("distinct_ratio") >= 0.2))
+        .select("doc_id", "text")
+    )
+    deduped = dedup.dedup_keep_first(filtered)
+    return sampling.chunk_documents(deduped, chunk_chars=200, overlap=40)
+
+
+# ---------------------------------------------------------------------------
 # fixed-size overlapping character chunks (RAG / context-window prep);
 # pure per-row expression work, no shuffle (operators/sampling.chunk_documents)
 # ---------------------------------------------------------------------------
