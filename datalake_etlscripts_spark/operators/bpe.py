@@ -59,16 +59,15 @@ def adjacent_pairs(symbols: Column) -> Column:
     )
 
 
-def merge_pair(symbols: Column, a: Column | str, b: Column | str) -> Column:
+def merge_pair(symbols: Column, a: str, b: str) -> Column:
     """Replace every non-overlapping adjacent (a, b) with the merged
     symbol a+b, greedy left-to-right — one JVM-side fold, no UDF.
-    (``a``/``b`` accept Columns for parameterized callers; a broadcast
-    1-row parameter table was tried to share one compiled plan across
-    training rounds and did NOT beat per-round literal codegen — the
-    broadcast exchange per round cost more than the compile.)"""
-    a = F.lit(a) if isinstance(a, str) else a
-    b = F.lit(b) if isinstance(b, str) else b
-    merged = F.concat(a, b)
+    (Literal parameters are deliberate: a broadcast 1-row parameter
+    table was tried to share one compiled plan across training rounds
+    and did NOT beat per-round literal codegen — the broadcast
+    exchange per round cost more than the compile.)"""
+    merged = F.lit(a + b)
+    a, b = F.lit(a), F.lit(b)
     init = F.struct(
         F.array().cast("array<string>").alias("out"),
         F.lit(None).cast("string").alias("carry"),

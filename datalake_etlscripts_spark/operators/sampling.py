@@ -173,8 +173,8 @@ def chunk_documents(
     Scale shape: pure per-row expression work (sequence + transform +
     posexplode) — no shuffle at all; chunking composes with any
     downstream repartition. Substring on the JVM; no Python."""
-    if overlap >= chunk_chars:
-        raise ValueError("overlap must be smaller than chunk_chars")
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError("overlap must be in [0, chunk_chars)")
     step = chunk_chars - overlap
     t = F.col(text_col)
     starts = F.sequence(

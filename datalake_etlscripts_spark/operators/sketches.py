@@ -102,6 +102,10 @@ def cms_sketch_table(
     (depth, bucket) keys — map-side combined, so shuffle volume is
     bounded by depth × width per input partition, not by row count."""
     w = F.col(weight) if weight else F.lit(1).cast("long")
+    # NULL items are excluded (SQL count semantics) — xxhash64(NULL)
+    # is a fixed per-seed value, so counting NULLs would inflate one
+    # lane set and overcount every term colliding with it
+    df = df.filter(F.col(item).isNotNull())
     lanes = df.select(
         F.posexplode(
             F.array(*[_cms_bucket(F.col(item), d, width) for d in range(depth)])
@@ -131,7 +135,7 @@ def cms_estimate(
     sketch state: min over depths of the item's counter. The sketch
     state is counter-sized — broadcast it so per-item lookup is a
     map-side join, no shuffle of the item side."""
-    lanes = items.select(
+    lanes = items.filter(F.col(item).isNotNull()).select(
         F.col(item),
         F.posexplode(
             F.array(
@@ -167,18 +171,22 @@ def histogram_sketch_table(
     hi: float,
     bins: int = HIST_BINS,
 ) -> DataFrame:
-    """Build histogram state from value rows: (bin, n). Values are
-    clamped to [lo, hi]; one map-side-combined shuffle bounded by
-    ``bins`` rows per input partition."""
+    """Build histogram state from value rows: (bin, n). NULLs are
+    ignored (count/approxQuantile semantics); out-of-range values are
+    clamped to the edge bins ON THE DOUBLE — clamping after an int
+    cast would ANSI-CAST_OVERFLOW the stage on one huge value. One
+    map-side-combined shuffle bounded by ``bins`` rows per input
+    partition."""
     width = (hi - lo) / bins
     b = F.least(
-        F.greatest(
-            ((F.col(value) - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)
-        ),
-        F.lit(bins - 1),
-    )
-    return df.select(b.alias("bin")).groupBy("bin").agg(
-        F.count(F.lit(1)).alias("n")
+        F.greatest((F.col(value) - F.lit(lo)) / F.lit(width), F.lit(0.0)),
+        F.lit(float(bins - 1)),
+    ).cast("int")
+    return (
+        df.filter(F.col(value).isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 

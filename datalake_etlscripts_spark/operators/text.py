@@ -282,11 +282,12 @@ def ngram_lm_counts(
         .groupBy("order", "gram")
         .agg(F.count(F.lit(1)).alias("count"))
     )
-    first = F.substring_index("gram", " ", 1)
+    # each distinct (k+1)-gram decomposes uniquely into (first word,
+    # k-gram suffix), so row-count per suffix == distinct left contexts
     suffix = F.expr("substring(gram, length(substring_index(gram, ' ', 1)) + 2)")
     conts = (
         counts.filter(F.col("order") > 1)
-        .select((F.col("order") - 1).alias("order"), suffix.alias("gram"), first)
+        .select((F.col("order") - 1).alias("order"), suffix.alias("gram"))
         .groupBy("order", "gram")
         .agg(F.count(F.lit(1)).alias("n_left_contexts"))
     )

@@ -595,6 +595,15 @@ def test_cms_sketch_merge_exact_and_estimate_envelope(spark):
         assert est[term] >= true_n
         assert est[term] <= true_n + eps_n
 
+    # NULL items are excluded from the sketch (SQL count semantics)
+    with_nulls = spark.createDataFrame([("x",), (None,), (None,)], "term string")
+    mass = (
+        sketches.cms_sketch_table(with_nulls, "term")
+        .agg(F.sum("n").alias("m"))
+        .first()["m"]
+    )
+    assert mass == sketches.CMS_DEPTH  # one non-null row x depth lanes
+
 
 def test_semantic_dedup_clusters_and_representatives(spark):
     """SemDeDup on hand-built vectors: three well-separated directions,
@@ -620,7 +629,7 @@ def test_semantic_dedup_clusters_and_representatives(spark):
     assert got[20] == (20, True)
 
 
-def test_incremental_minhash_dedup_equals_full_recompute(spark):
+def test_incremental_minhash_dedup_equals_full_recompute(spark, sf_dir):
     """Batch-wise incremental LSH dedup must find exactly the pairs a
     full-corpus recompute finds: banding is deterministic per doc, so
     probe(batch2 vs index1) ∪ within-batch pairs over both batches
@@ -633,7 +642,7 @@ def test_incremental_minhash_dedup_equals_full_recompute(spark):
         minhash_lsh_pairs,
     )
 
-    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = read_table(spark, sf_dir, "documents")
     b1 = docs.filter(F.col("doc_id") % 2 == 0)
     b2 = docs.filter(F.col("doc_id") % 2 == 1)
 
