@@ -344,3 +344,52 @@ def rare_token_stats(
             (F.col("n_rare").cast("double") / F.col("n_tokens")).alias("rare_ratio"),
         )
     )
+
+
+def vocab_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic token dictionary: (term, token_id) with ids
+    assigned by frequency rank (doc_freq desc, total_tf desc, term) —
+    id 1 is the most document-frequent term, ties broken
+    lexicographically so the mapping is stable across runs and
+    engines. The ranking window runs over the VOCABULARY (Zipf: ~10 M
+    rows at 100 TB — dictionary-sized, not corpus-sized); the corpus
+    itself is touched only by term_stats' one explode + shuffle."""
+    from pyspark.sql import Window as W
+
+    stats = term_stats(df, text_col, id_col)
+    rank = F.row_number().over(
+        W.orderBy(F.desc("doc_freq"), F.desc("total_tf"), "term")
+    )
+    return stats.select("term", rank.alias("token_id"))
+
+
+def encode_corpus(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents as token-id sequences against a dictionary:
+    (doc_id, token_ids ARRAY<INT>) in original token order;
+    out-of-vocabulary tokens map to 0. The dictionary side broadcasts
+    (vocabulary ≪ corpus); order is restored by a per-doc sort of
+    (position, id) after the join — one doc-keyed shuffle."""
+    toks = df.select(
+        F.col(id_col).alias("_did"),
+        F.posexplode(tokens(F.col(text_col))).alias("_ord", "term"),
+    )
+    joined = toks.join(F.broadcast(vocab), "term", "left").select(
+        "_did", "_ord", F.coalesce("token_id", F.lit(0)).alias("_tid")
+    )
+    return (
+        joined.groupBy("_did")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_ord", "_tid"))),
+                lambda s: s["_tid"],
+            ).alias("token_ids")
+        )
+        .select(F.col("_did").alias(id_col), "token_ids")
+    )

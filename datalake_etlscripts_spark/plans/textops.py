@@ -706,6 +706,52 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# vocabulary id assignment + corpus encoding (text → token ids): the
+# dictionary step of the training pipeline. Ids are frequency-rank
+# (deterministic tie-break) so the mapping is engine-stable; OOV → 0.
+# ---------------------------------------------------------------------------
+@query(
+    "vocab_encode",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      FROM documents
+    ),
+    stats AS (
+      SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_tf
+      FROM tok GROUP BY term
+    ),
+    vocab AS (
+      SELECT term,
+             row_number() OVER (ORDER BY doc_freq DESC, total_tf DESC, term)
+               AS token_id
+      FROM stats
+    ),
+    pos AS (
+      SELECT doc_id,
+             unnest(list_transform(list_filter(string_split(text, ' '), x -> x <> ''),
+                                   (x, i) -> struct_pack(ord := i, term := x))) AS p
+      FROM documents
+    )
+    SELECT doc_id,
+           string_agg(CAST(v.token_id AS VARCHAR), ',' ORDER BY p.ord) AS ids
+    FROM pos JOIN vocab v ON p.term = v.term
+    GROUP BY doc_id
+    """,
+)
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    vocab = text.vocab_table(d)
+    enc = text.encode_corpus(d, vocab)
+    return enc.filter(F.size("token_ids") > 0).select(
+        "doc_id",
+        F.concat_ws(",", F.transform("token_ids", lambda x: x.cast("string"))).alias(
+            "ids"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # END-TO-END corpus preparation: the canonical training-data pipeline
 # composed from the operators above — inject dups (deterministic, both
 # engines) → quality filter → exact dedup keep-first → overlapping

@@ -774,3 +774,26 @@ def test_histogram_sketch_merge_exact_and_quantile_accuracy(spark, sf_dir):
     exact = li.approxQuantile("l_extendedprice", qs, 0.0)
     for q, ex in zip(qs, exact):
         assert abs(est[q] - ex) <= width + 1e-9, (q, est[q], ex)
+
+
+def test_encode_corpus_order_and_oov(spark):
+    """Corpus encoding: ids follow original token order; tokens absent
+    from the dictionary encode as 0 (OOV)."""
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.operators.text import encode_corpus, vocab_table
+
+    df = spark.createDataFrame(
+        [(1, "b a b c"), (2, "a a"), (3, "")], "doc_id int, text string"
+    )
+    vocab = vocab_table(df)
+    v = {r["term"]: r["token_id"] for r in vocab.collect()}
+    # freq rank: a (2 docs, 3 tf) > b (1 doc, 2 tf) > c (1 doc, 1 tf)
+    assert v == {"a": 1, "b": 2, "c": 3}
+
+    enc = {r["doc_id"]: r["token_ids"] for r in encode_corpus(df, vocab).collect()}
+    assert enc[1] == [2, 1, 2, 3] and enc[2] == [1, 1]
+
+    small = vocab.filter(F.col("term") != "c")
+    enc2 = {r["doc_id"]: r["token_ids"] for r in encode_corpus(df, small).collect()}
+    assert enc2[1] == [2, 1, 2, 0]
