@@ -101,3 +101,65 @@ def _struct_type_of(df: DataFrame, cols: list[str]):
     from pyspark.sql.types import StructType
 
     return StructType([df.schema[c] for c in cols])
+
+
+def funnel_steps(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel analysis: per user, the furthest step of ``steps``
+    reached IN ORDER (a later step only counts after an earlier one —
+    the classic ordered-sequence funnel). Returns (user_id, max_step)
+    with max_step in 0..len(steps).
+
+    Shape: ONE shuffle on the user key — events collect into a
+    (ts, id, type) array per user, sorted, and a JVM-side aggregate
+    fold advances the step counter. No per-step self-joins (the
+    textbook k-way join pays k shuffles and candidate blowup); state
+    per user is one int. Ties are deterministic: (ts, event_id) is a
+    total order."""
+    ev = df.select(
+        F.col(user_col),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.col(type_col).alias("t"),
+        ).alias("_e"),
+    ).filter(F.col(f"_e.t").isin(steps))
+    per_user = ev.groupBy(user_col).agg(
+        F.array_sort(F.collect_list("_e")).alias("_evs")
+    )
+
+    def advance(acc, e):
+        out = acc
+        for i, s in enumerate(steps):
+            out = F.when((acc == i) & (e["t"] == s), i + 1).otherwise(out)
+        return out
+
+    fold = F.aggregate(
+        F.col("_evs"), F.lit(0), lambda acc, e: advance(acc, e)
+    )
+    return per_user.select(user_col, fold.alias("max_step"))
+
+
+def funnel_counts(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    **kw,
+) -> DataFrame:
+    """Aggregate funnel: (step, n_users) where n_users counts users
+    whose ordered progression reached AT LEAST that step — the
+    conversion curve. Step 1..len(steps); a user contributes to every
+    step up to their max."""
+    per_user = funnel_steps(df, steps, user_col=user_col, **kw)
+    # NB: filter BEFORE the explode — sequence(1, 0) infers step -1
+    # and yields [1, 0], which would phantom-count step-0 users
+    reached = per_user.filter(F.col("max_step") >= 1).select(
+        F.explode(F.sequence(F.lit(1), F.col("max_step"))).alias("step")
+    )
+    return reached.groupBy("step").agg(F.count(F.lit(1)).alias("n_users"))

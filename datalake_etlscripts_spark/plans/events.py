@@ -224,6 +224,49 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ordered-sequence funnel (view → click → purchase): per-user sorted
+# fold advancing a step counter — ONE user-keyed shuffle, no k-way
+# self-joins (operators/events.funnel_counts); DuckDB verifies with
+# the identical list_reduce fold
+# ---------------------------------------------------------------------------
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             list_transform(
+               list_sort(list(struct_pack(ts := ts, id := event_id,
+                                          t := event_type))),
+               e -> e.t) AS ts_types
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY user_id
+    ),
+    steps AS (
+      SELECT user_id,
+             CAST(list_reduce(list_prepend('0', ts_types), (acc, t) ->
+               CASE WHEN acc = '0' AND t = 'view' THEN '1'
+                    WHEN acc = '1' AND t = 'click' THEN '2'
+                    WHEN acc = '2' AND t = 'purchase' THEN '3'
+                    ELSE acc END) AS INT) AS max_step
+      FROM ev
+    ),
+    reached AS (
+      SELECT unnest(range(1, max_step + 1)) AS step FROM steps
+      WHERE max_step >= 1
+    )
+    SELECT CAST(step AS INT) AS step, count(*) AS n_users
+    FROM reached GROUP BY 1
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_etlscripts_spark.operators.events import funnel_counts
+
+    e = read_table(spark, sf_dir, "events")
+    return funnel_counts(e, ["view", "click", "purchase"])
+
+
+# ---------------------------------------------------------------------------
 # full ranking-window suite: rank / dense_rank / percent_rank /
 # cume_dist / lead / lag / bounded-frame moving sum, all in ONE window
 # partitioning (user_id) — a single shuffle serves every function.

@@ -797,3 +797,35 @@ def test_encode_corpus_order_and_oov(spark):
     small = vocab.filter(F.col("term") != "c")
     enc2 = {r["doc_id"]: r["token_ids"] for r in encode_corpus(df, small).collect()}
     assert enc2[1] == [2, 1, 2, 0]
+
+
+def test_funnel_requires_order_and_skips_step0(spark):
+    """Funnel semantics: steps only count in order (a purchase before
+    any view contributes nothing), and users reaching no step don't
+    phantom-count (sequence(1,0) would yield [1,0])."""
+    from datetime import datetime
+
+    from datalake_etlscripts_spark.operators.events import funnel_counts, funnel_steps
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: full ordered funnel
+        (1, t(1), 1, "view"), (2, t(2), 1, "click"), (3, t(3), 1, "purchase"),
+        # u2: purchase first — only the later view counts
+        (4, t(1), 2, "purchase"), (5, t(2), 2, "view"),
+        # u3: click only — never starts the funnel
+        (6, t(1), 3, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    steps = {
+        r["user_id"]: r["max_step"]
+        for r in funnel_steps(df, ["view", "click", "purchase"]).collect()
+    }
+    assert steps == {1: 3, 2: 1, 3: 0}
+    counts = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(df, ["view", "click", "purchase"]).collect()
+    }
+    assert counts == {1: 2, 2: 1, 3: 1}
