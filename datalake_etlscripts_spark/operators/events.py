@@ -163,3 +163,35 @@ def funnel_counts(
         F.explode(F.sequence(F.lit(1), F.col("max_step"))).alias("step")
     )
     return reached.groupBy("step").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity period
+    (their cohort); for each (cohort, offset) the number of DISTINCT
+    cohort users active ``offset`` periods later. Returns
+    (cohort, period_offset, n_users); offset 0 is the cohort size.
+
+    Shape: first-activity via a min-aggregate per user (one user-keyed
+    shuffle, map-side combined — not a window over raw events), joined
+    back onto the per-(user, period) activity table, then one
+    (cohort, offset) count-distinct. The join key is the user id —
+    hash-partitioned both sides, no skew beyond real power users
+    (AQE-handled)."""
+    pu = F.date_trunc(period, F.col(ts_col))
+    activity = df.select(F.col(user_col).alias("_u"), pu.alias("_p")).distinct()
+    cohorts = activity.groupBy("_u").agg(F.min("_p").alias("_cohort"))
+    offset = (
+        F.datediff(F.col("_p"), F.col("_cohort"))
+        / F.lit(7 if period == "week" else 1)
+    ).cast("int")
+    return (
+        activity.join(cohorts, "_u")
+        .select("_u", F.col("_cohort").alias("cohort"), offset.alias("period_offset"))
+        .groupBy("cohort", "period_offset")
+        .agg(F.count_distinct("_u").alias("n_users"))
+    )

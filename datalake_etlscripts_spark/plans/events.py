@@ -267,6 +267,31 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cohort retention matrix (weekly cohorts × period offsets) — the
+# third of the classic event-analytics trio with sessionize + funnel
+# (operators/events.cohort_retention)
+# ---------------------------------------------------------------------------
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events
+    ),
+    cohorts AS (SELECT user_id, min(p) AS cohort FROM activity GROUP BY user_id)
+    SELECT c.cohort, CAST(date_diff('day', c.cohort, a.p) / 7 AS INT) AS period_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_etlscripts_spark.operators.events import cohort_retention
+
+    e = read_table(spark, sf_dir, "events")
+    return cohort_retention(e, period="week")
+
+
+# ---------------------------------------------------------------------------
 # full ranking-window suite: rank / dense_rank / percent_rank /
 # cume_dist / lead / lag / bounded-frame moving sum, all in ONE window
 # partitioning (user_id) — a single shuffle serves every function.
