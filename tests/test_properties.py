@@ -170,3 +170,74 @@ def test_text_operators_survive_degenerate_documents(spark):
     assert minhash_signatures(df).count() == len(EDGE_DOCS)
     assert simhash_table(df).count() == len(EDGE_DOCS)
     assert tfidf_top_terms(df, k=2).count() > 0
+
+
+@SET
+@given(
+    texts=st.lists(st.text(alphabet="ab c\n", min_size=0, max_size=300), min_size=1, max_size=15),
+    chunk=st.integers(5, 60),
+    overlap=st.integers(0, 4),
+)
+def test_chunking_reconstructs_text(spark, texts, chunk, overlap):
+    """Chunk coverage invariant: stripping the overlap from every
+    chunk but the last and concatenating reconstructs the document
+    exactly — no characters lost or duplicated."""
+    from datalake_etlscripts_spark.operators.sampling import chunk_documents
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    out = chunk_documents(df, chunk_chars=chunk, overlap=overlap)
+    rows = out.collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_no"], r["chunk_text"]))
+    step = chunk - overlap
+    for i, t in enumerate(texts):
+        if t == "":
+            assert i not in by_doc
+            continue
+        chunks = [c for _, c in sorted(by_doc[i])]
+        rebuilt = "".join(c[:step] for c in chunks[:-1]) + chunks[-1]
+        assert rebuilt == t, (t, chunk, overlap, chunks)
+
+
+@SET
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 4), st.sampled_from(["view", "click", "purchase", "other"])),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_funnel_matches_python_reference(spark, events):
+    """Funnel fold vs a pure-Python ordered scan over the same
+    (ts, event_id)-sorted event sequence per user."""
+    from datetime import datetime, timedelta
+
+    from datalake_etlscripts_spark.operators.events import funnel_steps
+
+    steps = ["view", "click", "purchase"]
+    rows = [
+        (eid, datetime(2024, 1, 1) + timedelta(minutes=eid % 7), user, typ)
+        for eid, (user, typ) in enumerate(events)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string"
+    )
+    got = {r["user_id"]: r["max_step"] for r in funnel_steps(df, steps).collect()}
+
+    by_user: dict[int, list] = {}
+    for eid, ts, user, typ in rows:
+        if typ in steps:
+            by_user.setdefault(user, []).append((ts, eid, typ))
+    for user, evs in by_user.items():
+        acc = 0
+        for _, _, typ in sorted(evs):
+            if acc < len(steps) and typ == steps[acc]:
+                acc += 1
+        assert got[user] == acc, (user, evs)
+    for user in got:
+        assert user in by_user
