@@ -195,3 +195,62 @@ def cohort_retention(
         .groupBy("cohort", "period_offset")
         .agg(F.count_distinct("_u").alias("n_users"))
     )
+
+
+def resample_forward_fill(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Per-key time-series resampling with forward fill: a dense
+    ``step``-spaced grid from floor(first observation) to the last
+    observation, each grid point carrying the latest observation at
+    or before it (NULL when none yet — only possible on the first
+    point). Returns (user_id, grid_ts, value).
+
+    Shape: the grid generates from a per-key min/max aggregate
+    (sequence + explode — grid rows, never a range join); grid and
+    observations union and ONE key-partitioned window carries the
+    last non-null value forward (the as-of shape of as_of_join).
+    Observations tie-break BEFORE their grid point so an observation
+    exactly on the grid is included. At 100 TB the window state is
+    one carried value — linear in rows."""
+    bounds = df.groupBy(user_col).agg(
+        F.date_trunc("hour", F.min(ts_col)).alias("_lo"),
+        F.max(ts_col).alias("_hi"),
+    )
+    grid = bounds.select(
+        user_col,
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step}"))
+        ).alias("_gts"),
+        F.lit(None).cast("double").alias("_v"),
+        F.lit(0).alias("_is_grid"),
+    )
+    # deterministic under same-timestamp duplicates: one observation
+    # per (key, ts) — max value wins (mirrored by the oracle)
+    obs = (
+        df.groupBy(user_col, ts_col)
+        .agg(F.max(F.col(value_col).cast("double")).alias("_v"))
+        .select(
+            user_col,
+            F.col(ts_col).alias("_gts"),
+            "_v",
+            F.lit(-1).alias("_is_grid"),
+        )
+    )
+    w = (
+        W.partitionBy(user_col)
+        .orderBy("_gts", "_is_grid")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = grid.unionByName(obs).withColumn(
+        "_filled", F.last("_v", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("_is_grid") == 0).select(
+        user_col,
+        F.col("_gts").alias("grid_ts"),
+        F.col("_filled").alias(value_col),
+    )

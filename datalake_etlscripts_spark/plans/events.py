@@ -267,6 +267,38 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# time-series resampling with forward fill: dense hourly grid per
+# user, latest observation carried into gaps — the union + carry-last
+# window shape of as_of_join (operators/events.resample_forward_fill);
+# DuckDB verifies with its native ASOF join over the same grid
+# ---------------------------------------------------------------------------
+@query(
+    "resample_forward_fill",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id, ts, max(value) AS value FROM events GROUP BY user_id, ts
+    ),
+    bounds AS (
+      SELECT user_id, date_trunc('hour', min(ts)) AS lo, max(ts) AS hi
+      FROM obs GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS grid_ts
+      FROM bounds
+    )
+    SELECT g.user_id, g.grid_ts, o.value AS value
+    FROM grid g ASOF LEFT JOIN obs o
+      ON g.user_id = o.user_id AND g.grid_ts >= o.ts
+    """,
+)
+def q_resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_etlscripts_spark.operators.events import resample_forward_fill
+
+    e = read_table(spark, sf_dir, "events")
+    return resample_forward_fill(e, step="1 hour")
+
+
+# ---------------------------------------------------------------------------
 # cohort retention matrix (weekly cohorts × period offsets) — the
 # third of the classic event-analytics trio with sessionize + funnel
 # (operators/events.cohort_retention)
