@@ -254,3 +254,43 @@ def resample_forward_fill(
         F.col("_gts").alias("grid_ts"),
         F.col("_filled").alias(value_col),
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outliers: events whose value deviates more
+    than ``k`` population standard deviations from the group mean.
+    Returns (event_id, group, value, z).
+
+    Cross-engine determinism (the oracle-parity float policy): the
+    moments Σx and Σx² accumulate in EXACT decimal — double summation
+    would be partitioning-order-dependent — and only the final
+    mean/std/z arithmetic runs in double, where identical inputs give
+    identical IEEE results (sqrt is correctly rounded). One group
+    aggregate + one broadcast join back; no window, no second scan
+    shuffle."""
+    dv = F.col(value_col).cast("decimal(12,4)")
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dv).alias("_s1"),
+        F.sum(dv * dv).alias("_s2"),
+    )
+    x = dv.cast("double")
+    mean = F.col("_s1").cast("double") / F.col("_n")
+    var = F.col("_s2").cast("double") / F.col("_n") - mean * mean
+    z = (x - mean) / F.sqrt(var)
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .select(
+            id_col,
+            group_col,
+            x.alias(value_col),
+            z.alias("z"),
+        )
+        .filter(F.abs("z") > k)
+    )

@@ -267,6 +267,38 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# per-group z-score outliers: moments in EXACT decimal (partitioning-
+# order-independent), final mean/std/z in double where identical
+# inputs give identical IEEE results (operators/events.zscore_outliers)
+# ---------------------------------------------------------------------------
+@query(
+    "anomalous_events",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, count(*) AS n,
+             sum(CAST(value AS DECIMAL(12,4))) AS s1,
+             sum(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4))) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type,
+           CAST(CAST(value AS DECIMAL(12,4)) AS DOUBLE) AS value,
+           (CAST(CAST(value AS DECIMAL(12,4)) AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+             / sqrt(CAST(s2 AS DOUBLE) / n
+                    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS z
+    FROM events e JOIN stats USING (event_type)
+    WHERE abs((CAST(CAST(value AS DECIMAL(12,4)) AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+              / sqrt(CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) > 3.0
+    """,
+)
+def q_anomalous_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_etlscripts_spark.operators.events import zscore_outliers
+
+    e = read_table(spark, sf_dir, "events")
+    return zscore_outliers(e, k=3.0)
+
+
+# ---------------------------------------------------------------------------
 # time-series resampling with forward fill: dense hourly grid per
 # user, latest observation carried into gaps — the union + carry-last
 # window shape of as_of_join (operators/events.resample_forward_fill);
