@@ -31,6 +31,23 @@ HEADLINE = [
 ]
 
 
+def _force(df) -> int:
+    """Evaluate a query FULL-WIDTH and return its row count.
+
+    ``count()`` lets Catalyst prune every projected expression — a
+    projection-shaped query would measure only the scan (r1 judge
+    finding). Summing a 64-bit hash over ALL output columns forces
+    each one to be computed while collecting a single row.
+    """
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.try_sum(F.xxhash64(*df.columns)).alias("h"),  # try_: long overflow is fine, value unused
+    ).collect()[0]
+    return row["n"]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as e
@@ -41,13 +58,12 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs] or list(qs)
 
     # warm the JVM + parquet footers once so timings measure the plans
-    qs[names[0]](spark, sf_dir).count()
+    _force(qs[names[0]](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
+        n = _force(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 

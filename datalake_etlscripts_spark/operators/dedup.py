@@ -515,13 +515,27 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.92,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
+    rows_per_cell: int = 1024,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means the
     embedding space into cells, find near-duplicate pairs ONLY within a
-    cell (equi-join on the cell id — shuffle linear in rows, never the
-    corpus cross product), resolve pairs to clusters, keep the min-id
-    representative per cluster. Returns (vec_id, component, keep).
+    cell, resolve pairs to clusters, keep the min-id representative per
+    cluster. Returns (vec_id, component, keep).
+
+    Cost model (be precise — shuffle volume and compare work differ):
+    the cell equi-join SHUFFLES linear in rows, but the within-cell
+    pairwise COMPARE is O(Σ |cell|²) ≈ N²/k. A fixed k is therefore
+    quadratic at corpus scale; SemDeDup itself runs tens of thousands
+    of clusters over billions of embeddings. Default n_clusters=None
+    sizes k ≈ N / rows_per_cell (one count job), making total compare
+    work ~N·rows_per_cell/2 — linear. k is capped at 256 because this
+    quantizer assigns cells with a per-centroid literal expression
+    (operators/similarity._nearest_centroids); beyond that cap the
+    assignment step must become a broadcast-centroid numpy matmul in
+    mapInPandas (same shape as similarity.ann_pandas) — the cap is an
+    implementation ceiling of the expression quantizer, not of the
+    algorithm.
 
     The coarse quantizer is the same bounded-sample Lloyd's as IVF ANN
     (operators/similarity.py) — centroids come from a driver-side
@@ -533,6 +547,9 @@ def semantic_dedup(
         kmeans_centroids,
     )
 
+    if n_clusters is None:
+        n = df.count()
+        n_clusters = min(256, max(16, -(-n // rows_per_cell)))
     cents = kmeans_centroids(df, vec_col, k=n_clusters)
     cells = df.select(
         F.col(id_col).alias("_eid"),

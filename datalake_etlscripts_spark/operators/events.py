@@ -182,13 +182,20 @@ def cohort_retention(
     (cohort, offset) count-distinct. The join key is the user id —
     hash-partitioned both sides, no skew beyond real power users
     (AQE-handled)."""
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"unsupported period {period!r}; use day/week/month")
     pu = F.date_trunc(period, F.col(ts_col))
     activity = df.select(F.col(user_col).alias("_u"), pu.alias("_p")).distinct()
     cohorts = activity.groupBy("_u").agg(F.min("_p").alias("_cohort"))
-    offset = (
-        F.datediff(F.col("_p"), F.col("_cohort"))
-        / F.lit(7 if period == "week" else 1)
-    ).cast("int")
+    if period == "month":
+        # calendar months are irregular — datediff(days) cannot express
+        # them; both sides are month starts so months_between is integral
+        offset = F.months_between(F.col("_p"), F.col("_cohort")).cast("int")
+    else:
+        offset = (
+            F.datediff(F.col("_p"), F.col("_cohort"))
+            / F.lit(7 if period == "week" else 1)
+        ).cast("int")
     return (
         activity.join(cohorts, "_u")
         .select("_u", F.col("_cohort").alias("cohort"), offset.alias("period_offset"))
@@ -217,8 +224,11 @@ def resample_forward_fill(
     Observations tie-break BEFORE their grid point so an observation
     exactly on the grid is included. At 100 TB the window state is
     one carried value — linear in rows."""
+    trunc_unit = step.split()[-1].rstrip("s").lower()
+    if trunc_unit not in ("second", "minute", "hour", "day", "week"):
+        raise ValueError(f"unsupported step unit in {step!r}")
     bounds = df.groupBy(user_col).agg(
-        F.date_trunc("hour", F.min(ts_col)).alias("_lo"),
+        F.date_trunc(trunc_unit, F.min(ts_col)).alias("_lo"),
         F.max(ts_col).alias("_hi"),
     )
     grid = bounds.select(
@@ -273,19 +283,28 @@ def zscore_outliers(
     mean/std/z arithmetic runs in double, where identical inputs give
     identical IEEE results (sqrt is correctly rounded). One group
     aggregate + one broadcast join back; no window, no second scan
-    shuffle."""
-    dv = F.col(value_col).cast("decimal(12,4)")
+    shuffle.
+
+    Robustness under ANSI mode: decimal(18,4) keeps dv*dv exact
+    (precision 37 ≤ 38 in both Spark and DuckDB) while moving the
+    overflow cliff to |value| ≥ 10^14; beyond that try_cast yields
+    NULL and the row is excluded from both moments and output rather
+    than aborting the stage. Zero-variance groups (any group with one
+    event, or all-equal values) produce NULL z via the var > 0 guard
+    and are filtered out — never DIVIDE_BY_ZERO."""
+    dv = F.col(value_col).try_cast("decimal(18,4)")
     stats = df.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("_n"),
+        F.count(dv).alias("_n"),
         F.sum(dv).alias("_s1"),
         F.sum(dv * dv).alias("_s2"),
     )
     x = dv.cast("double")
     mean = F.col("_s1").cast("double") / F.col("_n")
     var = F.col("_s2").cast("double") / F.col("_n") - mean * mean
-    z = (x - mean) / F.sqrt(var)
+    z = F.when((F.col("_n") > 0) & (var > 0), (x - mean) / F.sqrt(var))
     return (
         df.join(F.broadcast(stats), group_col)
+        .filter(dv.isNotNull())
         .select(
             id_col,
             group_col,

@@ -274,21 +274,27 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "anomalous_events",
     oracle="""
-    WITH stats AS (
-      SELECT event_type, count(*) AS n,
-             sum(CAST(value AS DECIMAL(12,4))) AS s1,
-             sum(CAST(value AS DECIMAL(12,4)) * CAST(value AS DECIMAL(12,4))) AS s2
-      FROM events GROUP BY event_type
+    WITH vals AS (
+      SELECT event_id, event_type, TRY_CAST(value AS DECIMAL(18,4)) AS dv
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type, count(dv) AS n, sum(dv) AS s1, sum(dv * dv) AS s2
+      FROM vals GROUP BY event_type
+    ),
+    scored AS (
+      SELECT event_id, v.event_type, CAST(dv AS DOUBLE) AS value,
+             CASE WHEN n > 0
+                   AND CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0
+                  THEN (CAST(dv AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+                       / sqrt(CAST(s2 AS DOUBLE) / n
+                              - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             END AS z
+      FROM vals v JOIN stats USING (event_type)
+      WHERE dv IS NOT NULL
     )
-    SELECT event_id, e.event_type,
-           CAST(CAST(value AS DECIMAL(12,4)) AS DOUBLE) AS value,
-           (CAST(CAST(value AS DECIMAL(12,4)) AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
-             / sqrt(CAST(s2 AS DOUBLE) / n
-                    - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS z
-    FROM events e JOIN stats USING (event_type)
-    WHERE abs((CAST(CAST(value AS DECIMAL(12,4)) AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
-              / sqrt(CAST(s2 AS DOUBLE) / n
-                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) > 3.0
+    SELECT event_id, event_type, value, z FROM scored WHERE abs(z) > 3.0
     """,
 )
 def q_anomalous_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -153,10 +153,15 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("approx_aggregates")
 def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scalar output columns only: an ARRAY column in a rows-only query
+    # crashes the driver's pandas row canonicalizer (r1 finding) —
+    # unpack the quantile array via element_at.
     li = read_table(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_q"),
+        F.element_at(q, 1).alias("price_q50"),
+        F.element_at(q, 2).alias("price_q95"),
     )
 
 

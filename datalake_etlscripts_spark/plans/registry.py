@@ -34,9 +34,75 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# The correctness driver checks the FIRST 50 entries of queries() per
+# round; round 1 verified the original first 50 (CORRECTNESS_r01.json,
+# 47 green + 3 approx). This round the window leads with the flagship
+# ingest/txstore path, the dedup/ANN/text/sampling (LLM-pipeline)
+# family, enrichment, sources, and the hardest TPC-H — everything
+# previously outside the window. Names not yet registered are skipped;
+# unlisted queries follow in registration order (the r1-verified set).
+PRIORITY: list[str] = [
+    "versioned_ingest",
+    "version_invariants",
+    "txstore_snapshot_diff",
+    "summary_incremental",
+    "storage_sync_plan",
+    "purge_plan",
+    "listing_id_range",
+    "crawl_fetch_policy",
+    "dedup_exact",
+    "dedup_bow",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_clusters_star",
+    "dedup_paragraphs",
+    "dedup_embedding_cosine",
+    "decontaminate",
+    "ann_cosine_topk",
+    "token_counts",
+    "text_quality",
+    "text_repetition",
+    "lang_id",
+    "doc_fingerprints",
+    "pii_redaction",
+    "quality_deciles",
+    "rare_token_ratio",
+    "tfidf_top_terms",
+    "ngram_lm_counts",
+    "vocab_top_terms",
+    "vocab_encode",
+    "bpe_pair_counts",
+    "chunk_documents",
+    "train_test_split",
+    "stratified_sample",
+    "domain_mixture_sample",
+    "pack_sequences",
+    "prepare_training_corpus",
+    "enrichment_resolved",
+    "enrichment_nested",
+    "nif_validation",
+    "csv_cpv_dim",
+    "jsonl_company_annotations",
+    "orc_source",
+    "jdbc_dim_join",
+    "multimodal_decode",
+    "approx_topk_terms",
+    "q2_min_cost_supplier",
+    "q9_profit_by_nation",
+    "q17_small_qty_revenue",
+    "q20_potential_promotion",
+    "q21_waiting_suppliers",
+]
+
+
+def _ordered(d: dict) -> dict:
+    head = {n: d[n] for n in PRIORITY if n in d}
+    return head | {n: v for n, v in d.items() if n not in head}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return _ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return _ordered(ORACLES)

@@ -667,17 +667,57 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile over a global order is a single-partition window — fine
-    for the oracle-exact audit query; the scale path computes decile
-    BOUNDARIES with approxQuantile (or exact per-partition histograms)
-    and assigns buckets with a broadcast range lookup, never sorting
-    the corpus globally."""
+    """Exact global deciles WITHOUT a global single-partition sort
+    (the r1 plan used ntile over a global orderBy — the scale-killer).
+
+    Scale shape (distributed sort-rank): (1) approxQuantile picks
+    range-bucket boundaries — approximation only affects bucket SIZE
+    BALANCE, never correctness; (2) rows bucket by value with a
+    broadcast literal when-chain, equal values always share a bucket;
+    (3) row_number windows run PER BUCKET (parallel, bounded state) and
+    a driver-side cumsum of the ≤17 bucket counts converts them to
+    exact global ranks; (4) ntile's first-r-groups-larger arithmetic
+    maps rank → decile. Identical total order (distinct_ratio, doc_id)
+    and identical ntile semantics to the SQL oracle — hash-exact — but
+    every window is bucket-partitioned. The two extra driver actions
+    are tiny aggregates (15 doubles, ≤17 longs)."""
     from pyspark.sql import Window as W
 
     d = read_table(spark, sf_dir, "documents")
     scored = text.quality_features(d).select("doc_id", "distinct_ratio")
-    return scored.withColumn(
-        "decile", F.ntile(10).over(W.orderBy("distinct_ratio", "doc_id"))
+
+    probes = [i / 16 for i in range(1, 16)]
+    bounds = sorted(set(scored.approxQuantile("distinct_ratio", probes, 0.01)))
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col("distinct_ratio") > b, 1).otherwise(0)
+    bucketed = scored.withColumn("_bkt", bucket)
+
+    counts = {
+        r["_bkt"]: r["cnt"]
+        for r in bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(counts.values())
+    offsets, acc = {}, 0
+    for k in sorted(counts):
+        offsets[k] = acc
+        acc += counts[k]
+    off = F.lit(0)
+    for k, v in offsets.items():
+        off = F.when(F.col("_bkt") == k, v).otherwise(off)
+
+    wb = W.partitionBy("_bkt").orderBy("distinct_ratio", "doc_id")
+    ranked = bucketed.withColumn("_rank", off + F.row_number().over(wb))
+    q, r = divmod(n, 10)
+    rank = F.col("_rank")
+    if q == 0:  # n < 10: every row its own tile
+        decile = rank - 1
+    else:
+        decile = F.when(
+            rank <= r * (q + 1), ((rank - 1) / (q + 1)).cast("long")
+        ).otherwise(r + ((rank - 1 - r * (q + 1)) / q).cast("long"))
+    return ranked.select(
+        "doc_id", "distinct_ratio", (decile + F.lit(1)).cast("int").alias("decile")
     )
 
 

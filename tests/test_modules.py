@@ -829,3 +829,79 @@ def test_funnel_requires_order_and_skips_step0(spark):
         for r in funnel_counts(df, ["view", "click", "purchase"]).collect()
     }
     assert counts == {1: 2, 2: 1, 3: 1}
+
+
+def test_zscore_survives_singleton_and_constant_groups(spark):
+    """ADVICE r1 (high): a group with zero variance (singleton or
+    all-equal values) must yield no outliers — not DIVIDE_BY_ZERO
+    under ANSI mode. Out-of-decimal-range values must not abort the
+    stage (try_cast → excluded), and normal groups still score."""
+    from datetime import datetime
+
+    from datalake_etlscripts_spark.operators.events import zscore_outliers
+
+    t = datetime(2024, 1, 1)
+    rows = [
+        (1, "solo", 5.0, t),          # singleton group
+        (2, "flat", 1.0, t), (3, "flat", 1.0, t),  # constant group
+        (4, "huge", 1e15, t), (5, "huge", 2.0, t),  # 1e15 > decimal(18,4)
+    ] + [(10 + i, "norm", float(i % 10), t) for i in range(100)] + [
+        (999, "norm", 1000.0, t)      # a clear outlier
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double, ts timestamp"
+    )
+    out = zscore_outliers(df, k=3.0).collect()
+    ids = {r["event_id"] for r in out}
+    assert 999 in ids
+    assert not {1, 2, 3, 4} & ids  # no crash, no phantom outliers
+
+
+def test_cohort_retention_month_offsets(spark):
+    """ADVICE r1 (medium): period='month' must count calendar months,
+    not days. Jan cohort active in Mar → offset 2."""
+    from datetime import datetime
+
+    from datalake_etlscripts_spark.operators.events import cohort_retention
+
+    rows = [
+        (1, datetime(2024, 1, 15)),
+        (1, datetime(2024, 3, 2)),
+        (2, datetime(2024, 2, 1)),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {
+        (r["cohort"].month, r["period_offset"]): r["n_users"]
+        for r in cohort_retention(df, period="month").collect()
+    }
+    assert got == {(1, 0): 1, (1, 2): 1, (2, 0): 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cohort_retention(df, period="fortnight")
+
+
+def test_resample_grid_origin_follows_step_unit(spark):
+    """ADVICE r1 (low): step='1 day' must floor the grid origin to the
+    day, not the hour — grid points land at midnight."""
+    from datetime import datetime
+
+    from datalake_etlscripts_spark.operators.events import resample_forward_fill
+
+    rows = [
+        (1, datetime(2024, 1, 1, 7, 30), 1.0),
+        (1, datetime(2024, 1, 3, 2, 0), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    got = sorted(
+        (r["grid_ts"], r["value"])
+        for r in resample_forward_fill(df, step="1 day").collect()
+    )
+    assert [g for g, _ in got] == [
+        datetime(2024, 1, 1), datetime(2024, 1, 2), datetime(2024, 1, 3)
+    ]
+    assert [v for _, v in got] == [None, 1.0, 1.0]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resample_forward_fill(df, step="3 fortnights")
