@@ -57,6 +57,25 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
     return F.array_distinct(out)
 
 
+def shingle_strings(text: Column, k: int = 3) -> Column:
+    """ARRAY<STRING> of distinct k-token shingles ('tok1 tok2 tok3').
+    Slower than the arithmetic shingle_hashes (per-shingle string
+    concat) — used by the md5 hash scheme, which must hash a value an
+    external engine can reconstruct (DuckDB oracle twin)."""
+    tk = tokens(text)
+    n = F.size(tk)
+    m = F.greatest(n - (k - 1), F.lit(0))
+    # sequence(1, 0) would infer step -1 and yield [1, 0] — guard
+    idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+        F.array().cast("array<int>")
+    )
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j) for j in range(k)]),
+    )
+    return F.array_distinct(shingles)
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical documents: (fingerprint, n_docs, doc_ids)."""
     return (
@@ -343,22 +362,46 @@ def simhash_table(
     id_col: str = "doc_id",
     k: int = 1,
     bits: int = 64,
+    scheme: str = "xxhash64",
 ) -> DataFrame:
     """(id, simhash BIGINT): per-bit majority vote over shingle hashes.
 
     Same scalable shape as minhash: explode shingles once, per-bit ±1
     contributions as columns, map-side-combined sums per doc, then the
-    64-bit word reassembled from the votes — fully JVM-side."""
-    sh = shingle_hashes(F.col(text_col), k)
-    exploded = df.select(
-        F.col(id_col).alias("_did"),
-        F.explode(
-            F.coalesce(
-                F.nullif(sh, F.array().cast("array<bigint>")),
-                F.array(F.lit(-(1 << 62)).cast("bigint")),
-            )
-        ).alias("_s"),
-    ).select("_did", F.xxhash64("_s").alias("_h"))
+    bit word reassembled from the votes — fully JVM-side.
+
+    ``scheme='xxhash64'`` (default, 64-bit) is the fast production
+    path; ``scheme='md5'`` (use bits=32) hashes the shingle STRING via
+    an md5 hex prefix so any engine with md5 can replay the signature
+    bit-for-bit — the oracle-checkable variant (cf. the CMS lanes in
+    operators/sketches.py)."""
+    if scheme == "xxhash64":
+        sh = shingle_hashes(F.col(text_col), k)
+        exploded = df.select(
+            F.col(id_col).alias("_did"),
+            F.explode(
+                F.coalesce(
+                    F.nullif(sh, F.array().cast("array<bigint>")),
+                    F.array(F.lit(-(1 << 62)).cast("bigint")),
+                )
+            ).alias("_s"),
+        ).select("_did", F.xxhash64("_s").alias("_h"))
+    elif scheme == "md5":
+        sh = shingle_strings(F.col(text_col), k)
+        exploded = df.select(
+            F.col(id_col).alias("_did"),
+            F.explode(
+                F.coalesce(
+                    F.nullif(sh, F.array().cast("array<string>")),
+                    F.array(F.lit("___EMPTY___")),
+                )
+            ).alias("_s"),
+        ).select(
+            "_did",
+            F.conv(F.substring(F.md5("_s"), 1, 8), 16, 10).cast("long").alias("_h"),
+        )
+    else:
+        raise ValueError(f"unknown simhash scheme {scheme!r}")
     votes = exploded.groupBy("_did").agg(
         *[
             F.sum(
@@ -384,14 +427,16 @@ def simhash_pairs(
     max_hamming: int = 8,
     band_bits: int = 16,
     shingle_k: int = 3,
+    bits: int = 64,
+    scheme: str = "xxhash64",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 16-bit bands (a pair within
-    hamming ≤ 3 of 4 bands shares at least one exact band), verify
-    Hamming distance on candidates. Returns (id_a, id_b, hamming)."""
-    hashed = simhash_table(df, text_col, id_col, k=shingle_k).select(
-        "_did", F.col("simhash").alias("_sh")
-    )
-    n_bands = 64 // band_bits
+    """Near-dup pairs by SimHash: block on bit bands (a pair within
+    hamming < n_bands shares at least one exact band), verify Hamming
+    distance on candidates. Returns (id_a, id_b, hamming)."""
+    hashed = simhash_table(
+        df, text_col, id_col, k=shingle_k, bits=bits, scheme=scheme
+    ).select("_did", F.col("simhash").alias("_sh"))
+    n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     banded = hashed.select(
         "_did",

@@ -84,9 +84,26 @@ CMS_DEPTH = 5
 CMS_WIDTH = 2048
 
 
-def _cms_bucket(item: F.Column, depth_idx: int, width: int) -> F.Column:
-    h1 = F.xxhash64(item, F.lit(101)).bitwiseAND(F.lit(0x7FFFFFFF))
-    h2 = F.xxhash64(item, F.lit(202)).bitwiseAND(F.lit(0x7FFFFFFF))
+def _cms_bucket(
+    item: F.Column, depth_idx: int, width: int, scheme: str = "xxhash64"
+) -> F.Column:
+    """Kirsch-Mitzenmacher lane bucket. ``xxhash64`` is the production
+    scheme (JVM-side, fastest). ``md5`` derives the two base hashes
+    from md5 hex prefixes with the seed folded into the input — ~2×
+    slower but reproducible in ANY engine with md5 (DuckDB included),
+    which makes CMS estimates oracle-checkable cross-engine."""
+    if scheme == "xxhash64":
+        h1 = F.xxhash64(item, F.lit(101)).bitwiseAND(F.lit(0x7FFFFFFF))
+        h2 = F.xxhash64(item, F.lit(202)).bitwiseAND(F.lit(0x7FFFFFFF))
+    elif scheme == "md5":
+        h1 = F.conv(
+            F.substring(F.md5(F.concat(item, F.lit("|101"))), 1, 8), 16, 10
+        ).cast("long")
+        h2 = F.conv(
+            F.substring(F.md5(F.concat(item, F.lit("|202"))), 1, 8), 16, 10
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown CMS hash scheme {scheme!r}")
     return (h1 + F.lit(depth_idx) * h2) % F.lit(width)
 
 
@@ -96,6 +113,7 @@ def cms_sketch_table(
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
     weight: str | None = None,
+    scheme: str = "xxhash64",
 ) -> DataFrame:
     """Build count-min state from item rows: (depth, bucket, n).
     One explode to ``depth`` counter updates per row, one shuffle of
@@ -108,7 +126,9 @@ def cms_sketch_table(
     df = df.filter(F.col(item).isNotNull())
     lanes = df.select(
         F.posexplode(
-            F.array(*[_cms_bucket(F.col(item), d, width) for d in range(depth)])
+            F.array(
+                *[_cms_bucket(F.col(item), d, width, scheme) for d in range(depth)]
+            )
         ).alias("depth", "bucket"),
         w.alias("_w"),
     )
@@ -130,6 +150,7 @@ def cms_estimate(
     item: str,
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
+    scheme: str = "xxhash64",
 ) -> DataFrame:
     """Point-estimate the frequency of each item in ``items`` against
     sketch state: min over depths of the item's counter. The sketch
@@ -139,7 +160,7 @@ def cms_estimate(
         F.col(item),
         F.posexplode(
             F.array(
-                *[_cms_bucket(F.col(item), d, width) for d in range(depth)]
+                *[_cms_bucket(F.col(item), d, width, scheme) for d in range(depth)]
             )
         ).alias("depth", "bucket"),
     )

@@ -333,13 +333,53 @@ def q_approx_distinct_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # ---------------------------------------------------------------------------
 # Count-min sketch: mergeable FREQUENCY state (operators/sketches.py) —
-# per-half-corpus sketches counter-sum into one state (exact merge,
-# asserted in tests), then the exact top-20 terms are point-estimated
-# against the merged state. Estimates are hash-dependent overcounts
-# (≥ true, ≤ true + εN w.h.p.) → rows-only; the accuracy envelope and
-# merge-exactness are asserted in tests/test_modules.py.
+# per-half-corpus sketches counter-sum into one state (exact merge:
+# sketching halves and merging EQUALS sketching the whole, which is
+# why the oracle can sketch the whole corpus in one pass), then the
+# exact top-20 terms are point-estimated against the merged state.
+# Estimates are deterministic given the hash lanes, so with the
+# md5-derived lane scheme (DuckDB has no xxhash64) the twin below
+# replays the exact bucket arithmetic — overcounts and all — and the
+# query is fully oracle-checked, like the histogram sketch.
 # ---------------------------------------------------------------------------
-@query("approx_topk_terms")
+from datalake_etlscripts_spark.operators.sketches import (  # noqa: E402
+    CMS_WIDTH as CMS_WIDTH_SQL,
+)
+from datalake_etlscripts_spark.plans.registry import ddb_hex32 as _ddb_hex32  # noqa: E402
+
+_CMS_ORACLE = f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS exact_count FROM tok GROUP BY term),
+    hh AS (
+      SELECT term, exact_count,
+             {_ddb_hex32("md5(term || '|101')")} AS h1,
+             {_ddb_hex32("md5(term || '|202')")} AS h2
+      FROM tf
+    ),
+    lanes AS (
+      SELECT term, exact_count, d.d AS depth,
+             (h1 + d.d * h2) % {CMS_WIDTH_SQL} AS bucket
+      FROM hh CROSS JOIN (VALUES (0), (1), (2), (3), (4)) d(d)
+    ),
+    counters AS (
+      SELECT depth, bucket, sum(exact_count) AS n FROM lanes GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT term, exact_count FROM tf
+      ORDER BY exact_count DESC, term LIMIT 20
+    )
+    SELECT t.term, t.exact_count, CAST(min(c.n) AS BIGINT) AS approx_count
+    FROM top t
+    JOIN lanes l ON t.term = l.term
+    JOIN counters c ON l.depth = c.depth AND l.bucket = c.bucket
+    GROUP BY t.term, t.exact_count
+"""
+
+
+@query("approx_topk_terms", oracle=_CMS_ORACLE)
 def q_approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_etlscripts_spark.operators import sketches
     from datalake_etlscripts_spark.operators.text import tokens
@@ -348,7 +388,7 @@ def q_approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(F.explode(tokens(F.col("text"))).alias("term"))
     halves = [toks.filter(F.crc32(F.col("term")) % 2 == i) for i in (0, 1)]
     state = sketches.merge_cms_tables(
-        *[sketches.cms_sketch_table(h, "term") for h in halves]
+        *[sketches.cms_sketch_table(h, "term", scheme="md5") for h in halves]
     ).localCheckpoint()
     top = (
         toks.groupBy("term")
@@ -357,7 +397,7 @@ def q_approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return (
-        sketches.cms_estimate(state, top.select("term"), "term")
+        sketches.cms_estimate(state, top.select("term"), "term", scheme="md5")
         .join(top, "term")
         .select("term", "exact_count", "approx_count")
     )

@@ -15,7 +15,7 @@ from datalake_etlscripts_spark.operators import (
     similarity,
     text,
 )
-from datalake_etlscripts_spark.plans.registry import query
+from datalake_etlscripts_spark.plans.registry import ddb_hex32, query
 
 # ---------------------------------------------------------------------------
 # token counting (whitespace + BPE-ish regex)
@@ -265,10 +265,56 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(d, threshold=0.04)
 
 
-@query("dedup_simhash")  # approximate candidate set → rows-only check
+# SimHash IS oracle-checkable with the md5 hash scheme: signatures,
+# banding, and hamming are all integer arithmetic an external engine
+# can replay (cf. the CMS twin in plans/functions_showcase.py). The
+# twin rebuilds 3-token shingles, 32-bit md5-prefix hashes, per-bit
+# majority votes, 4×8-bit band blocking, and the hamming filter.
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS s
+      FROM toks WHERE len(t) >= 3
+      UNION ALL
+      SELECT doc_id, '___EMPTY___' AS s FROM toks WHERE len(t) < 3
+    ),
+    h AS (SELECT doc_id, {{hex32}} AS h FROM sh),
+    votes AS (
+      SELECT doc_id, b.b AS bit,
+             sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN (SELECT unnest(range(32)) AS b) b
+      GROUP BY 1, 2
+    ),
+    word AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                      ELSE 0 END) AS BIGINT) AS sw
+      FROM votes GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, sw, b.band AS band, (sw >> (b.band * 8)) & 255 AS bucket
+      FROM word CROSS JOIN (SELECT unnest(range(4)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sw AS sw_a, b.sw AS sw_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sw_a, sw_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sw_a, sw_b)) <= 3
+""".format(hex32=ddb_hex32("md5(s)"))
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(d, max_hamming=3)
+    return dedup.simhash_pairs(d, max_hamming=3, bits=32, band_bits=8, scheme="md5")
 
 
 @query("dedup_incremental_lsh")  # approximate candidate set → rows-only check
