@@ -123,6 +123,125 @@ def q_crawl_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S10/F14/F15: the PRODUCTION fetch policy (fetchpolicy.py — redirect
+# loop ≤30 hops, HTML meta-refresh chase with relative resolve,
+# content-type/disposition sniffing, accepted-extension whitelist,
+# SSL/timeout classification) driven through the crawl mapInPandas
+# over a deterministic fake transport. Every policy path is exercised
+# by construction (p_partkey % 10 selects the scenario), so the whole
+# state machine gets a SQL oracle.
+# ---------------------------------------------------------------------------
+def _fake_policy_transport(url: str):
+    """Offline transport: behavior chosen by the URL's path segment.
+    Deterministic — the oracle below replays each scenario in SQL."""
+    from datalake_etlscripts_spark.fetchpolicy import (
+        Response,
+        TransportSSLError,
+        TransportTimeout,
+    )
+
+    if "/ssl/" in url:
+        raise TransportSSLError(url)
+    if "/timeout/" in url:
+        raise TransportTimeout(url)
+    if "/missing/" in url:
+        return Response(404)
+    if "/redirloop/" in url:  # never lands — exercises the hop cap
+        return Response(302, {"location": url})
+    if "/redir3/" in url:
+        return Response(301, {"location": url.replace("/redir3/", "/redir2/")})
+    if "/redir2/" in url:
+        return Response(302, {"location": url.replace("/redir2/", "/redir1/")})
+    if "/redir1/" in url:
+        return Response(307, {"location": url.replace("/redir1/", "/file/")})
+    if "/meta/" in url or "/metabad/" in url:
+        # html page whose only content is a meta refresh to a RELATIVE
+        # path — the policy must resolve it against scheme://host
+        seg = "/metabad/" if "/metabad/" in url else "/meta/"
+        target = "/missing/" if seg == "/metabad/" else "/pdf/"
+        path = url.split(".example", 1)[1].replace(seg, target)
+        body = f'<html><meta http-equiv="refresh" content="0;url={path}"></html>'
+        return Response(200, {"content-type": "text/html; charset=utf-8"}, body.encode())
+    if "/html/" in url:
+        return Response(200, {"content-type": "text/html"}, b"<html>plain</html>")
+    if "/exe/" in url:
+        return Response(
+            200, {"content-disposition": "attachment; filename=setup.exe"}, b"MZ"
+        )
+    if "/disp/" in url:  # disposition wins; ' .' cleanup path
+        return Response(
+            200,
+            {"content-disposition": "attachment; filename=data .xlsx"},
+            f"file-of:{url}".encode(),
+        )
+    if "/file/" in url or "/pdf/" in url:
+        return Response(
+            200, {"content-type": "application/pdf"}, f"file-of:{url}".encode()
+        )
+    return Response(404)
+
+
+_POLICY_SEGMENTS = [
+    "/redir3/", "/redirloop/", "/meta/", "/metabad/", "/html/",
+    "/exe/", "/ssl/", "/timeout/", "/disp/", "/missing/",
+]
+
+
+@query(
+    "crawl_fetch_policy",
+    oracle="""
+    WITH docs AS (
+      SELECT printf('ntp%08d', p_partkey) AS ntp_id, p_partkey AS k,
+             'http://site' || CAST(p_partkey % 7 AS VARCHAR) || '.example' ||
+             CASE p_partkey % 10
+               WHEN 0 THEN '/redir3/'  WHEN 1 THEN '/redirloop/'
+               WHEN 2 THEN '/meta/'    WHEN 3 THEN '/metabad/'
+               WHEN 4 THEN '/html/'    WHEN 5 THEN '/exe/'
+               WHEN 6 THEN '/ssl/'     WHEN 7 THEN '/timeout/'
+               WHEN 8 THEN '/disp/'    ELSE '/missing/' END
+             || 'file' || CAST(p_partkey AS VARCHAR) AS url
+      FROM part WHERE p_partkey <= 1000
+    )
+    SELECT ntp_id, 'doc_url' AS field, url,
+      CASE k % 10
+        WHEN 0 THEN 200 WHEN 1 THEN 302 WHEN 2 THEN 200 WHEN 3 THEN 404
+        WHEN 4 THEN 2   WHEN 5 THEN 2   WHEN 6 THEN 3   WHEN 7 THEN -1
+        WHEN 8 THEN 200 ELSE 404 END AS status,
+      CASE k % 10
+        WHEN 0 THEN 'pdf' WHEN 2 THEN 'pdf' WHEN 4 THEN 'html'
+        WHEN 5 THEN 'exe' WHEN 8 THEN 'xlsx' ELSE '' END AS doc_type,
+      CAST(CASE k % 10
+        WHEN 0 THEN length('file-of:' || replace(url, '/redir3/', '/file/'))
+        WHEN 2 THEN length('file-of:' || replace(url, '/meta/', '/pdf/'))
+        WHEN 8 THEN length('file-of:' || url)
+        ELSE 0 END AS BIGINT) AS n_bytes
+    FROM docs
+    """,
+)
+def q_crawl_fetch_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_etlscripts_spark.fetchpolicy import policy_fetcher
+
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1000)
+    seg = F.element_at(
+        F.array(*[F.lit(s) for s in _POLICY_SEGMENTS]),
+        (F.col("p_partkey") % 10 + 1).cast("int"),
+    )
+    docs = p.select(
+        format_ntp_id(F.col("p_partkey")).alias("_id"),
+        F.concat(
+            F.lit("http://site"),
+            (F.col("p_partkey") % 7).cast("string"),
+            F.lit(".example"),
+            seg,
+            F.lit("file"),
+            F.col("p_partkey").cast("string"),
+        ).alias("doc_url"),
+    )
+    urls = prune_urls(extract_urls(docs, scalar_cols=("doc_url",)))
+    return crawl(urls, fetcher=policy_fetcher(_fake_policy_transport)).drop("idx")
+
+
+# ---------------------------------------------------------------------------
 # A3: version history per natural key (clean_place.py:112-120,174):
 # sorted list of (first_update, _id) pairs + version count
 # ---------------------------------------------------------------------------

@@ -905,3 +905,74 @@ def test_resample_grid_origin_follows_step_unit(spark):
 
     with _pytest.raises(ValueError):
         resample_forward_fill(df, step="3 fortnights")
+
+
+def test_fetch_policy_state_machine():
+    """S10/F14/F15 (reference ntp_entry.py:124-216): redirect cap,
+    meta-refresh relative resolve, header sniffing precedence, and
+    error classification — pure-Python, no Spark session needed."""
+    from datalake_etlscripts_spark.fetchpolicy import (
+        Response,
+        TransportSSLError,
+        TransportTimeout,
+        fetch_with_policy,
+        file_type_from_headers,
+        meta_refresh_url,
+    )
+
+    # header sniffing: content-type map, html prefix, disposition wins
+    assert file_type_from_headers({"content-type": "application/pdf"}) == "pdf"
+    assert file_type_from_headers({"content-type": "text/html; charset=x"}) == "html"
+    assert (
+        file_type_from_headers(
+            {
+                "content-type": "application/vnd.openxmlformats-officedocument"
+                ".wordprocessingml.document"
+            }
+        )
+        == "docx"
+    )
+    assert (
+        file_type_from_headers(
+            {
+                "content-type": "application/pdf",
+                "content-disposition": 'attachment; filename="Report .XLSX"',
+            }
+        )
+        == "xlsx"
+    )
+
+    # meta refresh: both attribute orders, quotes, relative resolve
+    html1 = b'<META CONTENT="5; url=/next/x.pdf" HTTP-EQUIV=refresh>'
+    assert (
+        meta_refresh_url("http://h.example/a/b", html1)
+        == "http://h.example/next/x.pdf"
+    )
+    html2 = b"<meta http-equiv='refresh' content='0;URL=http://other/x'>"
+    assert meta_refresh_url("http://h.example/", html2) == "http://other/x"
+    assert meta_refresh_url("http://h.example/", b"<html>no refresh</html>") == ""
+
+    # redirect chain within the cap lands; a loop returns the 3xx code
+    def chain(url):
+        if url.endswith("/hop0"):
+            return Response(200, {"content-type": "application/pdf"}, b"ok")
+        n = int(url.rsplit("hop", 1)[1])
+        return Response(302, {"location": f"http://h/hop{n - 1}"})
+
+    assert fetch_with_policy("http://h/hop30", chain) == (200, "pdf", b"ok")
+    loop = lambda url: Response(302, {"location": url})
+    assert fetch_with_policy("http://h/loop", loop)[0] == 302
+
+    # transport error classification
+    def boom_ssl(url):
+        raise TransportSSLError(url)
+
+    def boom_to(url):
+        raise TransportTimeout(url)
+
+    assert fetch_with_policy("http://h/x", boom_ssl)[0] == 3
+    assert fetch_with_policy("http://h/x", boom_to)[0] == -1
+
+    # unwanted type: sniffed but not stored
+    plain = lambda url: Response(200, {"content-type": "text/html"}, b"<p>x</p>")
+    assert fetch_with_policy("http://h/x", plain) == (2, "html", b"")
