@@ -39,8 +39,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--fields", required=True)
 
     p = sub.add_parser("sync", help="storage reconciliation plan (sync_documents)")
-    p.add_argument("--src", required=True)
-    p.add_argument("--dst", required=True)
+    p.add_argument("--src", default=None, help="parquet listing of the source")
+    p.add_argument("--dst", default=None, help="parquet listing of the destination")
+    p.add_argument("--src-dir", default=None, help="DISK source directory (real files)")
+    p.add_argument("--dst-dir", default=None, help="DISK destination directory")
     p.add_argument("--name-col", default="file_name")
     p.add_argument("--content-cols", default="")
     p.add_argument("--check-only", action="store_true")
@@ -54,8 +56,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--state", required=True)
 
     p = sub.add_parser("purge", help="backup-then-delete plan for obsolete versions' files (purge_documents)")
-    p.add_argument("--listing", required=True, help="parquet with the file listing")
+    p.add_argument("--listing", default=None, help="parquet with the file listing")
     p.add_argument("--state", required=True, help="parquet versioned store")
+    p.add_argument("--storage-dir", default=None, help="DISK store to purge (real files)")
+    p.add_argument("--backup-dir", default=None, help="DISK backup target for purged files")
     p.add_argument("--name-col", default="file_name")
     p.add_argument("--dry-run", action="store_true")
 
@@ -64,6 +68,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--fields", required=True, help="comma-separated columns to scan")
     p.add_argument("--skip-servers", default="", help="comma-separated hosts to skip")
     p.add_argument("--out", default=None, help="write fetch results parquet here")
+    p.add_argument(
+        "--storage-dir", default=None,
+        help="DISK store for fetched bodies ('{ntp_id}_{field}.{ext}' files)",
+    )
     p.add_argument(
         "--plan-only", action="store_true",
         help="print the pruned URL plan without fetching (this container has no "
@@ -122,15 +130,23 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{r['field']}\t{r['value']}\t{r['cnt']}")
 
     elif args.cmd == "sync":
-        from datalake_etlscripts_spark.storesync import plan_sync
+        from datalake_etlscripts_spark.storage import DiskStorage, copy_callbacks
+        from datalake_etlscripts_spark.storesync import apply_sync, plan_sync
 
-        content = tuple(c for c in args.content_cols.split(",") if c)
-        plan = plan_sync(
-            spark.read.parquet(args.src),
-            spark.read.parquet(args.dst),
-            name_col=args.name_col,
-            content_cols=content,
-        )
+        disk_mode = bool(args.src_dir and args.dst_dir)
+        if disk_mode:
+            src_store = DiskStorage(args.src_dir)
+            dst_store = DiskStorage(args.dst_dir)
+            src_df = src_store.listing_df(spark)
+            dst_df = dst_store.listing_df(spark)
+            content = ("n_bytes",)
+        elif args.src and args.dst:
+            src_df = spark.read.parquet(args.src)
+            dst_df = spark.read.parquet(args.dst)
+            content = tuple(c for c in args.content_cols.split(",") if c)
+        else:
+            ap.error("sync needs --src/--dst (listings) or --src-dir/--dst-dir (disk)")
+        plan = plan_sync(src_df, dst_df, name_col=args.name_col, content_cols=content)
         rows = plan.collect()
         for r in rows:
             print(f"{r['op']}\t{r[args.name_col]}")
@@ -139,7 +155,15 @@ def main(argv: list[str] | None = None) -> int:
                 for r in rows:
                     fh.write(f"{r['op']}\t{r[args.name_col]}\n")
         if not args.check_only:
-            print(f"# plan only — wire apply_sync callbacks for transfer ({len(rows)} ops)")
+            if disk_mode:
+                transfer, delete = copy_callbacks(src_store, dst_store)
+                counts = apply_sync(plan, transfer, delete, name_col=args.name_col)
+                print(f"# applied: {counts}")
+            else:
+                print(
+                    f"# plan only — pass --src-dir/--dst-dir to apply on disk "
+                    f"({len(rows)} ops)"
+                )
 
     elif args.cmd == "compact":
         from datalake_etlscripts_spark.versioning import current_versions
@@ -150,20 +174,33 @@ def main(argv: list[str] | None = None) -> int:
         print(f"compacted current versions to {args.out}")
 
     elif args.cmd == "purge":
+        from datalake_etlscripts_spark.storage import DiskStorage, apply_purge
         from datalake_etlscripts_spark.storesync import plan_purge
 
-        plan = plan_purge(
-            spark.read.parquet(args.listing),
-            spark.read.parquet(args.state),
-            name_col=args.name_col,
-        )
+        if args.storage_dir:
+            store = DiskStorage(args.storage_dir)
+            listing = store.listing_df(spark)
+        elif args.listing:
+            store = None
+            listing = spark.read.parquet(args.listing)
+        else:
+            ap.error("purge needs --listing (parquet) or --storage-dir (disk)")
+        plan = plan_purge(listing, spark.read.parquet(args.state), name_col=args.name_col)
         rows = plan.collect()
         for r in rows:
             print(f"{r['op']}\t{r[args.name_col]}")
         if args.dry_run:
             print(f"# dry run — {len(rows)} ops planned, nothing deleted")
+        elif store is not None and args.backup_dir:
+            counts = apply_purge(
+                plan, store, DiskStorage(args.backup_dir), name_col=args.name_col
+            )
+            print(f"# applied: {counts}")
         else:
-            print(f"# plan only — wire apply_sync callbacks for backup+delete ({len(rows)} ops)")
+            print(
+                f"# plan only — pass --storage-dir/--backup-dir to apply "
+                f"({len(rows)} ops)"
+            )
 
     elif args.cmd == "crawl":
         from datalake_etlscripts_spark.crawl import crawl, extract_urls, prune_urls
@@ -182,7 +219,12 @@ def main(argv: list[str] | None = None) -> int:
             for r in plan.collect():
                 print(f"{r['ntp_id']}\t{r['field']}\t{r['url']}")
         else:
-            fetched = crawl(plan)
+            store = None
+            if args.storage_dir:
+                from datalake_etlscripts_spark.storage import DiskStorage
+
+                store = DiskStorage(args.storage_dir)
+            fetched = crawl(plan, store=store)
             if args.out:
                 fetched.write.mode("overwrite").parquet(args.out)
                 print(f"fetched {spark.read.parquet(args.out).count()} docs to {args.out}")

@@ -115,12 +115,20 @@ def crawl(
     fetcher: Callable[[str], tuple[int, str, bytes]] = fake_fetcher,
     delay_s: float = 0.0,
     host_partitions: int | None = None,
+    store=None,
 ) -> DataFrame:
     """Fetch stage: repartition by host (politeness locality), then
     mapInPandas batches call the fetcher with a same-host delay
-    (get_documents.py:177-180). Returns FETCH_SCHEMA rows; the body
-    bytes are summarized as n_bytes here — the storage write happens
-    in the sink callback (K3), keeping fetch and store composable."""
+    (get_documents.py:177-180). Returns FETCH_SCHEMA rows.
+
+    ``store`` (optional, e.g. storage.DiskStorage) receives each
+    accepted body as '{ntp_id}_{field}.{doc_type}' INSIDE the fetch
+    task — the reference's store_document shape (ntp_entry.py:199-204)
+    where fetch and store share the request; the field's ':' array
+    addressing becomes '_' in file names like the reference's
+    get_file_name. Without a store, bodies are summarized as n_bytes
+    and the write stays in a sink callback (K3), keeping fetch and
+    store composable."""
     parts = urls.repartition(
         *( [host_partitions] if host_partitions else [] ), F.col("host")
     ).sortWithinPartitions("host", "url")
@@ -137,6 +145,9 @@ def crawl(
                     status, doc_type, body = fetcher(row.url)
                 except Exception:  # noqa: BLE001 — fetch errors are data
                     status, doc_type, body = STATUS_ERROR, "", b""
+                if store is not None and status == STATUS_OK and body:
+                    field = row.field.replace(":", "_")
+                    store.file_store(f"{row.ntp_id}_{field}.{doc_type}", body)
                 out.append(
                     (row.ntp_id, row.field, row.url, status, doc_type, len(body))
                 )

@@ -976,3 +976,73 @@ def test_fetch_policy_state_machine():
     # unwanted type: sniffed but not stored
     plain = lambda url: Response(200, {"content-type": "text/html"}, b"<p>x</p>")
     assert fetch_with_policy("http://h/x", plain) == (2, "html", b"")
+
+
+def test_disk_storage_sync_and_purge_e2e(spark, tmp_path):
+    """K3/K4 with the CONCRETE disk backend: plan_sync → apply moves
+    real bytes → re-plan is empty; plan_purge → apply backs up then
+    deletes; crawl with a store writes accepted bodies as
+    '{ntp_id}_{field}.{ext}' files."""
+    from datalake_etlscripts_spark.storage import (
+        DiskStorage,
+        apply_purge,
+        copy_callbacks,
+    )
+    from datalake_etlscripts_spark.storesync import apply_sync, plan_purge, plan_sync
+
+    src = DiskStorage(str(tmp_path / "src"))
+    dst = DiskStorage(str(tmp_path / "dst"))
+    src.file_store("ntp00000001_doc.pdf", b"one")
+    src.file_store("ntp00000002_doc.pdf", b"two")
+    src.file_store("ntp00000003_doc.pdf", b"three")
+    dst.file_store("ntp00000002_doc.pdf", b"STALE!")  # differs → UPD
+    dst.file_store("ntp00000009_doc.pdf", b"orphan")  # absent at src → DEL
+
+    plan = plan_sync(
+        src.listing_df(spark), dst.listing_df(spark), content_cols=("n_bytes",)
+    )
+    transfer, delete = copy_callbacks(src, dst)
+    counts = apply_sync(plan, transfer, delete)
+    assert counts == {"ADD": 2, "UPD": 1, "DEL": 1}
+    assert dst.file_read("ntp00000002_doc.pdf") == b"two"
+    assert not dst.file_exists("ntp00000009_doc.pdf")
+    # convergence: a second plan is empty
+    assert (
+        plan_sync(
+            src.listing_df(spark), dst.listing_df(spark), content_cols=("n_bytes",)
+        ).count()
+        == 0
+    )
+    # S9 id-range listing
+    assert src.file_list(("ntp00000002", "ntp00000003")) == [
+        "ntp00000002_doc.pdf",
+        "ntp00000003_doc.pdf",
+    ]
+
+    # purge: ntp00000001 obsolete → backed up then deleted
+    store_df = spark.createDataFrame(
+        [("ntp00000001", True), ("ntp00000002", False), ("ntp00000003", None)],
+        "_id string, obsolete_version boolean",
+    )
+    backup = DiskStorage(str(tmp_path / "backup"))
+    pplan = plan_purge(src.listing_df(spark), store_df)
+    counts = apply_purge(pplan, src, backup)
+    assert counts == {"BACKUP": 1, "DEL": 1}
+    assert backup.file_read("ntp00000001_doc.pdf") == b"one"
+    assert not src.file_exists("ntp00000001_doc.pdf")
+    assert src.file_exists("ntp00000002_doc.pdf")
+
+    # crawl stores accepted bodies through the same backend
+    from datalake_etlscripts_spark.crawl import crawl, extract_urls, prune_urls
+
+    docs = spark.createDataFrame(
+        [("ntp00000777", "http://h.example/files/doc88")],  # even len → pdf
+        "_id string, doc_url string",
+    )
+    fetched = DiskStorage(str(tmp_path / "fetched"))
+    out = crawl(
+        prune_urls(extract_urls(docs, scalar_cols=("doc_url",))), store=fetched
+    ).collect()
+    assert out[0]["status"] == 200
+    name = f"ntp00000777_doc_url.{out[0]['doc_type']}"
+    assert fetched.file_read(name) == f"content-of:{out[0]['url']}".encode()
