@@ -232,30 +232,38 @@ def merge_batch(
         *[merged_field(f).alias(f) for f in fields],
     )
 
-    # demotions: every OTHER stored row of a touched id → obsolete stub
-    # pointing at the target (read_parquet.py:112-118). Re-pointing old
-    # obsoletes keeps the 1-hop invariant.
+    # untouched + demotions in ONE left join (was an anti-join plus an
+    # inner join — two shuffles/scans of the store side): a store row
+    # whose id missed the batch passes through unchanged; every OTHER
+    # stored row of a touched id becomes an obsolete stub pointing at
+    # the target (read_parquet.py:112-118 — re-pointing old obsoletes
+    # keeps the 1-hop invariant); the target row itself drops (its
+    # replacement is in ``upserts``). ``targets`` is batch-sized and
+    # checkpointed, so AQE sees real stats and broadcasts it when the
+    # batch is small — the common production case: the store side then
+    # never shuffles at all.
     targets = resolved.select("id", "_target_id")
-    demoted = (
-        existing.join(targets, "id", "inner")
-        .filter(F.col("_id") != F.col("_target_id"))
+    missed = F.col("_target_id").isNull()
+    keep_or_demote = (
+        existing.join(targets, "id", "left")
+        .filter(missed | (F.col("_id") != F.col("_target_id")))
         .select(
             "_id",
             "id",
             "updated",
-            F.lit(True).alias("obsolete_version"),
-            F.col("_target_id").alias("updated_to"),
-            F.lit(None).cast("string").alias("patch_data"),
-            *[F.lit(None).cast("string").alias(f) for f in fields],
+            F.when(missed, F.col("obsolete_version"))
+            .otherwise(F.lit(True))
+            .alias("obsolete_version"),
+            F.when(missed, F.col("updated_to"))
+            .otherwise(F.col("_target_id"))
+            .alias("updated_to"),
+            F.when(missed, F.col("patch_data")).alias("patch_data"),
+            *[F.when(missed, F.col(f)).alias(f) for f in fields],
         )
     )
 
-    untouched = existing.join(targets.select("id"), "id", "left_anti").select(
-        *STATE_META, *fields
-    )
-
-    return untouched.unionByName(upserts.select(*STATE_META, *fields)).unionByName(
-        demoted.select(*STATE_META, *fields)
+    return keep_or_demote.select(*STATE_META, *fields).unionByName(
+        upserts.select(*STATE_META, *fields)
     )
 
 
