@@ -442,7 +442,63 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_pairs(_near_dup_corpus(spark, sf_dir), threshold=0.9)
 
 
-@query("dedup_embedding_lsh")  # banded candidates miss pairs by design → rows-only
+# Random-hyperplane LSH IS oracle-checkable: the planes are
+# deterministic LCG literals (similarity.random_planes), so the twin
+# embeds the SAME 16×64 doubles and replays signature bits, banding,
+# candidate join, and the exact-cosine verify with the identical
+# left-fold float arithmetic the cosine oracles already hash-match.
+def _ddb_rh_sig(vec_expr: str, dim: int = 64, sig_bits: int = 16) -> str:
+    from datalake_etlscripts_spark.operators.similarity import random_planes
+
+    projs = []
+    for i, p in enumerate(random_planes(dim, sig_bits)):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        proj = (
+            f"list_reduce(list_prepend(0.0, list_transform(list_zip({vec_expr},"
+            f" {lit}), x -> CAST(x[1] AS DOUBLE) * x[2])), (a, b) -> a + b)"
+        )
+        projs.append(f"(CASE WHEN {proj} > 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(projs) + ")"
+
+
+_EMB_LSH_ORACLE = f"""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.001)
+      FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    sigs AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> x /
+               sqrt(list_reduce(list_prepend(0.0,
+                 list_transform(embedding, y -> y * y)), (a, b) -> a + b))) AS uv,
+             {{sig}} AS sig
+      FROM corpus
+    ),
+    banded AS (
+      SELECT vec_id, uv, b.b AS band, (sig >> (b.b * 8)) & 255 AS bucket
+      FROM sigs CROSS JOIN (VALUES (0), (1)) b(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                      a.uv AS uv_a, b.uv AS uv_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT id_a, id_b,
+             list_reduce(list_prepend(0.0,
+               list_transform(list_zip(uv_a, uv_b), x -> x[1] * x[2])),
+               (acc, v) -> acc + v) AS cos_sim
+      FROM cand
+    ) WHERE cos_sim >= 0.9
+""".format(sig=_ddb_rh_sig("embedding"))
+
+
+@query("dedup_embedding_lsh", oracle=_EMB_LSH_ORACLE)
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_lsh(_near_dup_corpus(spark, sf_dir), threshold=0.9)
 
@@ -485,7 +541,40 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(e, e.filter(F.col("vec_id") < 8), k=5)
 
 
-@query("ann_lsh_topk")  # approximate retrieval → rows-only check
+_ANN_LSH_ORACLE = f"""
+    WITH sigs AS (
+      SELECT vec_id, {{sig}} AS sig FROM embeddings
+    ),
+    banded AS (
+      SELECT vec_id, b.b AS band, (sig >> (b.b * 8)) & 255 AS bucket
+      FROM sigs CROSS JOIN (VALUES (0), (1)) b(b)
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM banded q JOIN banded c ON q.band = c.band AND q.bucket = c.bucket
+      WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        list_reduce(list_prepend(0.0, list_transform(list_zip(qe.embedding, ce.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a, b) -> a + b)
+        / (sqrt(list_reduce(list_prepend(0.0, list_transform(qe.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
+         * sqrt(list_reduce(list_prepend(0.0, list_transform(ce.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS cos_sim
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+""".format(sig=_ddb_rh_sig("embedding"))
+
+
+@query("ann_lsh_topk", oracle=_ANN_LSH_ORACLE)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_topk(e, e.filter(F.col("vec_id") < 8), k=5)
