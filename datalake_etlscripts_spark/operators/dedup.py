@@ -39,6 +39,21 @@ from datalake_etlscripts_spark.operators.text import (
 _MASK32 = 0xFFFFFFFF
 
 
+def md5_hash32(col: Column) -> Column:
+    """32-bit hash from the first 8 hex digits of md5 — the
+    cross-engine hash lane of the oracle-checkable 'md5' scheme (any
+    engine with md5 replays it; DuckDB twin: registry.ddb_hex32).
+    ~2× slower than xxhash64 per value — oracle-checked registered
+    queries only; production defaults stay on xxhash64."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def md5_shingle_hashes(text: Column, k: int = 3) -> Column:
+    """ARRAY<BIGINT>: distinct 32-bit md5-prefix hashes of the k-token
+    string shingles — the md5-scheme twin of shingle_hashes."""
+    return F.array_distinct(F.transform(shingle_strings(text, k), md5_hash32))
+
+
 def shingle_hashes(text: Column, k: int = 3) -> Column:
     """ARRAY<BIGINT> of k-shingle hashes built arithmetically: one
     xxhash64 per TOKEN, then a masked polynomial combine over k shifted
@@ -61,19 +76,24 @@ def shingle_strings(text: Column, k: int = 3) -> Column:
     """ARRAY<STRING> of distinct k-token shingles ('tok1 tok2 tok3').
     Slower than the arithmetic shingle_hashes (per-shingle string
     concat) — used by the md5 hash scheme, which must hash a value an
-    external engine can reconstruct (DuckDB oracle twin)."""
+    external engine can reconstruct (DuckDB oracle twin).
+
+    Built via zip_with over k shifted slices (same shape as
+    shingle_hashes): each slice evaluates the token split once, so the
+    split runs k times per document. The earlier element_at-per-lambda
+    version re-tokenized the text once per element_at — O(shingles×k)
+    re-splits, 15× slower at bench scale."""
     tk = tokens(text)
     n = F.size(tk)
     m = F.greatest(n - (k - 1), F.lit(0))
-    # sequence(1, 0) would infer step -1 and yield [1, 0] — guard
-    idx = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
-        F.array().cast("array<int>")
-    )
-    shingles = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(tk, i + j) for j in range(k)]),
-    )
-    return F.array_distinct(shingles)
+    out = F.slice(tk, 1, m)
+    for j in range(1, k):
+        out = F.zip_with(
+            out,
+            F.slice(tk, 1 + j, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.array_distinct(out)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -152,6 +172,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 32,
+    scheme: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig ARRAY<BIGINT>): minhash over k-shingles. Hash family:
     xxhash64(shingle, seed_i) — JVM-side, no UDF.
@@ -163,25 +184,53 @@ def minhash_signatures(
     Shingle-less docs explode a single sentinel token instead, so ONE
     scan + ONE shuffle covers every document — no separate
     empties anti-join/union pass; all empty docs share one constant
-    signature and bucket together harmlessly."""
-    sh = shingle_hashes(F.col(text_col), k)
-    exploded = df.select(
-        F.col(id_col).alias("_did"),
-        F.explode(
-            F.coalesce(
-                F.nullif(sh, F.array().cast("array<bigint>")),
-                F.array(F.lit(-(1 << 62)).cast("bigint")),
-            )
-        ).alias("_s"),
-    ).select(
-        "_did",
-        # Kirsch-Mitzenmacher: all hash lanes derived from two base
-        # hashes h1 + i*h2 — 2 hashes per shingle instead of
-        # num_hashes. Bases masked to 32 bits so no lane overflows a
-        # long under ANSI arithmetic
-        F.xxhash64("_s", F.lit(1)).bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h1"),
-        F.xxhash64("_s", F.lit(2)).bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h2"),
-    )
+    signature and bucket together harmlessly.
+
+    ``scheme='md5'`` hashes the shingle STRING once via md5 and takes
+    the two K-M bases from hex digits 1-8 / 9-16, so an external
+    engine can replay the signature bit-for-bit (DuckDB oracle twin,
+    cf. simhash_table)."""
+    if scheme == "xxhash64":
+        sh = shingle_hashes(F.col(text_col), k)
+        exploded = df.select(
+            F.col(id_col).alias("_did"),
+            F.explode(
+                F.coalesce(
+                    F.nullif(sh, F.array().cast("array<bigint>")),
+                    F.array(F.lit(-(1 << 62)).cast("bigint")),
+                )
+            ).alias("_s"),
+        ).select(
+            "_did",
+            # Kirsch-Mitzenmacher: all hash lanes derived from two base
+            # hashes h1 + i*h2 — 2 hashes per shingle instead of
+            # num_hashes. Bases masked to 32 bits so no lane overflows a
+            # long under ANSI arithmetic
+            F.xxhash64("_s", F.lit(1)).bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h1"),
+            F.xxhash64("_s", F.lit(2)).bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h2"),
+        )
+    elif scheme == "md5":
+        sh = shingle_strings(F.col(text_col), k)
+        exploded = df.select(
+            F.col(id_col).alias("_did"),
+            F.explode(
+                F.coalesce(
+                    F.nullif(sh, F.array().cast("array<string>")),
+                    F.array(F.lit("___EMPTY___")),
+                )
+            ).alias("_s"),
+        ).select(
+            "_did", F.md5("_s").alias("_m")
+        ).select(
+            # ONE md5 per shingle: the Kirsch-Mitzenmacher bases are
+            # independent 32-bit slices of the same digest (hex digits
+            # 1-8 and 9-16) — halves the hash work vs two seeded md5s
+            "_did",
+            F.conv(F.substring("_m", 1, 8), 16, 10).cast("long").alias("_h1"),
+            F.conv(F.substring("_m", 9, 8), 16, 10).cast("long").alias("_h2"),
+        )
+    else:
+        raise ValueError(f"unknown minhash scheme {scheme!r}")
     mins = exploded.groupBy("_did").agg(
         *[
             F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"_h{i}")
@@ -220,30 +269,50 @@ def lsh_bucket_table(
     k: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    scheme: str = "xxhash64",
 ) -> DataFrame:
     """(band, bucket, _did): banded-LSH index rows for ``df`` — the
     persistable state of incremental dedup (incremental_minhash_dedup
     appends each batch's rows). Shingle-less docs are excluded up
     front: a real pair needs a shared shingle, and their common
-    sentinel bucket would be the one genuinely quadratic bucket."""
+    sentinel bucket would be the one genuinely quadratic bucket.
+
+    Under ``scheme='md5'`` the band bucket is a masked polynomial fold
+    of the r lane minima (pure integer arithmetic an external engine
+    replays) instead of xxhash64."""
     r = num_hashes // bands
     df = df.filter(F.size(tokens(F.col(text_col))) >= F.lit(k))
-    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, scheme)
+
+    if scheme == "md5":
+
+        def _band_bucket(b: int) -> Column:
+            acc = F.lit(0).cast("long")
+            for j in range(r):
+                acc = (acc * F.lit(1000003) + F.col("sig")[b * r + j]).bitwiseAND(
+                    F.lit(_MASK32)
+                )
+            return acc
+
+    else:
+
+        def _band_bucket(b: int) -> Column:
+            return F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)])
+
     return sigs.select(
         "_did",
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)])
-                    for b in range(bands)
-                ]
-            )
+            F.array(*[_band_bucket(b) for b in range(bands)])
         ).alias("band", "bucket"),
     ).select("band", "bucket", "_did")
 
 
 def _verify_jaccard(
-    cand: DataFrame, texts: DataFrame, k: int, threshold: float
+    cand: DataFrame,
+    texts: DataFrame,
+    k: int,
+    threshold: float,
+    scheme: str = "xxhash64",
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs (id_a, id_b)
     against ``texts`` (_did, _t). Jaccard runs over the ARITHMETIC
@@ -258,9 +327,10 @@ def _verify_jaccard(
         .unionByName(cand.select(F.col("id_b").alias("_did")))
         .distinct()
     )
+    hash_fn = md5_shingle_hashes if scheme == "md5" else shingle_hashes
     sh = (
         texts.join(support, "_did", "left_semi")
-        .select("_did", shingle_hashes(F.col("_t"), k).alias("_sh"))
+        .select("_did", hash_fn(F.col("_t"), k).alias("_sh"))
     )
     verified = (
         cand.join(sh.select(F.col("_did").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
@@ -278,6 +348,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    scheme: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, then exact-Jaccard
     verification of candidates only. rows/band = num_hashes/bands; with
@@ -287,8 +358,12 @@ def minhash_lsh_pairs(
     explode (see _PAIR_EXPR note) → candidates ~ linear; only
     candidate pairs pay the exact-Jaccard verification. Returns
     (id_a, id_b, jaccard) verified ≥ threshold.
+
+    ``scheme='md5'`` makes the whole pipeline (signatures, banding,
+    verification hashes) replayable by an external engine — the
+    oracle-checkable variant; production default stays xxhash64.
     """
-    banded = lsh_bucket_table(df, text_col, id_col, k, num_hashes, bands)
+    banded = lsh_bucket_table(df, text_col, id_col, k, num_hashes, bands, scheme)
     cand = (
         banded.groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("_did")).alias("ids"))
@@ -299,7 +374,7 @@ def minhash_lsh_pairs(
         .localCheckpoint()
     )
     texts = df.select(F.col(id_col).alias("_did"), F.col(text_col).alias("_t"))
-    return _verify_jaccard(cand, texts, k, threshold)
+    return _verify_jaccard(cand, texts, k, threshold, scheme)
 
 
 def incremental_minhash_dedup(
@@ -312,6 +387,7 @@ def incremental_minhash_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    scheme: str = "xxhash64",
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental near-dup detection — the 100 TB shape where the
     corpus is ingested in batches and NEVER re-signatured: ``index``
@@ -327,7 +403,7 @@ def incremental_minhash_dedup(
     the same per-bucket explode as the batch path. Only candidates
     pay verification; union-of-batches equals a full recompute
     (asserted in tests) because banding is deterministic per doc."""
-    bt = lsh_bucket_table(batch, text_col, id_col, k, num_hashes, bands)
+    bt = lsh_bucket_table(batch, text_col, id_col, k, num_hashes, bands, scheme)
     bt = bt.localCheckpoint()  # feeds probe, within-pairs and the new index
     probe = (
         bt.join(index.withColumnRenamed("_did", "_old"), ["band", "bucket"])
@@ -352,7 +428,7 @@ def incremental_minhash_dedup(
         )
         .dropDuplicates(["_did"])
     )
-    pairs = _verify_jaccard(cand, texts, k, threshold)
+    pairs = _verify_jaccard(cand, texts, k, threshold, scheme)
     return pairs, index.unionByName(bt)
 
 
@@ -396,10 +472,7 @@ def simhash_table(
                     F.array(F.lit("___EMPTY___")),
                 )
             ).alias("_s"),
-        ).select(
-            "_did",
-            F.conv(F.substring(F.md5("_s"), 1, 8), 16, 10).cast("long").alias("_h"),
-        )
+        ).select("_did", md5_hash32(F.col("_s")).alias("_h"))
     else:
         raise ValueError(f"unknown simhash scheme {scheme!r}")
     votes = exploded.groupBy("_did").agg(

@@ -22,14 +22,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
-def ddb_hex32(md5_expr: str) -> str:
-    """DuckDB SQL: first 8 hex digits of an md5 varchar → BIGINT.
-    DuckDB has no conv(); polynomial over hex digits. The cross-engine
-    half of the md5 hash scheme used by oracle-checkable sketches
-    (CMS lanes, simhash) — Spark computes the same value with
-    conv(substring(md5(x), 1, 8), 16, 10)."""
+def ddb_hex32(md5_expr: str, offset: int = 0) -> str:
+    """DuckDB SQL: 8 hex digits of an md5 varchar starting after
+    ``offset`` digits → BIGINT. DuckDB has no conv(); polynomial over
+    hex digits. The cross-engine half of the md5 hash scheme used by
+    oracle-checkable sketches (CMS lanes, simhash, minhash lanes) —
+    Spark computes the same value with
+    conv(substring(md5(x), offset + 1, 8), 16, 10)."""
     terms = " + ".join(
-        f"(strpos('0123456789abcdef', substr({md5_expr}, {i + 1}, 1)) - 1)"
+        f"(strpos('0123456789abcdef', substr({md5_expr}, {offset + i + 1}, 1)) - 1)"
         f" * {16 ** (7 - i)}"
         for i in range(8)
     )

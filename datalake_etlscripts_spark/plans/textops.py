@@ -259,10 +259,81 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components_star(pairs)
 
 
-@query("dedup_minhash_lsh")  # approximate candidate set → rows-only check
+# MinHash-LSH IS oracle-checkable with the md5 hash scheme (cf.
+# simhash below): the DuckDB twin replays 3-token string shingles,
+# Kirsch-Mitzenmacher lane bases h1/h2 from md5 hex slices 1-8/9-16,
+# per-lane minima, the masked-polynomial band bucket, the within-
+# bucket pair join, and exact-Jaccard verification over the md5
+# shingle-hash sets — bit-for-bit, including the double division.
+_MINHASH_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    h AS (
+      SELECT doc_id, {h1} AS h1, {h2} AS h2 FROM sh
+    ),
+    lanes AS (
+      SELECT doc_id, l.i AS lane, min(h1 + l.i * h2) AS m
+      FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) l
+      GROUP BY 1, 2
+    ),
+    lanecols AS (
+      SELECT doc_id, lane // 4 AS band,
+             max(CASE WHEN lane % 4 = 0 THEN m END) AS m0,
+             max(CASE WHEN lane % 4 = 1 THEN m END) AS m1,
+             max(CASE WHEN lane % 4 = 2 THEN m END) AS m2,
+             max(CASE WHEN lane % 4 = 3 THEN m END) AS m3
+      FROM lanes GROUP BY 1, 2
+    ),
+    banded AS (
+      SELECT doc_id, band,
+             ((((((m0 & 4294967295) * 1000003 + m1) & 4294967295)
+                * 1000003 + m2) & 4294967295)
+                * 1000003 + m3) & 4294967295 AS bucket
+      FROM lanecols
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    hs AS (SELECT DISTINCT doc_id, {hv} AS hv FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS i
+      FROM cand c
+      JOIN hs a ON a.doc_id = c.id_a
+      JOIN hs b ON b.doc_id = c.id_b AND b.hv = a.hv
+      GROUP BY 1, 2
+    ),
+    jac AS (
+      SELECT c.id_a, c.id_b,
+             CAST(coalesce(i.i, 0) AS DOUBLE)
+               / (sa.n + sb.n - coalesce(i.i, 0)) AS jaccard
+      FROM cand c
+      JOIN sizes sa ON sa.doc_id = c.id_a
+      JOIN sizes sb ON sb.doc_id = c.id_b
+      LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    )
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.04
+""".format(
+    h1=ddb_hex32("md5(s)"),
+    h2=ddb_hex32("md5(s)", 8),
+    hv=ddb_hex32("md5(s)"),
+)
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(d, threshold=0.04)
+    return dedup.minhash_lsh_pairs(d, threshold=0.04, scheme="md5")
 
 
 # SimHash IS oracle-checkable with the md5 hash scheme: signatures,
@@ -317,20 +388,26 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(d, max_hamming=3, bits=32, band_bits=8, scheme="md5")
 
 
-@query("dedup_incremental_lsh")  # approximate candidate set → rows-only check
+@query("dedup_incremental_lsh", oracle=_MINHASH_ORACLE)
 def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-batch incremental LSH dedup: batch 2 probes the persisted
     bucket index built from batch 1 — no re-signaturing of ingested
     docs. Equals a full recompute (asserted in tests/test_modules.py::
-    test_incremental_minhash_dedup_equals_full_recompute)."""
+    test_incremental_minhash_dedup_equals_full_recompute) because
+    banding is deterministic per doc — so the oracle is the SAME
+    full-corpus md5-scheme twin as dedup_minhash_lsh: the driver
+    hash-checks that two incremental batches reproduce the one-shot
+    answer bit-for-bit."""
     d = read_table(spark, sf_dir, "documents")
     b1 = d.filter(F.col("doc_id") % 2 == 0)
     b2 = d.filter(F.col("doc_id") % 2 == 1)
     empty_index = spark.createDataFrame([], "band int, bucket bigint, _did bigint")
     p1, idx1 = dedup.incremental_minhash_dedup(
-        empty_index, d.limit(0), b1, threshold=0.04
+        empty_index, d.limit(0), b1, threshold=0.04, scheme="md5"
     )
-    p2, _ = dedup.incremental_minhash_dedup(idx1, b1, b2, threshold=0.04)
+    p2, _ = dedup.incremental_minhash_dedup(
+        idx1, b1, b2, threshold=0.04, scheme="md5"
+    )
     return p1.unionByName(p2)
 
 
