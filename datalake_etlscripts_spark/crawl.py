@@ -100,6 +100,51 @@ def prune_urls(
     return out
 
 
+def default_resolver(host: str) -> list[str]:
+    """Production DNS lookup (stdlib getaddrinfo — the reference uses
+    dns.resolver, ntp_utils.py:185-191; same observable contract:
+    host → list of address strings, empty on failure)."""
+    import socket
+
+    try:
+        infos = socket.getaddrinfo(host, None)
+    except OSError:
+        return []
+    return sorted({i[4][0] for i in infos})
+
+
+def resolve_hosts(
+    urls: DataFrame,
+    url_col: str = "url",
+    resolver: Callable[[str], list[str]] | None = None,
+) -> DataFrame:
+    """F16 (debug DNS resolve, ntp_utils.py:185-191), Spark-shaped:
+    resolution is per-HOST, so the URL table collapses to distinct
+    hosts first (tiny — never one lookup per URL), then a mapInPandas
+    stage runs the injectable ``resolver`` per host. Returns
+    (host, idx, ip) rows — one row per resolved address, no array
+    output. Distributed and de-duplicated; at scale the distinct-host
+    shuffle is the only data movement."""
+    res = resolver or default_resolver
+    hosts = (
+        urls.select(url_host(F.col(url_col)).alias("host"))
+        .filter(F.col("host").isNotNull() & (F.col("host") != ""))
+        .distinct()
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"host": [], "idx": [], "ip": []}
+            for h in pdf["host"]:
+                for i, ip in enumerate(res(h)):
+                    out["host"].append(h)
+                    out["idx"].append(i)
+                    out["ip"].append(ip)
+            yield pd.DataFrame(out, columns=["host", "idx", "ip"])
+
+    return hosts.mapInPandas(run, "host string, idx int, ip string")
+
+
 def fake_fetcher(url: str) -> tuple[int, str, bytes]:
     """Deterministic offline fetcher for tests: status/type/bytes
     derived from the URL text."""

@@ -635,6 +635,7 @@ def semantic_dedup(
     threshold: float = 0.92,
     n_clusters: int | None = None,
     rows_per_cell: int = 1024,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means the
     embedding space into cells, find near-duplicate pairs ONLY within a
@@ -665,10 +666,15 @@ def semantic_dedup(
         kmeans_centroids,
     )
 
-    if n_clusters is None:
-        n = df.count()
-        n_clusters = min(256, max(16, -(-n // rows_per_cell)))
-    cents = kmeans_centroids(df, vec_col, k=n_clusters)
+    if centroids is not None:
+        # fixed literal quantizer — the oracle-checkable variant (an
+        # external engine replays assignment; cf. similarity.ivf_ann_topk)
+        cents = centroids
+    else:
+        if n_clusters is None:
+            n = df.count()
+            n_clusters = min(256, max(16, -(-n // rows_per_cell)))
+        cents = kmeans_centroids(df, vec_col, k=n_clusters)
     cells = df.select(
         F.col(id_col).alias("_eid"),
         _unit(F.col(vec_col)).alias("_ev"),

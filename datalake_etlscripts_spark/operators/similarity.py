@@ -231,6 +231,7 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_probe: int = 3,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: corpus rows are assigned to their
     nearest centroid once (one narrow pass); each query probes its
@@ -238,8 +239,15 @@ def ivf_ann_topk(
     exact cosine. Candidates come from an equi-join on the cell id —
     the same linear-shuffle shape as LSH, but with a trained quantizer
     (better recall on clustered data). Returns (query_id, neighbor_id,
-    cos_sim, rank)."""
-    cents = kmeans_centroids(corpus, vec_col, k=n_centroids)
+    cos_sim, rank).
+
+    ``centroids`` overrides the trained quantizer with fixed literal
+    cell centers — an external engine can then replay assignment,
+    probing, and scoring bit-for-bit (the oracle-checkable variant;
+    production default stays the trained k-means quantizer)."""
+    cents = centroids if centroids is not None else kmeans_centroids(
+        corpus, vec_col, k=n_centroids
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),

@@ -251,3 +251,99 @@ def histogram_quantiles(
         )
         out = est if out is None else out.unionByName(est)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Explicit-register HLL: the oracle-checkable twin of the DataSketches
+# state above. Registers are a TABLE of (keys..., bucket, register) —
+# one 32-bit md5 lane per value: low 8 bits pick 1 of 256 buckets, the
+# remaining 24-bit word's leading-zero rank (+1) is the register
+# candidate; the register keeps the max. That table is the mergeable
+# state (union + max — lossless, like CMS counter addition), rolls up
+# to coarser grains the same way, and the RAW HLL estimator
+#   alpha_m * m^2 / sum_j 2^-M_j
+# is pure integer-plus-one-division arithmetic any engine replays
+# bit-for-bit: sum_j 2^-M_j is scaled by 2^25 into an exact BIGINT
+# (registers <= 25 → terms <= 2^25, 256 terms < 2^33). No ln()/
+# small-range correction — transcendental libm calls differ across
+# engines; the raw estimator is the documented contract (production
+# accuracy lives in the DataSketches path above).
+# ---------------------------------------------------------------------------
+
+HLL_BUCKET_BITS = 8
+HLL_BUCKETS = 1 << HLL_BUCKET_BITS  # 256
+HLL_WORD_BITS = 32 - HLL_BUCKET_BITS  # 24
+# alpha_256 * m^2 * 2^25, computed once so both engines multiply the
+# same double literal
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_BUCKETS)
+HLL_EST_NUM = HLL_ALPHA * HLL_BUCKETS * HLL_BUCKETS * float(1 << (HLL_WORD_BITS + 1))
+
+
+def _hll_rho(w: F.Column) -> F.Column:
+    """Leading-zero rank + 1 of the 24-bit word (1 if the top bit is
+    set … 24 if only the lowest, 25 if zero) — a comparison ladder,
+    not floor(log2()): log2 rounding at 2^k boundaries is not a
+    cross-engine guarantee."""
+    cases = F.when(w >= F.lit(1 << (HLL_WORD_BITS - 1)), F.lit(1))
+    for i in range(HLL_WORD_BITS - 2, -1, -1):
+        cases = cases.when(w >= F.lit(1 << i), F.lit(HLL_WORD_BITS - i))
+    return cases.otherwise(F.lit(HLL_WORD_BITS + 1))
+
+
+def hll_register_table(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    """Mergeable explicit HLL state: (*keys, bucket, register).
+    One scan, one (keys, bucket) shuffle; NULL values contribute
+    nothing (md5(NULL) is NULL on both engines — made explicit)."""
+    from datalake_etlscripts_spark.operators.dedup import md5_hash32
+
+    h = md5_hash32(F.col(value).cast("string"))
+    return (
+        df.filter(F.col(value).isNotNull())
+        .select(
+            *keys,
+            h.bitwiseAND(F.lit(HLL_BUCKETS - 1)).alias("bucket"),
+            _hll_rho(F.shiftrightunsigned(h, HLL_BUCKET_BITS)).alias("_rho"),
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.max("_rho").alias("register"))
+    )
+
+
+def merge_hll_register_tables(*tables: DataFrame) -> DataFrame:
+    """Union + max per (keys, bucket) — the incremental-maintenance
+    step; registers merge losslessly."""
+    keys = [c for c in tables[0].columns if c != "register"]
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy(*keys).agg(F.max("register").alias("register"))
+
+
+def rollup_hll_registers(state: DataFrame, coarser_keys: list[str]) -> DataFrame:
+    """Coarser grain by max-merging registers — no fact-table access."""
+    return state.groupBy(*coarser_keys, "bucket").agg(
+        F.max("register").alias("register")
+    )
+
+
+def hll_register_estimate(
+    state: DataFrame, alias: str = "approx_distinct"
+) -> DataFrame:
+    """Raw HLL estimate per key group. Absent buckets contribute
+    2^-0 = 1 each — accounted via (m - present) * 2^25 on the scaled
+    integer sum.
+
+    Valid regime: n ≳ 2.5·m (≈ 640 distinct at m=256) — below that the
+    raw estimator overestimates and classic HLL switches to linear
+    counting, which needs ln() (not bit-reproducible across engines);
+    use the DataSketches path (estimate_distinct) when small-n
+    accuracy matters."""
+    keys = [c for c in state.columns if c not in ("bucket", "register")]
+    scaled = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_WORD_BITS + 1} - register)")
+    agg = state.groupBy(*keys).agg(
+        F.sum(scaled).alias("_s"), F.count(F.lit(1)).alias("_nb")
+    )
+    denom = F.col("_s") + (F.lit(HLL_BUCKETS) - F.col("_nb")) * F.lit(
+        1 << (HLL_WORD_BITS + 1)
+    )
+    return agg.select(*keys, (F.lit(HLL_EST_NUM) / denom).alias(alias))

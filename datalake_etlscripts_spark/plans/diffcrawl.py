@@ -288,3 +288,68 @@ def q_version_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.concat_ws("|", "first_upd", "_id"))), ";"
         ).alias("updates_dates_list"),
     )
+
+
+# ---------------------------------------------------------------------------
+# F16: debug DNS resolve (ntp_utils.py:185-191 get_ips), distinct-host
+# mapInPandas with an injectable resolver. The registered query runs a
+# DETERMINISTIC fake resolver (IP octets carved from md5 hex pairs of
+# the host; a second address present when the 32-bit prefix is odd) so
+# DuckDB replays every resolved row; production drops in
+# crawl.default_resolver (stdlib getaddrinfo).
+# ---------------------------------------------------------------------------
+def _fake_resolver(host: str) -> list[str]:
+    import hashlib
+
+    d = hashlib.md5(host.encode()).hexdigest()
+
+    def ip(off: int) -> str:
+        return ".".join(str(int(d[off + 2 * i : off + 2 * i + 2], 16)) for i in range(4))
+
+    ips = [ip(0)]
+    if int(d[:8], 16) & 1:
+        ips.append(ip(8))
+    return ips
+
+
+def _ddb_octet(pos: int) -> str:
+    """DuckDB: hex digit pair of md5(host) at 1-based ``pos`` → 0-255."""
+    return (
+        f"CAST((strpos('0123456789abcdef', substr(d, {pos}, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr(d, {pos + 1}, 1)) - 1) AS VARCHAR)"
+    )
+
+
+def _ddb_fake_ip(off: int) -> str:
+    return " || '.' || ".join(_ddb_octet(off + 2 * i) for i in range(4))
+
+
+def _dns_oracle() -> str:
+    from datalake_etlscripts_spark.plans.registry import ddb_hex32
+
+    return f"""
+    WITH hosts AS (
+      SELECT DISTINCT 'docs' || CAST(p_partkey % 5 AS VARCHAR) || '.example' AS host
+      FROM part WHERE p_partkey <= 1000
+    ),
+    m AS (SELECT host, md5(host) AS d, {ddb_hex32('md5(host)')} AS h FROM hosts)
+    SELECT host, 0 AS idx, {_ddb_fake_ip(1)} AS ip FROM m
+    UNION ALL
+    SELECT host, 1 AS idx, {_ddb_fake_ip(9)} AS ip FROM m WHERE (h & 1) = 1
+    """
+
+
+@query("dns_resolve", oracle=_dns_oracle())
+def q_dns_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_etlscripts_spark.crawl import resolve_hosts
+
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1000)
+    urls = p.select(
+        F.concat(
+            F.lit("http://docs"),
+            (F.col("p_partkey") % 5).cast("string"),
+            F.lit(".example/files/doc"),
+            F.col("p_partkey").cast("string"),
+        ).alias("url")
+    )
+    return resolve_hosts(urls, resolver=_fake_resolver)

@@ -301,14 +301,61 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# mergeable HLL sketch state (operators/sketches.py): distinct
-# customers per priority built INCREMENTALLY from two half-batches,
-# grand total derived by union-merging the per-priority sketches —
-# the fact table is scanned once per batch, never re-scanned.
-# Sketch payloads are DataSketches-specific → rows-only; the exact
-# twin for accuracy is asserted in tests/test_modules.py.
+# mergeable HLL state (operators/sketches.py): distinct customers per
+# priority built INCREMENTALLY from two half-batches, grand total
+# derived by max-merging the per-priority registers — the fact table
+# is scanned once per batch, never re-scanned. Registered query uses
+# the EXPLICIT-REGISTER HLL (md5 lanes, raw estimator — pure integer
+# + one double division), so DuckDB replays the estimate bit-for-bit;
+# the DataSketches path (distinct_sketch_table/hll_union) remains the
+# production-accuracy variant, exercised in tests/test_modules.py.
 # ---------------------------------------------------------------------------
-@query("approx_distinct_incremental")
+def _hll_oracle() -> str:
+    from datalake_etlscripts_spark.operators.sketches import (
+        HLL_BUCKETS,
+        HLL_EST_NUM,
+        HLL_WORD_BITS,
+    )
+    from datalake_etlscripts_spark.plans.registry import ddb_hex32
+
+    ladder = " ".join(
+        f"WHEN w >= {1 << i} THEN {HLL_WORD_BITS - i}"
+        for i in range(HLL_WORD_BITS - 1, -1, -1)
+    )
+    scale = 1 << (HLL_WORD_BITS + 1)
+    return f"""
+    WITH src AS (
+      SELECT o_orderpriority AS k, o_custkey AS v
+      FROM orders WHERE o_custkey IS NOT NULL
+    ),
+    h0 AS (SELECT k, {ddb_hex32("md5(CAST(v AS VARCHAR))")} AS h FROM src),
+    h AS (SELECT k, h & {HLL_BUCKETS - 1} AS bucket, h >> {8} AS w FROM h0),
+    regs AS (
+      SELECT k, bucket, max(CASE {ladder} ELSE {HLL_WORD_BITS + 1} END) AS reg
+      FROM h GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT k, sum(CAST(1 AS BIGINT) << ({HLL_WORD_BITS + 1} - reg)) AS s,
+             count(*) AS nb
+      FROM regs GROUP BY 1
+    ),
+    regs_total AS (SELECT bucket, max(reg) AS reg FROM regs GROUP BY 1),
+    tot AS (
+      SELECT sum(CAST(1 AS BIGINT) << ({HLL_WORD_BITS + 1} - reg)) AS s,
+             count(*) AS nb
+      FROM regs_total
+    )
+    SELECT k AS o_orderpriority,
+           {HLL_EST_NUM!r} / (s + ({HLL_BUCKETS} - nb) * {scale}) AS approx_distinct,
+           'priority' AS level
+    FROM per
+    UNION ALL
+    SELECT '__all__', {HLL_EST_NUM!r} / (s + ({HLL_BUCKETS} - nb) * {scale}), 'total'
+    FROM tot
+    """
+
+
+@query("approx_distinct_incremental", oracle=_hll_oracle())
 def q_approx_distinct_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_etlscripts_spark.operators import sketches
 
@@ -316,15 +363,15 @@ def q_approx_distinct_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         "o_orderkey", "o_orderpriority", "o_custkey"
     )
     halves = [o.filter(F.col("o_orderkey") % 2 == i) for i in (0, 1)]
-    state = sketches.merge_sketch_tables(
+    state = sketches.merge_hll_register_tables(
         *[
-            sketches.distinct_sketch_table(h, ["o_orderpriority"], "o_custkey")
+            sketches.hll_register_table(h, ["o_orderpriority"], "o_custkey")
             for h in halves
         ]
     )
-    per = sketches.estimate_distinct(state).withColumn("level", F.lit("priority"))
+    per = sketches.hll_register_estimate(state).withColumn("level", F.lit("priority"))
     total = (
-        sketches.estimate_distinct(sketches.rollup_sketches(state, []))
+        sketches.hll_register_estimate(sketches.rollup_hll_registers(state, []))
         .withColumn("o_orderpriority", F.lit("__all__"))
         .withColumn("level", F.lit("total"))
     )

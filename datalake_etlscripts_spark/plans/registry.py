@@ -62,30 +62,31 @@ PRIORITY: list[str] = [
     "txstore_snapshot_diff",
     "summary_incremental",
     "storage_sync_plan",
-    "purge_plan",
-    "listing_id_range",
     "crawl_fetch_policy",
+    "dns_resolve",
     "dedup_exact",
-    "dedup_bow",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_incremental_lsh",
+    "dedup_simhash",
     "dedup_clusters_star",
     "dedup_paragraphs",
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_semantic",
     "decontaminate",
     "ann_cosine_topk",
-    "token_counts",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "text_quality",
     "text_repetition",
     "lang_id",
     "doc_fingerprints",
     "pii_redaction",
     "quality_deciles",
-    "rare_token_ratio",
     "tfidf_top_terms",
     "ngram_lm_counts",
     "vocab_top_terms",
-    "vocab_encode",
     "bpe_pair_counts",
     "chunk_documents",
     "train_test_split",
@@ -98,10 +99,9 @@ PRIORITY: list[str] = [
     "nif_validation",
     "csv_cpv_dim",
     "jsonl_company_annotations",
-    "orc_source",
-    "jdbc_dim_join",
     "multimodal_decode",
     "approx_topk_terms",
+    "approx_distinct_incremental",
     "q2_min_cost_supplier",
     "q9_profit_by_nation",
     "q17_small_qty_revenue",

@@ -580,12 +580,88 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_lsh(_near_dup_corpus(spark, sf_dir), threshold=0.9)
 
 
-@query("dedup_semantic")  # k-means cells (driver-sampled quantizer) → rows-only
+# SemDeDup IS oracle-checkable with a FIXED literal quantizer (the
+# same 16 LCG cell centers as the IVF twin below): DuckDB replays the
+# argmin cell assignment, the unit-normalize, the within-cell cosine
+# pairs, the connected components (recursive CTE, cf. the clusters
+# oracle), and the min-id representative choice. The trained-kmeans
+# quantizer stays the production default of dedup.semantic_dedup
+# (recall property tested in test_modules).
+def _semantic_oracle() -> str:
+    rows = []
+    from datalake_etlscripts_spark.operators.similarity import random_planes
+
+    for ci, c in enumerate(
+        [[0.1 * x for x in row] for row in random_planes(64, 16, seed=11)]
+    ):
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        rows.append(f"({ci}, {lit})")
+    cells = ", ".join(rows)
+    return f"""
+    WITH RECURSIVE corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) + 0.001)
+      FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    dists AS (
+      SELECT vec_id, v, cent.cid AS cid,
+             list_reduce(list_prepend(0.0,
+               list_transform(list_zip(v, cent.c),
+                 x -> (x[1] - x[2]) * (x[1] - x[2]))), (a, b) -> a + b) AS d
+      FROM corpus CROSS JOIN (VALUES {cells}) cent(cid, c)
+    ),
+    assigned AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT vec_id, v, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+        FROM dists
+      ) WHERE r = 1
+    ),
+    un AS (
+      SELECT vec_id, cid,
+             list_transform(v, x -> x /
+               sqrt(list_reduce(list_prepend(0.0,
+                 list_transform(v, y -> y * y)), (a, b) -> a + b))) AS uv
+      FROM assigned
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM un a JOIN un b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_reduce(list_prepend(0.0,
+              list_transform(list_zip(a.uv, b.uv), x -> x[1] * x[2])),
+              (p, q) -> p + q) >= 0.9
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+    SELECT c.vec_id,
+           coalesce(comp.component, c.vec_id) AS component,
+           coalesce(comp.component, c.vec_id) = c.vec_id AS keep
+    FROM corpus c LEFT JOIN comp ON comp.node = c.vec_id
+    """
+
+
+@query("dedup_semantic", oracle=_semantic_oracle())
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the injected-near-dup corpus: cluster, pair within
     cells, keep one representative per duplicate group (operators/
     dedup.semantic_dedup; recall property tested in test_modules)."""
-    return dedup.semantic_dedup(_near_dup_corpus(spark, sf_dir), threshold=0.9)
+    return dedup.semantic_dedup(
+        _near_dup_corpus(spark, sf_dir),
+        threshold=0.9,
+        centroids=_ivf_literal_centroids(),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -689,10 +765,75 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("id").agg(F.count(F.lit(1)).alias("n_frames"))
 
 
-@query("ann_ivf_topk")  # trained quantizer → rows-only check
+# IVF IS oracle-checkable with a FIXED literal coarse quantizer: the
+# 16 cell centers are deterministic LCG literals shared into the twin
+# (same trick as the hyperplane planes above), so DuckDB replays the
+# argmin cell assignment, the 3-cell probe, the candidate equi-join,
+# and the exact-cosine rerank bit-for-bit. The trained-kmeans
+# quantizer stays the production default of similarity.ivf_ann_topk
+# (recall-tested in tests/test_modules.py) — training samples are not
+# an external engine's to replay.
+def _ivf_literal_centroids() -> list[list[float]]:
+    from datalake_etlscripts_spark.operators.similarity import random_planes
+
+    # scale the ±1 LCG values toward the embedding range (±0.3)
+    return [[0.1 * x for x in row] for row in random_planes(64, 16, seed=11)]
+
+
+def _ddb_ivf_cells() -> str:
+    """VALUES list: (cid, 64-double centroid literal)."""
+    rows = []
+    for ci, c in enumerate(_ivf_literal_centroids()):
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        rows.append(f"({ci}, {lit})")
+    return ", ".join(rows)
+
+
+_ANN_IVF_ORACLE = f"""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    dists AS (
+      SELECT vec_id, v, cent.cid AS cid,
+             list_reduce(list_prepend(0.0,
+               list_transform(list_zip(v, cent.c),
+                 x -> (x[1] - x[2]) * (x[1] - x[2]))), (a, b) -> a + b) AS d
+      FROM c CROSS JOIN (VALUES {_ddb_ivf_cells()}) cent(cid, c)
+    ),
+    ranked AS (
+      SELECT vec_id, v, cid, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS r
+      FROM dists
+    ),
+    corpus AS (SELECT vec_id AS neighbor_id, v AS cv, cid AS cell FROM ranked WHERE r = 1),
+    probes AS (SELECT vec_id AS query_id, v AS qv, cid AS cell
+               FROM ranked WHERE vec_id < 8 AND r <= 3),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        list_reduce(list_prepend(0.0, list_transform(list_zip(qv, cv),
+            x -> x[1] * x[2])), (a, b) -> a + b)
+        / (sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
+             x -> x * x)), (a, b) -> a + b))
+         * sqrt(list_reduce(list_prepend(0.0, list_transform(cv,
+             x -> x * x)), (a, b) -> a + b))) AS cos_sim
+      FROM corpus JOIN probes ON corpus.cell = probes.cell
+      WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@query("ann_ivf_topk", oracle=_ANN_IVF_ORACLE)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
-    return similarity.ivf_ann_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+    return similarity.ivf_ann_topk(
+        e, e.filter(F.col("vec_id") < 8), k=5, centroids=_ivf_literal_centroids()
+    )
 
 
 @query(

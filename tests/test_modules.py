@@ -1046,3 +1046,89 @@ def test_disk_storage_sync_and_purge_e2e(spark, tmp_path):
     assert out[0]["status"] == 200
     name = f"ntp00000777_doc_url.{out[0]['doc_type']}"
     assert fetched.file_read(name) == f"content-of:{out[0]['url']}".encode()
+
+
+def test_hll_register_table_merge_and_accuracy(spark, sf_dir):
+    """Explicit-register HLL (the oracle-checkable twin): split-batch
+    max-merge must equal the state built in one pass (max is
+    associative), and the raw estimator must land within ~3 standard
+    errors (1.04/sqrt(256) ≈ 6.5% → 20%) of exact distinct in its
+    valid regime (n ≳ 2.5·m — the synthetic groups below; small-n
+    accuracy belongs to the DataSketches linear-counting path)."""
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.operators import sketches
+
+    # 3 groups × ~2000/4000/8000 distinct values — well above 2.5*256
+    o = (
+        spark.range(14000)
+        .select(
+            (F.col("id") % 3).cast("string").alias("o_orderpriority"),
+            F.col("id").alias("o_orderkey"),
+            F.when(F.col("id") % 3 == 0, F.col("id") % 2000)
+            .when(F.col("id") % 3 == 1, F.col("id") % 4000)
+            .otherwise(F.col("id"))
+            .alias("o_custkey"),
+        )
+    )
+    halves = [o.filter(F.col("o_orderkey") % 2 == i) for i in (0, 1)]
+    merged = sketches.merge_hll_register_tables(
+        *[
+            sketches.hll_register_table(h, ["o_orderpriority"], "o_custkey")
+            for h in halves
+        ]
+    )
+    direct = sketches.hll_register_table(o, ["o_orderpriority"], "o_custkey")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+    est = {
+        r["o_orderpriority"]: r["approx_distinct"]
+        for r in sketches.hll_register_estimate(merged).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) <= max(5, 0.2 * n), (k, est[k], n)
+
+    # rollup-from-fine == built-at-coarse (same max algebra)
+    rolled = sketches.rollup_hll_registers(merged, [])
+    direct_total = sketches.hll_register_table(o, [], "o_custkey")
+    assert rolled.exceptAll(direct_total).count() == 0
+    assert direct_total.exceptAll(rolled).count() == 0
+
+
+def test_resolve_hosts_dedupes_and_filters(spark):
+    """F16: duplicate URLs on one host resolve once; empty/null hosts
+    are dropped; one output row per address, no array columns."""
+    from datalake_etlscripts_spark.crawl import resolve_hosts
+
+    urls = spark.createDataFrame(
+        [
+            ("http://a.example/x",),
+            ("http://a.example/y",),
+            ("https://b.example/z",),
+            ("not-a-url",),
+        ],
+        "url string",
+    )
+    calls = []
+
+    def fake(host):
+        calls.append(host)
+        return ["10.0.0.1", "10.0.0.2"] if host == "a.example" else ["10.0.0.9"]
+
+    rows = {
+        (r["host"], r["idx"], r["ip"])
+        for r in resolve_hosts(urls, resolver=fake).collect()
+    }
+    assert rows == {
+        ("a.example", 0, "10.0.0.1"),
+        ("a.example", 1, "10.0.0.2"),
+        ("b.example", 0, "10.0.0.9"),
+    }
