@@ -142,3 +142,15 @@ def is_valid_nif(c: Column) -> Column:
     cif = n.rlike(r"^[ABCDEFGHJKLMNPQRSUVW][0-9]{7}[0-9A-J]$")
     nie = n.rlike(r"^[XYZ][0-9]{7}[A-Z]$")
     return nif | cif | nie
+
+
+def canonical_url(c: Column) -> Column:
+    """Training-pipeline URL canonicalization (the URL-dedup key, à la
+    CCNet/RefinedWeb): lowercase host, strip a leading 'www.', drop
+    scheme/query/fragment, strip trailing slashes → 'host/path'.
+    Pure expressions (parse_url is JVM-side), no UDF."""
+    host = F.lower(F.parse_url(c, F.lit("HOST")))
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, r"/+$", "")
+    return F.concat(host, path)

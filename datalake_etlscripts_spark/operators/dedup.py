@@ -904,3 +904,25 @@ def dedup_paragraphs(
             F.coalesce("_clean", F.lit("")).alias(text_col),
         )
     )
+
+
+def url_duplicates(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level dedup (the cheapest corpus-dedup pass — CCNet dedupes
+    by canonicalized URL before touching content): per-row canonical
+    key, keep the min-id document per key. One shuffle on the
+    canonical key; returns (id, canonical, keep)."""
+    from datalake_etlscripts_spark.functions.scalar import canonical_url
+
+    from pyspark.sql import Window as W
+
+    keyed = df.select(
+        F.col(id_col), canonical_url(F.col(url_col)).alias("canonical")
+    )
+    w = W.partitionBy("canonical")
+    return keyed.select(
+        id_col,
+        "canonical",
+        (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
+    )

@@ -393,3 +393,48 @@ def encode_corpus(
         )
         .select(F.col("_did").alias(id_col), "token_ids")
     )
+
+
+# Gopher-style quality rule bounds (Rae et al. 2021 §A1.1, adapted to
+# the signals above and this corpus's short documents). Every rule is
+# a pure expression over already-oracle-checked features, so the
+# composed filter replays in any SQL engine.
+GOPHER_RULES = {
+    "tokens": "20 <= n_tokens <= 100000",
+    "avg_token_len": "2 <= avg_token_len <= 12",
+    "punct": "punct_ratio <= 0.3",
+    "distinct": "distinct_ratio >= 0.3",
+    "rep3": "top_3gram_frac <= 0.18",
+}
+
+
+def gopher_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composed corpus filter: per-document keep/drop with the failed
+    rule names. NULL signals (empty docs, too-short for 3-grams) fail
+    their rule — a document the signal can't vouch for is dropped, and
+    NULL never leaks into ``keep``. Per-row expressions only: no
+    shuffle, scales embarrassingly."""
+    feat = repetition_features(quality_features(df, text_col), text_col)
+    checks = {
+        "tokens": (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 100000),
+        "avg_token_len": (F.col("avg_token_len") >= 2.0)
+        & (F.col("avg_token_len") <= 12.0),
+        "punct": F.col("punct_ratio") <= 0.3,
+        "distinct": F.col("distinct_ratio") >= 0.3,
+        "rep3": F.col("top_3gram_frac") <= 0.18,
+    }
+    safe = {n: F.coalesce(c, F.lit(False)) for n, c in checks.items()}
+    keep = F.lit(True)
+    for c in safe.values():
+        keep = keep & c
+    n_failed = sum((~c).cast("int") for c in safe.values())
+    reasons = F.concat_ws(
+        ",", *[F.when(~c, F.lit(n)) for n, c in safe.items()]
+    )
+    id_cols = [c for c in df.columns if c != text_col]
+    return feat.select(
+        *id_cols,
+        keep.alias("keep"),
+        n_failed.cast("int").alias("n_failed"),
+        reasons.alias("fail_reasons"),
+    )

@@ -1461,3 +1461,111 @@ def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b, int(n)) for i, (a, b, n) in enumerate(merges)],
         "step int, a string, b string, freq bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# composed Gopher-style quality filter + URL-canonicalization dedup —
+# the two cheapest corpus passes a training pipeline runs before any
+# content-level dedup. Both are pure-expression / one-shuffle ops; the
+# oracles replay every rule expression.
+# ---------------------------------------------------------------------------
+@query(
+    "quality_filter_gopher",
+    oracle=r"""
+    WITH feat AS (
+      SELECT doc_id, lang, source, n_chars,
+             length(text) AS nc,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk,
+             len(regexp_extract_all(text, '[^\w\s]')) AS np
+      FROM documents
+    ),
+    f2 AS (
+      SELECT doc_id, lang, source, n_chars, nc, np,
+             len(tk) AS nt,
+             len(list_distinct(tk)) AS nd,
+             list_transform(range(1, greatest(len(tk) - 1, 1)),
+                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g3
+      FROM feat
+    ),
+    sig AS (
+      SELECT doc_id, lang, source, n_chars,
+        coalesce(nt >= 20 AND nt <= 100000, false) AS c_tokens,
+        coalesce(CASE WHEN nt > 0 THEN CAST(nc - (nt - 1) AS DOUBLE) / nt END
+                 BETWEEN 2.0 AND 12.0, false) AS c_avg,
+        coalesce(CASE WHEN nc > 0 THEN CAST(np AS DOUBLE) / nc END <= 0.3,
+                 false) AS c_punct,
+        coalesce(CASE WHEN nt > 0 THEN CAST(nd AS DOUBLE) / nt END >= 0.3,
+                 false) AS c_distinct,
+        coalesce(CASE WHEN len(g3) > 0 THEN
+            CAST(list_max(list_transform(list_distinct(g3),
+                 d -> len(list_filter(g3, x -> x = d)))) AS DOUBLE) / len(g3)
+          END <= 0.18, false) AS c_rep3
+      FROM f2
+    )
+    SELECT doc_id, lang, source, n_chars,
+      (c_tokens AND c_avg AND c_punct AND c_distinct AND c_rep3) AS keep,
+      (CAST(NOT c_tokens AS INT) + CAST(NOT c_avg AS INT)
+       + CAST(NOT c_punct AS INT) + CAST(NOT c_distinct AS INT)
+       + CAST(NOT c_rep3 AS INT)) AS n_failed,
+      concat_ws(',',
+        CASE WHEN NOT c_tokens THEN 'tokens' END,
+        CASE WHEN NOT c_avg THEN 'avg_token_len' END,
+        CASE WHEN NOT c_punct THEN 'punct' END,
+        CASE WHEN NOT c_distinct THEN 'distinct' END,
+        CASE WHEN NOT c_rep3 THEN 'rep3' END) AS fail_reasons
+    FROM sig
+    """,
+)
+def q_quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return text.gopher_quality_filter(d)
+
+
+@query(
+    "dedup_urls",
+    oracle=r"""
+    WITH urls AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END) || '://' ||
+        (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+        'Site' || CAST(doc_id % 7 AS VARCHAR) || '.example/page/' ||
+        CAST(doc_id % 50 AS VARCHAR) ||
+        (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x' ELSE '' END) ||
+        (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+      FROM documents
+    )
+    SELECT doc_id,
+      regexp_replace(lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
+                     '^www\.', '')
+        || regexp_replace(regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1),
+                          '/+$', '') AS canonical,
+      doc_id = min(doc_id) OVER (PARTITION BY
+        regexp_replace(lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
+                       '^www\.', '')
+        || regexp_replace(regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1),
+                          '/+$', '')) AS keep
+    FROM urls
+    """,
+)
+def q_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL dedup over scheme/www/query/fragment/trailing-slash variants
+    of the same logical page — the canonicalization collapses them to
+    one key; min-id doc survives."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    urls = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("http")).otherwise(F.lit("https")),
+            F.lit("://"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+            F.lit("Site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/page/"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return dedup.url_duplicates(urls)
