@@ -51,3 +51,19 @@ def salted_join(
     small_rep = small.select("*", salts)
     big_salted = big.withColumn("_salt", (F.rand(seed=7) * n_salts).cast("int"))
     return big_salted.join(small_rep, [key, "_salt"], how).drop("_salt")
+
+
+def spread_small_input(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the plan has fewer input
+    partitions than cores. The under-parallel-scan shape: a small
+    single-row-group parquet file reads as ONE task, so heavy per-row
+    expression work downstream (minhash signatures, md5 lanes) runs on
+    one core regardless of cluster size. At real scale the scan yields
+    many splits and this is a no-op — getNumPartitions inspects the
+    plan without running a job, and the shuffle is only paid when it
+    buys parallelism (A/B: ~2x on the md5-scheme minhash bench line)."""
+    sc = df.sparkSession.sparkContext
+    target = min_parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

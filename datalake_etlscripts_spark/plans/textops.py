@@ -332,7 +332,9 @@ _MINHASH_ORACLE = """
 
 @query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    from datalake_etlscripts_spark.operators.skew import spread_small_input
+
+    d = spread_small_input(read_table(spark, sf_dir, "documents"))
     return dedup.minhash_lsh_pairs(d, threshold=0.04, scheme="md5")
 
 
