@@ -27,6 +27,7 @@ no Python, no UDFs.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datalake_etlscripts_spark.operators.text import (
@@ -925,4 +926,82 @@ def url_duplicates(
         id_col,
         "canonical",
         (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
+    )
+
+
+def char_gram_hashes(text: Column, k: int = 20, scheme: str = "xxhash64") -> Column:
+    """Position-ORDERED (not distinct) hashes of every k-CHAR gram —
+    the winnowing alphabet. Per-element substr is O(k) on the already-
+    loaded row value (unlike the re-tokenizing pitfall fixed in
+    shingle_strings)."""
+    n = F.length(text)
+    idx = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    if scheme == "md5":
+        return F.transform(idx, lambda i: md5_hash32(text.substr(i, F.lit(k))))
+    if scheme == "xxhash64":
+        return F.transform(idx, lambda i: F.xxhash64(text.substr(i, F.lit(k))))
+    raise ValueError(f"unknown char-gram scheme {scheme!r}")
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    w: int = 16,
+    scheme: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., the MOSS
+    scheme): hash every k-char gram, keep the MINIMUM hash of each
+    w-gram sliding window, distinct per document. Guarantee: any
+    substring match of length >= w + k - 1 chars shares at least one
+    fingerprint — the index-friendly form of exact-substring dedup
+    (Lee et al. 2022 use suffix arrays; a suffix array is not a
+    distributed-join shape, winnowing is).
+
+    Shape: posexplode grams -> per-doc sliding-window min (one shuffle
+    on doc id; the window is w ROWS, never the corpus) -> distinct
+    (id, fingerprint). Fingerprint density ~ 2/(w+1) per gram, so the
+    output is ~n_chars/8 rows per doc at defaults. Returns (id, fp)."""
+    grams = df.select(
+        F.col(id_col).alias("_did"),
+        F.posexplode(char_gram_hashes(F.col(text_col), k, scheme)).alias("_pos", "_h"),
+    )
+    win = W.partitionBy("_did").orderBy("_pos").rowsBetween(0, w - 1)
+    fp = grams.select(
+        "_did",
+        F.min("_h").over(win).alias("fp"),
+        F.count(F.lit(1)).over(win).alias("_c"),
+    )
+    return fp.filter(F.col("_c") == w).select("_did", "fp").distinct()
+
+
+def substring_duplicate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    w: int = 16,
+    min_shared: int = 2,
+    scheme: str = "xxhash64",
+) -> DataFrame:
+    """Document pairs sharing >= min_shared winnowing fingerprints —
+    i.e. pairs with (at least) repeated substrings of ~w+k-1 chars.
+    The pair join is an equi-join on the fingerprint (linear shuffle,
+    same scale shape as LSH banding); a fingerprint shared by B docs
+    contributes B^2 candidate rows, so pathological boilerplate should
+    be pre-pruned by dropping fingerprints above a document-frequency
+    cap (same mitigation as stop-shingles in minhash). Returns
+    (id_a, id_b, n_shared)."""
+    fps = winnow_fingerprints(df, text_col, id_col, k, w, scheme)
+    a = fps.select(F.col("_did").alias("id_a"), "fp")
+    b = fps.select(F.col("_did").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )

@@ -1571,3 +1571,49 @@ def q_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url"),
     )
     return dedup.url_duplicates(urls)
+
+
+# ---------------------------------------------------------------------------
+# winnowing-fingerprint substring dedup (Schleimer et al. / MOSS; the
+# distributed-join answer to Lee et al. 2022's suffix-array substring
+# dedup). The md5-scheme twin replays every k-char gram hash, the
+# w-row sliding-window minimum, the distinct fingerprint set, and the
+# shared-fingerprint pair counts.
+# ---------------------------------------------------------------------------
+_WINNOW_ORACLE = """
+    WITH g0 AS (
+      SELECT doc_id, unnest(range(1, greatest(length(text) - {km2}, 1))) AS pos,
+             text
+      FROM documents
+    ),
+    g AS (SELECT doc_id, pos, {h} AS h FROM g0),
+    fp0 AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {wm1} FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {wm1} FOLLOWING) AS c
+      FROM g
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM fp0 WHERE c = {w}),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT id_a, id_b, n_shared FROM pairs
+""".format(
+    km2=20 - 2,  # range(1, len - (k-1) + 1) == range(1, len - 18)
+    wm1=16 - 1,
+    w=16,
+    h=ddb_hex32("md5(substr(text, pos, 20))"),
+)
+
+
+@query("dedup_substrings_winnow", oracle=_WINNOW_ORACLE)
+def q_dedup_substrings_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_etlscripts_spark.operators.skew import spread_small_input
+
+    d = spread_small_input(read_table(spark, sf_dir, "documents"))
+    return dedup.substring_duplicate_pairs(d, k=20, w=16, scheme="md5")

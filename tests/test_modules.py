@@ -1132,3 +1132,38 @@ def test_resolve_hosts_dedupes_and_filters(spark):
         ("a.example", 1, "10.0.0.2"),
         ("b.example", 0, "10.0.0.9"),
     }
+
+
+def test_winnow_guarantee_and_no_false_short_matches(spark):
+    """Winnowing guarantee: documents sharing a substring of length >=
+    w + k - 1 (35 chars at k=20, w=16) share at least one fingerprint;
+    documents with no 20-char common gram share none."""
+    import string
+
+    common = "".join(
+        string.ascii_lowercase[(7 * i) % 26] for i in range(60)
+    )  # 60-char deterministic planted duplicate substring
+    docs = [
+        (1, "left filler text then " + common + " and some tail here"),
+        (2, "completely different prefix " + common + " other suffix"),
+        (3, "no overlap with the others at all just unique words qqq"),
+        (4, "another totally distinct body zzz yyy xxx www vvv uuu"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    from datalake_etlscripts_spark.operators import dedup
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.substring_duplicate_pairs(df, min_shared=1).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs), pairs
+
+    # fingerprints are scheme-consistent: md5 scheme finds the same pair
+    pairs_md5 = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.substring_duplicate_pairs(
+            df, min_shared=1, scheme="md5"
+        ).collect()
+    }
+    assert (1, 2) in pairs_md5
