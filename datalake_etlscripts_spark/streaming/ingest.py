@@ -292,3 +292,66 @@ def stream_static_enrich(
     stream), so the stream side never shuffles and the join holds no
     streaming state. Works identically on batch frames."""
     return events.join(F.broadcast(dim), on, how)
+
+
+def run_streaming_lsh_dedup(
+    spark: SparkSession,
+    incoming_dir: str,
+    state_dir: str,
+    schema: str = "doc_id bigint, text string",
+    threshold: float = 0.5,
+    scheme: str = "xxhash64",
+):
+    """Streaming near-duplicate detection: each micro-batch of
+    documents probes the PERSISTED LSH bucket index — ingested
+    documents are never re-signatured (operators/dedup.
+    incremental_minhash_dedup), so per-batch cost is linear in the
+    batch regardless of corpus size. State under ``state_dir``:
+
+      index/  (band, bucket, _did) rows of everything ingested
+      docs/   (doc_id, text) append-only verification corpus
+      pairs/  (id_a, id_b, jaccard) append-only verified pairs
+
+    Union of all emitted pairs equals a full batch recompute (banding
+    is deterministic per doc — asserted in tests). availableNow
+    processes the backlog then stops; drop the trigger for a
+    long-running dedup service."""
+    import os
+
+    from datalake_etlscripts_spark.operators.dedup import incremental_minhash_dedup
+
+    index_path = os.path.join(state_dir, "index")
+    docs_path = os.path.join(state_dir, "docs")
+    pairs_path = os.path.join(state_dir, "pairs")
+
+    def _load(path: str, empty_schema: str) -> DataFrame:
+        try:
+            return spark.read.parquet(path)
+        except Exception:  # noqa: BLE001 — first batch: state not created yet
+            return spark.createDataFrame([], empty_schema)
+
+    def _swap(df: DataFrame, path: str) -> None:
+        import shutil
+
+        tmp = f"{path}__staging"
+        df.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        index = _load(index_path, "band int, bucket bigint, _did bigint")
+        docs = _load(docs_path, schema)
+        pairs, new_index = incremental_minhash_dedup(
+            index, docs, batch_df, threshold=threshold, scheme=scheme
+        )
+        pairs.write.mode("append").parquet(pairs_path)
+        _swap(new_index, index_path)
+        batch_df.write.mode("append").parquet(docs_path)
+
+    stream = spark.readStream.schema(schema).parquet(incoming_dir)
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", f"{state_dir}__checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -361,3 +361,46 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path, sf_dir):
     want = stream_static_enrich(events, dim).select("event_id", "user_id", "tier")
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
     assert got.count() == events.count()
+
+
+def test_streaming_lsh_dedup_matches_batch_recompute(spark, sf_dir):
+    """Two document drops through the streaming LSH dedup must emit
+    exactly the pairs a one-shot batch recompute finds (deterministic
+    banding; the second batch only probes persisted index state)."""
+    import tempfile
+
+    from datalake_etlscripts_spark.operators.dedup import minhash_lsh_pairs
+    from datalake_etlscripts_spark.streaming.ingest import run_streaming_lsh_dedup
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 300)
+    )
+    tmp = tempfile.mkdtemp(prefix="strmlsh_")
+    incoming, state = os.path.join(tmp, "in"), os.path.join(tmp, "state")
+    os.makedirs(incoming)
+    try:
+        docs.filter(F.col("doc_id") % 2 == 0).write.parquet(
+            os.path.join(incoming, "batch1")
+        )
+        q = run_streaming_lsh_dedup(spark, incoming + "/*", state, threshold=0.04)
+        q.awaitTermination(180)
+        docs.filter(F.col("doc_id") % 2 == 1).write.parquet(
+            os.path.join(incoming, "batch2")
+        )
+        q = run_streaming_lsh_dedup(spark, incoming + "/*", state, threshold=0.04)
+        q.awaitTermination(180)
+
+        streamed = {
+            (r["id_a"], r["id_b"])
+            for r in spark.read.parquet(os.path.join(state, "pairs")).collect()
+        }
+        full = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(docs, threshold=0.04).collect()
+        }
+        assert streamed == full
+        assert len(full) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
