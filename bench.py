@@ -23,6 +23,10 @@ HEADLINE = [
     "versioned_ingest",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_substrings_winnow",
+    "dedup_urls",
+    "quality_filter_gopher",
+    "approx_distinct_incremental",
     "ann_cosine_topk",
     "text_quality",
     "sessionize_events",

@@ -961,21 +961,30 @@ def winnow_fingerprints(
     (Lee et al. 2022 use suffix arrays; a suffix array is not a
     distributed-join shape, winnowing is).
 
-    Shape: posexplode grams -> per-doc sliding-window min (one shuffle
-    on doc id; the window is w ROWS, never the corpus) -> distinct
-    (id, fingerprint). Fingerprint density ~ 2/(w+1) per gram, so the
-    output is ~n_chars/8 rows per doc at defaults. Returns (id, fp)."""
-    grams = df.select(
+    Shape: the whole winnow is a PER-ROW array computation — gram
+    hashes projected once as a column, then array_min over each w-wide
+    slice (O(n·w) arithmetic per document, no explode, NO shuffle; the
+    earlier explode + sliding-window-over-rows version paid a full
+    per-doc shuffle for what one row already holds). distinct (id, fp)
+    is the only shuffle, and only of the winnowed fingerprints
+    (~2/(w+1) density). Returns (id, fp)."""
+    gh = df.select(
         F.col(id_col).alias("_did"),
-        F.posexplode(char_gram_hashes(F.col(text_col), k, scheme)).alias("_pos", "_h"),
+        char_gram_hashes(F.col(text_col), k, scheme).alias("_gh"),
     )
-    win = W.partitionBy("_did").orderBy("_pos").rowsBetween(0, w - 1)
-    fp = grams.select(
-        "_did",
-        F.min("_h").over(win).alias("fp"),
-        F.count(F.lit(1)).over(win).alias("_c"),
+    n = F.size(F.col("_gh"))
+    starts = F.when(n >= w, F.sequence(F.lit(1), n - (w - 1))).otherwise(
+        F.array().cast("array<int>")
     )
-    return fp.filter(F.col("_c") == w).select("_did", "fp").distinct()
+    # _gh is an attribute reference (projected above), so the slice
+    # reads the materialized array — no per-element recompute of the
+    # gram pipeline (the expression-in-lambda pitfall)
+    fps = F.array_distinct(
+        F.transform(starts, lambda i: F.array_min(F.slice(F.col("_gh"), i, w)))
+    )
+    # array_distinct above already makes (id, fp) unique — no
+    # distinct() shuffle needed
+    return gh.select("_did", F.explode(fps).alias("fp"))
 
 
 def substring_duplicate_pairs(

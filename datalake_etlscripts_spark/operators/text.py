@@ -132,15 +132,29 @@ def shingles(text: Column, k: int = 3) -> Column:
 
 def _top_fraction(arr: Column) -> Column:
     """Fraction of array elements taken by the single most frequent
-    element. Per-row O(distinct × n) array fold — no shuffle, stays in
-    codegen; fine for document-length arrays (the corpus-filter use
-    case caps documents well below shuffle-worthy sizes)."""
-    counts = F.transform(
-        F.array_distinct(arr),
-        lambda d: F.size(F.filter(arr, lambda x: x == d)),
+    element: sort, then ONE fold tracking the longest equal-run. The
+    input expression is evaluated once — the previous distinct×filter
+    form re-evaluated the whole upstream ngram pipeline per distinct
+    element (measured 40s+ on the composed quality filter at bench
+    scale vs <1s for this shape). Empty array → NULL fraction (not an
+    ANSI divide-by-zero abort)."""
+    s = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
     )
-    # empty array → NULL fraction (not an ANSI divide-by-zero abort)
-    return F.try_divide(F.array_max(counts).cast("double"), F.size(arr))
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    best = F.aggregate(s, init, step, lambda acc: acc["best"])
+    return F.try_divide(best.cast("double"), F.size(arr))
 
 
 def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -899,7 +899,9 @@ def q_dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    from datalake_etlscripts_spark.operators.skew import spread_small_input
+
+    d = spread_small_input(read_table(spark, sf_dir, "documents"))
     return text.repetition_features(d).select(
         "doc_id", "top_token_frac", "top_2gram_frac", "top_3gram_frac"
     )
@@ -1519,7 +1521,9 @@ def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    from datalake_etlscripts_spark.operators.skew import spread_small_input
+
+    d = spread_small_input(read_table(spark, sf_dir, "documents"))
     return text.gopher_quality_filter(d)
 
 
