@@ -241,3 +241,82 @@ def test_funnel_matches_python_reference(spark, events):
         assert got[user] == acc, (user, evs)
     for user in got:
         assert user in by_user
+
+
+def _py_canonical_url(url: str) -> str:
+    from urllib.parse import urlsplit
+
+    p = urlsplit(url)
+    host = (p.hostname or "").lower()
+    if host.startswith("www."):
+        host = host[4:]
+    path = p.path.rstrip("/")
+    return host + path
+
+
+url_path_seg = st.text(alphabet="abz09-_", min_size=1, max_size=6)
+
+
+@SET
+@given(
+    urls=st.lists(
+        st.tuples(
+            st.sampled_from(["http", "https"]),
+            st.sampled_from(["", "www."]),
+            st.text(alphabet="abcXYZ09", min_size=1, max_size=8),
+            st.lists(url_path_seg, min_size=0, max_size=3),
+            st.sampled_from(["", "/", "?q=1&utm_source=x", "#frag", "/?a=b#c"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_canonical_url_matches_urllib_reference(spark, urls):
+    """canonical_url (parse_url-based) agrees with a urllib reference
+    across generated scheme/www/case/path/query/fragment variants."""
+    from datalake_etlscripts_spark.functions.scalar import canonical_url
+
+    full = [
+        f"{scheme}://{www}{host}.example" + "".join("/" + s for s in segs) + tail
+        for scheme, www, host, segs, tail in urls
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(full)], "i int, u string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonical_url(F.col("u")).alias("c")).collect()
+    }
+    for i, u in enumerate(full):
+        assert got[i] == _py_canonical_url(u), u
+
+
+def _py_winnow(text: str, k: int, w: int) -> set:
+    import hashlib
+
+    grams = [text[i : i + k] for i in range(len(text) - k + 1)]
+    hs = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+
+@SET
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=120), min_size=1, max_size=12
+    ),
+    k=st.integers(2, 6),
+    w=st.integers(2, 8),
+)
+def test_winnow_fingerprints_match_python_reference(spark, texts, k, w):
+    """Winnowing fingerprint SETS (md5 scheme) equal an independent
+    Python model for arbitrary text/k/w, including too-short inputs
+    (no fingerprints, never a crash)."""
+    from datalake_etlscripts_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    fps = winnow_fingerprints(df, k=k, w=w, scheme="md5")
+    got: dict[int, set] = {}
+    for r in fps.collect():
+        got.setdefault(r["_did"], set()).add(r["fp"])
+    for i, t in enumerate(texts):
+        assert got.get(i, set()) == _py_winnow(t, k, w), (t, k, w)
