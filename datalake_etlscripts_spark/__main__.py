@@ -91,6 +91,24 @@ def main(argv: list[str] | None = None) -> int:
         "parse_bsc_companies.py --dry_run)",
     )
 
+    p = sub.add_parser("dedup", help="corpus dedup: pairs/clusters/keep-list to parquet")
+    p.add_argument("--table", required=True, help="parquet corpus with id/text columns")
+    p.add_argument("--out", required=True, help="output directory (parquet)")
+    p.add_argument(
+        "--strategy",
+        default="minhash",
+        choices=["exact", "minhash", "simhash", "winnow", "urls"],
+    )
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--url-col", default="url")
+    p.add_argument("--threshold", type=float, default=0.5, help="jaccard (minhash)")
+    p.add_argument(
+        "--clusters",
+        action="store_true",
+        help="resolve pairs to connected components + keep-list instead of raw pairs",
+    )
+
     p = sub.add_parser("optimize", help="Z-order rewrite for multi-column data skipping")
     p.add_argument("--table", required=True)
     p.add_argument("--out", required=True)
@@ -262,6 +280,37 @@ def main(argv: list[str] | None = None) -> int:
                 F.col("empresas_en_docs").isNotNull()
             ).count()
             print(f"enriched {n} notices → {out}")
+
+    elif args.cmd == "dedup":
+        from datalake_etlscripts_spark.operators import dedup as dd
+
+        corpus = spark.read.parquet(args.table)
+        if args.strategy == "exact":
+            out = dd.dedup_keep_first(corpus, args.text_col, args.id_col)
+        elif args.strategy == "minhash":
+            out = dd.minhash_lsh_pairs(
+                corpus, args.text_col, args.id_col, threshold=args.threshold
+            )
+        elif args.strategy == "simhash":
+            out = dd.simhash_pairs(corpus, args.text_col, args.id_col)
+        elif args.strategy == "winnow":
+            out = dd.substring_duplicate_pairs(corpus, args.text_col, args.id_col)
+        else:  # urls
+            out = dd.url_duplicates(corpus, args.url_col, args.id_col)
+        if args.clusters and args.strategy in ("minhash", "simhash", "winnow"):
+            comp = dd.connected_components_star(out.select("id_a", "id_b"))
+            ids = corpus.select(F.col(args.id_col).alias("node"))
+            out = (
+                ids.join(comp, "node", "left")
+                .select(
+                    F.col("node").alias(args.id_col),
+                    F.coalesce("component", "node").alias("component"),
+                    (F.coalesce("component", "node") == F.col("node")).alias("keep"),
+                )
+            )
+        out.write.mode("overwrite").parquet(args.out)
+        n = spark.read.parquet(args.out).count()
+        print(f"dedup[{args.strategy}]: wrote {n} rows to {args.out}")
 
     elif args.cmd == "optimize":
         from datalake_etlscripts_spark.io.layout import cluster_write

@@ -126,3 +126,36 @@ def test_full_ingest_pipeline(spark):
     assert summary[("__total__", None)] == 3
     assert summary[("Tipo_Contrato", "Obras")] == 1
     assert summary[("Tipo_Contrato", "Servicios")] == 1
+
+
+def test_cli_dedup_minhash_clusters(spark, tmp_path):
+    """CLI dedup subcommand: minhash pairs resolved to components with
+    a keep-list; every doc appears exactly once and each component
+    keeps exactly one representative."""
+    from datalake_etlscripts_spark.__main__ import main
+
+    src = str(tmp_path / "corpus")
+    out = str(tmp_path / "pairs")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs.write.parquet(src)
+    rc = main(
+        [
+            "dedup",
+            "--table",
+            src,
+            "--out",
+            out,
+            "--strategy",
+            "minhash",
+            "--threshold",
+            "0.04",
+            "--clusters",
+        ]
+    )
+    assert rc == 0
+    res = spark.read.parquet(out)
+    n_docs = docs.count()
+    assert res.count() == n_docs
+    assert res.filter("keep").count() == res.select("component").distinct().count()
