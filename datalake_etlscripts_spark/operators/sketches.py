@@ -347,3 +347,98 @@ def hll_register_estimate(
         1 << (HLL_WORD_BITS + 1)
     )
     return agg.select(*keys, (F.lit(HLL_EST_NUM) / denom).alias(alias))
+
+
+# ---------------------------------------------------------------------------
+# Mergeable Bloom-filter state: the membership analogue of the CMS /
+# HLL tables above, stored as (word_idx, bits BIGINT) rows (32 used bits
+# per word — checked-shift engines reject 1<<63 where Java wraps) — merge is
+# union + bit_or (lossless), probe is a broadcast join of the word
+# table. The 100 TB use: crawl recovery keeps a Bloom filter of every
+# stored document name; each batch's "already fetched?" check probes
+# the broadcast filter first and pays the exact anti-join ONLY for the
+# (tiny) maybe-set — the full fetched-name set is never shuffled.
+# False positives only ever cause an extra exact check, never a wrong
+# answer. md5 hash lanes (Kirsch-Mitzenmacher, same scheme as CMS) →
+# any engine replays bit placement bit-for-bit.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16  # 64 Ki bits = 2048 32-bit words; ~1% fp at ~6.8k items, k=7
+BLOOM_HASHES = 7
+
+
+def _bloom_positions(item: F.Column, m_bits: int, k: int) -> list[F.Column]:
+    h1 = F.conv(F.substring(F.md5(item), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(item), 9, 8), 16, 10).cast("long")
+    return [(h1 + F.lit(i) * h2) % F.lit(m_bits) for i in range(k)]
+
+
+def bloom_table(
+    df: DataFrame, value: str, m_bits: int = BLOOM_BITS, k: int = BLOOM_HASHES
+) -> DataFrame:
+    """(word_idx INT, bits BIGINT) Bloom state for the values of
+    ``value``. One scan + one tiny (≤ m/64 rows) shuffle."""
+    pos = F.explode(F.array(*_bloom_positions(F.col(value), m_bits, k))).alias("_p")
+    return (
+        df.filter(F.col(value).isNotNull())
+        .select(pos)
+        # 32-bit words: bit 63 would overflow engines with CHECKED
+        # shifts (DuckDB) while Java wraps — sub-63 shifts behave
+        # identically everywhere
+        .select(
+            (F.col("_p") / 32).cast("int").alias("word_idx"),
+            (F.col("_p") % 32).cast("int").alias("_bit"),
+        )
+        # SQL shiftleft: the Python wrapper only takes a literal shift
+        .select("word_idx", F.expr("shiftleft(CAST(1 AS BIGINT), _bit)").alias("_b"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("_b").alias("bits"))
+    )
+
+
+def merge_bloom_tables(*tables: DataFrame) -> DataFrame:
+    """Union + bit_or per word — the incremental-maintenance step."""
+    out = tables[0]
+    for t in tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("word_idx").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    value: str,
+    m_bits: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Append ``maybe_member`` to ``df``: True iff ALL k bit positions
+    of ``value`` are set. The word table broadcasts (≤ m/64 rows);
+    per row the probe is k explode rows + one broadcast join — no
+    shuffle of ``df``. Definite-negative rows can skip any downstream
+    exact membership join entirely."""
+    probe = df.select(
+        F.col(value).alias("_v"),
+        F.posexplode(F.array(*_bloom_positions(F.col(value), m_bits, k))).alias(
+            "_i", "_p"
+        ),
+    ).select(
+        "_v",
+        "_i",
+        (F.col("_p") / 32).cast("int").alias("word_idx"),
+        (F.col("_p") % 32).cast("int").alias("_bit"),
+    )
+    hits = (
+        probe.join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            "_v",
+            F.expr(
+                "CAST((shiftright(coalesce(bits, CAST(0 AS BIGINT)), _bit) & 1) = 1"
+                " AS INT)"
+            ).alias("_hit"),
+        )
+        .groupBy("_v")
+        .agg((F.sum("_hit") == F.lit(k)).alias("maybe_member"))
+    )
+    return df.join(
+        hits.withColumnRenamed("_v", value), value, "left"
+    ).withColumn("maybe_member", F.coalesce("maybe_member", F.lit(False)))

@@ -353,3 +353,74 @@ def q_dns_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("url")
     )
     return resolve_hosts(urls, resolver=_fake_resolver)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable Bloom-filter membership state (operators/sketches.py): the
+# crawl-recovery pre-filter — "was this document name already stored?"
+# answered from broadcast-sized bit words before any exact anti-join.
+# Built INCREMENTALLY from two half-batches (union + bit_or merge);
+# md5 hash lanes → DuckDB replays bit placement and the probe verdicts
+# bit-for-bit, false positives included.
+# ---------------------------------------------------------------------------
+def _bloom_oracle() -> str:
+    from datalake_etlscripts_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+    )
+    from datalake_etlscripts_spark.plans.registry import ddb_hex32
+
+    h1 = ddb_hex32("md5(name)")
+    h2 = ddb_hex32("md5(name)", 8)
+    return f"""
+    WITH members AS (
+      SELECT printf('ntp%08d_doc.pdf', p_partkey) AS name
+      FROM part WHERE p_partkey <= 1000 AND p_partkey % 3 <> 0
+    ),
+    mh AS (SELECT name, {h1} AS h1, {h2} AS h2 FROM members),
+    mpos AS (
+      SELECT ((h1 + i.i * h2) % {BLOOM_BITS}) AS p
+      FROM mh CROSS JOIN (SELECT unnest(range({BLOOM_HASHES})) AS i) i
+    ),
+    words AS (
+      SELECT CAST(p // 32 AS INT) AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+      FROM mpos GROUP BY 1
+    ),
+    probes AS (
+      SELECT printf('ntp%08d_doc.pdf', p_partkey) AS name
+      FROM part WHERE p_partkey <= 1000
+    ),
+    ph AS (SELECT name, {h1} AS h1, {h2} AS h2 FROM probes),
+    ppos AS (
+      SELECT name, ((h1 + i.i * h2) % {BLOOM_BITS}) AS p
+      FROM ph CROSS JOIN (SELECT unnest(range({BLOOM_HASHES})) AS i) i
+    ),
+    hits AS (
+      SELECT name,
+             CASE WHEN ((coalesce(w.bits, 0) >> CAST(p % 32 AS INT)) & 1) = 1
+                  THEN 1 ELSE 0 END AS hit
+      FROM ppos LEFT JOIN words w ON w.word_idx = CAST(p // 32 AS INT)
+    )
+    SELECT name, sum(hit) = {BLOOM_HASHES} AS maybe_member
+    FROM hits GROUP BY name
+    """
+
+
+@query("bloom_prefilter", oracle=_bloom_oracle())
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datalake_etlscripts_spark.operators import sketches
+
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1000)
+    names = p.select(
+        F.concat(format_ntp_id(F.col("p_partkey")), F.lit("_doc.pdf")).alias("name"),
+        F.col("p_partkey"),
+    )
+    members = names.filter(F.col("p_partkey") % 3 != 0).select("name")
+    halves = [
+        members.filter(F.crc32(F.col("name")) % 2 == i) for i in (0, 1)
+    ]
+    state = sketches.merge_bloom_tables(
+        *[sketches.bloom_table(h, "name") for h in halves]
+    )
+    return sketches.bloom_probe(names.select("name"), state, "name")

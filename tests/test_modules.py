@@ -1167,3 +1167,46 @@ def test_winnow_guarantee_and_no_false_short_matches(spark):
         ).collect()
     }
     assert (1, 2) in pairs_md5
+
+
+def test_bloom_filter_merge_no_false_negatives_and_prefilter(spark):
+    """Bloom state: split-batch bit_or merge equals one-pass build;
+    members are NEVER reported absent; and the prefilter + exact
+    anti-join composition returns the exact missing set."""
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.operators import sketches
+
+    members = spark.createDataFrame(
+        [(f"doc{i}.pdf",) for i in range(500)], "name string"
+    )
+    halves = [members.filter(F.crc32("name") % 2 == i) for i in (0, 1)]
+    merged = sketches.merge_bloom_tables(
+        *[sketches.bloom_table(h, "name") for h in halves]
+    )
+    direct = sketches.bloom_table(members, "name")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+    probes = spark.createDataFrame(
+        [(f"doc{i}.pdf",) for i in range(0, 1000, 7)], "name string"
+    )
+    res = sketches.bloom_probe(probes, merged, "name")
+    flags = {r["name"]: r["maybe_member"] for r in res.collect()}
+    # the invariant: no false negatives
+    for n, m in flags.items():
+        if int(n[3:-4]) < 500:
+            assert m, n
+
+    # prefilter composition: maybe-set -> exact anti join == exact missing
+    maybe = res.filter("maybe_member").select("name")
+    missing_via_prefilter = probes.join(
+        res.filter("maybe_member").join(members, "name", "left_semi"),
+        "name",
+        "left_anti",
+    )
+    missing_exact = probes.join(members, "name", "left_anti")
+    assert (
+        missing_via_prefilter.exceptAll(missing_exact).count() == 0
+        and missing_exact.exceptAll(missing_via_prefilter).count() == 0
+    )
