@@ -1621,3 +1621,46 @@ def q_dedup_substrings_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread_small_input(read_table(spark, sf_dir, "documents"))
     return dedup.substring_duplicate_pairs(d, k=20, w=16, scheme="md5")
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id AS id, text, octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    h AS (
+      SELECT id, n,
+        {cols}
+      FROM b
+    )
+    SELECT id, {outs}
+    FROM h
+    """.format(
+        cols=",\n        ".join(
+            "len(list_filter(range(1, length(text) + 1),"
+            f" i -> ord(substr(text, i, 1)) % 8 = {j})) AS h{j}"
+            for j in range(8)
+        ),
+        # the featurizer emits ARRAY<FLOAT> (realistic fp32 features) —
+        # replicate the float32 rounding, then widen exactly
+        outs=", ".join(
+            f"CAST(CAST(CAST(h{j} AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f{j}"
+            for j in range(8)
+        ),
+    ),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary feature-extraction plumbing (mapInPandas, Arrow batches)
+    over the stub byte-histogram featurizer; the oracle replays the
+    histogram from the text's bytes (corpus is ASCII, so ord == byte —
+    the same device multimodal_decode's oracle uses via
+    octet_length(encode(text))). Output unpacked to scalar columns
+    (driver-hasher compatibility: no array outputs)."""
+    d = read_table(spark, sf_dir, "documents")
+    feats = multimodal.feature_extract(multimodal.attach_binary(d))
+    return feats.select(
+        "id",
+        *[F.col("feature")[j].cast("double").alias(f"f{j}") for j in range(8)],
+    )
