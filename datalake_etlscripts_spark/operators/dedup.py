@@ -995,16 +995,22 @@ def substring_duplicate_pairs(
     w: int = 16,
     min_shared: int = 2,
     scheme: str = "xxhash64",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= min_shared winnowing fingerprints —
     i.e. pairs with (at least) repeated substrings of ~w+k-1 chars.
     The pair join is an equi-join on the fingerprint (linear shuffle,
     same scale shape as LSH banding); a fingerprint shared by B docs
-    contributes B^2 candidate rows, so pathological boilerplate should
-    be pre-pruned by dropping fingerprints above a document-frequency
-    cap (same mitigation as stop-shingles in minhash). Returns
-    (id_a, id_b, n_shared)."""
+    contributes B^2 candidate rows, so at corpus scale pass ``max_df``
+    to drop boilerplate fingerprints above that document frequency
+    before the join (the stop-shingle mitigation; a fingerprint in
+    thousands of docs is boilerplate, not a duplicate signal —
+    dropping it loses only pairs whose every shared substring is
+    boilerplate). Returns (id_a, id_b, n_shared)."""
     fps = winnow_fingerprints(df, text_col, id_col, k, w, scheme)
+    if max_df is not None:
+        keep = fps.groupBy("fp").count().filter(F.col("count") <= max_df).select("fp")
+        fps = fps.join(keep, "fp", "left_semi")
     a = fps.select(F.col("_did").alias("id_a"), "fp")
     b = fps.select(F.col("_did").alias("id_b"), "fp")
     return (

@@ -198,3 +198,32 @@ def chunk_documents(
             F.col("_c.start").alias("chunk_start"),
         )
     )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_tokens: int = 32,
+    batch_size: int = 8,
+) -> DataFrame:
+    """Inference/training batching by similar length: bucket documents
+    by token count, then number off fixed-size batches inside each
+    bucket — a batch pads to ITS OWN max length (``pad_to``), not the
+    corpus max, which is where batched-inference throughput comes
+    from. Deterministic order (n_tokens, id) inside the bucket; both
+    windows are BUCKET-partitioned — nothing global. Returns
+    (id, n_tokens, bucket, batch_seq, pad_to)."""
+    from datalake_etlscripts_spark.operators.text import token_count
+
+    base = df.select(
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    ).withColumn("bucket", (F.col("n_tokens") / bucket_tokens).cast("int"))
+    w = W.partitionBy("bucket").orderBy("n_tokens", id_col)
+    batched = base.withColumn(
+        "batch_seq",
+        ((F.row_number().over(w) - 1) / batch_size).cast("int"),
+    )
+    wb = W.partitionBy("bucket", "batch_seq")
+    return batched.withColumn("pad_to", F.max("n_tokens").over(wb))

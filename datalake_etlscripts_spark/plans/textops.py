@@ -1664,3 +1664,31 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id",
         *[F.col("feature")[j].cast("double").alias(f"f{j}") for j in range(8)],
     )
+
+
+@query(
+    "length_bucketed_batches",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      -- floor, not CAST: DuckDB CAST(double AS INT) rounds to nearest
+      -- where Spark's cast truncates
+      SELECT doc_id, n_tokens, CAST(floor(n_tokens / 32.0) AS INT) AS bucket,
+             CAST(floor((row_number() OVER (
+                    PARTITION BY CAST(floor(n_tokens / 32.0) AS INT)
+                    ORDER BY n_tokens, doc_id) - 1) / 8.0) AS INT)
+               AS batch_seq
+      FROM base
+    )
+    SELECT doc_id, n_tokens, bucket, batch_seq,
+           max(n_tokens) OVER (PARTITION BY bucket, batch_seq) AS pad_to
+    FROM b
+    """,
+)
+def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return sampling.length_bucketed_batches(d)
