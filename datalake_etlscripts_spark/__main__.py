@@ -284,6 +284,11 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "dedup":
         from datalake_etlscripts_spark.operators import dedup as dd
 
+        if args.clusters and args.strategy in ("exact", "urls"):
+            ap.error(
+                f"--clusters needs a pair-producing strategy "
+                f"(minhash/simhash/winnow), not {args.strategy!r}"
+            )
         corpus = spark.read.parquet(args.table)
         if args.strategy == "exact":
             out = dd.dedup_keep_first(corpus, args.text_col, args.id_col)

@@ -79,22 +79,11 @@ def shingle_strings(text: Column, k: int = 3) -> Column:
     concat) — used by the md5 hash scheme, which must hash a value an
     external engine can reconstruct (DuckDB oracle twin).
 
-    Built via zip_with over k shifted slices (same shape as
-    shingle_hashes): each slice evaluates the token split once, so the
-    split runs k times per document. The earlier element_at-per-lambda
-    version re-tokenized the text once per element_at — O(shingles×k)
-    re-splits, 15× slower at bench scale."""
-    tk = tokens(text)
-    n = F.size(tk)
-    m = F.greatest(n - (k - 1), F.lit(0))
-    out = F.slice(tk, 1, m)
-    for j in range(1, k):
-        out = F.zip_with(
-            out,
-            F.slice(tk, 1 + j, m),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-    return F.array_distinct(out)
+    Delegates to text.shingles (zip_with over k shifted slices —
+    each slice evaluates the token split once; an earlier
+    element_at-per-lambda version here re-tokenized the text per
+    element, 15× slower at bench scale)."""
+    return shingles(text, k)
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -916,16 +905,19 @@ def url_duplicates(
     canonical key; returns (id, canonical, keep)."""
     from datalake_etlscripts_spark.functions.scalar import canonical_url
 
-    from pyspark.sql import Window as W
-
     keyed = df.select(
         F.col(id_col), canonical_url(F.col(url_col)).alias("canonical")
     )
     w = W.partitionBy("canonical")
+    # NULL canonical = unparseable URL: no dedup evidence — keep the
+    # document (the window would otherwise pool every bad URL into one
+    # NULL group and drop all but one unrelated doc)
     return keyed.select(
         id_col,
         "canonical",
-        (F.col(id_col) == F.min(id_col).over(w)).alias("keep"),
+        F.when(F.col("canonical").isNull(), F.lit(True))
+        .otherwise(F.col(id_col) == F.min(id_col).over(w))
+        .alias("keep"),
     )
 
 

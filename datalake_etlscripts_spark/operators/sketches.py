@@ -416,9 +416,13 @@ def bloom_probe(
     per row the probe is k explode rows + one broadcast join — no
     shuffle of ``df``. Definite-negative rows can skip any downstream
     exact membership join entirely."""
-    probe = df.select(
-        F.col(value).alias("_v"),
-        F.posexplode(F.array(*_bloom_positions(F.col(value), m_bits, k))).alias(
+    # probe DISTINCT values: duplicate probe rows would multiply the
+    # per-value hit rows and break the sum(_hit) == k test — a false
+    # NEGATIVE, the one error class a Bloom filter must never make
+    vals = df.select(F.col(value).alias("_v")).distinct()
+    probe = vals.select(
+        "_v",
+        F.posexplode(F.array(*_bloom_positions(F.col("_v"), m_bits, k))).alias(
             "_i", "_p"
         ),
     ).select(

@@ -157,16 +157,22 @@ def _top_fraction(arr: Column) -> Column:
     return F.try_divide(best.cast("double"), F.size(arr))
 
 
-def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def repetition_features(
+    df: DataFrame, text_col: str = "text", grams: tuple[int, ...] = (1, 2, 3)
+) -> DataFrame:
     """Gopher-style repetition signals for corpus filtering (Rae et al.
     2021 §A1.1): fraction of tokens in the most common token / 2-gram /
-    3-gram. High values flag boilerplate and degenerate generations."""
+    3-gram. High values flag boilerplate and degenerate generations.
+    ``grams`` selects which orders to compute — the fold per order is
+    the dominant per-row cost, so consumers that use one signal should
+    ask for only that one (gopher_quality_filter uses (3,))."""
     t = F.col(text_col)
-    return (
-        df.withColumn("top_token_frac", _top_fraction(tokens(t)))
-        .withColumn("top_2gram_frac", _top_fraction(ngrams(t, 2)))
-        .withColumn("top_3gram_frac", _top_fraction(ngrams(t, 3)))
-    )
+    names = {1: "top_token_frac", 2: "top_2gram_frac", 3: "top_3gram_frac"}
+    out = df
+    for k in grams:
+        arr = tokens(t) if k == 1 else ngrams(t, k)
+        out = out.withColumn(names[k], _top_fraction(arr))
+    return out
 
 
 # PII patterns chosen to be regex-dialect-portable (same semantics in
@@ -428,7 +434,7 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     their rule — a document the signal can't vouch for is dropped, and
     NULL never leaks into ``keep``. Per-row expressions only: no
     shuffle, scales embarrassingly."""
-    feat = repetition_features(quality_features(df, text_col), text_col)
+    feat = repetition_features(quality_features(df, text_col), text_col, grams=(3,))
     checks = {
         "tokens": (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 100000),
         "avg_token_len": (F.col("avg_token_len") >= 2.0)

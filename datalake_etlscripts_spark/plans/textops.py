@@ -589,13 +589,19 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle), and the min-id representative choice. The trained-kmeans
 # quantizer stays the production default of dedup.semantic_dedup
 # (recall property tested in test_modules).
-def _semantic_oracle() -> str:
-    rows = []
+def _ivf_literal_centroids() -> list[list[float]]:
+    """The shared fixed quantizer of dedup_semantic and ann_ivf_topk —
+    ONE definition, used by both Spark queries and both oracles, so
+    query and twin can never quantize with different centroids."""
     from datalake_etlscripts_spark.operators.similarity import random_planes
 
-    for ci, c in enumerate(
-        [[0.1 * x for x in row] for row in random_planes(64, 16, seed=11)]
-    ):
+    # scale the ±1 LCG values toward the embedding range (±0.3)
+    return [[0.1 * x for x in row] for row in random_planes(64, 16, seed=11)]
+
+
+def _semantic_oracle() -> str:
+    rows = []
+    for ci, c in enumerate(_ivf_literal_centroids()):
         lit = "[" + ", ".join(repr(x) for x in c) + "]"
         rows.append(f"({ci}, {lit})")
     cells = ", ".join(rows)
@@ -775,13 +781,6 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # quantizer stays the production default of similarity.ivf_ann_topk
 # (recall-tested in tests/test_modules.py) — training samples are not
 # an external engine's to replay.
-def _ivf_literal_centroids() -> list[list[float]]:
-    from datalake_etlscripts_spark.operators.similarity import random_planes
-
-    # scale the ±1 LCG values toward the embedding range (±0.3)
-    return [[0.1 * x for x in row] for row in random_planes(64, 16, seed=11)]
-
-
 def _ddb_ivf_cells() -> str:
     """VALUES list: (cid, 64-double centroid literal)."""
     rows = []

@@ -309,8 +309,13 @@ def run_streaming_lsh_dedup(
     batch regardless of corpus size. State under ``state_dir``:
 
       index/  (band, bucket, _did) rows of everything ingested
-      docs/   (doc_id, text) append-only verification corpus
-      pairs/  (id_a, id_b, jaccard) append-only verified pairs
+      docs/   epoch=N/(doc_id, text) verification corpus
+      pairs/  epoch=N/(id_a, id_b, jaccard) verified pairs
+
+    Epoch-keyed overwrites make the at-least-once foreachBatch replay
+    idempotent; the index swaps by directory rename (crash leaves old
+    or new state, never partial), and only a MISSING state path reads
+    as empty — corruption raises.
 
     Union of all emitted pairs equals a full batch recompute (banding
     is deterministic per doc — asserted in tests). availableNow
@@ -320,33 +325,51 @@ def run_streaming_lsh_dedup(
 
     from datalake_etlscripts_spark.operators.dedup import incremental_minhash_dedup
 
+    import shutil
+
     index_path = os.path.join(state_dir, "index")
     docs_path = os.path.join(state_dir, "docs")
     pairs_path = os.path.join(state_dir, "pairs")
 
     def _load(path: str, empty_schema: str) -> DataFrame:
-        try:
-            return spark.read.parquet(path)
-        except Exception:  # noqa: BLE001 — first batch: state not created yet
+        # ONLY a missing path means "first batch". A corrupted/partial
+        # state directory must raise, not silently become an empty
+        # index (which would stop all cross-batch dup detection)
+        if not os.path.exists(path):
             return spark.createDataFrame([], empty_schema)
+        return spark.read.parquet(path)
 
-    def _swap(df: DataFrame, path: str) -> None:
-        import shutil
-
-        tmp = f"{path}__staging"
-        df.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    def _swap(df: DataFrame, path: str, epoch_id: int) -> None:
+        # stage under an epoch-keyed name, then directory-rename swap:
+        # a crash leaves either the old state or the new one, never a
+        # half-written directory (local-FS semantics; an object store
+        # wants a manifest commit instead — cf. io/txstore.py)
+        tmp = f"{path}__staging_{epoch_id}"
         shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{path}__old_{epoch_id}"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is at-least-once: every write is keyed by
+        # epoch_id with mode=overwrite, so a replayed batch rewrites
+        # its own epoch partition instead of appending duplicates
         index = _load(index_path, "band int, bucket bigint, _did bigint")
         docs = _load(docs_path, schema)
         pairs, new_index = incremental_minhash_dedup(
             index, docs, batch_df, threshold=threshold, scheme=scheme
         )
-        pairs.write.mode("append").parquet(pairs_path)
-        _swap(new_index, index_path)
-        batch_df.write.mode("append").parquet(docs_path)
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_path, f"epoch={epoch_id}")
+        )
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(docs_path, f"epoch={epoch_id}")
+        )
+        _swap(new_index, index_path, epoch_id)
 
     stream = spark.readStream.schema(schema).parquet(incoming_dir)
     return (
