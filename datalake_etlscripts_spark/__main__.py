@@ -91,6 +91,12 @@ def main(argv: list[str] | None = None) -> int:
         "parse_bsc_companies.py --dry_run)",
     )
 
+    p = sub.add_parser("explain", help="print a registered query's physical plan")
+    p.add_argument("query", help="name from __spark_entry__.queries()")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--mode", default="formatted",
+                   choices=["formatted", "extended", "simple", "cost", "codegen"])
+
     p = sub.add_parser("dedup", help="corpus dedup: pairs/clusters/keep-list to parquet")
     p.add_argument("--table", required=True, help="parquet corpus with id/text columns")
     p.add_argument("--out", required=True, help="output directory (parquet)")
@@ -280,6 +286,18 @@ def main(argv: list[str] | None = None) -> int:
                 F.col("empresas_en_docs").isNotNull()
             ).count()
             print(f"enriched {n} notices → {out}")
+
+    elif args.cmd == "explain":
+        import os
+
+        # __spark_entry__ sits next to the package — resolvable from any cwd
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        import __spark_entry__ as entry
+
+        qs = entry.queries()
+        if args.query not in qs:
+            ap.error(f"unknown query {args.query!r}; {len(qs)} registered")
+        qs[args.query](spark, args.sf_dir).explain(args.mode)
 
     elif args.cmd == "dedup":
         from datalake_etlscripts_spark.operators import dedup as dd
