@@ -54,6 +54,7 @@ from datalake_etlscripts_spark.plans.registry import query
     """,
 )
 def q_field_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-field diff between two record versions: (field, old, new) rows for changed fields only (F17)."""
     o = read_table(spark, sf_dir, "orders")
     base = o.select(
         F.col("o_custkey").cast("string").alias("id"),
@@ -107,6 +108,7 @@ def q_field_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_crawl_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline crawl pipeline: URL extract, prune, host-partitioned mapInPandas fetch against a deterministic fake fetcher."""
     p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1000)
     docs = p.select(
         format_ntp_id(F.col("p_partkey")).alias("_id"),
@@ -219,6 +221,7 @@ _POLICY_SEGMENTS = [
     """,
 )
 def q_crawl_fetch_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production fetch policy through the crawl mapInPandas: redirect loop, meta-refresh chase, content-type map, extension whitelist, SSL classes - against a deterministic offline transport."""
     from datalake_etlscripts_spark.fetchpolicy import policy_fetcher
 
     p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1000)
@@ -268,6 +271,7 @@ def q_crawl_fetch_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_version_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key version history: ordered struct set of (order, _id, obsolete) collected per natural key."""
     o = read_table(spark, sf_dir, "orders")
     ex = o.filter(F.col("o_orderkey") % 3 != 0).select(
         F.col("o_custkey").cast("string").alias("id"),
@@ -341,6 +345,7 @@ def _dns_oracle() -> str:
 
 @query("dns_resolve", oracle=_dns_oracle())
 def q_dns_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-host DNS resolution (F16) through an injectable resolver; the registered run uses a deterministic md5-derived fake."""
     from datalake_etlscripts_spark.crawl import resolve_hosts
 
     p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1000)
@@ -409,6 +414,7 @@ def _bloom_oracle() -> str:
 
 @query("bloom_prefilter", oracle=_bloom_oracle())
 def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership pre-filter: word table built incrementally from two half-batches (bit_or merge), broadcast-probed by candidate names."""
     from datalake_etlscripts_spark.operators import sketches
 
     p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1000)

@@ -40,6 +40,7 @@ SESSION_GAP_MIN = 30
     """,
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-minute-gap session ids per user via a lag window + running session counter."""
     e = read_table(spark, sf_dir, "events")
     s = sessionize(e, gap_minutes=SESSION_GAP_MIN)
     return s.groupBy("user_id", "session_no").agg(
@@ -62,6 +63,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event counts per type (batch twin of the streaming windowed aggregation)."""
     e = read_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -85,6 +87,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from a JSON properties column (get_json_object / from_json)."""
     e = read_table(spark, sf_dir, "events")
     return (
         e.select(
@@ -116,6 +119,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the latest reference row at-or-before its timestamp (union + last-value window, no inequality join)."""
     e = read_table(spark, sf_dir, "events")
     left = e.filter(F.col("event_type") == "purchase")
     right = e.filter(F.col("event_type") == "view")
@@ -162,6 +166,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_longest_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest session per user from the sessionized stream - argmax by duration with deterministic tie-break."""
     e = read_table(spark, sf_dir, "events")
     sized = (
         sessionize(e, gap_minutes=SESSION_GAP_MIN)
@@ -194,6 +199,7 @@ def q_longest_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events to enclosing maintenance windows via coarse-bucket equi-join + neighbor explode (no inequality cross join)."""
     e = read_table(spark, sf_dir, "events")
     bucket_us = 300 * 1_000_000
     a = e.filter(F.col("event_type") == "click").select(
@@ -260,6 +266,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: per-user sorted fold counts users reaching each stage in order."""
     from datalake_etlscripts_spark.operators.events import funnel_counts
 
     e = read_table(spark, sf_dir, "events")
@@ -298,6 +305,7 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_anomalous_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers with zero-variance and overflow guards (exact decimal moments)."""
     from datalake_etlscripts_spark.operators.events import zscore_outliers
 
     e = read_table(spark, sf_dir, "events")
@@ -330,6 +338,7 @@ def q_anomalous_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grid resampling with forward fill: step-floored grid origin, last observation carried forward per key."""
     from datalake_etlscripts_spark.operators.events import resample_forward_fill
 
     e = read_table(spark, sf_dir, "events")
@@ -355,6 +364,7 @@ def q_resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: first-activity cohort x period offset, distinct users retained."""
     from datalake_etlscripts_spark.operators.events import cohort_retention
 
     e = read_table(spark, sf_dir, "events")
@@ -388,6 +398,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/percent_rank/cume_dist/lead/lag + bounded-frame decimal moving sum in one window partitioning."""
     e = read_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     frame = w.rowsBetween(-2, 0)

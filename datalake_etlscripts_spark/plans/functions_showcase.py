@@ -45,6 +45,7 @@ from datalake_etlscripts_spark.plans.registry import query
     """,
 )
 def q_ntp_id_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntp-id scalar library round trip: format, parse, validate, group decode, file-name compose/split (F1/F2/F11/F12)."""
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
     order = F.col("o_orderkey") + F.when(F.col("o_orderkey") % 2 == 0, 10_000_000).otherwise(0)
     ids = o.select("o_orderkey", format_ntp_id(order).alias("ntp_id"))
@@ -83,6 +84,7 @@ def q_ntp_id_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_url_and_ts_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL host/basename + canonical 19-char timestamp truncation over derived URLs (F7/F9/F10)."""
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
     urls = o.select(
         "o_orderkey",
@@ -118,6 +120,7 @@ def q_url_and_ts_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to wide per-status counts by priority with explicit value list."""
     o = read_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_orderpriority")
@@ -143,6 +146,7 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all grouping-set combinations in one pass."""
     o = read_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -153,6 +157,7 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("approx_aggregates")
 def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native approx aggregates (HLL distinct + quantile sketch) - algorithm-specific values, rows-only; exact_distinct_quantiles is the oracle-checked twin."""
     # Scalar output columns only: an ARRAY column in a rows-only query
     # crashes the driver's pandas row canonicalizer (r1 finding) —
     # unpack the quantile array via element_at.
@@ -235,6 +240,7 @@ def q_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_pointer_chase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """updated_to pointer chase to fixpoint: iterative self-join resolves chains to their terminal version."""
     from datalake_etlscripts_spark.versioning import follow_version
 
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
@@ -280,6 +286,7 @@ def q_pointer_chase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot of wide per-status counts back to long rows - inverse of the pivot query."""
     o = read_table(spark, sf_dir, "orders")
     wide = (
         o.groupBy("o_orderpriority")
@@ -357,6 +364,7 @@ def _hll_oracle() -> str:
 
 @query("approx_distinct_incremental", oracle=_hll_oracle())
 def q_approx_distinct_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-register HLL distinct state built from two half-batches, max-merged, with the raw estimator - plus an __all__ rollup."""
     from datalake_etlscripts_spark.operators import sketches
 
     o = read_table(spark, sf_dir, "orders").select(
@@ -428,6 +436,7 @@ _CMS_ORACLE = f"""
 
 @query("approx_topk_terms", oracle=_CMS_ORACLE)
 def q_approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min top-k terms (md5 lanes): mergeable counter state, min-over-depths estimates."""
     from datalake_etlscripts_spark.operators import sketches
     from datalake_etlscripts_spark.operators.text import tokens
 
@@ -484,6 +493,7 @@ _H_W = (_H_HI - _H_LO) / _H_BINS
     """,
 )
 def q_approx_quantiles_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles built from two half-batches and merged - mergeable quantile state with exact bin arithmetic."""
     from datalake_etlscripts_spark.operators import sketches
 
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
@@ -522,6 +532,7 @@ _Z_TERMS = " | ".join(
     """,
 )
 def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (bit-interleaved) clustering key for multi-column data skipping - pure integer expressions."""
     from datalake_etlscripts_spark.io.layout import interleave_bits
 
     li = read_table(spark, sf_dir, "lineitem")

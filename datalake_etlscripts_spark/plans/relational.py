@@ -51,6 +51,7 @@ def rate(c):
     """,
 )
 def q_summary_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-value count summaries over the store (calc_summary semantics) - one grouping-sets scan."""
     orders = read_table(spark, sf_dir, "orders")
     return summary_counts(orders, ["o_orderstatus", "o_orderpriority"])
 
@@ -80,6 +81,7 @@ def q_summary_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: pricing summary report - decimal-exact aggregates per returnflag/linestatus."""
     li = read_table(spark, sf_dir, "lineitem")
     disc_price = money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
     charge = disc_price * (F.lit(1) + rate("l_tax"))
@@ -112,6 +114,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + range predicate scan shape (P1-P10): pushdown-friendly select/filter."""
     li = read_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_quantity").between(10, 20) & (F.col("l_returnflag") == "R"))
@@ -132,6 +135,7 @@ def q_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_membership_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list membership + LIKE-prefix predicates (P6/P7 shapes)."""
     c = read_table(spark, sf_dir, "customer")
     return c.filter(
         F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
@@ -155,6 +159,7 @@ def q_membership_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension broadcast join: small dims never shuffle the fact side."""
     c = read_table(spark, sf_dir, "customer")
     n = read_table(spark, sf_dir, "nation")
     r = read_table(spark, sf_dir, "region")
@@ -188,6 +193,7 @@ def q_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 cut: revenue per nation through the customer/orders/lineitem/supplier/nation join with broadcast dims."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     c = read_table(spark, sf_dir, "customer")
@@ -214,6 +220,7 @@ def q_revenue_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recovery anti-join: source rows absent from the destination (J6)."""
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
@@ -227,6 +234,7 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recovery semi-join: source rows already present in the destination (J6)."""
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
     return (
@@ -243,6 +251,7 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT max(o_orderkey) AS max_id FROM orders WHERE o_orderstatus = 'O'",
 )
 def q_max_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-id aggregate (A1): the next-_id seed read from the store."""
     o = read_table(spark, sf_dir, "orders")
     return o.filter(F.col("o_orderstatus") == "O").agg(F.max("o_orderkey").alias("max_id"))
 
@@ -259,6 +268,7 @@ def q_max_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dup_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate natural-key detection: groupBy + having count > 1 (A4)."""
     o = read_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
@@ -276,6 +286,7 @@ def q_dup_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of group sizes: distribution of versions-per-key (A5)."""
     o = read_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
@@ -300,6 +311,7 @@ def q_group_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest version per key via max_by / argmax window (A6/W2)."""
     o = read_table(spark, sf_dir, "orders")
     # deterministic argmax: tie-break on the key itself (max_by over a struct)
     return o.groupBy("o_custkey").agg(
@@ -322,6 +334,7 @@ def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row_number id assignment (W1) - the documented bounded single-partition window over batch-sized input."""
     o = read_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
     return (
@@ -347,6 +360,7 @@ def q_window_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key lag diff between consecutive versions (W5)."""
     o = read_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     prev = F.lag("o_orderdate").over(w)
@@ -373,6 +387,7 @@ def q_window_lag_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k rows per group with full deterministic tie-break (W4)."""
     o = read_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
     return (
@@ -402,6 +417,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over id sets (SURVEY 2.6)."""
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
     building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
@@ -432,6 +448,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_distinct_set_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct value set per key (sorted array) - A7."""
     o = read_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
@@ -457,6 +474,7 @@ def q_distinct_set_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority): hierarchical grouping sets."""
     o = read_table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("cnt"),
@@ -486,6 +504,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: unshipped-order revenue by order/date, top-priority cut."""
     c = read_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = read_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
@@ -521,6 +540,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join, counts by priority."""
     o = read_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
@@ -553,6 +573,7 @@ def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer."""
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1993-10-01 00:00:00").cast("timestamp"))
@@ -593,6 +614,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_above_segment_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated scalar subquery: customers above their segment's average account balance."""
     c = read_table(spark, sf_dir, "customer")
     seg = c.groupBy("c_mktsegment").agg(
         (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
@@ -653,6 +675,7 @@ def q_above_segment_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rules (row predicates, uniqueness, referential integrity) evaluated in one scan per table."""
     from datalake_etlscripts_spark.operators.expectations import (
         fk_rule,
         row_rules,

@@ -31,6 +31,7 @@ JSONL = os.path.join(FIXTURES, "company_annotations.jsonl")
     """,
 )
 def q_tsv_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSV mapping-table scan + column-rename application (S3/J1, insert_zip semantics)."""
     m = read_mapping_tsv(spark, TSV)
     return m.groupBy(F.col("DBFIELD").alias("dbfield")).agg(
         F.count(F.lit(1)).alias("n_sources"),
@@ -53,6 +54,7 @@ def q_tsv_mapping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_csv_cpv_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """';'-separated CPV dimension CSV source read with declared schema."""
     cpv = read_csv_dim(spark, CSV, int_cols=("control",))
     division = cpv.select(
         F.col("_id").alias("_div_id"), F.col("descripcion").alias("division_desc")
@@ -83,6 +85,8 @@ def q_csv_cpv_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_jsonl_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL annotation source: parsed, typed, and exploded into
+    relational rows (S5, get_documents annotation sidecar)."""
     ann = read_jsonl(
         spark,
         JSONL,
@@ -125,6 +129,7 @@ def q_jsonl_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_nif_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spanish NIF/NIE/CIF checksum validation (F13) as pure column expressions."""
     ann = read_jsonl(
         spark,
         JSONL,
@@ -165,6 +170,7 @@ def q_nif_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation enrichment join resolving redirects to company payloads (J7)."""
     from pyspark.sql import Window as W
 
     from datalake_etlscripts_spark.functions.scalar import format_ntp_id

@@ -50,6 +50,7 @@ DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
     """,
 )
 def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip source: written then read back with schema intact (format breadth)."""
     out = os.path.join(tempfile.mkdtemp(prefix="orc_src_"), "lineitem_orc")
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
@@ -83,6 +84,7 @@ def q_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_jdbc_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-memory dimension registered as a table and joined - the JDBC-dim join shape without a database dependency."""
     db = os.path.join(tempfile.mkdtemp(prefix="jdbc_dim_"), "dims")
     url = f"jdbc:derby:{db};create=true"
 
@@ -129,6 +131,7 @@ def q_jdbc_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML-ish source parsed via expressions into relational rows (ATOM feed shape)."""
     out = os.path.join(tempfile.mkdtemp(prefix="xml_src_"), "supplier_xml")
     sup = read_table(spark, sf_dir, "supplier").select(
         "s_suppkey",

@@ -53,6 +53,7 @@ def _listing(spark: SparkSession, sf_dir: str, side: str) -> DataFrame:
     """,
 )
 def q_storage_sync_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage reconciliation plan (ADD/UPD/DEL) between source and destination listings via anti/semi joins (sync_documents semantics)."""
     src = _listing(spark, sf_dir, "src")
     dst = _listing(spark, sf_dir, "dst")
     return plan_sync(src, dst, content_cols=("size",))

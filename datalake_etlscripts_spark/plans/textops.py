@@ -30,6 +30,7 @@ from datalake_etlscripts_spark.plans.registry import ddb_hex32, query
     """,
 )
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and BPE-ish regex token counts per document."""
     d = read_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -61,6 +62,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token counts, average token length, punctuation/distinct/uppercase ratios."""
     d = read_table(spark, sf_dir, "documents")
     return text.quality_features(d).select(
         "doc_id",
@@ -111,6 +113,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax stopword hits across 4 languages with deterministic tie-break."""
     d = read_table(spark, sf_dir, "documents")
     salt = (
         F.when(
@@ -138,6 +141,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content md5, bag-of-words hash, and first rolling-shingle fingerprints per document."""
     d = read_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -167,6 +171,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical duplicate groups by content fingerprint - one hash-groupBy shuffle."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.unionByName(
         d.filter(F.col("doc_id") % 10 == 0).select(
@@ -201,6 +206,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-token-shingle Jaccard inside (lang x length-bucket) blocks - never an all-pairs join."""
     d = read_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(d, threshold=0.04)
 
@@ -332,6 +338,7 @@ _MINHASH_ORACLE = """
 
 @query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (md5 scheme) to banded LSH buckets to candidate pairs to exact-Jaccard verification."""
     from datalake_etlscripts_spark.operators.skew import spread_small_input
 
     d = spread_small_input(read_table(spark, sf_dir, "documents"))
@@ -386,6 +393,7 @@ _SIMHASH_ORACLE = f"""
 
 @query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: per-bit majority signatures (md5 scheme), band blocking, Hamming verification."""
     d = read_table(spark, sf_dir, "documents")
     return dedup.simhash_pairs(d, max_hamming=3, bits=32, band_bits=8, scheme="md5")
 
@@ -426,6 +434,7 @@ def q_dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split: md5(doc_id) against a hex threshold - no RNG, stable across runs and partitionings."""
     d = read_table(spark, sf_dir, "documents").select("doc_id")
     return sampling.train_test_split(d, "doc_id", test_threshold_hex="1a")
 
@@ -439,6 +448,7 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language hash sampling at different rates - deterministic, no corpus shuffle."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return sampling.stratified_hash_sample(
         d, "doc_id", "lang", {"en": "40", "es": "80"}, default_threshold_hex="10"
@@ -466,6 +476,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing of token counts into fixed-capacity training bins per (bucket) - deterministic order."""
     d = read_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang", text.token_count(F.col("text")).alias("n_tokens")
@@ -518,6 +529,7 @@ def _near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs by exact cosine over the injected-near-dup corpus (fold dot products, bit-exact)."""
     return dedup.embedding_near_dup_pairs(_near_dup_corpus(spark, sf_dir), threshold=0.9)
 
 
@@ -579,6 +591,7 @@ _EMB_LSH_ORACLE = f"""
 
 @query("dedup_embedding_lsh", oracle=_EMB_LSH_ORACLE)
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH bands, exact-cosine verification of candidates only."""
     return dedup.embedding_near_dup_lsh(_near_dup_corpus(spark, sf_dir), threshold=0.9)
 
 
@@ -698,6 +711,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors per query vector - broadcast query block, per-query top-k window."""
     e = read_table(spark, sf_dir, "embeddings")
     return similarity.brute_force_topk(e, e.filter(F.col("vec_id") < 8), k=5)
 
@@ -737,6 +751,7 @@ _ANN_LSH_ORACLE = f"""
 
 @query("ann_lsh_topk", oracle=_ANN_LSH_ORACLE)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 neighbors: random-hyperplane signature bands generate candidates, exact cosine re-ranks."""
     e = read_table(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_topk(e, e.filter(F.col("vec_id") < 8), k=5)
 
@@ -756,6 +771,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: attach bytes, extract (width, height, n_bytes, sha256) via the mapInPandas Arrow seam."""
     d = read_table(spark, sf_dir, "documents")
     return multimodal.decode_metadata(multimodal.attach_binary(d))
 
@@ -768,6 +784,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary columns: 1-to-N fixed-size byte slices via mapInPandas, counted per doc."""
     d = read_table(spark, sf_dir, "documents")
     frames = multimodal.frame_sample(multimodal.attach_binary(d))
     return frames.groupBy("id").agg(F.count(F.lit(1)).alias("n_frames"))
@@ -831,6 +848,7 @@ _ANN_IVF_ORACLE = f"""
 
 @query("ann_ivf_topk", oracle=_ANN_IVF_ORACLE)
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the fixed literal quantizer: argmin cell assignment, 3-cell probe, exact-cosine rerank."""
     e = read_table(spark, sf_dir, "embeddings")
     return similarity.ivf_ann_topk(
         e, e.filter(F.col("vec_id") < 8), k=5, centroids=_ivf_literal_centroids()
@@ -858,6 +876,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words duplicate groups: same token SET regardless of order/repetition."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     shuffled = d.filter(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 2000000).alias("doc_id"),
@@ -898,6 +917,7 @@ def q_dedup_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals: fraction of the most common token / 2-gram / 3-gram per document."""
     from datalake_etlscripts_spark.operators.skew import spread_small_input
 
     d = spread_small_input(read_table(spark, sf_dir, "documents"))
@@ -934,6 +954,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII counts (email/phone/IBAN) and typed-placeholder redaction, pure regexp_replace."""
     d = read_table(spark, sf_dir, "documents")
     salt = (
         F.when(
@@ -994,6 +1015,7 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 5-gram overlap against a broadcast benchmark shingle set (semi-join, corpus never shuffles)."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     bench = d.filter(F.col("doc_id") % 97 == 0)
     corpus = d.filter(F.col("doc_id") % 97 != 0).unionByName(
@@ -1093,6 +1115,7 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with deterministic tie-break - dictionary-sized window only."""
     d = read_table(spark, sf_dir, "documents")
     return (
         text.term_stats(d)
@@ -1136,6 +1159,7 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus encoding to token ids via the broadcast frequency-ranked vocabulary (OOV to 0)."""
     d = read_table(spark, sf_dir, "documents")
     vocab = text.vocab_table(d)
     enc = text.encode_corpus(d, vocab)
@@ -1194,6 +1218,7 @@ def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus prep: quality filter, exact-dedup keep-first, chunking - composed in one query."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = d.unionByName(
         d.filter(F.col("doc_id") % 10 == 0).select(
@@ -1233,6 +1258,7 @@ def q_prepare_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size character chunking with overlap, pure per-row expressions."""
     d = read_table(spark, sf_dir, "documents")
     return sampling.chunk_documents(d, chunk_chars=200, overlap=40)
 
@@ -1272,6 +1298,7 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-shape n-gram count tables for orders 1-3 with Kneser-Ney continuation counts, one corpus scan."""
     d = read_table(spark, sf_dir, "documents")
     return (
         text.ngram_lm_counts(d, max_order=3)
@@ -1304,6 +1331,7 @@ def q_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-token quality signal: fraction of tokens outside the Zipf-head frequent set."""
     d = read_table(spark, sf_dir, "documents")
     return text.rare_token_stats(d, min_count=5)
 
@@ -1339,6 +1367,7 @@ def q_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TF-IDF terms per document (log-free rational score for cross-engine exactness)."""
     d = read_table(spark, sf_dir, "documents")
     return text.tfidf_top_terms(d, k=3)
 
@@ -1377,6 +1406,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide paragraph dedup: first occurrence by (doc_id, position) wins, one paragraph-keyed shuffle."""
     d = read_table(spark, sf_dir, "documents")
     toks = text.tokens(F.col("text"))
     nc = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
@@ -1409,6 +1439,7 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample each source domain toward target mixture weights via broadcast rate dims + hash-uniform keep."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     weights = {lang: 0.2 for lang in ["de", "en", "es", "fr", "zh"]}
     return sampling.mixture_sample(d, "doc_id", "lang", weights)
@@ -1436,6 +1467,7 @@ def q_domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-symbol pair frequencies over word-frequency space - the inner aggregate of BPE training."""
     d = read_table(spark, sf_dir, "documents")
     return (
         d.select(F.explode(text.ngrams(F.col("text"), 2)).alias("pair"))
@@ -1456,6 +1488,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("bpe_learned_merges")
 def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training merges (iterative argmax - not SQL-expressible, rows-only; bit-identical to the classic algorithm in tests)."""
     from datalake_etlscripts_spark.operators.bpe import bpe_train
 
     d = read_table(spark, sf_dir, "documents")
@@ -1520,6 +1553,7 @@ def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed Gopher-style quality filter: five rules, NULL-safe keep + failed-rule names."""
     from datalake_etlscripts_spark.operators.skew import spread_small_input
 
     d = spread_small_input(read_table(spark, sf_dir, "documents"))
@@ -1616,6 +1650,7 @@ _WINNOW_ORACLE = """
 
 @query("dedup_substrings_winnow", oracle=_WINNOW_ORACLE)
 def q_dedup_substrings_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint substring dedup: pairs sharing w+k-1-char repeated substrings via fingerprint equi-join."""
     from datalake_etlscripts_spark.operators.skew import spread_small_input
 
     d = spread_small_input(read_table(spark, sf_dir, "documents"))
@@ -1689,5 +1724,6 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed inference batching: fixed-size batches inside token-length buckets, pad_to = per-batch max."""
     d = read_table(spark, sf_dir, "documents")
     return sampling.length_bucketed_batches(d)

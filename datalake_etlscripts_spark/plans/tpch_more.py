@@ -54,6 +54,7 @@ def _volume():
     """,
 )
 def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations by year."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
@@ -111,6 +112,7 @@ def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share within a region by year."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
@@ -172,6 +174,7 @@ def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue percentage - decimal-exact conditional aggregates."""
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     vol = _volume()
@@ -216,6 +219,7 @@ def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: large-volume customers via a having-sum semi join."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
@@ -260,6 +264,7 @@ def q_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive bracket predicates folded into one scan."""
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     cond = (
@@ -293,6 +298,7 @@ def q_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecast revenue change - tight range scan with decimal-exact sum."""
     li = read_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
@@ -334,6 +340,7 @@ def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by nation and order-year from a five-way join."""
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part")
     s = read_table(spark, sf_dir, "supplier")
@@ -378,6 +385,7 @@ def q_q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12: shipmode priority counts with conditional aggregation."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -415,6 +423,7 @@ def q_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count distribution via left join + double aggregate."""
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
     per_cust = (
@@ -453,6 +462,7 @@ def q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier by revenue - window max instead of a scalar subquery."""
     li = read_table(spark, sf_dir, "lineitem")
     s = read_table(spark, sf_dir, "supplier")
     revenue = (
@@ -487,6 +497,7 @@ def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16: supplier counts per part attribute with NOT-IN anti join."""
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part")
     s = read_table(spark, sf_dir, "supplier")
@@ -529,6 +540,7 @@ def q_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of small-quantity lines vs 0.2x the part's average quantity (decorrelated)."""
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part")
     pq = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
@@ -572,6 +584,7 @@ def q_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: dormant high-balance customers - anti join + decorrelated average."""
     c = read_table(spark, sf_dir, "customer")
     o = read_table(spark, sf_dir, "orders")
     n = read_table(spark, sf_dir, "nation")
@@ -624,6 +637,7 @@ def q_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-(part, region) min supply cost via a window over the joined dims."""
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part")
     s = read_table(spark, sf_dir, "supplier")
@@ -688,6 +702,7 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11: important stock values with a scalar-total HAVING threshold."""
     li = read_table(spark, sf_dir, "lineitem")
     s = read_table(spark, sf_dir, "supplier")
     n = read_table(spark, sf_dir, "nation")
@@ -744,6 +759,7 @@ def q_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers with excess stock of promoted parts - nested IN decorrelated to semi-join chain."""
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part")
     s = read_table(spark, sf_dir, "supplier")
@@ -815,6 +831,7 @@ def q_q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: sole late supplier per multi-supplier order, in ONE lineitem shuffle (no double self-join)."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
     s = read_table(spark, sf_dir, "supplier")

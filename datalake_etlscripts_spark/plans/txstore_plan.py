@@ -81,6 +81,7 @@ def build_demo_store(spark: SparkSession, sf_dir: str) -> TransactionalStore:
     """,
 )
 def q_txstore_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional-store time travel: read an older snapshot version and diff row counts against latest."""
     st = build_demo_store(spark, sf_dir)
 
     def agg(version: int) -> DataFrame:
@@ -131,6 +132,7 @@ def q_txstore_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_txstore_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two transactional-store snapshots: insert/update/delete rows from manifest-pruned file reads."""
     from datalake_etlscripts_spark.io.txstore import snapshot_diff
 
     st = build_demo_store(spark, sf_dir)
@@ -182,6 +184,7 @@ _BAND = "CAST(p * 100 AS BIGINT) div 2000000"
     """,
 )
 def q_summary_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-count summaries maintained from the CDC delta (old state + added - removed) - the base table is never rescanned."""
     from datalake_etlscripts_spark.io.txstore import snapshot_diff
     from datalake_etlscripts_spark.summary import (
         cdc_images,

@@ -194,6 +194,7 @@ _CONSTRUCTION_SQL = """
     """,
 )
 def q_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: merge an incoming batch into the versioned store - resolve against active versions, obsolete overlaps, assign new _ids (read_parquet.py semantics, set-oriented)."""
     # the store is projection-only (no shuffle), but merge_batch
     # references it 4× (max_order + three joins) — materialize once;
     # in production this is the already-materialized store table
@@ -219,6 +220,7 @@ def q_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_version_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-merge health: zero multi-active keys and zero dangling updated_to pointers over the merged state."""
     from datalake_etlscripts_spark.versioning import (
         check_pointers_resolve,
         check_unique_active,
