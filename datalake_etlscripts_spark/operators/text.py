@@ -458,3 +458,43 @@ def gopher_quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_failed.cast("int").alias("n_failed"),
         reasons.alias("fail_reasons"),
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: list[float],
+    text_col: str = "text",
+    scheme: str = "md5",
+) -> DataFrame:
+    """Hashing-trick linear classifier score (the fastText/DCLM-style
+    quality-classifier shape): each token hashes into one of
+    ``len(weights)`` buckets and contributes that bucket's weight; the
+    document score is the mean contribution (raw margin — no sigmoid:
+    transcendentals are not bit-portable across engines, and
+    thresholding the margin is equivalent). Real trained weights drop
+    into the same operator; the registered query uses deterministic
+    literal weights so an external engine replays the score.
+
+    Shape notes: the weight table is projected ONCE as an array column
+    and indexed with element_at per token — embedding the 256-literal
+    array inside the fold lambda would re-build it per token (the
+    expression-in-lambda pitfall). Pure per-row expressions, no
+    shuffle, no UDF."""
+    d = len(weights)
+    if scheme == "md5":
+        def bucket(t: Column) -> Column:
+            return (
+                F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % d
+            ).cast("int") + 1
+    elif scheme == "xxhash64":
+        def bucket(t: Column) -> Column:
+            return (F.pmod(F.xxhash64(t), F.lit(d))).cast("int") + 1
+    else:
+        raise ValueError(f"unknown scheme {scheme!r}")
+
+    out = df.withColumn("_w", F.array(*[F.lit(float(w)) for w in weights]))
+    toks = tokens(F.col(text_col))
+    contrib = F.transform(toks, lambda t: F.element_at(F.col("_w"), bucket(t)))
+    total = F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x)
+    score = F.try_divide(total, F.size(toks))
+    return out.withColumn("quality_score", score).drop("_w")

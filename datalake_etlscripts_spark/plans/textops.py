@@ -1727,3 +1727,48 @@ def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed inference batching: fixed-size batches inside token-length buckets, pad_to = per-batch max."""
     d = read_table(spark, sf_dir, "documents")
     return sampling.length_bucketed_batches(d)
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick linear quality classifier (fastText/DCLM shape): the
+# 256 bucket weights are deterministic LCG literals shared into the
+# twin, so DuckDB replays token hashing, bucket lookup, the ordered
+# contribution fold, and the mean — bit-for-bit.
+# ---------------------------------------------------------------------------
+def _clf_weights() -> list[float]:
+    from datalake_etlscripts_spark.operators.similarity import random_planes
+
+    return [row[0] for row in random_planes(1, 256, seed=23)]
+
+
+def _clf_oracle() -> str:
+    from datalake_etlscripts_spark.plans.registry import ddb_hex32
+
+    # DuckDB parses plain decimal literals as DECIMAL and overflows the
+    # inferred scale when summing — force DOUBLE[]
+    wlit = "CAST([" + ", ".join(repr(w) for w in _clf_weights()) + "] AS DOUBLE[])"
+    h = ddb_hex32("md5(t)")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN len(tk) > 0 THEN
+        list_reduce(list_prepend(0.0,
+          list_transform(tk, t -> {wlit}[CAST(({h}) % 256 AS INT) + 1])),
+          (a, b) -> a + b) / len(tk)
+      END AS quality_score
+    FROM toks
+    """
+
+
+@query("classifier_quality_score", oracle=_clf_oracle())
+def q_classifier_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear classifier score per document (fastText/
+    DCLM quality-classifier shape) with deterministic literal weights;
+    raw margin output (no sigmoid - not bit-portable)."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.hashed_linear_score(d, _clf_weights()).select(
+        "doc_id", "quality_score"
+    )
