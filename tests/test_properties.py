@@ -171,6 +171,30 @@ def test_text_operators_survive_degenerate_documents(spark):
     assert simhash_table(df).count() == len(EDGE_DOCS)
     assert tfidf_top_terms(df, k=2).count() > 0
 
+    # round-2 ops: total functions over degenerate docs, never a crash
+    from datalake_etlscripts_spark.operators.dedup import (
+        substring_duplicate_pairs,
+        winnow_fingerprints,
+    )
+    from datalake_etlscripts_spark.operators.sampling import length_bucketed_batches
+    from datalake_etlscripts_spark.operators.text import (
+        gopher_quality_filter,
+        hashed_linear_score,
+    )
+
+    g = {r["doc_id"]: r for r in gopher_quality_filter(df).collect()}
+    assert set(g) == set(range(len(EDGE_DOCS)))
+    assert g[0]["keep"] is False and g[0]["fail_reasons"]  # '' fails, named
+    sc = {r["doc_id"]: r["quality_score"] for r in
+          hashed_linear_score(df, [0.5] * 16).collect()}
+    assert sc[0] is None  # empty doc → NULL score, not divide-by-zero
+    assert winnow_fingerprints(df, k=4, w=3).filter("_did = 0").count() == 0
+    substring_duplicate_pairs(df, k=4, w=3, min_shared=1).collect()
+    b = {r["doc_id"]: r for r in length_bucketed_batches(df).collect()}
+    # the empty doc shares bucket 0 with other short docs; its batch
+    # pads to the batch max, which is >= its own length
+    assert b[0]["n_tokens"] == 0 and b[0]["pad_to"] >= 0
+
 
 @SET
 @given(
