@@ -110,6 +110,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--url-col", default="url")
     p.add_argument("--threshold", type=float, default=0.5, help="jaccard (minhash)")
     p.add_argument(
+        "--scheme",
+        default="xxhash64",
+        choices=["xxhash64", "md5"],
+        help="hash family: xxhash64 (fast, production) or md5 (externally auditable)",
+    )
+    p.add_argument(
         "--clusters",
         action="store_true",
         help="resolve pairs to connected components + keep-list instead of raw pairs",
@@ -312,12 +318,18 @@ def main(argv: list[str] | None = None) -> int:
             out = dd.dedup_keep_first(corpus, args.text_col, args.id_col)
         elif args.strategy == "minhash":
             out = dd.minhash_lsh_pairs(
-                corpus, args.text_col, args.id_col, threshold=args.threshold
+                corpus,
+                args.text_col,
+                args.id_col,
+                threshold=args.threshold,
+                scheme=args.scheme,
             )
         elif args.strategy == "simhash":
             out = dd.simhash_pairs(corpus, args.text_col, args.id_col)
         elif args.strategy == "winnow":
-            out = dd.substring_duplicate_pairs(corpus, args.text_col, args.id_col)
+            out = dd.substring_duplicate_pairs(
+                corpus, args.text_col, args.id_col, scheme=args.scheme
+            )
         else:  # urls
             out = dd.url_duplicates(corpus, args.url_col, args.id_col)
         if args.clusters and args.strategy in ("minhash", "simhash", "winnow"):
