@@ -168,8 +168,12 @@ def kmeans_centroids(
     seed: int = 7,
 ) -> list[list[float]]:
     """Tiny driver-side Lloyd's k-means over a bounded sample — the
-    coarse quantizer for IVF. The sample (not the corpus) comes to the
-    driver; assignment of the full corpus stays distributed."""
+    cheap quantizer bootstrap for IVF. The sample (not the corpus)
+    comes to the driver; assignment of the full corpus stays
+    distributed. When cluster quality matters, train with
+    kmeans_train_distributed (full-corpus iterations) and pass the
+    result via the ``centroids`` parameter of ivf_ann_topk /
+    semantic_dedup."""
     rows = (
         corpus.select(vec_col)
         .sample(False, 1.0, seed=seed)
@@ -304,3 +308,69 @@ def brute_force_topk_pandas(
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_train_distributed(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    iterations: int = 5,
+    init_centroids: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means: the FULL corpus participates in
+    every iteration (removing kmeans_centroids' bounded-sample cap —
+    that one exists for cheap quantizer bootstraps; this one is the
+    trainer you run when cluster quality matters at 100 TB).
+
+    Per iteration: one corpus pass — argmin cell assignment against
+    broadcast centroid literals, then per-(cell, dim) sum/count via
+    posexplode + one shuffle of k x dim aggregate rows. Only the k x
+    dim centroid matrix ever reaches the driver. Empty cells keep
+    their previous centroid (standard Lloyd's degeneracy handling).
+    Deterministic given init (same data, same partitioning modulo
+    float-sum reassociation — the usual distributed-kmeans caveat);
+    init defaults to the k lowest-id vectors, which is fully
+    deterministic."""
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("empty corpus")
+    dim = len(first[0])
+
+    if init_centroids is not None:
+        cents = [list(map(float, c)) for c in init_centroids]
+    else:
+        id_col = [c for c in corpus.columns if c != vec_col][0]
+        rows = corpus.orderBy(id_col).select(vec_col).limit(k).collect()
+        cents = [list(map(float, r[0])) for r in rows]
+    if len(cents) < k:
+        raise ValueError(f"need >= {k} vectors to seed {k} centroids")
+
+    for _ in range(iterations):
+        # two selects: mixing the struct-sorting assignment expression
+        # with a generator in ONE projection makes Catalyst's generator
+        # rewrite drop the struct field aliases (FIELD_NOT_FOUND)
+        cells = corpus.select(
+            F.element_at(_nearest_centroids(F.col(vec_col), cents, 1), 1).alias(
+                "_cell"
+            ),
+            F.col(vec_col).alias("_v"),
+        )
+        assigned = cells.select("_cell", F.posexplode("_v").alias("_dim", "_x"))
+        stats = (
+            assigned.groupBy("_cell", "_dim")
+            .agg(
+                F.sum(F.col("_x").cast("double")).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        )
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in stats:
+            sums.setdefault(r["_cell"], [0.0] * dim)[r["_dim"]] = r["_s"]
+            counts[r["_cell"]] = r["_n"]
+        cents = [
+            [s / counts[ci] for s in sums[ci]] if ci in counts else cents[ci]
+            for ci in range(k)
+        ]
+    return cents

@@ -1210,3 +1210,37 @@ def test_bloom_filter_merge_no_false_negatives_and_prefilter(spark):
         missing_via_prefilter.exceptAll(missing_exact).count() == 0
         and missing_exact.exceptAll(missing_via_prefilter).count() == 0
     )
+
+
+def test_kmeans_train_distributed_recovers_blobs(spark):
+    """Distributed Lloyd's over three well-separated synthetic blobs
+    recovers centers near the true means, and empty cells keep their
+    previous centroid instead of crashing."""
+    import random
+
+    from datalake_etlscripts_spark.operators.similarity import (
+        kmeans_train_distributed,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    means = [[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]]
+    vid = 0
+    for m in means:
+        for _ in range(60):
+            rows.append((vid, [m[0] + rng.uniform(-1, 1), m[1] + rng.uniform(-1, 1)]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # seed with one point from each blob (ids 0, 60, 120 sort first per blob? no -
+    # pass explicit init so the test is about convergence, not seeding luck)
+    init = [[1.0, 1.0], [9.0, 1.0], [1.0, 9.0]]
+    cents = kmeans_train_distributed(df, k=3, iterations=4, init_centroids=init)
+    got = sorted((round(c[0]), round(c[1])) for c in cents)
+    assert got == [(0, 0), (0, 10), (10, 0)], cents
+
+    # k=4 with only 3 blobs: the 4th centroid may own no points - must
+    # survive and return 4 centroids
+    cents4 = kmeans_train_distributed(
+        df, k=4, iterations=2, init_centroids=init + [[100.0, 100.0]]
+    )
+    assert len(cents4) == 4 and cents4[3] == [100.0, 100.0]
