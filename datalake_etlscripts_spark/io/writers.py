@@ -101,3 +101,45 @@ def compact_files(
     shutil.rmtree(tmp, ignore_errors=True)
     written = spark.read.parquet(path)
     return written.rdd.getNumPartitions()
+
+
+def write_training_shards(
+    df: DataFrame,
+    out_dir: str,
+    rows_per_shard: int = 100_000,
+    shard_key: str | None = None,
+    fmt: str = "json",
+) -> int:
+    """Terminal training-pipeline sink: write the corpus as
+    deterministic shards (shard=N/ dirs of JSONL or parquet).
+
+    Shard membership is md5-hash-assigned from ``shard_key`` (default:
+    first column), NOT round-robin — the same corpus yields the same
+    shard contents regardless of input partitioning or cluster size,
+    so reruns/backfills are reproducible and any shard can be re-built
+    alone. Shard count = ceil(rows / rows_per_shard); per-shard counts
+    vary ~Poisson around the target (the standard trade for
+    deterministic membership). One shuffle on the shard id; one file
+    per shard. Returns the shard count."""
+    import math
+
+    key = shard_key or df.columns[0]
+    n = df.count()
+    n_shards = max(1, math.ceil(n / rows_per_shard))
+    keyed = df.withColumn(
+        "shard",
+        (
+            F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % n_shards
+        ).cast("int"),
+    )
+    out = keyed.repartition(n_shards, "shard")
+    writer = out.write.partitionBy("shard").mode("overwrite")
+    if fmt == "json":
+        writer.json(out_dir)
+    elif fmt == "parquet":
+        writer.parquet(out_dir)
+    else:
+        raise ValueError(f"unknown shard format {fmt!r}")
+    return n_shards

@@ -173,3 +173,22 @@ def test_zorder_layout_prunes_box_queries(spark, sf_dir):
     finally:
         shutil.rmtree(z_dir, ignore_errors=True)
         shutil.rmtree(lin_dir, ignore_errors=True)
+
+
+def test_write_training_shards_deterministic_membership(spark, tmp_path):
+    """Shard membership must be identical regardless of input
+    partitioning, and the shards must round-trip the full corpus."""
+    from datalake_etlscripts_spark.io.writers import write_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out_a, out_b = str(tmp_path / "a"), str(tmp_path / "b")
+    n_a = write_training_shards(docs.repartition(3), out_a, rows_per_shard=100)
+    n_b = write_training_shards(docs.repartition(17), out_b, rows_per_shard=100)
+    assert n_a == n_b >= 2
+
+    a = spark.read.json(out_a).select("doc_id", "shard")
+    b = spark.read.json(out_b).select("doc_id", "shard")
+    assert a.count() == docs.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
