@@ -91,6 +91,13 @@ def main(argv: list[str] | None = None) -> int:
         "parse_bsc_companies.py --dry_run)",
     )
 
+    p = sub.add_parser("export", help="write deterministic training shards (JSONL/parquet)")
+    p.add_argument("--table", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--rows-per-shard", type=int, default=100_000)
+    p.add_argument("--shard-key", default=None)
+    p.add_argument("--format", default="json", choices=["json", "parquet"])
+
     p = sub.add_parser("explain", help="print a registered query's physical plan")
     p.add_argument("query", help="name from __spark_entry__.queries()")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -292,6 +299,18 @@ def main(argv: list[str] | None = None) -> int:
                 F.col("empresas_en_docs").isNotNull()
             ).count()
             print(f"enriched {n} notices → {out}")
+
+    elif args.cmd == "export":
+        from datalake_etlscripts_spark.io.writers import write_training_shards
+
+        n = write_training_shards(
+            spark.read.parquet(args.table),
+            args.out,
+            rows_per_shard=args.rows_per_shard,
+            shard_key=args.shard_key,
+            fmt=args.format,
+        )
+        print(f"exported {n} shards to {args.out}")
 
     elif args.cmd == "explain":
         import os
