@@ -498,3 +498,65 @@ def hashed_linear_score(
     total = F.aggregate(contrib, F.lit(0.0), lambda acc, x: acc + x)
     score = F.try_divide(total, F.size(toks))
     return out.withColumn("quality_score", score).drop("_w")
+
+
+def lm_avg_prob_score(
+    df: DataFrame,
+    lm_counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Language-model fluency score: the mean MLE bigram probability
+    p(w|ctx) = c(ctx w)/c(ctx) of the document's bigrams under an
+    ngram_lm_counts table — the classic model-based quality filter
+    (train counts on the corpus, score each document against them).
+    Rational per-gram probabilities (no log — not bit-portable); the
+    per-document mean folds the probabilities IN POSITION ORDER over a
+    collected array, so the double sum is deterministic under any
+    partitioning (same policy as the cosine folds).
+
+    Shape: bigram explode → two broadcast joins against the
+    (dictionary-sized) count tables → one doc-keyed shuffle for the
+    ordered fold. Returns (id, n_bigrams, lm_score); documents with no
+    bigrams score NULL."""
+    c2 = lm_counts.filter(F.col("order") == 2).select(
+        F.col("gram"), F.col("count").alias("_c2")
+    )
+    c1 = lm_counts.filter(F.col("order") == 1).select(
+        F.col("gram").alias("_ctx"), F.col("count").alias("_c1")
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.posexplode(ngrams(F.col(text_col), 2)).alias("_pos", "gram"),
+    ).withColumn("_ctx", F.substring_index(F.col("gram"), " ", 1))
+    scored = (
+        grams.join(F.broadcast(c2), "gram")
+        .join(F.broadcast(c1), "_ctx")
+        .select(
+            id_col,
+            "_pos",
+            (F.col("_c2").cast("double") / F.col("_c1")).alias("_p"),
+        )
+    )
+    per = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_p"))),
+                lambda s: s["_p"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("_total"),
+    )
+    out = per.select(
+        id_col,
+        "n_bigrams",
+        F.try_divide(F.col("_total"), F.col("n_bigrams")).alias("lm_score"),
+    )
+    ids = df.select(id_col)
+    return ids.join(out, id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "lm_score",
+    )

@@ -1772,3 +1772,47 @@ def q_classifier_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.hashed_linear_score(d, _clf_weights()).select(
         "doc_id", "quality_score"
     )
+
+
+@query(
+    "lm_fluency_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, u.i AS pos,
+             tk[u.i + 1] || ' ' || tk[u.i + 2] AS gram,
+             tk[u.i + 1] AS ctx
+      FROM toks CROSS JOIN LATERAL unnest(range(0, greatest(len(tk) - 1, 0))) u(i)
+    ),
+    c2 AS (SELECT gram, count(*) AS c FROM g2 GROUP BY gram),
+    c1 AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest(tk) AS w FROM toks
+      ) GROUP BY w
+    ),
+    p AS (
+      SELECT g2.doc_id, g2.pos, CAST(c2.c AS DOUBLE) / c1.c AS p
+      FROM g2 JOIN c2 USING (gram) JOIN c1 ON c1.w = g2.ctx
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             list_reduce(list_prepend(0.0, list(p ORDER BY pos)),
+                         (a, b) -> a + b) AS total
+      FROM p GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           a.total / a.n_bigrams AS lm_score
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_lm_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: mean MLE bigram probability of each
+    document under the corpus's own ngram_lm_counts table - rational
+    arithmetic, position-ordered fold (no log, bit-portable)."""
+    d = read_table(spark, sf_dir, "documents")
+    lm = text.ngram_lm_counts(d, max_order=2)
+    return text.lm_avg_prob_score(d, lm)
