@@ -560,3 +560,34 @@ def lm_avg_prob_score(
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         "lm_score",
     )
+
+
+def boilerplate_prefixes(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+    min_frac: float = 0.05,
+) -> DataFrame:
+    """Per-source boilerplate header detection: the k-token document
+    PREFIX shared by at least ``min_frac`` of a source's documents —
+    the crawl-template signal that drives prefix-strip cleanup
+    (RefinedWeb-style per-domain boilerplate removal). One
+    (source, prefix) shuffle + a broadcast-sized per-source total.
+    Returns (source, prefix, n_docs, frac) ordered facts."""
+    prefix = F.array_join(F.slice(tokens(F.col(text_col)), 1, k), " ")
+    heads = df.select(F.col(source_col).alias("source"), prefix.alias("prefix"))
+    counts = heads.groupBy("source", "prefix").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = heads.groupBy("source").agg(F.count(F.lit(1)).alias("_t"))
+    return (
+        counts.join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            "prefix",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("_t")).alias("frac"),
+        )
+        .filter(F.col("frac") >= min_frac)
+    )

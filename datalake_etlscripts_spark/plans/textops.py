@@ -1816,3 +1816,29 @@ def q_lm_fluency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     lm = text.ngram_lm_counts(d, max_order=2)
     return text.lm_avg_prob_score(d, lm)
+
+
+@query(
+    "boilerplate_prefixes",
+    oracle="""
+    WITH heads AS (
+      SELECT source,
+             array_to_string(
+               list_filter(string_split(text, ' '), x -> x <> '')[1:5], ' ')
+               AS prefix
+      FROM documents
+    ),
+    c AS (SELECT source, prefix, count(*) AS n_docs FROM heads GROUP BY 1, 2),
+    t AS (SELECT source, count(*) AS tt FROM heads GROUP BY 1)
+    SELECT c.source, c.prefix, c.n_docs,
+           CAST(c.n_docs AS DOUBLE) / t.tt AS frac
+    FROM c JOIN t USING (source)
+    WHERE CAST(c.n_docs AS DOUBLE) / t.tt >= 0.002
+    """,
+)
+def q_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source k-token document-prefix frequency (crawl-template
+    boilerplate detection, RefinedWeb-style) - threshold low enough to
+    return rows on the random-text corpus."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.boilerplate_prefixes(d, min_frac=0.002)
