@@ -344,7 +344,9 @@ def main(argv: list[str] | None = None) -> int:
                 scheme=args.scheme,
             )
         elif args.strategy == "simhash":
-            out = dd.simhash_pairs(corpus, args.text_col, args.id_col)
+            out = dd.simhash_pairs(
+                corpus, args.text_col, args.id_col, scheme=args.scheme
+            )
         elif args.strategy == "winnow":
             out = dd.substring_duplicate_pairs(
                 corpus, args.text_col, args.id_col, scheme=args.scheme

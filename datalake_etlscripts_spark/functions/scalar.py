@@ -154,3 +154,14 @@ def canonical_url(c: Column) -> Column:
     path = F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit(""))
     path = F.regexp_replace(path, r"/+$", "")
     return F.concat(host, path)
+
+
+def md5_hash32(c: Column) -> Column:
+    """32-bit hash from the first 8 hex digits of md5 — THE shared
+    cross-engine hash lane (DuckDB twin: plans/registry.ddb_hex32).
+    Single definition: dedup signatures, the hashing-trick classifier,
+    and shard assignment all import this one, so none can drift from
+    the oracle contract independently. ~2× slower than xxhash64 per
+    value — oracle-checked paths and stable-assignment sinks; hot
+    production hashing stays on xxhash64."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")

@@ -123,14 +123,18 @@ def write_training_shards(
     per shard. Returns the shard count."""
     import math
 
+    from datalake_etlscripts_spark.functions.scalar import md5_hash32
+
     key = shard_key or df.columns[0]
     n = df.count()
     n_shards = max(1, math.ceil(n / rows_per_shard))
+    # NULL keys hash a sentinel, NOT NULL — md5(NULL) would route rows
+    # to shard=__HIVE_DEFAULT_PARTITION__, invisible to any loader
+    # iterating the declared shard=0..N-1 layout (silent data loss)
     keyed = df.withColumn(
         "shard",
         (
-            F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10)
-            .cast("long")
+            md5_hash32(F.coalesce(F.col(key).cast("string"), F.lit("\x00NULL")))
             % n_shards
         ).cast("int"),
     )

@@ -40,13 +40,9 @@ from datalake_etlscripts_spark.operators.text import (
 _MASK32 = 0xFFFFFFFF
 
 
-def md5_hash32(col: Column) -> Column:
-    """32-bit hash from the first 8 hex digits of md5 — the
-    cross-engine hash lane of the oracle-checkable 'md5' scheme (any
-    engine with md5 replays it; DuckDB twin: registry.ddb_hex32).
-    ~2× slower than xxhash64 per value — oracle-checked registered
-    queries only; production defaults stay on xxhash64."""
-    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+# the shared cross-engine md5 hash lane lives in functions/scalar.py;
+# re-exported here because every dedup scheme call site reads it
+from datalake_etlscripts_spark.functions.scalar import md5_hash32  # noqa: E402,F401
 
 
 def md5_shingle_hashes(text: Column, k: int = 3) -> Column:

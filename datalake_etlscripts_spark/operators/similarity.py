@@ -316,6 +316,7 @@ def kmeans_train_distributed(
     k: int = 16,
     iterations: int = 5,
     init_centroids: list[list[float]] | None = None,
+    id_col: str | None = None,
 ) -> list[list[float]]:
     """Distributed Lloyd's k-means: the FULL corpus participates in
     every iteration (removing kmeans_centroids' bounded-sample cap —
@@ -331,20 +332,46 @@ def kmeans_train_distributed(
     float-sum reassociation — the usual distributed-kmeans caveat);
     init defaults to the k lowest-id vectors, which is fully
     deterministic."""
-    first = corpus.select(vec_col).first()
-    if first is None:
-        raise ValueError("empty corpus")
-    dim = len(first[0])
+    # each iteration is a collect() action over the corpus — persist
+    # so upstream lineage (filters/joins/normalization) runs once, not
+    # once per iteration
+    corpus = corpus.select(*corpus.columns).persist()
+    try:
+        first = corpus.select(vec_col).first()
+        if first is None:
+            raise ValueError("empty corpus")
+        dim = len(first[0])
 
-    if init_centroids is not None:
-        cents = [list(map(float, c)) for c in init_centroids]
-    else:
-        id_col = [c for c in corpus.columns if c != vec_col][0]
-        rows = corpus.orderBy(id_col).select(vec_col).limit(k).collect()
-        cents = [list(map(float, r[0])) for r in rows]
-    if len(cents) < k:
-        raise ValueError(f"need >= {k} vectors to seed {k} centroids")
+        if init_centroids is not None:
+            cents = [list(map(float, c)) for c in init_centroids]
+        else:
+            if id_col is None:
+                others = [c for c in corpus.columns if c != vec_col]
+                if not others:
+                    raise ValueError(
+                        "default seeding orders by an id column — pass id_col"
+                        " or init_centroids when the corpus has only the"
+                        " vector column"
+                    )
+                id_col = others[0]
+            rows = corpus.orderBy(id_col).select(vec_col).limit(k).collect()
+            cents = [list(map(float, r[0])) for r in rows]
+        if len(cents) < k:
+            raise ValueError(f"need >= {k} vectors to seed {k} centroids")
 
+        return _lloyd_iterations(corpus, vec_col, k, iterations, cents, dim)
+    finally:
+        corpus.unpersist()
+
+
+def _lloyd_iterations(
+    corpus: DataFrame,
+    vec_col: str,
+    k: int,
+    iterations: int,
+    cents: list[list[float]],
+    dim: int,
+) -> list[list[float]]:
     for _ in range(iterations):
         # two selects: mixing the struct-sorting assignment expression
         # with a generator in ONE projection makes Catalyst's generator

@@ -482,10 +482,10 @@ def hashed_linear_score(
     shuffle, no UDF."""
     d = len(weights)
     if scheme == "md5":
+        from datalake_etlscripts_spark.functions.scalar import md5_hash32
+
         def bucket(t: Column) -> Column:
-            return (
-                F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % d
-            ).cast("int") + 1
+            return (md5_hash32(t) % d).cast("int") + 1
     elif scheme == "xxhash64":
         def bucket(t: Column) -> Column:
             return (F.pmod(F.xxhash64(t), F.lit(d))).cast("int") + 1
@@ -515,8 +515,16 @@ def lm_avg_prob_score(
     collected array, so the double sum is deterministic under any
     partitioning (same policy as the cosine folds).
 
-    Shape: bigram explode → two broadcast joins against the
-    (dictionary-sized) count tables → one doc-keyed shuffle for the
+    OOV semantics: a bigram absent from the table (or with an unseen
+    context) contributes probability 0 — gibberish LOWERS the score;
+    n_bigrams counts ALL of the document's bigrams, matched or not.
+    (Self-scoring a corpus against its own counts has no OOV, but the
+    operator's contract covers held-out count tables.)
+
+    Shape: bigram explode → a shuffle join against the bigram counts
+    (corpus-vocabulary-sized — NOT force-broadcast; AQE may still
+    choose broadcast when it fits) + a broadcast join against the
+    dictionary-sized unigram counts → one doc-keyed shuffle for the
     ordered fold. Returns (id, n_bigrams, lm_score); documents with no
     bigrams score NULL."""
     c2 = lm_counts.filter(F.col("order") == 2).select(
@@ -530,12 +538,14 @@ def lm_avg_prob_score(
         F.posexplode(ngrams(F.col(text_col), 2)).alias("_pos", "gram"),
     ).withColumn("_ctx", F.substring_index(F.col("gram"), " ", 1))
     scored = (
-        grams.join(F.broadcast(c2), "gram")
-        .join(F.broadcast(c1), "_ctx")
+        grams.join(c2, "gram", "left")
+        .join(F.broadcast(c1), "_ctx", "left")
         .select(
             id_col,
             "_pos",
-            (F.col("_c2").cast("double") / F.col("_c1")).alias("_p"),
+            F.coalesce(
+                F.col("_c2").cast("double") / F.col("_c1"), F.lit(0.0)
+            ).alias("_p"),
         )
     )
     per = scored.groupBy(id_col).agg(
@@ -580,7 +590,10 @@ def boilerplate_prefixes(
     counts = heads.groupBy("source", "prefix").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
-    totals = heads.groupBy("source").agg(F.count(F.lit(1)).alias("_t"))
+    # totals fold out of the (tiny) counts table — summing n_docs per
+    # source equals counting heads, without re-scanning/re-tokenizing
+    # the corpus a second time
+    totals = counts.groupBy("source").agg(F.sum("n_docs").alias("_t"))
     return (
         counts.join(F.broadcast(totals), "source")
         .select(

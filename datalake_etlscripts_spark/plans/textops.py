@@ -1794,8 +1794,9 @@ def q_classifier_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) GROUP BY w
     ),
     p AS (
-      SELECT g2.doc_id, g2.pos, CAST(c2.c AS DOUBLE) / c1.c AS p
-      FROM g2 JOIN c2 USING (gram) JOIN c1 ON c1.w = g2.ctx
+      SELECT g2.doc_id, g2.pos,
+             coalesce(CAST(c2.c AS DOUBLE) / c1.c, 0.0) AS p
+      FROM g2 LEFT JOIN c2 USING (gram) LEFT JOIN c1 ON c1.w = g2.ctx
     ),
     agg AS (
       SELECT doc_id, count(*) AS n_bigrams,

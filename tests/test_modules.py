@@ -1244,3 +1244,26 @@ def test_kmeans_train_distributed_recovers_blobs(spark):
         df, k=4, iterations=2, init_centroids=init + [[100.0, 100.0]]
     )
     assert len(cents4) == 4 and cents4[3] == [100.0, 100.0]
+
+
+def test_lm_score_counts_oov_bigrams_as_zero(spark):
+    """Scoring against a held-out count table: OOV bigrams contribute
+    probability 0 and stay in the bigram count — gibberish lowers the
+    score instead of being silently dropped."""
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.operators.text import (
+        lm_avg_prob_score,
+        ngram_lm_counts,
+    )
+
+    train = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    lm = ngram_lm_counts(train, max_order=2)
+    test = spark.createDataFrame(
+        [(10, "a b"), (11, "zz qq")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in lm_avg_prob_score(test, lm).collect()}
+    # 'a b' seen: p(b|a) = c('a b')/c('a') = 2/2 = 1.0
+    assert rows[10]["n_bigrams"] == 1 and rows[10]["lm_score"] == 1.0
+    # 'zz qq' fully OOV: counted, scored zero - NOT dropped
+    assert rows[11]["n_bigrams"] == 1 and rows[11]["lm_score"] == 0.0

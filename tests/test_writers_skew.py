@@ -192,3 +192,21 @@ def test_write_training_shards_deterministic_membership(spark, tmp_path):
     b = spark.read.json(out_b).select("doc_id", "shard")
     assert a.count() == docs.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_write_training_shards_null_keys_stay_in_layout(spark, tmp_path):
+    """NULL shard keys must land in a numbered shard, never in
+    __HIVE_DEFAULT_PARTITION__ (invisible to shard=0..N-1 loaders)."""
+    import os
+
+    from datalake_etlscripts_spark.io.writers import write_training_shards
+
+    df = spark.createDataFrame(
+        [(None, "a"), ("u1", "b"), (None, "c"), ("u2", "d")],
+        "url string, text string",
+    )
+    out = str(tmp_path / "s")
+    write_training_shards(df, out, rows_per_shard=2, shard_key="url")
+    dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
+    assert all(d.split("=")[1].isdigit() for d in dirs), dirs
+    assert spark.read.json(out).count() == 4
