@@ -26,6 +26,8 @@ HEADLINE = [
     "dedup_substrings_winnow",
     "dedup_urls",
     "quality_filter_gopher",
+    "classifier_quality_score",
+    "lm_fluency_score",
     "approx_distinct_incremental",
     "ann_cosine_topk",
     "text_quality",
