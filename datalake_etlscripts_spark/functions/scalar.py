@@ -111,7 +111,9 @@ def clean_url(c: Column) -> Column:
 
 def url_host(c: Column) -> Column:
     """F10: URL → host (netloc)."""
-    return F.parse_url(c, F.lit("HOST"))
+    # try_: under ANSI mode parse_url RAISES on malformed URLs — one
+    # bad row in a 100 TB crawl table must yield NULL, not kill the job
+    return F.try_parse_url(c, F.lit("HOST"))
 
 
 def basename(c: Column) -> Column:
@@ -149,9 +151,9 @@ def canonical_url(c: Column) -> Column:
     CCNet/RefinedWeb): lowercase host, strip a leading 'www.', drop
     scheme/query/fragment, strip trailing slashes → 'host/path'.
     Pure expressions (parse_url is JVM-side), no UDF."""
-    host = F.lower(F.parse_url(c, F.lit("HOST")))
+    host = F.lower(F.try_parse_url(c, F.lit("HOST")))
     host = F.regexp_replace(host, r"^www\.", "")
-    path = F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit(""))
+    path = F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit(""))
     path = F.regexp_replace(path, r"/+$", "")
     return F.concat(host, path)
 

@@ -1267,3 +1267,22 @@ def test_lm_score_counts_oov_bigrams_as_zero(spark):
     assert rows[10]["n_bigrams"] == 1 and rows[10]["lm_score"] == 1.0
     # 'zz qq' fully OOV: counted, scored zero - NOT dropped
     assert rows[11]["n_bigrams"] == 1 and rows[11]["lm_score"] == 0.0
+
+
+def test_url_duplicates_keeps_unparseable_urls(spark):
+    """NULL canonical keys (unparseable URLs) are no dedup evidence:
+    every such doc keeps, instead of pooling into one NULL group."""
+    from datalake_etlscripts_spark.operators.dedup import url_duplicates
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.example/x"),
+            (2, "https://A.example/x/"),
+            (3, "not a url"),
+            (4, "also::bad"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r["doc_id"]: r for r in url_duplicates(df).collect()}
+    assert rows[1]["keep"] is True and rows[2]["keep"] is False  # real dup pair
+    assert rows[3]["keep"] is True and rows[4]["keep"] is True
