@@ -159,3 +159,78 @@ def test_cli_dedup_minhash_clusters(spark, tmp_path):
     n_docs = docs.count()
     assert res.count() == n_docs
     assert res.filter("keep").count() == res.select("component").distinct().count()
+
+
+def test_full_corpus_preparation_chain(spark, tmp_path):
+    """The complete training-data path a reference user would run,
+    composed from the real operators: quality filter -> URL dedup ->
+    near-dup clustering keep-list -> classifier + LM scoring ->
+    deterministic shard export. Asserts monotone row counts, schema
+    sanity, and that the exported shards round-trip the surviving
+    corpus exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.io.writers import write_training_shards
+    from datalake_etlscripts_spark.operators import dedup, text
+    from datalake_etlscripts_spark.operators.text import (
+        gopher_quality_filter,
+        hashed_linear_score,
+        lm_avg_prob_score,
+        ngram_lm_counts,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n0 = docs.count()
+
+    # 1. quality filter
+    kept_flags = gopher_quality_filter(docs)
+    survivors = docs.join(
+        kept_flags.filter("keep").select("doc_id"), "doc_id", "left_semi"
+    )
+    n1 = survivors.count()
+    assert 0 < n1 <= n0
+
+    # 2. URL dedup on synthesized source URLs (doc_id % 40 collides)
+    urls = survivors.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://site.example/p/"), (F.col("doc_id") % 40).cast("string")
+        ),
+    )
+    url_keep = dedup.url_duplicates(urls).filter("keep").select("doc_id")
+    survivors = survivors.join(url_keep, "doc_id", "left_semi")
+    n2 = survivors.count()
+    assert 0 < n2 <= min(n1, 40)
+
+    # 3. near-dup clusters -> one representative per cluster
+    pairs = dedup.minhash_lsh_pairs(survivors, threshold=0.04)
+    comp = dedup.connected_components_star(pairs.select("id_a", "id_b"))
+    drop = comp.filter("node != component").select(F.col("node").alias("doc_id"))
+    survivors = survivors.join(drop, "doc_id", "left_anti")
+    n3 = survivors.count()
+    assert 0 < n3 <= n2
+
+    # 4. model scores attach to every surviving row
+    lm = ngram_lm_counts(survivors, max_order=2)
+    scored = lm_avg_prob_score(survivors, lm).join(
+        hashed_linear_score(survivors, [0.1] * 32).select(
+            "doc_id", "quality_score"
+        ),
+        "doc_id",
+    )
+    assert scored.count() == n3
+    assert scored.filter(F.col("lm_score").isNull()).count() == 0
+
+    # 5. deterministic shard export round-trips the survivors
+    out = str(tmp_path / "shards")
+    n_shards = write_training_shards(
+        survivors.select("doc_id", "text"), out, rows_per_shard=10
+    )
+    back = spark.read.json(out)
+    assert back.count() == n3
+    assert back.select("shard").distinct().count() <= n_shards
+    assert sorted(r["doc_id"] for r in back.collect()) == sorted(
+        r["doc_id"] for r in survivors.collect()
+    )
