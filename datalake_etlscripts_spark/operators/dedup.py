@@ -1008,3 +1008,21 @@ def substring_duplicate_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def decontaminate_corpus(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    max_hits: int = 0,
+) -> DataFrame:
+    """The REMOVAL composition of contamination_hits: return the corpus
+    with every document whose benchmark-shingle overlap exceeds
+    ``max_hits`` anti-joined away — what a user actually runs before
+    training. Same broadcast-semi shape: the corpus shuffles only its
+    (tiny) hit set."""
+    hits = contamination_hits(corpus, benchmark, text_col, id_col, k)
+    bad = hits.filter(F.col("n_hit_shingles") > max_hits).select(id_col)
+    return corpus.join(bad, id_col, "left_anti")

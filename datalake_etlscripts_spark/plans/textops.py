@@ -1846,3 +1846,51 @@ def q_boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows on the random-text corpus."""
     d = read_table(spark, sf_dir, "documents")
     return text.boilerplate_prefixes(d, min_frac=0.002)
+
+
+@query(
+    "decontaminate_remove",
+    oracle="""
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+    corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT doc_id + 3000000, 'copied doc ' || text FROM bench
+    ),
+    btk AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM bench),
+    bsh AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 3, 1)),
+               i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]))) AS sh
+      FROM btk
+    ),
+    ctk AS (
+      SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM corpus
+    ),
+    csh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 3, 1)),
+               i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]))) AS sh
+      FROM ctk
+    ),
+    bad AS (
+      SELECT DISTINCT doc_id FROM csh WHERE sh IN (SELECT sh FROM bsh)
+    )
+    SELECT c.doc_id, c.text FROM corpus c
+    WHERE c.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def q_decontaminate_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination REMOVAL (the user-facing composition): corpus
+    minus every document sharing any 5-gram with the benchmark set -
+    broadcast-semi hit detection, one anti join."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0).unionByName(
+        bench.select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat(F.lit("copied doc "), F.col("text")).alias("text"),
+        )
+    )
+    return dedup.decontaminate_corpus(corpus, bench, k=5)
