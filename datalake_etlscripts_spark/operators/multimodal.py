@@ -131,3 +131,61 @@ def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return df.select(
         F.col(id_col).alias("id"), F.encode(F.col(text_col), "UTF-8").alias("data")
     )
+
+
+def fake_resize(raw: bytes, target_w: int, target_h: int) -> bytes:
+    """Deterministic stand-in for an image resampler: keep every
+    stride-th byte so the output length is exactly target_w*target_h
+    (padding with zero bytes when the source is smaller). Replace via
+    set_resizer on a real cluster — the Spark-side plumbing (schema,
+    Arrow batching, 1:1 row shape) is identical for a real resampler."""
+    n_out = target_w * target_h
+    if raw is None:
+        raise ValueError("empty binary payload")
+    n = len(raw)
+    if n >= n_out:
+        stride = n // n_out
+        out = bytes(raw[i * stride] for i in range(n_out))
+    else:
+        out = bytes(raw) + b"\x00" * (n_out - n)
+    return out
+
+
+_resizer: Callable[[bytes, int, int], bytes] = fake_resize
+
+
+def set_resizer(fn: Callable[[bytes, int, int], bytes]) -> None:
+    """Install a real resampler (e.g. PIL resize → tobytes)."""
+    global _resizer
+    _resizer = fn
+
+
+RESIZE_SCHEMA = "id bigint, out_w int, out_h int, n_bytes_out bigint, data binary"
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 16,
+    target_h: int = 16,
+    id_col: str = "id",
+    bin_col: str = "data",
+) -> DataFrame:
+    """Binary → fixed-size 'image' resize through the same injectable
+    mapInPandas seam as decode/feature-extract: Arrow batches in, one
+    output row per input, resampler swappable (fake byte-stride stub
+    here; codecs are not in this container)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"id": [], "out_w": [], "out_h": [], "n_bytes_out": [], "data": []}
+            for i, raw in zip(pdf[id_col], pdf[bin_col]):
+                resized = _resizer(bytes(raw), target_w, target_h)
+                out["id"].append(i)
+                out["out_w"].append(target_w)
+                out["out_h"].append(target_h)
+                out["n_bytes_out"].append(len(resized))
+                out["data"].append(resized)
+            yield pd.DataFrame(out, columns=["id", "out_w", "out_h", "n_bytes_out", "data"])
+
+    return df.select(id_col, bin_col).mapInPandas(run, RESIZE_SCHEMA)

@@ -1894,3 +1894,31 @@ def q_decontaminate_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dedup.decontaminate_corpus(corpus, bench, k=5)
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id AS id, 16 AS out_w, 16 AS out_h,
+           CAST(256 AS BIGINT) AS n_bytes_out,
+           md5(CASE
+             WHEN octet_length(encode(text)) >= 256 THEN
+               (SELECT string_agg(substr(text,
+                   1 + i.i * (octet_length(encode(text)) // 256), 1), '')
+                FROM (SELECT unnest(range(256)) AS i) i)
+             ELSE text || repeat(chr(0), 256 - octet_length(encode(text)))
+           END) AS content_md5
+    FROM documents
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing through the injectable mapInPandas seam: the
+    deterministic byte-stride fake resamples every document's bytes to
+    a 16x16 payload; the oracle rebuilds the strided bytes from the
+    (ASCII) text and compares an md5 of the content - binary columns
+    cannot go to the driver hasher, a digest can."""
+    d = read_table(spark, sf_dir, "documents")
+    out = multimodal.resize_images(multimodal.attach_binary(d))
+    return out.select(
+        "id", "out_w", "out_h", "n_bytes_out", F.md5("data").alias("content_md5")
+    )
