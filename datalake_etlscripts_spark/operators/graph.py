@@ -1,0 +1,106 @@
+"""Graph operators over edge DataFrames — PageRank and degree stats.
+
+A link-authority signal is a standard corpus-quality feature for
+web-scale training-data pipelines (the reference has no graph ops;
+this extends the engine's LLM-pipeline surface alongside dedup's
+connected components, operators/dedup.py:692).
+
+Design for 100 TB:
+- Edges stay a distributed (src, dst) table; each PageRank iteration
+  is ONE equi-join (edges ⨝ ranks on src) + ONE dst-keyed aggregate —
+  shuffle volume linear in |edges|, never a cross product.
+- The out-degree table is joined onto edges ONCE before the loop and
+  the combined (src, dst, deg) table is materialized
+  (localCheckpoint) so iterations re-read a settled input instead of
+  re-running the dedup/degree subplan every round.
+- Per-iteration lineage is truncated with a lazy localCheckpoint —
+  without it the plan doubles per iteration (the classic iterative-
+  algorithm lineage blowup).
+- Only two scalars ever reach the driver: the node count and nothing
+  else; ranks never collect.
+
+Cross-engine determinism: ranks are SCALED 64-bit integers
+(scale = 1e12) and every step uses integer division (Spark ``div`` ≡
+DuckDB ``//`` for non-negative operands), so an external engine
+replays the exact rank values — no float summation-order ambiguity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**12
+DAMPING_NUM = 85
+DAMPING_DEN = 100
+
+
+def degree_table(edges: DataFrame) -> DataFrame:
+    """(src, deg): out-degree per source node of a distinct edge set."""
+    return edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 4,
+    damping: tuple[int, int] = (DAMPING_NUM, DAMPING_DEN),
+    scale: int = SCALE,
+) -> DataFrame:
+    """Integer-scaled PageRank over directed ``edges`` (src, dst).
+
+    rank'(v) = ((den-num)·init)//den
+               + (num·(Σ_{u→v} rank(u)//deg(u) + dangling//n))//den
+
+    with init = scale//n. Dangling mass (nodes with no out-edges) is
+    redistributed uniformly, matching the classic formulation. All
+    arithmetic is 64-bit integer — deterministic under any partitioning
+    and replayable bit-for-bit by the DuckDB oracle twin
+    (plans/graphops.py builds the same recurrence as unrolled CTEs).
+
+    Returns (node, rank) with rank in units of 1/scale.
+    """
+    num, den = damping
+    edges = edges.select("src", "dst").dropDuplicates()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = degree_table(edges)
+    # settle (src, dst, deg) once; every iteration re-reads this table
+    edges_deg = edges.join(deg, "src").localCheckpoint()
+
+    n_nodes = nodes.count()  # single scalar to the driver (cf. A1 max-id)
+    init = scale // n_nodes
+    base = ((den - num) * init) // den
+
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), F.expr("rank div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        dangling = (
+            ranks.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0).cast("long")).alias("dang"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))  # 1-row scalar, not a data cross
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({num} * (coalesce(s, CAST(0 AS BIGINT))"
+                        f" + dang div {n_nodes})) div {den}"
+                    )
+                ).alias("rank"),
+            )
+        )
+        # truncate lineage; lazy → materializes on the final action only
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks

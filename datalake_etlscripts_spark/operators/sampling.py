@@ -227,3 +227,59 @@ def length_bucketed_batches(
     )
     wb = W.partitionBy("bucket", "batch_seq")
     return batched.withColumn("pad_to", F.max("n_tokens").over(wb))
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column | str,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis),
+    deterministic-integer form: a row with integer weight w gets
+    key = max_{j=1..w} U_j, which is distributed exactly as U^(1/w)
+    (max of w uniforms ⇔ the A-ES exponent trick), and the k largest
+    keys are the weighted sample. The uniforms are hash-derived
+    (md5 of "id:j"), so membership is reproducible on any engine and
+    any partitioning — no RNG, no floats, no pow()/ln() whose last
+    bit differs across libm builds.
+
+    Scale shape: the explode is linear in TOTAL WEIGHT — callers pass
+    small integer weights (bucketed, e.g. chars//32+1, as the
+    registered query does), keeping the blow-up a small constant per
+    row. The top-k is a TakeOrdered (per-partition heads, never a full
+    sort). Returns (key, weight, sample_key) for the k sampled rows,
+    ties broken by key ascending.
+    """
+    wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = F.greatest(F.lit(1), wcol.cast("int"))
+    keyed = (
+        df.select(F.col(key_col).alias("key"), w.alias("weight"))
+        .select(
+            "key",
+            "weight",
+            F.explode(F.sequence(F.lit(1), F.col("weight"))).alias("_j"),
+        )
+        .select(
+            "key",
+            "weight",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("key").cast("string"), F.lit(":"), F.col("_j").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("_u"),
+        )
+        .groupBy("key", "weight")
+        .agg(F.max("_u").alias("sample_key"))
+    )
+    return keyed.orderBy(F.col("sample_key").desc(), F.col("key").asc()).limit(k)

@@ -604,3 +604,38 @@ def boilerplate_prefixes(
         )
         .filter(F.col("frac") >= min_frac)
     )
+
+
+def phrase_matches(
+    df: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional-index phrase search: find documents containing the
+    exact token sequence ``phrase``. The classic IR shape — build the
+    positional postings (doc, pos, token) via ONE posexplode, keep only
+    postings of the phrase's terms (the inverted-index prune: at scale
+    this is a tiny fraction of the corpus), then intersect postings by
+    equi-join on (doc, aligned start position) — term i must appear at
+    start+i, so its postings join with pos−i = start. No self-join of
+    the corpus, no regex over text; shuffle volume is the pruned
+    postings only. Returns (doc_id, n_matches, first_pos), positions
+    0-based."""
+    if not phrase:
+        raise ValueError("phrase must have at least one token")
+    toks = df.select(
+        F.col(id_col).alias("_did"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    cur = toks.filter(F.col("tok") == phrase[0]).select(
+        "_did", F.col("pos").alias("start")
+    )
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = toks.filter(F.col("tok") == term).select(
+            "_did", (F.col("pos") - F.lit(i)).alias("start")
+        )
+        cur = cur.join(nxt, ["_did", "start"])
+    return cur.groupBy("_did").agg(
+        F.count(F.lit(1)).alias("n_matches"), F.min("start").alias("first_pos")
+    )

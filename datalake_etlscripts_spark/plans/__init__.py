@@ -11,6 +11,7 @@ from datalake_etlscripts_spark.plans import (  # noqa: F401, E402
     diffcrawl,
     events,
     functions_showcase,
+    graphops,
     relational,
     sources,
     sources_formats,

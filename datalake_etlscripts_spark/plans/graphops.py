@@ -1,0 +1,135 @@
+"""Graph / retrieval / weighted-sampling queries.
+
+Beyond-reference operators for large-corpus pipelines: link-authority
+(PageRank) as a quality signal, positional-index phrase search, and
+weighted sampling without replacement. All three are oracle-checked —
+PageRank through an integer-scaled recurrence both engines replay
+bit-for-bit (operators/graph.py), sampling through the md5
+max-of-uniforms scheme, phrase search through a positional join twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_etlscripts_spark.io.readers import read_table
+from datalake_etlscripts_spark.operators.graph import pagerank
+from datalake_etlscripts_spark.operators.sampling import weighted_sample_topk
+from datalake_etlscripts_spark.operators.text import phrase_matches
+from datalake_etlscripts_spark.plans.registry import ddb_hex32, query
+
+_PR_ITER = 4
+_PR_SCALE = 10**12
+_PR_NUM = 85
+_PR_DEN = 100
+
+
+def _pagerank_oracle(iterations: int = _PR_ITER) -> str:
+    """Unrolled-CTE twin of operators/graph.pagerank: one (cN, dN, rN)
+    stage per iteration. DuckDB's recursive CTEs forbid aggregates in
+    the recursive term, so the fixed iteration count is unrolled
+    textually — every step is the same integer arithmetic Spark runs
+    (``//`` ≡ ``div`` for non-negative longs)."""
+    scale, num, den = _PR_SCALE, _PR_NUM, _PR_DEN
+    n_sql = "(SELECT count(*) FROM nodes)"
+    init_sql = f"(CAST({scale} AS BIGINT) // {n_sql})"
+    parts = [
+        f"""
+    WITH e0 AS (SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+                                'P' || CAST(l_partkey AS VARCHAR) AS dst
+                FROM lineitem),
+    edges AS (SELECT src, dst FROM e0
+              UNION SELECT dst AS src, src AS dst FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst AS node FROM edges),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, {init_sql} AS pr FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    c{i} AS (SELECT e.dst AS node, SUM(r.pr // d.deg) AS s
+             FROM edges e
+             JOIN deg d ON e.src = d.src
+             JOIN r{p} r ON r.node = e.src
+             GROUP BY e.dst),
+    d{i} AS (SELECT COALESCE(SUM(r.pr), 0) AS dang FROM r{p} r
+             WHERE r.node NOT IN (SELECT src FROM deg)),
+    r{i} AS (SELECT n.node,
+             (({den} - {num}) * {init_sql}) // {den}
+             + ({num} * (COALESCE(c.s, 0)
+                         + (SELECT dang FROM d{i}) // {n_sql})) // {den} AS pr
+             FROM nodes n LEFT JOIN c{i} c ON c.node = n.node)"""
+        )
+    parts.append(f"\n    SELECT node, CAST(pr AS BIGINT) AS pr FROM r{iterations}")
+    return "".join(parts)
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-scaled PageRank over the supplier-part co-purchase graph - per iteration one edge join + one dst-keyed aggregate, lineage checkpointed."""
+    li = read_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).dropDuplicates()
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates()
+    ranks = pagerank(
+        edges, iterations=_PR_ITER, damping=(_PR_NUM, _PR_DEN), scale=_PR_SCALE
+    )
+    return ranks.select("node", F.col("rank").alias("pr"))
+
+
+_WSAMPLE_ORACLE = f"""
+    WITH w AS (SELECT doc_id AS key,
+                      CAST(GREATEST(1, n_chars // 32) AS INTEGER) AS weight
+               FROM documents),
+    wj AS (SELECT key, weight,
+                  unnest(generate_series(1, weight)) AS j
+           FROM w),
+    u AS (SELECT key, weight,
+                 CAST(MAX({ddb_hex32("md5(CAST(key AS VARCHAR) || ':' || CAST(j AS VARCHAR))")}) AS BIGINT)
+                   AS sample_key
+          FROM wj
+          GROUP BY key, weight)
+    SELECT key, weight, sample_key FROM u
+    ORDER BY sample_key DESC, key ASC LIMIT 50
+"""
+
+
+@query("weighted_sample", oracle=_WSAMPLE_ORACLE)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis, integer max-of-uniforms form) - explode by bucketed weight, hash, top-k TakeOrdered."""
+    docs = read_table(spark, sf_dir, "documents")
+    return weighted_sample_topk(
+        docs,
+        key_col="doc_id",
+        weight_col=F.greatest(F.lit(1), (F.col("n_chars") / 32).cast("int")),
+        k=50,
+    )
+
+
+_PHRASE_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tl
+      FROM documents),
+    o AS (SELECT doc_id, tl, unnest(generate_series(1, len(tl))) AS ord FROM d),
+    toks AS (SELECT doc_id, tl[ord] AS tok, CAST(ord AS INTEGER) - 1 AS pos FROM o)
+    SELECT a.doc_id, count(*) AS n_matches, MIN(a.pos) AS first_pos
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.tok = 'big' AND b.tok = 'data'
+    GROUP BY a.doc_id
+"""
+
+
+@query("phrase_search", oracle=_PHRASE_ORACLE)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search ('big data') - postings pruned to the phrase terms, then aligned-position equi-joins; no corpus self-join."""
+    docs = read_table(spark, sf_dir, "documents")
+    return phrase_matches(docs, ["big", "data"]).select(
+        F.col("_did").alias("doc_id"), "n_matches", "first_pos"
+    )

@@ -97,8 +97,8 @@ PRIORITY: list[str] = [
     "enrichment_resolved",
     "enrichment_nested",
     "nif_validation",
-    "csv_cpv_dim",
-    "jsonl_company_annotations",
+    "graph_pagerank",
+    "weighted_sample",
     "multimodal_decode",
     "approx_topk_terms",
     "approx_distinct_incremental",

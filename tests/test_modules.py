@@ -1286,3 +1286,72 @@ def test_url_duplicates_keeps_unparseable_urls(spark):
     rows = {r["doc_id"]: r for r in url_duplicates(df).collect()}
     assert rows[1]["keep"] is True and rows[2]["keep"] is False  # real dup pair
     assert rows[3]["keep"] is True and rows[4]["keep"] is True
+
+
+# --------------------------------------------------------------- graph ops
+def test_pagerank_mass_hub_and_dangling(spark):
+    from datalake_etlscripts_spark.operators.graph import SCALE, pagerank
+
+    # star: hub h linked by a,b,c (both ways) + dangling sink d (a -> d)
+    edges = spark.createDataFrame(
+        [("a", "h"), ("b", "h"), ("c", "h"), ("h", "a"), ("h", "b"), ("h", "c"),
+         ("a", "d")],
+        ["src", "dst"],
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=6).collect()}
+    assert set(ranks) == {"a", "b", "c", "h", "d"}
+    # integer truncation loses < 1 unit per node per step; mass stays ~SCALE
+    total = sum(ranks.values())
+    assert abs(total - SCALE) < SCALE * 0.01
+    # the hub out-ranks the spokes; the dangling sink out-ranks nothing
+    assert ranks["h"] > ranks["a"] > 0
+    assert ranks["b"] == ranks["c"]  # symmetric spokes tie exactly
+    # determinism across partitionings
+    ranks2 = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges.repartition(7), iterations=6).collect()
+    }
+    assert ranks == ranks2
+
+
+def test_weighted_sample_topk_deterministic_and_weight_sensitive(spark):
+    from datalake_etlscripts_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(f"k{i}", 10 if i < 10 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    s1 = weighted_sample_topk(df, "doc_id", "w", k=30).collect()
+    s2 = weighted_sample_topk(df.repartition(13), "doc_id", "w", k=30).collect()
+    assert [r["key"] for r in s1] == [r["key"] for r in s2]  # partition-stable
+    assert len(s1) == 30
+    # heavy keys (weight 10, 5% of rows) should be over-represented
+    heavy = sum(1 for r in s1 if int(r["key"][1:]) < 10)
+    assert heavy >= 3  # 10 keys at 10x weight vs 190 at 1x
+    # non-positive weights clamp to 1 instead of exploding to nothing
+    neg = spark.createDataFrame([("a", 0), ("b", -5)], ["doc_id", "w"])
+    got = weighted_sample_topk(neg, "doc_id", "w", k=2).collect()
+    assert {r["key"] for r in got} == {"a", "b"}
+
+
+def test_phrase_matches_positions_and_order(spark):
+    from datalake_etlscripts_spark.operators.text import phrase_matches
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b"),      # "a b" at 0 and 3
+            (2, "b a b a"),        # "a b" at 1
+            (3, "a a a"),          # no "a b"
+            (4, "x a b"),          # at 1
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["_did"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_matches(df, ["a", "b"]).collect()
+    }
+    assert got == {1: (2, 0), 2: (1, 1), 4: (1, 1)}
+    # three-token phrase spans the aligned joins
+    got3 = {
+        r["_did"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_matches(df, ["a", "b", "c"]).collect()
+    }
+    assert got3 == {1: (1, 0)}
