@@ -159,6 +159,7 @@ def minhash_signatures(
     k: int = 3,
     num_hashes: int = 32,
     scheme: str = "xxhash64",
+    with_hash_sets: bool = False,
 ) -> DataFrame:
     """(id, sig ARRAY<BIGINT>): minhash over k-shingles. Hash family:
     xxhash64(shingle, seed_i) — JVM-side, no UDF.
@@ -175,7 +176,14 @@ def minhash_signatures(
     ``scheme='md5'`` hashes the shingle STRING once via md5 and takes
     the two K-M bases from hex digits 1-8 / 9-16, so an external
     engine can replay the signature bit-for-bit (DuckDB oracle twin,
-    cf. simhash_table)."""
+    cf. simhash_table).
+
+    ``with_hash_sets=True`` additionally collects the distinct
+    verification-hash set per doc (``hset``) in the SAME aggregate —
+    the exact-Jaccard set that _verify_jaccard would otherwise
+    rebuild from the raw texts. One shuffle buys both; callers
+    materialize the result and the whole corpus-wide hash work runs
+    exactly once (see minhash_lsh_pairs)."""
     if scheme == "xxhash64":
         sh = shingle_hashes(F.col(text_col), k)
         exploded = df.select(
@@ -188,6 +196,9 @@ def minhash_signatures(
             ).alias("_s"),
         ).select(
             "_did",
+            # the combined shingle hash IS the verification-set value
+            # (shingle_hashes output) — carried for with_hash_sets
+            F.col("_s").alias("_hv"),
             # Kirsch-Mitzenmacher: all hash lanes derived from two base
             # hashes h1 + i*h2 — 2 hashes per shingle instead of
             # num_hashes. Bases masked to 32 bits so no lane overflows a
@@ -214,17 +225,23 @@ def minhash_signatures(
             "_did",
             F.conv(F.substring("_m", 1, 8), 16, 10).cast("long").alias("_h1"),
             F.conv(F.substring("_m", 9, 8), 16, 10).cast("long").alias("_h2"),
+        ).withColumn(
+            # md5_hash32(shingle) ≡ _h1 — the verification-set value
+            "_hv",
+            F.col("_h1"),
         )
     else:
         raise ValueError(f"unknown minhash scheme {scheme!r}")
-    mins = exploded.groupBy("_did").agg(
-        *[
-            F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"_h{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    aggs = [
+        F.min(F.col("_h1") + F.lit(i) * F.col("_h2")).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    if with_hash_sets:
+        aggs.append(F.collect_set("_hv").alias("hset"))
+    mins = exploded.groupBy("_did").agg(*aggs)
     sig = F.array(*[F.col(f"_h{i}") for i in range(num_hashes)])
-    return mins.select("_did", sig.alias("sig"))
+    cols = ["_did", sig.alias("sig")] + (["hset"] if with_hash_sets else [])
+    return mins.select(*cols)
 
 
 # within-bucket ordered pairs via per-bucket collect + explode, NOT a
@@ -269,28 +286,28 @@ def lsh_bucket_table(
     r = num_hashes // bands
     df = df.filter(F.size(tokens(F.col(text_col))) >= F.lit(k))
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, scheme)
+    return _band_explode(sigs, bands, r, scheme).select("band", "bucket", "_did")
 
+
+def _band_bucket(scheme: str, r: int, b: int) -> Column:
+    """Bucket value of band ``b`` from the ``sig`` array column."""
     if scheme == "md5":
+        acc = F.lit(0).cast("long")
+        for j in range(r):
+            acc = (acc * F.lit(1000003) + F.col("sig")[b * r + j]).bitwiseAND(
+                F.lit(_MASK32)
+            )
+        return acc
+    return F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)])
 
-        def _band_bucket(b: int) -> Column:
-            acc = F.lit(0).cast("long")
-            for j in range(r):
-                acc = (acc * F.lit(1000003) + F.col("sig")[b * r + j]).bitwiseAND(
-                    F.lit(_MASK32)
-                )
-            return acc
 
-    else:
-
-        def _band_bucket(b: int) -> Column:
-            return F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)])
-
+def _band_explode(sigs: DataFrame, bands: int, r: int, scheme: str) -> DataFrame:
     return sigs.select(
         "_did",
         F.posexplode(
-            F.array(*[_band_bucket(b) for b in range(bands)])
+            F.array(*[_band_bucket(scheme, r, b) for b in range(bands)])
         ).alias("band", "bucket"),
-    ).select("band", "bucket", "_did")
+    )
 
 
 def _verify_jaccard(
@@ -348,19 +365,35 @@ def minhash_lsh_pairs(
     ``scheme='md5'`` makes the whole pipeline (signatures, banding,
     verification hashes) replayable by an external engine — the
     oracle-checkable variant; production default stays xxhash64.
+
+    Execution shape (the fold-the-chain fix, r2): the per-doc
+    (signature, verification-hash set) table is built in ONE
+    corpus-wide shuffle and materialized; banding/candidate pairing
+    AND exact-Jaccard verification both read the settled table, so
+    the shingle/hash pipeline — the dominant cost — runs exactly once
+    instead of once for candidates plus twice for verification.
     """
-    banded = lsh_bucket_table(df, text_col, id_col, k, num_hashes, bands, scheme)
+    r = num_hashes // bands
+    filtered = df.filter(F.size(tokens(F.col(text_col))) >= F.lit(k))
+    per_doc = minhash_signatures(
+        filtered, text_col, id_col, k, num_hashes, scheme, with_hash_sets=True
+    ).localCheckpoint()
     cand = (
-        banded.groupBy("band", "bucket")
+        _band_explode(per_doc, bands, r, scheme)
+        .groupBy("band", "bucket")
         .agg(F.array_sort(F.collect_list("_did")).alias("ids"))
         .filter(F.size("ids") > 1)
         .select(F.explode(_pair_expr()).alias("p"))
         .select("p.id_a", "p.id_b")
         .dropDuplicates()
-        .localCheckpoint()
     )
-    texts = df.select(F.col(id_col).alias("_did"), F.col(text_col).alias("_t"))
-    return _verify_jaccard(cand, texts, k, threshold, scheme)
+    hs = per_doc.select("_did", "hset")
+    verified = (
+        cand.join(hs.select(F.col("_did").alias("id_a"), F.col("hset").alias("_hs_a")), "id_a")
+        .join(hs.select(F.col("_did").alias("id_b"), F.col("hset").alias("_hs_b")), "id_b")
+        .select("id_a", "id_b", _jaccard(F.col("_hs_a"), F.col("_hs_b")).alias("jaccard"))
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
 
 
 def incremental_minhash_dedup(
