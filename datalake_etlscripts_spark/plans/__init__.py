@@ -19,5 +19,6 @@ from datalake_etlscripts_spark.plans import (  # noqa: F401, E402
     textops,
     tpch_more,
     txstore_plan,
+    vectorops,
     versioned,
 )

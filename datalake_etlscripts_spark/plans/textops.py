@@ -543,7 +543,9 @@ def _ddb_rh_sig(vec_expr: str, dim: int = 64, sig_bits: int = 16) -> str:
 
     projs = []
     for i, p in enumerate(random_planes(dim, sig_bits)):
-        lit = "[" + ", ".join(repr(x) for x in p) + "]"
+        # string-parse each double: DuckDB's bare-decimal DECIMAL->DOUBLE
+        # conversion can be a ulp off the repr round-trip (cf. vectorops)
+        lit = "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in p) + "]"
         proj = (
             f"list_reduce(list_prepend(0.0, list_transform(list_zip({vec_expr},"
             f" {lit}), x -> CAST(x[1] AS DOUBLE) * x[2])), (a, b) -> a + b)"
@@ -615,7 +617,7 @@ def _ivf_literal_centroids() -> list[list[float]]:
 def _semantic_oracle() -> str:
     rows = []
     for ci, c in enumerate(_ivf_literal_centroids()):
-        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        lit = "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c) + "]"
         rows.append(f"({ci}, {lit})")
     cells = ", ".join(rows)
     return f"""
@@ -802,7 +804,7 @@ def _ddb_ivf_cells() -> str:
     """VALUES list: (cid, 64-double centroid literal)."""
     rows = []
     for ci, c in enumerate(_ivf_literal_centroids()):
-        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        lit = "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c) + "]"
         rows.append(f"({ci}, {lit})")
     return ", ".join(rows)
 
@@ -1746,7 +1748,7 @@ def _clf_oracle() -> str:
 
     # DuckDB parses plain decimal literals as DECIMAL and overflows the
     # inferred scale when summing — force DOUBLE[]
-    wlit = "CAST([" + ", ".join(repr(w) for w in _clf_weights()) + "] AS DOUBLE[])"
+    wlit = "[" + ", ".join(f"CAST('{w!r}' AS DOUBLE)" for w in _clf_weights()) + "]"
     h = ddb_hex32("md5(t)")
     return f"""
     WITH toks AS (

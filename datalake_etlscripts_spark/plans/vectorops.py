@@ -1,0 +1,123 @@
+"""Vector-infrastructure queries: dimensionality reduction and
+quantization over the embeddings table.
+
+Both are per-row expression pipelines (no shuffle, no UDF) with exact
+DuckDB twins: the projection replays the literal LCG plane matrix with
+the same left-fold float arithmetic the cosine oracles hash-match, and
+the quantizer uses floor(x+0.5) instead of round() so no
+banker's-rounding divergence exists between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_etlscripts_spark.io.readers import read_table
+from datalake_etlscripts_spark.operators.similarity import (
+    brute_force_topk,
+    project_vectors,
+    quantize_int8,
+    random_planes,
+)
+from datalake_etlscripts_spark.plans.registry import query
+
+_PROJ_DIM = 16
+_PLANES = random_planes(64, _PROJ_DIM, seed=11)
+
+
+def _ddb_proj(vec_expr: str) -> str:
+    """DuckDB: ARRAY of the 16 plane dot products (left folds)."""
+    projs = []
+    for p in _PLANES:
+        # bare decimal literals parse as DECIMAL in DuckDB and the
+        # DECIMAL->DOUBLE conversion rounds differently from a decimal
+        # STRING parse; go through VARCHAR so both engines see the
+        # exact repr-round-trip double
+        lit = "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in p) + "]"
+        projs.append(
+            f"list_reduce(list_prepend(0.0, list_transform(list_zip({vec_expr},"
+            f" {lit}), x -> CAST(x[1] AS DOUBLE) * x[2])), (a, b) -> a + b)"
+        )
+    return "[" + ", ".join(projs) + "]"
+
+
+_ANN_PROJECTED_ORACLE = f"""
+    WITH proj AS (
+      SELECT vec_id, {_ddb_proj("embedding")} AS pv FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, pv AS qv FROM proj WHERE vec_id < 8),
+    scored AS (
+      SELECT query_id, vec_id AS neighbor_id,
+        list_reduce(list_prepend(0.0, list_transform(list_zip(qv, pv),
+            x -> x[1] * x[2])), (a, b) -> a + b)
+        / (sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
+             x -> x * x)), (a, b) -> a + b))
+         * sqrt(list_reduce(list_prepend(0.0, list_transform(pv,
+             x -> x * x)), (a, b) -> a + b))) AS cos_sim
+      FROM proj, q WHERE query_id <> vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@query("ann_projected_topk", oracle=_ANN_PROJECTED_ORACLE)
+def q_ann_projected_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (64 to 16 dims, literal LCG planes) then exact top-5 cosine in the projected space - the cheapened-ANN pipeline."""
+    e = read_table(spark, sf_dir, "embeddings")
+    proj = project_vectors(e, _PLANES).withColumnRenamed("proj", "embedding")
+    return brute_force_topk(proj, proj.filter(F.col("vec_id") < 8), k=5)
+
+
+_QUANTIZE_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    a AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS amax
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, v, amax,
+             CASE WHEN amax > 0 THEN
+               list_transform(v, x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT))
+             ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+      FROM a
+    )
+    SELECT vec_id, amax,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(qv, x -> abs(x))), (acc, x) -> acc + x) AS q_l1,
+           list_max(list_transform(list_zip(v, qv),
+               x -> abs(x[1] - CAST(x[2] AS DOUBLE) * amax / 127.0)))
+             AS max_abs_err
+    FROM q
+"""
+
+
+@query("embedding_quantize_int8", oracle=_QUANTIZE_ORACLE)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization with reconstruction-error audit - floor(x+0.5) rounding, scalar outputs (L1 mass + max abs error)."""
+    e = read_table(spark, sf_dir, "embeddings")
+    qd = quantize_int8(e)
+    return qd.select(
+        "vec_id",
+        "amax",
+        F.aggregate(
+            F.col("qvec"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.abs(x),
+        ).alias("q_l1"),
+        F.array_max(
+            F.zip_with(
+                F.col("_v"),
+                F.col("qvec"),
+                lambda x, qv: F.abs(x - qv.cast("double") * F.col("amax") / F.lit(127.0)),
+            )
+        ).alias("max_abs_err"),
+    )

@@ -1355,3 +1355,45 @@ def test_phrase_matches_positions_and_order(spark):
         for r in phrase_matches(df, ["a", "b", "c"]).collect()
     }
     assert got3 == {1: (1, 0)}
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    from datalake_etlscripts_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    # codes bounded to [-127, 127]; amax element maps to ±127 exactly
+    assert rows[1]["qvec"] == [64, -127, 32]  # floor(x*127/1.0+0.5)
+    assert rows[3]["qvec"] == [127]
+    # zero vector: amax 0, all-zero codes, no divide-by-zero
+    assert rows[2]["amax"] == 0.0 and rows[2]["qvec"] == [0, 0, 0]
+    # reconstruction error bounded by half a quantization step
+    for r in (rows[1], rows[3]):
+        step = r["amax"] / 127.0
+        for x, q in zip(r["_v"], r["qvec"]):
+            assert abs(x - q * r["amax"] / 127.0) <= step / 2 + 1e-12
+
+
+def test_project_vectors_is_linear_and_deterministic(spark):
+    from datalake_etlscripts_spark.operators.similarity import (
+        project_vectors,
+        random_planes,
+    )
+
+    planes = random_planes(4, 3, seed=5)
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 2.0, 0.0, 0.0]), (3, [1.0, 2.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    p = {r["vec_id"]: r["proj"] for r in project_vectors(df, planes).collect()}
+    # basis vectors read the plane columns; linearity: p(e1 + 2*e2) == p(e1) + p(2*e2)
+    for j in range(3):
+        assert p[1][j] == planes[j][0]
+        assert p[2][j] == 2.0 * planes[j][1]
+        assert abs(p[3][j] - (p[1][j] + p[2][j])) < 1e-12
+    # partitioning-independent
+    p2 = {r["vec_id"]: r["proj"] for r in project_vectors(df.repartition(5), planes).collect()}
+    assert p == p2
