@@ -1484,13 +1484,69 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full BPE tokenizer training (operators/bpe.py): the iterative
 # generalization of bpe_pair_counts. Corpus touched ONCE (word-freq
 # shuffle); every merge round runs on the distinct-word vocab table.
-# Iterative driver-side argmax loop -> not SQL-expressible -> rows-only;
+# The fixed 6-round training IS SQL-expressible after all: each round
+# unrolls to (pair-count, thresholded argmax, list-fold merge-apply)
+# CTEs — the greedy left-to-right non-overlapping merge is a
+# list_reduce whose accumulator tail is checked against the round's
+# best pair (NULL-safe when a round finds no pair ≥ min_freq, which
+# freezes the vocab exactly like the Spark loop's break). Also
 # bit-identical to the classic algorithm by
 # tests/test_modules.py::test_bpe_train_matches_reference_and_encode_applies.
 # ---------------------------------------------------------------------------
-@query("bpe_learned_merges")
+def _bpe_oracle(num_merges: int = 6, min_freq: int = 2) -> str:
+    parts = [
+        """
+    WITH words AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+        FROM documents) GROUP BY word
+    ),
+    vocab0 AS (
+      SELECT list_append(list_transform(generate_series(1, length(word)),
+               i -> substr(word, CAST(i AS INT), 1)), '</w>') AS sym, freq
+      FROM words
+    )"""
+    ]
+    for i in range(1, num_merges + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    pairs{i} AS (
+      SELECT freq, sym, unnest(generate_series(1, len(sym) - 1)) AS j
+      FROM vocab{p}
+    ),
+    cnt{i} AS (
+      SELECT sym[j] AS a, sym[j + 1] AS b, SUM(freq) AS cnt
+      FROM pairs{i} GROUP BY 1, 2
+    ),
+    best{i} AS (
+      SELECT a, b, cnt FROM cnt{i} WHERE cnt >= {min_freq}
+      ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    vocab{i} AS (
+      SELECT list_reduce(
+               list_prepend(CAST([] AS VARCHAR[]),
+                            list_transform(v.sym, s -> [s])),
+               (acc, x) -> CASE WHEN len(acc) > 0
+                                 AND acc[len(acc)] = b.a AND x[1] = b.b
+                           THEN list_append(acc[1:len(acc) - 1], b.a || b.b)
+                           ELSE list_append(acc, x[1]) END) AS sym,
+             v.freq
+      FROM vocab{p} v LEFT JOIN best{i} b ON TRUE
+    )"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({i - 1} AS INT) AS step, a, b, CAST(cnt AS BIGINT) AS freq"
+        f" FROM best{i}"
+        for i in range(1, num_merges + 1)
+    )
+    parts.append("\n    " + union)
+    return "".join(parts)
+
+
+@query("bpe_learned_merges", oracle=_bpe_oracle())
 def q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training merges (iterative argmax - not SQL-expressible, rows-only; bit-identical to the classic algorithm in tests)."""
+    """BPE tokenizer training merges (6 rounds, min_freq 2) - corpus-once word counts, per-round vocab-sized argmax + fold merge; oracle unrolls the rounds as CTEs."""
     from datalake_etlscripts_spark.operators.bpe import bpe_train
 
     d = read_table(spark, sf_dir, "documents")
