@@ -333,12 +333,23 @@ def _verify_jaccard(
     hash_fn = md5_shingle_hashes if scheme == "md5" else shingle_hashes
     sh = (
         texts.join(support, "_did", "left_semi")
-        .select("_did", hash_fn(F.col("_t"), k).alias("_sh"))
+        .select("_did", hash_fn(F.col("_t"), k).alias("hset"))
     )
+    return _verify_pairs_against_sets(cand, sh, threshold)
+
+
+def _verify_pairs_against_sets(
+    cand: DataFrame, hs: DataFrame, threshold: float
+) -> DataFrame:
+    """THE verification contract — one definition for both the batch
+    (minhash_lsh_pairs, sets carried through the signature aggregate)
+    and incremental (_verify_jaccard, sets rebuilt for the candidate
+    support) paths, so threshold/NULL-divide semantics cannot drift
+    between them. ``hs`` is (_did, hset ARRAY<...>)."""
     verified = (
-        cand.join(sh.select(F.col("_did").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a")
-        .join(sh.select(F.col("_did").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b")
-        .select("id_a", "id_b", _jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard"))
+        cand.join(hs.select(F.col("_did").alias("id_a"), F.col("hset").alias("_hs_a")), "id_a")
+        .join(hs.select(F.col("_did").alias("id_b"), F.col("hset").alias("_hs_b")), "id_b")
+        .select("id_a", "id_b", _jaccard(F.col("_hs_a"), F.col("_hs_b")).alias("jaccard"))
     )
     return verified.filter(F.col("jaccard") >= threshold)
 
@@ -372,6 +383,14 @@ def minhash_lsh_pairs(
     AND exact-Jaccard verification both read the settled table, so
     the shingle/hash pipeline — the dominant cost — runs exactly once
     instead of once for candidates plus twice for verification.
+    Tradeoff: carrying the hash sets grows the signature shuffle and
+    checkpoint by O(corpus tokens). That wins when verification would
+    otherwise re-scan a meaningful fraction of the corpus (duplicates
+    are common — the training-data case); for a corpus with very few
+    near-dups the incremental path's support-pruned text verification
+    (_verify_jaccard over lsh_bucket_table) recomputes less. Both
+    funnel into _verify_pairs_against_sets, so the verdict semantics
+    are a single definition.
     """
     r = num_hashes // bands
     filtered = df.filter(F.size(tokens(F.col(text_col))) >= F.lit(k))
@@ -387,13 +406,9 @@ def minhash_lsh_pairs(
         .select("p.id_a", "p.id_b")
         .dropDuplicates()
     )
-    hs = per_doc.select("_did", "hset")
-    verified = (
-        cand.join(hs.select(F.col("_did").alias("id_a"), F.col("hset").alias("_hs_a")), "id_a")
-        .join(hs.select(F.col("_did").alias("id_b"), F.col("hset").alias("_hs_b")), "id_b")
-        .select("id_a", "id_b", _jaccard(F.col("_hs_a"), F.col("_hs_b")).alias("jaccard"))
+    return _verify_pairs_against_sets(
+        cand, per_doc.select("_did", "hset"), threshold
     )
-    return verified.filter(F.col("jaccard") >= threshold)
 
 
 def incremental_minhash_dedup(

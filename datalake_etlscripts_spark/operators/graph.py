@@ -61,13 +61,21 @@ def pagerank(
     """
     num, den = damping
     edges = edges.select("src", "dst").dropDuplicates()
+    deg = degree_table(edges)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        # dangling-ness is static — mark it ONCE here so no iteration
+        # ever re-derives the degree table or anti-joins the edge set
+        .join(
+            deg.select(F.col("src").alias("node"), F.lit(False).alias("_dang")),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("_dang", F.lit(True)).alias("_dang"))
         .localCheckpoint()
     )
-    deg = degree_table(edges)
     # settle (src, dst, deg) once; every iteration re-reads this table
     edges_deg = edges.join(deg, "src").localCheckpoint()
 
@@ -75,7 +83,7 @@ def pagerank(
     init = scale // n_nodes
     base = ((den - num) * init) // den
 
-    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    ranks = nodes.select("node", "_dang", F.lit(init).cast("long").alias("rank"))
     for _ in range(iterations):
         contrib = (
             edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -83,15 +91,16 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        dangling = (
-            ranks.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0).cast("long")).alias("dang"))
+        dangling = ranks.filter(F.col("_dang")).agg(
+            F.coalesce(F.sum("rank"), F.lit(0).cast("long")).alias("dang")
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
+            ranks.select("node", "_dang")
+            .join(contrib, "node", "left")
             .crossJoin(F.broadcast(dangling))  # 1-row scalar, not a data cross
             .select(
                 "node",
+                "_dang",
                 (
                     F.lit(base).cast("long")
                     + F.expr(
@@ -103,4 +112,4 @@ def pagerank(
         )
         # truncate lineage; lazy → materializes on the final action only
         ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+    return ranks.select("node", "rank")

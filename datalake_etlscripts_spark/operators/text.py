@@ -620,13 +620,21 @@ def phrase_matches(
     equi-join on (doc, aligned start position) — term i must appear at
     start+i, so its postings join with pos−i = start. No self-join of
     the corpus, no regex over text; shuffle volume is the pruned
-    postings only. Returns (doc_id, n_matches, first_pos), positions
-    0-based."""
+    postings only. The pruned postings are MATERIALIZED once
+    (localCheckpoint) before the per-term joins — each join side is
+    otherwise a separate full tokenize+posexplode scan of the corpus
+    (Catalyst does not share the subplan across self-join arms), which
+    would multiply the dominant cost by phrase length. Returns
+    (doc_id, n_matches, first_pos), positions 0-based."""
     if not phrase:
         raise ValueError("phrase must have at least one token")
-    toks = df.select(
-        F.col(id_col).alias("_did"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    toks = (
+        df.select(
+            F.col(id_col).alias("_did"),
+            F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+        )
+        .filter(F.col("tok").isin(list(dict.fromkeys(phrase))))
+        .localCheckpoint()
     )
     cur = toks.filter(F.col("tok") == phrase[0]).select(
         "_did", F.col("pos").alias("start")

@@ -14,15 +14,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datalake_etlscripts_spark.io.readers import read_table
-from datalake_etlscripts_spark.operators.graph import pagerank
+from datalake_etlscripts_spark.operators.graph import (
+    DAMPING_DEN,
+    DAMPING_NUM,
+    SCALE,
+    pagerank,
+)
 from datalake_etlscripts_spark.operators.sampling import weighted_sample_topk
 from datalake_etlscripts_spark.operators.text import phrase_matches
 from datalake_etlscripts_spark.plans.registry import ddb_hex32, query
 
 _PR_ITER = 4
-_PR_SCALE = 10**12
-_PR_NUM = 85
-_PR_DEN = 100
+# one definition: the oracle replays whatever the operator defaults to
+_PR_SCALE = SCALE
+_PR_NUM = DAMPING_NUM
+_PR_DEN = DAMPING_DEN
 
 
 def _pagerank_oracle(iterations: int = _PR_ITER) -> str:
@@ -75,9 +81,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
         F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
     ).dropDuplicates()
+    # no dropDuplicates here: pagerank() dedups its input edge set
+    # (the union of a distinct set with its reversal only needs it once)
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).dropDuplicates()
+    )
     ranks = pagerank(
         edges, iterations=_PR_ITER, damping=(_PR_NUM, _PR_DEN), scale=_PR_SCALE
     )
