@@ -92,3 +92,55 @@ def enrich_state(state: DataFrame, ann: DataFrame) -> DataFrame:
         "resolved_id", "_id"
     )
     return state.join(docs, "_id", "left")
+
+
+def qgrams(s, q: int = 2):
+    """ARRAY<STRING> of distinct character q-grams of ``s`` — the
+    blocking key for fuzzy matching. Pure expressions (sequence +
+    transform + substring)."""
+    from pyspark.sql import functions as F
+
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (q - 1), F.lit(0)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, q)))
+
+
+def fuzzy_match_pairs(
+    names: DataFrame,
+    name_col: str = "name",
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """Fuzzy self-match over an entity-name table: all unordered pairs
+    within Levenshtein distance ``max_dist`` — the record-linkage /
+    entity-resolution primitive (the reference's company-name domain:
+    OLD/get_entities.py normalizes adjudicatario names; near-identical
+    spellings of one company are exactly this join).
+
+    Shape: NEVER an all-pairs cross product. Candidates come from a
+    q-gram equi-join (strings within edit distance d share ≥
+    max(|a|,|b|)−q+1−d·q q-grams, so ≥ 1 whenever max(|a|,|b|) ≥
+    q·(d+1) — complete above that length, document the bound) plus a
+    length filter |len(a)−len(b)| ≤ d; only candidates pay the exact
+    levenshtein. Shuffle volume = exploded q-grams (linear, ~len per
+    row); skewed common grams are bounded by the downstream pair
+    dropDuplicates and AQE skew splits. Returns (name_a, name_b, dist),
+    name_a < name_b."""
+    from pyspark.sql import functions as F
+
+    base = names.select(F.col(name_col).alias("_n")).dropDuplicates()
+    g = base.select("_n", F.explode(qgrams(F.col("_n"), q)).alias("_g"))
+    cand = (
+        g.alias("a")
+        .join(g.alias("b"), "_g")
+        .select(F.col("a._n").alias("name_a"), F.col("b._n").alias("name_b"))
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(max_dist)
+        )
+        .dropDuplicates()
+    )
+    return cand.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("dist"),
+    ).filter(F.col("dist") <= max_dist)

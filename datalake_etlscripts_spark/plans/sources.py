@@ -351,3 +351,36 @@ def q_enrichment_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("empresas_en_docs").isNotNull()).select(
         "_id", "id", "title", "empresas_en_docs"
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy entity matching (record linkage): q-gram-blocked levenshtein
+# self-join over part names — the near-identical-spelling company-name
+# problem from the reference's entity domain, as a blocked equi-join.
+# Both engines implement classic Levenshtein, so the verify is exact.
+# ---------------------------------------------------------------------------
+@query(
+    "fuzzy_name_match",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name AS n FROM part),
+    g AS (
+      SELECT n, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(length(n) - 1, 0)),
+               i -> substr(n, CAST(i AS INT), 2)))) AS gram
+      FROM names
+    ),
+    cand AS (
+      SELECT DISTINCT a.n AS name_a, b.n AS name_b
+      FROM g a JOIN g b ON a.gram = b.gram
+      WHERE a.n < b.n AND abs(length(a.n) - length(b.n)) <= 2
+    )
+    SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INT) AS dist
+    FROM cand WHERE levenshtein(name_a, name_b) <= 2
+    """,
+)
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: q-gram-blocked candidate equi-join + exact Levenshtein verify (distance <= 2) over distinct part names - never an all-pairs cross product."""
+    from datalake_etlscripts_spark.operators.enrichment import fuzzy_match_pairs
+
+    p = read_table(spark, sf_dir, "part")
+    return fuzzy_match_pairs(p, name_col="p_name", max_dist=2, q=2)

@@ -1397,3 +1397,35 @@ def test_project_vectors_is_linear_and_deterministic(spark):
     # partitioning-independent
     p2 = {r["vec_id"]: r["proj"] for r in project_vectors(df.repartition(5), planes).collect()}
     assert p == p2
+
+
+def test_fuzzy_match_blocking_is_complete_vs_brute_force(spark):
+    from datalake_etlscripts_spark.operators.enrichment import fuzzy_match_pairs
+
+    names = [
+        "acme corp", "acme corp.", "acme c0rp", "acme group",
+        "globex ltd", "globex inc", "globeks ltd", "initech",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    got = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in fuzzy_match_pairs(df, "name", max_dist=2).collect()
+    }
+    # brute force over all pairs (every name here is >= q*(d+1)=6 chars,
+    # so the q-gram blocking bound guarantees no missed pair)
+    import itertools
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+
+    want = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(sorted(names), 2)
+        if lev(a, b) <= 2
+    }
+    assert got == want and len(want) >= 3
