@@ -77,3 +77,34 @@ def run_expectations(*checks: DataFrame) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column profile — (column, n_rows, n_nulls, n_distinct) — in
+    the fewest scans Spark allows: all per-column counts are
+    expressions of ONE aggregate (multiple exact count-distincts expand
+    the input ×columns — the standard profiling cost, linear not
+    quadratic, and map-side partial-combined), then the single result
+    row unpivots driver-side (it is one row; no data-sized collect).
+    The discovery half of the expectations engine: run it first, write
+    rules from what it reports."""
+    cols = cols or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__dist_{c}"),
+        ]
+    row = df.agg(*aggs)
+    stacked = row.select(
+        F.expr(
+            "stack({n}, {args}) as (column, n_rows, n_nulls, n_distinct)".format(
+                n=len(cols),
+                args=", ".join(
+                    f"'{c}', __n_{c}, __nulls_{c}, __dist_{c}" for c in cols
+                ),
+            )
+        )
+    )
+    return stacked

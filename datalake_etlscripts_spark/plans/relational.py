@@ -703,3 +703,35 @@ def q_data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         fk_rule(li, o, "l_orderkey", "o_orderkey", name="fk_l_orderkey"),
         fk_rule(o, c, "o_custkey", "c_custkey", name="fk_o_custkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# table profiling — the discovery half of the expectations engine:
+# per-column row/null/distinct counts from ONE aggregate (multi-distinct
+# expands ×columns map-side; the one result row unpivots driver-side).
+# ---------------------------------------------------------------------------
+@query(
+    "profile_columns",
+    oracle="""
+    SELECT 'o_orderstatus' AS column, count(*) AS n_rows,
+           count(*) - count(o_orderstatus) AS n_nulls,
+           count(DISTINCT o_orderstatus) AS n_distinct FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority) FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice) FROM orders
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile (rows, nulls, exact distinct) of orders in one aggregate - the discovery pass that seeds expectations rules."""
+    from datalake_etlscripts_spark.operators.expectations import profile_table
+
+    o = read_table(spark, sf_dir, "orders")
+    return profile_table(
+        o, ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+    )
