@@ -313,3 +313,45 @@ def zscore_outliers(
         )
         .filter(F.abs("z") > k)
     )
+
+
+def event_pattern_matches(
+    events: DataFrame,
+    pattern: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Sequence-pattern matching over per-user event streams — the
+    MATCH_RECOGNIZE shape ("view then later purchase") as a regex over
+    the user's time-ordered event-type string. ONE user-keyed shuffle:
+    collect (ts, tie, type) per user, sort the ARRAY (deterministic —
+    ties break on the id column), join to a space-separated string,
+    count regex matches JVM-side. No k-way self-joins, no per-step
+    window chains; adding a pattern is free once the string exists.
+    Returns (user_id, n_events, n_matches); users with zero matches
+    are kept (n_matches = 0) so the output is a per-user feature, not
+    a filter."""
+    seq = (
+        events.groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(ts_col, tie_col, type_col))
+                    ),
+                    lambda s: s[type_col],
+                ),
+                " ",
+            ).alias("_seq"),
+        )
+    )
+    return seq.select(
+        "user_id",
+        "n_events",
+        F.size(F.regexp_extract_all(F.col("_seq"), F.lit(pattern), 0)).alias(
+            "n_matches"
+        ),
+    )

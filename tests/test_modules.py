@@ -1429,3 +1429,30 @@ def test_fuzzy_match_blocking_is_complete_vs_brute_force(spark):
         if lev(a, b) <= 2
     }
     assert got == want and len(want) >= 3
+
+
+def test_event_pattern_matches_order_and_zero_users(spark):
+    from datetime import datetime
+
+    from datalake_etlscripts_spark.operators.events import event_pattern_matches
+
+    t = datetime(2024, 1, 1)
+    rows = [
+        # u1: view -> purchase (1 match), then purchase alone
+        (1, t.replace(hour=1), 10, "view"),
+        (1, t.replace(hour=2), 11, "purchase"),
+        (1, t.replace(hour=3), 12, "purchase"),
+        # u2: purchase BEFORE view — order matters, no match
+        (2, t.replace(hour=1), 20, "purchase"),
+        (2, t.replace(hour=2), 21, "view"),
+        # u3: view error purchase (optional middle event)
+        (3, t.replace(hour=1), 30, "view"),
+        (3, t.replace(hour=2), 31, "error"),
+        (3, t.replace(hour=3), 32, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    got = {
+        r["user_id"]: (r["n_events"], r["n_matches"])
+        for r in event_pattern_matches(df, r"view( error)? purchase").collect()
+    }
+    assert got == {1: (3, 1), 2: (2, 0), 3: (3, 1)}
