@@ -355,3 +355,53 @@ def event_pattern_matches(
             "n_matches"
         ),
     )
+
+
+def robust_outliers(
+    events: DataFrame,
+    value_col: str = "value",
+    key_col: str = "event_type",
+    id_col: str = "event_id",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Median/MAD robust outlier detection per key — the
+    contaminated-data complement of zscore_outliers: mean/std move
+    with the outliers they are meant to find, the median and the
+    median-absolute-deviation do not (50% breakdown point).
+    rz = (x − median) / (1.4826·MAD); |rz| > threshold flags.
+
+    Shape: two grouped EXACT medians (percentile — interpolation
+    semantics verified identical to DuckDB's median/quantile_cont)
+    with the group-sized stats broadcast back; the events table is
+    scanned twice (once per median round) — at 100 TB both scans are
+    column-pruned to (key, value). Zero-MAD groups (constant values —
+    a degenerate distribution has no meaningful deviation unit) are
+    excluded on BOTH engine sides rather than fed to a divide;
+    mirrors the zscore_outliers singleton guard."""
+    med = events.groupBy(key_col).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    dev = events.join(F.broadcast(med), key_col).select(
+        id_col,
+        key_col,
+        value_col,
+        "_med",
+        F.abs(F.col(value_col) - F.col("_med")).alias("_dv"),
+    )
+    mad = dev.groupBy(key_col).agg(F.expr("percentile(_dv, 0.5)").alias("_mad"))
+    scored = (
+        dev.join(F.broadcast(mad), key_col)
+        .filter(F.col("_mad") > 0)
+        .select(
+            id_col,
+            key_col,
+            value_col,
+            F.col("_med").alias("med"),
+            F.col("_mad").alias("mad"),
+            (
+                (F.col(value_col) - F.col("_med"))
+                / (F.lit(1.4826) * F.col("_mad"))
+            ).alias("rz"),
+        )
+    )
+    return scored.filter(F.abs(F.col("rz")) > threshold)

@@ -442,3 +442,35 @@ def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return event_pattern_matches(e, r"view( error)? purchase")
+
+
+# ---------------------------------------------------------------------------
+# robust (median/MAD) outliers — the contaminated-data complement of
+# anomalous_events; exact medians verified interpolation-identical to
+# DuckDB's median(). Zero-MAD groups excluded on both sides.
+# ---------------------------------------------------------------------------
+@query(
+    "robust_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS dv
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (SELECT event_type, median(dv) AS mad FROM dev GROUP BY 1)
+    SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
+           (d.value - d.med) / (CAST('1.4826' AS DOUBLE) * m.mad) AS rz
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE m.mad > 0
+      AND abs((d.value - d.med) / (CAST('1.4826' AS DOUBLE) * m.mad)) > 3.5
+    """,
+)
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outliers per event type (|rz| > 3.5) - exact percentile medians, broadcast stats, zero-MAD groups excluded."""
+    from datalake_etlscripts_spark.operators.events import robust_outliers
+
+    e = read_table(spark, sf_dir, "events")
+    return robust_outliers(e)

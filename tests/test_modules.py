@@ -1456,3 +1456,20 @@ def test_event_pattern_matches_order_and_zero_users(spark):
         for r in event_pattern_matches(df, r"view( error)? purchase").collect()
     }
     assert got == {1: (3, 1), 2: (2, 0), 3: (3, 1)}
+
+
+def test_robust_outliers_flags_spike_and_skips_constant_groups(spark):
+    from datalake_etlscripts_spark.operators.events import robust_outliers
+
+    rows = (
+        [(i, "a", 10.0 + (i % 5) * 0.1) for i in range(20)]
+        + [(99, "a", 1000.0)]            # the spike
+        + [(i, "b", 7.0) for i in range(100, 110)]  # constant group: MAD 0
+    )
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    got = robust_outliers(df).collect()
+    # only the spike flags; the constant group is excluded, not crashed
+    assert [r["event_id"] for r in got] == [99]
+    assert got[0]["rz"] > 3.5
+    # the spike does NOT drag the median: med stays in the bulk
+    assert 10.0 <= got[0]["med"] <= 10.5
