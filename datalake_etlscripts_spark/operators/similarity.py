@@ -468,3 +468,43 @@ def quantize_int8(
         qvec.alias("qvec"),
         "_v",
     )
+
+
+def knn_label_vote(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN classification by neighbor majority vote — the standard
+    embedding-quality / label-noise audit (predict each query's label
+    from its k nearest corpus neighbors, excluding itself, and compare).
+    Composes brute_force_topk (or any ANN variant with the same output
+    contract) with a per-query vote: argmax neighbor-label count, ties
+    broken by (count desc, label asc) so the verdict is deterministic.
+    No float aggregation anywhere — votes are integer counts, so the
+    result is partitioning-independent without decimal gymnastics.
+    Returns (query_id, true_label, pred_label, votes)."""
+    nn = brute_force_topk(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
+    labels = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nl")
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "_nl")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("_nl").asc())
+    best = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.col("_nl").alias("pred_label"), "votes")
+    )
+    truth = queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("true_label")
+    )
+    return best.join(truth, "query_id").select(
+        "query_id", "true_label", "pred_label", "votes"
+    )

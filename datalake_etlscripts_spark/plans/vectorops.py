@@ -121,3 +121,54 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN label-vote evaluation: the embedding-quality audit. The oracle
+# reuses the ann_cosine_topk fold arithmetic and replays the integer
+# vote with the same (count desc, label asc) tie-break.
+# ---------------------------------------------------------------------------
+_KNN_ORACLE = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+               FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nl
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, nl,
+        list_reduce(list_prepend(0.0, list_transform(list_zip(qv, cv),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a,b) -> a + b)
+        / (sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b))
+         * sqrt(list_reduce(list_prepend(0.0, list_transform(cv,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b))) AS cos_sim
+      FROM c, q WHERE query_id <> neighbor_id
+    ),
+    nn AS (
+      SELECT query_id, neighbor_id, nl FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+      ) WHERE rank <= 5
+    ),
+    votes AS (
+      SELECT query_id, nl, count(*) AS votes FROM nn GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT query_id, nl AS pred_label, votes FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY votes DESC, nl ASC) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT b.query_id, q.true_label, b.pred_label, b.votes
+    FROM best b JOIN q USING (query_id)
+"""
+
+
+@query("knn_label_vote", oracle=_KNN_ORACLE)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification audit: top-5 cosine neighbors vote each query's label, deterministic (count desc, label asc) tie-break - integer votes, no float aggregation."""
+    from datalake_etlscripts_spark.operators.similarity import knn_label_vote
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return knn_label_vote(e, e.filter(F.col("vec_id") < 50), k=5)
