@@ -95,13 +95,18 @@ def enrich_state(state: DataFrame, ann: DataFrame) -> DataFrame:
 
 
 def qgrams(s, q: int = 2):
-    """ARRAY<STRING> of distinct character q-grams of ``s`` — the
-    blocking key for fuzzy matching. Pure expressions (sequence +
-    transform + substring)."""
+    """ARRAY<STRING> of ALL character q-grams of ``s`` (with repeats —
+    the count filter needs multiset semantics). Strings shorter than q
+    yield an EMPTY array: Spark's sequence(1, 0) counts DOWN ([1, 0]),
+    so the length guard is explicit (same pitfall dedup.char_gram_hashes
+    guards; DuckDB's generate_series(1, 0) is already empty)."""
     from pyspark.sql import functions as F
 
-    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (q - 1), F.lit(0)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(s, i, q)))
+    idx = F.sequence(F.lit(1), F.length(s) - (q - 1))
+    return F.when(
+        F.length(s) >= q,
+        F.transform(idx, lambda i: F.substring(s, i, q)),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def fuzzy_match_pairs(
@@ -116,28 +121,49 @@ def fuzzy_match_pairs(
     OLD/get_entities.py normalizes adjudicatario names; near-identical
     spellings of one company are exactly this join).
 
-    Shape: NEVER an all-pairs cross product. Candidates come from a
-    q-gram equi-join (strings within edit distance d share ≥
-    max(|a|,|b|)−q+1−d·q q-grams, so ≥ 1 whenever max(|a|,|b|) ≥
-    q·(d+1) — complete above that length, document the bound) plus a
-    length filter |len(a)−len(b)| ≤ d; only candidates pay the exact
-    levenshtein. Shuffle volume = exploded q-grams (linear, ~len per
-    row); skewed common grams are bounded by the downstream pair
-    dropDuplicates and AQE skew splits. Returns (name_a, name_b, dist),
-    name_a < name_b."""
+    Blocking: per-string q-gram MULTISETS ((gram, count) rows, one
+    grouped explode) equi-joined on the gram; candidate pairs must pass
+    the Gravano count filter — multiset intersection Σ min(ca, cb) ≥
+    max(|a|,|b|)−q+1−d·q (complete: edit distance ≤ d cannot destroy
+    more than d·q grams) — plus the |len(a)−len(b)| ≤ d length filter.
+    Only survivors pay the exact levenshtein.
+
+    Scaling honesty: the gram join's volume is Σ_g bucket(g)², which
+    degrades toward (and past) all-pairs when q is small relative to
+    the name length/alphabet — on very short strings brute force by
+    length-bucket is cheaper. Pick q so grams are selective (q=3+ for
+    real company names); the rare-gram prefix filter (pick each
+    string's d·q+1 globally rarest grams as its only blocking keys) is
+    the established further cut and slots into the same join. Returns
+    (name_a, name_b, dist), name_a < name_b."""
     from pyspark.sql import functions as F
 
     base = names.select(F.col(name_col).alias("_n")).dropDuplicates()
-    g = base.select("_n", F.explode(qgrams(F.col("_n"), q)).alias("_g"))
+    g = (
+        base.select("_n", F.explode(qgrams(F.col("_n"), q)).alias("_g"))
+        .groupBy("_n", "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    ga = g.select(
+        F.col("_n").alias("name_a"), "_g", F.col("_c").alias("_ca")
+    )
+    gb = g.select(
+        F.col("_n").alias("name_b"), "_g", F.col("_c").alias("_cb")
+    )
+    bound = (
+        F.greatest(F.length("name_a"), F.length("name_b"))
+        - F.lit(q - 1)
+        - F.lit(max_dist * q)
+    )
     cand = (
-        g.alias("a")
-        .join(g.alias("b"), "_g")
-        .select(F.col("a._n").alias("name_a"), F.col("b._n").alias("name_b"))
+        ga.join(gb, "_g")
         .filter(F.col("name_a") < F.col("name_b"))
         .filter(
             F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(max_dist)
         )
-        .dropDuplicates()
+        .groupBy("name_a", "name_b")
+        .agg(F.sum(F.least("_ca", "_cb")).alias("_shared"))
+        .filter(F.col("_shared") >= F.greatest(bound, F.lit(1)))
     )
     return cand.select(
         "name_a",

@@ -322,29 +322,43 @@ def event_pattern_matches(
     type_col: str = "event_type",
     ts_col: str = "ts",
     tie_col: str = "event_id",
+    max_seq: int | None = None,
 ) -> DataFrame:
     """Sequence-pattern matching over per-user event streams — the
     MATCH_RECOGNIZE shape ("view then later purchase") as a regex over
     the user's time-ordered event-type string. ONE user-keyed shuffle:
     collect (ts, tie, type) per user, sort the ARRAY (deterministic —
-    ties break on the id column), join to a space-separated string,
-    count regex matches JVM-side. No k-way self-joins, no per-step
-    window chains; adding a pattern is free once the string exists.
-    Returns (user_id, n_events, n_matches); users with zero matches
-    are kept (n_matches = 0) so the output is a per-user feature, not
-    a filter."""
+    ties break on the id column), join to a string, count regex
+    matches JVM-side. Adding a pattern is free once the string exists.
+
+    Token anchoring: each event type is DELIMITED as ``<type>`` in the
+    sequence string, and ``pattern`` must be written over delimited
+    tokens (e.g. ``r"<view>(<error>)?<purchase>"``) — a bare substring
+    pattern would false-match inside longer type names ('view' inside
+    'preview'). Types containing '<'/'>' are not supported (asserted
+    nowhere — choose different delimiters at the call site by
+    pre-mapping the type column if needed).
+
+    Skew: one row per user must hold the user's whole sequence; a
+    bot-grade user concentrates its stream on one executor. Cap with
+    ``max_seq`` (keeps the FIRST max_seq events after sorting) when
+    the stream has unbounded per-user cardinality — the rest of this
+    module's per-key ops stay window-shaped for exactly that reason.
+    Returns (user_id, n_events, n_matches); zero-match users are kept
+    (a per-user feature, not a filter)."""
+    ordered = F.array_sort(F.collect_list(F.struct(ts_col, tie_col, type_col)))
+    if max_seq is not None:
+        ordered = F.slice(ordered, 1, max_seq)
     seq = (
         events.groupBy(F.col(user_col).alias("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.array_join(
                 F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(ts_col, tie_col, type_col))
-                    ),
-                    lambda s: s[type_col],
+                    ordered,
+                    lambda s: F.concat(F.lit("<"), s[type_col], F.lit(">")),
                 ),
-                " ",
+                "",
             ).alias("_seq"),
         )
     )

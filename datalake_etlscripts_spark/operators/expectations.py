@@ -89,12 +89,18 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     The discovery half of the expectations engine: run it first, write
     rules from what it reports."""
     cols = cols or df.columns
-    aggs = []
-    for c in cols:
+    # ONE shared row count; per-column aggregates aliased by INDEX so
+    # arbitrary column names (spaces, dashes, quotes) never reach the
+    # generated stack() SQL as identifiers; the display name rides as
+    # an escaped string literal. Null counts coalesce to 0 so an empty
+    # table profiles as (0, 0, 0), not (0, NULL, 0).
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(F.lit(1)).alias(f"__n_{c}"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}"),
-            F.count_distinct(F.col(c)).alias(f"__dist_{c}"),
+            F.coalesce(
+                F.sum(F.col(c).isNull().cast("long")), F.lit(0)
+            ).alias(f"__nulls_{i}"),
+            F.count_distinct(F.col(c)).alias(f"__dist_{i}"),
         ]
     row = df.agg(*aggs)
     stacked = row.select(
@@ -102,7 +108,10 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             "stack({n}, {args}) as (column, n_rows, n_nulls, n_distinct)".format(
                 n=len(cols),
                 args=", ".join(
-                    f"'{c}', __n_{c}, __nulls_{c}, __dist_{c}" for c in cols
+                    "'{lit}', __n, __nulls_{i}, __dist_{i}".format(
+                        lit=c.replace("\\", "\\\\").replace("'", "\\'"), i=i
+                    )
+                    for i, c in enumerate(cols)
                 ),
             )
         )

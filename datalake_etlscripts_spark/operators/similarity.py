@@ -496,7 +496,11 @@ def knn_label_vote(
         .groupBy("query_id", "_nl")
         .agg(F.count(F.lit(1)).alias("votes"))
     )
-    w = W.partitionBy("query_id").orderBy(F.col("votes").desc(), F.col("_nl").asc())
+    # asc_nulls_last: DuckDB's ASC is NULLS LAST — a NULL corpus label
+    # must never beat a real label on ties in one engine only
+    w = W.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("_nl").asc_nulls_last()
+    )
     best = (
         votes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -427,21 +427,21 @@ def q_window_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
       SELECT user_id, count(*) AS n_events,
-             string_agg(event_type, ' ' ORDER BY ts, event_id) AS s
+             string_agg('<' || event_type || '>', '' ORDER BY ts, event_id) AS s
       FROM events GROUP BY user_id
     )
     SELECT user_id, n_events,
-           CAST(len(regexp_extract_all(s, 'view( error)? purchase')) AS INT)
+           CAST(len(regexp_extract_all(s, '<view>(<error>)?<purchase>')) AS INT)
              AS n_matches
     FROM seq
     """,
 )
 def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence-pattern matching: count 'view (error)? purchase' runs per user via regex over the time-ordered event string - one user-keyed shuffle, no k-way self-joins."""
+    """Sequence-pattern matching: count view-(error?)-purchase runs per user via regex over the delimited time-ordered event string - one user-keyed shuffle, no k-way self-joins."""
     from datalake_etlscripts_spark.operators.events import event_pattern_matches
 
     e = read_table(spark, sf_dir, "events")
-    return event_pattern_matches(e, r"view( error)? purchase")
+    return event_pattern_matches(e, r"<view>(<error>)?<purchase>")
 
 
 # ---------------------------------------------------------------------------

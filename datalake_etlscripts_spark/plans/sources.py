@@ -363,19 +363,26 @@ def q_enrichment_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fuzzy_name_match",
     oracle="""
     WITH names AS (SELECT DISTINCT p_name AS n FROM part),
-    g AS (
-      SELECT n, unnest(list_distinct(list_transform(
+    g0 AS (
+      SELECT n, unnest(list_transform(
                generate_series(1, greatest(length(n) - 1, 0)),
-               i -> substr(n, CAST(i AS INT), 2)))) AS gram
-      FROM names
+               i -> substr(n, CAST(i AS INT), 2))) AS gram
+      FROM names WHERE length(n) >= 2
     ),
+    g AS (SELECT n, gram, count(*) AS c FROM g0 GROUP BY 1, 2),
     cand AS (
-      SELECT DISTINCT a.n AS name_a, b.n AS name_b
+      SELECT a.n AS name_a, b.n AS name_b, SUM(LEAST(a.c, b.c)) AS shared
       FROM g a JOIN g b ON a.gram = b.gram
       WHERE a.n < b.n AND abs(length(a.n) - length(b.n)) <= 2
+      GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT name_a, name_b FROM cand
+      WHERE shared >= greatest(
+        greatest(length(name_a), length(name_b)) - 1 - 4, 1)
     )
     SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INT) AS dist
-    FROM cand WHERE levenshtein(name_a, name_b) <= 2
+    FROM f WHERE levenshtein(name_a, name_b) <= 2
     """,
 )
 def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1450,12 +1450,15 @@ def test_event_pattern_matches_order_and_zero_users(spark):
         (3, t.replace(hour=2), 31, "error"),
         (3, t.replace(hour=3), 32, "purchase"),
     ]
+    # u4: 'preview' must NOT substring-match 'view' (token anchoring)
+    rows.append((4, t.replace(hour=1), 40, "preview"))
+    rows.append((4, t.replace(hour=2), 41, "purchase"))
     df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
     got = {
         r["user_id"]: (r["n_events"], r["n_matches"])
-        for r in event_pattern_matches(df, r"view( error)? purchase").collect()
+        for r in event_pattern_matches(df, r"<view>(<error>)?<purchase>").collect()
     }
-    assert got == {1: (3, 1), 2: (2, 0), 3: (3, 1)}
+    assert got == {1: (3, 1), 2: (2, 0), 3: (3, 1), 4: (2, 0)}
 
 
 def test_robust_outliers_flags_spike_and_skips_constant_groups(spark):
