@@ -34,6 +34,12 @@ HEADLINE = [
     "sessionize_events",
     "asof_join_events",
     "range_join_events",
+    # round-2 continuation additions (headline grew 20 → 24; totals are
+    # not comparable across rounds — compare per-query or the r1 subset)
+    "graph_pagerank",
+    "fuzzy_name_match",
+    "weighted_sample",
+    "event_pattern_match",
 ]
 
 

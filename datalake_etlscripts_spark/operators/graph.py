@@ -45,6 +45,7 @@ def pagerank(
     iterations: int = 4,
     damping: tuple[int, int] = (DAMPING_NUM, DAMPING_DEN),
     scale: int = SCALE,
+    broadcast_nodes: int = 5_000_000,
 ) -> DataFrame:
     """Integer-scaled PageRank over directed ``edges`` (src, dst).
 
@@ -56,6 +57,14 @@ def pagerank(
     arithmetic is 64-bit integer — deterministic under any partitioning
     and replayable bit-for-bit by the DuckDB oracle twin
     (plans/graphops.py builds the same recurrence as unrolled CTEs).
+
+    Join strategy: when the node count ≤ ``broadcast_nodes`` the rank
+    table is BROADCAST into each iteration's edge join, so the settled
+    edge table is never re-shuffled — per iteration the only exchange
+    is the map-side-combined contribution aggregate (≤ one row per
+    node per map partition). Web-scale graphs (nodes beyond broadcast
+    reach) fall back to the shuffle join; results are identical either
+    way (integer arithmetic).
 
     Returns (node, rank) with rank in units of 1/scale.
     """
@@ -83,10 +92,14 @@ def pagerank(
     init = scale // n_nodes
     base = ((den - num) * init) // den
 
+    bcast = n_nodes <= broadcast_nodes
     ranks = nodes.select("node", "_dang", F.lit(init).cast("long").alias("rank"))
     for _ in range(iterations):
+        rank_side = ranks.withColumnRenamed("node", "src").drop("_dang")
+        if bcast:
+            rank_side = F.broadcast(rank_side)
         contrib = (
-            edges_deg.join(ranks.withColumnRenamed("node", "src"), "src")
+            edges_deg.join(rank_side, "src")
             .select(F.col("dst").alias("node"), F.expr("rank div deg").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
