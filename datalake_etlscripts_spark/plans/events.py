@@ -474,3 +474,30 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return robust_outliers(e)
+
+
+# ---------------------------------------------------------------------------
+# grouped latency-style percentile summary: exact p50/p95/p99 per key —
+# Spark percentile() interpolation verified identical to DuckDB
+# quantile_cont (cf. robust_outliers).
+# ---------------------------------------------------------------------------
+@query(
+    "percentile_summary",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def q_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p95/p99 of value per event type - one grouped sort-based percentile aggregate, scalar outputs."""
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
