@@ -493,7 +493,13 @@ def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact p50/p95/p99 of value per event type - one grouped sort-based percentile aggregate, scalar outputs."""
+    """Exact p50/p95/p99 of value per event type - one grouped percentile aggregate, scalar outputs.
+
+    Scale note: exact percentile buffers each group's values (fine for
+    bounded per-key cardinality — event types, tenants, days); for
+    unbounded groups the engine's scale paths are approx_percentile
+    (t-digest, approx_aggregates) and the mergeable histogram sketch
+    state (approx_quantiles_incremental)."""
     e = read_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
