@@ -419,3 +419,48 @@ def robust_outliers(
         )
     )
     return scored.filter(F.abs(F.col("rz")) > threshold)
+
+
+def top_session_paths(
+    events: DataFrame,
+    k: int = 20,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Top-k most common session paths — the classic product-analytics
+    "what do users actually do" query: sessionize (gap-based), build
+    each session's time-ordered event-type path, count identical paths
+    corpus-wide, keep the k most frequent (ties broken by path string
+    so the cut is deterministic). Paths are '>'-joined type names.
+
+    Shape: sessionize's user shuffle → one (user, session) collect
+    (bounded by the session gap — a session's array cannot grow
+    unboundedly the way a user's lifetime stream can) → one path-keyed
+    count → TakeOrdered k. Returns (path, n_sessions, n_events) where
+    n_events is the path length."""
+    s = sessionize(events, user_col, ts_col, tie_col, gap_minutes)
+    paths = (
+        s.groupBy(F.col(user_col).alias("_u"), F.col("session_no").alias("_s"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(ts_col, tie_col, type_col))
+                    ),
+                    lambda e: e[type_col],
+                ),
+                ">",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("_len"),
+        )
+    )
+    counted = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("_len").alias("n_events"),
+    )
+    return counted.orderBy(
+        F.col("n_sessions").desc(), F.col("path").asc()
+    ).limit(k)

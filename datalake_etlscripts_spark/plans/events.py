@@ -507,3 +507,45 @@ def q_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(value, 0.95)").alias("p95"),
         F.expr("percentile(value, 0.99)").alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# top-k session paths: sessionize → ordered per-session path string →
+# corpus-wide path counts → deterministic top-k.
+# ---------------------------------------------------------------------------
+@query(
+    "top_session_paths",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_MIN} * 60 * 1000000
+             OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    ),
+    paths AS (
+      SELECT user_id, session_no,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+             count(*) AS len
+      FROM sess GROUP BY user_id, session_no
+    ),
+    counted AS (
+      SELECT path, count(*) AS n_sessions, max(len) AS n_events
+      FROM paths GROUP BY path
+    )
+    SELECT path, n_sessions, n_events FROM counted
+    ORDER BY n_sessions DESC, path ASC LIMIT 20
+    """,
+)
+def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most common session paths (sessionize, per-session ordered path string, corpus-wide counts) - session-bounded collects, deterministic cut."""
+    from datalake_etlscripts_spark.operators.events import top_session_paths
+
+    e = read_table(spark, sf_dir, "events")
+    return top_session_paths(e, k=20, gap_minutes=SESSION_GAP_MIN)
