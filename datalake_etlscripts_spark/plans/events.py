@@ -549,3 +549,46 @@ def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return top_session_paths(e, k=20, gap_minutes=SESSION_GAP_MIN)
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix: P(next event | current) from per-user
+# time-ordered lead pairs — one user window + one pair count; the
+# probability is a rational of two exact counts (deterministic double).
+# ---------------------------------------------------------------------------
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH nxt AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT cur, nxt, count(*) AS n FROM nxt
+      WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    tot AS (SELECT cur, sum(n) AS t FROM pairs GROUP BY cur)
+    SELECT p.cur, p.nxt, p.n,
+           CAST(p.n AS DOUBLE) / t.t AS p
+    FROM pairs p JOIN tot t USING (cur)
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix P(next event | current) per event type - one user-ordered lead window, one pair count, rational probabilities."""
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("cur").agg(F.sum("n").alias("_t"))
+    return pairs.join(F.broadcast(tot), "cur").select(
+        "cur", "nxt", "n", (F.col("n").cast("double") / F.col("_t")).alias("p")
+    )
