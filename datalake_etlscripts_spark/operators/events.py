@@ -315,6 +315,19 @@ def zscore_outliers(
     )
 
 
+def _ordered_types(
+    type_col: str, ts_col: str, tie_col: str, max_seq: int | None
+):
+    """Aggregate expression: the group's event types as an ARRAY sorted
+    by (ts, tie) — THE ordered-sequence idiom shared by
+    event_pattern_matches and top_session_paths so the deterministic
+    tie-break lives in one place. ``max_seq`` keeps the first N."""
+    arr = F.array_sort(F.collect_list(F.struct(ts_col, tie_col, type_col)))
+    if max_seq is not None:
+        arr = F.slice(arr, 1, max_seq)
+    return F.transform(arr, lambda s: s[type_col])
+
+
 def event_pattern_matches(
     events: DataFrame,
     pattern: str,
@@ -346,17 +359,14 @@ def event_pattern_matches(
     module's per-key ops stay window-shaped for exactly that reason.
     Returns (user_id, n_events, n_matches); zero-match users are kept
     (a per-user feature, not a filter)."""
-    ordered = F.array_sort(F.collect_list(F.struct(ts_col, tie_col, type_col)))
-    if max_seq is not None:
-        ordered = F.slice(ordered, 1, max_seq)
     seq = (
         events.groupBy(F.col(user_col).alias("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.array_join(
                 F.transform(
-                    ordered,
-                    lambda s: F.concat(F.lit("<"), s[type_col], F.lit(">")),
+                    _ordered_types(type_col, ts_col, tie_col, max_seq),
+                    lambda t: F.concat(F.lit("<"), t, F.lit(">")),
                 ),
                 "",
             ).alias("_seq"),
@@ -429,6 +439,7 @@ def top_session_paths(
     type_col: str = "event_type",
     ts_col: str = "ts",
     tie_col: str = "event_id",
+    max_len: int = 1000,
 ) -> DataFrame:
     """Top-k most common session paths — the classic product-analytics
     "what do users actually do" query: sessionize (gap-based), build
@@ -436,25 +447,24 @@ def top_session_paths(
     corpus-wide, keep the k most frequent (ties broken by path string
     so the cut is deterministic). Paths are '>'-joined type names.
 
-    Shape: sessionize's user shuffle → one (user, session) collect
-    (bounded by the session gap — a session's array cannot grow
-    unboundedly the way a user's lifetime stream can) → one path-keyed
-    count → TakeOrdered k. Returns (path, n_sessions, n_events) where
-    n_events is the path length."""
+    Shape: sessionize's user shuffle → one (user, session) collect →
+    one path-keyed count → TakeOrdered k. The collect is bounded by
+    ``max_len`` (first N events of a session), NOT by the gap alone —
+    a bot emitting continuously never breaks its session, so the gap
+    bounds idle time, not session length; the cap is the real
+    guarantee (same hazard event_pattern_matches documents). Caveat:
+    the path string is separator-joined raw type names — a type
+    containing the separator collides ('a>b'+'c' vs 'a'+'b>c'); keep
+    the separator outside the type alphabet (or pre-map types).
+    Returns (path, n_sessions, n_events), n_events = path length."""
     s = sessionize(events, user_col, ts_col, tie_col, gap_minutes)
     paths = (
         s.groupBy(F.col(user_col).alias("_u"), F.col("session_no").alias("_s"))
         .agg(
             F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(ts_col, tie_col, type_col))
-                    ),
-                    lambda e: e[type_col],
-                ),
-                ">",
+                _ordered_types(type_col, ts_col, tie_col, max_len), ">"
             ).alias("path"),
-            F.count(F.lit(1)).alias("_len"),
+            F.least(F.count(F.lit(1)), F.lit(max_len)).alias("_len"),
         )
     )
     counted = paths.groupBy("path").agg(

@@ -46,6 +46,7 @@ def pagerank(
     damping: tuple[int, int] = (DAMPING_NUM, DAMPING_DEN),
     scale: int = SCALE,
     broadcast_nodes: int = 5_000_000,
+    dedup_shuffle: str = "src",
 ) -> DataFrame:
     """Integer-scaled PageRank over directed ``edges`` (src, dst).
 
@@ -69,11 +70,25 @@ def pagerank(
     Returns (node, rank) with rank in units of 1/scale.
     """
     num, den = damping
-    # ONE src-partitioning serves the whole prep: HashPartitioning(src)
-    # satisfies the clustered distribution of the (src, dst) dedup, the
-    # src degree aggregate, AND the src join — measured 5.1s → 3.1s at
-    # sf0.1 (one exchange instead of three)
-    edges = edges.select("src", "dst").repartition("src").dropDuplicates()
+    # Prep shuffle strategy (dedup_shuffle):
+    #   "src"  — ONE src-partitioning serves the whole prep:
+    #            HashPartitioning(src) satisfies the (src, dst) dedup,
+    #            the degree aggregate, AND the join (5.1s → 3.1s at
+    #            sf0.1). Tradeoff: the exchange ships duplicates as-is
+    #            (no map-side partial dedup) and a hub's whole edge
+    #            list lands in one task. Right when edges are mostly
+    #            unique and out-degrees are moderate.
+    #   "edge" — classic (src, dst)-keyed dedup: map-side partial
+    #            combine absorbs duplication before the wire and hub
+    #            edges spread across partitions; degree/join pay their
+    #            own exchanges. Right for heavily duplicated input or
+    #            power-law hub graphs.
+    if dedup_shuffle == "src":
+        edges = edges.select("src", "dst").repartition("src").dropDuplicates()
+    elif dedup_shuffle == "edge":
+        edges = edges.select("src", "dst").dropDuplicates()
+    else:
+        raise ValueError(f"unknown dedup_shuffle {dedup_shuffle!r}")
     deg = degree_table(edges)
     nodes = (
         edges.select(F.col("src").alias("node"))

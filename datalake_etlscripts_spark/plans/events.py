@@ -529,11 +529,17 @@ def q_percentile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ROWS UNBOUNDED PRECEDING) AS session_no
       FROM marked
     ),
+    ranked AS (
+      SELECT user_id, session_no, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id, session_no
+                                ORDER BY ts, event_id) AS rn
+      FROM sess
+    ),
     paths AS (
       SELECT user_id, session_no,
              string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
              count(*) AS len
-      FROM sess GROUP BY user_id, session_no
+      FROM ranked WHERE rn <= 1000 GROUP BY user_id, session_no
     ),
     counted AS (
       SELECT path, count(*) AS n_sessions, max(len) AS n_events
@@ -548,7 +554,7 @@ def q_top_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_etlscripts_spark.operators.events import top_session_paths
 
     e = read_table(spark, sf_dir, "events")
-    return top_session_paths(e, k=20, gap_minutes=SESSION_GAP_MIN)
+    return top_session_paths(e, k=20, gap_minutes=SESSION_GAP_MIN, max_len=1000)
 
 
 # ---------------------------------------------------------------------------
