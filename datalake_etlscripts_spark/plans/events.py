@@ -598,3 +598,41 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(F.broadcast(tot), "cur").select(
         "cur", "nxt", "n", (F.col("n").cast("double") / F.col("_t")).alias("p")
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame rolling aggregate: trailing 1-hour mean per event type —
+# the time-interval window shape (rows-frames live in
+# window_functions_suite). Sum in exact decimal for the cross-engine
+# hash; count is integer; the mean divides two exact numbers.
+# ---------------------------------------------------------------------------
+@query(
+    "rolling_hour_mean",
+    oracle="""
+    SELECT event_id, event_type, ts,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE)
+             / COUNT(*) OVER w AS rolling_mean,
+           COUNT(*) OVER w AS n_window
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_rolling_hour_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour rolling mean of value per event type - RANGE interval frame over epoch micros, decimal-exact sum."""
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        (
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("rolling_mean"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )

@@ -1476,3 +1476,26 @@ def test_robust_outliers_flags_spike_and_skips_constant_groups(spark):
     assert got[0]["rz"] > 3.5
     # the spike does NOT drag the median: med stays in the bulk
     assert 10.0 <= got[0]["med"] <= 10.5
+
+
+def test_top_session_paths_sessions_and_cap(spark):
+    from datetime import datetime, timedelta
+
+    from datalake_etlscripts_spark.operators.events import top_session_paths
+
+    t = datetime(2024, 1, 1)
+    rows = []
+    # u1: two sessions (65-min gap): [a, b] then [a, b]
+    rows += [(1, t, 1, "a"), (1, t + timedelta(minutes=5), 2, "b")]
+    rows += [(1, t + timedelta(minutes=70), 3, "a"),
+             (1, t + timedelta(minutes=75), 4, "b")]
+    # u2: one session [a, b]
+    rows += [(2, t, 5, "a"), (2, t + timedelta(minutes=1), 6, "b")]
+    # u3: one long session capped at max_len=2: [c, c, c] -> path 'c>c'
+    rows += [(3, t + timedelta(minutes=i), 10 + i, "c") for i in range(3)]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    got = {
+        r["path"]: (r["n_sessions"], r["n_events"])
+        for r in top_session_paths(df, k=10, gap_minutes=30, max_len=2).collect()
+    }
+    assert got == {"a>b": (3, 2), "c>c": (1, 2)}
