@@ -184,3 +184,18 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
             "classpath (spark-submit --packages org.apache.spark:"
             "spark-avro_2.13:<spark-version>); it is not bundled here"
         ) from exc
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-file source (multimodal ingestion): one row per file with
+    (path, modificationTime, length, content BINARY) — the input shape
+    operators/multimodal.py consumes. ``glob`` filters by pattern
+    (e.g. '*.png'). Spark parallelizes across files; for millions of
+    small objects prefer compacting into parquet with a binary column
+    first (io/writers + multimodal.attach_binary)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

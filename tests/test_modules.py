@@ -1499,3 +1499,15 @@ def test_top_session_paths_sessions_and_cap(spark):
         for r in top_session_paths(df, k=10, gap_minutes=30, max_len=2).collect()
     }
     assert got == {"a>b": (3, 2), "c>c": (1, 2)}
+
+
+def test_read_binary_files_roundtrip(spark, tmp_path):
+    from datalake_etlscripts_spark.io.readers import read_binary_files
+
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01payload")
+    (tmp_path / "b.txt").write_bytes(b"text")
+    df = read_binary_files(spark, str(tmp_path))
+    rows = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in df.collect()}
+    assert rows == {"a.bin": b"\x00\x01payload", "b.txt": b"text"}
+    only_bin = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    assert [r["length"] for r in only_bin.collect()] == [9]
