@@ -344,3 +344,32 @@ def test_winnow_fingerprints_match_python_reference(spark, texts, k, w):
         got.setdefault(r["_did"], set()).add(r["fp"])
     for i, t in enumerate(texts):
         assert got.get(i, set()) == _py_winnow(t, k, w), (t, k, w)
+
+
+@SET
+@given(
+    docs=st.lists(doc, min_size=1, max_size=20),
+    phrase=st.lists(st.sampled_from(["a", "b", "ab", "X"]), min_size=1, max_size=3),
+)
+def test_phrase_matches_python_reference(spark, docs, phrase):
+    from datalake_etlscripts_spark.operators.text import phrase_matches
+
+    # docs over the same tiny alphabet; phrase terms deliberately
+    # overlap token prefixes so substring false-matches would surface
+    rows = [(i, d) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["_did"]: (r["n_matches"], r["first_pos"])
+        for r in phrase_matches(df, list(phrase)).collect()
+    }
+    want = {}
+    for i, d in rows:
+        toks = _py_tokens(d)
+        hits = [
+            j
+            for j in range(len(toks) - len(phrase) + 1)
+            if toks[j : j + len(phrase)] == list(phrase)
+        ]
+        if hits:
+            want[i] = (len(hits), hits[0])
+    assert got == want
