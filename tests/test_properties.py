@@ -373,3 +373,41 @@ def test_phrase_matches_python_reference(spark, docs, phrase):
         if hits:
             want[i] = (len(hits), hits[0])
     assert got == want
+
+
+def _py_lev(a: str, b: str) -> int:
+    d = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, d[0] = d[0], i
+        for j, cb in enumerate(b, 1):
+            prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+    return d[len(b)]
+
+
+@SET
+@given(
+    names=st.lists(
+        st.text(alphabet="abcde", min_size=6, max_size=10),
+        min_size=2,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_fuzzy_match_complete_vs_brute_force(spark, names):
+    """Every name ≥ q·(d+1) = 6 chars → the q-gram count-filter
+    blocking is COMPLETE: the blocked join must equal brute force."""
+    import itertools
+
+    from datalake_etlscripts_spark.operators.enrichment import fuzzy_match_pairs
+
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    got = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in fuzzy_match_pairs(df, "name", max_dist=2).collect()
+    }
+    want = {
+        (a, b, _py_lev(a, b))
+        for a, b in itertools.combinations(sorted(names), 2)
+        if _py_lev(a, b) <= 2
+    }
+    assert got == want
