@@ -474,3 +474,60 @@ def top_session_paths(
     return counted.orderBy(
         F.col("n_sessions").desc(), F.col("path").asc()
     ).limit(k)
+
+
+def linear_trend(
+    events: DataFrame,
+    value_col: str = "value",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-key least-squares trend (slope/intercept of value over time)
+    — the drift-detection primitive. Engine-portable determinism the
+    same way the engine's other float aggregates get it: every SUM is
+    EXACT (integer/decimal — x is per-key-centered epoch seconds, y is
+    scaled to integer 1e-4 units via an exact decimal cast), and the
+    only floating-point steps are the final divisions, replayed in the
+    same order by the oracle. Built-in regr_slope/regr_avg* would sum
+    doubles in partition order — non-deterministic across engines and
+    partitionings — so they are deliberately not used.
+
+    slope is in value-units per second; intercept is the value at the
+    key's FIRST observation (x centered at per-key min — also what
+    keeps Σx² inside exact 38-digit decimals at 100 TB row counts).
+    Two scans (per-key min, then moments), both column-pruned; the
+    min dim rides a broadcast join. Returns (key, n, slope,
+    intercept)."""
+    mins = events.groupBy(key_col).agg(
+        F.min(F.unix_seconds(F.col(ts_col))).alias("_x0")
+    )
+    base = events.join(F.broadcast(mins), key_col).select(
+        key_col,
+        (F.unix_seconds(F.col(ts_col)) - F.col("_x0")).alias("_x"),
+        (F.col(value_col).cast("decimal(12,4)") * 10000)
+        .cast("decimal(38,0)")
+        .alias("_yi"),
+    )
+    m = base.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").cast("decimal(38,0)").alias("_sx"),
+        F.sum("_yi").cast("decimal(38,0)").alias("_sy"),
+        F.sum(F.col("_x").cast("decimal(19,0)") * F.col("_yi")).cast("decimal(38,0)").alias("_sxy"),
+        F.sum(F.col("_x").cast("decimal(19,0)") * F.col("_x")).cast("decimal(38,0)").alias("_sxx"),
+    )
+    num = (F.col("n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(
+        "decimal(38,0)"
+    )
+    den = (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(
+        "decimal(38,0)"
+    )
+    slope = (num.cast("double") / den.cast("double")) / F.lit(10000.0)
+    intercept = (
+        F.col("_sy").cast("double") / F.lit(10000.0) / F.col("n").cast("double")
+        - F.col("slope") * (F.col("_sx").cast("double") / F.col("n").cast("double"))
+    )
+    return (
+        m.withColumn("slope", slope)
+        .withColumn("intercept", intercept)
+        .select(key_col, "n", "slope", "intercept")
+    )

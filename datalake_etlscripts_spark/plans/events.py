@@ -636,3 +636,45 @@ def q_rolling_hour_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rolling_mean"),
         F.count(F.lit(1)).over(w).alias("n_window"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-key least-squares trend — EXACT integer/decimal sums (built-in
+# regr_* would sum doubles in partition order); only the final
+# divisions are floating point, replayed in the same order here.
+# ---------------------------------------------------------------------------
+@query(
+    "value_trend_per_type",
+    oracle="""
+    WITH x0 AS (
+      SELECT event_type, min(epoch_us(ts) // 1000000) AS x0
+      FROM events GROUP BY 1
+    ),
+    b AS (
+      SELECT e.event_type,
+             CAST(epoch_us(e.ts) // 1000000 - x0.x0 AS HUGEINT) AS x,
+             CAST(CAST(e.value AS DECIMAL(12,4)) * 10000 AS HUGEINT) AS yi
+      FROM events e JOIN x0 USING (event_type)
+    ),
+    m AS (
+      SELECT event_type, count(*) AS n,
+             SUM(x) AS sx, SUM(yi) AS sy,
+             SUM(x * yi) AS sxy, SUM(x * x) AS sxx
+      FROM b GROUP BY 1
+    )
+    SELECT event_type, n,
+      (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)) / 10000.0 AS slope,
+      CAST(sy AS DOUBLE) / 10000.0 / CAST(n AS DOUBLE)
+        - ((CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+              / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)) / 10000.0)
+          * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS intercept
+    FROM m
+    """,
+)
+def q_value_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares value trend (slope per second + intercept at first observation) - exact integer-scaled sums, float only in the final divisions."""
+    from datalake_etlscripts_spark.operators.events import linear_trend
+
+    e = read_table(spark, sf_dir, "events")
+    return linear_trend(e)

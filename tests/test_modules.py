@@ -1511,3 +1511,26 @@ def test_read_binary_files_roundtrip(spark, tmp_path):
     assert rows == {"a.bin": b"\x00\x01payload", "b.txt": b"text"}
     only_bin = read_binary_files(spark, str(tmp_path), glob="*.bin")
     assert [r["length"] for r in only_bin.collect()] == [9]
+
+
+def test_linear_trend_recovers_exact_line(spark):
+    from datetime import datetime, timedelta
+
+    from datalake_etlscripts_spark.operators.events import linear_trend
+
+    t = datetime(2024, 1, 1)
+    # y = 2.5 + 0.001 * x (x in seconds from first obs) — exact fit
+    rows = [
+        ("a", t + timedelta(seconds=s), 2.5 + 0.001 * s)
+        for s in (0, 60, 120, 3600)
+    ]
+    # constant series: slope 0
+    rows += [("b", t + timedelta(seconds=s), 7.0) for s in (0, 100, 200)]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    got = {r["event_type"]: r for r in linear_trend(df).collect()}
+    assert abs(got["a"]["slope"] - 0.001) < 1e-12
+    assert abs(got["a"]["intercept"] - 2.5) < 1e-9
+    assert got["b"]["slope"] == 0.0 and abs(got["b"]["intercept"] - 7.0) < 1e-12
+    # partitioning-independent (exact sums)
+    got2 = {r["event_type"]: r for r in linear_trend(df.repartition(7)).collect()}
+    assert all(got[k]["slope"] == got2[k]["slope"] for k in got)
