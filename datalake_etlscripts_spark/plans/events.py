@@ -678,3 +678,72 @@ def q_value_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return linear_trend(e)
+
+
+# ---------------------------------------------------------------------------
+# distributional drift between two snapshot halves: per-type binned
+# value histograms compared with a chi-square-style statistic — every
+# count is exact; the double terms fold in BIN ORDER (sorted collect)
+# so the sum is partitioning-deterministic, same policy as the cosine
+# folds. (PSI's ln() is not bit-portable across engines — the
+# (pa−pb)²/(pa+pb) form needs only +,−,×,÷.)
+# ---------------------------------------------------------------------------
+@query(
+    "distribution_drift",
+    oracle="""
+    WITH binned AS (
+      SELECT event_type, event_id % 2 AS h,
+             CAST(floor(value / 10.0) AS BIGINT) AS bin
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, bin,
+             SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS nb
+      FROM binned GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, SUM(na) AS ta, SUM(nb) AS tb,
+             list_sort(list(ROW(bin, na, nb))) AS arr
+      FROM c GROUP BY 1
+    )
+    SELECT event_type, CAST(ta AS BIGINT) AS ta, CAST(tb AS BIGINT) AS tb,
+      list_reduce(list_prepend(0.0, list_transform(arr, s ->
+        (CAST(s[2] AS DOUBLE) / ta - CAST(s[3] AS DOUBLE) / tb)
+          * (CAST(s[2] AS DOUBLE) / ta - CAST(s[3] AS DOUBLE) / tb)
+          / (CAST(s[2] AS DOUBLE) / ta + CAST(s[3] AS DOUBLE) / tb))),
+        (a, x) -> a + x) AS drift
+    FROM t
+    """,
+)
+def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square-style distribution drift between snapshot halves per event type - exact bin counts, bin-ordered double fold (no ln, bit-portable)."""
+    e = read_table(spark, sf_dir, "events")
+    binned = e.select(
+        "event_type",
+        (F.col("event_id") % 2).alias("_h"),
+        F.floor(F.col("value") / F.lit(10.0)).cast("long").alias("_bin"),
+    )
+    c = binned.groupBy("event_type", "_bin").agg(
+        F.sum(F.when(F.col("_h") == 0, 1).otherwise(0)).alias("_na"),
+        F.sum(F.when(F.col("_h") == 1, 1).otherwise(0)).alias("_nb"),
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("_na").alias("ta"),
+        F.sum("_nb").alias("tb"),
+        F.array_sort(F.collect_list(F.struct("_bin", "_na", "_nb"))).alias("_arr"),
+    )
+
+    def term(s):
+        na = s["_na"].cast("double") / F.col("ta")
+        nb = s["_nb"].cast("double") / F.col("tb")
+        return (na - nb) * (na - nb) / (na + nb)
+
+    return t.select(
+        "event_type",
+        "ta",
+        "tb",
+        F.aggregate(
+            F.col("_arr"), F.lit(0.0), lambda acc, s: acc + term(s)
+        ).alias("drift"),
+    )
