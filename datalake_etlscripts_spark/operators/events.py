@@ -531,3 +531,48 @@ def linear_trend(
         .withColumn("intercept", intercept)
         .select(key_col, "n", "slope", "intercept")
     )
+
+
+def distribution_drift(
+    events: DataFrame,
+    value_col: str = "value",
+    key_col: str = "event_type",
+    half_col: str = "event_id",
+    bin_width: float = 10.0,
+) -> DataFrame:
+    """Chi-square-style distributional drift between two snapshot
+    halves (rows split by ``half_col`` parity) per key: bin the value,
+    count per (key, bin, half) — exact integers — then fold
+    (pa−pb)²/(pa+pb) over bins IN BIN ORDER (sorted collect, the
+    engine's deterministic-double-sum policy). PSI's ln() is not
+    bit-portable across engines; this form needs only +,−,×,÷.
+    Returns (key, ta, tb, drift) — 0 for identical distributions,
+    → 2 for disjoint ones."""
+    binned = events.select(
+        key_col,
+        (F.col(half_col) % 2).alias("_h"),
+        F.floor(F.col(value_col) / F.lit(bin_width)).cast("long").alias("_bin"),
+    )
+    c = binned.groupBy(key_col, "_bin").agg(
+        F.sum(F.when(F.col("_h") == 0, 1).otherwise(0)).alias("_na"),
+        F.sum(F.when(F.col("_h") == 1, 1).otherwise(0)).alias("_nb"),
+    )
+    t = c.groupBy(key_col).agg(
+        F.sum("_na").alias("ta"),
+        F.sum("_nb").alias("tb"),
+        F.array_sort(F.collect_list(F.struct("_bin", "_na", "_nb"))).alias("_arr"),
+    )
+
+    def term(s):
+        na = s["_na"].cast("double") / F.col("ta")
+        nb = s["_nb"].cast("double") / F.col("tb")
+        return (na - nb) * (na - nb) / (na + nb)
+
+    return t.select(
+        key_col,
+        "ta",
+        "tb",
+        F.aggregate(
+            F.col("_arr"), F.lit(0.0), lambda acc, s: acc + term(s)
+        ).alias("drift"),
+    )

@@ -718,32 +718,7 @@ def q_value_trend_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square-style distribution drift between snapshot halves per event type - exact bin counts, bin-ordered double fold (no ln, bit-portable)."""
+    from datalake_etlscripts_spark.operators.events import distribution_drift
+
     e = read_table(spark, sf_dir, "events")
-    binned = e.select(
-        "event_type",
-        (F.col("event_id") % 2).alias("_h"),
-        F.floor(F.col("value") / F.lit(10.0)).cast("long").alias("_bin"),
-    )
-    c = binned.groupBy("event_type", "_bin").agg(
-        F.sum(F.when(F.col("_h") == 0, 1).otherwise(0)).alias("_na"),
-        F.sum(F.when(F.col("_h") == 1, 1).otherwise(0)).alias("_nb"),
-    )
-    t = c.groupBy("event_type").agg(
-        F.sum("_na").alias("ta"),
-        F.sum("_nb").alias("tb"),
-        F.array_sort(F.collect_list(F.struct("_bin", "_na", "_nb"))).alias("_arr"),
-    )
-
-    def term(s):
-        na = s["_na"].cast("double") / F.col("ta")
-        nb = s["_nb"].cast("double") / F.col("tb")
-        return (na - nb) * (na - nb) / (na + nb)
-
-    return t.select(
-        "event_type",
-        "ta",
-        "tb",
-        F.aggregate(
-            F.col("_arr"), F.lit(0.0), lambda acc, s: acc + term(s)
-        ).alias("drift"),
-    )
+    return distribution_drift(e)

@@ -1534,3 +1534,22 @@ def test_linear_trend_recovers_exact_line(spark):
     # partitioning-independent (exact sums)
     got2 = {r["event_type"]: r for r in linear_trend(df.repartition(7)).collect()}
     assert all(got[k]["slope"] == got2[k]["slope"] for k in got)
+
+
+def test_distribution_drift_zero_for_identical_halves(spark):
+    # identical halves (same values in even/odd ids) -> drift exactly 0;
+    # disjoint halves -> drift near the statistic's max (sum of p²/p = 2)
+    rows = []
+    for i in range(100):
+        rows.append((2 * i, "same", float(i % 7) * 10))
+        rows.append((2 * i + 1, "same", float(i % 7) * 10))
+        rows.append((2 * i, "moved", 0.0))
+        rows.append((2 * i + 1, "moved", 1000.0))
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    from datalake_etlscripts_spark.operators.events import distribution_drift
+
+    out = {
+        r["event_type"]: r["drift"] for r in distribution_drift(df).collect()
+    }
+    assert out["same"] == 0.0
+    assert abs(out["moved"] - 2.0) < 1e-12
