@@ -549,3 +549,26 @@ def snapshot_diff(
         .filter(F.col("change_type").isNotNull())
         .select(key, "change_type", "_old", "_new")
     )
+
+
+def apply_changeset(base: DataFrame, changes: DataFrame, key: str) -> DataFrame:
+    """Apply a snapshot_diff-shaped changeset to a snapshot: the CDC
+    CONSUMER half of the change-data-feed pair (snapshot_diff emits
+    deltas; this replays them downstream — mirror tables, derived
+    marts — without ever re-reading the producer's full history).
+
+    ``changes`` carries one row per changed key with
+    change_type ∈ insert/update/delete and the replacement payload in
+    a ``_new`` struct (NULL for deletes) — exactly what snapshot_diff
+    returns. One left-anti join evicts every changed key from the
+    base, then inserts/updates append their payloads: linear in
+    |base| + |changes|, one shuffle on the key, AQE broadcasts the
+    (delta-sized) change set against a large base.
+
+    Idempotent by construction: applying the same changeset twice
+    yields the same snapshot.
+    """
+    upserts = changes.filter(F.col("change_type").isin("insert", "update"))
+    kept = base.join(changes.select(key), key, "left_anti")
+    new_rows = upserts.select(F.col(key), F.col("_new.*"))
+    return kept.unionByName(new_rows.select(*base.columns))

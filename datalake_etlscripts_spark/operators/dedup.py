@@ -1074,3 +1074,150 @@ def decontaminate_corpus(
     hits = contamination_hits(corpus, benchmark, text_col, id_col, k)
     bad = hits.filter(F.col("n_hit_shingles") > max_hits).select(id_col)
     return corpus.join(bad, id_col, "left_anti")
+
+
+def ngram_novelty_scores(
+    corpus: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Per-document n-gram novelty vs a reference corpus: the fraction
+    of a document's DISTINCT k-token shingles that do NOT occur
+    anywhere in ``reference`` — the memorization/novelty audit run on
+    generated or newly-crawled data against the training corpus
+    (contamination_hits' per-doc ratio generalization; cf. Carlini et
+    al.'s memorization overlap metrics).
+
+    Scale shape: the reference's distinct shingle set is the small
+    side only when auditing against benchmarks; against a full
+    training corpus BOTH sides are large, so the membership probe is a
+    plain left join on the shingle hash (linear shuffle on 8-byte
+    keys, never a broadcast). Per-doc totals ride one id-keyed
+    aggregate. Ratio = exact ints divided once in double (engine-
+    deterministic). Documents too short for one shingle score NULL.
+
+    Returns (id, n_shingles, n_novel, novelty).
+    """
+    ref_sh = (
+        reference.select(F.explode(shingles(F.col(text_col), k)).alias("_sh"))
+        .distinct()
+        .withColumn("_seen", F.lit(1))
+    )
+    doc_sh = corpus.select(
+        F.col(id_col), F.explode_outer(shingles(F.col(text_col), k)).alias("_sh")
+    ).dropDuplicates([id_col, "_sh"])
+    probed = doc_sh.join(ref_sh, "_sh", "left")
+    return (
+        probed.groupBy(id_col)
+        .agg(
+            F.count(F.col("_sh")).alias("n_shingles"),
+            (F.count(F.col("_sh")) - F.count(F.col("_seen"))).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.try_divide(
+                F.col("n_novel").cast("double"), F.col("n_shingles").cast("double")
+            ),
+        )
+    )
+
+
+def allpairs_jaccard_pairs(
+    df: DataFrame,
+    threshold: tuple[int, int] = (3, 5),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT all-pairs similarity join (AllPairs / PPJoin prefix
+    filtering, Bayardo et al. 2007): every pair of documents with
+    token-set Jaccard ≥ threshold — no approximation, unlike
+    minhash-LSH, and no blocking assumptions, unlike the
+    (lang × length) ngram join.
+
+    Why it scales: each document's tokens are ordered by ASCENDING
+    global frequency and only the first l − ⌈t·l⌉ + 1 of them (the
+    prefix) generate candidates — two sets with J ≥ t provably share
+    a prefix token under a common global order. Prefixes are built
+    from the RAREST tokens, so the candidate equi-join keys are
+    low-skew by construction (a stopword never lands in a prefix of a
+    long document); a size-ratio filter (t ≤ |B|/|A| ≤ 1/t) prunes
+    before verification. Exact verification intersects the two
+    distinct-token arrays per surviving candidate.
+
+    The threshold is a RATIONAL (num, den) and the keep decision is
+    integer cross-multiplication (den·inter ≥ num·union) — no float
+    boundary ambiguity between engines; the reported jaccard is one
+    double division of exact ints.
+
+    Returns (id1, id2, jaccard) with id1 < id2.
+    """
+    tnum, tden = threshold
+    tok = df.select(
+        F.col(id_col).alias("_did"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_tok"),
+    )
+    freq = tok.groupBy("_tok").agg(F.count(F.lit(1)).alias("_n"))
+    ordered = (
+        tok.join(freq, "_tok")
+        .groupBy("_did")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_n", "_tok"))),
+                lambda s: s["_tok"],
+            ).alias("_toks")
+        )
+        .withColumn("_l", F.size("_toks").cast("long"))
+        .withColumn(
+            "_p",
+            F.col("_l")
+            - F.floor((tnum * F.col("_l") + tden - 1) / tden).cast("long")
+            + 1,
+        )
+    )
+    pref = ordered.select(
+        "_did",
+        "_l",
+        F.explode(F.slice("_toks", 1, F.greatest(F.col("_p"), F.lit(0)).cast("int"))).alias(
+            "_tok"
+        ),
+    )
+    a = pref.select(
+        F.col("_did").alias("id1"), F.col("_l").alias("_l1"), "_tok"
+    )
+    b = pref.select(
+        F.col("_did").alias("id2"), F.col("_l").alias("_l2"), "_tok"
+    )
+    cand = (
+        a.join(b, "_tok")
+        .filter(F.col("id1") < F.col("id2"))
+        .filter(
+            (tnum * F.col("_l1") <= tden * F.col("_l2"))
+            & (tnum * F.col("_l2") <= tden * F.col("_l1"))
+        )
+        .select("id1", "id2")
+        .dropDuplicates()
+    )
+    s1 = ordered.select(
+        F.col("_did").alias("id1"), F.col("_toks").alias("_s1"), F.col("_l").alias("_l1")
+    )
+    s2 = ordered.select(
+        F.col("_did").alias("id2"), F.col("_toks").alias("_s2"), F.col("_l").alias("_l2")
+    )
+    verified = (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "_inter", F.size(F.array_intersect("_s1", "_s2")).cast("long")
+        )
+        .withColumn("_union", F.col("_l1") + F.col("_l2") - F.col("_inter"))
+        .filter(tden * F.col("_inter") >= tnum * F.col("_union"))
+    )
+    return verified.select(
+        "id1",
+        "id2",
+        (F.col("_inter").cast("double") / F.col("_union").cast("double")).alias(
+            "jaccard"
+        ),
+    )

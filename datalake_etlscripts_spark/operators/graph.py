@@ -145,3 +145,67 @@ def pagerank(
         # truncate lineage; lazy → materializes on the final action only
         ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank")
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Exact per-node triangle counts + local clustering coefficient
+    over an undirected edge set (columns ``u``, ``v`` with u < v,
+    distinct) — the standard cohesion/spam-farm signal for link
+    graphs (triangle-free spam clusters vs dense organic communities).
+
+    Scale shape — degree-ordered orientation (Cohen's MapReduce
+    triangle algorithm / cf. Suri & Vassilvitskii 2011): every edge
+    is directed toward its HIGHER (degree, id) endpoint, so wedges are
+    only generated at each triangle's lowest-degree vertex — total
+    wedge volume is O(m^1.5) regardless of skew (a star graph emits
+    zero wedges at the hub), vs O(Σ deg²) for the naive wedge join.
+    Three shuffles total: degree aggregate, wedge self-join on the
+    oriented source, closing-edge equi-join. Counts are exact
+    integers; the coefficient is one double division of exact ints
+    (2·tri / deg·(deg−1)), NULL for degree ≤ 1 nodes.
+
+    Returns (node, degree, n_triangles, clustering).
+    """
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e = (
+        edges.join(
+            deg.select(F.col("node").alias("u"), F.col("degree").alias("_du")), "u"
+        ).join(
+            deg.select(F.col("node").alias("v"), F.col("degree").alias("_dv")), "v"
+        )
+    )
+    u_first = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("_dv")).otherwise(F.col("_du")).alias("_ddst"),
+    )
+    o1 = oriented.select("src", F.col("dst").alias("a"), F.col("_ddst").alias("_da"))
+    o2 = oriented.select("src", F.col("dst").alias("b"), F.col("_ddst").alias("_db"))
+    wedges = o1.join(o2, "src").filter(
+        (F.col("_da") < F.col("_db"))
+        | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
+    )
+    closing = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    tri = wedges.join(closing, ["a", "b"], "left_semi").select("src", "a", "b")
+    tn = (
+        tri.select(F.explode(F.array("src", "a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return deg.join(tn, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0).cast("long")).alias("n_triangles"),
+        F.try_divide(
+            (2 * F.coalesce("n_triangles", F.lit(0).cast("long"))).cast("double"),
+            (F.col("degree").cast("long") * (F.col("degree") - 1)).cast("double"),
+        ).alias("clustering"),
+    )

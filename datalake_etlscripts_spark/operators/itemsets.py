@@ -1,0 +1,89 @@
+"""Market-basket analysis: frequent item pairs + association metrics.
+
+The canonical co-occurrence mining pass over transactional data
+(orders → parts here; queries → clicked documents in a search log).
+The reference has no association mining (beyond-reference analytics
+surface, same category as the graph/retrieval operators).
+
+Design for 100 TB:
+- Pair generation is the quadratic hazard: a whale basket with 10^4
+  distinct items would alone emit 5·10^7 pairs. Baskets are CAPPED at
+  ``max_items`` (deterministically — the first ``max_items`` items in
+  item order), the standard FP-growth-era mitigation; the cap is part
+  of the operator contract so an external engine can replay it.
+- With the cap, pair volume is ≤ C(max_items, 2) per basket — linear
+  in baskets. One shuffle keyed on the pair, one on the item for
+  supports, all exact integer counts.
+- Confidence and lift are single double divisions of exact int64
+  products (no float aggregation), bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def frequent_pairs(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    max_items: int = 32,
+) -> DataFrame:
+    """Frequent item PAIRS with confidence and lift.
+
+    ``baskets`` is (basket, item) shaped (duplicates tolerated).
+    Returns one row per unordered pair {a, b} (a < b) co-occurring in
+    ≥ ``min_support`` baskets:
+    (item_a, item_b, pair_support, support_a, support_b,
+     conf_a_to_b, conf_b_to_a, lift).
+    """
+    capped = (
+        baskets.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .dropDuplicates()
+        .groupBy("_b")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("_i")), 1, max_items).alias("_items")
+        )
+    )
+    n_baskets = capped.agg(F.count(F.lit(1)).alias("_n"))
+    items = capped.select("_b", F.explode("_items").alias("_i"))
+    sup = items.groupBy("_i").agg(F.count(F.lit(1)).alias("_sup"))
+    a = items.select("_b", F.col("_i").alias("item_a"))
+    b = items.select("_b", F.col("_i").alias("item_b"))
+    pairs = (
+        a.join(b, "_b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_support"))
+        .filter(F.col("pair_support") >= min_support)
+    )
+    return (
+        pairs.join(
+            F.broadcast(sup.select(F.col("_i").alias("item_a"), F.col("_sup").alias("support_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(sup.select(F.col("_i").alias("item_b"), F.col("_sup").alias("support_b"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_support",
+            "support_a",
+            "support_b",
+            (F.col("pair_support").cast("double") / F.col("support_a").cast("double")).alias(
+                "conf_a_to_b"
+            ),
+            (F.col("pair_support").cast("double") / F.col("support_b").cast("double")).alias(
+                "conf_b_to_a"
+            ),
+            (
+                (F.col("pair_support") * F.col("_n")).cast("double")
+                / (F.col("support_a") * F.col("support_b")).cast("double")
+            ).alias("lift"),
+        )
+    )

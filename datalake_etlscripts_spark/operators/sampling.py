@@ -283,3 +283,32 @@ def weighted_sample_topk(
         .agg(F.max("_u").alias("sample_key"))
     )
     return keyed.orderBy(F.col("sample_key").desc(), F.col("key").asc()).limit(k)
+
+
+def sample_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    n: int,
+    salt: str = "spg",
+) -> DataFrame:
+    """Deterministic per-group reservoir: keep exactly min(n, |group|)
+    rows from every group, chosen by md5-hash order of the key — the
+    distributed, re-runnable replacement for per-group reservoir
+    sampling (balanced eval sets, per-language audit samples).
+
+    Because the rank key is a pure function of the row, the sample is
+    identical under any partitioning, engine, or retry — unlike
+    ``df.sample``/reservoirs seeded per task. One window over the
+    group partitioning (single shuffle on the group key); the salt
+    decorrelates this sample from other hash-keyed decisions on the
+    same ids (e.g. train_test_split).
+
+    Returns the sampled rows plus ``sample_rank`` (1..n within group).
+    """
+    hk = _hex_key(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    w = W.partitionBy(group_col).orderBy(hk, F.col(key_col).cast("string"))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
+    )

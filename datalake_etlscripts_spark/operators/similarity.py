@@ -512,3 +512,102 @@ def knn_label_vote(
     return best.join(truth, "query_id").select(
         "query_id", "true_label", "pred_label", "votes"
     )
+
+
+def pq_codebooks(
+    dim: int, m: int = 8, k: int = 16, seed: int = 13
+) -> list[list[list[float]]]:
+    """Deterministic literal PQ codebooks: m sub-quantizers of
+    dim/m-dimensional centroids, k centroids each (LCG-derived like
+    random_planes — reproducible across sessions and replayable by an
+    external engine). Production would train them with k-means per
+    subspace (kmeans_train_distributed on the sliced corpus); the
+    fixed literals are the oracle-checkable variant, same policy as
+    the IVF quantizer."""
+    sub = dim // m
+    return [random_planes(sub, k, seed=seed + 97 * j) for j in range(m)]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): each vector
+    becomes m small codes — argmin-L2 against each subspace codebook,
+    ties broken by lowest code. Pure per-row expressions (no shuffle,
+    no UDF): the codebooks are literal arrays folded in fixed index
+    order, so assignment is bit-deterministic in any engine. A 64-dim
+    float vector (256 bytes) compresses to m bytes — the memory shape
+    that makes billion-vector ANN fit a cluster.
+
+    Returns the input plus ``codes ARRAY<INT>``."""
+    sub = len(codebooks[0][0])
+    codes = []
+    for j, cb in enumerate(codebooks):
+        subvec = F.slice(F.col(vec_col), j * sub + 1, sub)
+        codes.append(
+            F.element_at(_nearest_centroids(subvec, cb, 1), 1).alias(f"_c{j}")
+        )
+    return df.withColumn("codes", F.array(*codes))
+
+
+def pq_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: corpus vectors are encoded
+    ONCE to m-byte codes; each query scores candidates against the
+    RECONSTRUCTED centroids (query side stays full-precision — the
+    asymmetric variant loses half the quantization error of
+    symmetric). Distance = one ordered fold over the reconstruction,
+    bit-deterministic.
+
+    Scale shape: the m·k centroid tables are plan literals; the scored
+    side is a broadcast nested-loop of the (small) query block against
+    the code table — same shape as brute_force_topk but touching
+    m-byte codes instead of full vectors (the memory-bound win). A
+    production variant would precompute the per-query m×k distance
+    table; at expression level the reconstruction fold is the same
+    arithmetic, kept explicit for oracle replay.
+
+    Returns (query_id, neighbor_id, adc_dist, rank)."""
+    sub = len(codebooks[0][0])
+    enc = pq_encode(corpus, codebooks, id_col, vec_col)
+    recon_parts = []
+    for j, cb in enumerate(codebooks):
+        table = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cb])
+        recon_parts.append(F.element_at(table, F.col("codes")[j] + 1))
+    recon = F.concat(*recon_parts)
+    c = enc.select(
+        F.col(id_col).alias("neighbor_id"), recon.alias("_rv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_qv"),
+                    F.col("_rv"),
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_dist"), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -647,3 +647,80 @@ def phrase_matches(
     return cur.groupBy("_did").agg(
         F.count(F.lit(1)).alias("n_matches"), F.min("start").alias("first_pos")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """BM25-shaped ranked retrieval for a fixed term query, in EXACT
+    integer arithmetic (k1 = 6/5, b = 3/4). The idf is the log-free
+    Robertson ratio (2N − 2df + 1)/(2df + 1) — same monotonicity and
+    saturation behaviour as BM25's ln(idf), but every per-term score
+    is one division of two exact int64 products, so any engine replays
+    it bit-for-bit (the same policy as the log-free tfidf score; ln()
+    is not bit-portable across libm builds). Per-document score =
+    fold of the per-term doubles in TERM ORDER — deterministic under
+    any partitioning.
+
+    Scale shape: one token explode filtered to the |q| query terms
+    (map-side — hit rows ≪ corpus), a |q|-row broadcast df dim, a
+    1-row broadcast (N, L) stats dim, one doc-keyed aggregate, and a
+    TakeOrdered top-k. The corpus is never shuffled full-width.
+    Int64 headroom: products stay < 2^63 for corpora up to ~10^7 docs
+    × 10^9 total tokens; beyond that, swap the exact ints for doubles
+    (audit path stays at test scale). Returns (id, n_hit, score) for
+    the top-k matching documents (ties broken by id).
+    """
+    toks = tokens(F.col(text_col))
+    dl = df.select(F.col(id_col), F.size(toks).cast("long").alias("_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_l")
+    )
+    hits = (
+        df.select(F.col(id_col), F.explode(toks).alias("_t"))
+        .filter(F.col("_t").isin(list(query_terms)))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dft = hits.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    sc = (
+        hits.join(F.broadcast(dft), "_t")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.col("_t"),
+            (
+                (
+                    (2 * F.col("_n") - 2 * F.col("_df") + 1)
+                    * 22
+                    * F.col("_tf")
+                    * F.col("_l")
+                ).cast("double")
+                / (
+                    (2 * F.col("_df") + 1)
+                    * (
+                        10 * F.col("_tf") * F.col("_l")
+                        + 3 * F.col("_l")
+                        + 9 * F.col("_dl") * F.col("_n")
+                    )
+                ).cast("double")
+            ).alias("_sc"),
+        )
+    )
+    agg = sc.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_t", "_sc"))),
+                lambda s: s["_sc"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    return agg.orderBy(F.desc("score"), F.col(id_col)).limit(k)

@@ -735,3 +735,41 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(
         o, ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
     )
+
+
+# ---------------------------------------------------------------------------
+# market-basket association mining: frequent part pairs over orders
+# ---------------------------------------------------------------------------
+@query(
+    "frequent_pairs",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    capped AS (SELECT b, list_sort(list(i))[1:32] AS items FROM li GROUP BY b),
+    n AS (SELECT count(*) AS n FROM capped),
+    it AS (SELECT b, unnest(items) AS i FROM capped),
+    sup AS (SELECT i, count(*) AS sup FROM it GROUP BY i),
+    pairs AS (
+      SELECT a.i AS item_a, bb.i AS item_b, count(*) AS pair_support
+      FROM it a JOIN it bb ON a.b = bb.b AND a.i < bb.i
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT item_a, item_b, pair_support,
+           sa.sup AS support_a, sb.sup AS support_b,
+           CAST(pair_support AS DOUBLE) / CAST(sa.sup AS DOUBLE) AS conf_a_to_b,
+           CAST(pair_support AS DOUBLE) / CAST(sb.sup AS DOUBLE) AS conf_b_to_a,
+           CAST(pair_support * n.n AS DOUBLE)
+             / CAST(sa.sup * sb.sup AS DOUBLE) AS lift
+    FROM pairs
+    JOIN sup sa ON sa.i = item_a
+    JOIN sup sb ON sb.i = item_b
+    CROSS JOIN n
+    """,
+)
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent part pairs with confidence and lift - capped baskets bound pair blowup, exact integer supports, one pair-keyed shuffle."""
+    from datalake_etlscripts_spark.operators.itemsets import frequent_pairs
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i")
+    )
+    return frequent_pairs(li, basket_col="b", item_col="i", min_support=2, max_items=32)

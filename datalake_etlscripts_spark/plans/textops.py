@@ -1980,3 +1980,176 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id", "out_w", "out_h", "n_bytes_out", F.md5("data").alias("content_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-group deterministic reservoir: balanced per-language audit sample
+# ---------------------------------------------------------------------------
+@query(
+    "sample_per_group",
+    oracle="""
+    SELECT lang, doc_id, sample_rank FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('spg:' || CAST(doc_id AS VARCHAR)),
+                        CAST(doc_id AS VARCHAR)) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 5
+    """,
+)
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group reservoir: exactly 5 docs per language by md5-hash order - identical sample under any partitioning or retry, one window shuffle."""
+    d = read_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    return sampling.sample_per_group(d, key_col="doc_id", group_col="lang", n=5)
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty vs a reference corpus (memorization audit): corpus =
+# non-reference docs + verbatim twins of reference docs (novelty 0 by
+# construction); reference = doc_id % 3 = 0
+# ---------------------------------------------------------------------------
+@query(
+    "ngram_novelty",
+    oracle="""
+    WITH ref AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+      UNION ALL
+      SELECT doc_id + 4000000, text FROM ref
+    ),
+    rtk AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM ref),
+    rsh AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 3, 1)),
+               i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]))) AS sh
+      FROM rtk
+    ),
+    ctk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM corpus
+    ),
+    csh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 3, 1)),
+               i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]))) AS sh
+      FROM ctk
+    ),
+    j AS (
+      SELECT c.doc_id, c.sh, r.sh AS seen
+      FROM csh c LEFT JOIN rsh r ON c.sh = r.sh
+    ),
+    a AS (
+      SELECT doc_id, count(sh) AS n_shingles,
+             count(sh) - count(seen) AS n_novel
+      FROM j GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_shingles, 0) AS n_shingles,
+           COALESCE(a.n_novel, 0) AS n_novel,
+           CASE WHEN COALESCE(a.n_shingles, 0) > 0
+                THEN CAST(a.n_novel AS DOUBLE) / CAST(a.n_shingles AS DOUBLE)
+           END AS novelty
+    FROM (SELECT doc_id FROM corpus) d LEFT JOIN a USING (doc_id)
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 5-gram novelty vs a reference corpus (memorization audit) - linear shingle join, exact-int ratio; verbatim twins score 0."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = d.filter(F.col("doc_id") % 3 == 0)
+    corpus = d.filter(F.col("doc_id") % 3 != 0).unionByName(
+        ref.select((F.col("doc_id") + 4000000).alias("doc_id"), "text")
+    )
+    return dedup.ngram_novelty_scores(corpus, ref, k=5)
+
+
+# ---------------------------------------------------------------------------
+# BM25-shaped ranked retrieval (log-free Robertson idf ratio — exact
+# integer products, one double division per term, term-ordered fold)
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ["data", "join", "spark"]
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_BM25_ORACLE = f"""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
+    stats AS (SELECT count(*) AS n, sum(dl) AS l FROM dl),
+    hits AS (
+      SELECT doc_id, t, count(*) AS tf FROM (
+        SELECT doc_id, unnest(tk) AS t FROM tk
+      ) WHERE t IN ({_BM25_TERMS_SQL})
+      GROUP BY doc_id, t
+    ),
+    dft AS (SELECT t, count(*) AS dft FROM hits GROUP BY t),
+    sc AS (
+      SELECT h.doc_id, h.t,
+             CAST((2 * s.n - 2 * d.dft + 1) * 22 * h.tf * s.l AS DOUBLE)
+             / CAST((2 * d.dft + 1)
+                    * (10 * h.tf * s.l + 3 * s.l + 9 * dl.dl * s.n) AS DOUBLE)
+               AS sc
+      FROM hits h
+      JOIN dft d USING (t)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_hit,
+             list_reduce(list_prepend(0.0, list(sc ORDER BY t)),
+                         (a, b) -> a + b) AS score
+      FROM sc GROUP BY doc_id
+    )
+    SELECT doc_id, n_hit, score FROM agg
+    ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+@query("bm25_topk", oracle=_BM25_ORACLE)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-shaped top-20 retrieval for a 3-term query - log-free integer idf ratio, broadcast stats dims, corpus never shuffled full-width."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.bm25_topk(d, _BM25_TERMS, k=20)
+
+
+# ---------------------------------------------------------------------------
+# EXACT all-pairs similarity join (AllPairs/PPJoin prefix filter) —
+# the oracle brute-forces every pair; the Spark plan generates
+# candidates only from rarest-token prefixes yet returns the
+# identical pair set (prefix filtering is lossless)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_allpairs_prefix",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 5000000, text || ' xyzzy tailtok'
+      FROM documents WHERE doc_id % 11 = 0
+    ),
+    d AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS ts
+      FROM corpus
+    ),
+    p AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             len(list_intersect(a.ts, b.ts)) AS inter,
+             len(a.ts) AS la, len(b.ts) AS lb
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+    )
+    SELECT id1, id2,
+           CAST(inter AS DOUBLE) / CAST(la + lb - inter AS DOUBLE) AS jaccard
+    FROM p WHERE 5 * inter >= 3 * (la + lb - inter)
+    """,
+)
+def q_dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 3/5 similarity self-join via AllPairs prefix filtering - rarest-token prefixes generate candidates, integer cross-multiplied threshold, no LSH loss."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 5000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" xyzzy tailtok")).alias("text"),
+        )
+    )
+    return dedup.allpairs_jaccard_pairs(corpus, threshold=(3, 5))

@@ -197,3 +197,61 @@ def q_summary_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_sum = summary_counts(band(st.snapshot(version=0)), ["band"])
     removed, added = cdc_images(snapshot_diff(st, 0, 1, key="id"))
     return incremental_summary(old_sum, band(removed), band(added), ["band"])
+
+
+# ---------------------------------------------------------------------------
+# CDC apply — the consumer half of the change-data-feed pair: replay a
+# snapshot_diff-shaped changeset (insert/update/delete + payload) onto
+# a base snapshot. Deterministic changeset derived from documents:
+#   base    = doc_id % 7 <> 0
+#   delete  = doc_id % 7 = 1
+#   update  = doc_id % 7 = 2   (text rewritten 'rev2 ' || text)
+#   insert  = doc_id % 7 = 0   (absent from base)
+# ---------------------------------------------------------------------------
+@query(
+    "cdc_apply",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id % 7 <> 0
+    )
+    SELECT doc_id, text, lang, source, n_chars
+    FROM base WHERE doc_id % 7 NOT IN (1, 2)
+    UNION ALL
+    SELECT doc_id, 'rev2 ' || text, lang, source, n_chars
+    FROM documents WHERE doc_id % 7 = 2
+    UNION ALL
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC consumer: apply an insert/update/delete changeset onto a base snapshot - one anti join + delta-sized union, base history never re-read."""
+    from datalake_etlscripts_spark.io.txstore import apply_changeset
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    base = d.filter(F.col("doc_id") % 7 != 0)
+    updates = d.filter(F.col("doc_id") % 7 == 2).select(
+        "doc_id",
+        F.lit("update").alias("change_type"),
+        F.struct(
+            F.concat(F.lit("rev2 "), F.col("text")).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        ).alias("_new"),
+    )
+    inserts = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.lit("insert").alias("change_type"),
+        F.struct("text", "lang", "source", "n_chars").alias("_new"),
+    )
+    payload_type = dict(updates.dtypes)["_new"]
+    deletes = d.filter(F.col("doc_id") % 7 == 1).select(
+        "doc_id",
+        F.lit("delete").alias("change_type"),
+        F.lit(None).cast(payload_type).alias("_new"),
+    )
+    changes = updates.unionByName(inserts).unionByName(deletes)
+    return apply_changeset(base, changes, key="doc_id")

@@ -172,3 +172,73 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "embeddings")
     return knn_label_vote(e, e.filter(F.col("vec_id") < 50), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): encode once to m small
+# codes, score queries against reconstructions (ADC). Codebooks are
+# fixed LCG literals shared into the twin — same oracle policy as the
+# IVF quantizer; production trains per-subspace k-means.
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_K, _PQ_SUB = 8, 16, 8
+
+
+def _pq_cbs():
+    from datalake_etlscripts_spark.operators.similarity import pq_codebooks
+
+    return pq_codebooks(64, m=_PQ_M, k=_PQ_K, seed=13)
+
+
+def _ddb_pq_values() -> str:
+    rows = []
+    for j, cb in enumerate(_pq_cbs()):
+        for cid, c in enumerate(cb):
+            lit = "[" + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c) + "]"
+            rows.append(f"({j}, {cid}, {lit})")
+    return ", ".join(rows)
+
+
+_PQ_ORACLE = f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id, cb.j AS j, cb.cid AS cid, cb.c AS c,
+             list_reduce(list_prepend(0.0,
+               list_transform(list_zip(v[(cb.j * {_PQ_SUB} + 1):(cb.j * {_PQ_SUB} + {_PQ_SUB})], cb.c),
+                 x -> (x[1] - x[2]) * (x[1] - x[2]))), (a, b) -> a + b) AS d
+      FROM v CROSS JOIN (VALUES {{PQ_VALUES}}) cb(j, cid, c)
+    ),
+    a AS (
+      SELECT vec_id, j, cid, c,
+             row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS r
+      FROM d
+    ),
+    recon AS (
+      SELECT vec_id, flatten(list(c ORDER BY j)) AS rv
+      FROM a WHERE r = 1 GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 8),
+    scored AS (
+      SELECT query_id, recon.vec_id AS neighbor_id,
+             list_reduce(list_prepend(0.0,
+               list_transform(list_zip(qv, rv),
+                 x -> (x[1] - x[2]) * (x[1] - x[2]))), (a, b) -> a + b) AS adc_dist
+      FROM recon CROSS JOIN q WHERE query_id <> recon.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+"""
+
+
+@query("ann_pq_topk", oracle=_PQ_ORACLE.replace("{PQ_VALUES}", _ddb_pq_values()))
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5: vectors encoded once to 8 codes (argmin-L2 per subspace, literal codebooks), queries scored full-precision against reconstructions."""
+    from datalake_etlscripts_spark.operators.similarity import pq_ann_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return pq_ann_topk(e, e.filter(F.col("vec_id") < 8), _pq_cbs(), k=5)

@@ -1553,3 +1553,215 @@ def test_distribution_drift_zero_for_identical_halves(spark):
     }
     assert out["same"] == 0.0
     assert abs(out["moved"] - 2.0) < 1e-12
+
+
+def test_sample_per_group_exact_n_and_partition_invariance(spark):
+    from datalake_etlscripts_spark.operators.sampling import sample_per_group
+
+    rows = [(i, f"g{i % 3}") for i in range(40)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    out = sample_per_group(df, key_col="k", group_col="g", n=4).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append((r["sample_rank"], r["k"]))
+    assert {g: len(v) for g, v in by_g.items()} == {"g0": 4, "g1": 4, "g2": 4, "tiny": 1}
+    assert all(sorted(r[0] for r in v) == list(range(1, len(v) + 1)) for v in by_g.values())
+    # identical membership under a different partitioning
+    out2 = sample_per_group(df.repartition(7, "k"), key_col="k", group_col="g", n=4).collect()
+    assert sorted((r["g"], r["k"]) for r in out) == sorted((r["g"], r["k"]) for r in out2)
+
+
+def test_ngram_novelty_verbatim_zero_disjoint_one(spark):
+    from datalake_etlscripts_spark.operators.dedup import ngram_novelty_scores
+
+    ref = spark.createDataFrame(
+        [(1, "a b c d e f g h")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "a b c d e f g h"),        # verbatim twin -> novelty 0
+            (11, "z y x w v u t s"),        # fully disjoint -> novelty 1
+            (12, "a b c d e q r s t u"),    # partial overlap
+            (13, "too short"),              # < 5 tokens -> NULL novelty
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty_scores(corpus, ref, k=5).collect()}
+    assert out[10]["novelty"] == 0.0
+    assert out[11]["novelty"] == 1.0
+    assert 0.0 < out[12]["novelty"] < 1.0
+    assert out[13]["n_shingles"] == 0 and out[13]["novelty"] is None
+
+
+def test_apply_changeset_semantics_and_idempotency(spark):
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.io.txstore import apply_changeset
+
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "update", ("TWO",)),
+            (3, "delete", None),
+            (4, "insert", ("four",)),
+        ],
+        "k INT, change_type STRING, _new STRUCT<v: STRING>",
+    )
+    out = apply_changeset(base, changes, key="k")
+    got = sorted((r["k"], r["v"]) for r in out.collect())
+    assert got == [(1, "one"), (2, "TWO"), (4, "four")]
+    # applying the same changeset to the result is a no-op for
+    # update/insert (idempotent upserts); deletes stay deleted
+    again = apply_changeset(out, changes, key="k")
+    assert sorted((r["k"], r["v"]) for r in again.collect()) == got
+
+
+def test_bm25_ranks_tf_and_length(spark):
+    from datalake_etlscripts_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark is fast"),
+            (2, "spark is a data engine with many extra filler words here"),
+            (3, "nothing relevant at all"),
+            (4, "data data spark"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = bm25_topk(docs, ["spark", "data"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids                        # no query term -> not retrieved
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[4]["n_hit"] == 2 and by_id[1]["n_hit"] == 1
+    # doc 4: both terms, short -> must beat doc 2 (one term, long)
+    assert by_id[4]["score"] > by_id[2]["score"]
+    assert all(r["score"] > 0 for r in out)
+
+
+def test_triangle_counts_k4_and_star(spark):
+    from datalake_etlscripts_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4}: every node in C(3,2)=3 triangles, clustering 1.0
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    # star centered at 10 with leaves 11..14: zero triangles everywhere
+    star = [(10, x) for x in range(11, 15)]
+    edges = spark.createDataFrame(k4 + star, ["u", "v"])
+    rows = {r["node"]: r for r in triangle_counts(edges).collect()}
+    for n in range(1, 5):
+        assert rows[n]["n_triangles"] == 3 and rows[n]["clustering"] == 1.0
+        assert rows[n]["degree"] == 3
+    assert rows[10]["n_triangles"] == 0 and rows[10]["clustering"] == 0.0
+    for leaf in range(11, 15):
+        assert rows[leaf]["n_triangles"] == 0 and rows[leaf]["clustering"] is None
+    # partition invariance
+    rows2 = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts(edges.repartition(5, "u")).collect()
+    }
+    assert rows2 == {n: r["n_triangles"] for n, r in rows.items()}
+
+
+def test_pq_encode_and_adc_finds_exact_duplicate(spark):
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.operators.similarity import (
+        pq_ann_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    cbs = pq_codebooks(8, m=2, k=4, seed=3)
+    base = [float(x) / 7.0 for x in range(8)]
+    other = [1.0 - float(x) / 9.0 for x in range(8)]
+    third = [0.5 ] * 8
+    corpus = spark.createDataFrame(
+        [(1, base), (2, other), (3, third), (99, base)],  # 99 duplicates 1
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    enc = pq_encode(corpus, cbs).collect()
+    codes = {r["vec_id"]: r["codes"] for r in enc}
+    assert all(len(c) == 2 and all(0 <= x < 4 for x in c) for c in codes.values())
+    assert codes[1] == codes[99]               # identical vectors -> identical codes
+    out = pq_ann_topk(
+        corpus, corpus.filter(F.col("vec_id") == 1), cbs, k=3
+    ).collect()
+    # identical vectors share codes, hence identical reconstructions and
+    # identical ADC distances — and every distance matches a pure-Python
+    # replay of the same fold
+    def recon(codes):
+        return [x for j, c in enumerate(codes) for x in cbs[j][c]]
+
+    def adc(q, codes):
+        return sum((a - b) * (a - b) for a, b in zip(q, recon(codes)))
+
+    expected = {vid: adc(base, codes[vid]) for vid in (2, 3, 99)}
+    got = {r["neighbor_id"]: r["adc_dist"] for r in out}
+    assert got == expected
+    ranked = sorted(expected.items(), key=lambda kv: (kv[1], kv[0]))
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [
+        vid for vid, _ in ranked
+    ]
+
+
+def test_allpairs_prefix_equals_brute_force(spark):
+    from itertools import combinations
+
+    from datalake_etlscripts_spark.operators.dedup import allpairs_jaccard_pairs
+
+    docs = [
+        (1, "a b c d e"),
+        (2, "a b c d e f"),      # J(1,2)=5/6
+        (3, "a b c d e"),        # exact dup of 1
+        (4, "x y z"),
+        (5, "x y z w"),          # J(4,5)=3/4
+        (6, "q"),                # singleton
+        (7, ""),                 # empty
+        (8, "a x q m n o p r s t"),  # low overlap with everything
+    ]
+    out = allpairs_jaccard_pairs(
+        spark.createDataFrame(docs, ["doc_id", "text"]), threshold=(3, 5)
+    ).collect()
+    got = {(r["id1"], r["id2"]): r["jaccard"] for r in out}
+
+    def jac(a, b):
+        sa, sb = set(a.split()), set(b.split())
+        return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+    expected = {
+        (i, j): jac(ti, tj)
+        for (i, ti), (j, tj) in combinations(docs, 2)
+        if jac(ti, tj) >= 3 / 5
+    }
+    assert got == expected
+
+
+def test_frequent_pairs_counts_and_cap(spark):
+    from datalake_etlscripts_spark.operators.itemsets import frequent_pairs
+
+    rows = [
+        ("b1", "milk"), ("b1", "bread"), ("b1", "eggs"),
+        ("b2", "milk"), ("b2", "bread"),
+        ("b3", "milk"), ("b3", "bread"), ("b3", "beer"),
+        ("b4", "beer"),
+        ("b4", "beer"),  # duplicate within basket collapses
+    ]
+    out = frequent_pairs(
+        spark.createDataFrame(rows, ["b", "i"]), "b", "i", min_support=2
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"]) == ("bread", "milk")
+    assert r["pair_support"] == 3 and r["support_a"] == 3 and r["support_b"] == 3
+    assert r["conf_a_to_b"] == 1.0 and r["lift"] == 4 * 3 / 9
+    # cap: a whale basket keeps only its first max_items items
+    whale = [("w", f"i{j:03d}") for j in range(10)] + [("w2", "i000"), ("w2", "i001")]
+    capped = frequent_pairs(
+        spark.createDataFrame(whale, ["b", "i"]), "b", "i",
+        min_support=1, max_items=3,
+    ).collect()
+    # whale contributes only pairs among i000..i002
+    assert {(r["item_a"], r["item_b"]) for r in capped} == {
+        ("i000", "i001"), ("i000", "i002"), ("i001", "i002")
+    }
