@@ -544,13 +544,41 @@ def pq_encode(
 
     Returns the input plus ``codes ARRAY<INT>``."""
     sub = len(codebooks[0][0])
+    m = len(codebooks)
+    # project every subvector ONCE: inlining the slice into each of the
+    # m×k distance folds re-evaluates it k times per subspace (the
+    # expression-in-lambda re-evaluation trap; measured ~2× on encode)
+    out = df.select(
+        "*", *[F.slice(F.col(vec_col), j * sub + 1, sub).alias(f"_sub{j}") for j in range(m)]
+    )
     codes = []
     for j, cb in enumerate(codebooks):
-        subvec = F.slice(F.col(vec_col), j * sub + 1, sub)
-        codes.append(
-            F.element_at(_nearest_centroids(subvec, cb, 1), 1).alias(f"_c{j}")
+        sv = F.col(f"_sub{j}")
+        # per-centroid left folds (NOT unrolled element_at chains: an
+        # A/B showed the 1024-term scalar expansion collapses the _sub
+        # projections back into m×k slice copies and lands ~2× slower)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sv,
+                        F.array(*[F.lit(x) for x in c]),
+                        lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in cb
+            ]
         )
-    return df.withColumn("codes", F.array(*codes))
+        # argmin with first-occurrence (= lowest code) tie-break: the
+        # min is bit-identical to one element, so equality is exact
+        codes.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias(f"_c{j}")
+        )
+    return out.withColumn("codes", F.array(*codes)).drop(
+        *[f"_sub{j}" for j in range(m)]
+    )
 
 
 def pq_ann_topk(

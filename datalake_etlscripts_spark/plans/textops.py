@@ -2122,10 +2122,10 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_allpairs_prefix",
     oracle="""
     WITH corpus AS (
-      SELECT doc_id, text FROM documents
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
       UNION ALL
       SELECT doc_id + 5000000, text || ' xyzzy tailtok'
-      FROM documents WHERE doc_id % 11 = 0
+      FROM documents WHERE doc_id % 110 = 0
     ),
     d AS (
       SELECT doc_id,
@@ -2144,10 +2144,18 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard >= 3/5 similarity self-join via AllPairs prefix filtering - rarest-token prefixes generate candidates, integer cross-multiplied threshold, no LSH loss."""
+    """Exact Jaccard >= 3/5 similarity self-join via AllPairs prefix filtering - rarest-token prefixes generate candidates, integer cross-multiplied threshold, no LSH loss.
+
+    Registered on a 1-in-10 document sample: the template-generated
+    test corpus is CLIQUE-dense (at sf0.1 even J >= 0.9 holds for ~2%
+    of ALL pairs), so the full self-join's OUTPUT is quadratic — a
+    property of this corpus, not the algorithm. Real web corpora have
+    sparse near-dup structure; for clique-heavy data compose with
+    connected_components and emit (doc, representative) instead of
+    pairs."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = d.unionByName(
-        d.filter(F.col("doc_id") % 11 == 0).select(
+    corpus = d.filter(F.col("doc_id") % 10 == 0).unionByName(
+        d.filter(F.col("doc_id") % 110 == 0).select(
             (F.col("doc_id") + 5000000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(" xyzzy tailtok")).alias("text"),
         )
