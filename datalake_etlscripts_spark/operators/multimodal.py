@@ -189,3 +189,64 @@ def resize_images(
             yield pd.DataFrame(out, columns=["id", "out_w", "out_h", "n_bytes_out", "data"])
 
     return df.select(id_col, bin_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+AHASH_SCHEMA = "id bigint, ahash_hi bigint, ahash_lo bigint"
+
+
+def average_hash(
+    df: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "data",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual average-hash (aHash) per binary payload: resize to a
+    grid×grid byte image through the injectable resampler, then one
+    bit per cell — set iff the cell is STRICTLY brighter than the
+    image mean (integer cross-multiplication n·b > Σb, no float
+    threshold). Returns (id, ahash_hi, ahash_lo): the 64-bit hash
+    split into two 32-bit halves so both engines stay in non-negative
+    BIGINT arithmetic.
+
+    This is the image twin of simhash for text: identical payloads
+    share a hash, near-identical payloads differ in few bits — pair
+    by equality or a banded hamming join. The resampler is the fake
+    byte-stride stub in this container (codecs absent); the hash
+    arithmetic and Arrow plumbing are the real thing.
+    """
+    resized = resize_images(df, grid, grid, id_col, bin_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, raw in zip(pdf["id"], pdf["data"]):
+                bs = bytes(raw)
+                n, s = len(bs), sum(bs)
+                hi = lo = 0
+                for idx, b in enumerate(bs):
+                    if n * b > s:
+                        if idx < 32:
+                            lo |= 1 << idx
+                        else:
+                            hi |= 1 << (idx - 32)
+                out.append((i, hi, lo))
+            yield pd.DataFrame(out, columns=["id", "ahash_hi", "ahash_lo"])
+
+    return resized.select("id", "data").mapInPandas(run, AHASH_SCHEMA)
+
+
+def ahash_duplicate_groups(
+    df: DataFrame, id_col: str = "id", bin_col: str = "data"
+) -> DataFrame:
+    """Exact-aHash duplicate groups: one hash-keyed shuffle, groups
+    with ≥ 2 images. Returns (ahash_hi, ahash_lo, n_imgs, ids) with
+    ids comma-joined ascending (deterministic)."""
+    hashed = average_hash(df, id_col, bin_col)
+    return (
+        hashed.groupBy("ahash_hi", "ahash_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_imgs"),
+            F.array_join(F.array_sort(F.collect_list("id")), ",").alias("ids"),
+        )
+        .filter(F.col("n_imgs") > 1)
+    )

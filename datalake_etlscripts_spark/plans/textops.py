@@ -2161,3 +2161,55 @@ def q_dedup_allpairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dedup.allpairs_jaccard_pairs(corpus, threshold=(3, 5))
+
+
+# ---------------------------------------------------------------------------
+# multimodal near-dup: perceptual average-hash over the binary seam.
+# The oracle replays the byte-stride fake resize (ASCII text = bytes)
+# and the integer bit rule n*b > sum(b), split into 32-bit halves.
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_ahash_dupes",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 6000000, text FROM documents WHERE doc_id % 13 = 0
+    ),
+    src AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM corpus),
+    g AS (SELECT doc_id, text, n, unnest(range(64)) AS i FROM src),
+    c AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             CASE WHEN n >= 64
+                  THEN ascii(substr(text, 1 + CAST(i AS INT) * CAST(n // 64 AS INT), 1))
+                  WHEN i < n THEN ascii(substr(text, CAST(i AS INT) + 1, 1))
+                  ELSE 0 END AS code
+      FROM g
+    ),
+    s AS (SELECT doc_id, SUM(code) AS s FROM c GROUP BY doc_id),
+    h AS (
+      SELECT c.doc_id,
+             CAST(COALESCE(SUM(CASE WHEN 64 * code > s.s AND i >= 32
+                          THEN CAST(1 AS BIGINT) << CAST(i - 32 AS INT) END), 0)
+               AS BIGINT) AS ahash_hi,
+             CAST(COALESCE(SUM(CASE WHEN 64 * code > s.s AND i < 32
+                          THEN CAST(1 AS BIGINT) << CAST(i AS INT) END), 0)
+               AS BIGINT) AS ahash_lo
+      FROM c JOIN s USING (doc_id) GROUP BY c.doc_id
+    )
+    SELECT ahash_hi, ahash_lo, count(*) AS n_imgs,
+           array_to_string(list_sort(list(doc_id)), ',') AS ids
+    FROM h GROUP BY 1, 2 HAVING count(*) > 1
+    """,
+)
+def q_multimodal_ahash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash duplicate groups over the binary seam - stride-resample to an 8x8 grid, integer brighter-than-mean bits, one hash-keyed shuffle."""
+    d = read_table(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text").unionByName(
+        d.filter(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") + 6000000).alias("doc_id"), "text"
+        )
+    )
+    return multimodal.ahash_duplicate_groups(
+        multimodal.attach_binary(corpus)
+    )

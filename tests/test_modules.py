@@ -1765,3 +1765,24 @@ def test_frequent_pairs_counts_and_cap(spark):
     assert {(r["item_a"], r["item_b"]) for r in capped} == {
         ("i000", "i001"), ("i000", "i002"), ("i001", "i002")
     }
+
+
+def test_average_hash_bits_and_duplicate_groups(spark):
+    from datalake_etlscripts_spark.operators.multimodal import (
+        ahash_duplicate_groups,
+        average_hash,
+    )
+
+    rows = [
+        (1, bytes([10] * 64)),            # flat image: no bit above mean
+        (2, bytes([0] * 32 + [255] * 32)),  # top half bright
+        (3, bytes([0] * 32 + [255] * 32)),  # duplicate of 2
+        (4, bytes([255, 0] * 32)),        # alternating: distinct bit pattern
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, data BINARY")
+    hashed = {r["id"]: (r["ahash_hi"], r["ahash_lo"]) for r in average_hash(df).collect()}
+    assert hashed[1] == (0, 0)                      # strictly-greater rule
+    assert hashed[2] == hashed[3]
+    assert hashed[2] == (0xFFFFFFFF, 0)             # bright bytes are cells 32..63
+    groups = ahash_duplicate_groups(df).collect()
+    assert len(groups) == 1 and groups[0]["ids"] == "2,3" and groups[0]["n_imgs"] == 2
