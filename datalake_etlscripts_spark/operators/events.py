@@ -576,3 +576,89 @@ def distribution_drift(
             F.col("_arr"), F.lit(0.0), lambda acc, s: acc + term(s)
         ).alias("drift"),
     )
+
+
+def rolling_distinct(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    entity_col: str,
+    window_hours: int = 3,
+) -> DataFrame:
+    """EXACT sliding-window distinct count: for every (key, hour) the
+    number of distinct entities seen in the trailing ``window_hours``
+    hours — the rolling-active-users metric. Distinct is not
+    decomposable, so a RANGE window cannot compute it; instead each
+    (key, hour, entity) observation is fanned out to the window-end
+    hours it participates in (a ``window_hours``-way explode of the
+    DEDUPLICATED hourly grain, NOT of raw events) and deduplicated
+    once more per window.
+
+    Scale: raw events collapse to the (key, hour, entity) grain first
+    — the explode multiplies the small grain by the window width, and
+    the final aggregate shuffles on (key, window_end). For wide
+    windows over high-cardinality entities switch to the HLL sketch
+    state (operators/sketches.py) — union-merge over hour buckets is
+    the approximate answer without the fan-out. Window ends with no
+    event in their own hour still appear when covered by the trailing
+    window. Returns (key, window_end, n_entities).
+    """
+    hour = F.date_trunc("hour", F.col(ts_col))
+    grain = df.select(
+        F.col(key_col).alias("key"), hour.alias("_h"), F.col(entity_col).alias("_e")
+    ).dropDuplicates()
+    fanned = grain.select(
+        "key",
+        "_e",
+        F.explode(
+            F.array(
+                *[
+                    F.col("_h") + F.make_interval(hours=F.lit(k))
+                    for k in range(window_hours)
+                ]
+            )
+        ).alias("window_end"),
+    ).dropDuplicates()
+    return fanned.groupBy("key", "window_end").agg(
+        F.count(F.lit(1)).alias("n_entities")
+    )
+
+
+def winsorized_mean(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    lower_pct: float = 0.05,
+    upper_pct: float = 0.95,
+) -> DataFrame:
+    """Winsorized per-key mean: values are CLAMPED to the key's exact
+    [p_lower, p_upper] percentiles before averaging — the
+    outlier-robust mean that keeps every row (unlike trimming) while
+    bounding any single value's influence.
+
+    Exactness policy: percentiles are Spark's exact interpolated
+    ``percentile`` (verified interpolation-identical to DuckDB
+    quantile_cont by the robust_outliers oracle); the clamped values
+    are summed in DECIMAL (partition-order-independent) and the mean
+    is one double division. At unbounded-group scale swap the exact
+    percentile for the mergeable histogram sketch's quantiles.
+
+    Returns (key, n, p_lo, p_hi, wmean).
+    """
+    stats = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.expr(f"percentile({value_col}, {lower_pct})").alias("p_lo"),
+        F.expr(f"percentile({value_col}, {upper_pct})").alias("p_hi"),
+    )
+    joined = df.select(
+        F.col(key_col).alias("key"), F.col(value_col).alias("_v")
+    ).join(F.broadcast(stats), "key")
+    clamped = F.least(F.greatest(F.col("_v"), F.col("p_lo")), F.col("p_hi"))
+    return (
+        joined.withColumn("_c", clamped.cast("decimal(18,6)"))
+        .groupBy("key", "p_lo", "p_hi")
+        .agg(
+            F.count("_c").alias("n"),
+            (F.sum("_c").cast("double") / F.count("_c")).alias("wmean"),
+        )
+        .select("key", "n", "p_lo", "p_hi", "wmean")
+    )

@@ -722,3 +722,63 @@ def q_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return distribution_drift(e)
+
+
+# ---------------------------------------------------------------------------
+# sliding-window EXACT distinct: rolling 3-hour active users per type
+# ---------------------------------------------------------------------------
+@query(
+    "rolling_distinct_users",
+    oracle="""
+    WITH grain AS (
+      SELECT DISTINCT event_type AS key, date_trunc('hour', ts) AS h, user_id AS e
+      FROM events
+    ),
+    fanned AS (
+      SELECT DISTINCT key, e,
+             h + unnest([INTERVAL 0 HOUR, INTERVAL 1 HOUR, INTERVAL 2 HOUR])
+               AS window_end
+      FROM grain
+    )
+    SELECT key, window_end, count(*) AS n_entities
+    FROM fanned GROUP BY key, window_end
+    """,
+)
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-hour exact distinct users per event type - hourly grain dedup, window-width fan-out, one (key, window_end) aggregate; HLL sketch state is the wide-window path."""
+    from datalake_etlscripts_spark.operators.events import rolling_distinct
+
+    e = read_table(spark, sf_dir, "events")
+    return rolling_distinct(
+        e, key_col="event_type", ts_col="ts", entity_col="user_id", window_hours=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# winsorized per-type mean: clamp at exact [p5, p95] then decimal mean
+# ---------------------------------------------------------------------------
+@query(
+    "winsorized_mean",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type AS key,
+             quantile_cont(value, 0.05) AS p_lo,
+             quantile_cont(value, 0.95) AS p_hi
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT e.event_type AS key, s.p_lo, s.p_hi,
+             CAST(LEAST(GREATEST(e.value, s.p_lo), s.p_hi) AS DECIMAL(18,6)) AS v
+      FROM events e JOIN stats s ON s.key = e.event_type
+    )
+    SELECT key, count(v) AS n, p_lo, p_hi,
+           CAST(SUM(v) AS DOUBLE) / count(v) AS wmean
+    FROM c GROUP BY key, p_lo, p_hi
+    """,
+)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust winsorized mean per event type - exact p5/p95 clamp, decimal-exact sum, one broadcast stats dim."""
+    from datalake_etlscripts_spark.operators.events import winsorized_mean
+
+    e = read_table(spark, sf_dir, "events")
+    return winsorized_mean(e, key_col="event_type", value_col="value")

@@ -1786,3 +1786,44 @@ def test_average_hash_bits_and_duplicate_groups(spark):
     assert hashed[2] == (0xFFFFFFFF, 0)             # bright bytes are cells 32..63
     groups = ahash_duplicate_groups(df).collect()
     assert len(groups) == 1 and groups[0]["ids"] == "2,3" and groups[0]["n_imgs"] == 2
+
+
+def test_rolling_distinct_window_semantics(spark):
+    from datetime import datetime
+
+    from datalake_etlscripts_spark.operators.events import rolling_distinct
+
+    T = datetime
+    rows = [
+        ("a", T(2024, 1, 1, 0, 15), 1),
+        ("a", T(2024, 1, 1, 0, 45), 1),   # same user+hour dedups
+        ("a", T(2024, 1, 1, 1, 0), 2),
+        ("a", T(2024, 1, 1, 4, 0), 1),    # gap: hour 4 window excludes 0-1
+        ("b", T(2024, 1, 1, 0, 0), 9),
+    ]
+    df = spark.createDataFrame(rows, "key STRING, ts TIMESTAMP, e BIGINT")
+    out = {
+        (r["key"], r["window_end"].hour): r["n_entities"]
+        for r in rolling_distinct(df, "key", "ts", "e", window_hours=3).collect()
+    }
+    assert out[("a", 0)] == 1          # window ending h0 covers h0 only
+    assert out[("a", 1)] == 2          # h0+h1: users {1,2}
+    assert out[("a", 2)] == 2          # trailing window still covers h0,h1
+    assert out[("a", 3)] == 1          # h1 only (user 2)
+    assert out[("a", 4)] == 1          # user 1 again after the gap
+    assert out[("b", 0)] == 1
+
+
+def test_winsorized_mean_clamps_outlier(spark):
+    from datalake_etlscripts_spark.operators.events import winsorized_mean
+
+    vals = [float(x) for x in range(1, 20)] + [10_000.0]  # one wild outlier
+    df = spark.createDataFrame([("k", v) for v in vals], ["key", "v"])
+    r = winsorized_mean(df, "key", "v", 0.05, 0.95).collect()[0]
+    assert r["n"] == 20
+    # interpolated p95 of 20 points sits between the 19th and 20th
+    # order statistics (19 + 0.05*(10000-19) ≈ 518); the outlier is
+    # clamped there, pulling the mean from ~510 down to ~35
+    assert 19.0 < r["p_hi"] < 1000.0
+    raw_mean = sum(vals) / len(vals)
+    assert r["wmean"] < 50.0 < raw_mean
