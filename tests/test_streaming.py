@@ -404,3 +404,37 @@ def test_streaming_lsh_dedup_matches_batch_recompute(spark, sf_dir):
         assert len(full) > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_cdc_mirror_matches_sequential_apply(spark, tmp_path):
+    """Two changeset drops streamed through run_streaming_cdc_mirror
+    must leave the mirror identical to applying both changesets
+    sequentially in batch."""
+    from datalake_etlscripts_spark.io.txstore import apply_changeset
+    from datalake_etlscripts_spark.streaming import run_streaming_cdc_mirror
+
+    changes_dir = str(tmp_path / "changes")
+    mirror = str(tmp_path / "mirror")
+    os.makedirs(changes_dir)
+    cs_schema = "k BIGINT, change_type STRING, _new STRUCT<v: STRING>"
+    batch1 = spark.createDataFrame(
+        [(1, "insert", ("one",)), (2, "insert", ("two",))], cs_schema
+    )
+    batch2 = spark.createDataFrame(
+        [(2, "update", ("TWO",)), (3, "insert", ("three",)), (1, "delete", None)],
+        cs_schema,
+    )
+    # drop batch 1, drain, then drop batch 2, drain again — two
+    # micro-batches through the same checkpoint
+    batch1.coalesce(1).write.mode("append").parquet(changes_dir)
+    q = run_streaming_cdc_mirror(spark, changes_dir, mirror, cs_schema, key="k")
+    q.awaitTermination(120)
+    batch2.coalesce(1).write.mode("append").parquet(changes_dir)
+    q = run_streaming_cdc_mirror(spark, changes_dir, mirror, cs_schema, key="k")
+    q.awaitTermination(120)
+
+    got = sorted((r["k"], r["v"]) for r in spark.read.parquet(mirror).collect())
+    empty = batch1.filter(F.lit(False)).select("k", "_new.v")
+    expected_df = apply_changeset(apply_changeset(empty, batch1, "k"), batch2, "k")
+    expected = sorted((r["k"], r["v"]) for r in expected_df.collect())
+    assert got == expected == [(2, "TWO"), (3, "three")]
