@@ -51,10 +51,14 @@ def query(name: str, oracle: str | None = None):
 
 # The correctness driver checks the FIRST 50 entries of queries() per
 # round; round 1 verified the original first 50 (CORRECTNESS_r01.json,
-# 47 green + 3 approx). This round the window leads with the flagship
-# ingest/txstore path, the dedup/ANN/text/sampling (LLM-pipeline)
-# family, enrichment, sources, and the hardest TPC-H — everything
-# previously outside the window. Names not yet registered are skipped;
+# 47 green + 3 approx). The window leads with the flagship
+# ingest/txstore path, the dedup/ANN/text (LLM-pipeline) family,
+# enrichment, and the hardest TPC-H. Round 3 rotates in the new
+# operator families (exact AllPairs join, BM25 retrieval, PQ ANN,
+# n-gram novelty, perceptual-hash dedup, triangle counting, basket
+# mining, CDC apply) in place of the simplest hash-sampling/scalar
+# entries, which rest on the local replica harness
+# (tests/test_oracle_parity.py). Names not yet registered are skipped;
 # unlisted queries follow in registration order (the r1-verified set).
 PRIORITY: list[str] = [
     "versioned_ingest",
@@ -63,7 +67,7 @@ PRIORITY: list[str] = [
     "summary_incremental",
     "storage_sync_plan",
     "crawl_fetch_policy",
-    "dns_resolve",
+    "multimodal_ahash_dupes",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -88,18 +92,18 @@ PRIORITY: list[str] = [
     "ngram_lm_counts",
     "vocab_top_terms",
     "bpe_pair_counts",
-    "chunk_documents",
-    "train_test_split",
-    "stratified_sample",
+    "ann_pq_topk",
+    "dedup_allpairs_prefix",
+    "bm25_topk",
     "domain_mixture_sample",
-    "pack_sequences",
+    "ngram_novelty",
     "prepare_training_corpus",
     "enrichment_resolved",
     "enrichment_nested",
-    "nif_validation",
+    "graph_triangles",
     "graph_pagerank",
-    "weighted_sample",
-    "multimodal_decode",
+    "cdc_apply",
+    "frequent_pairs",
     "approx_topk_terms",
     "approx_distinct_incremental",
     "q2_min_cost_supplier",
