@@ -391,3 +391,52 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = read_table(spark, sf_dir, "part")
     return fuzzy_match_pairs(p, name_col="p_name", max_dist=2, q=2)
+
+
+# F3: field-name sanitize — the suggested-mapping generator for
+# unmapped source headers (ntp_utils.py:43-49: prefix strip,
+# parenthesized-qualifier promotion, space/dash underscoring, accent
+# transliteration). Runs over the real fixture headers plus two
+# literal prefixed headers that exercise the strip path.
+_SANITIZE_EXTRA = [
+    "ContractFolderStatus - Procurement Project - Name (Estimated)",
+    "ContractFolderStatus - Budget Amount",
+]
+_SANITIZE_EXTRA_SQL = ", ".join(f"('{h}')" for h in _SANITIZE_EXTRA)
+
+_SANITIZE_ORACLE = f"""
+    WITH src AS (
+      SELECT ORIGINAL AS original
+      FROM read_csv('{TSV}', delim='\t', header=true, all_varchar=true)
+      UNION ALL SELECT * FROM (VALUES {_SANITIZE_EXTRA_SQL}) v(original)
+    ),
+    s1 AS (
+      SELECT original,
+             regexp_replace(original, '^ContractFolderStatus - ', '') AS c
+      FROM src
+    ),
+    s2 AS (
+      SELECT original,
+             CASE WHEN regexp_matches(c, '^.+ \\([^)]+\\)$')
+                  THEN regexp_extract(c, '\\(([^)]+)\\)$', 1) || '/'
+                       || regexp_extract(c, '^(.+?) \\([^)]+\\)$', 1)
+                  ELSE c END AS c
+      FROM s1
+    ),
+    s3 AS (SELECT original, replace(replace(c, ' - ', '_'), ' ', '_') AS c FROM s2)
+    SELECT original,
+           translate(c, 'áéíóúüñÁÉÍÓÚÜÑ', 'aeiouunAEIOUUN') AS dbfield
+    FROM s3
+"""
+
+
+@query("sanitize_fields", oracle=_SANITIZE_ORACLE)
+def q_sanitize_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 suggested-mapping generator: raw Spanish source headers to DBFIELD-style names - prefix strip, qualifier promotion, accent transliteration, pure expressions."""
+    from datalake_etlscripts_spark.functions.scalar import sanitize_field_name
+
+    m = read_mapping_tsv(spark, TSV).select(F.col("ORIGINAL").alias("original"))
+    extra = spark.createDataFrame([(h,) for h in _SANITIZE_EXTRA], ["original"])
+    return m.unionByName(extra).select(
+        "original", sanitize_field_name(F.col("original")).alias("dbfield")
+    )
