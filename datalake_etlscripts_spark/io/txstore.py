@@ -529,8 +529,21 @@ def snapshot_diff(
     Unchanged keys are dropped. One full-outer join on the key — both
     snapshots scan their own manifests' files, so the diff never
     rewrites or re-reads more than the two versions' data."""
-    old = store.snapshot(version=v_old)
-    new = store.snapshot(version=v_new)
+    return dataframe_diff(
+        store.snapshot(version=v_old), store.snapshot(version=v_new), key, compare_cols
+    )
+
+
+def dataframe_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """The snapshot-independent core of snapshot_diff: CDC rows
+    (key, change_type, _old, _new) between any two DataFrames keyed by
+    ``key``. Round-trip law (property-tested):
+    apply_changeset(old, dataframe_diff(old, new, key), key) ≡ new."""
     cols = compare_cols or [c for c in new.columns if c != key]
     o = old.select(
         F.col(key), F.struct(*[F.col(c) for c in cols]).alias("_old")

@@ -30,6 +30,7 @@ def frequent_pairs(
     item_col: str,
     min_support: int = 2,
     max_items: int = 32,
+    broadcast_supports: bool = True,
 ) -> DataFrame:
     """Frequent item PAIRS with confidence and lift.
 
@@ -38,6 +39,10 @@ def frequent_pairs(
     ≥ ``min_support`` baskets:
     (item_a, item_b, pair_support, support_a, support_b,
      conf_a_to_b, conf_b_to_a, lift).
+
+    ``broadcast_supports`` fits catalog-sized item dimensions; set it
+    False for web-scale item vocabularies (10⁸+ items) and the support
+    joins fall back to shuffle hash joins on the item key.
     """
     capped = (
         baskets.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
@@ -59,13 +64,14 @@ def frequent_pairs(
         .agg(F.count(F.lit(1)).alias("pair_support"))
         .filter(F.col("pair_support") >= min_support)
     )
+    hint = F.broadcast if broadcast_supports else (lambda d: d)
     return (
         pairs.join(
-            F.broadcast(sup.select(F.col("_i").alias("item_a"), F.col("_sup").alias("support_a"))),
+            hint(sup.select(F.col("_i").alias("item_a"), F.col("_sup").alias("support_a"))),
             "item_a",
         )
         .join(
-            F.broadcast(sup.select(F.col("_i").alias("item_b"), F.col("_sup").alias("support_b"))),
+            hint(sup.select(F.col("_i").alias("item_b"), F.col("_sup").alias("support_b"))),
             "item_b",
         )
         .crossJoin(F.broadcast(n_baskets))

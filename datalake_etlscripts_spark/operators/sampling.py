@@ -312,3 +312,55 @@ def sample_per_group(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n)
     )
+
+
+def mixture_upsample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    factors: dict[str, tuple[int, int]],
+    salt: str = "ups",
+) -> DataFrame:
+    """Epoch-style UP-sampling: stratum s is repeated factor_s times —
+    the other half of mixture rebalancing (mixture_sample only
+    downsamples). A factor of 5/2 gives every row 2 copies plus a
+    deterministic hash-chosen half of rows a 3rd; pretraining mixes
+    state domain weights exactly this way ("2.5 epochs of books").
+
+    Factors are RATIONALS (num, den): the fractional-copy membership
+    test is integer cross-multiplication on the 32-bit md5 prefix
+    (hash·den < 2³²·(num − base·den)) — no float threshold, identical
+    membership on any engine. Rows carry ``epoch`` (0-based copy
+    number) so shard writers can interleave copies. Strata absent from
+    ``factors`` keep exactly one copy (epoch 0).
+
+    Scale: pure per-row explode by a small integer — no shuffle, no
+    RNG state; the blow-up is exactly the target token multiplier.
+    """
+    hash32 = F.conv(
+        F.substring(
+            _hex_key(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    n_copies = None
+    for stratum, (num, den) in factors.items():
+        if num <= 0 or den <= 0:
+            raise ValueError(f"factor for {stratum!r} must be positive, got {num}/{den}")
+        base = num // den
+        frac_num = num - base * den  # fractional part = frac_num/den
+        copies = F.lit(base) + F.when(
+            F.lit(frac_num > 0) & (hash32 * den < F.lit(frac_num) * F.lit(1 << 32)),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        cond = F.col(stratum_col) == F.lit(stratum)
+        n_copies = F.when(cond, copies) if n_copies is None else n_copies.when(cond, copies)
+    n_copies = (n_copies.otherwise(F.lit(1)) if n_copies is not None else F.lit(1))
+    # Spark's sequence(0, -1) DESCENDS instead of being empty — a
+    # factor < 1 (pure fractional copies = hash downsampling) must
+    # yield zero rows, so guard with an explicit empty array
+    epochs = F.when(n_copies > 0, F.sequence(F.lit(0), n_copies - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("epoch", F.explode(epochs))

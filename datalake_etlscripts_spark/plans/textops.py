@@ -2213,3 +2213,37 @@ def q_multimodal_ahash_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.ahash_duplicate_groups(
         multimodal.attach_binary(corpus)
     )
+
+
+# ---------------------------------------------------------------------------
+# epoch-style upsampling: rational repetition factors per language
+# (en 5/2 = 2.5 epochs, es 1/3 = hash downsample, rest 1 copy)
+# ---------------------------------------------------------------------------
+from datalake_etlscripts_spark.plans.registry import ddb_hex32 as _hex32  # noqa: E402
+
+_UPS_H = _hex32("md5('ups:' || CAST(doc_id AS VARCHAR))")
+
+_UPSAMPLE_ORACLE = f"""
+    WITH h AS (
+      SELECT doc_id, lang, {_UPS_H} AS h32 FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang = 'en'
+                    THEN 2 + CASE WHEN h32 * 2 < 4294967296 THEN 1 ELSE 0 END
+                  WHEN lang = 'es'
+                    THEN CASE WHEN h32 * 3 < 4294967296 THEN 1 ELSE 0 END
+                  ELSE 1 END AS n
+      FROM h
+    )
+    SELECT doc_id, lang, CAST(unnest(range(n)) AS INT) AS epoch FROM c
+"""
+
+
+@query("mixture_upsample", oracle=_UPSAMPLE_ORACLE)
+def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-style rational upsampling (en x2.5, es x1/3, rest x1) - integer hash membership for fractional copies, pure per-row explode, no shuffle."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.mixture_upsample(
+        d, key_col="doc_id", stratum_col="lang", factors={"en": (5, 2), "es": (1, 3)}
+    )

@@ -1827,3 +1827,37 @@ def test_winsorized_mean_clamps_outlier(spark):
     assert 19.0 < r["p_hi"] < 1000.0
     raw_mean = sum(vals) / len(vals)
     assert r["wmean"] < 50.0 < raw_mean
+
+
+def test_mixture_upsample_factors_and_epochs(spark):
+    from datalake_etlscripts_spark.operators.sampling import mixture_upsample
+
+    rows = [(i, "en" if i < 100 else ("es" if i < 200 else "de")) for i in range(300)]
+    df = spark.createDataFrame(rows, ["k", "lang"])
+    out = mixture_upsample(
+        df, "k", "lang", factors={"en": (5, 2), "es": (1, 3)}
+    ).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append((r["k"], r["epoch"]))
+    # en: every row twice, ~half a 3rd time -> 200..300 copies of 100 rows
+    n_en = len(by_lang["en"])
+    assert 200 <= n_en <= 300 and n_en > 210  # fractional copies exist
+    assert all(e in (0, 1, 2) for _, e in by_lang["en"])
+    # every en row has epochs 0 and 1 at least
+    from collections import Counter
+
+    cnt = Counter(k for k, _ in by_lang["en"])
+    assert all(v >= 2 for v in cnt.values())
+    # es: ~1/3 of rows survive with a single epoch-0 copy
+    assert 10 <= len(by_lang["es"]) <= 60
+    assert all(e == 0 for _, e in by_lang["es"])
+    # unlisted stratum: exactly one copy each
+    assert sorted(by_lang["de"]) == [(k, 0) for k in range(200, 300)]
+    # determinism under repartition
+    out2 = mixture_upsample(
+        df.repartition(7), "k", "lang", factors={"en": (5, 2), "es": (1, 3)}
+    ).collect()
+    assert sorted((r["k"], r["epoch"]) for r in out) == sorted(
+        (r["k"], r["epoch"]) for r in out2
+    )

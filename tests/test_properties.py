@@ -411,3 +411,89 @@ def test_fuzzy_match_complete_vs_brute_force(spark, names):
         if _py_lev(a, b) <= 2
     }
     assert got == want
+
+
+@SET
+@given(
+    old_rows=st.dictionaries(
+        st.integers(0, 12), st.text(alphabet="abc", min_size=0, max_size=3), max_size=10
+    ),
+    new_rows=st.dictionaries(
+        st.integers(0, 12), st.text(alphabet="abc", min_size=0, max_size=3), max_size=10
+    ),
+)
+def test_cdc_diff_apply_roundtrip(spark, old_rows, new_rows):
+    """apply_changeset(old, dataframe_diff(old, new)) ≡ new for any
+    pair of keyed tables — the CDC pair is lossless by construction."""
+    from datalake_etlscripts_spark.io.txstore import apply_changeset, dataframe_diff
+
+    schema = "k INT, v STRING"
+    old = spark.createDataFrame(list(old_rows.items()) or [], schema)
+    new = spark.createDataFrame(list(new_rows.items()) or [], schema)
+    diff = dataframe_diff(old, new, "k")
+    got = sorted((r["k"], r["v"]) for r in apply_changeset(old, diff, "k").collect())
+    assert got == sorted(new_rows.items())
+
+
+@SET
+@given(docs=st.lists(doc, min_size=1, max_size=20))
+def test_bm25_matches_python_model(spark, docs):
+    """bm25_topk replays a pure-Python model of the same integer
+    arithmetic exactly (scores compared bit-for-bit)."""
+    from datalake_etlscripts_spark.operators.text import bm25_topk
+
+    terms = ["ab", "X9"]
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id INT, text STRING"
+    )
+    got = {
+        r["doc_id"]: (r["n_hit"], r["score"])
+        for r in bm25_topk(df, terms, k=100).collect()
+    }
+
+    toks = {i: _py_tokens(d) for i, d in enumerate(docs)}
+    n = len(docs)
+    total = sum(len(t) for t in toks.values())
+    dft = {t: sum(1 for tk in toks.values() if t in tk) for t in terms}
+    expected = {}
+    for i, tk in toks.items():
+        score, hits = 0.0, 0
+        for t in sorted(terms):  # term-ordered fold, same as the engine
+            tf = tk.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            num = (2 * n - 2 * dft[t] + 1) * 22 * tf * total
+            den = (2 * dft[t] + 1) * (10 * tf * total + 3 * total + 9 * len(tk) * n)
+            score += num / den
+        if hits:
+            expected[i] = (hits, score)
+    assert got == expected
+
+
+@SET
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda e: e[0] != e[1]),
+        max_size=20,
+    )
+)
+def test_triangle_counts_match_brute_force(spark, edges):
+    from itertools import combinations
+
+    from datalake_etlscripts_spark.operators.graph import triangle_counts
+
+    und = {(min(u, v), max(u, v)) for u, v in edges}
+    if not und:
+        return
+    df = spark.createDataFrame(sorted(und), "u INT, v INT")
+    got = {r["node"]: (r["degree"], r["n_triangles"]) for r in triangle_counts(df).collect()}
+
+    nodes = {x for e in und for x in e}
+    deg = {x: sum(1 for e in und if x in e) for x in nodes}
+    tri_count = dict.fromkeys(nodes, 0)
+    for a, b, c in combinations(sorted(nodes), 3):
+        if ((a, b) in und and (a, c) in und and (b, c) in und):
+            for x in (a, b, c):
+                tri_count[x] += 1
+    assert got == {x: (deg[x], tri_count[x]) for x in nodes}
