@@ -2247,3 +2247,61 @@ def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.mixture_upsample(
         d, key_col="doc_id", stratum_col="lang", factors={"en": (5, 2), "es": (1, 3)}
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus data card: one pass for doc counts + length distribution,
+# one token pass for vocabulary / type-token ratio
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_stats",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
+    d AS (
+      SELECT count(*) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_tokens,
+             CAST(SUM(dl) AS DOUBLE) / count(*) AS mean_len,
+             quantile_cont(dl, 0.5) AS p50_len,
+             quantile_cont(dl, 0.95) AS p95_len
+      FROM dl
+    ),
+    v AS (
+      SELECT count(DISTINCT t) AS vocab_size
+      FROM (SELECT unnest(tk) AS t FROM tk)
+    )
+    SELECT n_docs, total_tokens, mean_len, p50_len, p95_len, vocab_size,
+           CAST(vocab_size AS DOUBLE) / total_tokens AS type_token_ratio
+    FROM d CROSS JOIN v
+    """,
+)
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data card in two scans: doc/length stats from one aggregate, exact vocabulary from one token explode - the summary block of a dataset datasheet."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = text.tokens(F.col("text"))
+    dl = d.select(F.col("doc_id"), F.size(toks).cast("long").alias("_dl"), toks.alias("_tk"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_dl").alias("total_tokens"),
+        (F.sum("_dl").cast("double") / F.count(F.lit(1))).alias("mean_len"),
+        F.expr("percentile(_dl, 0.5)").alias("p50_len"),
+        F.expr("percentile(_dl, 0.95)").alias("p95_len"),
+    )
+    vocab = (
+        dl.select(F.explode("_tk").alias("_t"))
+        .agg(F.count_distinct("_t").alias("vocab_size"))
+    )
+    return stats.crossJoin(F.broadcast(vocab)).select(
+        "n_docs",
+        "total_tokens",
+        "mean_len",
+        "p50_len",
+        "p95_len",
+        "vocab_size",
+        (F.col("vocab_size").cast("double") / F.col("total_tokens")).alias(
+            "type_token_ratio"
+        ),
+    )
