@@ -497,3 +497,28 @@ def test_triangle_counts_match_brute_force(spark, edges):
             for x in (a, b, c):
                 tri_count[x] += 1
     assert got == {x: (deg[x], tri_count[x]) for x in nodes}
+
+
+@SET
+@given(docs=st.lists(doc, min_size=1, max_size=16))
+def test_allpairs_prefix_lossless_vs_brute_force(spark, docs):
+    """Prefix filtering must be LOSSLESS: the candidate pruning can
+    never drop a qualifying pair on any corpus."""
+    from itertools import combinations
+
+    from datalake_etlscripts_spark.operators.dedup import allpairs_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id INT, text STRING"
+    )
+    got = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in allpairs_jaccard_pairs(df, threshold=(1, 2)).collect()
+    }
+    expected = {}
+    for (i, a), (j, b) in combinations(enumerate(docs), 2):
+        sa, sb = set(_py_tokens(a)), set(_py_tokens(b))
+        union = sa | sb
+        if union and 2 * len(sa & sb) >= len(union):
+            expected[(i, j)] = len(sa & sb) / len(union)
+    assert got == expected
