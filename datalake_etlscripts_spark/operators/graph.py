@@ -47,6 +47,7 @@ def pagerank(
     scale: int = SCALE,
     broadcast_nodes: int = 5_000_000,
     dedup_shuffle: str = "src",
+    dangling: str = "redistribute",
 ) -> DataFrame:
     """Integer-scaled PageRank over directed ``edges`` (src, dst).
 
@@ -97,24 +98,35 @@ def pagerank(
     else:
         raise ValueError(f"unknown dedup_shuffle {dedup_shuffle!r}")
     deg = degree_table(edges)
-    # nodes + static dangling flags in ONE aggregate: explode both
-    # endpoints with an out-edge marker and take max — no separate
-    # distinct + degree join (measured faster than union∘distinct∘join
-    # at bench scale, same single node-keyed exchange)
-    nodes = (
-        edges.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("src").alias("node"), F.lit(1).alias("out")),
-                    F.struct(F.col("dst").alias("node"), F.lit(0).alias("out")),
-                )
-            ).alias("e")
+    if dangling == "none":
+        # caller GUARANTEES every node has an out-edge (always true
+        # for symmetrized/undirected graphs): nodes = degree keys, no
+        # endpoint-explode aggregate, and the per-iteration dangling
+        # scan disappears entirely (its sum is structurally zero)
+        nodes = deg.select("src").withColumnRenamed("src", "node").withColumn(
+            "_dang", F.lit(False)
+        ).localCheckpoint()
+    elif dangling == "redistribute":
+        # nodes + static dangling flags in ONE aggregate: explode both
+        # endpoints with an out-edge marker and take max — no separate
+        # distinct + degree join (measured faster than
+        # union∘distinct∘join at bench scale, same single exchange)
+        nodes = (
+            edges.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("src").alias("node"), F.lit(1).alias("out")),
+                        F.struct(F.col("dst").alias("node"), F.lit(0).alias("out")),
+                    )
+                ).alias("e")
+            )
+            .select("e.node", "e.out")
+            .groupBy("node")
+            .agg((F.max("out") == 0).alias("_dang"))
+            .localCheckpoint()
         )
-        .select("e.node", "e.out")
-        .groupBy("node")
-        .agg((F.max("out") == 0).alias("_dang"))
-        .localCheckpoint()
-    )
+    else:
+        raise ValueError(f"unknown dangling mode {dangling!r}")
     # settle (src, dst, deg) once; every iteration re-reads this table
     edges_deg = edges.join(deg, "src").localCheckpoint()
 
@@ -134,14 +146,24 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        dangling = ranks.filter(F.col("_dang")).agg(
-            F.coalesce(F.sum("rank"), F.lit(0).cast("long")).alias("dang")
-        )
-        ranks = (
-            ranks.select("node", "_dang")
-            .join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dangling))  # 1-row scalar, not a data cross
-            .select(
+        joined = ranks.select("node", "_dang").join(contrib, "node", "left")
+        if dangling == "none":
+            # dangling mass is structurally zero: no scan, no broadcast
+            ranks = joined.select(
+                "node",
+                "_dang",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({num} * coalesce(s, CAST(0 AS BIGINT))) div {den}"
+                    )
+                ).alias("rank"),
+            )
+        else:
+            dang = ranks.filter(F.col("_dang")).agg(
+                F.coalesce(F.sum("rank"), F.lit(0).cast("long")).alias("dang")
+            )
+            ranks = joined.crossJoin(F.broadcast(dang)).select(
                 "node",
                 "_dang",
                 (
@@ -152,7 +174,6 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-        )
         # truncate lineage; lazy → materializes on the final action only
         ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank")

@@ -94,6 +94,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         damping=(_PR_NUM, _PR_DEN),
         scale=_PR_SCALE,
         dedup_shuffle="none",
+        # symmetrized graph: every node has an out-edge, so the
+        # dangling term is structurally zero (oracle's d_i CTEs
+        # evaluate to 0 on this input — same recurrence)
+        dangling="none",
     )
     return ranks.select("node", F.col("rank").alias("pr"))
 
