@@ -440,3 +440,64 @@ def q_sanitize_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.unionByName(extra).select(
         "original", sanitize_field_name(F.col("original")).alias("dbfield")
     )
+
+
+# entity resolution END-TO-END: fuzzy pairs → transitive closure →
+# canonical entity per name (the full record-linkage workflow the
+# reference's adjudicatario normalization implies: OLD/get_entities.py
+# canonicalizes company spellings; this is its distributed form)
+_ENTITY_ORACLE = """
+    WITH RECURSIVE names AS (SELECT DISTINCT p_name AS n FROM part),
+    g0 AS (
+      SELECT n, unnest(list_transform(
+               generate_series(1, greatest(length(n) - 1, 0)),
+               i -> substr(n, CAST(i AS INT), 2))) AS gram
+      FROM names WHERE length(n) >= 2
+    ),
+    g AS (SELECT n, gram, count(*) AS c FROM g0 GROUP BY 1, 2),
+    cand AS (
+      SELECT a.n AS name_a, b.n AS name_b, SUM(LEAST(a.c, b.c)) AS shared
+      FROM g a JOIN g b ON a.gram = b.gram
+      WHERE a.n < b.n AND abs(length(a.n) - length(b.n)) <= 2
+      GROUP BY 1, 2
+    ),
+    f AS (
+      SELECT name_a, name_b FROM cand
+      WHERE shared >= greatest(
+        greatest(length(name_a), length(name_b)) - 1 - 4, 1)
+        AND levenshtein(name_a, name_b) <= 2
+    ),
+    edges AS (
+      SELECT name_a AS src, name_b AS dst FROM f
+      UNION
+      SELECT name_b, name_a FROM f
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+    SELECT n.n AS name, COALESCE(c.component, n.n) AS entity
+    FROM names n LEFT JOIN comp c ON c.node = n.n
+"""
+
+
+@query("entity_resolution", oracle=_ENTITY_ORACLE)
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: fuzzy pairs (Levenshtein <= 2, q-gram blocked) to connected components to a canonical entity per name; singletons map to themselves."""
+    from datalake_etlscripts_spark.operators.dedup import connected_components_star
+    from datalake_etlscripts_spark.operators.enrichment import fuzzy_match_pairs
+
+    p = read_table(spark, sf_dir, "part")
+    names = p.select(F.col("p_name").alias("n")).dropDuplicates()
+    pairs = fuzzy_match_pairs(names, name_col="n", max_dist=2, q=2).select(
+        F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b")
+    )
+    comp = connected_components_star(pairs, "id_a", "id_b")
+    return names.join(
+        comp.withColumnRenamed("node", "n"), "n", "left"
+    ).select(
+        F.col("n").alias("name"),
+        F.coalesce("component", F.col("n")).alias("entity"),
+    )

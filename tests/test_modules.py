@@ -1861,3 +1861,16 @@ def test_mixture_upsample_factors_and_epochs(spark):
     assert sorted((r["k"], r["epoch"]) for r in out) == sorted(
         (r["k"], r["epoch"]) for r in out2
     )
+
+
+def test_priority_window_names_all_registered():
+    import __spark_entry__ as e
+    from datalake_etlscripts_spark.plans.registry import PRIORITY
+
+    qs = e.queries()
+    missing = [n for n in PRIORITY if n not in qs]
+    assert missing == [], f"PRIORITY names not registered (silent window shrink): {missing}"
+    assert len(PRIORITY) == 50
+    # the driver window must stay 100% oracle-backed
+    oracles = e.oracle_sql()
+    assert [n for n in PRIORITY if n not in oracles] == []
