@@ -241,3 +241,40 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             (F.col("degree").cast("long") * (F.col("degree") - 1)).cast("double"),
         ).alias("clustering"),
     )
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Synchronous label propagation (community detection): every node
+    starts as its own label; each round it adopts the most frequent
+    label among its neighbors, ties broken by SMALLEST label — fully
+    deterministic (classic async LPA is order-dependent; the sync +
+    min-tie-break variant is replayable bit-for-bit by an external
+    engine, same policy as pagerank's integer recurrence).
+
+    ``edges`` must be directed-symmetrized (both (u,v) and (v,u)) and
+    distinct. Per round: ONE equi-join delivering neighbor labels +
+    ONE (node, label) count aggregate + a per-node argmax window over
+    label candidates (bounded by the node's distinct neighbor labels,
+    never the graph). Lineage is truncated per round with a lazy
+    localCheckpoint. Returns (node, label) after ``iterations``
+    rounds; connected regions converge toward dense-community labels.
+    """
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    from pyspark.sql import Window as W
+
+    for _ in range(iterations):
+        neigh = edges.join(
+            labels.select(F.col("node").alias("dst"), F.col("label").alias("_nl")),
+            "dst",
+        )
+        counts = neigh.groupBy("src", "_nl").agg(F.count(F.lit(1)).alias("_c"))
+        w = W.partitionBy("src").orderBy(F.desc("_c"), F.asc("_nl"))
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("src").alias("node"), F.col("_nl").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -194,3 +194,53 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates()
     )
     return triangle_counts(edges)
+
+
+def _lpa_oracle(iterations: int = 3) -> str:
+    """Unrolled twin of operators/graph.label_propagation over the
+    symmetrized part co-order graph: per round one neighbor-label
+    count + (count desc, label asc) argmax."""
+    parts = [
+        """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM li a JOIN li b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    edges AS (SELECT u AS src, v AS dst FROM e0
+              UNION SELECT v, u FROM e0),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    c{i} AS (SELECT e.src AS node, l.label AS nl, count(*) AS c
+             FROM edges e JOIN l{p} l ON l.node = e.dst
+             GROUP BY 1, 2),
+    l{i} AS (SELECT node, nl AS label FROM (
+               SELECT *, row_number() OVER (PARTITION BY node
+                         ORDER BY c DESC, nl ASC) AS rn FROM c{i})
+             WHERE rn = 1)"""
+        )
+    parts.append(f"\n    SELECT node, label FROM l{iterations}")
+    return "".join(parts)
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (3 rounds, min tie-break) over the part co-order graph - one neighbor join + one argmax per round."""
+    from datalake_etlscripts_spark.operators.graph import label_propagation
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").dropDuplicates()
+    b = li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("v"))
+    e0 = (
+        li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("u"))
+        .join(b, "_o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .dropDuplicates()
+    )
+    edges = e0.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        e0.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    return label_propagation(edges, iterations=3)

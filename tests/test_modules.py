@@ -1874,3 +1874,24 @@ def test_priority_window_names_all_registered():
     # the driver window must stay 100% oracle-backed
     oracles = e.oracle_sql()
     assert [n for n in PRIORITY if n not in oracles] == []
+
+
+def test_label_propagation_two_cliques(spark):
+    from datalake_etlscripts_spark.operators.graph import label_propagation
+
+    # two 3-cliques joined by one bridge edge: after 3 sync rounds the
+    # min label dominates each clique
+    und = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    out = {r["node"]: r["label"] for r in label_propagation(edges, 3).collect()}
+    assert set(out) == {1, 2, 3, 10, 11, 12}
+    assert out[1] == out[2] == 1            # clique A converges to min id
+    assert out[10] == out[11] == out[12]    # clique B agrees internally
+    # determinism under repartition
+    out2 = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges.repartition(5, "src"), 3).collect()
+    }
+    assert out == out2
