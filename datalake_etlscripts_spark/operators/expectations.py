@@ -117,3 +117,48 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         )
     )
     return stacked
+
+
+def pearson_matrix(df: DataFrame, cols: list[str], scale: int = 4) -> DataFrame:
+    """Pairwise Pearson correlations for ``cols`` from ONE aggregate:
+    every moment (n, Σx, Σx², Σxy) is summed in DECIMAL — exact and
+    partition-order-independent — then each exact sum is cast to
+    double ONCE and the correlations combine those doubles in a fixed
+    expression order, so the result is bit-identical on any engine
+    replaying the same sums (the value_trend_per_type policy applied
+    to second moments).
+
+    One full scan, no shuffle beyond the single global aggregate.
+    Output: one row with n plus corr_<a>_<b> per unordered pair;
+    constant columns yield NULL (try_divide by zero variance).
+    """
+    # decimal(12,s): physical int64 in DuckDB, so pairwise products
+    # widen to decimal(25,2s) (int128) without overflow — the money()
+    # pattern from plans/relational.py applied to second moments
+    dec = f"decimal(12,{scale})"
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).cast(dec)).alias(f"s_{c}"))
+        aggs.append(
+            F.sum(F.col(c).cast(dec) * F.col(c).cast(dec)).alias(f"ss_{c}")
+        )
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(
+                F.sum(F.col(a).cast(dec) * F.col(b).cast(dec)).alias(f"sp_{a}_{b}")
+            )
+    m = df.agg(*aggs)
+    out = [F.col("n")]
+    n = F.col("n").cast("double")
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+            ssa, ssb = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+            sp = F.col(f"sp_{a}_{b}").cast("double")
+            cov = n * sp - sa * sb
+            va = n * ssa - sa * sa
+            vb = n * ssb - sb * sb
+            out.append(
+                F.try_divide(cov, F.sqrt(va) * F.sqrt(vb)).alias(f"corr_{a}_{b}")
+            )
+    return m.select(*out)

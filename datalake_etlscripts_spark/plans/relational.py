@@ -64,16 +64,16 @@ def q_summary_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
                     * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
                     * (1 - CAST(l_discount AS DECIMAL(6,4)))
                     * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS VARCHAR) AS DOUBLE) AS sum_charge,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
-           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_disc,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) / count(*) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -108,7 +108,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "project_filter_range",
     oracle="""
-    SELECT l_orderkey, l_linenumber, CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS price
+    SELECT l_orderkey, l_linenumber, CAST(CAST(CAST(l_extendedprice AS DECIMAL(12,4)) AS VARCHAR) AS DOUBLE) AS price
     FROM lineitem
     WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag = 'R'
     """,
@@ -151,7 +151,7 @@ def q_membership_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dim_join_broadcast",
     oracle="""
     SELECT r.r_name AS region, n.n_name AS nation, count(*) AS n_customers,
-           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_acctbal
+           CAST(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS total_acctbal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -469,7 +469,7 @@ def q_distinct_set_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_status_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE) AS total
     FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
 )
@@ -603,14 +603,14 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seg AS (
       SELECT c_mktsegment,
-             CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS VARCHAR) AS DOUBLE)
                / count(*) AS avg_bal
       FROM customer GROUP BY c_mktsegment
     )
     SELECT c.c_custkey, c.c_mktsegment,
-           CAST(CAST(CAST(c.c_acctbal AS DECIMAL(18,4)) AS VARCHAR) AS DOUBLE) AS acctbal
+           CAST(CAST(CAST(c.c_acctbal AS DECIMAL(12,4)) AS VARCHAR) AS DOUBLE) AS acctbal
     FROM customer c JOIN seg s USING (c_mktsegment)
-    WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) > CAST(s.avg_bal AS DECIMAL(18,4))
+    WHERE CAST(c.c_acctbal AS DECIMAL(12,4)) > CAST(s.avg_bal AS DECIMAL(12,4))
     """,
 )
 def q_above_segment_average(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -773,3 +773,55 @@ def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i")
     )
     return frequent_pairs(li, basket_col="b", item_col="i", min_support=2, max_items=32)
+
+
+# ---------------------------------------------------------------------------
+# exact correlation matrix: decimal-exact moments, double combination
+# ---------------------------------------------------------------------------
+@query(
+    "correlation_matrix",
+    oracle="""
+    WITH m AS (
+      SELECT count(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(12,4))) AS s_q,
+             SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(12,4))) AS ss_q,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS s_p,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(12,4))) AS ss_p,
+             SUM(CAST(l_discount AS DECIMAL(12,4))) AS s_d,
+             SUM(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(12,4))) AS ss_d,
+             SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(12,4))) AS sp_qp,
+             SUM(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(12,4))) AS sp_qd,
+             SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(12,4))) AS sp_pd
+      FROM lineitem
+    )
+    SELECT n,
+      (CAST(n AS DOUBLE) * CAST(sp_qp AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_p AS DOUBLE))
+        / (sqrt(CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+         * sqrt(CAST(n AS DOUBLE) * CAST(ss_p AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE)))
+        AS corr_q_p,
+      (CAST(n AS DOUBLE) * CAST(sp_qd AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_d AS DOUBLE))
+        / (sqrt(CAST(n AS DOUBLE) * CAST(ss_q AS DOUBLE) - CAST(s_q AS DOUBLE) * CAST(s_q AS DOUBLE))
+         * sqrt(CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)))
+        AS corr_q_d,
+      (CAST(n AS DOUBLE) * CAST(sp_pd AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_d AS DOUBLE))
+        / (sqrt(CAST(n AS DOUBLE) * CAST(ss_p AS DOUBLE) - CAST(s_p AS DOUBLE) * CAST(s_p AS DOUBLE))
+         * sqrt(CAST(n AS DOUBLE) * CAST(ss_d AS DOUBLE) - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)))
+        AS corr_p_d
+    FROM m
+    """,
+)
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of quantity/price/discount from ONE decimal-exact aggregate - moments summed exactly, combined once in double."""
+    from datalake_etlscripts_spark.operators.expectations import pearson_matrix
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("q"),
+        F.col("l_extendedprice").alias("p"),
+        F.col("l_discount").alias("d"),
+    )
+    return pearson_matrix(li, ["q", "p", "d"]).select(
+        "n",
+        F.col("corr_q_p"),
+        F.col("corr_q_d"),
+        F.col("corr_p_d"),
+    )

@@ -1895,3 +1895,15 @@ def test_label_propagation_two_cliques(spark):
         for r in label_propagation(edges.repartition(5, "src"), 3).collect()
     }
     assert out == out2
+
+
+def test_pearson_matrix_known_correlations(spark):
+    from datalake_etlscripts_spark.operators.expectations import pearson_matrix
+
+    rows = [(float(i), 2.0 * i + 1, -3.0 * i, 7.0) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, ["x", "y", "z", "c"])
+    r = pearson_matrix(df, ["x", "y", "z", "c"]).collect()[0]
+    assert r["n"] == 20
+    assert abs(r["corr_x_y"] - 1.0) < 1e-12      # perfect positive
+    assert abs(r["corr_x_z"] + 1.0) < 1e-12      # perfect negative
+    assert r["corr_x_c"] is None                 # constant column -> NULL
