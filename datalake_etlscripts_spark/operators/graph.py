@@ -278,3 +278,52 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def link_prediction_topk(edges: DataFrame, k: int = 50) -> DataFrame:
+    """Common-neighbor link prediction: score NON-adjacent node pairs
+    by how many neighbors they share (plus the neighborhood Jaccard
+    cn/(deg_a + deg_b − cn)) and return the top-k candidates — the
+    classic 'suggested connection' / missing-edge audit.
+
+    ``edges`` is undirected (u, v with u < v, distinct). One wedge
+    self-join on the shared neighbor generates candidate pairs (the
+    same O(Σ deg²) shape as the naive triangle join — for skewed
+    graphs cap hub degrees first), an anti join removes existing
+    edges, and a TakeOrdered cut keeps the top-k by
+    (common_neighbors desc, id_a, id_b) — fully deterministic.
+    Returns (id_a, id_b, common_neighbors, jaccard).
+    """
+    adj = edges.select(F.col("u").alias("x"), F.col("v").alias("n")).unionAll(
+        edges.select(F.col("v").alias("x"), F.col("u").alias("n"))
+    )
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).alias("deg"))
+    a = adj.select(F.col("n").alias("id_a"), "x")
+    b = adj.select(F.col("n").alias("id_b"), "x")
+    cand = (
+        a.join(b, "x")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common_neighbors"))
+        .join(
+            edges.select(F.col("u").alias("id_a"), F.col("v").alias("id_b")),
+            ["id_a", "id_b"],
+            "left_anti",
+        )
+    )
+    scored = (
+        cand.join(deg.select(F.col("x").alias("id_a"), F.col("deg").alias("_da")), "id_a")
+        .join(deg.select(F.col("x").alias("id_b"), F.col("deg").alias("_db")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "common_neighbors",
+            (
+                F.col("common_neighbors").cast("double")
+                / (F.col("_da") + F.col("_db") - F.col("common_neighbors")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("common_neighbors"), F.col("id_a"), F.col("id_b")
+    ).limit(k)

@@ -244,3 +244,46 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
     return label_propagation(edges, iterations=3)
+
+
+_LINKPRED_ORACLE = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    adj AS (SELECT u AS x, v AS n FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT x, count(*) AS deg FROM adj GROUP BY x),
+    cand AS (
+      SELECT a.n AS id_a, b.n AS id_b, count(*) AS common_neighbors
+      FROM adj a JOIN adj b ON a.x = b.x AND a.n < b.n
+      GROUP BY 1, 2
+    ),
+    miss AS (
+      SELECT c.* FROM cand c
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.id_a AND e.v = c.id_b)
+    )
+    SELECT id_a, id_b, common_neighbors,
+           CAST(common_neighbors AS DOUBLE)
+             / CAST(da.deg + db.deg - common_neighbors AS DOUBLE) AS jaccard
+    FROM miss
+    JOIN deg da ON da.x = id_a
+    JOIN deg db ON db.x = id_b
+    ORDER BY common_neighbors DESC, id_a, id_b LIMIT 50
+"""
+
+
+@query("graph_link_prediction", oracle=_LINKPRED_ORACLE)
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the part co-order graph - wedge join for candidates, anti join removes existing edges, deterministic top-50."""
+    from datalake_etlscripts_spark.operators.graph import link_prediction_topk
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").dropDuplicates()
+    b = li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("v"))
+    edges = (
+        li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("u"))
+        .join(b, "_o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .dropDuplicates()
+    )
+    return link_prediction_topk(edges, k=50)

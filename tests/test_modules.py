@@ -1907,3 +1907,14 @@ def test_pearson_matrix_known_correlations(spark):
     assert abs(r["corr_x_y"] - 1.0) < 1e-12      # perfect positive
     assert abs(r["corr_x_z"] + 1.0) < 1e-12      # perfect negative
     assert r["corr_x_c"] is None                 # constant column -> NULL
+
+
+def test_link_prediction_square_diagonals(spark):
+    from datalake_etlscripts_spark.operators.graph import link_prediction_topk
+
+    # 4-cycle 1-2-3-4-1: the two diagonals are the only predictions,
+    # each sharing both cycle neighbors (cn=2, jaccard=2/(2+2-2)=1.0)
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (1, 4)], ["u", "v"])
+    out = link_prediction_topk(edges, k=10).collect()
+    got = {(r["id_a"], r["id_b"]): (r["common_neighbors"], r["jaccard"]) for r in out}
+    assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
