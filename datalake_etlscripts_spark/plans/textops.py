@@ -2305,3 +2305,60 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_token_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-overlap audit: distinct-shingle containment between sources
+# (did the new crawl re-collect the old corpus?)
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_overlap",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 3, 1)),
+               i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]))) AS s
+      FROM tk
+    ),
+    a AS (SELECT DISTINCT s FROM sh WHERE source IN ('src0','src1','src2','src3','src4')),
+    b AS (SELECT DISTINCT s FROM sh WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+    m AS (
+      SELECT (SELECT count(*) FROM a) AS n_shingles_a,
+             (SELECT count(*) FROM b) AS n_shingles_b,
+             (SELECT count(*) FROM a WHERE s IN (SELECT s FROM b)) AS n_shared
+    )
+    SELECT n_shingles_a, n_shingles_b, n_shared,
+           CAST(n_shared AS DOUBLE) / CAST(n_shingles_a AS DOUBLE) AS containment_a_in_b
+    FROM m
+    """,
+)
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap audit: 5-gram containment of sources src0-4 inside the rest - distinct shingle sets, one semi-join count, exact-int ratio."""
+    d = read_table(spark, sf_dir, "documents").select("source", "text")
+    sh = d.select(
+        "source", F.explode(text.shingles(F.col("text"), 5)).alias("s")
+    )
+    in_a = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    a = sh.filter(in_a).select("s").distinct()
+    b = sh.filter(~in_a).select("s").distinct()
+    na = a.agg(F.count(F.lit(1)).alias("n_shingles_a"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_shingles_b"))
+    shared = a.join(b, "s", "left_semi").agg(F.count(F.lit(1)).alias("n_shared"))
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(shared))
+        .select(
+            "n_shingles_a",
+            "n_shingles_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double") / F.col("n_shingles_a").cast("double")
+            ).alias("containment_a_in_b"),
+        )
+    )
