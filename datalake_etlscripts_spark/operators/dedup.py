@@ -1105,9 +1105,13 @@ def ngram_novelty_scores(
         .distinct()
         .withColumn("_seen", F.lit(1))
     )
+    # shingles() is array_distinct per document and ids are unique by
+    # the operator's contract, so the exploded (id, shingle) rows are
+    # already unique — no dedup exchange needed over the corpus-sized
+    # intermediate (a prior dropDuplicates here was pure waste)
     doc_sh = corpus.select(
         F.col(id_col), F.explode_outer(shingles(F.col(text_col), k)).alias("_sh")
-    ).dropDuplicates([id_col, "_sh"])
+    )
     probed = doc_sh.join(ref_sh, "_sh", "left")
     return (
         probed.groupBy(id_col)

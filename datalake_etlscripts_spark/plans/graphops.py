@@ -153,6 +153,22 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected part co-order graph (u < v, distinct): parts that
+    appear in the same order share an edge. Shared by the triangle /
+    label-propagation / link-prediction queries — and mirrored by the
+    identical li/e0 CTE prefix in their oracles."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").dropDuplicates()
+    b = li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("v"))
+    return (
+        li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("u"))
+        .join(b, "_o")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .dropDuplicates()
+    )
+
+
 _TRIANGLES_ORACLE = """
     WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -184,16 +200,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-node triangle counts + clustering coefficient over the part co-order graph - degree-ordered orientation bounds wedges at O(m^1.5), never a naive deg^2 join."""
     from datalake_etlscripts_spark.operators.graph import triangle_counts
 
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").dropDuplicates()
-    b = li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("v"))
-    edges = (
-        li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("u"))
-        .join(b, "_o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .dropDuplicates()
-    )
-    return triangle_counts(edges)
+    return triangle_counts(_co_order_edges(spark, sf_dir))
 
 
 def _lpa_oracle(iterations: int = 3) -> str:
@@ -231,15 +238,7 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synchronous label propagation (3 rounds, min tie-break) over the part co-order graph - one neighbor join + one argmax per round."""
     from datalake_etlscripts_spark.operators.graph import label_propagation
 
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").dropDuplicates()
-    b = li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("v"))
-    e0 = (
-        li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("u"))
-        .join(b, "_o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .dropDuplicates()
-    )
+    e0 = _co_order_edges(spark, sf_dir)
     edges = e0.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
         e0.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
@@ -277,13 +276,4 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common-neighbor link prediction over the part co-order graph - wedge join for candidates, anti join removes existing edges, deterministic top-50."""
     from datalake_etlscripts_spark.operators.graph import link_prediction_topk
 
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").dropDuplicates()
-    b = li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("v"))
-    edges = (
-        li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("u"))
-        .join(b, "_o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .dropDuplicates()
-    )
-    return link_prediction_topk(edges, k=50)
+    return link_prediction_topk(_co_order_edges(spark, sf_dir), k=50)

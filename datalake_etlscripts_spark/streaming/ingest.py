@@ -14,7 +14,7 @@ event-time handling for late data.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datalake_etlscripts_spark.versioning import STATE_META, empty_state, merge_batch
@@ -32,9 +32,14 @@ def streaming_merge_batch(
     optimistic concurrency requires)."""
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
-        try:
+        import os
+
+        # missing path = FIRST batch; an unreadable store must RAISE —
+        # a blanket except would silently restart from empty state and
+        # lose the whole history on a transient read failure
+        if os.path.exists(state_path):
             existing = spark.read.parquet(state_path)
-        except Exception:  # noqa: BLE001 — first batch: empty store
+        else:
             existing = empty_state(spark, fields)
         merged = merge_batch(existing, batch_df, fields, group=group)
         # parquet has no in-place MERGE: write-new-then-swap keeps the
@@ -93,10 +98,13 @@ def fold_batch_views(
     from datalake_etlscripts_spark.summary import incremental_summary, summary_counts
 
     def _load(path: str) -> DataFrame | None:
-        try:
-            return spark.read.parquet(path)
-        except Exception:  # noqa: BLE001 — first batch: view not created yet
+        import os
+
+        # missing = view not created yet; unreadable must raise (the
+        # incremental fold would otherwise silently restart from zero)
+        if not os.path.exists(path):
             return None
+        return spark.read.parquet(path)
 
     def _swap(df: DataFrame, path: str) -> None:
         # small view tables: stage-then-swap like the store itself
@@ -386,6 +394,7 @@ def run_streaming_cdc_mirror(
     mirror_path: str,
     schema: str,
     key: str,
+    seq_col: str | None = None,
 ):
     """Maintain a MIRROR table from a stream of CDC changesets: each
     micro-batch of snapshot_diff-shaped rows (key, change_type, _new)
@@ -394,27 +403,64 @@ def run_streaming_cdc_mirror(
     txstore.snapshot_diff / Delta CDF). The mirror is only ever
     touched delta-sized per batch; its history is never re-read.
 
+    Multi-changeset batches: a backlog drain can coalesce SEVERAL
+    changeset files into one micro-batch, which may carry several
+    changes for one key — applying them unordered would corrupt the
+    mirror (duplicate keys, resurrected deletes). Two safe modes:
+
+    - ``seq_col`` given: changesets carry a monotone sequence number;
+      the batch is reduced to each key's highest-sequence change
+      before applying (last-wins, deterministic).
+    - ``seq_col`` None: files carry no ordering, so the stream reads
+      ONE changeset file per micro-batch (maxFilesPerTrigger=1,
+      processed in file-modification order) AND the batch fails
+      loudly if a single file still violates one-change-per-key —
+      never silently merges.
+
     Replay-safe: apply_changeset is idempotent, so a micro-batch
     re-delivered after a checkpoint recovery converges to the same
-    mirror. ``schema`` describes the changeset files (must contain
-    ``key``, ``change_type`` and a ``_new`` struct of the mirror's
-    payload columns). availableNow drains the backlog then stops.
+    mirror. A missing mirror file means FIRST batch (empty mirror);
+    an unreadable one raises — a half-written mirror from a crashed
+    epoch must be repaired, not silently replaced by delta-only data.
+    ``schema`` describes the changeset files (must contain ``key``,
+    ``change_type`` and a ``_new`` struct of the mirror's payload
+    columns). availableNow drains the backlog then stops.
     """
+    import os
+
     from datalake_etlscripts_spark.io.txstore import apply_changeset
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         payload_cols = [
             f"_new.{f}" for f in batch_df.schema["_new"].dataType.fieldNames()
         ]
-        try:
-            mirror = spark.read.parquet(mirror_path)
-        except Exception:  # noqa: BLE001 — first batch: empty mirror
+        if os.path.exists(mirror_path):
+            mirror = spark.read.parquet(mirror_path)  # unreadable → raise
+        else:
             mirror = batch_df.filter(F.lit(False)).select(key, *payload_cols)
-        # a single batch may carry several changes for one key (e.g.
-        # insert then update): keep the LAST change per key, ordered by
-        # change precedence within the batch file order is not defined,
-        # so the contract is one change per key per changeset file —
-        # enforced by snapshot_diff's one-row-per-key output
+        if seq_col is not None:
+            w = Window.partitionBy(key).orderBy(
+                F.desc(seq_col), F.desc("change_type")
+            )
+            batch_df = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", seq_col)
+            )
+        else:
+            dup = (
+                batch_df.groupBy(key)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .filter(F.col("_n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"changeset batch {epoch_id} carries multiple changes for "
+                    f"key {dup[0][0]!r}; produce one change per key per file "
+                    f"or pass seq_col for last-wins ordering"
+                )
         updated = apply_changeset(mirror, batch_df, key)
         tmp = f"{mirror_path}__epoch{epoch_id}"
         updated.write.mode("overwrite").parquet(tmp)
@@ -423,7 +469,10 @@ def run_streaming_cdc_mirror(
 
         shutil.rmtree(tmp, ignore_errors=True)
 
-    stream = spark.readStream.schema(schema).parquet(changes_dir)
+    stream = spark.readStream.schema(schema)
+    if seq_col is None:
+        stream = stream.option("maxFilesPerTrigger", 1)
+    stream = stream.parquet(changes_dir)
     return (
         stream.writeStream.foreachBatch(apply)
         .option("checkpointLocation", f"{mirror_path}__checkpoint")

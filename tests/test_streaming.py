@@ -438,3 +438,53 @@ def test_streaming_cdc_mirror_matches_sequential_apply(spark, tmp_path):
     expected_df = apply_changeset(apply_changeset(empty, batch1, "k"), batch2, "k")
     expected = sorted((r["k"], r["v"]) for r in expected_df.collect())
     assert got == expected == [(2, "TWO"), (3, "three")]
+
+
+def test_streaming_cdc_mirror_backlog_drain_preserves_order(spark, tmp_path):
+    """Both changeset files already present when the stream starts:
+    maxFilesPerTrigger=1 must replay them as separate ordered batches,
+    not merge them into one corrupting batch."""
+    import time as _time
+
+    from datalake_etlscripts_spark.streaming import run_streaming_cdc_mirror
+
+    changes_dir = str(tmp_path / "changes")
+    mirror = str(tmp_path / "mirror")
+    os.makedirs(changes_dir)
+    cs_schema = "k BIGINT, change_type STRING, _new STRUCT<v: STRING>"
+    b1 = spark.createDataFrame([(1, "insert", ("one",)), (2, "insert", ("two",))], cs_schema)
+    b2 = spark.createDataFrame([(2, "update", ("TWO",)), (1, "delete", None)], cs_schema)
+    b1.coalesce(1).write.mode("append").parquet(changes_dir)
+    _time.sleep(1.1)  # distinct modification times -> deterministic file order
+    b2.coalesce(1).write.mode("append").parquet(changes_dir)
+    q = run_streaming_cdc_mirror(spark, changes_dir, mirror, cs_schema, key="k")
+    q.awaitTermination(120)
+    got = sorted((r["k"], r["v"]) for r in spark.read.parquet(mirror).collect())
+    assert got == [(2, "TWO")]
+
+
+def test_streaming_cdc_mirror_seq_col_last_wins(spark, tmp_path):
+    """With seq_col, one coalesced batch holding several changes per
+    key reduces to each key's highest-sequence change."""
+    from datalake_etlscripts_spark.streaming import run_streaming_cdc_mirror
+
+    changes_dir = str(tmp_path / "changes")
+    mirror = str(tmp_path / "mirror")
+    os.makedirs(changes_dir)
+    cs_schema = "k BIGINT, seq BIGINT, change_type STRING, _new STRUCT<v: STRING>"
+    batch = spark.createDataFrame(
+        [
+            (1, 1, "insert", ("one",)),
+            (1, 2, "update", ("ONE",)),
+            (2, 1, "insert", ("two",)),
+            (2, 2, "delete", None),
+        ],
+        cs_schema,
+    )
+    batch.coalesce(1).write.mode("append").parquet(changes_dir)
+    q = run_streaming_cdc_mirror(
+        spark, changes_dir, mirror, cs_schema, key="k", seq_col="seq"
+    )
+    q.awaitTermination(120)
+    got = sorted((r["k"], r["v"]) for r in spark.read.parquet(mirror).collect())
+    assert got == [(1, "ONE")]
