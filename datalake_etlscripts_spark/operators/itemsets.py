@@ -51,6 +51,11 @@ def frequent_pairs(
         .agg(
             F.slice(F.array_sort(F.collect_set("_i")), 1, max_items).alias("_items")
         )
+        # the capped table feeds THREE consumers (supports, both join
+        # sides); settle it once instead of re-running the dedup +
+        # collect aggregate per consumer (A/B: ~2x cold, ~1.25x warm).
+        # Size is bounded: one row per basket with a ≤ max_items array.
+        .localCheckpoint()
     )
     n_baskets = capped.agg(F.count(F.lit(1)).alias("_n"))
     items = capped.select("_b", F.explode("_items").alias("_i"))
