@@ -2362,3 +2362,46 @@ def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment_a_in_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster-representative selection: near-dup clusters keep their BEST
+# member (longest text, tie lowest id) — what a pipeline actually
+# deletes against, composed from pairs → components → argmax
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_keep_best",
+    oracle=_CLUSTERS_ORACLE.replace(
+        "SELECT node, min(lab) AS component FROM reach GROUP BY node",
+        """, comp0 AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+    len AS (SELECT doc_id, length(text) AS n_chars_t FROM documents),
+    scored AS (
+      SELECT c.component, c.node, l.n_chars_t,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY l.n_chars_t DESC, c.node ASC) AS rn
+      FROM comp0 c JOIN len l ON l.doc_id = c.node
+    )
+    SELECT component, count(*) AS n_members,
+           MAX(CASE WHEN rn = 1 THEN node END) AS keep_id,
+           MAX(CASE WHEN rn = 1 THEN n_chars_t END) AS keep_len
+    FROM scored GROUP BY component""",
+    ),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster representative selection: near-dup components keep their longest member (tie lowest id) - the delete-list generator composed from pairs, components, argmax."""
+    from pyspark.sql import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.04)
+    comp = dedup.connected_components_star(pairs)
+    scored = comp.join(
+        d.select(F.col("doc_id").alias("node"), F.length("text").alias("n_chars_t")),
+        "node",
+    )
+    w = W.partitionBy("component").orderBy(F.desc("n_chars_t"), F.asc("node"))
+    ranked = scored.withColumn("_rn", F.row_number().over(w))
+    return ranked.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.when(F.col("_rn") == 1, F.col("node"))).alias("keep_id"),
+        F.max(F.when(F.col("_rn") == 1, F.col("n_chars_t"))).alias("keep_len"),
+    )
