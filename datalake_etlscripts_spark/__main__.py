@@ -128,6 +128,13 @@ def main(argv: list[str] | None = None) -> int:
         help="resolve pairs to connected components + keep-list instead of raw pairs",
     )
 
+    p = sub.add_parser("search", help="BM25 ranked retrieval over a text corpus")
+    p.add_argument("--table", required=True, help="parquet corpus with id/text columns")
+    p.add_argument("--terms", required=True, help="comma-separated query terms")
+    p.add_argument("--k", type=int, default=20)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+
     p = sub.add_parser("optimize", help="Z-order rewrite for multi-column data skipping")
     p.add_argument("--table", required=True)
     p.add_argument("--out", required=True)
@@ -367,6 +374,20 @@ def main(argv: list[str] | None = None) -> int:
         out.write.mode("overwrite").parquet(args.out)
         n = spark.read.parquet(args.out).count()
         print(f"dedup[{args.strategy}]: wrote {n} rows to {args.out}")
+
+    elif args.cmd == "search":
+        from datalake_etlscripts_spark.operators.text import bm25_topk
+
+        corpus = spark.read.parquet(args.table)
+        hits = bm25_topk(
+            corpus,
+            [t for t in args.terms.split(",") if t],
+            text_col=args.text_col,
+            id_col=args.id_col,
+            k=args.k,
+        ).collect()  # ≤ k rows — bounded driver output, not a data collect
+        for r in hits:
+            print(f"{r[args.id_col]}\t{r['n_hit']}\t{r['score']:.6f}")
 
     elif args.cmd == "optimize":
         from datalake_etlscripts_spark.io.layout import cluster_write
