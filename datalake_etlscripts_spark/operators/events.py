@@ -630,6 +630,7 @@ def winsorized_mean(
     value_col: str,
     lower_pct: float = 0.05,
     upper_pct: float = 0.95,
+    broadcast_stats: bool = True,
 ) -> DataFrame:
     """Winsorized per-key mean: values are CLAMPED to the key's exact
     [p_lower, p_upper] percentiles before averaging — the
@@ -649,9 +650,13 @@ def winsorized_mean(
         F.expr(f"percentile({value_col}, {lower_pct})").alias("p_lo"),
         F.expr(f"percentile({value_col}, {upper_pct})").alias("p_hi"),
     )
+    # stats is one row per key: broadcast fits grouping dimensions
+    # (event types, languages); disable for high-cardinality keys and
+    # the join falls back to a shuffle hash join
+    hint = F.broadcast if broadcast_stats else (lambda d: d)
     joined = df.select(
         F.col(key_col).alias("key"), F.col(value_col).alias("_v")
-    ).join(F.broadcast(stats), "key")
+    ).join(hint(stats), "key")
     clamped = F.least(F.greatest(F.col("_v"), F.col("p_lo")), F.col("p_hi"))
     return (
         joined.withColumn("_c", clamped.cast("decimal(18,6)"))
