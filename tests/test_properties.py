@@ -522,3 +522,64 @@ def test_allpairs_prefix_lossless_vs_brute_force(spark, docs):
         if union and 2 * len(sa & sb) >= len(union):
             expected[(i, j)] = len(sa & sb) / len(union)
     assert got == expected
+
+
+@SET
+@given(
+    keys=st.lists(st.integers(0, 50), min_size=1, max_size=25, unique=True),
+    num=st.integers(1, 7),
+    den=st.integers(1, 3),
+)
+def test_mixture_upsample_matches_python_model(spark, keys, num, den):
+    import hashlib
+
+    from datalake_etlscripts_spark.operators.sampling import mixture_upsample
+
+    df = spark.createDataFrame([(k, "s") for k in keys], ["k", "g"])
+    got = sorted(
+        (r["k"], r["epoch"])
+        for r in mixture_upsample(df, "k", "g", {"s": (num, den)}).collect()
+    )
+    expected = []
+    base, frac_num = num // den, num - (num // den) * den
+    for k in keys:
+        h32 = int(hashlib.md5(f"ups:{k}".encode()).hexdigest()[:8], 16)
+        copies = base + (1 if frac_num > 0 and h32 * den < frac_num * (1 << 32) else 0)
+        expected.extend((k, e) for e in range(copies))
+    assert got == sorted(expected)
+
+
+@SET
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 30), st.integers(0, 4)),
+        min_size=1,
+        max_size=40,
+    ),
+    w=st.integers(1, 4),
+)
+def test_rolling_distinct_matches_python_model(spark, events, w):
+    from datetime import datetime, timedelta
+
+    from datalake_etlscripts_spark.operators.events import rolling_distinct
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (f"k{k}", base + timedelta(hours=h, minutes=7), e) for k, h, e in events
+    ]
+    df = spark.createDataFrame(rows, "key STRING, ts TIMESTAMP, e BIGINT")
+    got = {
+        (r["key"], r["window_end"]): r["n_entities"]
+        for r in rolling_distinct(df, "key", "ts", "e", window_hours=w).collect()
+    }
+    hours = {}
+    for k, h, e in events:
+        hours.setdefault((f"k{k}", h), set()).add(e)
+    expected = {}
+    for (k, h), _ in hours.items():
+        for end in range(h, h + w):
+            seen = set()
+            for back in range(w):
+                seen |= hours.get((k, end - back), set())
+            expected[(k, base + timedelta(hours=end))] = len(seen)
+    assert got == expected
