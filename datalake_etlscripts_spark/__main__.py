@@ -381,7 +381,7 @@ def main(argv: list[str] | None = None) -> int:
         corpus = spark.read.parquet(args.table)
         hits = bm25_topk(
             corpus,
-            [t for t in args.terms.split(",") if t],
+            [t.strip() for t in args.terms.split(",") if t.strip()],
             text_col=args.text_col,
             id_col=args.id_col,
             k=args.k,

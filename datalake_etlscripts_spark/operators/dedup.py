@@ -1098,6 +1098,10 @@ def ngram_novelty_scores(
     aggregate. Ratio = exact ints divided once in double (engine-
     deterministic). Documents too short for one shingle score NULL.
 
+    Contract: ``id_col`` is unique per corpus row — shingles() is
+    already distinct per document, so (id, shingle) needs no dedup
+    exchange; duplicate ids would double-count their shingles.
+
     Returns (id, n_shingles, n_novel, novelty).
     """
     ref_sh = (

@@ -654,9 +654,14 @@ def winsorized_mean(
     # (event types, languages); disable for high-cardinality keys and
     # the join falls back to a shuffle hash join
     hint = F.broadcast if broadcast_stats else (lambda d: d)
-    joined = df.select(
-        F.col(key_col).alias("key"), F.col(value_col).alias("_v")
-    ).join(hint(stats), "key")
+    # NULL values are dropped explicitly: Spark's greatest/least SKIP
+    # NULLs, so a NULL value would silently clamp to p_lo and be
+    # counted — a missing measurement must not become a p_lo one
+    joined = (
+        df.select(F.col(key_col).alias("key"), F.col(value_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .join(hint(stats), "key")
+    )
     clamped = F.least(F.greatest(F.col("_v"), F.col("p_lo")), F.col("p_hi"))
     return (
         joined.withColumn("_c", clamped.cast("decimal(18,6)"))

@@ -129,9 +129,13 @@ def pearson_matrix(df: DataFrame, cols: list[str], scale: int = 4) -> DataFrame:
     to second moments).
 
     One full scan, no shuffle beyond the single global aggregate.
+    Rows with a NULL in ANY of ``cols`` are dropped first (listwise
+    deletion) — mixing count(*) with NULL-skipping sums would
+    otherwise produce silently wrong correlations on incomplete data.
     Output: one row with n plus corr_<a>_<b> per unordered pair;
     constant columns yield NULL (try_divide by zero variance).
     """
+    df = df.na.drop(subset=cols)
     # decimal(12,s): physical int64 in DuckDB, so pairwise products
     # widen to decimal(25,2s) (int128) without overflow — the money()
     # pattern from plans/relational.py applied to second moments

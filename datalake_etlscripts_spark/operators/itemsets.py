@@ -54,8 +54,10 @@ def frequent_pairs(
         # the capped table feeds THREE consumers (supports, both join
         # sides); settle it once instead of re-running the dedup +
         # collect aggregate per consumer (A/B: ~2x cold, ~1.25x warm).
-        # Size is bounded: one row per basket with a ≤ max_items array.
-        .localCheckpoint()
+        # LAZY: materializes on the first action — building the plan
+        # (explain/tests) must not launch a job. Size is bounded: one
+        # row per basket with a ≤ max_items array.
+        .localCheckpoint(eager=False)
     )
     n_baskets = capped.agg(F.count(F.lit(1)).alias("_n"))
     items = capped.select("_b", F.explode("_items").alias("_i"))

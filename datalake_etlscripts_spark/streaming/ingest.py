@@ -20,6 +20,30 @@ from pyspark.sql import functions as F
 from datalake_etlscripts_spark.versioning import STATE_META, empty_state, merge_batch
 
 
+def _fs_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API — correct for
+    hdfs://, s3a://, file:// and bare local paths alike (os.path.exists
+    is local-only and would silently report a remote store as absent,
+    resetting streaming state)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
+
+
+def _stage_swap(spark: SparkSession, df: DataFrame, path: str, tag: str) -> None:
+    """Write ``df`` to a staging dir, then overwrite ``path`` from the
+    staged copy — parquet has no in-place MERGE; Delta replaces this
+    with a transactional write. One definition for every streaming
+    state/view/mirror writer."""
+    import shutil
+
+    tmp = f"{path}__{tag}"
+    df.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    shutil.rmtree(tmp, ignore_errors=True)  # local staging cleanup; FS-specific on remote stores
+
+
 def streaming_merge_batch(
     spark: SparkSession,
     state_path: str,
@@ -32,24 +56,15 @@ def streaming_merge_batch(
     optimistic concurrency requires)."""
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
-        import os
-
         # missing path = FIRST batch; an unreadable store must RAISE —
         # a blanket except would silently restart from empty state and
         # lose the whole history on a transient read failure
-        if os.path.exists(state_path):
+        if _fs_path_exists(spark, state_path):
             existing = spark.read.parquet(state_path)
         else:
             existing = empty_state(spark, fields)
         merged = merge_batch(existing, batch_df, fields, group=group)
-        # parquet has no in-place MERGE: write-new-then-swap keeps the
-        # store readable; Delta replaces this with a single MERGE INTO
-        tmp = f"{state_path}__epoch{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)  # local FS staging cleanup
+        _stage_swap(spark, merged, state_path, f"epoch{epoch_id}")
 
     return apply
 
@@ -98,22 +113,14 @@ def fold_batch_views(
     from datalake_etlscripts_spark.summary import incremental_summary, summary_counts
 
     def _load(path: str) -> DataFrame | None:
-        import os
-
         # missing = view not created yet; unreadable must raise (the
         # incremental fold would otherwise silently restart from zero)
-        if not os.path.exists(path):
+        if not _fs_path_exists(spark, path):
             return None
         return spark.read.parquet(path)
 
     def _swap(df: DataFrame, path: str) -> None:
-        # small view tables: stage-then-swap like the store itself
-        import shutil
-
-        tmp = f"{path}__staging"
-        df.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-        shutil.rmtree(tmp, ignore_errors=True)
+        _stage_swap(spark, df, path, "staging")
 
     sum_path = os.path.join(views_dir, "summary")
     old = _load(sum_path)
@@ -414,8 +421,11 @@ def run_streaming_cdc_mirror(
     - ``seq_col`` None: files carry no ordering, so the stream reads
       ONE changeset file per micro-batch (maxFilesPerTrigger=1,
       processed in file-modification order) AND the batch fails
-      loudly if a single file still violates one-change-per-key —
-      never silently merges.
+      loudly if a single file still violates one-change-per-key.
+      Caveat: modification-time TIES break by file path, so two files
+      written within the FS's mtime granularity can replay inverted —
+      producers that cannot space their drops must use seq_col (the
+      robust mode).
 
     Replay-safe: apply_changeset is idempotent, so a micro-batch
     re-delivered after a checkpoint recovery converges to the same
@@ -426,15 +436,13 @@ def run_streaming_cdc_mirror(
     ``change_type`` and a ``_new`` struct of the mirror's payload
     columns). availableNow drains the backlog then stops.
     """
-    import os
-
     from datalake_etlscripts_spark.io.txstore import apply_changeset
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         payload_cols = [
             f"_new.{f}" for f in batch_df.schema["_new"].dataType.fieldNames()
         ]
-        if os.path.exists(mirror_path):
+        if _fs_path_exists(spark, mirror_path):
             mirror = spark.read.parquet(mirror_path)  # unreadable → raise
         else:
             mirror = batch_df.filter(F.lit(False)).select(key, *payload_cols)
@@ -462,12 +470,7 @@ def run_streaming_cdc_mirror(
                     f"or pass seq_col for last-wins ordering"
                 )
         updated = apply_changeset(mirror, batch_df, key)
-        tmp = f"{mirror_path}__epoch{epoch_id}"
-        updated.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(mirror_path)
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+        _stage_swap(spark, updated, mirror_path, f"epoch{epoch_id}")
 
     stream = spark.readStream.schema(schema)
     if seq_col is None:

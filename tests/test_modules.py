@@ -1918,3 +1918,25 @@ def test_link_prediction_square_diagonals(spark):
     out = link_prediction_topk(edges, k=10).collect()
     got = {(r["id_a"], r["id_b"]): (r["common_neighbors"], r["jaccard"]) for r in out}
     assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
+
+
+def test_winsorized_mean_drops_null_values(spark):
+    from datalake_etlscripts_spark.operators.events import winsorized_mean
+
+    df = spark.createDataFrame(
+        [("k", None), ("k", 100.0), ("k", 50.0)], "key STRING, v DOUBLE"
+    )
+    r = winsorized_mean(df, "key", "v").collect()[0]
+    assert r["n"] == 2            # NULL is missing data, not a p_lo value
+    assert r["wmean"] == 75.0
+
+
+def test_pearson_matrix_listwise_deletes_nulls(spark):
+    from datalake_etlscripts_spark.operators.expectations import pearson_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, None), (1.0, 1.0), (2.0, 2.0), (3.0, 3.0)], "a DOUBLE, b DOUBLE"
+    )
+    r = pearson_matrix(df, ["a", "b"]).collect()[0]
+    assert r["n"] == 3            # incomplete row removed entirely
+    assert abs(r["corr_a_b"] - 1.0) < 1e-12
