@@ -672,3 +672,52 @@ def winsorized_mean(
         )
         .select("key", "n", "p_lo", "p_hi", "wmean")
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-weighted average per key (TWAP): each observation is
+    weighted by how long it REMAINED current — the duration to the
+    next observation of the same key. The plain mean over-weights
+    bursts; the time-weighted one is the metric-system standard for
+    irregularly sampled gauges.
+
+    One key-partitioned lead window (shared shuffle), integer
+    MICROSECOND durations × DECIMAL values summed exactly (whole
+    seconds would truncate sub-second timestamps differently per
+    engine), one double division at the end — bit-deterministic under
+    any partitioning. The last observation per key has no successor
+    and carries zero weight; keys with a single observation (zero
+    total duration) yield NULL.
+    Returns (key, n_obs, total_micros, twap).
+    """
+    w = W.partitionBy(key_col).orderBy(ts_col, id_col)
+    dur = (
+        F.unix_micros(F.lead(ts_col).over(w)) - F.unix_micros(F.col(ts_col))
+    ).cast("long")
+    weighted = df.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).cast("decimal(12,4)").alias("_v"),
+        dur.alias("_dur"),
+    )
+    return (
+        weighted.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.coalesce(F.sum("_dur"), F.lit(0).cast("long")).alias("total_micros"),
+            F.sum(F.col("_v") * F.col("_dur").cast("decimal(18,0)")).alias("_wsum"),
+        )
+        .select(
+            "key",
+            "n_obs",
+            "total_micros",
+            F.try_divide(
+                F.col("_wsum").cast("double"), F.col("total_micros").cast("double")
+            ).alias("twap"),
+        )
+    )

@@ -782,3 +782,37 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return winsorized_mean(e, key_col="event_type", value_col="value")
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average (TWAP) per event type: duration-to-next weights
+# ---------------------------------------------------------------------------
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH d AS (
+      SELECT event_type AS key,
+             CAST(value AS DECIMAL(12,4)) AS v,
+             epoch_us(lead(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id))
+               - epoch_us(ts) AS dur
+      FROM events
+    ),
+    a AS (
+      SELECT key, count(*) AS n_obs,
+             CAST(COALESCE(SUM(dur), 0) AS BIGINT) AS total_micros,
+             SUM(v * CAST(dur AS DECIMAL(18,0))) AS wsum
+      FROM d GROUP BY key
+    )
+    SELECT key, n_obs, total_micros,
+           CASE WHEN total_micros > 0
+                THEN CAST(CAST(wsum AS VARCHAR) AS DOUBLE) / CAST(total_micros AS DOUBLE)
+           END AS twap
+    FROM a
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (TWAP) - duration-to-next weights from one lead window, decimal-exact weighted sum."""
+    from datalake_etlscripts_spark.operators.events import time_weighted_avg
+
+    e = read_table(spark, sf_dir, "events")
+    return time_weighted_avg(e, key_col="event_type", ts_col="ts", value_col="value")

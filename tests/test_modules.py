@@ -1940,3 +1940,33 @@ def test_pearson_matrix_listwise_deletes_nulls(spark):
     r = pearson_matrix(df, ["a", "b"]).collect()[0]
     assert r["n"] == 3            # incomplete row removed entirely
     assert abs(r["corr_a_b"] - 1.0) < 1e-12
+
+
+def test_time_weighted_avg_burst_vs_plain_mean(spark):
+    from datetime import datetime, timedelta
+
+    from datalake_etlscripts_spark.operators.events import time_weighted_avg
+
+    t0 = datetime(2024, 1, 1)
+    # value 10 holds for 100s, then a burst of three value-1000 samples
+    # 1s apart, then value 10 holds for another 100s (last obs weight 0)
+    rows = [
+        (1, t0, 10.0),
+        (2, t0 + timedelta(seconds=100), 1000.0),
+        (3, t0 + timedelta(seconds=101), 1000.0),
+        (4, t0 + timedelta(seconds=102), 1000.0),
+        (5, t0 + timedelta(seconds=103), 10.0),
+        (6, t0 + timedelta(seconds=203), 10.0),
+        (9, t0, 42.0),  # singleton key: zero duration -> NULL twap
+    ]
+    df = spark.createDataFrame(
+        [("a",) + r if r[0] != 9 else ("b",) + r for r in rows],
+        "key STRING, event_id BIGINT, ts TIMESTAMP, value DOUBLE",
+    )
+    out = {r["key"]: r for r in time_weighted_avg(df, "key", "ts", "value").collect()}
+    # plain mean of a's values is 338.3; TWAP stays near 10 because the
+    # burst only held for 3 of 203 seconds
+    expected = (100 * 10.0 + 1 * 1000 + 1 * 1000 + 1 * 1000 + 100 * 10.0) / 203
+    assert abs(out["a"]["twap"] - expected) < 1e-9
+    assert out["a"]["total_micros"] == 203 * 1_000_000
+    assert out["b"]["twap"] is None and out["b"]["n_obs"] == 1
