@@ -110,7 +110,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--strategy",
         default="minhash",
-        choices=["exact", "minhash", "simhash", "winnow", "urls"],
+        choices=["exact", "minhash", "simhash", "winnow", "urls", "allpairs"],
     )
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
@@ -337,7 +337,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.clusters and args.strategy in ("exact", "urls"):
             ap.error(
                 f"--clusters needs a pair-producing strategy "
-                f"(minhash/simhash/winnow), not {args.strategy!r}"
+                f"(minhash/simhash/winnow/allpairs), not {args.strategy!r}"
             )
         corpus = spark.read.parquet(args.table)
         if args.strategy == "exact":
@@ -358,9 +358,19 @@ def main(argv: list[str] | None = None) -> int:
             out = dd.substring_duplicate_pairs(
                 corpus, args.text_col, args.id_col, scheme=args.scheme
             )
+        elif args.strategy == "allpairs":
+            from fractions import Fraction
+
+            t = Fraction(args.threshold).limit_denominator(1000)
+            out = dd.allpairs_jaccard_pairs(
+                corpus,
+                threshold=(t.numerator, t.denominator),
+                text_col=args.text_col,
+                id_col=args.id_col,
+            ).withColumnRenamed("id1", "id_a").withColumnRenamed("id2", "id_b")
         else:  # urls
             out = dd.url_duplicates(corpus, args.url_col, args.id_col)
-        if args.clusters and args.strategy in ("minhash", "simhash", "winnow"):
+        if args.clusters and args.strategy in ("minhash", "simhash", "winnow", "allpairs"):
             comp = dd.connected_components_star(out.select("id_a", "id_b"))
             ids = corpus.select(F.col(args.id_col).alias("node"))
             out = (
