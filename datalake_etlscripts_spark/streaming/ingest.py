@@ -482,3 +482,83 @@ def run_streaming_cdc_mirror(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def trending_topk_from_counts(counts: DataFrame, k: int = 5) -> DataFrame:
+    """Per-window top-k tokens from a (window_start, token, n) count
+    table — rank by (n desc, token asc), fully deterministic. Shared
+    by the streaming fold and its batch twin so stream ≡ batch is an
+    equality of plans, not a reimplementation."""
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "token", "n", "rank")
+    )
+
+
+def windowed_token_counts(docs: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window token counts over a timestamped text stream —
+    works identically on streaming and batch inputs."""
+    toks = docs.select(
+        F.col("ts"),
+        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token"),
+    )
+    return (
+        toks.groupBy(F.window("ts", window).alias("w"), "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "token", "n")
+    )
+
+
+def run_streaming_trending_terms(
+    spark: SparkSession,
+    docs_dir: str,
+    state_path: str,
+    schema: str,
+    window: str = "1 hour",
+    k: int = 5,
+):
+    """Streaming trending-terms service: each micro-batch of
+    timestamped documents folds its windowed token counts into a
+    persistent (window_start, token, n) state table (sum-merge — the
+    counts monoid), then the per-window top-k view is re-derived from
+    the updated state into ``{state_path}__topk``.
+
+    The state table is (windows × vocabulary)-sized — summary-sized,
+    never the corpus; the ingest history is never re-scanned. Top-k
+    ranking is NOT stream-incremental (a rank can change when any
+    count moves), so it is recomputed from the state table per batch —
+    that table is exactly the right size for it. Streamed result ≡
+    one-shot batch recompute over the union of all drops (tested).
+
+    Delivery note: the count fold is a sum — NOT idempotent — so a
+    micro-batch replayed after a crash between the state swap and the
+    checkpoint commit would double-count (at-least-once on parquet).
+    The versioned-ingest merge tolerates replays by construction; for
+    exactly-once counts deploy this fold on a transactional table
+    (Delta) where state write + checkpoint commit are atomic.
+    """
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_counts = windowed_token_counts(batch_df, window)
+        if _fs_path_exists(spark, state_path):
+            merged = (
+                spark.read.parquet(state_path)
+                .unionByName(batch_counts)
+                .groupBy("window_start", "token")
+                .agg(F.sum("n").alias("n"))
+            )
+        else:
+            merged = batch_counts
+        _stage_swap(spark, merged, state_path, f"epoch{epoch_id}")
+        topk = trending_topk_from_counts(spark.read.parquet(state_path), k)
+        _stage_swap(spark, topk, f"{state_path}__topk", f"epoch{epoch_id}")
+
+    stream = spark.readStream.schema(schema).parquet(docs_dir)
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", f"{state_path}__checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

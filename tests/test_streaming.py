@@ -488,3 +488,58 @@ def test_streaming_cdc_mirror_seq_col_last_wins(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted((r["k"], r["v"]) for r in spark.read.parquet(mirror).collect())
     assert got == [(1, "ONE")]
+
+
+def test_streaming_trending_terms_matches_batch(spark, tmp_path):
+    from datetime import datetime
+
+    from datalake_etlscripts_spark.streaming import run_streaming_trending_terms
+    from datalake_etlscripts_spark.streaming.ingest import (
+        trending_topk_from_counts,
+        windowed_token_counts,
+    )
+
+    docs_dir = str(tmp_path / "docs")
+    state = str(tmp_path / "counts")
+    os.makedirs(docs_dir)
+    schema = "doc_id BIGINT, ts TIMESTAMP, text STRING"
+    T = datetime
+    b1 = spark.createDataFrame(
+        [
+            (1, T(2024, 1, 1, 10, 5), "spark spark flink"),
+            (2, T(2024, 1, 1, 10, 40), "spark beam"),
+            (3, T(2024, 1, 1, 11, 10), "flink flink flink"),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (4, T(2024, 1, 1, 10, 55), "beam beam beam beam"),
+            (5, T(2024, 1, 1, 11, 20), "spark"),
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.mode("append").parquet(docs_dir)
+    q = run_streaming_trending_terms(spark, docs_dir, state, schema, k=2)
+    q.awaitTermination(120)
+    b2.coalesce(1).write.mode("append").parquet(docs_dir)
+    q = run_streaming_trending_terms(spark, docs_dir, state, schema, k=2)
+    q.awaitTermination(120)
+
+    streamed = sorted(
+        (r["window_start"], r["token"], r["n"], r["rank"])
+        for r in spark.read.parquet(f"{state}__topk").collect()
+    )
+    batch = sorted(
+        (r["window_start"], r["token"], r["n"], r["rank"])
+        for r in trending_topk_from_counts(
+            windowed_token_counts(b1.unionByName(b2)), k=2
+        ).collect()
+    )
+    assert streamed == batch
+    # hour 10: beam(5) > spark(3); hour 11: flink(3) > spark(1)
+    by_win = {}
+    for w, tok, n, rank in streamed:
+        by_win.setdefault(w.hour, []).append((rank, tok, n))
+    assert sorted(by_win[10]) == [(1, "beam", 5), (2, "spark", 3)]
+    assert sorted(by_win[11]) == [(1, "flink", 3), (2, "spark", 1)]
