@@ -430,3 +430,67 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[sketches.bloom_table(h, "name") for h in halves]
     )
     return sketches.bloom_probe(names.select("name"), state, "name")
+
+
+# ---------------------------------------------------------------------------
+# per-host crawl accounting: the politeness/ops dashboard the reference
+# logs by hand (get_documents.py outcome tallies), as one aggregate
+# ---------------------------------------------------------------------------
+@query(
+    "crawl_host_stats",
+    oracle="""
+    WITH docs AS (
+      SELECT printf('ntp%08d', p_partkey) AS ntp_id,
+             'http://docs' || CAST(p_partkey % 5 AS VARCHAR) ||
+                '.example/files/' ||
+                CASE WHEN p_partkey % 11 = 0 THEN 'missing' ELSE 'doc' END ||
+                CAST(p_partkey AS VARCHAR) AS url
+      FROM part WHERE p_partkey <= 1000
+    ),
+    fetched AS (
+      SELECT 'docs' || CAST(p AS VARCHAR) || '.example' AS host, url,
+             CASE WHEN url LIKE '%missing%' THEN -1 ELSE 200 END AS status,
+             CASE WHEN url LIKE '%missing%' THEN 0
+                  ELSE length('content-of:' || url) END AS n_bytes
+      FROM (SELECT url, CAST(substr(url, 12, 1) AS INT) AS p FROM docs)
+    )
+    SELECT host,
+           count(*) AS n_urls,
+           CAST(COALESCE(SUM(CASE WHEN status = 200 THEN 1 END), 0) AS BIGINT) AS n_ok,
+           CAST(COALESCE(SUM(CASE WHEN status <> 200 THEN 1 END), 0) AS BIGINT) AS n_err,
+           CAST(COALESCE(SUM(n_bytes), 0) AS BIGINT) AS total_bytes,
+           CAST(COALESCE(SUM(CASE WHEN status <> 200 THEN 1 END), 0) AS DOUBLE)
+             / count(*) AS err_rate
+    FROM fetched GROUP BY host
+    """,
+)
+def q_crawl_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl accounting (urls, ok/err, bytes, error rate) from one aggregate over the fetch results - the politeness dashboard behind per-server delays and skip lists."""
+    from datalake_etlscripts_spark.functions.scalar import url_host
+
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1000)
+    docs = p.select(
+        format_ntp_id(F.col("p_partkey")).alias("_id"),
+        F.concat(
+            F.lit("http://docs"),
+            (F.col("p_partkey") % 5).cast("string"),
+            F.lit(".example/files/"),
+            F.when(F.col("p_partkey") % 11 == 0, F.lit("missing")).otherwise(F.lit("doc")),
+            F.col("p_partkey").cast("string"),
+        ).alias("doc_url"),
+    )
+    fetched = crawl(prune_urls(extract_urls(docs, scalar_cols=("doc_url",))))
+    return fetched.groupBy(url_host(F.col("url")).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.coalesce(
+            F.sum(F.when(F.col("status") == 200, 1)), F.lit(0)
+        ).cast("long").alias("n_ok"),
+        F.coalesce(
+            F.sum(F.when(F.col("status") != 200, 1)), F.lit(0)
+        ).cast("long").alias("n_err"),
+        F.coalesce(F.sum("n_bytes"), F.lit(0)).cast("long").alias("total_bytes"),
+        (
+            F.coalesce(F.sum(F.when(F.col("status") != 200, 1)), F.lit(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("err_rate"),
+    )
