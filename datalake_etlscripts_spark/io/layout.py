@@ -98,3 +98,76 @@ def candidate_files(
         ],
     )
     return stats.filter(cond).count(), stats.count()
+
+
+def hilbert_index(x, y, bits: int = 8):
+    """2D Hilbert-curve index of two already-quantized non-negative
+    ints in [0, 2^bits) — the locality-preserving alternative to
+    Z-order (adjacent curve positions are always adjacent cells, so
+    file ranges cover more compact regions; Z-order jumps at quadrant
+    boundaries).
+
+    The classic per-bit rotate/flip state machine runs as ONE
+    ``aggregate`` fold over the literal array of bit weights
+    [2^(bits−1) … 1], carrying (x, y, d) as a struct — linear
+    expression size (an unrolled when-chain would re-nest x and y ~4×
+    per round and explode the expression tree). Pure integer
+    arithmetic: a DuckDB twin replays it with list_reduce.
+    """
+    xs = (x if not isinstance(x, str) else F.col(x)).cast("bigint")
+    ys = (y if not isinstance(y, str) else F.col(y)).cast("bigint")
+    levels = F.array(*[F.lit(1 << i).cast("bigint") for i in range(bits - 1, -1, -1)])
+    init = F.struct(
+        xs.alias("x"), ys.alias("y"), F.lit(0).cast("bigint").alias("d")
+    )
+
+    def step(acc, s):
+        rx = F.when(acc["x"].bitwiseAND(s) != 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        ry = F.when(acc["y"].bitwiseAND(s) != 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        d = acc["d"] + s * s * (F.lit(3) * rx).bitwiseXOR(ry)
+        flip = (ry == 0) & (rx == 1)
+        fx = F.when(flip, s - 1 - acc["x"]).otherwise(acc["x"])
+        fy = F.when(flip, s - 1 - acc["y"]).otherwise(acc["y"])
+        nx = F.when(ry == 0, fy).otherwise(acc["x"])
+        ny = F.when(ry == 0, fx).otherwise(acc["y"])
+        return F.struct(nx.alias("x"), ny.alias("y"), d.alias("d"))
+
+    return F.aggregate(levels, init, step, lambda acc: acc["d"])
+
+
+def hilbert_cluster_write(
+    df: DataFrame, path: str, cols: list[str], n_files: int, bits: int = 8
+) -> None:
+    """cluster_write's Hilbert twin for exactly two columns: quantize
+    by min/max range (same broadcast aggregate as zorder_key) and
+    range-partition + sort by the Hilbert index."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_cluster_write clusters exactly two columns")
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    with_r = df.crossJoin(F.broadcast(df.agg(*aggs)))
+    hi = (1 << bits) - 1
+    qx, qy = [
+        F.least(
+            F.lit(hi),
+            F.floor(
+                (F.col(c) - F.col(f"_min_{c}"))
+                * hi
+                / F.greatest(F.col(f"_max_{c}") - F.col(f"_min_{c}"), F.lit(1))
+            ),
+        ).cast("bigint")
+        for c in cols
+    ]
+    (
+        with_r.withColumn("_hkey", hilbert_index(qx, qy, bits))
+        .repartitionByRange(n_files, "_hkey")
+        .sortWithinPartitions("_hkey")
+        .select(*df.columns)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -543,3 +543,65 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             [F.col("l_partkey") % 256, F.col("l_suppkey") % 256], bits=8
         ).alias("zkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-curve clustering key: the locality-preserving alternative to
+# zorder_key; the oracle replays the rotate/flip state machine with a
+# list_reduce over the same bit weights
+# ---------------------------------------------------------------------------
+_H_BITS = 8
+
+
+def _hilbert_oracle(bits: int = _H_BITS) -> str:
+    """Unrolled rotate/flip rounds (DuckDB 1.0's list_reduce has no
+    initial-accumulator form, so the fold unrolls to one CTE per bit
+    level — each round materializes (x, y, d) columns, same integer
+    arithmetic as the Spark-side struct fold)."""
+    parts = [
+        """
+    WITH r0 AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_partkey % 256 AS BIGINT) AS x,
+             CAST(l_suppkey % 256 AS BIGINT) AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM lineitem
+    )"""
+    ]
+    for r, i in enumerate(range(bits - 1, -1, -1), start=1):
+        sv = 1 << i
+        rx = f"(CASE WHEN (x & {sv}) <> 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {sv}) <> 0 THEN 1 ELSE 0 END)"
+        parts.append(
+            f""",
+    r{r} AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN {ry} = 0
+                  THEN CASE WHEN {rx} = 1 THEN {sv} - 1 - y ELSE y END
+                  ELSE x END AS x,
+             CASE WHEN {ry} = 0
+                  THEN CASE WHEN {rx} = 1 THEN {sv} - 1 - x ELSE x END
+                  ELSE y END AS y,
+             d + {sv} * {sv} * xor(3 * {rx}, {ry}) AS d
+      FROM r{r - 1}
+    )"""
+        )
+    parts.append(
+        f"\n    SELECT l_orderkey, l_linenumber, d AS hkey FROM r{bits}"
+    )
+    return "".join(parts)
+
+
+@query("hilbert_key", oracle=_hilbert_oracle())
+def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key (locality-preserving space-filling curve) - per-bit rotate/flip state machine as one integer fold."""
+    from datalake_etlscripts_spark.io.layout import hilbert_index
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        hilbert_index(
+            F.col("l_partkey") % 256, F.col("l_suppkey") % 256, bits=_H_BITS
+        ).alias("hkey"),
+    )

@@ -1970,3 +1970,62 @@ def test_time_weighted_avg_burst_vs_plain_mean(spark):
     assert abs(out["a"]["twap"] - expected) < 1e-9
     assert out["a"]["total_micros"] == 203 * 1_000_000
     assert out["b"]["twap"] is None and out["b"]["n_obs"] == 1
+
+
+def test_hilbert_index_matches_python_and_is_contiguous(spark):
+    from datalake_etlscripts_spark.io.layout import hilbert_index
+
+    def py_xy2d(n_bits, x, y):
+        d, s = 0, 1 << (n_bits - 1)
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    bits = 4
+    grid = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(grid, "x INT, y INT")
+    got = {
+        (r["x"], r["y"]): r["h"]
+        for r in df.select("x", "y", hilbert_index("x", "y", bits).alias("h")).collect()
+    }
+    assert got == {(x, y): py_xy2d(bits, x, y) for x, y in grid}
+    # the curve is a bijection visiting every cell once…
+    assert sorted(got.values()) == list(range(256))
+    # …and consecutive indices are always ADJACENT cells (the locality
+    # property Z-order lacks)
+    by_d = {d: xy for xy, d in got.items()}
+    for d in range(255):
+        (x1, y1), (x2, y2) = by_d[d], by_d[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_layout_prunes_box_queries(spark, sf_dir, tmp_path):
+    from datalake_etlscripts_spark.io.layout import (
+        candidate_files,
+        hilbert_cluster_write,
+    )
+    from datalake_etlscripts_spark.io.readers import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    linear = str(tmp_path / "linear")
+    hilb = str(tmp_path / "hilbert")
+    li.orderBy("l_partkey").repartitionByRange(8, "l_partkey").write.parquet(linear)
+    hilbert_cluster_write(li, hilb, ["l_partkey", "l_suppkey"], n_files=8)
+    pmax = li.agg(F.max("l_partkey")).collect()[0][0]
+    smax = li.agg(F.max("l_suppkey")).collect()[0][0]
+    # thin box on the SECOND column: linear layout can't prune it
+    box = {"l_partkey": (0, pmax), "l_suppkey": (0, max(1, smax // 8))}
+    lin_hit, lin_total = candidate_files(spark, linear, box)
+    hil_hit, hil_total = candidate_files(spark, hilb, box)
+    assert lin_hit == lin_total            # linear: every file is a candidate
+    assert hil_hit < hil_total             # hilbert: some files pruned
