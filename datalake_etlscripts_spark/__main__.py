@@ -135,11 +135,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
 
-    p = sub.add_parser("optimize", help="Z-order rewrite for multi-column data skipping")
+    p = sub.add_parser("optimize", help="space-filling-curve rewrite for multi-column data skipping")
     p.add_argument("--table", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--zorder-by", required=True, help="comma-separated numeric columns")
     p.add_argument("--files", type=int, default=64)
+    p.add_argument(
+        "--curve",
+        default="zorder",
+        choices=["zorder", "hilbert"],
+        help="hilbert (exactly 2 columns) keeps adjacent cells adjacent on the curve",
+    )
 
     args = ap.parse_args(argv)
 
@@ -400,11 +406,14 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{r[args.id_col]}\t{r['n_hit']}\t{r['score']:.6f}")
 
     elif args.cmd == "optimize":
-        from datalake_etlscripts_spark.io.layout import cluster_write
+        from datalake_etlscripts_spark.io.layout import cluster_write, hilbert_cluster_write
 
         cols = args.zorder_by.split(",")
-        cluster_write(spark.read.parquet(args.table), args.out, cols, args.files)
-        print(f"z-ordered {args.table} by {cols} into {args.files} files at {args.out}")
+        if args.curve == "hilbert":
+            hilbert_cluster_write(spark.read.parquet(args.table), args.out, cols, args.files)
+        else:
+            cluster_write(spark.read.parquet(args.table), args.out, cols, args.files)
+        print(f"{args.curve}-clustered {args.table} by {cols} into {args.files} files at {args.out}")
 
     elif args.cmd == "check":
         from datalake_etlscripts_spark.versioning import (
