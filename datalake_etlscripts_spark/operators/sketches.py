@@ -446,3 +446,12 @@ def bloom_probe(
     return df.join(
         hits.withColumnRenamed("_v", value), value, "left"
     ).withColumn("maybe_member", F.coalesce("maybe_member", F.lit(False)))
+
+
+def negate_histogram(hist: DataFrame) -> DataFrame:
+    """Signed view of a histogram state for DELETE maintenance:
+    bin-wise counters subtract as exactly as they add, so
+    merge_histogram_tables(state, negate_histogram(removed_hist))
+    yields the histogram of the post-delete data — the removal story
+    HLL registers cannot offer (max-merge is insert-only)."""
+    return hist.select("bin", (-F.col("n")).alias("n"))

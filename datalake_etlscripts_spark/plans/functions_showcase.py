@@ -605,3 +605,132 @@ def q_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey") % 256, F.col("l_suppkey") % 256, bits=_H_BITS
         ).alias("hkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# INCREMENTAL data card: the corpus_stats report maintained from CDC
+# deltas instead of a rescan — counts add/subtract exactly, the length
+# distribution lives in mergeable histogram bins (negate_histogram for
+# deletes), the vocabulary in add-only HLL registers (deletes need a
+# rebuild — the documented HLL limitation, so the vocab figure is
+# "tokens ever seen"). Delta scenario: base = doc_id % 4 <> 3,
+# adds = % 4 = 3, deletes = base rows with % 7 = 0.
+# ---------------------------------------------------------------------------
+_DC_LO, _DC_HI, _DC_BINS = 0.0, 256.0, 256
+_DC_W = (_DC_HI - _DC_LO) / _DC_BINS
+
+
+def _dc_oracle() -> str:
+    from datalake_etlscripts_spark.operators.sketches import (
+        HLL_BUCKETS,
+        HLL_EST_NUM,
+        HLL_WORD_BITS,
+    )
+    from datalake_etlscripts_spark.plans.registry import ddb_hex32
+
+    ladder = " ".join(
+        f"WHEN w >= {1 << i} THEN {HLL_WORD_BITS - i}"
+        for i in range(HLL_WORD_BITS - 1, -1, -1)
+    )
+    scale = 1 << (HLL_WORD_BITS + 1)
+    return f"""
+    WITH tk AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ),
+    base AS (SELECT * FROM tk WHERE doc_id % 4 <> 3),
+    added AS (SELECT * FROM tk WHERE doc_id % 4 = 3),
+    removed AS (SELECT * FROM base WHERE doc_id % 7 = 0),
+    live AS (
+      SELECT * FROM base WHERE doc_id % 7 <> 0
+      UNION ALL SELECT * FROM added
+    ),
+    counts AS (
+      SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens FROM live
+    ),
+    h AS (
+      SELECT least(greatest(CAST(floor(dl / {_DC_W!r}) AS INT), 0), {_DC_BINS - 1}) AS bin,
+             count(*) AS n
+      FROM live GROUP BY 1
+    ),
+    c AS (SELECT bin, sum(n) OVER (ORDER BY bin) AS cum, sum(n) OVER () AS total FROM h),
+    p50 AS (SELECT {_DC_LO!r} + min(bin) * {_DC_W!r} AS p50_len FROM c
+            WHERE cum >= ceil(0.5 * total)),
+    p95 AS (SELECT {_DC_LO!r} + min(bin) * {_DC_W!r} AS p95_len FROM c
+            WHERE cum >= ceil(0.95 * total)),
+    seen AS (
+      SELECT unnest(toks) AS v FROM base
+      UNION ALL SELECT unnest(toks) FROM added
+    ),
+    h0 AS (SELECT {ddb_hex32("md5(v)")} AS hh FROM seen),
+    hb AS (SELECT hh & {HLL_BUCKETS - 1} AS bucket, hh >> 8 AS w FROM h0),
+    regs AS (SELECT bucket, max(CASE {ladder} ELSE {HLL_WORD_BITS + 1} END) AS reg
+             FROM hb GROUP BY 1),
+    hll AS (
+      SELECT {HLL_EST_NUM!r} /
+             (sum(CAST(1 AS BIGINT) << ({HLL_WORD_BITS + 1} - reg))
+              + ({HLL_BUCKETS} - count(*)) * {scale}) AS vocab_seen_est
+      FROM regs
+    )
+    SELECT counts.n_docs, counts.total_tokens,
+           CAST(counts.total_tokens AS DOUBLE) / counts.n_docs AS mean_len,
+           p50.p50_len, p95.p95_len, hll.vocab_seen_est
+    FROM counts, p50, p95, hll
+    """
+
+
+@query("corpus_stats_incremental", oracle=_dc_oracle())
+def q_corpus_stats_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental data card: counts/mean maintained exactly from CDC deltas, length quantiles from signed histogram bins, vocabulary from add-only HLL registers - the corpus is never rescanned."""
+    from datalake_etlscripts_spark.operators import sketches, text
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = text.tokens(F.col("text"))
+    dl = d.select("doc_id", F.size(toks).cast("long").alias("dl"), toks.alias("toks"))
+    base = dl.filter(F.col("doc_id") % 4 != 3)
+    added = dl.filter(F.col("doc_id") % 4 == 3)
+    removed = base.filter(F.col("doc_id") % 7 == 0)
+
+    def cnt(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("t")
+        )
+
+    counts = (
+        cnt(base).crossJoin(F.broadcast(cnt(added).withColumnRenamed("n", "na").withColumnRenamed("t", "ta")))
+        .crossJoin(F.broadcast(cnt(removed).withColumnRenamed("n", "nr").withColumnRenamed("t", "tr")))
+        .select(
+            (F.col("n") + F.col("na") - F.col("nr")).alias("n_docs"),
+            (F.col("t") + F.col("ta") - F.col("tr")).alias("total_tokens"),
+        )
+    )
+    hist = sketches.merge_histogram_tables(
+        sketches.histogram_sketch_table(base, "dl", _DC_LO, _DC_HI, _DC_BINS),
+        sketches.histogram_sketch_table(added, "dl", _DC_LO, _DC_HI, _DC_BINS),
+        sketches.negate_histogram(
+            sketches.histogram_sketch_table(removed, "dl", _DC_LO, _DC_HI, _DC_BINS)
+        ),
+    ).filter(F.col("n") != 0)
+    quant = sketches.histogram_quantiles(hist, [0.5, 0.95], _DC_LO, _DC_HI, _DC_BINS)
+    p50 = quant.filter(F.col("q") == 0.5).select(F.col("estimate").alias("p50_len"))
+    p95 = quant.filter(F.col("q") == 0.95).select(F.col("estimate").alias("p95_len"))
+    tokens_seen = base.unionByName(added).select(F.explode("toks").alias("v"))
+    vocab_state = sketches.merge_hll_register_tables(
+        sketches.hll_register_table(tokens_seen, [], "v")
+    )
+    vocab = sketches.hll_register_estimate(vocab_state, alias="vocab_seen_est")
+    return (
+        counts.crossJoin(F.broadcast(p50))
+        .crossJoin(F.broadcast(p95))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "n_docs",
+            "total_tokens",
+            (F.col("total_tokens").cast("double") / F.col("n_docs")).alias("mean_len"),
+            "p50_len",
+            "p95_len",
+            "vocab_seen_est",
+        )
+    )

@@ -2029,3 +2029,21 @@ def test_hilbert_layout_prunes_box_queries(spark, sf_dir, tmp_path):
     hil_hit, hil_total = candidate_files(spark, hilb, box)
     assert lin_hit == lin_total            # linear: every file is a candidate
     assert hil_hit < hil_total             # hilbert: some files pruned
+
+
+def test_negated_histogram_delete_maintenance_equals_recompute(spark):
+    from datalake_etlscripts_spark.operators import sketches
+
+    full = spark.createDataFrame([(float(v),) for v in range(100)], ["v"])
+    removed = full.filter((F.col("v") % 10) == 0)
+    live = full.subtract(removed)
+    maintained = sketches.merge_histogram_tables(
+        sketches.histogram_sketch_table(full, "v", 0.0, 100.0, 50),
+        sketches.negate_histogram(
+            sketches.histogram_sketch_table(removed, "v", 0.0, 100.0, 50)
+        ),
+    ).filter(F.col("n") != 0)
+    recomputed = sketches.histogram_sketch_table(live, "v", 0.0, 100.0, 50)
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, recomputed.collect())
+    )
