@@ -816,3 +816,42 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return time_weighted_avg(e, key_col="event_type", ts_col="ts", value_col="value")
+
+
+# ---------------------------------------------------------------------------
+# inter-arrival-time distribution per event type: burstiness profile
+# ---------------------------------------------------------------------------
+@query(
+    "interarrival_stats",
+    oracle="""
+    WITH g AS (
+      SELECT event_type AS key,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT key, count(gap_us) AS n_gaps,
+           CAST(SUM(gap_us) AS BIGINT) AS total_us,
+           CAST(SUM(gap_us) AS DOUBLE) / count(gap_us) AS mean_gap_us,
+           quantile_cont(gap_us, 0.5) AS p50_gap_us,
+           quantile_cont(gap_us, 0.95) AS p95_gap_us
+    FROM g GROUP BY key
+    """,
+)
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile per event type (mean/p50/p95 gaps in exact microseconds) - one lag window, exact integer sums, interpolation-identical percentiles."""
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        F.col("event_type").alias("key"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    )
+    return gaps.groupBy("key").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.coalesce(F.sum("gap_us"), F.lit(0)).cast("long").alias("total_us"),
+        (F.sum("gap_us").cast("double") / F.count("gap_us")).alias("mean_gap_us"),
+        F.expr("percentile(gap_us, 0.5)").alias("p50_gap_us"),
+        F.expr("percentile(gap_us, 0.95)").alias("p95_gap_us"),
+    )
