@@ -639,3 +639,59 @@ def pq_ann_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def embedding_centroid_drift(
+    df: DataFrame,
+    label_col: str,
+    half_col,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-label embedding drift between two data halves: the cosine
+    between each half's SUM vector (cosine is scale-invariant, so the
+    sum stands in for the mean with no division). The audit for "did
+    this class's representation move between snapshots/batches" —
+    drift pair #3 beside the value trend and the distribution drift.
+
+    Determinism: per-dimension sums accumulate in DECIMAL(30,21),
+    reached by parsing each float's SHORTEST-REPR STRING — both
+    engines emit identical repr digits for a float and parse them to
+    the identical decimal, where a direct double→decimal cast is NOT
+    correctly rounded in DuckDB (measured: ~1% of casts off by one
+    final digit). Decimal sums are partition-order-independent; the
+    cosine then folds the per-dim sums IN DIMENSION ORDER as doubles.
+    Shape: one posexplode → one (label, half, dim) aggregate
+    (64·labels·2 rows) → dictionary-sized collects.
+    Returns (label, n_a, n_b, drift_cosine).
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        half_col.alias("_half"),
+        F.posexplode(F.col(vec_col)).alias("_dim", "_v"),
+    )
+    sums = exploded.groupBy("label", "_half", "_dim").agg(
+        F.sum(F.col("_v").cast("string").cast("decimal(30,21)")).alias("_s")
+    )
+    vecs = sums.groupBy("label", "_half").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_dim", "_s"))),
+            lambda s: s["_s"].cast("double"),
+        ).alias("_vec")
+    )
+    counts = df.groupBy(F.col(label_col).alias("label"), half_col.alias("_half")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    halves = vecs.join(counts, ["label", "_half"])
+    a = halves.filter(F.col("_half") == 0).select(
+        "label", F.col("_vec").alias("_va"), F.col("_n").alias("n_a")
+    )
+    b = halves.filter(F.col("_half") == 1).select(
+        "label", F.col("_vec").alias("_vb"), F.col("_n").alias("n_b")
+    )
+    return a.join(b, "label").select(
+        "label",
+        "n_a",
+        "n_b",
+        cosine(F.col("_va"), F.col("_vb")).alias("drift_cosine"),
+    )

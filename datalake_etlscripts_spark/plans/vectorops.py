@@ -242,3 +242,58 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "embeddings")
     return pq_ann_topk(e, e.filter(F.col("vec_id") < 8), _pq_cbs(), k=5)
+
+
+# ---------------------------------------------------------------------------
+# per-label embedding drift between vec_id-parity halves: cosine of
+# the halves' decimal-exact SUM vectors (scale-invariant ⇒ no mean
+# division); dimension-ordered double fold, VARCHAR round-trip for the
+# wide decimal→double cast (DuckDB's is not correctly rounded)
+# ---------------------------------------------------------------------------
+_DRIFT_ORACLE = """
+    WITH o AS (
+      SELECT label, vec_id % 2 AS half, embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    s AS (
+      SELECT label, half, CAST(i AS INT) - 1 AS dim,
+             SUM(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(30,21))) AS sd
+      FROM o GROUP BY 1, 2, 3
+    ),
+    v AS (
+      SELECT label, half,
+             list(CAST(CAST(sd AS VARCHAR) AS DOUBLE) ORDER BY dim) AS vec
+      FROM s GROUP BY 1, 2
+    ),
+    n AS (
+      SELECT label, vec_id % 2 AS half, count(*) AS n
+      FROM embeddings GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT a.label, na.n AS n_a, nb.n AS n_b, a.vec AS va, b.vec AS vb
+      FROM v a
+      JOIN v b ON b.label = a.label AND a.half = 0 AND b.half = 1
+      JOIN n na ON na.label = a.label AND na.half = 0
+      JOIN n nb ON nb.label = a.label AND nb.half = 1
+    )
+    SELECT label, n_a, n_b,
+           list_reduce(list_prepend(0.0, list_transform(list_zip(va, vb),
+               x -> x[1] * x[2])), (p, q) -> p + q)
+           / (sqrt(list_reduce(list_prepend(0.0, list_transform(va,
+                x -> x * x)), (p, q) -> p + q))
+            * sqrt(list_reduce(list_prepend(0.0, list_transform(vb,
+                x -> x * x)), (p, q) -> p + q))) AS drift_cosine
+    FROM j
+"""
+
+
+@query("embedding_drift", oracle=_DRIFT_ORACLE)
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid drift between dataset halves - decimal-exact per-dim sums, scale-invariant cosine, dimension-ordered fold."""
+    from datalake_etlscripts_spark.operators.similarity import embedding_centroid_drift
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return embedding_centroid_drift(
+        e, label_col="label", half_col=(F.col("vec_id") % 2), vec_col="embedding"
+    )

@@ -2064,3 +2064,25 @@ def test_frequent_triples_apriori(spark):
     assert [(r["item_a"], r["item_b"], r["item_c"], r["triple_support"]) for r in out] == [
         ("a", "b", "c", 2)
     ]
+
+
+def test_embedding_centroid_drift_detects_shift(spark):
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.operators.similarity import embedding_centroid_drift
+
+    stable = [(i, [1.0, 0.0, 0.5, 0.1], 0) for i in range(20)]
+    # label 1: half 0 points one way, half 1 points the opposite way
+    shifted = [(100 + i, [1.0, 1.0, 0.0, 0.0] if i % 2 == 0 else [-1.0, -1.0, 0.0, 0.0], 1) for i in range(20)]
+    df = spark.createDataFrame(
+        stable + shifted, "vec_id INT, embedding ARRAY<FLOAT>, label INT"
+    )
+    out = {
+        r["label"]: r
+        for r in embedding_centroid_drift(
+            df, "label", (F.col("vec_id") % 2), "embedding", dim=4
+        ).collect()
+    }
+    assert abs(out[0]["drift_cosine"] - 1.0) < 1e-12   # identical halves
+    assert out[1]["drift_cosine"] < 0                   # opposite directions
+    assert out[0]["n_a"] == out[0]["n_b"] == 10
