@@ -721,3 +721,45 @@ def time_weighted_avg(
             ).alias("twap"),
         )
     )
+
+
+def peak_concurrency(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    entity_col: str,
+) -> DataFrame:
+    """Peak simultaneous entities per (key, day): each entity's
+    presence interval is [first event, last event] of that day; a
+    +1/−1 boundary sweep with a running sum finds the maximum overlap
+    — the classic interval-concurrency problem (license peaks,
+    connection-pool sizing) as one window, no interval self-join.
+
+    Determinism: boundaries sort by (ts, delta DESC) so a start
+    arriving exactly when another interval ends counts as overlapping
+    (inclusive intervals), and equal-timestamp prefix sums are
+    replayable. The sweep window partitions by (key, day) — bounded by
+    a day's entities per key; for heavier keys pre-bucket by hour and
+    sweep bucket maxima. Returns (key, day, peak).
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    iv = (
+        df.select(
+            F.col(key_col).alias("key"), day.alias("day"),
+            F.col(entity_col).alias("_e"), F.col(ts_col).alias("_ts"),
+        )
+        .groupBy("key", "day", "_e")
+        .agg(F.min("_ts").alias("_lo"), F.max("_ts").alias("_hi"))
+    )
+    bounds = iv.select(
+        "key", "day", F.col("_lo").alias("_t"), F.lit(1).alias("_d")
+    ).unionByName(
+        iv.select("key", "day", F.col("_hi").alias("_t"), F.lit(-1).alias("_d"))
+    )
+    w = (
+        W.partitionBy("key", "day")
+        .orderBy(F.col("_t"), F.desc("_d"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    swept = bounds.withColumn("_run", F.sum("_d").over(w))
+    return swept.groupBy("key", "day").agg(F.max("_run").alias("peak"))

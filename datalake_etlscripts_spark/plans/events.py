@@ -855,3 +855,38 @@ def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(gap_us, 0.5)").alias("p50_gap_us"),
         F.expr("percentile(gap_us, 0.95)").alias("p95_gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# interval sweep: peak simultaneous users per (event_type, day)
+# ---------------------------------------------------------------------------
+@query(
+    "peak_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type AS key, date_trunc('day', ts) AS day, user_id AS e,
+             min(ts) AS lo, max(ts) AS hi
+      FROM events GROUP BY 1, 2, 3
+    ),
+    bounds AS (
+      SELECT key, day, lo AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT key, day, hi AS t, -1 AS d FROM iv
+    ),
+    swept AS (
+      SELECT key, day,
+             SUM(d) OVER (PARTITION BY key, day
+                          ORDER BY t, d DESC
+                          ROWS UNBOUNDED PRECEDING) AS run
+      FROM bounds
+    )
+    SELECT key, day, CAST(MAX(run) AS BIGINT) AS peak
+    FROM swept GROUP BY key, day
+    """,
+)
+def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous users per event type and day - +1/-1 boundary sweep over presence intervals, one running-sum window, no interval self-join."""
+    from datalake_etlscripts_spark.operators.events import peak_concurrency
+
+    e = read_table(spark, sf_dir, "events")
+    return peak_concurrency(e, key_col="event_type", ts_col="ts", entity_col="user_id")

@@ -2086,3 +2086,32 @@ def test_embedding_centroid_drift_detects_shift(spark):
     assert abs(out[0]["drift_cosine"] - 1.0) < 1e-12   # identical halves
     assert out[1]["drift_cosine"] < 0                   # opposite directions
     assert out[0]["n_a"] == out[0]["n_b"] == 10
+
+
+def test_peak_concurrency_inclusive_boundaries(spark):
+    from datetime import datetime
+
+    from datalake_etlscripts_spark.operators.events import peak_concurrency
+
+    T = datetime
+    rows = [
+        # user 1 present 10:00-11:00; user 2 present 11:00-12:00
+        # (start exactly at 1's end): inclusive intervals overlap -> 2
+        ("k", T(2024, 1, 1, 10, 0), 1),
+        ("k", T(2024, 1, 1, 11, 0), 1),
+        ("k", T(2024, 1, 1, 11, 0), 2),
+        ("k", T(2024, 1, 1, 12, 0), 2),
+        # user 3 alone in the afternoon
+        ("k", T(2024, 1, 1, 15, 0), 3),
+        # another day: three users at once
+        ("k", T(2024, 1, 2, 9, 0), 1),
+        ("k", T(2024, 1, 2, 10, 0), 2),
+        ("k", T(2024, 1, 2, 10, 30), 3),
+        ("k", T(2024, 1, 2, 11, 0), 1),
+        ("k", T(2024, 1, 2, 11, 0), 2),
+        ("k", T(2024, 1, 2, 11, 0), 3),
+    ]
+    df = spark.createDataFrame(rows, "key STRING, ts TIMESTAMP, e BIGINT")
+    out = {r["day"].day: r["peak"] for r in peak_concurrency(df, "key", "ts", "e").collect()}
+    assert out[1] == 2
+    assert out[2] == 3
