@@ -135,6 +135,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
 
+    p = sub.add_parser("stats", help="corpus data card (length distribution + vocabulary)")
+    p.add_argument("--table", required=True, help="parquet corpus with id/text columns")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+
     p = sub.add_parser("optimize", help="space-filling-curve rewrite for multi-column data skipping")
     p.add_argument("--table", required=True)
     p.add_argument("--out", required=True)
@@ -404,6 +409,29 @@ def main(argv: list[str] | None = None) -> int:
         ).collect()  # ≤ k rows — bounded driver output, not a data collect
         for r in hits:
             print(f"{r[args.id_col]}\t{r['n_hit']}\t{r['score']:.6f}")
+
+    elif args.cmd == "stats":
+        from datalake_etlscripts_spark.operators import text as textops
+
+        corpus = spark.read.parquet(args.table)
+        toks = textops.tokens(F.col(args.text_col))
+        dl = corpus.select(F.size(toks).cast("long").alias("_dl"), toks.alias("_tk"))
+        row = dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_dl").alias("total_tokens"),
+            F.expr("percentile(_dl, 0.5)").alias("p50_len"),
+            F.expr("percentile(_dl, 0.95)").alias("p95_len"),
+        ).collect()[0]
+        vocab = (
+            dl.select(F.explode("_tk").alias("_t"))
+            .agg(F.count_distinct("_t").alias("v"))
+            .collect()[0]["v"]
+        )
+        print(
+            f"docs={row['n_docs']} tokens={row['total_tokens']} "
+            f"mean_len={row['total_tokens'] / max(row['n_docs'], 1):.1f} "
+            f"p50_len={row['p50_len']:.0f} p95_len={row['p95_len']:.0f} vocab={vocab}"
+        )
 
     elif args.cmd == "optimize":
         from datalake_etlscripts_spark.io.layout import cluster_write, hilbert_cluster_write
