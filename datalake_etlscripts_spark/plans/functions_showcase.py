@@ -734,3 +734,94 @@ def q_corpus_stats_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab_seen_est",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# APPROXIMATE corpus overlap via HLL inclusion–exclusion: est(A∩B) ≈
+# est(A) + est(B) − est(A∪B), where the union estimate comes from
+# max-MERGING the two register states — never touching raw data again.
+# The sketch-composition twin of corpus_overlap's exact semi-join: at
+# 100 TB the two corpora summarize to 256 registers each and the
+# overlap question costs one register merge. Same raw-estimator
+# arithmetic as approx_distinct_incremental → oracle-checkable.
+# ---------------------------------------------------------------------------
+def _overlap_hll_oracle() -> str:
+    from datalake_etlscripts_spark.operators.sketches import (
+        HLL_BUCKETS,
+        HLL_EST_NUM,
+        HLL_WORD_BITS,
+    )
+    from datalake_etlscripts_spark.plans.registry import ddb_hex32
+
+    ladder = " ".join(
+        f"WHEN w >= {1 << i} THEN {HLL_WORD_BITS - i}"
+        for i in range(HLL_WORD_BITS - 1, -1, -1)
+    )
+    scale = 1 << (HLL_WORD_BITS + 1)
+    est = (
+        f"{HLL_EST_NUM!r} / (sum(CAST(1 AS BIGINT) << ({HLL_WORD_BITS + 1} - reg))"
+        f" + ({HLL_BUCKETS} - count(*)) * {scale})"
+    )
+    return f"""
+    WITH tk AS (
+      SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT source IN ('src0','src1','src2','src3','src4') AS in_a,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 3, 1)),
+               i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]))) AS s
+      FROM tk
+    ),
+    h AS (SELECT in_a, {ddb_hex32("md5(s)")} AS hh FROM sh),
+    hb AS (SELECT in_a, hh & {HLL_BUCKETS - 1} AS bucket, hh >> 8 AS w FROM h),
+    regs AS (
+      SELECT in_a, bucket, max(CASE {ladder} ELSE {HLL_WORD_BITS + 1} END) AS reg
+      FROM hb GROUP BY 1, 2
+    ),
+    ea AS (SELECT {est} AS e FROM regs WHERE in_a),
+    eb AS (SELECT {est} AS e FROM regs WHERE NOT in_a),
+    eu AS (SELECT {est} AS e FROM (
+             SELECT bucket, max(reg) AS reg FROM regs GROUP BY bucket) regs),
+    m AS (SELECT ea.e AS est_a, eb.e AS est_b, eu.e AS est_union FROM ea, eb, eu)
+    SELECT est_a, est_b, est_union,
+           est_a + est_b - est_union AS est_overlap,
+           (est_a + est_b - est_union) / est_a AS containment_a_in_b_est
+    FROM m
+    """
+
+
+@query("corpus_overlap_approx", oracle=_overlap_hll_oracle())
+def q_corpus_overlap_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate corpus overlap from HLL register states: est(A)+est(B)-est(union-of-merged-registers) - two 256-register sketches answer the overlap question without re-reading either corpus."""
+    from datalake_etlscripts_spark.operators import sketches, text
+
+    d = read_table(spark, sf_dir, "documents").select("source", "text")
+    sh = d.select(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4").alias("in_a"),
+        F.explode(text.shingles(F.col("text"), 5)).alias("s"),
+    )
+    state = sketches.hll_register_table(sh, ["in_a"], "s")
+
+    def est(st, name):
+        return sketches.hll_register_estimate(
+            st.select("bucket", "register"), alias=name
+        )
+
+    ea = est(state.filter(F.col("in_a")), "est_a")
+    eb = est(state.filter(~F.col("in_a")), "est_b")
+    eu = est(sketches.rollup_hll_registers(state, []), "est_union")
+    return (
+        ea.crossJoin(F.broadcast(eb))
+        .crossJoin(F.broadcast(eu))
+        .select(
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias("est_overlap"),
+            (
+                (F.col("est_a") + F.col("est_b") - F.col("est_union")) / F.col("est_a")
+            ).alias("containment_a_in_b_est"),
+        )
+    )

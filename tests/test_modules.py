@@ -2115,3 +2115,26 @@ def test_peak_concurrency_inclusive_boundaries(spark):
     out = {r["day"].day: r["peak"] for r in peak_concurrency(df, "key", "ts", "e").collect()}
     assert out[1] == 2
     assert out[2] == 3
+
+
+def test_hll_inclusion_exclusion_overlap_accuracy(spark):
+    from datalake_etlscripts_spark.operators import sketches
+
+    rows = [(("a", v)) for v in range(5000)] + [("b", v) for v in range(2500, 7500)]
+    df = spark.createDataFrame(rows, ["side", "v"])
+    state = sketches.hll_register_table(df, ["side"], "v")
+
+    def est(st):
+        return sketches.hll_register_estimate(
+            st.select("bucket", "register"), alias="e"
+        ).collect()[0]["e"]
+
+    ea = est(state.filter(F.col("side") == "a"))
+    eb = est(state.filter(F.col("side") == "b"))
+    eu = est(sketches.rollup_hll_registers(state, []))
+    overlap = ea + eb - eu
+    # true: |A|=|B|=5000, |A∪B|=7500, |A∩B|=2500. Inclusion-exclusion
+    # compounds the three estimators' error; 25% tolerance at m=256.
+    assert abs(ea - 5000) / 5000 < 0.15
+    assert abs(eu - 7500) / 7500 < 0.15
+    assert abs(overlap - 2500) / 2500 < 0.25
