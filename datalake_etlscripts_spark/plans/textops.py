@@ -2405,3 +2405,62 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("_rn") == 1, F.col("node"))).alias("keep_id"),
         F.max(F.when(F.col("_rn") == 1, F.col("n_chars_t"))).alias("keep_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-language corpus scorecard: the grouped data card
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_stats_by_lang",
+    oracle="""
+    WITH tk AS (
+      SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    dl AS (SELECT lang, CAST(len(tk) AS BIGINT) AS dl, tk FROM tk),
+    d AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_tokens,
+             CAST(SUM(dl) AS DOUBLE) / count(*) AS mean_len,
+             quantile_cont(dl, 0.5) AS p50_len,
+             quantile_cont(dl, 0.95) AS p95_len
+      FROM dl GROUP BY lang
+    ),
+    v AS (
+      SELECT lang, count(DISTINCT t) AS vocab
+      FROM (SELECT lang, unnest(tk) AS t FROM tk) GROUP BY lang
+    )
+    SELECT d.lang, n_docs, total_tokens, mean_len, p50_len, p95_len, v.vocab,
+           CAST(v.vocab AS DOUBLE) / total_tokens AS type_token_ratio
+    FROM d JOIN v ON v.lang = d.lang
+    """,
+)
+def q_corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus scorecard: doc/token counts, exact length percentiles, exact vocabulary, type-token ratio - the grouped data card behind mixture decisions."""
+    d = read_table(spark, sf_dir, "documents").select("lang", "text")
+    toks = text.tokens(F.col("text"))
+    dl = d.select("lang", F.size(toks).cast("long").alias("_dl"), toks.alias("_tk"))
+    stats = dl.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_dl").alias("total_tokens"),
+        (F.sum("_dl").cast("double") / F.count(F.lit(1))).alias("mean_len"),
+        F.expr("percentile(_dl, 0.5)").alias("p50_len"),
+        F.expr("percentile(_dl, 0.95)").alias("p95_len"),
+    )
+    vocab = (
+        dl.select("lang", F.explode("_tk").alias("_t"))
+        .groupBy("lang")
+        .agg(F.count_distinct("_t").alias("vocab"))
+    )
+    return stats.join(vocab, "lang").select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "mean_len",
+        "p50_len",
+        "p95_len",
+        "vocab",
+        (F.col("vocab").cast("double") / F.col("total_tokens")).alias(
+            "type_token_ratio"
+        ),
+    )
