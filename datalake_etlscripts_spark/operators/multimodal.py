@@ -250,3 +250,61 @@ def ahash_duplicate_groups(
         )
         .filter(F.col("n_imgs") > 1)
     )
+
+
+def ahash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "data",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate image pairs by aHash Hamming distance: band the
+    64-bit hash into four 16-bit slices (a pair within hamming <
+    n_bands shares at least one exact band — pigeonhole, the simhash
+    blocking argument applied to image hashes), equi-join candidates,
+    verify with bit_count. The hash stays as (hi, lo) 32-bit halves —
+    a packed 64-bit value can go negative, and ``>>`` on a negative
+    BIGINT is arithmetic in some engines (sign-extension would corrupt
+    bucket extraction). Returns (id_a, id_b, hamming)."""
+    if max_hamming >= 4:
+        raise ValueError("4 bands guarantee recall only for hamming <= 3")
+    hashed = average_hash(df, id_col, bin_col)
+    m16 = (1 << 16) - 1
+    banded = hashed.select(
+        F.col("id"),
+        "ahash_hi",
+        "ahash_lo",
+        F.posexplode(
+            F.array(
+                F.col("ahash_lo").bitwiseAND(F.lit(m16)),
+                F.shiftrightunsigned("ahash_lo", 16).bitwiseAND(F.lit(m16)),
+                F.col("ahash_hi").bitwiseAND(F.lit(m16)),
+                F.shiftrightunsigned("ahash_hi", 16).bitwiseAND(F.lit(m16)),
+            )
+        ).alias("band", "bucket"),
+    )
+    l_ = banded.select(
+        F.col("id").alias("id_a"),
+        F.col("ahash_hi").alias("_ha"),
+        F.col("ahash_lo").alias("_la"),
+        "band",
+        "bucket",
+    )
+    r_ = banded.select(
+        F.col("id").alias("id_b"),
+        F.col("ahash_hi").alias("_hb"),
+        F.col("ahash_lo").alias("_lb"),
+        "band",
+        "bucket",
+    )
+    cand = (
+        l_.join(r_, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))) + F.bit_count(
+        F.col("_la").bitwiseXOR(F.col("_lb"))
+    )
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -2464,3 +2464,60 @@ def q_corpus_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "type_token_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# image near-dup PAIRS: aHash hamming <= 3 via 16-bit band blocking
+# (the simhash recall argument applied to the image hash)
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_ahash_near_dups",
+    oracle="""
+    WITH src AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+    g AS (SELECT doc_id, text, n, unnest(range(64)) AS i FROM src),
+    c AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             CASE WHEN n >= 64
+                  THEN ascii(substr(text, 1 + CAST(i AS INT) * CAST(n // 64 AS INT), 1))
+                  WHEN i < n THEN ascii(substr(text, CAST(i AS INT) + 1, 1))
+                  ELSE 0 END AS code
+      FROM g
+    ),
+    s AS (SELECT doc_id, SUM(code) AS s FROM c GROUP BY doc_id),
+    h AS (
+      SELECT c.doc_id,
+             CAST(COALESCE(SUM(CASE WHEN 64 * code > s.s AND i >= 32
+                          THEN CAST(1 AS BIGINT) << CAST(i - 32 AS INT) END), 0)
+               AS BIGINT) AS hi,
+             CAST(COALESCE(SUM(CASE WHEN 64 * code > s.s AND i < 32
+                          THEN CAST(1 AS BIGINT) << CAST(i AS INT) END), 0)
+               AS BIGINT) AS lo
+      FROM c JOIN s USING (doc_id) GROUP BY c.doc_id
+    ),
+    banded AS (
+      SELECT doc_id, hi, lo, b.band AS band,
+             CASE b.band
+               WHEN 0 THEN lo & 65535
+               WHEN 1 THEN (lo >> 16) & 65535
+               WHEN 2 THEN hi & 65535
+               ELSE (hi >> 16) & 65535 END AS bucket
+      FROM h CROSS JOIN (SELECT unnest(range(4)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.hi AS ha, a.lo AS la, b.hi AS hb, b.lo AS lb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+    """,
+)
+def q_multimodal_ahash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: aHash hamming <= 3 with 16-bit band blocking - the simhash pigeonhole recall argument on the binary seam's perceptual hashes."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return multimodal.ahash_near_dup_pairs(
+        multimodal.attach_binary(d), max_hamming=3
+    )

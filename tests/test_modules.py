@@ -2138,3 +2138,22 @@ def test_hll_inclusion_exclusion_overlap_accuracy(spark):
     assert abs(ea - 5000) / 5000 < 0.15
     assert abs(eu - 7500) / 7500 < 0.15
     assert abs(overlap - 2500) / 2500 < 0.25
+
+
+def test_ahash_near_dup_recall_within_hamming(spark):
+    from datalake_etlscripts_spark.operators.multimodal import ahash_near_dup_pairs
+
+    base = bytes([0] * 32 + [255] * 32)
+    one_flip = bytes([0] * 31 + [255] * 33)     # one cell crosses the mean
+    far = bytes([255, 0] * 32)                   # very different pattern
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, one_flip), (4, far)], "id BIGINT, data BINARY"
+    )
+    out = {(r["id_a"], r["id_b"]): r["hamming"] for r in ahash_near_dup_pairs(df).collect()}
+    assert out[(1, 2)] == 0                      # identical payloads
+    assert (1, 3) in out and 0 < out[(1, 3)] <= 3  # near-identical found
+    assert (1, 4) not in out                     # distant pattern excluded
+    import pytest
+
+    with pytest.raises(ValueError):
+        ahash_near_dup_pairs(df, max_hamming=4)  # 4 bands only cover <= 3
