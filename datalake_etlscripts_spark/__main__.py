@@ -411,26 +411,18 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{r[args.id_col]}\t{r['n_hit']}\t{r['score']:.6f}")
 
     elif args.cmd == "stats":
-        from datalake_etlscripts_spark.operators import text as textops
+        from datalake_etlscripts_spark.operators.text import corpus_data_card
 
         corpus = spark.read.parquet(args.table)
-        toks = textops.tokens(F.col(args.text_col))
-        dl = corpus.select(F.size(toks).cast("long").alias("_dl"), toks.alias("_tk"))
-        row = dl.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("_dl").alias("total_tokens"),
-            F.expr("percentile(_dl, 0.5)").alias("p50_len"),
-            F.expr("percentile(_dl, 0.95)").alias("p95_len"),
-        ).collect()[0]
-        vocab = (
-            dl.select(F.explode("_tk").alias("_t"))
-            .agg(F.count_distinct("_t").alias("v"))
-            .collect()[0]["v"]
-        )
+        r = corpus_data_card(corpus, text_col=args.text_col).collect()[0]
+
+        def fmt(v, spec=".1f"):
+            return "n/a" if v is None else format(v, spec)
+
         print(
-            f"docs={row['n_docs']} tokens={row['total_tokens']} "
-            f"mean_len={row['total_tokens'] / max(row['n_docs'], 1):.1f} "
-            f"p50_len={row['p50_len']:.0f} p95_len={row['p95_len']:.0f} vocab={vocab}"
+            f"docs={r['n_docs']} tokens={r['total_tokens']} "
+            f"mean_len={fmt(r['mean_len'])} p50_len={fmt(r['p50_len'], '.0f')} "
+            f"p95_len={fmt(r['p95_len'], '.0f')} vocab={r['vocab_size']}"
         )
 
     elif args.cmd == "optimize":

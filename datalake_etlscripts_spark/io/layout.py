@@ -34,16 +34,15 @@ def interleave_bits(cols: list, bits: int = 12):
     return reduce(lambda a, b: a.bitwiseOR(b), terms).cast("bigint")
 
 
-def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
-    """Quantize each column to [0, 2^bits) by min/max range (one
-    broadcast aggregate — no per-row driver lookup) and interleave.
-    Returns (df_with_ranges, key_column); quantization rounding only
-    affects layout quality, never correctness."""
+def _quantize(df: DataFrame, cols: list[str], bits: int):
+    """(df ⨯ broadcast min/max ranges, [quantized int columns]):
+    min/max range quantization to [0, 2^bits) shared by the Z-order
+    and Hilbert writers — one definition of the rounding/degenerate-
+    range rules."""
     aggs = []
     for c in cols:
         aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
-    ranges = df.agg(*aggs)
-    with_r = df.crossJoin(F.broadcast(ranges))
+    with_r = df.crossJoin(F.broadcast(df.agg(*aggs)))
     hi = (1 << bits) - 1
     quantized = [
         F.least(
@@ -56,6 +55,15 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
         ).cast("bigint")
         for c in cols
     ]
+    return with_r, quantized
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 12):
+    """Quantize each column to [0, 2^bits) by min/max range (one
+    broadcast aggregate — no per-row driver lookup) and interleave.
+    Returns (df_with_ranges, key_column); quantization rounding only
+    affects layout quality, never correctness."""
+    with_r, quantized = _quantize(df, cols, bits)
     return with_r, interleave_bits(quantized, bits)
 
 
@@ -147,22 +155,7 @@ def hilbert_cluster_write(
     range-partition + sort by the Hilbert index."""
     if len(cols) != 2:
         raise ValueError("hilbert_cluster_write clusters exactly two columns")
-    aggs = []
-    for c in cols:
-        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
-    with_r = df.crossJoin(F.broadcast(df.agg(*aggs)))
-    hi = (1 << bits) - 1
-    qx, qy = [
-        F.least(
-            F.lit(hi),
-            F.floor(
-                (F.col(c) - F.col(f"_min_{c}"))
-                * hi
-                / F.greatest(F.col(f"_max_{c}") - F.col(f"_min_{c}"), F.lit(1))
-            ),
-        ).cast("bigint")
-        for c in cols
-    ]
+    with_r, (qx, qy) = _quantize(df, cols, bits)
     (
         with_r.withColumn("_hkey", hilbert_index(qx, qy, bits))
         .repartitionByRange(n_files, "_hkey")

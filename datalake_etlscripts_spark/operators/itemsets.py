@@ -24,6 +24,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _capped_baskets(
+    baskets: DataFrame, basket_col: str, item_col: str, max_items: int
+) -> DataFrame:
+    """(basket, capped sorted item array) — the shared first pass of
+    the pair and triple miners; the deterministic cap is part of both
+    operators' replayable contract, defined ONCE here. Lazy
+    checkpoint: the table feeds several consumers per miner."""
+    return (
+        baskets.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .dropDuplicates()
+        .groupBy("_b")
+        .agg(F.slice(F.array_sort(F.collect_set("_i")), 1, max_items).alias("_items"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def _pair_supports(items: DataFrame, min_support: int) -> DataFrame:
+    """(x, y, _n) frequent pairs from the exploded (basket, item)
+    grain — shared by frequent_pairs (which adds metrics) and
+    frequent_triples (which uses the keys for A-priori candidates)."""
+    a = items.select("_b", F.col("_i").alias("x"))
+    b = items.select("_b", F.col("_i").alias("y"))
+    return (
+        a.join(b, "_b")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_support)
+    )
+
+
 def frequent_pairs(
     baskets: DataFrame,
     basket_col: str,
@@ -44,32 +75,14 @@ def frequent_pairs(
     False for web-scale item vocabularies (10⁸+ items) and the support
     joins fall back to shuffle hash joins on the item key.
     """
-    capped = (
-        baskets.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
-        .dropDuplicates()
-        .groupBy("_b")
-        .agg(
-            F.slice(F.array_sort(F.collect_set("_i")), 1, max_items).alias("_items")
-        )
-        # the capped table feeds THREE consumers (supports, both join
-        # sides); settle it once instead of re-running the dedup +
-        # collect aggregate per consumer (A/B: ~2x cold, ~1.25x warm).
-        # LAZY: materializes on the first action — building the plan
-        # (explain/tests) must not launch a job. Size is bounded: one
-        # row per basket with a ≤ max_items array.
-        .localCheckpoint(eager=False)
-    )
+    capped = _capped_baskets(baskets, basket_col, item_col, max_items)
     n_baskets = capped.agg(F.count(F.lit(1)).alias("_n"))
     items = capped.select("_b", F.explode("_items").alias("_i"))
     sup = items.groupBy("_i").agg(F.count(F.lit(1)).alias("_sup"))
-    a = items.select("_b", F.col("_i").alias("item_a"))
-    b = items.select("_b", F.col("_i").alias("item_b"))
-    pairs = (
-        a.join(b, "_b")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("pair_support"))
-        .filter(F.col("pair_support") >= min_support)
+    pairs = _pair_supports(items, min_support).select(
+        F.col("x").alias("item_a"),
+        F.col("y").alias("item_b"),
+        F.col("_n").alias("pair_support"),
     )
     hint = F.broadcast if broadcast_supports else (lambda d: d)
     return (
@@ -122,24 +135,9 @@ def frequent_triples(
     filters on the basket's item array — never a cross product.
     Returns (item_a, item_b, item_c, triple_support).
     """
-    capped = (
-        baskets.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
-        .dropDuplicates()
-        .groupBy("_b")
-        .agg(F.slice(F.array_sort(F.collect_set("_i")), 1, max_items).alias("_items"))
-        .localCheckpoint(eager=False)
-    )
+    capped = _capped_baskets(baskets, basket_col, item_col, max_items)
     items = capped.select("_b", F.explode("_items").alias("_i"))
-    a = items.select("_b", F.col("_i").alias("x"))
-    b = items.select("_b", F.col("_i").alias("y"))
-    pairs = (
-        a.join(b, "_b")
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") >= min_support)
-        .select("x", "y")
-    )
+    pairs = _pair_supports(items, min_support).select("x", "y")
     p1 = pairs.select(F.col("x").alias("item_a"), F.col("y").alias("item_b"))
     p2 = pairs.select(F.col("x").alias("item_a"), F.col("y").alias("item_c"))
     cand = (

@@ -646,7 +646,6 @@ def embedding_centroid_drift(
     label_col: str,
     half_col,
     vec_col: str = "embedding",
-    dim: int = 64,
 ) -> DataFrame:
     """Per-label embedding drift between two data halves: the cosine
     between each half's SUM vector (cosine is scale-invariant, so the

@@ -724,3 +724,36 @@ def bm25_topk(
         ).alias("score"),
     )
     return agg.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def corpus_data_card(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus data card: doc/token counts, mean + exact
+    p50/p95 token lengths, exact vocabulary, type-token ratio — shared
+    by the corpus_stats query and the `stats` CLI so the metrics can
+    never diverge. Two scans: one doc-level aggregate, one token
+    explode for the distinct count. Empty corpora yield a row of
+    0 counts and NULL distribution stats."""
+    toks = tokens(F.col(text_col))
+    dl = df.select(F.size(toks).cast("long").alias("_dl"), toks.alias("_tk"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("_dl"), F.lit(0)).alias("total_tokens"),
+        F.try_divide(F.sum("_dl").cast("double"), F.count(F.lit(1))).alias("mean_len"),
+        F.expr("percentile(_dl, 0.5)").alias("p50_len"),
+        F.expr("percentile(_dl, 0.95)").alias("p95_len"),
+    )
+    vocab = (
+        dl.select(F.explode("_tk").alias("_t"))
+        .agg(F.count_distinct("_t").alias("vocab_size"))
+    )
+    return stats.crossJoin(F.broadcast(vocab)).select(
+        "n_docs",
+        "total_tokens",
+        "mean_len",
+        "p50_len",
+        "p95_len",
+        "vocab_size",
+        F.try_divide(
+            F.col("vocab_size").cast("double"), F.col("total_tokens").cast("double")
+        ).alias("type_token_ratio"),
+    )

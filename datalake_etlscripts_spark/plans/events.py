@@ -831,7 +831,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT key, count(gap_us) AS n_gaps,
-           CAST(SUM(gap_us) AS BIGINT) AS total_us,
+           CAST(COALESCE(SUM(gap_us), 0) AS BIGINT) AS total_us,
            CAST(SUM(gap_us) AS DOUBLE) / count(gap_us) AS mean_gap_us,
            quantile_cont(gap_us, 0.5) AS p50_gap_us,
            quantile_cont(gap_us, 0.95) AS p95_gap_us

@@ -2280,31 +2280,8 @@ def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data card in two scans: doc/length stats from one aggregate, exact vocabulary from one token explode - the summary block of a dataset datasheet."""
-    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = text.tokens(F.col("text"))
-    dl = d.select(F.col("doc_id"), F.size(toks).cast("long").alias("_dl"), toks.alias("_tk"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("_dl").alias("total_tokens"),
-        (F.sum("_dl").cast("double") / F.count(F.lit(1))).alias("mean_len"),
-        F.expr("percentile(_dl, 0.5)").alias("p50_len"),
-        F.expr("percentile(_dl, 0.95)").alias("p95_len"),
-    )
-    vocab = (
-        dl.select(F.explode("_tk").alias("_t"))
-        .agg(F.count_distinct("_t").alias("vocab_size"))
-    )
-    return stats.crossJoin(F.broadcast(vocab)).select(
-        "n_docs",
-        "total_tokens",
-        "mean_len",
-        "p50_len",
-        "p95_len",
-        "vocab_size",
-        (F.col("vocab_size").cast("double") / F.col("total_tokens")).alias(
-            "type_token_ratio"
-        ),
-    )
+    d = read_table(spark, sf_dir, "documents").select("text")
+    return text.corpus_data_card(d)
 
 
 # ---------------------------------------------------------------------------

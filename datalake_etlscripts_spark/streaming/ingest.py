@@ -500,9 +500,10 @@ def trending_topk_from_counts(counts: DataFrame, k: int = 5) -> DataFrame:
 def windowed_token_counts(docs: DataFrame, window: str = "1 hour") -> DataFrame:
     """Tumbling-window token counts over a timestamped text stream —
     works identically on streaming and batch inputs."""
+    from datalake_etlscripts_spark.operators.text import tokens
+
     toks = docs.select(
-        F.col("ts"),
-        F.explode(F.filter(F.split("text", " "), lambda t: t != "")).alias("token"),
+        F.col("ts"), F.explode(tokens(F.col("text"))).alias("token")
     )
     return (
         toks.groupBy(F.window("ts", window).alias("w"), "token")

@@ -2080,7 +2080,7 @@ def test_embedding_centroid_drift_detects_shift(spark):
     out = {
         r["label"]: r
         for r in embedding_centroid_drift(
-            df, "label", (F.col("vec_id") % 2), "embedding", dim=4
+            df, "label", (F.col("vec_id") % 2), "embedding"
         ).collect()
     }
     assert abs(out[0]["drift_cosine"] - 1.0) < 1e-12   # identical halves
