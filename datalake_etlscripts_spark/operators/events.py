@@ -763,3 +763,63 @@ def peak_concurrency(
     )
     swept = bounds.withColumn("_run", F.sum("_d").over(w))
     return swept.groupBy("key", "day").agg(F.max("_run").alias("peak"))
+
+
+def funnel_counts_deadline(
+    df: DataFrame,
+    steps: list[str],
+    within_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-boxed funnel: like funnel_counts, but steps after the
+    first only count while within ``within_seconds`` of the user's
+    FIRST step-1 event — the "converted within an hour" metric.
+    Single-attempt semantics: the clock anchors at the first entry
+    and never restarts (a re-entry variant would reset expired
+    state; this one answers "of first-touch users, how many
+    converted in time").
+
+    Same shape as the plain funnel: ONE user-keyed shuffle, events
+    collect into a sorted array, a JVM-side fold carries
+    (step, first_ts) — state per user is one struct. Returns
+    (step, n_users) where n_users reached AT LEAST that step in time.
+    """
+    ev = df.select(
+        F.col(user_col),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.col(type_col).alias("t"),
+        ).alias("_e"),
+    ).filter(F.col("_e.t").isin(steps))
+    per_user = ev.groupBy(user_col).agg(
+        F.array_sort(F.collect_list("_e")).alias("_evs")
+    )
+    within_us = within_seconds * 1_000_000
+    init = F.struct(
+        F.lit(0).alias("step"), F.lit(0).cast("long").alias("first_us")
+    )
+
+    def advance(acc, e):
+        ts_us = F.unix_micros(e["ts"])
+        step, first = acc["step"], acc["first_us"]
+        new_step, new_first = step, first
+        for i, s in enumerate(steps):
+            if i == 0:
+                hit = (step == 0) & (e["t"] == s)
+                new_first = F.when(hit, ts_us).otherwise(new_first)
+                new_step = F.when(hit, 1).otherwise(new_step)
+            else:
+                hit = (step == i) & (e["t"] == s) & (ts_us <= first + within_us)
+                new_step = F.when(hit, i + 1).otherwise(new_step)
+        return F.struct(new_step.alias("step"), new_first.alias("first_us"))
+
+    fold = F.aggregate(F.col("_evs"), init, advance, lambda acc: acc["step"])
+    per = per_user.select(user_col, fold.alias("max_step"))
+    reached = per.filter(F.col("max_step") >= 1).select(
+        F.explode(F.sequence(F.lit(1), F.col("max_step"))).alias("step")
+    )
+    return reached.groupBy("step").agg(F.count(F.lit(1)).alias("n_users"))

@@ -890,3 +890,61 @@ def q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return peak_concurrency(e, key_col="event_type", ts_col="ts", entity_col="user_id")
+
+
+# ---------------------------------------------------------------------------
+# time-boxed funnel: convert within 1 hour of the first step. The
+# oracle folds the same (step, first_ts) state machine with the state
+# ENCODED AS 'step|first_us' strings — DuckDB's list_reduce has no
+# heterogeneous initial accumulator (same workaround class as the
+# Hilbert oracle's unrolled rounds).
+# ---------------------------------------------------------------------------
+@query(
+    "funnel_deadline",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             list_transform(
+               list_sort(list(struct_pack(ts := ts, id := event_id,
+                                          t := event_type))),
+               e -> CAST(epoch_us(e.ts) AS VARCHAR) || '|' || e.t) AS enc
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY user_id
+    ),
+    steps AS (
+      SELECT user_id,
+             CAST(split_part(list_reduce(list_prepend('0|0', enc), (acc, x) ->
+               CASE
+                 WHEN split_part(acc, '|', 1) = '0'
+                      AND split_part(x, '|', 2) = 'view'
+                   THEN '1|' || split_part(x, '|', 1)
+                 WHEN split_part(acc, '|', 1) = '1'
+                      AND split_part(x, '|', 2) = 'click'
+                      AND CAST(split_part(x, '|', 1) AS BIGINT)
+                          <= CAST(split_part(acc, '|', 2) AS BIGINT) + 3600000000
+                   THEN '2|' || split_part(acc, '|', 2)
+                 WHEN split_part(acc, '|', 1) = '2'
+                      AND split_part(x, '|', 2) = 'purchase'
+                      AND CAST(split_part(x, '|', 1) AS BIGINT)
+                          <= CAST(split_part(acc, '|', 2) AS BIGINT) + 3600000000
+                   THEN '3|' || split_part(acc, '|', 2)
+                 ELSE acc END), '|', 1) AS INT) AS max_step
+      FROM ev
+    ),
+    reached AS (
+      SELECT unnest(range(1, max_step + 1)) AS step FROM steps
+      WHERE max_step >= 1
+    )
+    SELECT CAST(step AS INT) AS step, count(*) AS n_users
+    FROM reached GROUP BY 1
+    """,
+)
+def q_funnel_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-boxed funnel (convert within 1 hour of first touch) - the plain funnel's sorted fold carrying (step, first_ts) state, single-attempt semantics."""
+    from datalake_etlscripts_spark.operators.events import funnel_counts_deadline
+
+    e = read_table(spark, sf_dir, "events")
+    return funnel_counts_deadline(
+        e, ["view", "click", "purchase"], within_seconds=3600
+    )

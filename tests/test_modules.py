@@ -2157,3 +2157,28 @@ def test_ahash_near_dup_recall_within_hamming(spark):
 
     with pytest.raises(ValueError):
         ahash_near_dup_pairs(df, max_hamming=4)  # 4 bands only cover <= 3
+
+
+def test_funnel_deadline_expires_and_anchors_first_touch(spark):
+    from datetime import datetime, timedelta
+
+    from datalake_etlscripts_spark.operators.events import funnel_counts_deadline
+
+    t0 = datetime(2024, 1, 1, 12, 0)
+    m = timedelta(minutes=1)
+    rows = [
+        # user 1 converts fully within the hour
+        (1, 1, t0, "view"), (1, 2, t0 + 5 * m, "click"), (1, 3, t0 + 10 * m, "purchase"),
+        # user 2's click lands after the 60-minute deadline -> stuck at 1
+        (2, 4, t0, "view"), (2, 5, t0 + 90 * m, "click"),
+        # user 3 re-views late, but the clock anchors at FIRST view:
+        # the purchase at +70m is expired even though it is within an
+        # hour of the second view
+        (3, 6, t0, "view"), (3, 7, t0 + 30 * m, "click"),
+        (3, 8, t0 + 65 * m, "view"), (3, 9, t0 + 70 * m, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id INT, event_id INT, ts TIMESTAMP, event_type STRING")
+    out = {r["step"]: r["n_users"] for r in funnel_counts_deadline(
+        df, ["view", "click", "purchase"], within_seconds=3600
+    ).collect()}
+    assert out == {1: 3, 2: 2, 3: 1}
