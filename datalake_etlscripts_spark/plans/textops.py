@@ -2498,3 +2498,82 @@ def q_multimodal_ahash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.ahash_near_dup_pairs(
         multimodal.attach_binary(d), max_hamming=3
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source quality scorecard: the Gopher filter aggregated by source
+# — which feeds are worth crawling (keep rate + which rule kills them)
+# ---------------------------------------------------------------------------
+@query(
+    "source_quality_report",
+    oracle=r"""
+    WITH feat AS (
+      SELECT doc_id, source,
+             length(text) AS nc,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk,
+             len(regexp_extract_all(text, '[^\w\s]')) AS np
+      FROM documents
+    ),
+    f2 AS (
+      SELECT doc_id, source, nc, np,
+             len(tk) AS nt,
+             len(list_distinct(tk)) AS nd,
+             list_transform(range(1, greatest(len(tk) - 1, 1)),
+                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g3
+      FROM feat
+    ),
+    sig AS (
+      SELECT doc_id, source,
+        coalesce(nt >= 20 AND nt <= 100000, false) AS c_tokens,
+        coalesce(CASE WHEN nt > 0 THEN CAST(nc - (nt - 1) AS DOUBLE) / nt END
+                 BETWEEN 2.0 AND 12.0, false) AS c_avg,
+        coalesce(CASE WHEN nc > 0 THEN CAST(np AS DOUBLE) / nc END <= 0.3,
+                 false) AS c_punct,
+        coalesce(CASE WHEN nt > 0 THEN CAST(nd AS DOUBLE) / nt END >= 0.3,
+                 false) AS c_distinct,
+        coalesce(CASE WHEN len(g3) > 0 THEN
+            CAST(list_max(list_transform(list_distinct(g3),
+                 d -> len(list_filter(g3, x -> x = d)))) AS DOUBLE) / len(g3)
+          END <= 0.18, false) AS c_rep3
+      FROM f2
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(COALESCE(SUM(CASE WHEN c_tokens AND c_avg AND c_punct
+                          AND c_distinct AND c_rep3 THEN 1 END), 0) AS BIGINT)
+             AS n_keep,
+           CAST(COALESCE(SUM(CASE WHEN c_tokens AND c_avg AND c_punct
+                          AND c_distinct AND c_rep3 THEN 1 END), 0) AS DOUBLE)
+             / count(*) AS keep_rate,
+           CAST(COALESCE(SUM(CASE WHEN NOT c_tokens THEN 1 END), 0) AS BIGINT) AS n_fail_tokens,
+           CAST(COALESCE(SUM(CASE WHEN NOT c_avg THEN 1 END), 0) AS BIGINT) AS n_fail_avg_token_len,
+           CAST(COALESCE(SUM(CASE WHEN NOT c_punct THEN 1 END), 0) AS BIGINT) AS n_fail_punct,
+           CAST(COALESCE(SUM(CASE WHEN NOT c_distinct THEN 1 END), 0) AS BIGINT) AS n_fail_distinct,
+           CAST(COALESCE(SUM(CASE WHEN NOT c_rep3 THEN 1 END), 0) AS BIGINT) AS n_fail_rep3
+    FROM sig GROUP BY source
+    """,
+)
+def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality scorecard: Gopher keep rate + per-rule failure counts in one aggregate over the filter output - which feeds are worth crawling."""
+    d = read_table(spark, sf_dir, "documents")
+    filt = text.gopher_quality_filter(d)
+    reasons = F.split(F.col("fail_reasons"), ",")
+
+    def fails(rule):
+        return F.coalesce(
+            F.sum(F.when(F.array_contains(reasons, rule), 1)), F.lit(0)
+        ).cast("long")
+
+    return filt.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum(F.when(F.col("keep"), 1)), F.lit(0)).cast("long").alias("n_keep"),
+        (
+            F.coalesce(F.sum(F.when(F.col("keep"), 1)), F.lit(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("keep_rate"),
+        fails("tokens").alias("n_fail_tokens"),
+        fails("avg_token_len").alias("n_fail_avg_token_len"),
+        fails("punct").alias("n_fail_punct"),
+        fails("distinct").alias("n_fail_distinct"),
+        fails("rep3").alias("n_fail_rep3"),
+    )
