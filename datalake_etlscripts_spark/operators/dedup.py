@@ -1229,3 +1229,59 @@ def allpairs_jaccard_pairs(
             "jaccard"
         ),
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """SoftDeDup-style duplication-aware reweighting: instead of
+    DELETING near-duplicates, every document keeps a training weight
+    inversely proportional to its n-gram *commonness* — the mean
+    corpus frequency of its k-gram multiset (She et al. 2024 reweight
+    duplicated data down rather than dropping it; cf. the reference's
+    hard delete in purge_documents.py — this is the soft twin).
+    Verbatim-unique text has commonness 1 → weight 1; text whose grams
+    appear in ~c documents gets weight ~1/c.
+
+    Scale shape (all linear, never a pair join):
+      1. one explode + (doc, gram) map-side combine,
+      2. one gram-keyed count shuffle (Zipf-head grams are hot keys —
+         AQE skew handling applies, same as any corpus term count),
+      3. the frequency table joins back on gram — linear in distinct
+         (doc, gram) pairs, both sides corpus-scale so a plain
+         shuffle join, never a broadcast,
+      4. one id-keyed aggregate: exact integer sums; commonness and
+         weight are two IEEE double divisions of exact ints
+         (bit-deterministic across engines).
+
+    Documents shorter than k tokens carry no grams: commonness NULL,
+    weight 1.0 (nothing to judge them on, so they train at full
+    weight). Returns (id, n_grams, commonness, weight).
+    """
+    from datalake_etlscripts_spark.operators.text import ngrams
+
+    g = df.select(F.col(id_col), F.explode(ngrams(F.col(text_col), k)).alias("_gram"))
+    per_doc = g.groupBy(id_col, "_gram").agg(F.count(F.lit(1)).alias("_c"))
+    freq = per_doc.groupBy("_gram").agg(F.sum("_c").alias("_freq"))
+    agg = (
+        per_doc.join(freq, "_gram")
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("n_grams"),
+            F.sum(F.col("_c") * F.col("_freq")).alias("_mass"),
+        )
+    )
+    commonness = F.col("_mass").cast("double") / F.col("n_grams")
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            commonness.alias("commonness"),
+            F.coalesce(F.lit(1.0) / commonness, F.lit(1.0)).alias("weight"),
+        )
+    )

@@ -2577,3 +2577,43 @@ def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         fails("distinct").alias("n_fail_distinct"),
         fails("rep3").alias("n_fail_rep3"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SoftDeDup: duplication-aware reweighting — keep every document, train
+# the duplicated ones less. The soft twin of dedup_keep_best's hard
+# delete list.
+# ---------------------------------------------------------------------------
+@query(
+    "soft_dedup_weights",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+      FROM tk
+    ),
+    pd AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+    fr AS (SELECT gram, CAST(sum(c) AS BIGINT) AS freq FROM pd GROUP BY gram),
+    a AS (
+      SELECT pd.doc_id,
+             CAST(sum(pd.c) AS BIGINT) AS n_grams,
+             CAST(sum(pd.c * fr.freq) AS BIGINT) AS mass
+      FROM pd JOIN fr USING (gram) GROUP BY pd.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_grams, 0) AS n_grams,
+           CAST(a.mass AS DOUBLE) / a.n_grams AS commonness,
+           COALESCE(CAST(1 AS DOUBLE) / (CAST(a.mass AS DOUBLE) / a.n_grams),
+                    CAST(1 AS DOUBLE)) AS weight
+    FROM documents d LEFT JOIN a USING (doc_id)
+    """,
+)
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup reweighting: per-document training weight = 1 / mean corpus frequency of its 3-grams - duplicates train less instead of being deleted; all-linear shuffles, never a pair join."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.soft_dedup_weights(d, k=3)

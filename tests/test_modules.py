@@ -2182,3 +2182,21 @@ def test_funnel_deadline_expires_and_anchors_first_touch(spark):
         df, ["view", "click", "purchase"], within_seconds=3600
     ).collect()}
     assert out == {1: 3, 2: 2, 3: 1}
+
+
+def test_soft_dedup_weights_semantics(spark):
+    from datalake_etlscripts_spark.operators import dedup
+
+    rows = [
+        (1, "a b c d e"),          # verbatim twin of 2
+        (2, "a b c d e"),          # every gram appears twice -> w=1/2
+        (3, "p q r s t"),          # unique -> w=1
+        (4, "a b"),                # too short for a 3-gram -> w=1, NULL commonness
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dedup.soft_dedup_weights(df, k=3).collect()}
+    assert out[1]["weight"] == 0.5 and out[2]["weight"] == 0.5
+    assert out[1]["commonness"] == 2.0
+    assert out[3]["weight"] == 1.0 and out[3]["commonness"] == 1.0
+    assert out[4]["weight"] == 1.0 and out[4]["commonness"] is None
+    assert out[4]["n_grams"] == 0
