@@ -204,3 +204,67 @@ def crawl(
     return parts.select("ntp_id", "field", "url", "host").mapInPandas(
         run, FETCH_SCHEMA
     )
+
+
+# RefinedWeb-style scored URL filtering (Penedo et al. 2023 §3.1):
+# an explicit blocklist is the anti-join in prune_urls above; this is
+# the SOFT path — a weighted bad-word score over the URL string plus
+# scheme and resource-extension gates. Weights are half-units so the
+# score stays exact integer arithmetic until one final /2.
+_URL_W_STRICT = 4  # one hit alone rejects
+_URL_W_HARD = 2    # two hits reject
+_URL_W_SOFT = 1    # four hits reject
+_URL_BLOCKED_EXTS = (".css", ".js", ".ico", ".woff")
+
+
+def url_quality_filter(
+    urls: DataFrame,
+    url_col: str = "url",
+    strict_words: tuple[str, ...] = (),
+    hard_words: tuple[str, ...] = (),
+    soft_words: tuple[str, ...] = (),
+    threshold: float = 2.0,
+    blocked_exts: tuple[str, ...] = _URL_BLOCKED_EXTS,
+) -> DataFrame:
+    """Scored URL filter: substring occurrences of weighted word lists
+    (strict 2.0 / hard 1.0 / soft 0.5 per occurrence — subword matches
+    count, as in the RefinedWeb recipe), plus two hard gates: scheme
+    must be http(s) and the resource extension must not be a
+    non-document asset. keep = gates pass AND score < threshold.
+
+    Pure per-row expressions (occurrence counting is two lengths and a
+    replace per word — no regex engine, no UDF), so the filter rides
+    the scan with zero shuffle at any corpus size. Appends
+    (score DOUBLE, keep BOOLEAN, fail_reasons CSV-string)."""
+    u = F.lower(F.col(url_col))
+
+    def occurrences(w: str):
+        return (
+            (F.length(u) - F.length(F.replace(u, F.lit(w.lower()))))
+            / F.lit(len(w))
+        ).cast("long")
+
+    half = F.lit(0)
+    for w in strict_words:
+        half = half + occurrences(w) * _URL_W_STRICT
+    for w in hard_words:
+        half = half + occurrences(w) * _URL_W_HARD
+    for w in soft_words:
+        half = half + occurrences(w) * _URL_W_SOFT
+    score = (half.cast("double") / F.lit(2.0)).alias("score")
+    scheme_ok = u.rlike("^https?://")
+    ext_bad = F.lit(False)
+    for ext in blocked_exts:
+        ext_bad = ext_bad | u.endswith(ext)
+    score_bad = half >= F.lit(int(threshold * 2))
+    reasons = F.concat_ws(
+        ",",
+        F.when(~scheme_ok, F.lit("scheme")),
+        F.when(ext_bad, F.lit("ext")),
+        F.when(score_bad, F.lit("score")),
+    )
+    return (
+        urls.withColumn("score", score)
+        .withColumn("keep", scheme_ok & ~ext_bad & ~score_bad)
+        .withColumn("fail_reasons", reasons)
+    )

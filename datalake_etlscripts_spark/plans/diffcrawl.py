@@ -494,3 +494,77 @@ def q_crawl_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("err_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RefinedWeb-style scored URL filter: weighted bad-word occurrences
+# (substring, half-unit integer weights) + scheme / asset-extension
+# gates. The word lists come from the part-name vocabulary so every
+# policy path fires by construction.
+# ---------------------------------------------------------------------------
+_URLF = dict(strict=("hot",), hard=("red", "gear"), soft=("small", "blue"))
+
+
+@query(
+    "url_filter_scored",
+    oracle="""
+    WITH urls AS (
+      SELECT p_partkey AS key,
+             CASE WHEN p_partkey % 17 = 0 THEN 'ftp://' ELSE 'http://' END
+             || 'files' || CAST(p_partkey % 5 AS VARCHAR) || '.example/'
+             || replace(p_name, ' ', '-') || '/page'
+             || CAST(p_partkey AS VARCHAR)
+             || CASE WHEN p_partkey % 13 = 0 THEN '.js' ELSE '.html' END AS url
+      FROM part
+    ),
+    scored AS (
+      SELECT key, url, lower(url) AS u,
+             CAST((length(u) - length(replace(u, 'hot', ''))) / 3 AS BIGINT) * 4
+           + CAST((length(u) - length(replace(u, 'red', ''))) / 3 AS BIGINT) * 2
+           + CAST((length(u) - length(replace(u, 'gear', ''))) / 4 AS BIGINT) * 2
+           + CAST((length(u) - length(replace(u, 'small', ''))) / 5 AS BIGINT) * 1
+           + CAST((length(u) - length(replace(u, 'blue', ''))) / 4 AS BIGINT) * 1
+             AS half,
+             regexp_matches(u, '^https?://') AS scheme_ok,
+             (u LIKE '%.css' OR u LIKE '%.js' OR u LIKE '%.ico'
+              OR u LIKE '%.woff') AS ext_bad
+      FROM urls
+    )
+    SELECT key, url,
+           CAST(half AS DOUBLE) / 2.0 AS score,
+           (scheme_ok AND NOT ext_bad AND half < 4) AS keep,
+           concat_ws(',',
+             CASE WHEN NOT scheme_ok THEN 'scheme' END,
+             CASE WHEN ext_bad THEN 'ext' END,
+             CASE WHEN half >= 4 THEN 'score' END) AS fail_reasons
+    FROM scored
+    """,
+)
+def q_url_filter_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style scored URL filter: weighted bad-word substring score (exact half-unit integers) + scheme and asset-extension gates - pure per-row expressions, no shuffle."""
+    from datalake_etlscripts_spark.crawl import url_quality_filter
+
+    p = read_table(spark, sf_dir, "part")
+    urls = p.select(
+        F.col("p_partkey").alias("key"),
+        F.concat(
+            F.when(F.col("p_partkey") % 17 == 0, F.lit("ftp://")).otherwise(
+                F.lit("http://")
+            ),
+            F.lit("files"),
+            (F.col("p_partkey") % 5).cast("string"),
+            F.lit(".example/"),
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("-")),
+            F.lit("/page"),
+            F.col("p_partkey").cast("string"),
+            F.when(F.col("p_partkey") % 13 == 0, F.lit(".js")).otherwise(
+                F.lit(".html")
+            ),
+        ).alias("url"),
+    )
+    return url_quality_filter(
+        urls,
+        strict_words=_URLF["strict"],
+        hard_words=_URLF["hard"],
+        soft_words=_URLF["soft"],
+    )

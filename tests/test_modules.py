@@ -2200,3 +2200,31 @@ def test_soft_dedup_weights_semantics(spark):
     assert out[3]["weight"] == 1.0 and out[3]["commonness"] == 1.0
     assert out[4]["weight"] == 1.0 and out[4]["commonness"] is None
     assert out[4]["n_grams"] == 0
+
+
+def test_url_quality_filter_gates_and_scoring(spark):
+    from datalake_etlscripts_spark.crawl import url_quality_filter
+
+    rows = [
+        (1, "http://ok.example/clean/page.html"),       # keep
+        (2, "ftp://ok.example/clean/page.html"),        # scheme
+        (3, "http://ok.example/app/bundle.js"),         # ext
+        (4, "http://ok.example/hot-stuff/page.html"),   # strict alone -> score
+        (5, "http://ok.example/red-red-page.html"),     # 2 hard hits -> score
+        (6, "http://ok.example/red-page.html"),         # 1 hard hit -> keep, score 1.0
+        (7, "ftp://bad.example/hotred.css"),            # all three reasons, subwords
+    ]
+    df = spark.createDataFrame(rows, ["key", "url"])
+    out = {
+        r["key"]: r
+        for r in url_quality_filter(
+            df, strict_words=("hot",), hard_words=("red",), soft_words=("blue",)
+        ).collect()
+    }
+    assert out[1]["keep"] and out[1]["score"] == 0.0 and out[1]["fail_reasons"] == ""
+    assert not out[2]["keep"] and out[2]["fail_reasons"] == "scheme"
+    assert not out[3]["keep"] and out[3]["fail_reasons"] == "ext"
+    assert not out[4]["keep"] and out[4]["score"] == 2.0
+    assert not out[5]["keep"] and out[5]["score"] == 2.0
+    assert out[6]["keep"] and out[6]["score"] == 1.0
+    assert out[7]["fail_reasons"] == "scheme,ext,score" and out[7]["score"] == 3.0
