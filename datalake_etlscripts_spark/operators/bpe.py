@@ -159,3 +159,127 @@ def bpe_encode(
         if (i + 1) % checkpoint_every == 0 and i + 1 < len(merges):
             out = out.localCheckpoint()
     return out.withColumn(out_col, F.flatten(F.col(out_col)))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) Viterbi ENCODING. The training EM is
+# float-heavy; encoding against a given piece vocabulary is pure DP and
+# is what the corpus-scale tokenization job actually runs. Costs are
+# integer (think -log p in milli-nats, rounded once when the vocab is
+# exported), so the whole DP is exact 64-bit arithmetic — deterministic
+# across engines and partitionings.
+# ---------------------------------------------------------------------------
+
+_LCAP = 15  # backlen nibble: pieces up to 15 chars
+
+
+def unigram_viterbi_encode(
+    df: DataFrame,
+    vocab: dict[str, int],
+    text_col: str = "text",
+    char_cost: int = 1000,
+    unk_cost: int = 10000,
+) -> DataFrame:
+    """Viterbi-segment every distinct corpus word against an integer-
+    cost piece vocabulary (Kudo 2018's unigram LM tokenizer, encode
+    side). min-cost segmentation; cost ties break to the LONGER final
+    piece (encoded in the key's low nibble, so the tie-break costs no
+    extra comparison). Any single [a-z] char is a fallback piece at
+    ``char_cost``; anything else segments at ``unk_cost`` — the DP is
+    total, no word can fail.
+
+    Scale shape: the ONLY corpus-scale operation is the word-frequency
+    count (one explode + map-side-combined shuffle). The DP itself runs
+    on the DISTINCT-WORD table (Zipf: dictionary-sized) as one
+    ``aggregate`` fold per word — position j appends
+    best[j] = min over pieces p ending at j of best[j-|p|] + cost(p),
+    packed as (cost << 4) | (15 - |p|) so min() resolves both the cost
+    and the tie-break. No UDF, no shuffle beyond the word count.
+
+    Returns (word, freq, pieces, n_pieces, total_cost).
+    """
+    if any(len(p) > _LCAP or len(p) < 2 for p in vocab):
+        raise ValueError(f"vocab pieces must be 2..{_LCAP} chars")
+    if any(c < 0 or c >= (1 << 58) for c in vocab.values()):
+        raise ValueError("vocab costs must be non-negative small ints")
+
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    word = F.col("word")
+    ln = F.length(word)
+
+    def step(acc: Column, jn: Column) -> Column:
+        ch = word.substr(jn, F.lit(1))
+        cands = [
+            (
+                F.element_at(acc, jn)["c"]
+                + F.when(ch.between("a", "z"), F.lit(char_cost)).otherwise(
+                    F.lit(unk_cost)
+                )
+            )
+            * 16
+            + F.lit(_LCAP - 1)
+        ]
+        for p, cost in sorted(vocab.items()):
+            pl = len(p)
+            cands.append(
+                F.when(
+                    jn >= pl,
+                    F.when(
+                        word.substr(jn - F.lit(pl) + 1, F.lit(pl)) == p,
+                        (F.element_at(acc, jn - F.lit(pl) + 1)["c"] + F.lit(cost))
+                        * 16
+                        + F.lit(_LCAP - pl),
+                    ),
+                )
+            )
+        best = F.least(*cands) if len(cands) > 1 else cands[0]
+        return F.struct(
+            F.shiftright(best, 4).alias("c"),
+            (F.lit(_LCAP) - best.bitwiseAND(F.lit(15))).cast("int").alias("b"),
+        )
+
+    dp = F.aggregate(
+        F.sequence(F.lit(1), ln),
+        F.array(
+            F.struct(F.lit(0).cast("bigint").alias("c"), F.lit(0).alias("b"))
+        ),
+        lambda acc, jn: F.concat(acc, F.array(step(acc, jn))),
+    )
+    with_dp = words.withColumn("_dp", dp)
+
+    dpc = F.col("_dp")
+
+    def back(acc: Column, _: Column) -> Column:
+        bl = F.element_at(dpc, acc["pos"] + 1)["b"]
+        piece = word.substr(acc["pos"] - bl + 1, bl)
+        return F.when(
+            acc["pos"] > 0,
+            F.struct(
+                (acc["pos"] - bl).alias("pos"),
+                F.concat(
+                    piece,
+                    F.when(acc["s"] == "", F.lit("")).otherwise(F.lit(" ")),
+                    acc["s"],
+                ).alias("s"),
+                (acc["np"] + 1).alias("np"),
+            ),
+        ).otherwise(acc)
+
+    bt = F.aggregate(
+        F.sequence(F.lit(1), ln),
+        F.struct(
+            ln.alias("pos"), F.lit("").alias("s"), F.lit(0).alias("np")
+        ),
+        back,
+    )
+    return with_dp.select(
+        "word",
+        "freq",
+        bt["s"].alias("pieces"),
+        bt["np"].alias("n_pieces"),
+        F.element_at(dpc, ln + 1)["c"].alias("total_cost"),
+    )

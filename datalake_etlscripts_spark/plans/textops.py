@@ -2617,3 +2617,91 @@ def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SoftDeDup reweighting: per-document training weight = 1 / mean corpus frequency of its 3-grams - duplicates train less instead of being deleted; all-linear shuffles, never a pair join."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return dedup.soft_dedup_weights(d, k=3)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece) Viterbi tokenization against a literal
+# integer-cost piece vocabulary. The DP per distinct word is one
+# aggregate fold in Spark and a recursive CTE in the DuckDB twin —
+# identical packed-key arithmetic ((cost << 4) | 15-len, min resolves
+# the longer-piece tie-break), so segmentations match bit-for-bit.
+# ---------------------------------------------------------------------------
+_UNI_VOCAB = {
+    "the": 1600,
+    "ta": 1700,
+    "ble": 2500,
+    "scan": 2400,
+    "dow": 2500,
+    "in": 1600,
+    "st": 1600,
+    "er": 1500,
+    "or": 1550,
+    "ar": 1650,
+    "row": 2300,
+    "key": 2200,
+    "part": 2600,
+    "all": 2400,
+    "ue": 1800,
+}
+
+
+def _uni_cands_sql() -> str:
+    terms = [
+        "(costs[j+1] + CASE WHEN substr(word, j+1, 1) BETWEEN 'a' AND 'z'"
+        " THEN 1000 ELSE 10000 END) * 16 + 14"
+    ]
+    for p, cost in sorted(_UNI_VOCAB.items()):
+        pl = len(p)
+        terms.append(
+            f"CASE WHEN j+1 >= {pl} AND substr(word, j - {pl} + 2, {pl}) = '{p}'"
+            f" THEN (costs[j - {pl} + 2] + {cost}) * 16 + {15 - pl} END"
+        )
+    return ",\n        ".join(terms)
+
+
+_UNI_ORACLE = f"""
+    WITH RECURSIVE w AS (
+      SELECT w AS word, count(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents) GROUP BY 1
+    ),
+    dp AS (
+      SELECT word, freq, length(word) AS len, 0 AS j,
+             [CAST(0 AS BIGINT)] AS costs, [CAST(0 AS INT)] AS backs
+      FROM w
+      UNION ALL
+      SELECT word, freq, len, j + 1,
+             list_append(costs, best >> 4),
+             list_append(backs, CAST(15 - (best & 15) AS INT))
+      FROM (
+        SELECT *, least(
+        {_uni_cands_sql()}
+        ) AS best
+        FROM dp WHERE j < len
+      )
+    ),
+    fin AS (SELECT word, freq, len, costs, backs FROM dp WHERE j = len),
+    bt AS (
+      SELECT word, freq, len, costs, backs, len AS pos, '' AS s, 0 AS np
+      FROM fin
+      UNION ALL
+      SELECT word, freq, len, costs, backs,
+             pos - backs[pos + 1],
+             substr(word, pos - backs[pos + 1] + 1, backs[pos + 1])
+               || CASE WHEN s = '' THEN '' ELSE ' ' END || s,
+             np + 1
+      FROM bt WHERE pos > 0
+    )
+    SELECT word, freq, s AS pieces, np AS n_pieces,
+           costs[len + 1] AS total_cost
+    FROM bt WHERE pos = 0
+"""
+
+
+@query("unigram_tokenize", oracle=_UNI_ORACLE)
+def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece) Viterbi tokenization of every distinct corpus word against a literal integer-cost vocabulary - exact packed-key DP, corpus touched once for the word count."""
+    from datalake_etlscripts_spark.operators import bpe
+
+    d = read_table(spark, sf_dir, "documents").select("text")
+    return bpe.unigram_viterbi_encode(d, _UNI_VOCAB)

@@ -583,3 +583,50 @@ def test_rolling_distinct_matches_python_model(spark, events, w):
                 seen |= hours.get((k, end - back), set())
             expected[(k, base + timedelta(hours=end))] = len(seen)
     assert got == expected
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abektrsc_9", min_size=1, max_size=12),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_unigram_viterbi_matches_python_dp(spark, words):
+    from datalake_etlscripts_spark.operators.bpe import unigram_viterbi_encode
+
+    vocab = {"ta": 1700, "ble": 2500, "abe": 2100, "be": 1900, "kt": 2600,
+             "rs": 1800, "st": 1600, "cr": 2050}
+
+    def py_encode(word):
+        lcap = 15
+        best = [(0, 0)]  # (cost, backlen)
+        for jn in range(1, len(word) + 1):
+            ch = word[jn - 1]
+            cands = [((best[jn - 1][0] + (1000 if "a" <= ch <= "z" else 10000)) * 16
+                      + (lcap - 1))]
+            for p, c in sorted(vocab.items()):
+                pl = len(p)
+                if jn >= pl and word[jn - pl:jn] == p:
+                    cands.append((best[jn - pl][0] + c) * 16 + (lcap - pl))
+            k = min(cands)
+            best.append((k >> 4, lcap - (k & 15)))
+        pos, pieces = len(word), []
+        while pos > 0:
+            bl = best[pos][1]
+            pieces.insert(0, word[pos - bl:pos])
+            pos -= bl
+        return " ".join(pieces), len(pieces), best[len(word)][0]
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], ["text"])
+    got = {
+        r["word"]: (r["pieces"], r["n_pieces"], r["total_cost"])
+        for r in unigram_viterbi_encode(df, vocab).collect()
+    }
+    from collections import Counter
+    freqs = Counter(w for w in words if w)
+    assert set(got) == set(freqs)
+    for w in freqs:
+        assert got[w] == py_encode(w), w
