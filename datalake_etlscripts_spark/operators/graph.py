@@ -327,3 +327,45 @@ def link_prediction_topk(edges: DataFrame, k: int = 50) -> DataFrame:
     return scored.orderBy(
         F.desc("common_neighbors"), F.col("id_a"), F.col("id_b")
     ).limit(k)
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int | None = None) -> DataFrame:
+    """k-core decomposition by synchronous peeling: each round drops
+    every node whose degree in the CURRENT subgraph is < k, then the
+    edges touching dropped nodes. With ``rounds=None`` peels to the
+    true fixpoint (driver checks one scalar per round — the node
+    count); with ``rounds=N`` runs exactly N synchronous rounds, the
+    replayable form an external engine can unroll as chained CTEs.
+
+    ``edges`` must be directed-symmetrized and distinct (same contract
+    as label_propagation). Per round: ONE degree aggregate + two semi
+    joins pruning the edge table — shuffle linear in surviving edges;
+    lineage truncated per round with a lazy localCheckpoint. Peeling
+    round count is bounded by the peel depth (tiny for web-ish
+    graphs), not the diameter. Returns (node, degree) of the k-core
+    subgraph.
+    """
+    e = edges.select("src", "dst")
+    i = 0
+    prev_nodes = None
+    while True:
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k)
+        if rounds is None:
+            n = keep.count()
+            if prev_nodes is not None and n == prev_nodes:
+                break
+            prev_nodes = n
+        e = (
+            e.join(keep.select("src"), "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .localCheckpoint(eager=False)
+        )
+        i += 1
+        if rounds is not None and i >= rounds:
+            break
+    return e.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).filter(
+        F.col("degree") >= k
+    ).select(F.col("src").alias("node"), "degree")

@@ -277,3 +277,60 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_etlscripts_spark.operators.graph import link_prediction_topk
 
     return link_prediction_topk(_co_order_edges(spark, sf_dir), k=50)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition by synchronous peeling over the weight-≥2
+# co-order graph (the weight threshold sparsifies the dense random
+# co-order graph so peeling actually has structure to remove). The
+# oracle unrolls the rounds as chained CTEs — 4 rounds covers
+# convergence at both test SFs (validated by the fixpoint unit test),
+# so the registered result IS the true 2-core.
+# ---------------------------------------------------------------------------
+def _kcore_oracle(k: int = 2, rounds: int = 4) -> str:
+    sql = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+    e0 AS (SELECT u AS src, v AS dst FROM p UNION ALL SELECT v, u FROM p)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+    k{r} AS (SELECT src FROM e{r-1} GROUP BY src HAVING count(*) >= {k}),
+    e{r} AS (SELECT e.src, e.dst FROM e{r-1} e
+             JOIN k{r} a ON e.src = a.src JOIN k{r} b ON e.dst = b.src)"""
+    sql += f"""
+    SELECT src AS node, count(*) AS degree FROM e{rounds}
+    GROUP BY src HAVING count(*) >= {k}"""
+    return sql
+
+
+def _co_order_edges_w2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized co-order edges kept only when the pair shares >= 2
+    orders — the sparsified variant with non-trivial k-core structure."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+    )
+    b = li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("v"))
+    p = (
+        li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("u"))
+        .join(b, "_o")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= 2)
+    )
+    return p.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        p.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+
+
+@query("graph_kcore", oracle=_kcore_oracle())
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=2) of the weight->=2 part co-order graph - synchronous peeling, one degree aggregate + two semi joins per round, converged within the unrolled oracle rounds."""
+    from datalake_etlscripts_spark.operators.graph import kcore
+
+    return kcore(_co_order_edges_w2(spark, sf_dir), k=2, rounds=4)

@@ -2228,3 +2228,28 @@ def test_url_quality_filter_gates_and_scoring(spark):
     assert not out[5]["keep"] and out[5]["score"] == 2.0
     assert out[6]["keep"] and out[6]["score"] == 1.0
     assert out[7]["fail_reasons"] == "scheme,ext,score" and out[7]["score"] == 3.0
+
+
+def test_kcore_peeling_semantics_and_fixpoint(spark):
+    from datalake_etlscripts_spark.operators.graph import kcore
+
+    # triangle (1,2,3) with a tail 3-4-5: 2-core = the triangle only,
+    # and the tail forces TWO peel rounds (5 goes first, then 4)
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    core = {r["node"]: r["degree"] for r in kcore(edges, k=2).collect()}
+    assert core == {1: 2, 2: 2, 3: 2}
+    fixed = {r["node"]: r["degree"] for r in kcore(edges, k=2, rounds=4).collect()}
+    assert fixed == core
+
+
+def test_kcore_registered_rounds_cover_fixpoint(spark):
+    from datalake_etlscripts_spark.operators.graph import kcore
+    from datalake_etlscripts_spark.plans.graphops import _co_order_edges_w2
+
+    e = _co_order_edges_w2(spark, "/root/testdata/sf0.001")
+    a = sorted(map(tuple, kcore(e, k=2, rounds=4).collect()))
+    b = sorted(map(tuple, kcore(e, k=2, rounds=None).collect()))
+    assert a == b and len(a) > 0
