@@ -179,6 +179,7 @@ def unigram_viterbi_encode(
     text_col: str = "text",
     char_cost: int = 1000,
     unk_cost: int = 10000,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Viterbi-segment every distinct corpus word against an integer-
     cost piece vocabulary (Kudo 2018's unigram LM tokenizer, encode
@@ -196,7 +197,9 @@ def unigram_viterbi_encode(
     packed as (cost << 4) | (15 - |p|) so min() resolves both the cost
     and the tie-break. No UDF, no shuffle beyond the word count.
 
-    Returns (word, freq, pieces, n_pieces, total_cost).
+    Returns (word, freq, pieces, n_pieces, total_cost); with
+    ``group_cols`` the word count (and the DP fan-out) is per group —
+    the shape behind per-language fertility audits.
     """
     if any(len(p) > _LCAP or len(p) < 2 for p in vocab):
         raise ValueError(f"vocab pieces must be 2..{_LCAP} chars")
@@ -204,8 +207,8 @@ def unigram_viterbi_encode(
         raise ValueError("vocab costs must be non-negative small ints")
 
     words = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("word"))
-        .groupBy("word")
+        df.select(*group_cols, F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word", *group_cols)
         .agg(F.count(F.lit(1)).alias("freq"))
     )
     word = F.col("word")
@@ -277,6 +280,7 @@ def unigram_viterbi_encode(
         back,
     )
     return with_dp.select(
+        *group_cols,
         "word",
         "freq",
         bt["s"].alias("pieces"),

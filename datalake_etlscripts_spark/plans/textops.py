@@ -2659,18 +2659,22 @@ def _uni_cands_sql() -> str:
     return ",\n        ".join(terms)
 
 
-_UNI_ORACLE = f"""
+def _uni_dp_sql(group: str | None = None) -> str:
+    """The unigram-DP CTE chain (word counts → forward DP → backtrack),
+    optionally carrying one extra group column through every CTE."""
+    g = f"{group}, " if group else ""
+    return f"""
     WITH RECURSIVE w AS (
-      SELECT w AS word, count(*) AS freq FROM (
-        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
-        FROM documents) GROUP BY 1
+      SELECT {g}w AS word, count(*) AS freq FROM (
+        SELECT {g}unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents) GROUP BY ALL
     ),
     dp AS (
-      SELECT word, freq, length(word) AS len, 0 AS j,
+      SELECT {g}word, freq, length(word) AS len, 0 AS j,
              [CAST(0 AS BIGINT)] AS costs, [CAST(0 AS INT)] AS backs
       FROM w
       UNION ALL
-      SELECT word, freq, len, j + 1,
+      SELECT {g}word, freq, len, j + 1,
              list_append(costs, best >> 4),
              list_append(backs, CAST(15 - (best & 15) AS INT))
       FROM (
@@ -2680,22 +2684,29 @@ _UNI_ORACLE = f"""
         FROM dp WHERE j < len
       )
     ),
-    fin AS (SELECT word, freq, len, costs, backs FROM dp WHERE j = len),
+    fin AS (SELECT {g}word, freq, len, costs, backs FROM dp WHERE j = len),
     bt AS (
-      SELECT word, freq, len, costs, backs, len AS pos, '' AS s, 0 AS np
+      SELECT {g}word, freq, len, costs, backs, len AS pos, '' AS s, 0 AS np
       FROM fin
       UNION ALL
-      SELECT word, freq, len, costs, backs,
+      SELECT {g}word, freq, len, costs, backs,
              pos - backs[pos + 1],
              substr(word, pos - backs[pos + 1] + 1, backs[pos + 1])
                || CASE WHEN s = '' THEN '' ELSE ' ' END || s,
              np + 1
       FROM bt WHERE pos > 0
     )
+    """
+
+
+_UNI_ORACLE = (
+    _uni_dp_sql()
+    + """
     SELECT word, freq, s AS pieces, np AS n_pieces,
            costs[len + 1] AS total_cost
     FROM bt WHERE pos = 0
 """
+)
 
 
 @query("unigram_tokenize", oracle=_UNI_ORACLE)
@@ -2705,3 +2716,33 @@ def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents").select("text")
     return bpe.unigram_viterbi_encode(d, _UNI_VOCAB)
+
+
+@query(
+    "tokenizer_fertility",
+    oracle=_uni_dp_sql("lang")
+    + """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_distinct_words,
+           CAST(sum(freq) AS BIGINT) AS n_tokens,
+           CAST(sum(freq * np) AS BIGINT) AS n_pieces,
+           CAST(sum(freq * np) AS DOUBLE) / CAST(sum(freq) AS BIGINT)
+             AS fertility
+    FROM bt WHERE pos = 0 GROUP BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (pieces emitted per corpus word under the unigram vocab) - the audit behind vocabulary-allocation decisions; DP on distinct (lang, word) only."""
+    from datalake_etlscripts_spark.operators import bpe
+
+    d = read_table(spark, sf_dir, "documents").select("lang", "text")
+    enc = bpe.unigram_viterbi_encode(d, _UNI_VOCAB, group_cols=("lang",))
+    return enc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.sum("freq").alias("n_tokens"),
+        F.sum(F.col("freq") * F.col("n_pieces")).alias("n_pieces"),
+        (
+            F.sum(F.col("freq") * F.col("n_pieces")).cast("double")
+            / F.sum("freq")
+        ).alias("fertility"),
+    )
