@@ -694,3 +694,53 @@ def embedding_centroid_drift(
         "n_b",
         cosine(F.col("_va"), F.col("_vb")).alias("drift_cosine"),
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the k
+    most cosine-similar corpus items with a DIFFERENT label — the
+    near-miss negatives that make embedding models actually learn
+    boundaries (the batch shape behind triplet/InfoNCE data prep).
+
+    Same scale contract as brute_force_topk: the query block
+    broadcasts (correct when |queries| ≪ |corpus|), the corpus streams
+    once, per-query top-k rides a bounded window; the LSH/IVF
+    candidate generators compose in front when queries grow.
+    Returns (query_id, query_label, neighbor_id, neighbor_label,
+    cos_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("_cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("query_label") != F.col("neighbor_label"))
+        )
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

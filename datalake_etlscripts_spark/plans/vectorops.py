@@ -297,3 +297,42 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_centroid_drift(
         e, label_col="label", half_col=(F.col("vec_id") % 2), vec_col="embedding"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: per query, the top-3 most similar vectors with
+# a DIFFERENT label — contrastive-training data prep (triplet/InfoNCE
+# negatives). Same fold-cosine arithmetic as the kNN twin.
+# ---------------------------------------------------------------------------
+_HARDNEG_ORACLE = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS query_label
+               FROM embeddings WHERE vec_id < 40),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS neighbor_label
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, query_label, neighbor_id, neighbor_label,
+        list_reduce(list_prepend(0.0, list_transform(list_zip(qv, cv),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a,b) -> a + b)
+        / (sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b))
+         * sqrt(list_reduce(list_prepend(0.0, list_transform(cv,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b))) AS cos_sim
+      FROM c, q
+      WHERE query_id <> neighbor_id AND query_label <> neighbor_label
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim, rank
+    FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+"""
+
+
+@query("hard_negatives", oracle=_HARDNEG_ORACLE)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: top-3 most similar different-label vectors per query - broadcast query block, bit-exact fold cosine."""
+    from datalake_etlscripts_spark.operators.similarity import hard_negatives
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return hard_negatives(e, e.filter(F.col("vec_id") < 40), k=3)
