@@ -44,6 +44,10 @@ HEADLINE = [
     "bm25_topk",
     "frequent_pairs",
     "ngram_novelty",
+    # round-4 additions (headline 27 → 30; same caveat)
+    "unigram_tokenize",
+    "soft_dedup_weights",
+    "hard_negatives",
 ]
 
 
