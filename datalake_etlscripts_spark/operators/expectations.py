@@ -166,3 +166,34 @@ def pearson_matrix(df: DataFrame, cols: list[str], scale: int = 4) -> DataFrame:
                 F.try_divide(cov, F.sqrt(va) * F.sqrt(vb)).alias(f"corr_{a}_{b}")
             )
     return m.select(*out)
+
+
+def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier combination: a
+    release is k-anonymous when every quasi-id group holds >= k rows
+    (Sweeney 2002). The pre-release privacy gate for any dataset with
+    person-level rows — the reference exposes raw NIF/company ids
+    (parse_bsc_companies.py), which is exactly the re-identification
+    surface this audits.
+
+    One grouping shuffle + a 1-row summary: (k, n_rows, n_groups,
+    n_risky_groups, n_risky_rows, min_group_size, anonymous). Risky =
+    group size < k; risky ROWS are the re-identifiable population.
+    Group details stay distributed — only the summary reaches the
+    driver/output (publishing the risky groups themselves would leak
+    the very quasi-ids under audit).
+    """
+    sizes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_n"))
+    return sizes.agg(
+        F.lit(k).alias("k"),
+        F.sum("_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("_n") < k, 1)), F.lit(0)
+        ).cast("bigint").alias("n_risky_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("_n") < k, F.col("_n"))), F.lit(0)
+        ).cast("bigint").alias("n_risky_rows"),
+        F.min("_n").alias("min_group_size"),
+        (F.min("_n") >= k).alias("anonymous"),
+    )

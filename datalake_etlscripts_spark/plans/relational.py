@@ -860,3 +860,38 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i")
     )
     return frequent_triples(li, basket_col="b", item_col="i", min_support=2)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity privacy audit before a data release: every
+# (nation, segment, balance-band) quasi-id group must hold >= 5 rows.
+# ---------------------------------------------------------------------------
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+             count(*) AS n
+      FROM customer GROUP BY ALL
+    )
+    SELECT 5 AS k,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           count(*) AS n_groups,
+           CAST(COALESCE(sum(CASE WHEN n < 5 THEN 1 END), 0) AS BIGINT)
+             AS n_risky_groups,
+           CAST(COALESCE(sum(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+             AS n_risky_rows,
+           min(n) AS min_group_size,
+           min(n) >= 5 AS anonymous
+    FROM g
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity privacy audit: quasi-id groups (nation, segment, balance band) below k=5 counted before release - one grouping shuffle, 1-row summary, risky groups never leave the executors."""
+    from datalake_etlscripts_spark.operators.expectations import k_anonymity
+
+    c = read_table(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 2000).cast("bigint")
+    )
+    return k_anonymity(c, ["c_nationkey", "c_mktsegment", "bal_band"], k=5)

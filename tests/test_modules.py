@@ -2253,3 +2253,16 @@ def test_kcore_registered_rounds_cover_fixpoint(spark):
     a = sorted(map(tuple, kcore(e, k=2, rounds=4).collect()))
     b = sorted(map(tuple, kcore(e, k=2, rounds=None).collect()))
     assert a == b and len(a) > 0
+
+
+def test_k_anonymity_audit_counts(spark):
+    from datalake_etlscripts_spark.operators.expectations import k_anonymity
+
+    rows = [("a", 1)] * 5 + [("b", 1)] * 2 + [("c", 2)]
+    df = spark.createDataFrame(rows, ["qa", "qb"])
+    r = k_anonymity(df, ["qa", "qb"], k=3).collect()[0]
+    assert (r["n_rows"], r["n_groups"]) == (8, 3)
+    assert (r["n_risky_groups"], r["n_risky_rows"]) == (2, 3)
+    assert r["min_group_size"] == 1 and not r["anonymous"]
+    ok = k_anonymity(df.filter(F.col("qa") == "a"), ["qa"], k=3).collect()[0]
+    assert ok["anonymous"] and ok["n_risky_groups"] == 0
