@@ -2746,3 +2746,29 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("freq")
         ).alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH threshold-tuning curve: the exact-Jaccard DISTRIBUTION of the
+# banded candidate pairs (threshold 0 — every candidate verified),
+# bucketed into deciles. This is the plot you read before committing a
+# dedup threshold: how much mass sits just under the cut, and how much
+# the banding's s-curve lets through at low similarity.
+# ---------------------------------------------------------------------------
+_LSH_HIST_ORACLE = _MINHASH_ORACLE.rsplit("SELECT id_a", 1)[0] + """
+    SELECT CAST(floor(jaccard * 10) AS BIGINT) AS bucket,
+           count(*) AS n_pairs
+    FROM jac GROUP BY 1
+"""
+
+
+@query("dedup_similarity_histogram", oracle=_LSH_HIST_ORACLE)
+def q_dedup_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH threshold-tuning curve: exact-Jaccard decile histogram of ALL banded candidate pairs (threshold 0) - the s-curve evidence behind choosing a dedup cut."""
+    from datalake_etlscripts_spark.operators.skew import spread_small_input
+
+    d = spread_small_input(read_table(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_lsh_pairs(d, threshold=0.0, scheme="md5")
+    return pairs.groupBy(
+        F.floor(F.col("jaccard") * 10).cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
