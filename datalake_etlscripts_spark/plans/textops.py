@@ -2772,3 +2772,184 @@ def q_dedup_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(
         F.floor(F.col("jaccard") * 10).cast("bigint").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# THE end-to-end web-corpus recipe (RefinedWeb/DataComp shape): scored
+# URL filter → Gopher quality rules → exact dedup → fuzzy-dedup
+# keep-best → benchmark decontamination, reported as a per-stage
+# funnel. Every stage reuses an operator whose scale shape is tested
+# on its own; this query proves they COMPOSE and gives the doc-count
+# attrition curve a pipeline owner actually reads.
+# ---------------------------------------------------------------------------
+_RW_ORACLE = r"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, text, lang, source, n_chars FROM documents
+    ),
+    t1 AS (
+      SELECT *, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM d
+    ),
+    u AS (
+      SELECT *, lower(
+        (CASE WHEN doc_id % 17 = 0 THEN 'ftp://' ELSE 'http://' END)
+        || 'src' || CAST(doc_id % 5 AS VARCHAR) || '.example/'
+        || coalesce(tk[1], 'x') || '/p' || CAST(doc_id AS VARCHAR)
+        || (CASE WHEN doc_id % 13 = 0 THEN '.js' ELSE '.html' END)) AS url
+      FROM t1
+    ),
+    s1 AS (
+      SELECT * FROM u
+      WHERE regexp_matches(url, '^https?://')
+        AND NOT (url LIKE '%.css' OR url LIKE '%.js' OR url LIKE '%.ico'
+                 OR url LIKE '%.woff')
+        AND CAST((length(url) - length(replace(url, 'dup', ''))) / 3 AS BIGINT) * 4 < 4
+    ),
+    f2 AS (
+      SELECT doc_id, text, lang, tk,
+             length(text) AS nc,
+             len(regexp_extract_all(text, '[^\w\s]')) AS np,
+             len(tk) AS nt, len(list_distinct(tk)) AS nd,
+             list_transform(range(1, greatest(len(tk) - 1, 1)),
+                            i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]) AS g3
+      FROM s1
+    ),
+    s2 AS (
+      SELECT doc_id, text, lang, tk FROM f2
+      WHERE coalesce(nt >= 20 AND nt <= 100000, false)
+        AND coalesce(CASE WHEN nt > 0 THEN CAST(nc - (nt-1) AS DOUBLE)/nt END
+                     BETWEEN 2.0 AND 12.0, false)
+        AND coalesce(CASE WHEN nc > 0 THEN CAST(np AS DOUBLE)/nc END <= 0.3, false)
+        AND coalesce(CASE WHEN nt > 0 THEN CAST(nd AS DOUBLE)/nt END >= 0.3, false)
+        AND coalesce(CASE WHEN len(g3) > 0 THEN
+              CAST(list_max(list_transform(list_distinct(g3),
+                   dd -> len(list_filter(g3, x -> x = dd)))) AS DOUBLE)/len(g3)
+            END <= 0.18, false)
+    ),
+    s3 AS (
+      SELECT s.* FROM s2 s
+      JOIN (SELECT md5(text) AS fp, min(doc_id) AS mid FROM s2 GROUP BY 1) k
+        ON s.doc_id = k.mid
+    ),
+    base AS (
+      SELECT doc_id, lang, CAST(floor(length(text) / 100) AS INT) AS lb,
+             list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                           i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])) AS sh
+      FROM s3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM base a JOIN base b ON a.lang = b.lang AND a.lb = b.lb
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.04
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp0 AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+    scored AS (
+      SELECT c.component, c.node,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY length(s.text) DESC, c.node ASC) AS rn
+      FROM comp0 c JOIN s3 s ON s.doc_id = c.node
+    ),
+    s4 AS (
+      SELECT * FROM s3
+      WHERE doc_id NOT IN (SELECT node FROM scored WHERE rn > 1)
+    ),
+    bsh AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 3, 1)),
+               i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]))) AS sh
+      FROM t1 WHERE doc_id % 97 = 0
+    ),
+    csh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 3, 1)),
+               i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]))) AS sh
+      FROM s4
+    ),
+    s5 AS (
+      SELECT * FROM s4 WHERE doc_id NOT IN (
+        SELECT DISTINCT doc_id FROM csh WHERE sh IN (SELECT sh FROM bsh))
+    )
+    SELECT 0 AS stage_no, 'raw' AS stage, count(*) AS n_docs FROM d
+    UNION ALL SELECT 1, 'url_filtered', count(*) FROM s1
+    UNION ALL SELECT 2, 'quality', count(*) FROM s2
+    UNION ALL SELECT 3, 'exact_dedup', count(*) FROM s3
+    UNION ALL SELECT 4, 'fuzzy_dedup', count(*) FROM s4
+    UNION ALL SELECT 5, 'decontaminated', count(*) FROM s5
+"""
+
+
+@query("refinedweb_pipeline", oracle=_RW_ORACLE)
+def q_refinedweb_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end web-corpus funnel: scored URL filter -> Gopher rules -> exact dedup -> fuzzy keep-best -> decontamination, doc counts per stage - the attrition curve of the whole recipe."""
+    from pyspark.sql import Window as W
+
+    from datalake_etlscripts_spark.crawl import url_quality_filter
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    first_tok = F.element_at(text.tokens(F.col("text")), 1)
+    urls = d.withColumn(
+        "url",
+        F.concat(
+            F.when(F.col("doc_id") % 17 == 0, F.lit("ftp://")).otherwise(
+                F.lit("http://")
+            ),
+            F.lit("src"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example/"),
+            F.coalesce(first_tok, F.lit("x")),
+            F.lit("/p"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(".js")).otherwise(
+                F.lit(".html")
+            ),
+        ),
+    )
+    s1 = (
+        url_quality_filter(urls, strict_words=("dup",))
+        .filter(F.col("keep"))
+        .select(d.columns)
+    )
+    gq = text.gopher_quality_filter(s1).filter(F.col("keep")).select("doc_id")
+    s2 = s1.join(gq, "doc_id", "left_semi")
+    s3 = dedup.dedup_keep_first(s2)
+    pairs = dedup.ngram_jaccard_pairs(s3, threshold=0.04)
+    comp = dedup.connected_components_star(pairs)
+    scored = comp.join(
+        s3.select(F.col("doc_id").alias("node"), F.length("text").alias("_len")),
+        "node",
+    )
+    w = W.partitionBy("component").orderBy(F.desc("_len"), F.asc("node"))
+    drop = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") > 1)
+        .select(F.col("node").alias("doc_id"))
+    )
+    s4 = s3.join(drop, "doc_id", "left_anti")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    s5 = dedup.decontaminate_corpus(s4, bench, k=5)
+
+    def cnt(df: DataFrame, i: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(i).alias("stage_no"), F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        cnt(d, 0, "raw")
+        .unionByName(cnt(s1, 1, "url_filtered"))
+        .unionByName(cnt(s2, 2, "quality"))
+        .unionByName(cnt(s3, 3, "exact_dedup"))
+        .unionByName(cnt(s4, 4, "fuzzy_dedup"))
+        .unionByName(cnt(s5, 5, "decontaminated"))
+    )
