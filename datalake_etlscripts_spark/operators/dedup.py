@@ -1264,7 +1264,14 @@ def soft_dedup_weights(
     from datalake_etlscripts_spark.operators.text import ngrams
 
     g = df.select(F.col(id_col), F.explode(ngrams(F.col(text_col), k)).alias("_gram"))
-    per_doc = g.groupBy(id_col, "_gram").agg(F.count(F.lit(1)).alias("_c"))
+    # freq is DERIVED from per_doc and joined back onto it — settle the
+    # (doc, gram) table once (lazy: no job at plan-construction time)
+    # so the explode+combine shuffle doesn't run twice
+    per_doc = (
+        g.groupBy(id_col, "_gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .localCheckpoint(eager=False)
+    )
     freq = per_doc.groupBy("_gram").agg(F.sum("_c").alias("_freq"))
     agg = (
         per_doc.join(freq, "_gram")

@@ -186,7 +186,7 @@ def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
     sizes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_n"))
     return sizes.agg(
         F.lit(k).alias("k"),
-        F.sum("_n").alias("n_rows"),
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("n_rows"),
         F.count(F.lit(1)).alias("n_groups"),
         F.coalesce(
             F.sum(F.when(F.col("_n") < k, 1)), F.lit(0)
@@ -195,5 +195,8 @@ def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
             F.sum(F.when(F.col("_n") < k, F.col("_n"))), F.lit(0)
         ).cast("bigint").alias("n_risky_rows"),
         F.min("_n").alias("min_group_size"),
-        (F.min("_n") >= k).alias("anonymous"),
+        # empty input is vacuously anonymous (min over zero groups is
+        # NULL — without the coalesce the gate would return NULL and a
+        # boolean consumer would silently skip the check)
+        F.coalesce(F.min("_n") >= k, F.lit(True)).alias("anonymous"),
     )

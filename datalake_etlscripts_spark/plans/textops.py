@@ -2922,8 +2922,10 @@ def q_refinedweb_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(d.columns)
     )
     gq = text.gopher_quality_filter(s1).filter(F.col("keep")).select("doc_id")
-    s2 = s1.join(gq, "doc_id", "left_semi")
-    s3 = dedup.dedup_keep_first(s2)
+    # six count branches share this lineage — settle the two stages
+    # every later branch re-reads (lazy: no job until the first action)
+    s2 = s1.join(gq, "doc_id", "left_semi").localCheckpoint(eager=False)
+    s3 = dedup.dedup_keep_first(s2).localCheckpoint(eager=False)
     pairs = dedup.ngram_jaccard_pairs(s3, threshold=0.04)
     comp = dedup.connected_components_star(pairs)
     scored = comp.join(
