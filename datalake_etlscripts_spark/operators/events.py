@@ -823,3 +823,60 @@ def funnel_counts_deadline(
         F.explode(F.sequence(F.lit(1), F.col("max_step"))).alias("step")
     )
     return reached.groupBy("step").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval×interval overlap join without an inequality cross
+    join: each interval explodes to the coarse time buckets it covers,
+    candidates come from a plain equi-join on the bucket, then the
+    exact closed-interval test (s_a <= e_b AND s_b <= e_a) filters and
+    the pair dedups (a pair sharing n buckets appears n times). The
+    interval generalization of the point-in-window range join above.
+
+    Scale: shuffle is linear in Σ buckets-per-interval; pick
+    ``bucket_us`` near the typical interval length so that factor
+    stays O(1). Degenerate LONG intervals (spanning thousands of
+    buckets) are the skew risk — cap or split them upstream, same
+    policy as any hot-key mitigation. Both inputs: (id, start_us,
+    end_us) with microsecond integers, closed intervals.
+
+    Returns (left_id, right_id, overlap_us >= 0).
+    """
+    def buckets(df: DataFrame, idc: str, tag: str) -> DataFrame:
+        s, e = F.col(start_col), F.col(end_col)
+        return df.select(
+            F.col(idc),
+            s.alias(f"_s{tag}"),
+            e.alias(f"_e{tag}"),
+            F.explode(
+                F.sequence(
+                    F.floor(s / bucket_us).cast("long"),
+                    F.floor(e / bucket_us).cast("long"),
+                )
+            ).alias("_b"),
+        )
+
+    la = buckets(left, left_id, "a")
+    rb = buckets(right, right_id, "b")
+    return (
+        la.join(rb, "_b")
+        .filter(
+            (F.col("_sa") <= F.col("_eb")) & (F.col("_sb") <= F.col("_ea"))
+        )
+        .dropDuplicates([left_id, right_id])
+        .select(
+            left_id,
+            right_id,
+            (
+                F.least("_ea", "_eb") - F.greatest("_sa", "_sb")
+            ).alias("overlap_us"),
+        )
+    )

@@ -948,3 +948,63 @@ def q_funnel_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts_deadline(
         e, ["view", "click", "purchase"], within_seconds=3600
     )
+
+
+# ---------------------------------------------------------------------------
+# interval×interval overlap join: user sessions against 10-minute
+# outage windows opened by every error event — which sessions ran
+# through an outage, and for how long. Bucketed equi-join + exact
+# closed-interval test (operators/events.interval_overlap_join); the
+# oracle is the plain inequality join.
+# ---------------------------------------------------------------------------
+@query(
+    "interval_overlap",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_MIN} * 60 * 1000000
+             OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+      FROM marked
+    ),
+    s AS (
+      SELECT user_id * 1000 + session_no AS id_a,
+             epoch_us(min(ts)) AS s_a, epoch_us(max(ts)) AS e_a
+      FROM sess GROUP BY user_id, session_no
+    ),
+    m AS (
+      SELECT event_id AS id_b, epoch_us(ts) AS s_b,
+             epoch_us(ts) + 600000000 AS e_b
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT id_a, id_b,
+           least(e_a, e_b) - greatest(s_a, s_b) AS overlap_us
+    FROM s JOIN m ON s_a <= e_b AND s_b <= e_a
+    """,
+)
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: user sessions x 10-minute outage windows from error events - bucketed equi-join plus exact interval test, never an inequality cross join."""
+    from datalake_etlscripts_spark.operators.events import interval_overlap_join
+
+    e = read_table(spark, sf_dir, "events")
+    sess = sessionize(e, gap_minutes=SESSION_GAP_MIN)
+    left = sess.groupBy("user_id", "session_no").agg(
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+    ).select(
+        (F.col("user_id") * 1000 + F.col("session_no")).alias("id_a"),
+        "start_us",
+        "end_us",
+    )
+    right = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("id_b"),
+        F.unix_micros("ts").alias("start_us"),
+        (F.unix_micros("ts") + 600_000_000).alias("end_us"),
+    )
+    return interval_overlap_join(left, right)

@@ -2266,3 +2266,25 @@ def test_k_anonymity_audit_counts(spark):
     assert r["min_group_size"] == 1 and not r["anonymous"]
     ok = k_anonymity(df.filter(F.col("qa") == "a"), ["qa"], k=3).collect()[0]
     assert ok["anonymous"] and ok["n_risky_groups"] == 0
+
+
+def test_interval_overlap_join_boundaries_and_bucket_dedup(spark):
+    from datalake_etlscripts_spark.operators.events import interval_overlap_join
+
+    B = 100  # tiny buckets so intervals span many
+    left = spark.createDataFrame(
+        [(1, 50, 1050), (2, 0, 10), (3, 2000, 2100)],
+        ["id_a", "start_us", "end_us"],
+    )
+    right = spark.createDataFrame(
+        [(10, 1000, 1200), (11, 10, 20), (12, 1051, 1060), (13, 5000, 5100)],
+        ["id_b", "start_us", "end_us"],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["overlap_us"]
+        for r in interval_overlap_join(left, right, bucket_us=B).collect()
+    }
+    # 1×10 overlaps [1000,1050] (spans 11 buckets on the left — dedup);
+    # 2×11 touch at exactly one point (closed intervals → overlap 0);
+    # 1×12 adjacent but disjoint (1051 > 1050) → absent
+    assert out == {(1, 10): 50, (2, 11): 0}
