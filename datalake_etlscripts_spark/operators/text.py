@@ -757,3 +757,23 @@ def corpus_data_card(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.col("vocab_size").cast("double"), F.col("total_tokens").cast("double")
         ).alias("type_token_ratio"),
     )
+
+
+def normalize_text(text: Column) -> Column:
+    """Pre-tokenization canonicalization (the NFKC-lite pass every web
+    pipeline runs before fingerprinting — without it, curly-quote /
+    NBSP / case variants of the same sentence defeat exact dedup):
+    unify unicode punctuation (curly quotes, dashes, ellipsis, NBSP),
+    strip the Spanish accent set (ntp_utils.py:43-49 semantics, same
+    table as sanitize_field_name), lowercase, collapse whitespace
+    runs, trim. Pure per-row expressions — rides the scan, no shuffle,
+    no regex beyond one whitespace collapse."""
+    t = F.translate(
+        text,
+        "‘’“”–— "  # ‘ ’ “ ” – — nbsp
+        "áéíóúüñÁÉÍÓÚÜÑ",
+        "''\"\"--" + " " + "aeiouunAEIOUUN",
+    )
+    t = F.replace(t, F.lit("…"), F.lit("..."))
+    t = F.lower(t)
+    return F.trim(F.regexp_replace(t, r"\s+", " "))

@@ -2955,3 +2955,92 @@ def q_refinedweb_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cnt(s4, 4, "fuzzy_dedup"))
         .unionByName(cnt(s5, 5, "decontaminated"))
     )
+
+
+@query(
+    "unigram_piece_usage",
+    oracle=_uni_dp_sql()
+    + f"""
+    SELECT piece,
+           count(*) AS n_words,
+           CAST(sum(freq) AS BIGINT) AS n_uses,
+           piece IN ({", ".join(f"'{p}'" for p in sorted(_UNI_VOCAB))}) AS in_vocab
+    FROM (SELECT word, freq, unnest(string_split(s, ' ')) AS piece
+          FROM bt WHERE pos = 0)
+    GROUP BY piece
+    """,
+)
+def q_unigram_piece_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-vocab usage audit: corpus-weighted piece frequencies out of the Viterbi segmentation - the prune signal of unigram-LM training rounds (drop the pieces nobody's best path uses)."""
+    from datalake_etlscripts_spark.operators import bpe
+
+    d = read_table(spark, sf_dir, "documents").select("text")
+    enc = bpe.unigram_viterbi_encode(d, _UNI_VOCAB)
+    return (
+        enc.select(
+            "word", "freq", F.explode(F.split("pieces", " ")).alias("piece")
+        )
+        .groupBy("piece")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("freq").alias("n_uses"),
+        )
+        .withColumn("in_vocab", F.col("piece").isin(*sorted(_UNI_VOCAB)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# pre-tokenization text canonicalization: the corpus is synthetic-clean,
+# so both engines first inject the same mess (curly quotes, NBSP,
+# dashes, ellipsis, Spanish accents, uppercase) by doc_id — then the
+# normalize pass must fold every variant back.
+# ---------------------------------------------------------------------------
+@query(
+    "normalize_corpus",
+    oracle="""
+    WITH messy AS (
+      SELECT doc_id,
+        (CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END)
+        || (CASE doc_id % 4
+              WHEN 0 THEN ' “Hola Señor” '
+              WHEN 1 THEN '   –dash— '
+              WHEN 2 THEN ' Ándale… '
+              ELSE '' END) AS raw
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, raw,
+        trim(regexp_replace(
+          lower(replace(translate(raw,
+            '‘’“”–— áéíóúüñÁÉÍÓÚÜÑ',
+            '''''""-- aeiouunAEIOUUN'),
+          '…', '...')),
+          '\\s+', ' ', 'g')) AS text_norm
+      FROM messy
+    )
+    SELECT doc_id, text_norm,
+           length(raw) AS n_chars_raw,
+           length(text_norm) AS n_chars_norm
+    FROM n
+    """,
+)
+def q_normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization canonicalization pass: curly quotes/NBSP/dashes/ellipsis unified, accents stripped, lowercased, whitespace collapsed - pure expressions riding the scan."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" “Hola Señor” "))
+        .when(F.col("doc_id") % 4 == 1, F.lit("   –dash— "))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" Ándale… "))
+        .otherwise(F.lit(""))
+    )
+    raw = F.concat(
+        F.when(F.col("doc_id") % 5 == 0, F.upper("text")).otherwise(F.col("text")),
+        suffix,
+    )
+    messy = d.select("doc_id", raw.alias("_raw"))
+    return messy.select(
+        "doc_id",
+        text.normalize_text(F.col("_raw")).alias("text_norm"),
+        F.length("_raw").alias("n_chars_raw"),
+        F.length(text.normalize_text(F.col("_raw"))).alias("n_chars_norm"),
+    )

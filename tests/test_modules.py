@@ -2288,3 +2288,19 @@ def test_interval_overlap_join_boundaries_and_bucket_dedup(spark):
     # 2×11 touch at exactly one point (closed intervals → overlap 0);
     # 1×12 adjacent but disjoint (1051 > 1050) → absent
     assert out == {(1, 10): 50, (2, 11): 0}
+
+
+def test_normalize_text_folds_variants_to_one_fingerprint(spark):
+    from datalake_etlscripts_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "The  quick brown fox"),
+        (2, "the quick brown fox"),
+        (3, "“The” quick brown fox…"),
+        (4, "Niño año"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {r["id"]: r["n"] for r in df.select("id", normalize_text(F.col("t")).alias("n")).collect()}
+    assert out[1] == out[2] == "the quick brown fox"
+    assert out[3] == '"the" quick brown fox...'
+    assert out[4] == "nino ano"
