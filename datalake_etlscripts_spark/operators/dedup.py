@@ -1260,6 +1260,14 @@ def soft_dedup_weights(
     Documents shorter than k tokens carry no grams: commonness NULL,
     weight 1.0 (nothing to judge them on, so they train at full
     weight). Returns (id, n_grams, commonness, weight).
+
+    Rejected variant (A/B'd ~1.5× faster at sf0.1): a count window
+    over partitionBy(gram) folds steps 2-3 into one shuffle — but a
+    window partition cannot split a key, so every occurrence of a
+    Zipf-head gram lands on ONE task; at corpus scale that task is the
+    straggler. The groupBy+join form keeps map-side combine and lets
+    AQE skew-split the hot grams, so it is the shape that survives
+    100 TB.
     """
     from datalake_etlscripts_spark.operators.text import ngrams
 

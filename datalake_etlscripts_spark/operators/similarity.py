@@ -744,3 +744,57 @@ def hard_negatives(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def label_outliers(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+) -> DataFrame:
+    """Label-noise audit (Confident-Learning shape): each vector's
+    cosine to its OWN label's centroid; the k least-similar members
+    per label are the mislabel suspects a human reviews before
+    training. Centroid = per-label SUM vector (cosine is
+    scale-invariant) with the same decimal-exact per-dimension
+    accumulation as embedding_centroid_drift — order-independent and
+    externally replayable; the per-row cosine folds in dimension
+    order.
+
+    Shape: one posexplode → one (label, dim) aggregate (labels × dims
+    rows — dictionary-sized) → broadcast centroids back onto the
+    corpus → per-label bottom-k window over a corpus-linear scan.
+    Returns (id, label, n_label, centroid_cos, rank).
+    """
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("_dim", "_v"),
+    )
+    sums = exploded.groupBy("label", "_dim").agg(
+        F.sum(F.col("_v").cast("string").cast("decimal(30,21)")).alias("_s")
+    )
+    cents = sums.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_dim", "_s"))),
+            lambda s: s["_s"].cast("double"),
+        ).alias("_cent")
+    )
+    counts = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    joined = df.select(
+        F.col(id_col), F.col(label_col).alias("label"), F.col(vec_col).alias("_v")
+    ).join(F.broadcast(cents.join(counts, "label")), "label")
+    scored = joined.select(
+        id_col,
+        "label",
+        "n_label",
+        cosine(
+            F.transform(F.col("_v"), lambda x: x.cast("double")), F.col("_cent")
+        ).alias("centroid_cos"),
+    )
+    w = W.partitionBy("label").orderBy(F.asc("centroid_cos"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

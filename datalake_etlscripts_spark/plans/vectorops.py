@@ -336,3 +336,52 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "embeddings")
     return hard_negatives(e, e.filter(F.col("vec_id") < 40), k=3)
+
+
+# ---------------------------------------------------------------------------
+# Label-noise audit: bottom-3 own-centroid cosines per label — the
+# mislabel-suspect review queue. Centroids reuse the drift query's
+# decimal-exact accumulation (shortest-repr string → DECIMAL, cast
+# back once), so the twin replays the exact same doubles.
+# ---------------------------------------------------------------------------
+_OUTLIER_ORACLE = """
+    WITH o AS (
+      SELECT label, embedding,
+             unnest(generate_series(1, len(embedding))) AS i
+      FROM embeddings
+    ),
+    s AS (
+      SELECT label, CAST(i AS INT) - 1 AS dim,
+             SUM(CAST(CAST(embedding[i] AS VARCHAR) AS DECIMAL(30,21))) AS sd
+      FROM o GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT label, list(CAST(CAST(sd AS VARCHAR) AS DOUBLE) ORDER BY dim) AS cent
+      FROM s GROUP BY 1
+    ),
+    n AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1),
+    scored AS (
+      SELECT e.vec_id, e.label, n.n_label,
+        list_reduce(list_prepend(0.0, list_transform(list_zip(e.embedding, c.cent),
+            x -> CAST(x[1] AS DOUBLE) * x[2])), (a,b) -> a + b)
+        / (sqrt(list_reduce(list_prepend(0.0, list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b))
+         * sqrt(list_reduce(list_prepend(0.0, list_transform(c.cent,
+             x -> x * x)), (a,b) -> a + b))) AS centroid_cos
+      FROM embeddings e JOIN c ON e.label = c.label JOIN n ON n.label = e.label
+    )
+    SELECT vec_id, label, n_label, centroid_cos, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY label
+                   ORDER BY centroid_cos ASC, vec_id ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+"""
+
+
+@query("label_outliers", oracle=_OUTLIER_ORACLE)
+def q_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: bottom-3 own-centroid cosine per label (mislabel suspects) - decimal-exact centroids broadcast onto one corpus scan."""
+    from datalake_etlscripts_spark.operators.similarity import label_outliers
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return label_outliers(e, k=3)
