@@ -364,3 +364,57 @@ def mixture_upsample(
         F.array().cast("array<int>")
     )
     return df.withColumn("epoch", F.explode(epochs))
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+) -> DataFrame:
+    """Temperature-balanced mixture sampling (the XLM-R/mBERT recipe):
+    target share of stratum s ∝ (n_s)^α with α = 1/2, flattening the
+    size distribution so low-resource strata are over-represented
+    relative to their raw share. α is FIXED at 1/2 because sqrt is
+    IEEE-correctly-rounded on every engine — an arbitrary pow(x, α)
+    is not reproducible bit-for-bit across engines, and this module's
+    contract is hash-deterministic sampling an external engine can
+    replay exactly.
+
+    The normalizing Σ_s sqrt(n_s) is a DIMENSION-ORDERED fold over the
+    stratum-sorted list (doubles sum is order-dependent; the stratum
+    table is dictionary-sized so the ordered fold is free). Keep rate
+    = min(1, target_share × N / n_s), applied via the uniform md5
+    hash — same broadcast-dim scan→filter shape as mixture_sample:
+    the corpus never shuffles.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    den = counts.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(stratum_col).alias("s"),
+                        F.sqrt(F.col("_n")).alias("q"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x["q"],
+        ).alias("_den"),
+        F.sum("_n").alias("_total"),
+    )
+    rates = counts.crossJoin(F.broadcast(den)).select(
+        stratum_col,
+        F.least(
+            F.lit(1.0),
+            F.sqrt(F.col("_n"))
+            / F.col("_den")
+            * F.col("_total")
+            / F.col("_n").cast("double"),
+        ).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), stratum_col, "inner")
+        .filter(uniform_hash(F.col(key_col)) < F.col("_rate"))
+        .drop("_rate")
+    )

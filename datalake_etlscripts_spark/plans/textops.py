@@ -3044,3 +3044,32 @@ def q_normalize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("_raw").alias("n_chars_raw"),
         F.length(text.normalize_text(F.col("_raw"))).alias("n_chars_norm"),
     )
+
+
+@query(
+    "temperature_mixture_sample",
+    oracle="""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+    d AS (
+      SELECT list_reduce(list_prepend(0.0,
+               list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)),
+               (a, b) -> a + b) AS den,
+             CAST(sum(n) AS BIGINT) AS total
+      FROM c
+    ),
+    r AS (
+      SELECT lang,
+             least(CAST(1 AS DOUBLE),
+                   sqrt(CAST(n AS DOUBLE)) / den * total / n) AS rate
+      FROM c, d
+    )
+    SELECT t.doc_id, t.lang, t.source
+    FROM documents t JOIN r USING (lang)
+    WHERE CAST(('0x' || substring(md5(CAST(t.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+          / 4294967296.0 < r.rate
+    """,
+)
+def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced multilingual sampling (alpha=1/2): sqrt-flattened language shares via broadcast rate dims + deterministic hash keep - low-resource languages over-represented, corpus never shuffled."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return sampling.temperature_mixture_sample(d, "doc_id", "lang")
