@@ -1300,3 +1300,139 @@ def soft_dedup_weights(
             F.coalesce(F.lit(1.0) / commonness, F.lit(1.0)).alias("weight"),
         )
     )
+
+
+def incremental_embedding_lsh(
+    index: DataFrame,
+    existing_vecs: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    sig_bits: int = 16,
+    band_bits: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental embedding near-dup — the vector twin of
+    incremental_minhash_dedup: ``index`` is the persisted
+    (band, bucket, vec_id) table of everything ingested so far,
+    ``existing_vecs`` the stored vectors (verification lookup),
+    ``batch`` the new vectors. Only the BATCH is signatured; the
+    corpus is probed through the index equi-join, so ingest cost is
+    linear in batch size no matter how large the corpus grows.
+
+    Candidates = batch×index probe ∪ batch×batch bands; exact-cosine
+    verification touches only candidate ids (semi-join prunes the
+    stored-vector lookup to the candidates' ids, not the corpus).
+    Generates exactly the full-recompute pairs that touch the batch
+    (same planes, same bands — equivalence property-tested).
+
+    Returns (verified pairs touching the batch, new index rows to
+    persist — append to ``index`` for the next batch).
+    """
+    from datalake_etlscripts_spark.operators.similarity import (
+        _rh_signature,
+        random_planes,
+    )
+
+    planes = random_planes(dim, sig_bits)
+    n_bands = sig_bits // band_bits
+    mask = (1 << band_bits) - 1
+    sig = _rh_signature(F.col(vec_col), planes)
+    batch_banded = batch.select(
+        F.col(id_col).alias("_bid"),
+        _unit(F.col(vec_col)).alias("_bv"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(sig, b * band_bits).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    ).localCheckpoint(eager=False)
+
+    probe = (
+        batch_banded.join(
+            index.select(F.col(id_col).alias("_eid"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("_bid", "_eid")
+        .dropDuplicates()
+    )
+    ex_unit = existing_vecs.join(
+        probe.select(F.col("_eid").alias(id_col)).dropDuplicates(), id_col, "left_semi"
+    ).select(F.col(id_col).alias("_eid"), _unit(F.col(vec_col)).alias("_ev"))
+    dot_be = F.aggregate(
+        F.zip_with("_bv", "_ev", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bu = batch_banded.select("_bid", "_bv").dropDuplicates(["_bid"])
+    cross = (
+        probe.join(bu, "_bid")
+        .join(ex_unit, "_eid")
+        .select(
+            F.least("_bid", "_eid").alias("id_a"),
+            F.greatest("_bid", "_eid").alias("id_b"),
+            dot_be.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    l_ = batch_banded.select(
+        F.col("_bid").alias("id_a"), F.col("_bv").alias("_va"), "band", "bucket"
+    )
+    r_ = batch_banded.select(
+        F.col("_bid").alias("id_b"), F.col("_bv").alias("_vb"), "band", "bucket"
+    )
+    dot_bb = F.aggregate(
+        F.zip_with("_va", "_vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    within = (
+        l_.join(r_, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", dot_bb.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    pairs = cross.unionByName(within).dropDuplicates(["id_a", "id_b"])
+    new_index = batch_banded.select(
+        F.col("_bid").alias(id_col), "band", "bucket"
+    )
+    return pairs, new_index
+
+
+def embedding_lsh_index(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    sig_bits: int = 16,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Persistable (id, band, bucket) random-hyperplane LSH index rows
+    for a vector corpus — the state table incremental_embedding_lsh
+    probes. Same planes/banding as embedding_near_dup_lsh, so a
+    full-recompute and an index-probe see identical candidates."""
+    from datalake_etlscripts_spark.operators.similarity import (
+        _rh_signature,
+        random_planes,
+    )
+
+    planes = random_planes(dim, sig_bits)
+    n_bands = sig_bits // band_bits
+    mask = (1 << band_bits) - 1
+    sig = _rh_signature(F.col(vec_col), planes)
+    return df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(sig, b * band_bits).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )

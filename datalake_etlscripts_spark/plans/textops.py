@@ -3073,3 +3073,30 @@ def q_temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-balanced multilingual sampling (alpha=1/2): sqrt-flattened language shares via broadcast rate dims + deterministic hash keep - low-resource languages over-represented, corpus never shuffled."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return sampling.temperature_mixture_sample(d, "doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# incremental embedding near-dup: odd/injected ids arrive as the new
+# batch and PROBE the persisted index of the even half — ingested
+# vectors are never re-signatured. Equivalent to the full recompute
+# restricted to pairs touching the batch (same planes, same bands), so
+# the oracle is the batch-LSH twin with that restriction.
+# ---------------------------------------------------------------------------
+_EMB_INC_ORACLE = f"""
+    SELECT id_a, id_b, cos_sim FROM ({_EMB_LSH_ORACLE})
+    WHERE id_a % 2 = 1 OR id_a >= 100000 OR id_b % 2 = 1 OR id_b >= 100000
+"""
+
+
+@query("dedup_embedding_incremental", oracle=_EMB_INC_ORACLE)
+def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup: the new batch probes the persisted LSH bucket index - corpus never re-signatured, ingest cost linear in batch size."""
+    corpus = _near_dup_corpus(spark, sf_dir)
+    is_batch = (F.col("vec_id") % 2 == 1) | (F.col("vec_id") >= 100000)
+    batch = corpus.filter(is_batch)
+    existing = corpus.filter(~is_batch)
+    index = dedup.embedding_lsh_index(existing)
+    pairs, _new_index = dedup.incremental_embedding_lsh(
+        index, existing, batch, threshold=0.9
+    )
+    return pairs

@@ -2304,3 +2304,26 @@ def test_normalize_text_folds_variants_to_one_fingerprint(spark):
     assert out[1] == out[2] == "the quick brown fox"
     assert out[3] == '"the" quick brown fox...'
     assert out[4] == "nino ano"
+
+
+def test_incremental_embedding_lsh_equals_full_recompute(spark, sf_dir):
+    from datalake_etlscripts_spark.plans.textops import _near_dup_corpus
+
+    corpus = _near_dup_corpus(spark, sf_dir)
+    is_batch = (F.col("vec_id") % 2 == 1) | (F.col("vec_id") >= 100000)
+    batch, existing = corpus.filter(is_batch), corpus.filter(~is_batch)
+    index = dedup.embedding_lsh_index(existing)
+    pairs, new_index = dedup.incremental_embedding_lsh(
+        index, existing, batch, threshold=0.9
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    full = dedup.embedding_near_dup_lsh(corpus, threshold=0.9)
+    batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_a"] in batch_ids or r["id_b"] in batch_ids
+    }
+    assert got == want and len(got) > 0
+    # the appended index rows are exactly the batch's bands
+    assert new_index.count() == batch.count() * 2
