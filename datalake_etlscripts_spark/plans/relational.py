@@ -895,3 +895,55 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bal_band", F.floor(F.col("c_acctbal") / 2000).cast("bigint")
     )
     return k_anonymity(c, ["c_nationkey", "c_mktsegment", "bal_band"], k=5)
+
+
+# ---------------------------------------------------------------------------
+# join-key skew reconnaissance: the report read BEFORE a big join to
+# decide salting / AQE skew thresholds (operators/skew.py holds the
+# mitigation; this is the detection). Top heavy hitters + their
+# multiple of the mean key frequency.
+# ---------------------------------------------------------------------------
+@query(
+    "join_skew_audit",
+    oracle="""
+    WITH c AS (SELECT l_partkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
+    s AS (SELECT CAST(sum(n) AS BIGINT) AS total, count(*) AS n_keys FROM c)
+    SELECT key, n,
+           CAST(n AS DOUBLE) / total AS share,
+           CAST(n * n_keys AS DOUBLE) / total AS skew_vs_mean,
+           rank
+    FROM (
+      SELECT c.key, c.n, s.total, s.n_keys,
+             CAST(row_number() OVER (ORDER BY c.n DESC, c.key) AS INT) AS rank
+      FROM c, s
+    )
+    WHERE rank <= 10
+    """,
+)
+def q_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew reconnaissance: top-10 heavy-hitter keys with share and multiple-of-mean frequency - the detection pass behind salting decisions; one count shuffle + a 1-row stats broadcast."""
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey")
+    c = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = c.agg(
+        F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_n_keys")
+    )
+    # distributed top-k (TakeOrderedAndProject), NOT a global
+    # row_number window — the key table is dictionary-sized relative
+    # to the corpus but still corpus-wide (1e8+ keys at 100 TB); the
+    # rank window then runs over the bounded 10-row result only
+    top = c.crossJoin(F.broadcast(s)).orderBy(F.desc("n"), F.asc("key")).limit(10)
+    w = W.orderBy(F.desc("n"), F.asc("key"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            "key",
+            "n",
+            (F.col("n").cast("double") / F.col("_total")).alias("share"),
+            ((F.col("n") * F.col("_n_keys")).cast("double") / F.col("_total")).alias(
+                "skew_vs_mean"
+            ),
+            "rank",
+        )
+    )
