@@ -798,3 +798,38 @@ def label_outliers(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def feature_scaling_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension standardization table (dim, n, mean, std) for an
+    embedding column — the fit half of feature scaling before
+    distance-based ops (k-means, PQ) where dimension variance skews
+    the metric. One posexplode → one dim-keyed aggregate (dims rows).
+
+    Determinism: Σx and Σx² accumulate in DECIMAL via each double's
+    shortest-repr string (the embedding_centroid_drift policy — a
+    direct double→decimal cast is mis-rounded in DuckDB); x² is formed
+    in double first (IEEE-exact per row), so both engines feed
+    identical decimals. mean/var/std are then a fixed sequence of
+    double ops: mean = S/n, var = (Q - S·mean)/n, std = sqrt(var).
+    """
+    exploded = df.select(F.posexplode(F.col(vec_col)).alias("dim", "_v"))
+    x = F.col("_v").cast("double")
+    agg = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("string").cast("decimal(30,21)")).alias("_s"),
+        F.sum((x * x).cast("string").cast("decimal(38,21)")).alias("_q"),
+    )
+    s = F.col("_s").cast("double")
+    q = F.col("_q").cast("double")
+    mean = s / F.col("n")
+    var = (q - s * mean) / F.col("n")
+    return agg.select(
+        "dim",
+        "n",
+        mean.alias("mean"),
+        F.sqrt(var).alias("std"),
+    )

@@ -385,3 +385,39 @@ def q_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "embeddings")
     return label_outliers(e, k=3)
+
+
+# ---------------------------------------------------------------------------
+# feature-scaling fit: per-dimension mean/std of the embedding corpus
+# (decimal-exact moments, double math in a fixed op order).
+# ---------------------------------------------------------------------------
+@query(
+    "feature_scaling_stats",
+    oracle="""
+    WITH o AS (
+      SELECT unnest(generate_series(1, len(embedding))) AS i, embedding
+      FROM embeddings
+    ),
+    a AS (
+      SELECT CAST(i AS INT) - 1 AS dim, count(*) AS n,
+             SUM(CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR)
+                 AS DECIMAL(30,21))) AS s,
+             SUM(CAST(CAST(CAST(embedding[i] AS DOUBLE)
+                           * CAST(embedding[i] AS DOUBLE) AS VARCHAR)
+                 AS DECIMAL(38,21))) AS q
+      FROM o GROUP BY 1
+    )
+    SELECT dim, n,
+           CAST(CAST(s AS VARCHAR) AS DOUBLE) / n AS mean,
+           sqrt((CAST(CAST(q AS VARCHAR) AS DOUBLE)
+                 - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                   * (CAST(CAST(s AS VARCHAR) AS DOUBLE) / n)) / n) AS std
+    FROM a
+    """,
+)
+def q_feature_scaling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-scaling fit: per-dimension mean/std of embeddings from decimal-exact moments - one posexplode + one dim-keyed aggregate."""
+    from datalake_etlscripts_spark.operators.similarity import feature_scaling_stats
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return feature_scaling_stats(e)
