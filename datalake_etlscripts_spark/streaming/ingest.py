@@ -563,3 +563,72 @@ def run_streaming_trending_terms(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_embedding_dedup(
+    spark: SparkSession,
+    incoming_dir: str,
+    state_dir: str,
+    schema: str = "vec_id bigint, embedding array<double>",
+    threshold: float = 0.92,
+):
+    """Streaming embedding near-duplicate detection — the vector twin
+    of run_streaming_lsh_dedup: each micro-batch of vectors is
+    signatured ONCE and probes the persisted (vec_id, band, bucket)
+    index (operators/dedup.incremental_embedding_lsh); the ingested
+    corpus is never re-signatured. State under ``state_dir``:
+
+      index/  (vec_id, band, bucket) of everything ingested
+      vecs/   epoch=N/(vec_id, embedding) verification corpus
+      pairs/  epoch=N/(id_a, id_b, cos_sim) verified pairs
+
+    Same idempotence/crash contract as the text twin: epoch-keyed
+    overwrites for replays, directory-rename index swap, only a
+    MISSING state path reads as empty. Union of emitted pairs equals
+    a full batch recompute (property-tested)."""
+    import os
+    import shutil
+
+    from datalake_etlscripts_spark.operators.dedup import incremental_embedding_lsh
+
+    index_path = os.path.join(state_dir, "index")
+    vecs_path = os.path.join(state_dir, "vecs")
+    pairs_path = os.path.join(state_dir, "pairs")
+
+    def _load(path: str, empty_schema: str) -> DataFrame:
+        if not os.path.exists(path):
+            return spark.createDataFrame([], empty_schema)
+        return spark.read.parquet(path)
+
+    def _swap(df: DataFrame, path: str, epoch_id: int) -> None:
+        tmp = f"{path}__staging_{epoch_id}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{path}__old_{epoch_id}"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        index = _load(index_path, "vec_id bigint, band int, bucket bigint")
+        vecs = _load(vecs_path, schema)
+        pairs, batch_rows = incremental_embedding_lsh(
+            index, vecs, batch_df, threshold=threshold
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_path, f"epoch={epoch_id}")
+        )
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(vecs_path, f"epoch={epoch_id}")
+        )
+        _swap(index.unionByName(batch_rows), index_path, epoch_id)
+
+    stream = spark.readStream.schema(schema).parquet(incoming_dir)
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", f"{state_dir}__checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -543,3 +543,51 @@ def test_streaming_trending_terms_matches_batch(spark, tmp_path):
         by_win.setdefault(w.hour, []).append((rank, tok, n))
     assert sorted(by_win[10]) == [(1, "beam", 5), (2, "spark", 3)]
     assert sorted(by_win[11]) == [(1, "flink", 3), (2, "spark", 1)]
+
+
+def test_streaming_embedding_dedup_matches_batch_recompute(spark, sf_dir):
+    """Two vector drops through the streaming embedding dedup emit
+    exactly the pairs a one-shot batch LSH recompute finds."""
+    import tempfile
+
+    from datalake_etlscripts_spark.operators.dedup import embedding_near_dup_lsh
+    from datalake_etlscripts_spark.streaming.ingest import (
+        run_streaming_embedding_dedup,
+    )
+
+    base = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    )
+    bumped = base.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.001)).alias("embedding"),
+    )
+    vecs = base.unionByName(bumped)
+    tmp = tempfile.mkdtemp(prefix="strmemb_")
+    incoming, state = os.path.join(tmp, "in"), os.path.join(tmp, "state")
+    os.makedirs(incoming)
+    try:
+        vecs.filter(F.col("vec_id") % 2 == 0).write.parquet(
+            os.path.join(incoming, "batch1")
+        )
+        q = run_streaming_embedding_dedup(spark, incoming + "/*", state, threshold=0.9)
+        q.awaitTermination(180)
+        vecs.filter(F.col("vec_id") % 2 == 1).write.parquet(
+            os.path.join(incoming, "batch2")
+        )
+        q = run_streaming_embedding_dedup(spark, incoming + "/*", state, threshold=0.9)
+        q.awaitTermination(180)
+
+        streamed = {
+            (r["id_a"], r["id_b"])
+            for r in spark.read.parquet(os.path.join(state, "pairs")).collect()
+        }
+        full = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_near_dup_lsh(vecs, threshold=0.9).collect()
+        }
+        assert streamed == full
+        assert len(full) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
