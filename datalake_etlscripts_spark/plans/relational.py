@@ -947,3 +947,26 @@ def q_join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# the SQL API surface: the same engine through spark.sql over temp
+# views — ANSI text in, Catalyst plan out, byte-identical to the
+# DataFrame plans everywhere else in this module. The statement is
+# shared verbatim with the oracle (one definition, two engines).
+# ---------------------------------------------------------------------------
+_SQL_API_STMT = """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+    GROUP BY o_orderpriority
+"""
+
+
+@query("sql_api_demo", oracle=_SQL_API_STMT)
+def q_sql_api_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL API surface: the identical ANSI statement runs through spark.sql over a temp view and through the DuckDB oracle - one SQL text, two engines, same hash."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_SQL_API_STMT)
