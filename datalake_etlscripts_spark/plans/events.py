@@ -1008,3 +1008,63 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") + 600_000_000).alias("end_us"),
     )
     return interval_overlap_join(left, right)
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution: every purchase credits the latest click/view
+# by the same user within 1 hour — the as-of join applied to marketing
+# analytics; unattributed purchases land in the 'none' channel.
+# Touches are deduped to one per (user, ts) first, so the as-of match
+# has no same-timestamp tie ambiguity on either engine.
+# ---------------------------------------------------------------------------
+@query(
+    "attribution_last_touch",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    t0 AS (
+      SELECT user_id, ts, min(event_type) AS channel FROM events
+      WHERE event_type IN ('click', 'view') GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT p.event_id, p.value,
+             (SELECT channel FROM t0
+              WHERE t0.user_id = p.user_id AND t0.ts <= p.ts
+                AND epoch_us(p.ts) - epoch_us(t0.ts) <= 3600000000
+              ORDER BY t0.ts DESC LIMIT 1) AS attr
+      FROM p
+    )
+    SELECT coalesce(attr, 'none') AS channel,
+           count(*) AS n_purchases,
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS total_value
+    FROM m GROUP BY 1
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: purchases credit the latest click/view within 1 hour via the union+carry as-of join - one user-keyed shuffle, no inequality join."""
+    from datalake_etlscripts_spark.operators.events import as_of_join
+
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_type").alias("channel"))
+    )
+    j = as_of_join(purchases, touches, on="user_id")
+    gap_ok = (
+        F.col("ts_r").isNotNull()
+        & (F.unix_micros("ts") - F.unix_micros("ts_r") <= 3_600_000_000)
+    )
+    attr = F.when(gap_ok, F.col("channel_r")).otherwise(F.lit("none"))
+    return j.groupBy(attr.alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+    )
