@@ -140,6 +140,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
 
+    p = sub.add_parser(
+        "filter", help="Gopher-style quality filter: keep-rate report + kept corpus"
+    )
+    p.add_argument("--table", required=True, help="parquet corpus with id/text columns")
+    p.add_argument("--out", help="optional parquet path for the kept documents")
+    p.add_argument("--text-col", default="text")
+
     p = sub.add_parser("optimize", help="space-filling-curve rewrite for multi-column data skipping")
     p.add_argument("--table", required=True)
     p.add_argument("--out", required=True)
@@ -424,6 +431,35 @@ def main(argv: list[str] | None = None) -> int:
             f"mean_len={fmt(r['mean_len'])} p50_len={fmt(r['p50_len'], '.0f')} "
             f"p95_len={fmt(r['p95_len'], '.0f')} vocab={r['vocab_size']}"
         )
+
+    elif args.cmd == "filter":
+        from pyspark.sql import functions as F
+
+        from datalake_etlscripts_spark.operators.text import gopher_quality_filter
+
+        corpus = spark.read.parquet(args.table)
+        filt = gopher_quality_filter(corpus, text_col=args.text_col)
+        rep = filt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(F.when(F.col("keep"), 1)), F.lit(0)).alias("kept"),
+        ).collect()[0]
+        rate = rep["kept"] / rep["n"] if rep["n"] else 0.0
+        print(f"docs={rep['n']} kept={rep['kept']} keep_rate={rate:.3f}")
+        rules = (
+            filt.filter(~F.col("keep"))
+            .select(F.explode(F.split("fail_reasons", ",")).alias("rule"))
+            .groupBy("rule")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "rule")
+        )
+        for r in rules.collect():
+            print(f"fail {r['rule']}\t{r['n']}")
+        if args.out:
+            kept_ids = filt.filter(F.col("keep")).select(filt.columns[0])
+            corpus.join(kept_ids, filt.columns[0], "left_semi").write.mode(
+                "overwrite"
+            ).parquet(args.out)
+            print(f"kept corpus written to {args.out}")
 
     elif args.cmd == "optimize":
         from datalake_etlscripts_spark.io.layout import cluster_write, hilbert_cluster_write

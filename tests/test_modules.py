@@ -2327,3 +2327,26 @@ def test_incremental_embedding_lsh_equals_full_recompute(spark, sf_dir):
     assert got == want and len(got) > 0
     # the appended index rows are exactly the batch's bands
     assert new_index.count() == batch.count() * 2
+
+
+def test_cli_filter_reports_and_writes_kept_corpus(tmp_path, spark, sf_dir, capsys):
+    import os
+
+    from datalake_etlscripts_spark.__main__ import main
+
+    out = str(tmp_path / "kept")
+    main(
+        [
+            "filter",
+            "--table",
+            os.path.join(sf_dir, "documents.parquet"),
+            "--out",
+            out,
+        ]
+    )
+    text = capsys.readouterr().out
+    assert "keep_rate=" in text and "fail " in text
+    kept = spark.read.parquet(out)
+    assert 0 < kept.count() < spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).count()
