@@ -630,3 +630,33 @@ def test_unigram_viterbi_matches_python_dp(spark, words):
     assert set(got) == set(freqs)
     for w in freqs:
         assert got[w] == py_encode(w), w
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 800)), min_size=1, max_size=12
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 5000), st.integers(0, 800)), min_size=1, max_size=12
+    ),
+    bucket=st.sampled_from([100, 250, 1000]),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_interval_overlap_join_matches_bruteforce(spark, lefts, rights, bucket):
+    from datalake_etlscripts_spark.operators.events import interval_overlap_join
+
+    L = [(i, s, s + d) for i, (s, d) in enumerate(lefts)]
+    R = [(i, s, s + d) for i, (s, d) in enumerate(rights)]
+    ldf = spark.createDataFrame(L, ["id_a", "start_us", "end_us"])
+    rdf = spark.createDataFrame(R, ["id_b", "start_us", "end_us"])
+    got = {
+        (r["id_a"], r["id_b"]): r["overlap_us"]
+        for r in interval_overlap_join(ldf, rdf, bucket_us=bucket).collect()
+    }
+    want = {
+        (a, b): min(ea, eb) - max(sa, sb)
+        for a, sa, ea in L
+        for b, sb, eb in R
+        if sa <= eb and sb <= ea
+    }
+    assert got == want
