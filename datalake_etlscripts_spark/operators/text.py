@@ -777,3 +777,33 @@ def normalize_text(text: Column) -> Column:
     t = F.replace(t, F.lit("…"), F.lit("..."))
     t = F.lower(t)
     return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def blocklist_term_filter(
+    df: DataFrame,
+    terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style "bad words" document filter: a document is dropped when
+    ANY of its tokens appears in the blocklist (Raffel et al. 2020 §2.2
+    drop pages with any word on the badwords list). ``terms`` is a
+    one-column DataFrame ('term') — a TABLE, not a regex union: at
+    thousands of patterns the scale path is an explode + broadcast
+    semi/inner join per token, which stays JVM-side and linear, where a
+    mega-regex is quadratic in pattern count to compile and match.
+
+    Appends (n_blocked BIGINT, keep BOOLEAN). Exact token equality —
+    substring variants belong in url_quality_filter's occurrence
+    scorer; normalize_text upstream catches case/accents variants."""
+    hits = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+        .join(F.broadcast(terms.select("term")), "term")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_blocked"))
+    )
+    return (
+        df.join(hits, id_col, "left")
+        .withColumn("n_blocked", F.coalesce("n_blocked", F.lit(0)))
+        .withColumn("keep", F.col("n_blocked") == 0)
+    )

@@ -3100,3 +3100,36 @@ def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         index, existing, batch, threshold=0.9
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# C4 badwords filter: exact-token blocklist as a broadcast join over
+# the exploded corpus — the thousands-of-patterns scale path (a
+# regex union is quadratic in pattern count; a token join is linear).
+# ---------------------------------------------------------------------------
+_BLOCK_TERMS = ["dup", "slow", "hash"]
+
+
+@query(
+    "badwords_filter",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id, count(*) AS n_blocked FROM (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                              x -> x <> '')) AS term
+        FROM documents
+      ) WHERE term IN ({", ".join(f"'{t}'" for t in _BLOCK_TERMS)})
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(h.n_blocked, 0) AS n_blocked,
+           COALESCE(h.n_blocked, 0) = 0 AS keep
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist-term filter: drop documents containing any blocked token - exploded-token broadcast join, linear in corpus and pattern count."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = spark.createDataFrame([(t,) for t in _BLOCK_TERMS], ["term"])
+    return text.blocklist_term_filter(d, terms).select(
+        "doc_id", "n_blocked", "keep"
+    )
