@@ -287,3 +287,50 @@ def unigram_viterbi_encode(
         bt["np"].alias("n_pieces"),
         F.element_at(dpc, ln + 1)["c"].alias("total_cost"),
     )
+
+
+def unigram_hard_em_round(
+    df: DataFrame,
+    vocab: dict[str, int],
+    text_col: str = "text",
+    char_cost: int = 1000,
+    unk_cost: int = 10000,
+    scale: int = 1000,
+) -> dict[str, int]:
+    """One hard-EM round of unigram-LM training (Kudo 2018, Viterbi
+    E-step): segment the corpus with the current costs, count
+    corpus-weighted piece usage, re-estimate cost(p) =
+    max(1, round(-scale·ln(uses_p / total))) and PRUNE pieces no best
+    path uses — exactly the loop SentencePiece runs (soft-EM's
+    forward-backward replaced by the Viterbi hard assignment).
+
+    Distribution contract: the cluster does the corpus-scale work
+    (word count + DP + usage aggregate); only the dictionary-sized
+    (piece, uses) table reaches the driver, where the log/round
+    happens in Python — the same id-counter-sized handoff as
+    bpe_train's per-round argmax. The returned costs are ints, so a
+    subsequent encode round is again exact DP. Single-char fallback
+    costs stay fixed (they are the smoothing floor, not vocab).
+    """
+    import math
+
+    enc = unigram_viterbi_encode(df, vocab, text_col, char_cost, unk_cost)
+    usage = (
+        enc.select(F.explode(F.split("pieces", " ")).alias("piece"), "freq")
+        .join(
+            df.sparkSession.createDataFrame(
+                [(p,) for p in vocab], ["piece"]
+            ),
+            "piece",
+            "left_semi",
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("uses"))
+        .collect()
+    )
+    counts = {r["piece"]: r["uses"] for r in usage}
+    total = sum(counts.values())
+    return {
+        p: max(1, round(-scale * math.log(n / total)))
+        for p, n in sorted(counts.items())
+    }

@@ -2350,3 +2350,37 @@ def test_cli_filter_reports_and_writes_kept_corpus(tmp_path, spark, sf_dir, caps
     assert 0 < kept.count() < spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet")
     ).count()
+
+
+def test_unigram_hard_em_round_matches_python_replay(spark):
+    from datalake_etlscripts_spark.operators.bpe import (
+        unigram_hard_em_round,
+        unigram_viterbi_encode,
+    )
+
+    vocab = {"ta": 1700, "ble": 2500, "the": 1600, "scan": 2400, "zz": 1500}
+    text = "table table the scan scan scan unused a"
+    df = spark.createDataFrame([(text,)], ["text"])
+    got = unigram_hard_em_round(df, vocab)
+
+    # replay: segment via the already-bit-identical encoder, count in
+    # Python, apply the same -scale*ln re-estimation
+    import math
+    from collections import Counter
+
+    enc = unigram_viterbi_encode(df, vocab).collect()
+    counts = Counter()
+    for r in enc:
+        for p in r["pieces"].split(" "):
+            if p in vocab:
+                counts[p] += r["freq"]
+    total = sum(counts.values())
+    want = {
+        p: max(1, round(-1000 * math.log(n / total)))
+        for p, n in sorted(counts.items())
+    }
+    assert got == want
+    assert "zz" not in got  # unused piece pruned
+    assert set(got) == {"ta", "ble", "the", "scan"}
+    # more-used pieces got cheaper
+    assert got["scan"] < got["ta"]
