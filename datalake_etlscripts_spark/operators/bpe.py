@@ -200,6 +200,12 @@ def unigram_viterbi_encode(
     Returns (word, freq, pieces, n_pieces, total_cost); with
     ``group_cols`` the word count (and the DP fan-out) is per group —
     the shape behind per-language fertility audits.
+
+    Cost note: the fold appends to the best[] array per position, so a
+    single word costs O(len²) array copies — fine for natural-language
+    tokens (≤ ~50 chars), a straggler on degenerate kilobyte "words"
+    (URLs, DNA). Cap those upstream (split or hash-bucket them), the
+    same policy SentencePiece applies with its max input length.
     """
     if any(len(p) > _LCAP or len(p) < 2 for p in vocab):
         raise ValueError(f"vocab pieces must be 2..{_LCAP} chars")

@@ -852,7 +852,11 @@ def interval_overlap_join(
     """
     def buckets(df: DataFrame, idc: str, tag: str) -> DataFrame:
         s, e = F.col(start_col), F.col(end_col)
-        return df.select(
+        # inverted intervals (end < start) are EMPTY and dropped —
+        # without this, Spark's sequence(a, b) with b < a silently
+        # generates a DESCENDING bucket list (the mixture_upsample
+        # footgun) and the pair would appear under wrong buckets
+        return df.filter(e >= s).select(
             F.col(idc),
             s.alias(f"_s{tag}"),
             e.alias(f"_e{tag}"),

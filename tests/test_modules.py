@@ -2384,3 +2384,11 @@ def test_unigram_hard_em_round_matches_python_replay(spark):
     assert set(got) == {"ta", "ble", "the", "scan"}
     # more-used pieces got cheaper
     assert got["scan"] < got["ta"]
+
+
+def test_interval_overlap_join_drops_inverted_intervals(spark):
+    from datalake_etlscripts_spark.operators.events import interval_overlap_join
+
+    left = spark.createDataFrame([(1, 500, 100)], ["id_a", "start_us", "end_us"])
+    right = spark.createDataFrame([(9, 0, 1000)], ["id_b", "start_us", "end_us"])
+    assert interval_overlap_join(left, right, bucket_us=100).count() == 0
