@@ -200,3 +200,35 @@ def k_anonymity(df: DataFrame, quasi_cols: list[str], k: int = 5) -> DataFrame:
         # boolean consumer would silently skip the check)
         F.coalesce(F.min("_n") >= k, F.lit(True)).alias("anonymous"),
     )
+
+
+def l_diversity(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int = 2
+) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007), the
+    homogeneity-attack complement to k_anonymity: a quasi-id group
+    with enough rows but only ONE sensitive value still reveals that
+    value for everyone in it. Requires >= l DISTINCT sensitive values
+    per quasi-id group.
+
+    One grouping shuffle (exact countDistinct per group) + a 1-row
+    summary: (l, n_groups, n_risky_groups, n_risky_rows,
+    min_distinct_sensitive, diverse). Same publication policy as
+    k_anonymity: group details never leave the executors.
+    """
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct(sensitive_col).alias("_d"),
+    )
+    return groups.agg(
+        F.lit(l).alias("l"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.coalesce(F.sum(F.when(F.col("_d") < l, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_risky_groups"),
+        F.coalesce(F.sum(F.when(F.col("_d") < l, F.col("_n"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_risky_rows"),
+        F.min("_d").alias("min_distinct_sensitive"),
+        F.coalesce(F.min("_d") >= l, F.lit(True)).alias("diverse"),
+    )

@@ -970,3 +970,32 @@ def q_sql_api_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL API surface: the identical ANSI statement runs through spark.sql over a temp view and through the DuckDB oracle - one SQL text, two engines, same hash."""
     read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_SQL_API_STMT)
+
+
+@query(
+    "l_diversity_audit",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS n,
+             count(DISTINCT CAST(floor(c_acctbal / 2000) AS BIGINT)) AS d
+      FROM customer GROUP BY ALL
+    )
+    SELECT 2 AS l,
+           count(*) AS n_groups,
+           CAST(COALESCE(sum(CASE WHEN d < 2 THEN 1 END), 0) AS BIGINT)
+             AS n_risky_groups,
+           CAST(COALESCE(sum(CASE WHEN d < 2 THEN n END), 0) AS BIGINT)
+             AS n_risky_rows,
+           min(d) AS min_distinct_sensitive,
+           COALESCE(min(d) >= 2, TRUE) AS diverse
+    FROM g
+    """,
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: quasi-id groups whose sensitive attribute (balance band) has < 2 distinct values - the homogeneity-attack gate beside k-anonymity."""
+    from datalake_etlscripts_spark.operators.expectations import l_diversity
+
+    c = read_table(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 2000).cast("bigint")
+    )
+    return l_diversity(c, ["c_nationkey", "c_mktsegment"], "bal_band", l=2)
