@@ -884,3 +884,68 @@ def interval_overlap_join(
             ).alias("overlap_us"),
         )
     )
+
+
+def cusum_rate_shift(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    alarm_mult: int = 2,
+) -> DataFrame:
+    """One-sided CUSUM rate-shift detection per key (Page 1954), in
+    EXACT integer arithmetic: over the hour-ordered event counts x_t,
+    S_t = max(0, S_{t-1} + x_t·H − T)  (H = observed hours, T = total
+    events, so x_t·H − T is the mean-centered count scaled by H — no
+    division, no floats), alarm when S_t > alarm_mult·T·H... scaled
+    consistently: alarm when S_t > alarm_mult·T (S is in H-units of
+    events, T = mean·H, so the threshold is alarm_mult× the mean
+    sustained for H hours-worth of excess).
+
+    State per key is the HOURLY series (time-range-bounded, not
+    corpus-bounded — the top_session_paths collect policy), folded
+    once. Gaps (hours with zero events) are not materialized: the
+    detector sees observed hours only, documented — resample_forward_
+    fill feeds it a dense grid when zero-hours must count.
+
+    Returns (key, n_hours, total, n_alarms, peak_s) — all BIGINT,
+    replayable bit-for-bit by an external engine.
+    """
+    hour = F.date_trunc("hour", F.col(ts_col))
+    hourly = df.groupBy(F.col(key_col), hour.alias("_hr")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    per_key = hourly.groupBy(key_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_hr", "_c"))), lambda s: s["_c"]
+        ).alias("_xs"),
+        F.sum("_c").alias("total"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("s"),
+        F.lit(0).cast("bigint").alias("a"),
+        F.lit(0).cast("bigint").alias("p"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        s2 = F.greatest(
+            F.lit(0).cast("bigint"),
+            acc["s"] + x * F.col("n_hours") - F.col("total"),
+        )
+        return F.struct(
+            s2.alias("s"),
+            (
+                acc["a"]
+                + F.when(s2 > F.lit(alarm_mult) * F.col("total"), 1).otherwise(0)
+            ).alias("a"),
+            F.greatest(acc["p"], s2).alias("p"),
+        )
+
+    folded = per_key.withColumn("_f", F.aggregate("_xs", init, step))
+    return folded.select(
+        F.col(key_col),
+        "n_hours",
+        "total",
+        F.col("_f")["a"].alias("n_alarms"),
+        F.col("_f")["p"].alias("peak_s"),
+    )

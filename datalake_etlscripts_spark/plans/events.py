@@ -1068,3 +1068,61 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM rate-shift monitoring: integer-exact Page cusum over hourly
+# counts per event type. Both engines first inject the same synthetic
+# burst (every Jan-20 event re-appended 4x) so the detector has a real
+# shift to find, then fold S_t = max(0, S + x_t·H − T) hour by hour.
+# ---------------------------------------------------------------------------
+@query(
+    "cusum_rate_shift",
+    oracle="""
+    WITH corpus AS (
+      SELECT event_type, ts FROM events
+      UNION ALL
+      SELECT event_type, ts FROM events, (VALUES (1), (2), (3), (4)) r(i)
+      WHERE CAST(ts AS DATE) = DATE '2024-01-20'
+    ),
+    h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
+      FROM corpus GROUP BY ALL
+    ),
+    p AS (
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS total,
+             count(*) AS n_hours, list(CAST(c AS BIGINT) ORDER BY hr) AS xs
+      FROM h GROUP BY event_type
+    )
+    -- the fold carries the FULL S-series as a list, not a struct of
+    -- running counters: DuckDB 1.0's list_reduce evaluates later
+    -- struct fields against the partially-UPDATED accumulator (probe:
+    -- {'s': acc.s+100, 'seen': acc.s} yields seen == the new s), so a
+    -- struct-state cusum double-applies the recurrence. The list form
+    -- reads only acc[len(acc)] — one value, no field-order hazard.
+    SELECT event_type, n_hours, total,
+           CAST(len(list_filter(sl, v -> v > 2 * total)) AS BIGINT)
+             AS n_alarms,
+           greatest(list_max(sl), CAST(0 AS BIGINT)) AS peak_s
+    FROM (
+      SELECT event_type, n_hours, total,
+        list_reduce(
+          list_prepend([CAST(0 AS BIGINT)], list_transform(xs, x -> [x])),
+          (acc, x) -> list_append(acc,
+            greatest(CAST(0 AS BIGINT),
+                     acc[len(acc)] + x[1] * n_hours - total))
+        )[2:] AS sl
+      FROM p
+    )
+    """,
+)
+def q_cusum_rate_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM rate-shift monitoring per event type: integer-exact Page cusum over hourly counts, with an injected Jan-20 burst both engines share - alarms and peak excess, no floats anywhere."""
+    from datalake_etlscripts_spark.operators.events import cusum_rate_shift
+
+    e = read_table(spark, sf_dir, "events").select("event_type", "ts")
+    burst = e.filter(F.col("ts").cast("date") == F.lit("2024-01-20").cast("date"))
+    corpus = e
+    for _ in range(4):
+        corpus = corpus.unionByName(burst)
+    return cusum_rate_shift(corpus)

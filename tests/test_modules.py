@@ -2392,3 +2392,24 @@ def test_interval_overlap_join_drops_inverted_intervals(spark):
     left = spark.createDataFrame([(1, 500, 100)], ["id_a", "start_us", "end_us"])
     right = spark.createDataFrame([(9, 0, 1000)], ["id_b", "start_us", "end_us"])
     assert interval_overlap_join(left, right, bucket_us=100).count() == 0
+
+
+def test_cusum_rate_shift_detects_injected_burst(spark):
+    from datetime import datetime, timedelta
+
+    from datalake_etlscripts_spark.operators.events import cusum_rate_shift
+
+    base = datetime(2024, 3, 1)
+    rows = []
+    # steady 2/hour for 48h, then a 20/hour burst for 6h
+    for h in range(48):
+        rows += [("a", base + timedelta(hours=h, minutes=m)) for m in (5, 35)]
+    for h in range(48, 54):
+        rows += [("a", base + timedelta(hours=h, minutes=m)) for m in range(0, 60, 3)]
+    # a steady type with no burst
+    for h in range(54):
+        rows.append(("b", base + timedelta(hours=h, minutes=10)))
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    out = {r["event_type"]: r for r in cusum_rate_shift(df).collect()}
+    assert out["a"]["n_alarms"] > 0 and out["a"]["peak_s"] > 0
+    assert out["b"]["n_alarms"] == 0 and out["b"]["peak_s"] == 0
