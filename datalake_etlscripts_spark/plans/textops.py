@@ -3133,3 +3133,107 @@ def q_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.blocklist_term_filter(d, terms).select(
         "doc_id", "n_blocked", "keep"
     )
+
+
+# ---------------------------------------------------------------------------
+# collocation mining: adjacent-token pair LIFT (observed/expected under
+# independence) — the log-free PMI twin, exact integer counts, two
+# double divisions in fixed order. Min supports keep the Zipf tail out.
+# ---------------------------------------------------------------------------
+@query(
+    "collocations",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    uni AS (
+      SELECT t AS term, count(*) AS n FROM (SELECT unnest(tk) AS t FROM tk)
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tokens FROM uni),
+    bi AS (
+      SELECT a, b, count(*) AS n_ab FROM (
+        SELECT unnest(list_transform(range(1, greatest(len(tk), 1)),
+                      i -> struct_pack(a := tk[i], b := tk[i+1]))) AS p
+        FROM tk
+      ) s(p), LATERAL (SELECT p.a AS a, p.b AS b) q
+      WHERE b IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT bi.a, bi.b, bi.n_ab,
+           CAST(bi.n_ab AS DOUBLE) * tot.n_tokens
+             / (CAST(ua.n AS DOUBLE) * ub.n) AS lift
+    FROM bi, tot
+    JOIN uni ua ON ua.term = bi.a
+    JOIN uni ub ON ub.term = bi.b
+    WHERE bi.n_ab >= 5
+      AND CAST(bi.n_ab AS DOUBLE) * tot.n_tokens
+            / (CAST(ua.n AS DOUBLE) * ub.n) >= 1.2
+    """,
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: adjacent-pair lift (observed over expected-under-independence) - exact integer counts, the log-free PMI; broadcast unigram dims onto one pair-count shuffle."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = text.tokens(F.col("text"))
+    uni = (
+        d.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = uni.agg(F.sum("n").alias("n_tokens"))
+    bi = (
+        d.select(F.explode(text.ngrams(F.col("text"), 2)).alias("g"))
+        .select(
+            F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("a"),
+            F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ua = uni.select(F.col("term").alias("a"), F.col("n").alias("_na"))
+    ub = uni.select(F.col("term").alias("b"), F.col("n").alias("_nb"))
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("n_tokens")
+        / (F.col("_na").cast("double") * F.col("_nb"))
+    )
+    return (
+        bi.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("n_ab") >= 5) & (lift >= 1.2))
+        .select("a", "b", "n_ab", lift.alias("lift"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication matrix: which feeds copy from which — every
+# exact-duplicate group contributes its unordered source pairs. The
+# provenance view behind "stop crawling feed X, it's a mirror of Y".
+# ---------------------------------------------------------------------------
+@query(
+    "source_duplication_matrix",
+    oracle="""
+    WITH fp AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    )
+    SELECT least(source_a, source_b) AS source_a,
+           greatest(source_a, source_b) AS source_b,
+           count(*) AS n_dup_pairs
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def q_source_duplication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: exact-duplicate pairs rolled up by unordered source pair - the provenance audit behind dropping mirror feeds; fingerprint-keyed self-join, never all-pairs."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", text.content_fingerprint(F.col("text")).alias("_fp")
+    )
+    a = d.select(F.col("_fp"), F.col("doc_id").alias("_ida"), F.col("source").alias("_sa"))
+    b = d.select(F.col("_fp"), F.col("doc_id").alias("_idb"), F.col("source").alias("_sb"))
+    pairs = a.join(b, "_fp").filter(F.col("_ida") < F.col("_idb"))
+    return pairs.groupBy(
+        F.least("_sa", "_sb").alias("source_a"),
+        F.greatest("_sa", "_sb").alias("source_b"),
+    ).agg(F.count(F.lit(1)).alias("n_dup_pairs"))
