@@ -660,3 +660,71 @@ def test_interval_overlap_join_matches_bruteforce(spark, lefts, rights, bucket):
         if sa <= eb and sb <= ea
     }
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=12).map(
+            lambda ts: " ".join(ts)
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_soft_dedup_weights_matches_python(spark, docs):
+    from collections import Counter
+
+    from datalake_etlscripts_spark.operators.dedup import soft_dedup_weights
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_grams"], r["commonness"], r["weight"])
+        for r in soft_dedup_weights(df, k=3).collect()
+    }
+
+    def grams(t):
+        tk = [w for w in t.split(" ") if w]
+        return [" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)]
+
+    freq = Counter(g for _, t in rows for g in grams(t))
+    want = {}
+    for i, t in rows:
+        gs = grams(t)
+        if not gs:
+            want[i] = (0, None, 1.0)
+        else:
+            mass = sum(freq[g] for g in gs)
+            c = mass / len(gs)
+            want[i] = (len(gs), c, 1.0 / c)
+    assert got == want
+
+
+@given(
+    counts=st.lists(st.integers(0, 50), min_size=2, max_size=40),
+    mult=st.sampled_from([1, 2, 3]),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_cusum_matches_python_replay(spark, counts, mult):
+    from datetime import datetime, timedelta
+
+    from datalake_etlscripts_spark.operators.events import cusum_rate_shift
+
+    base = datetime(2024, 6, 1)
+    rows = []
+    for h, c in enumerate(counts):
+        rows += [("k", base + timedelta(hours=h, minutes=m % 60, seconds=m // 60))
+                 for m in range(c)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, ["event_type", "ts"])
+    r = cusum_rate_shift(df, alarm_mult=mult).collect()[0]
+    xs = [c for c in counts if c > 0]  # empty hours are not observed
+    H, T = len(xs), sum(xs)
+    s = a = p = 0
+    for x in xs:
+        s = max(0, s + x * H - T)
+        a += 1 if s > mult * T else 0
+        p = max(p, s)
+    assert (r["n_hours"], r["total"], r["n_alarms"], r["peak_s"]) == (H, T, a, p)
