@@ -1126,3 +1126,99 @@ def q_cusum_rate_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(4):
         corpus = corpus.unionByName(burst)
     return cusum_rate_shift(corpus)
+
+
+# ---------------------------------------------------------------------------
+# seasonality audit: lag-24h Pearson autocorrelation of the hourly
+# count series per event type — "does this stream have a daily
+# rhythm". Exact integer moments over the paired (x_t, x_{t+24})
+# series (hour-aligned via a 24h-shifted self-join of the DENSE
+# hourly grid, missing hours = 0), doubles only in the final fixed
+# combine (the pearson_matrix policy).
+# ---------------------------------------------------------------------------
+@query(
+    "seasonality_lag24",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
+      FROM events GROUP BY ALL
+    ),
+    bounds AS (
+      SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM h GROUP BY 1
+    ),
+    grid AS (
+      SELECT b.event_type, g.hr FROM bounds b,
+      LATERAL (SELECT unnest(generate_series(b.lo, b.hi,
+                             INTERVAL 1 HOUR)) AS hr) g
+    ),
+    dense AS (
+      SELECT g.event_type, g.hr, COALESCE(h.c, 0) AS c
+      FROM grid g LEFT JOIN h ON h.event_type = g.event_type AND h.hr = g.hr
+    ),
+    paired AS (
+      SELECT a.event_type, a.c AS x, b.c AS y
+      FROM dense a JOIN dense b
+        ON b.event_type = a.event_type AND b.hr = a.hr + INTERVAL 24 HOUR
+    ),
+    m AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM paired GROUP BY 1
+    )
+    SELECT event_type, n,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+             (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+           END AS autocorr_24h
+    FROM m
+    """,
+)
+def q_seasonality_lag24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality audit: lag-24h Pearson autocorrelation of dense hourly counts per event type - exact integer moments, doubles only in the final fixed combine."""
+    e = read_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("_hr")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    bounds = h.groupBy("event_type").agg(
+        F.min("_hr").alias("_lo"), F.max("_hr").alias("_hi")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("_lo", "_hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("_hr"),
+    )
+    dense = grid.join(h, ["event_type", "_hr"], "left").select(
+        "event_type", "_hr", F.coalesce("_c", F.lit(0)).alias("_c")
+    )
+    b = dense.select(
+        "event_type",
+        (F.col("_hr") - F.expr("INTERVAL 24 HOUR")).alias("_hr"),
+        F.col("_c").alias("_y"),
+    )
+    paired = dense.join(b, ["event_type", "_hr"]).select(
+        "event_type", F.col("_c").alias("_x"), "_y"
+    )
+    m = paired.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    num = n * F.col("_sxy").cast("double") - sx * F.col("_sy")
+    vx = n * F.col("_sxx").cast("double") - sx * F.col("_sx")
+    vy = n * F.col("_syy").cast("double") - sy * F.col("_sy")
+    ac = F.when(
+        (F.col("n") * F.col("_sxx") - F.col("_sx") * F.col("_sx") > 0)
+        & (F.col("n") * F.col("_syy") - F.col("_sy") * F.col("_sy") > 0),
+        num / (F.sqrt(vx) * F.sqrt(vy)),
+    )
+    return m.select("event_type", "n", ac.alias("autocorr_24h"))
