@@ -833,3 +833,75 @@ def feature_scaling_stats(
         mean.alias("mean"),
         F.sqrt(var).alias("std"),
     )
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    sig_bits: int = 16,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al. 2007): the QUERY side probes its
+    own bucket plus every bucket at Hamming distance 1 within each
+    band — near-misses that flipped one hyperplane bit are recovered
+    without extra hash tables. The corpus/index side stays ONE bucket
+    per band (unchanged index size — the point of multi-probe); the
+    probe fan-out ×(band_bits+1) lands on the query side only, which
+    is the small side by contract. Exact cosine re-ranks candidates;
+    recall ≥ the single-probe lsh_ann_topk by construction (its
+    candidate set is a superset — property-tested).
+    Returns (query_id, neighbor_id, cos_sim, rank)."""
+    planes = random_planes(dim, sig_bits)
+    n_bands = sig_bits // band_bits
+    mask = (1 << band_bits) - 1
+    sig_c = _rh_signature(F.col(vec_col), planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(sig_c, b * band_bits).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    sig_q = _rh_signature(F.col(vec_col), planes)
+    probes = []
+    for b in range(n_bands):
+        base = F.shiftrightunsigned(sig_q, b * band_bits).bitwiseAND(F.lit(mask))
+        probes.append(F.struct(F.lit(b).alias("band"), base.alias("bucket")))
+        for i in range(band_bits):
+            probes.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    base.bitwiseXOR(F.lit(1 << i)).alias("bucket"),
+                )
+            )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(F.array(*probes)).alias("_p"),
+    ).select("query_id", "_qv", F.col("_p.band").alias("band"), F.col("_p.bucket").alias("bucket"))
+    cand = (
+        c.join(q, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

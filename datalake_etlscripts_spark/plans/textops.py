@@ -751,6 +751,54 @@ _ANN_LSH_ORACLE = f"""
 """.format(sig=_ddb_rh_sig("embedding"))
 
 
+_ANN_MP_ORACLE = f"""
+    WITH sigs AS (
+      SELECT vec_id, {{sig}} AS sig FROM embeddings
+    ),
+    cb AS (
+      SELECT vec_id, b.b AS band, (sig >> (b.b * 8)) & 255 AS bucket
+      FROM sigs CROSS JOIN (VALUES (0), (1)) b(b)
+    ),
+    qb AS (
+      SELECT vec_id, b.b AS band,
+             xor((sig >> (b.b * 8)) & 255, f.f) AS bucket
+      FROM sigs
+      CROSS JOIN (VALUES (0), (1)) b(b)
+      CROSS JOIN (VALUES (0), (1), (2), (4), (8), (16), (32), (64), (128)) f(f)
+      WHERE vec_id < 8
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM qb q JOIN cb c ON q.band = c.band AND q.bucket = c.bucket
+      WHERE q.vec_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        list_reduce(list_prepend(0.0, list_transform(list_zip(qe.embedding, ce.embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a, b) -> a + b)
+        / (sqrt(list_reduce(list_prepend(0.0, list_transform(qe.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
+         * sqrt(list_reduce(list_prepend(0.0, list_transform(ce.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))) AS cos_sim
+      FROM cand
+      JOIN embeddings qe ON qe.vec_id = cand.query_id
+      JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+""".format(sig=_ddb_rh_sig("embedding"))
+
+
+@query("ann_multiprobe_topk", oracle=_ANN_MP_ORACLE)
+def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: queries probe their bucket plus every 1-bit-flip bucket per band - extra-hash-table recall from ONE index, fan-out on the query side only; exact cosine re-rank."""
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_multiprobe_topk(e, e.filter(F.col("vec_id") < 8), k=5)
+
+
 @query("ann_lsh_topk", oracle=_ANN_LSH_ORACLE)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 neighbors: random-hyperplane signature bands generate candidates, exact cosine re-ranks."""

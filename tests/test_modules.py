@@ -2413,3 +2413,25 @@ def test_cusum_rate_shift_detects_injected_burst(spark):
     out = {r["event_type"]: r for r in cusum_rate_shift(df).collect()}
     assert out["a"]["n_alarms"] > 0 and out["a"]["peak_s"] > 0
     assert out["b"]["n_alarms"] == 0 and out["b"]["peak_s"] == 0
+
+
+def test_multiprobe_recall_superset_of_single_probe(spark, sf_dir):
+    import os
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    q = e.filter(F.col("vec_id") < 20)
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_ann_topk(e, q, k=5).collect()
+    }
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_multiprobe_topk(e, q, k=5).collect()
+    }
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(e, q, k=5).collect()
+    }
+    # recall vs the exact top-5 never decreases with extra probes
+    assert len(multi & brute) >= len(single & brute)
+    assert len(multi & brute) > 0
