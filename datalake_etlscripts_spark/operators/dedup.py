@@ -1436,3 +1436,57 @@ def embedding_lsh_index(
             )
         ).alias("band", "bucket"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    block_cols: tuple[str, ...] = ("lang",),
+    length_bucket: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment |A∩B| / |A| — catches
+    excerpts and quote-heavy pages that symmetric Jaccard misses (a
+    200-token quote inside a 5000-token page has Jaccard ≈ 0.04 but
+    containment ≈ 1.0 from the quote's side). Broder's containment
+    measure beside the resemblance the other dedup ops use.
+
+    Same blocked self-join shape as ngram_jaccard_pairs, but length
+    blocking is OFF by default: an excerpt and its container sit in
+    very different length buckets by nature, so bucketing would hide
+    exactly the pairs this measure exists to find. Pass
+    ``length_bucket`` to restore it for same-scale-page workloads; at
+    corpus scale the lang-only block is wide — put a
+    shared-rare-shingle candidate index in front (the AllPairs prefix
+    machinery) before running this corpus-wide. Emits each qualifying
+    DIRECTION: (id_contained, id_container, containment).
+    """
+    blocks = list(block_cols)
+    sel = [
+        F.col(id_col).alias("_did"),
+        *[F.col(c) for c in block_cols],
+        shingles(F.col(text_col), k).alias("_sh"),
+    ]
+    if length_bucket is not None:
+        sel.insert(
+            -1,
+            (F.length(text_col) / F.lit(length_bucket)).cast("int").alias("_lb"),
+        )
+        blocks.append("_lb")
+    base = df.select(*sel)
+    a = base.select(
+        F.col("_did").alias("id_a"), *blocks, F.col("_sh").alias("_sh_a")
+    )
+    b = base.select(
+        F.col("_did").alias("id_b"), *blocks, F.col("_sh").alias("_sh_b")
+    )
+    pairs = a.join(b, blocks).filter(F.col("id_a") != F.col("id_b"))
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
+    cont = F.try_divide(inter.cast("double"), F.size("_sh_a"))
+    return pairs.select(
+        F.col("id_a").alias("id_contained"),
+        F.col("id_b").alias("id_container"),
+        cont.alias("containment"),
+    ).filter(F.col("containment") >= threshold)

@@ -3285,3 +3285,54 @@ def q_source_duplication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("_sa", "_sb").alias("source_a"),
         F.greatest("_sa", "_sb").alias("source_b"),
     ).agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment dedup (Broder's containment vs resemblance):
+# the synthetic corpus gets excerpt twins injected (first 12 tokens of
+# every 9th doc re-appended as a new doc) so containment has real
+# excerpt structure to find.
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_containment",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text, lang FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000,
+             array_to_string(list_filter(string_split(text, ' '),
+                             x -> x <> '')[1:12], ' '),
+             lang
+      FROM documents WHERE doc_id % 9 = 0
+    ),
+    base AS (
+      SELECT doc_id, lang,
+             list_distinct(list_transform(
+               range(1, greatest(len(list_filter(string_split(text,' '), x -> x <> '')) - 1, 1)),
+               i -> list_filter(string_split(text,' '), x -> x <> '')[i] || ' ' ||
+                    list_filter(string_split(text,' '), x -> x <> '')[i+1] || ' ' ||
+                    list_filter(string_split(text,' '), x -> x <> '')[i+2])) AS sh
+      FROM corpus
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_contained, b.doc_id AS id_container,
+             CASE WHEN len(a.sh) > 0 THEN
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+             END AS containment
+      FROM base a JOIN base b
+        ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    )
+    SELECT id_contained, id_container, containment
+    FROM pairs WHERE containment >= 0.6
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs (|A∩B|/|A| >= 0.6): excerpt/quote detection that symmetric Jaccard misses - lang-blocked self-join over injected excerpt twins."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    excerpt = d.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(F.slice(text.tokens(F.col("text")), 1, 12), " ").alias("text"),
+        "lang",
+    )
+    corpus = d.unionByName(excerpt)
+    return dedup.containment_pairs(corpus, threshold=0.6)
