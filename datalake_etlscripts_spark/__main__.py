@@ -433,8 +433,6 @@ def main(argv: list[str] | None = None) -> int:
         )
 
     elif args.cmd == "filter":
-        from pyspark.sql import functions as F
-
         from datalake_etlscripts_spark.operators.text import gopher_quality_filter
 
         corpus = spark.read.parquet(args.table)
