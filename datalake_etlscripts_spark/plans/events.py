@@ -1222,3 +1222,116 @@ def q_seasonality_lag24(spark: SparkSession, sf_dir: str) -> DataFrame:
         num / (F.sqrt(vx) * F.sqrt(vy)),
     )
     return m.select("event_type", "n", ac.alias("autocorr_24h"))
+
+
+# ---------------------------------------------------------------------------
+# changepoint detection: the single best binary split of each type's
+# hourly count series, minimizing SSE_left + SSE_right — finds WHEN
+# the rate shifted (cusum_rate_shift above answers THAT it shifted).
+# Same injected Jan-20 burst as the cusum query so a true changepoint
+# exists. Prefix sums are exact integers; each candidate's SSE is a
+# fixed-order double expression of those ints, so the argmin (ties →
+# earliest split) is engine-deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "changepoint_detect",
+    oracle="""
+    WITH corpus AS (
+      SELECT event_type, ts FROM events
+      UNION ALL
+      SELECT event_type, ts FROM events, (VALUES (1), (2), (3), (4)) r(i)
+      WHERE CAST(ts AS DATE) = DATE '2024-01-20'
+    ),
+    h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
+      FROM corpus GROUP BY ALL
+    ),
+    w AS (
+      SELECT event_type, hr, c,
+             CAST(row_number() OVER tw AS BIGINT) AS i,
+             CAST(sum(c) OVER tw AS BIGINT) AS sx,
+             CAST(sum(c * c) OVER tw AS BIGINT) AS sxx,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS tx,
+             CAST(sum(c * c) OVER (PARTITION BY event_type) AS BIGINT) AS txx
+      FROM h
+      WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+                    ROWS UNBOUNDED PRECEDING)
+    ),
+    cand AS (
+      SELECT event_type, hr AS split_hour, i, n,
+             (sxx - CAST(sx AS DOUBLE) * sx / i)
+           + ((txx - sxx) - CAST(tx - sx AS DOUBLE) * (tx - sx) / (n - i))
+             AS sse_split,
+             txx - CAST(tx AS DOUBLE) * tx / n AS sse_total
+      FROM w WHERE i < n
+    )
+    SELECT event_type, split_hour, n AS n_hours, sse_total, sse_split,
+           CASE WHEN sse_total > 0 THEN 1.0 - sse_split / sse_total END
+             AS var_reduction
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY sse_split, i) AS rk
+      FROM cand
+    ) WHERE rk = 1
+    """,
+)
+def q_changepoint_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint detection: best binary split of each type's hourly series by SSE reduction - exact integer prefix sums, fixed-order double SSEs, earliest-split tie-break."""
+    e = read_table(spark, sf_dir, "events").select("event_type", "ts")
+    burst = e.filter(F.col("ts").cast("date") == F.lit("2024-01-20").cast("date"))
+    corpus = e
+    for _ in range(4):
+        corpus = corpus.unionByName(burst)
+    h = corpus.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("_hr")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    tw = W.partitionBy("event_type").orderBy("_hr").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    tot = W.partitionBy("event_type")
+    w = h.select(
+        "event_type",
+        "_hr",
+        F.row_number().over(W.partitionBy("event_type").orderBy("_hr"))
+        .cast("bigint")
+        .alias("i"),
+        F.sum("_c").over(tw).alias("sx"),
+        F.sum(F.col("_c") * F.col("_c")).over(tw).alias("sxx"),
+        F.count(F.lit(1)).over(tot).cast("bigint").alias("n"),
+        F.sum("_c").over(tot).alias("tx"),
+        F.sum(F.col("_c") * F.col("_c")).over(tot).alias("txx"),
+    )
+    sse_split = (
+        F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("i")
+    ) + (
+        (F.col("txx") - F.col("sxx"))
+        - (F.col("tx") - F.col("sx")).cast("double")
+        * (F.col("tx") - F.col("sx"))
+        / (F.col("n") - F.col("i"))
+    )
+    sse_total = F.col("txx") - F.col("tx").cast("double") * F.col("tx") / F.col("n")
+    cand = w.filter(F.col("i") < F.col("n")).select(
+        "event_type",
+        F.col("_hr").alias("split_hour"),
+        "i",
+        F.col("n").alias("n_hours"),
+        sse_split.alias("sse_split"),
+        sse_total.alias("sse_total"),
+    )
+    rk = W.partitionBy("event_type").orderBy("sse_split", "i")
+    return (
+        cand.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "split_hour",
+            "n_hours",
+            "sse_total",
+            "sse_split",
+            F.when(
+                F.col("sse_total") > 0,
+                F.lit(1.0) - F.col("sse_split") / F.col("sse_total"),
+            ).alias("var_reduction"),
+        )
+    )
