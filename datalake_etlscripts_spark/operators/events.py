@@ -949,3 +949,57 @@ def cusum_rate_shift(
         F.col("_f")["a"].alias("n_alarms"),
         F.col("_f")["p"].alias("peak_s"),
     )
+
+
+def funnel_advance(
+    df: DataFrame,
+    steps: list[str],
+    state: DataFrame | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Incremental funnel: advance each user's ordered-step counter
+    from a PRIOR state (user, max_step) over a new batch of events —
+    the resumable form of funnel_steps (state=None ≡ funnel_steps).
+    Users present only in the state pass through unchanged; the fold
+    starts from their stored step, so re-processing history is never
+    needed. Contract: per-user event time is monotone ACROSS batches
+    (the CDC-mirror ordered-replay contract) — a late event belonging
+    before the stored step's evidence cannot rewind the counter.
+    Returns (user, max_step) — the updated state."""
+    ev = df.select(
+        F.col(user_col),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.col(type_col).alias("t"),
+        ).alias("_e"),
+    ).filter(F.col("_e.t").isin(steps))
+    per_user = ev.groupBy(user_col).agg(
+        F.array_sort(F.collect_list("_e")).alias("_evs")
+    )
+    if state is not None:
+        per_user = per_user.join(
+            state.select(F.col(user_col), F.col("max_step").alias("_init")),
+            user_col,
+            "full",
+        ).select(
+            user_col,
+            F.coalesce("_evs", F.array().cast(per_user.schema["_evs"].dataType)).alias(
+                "_evs"
+            ),
+            F.coalesce("_init", F.lit(0)).alias("_init"),
+        )
+    else:
+        per_user = per_user.withColumn("_init", F.lit(0))
+
+    def advance(acc, e):
+        out = acc
+        for i, s in enumerate(steps):
+            out = F.when((acc == i) & (e["t"] == s), i + 1).otherwise(out)
+        return out
+
+    fold = F.aggregate(F.col("_evs"), F.col("_init"), advance)
+    return per_user.select(user_col, fold.alias("max_step"))

@@ -632,3 +632,70 @@ def run_streaming_embedding_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_funnel(
+    spark: SparkSession,
+    incoming_dir: str,
+    state_dir: str,
+    steps: list[str],
+    schema: str = "event_id bigint, ts timestamp, user_id bigint, event_type string",
+):
+    """Streaming ordered-step funnel: each micro-batch advances the
+    persisted per-user step counters (operators/events.funnel_advance)
+    — history is never re-folded; per-batch cost is linear in the
+    batch plus the state join. State under ``state_dir``:
+
+      state/  (user_id, max_step) counters
+      curve/  epoch=N/(step, n_users) conversion curve after the batch
+
+    Ordered-replay contract (same as the CDC mirror): per-user event
+    time is monotone across batches. Epoch-keyed idempotent writes,
+    directory-rename state swap, missing path = first batch."""
+    import os
+    import shutil
+
+    from datalake_etlscripts_spark.operators.events import funnel_advance
+
+    state_path = os.path.join(state_dir, "state")
+    curve_path = os.path.join(state_dir, "curve")
+
+    def _load(path: str, empty_schema: str) -> DataFrame:
+        if not os.path.exists(path):
+            return spark.createDataFrame([], empty_schema)
+        return spark.read.parquet(path)
+
+    def _swap(df: DataFrame, path: str, epoch_id: int) -> None:
+        tmp = f"{path}__staging_{epoch_id}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp)
+        old = f"{path}__old_{epoch_id}"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        state = _load(state_path, "user_id bigint, max_step int")
+        new_state = funnel_advance(batch_df, steps, state=state)
+        curve = (
+            new_state.filter(F.col("max_step") >= 1)
+            .select(
+                F.explode(F.sequence(F.lit(1), F.col("max_step"))).alias("step")
+            )
+            .groupBy("step")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+        )
+        curve.write.mode("overwrite").parquet(
+            os.path.join(curve_path, f"epoch={epoch_id}")
+        )
+        _swap(new_state, state_path, epoch_id)
+
+    stream = spark.readStream.schema(schema).parquet(incoming_dir)
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", f"{state_dir}__checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

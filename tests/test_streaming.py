@@ -591,3 +591,41 @@ def test_streaming_embedding_dedup_matches_batch_recompute(spark, sf_dir):
         assert len(full) > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir):
+    """Two event-time-ordered drops through the streaming funnel must
+    leave exactly the batch funnel's per-user steps and curve."""
+    import tempfile
+
+    from datalake_etlscripts_spark.operators.events import funnel_counts
+    from datalake_etlscripts_spark.streaming.ingest import run_streaming_funnel
+
+    steps = ["view", "click", "purchase"]
+    e = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    cut = F.lit("2024-01-15").cast("timestamp")
+    tmp = tempfile.mkdtemp(prefix="strmfun_")
+    incoming, state = os.path.join(tmp, "in"), os.path.join(tmp, "state")
+    os.makedirs(incoming)
+    try:
+        e.filter(F.col("ts") < cut).write.parquet(os.path.join(incoming, "b1"))
+        q = run_streaming_funnel(spark, incoming + "/*", state, steps)
+        q.awaitTermination(180)
+        e.filter(F.col("ts") >= cut).write.parquet(os.path.join(incoming, "b2"))
+        q = run_streaming_funnel(spark, incoming + "/*", state, steps)
+        q.awaitTermination(180)
+
+        import glob
+
+        last = sorted(glob.glob(os.path.join(state, "curve", "epoch=*")))[-1]
+        streamed = {
+            r["step"]: r["n_users"] for r in spark.read.parquet(last).collect()
+        }
+        want = {
+            r["step"]: r["n_users"] for r in funnel_counts(e, steps).collect()
+        }
+        assert streamed == want and len(want) == 3
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
