@@ -1335,3 +1335,72 @@ def q_changepoint_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("var_reduction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# exact two-sample Kolmogorov–Smirnov distance between the even/odd
+# event-id halves of each type's value distribution: D = sup|ECDF
+# difference|, computed as max|i·m − j·n| over the merged value grid —
+# pure integers until ONE final division (the distribution-drift
+# sibling of the chi-square query, no binning choice to defend).
+# ---------------------------------------------------------------------------
+@query(
+    "ks_two_sample",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, value,
+             CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS b
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, value,
+             CAST(sum(a) AS BIGINT) AS ca0, CAST(sum(b) AS BIGINT) AS cb0
+      FROM v GROUP BY event_type, value
+    ),
+    c AS (
+      SELECT event_type, value,
+             CAST(sum(ca0) OVER w AS BIGINT) AS ca,
+             CAST(sum(cb0) OVER w AS BIGINT) AS cb,
+             CAST(sum(ca0) OVER t AS BIGINT) AS n_a,
+             CAST(sum(cb0) OVER t AS BIGINT) AS n_b
+      FROM g
+      WINDOW w AS (PARTITION BY event_type ORDER BY value
+                   ROWS UNBOUNDED PRECEDING),
+             t AS (PARTITION BY event_type)
+    )
+    SELECT event_type, n_a, n_b,
+           max(abs(ca * n_b - cb * n_a)) AS d_num,
+           CAST(max(abs(ca * n_b - cb * n_a)) AS DOUBLE) / (n_a * n_b)
+             AS ks_stat
+    FROM c GROUP BY event_type, n_a, n_b
+    """,
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS distance between even/odd event-id halves per type - max|i*m - j*n| over the merged value grid, integers until one final division."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = e.select(
+        "event_type",
+        "value",
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("_a"),
+        F.when(F.col("event_id") % 2 == 1, 1).otherwise(0).alias("_b"),
+    )
+    g = v.groupBy("event_type", "value").agg(
+        F.sum("_a").alias("_ca0"), F.sum("_b").alias("_cb0")
+    )
+    w = W.partitionBy("event_type").orderBy("value").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    t = W.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        F.sum("_ca0").over(w).alias("_ca"),
+        F.sum("_cb0").over(w).alias("_cb"),
+        F.sum("_ca0").over(t).alias("n_a"),
+        F.sum("_cb0").over(t).alias("n_b"),
+    )
+    d = F.abs(F.col("_ca") * F.col("n_b") - F.col("_cb") * F.col("n_a"))
+    return c.groupBy("event_type", "n_a", "n_b").agg(
+        F.max(d).alias("d_num"),
+        (F.max(d).cast("double") / (F.col("n_a") * F.col("n_b"))).alias("ks_stat"),
+    )
