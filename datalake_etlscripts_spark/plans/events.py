@@ -1377,7 +1377,14 @@ def q_changepoint_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact two-sample KS distance between even/odd event-id halves per type - max|i*m - j*n| over the merged value grid, integers until one final division."""
+    """Exact two-sample KS distance between even/odd event-id halves per type - max|i*m - j*n| over the merged value grid, integers until one final division.
+
+    Scale note: the exact statistic needs a per-type cumulative count
+    over the DISTINCT-VALUE grid — one window partition per type, so
+    this is the audit-scale form (fine while distinct values per type
+    fit a task). The 100 TB drift check is the binned
+    distribution_drift query; or quantize values first (the
+    quality_deciles boundary trick) to bound the grid."""
     e = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     v = e.select(
         "event_type",
