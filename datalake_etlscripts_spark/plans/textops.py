@@ -3336,3 +3336,39 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = d.unionByName(excerpt)
     return dedup.containment_pairs(corpus, threshold=0.6)
+
+
+# ---------------------------------------------------------------------------
+# leakage-aware split: the train/test hash is taken on the near-dup
+# COMPONENT representative, not the document — a near-duplicate of a
+# test document can never land in train (the eval-contamination bug in
+# naive per-doc splits). Singletons are their own component.
+# ---------------------------------------------------------------------------
+@query(
+    "leakage_aware_split",
+    oracle=_CLUSTERS_ORACLE.replace(
+        "SELECT node, min(lab) AS component FROM reach GROUP BY node",
+        """, comp0 AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           CASE WHEN md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)) < '2a'
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents d LEFT JOIN comp0 c ON c.node = d.doc_id""",
+    ),
+)
+def q_leakage_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware train/test split: the hash membership is decided on the near-dup component representative, so no near-duplicate pair straddles the split - the eval-contamination guard naive per-doc splits lack."""
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, threshold=0.04)
+    comp = dedup.connected_components_star(pairs)
+    out = d.select("doc_id").join(
+        comp.select(F.col("node").alias("doc_id"), "component"), "doc_id", "left"
+    )
+    comp_id = F.coalesce(F.col("component"), F.col("doc_id"))
+    return out.select(
+        "doc_id",
+        comp_id.alias("component"),
+        F.when(F.md5(comp_id.cast("string")) < "2a", F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

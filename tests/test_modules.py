@@ -2435,3 +2435,24 @@ def test_multiprobe_recall_superset_of_single_probe(spark, sf_dir):
     # recall vs the exact top-5 never decreases with extra probes
     assert len(multi & brute) >= len(single & brute)
     assert len(multi & brute) > 0
+
+
+def test_leakage_aware_split_never_splits_near_dups(spark, sf_dir):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    out = e.queries()["leakage_aware_split"](spark, sf_dir)
+    rows = out.collect()
+    side = {r["doc_id"]: r["split"] for r in rows}
+    comp = {r["doc_id"]: r["component"] for r in rows}
+    from datalake_etlscripts_spark.operators import dedup as dd
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dd.ngram_jaccard_pairs(d, threshold=0.04).collect()
+    assert len(pairs) > 0
+    for p in pairs:
+        assert side[p["id_a"]] == side[p["id_b"]]
+        assert comp[p["id_a"]] == comp[p["id_b"]]
+    assert {"train", "test"} == set(side.values())
