@@ -2830,6 +2830,19 @@ def q_dedup_similarity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # on its own; this query proves they COMPOSE and gives the doc-count
 # attrition curve a pipeline owner actually reads.
 # ---------------------------------------------------------------------------
+# stage-4 fuzzy pairs come from the minhash-LSH machinery (linear in
+# corpus — blocked exact Jaccard's per-block pair count grows
+# quadratically with block size, which does NOT survive a corpus-wide
+# pipeline); the oracle splices the md5-scheme minhash CTE chain,
+# re-pointed at s3, into the funnel.
+_RW_MINHASH_FRAGMENT = (
+    _MINHASH_ORACLE.split("WITH ", 1)[1]
+    .rsplit("SELECT id_a, id_b, jaccard", 1)[0]
+    .replace("FROM documents", "FROM s3")
+    .rstrip()
+    + ","
+)
+
 _RW_ORACLE = r"""
     WITH RECURSIVE d AS (
       SELECT doc_id, text, lang, source, n_chars FROM documents
@@ -2878,18 +2891,9 @@ _RW_ORACLE = r"""
       JOIN (SELECT md5(text) AS fp, min(doc_id) AS mid FROM s2 GROUP BY 1) k
         ON s.doc_id = k.mid
     ),
-    base AS (
-      SELECT doc_id, lang, CAST(floor(length(text) / 100) AS INT) AS lb,
-             list_distinct(list_transform(range(1, greatest(len(tk) - 1, 1)),
-                           i -> tk[i]||' '||tk[i+1]||' '||tk[i+2])) AS sh
-      FROM s3
-    ),
+MINHASH_FRAGMENT
     pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM base a JOIN base b ON a.lang = b.lang AND a.lb = b.lb
-      WHERE a.doc_id < b.doc_id
-        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.04
+      SELECT id_a, id_b FROM jac WHERE jaccard >= 0.04
     ),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
@@ -2933,7 +2937,7 @@ _RW_ORACLE = r"""
     UNION ALL SELECT 3, 'exact_dedup', count(*) FROM s3
     UNION ALL SELECT 4, 'fuzzy_dedup', count(*) FROM s4
     UNION ALL SELECT 5, 'decontaminated', count(*) FROM s5
-"""
+""".replace("MINHASH_FRAGMENT", _RW_MINHASH_FRAGMENT)
 
 
 @query("refinedweb_pipeline", oracle=_RW_ORACLE)
@@ -2974,7 +2978,7 @@ def q_refinedweb_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every later branch re-reads (lazy: no job until the first action)
     s2 = s1.join(gq, "doc_id", "left_semi").localCheckpoint(eager=False)
     s3 = dedup.dedup_keep_first(s2).localCheckpoint(eager=False)
-    pairs = dedup.ngram_jaccard_pairs(s3, threshold=0.04)
+    pairs = dedup.minhash_lsh_pairs(s3, threshold=0.04, scheme="md5")
     comp = dedup.connected_components_star(pairs)
     scored = comp.join(
         s3.select(F.col("doc_id").alias("node"), F.length("text").alias("_len")),
@@ -2986,7 +2990,10 @@ def q_refinedweb_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") > 1)
         .select(F.col("node").alias("doc_id"))
     )
-    s4 = s3.join(drop, "doc_id", "left_anti")
+    # s4 feeds BOTH its own count branch and the decontamination
+    # stage — without settling it, the fuzzy pairs + components
+    # lineage (the expensive part) executes twice
+    s4 = s3.join(drop, "doc_id", "left_anti").localCheckpoint(eager=False)
     bench = d.filter(F.col("doc_id") % 97 == 0)
     s5 = dedup.decontaminate_corpus(s4, bench, k=5)
 
