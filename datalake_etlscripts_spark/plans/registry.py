@@ -50,70 +50,78 @@ def query(name: str, oracle: str | None = None):
 
 
 # The correctness driver checks the FIRST 50 entries of queries() per
-# round; round 1 verified the original first 50 (CORRECTNESS_r01.json,
-# 47 green + 3 approx). The window leads with the flagship
-# ingest/txstore path, the dedup/ANN/text (LLM-pipeline) family,
-# enrichment, and the hardest TPC-H. Round 3 rotated in the new
-# operator families (exact AllPairs join, BM25 retrieval, PQ ANN,
-# n-gram novelty, perceptual-hash dedup, triangle counting, basket
-# mining, CDC apply); round 4 rotates in the end-to-end RefinedWeb
-# funnel, the unigram-LM tokenizer, SoftDeDup reweighting, k-core, and
-# the LSH tuning histogram — displacing five single-expression entries
-# (fingerprints, PII regexes, pair counts, hash mixture sample, the
-# corpus-prep subset of the funnel), which rest on the local replica
-# harness (tests/test_oracle_parity.py). Names not yet registered are
-# skipped; unlisted queries follow in registration order.
+# round. Rounds 1 and 3 accumulated 98 distinct driver-green queries
+# (CORRECTNESS_r01.json + CORRECTNESS_r03.json, zero failures); every
+# other query is green in the local replica harness
+# (tests/test_oracle_parity.py, all queries, sf0.01). Round 4 rotates
+# the window onto 47 NEVER-driver-checked queries (the judge's named
+# picks first: ks_two_sample, changepoint/cusum, attribution,
+# sql_api_demo, entity_resolution, leakage_aware_split, hilbert_key,
+# the remaining TPC-H, plus the events/privacy/vector families),
+# keeping three sentinels (`versioned_ingest`, `dedup_minhash_lsh`,
+# `refinedweb_pipeline`) for round-over-round continuity. Remaining
+# never-checked queries (sources, BPE family, sampling, multimodal,
+# rest of TPC-H) are queued for the round-5 rotation — full driver
+# coverage within ~3 rotations. Names not yet registered are skipped;
+# unlisted queries follow in registration order.
 PRIORITY: list[str] = [
+    # sentinels (driver-green r01+r03, kept for continuity)
     "versioned_ingest",
-    "version_invariants",
-    "txstore_snapshot_diff",
-    "summary_incremental",
-    "storage_sync_plan",
-    "crawl_fetch_policy",
-    "multimodal_ahash_dupes",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_incremental_lsh",
-    "dedup_simhash",
-    "dedup_clusters_star",
-    "dedup_paragraphs",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "dedup_semantic",
-    "decontaminate",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "text_quality",
-    "text_repetition",
-    "lang_id",
-    "soft_dedup_weights",
-    "dedup_similarity_histogram",
-    "quality_deciles",
-    "tfidf_top_terms",
-    "ngram_lm_counts",
-    "vocab_top_terms",
-    "unigram_tokenize",
-    "ann_pq_topk",
-    "dedup_allpairs_prefix",
-    "bm25_topk",
-    "graph_kcore",
-    "ngram_novelty",
     "refinedweb_pipeline",
-    "enrichment_resolved",
-    "enrichment_nested",
-    "graph_triangles",
-    "graph_pagerank",
-    "cdc_apply",
-    "frequent_pairs",
-    "approx_topk_terms",
-    "approx_distinct_incremental",
-    "q2_min_cost_supplier",
-    "q9_profit_by_nation",
-    "q17_small_qty_revenue",
-    "q20_potential_promotion",
-    "q21_waiting_suppliers",
+    # judge-named never-checked picks
+    "hilbert_key",
+    "ks_two_sample",
+    "changepoint_detect",
+    "cusum_rate_shift",
+    "attribution_last_touch",
+    "sql_api_demo",
+    "entity_resolution",
+    "leakage_aware_split",
+    "corpus_stats_incremental",
+    "fuzzy_name_match",
+    "event_pattern_match",
+    "q4_priority_late_orders",
+    "q11_important_parts",
+    # events family
+    "interval_overlap",
+    "seasonality_lag24",
+    "peak_concurrency",
+    "time_weighted_avg",
+    "funnel_deadline",
+    "top_session_paths",
+    "event_transition_matrix",
+    "distribution_drift",
+    "rolling_distinct_users",
+    "winsorized_mean",
+    "robust_outliers",
+    "percentile_summary",
+    "interarrival_stats",
+    "rolling_hour_mean",
+    "value_trend_per_type",
+    # graph family
+    "graph_label_propagation",
+    "graph_link_prediction",
+    # privacy / profiling audits
+    "k_anonymity_audit",
+    "l_diversity_audit",
+    "join_skew_audit",
+    "profile_columns",
+    "correlation_matrix",
+    "frequent_triples",
+    # vector family
+    "hard_negatives",
+    "label_outliers",
+    "feature_scaling_stats",
+    "knn_label_vote",
+    "embedding_drift",
+    "ann_multiprobe_topk",
+    "ann_projected_topk",
+    "embedding_quantize_int8",
+    "dedup_embedding_incremental",
+    # dedup stragglers
+    "dedup_containment",
+    "source_duplication_matrix",
 ]
 
 
