@@ -533,27 +533,48 @@ def run_streaming_trending_terms(
     that table is exactly the right size for it. Streamed result ≡
     one-shot batch recompute over the union of all drops (tested).
 
-    Delivery note: the count fold is a sum — NOT idempotent — so a
-    micro-batch replayed after a crash between the state swap and the
-    checkpoint commit would double-count (at-least-once on parquet).
-    The versioned-ingest merge tolerates replays by construction; for
-    exactly-once counts deploy this fold on a transactional table
-    (Delta) where state write + checkpoint commit are atomic.
+    Delivery: the count fold is a sum — not naturally idempotent — so
+    the state table carries a constant ``folded_through`` epoch column
+    written atomically WITH the counts (one directory-rename swap).
+    Spark's foreachBatch contract replays a crashed micro-batch under
+    the SAME epoch_id, so a replay whose ``epoch_id <=
+    folded_through`` skips the fold (the counts already include it)
+    and only re-derives the idempotent top-k view — exactly-once
+    counts on a plain parquet state table, same pattern as
+    run_streaming_embedding_dedup's epoch-keyed overwrites.
     """
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_counts = windowed_token_counts(batch_df, window)
         if _fs_path_exists(spark, state_path):
+            state = spark.read.parquet(state_path)
+            folded_through = state.agg(
+                F.max("folded_through").alias("m")
+            ).collect()[0]["m"]
+            if folded_through is not None and epoch_id <= folded_through:
+                # replayed micro-batch: counts already folded —
+                # re-derive only the idempotent top-k view.
+                topk = trending_topk_from_counts(
+                    state.drop("folded_through"), k
+                )
+                _stage_swap(
+                    spark, topk, f"{state_path}__topk", f"epoch{epoch_id}"
+                )
+                return
             merged = (
-                spark.read.parquet(state_path)
-                .unionByName(batch_counts)
+                state.drop("folded_through")
+                .unionByName(windowed_token_counts(batch_df, window))
                 .groupBy("window_start", "token")
                 .agg(F.sum("n").alias("n"))
             )
         else:
-            merged = batch_counts
+            merged = windowed_token_counts(batch_df, window)
+        merged = merged.withColumn(
+            "folded_through", F.lit(epoch_id).cast("bigint")
+        )
         _stage_swap(spark, merged, state_path, f"epoch{epoch_id}")
-        topk = trending_topk_from_counts(spark.read.parquet(state_path), k)
+        topk = trending_topk_from_counts(
+            spark.read.parquet(state_path).drop("folded_through"), k
+        )
         _stage_swap(spark, topk, f"{state_path}__topk", f"epoch{epoch_id}")
 
     stream = spark.readStream.schema(schema).parquet(docs_dir)

@@ -544,6 +544,28 @@ def test_streaming_trending_terms_matches_batch(spark, tmp_path):
     assert sorted(by_win[10]) == [(1, "beam", 5), (2, "spark", 3)]
     assert sorted(by_win[11]) == [(1, "flink", 3), (2, "spark", 1)]
 
+    # Forced re-fire: wipe the checkpoint so the stream replays every
+    # drop as a fresh epoch 0. The state's folded_through watermark
+    # (epoch 1 after two folds) detects 0 <= 1 and skips the fold —
+    # counts must be byte-identical, not doubled.
+    before = sorted(
+        (r["window_start"], r["token"], r["n"])
+        for r in spark.read.parquet(state).drop("folded_through").collect()
+    )
+    shutil.rmtree(f"{state}__checkpoint")
+    q = run_streaming_trending_terms(spark, docs_dir, state, schema, k=2)
+    q.awaitTermination(120)
+    after = sorted(
+        (r["window_start"], r["token"], r["n"])
+        for r in spark.read.parquet(state).drop("folded_through").collect()
+    )
+    assert after == before
+    replayed_topk = sorted(
+        (r["window_start"], r["token"], r["n"], r["rank"])
+        for r in spark.read.parquet(f"{state}__topk").collect()
+    )
+    assert replayed_topk == streamed
+
 
 def test_streaming_embedding_dedup_matches_batch_recompute(spark, sf_dir):
     """Two vector drops through the streaming embedding dedup emit
