@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from datalake_etlscripts_spark.operators.checkpointing import cut_lineage
 from datalake_etlscripts_spark.operators.text import (
     bow_fingerprint,
     content_fingerprint,
@@ -742,6 +743,8 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Resolve near-dup PAIRS into duplicate CLUSTERS: connected
     components by iterative hash-min label propagation. Returns
@@ -766,7 +769,7 @@ def connected_components(
     labels = (
         e.select(F.col("src").alias("node")).distinct().withColumn("lab", F.col("node"))
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr = (
             e.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
@@ -775,7 +778,7 @@ def connected_components(
         new = labels.join(nbr, "node", "left").select(
             "node", F.least("lab", F.coalesce("nlab", "lab")).alias("lab")
         )
-        new = new.localCheckpoint()
+        new = cut_lineage(new, it, checkpoint_dir, checkpoint_every, eager=True)
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "node")
@@ -794,6 +797,8 @@ def connected_components_star(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Connected components by alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -829,7 +834,7 @@ def connected_components_star(
             F.least(F.min("dst"), F.first("src")).alias("m")
         )
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # large-star: every neighbor v > u links to m(u)
         und = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -844,13 +849,16 @@ def connected_components_star(
         # small-star: every neighbor v ≤ u (all of them — edges are
         # big→small) and u itself link to m(u)
         mins = _mins(ls)
-        ss = (
+        ss = cut_lineage(
             ls.join(mins, "src")
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
             .unionByName(mins.select("src", F.col("m").alias("dst")))
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            it,
+            checkpoint_dir,
+            checkpoint_every,
+            eager=True,
         )
         done = ss.exceptAll(e).isEmpty() and e.exceptAll(ss).isEmpty()
         e = ss

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datalake_etlscripts_spark.operators.checkpointing import cut_lineage
+
 SCALE = 10**12
 DAMPING_NUM = 85
 DAMPING_DEN = 100
@@ -48,6 +50,8 @@ def pagerank(
     broadcast_nodes: int = 5_000_000,
     dedup_shuffle: str = "src",
     dangling: str = "redistribute",
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Integer-scaled PageRank over directed ``edges`` (src, dst).
 
@@ -136,7 +140,7 @@ def pagerank(
 
     bcast = n_nodes <= broadcast_nodes
     ranks = nodes.select("node", "_dang", F.lit(init).cast("long").alias("rank"))
-    for _ in range(iterations):
+    for it in range(iterations):
         rank_side = ranks.withColumnRenamed("node", "src").drop("_dang")
         if bcast:
             rank_side = F.broadcast(rank_side)
@@ -174,8 +178,13 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-        # truncate lineage; lazy → materializes on the final action only
-        ranks = ranks.localCheckpoint(eager=False)
+        # truncate lineage; lazy → materializes on the final action
+        # only. checkpoint_dir swaps every checkpoint_every-th cut for
+        # a reliable DFS checkpoint (executor-loss recovery at scale —
+        # see operators/checkpointing.py).
+        ranks = cut_lineage(
+            ranks, it, checkpoint_dir, checkpoint_every, eager=False
+        )
     return ranks.select("node", "rank")
 
 
@@ -243,7 +252,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
-def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
     """Synchronous label propagation (community detection): every node
     starts as its own label; each round it adopts the most frequent
     label among its neighbors, ties broken by SMALLEST label — fully
@@ -264,18 +278,21 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     )
     from pyspark.sql import Window as W
 
-    for _ in range(iterations):
+    for it in range(iterations):
         neigh = edges.join(
             labels.select(F.col("node").alias("dst"), F.col("label").alias("_nl")),
             "dst",
         )
         counts = neigh.groupBy("src", "_nl").agg(F.count(F.lit(1)).alias("_c"))
         w = W.partitionBy("src").orderBy(F.desc("_c"), F.asc("_nl"))
-        labels = (
+        labels = cut_lineage(
             counts.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .select(F.col("src").alias("node"), F.col("_nl").alias("label"))
-            .localCheckpoint(eager=False)
+            .select(F.col("src").alias("node"), F.col("_nl").alias("label")),
+            it,
+            checkpoint_dir,
+            checkpoint_every,
+            eager=False,
         )
     return labels
 
@@ -329,7 +346,13 @@ def link_prediction_topk(edges: DataFrame, k: int = 50) -> DataFrame:
     ).limit(k)
 
 
-def kcore(edges: DataFrame, k: int = 3, rounds: int | None = None) -> DataFrame:
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
     """k-core decomposition by synchronous peeling: each round drops
     every node whose degree in the CURRENT subgraph is < k, then the
     edges touching dropped nodes. With ``rounds=None`` peels to the
@@ -356,12 +379,14 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int | None = None) -> DataFrame:
             if prev_nodes is not None and n == prev_nodes:
                 break
             prev_nodes = n
-        e = (
-            e.join(keep.select("src"), "src", "left_semi")
-            .join(
+        e = cut_lineage(
+            e.join(keep.select("src"), "src", "left_semi").join(
                 keep.select(F.col("src").alias("dst")), "dst", "left_semi"
-            )
-            .localCheckpoint(eager=False)
+            ),
+            i,
+            checkpoint_dir,
+            checkpoint_every,
+            eager=False,
         )
         i += 1
         if rounds is not None and i >= rounds:

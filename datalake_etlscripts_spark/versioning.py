@@ -55,6 +55,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datalake_etlscripts_spark.functions.scalar import MIN_ORDER, format_ntp_id, parse_ntp_id
+from datalake_etlscripts_spark.operators.checkpointing import cut_lineage
 
 STATE_META = ["_id", "id", "updated", "obsolete_version", "updated_to", "patch_data"]
 
@@ -300,7 +301,12 @@ def check_pointers_resolve(state: DataFrame) -> DataFrame:
     return obsolete.join(active_ids, "updated_to", "left_anti")
 
 
-def follow_version(state: DataFrame, max_hops: int = 5) -> DataFrame:
+def follow_version(
+    state: DataFrame,
+    max_hops: int = 5,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
     """J8: resolve every row to its CURRENT active _id by chasing
     ``updated_to`` pointers to a fixpoint (ntp_entry.py:95-109,
     checking/check_versions_completness.py:86-94). merge_batch keeps
@@ -323,12 +329,12 @@ def follow_version(state: DataFrame, max_hops: int = 5) -> DataFrame:
         .otherwise(F.col("_id"))
         .alias("_next"),
     )
-    for _ in range(max_hops):
+    for it in range(max_hops):
         nxt = (
             cur.join(pointer, "resolved_id", "left")
             .select("_id", F.coalesce("_next", "resolved_id").alias("resolved_id"))
         )
         if nxt.exceptAll(cur).isEmpty():
             return nxt
-        cur = nxt.localCheckpoint()
+        cur = cut_lineage(nxt, it, checkpoint_dir, checkpoint_every, eager=True)
     return cur
