@@ -48,7 +48,45 @@ HEADLINE = [
     "unigram_tokenize",
     "soft_dedup_weights",
     "hard_negatives",
+    # round-4 verdict additions: track the funnel's 29→8.3s fix and
+    # k-core's peeling cost round-over-round (headline 30 → 33 with
+    # pricing_summary_double; totals non-comparable, compare per-query)
+    "refinedweb_pipeline",
+    "graph_kcore",
+    "pricing_summary_double",
 ]
+
+
+def _pricing_summary_double(spark, sf_dir):
+    """Bench-only A/B twin of pricing_summary: native double sums
+    instead of the decimal-exact policy. NOT registered as a query —
+    double summation is reduction-order-dependent, so it can't
+    hash-match a cross-engine oracle; it exists to keep the measured
+    exactness tax (~3.4x at sf0.1, r4 A/B) visible per round."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+BENCH_ONLY = {"pricing_summary_double": _pricing_summary_double}
 
 
 def _force(df) -> int:
@@ -74,7 +112,7 @@ def main() -> None:
     from datalake_etlscripts_spark.session import get_spark
 
     spark = get_spark("bench")
-    qs = e.queries()
+    qs = dict(e.queries()) | BENCH_ONLY
     names = [n for n in HEADLINE if n in qs] or list(qs)
 
     # warm the JVM + parquet footers once so timings measure the plans
