@@ -1411,3 +1411,115 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(d).alias("d_num"),
         (F.max(d).cast("double") / (F.col("n_a") * F.col("n_b"))).alias("ks_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quantized-grid KS — the 100 TB form of ks_two_sample: instead of the
+# per-type cumulative window over the UNBOUNDED distinct-value grid,
+# values quantize onto 64 equal-width bins between each type's exact
+# min/max (a broadcast 1-row-per-type dim), so the only window runs
+# over ≤64 rows per type. The statistic is the ECDF sup-difference
+# evaluated at the bin boundaries — a provable LOWER bound on the
+# exact D that converges as the grid refines; the exact query above
+# stays registered as the audit twin.
+# ---------------------------------------------------------------------------
+@query(
+    "ks_two_sample_quantized",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, value,
+             CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS b
+      FROM events WHERE value IS NOT NULL
+    ),
+    mm AS (
+      SELECT event_type, min(value) AS lo, max(value) AS hi
+      FROM v GROUP BY event_type
+    ),
+    binned AS (
+      SELECT v.event_type,
+             CASE WHEN mm.hi = mm.lo THEN 0
+                  ELSE least(63, CAST(floor((v.value - mm.lo) * 64
+                                            / (mm.hi - mm.lo)) AS BIGINT))
+             END AS bin,
+             v.a, v.b
+      FROM v JOIN mm ON v.event_type = mm.event_type
+    ),
+    g AS (
+      SELECT event_type, bin,
+             CAST(sum(a) AS BIGINT) AS ca0, CAST(sum(b) AS BIGINT) AS cb0
+      FROM binned GROUP BY event_type, bin
+    ),
+    c AS (
+      SELECT event_type, bin,
+             CAST(sum(ca0) OVER w AS BIGINT) AS ca,
+             CAST(sum(cb0) OVER w AS BIGINT) AS cb,
+             CAST(sum(ca0) OVER t AS BIGINT) AS n_a,
+             CAST(sum(cb0) OVER t AS BIGINT) AS n_b
+      FROM g
+      WINDOW w AS (PARTITION BY event_type ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING),
+             t AS (PARTITION BY event_type)
+    )
+    SELECT event_type, n_a, n_b,
+           max(abs(ca * n_b - cb * n_a)) AS d_num,
+           CAST(max(abs(ca * n_b - cb * n_a)) AS DOUBLE) / (n_a * n_b)
+             AS ks_stat
+    FROM c GROUP BY event_type, n_a, n_b
+    """,
+)
+def q_ks_two_sample_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized two-sample KS per event type - ECDF sup-difference over a 64-bin equal-width grid (exact per-type min/max), cumulative window bounded at 64 rows per type.
+
+    Bin boundaries are exact selections of input values (min/max via
+    groupBy, broadcast back) and the bin index is a single IEEE754
+    multiply/divide/floor chain — bit-identical on both engines, no
+    approxQuantile nondeterminism. The quantized D is a lower bound
+    on the exact statistic (sup over a 64-threshold subset); the
+    exact `ks_two_sample` stays registered as the audit-scale twin."""
+    e = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = e.select(
+        "event_type",
+        "value",
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(0).alias("_a"),
+        F.when(F.col("event_id") % 2 == 1, 1).otherwise(0).alias("_b"),
+    )
+    mm = v.groupBy("event_type").agg(
+        F.min("value").alias("_lo"), F.max("value").alias("_hi")
+    )
+    binned = v.join(F.broadcast(mm), "event_type").select(
+        "event_type",
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.lit(63).cast("bigint"),
+                F.floor(
+                    (F.col("value") - F.col("_lo"))
+                    * 64
+                    / (F.col("_hi") - F.col("_lo"))
+                ),
+            )
+        )
+        .alias("bin"),
+        "_a",
+        "_b",
+    )
+    g = binned.groupBy("event_type", "bin").agg(
+        F.sum("_a").alias("_ca0"), F.sum("_b").alias("_cb0")
+    )
+    w = W.partitionBy("event_type").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    t = W.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        F.sum("_ca0").over(w).alias("_ca"),
+        F.sum("_cb0").over(w).alias("_cb"),
+        F.sum("_ca0").over(t).alias("n_a"),
+        F.sum("_cb0").over(t).alias("n_b"),
+    )
+    d = F.abs(F.col("_ca") * F.col("n_b") - F.col("_cb") * F.col("n_a"))
+    return c.groupBy("event_type", "n_a", "n_b").agg(
+        F.max(d).alias("d_num"),
+        (F.max(d).cast("double") / (F.col("n_a") * F.col("n_b"))).alias("ks_stat"),
+    )
