@@ -152,22 +152,162 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# approx aggregates (HLL distinct + quantile sketch) — algorithm-specific
-# results, so rows-only; the EXACT twin query is the oracle-checked one
+# approx aggregates — the LAST rows-only query, now oracle-backed
+# (r4 verdict task): the primary path is the deterministic sketch
+# machinery this repo already oracles — explicit-register HLL (md5
+# lanes, raw estimator) for the distinct count and a 64-bin
+# equal-width histogram (exact per-flag min/max) for the quantiles.
+# The Spark-native DataSketches/KLL path (approx_count_distinct,
+# percentile_approx) remains the production-ACCURACY variant,
+# exercised in tests/test_modules.py — its values are
+# algorithm-internal and can never hash-match a foreign engine.
 # ---------------------------------------------------------------------------
-@query("approx_aggregates")
-def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark-native approx aggregates (HLL distinct + quantile sketch) - algorithm-specific values, rows-only; exact_distinct_quantiles is the oracle-checked twin."""
-    # Scalar output columns only: an ARRAY column in a rows-only query
-    # crashes the driver's pandas row canonicalizer (r1 finding) —
-    # unpack the quantile array via element_at.
-    li = read_table(spark, sf_dir, "lineitem")
-    q = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.element_at(q, 1).alias("price_q50"),
-        F.element_at(q, 2).alias("price_q95"),
+def _approx_agg_oracle() -> str:
+    from datalake_etlscripts_spark.operators.sketches import (
+        HLL_BUCKETS,
+        HLL_EST_NUM,
+        HLL_WORD_BITS,
     )
+    from datalake_etlscripts_spark.plans.registry import ddb_hex32
+
+    ladder = " ".join(
+        f"WHEN w >= {1 << i} THEN {HLL_WORD_BITS - i}"
+        for i in range(HLL_WORD_BITS - 1, -1, -1)
+    )
+    scale = 1 << (HLL_WORD_BITS + 1)
+    return f"""
+    WITH h0 AS (
+      SELECT l_returnflag AS k,
+             {ddb_hex32("md5(CAST(l_partkey AS VARCHAR))")} AS h
+      FROM lineitem WHERE l_partkey IS NOT NULL
+    ),
+    h AS (SELECT k, h & {HLL_BUCKETS - 1} AS bucket, h >> 8 AS w FROM h0),
+    regs AS (
+      SELECT k, bucket, max(CASE {ladder} ELSE {HLL_WORD_BITS + 1} END) AS reg
+      FROM h GROUP BY 1, 2
+    ),
+    hll AS (
+      SELECT k, {HLL_EST_NUM!r} / (
+               sum(CAST(1 AS BIGINT) << ({HLL_WORD_BITS + 1} - reg))
+               + ({HLL_BUCKETS} - count(*)) * {scale}) AS approx_parts
+      FROM regs GROUP BY 1
+    ),
+    mm AS (
+      SELECT l_returnflag AS k, min(l_extendedprice) AS lo,
+             max(l_extendedprice) AS hi
+      FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1
+    ),
+    binned AS (
+      SELECT li.l_returnflag AS k, mm.lo, mm.hi,
+             CASE WHEN mm.hi = mm.lo THEN 0
+                  ELSE least(63, CAST(floor((li.l_extendedprice - mm.lo) * 64
+                                            / (mm.hi - mm.lo)) AS BIGINT))
+             END AS bin
+      FROM lineitem li JOIN mm ON li.l_returnflag = mm.k
+      WHERE li.l_extendedprice IS NOT NULL
+    ),
+    g AS (
+      SELECT k, lo, hi, bin, count(*) AS n FROM binned GROUP BY 1, 2, 3, 4
+    ),
+    c AS (
+      SELECT k, lo, hi, bin,
+             CAST(sum(n) OVER (PARTITION BY k ORDER BY bin
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(n) OVER (PARTITION BY k) AS BIGINT) AS total
+      FROM g
+    ),
+    qs AS (
+      SELECT k,
+             lo + min(CASE WHEN cum * 20 >= total * 10 THEN bin END)
+                  * ((hi - lo) / 64) AS price_q50,
+             lo + min(CASE WHEN cum * 20 >= total * 19 THEN bin END)
+                  * ((hi - lo) / 64) AS price_q95
+      FROM c GROUP BY k, lo, hi
+    )
+    SELECT hll.k AS l_returnflag, hll.approx_parts, qs.price_q50, qs.price_q95
+    FROM hll JOIN qs ON hll.k = qs.k
+    """
+
+
+@query("approx_aggregates", oracle=_approx_agg_oracle())
+def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx aggregates per returnflag, fully oracle-checked: explicit-register HLL raw estimate of distinct partkeys + 64-bin histogram quantile estimates (q50/q95 of extendedprice).
+
+    Scale shape: one (flag, bucket) shuffle for the HLL registers, one
+    (flag, bin) shuffle for the histogram; the cumulative window runs
+    over <= 64 bins per flag — both states are summary-sized and
+    mergeable (max / sum), so incremental maintenance never rescans
+    history. Quantile estimate = left edge of the first bin whose
+    cumulative share reaches q (error <= one bin width); the distinct
+    estimate is the raw HLL form — pure integer arithmetic + one
+    double division, replayed bit-for-bit by DuckDB."""
+    from datalake_etlscripts_spark.operators import sketches
+
+    li = read_table(spark, sf_dir, "lineitem")
+    est = sketches.hll_register_estimate(
+        sketches.hll_register_table(li, ["l_returnflag"], "l_partkey"),
+        alias="approx_parts",
+    )
+    mm = (
+        li.filter(F.col("l_extendedprice").isNotNull())
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("_lo"),
+            F.max("l_extendedprice").alias("_hi"),
+        )
+    )
+    binned = (
+        li.filter(F.col("l_extendedprice").isNotNull())
+        .join(F.broadcast(mm), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "_lo",
+            "_hi",
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0).cast("bigint"))
+            .otherwise(
+                F.least(
+                    F.lit(63).cast("bigint"),
+                    F.floor(
+                        (F.col("l_extendedprice") - F.col("_lo"))
+                        * 64
+                        / (F.col("_hi") - F.col("_lo"))
+                    ),
+                )
+            )
+            .alias("bin"),
+        )
+    )
+    g = binned.groupBy("l_returnflag", "_lo", "_hi", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    wc = W.partitionBy("l_returnflag").orderBy("bin").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wt = W.partitionBy("l_returnflag")
+    c = g.select(
+        "l_returnflag",
+        "_lo",
+        "_hi",
+        "bin",
+        F.sum("n").over(wc).alias("cum"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    width = (F.col("_hi") - F.col("_lo")) / 64
+    qs = c.groupBy("l_returnflag", "_lo", "_hi").agg(
+        F.min(F.when(F.col("cum") * 20 >= F.col("total") * 10, F.col("bin"))).alias(
+            "_b50"
+        ),
+        F.min(F.when(F.col("cum") * 20 >= F.col("total") * 19, F.col("bin"))).alias(
+            "_b95"
+        ),
+    ).select(
+        "l_returnflag",
+        (F.col("_lo") + F.col("_b50") * width).alias("price_q50"),
+        (F.col("_lo") + F.col("_b95") * width).alias("price_q95"),
+    )
+    return est.join(qs, "l_returnflag")
 
 
 @query(

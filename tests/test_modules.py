@@ -2456,3 +2456,43 @@ def test_leakage_aware_split_never_splits_near_dups(spark, sf_dir):
         assert side[p["id_a"]] == side[p["id_b"]]
         assert comp[p["id_a"]] == comp[p["id_b"]]
     assert {"train", "test"} == set(side.values())
+
+
+def test_spark_native_approx_aggregates_accuracy(spark, sf_dir):
+    """The DataSketches/KLL path (approx_count_distinct,
+    percentile_approx) is the production-ACCURACY variant of the
+    oracle-backed approx_aggregates query — its values are
+    algorithm-internal, so it is verified here against exact answers
+    within the published error bounds instead of a foreign engine."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
+    approx = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.element_at(q, 1).alias("price_q50"),
+            F.element_at(q, 2).alias("price_q95"),
+        )
+        .collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("n_parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("q50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("q95"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        # HLL++ default rsd is 5%; allow 3 sigma
+        assert abs(a["approx_parts"] - e["n_parts"]) <= 0.15 * e["n_parts"] + 2
+        # KLL with 10k accuracy: tight; allow 2% of the exact value
+        assert abs(a["price_q50"] - e["q50"]) <= 0.02 * e["q50"]
+        assert abs(a["price_q95"] - e["q95"]) <= 0.02 * e["q95"]
