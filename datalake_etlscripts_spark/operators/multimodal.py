@@ -52,15 +52,146 @@ def set_decoder(fn: Callable[[bytes], tuple[int, int]]) -> None:
 
 def real_decoder_unavailable(raw: bytes) -> tuple[int, int]:
     raise NotImplementedError(
-        "image/audio codecs are not installed in this container; "
-        "call set_decoder(...) with a real implementation"
+        "full pixel codecs (JPEG entropy decode, PNG inflate) are not "
+        "installed in this container; parse_image_header covers header "
+        "decode for BMP/PPM/PGM/PNG/GIF/JPEG, or call set_decoder(...) "
+        "with a real implementation (e.g. PIL.Image.open)"
     )
 
 
-def decode_metadata(df: DataFrame, id_col: str = "id", bin_col: str = "data") -> DataFrame:
+# ---------------------------------------------------------------------------
+# Pure-Python REAL codec path (no external libs): header decode for
+# the classic raster formats, plus BMP/PPM encoders so the sandbox can
+# synthesize genuine image bytes to drive it. Pixel-level decode of
+# compressed formats (JPEG/PNG) still needs a real codec via
+# set_decoder; BMP and binary PPM are fully decodable here (headers
+# AND pixels are raw bytes).
+# ---------------------------------------------------------------------------
+
+
+def parse_image_header(raw: bytes) -> tuple[int, int]:
+    """Real image-dimension decoder for BMP, PPM/PGM (P2/P3/P5/P6),
+    PNG, GIF, and JPEG — pure header arithmetic, the same contract as
+    PIL's lazy ``Image.open(...).size``. Raises ValueError for
+    unrecognized payloads."""
+    import struct
+
+    if raw is None or len(raw) < 10:
+        raise ValueError("payload too short for any image header")
+    if raw[:2] == b"BM" and len(raw) >= 26:
+        # BITMAPINFOHEADER: signed little-endian w/h at offsets 18/22
+        w, h = struct.unpack_from("<ii", raw, 18)
+        return int(w), abs(int(h))  # negative h = top-down DIB
+    if raw[:1] == b"P" and raw[1:2] in b"2356" and raw[2:3].isspace():
+        # netpbm: magic, then whitespace/comment-separated w, h
+        vals, i = [], 2
+        while len(vals) < 2 and i < len(raw):
+            c = raw[i : i + 1]
+            if c == b"#":  # comment to end of line
+                while i < len(raw) and raw[i : i + 1] != b"\n":
+                    i += 1
+            elif c.isdigit():
+                j = i
+                while j < len(raw) and raw[j : j + 1].isdigit():
+                    j += 1
+                vals.append(int(raw[i:j]))
+                i = j
+            else:
+                i += 1
+        if len(vals) == 2:
+            return vals[0], vals[1]
+        raise ValueError("truncated netpbm header")
+    if raw[:8] == b"\x89PNG\r\n\x1a\n" and raw[12:16] == b"IHDR":
+        w, h = struct.unpack_from(">II", raw, 16)
+        return int(w), int(h)
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack_from("<HH", raw, 6)
+        return int(w), int(h)
+    if raw[:2] == b"\xff\xd8":
+        # JPEG: scan markers for SOFn (C0-CF except C4/C8/CC)
+        i = 2
+        while i + 9 < len(raw):
+            if raw[i] != 0xFF:
+                i += 1
+                continue
+            marker = raw[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = int.from_bytes(raw[i + 2 : i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h = int.from_bytes(raw[i + 5 : i + 7], "big")
+                w = int.from_bytes(raw[i + 7 : i + 9], "big")
+                return w, h
+            i += 2 + seg_len
+        raise ValueError("no SOF marker in JPEG stream")
+    raise ValueError("unrecognized image format")
+
+
+def encode_bmp(width: int, height: int, pixels: bytes) -> bytes:
+    """Minimal 24-bpp bottom-up BMP encoder (BITMAPINFOHEADER).
+    ``pixels`` is 3*width*height BGR bytes; rows pad to 4-byte
+    boundaries per the spec. Pure Python — lets the sandbox produce
+    REAL image bytes for the codec path."""
+    import struct
+
+    row = 3 * width
+    pad = (-row) % 4
+    body = b"".join(
+        pixels[r * row : (r + 1) * row] + b"\x00" * pad
+        for r in range(height - 1, -1, -1)
+    )
+    size = 54 + len(body)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", size, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + body
+    )
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Binary PPM (P6, maxval 255) encoder: header + 3*w*h RGB bytes."""
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+SYNTH_SCHEMA = "id bigint, fmt string, data binary"
+
+
+def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministically render a REAL image per row — BMP for even
+    ids, binary PPM for odd — with dims (1 + id % 16, 1 + 3*id % 16)
+    and pixel bytes (id*31 + i) % 256, via the same Arrow-batched
+    mapInPandas seam production decode uses. The arithmetic is simple
+    enough for a SQL oracle to predict every byte count."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 1 + i % 16, 1 + (i * 3) % 16
+                px = bytes((i * 31 + j) % 256 for j in range(3 * w * h))
+                if i % 2 == 0:
+                    out.append((i, "bmp", encode_bmp(w, h, px)))
+                else:
+                    out.append((i, "ppm", encode_ppm(w, h, px)))
+            yield pd.DataFrame(out, columns=["id", "fmt", "data"])
+
+    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+def decode_metadata(
+    df: DataFrame,
+    id_col: str = "id",
+    bin_col: str = "data",
+    decoder: Callable[[bytes], tuple[int, int]] | None = None,
+) -> DataFrame:
     """BINARY column → typed metadata rows via Arrow-batched mapInPandas.
-    Output: (id, width, height, n_bytes, sha256)."""
-    dec = _decoder
+    Output: (id, width, height, n_bytes, sha256). ``decoder`` defaults
+    to the module seam (set_decoder); pass ``parse_image_header`` for
+    the built-in real-format path."""
+    dec = decoder or _decoder
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -840,6 +840,45 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.groupBy("id").agg(F.count(F.lit(1)).alias("n_frames"))
 
 
+# ---------------------------------------------------------------------------
+# REAL codec path (r4): synthesize genuine BMP/PPM bytes per doc
+# (pure-Python encoders) and decode them with parse_image_header —
+# actual header arithmetic on actual image bytes, not the fake
+# length-derived stub. The oracle predicts width/height/byte-count
+# from the id arithmetic: BMP = 54-byte headers + 4-byte-padded BGR
+# rows; P6 = "P6\\n{w} {h}\\n255\\n" + 3wh.
+# ---------------------------------------------------------------------------
+@query(
+    "multimodal_decode_real",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id AS id,
+             CAST(1 + doc_id % 16 AS BIGINT) AS w,
+             CAST(1 + (doc_id * 3) % 16 AS BIGINT) AS h
+      FROM documents
+    )
+    SELECT id,
+           CASE WHEN id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CASE WHEN id % 2 = 0
+                THEN 54 + ((3 * w + 3) // 4 * 4) * h
+                ELSE 3 + length(CAST(w AS VARCHAR)) + 1
+                     + length(CAST(h AS VARCHAR)) + 1 + 4 + 3 * w * h
+           END AS n_bytes
+    FROM dims
+    """,
+)
+def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec decode: render a genuine BMP (even ids) or binary PPM (odd ids) per doc, then parse actual format headers for dimensions - mapInPandas both ways, no fake arithmetic."""
+    d = read_table(spark, sf_dir, "documents")
+    imgs = multimodal.synthesize_images(d)
+    meta = multimodal.decode_metadata(
+        imgs, decoder=multimodal.parse_image_header
+    ).select("id", "width", "height", "n_bytes")
+    return imgs.select("id", "fmt").join(meta, "id")
+
+
 # IVF IS oracle-checkable with a FIXED literal coarse quantizer: the
 # 16 cell centers are deterministic LCG literals shared into the twin
 # (same trick as the hyperplane planes above), so DuckDB replays the

@@ -2496,3 +2496,38 @@ def test_spark_native_approx_aggregates_accuracy(spark, sf_dir):
         # KLL with 10k accuracy: tight; allow 2% of the exact value
         assert abs(a["price_q50"] - e["q50"]) <= 0.02 * e["q50"]
         assert abs(a["price_q95"] - e["q95"]) <= 0.02 * e["q95"]
+
+
+def test_parse_image_header_all_formats():
+    """Round-trip the pure-Python encoders and handcrafted headers
+    through parse_image_header: BMP/PPM round-trip exactly; PNG, GIF
+    and JPEG dims parse from spec-shaped header bytes."""
+    import struct
+
+    from datalake_etlscripts_spark.operators import multimodal as mm
+
+    for w, h in [(1, 1), (7, 3), (16, 16), (13, 1)]:
+        px = bytes((i * 7) % 256 for i in range(3 * w * h))
+        assert mm.parse_image_header(mm.encode_bmp(w, h, px)) == (w, h)
+        assert mm.parse_image_header(mm.encode_ppm(w, h, px)) == (w, h)
+    # BMP row padding: n_bytes matches the 4-byte-aligned formula
+    raw = mm.encode_bmp(7, 3, bytes(63))
+    assert len(raw) == 54 + ((3 * 7 + 3) // 4 * 4) * 3
+    # PPM with comments and P2 (ASCII PGM)
+    assert mm.parse_image_header(b"P6\n# a comment\n12 34\n255\n" + bytes(10)) == (12, 34)
+    assert mm.parse_image_header(b"P2 3 2 255 0 0 0 0 0 0") == (3, 2)
+    # PNG: signature + IHDR
+    png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + struct.pack(
+        ">IIBBBBB", 640, 480, 8, 2, 0, 0, 0
+    )
+    assert mm.parse_image_header(png) == (640, 480)
+    # GIF
+    assert mm.parse_image_header(b"GIF89a" + struct.pack("<HH", 320, 200) + bytes(4)) == (320, 200)
+    # JPEG: SOI + APP0 + SOF0
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 480, 640) + b"\x03" + bytes(9)
+    assert mm.parse_image_header(b"\xff\xd8" + app0 + sof0) == (640, 480)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mm.parse_image_header(b"not an image at all")
