@@ -81,7 +81,109 @@ class DiskStorage:
         return spark.createDataFrame(rows, "file_name string, n_bytes bigint")
 
 
-def copy_callbacks(src: DiskStorage, dst: DiskStorage):
+@dataclass(frozen=True)
+class UriStorage:
+    """URI-addressed file store over ``pyarrow.fs`` — the lake-scale
+    K3/K4 backend beside DiskStorage: the same interface against any
+    FileSystem URI (``file://`` here; ``s3://``, ``gs://``,
+    ``hdfs://`` with the matching arrow filesystem on a cluster
+    image). Completes the reference's object-store backends
+    (ntp_storage.py:140-247, the Swift analogue) for a real lake.
+
+    Why pyarrow.fs and not the JVM Hadoop FileSystem: per-file
+    store/read/delete callbacks run INSIDE ``foreachPartition`` on
+    Python workers, which have no py4j gateway — a spark._jvm-backed
+    client would only ever work on the driver (the streaming state
+    checks, which are driver-side, do use the Hadoop API:
+    streaming/ingest.py:_fs_path_exists). The frozen dataclass holds
+    only the URI; the filesystem client is constructed lazily and
+    cached PER PROCESS, exactly how an object-store SDK client is
+    handled on executors."""
+
+    base_uri: str
+
+    def _fs(self):
+        import pyarrow.fs as pafs
+
+        key = self.base_uri
+        cached = _FS_CACHE.get(key)
+        if cached is None:
+            cached = pafs.FileSystem.from_uri(key)
+            _FS_CACHE[key] = cached
+        return cached  # (FileSystem, base_path)
+
+    def _path(self, file_name: str) -> str:
+        _, base = self._fs()
+        return f"{base.rstrip('/')}/{file_name}"
+
+    def file_store(self, file_name: str, contents: bytes) -> None:
+        fs, base = self._fs()
+        fs.create_dir(base, recursive=True)
+        with fs.open_output_stream(self._path(file_name)) as out:
+            out.write(contents)
+
+    def file_read(self, file_name: str) -> bytes | None:
+        fs, _ = self._fs()
+        try:
+            with fs.open_input_stream(self._path(file_name)) as inp:
+                return inp.read()
+        except (OSError, FileNotFoundError):
+            return None
+
+    def file_delete(self, file_name: str) -> None:
+        fs, _ = self._fs()
+        try:
+            fs.delete_file(self._path(file_name))
+        except (OSError, FileNotFoundError):
+            pass
+
+    def file_exists(self, file_name: str) -> bool:
+        import pyarrow.fs as pafs
+
+        fs, _ = self._fs()
+        return fs.get_file_info(self._path(file_name)).type != pafs.FileType.NotFound
+
+    def file_list(self, id_range: tuple[str, str] | None = None) -> list[str]:
+        import pyarrow.fs as pafs
+
+        fs, base = self._fs()
+        if fs.get_file_info(base).type != pafs.FileType.Directory:
+            return []
+        infos = fs.get_file_info(pafs.FileSelector(base, recursive=False))
+        names = sorted(
+            i.base_name for i in infos if i.type == pafs.FileType.File
+        )
+        if id_range is None:
+            return names
+        lo, hi = id_range
+        return [n for n in names if lo <= n.split("_", 1)[0] <= hi]
+
+    def listing_df(self, spark: SparkSession) -> DataFrame:
+        """(file_name, n_bytes) metadata table for plan_sync. At
+        100 TB the same table comes from an object-store inventory
+        export; this lists the prefix once, driver-side."""
+        import pyarrow.fs as pafs
+
+        fs, base = self._fs()
+        if fs.get_file_info(base).type != pafs.FileType.Directory:
+            rows = []
+        else:
+            rows = [
+                (i.base_name, i.size)
+                for i in fs.get_file_info(pafs.FileSelector(base, recursive=False))
+                if i.type == pafs.FileType.File
+            ]
+        return spark.createDataFrame(rows, "file_name string, n_bytes bigint")
+
+
+# per-process client cache (executors construct their own on first use)
+_FS_CACHE: dict = {}
+
+
+Storage = DiskStorage | UriStorage
+
+
+def copy_callbacks(src: Storage, dst: Storage):
     """(transfer, delete) pair for storesync.apply_sync: ADD/UPD reads
     from src and writes dst; DEL removes from dst. Idempotent — a
     retried partition re-copies byte-identically."""
@@ -99,8 +201,8 @@ def copy_callbacks(src: DiskStorage, dst: DiskStorage):
 
 def apply_purge(
     plan: DataFrame,
-    store: DiskStorage,
-    backup: DiskStorage,
+    store: Storage,
+    backup: Storage,
     name_col: str = "file_name",
 ) -> dict[str, int]:
     """Execute a plan_purge plan: per doomed file, BACKUP strictly
