@@ -318,8 +318,22 @@ def unigram_hard_em_round(
     subsequent encode round is again exact DP. Single-char fallback
     costs stay fixed (they are the smoothing floor, not vocab).
     """
-    import math
+    return _recost(
+        piece_usage_counts(df, vocab, text_col, char_cost, unk_cost), scale
+    )
 
+
+def piece_usage_counts(
+    df: DataFrame,
+    vocab: dict[str, int],
+    text_col: str = "text",
+    char_cost: int = 1000,
+    unk_cost: int = 10000,
+) -> dict[str, int]:
+    """Corpus-weighted piece usage under the current costs — the
+    E-step's sufficient statistic. The cluster does the corpus-scale
+    work (word count + DP + usage aggregate); only the
+    dictionary-sized (piece, uses) table reaches the driver."""
     enc = unigram_viterbi_encode(df, vocab, text_col, char_cost, unk_cost)
     usage = (
         enc.select(F.explode(F.split("pieces", " ")).alias("piece"), "freq")
@@ -334,9 +348,44 @@ def unigram_hard_em_round(
         .agg(F.sum("freq").alias("uses"))
         .collect()
     )
-    counts = {r["piece"]: r["uses"] for r in usage}
+    return {r["piece"]: r["uses"] for r in usage}
+
+
+def _recost(counts: dict[str, int], scale: int = 1000) -> dict[str, int]:
+    """M-step: cost(p) = max(1, floor(-scale·ln(uses/total) + 0.5)),
+    unused pieces pruned. floor(x + 0.5) instead of Python round():
+    banker's rounding is a Python-ism no SQL engine replicates —
+    floor(+0.5) is the one half-up convention every engine shares, so
+    an external oracle replays the integer costs exactly (given the
+    same libm ln(), which holds for any same-host comparison)."""
+    import math
+
     total = sum(counts.values())
     return {
-        p: max(1, round(-scale * math.log(n / total)))
+        p: max(1, math.floor(-scale * math.log(n / total) + 0.5))
         for p, n in sorted(counts.items())
     }
+
+
+def unigram_train(
+    df: DataFrame,
+    vocab: dict[str, int],
+    rounds: int = 2,
+    text_col: str = "text",
+    char_cost: int = 1000,
+    unk_cost: int = 10000,
+    scale: int = 1000,
+) -> list[tuple[dict[str, int], dict[str, int]]]:
+    """N hard-EM rounds of unigram-LM training: per round, one
+    corpus-scale Viterbi E-step (distributed) + the dictionary-sized
+    M-step re-costing on the driver. Returns per-round
+    (costs_after_round, uses_in_round) — the training trajectory,
+    pieces pruned as soon as no best path uses them (Kudo 2018's
+    prune-and-re-estimate loop with Viterbi hard assignment)."""
+    costs = dict(vocab)
+    out: list[tuple[dict[str, int], dict[str, int]]] = []
+    for _ in range(rounds):
+        uses = piece_usage_counts(df, costs, text_col, char_cost, unk_cost)
+        costs = _recost(uses, scale)
+        out.append((costs, uses))
+    return out

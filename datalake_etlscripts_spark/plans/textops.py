@@ -3084,6 +3084,114 @@ def q_unigram_piece_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# unigram-LM hard-EM TRAINING (r4): two full E/M rounds. Round 1 runs
+# the literal-cost DP; the M-step re-costs pieces as
+# max(1, floor(-1000·ln(uses/total) + 0.5)) and prunes unused ones;
+# round 2 re-runs the DP against the COMPUTED costs (a one-row wide
+# cross-joined cost table replaces the literals — the only structural
+# difference from the round-1 CTE chain). floor(+0.5) is the
+# engine-portable half-up convention (Python round() is banker's);
+# ln() is the same-host libm on both engines — the documented
+# portability boundary of the float re-costing story.
+# ---------------------------------------------------------------------------
+def _uni_train_oracle() -> str:
+    in_list = ", ".join(f"'{p}'" for p in sorted(_UNI_VOCAB))
+    cw_cols = ", ".join(
+        f"max(CASE WHEN piece = '{p}' THEN cost END) AS c_{p}"
+        for p in sorted(_UNI_VOCAB)
+    )
+    dyn_terms = [
+        "(costs[j+1] + CASE WHEN substr(word, j+1, 1) BETWEEN 'a' AND 'z'"
+        " THEN 1000 ELSE 10000 END) * 16 + 14"
+    ]
+    for p in sorted(_UNI_VOCAB):
+        pl = len(p)
+        dyn_terms.append(
+            f"CASE WHEN c_{p} IS NOT NULL AND j+1 >= {pl}"
+            f" AND substr(word, j - {pl} + 2, {pl}) = '{p}'"
+            f" THEN (costs[j - {pl} + 2] + c_{p}) * 16 + {15 - pl} END"
+        )
+    dyn_cands = ",\n        ".join(dyn_terms)
+    return (
+        _uni_dp_sql()
+        + f""",
+    u1 AS (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS uses
+      FROM (SELECT freq, unnest(string_split(s, ' ')) AS piece
+            FROM bt WHERE pos = 0)
+      WHERE piece IN ({in_list})
+      GROUP BY piece
+    ),
+    t1 AS (SELECT CAST(sum(uses) AS BIGINT) AS total FROM u1),
+    c1 AS (
+      SELECT piece,
+             greatest(1, CAST(floor(-1000 * ln(CAST(uses AS DOUBLE) / total)
+                                    + 0.5) AS BIGINT)) AS cost
+      FROM u1, t1
+    ),
+    cw AS (SELECT {cw_cols} FROM c1),
+    dp2 AS (
+      SELECT word, freq, length(word) AS len, 0 AS j,
+             [CAST(0 AS BIGINT)] AS costs, [CAST(0 AS INT)] AS backs
+      FROM w
+      UNION ALL
+      SELECT word, freq, len, j + 1,
+             list_append(costs, best >> 4),
+             list_append(backs, CAST(15 - (best & 15) AS INT))
+      FROM (
+        SELECT dp2.*, least(
+        {dyn_cands}
+        ) AS best
+        FROM dp2, cw WHERE j < len
+      )
+    ),
+    fin2 AS (SELECT word, freq, len, costs, backs FROM dp2 WHERE j = len),
+    bt2 AS (
+      SELECT word, freq, len, costs, backs, len AS pos, '' AS s, 0 AS np
+      FROM fin2
+      UNION ALL
+      SELECT word, freq, len, costs, backs,
+             pos - backs[pos + 1],
+             substr(word, pos - backs[pos + 1] + 1, backs[pos + 1])
+               || CASE WHEN s = '' THEN '' ELSE ' ' END || s,
+             np + 1
+      FROM bt2 WHERE pos > 0
+    ),
+    u2 AS (
+      SELECT piece, CAST(sum(freq) AS BIGINT) AS uses
+      FROM (SELECT freq, unnest(string_split(s, ' ')) AS piece
+            FROM bt2 WHERE pos = 0)
+      WHERE piece IN (SELECT piece FROM c1)
+      GROUP BY piece
+    ),
+    t2 AS (SELECT CAST(sum(uses) AS BIGINT) AS total FROM u2),
+    c2 AS (
+      SELECT piece, uses,
+             greatest(1, CAST(floor(-1000 * ln(CAST(uses AS DOUBLE) / total)
+                                    + 0.5) AS BIGINT)) AS cost
+      FROM u2, t2
+    )
+    SELECT c2.piece, c1.cost AS cost_r1, c2.uses AS uses_r2,
+           c2.cost AS cost_r2
+    FROM c2 JOIN c1 ON c2.piece = c1.piece
+    """
+    )
+
+
+@query("unigram_train_rounds", oracle=_uni_train_oracle())
+def q_unigram_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two hard-EM rounds of unigram-LM training: per round one distributed Viterbi E-step + dictionary-sized driver M-step (floor-half-up milli-nat re-costing, unused pieces pruned) - the SentencePiece training loop, trajectory verified piece-by-piece."""
+    from datalake_etlscripts_spark.operators import bpe
+
+    d = read_table(spark, sf_dir, "documents").select("text")
+    (c1, _u1), (c2, u2) = bpe.unigram_train(d, _UNI_VOCAB, rounds=2)
+    rows = [(p, c1[p], u2[p], c2[p]) for p in sorted(c2)]
+    return spark.createDataFrame(
+        rows, "piece string, cost_r1 bigint, uses_r2 bigint, cost_r2 bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
 # pre-tokenization text canonicalization: the corpus is synthetic-clean,
 # so both engines first inject the same mess (curly quotes, NBSP,
 # dashes, ellipsis, Spanish accents, uppercase) by doc_id — then the

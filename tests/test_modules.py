@@ -2376,7 +2376,7 @@ def test_unigram_hard_em_round_matches_python_replay(spark):
                 counts[p] += r["freq"]
     total = sum(counts.values())
     want = {
-        p: max(1, round(-1000 * math.log(n / total)))
+        p: max(1, math.floor(-1000 * math.log(n / total) + 0.5))
         for p, n in sorted(counts.items())
     }
     assert got == want
