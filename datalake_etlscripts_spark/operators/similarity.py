@@ -905,3 +905,68 @@ def lsh_multiprobe_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def bitext_margin_topk(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    k: int = 4,
+    top: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the LASER /
+    CCMatrix alignment criterion): score every (a, b) cross-side pair
+    by cos(a,b) normalized by the mean of each side's top-k neighbor
+    cosines — raw cosine over-selects hub sentences; the margin ratio
+
+        margin(a,b) = cos(a,b) / ((Σtopk_B(a) + Σtopk_A(b)) / 2k)
+
+    suppresses them. Returns the ``top`` best candidate pairs per
+    side-A row: (a_id, b_id, cos_ab, margin, rank).
+
+    Scale shape: side A broadcasts as the query block (mine in
+    A-sized chunks when both sides are corpus-scale, or put an LSH /
+    IVF candidate generator in front — same composition contract as
+    hard_negatives); side B streams once; both top-k folds are
+    bounded per-key windows. Cross-engine determinism: the k window
+    cosines sum in DECIMAL (order-free) and re-enter IEEE754 through
+    one string-parse cast, so an external oracle replays every margin
+    bit-for-bit.
+    """
+    a = side_a.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("_av"))
+    b = side_b.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("_bv"))
+    scored = b.crossJoin(F.broadcast(a)).select(
+        "a_id", "b_id", cosine(F.col("_av"), F.col("_bv")).alias("cos_ab")
+    )
+    # double → shortest-repr string → decimal: DuckDB's direct
+    # double→DECIMAL(20-digit) cast is lossy (multiplies in double);
+    # the string hop is the proven cross-engine-exact route (same
+    # convention as label_outliers' centroid accumulation)
+    dec = F.col("cos_ab").cast("string").cast("decimal(22,20)")
+    wa = W.partitionBy("a_id").orderBy(F.desc("cos_ab"), "b_id")
+    sa = (
+        scored.withColumn("_r", F.row_number().over(wa))
+        .filter(F.col("_r") <= k)
+        .groupBy("a_id")
+        .agg(F.sum(dec).alias("_sa"))
+    )
+    wb = W.partitionBy("b_id").orderBy(F.desc("cos_ab"), "a_id")
+    sb = (
+        scored.withColumn("_r", F.row_number().over(wb))
+        .filter(F.col("_r") <= k)
+        .groupBy("b_id")
+        .agg(F.sum(dec).alias("_sb"))
+    )
+    # direct decimal→double (Java BigDecimal, correctly rounded); the
+    # DuckDB twin round-trips through VARCHAR to reproduce it exactly
+    denom = (F.col("_sa") + F.col("_sb")).cast("double") / F.lit(2 * k)
+    m = (
+        scored.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", "cos_ab", (F.col("cos_ab") / denom).alias("margin"))
+    )
+    wt = W.partitionBy("a_id").orderBy(F.desc("margin"), "b_id")
+    return m.withColumn("rank", F.row_number().over(wt)).filter(
+        F.col("rank") <= top
+    )

@@ -421,3 +421,63 @@ def q_feature_scaling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "embeddings")
     return feature_scaling_stats(e)
+
+
+# ---------------------------------------------------------------------------
+# margin-based bitext mining (r4): sides are the even/odd halves of
+# the embeddings table (the two-languages stand-in); side A limited to
+# a 20-vector query block (the broadcast contract). The oracle replays
+# the cosine folds, both DECIMAL top-k sums, the string-parse
+# re-entry to DOUBLE, and the margin ratio.
+# ---------------------------------------------------------------------------
+_COS_AB = """
+        list_reduce(list_prepend(0.0, list_transform(list_zip(av, bv),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a,b) -> a + b)
+        / (sqrt(list_reduce(list_prepend(0.0, list_transform(av,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b))
+         * sqrt(list_reduce(list_prepend(0.0, list_transform(bv,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b)))
+"""
+
+_BITEXT_ORACLE = f"""
+    WITH a AS (SELECT vec_id AS a_id, embedding AS av FROM embeddings
+               WHERE vec_id % 2 = 0 AND vec_id < 40),
+    b AS (SELECT vec_id AS b_id, embedding AS bv FROM embeddings
+          WHERE vec_id % 2 = 1),
+    scored AS (
+      SELECT a_id, b_id, {_COS_AB} AS cos_ab FROM a, b
+    ),
+    sa AS (
+      SELECT a_id, SUM(CAST(CAST(cos_ab AS VARCHAR) AS DECIMAL(22,20))) AS s FROM (
+        SELECT *, row_number() OVER (PARTITION BY a_id
+                 ORDER BY cos_ab DESC, b_id) AS r FROM scored
+      ) WHERE r <= 4 GROUP BY a_id
+    ),
+    sb AS (
+      SELECT b_id, SUM(CAST(CAST(cos_ab AS VARCHAR) AS DECIMAL(22,20))) AS s FROM (
+        SELECT *, row_number() OVER (PARTITION BY b_id
+                 ORDER BY cos_ab DESC, a_id) AS r FROM scored
+      ) WHERE r <= 4 GROUP BY b_id
+    ),
+    m AS (
+      SELECT sc.a_id, sc.b_id, sc.cos_ab,
+             sc.cos_ab / (CAST(CAST(sa.s + sb.s AS VARCHAR) AS DOUBLE) / 8)
+               AS margin
+      FROM scored sc JOIN sa USING (a_id) JOIN sb USING (b_id)
+    )
+    SELECT a_id, b_id, cos_ab, margin, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY a_id
+               ORDER BY margin DESC, b_id) AS rank FROM m
+    ) WHERE rank <= 1
+"""
+
+
+@query("bitext_margin_mining", oracle=_BITEXT_ORACLE)
+def q_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe-Schwenk ratio margin): best cross-side pair per query vector, cosine normalized by both sides' mean top-4 neighbor cosine - hub suppression, decimal-exact neighborhood sums."""
+    from datalake_etlscripts_spark.operators.similarity import bitext_margin_topk
+
+    e = read_table(spark, sf_dir, "embeddings")
+    side_a = e.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 40))
+    side_b = e.filter(F.col("vec_id") % 2 == 1)
+    return bitext_margin_topk(side_a, side_b, k=4, top=1)
