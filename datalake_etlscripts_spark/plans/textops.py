@@ -1189,6 +1189,101 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# curriculum phases (r4): the training-ORDER planner on top of the
+# decile machinery — docs split into 4 exact quality quartiles
+# (cleanest first), reported as the per-phase schedule a curriculum
+# trainer consumes: doc count, token budget, token share, quality
+# range. Same distributed sort-rank plan as quality_deciles (bucketed
+# windows, ≤9-long driver cumsum), one extra per-phase aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "curriculum_phases",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_distinct(list_filter(string_split(text,' '), x -> x <> ''))) AS DOUBLE)
+             / len(list_filter(string_split(text,' '), x -> x <> '')) AS dr,
+             len(list_filter(string_split(text,' '), x -> x <> '')) AS ntoks
+      FROM documents
+    ),
+    r AS (
+      SELECT *, ntile(4) OVER (ORDER BY dr DESC, doc_id) AS phase FROM t
+    ),
+    g AS (
+      SELECT phase, count(*) AS n_docs, CAST(sum(ntoks) AS BIGINT) AS n_tokens,
+             min(dr) AS min_quality, max(dr) AS max_quality
+      FROM r GROUP BY phase
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM g)
+    SELECT phase, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / total AS token_share,
+           min_quality, max_quality
+    FROM g, tot
+    """,
+)
+def q_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule over exact quality quartiles (cleanest-first ntile(4) on distinct-token ratio): per-phase doc count, token budget + share, quality range - the distributed sort-rank plan, no global window.
+
+    Phase 1 = highest distinct-token ratio (least repetitive) — the
+    'clean first, noisy later' curriculum ordering; token budgets are
+    exact integer sums, the share one double division of exact ints."""
+    from pyspark.sql import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = text.quality_features(d).select("doc_id", "distinct_ratio", "n_tokens")
+
+    probes = [i / 16 for i in range(1, 16)]
+    bounds = sorted(set(scored.approxQuantile("distinct_ratio", probes, 0.01)))
+    # DESCENDING quality order: bucket 0 holds the HIGHEST ratios
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col("distinct_ratio") <= b, 1).otherwise(0)
+    bucketed = scored.withColumn("_bkt", bucket)
+
+    counts = {
+        r["_bkt"]: r["cnt"]
+        for r in bucketed.groupBy("_bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(counts.values())
+    offsets, acc = {}, 0
+    for k in sorted(counts):
+        offsets[k] = acc
+        acc += counts[k]
+    off = F.lit(0)
+    for k, v in offsets.items():
+        off = F.when(F.col("_bkt") == k, v).otherwise(off)
+    wb = W.partitionBy("_bkt").orderBy(F.desc("distinct_ratio"), "doc_id")
+    ranked = bucketed.withColumn("_rank", off + F.row_number().over(wb))
+    q, r = divmod(n, 4)
+    rank = F.col("_rank")
+    if q == 0:
+        phase = rank - 1
+    else:
+        phase = F.when(
+            rank <= r * (q + 1), ((rank - 1) / (q + 1)).cast("long")
+        ).otherwise(r + ((rank - 1 - r * (q + 1)) / q).cast("long"))
+    g = (
+        ranked.withColumn("phase", (phase + F.lit(1)).cast("int"))
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("distinct_ratio").alias("min_quality"),
+            F.max("distinct_ratio").alias("max_quality"),
+        )
+    )
+    tot = g.agg(F.sum("n_tokens").alias("_total"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "phase",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("_total")).alias("token_share"),
+        "min_quality",
+        "max_quality",
+    )
+
+
+# ---------------------------------------------------------------------------
 # vocabulary statistics (corpus term/document frequencies)
 # ---------------------------------------------------------------------------
 @query(
