@@ -418,3 +418,81 @@ def temperature_mixture_sample(
         .filter(uniform_hash(F.col(key_col)) < F.col("_rate"))
         .drop("_rate")
     )
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw doc
+    by how target-like its hashed bag-of-words is,
+
+        log w(doc) = Σ_f n_f(doc) · [ln p_target(f) − ln p_raw(f)]
+
+    over ``n_buckets`` hashed token features with +1 Laplace
+    smoothing. Selecting the highest-weight docs (or Gumbel-resampling
+    on the weights) is the classic cheap way to steer a 100 TB crawl
+    toward a benchmark/domain distribution without a trained filter.
+
+    Scale + portability shape: both feature models are BUCKET-sized
+    aggregates (one corpus scan each); only those ≤ n_buckets rows
+    reach the driver, where the two ln() calls per bucket happen in
+    Python and are fixed to INTEGER micro-nats (floor(x·1e6 + 0.5) —
+    half-up, no banker's rounding), the unigram-trainer convention.
+    Doc scoring is then pure BIGINT arithmetic: one hash-bucket
+    explode, a broadcast join against the tiny weight table, one
+    map-side-combined per-doc sum — no float summation order anywhere,
+    replayable bit-for-bit by an external engine (same-host libm ln is
+    the one documented boundary). Returns (doc_id, log_weight_micro,
+    keep) with keep = weight > 0 (more target-like than raw-like).
+    """
+    import math
+
+    from datalake_etlscripts_spark.functions.scalar import md5_hash32
+    from datalake_etlscripts_spark.operators.text import tokens
+
+    def bucketize(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_term")
+        ).select(
+            F.col(id_col), (md5_hash32(F.col("_term")) % n_buckets).alias("bucket")
+        )
+
+    def model_counts(df: DataFrame) -> dict[int, int]:
+        return {
+            r["bucket"]: r["n"]
+            for r in bucketize(df)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    ct, cr = model_counts(target), model_counts(raw)
+    tt, tr = sum(ct.values()), sum(cr.values())
+    rows = []
+    for b in range(n_buckets):
+        lnr = math.log((ct.get(b, 0) + 1) / (tt + n_buckets)) - math.log(
+            (cr.get(b, 0) + 1) / (tr + n_buckets)
+        )
+        rows.append((b, int(math.floor(lnr * scale + 0.5))))
+    spark = raw.sparkSession
+    weights = spark.createDataFrame(rows, "bucket bigint, lnr_micro bigint")
+
+    per_doc = (
+        bucketize(raw)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("_n") * F.col("lnr_micro")).alias("log_weight_micro"))
+    )
+    return per_doc.select(
+        id_col,
+        "log_weight_micro",
+        (F.col("log_weight_micro") > 0).alias("keep"),
+    )

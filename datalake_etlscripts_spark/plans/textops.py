@@ -3621,3 +3621,52 @@ def q_leakage_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (r4): hashed bag-of-words importance
+# weights steering the raw corpus toward the benchmark slice
+# (doc_id % 97 = 0 — the decontaminate convention's "target"). Both
+# engines fix the per-bucket ln-ratio to integer micro-nats; doc
+# scoring is pure BIGINT.
+# ---------------------------------------------------------------------------
+_DSIR_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      FROM documents
+    ),
+    b AS (SELECT doc_id, {ddb_hex32("md5(term)")} % 1024 AS bucket FROM tok),
+    ct AS (SELECT bucket, count(*) AS n FROM b WHERE doc_id % 97 = 0 GROUP BY bucket),
+    cr AS (SELECT bucket, count(*) AS n FROM b WHERE doc_id % 97 <> 0 GROUP BY bucket),
+    tt AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS t FROM ct),
+    tr AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS t FROM cr),
+    grid AS (SELECT range AS bucket FROM range(1024)),
+    w AS (
+      SELECT g.bucket,
+             CAST(floor((ln((coalesce(ct.n, 0) + 1) / (tt.t + 1024))
+                         - ln((coalesce(cr.n, 0) + 1) / (tr.t + 1024)))
+                        * 1000000 + 0.5) AS BIGINT) AS lnr
+      FROM grid g LEFT JOIN ct ON g.bucket = ct.bucket
+                  LEFT JOIN cr ON g.bucket = cr.bucket, tt, tr
+    ),
+    pd AS (
+      SELECT doc_id, bucket, count(*) AS n FROM b
+      WHERE doc_id % 97 <> 0 GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(sum(n * w.lnr) AS BIGINT) AS log_weight_micro,
+           sum(n * w.lnr) > 0 AS keep
+    FROM pd JOIN w ON pd.bucket = w.bucket
+    GROUP BY doc_id
+"""
+
+
+@query("dsir_importance_weights", oracle=_DSIR_ORACLE)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: per-doc hashed-bag ln-likelihood-ratio vs the benchmark slice, integer micro-nats end to end - the cheap corpus-steering selector (keep = more target-like than raw-like)."""
+    from datalake_etlscripts_spark.operators.sampling import dsir_logweights
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = d.filter(F.col("doc_id") % 97 == 0)
+    raw = d.filter(F.col("doc_id") % 97 != 0)
+    return dsir_logweights(raw, target)
