@@ -3670,3 +3670,54 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = d.filter(F.col("doc_id") % 97 == 0)
     raw = d.filter(F.col("doc_id") % 97 != 0)
     return dsir_logweights(raw, target)
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction planner (r4): the lakehouse OPTIMIZE shape.
+# Files (one per doc here; a real lake feeds its manifest/inventory
+# table) bin into ~64 KB output groups by running-total next-fit —
+# exactly how Spark's own file coalescing packs splits. Windows run
+# PER TABLE PARTITION (lang), matching how compaction is actually
+# scheduled; per-partition file counts are bounded operationally
+# (thousands), never corpus-scale.
+# ---------------------------------------------------------------------------
+@query(
+    "compaction_plan",
+    oracle="""
+    WITH f AS (
+      SELECT lang, doc_id, octet_length(encode(text)) AS n_bytes FROM documents
+    ),
+    c AS (
+      SELECT lang, doc_id, n_bytes,
+             CAST(sum(n_bytes) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM f
+    )
+    SELECT lang, CAST((cum - n_bytes) // 65536 AS BIGINT) AS bin,
+           count(*) AS n_files, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: next-fit running-total binning of per-partition files into ~64 KB output groups - the OPTIMIZE/coalesce planner, windows bounded per table partition."""
+    from pyspark.sql import Window as W
+
+    d = read_table(spark, sf_dir, "documents")
+    f = d.select(
+        "lang", "doc_id", F.octet_length("text").alias("n_bytes")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    c = f.withColumn("cum", F.sum("n_bytes").over(w))
+    return (
+        c.withColumn("bin", F.expr("(cum - n_bytes) div 65536"))
+        .groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
