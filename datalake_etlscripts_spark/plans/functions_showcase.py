@@ -965,3 +965,96 @@ def q_corpus_overlap_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment_a_in_b_est"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# layout pruning audit (r4): WHY the z-order key exists, measured. The
+# same rows are laid out two ways — insertion order (l_orderkey
+# ranges) vs z-key ranges (how cluster_write range-partitions) — and a
+# 16x16 box predicate on the two quantized dims is tested against
+# each file's min/max zone map. files_scanned / n_files is the
+# fraction of the table a data-skipping reader must touch: the
+# z-layout concentrates both dims, insertion order prunes (almost)
+# nothing. Pure aggregates — no global sort; file ids come from key
+# ranges exactly like a range-partitioned writer.
+# ---------------------------------------------------------------------------
+@query(
+    "layout_pruning_audit",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_orderkey, l_partkey % 256 AS qp, l_suppkey % 256 AS qs,
+             CAST({_Z_TERMS} AS BIGINT) AS zkey
+      FROM lineitem
+    ),
+    files AS (
+      SELECT 'natural' AS layout, l_orderkey // 256 AS file, qp, qs FROM r
+      UNION ALL
+      SELECT 'zorder', zkey // 256, qp, qs FROM r
+    ),
+    zones AS (
+      SELECT layout, file, min(qp) AS min_p, max(qp) AS max_p,
+             min(qs) AS min_s, max(qs) AS max_s, count(*) AS n_rows
+      FROM files GROUP BY 1, 2
+    )
+    SELECT layout, count(*) AS n_files,
+           CAST(sum(CASE WHEN max_p >= 16 AND min_p <= 31
+                          AND max_s >= 32 AND min_s <= 47
+                         THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+           CAST(sum(CASE WHEN max_p >= 16 AND min_p <= 31
+                          AND max_s >= 32 AND min_s <= 47
+                         THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(sum(CASE WHEN max_p >= 16 AND min_p <= 31
+                          AND max_s >= 32 AND min_s <= 47
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+             AS scan_fraction
+    FROM zones GROUP BY layout
+    """,
+)
+def q_layout_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map pruning audit: files_scanned for a 2-dim box predicate under insertion-order vs z-order range layout - the measured case for clustering keys, aggregates only (file ids = key ranges, no global sort)."""
+    from datalake_etlscripts_spark.io.layout import interleave_bits
+
+    li = read_table(spark, sf_dir, "lineitem")
+    r = li.select(
+        "l_orderkey",
+        (F.col("l_partkey") % 256).alias("qp"),
+        (F.col("l_suppkey") % 256).alias("qs"),
+        interleave_bits(
+            [F.col("l_partkey") % 256, F.col("l_suppkey") % 256], bits=8
+        ).alias("zkey"),
+    )
+    files = r.select(
+        F.lit("natural").alias("layout"),
+        F.expr("l_orderkey div 256").alias("file"),
+        "qp",
+        "qs",
+    ).unionByName(
+        r.select(
+            F.lit("zorder").alias("layout"),
+            F.expr("zkey div 256").alias("file"),
+            "qp",
+            "qs",
+        )
+    )
+    zones = files.groupBy("layout", "file").agg(
+        F.min("qp").alias("min_p"),
+        F.max("qp").alias("max_p"),
+        F.min("qs").alias("min_s"),
+        F.max("qs").alias("max_s"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    hit = (
+        (F.col("max_p") >= 16)
+        & (F.col("min_p") <= 31)
+        & (F.col("max_s") >= 32)
+        & (F.col("min_s") <= 47)
+    )
+    return zones.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.when(hit, 1).otherwise(0)).alias("files_scanned"),
+        F.sum(F.when(hit, F.col("n_rows")).otherwise(0)).alias("rows_scanned"),
+        (
+            F.sum(F.when(hit, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("scan_fraction"),
+    )
