@@ -807,3 +807,72 @@ def blocklist_term_filter(
         .withColumn("n_blocked", F.coalesce("n_blocked", F.lit(0)))
         .withColumn("keep", F.col("n_blocked") == 0)
     )
+
+
+def perceptron_train(
+    df: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    rounds: int = 3,
+) -> DataFrame:
+    """Train a hashing-trick linear quality filter IN the engine: a
+    distributed batch perceptron over hashed bag-of-words features
+    (plus a bias feature), the trainable twin of hashed_linear_score.
+    Labels are ±1 (``label`` column expression). Per round, every
+    misclassified doc (y·score ≤ 0) adds y·x to the weights — pure
+    64-bit INTEGER arithmetic end to end, so training is deterministic
+    under any partitioning and an external engine replays the exact
+    weight trajectory (no learning-rate floats, no sigmoid).
+
+    Scale shape: the (doc, bucket, n) feature table settles once
+    (localCheckpoint) and is re-read each round; a round is one
+    broadcast join against the ≤ n_buckets+1 weight rows + two
+    map-side-combined aggregates; only the dictionary-sized per-bucket
+    delta reaches the driver (the bpe_train / unigram_train handoff
+    convention). Returns (bucket, weight) after ``rounds`` — bucket -1
+    is the bias."""
+    from datalake_etlscripts_spark.functions.scalar import md5_hash32
+
+    spark = df.sparkSession
+    docs = df.select(F.col(id_col), label.alias("_y"), F.col(text_col))
+    feats = (
+        docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("_t"))
+        .select(F.col(id_col), (md5_hash32(F.col("_t")) % n_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .unionByName(
+            docs.select(
+                F.col(id_col),
+                F.lit(-1).cast("bigint").alias("bucket"),
+                F.lit(1).cast("bigint").alias("_n"),
+            )
+        )
+        .localCheckpoint()
+    )
+    labels = docs.select(id_col, "_y").localCheckpoint()
+    w = {b: 0 for b in range(-1, n_buckets)}
+    for _ in range(rounds):
+        wdf = spark.createDataFrame(
+            sorted(w.items()), "bucket bigint, _w bigint"
+        )
+        sc = (
+            feats.join(F.broadcast(wdf), "bucket")
+            .groupBy(id_col)
+            .agg(F.sum(F.col("_n") * F.col("_w")).alias("_sc"))
+        )
+        mis = labels.join(sc, id_col).filter(
+            F.col("_y") * F.col("_sc") <= 0
+        )
+        delta = (
+            feats.join(mis.select(id_col, "_y"), id_col)
+            .groupBy("bucket")
+            .agg(F.sum(F.col("_y") * F.col("_n")).alias("_d"))
+            .collect()
+        )
+        for r in delta:
+            w[r["bucket"]] += r["_d"]
+    return spark.createDataFrame(
+        sorted(w.items()), "bucket bigint, weight bigint"
+    )

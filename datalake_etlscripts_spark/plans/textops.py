@@ -3721,3 +3721,90 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# in-engine classifier TRAINING (r4): distributed integer batch
+# perceptron over hashed bag-of-words — the trainable twin of
+# classifier_quality_score. Label: does the doc contain the token
+# 'spark' (a learnable signal on the synthetic corpus — the
+# perceptron must drive bucket('spark')'s weight positive). Three
+# rounds unroll as chained CTEs; every weight is a 64-bit int.
+# ---------------------------------------------------------------------------
+def _perceptron_oracle() -> str:
+    bkt = ddb_hex32("md5(term)")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+      FROM documents
+    ),
+    f0 AS (
+      SELECT doc_id, {bkt} % 64 AS bucket, CAST(count(*) AS BIGINT) AS n
+      FROM tok GROUP BY 1, 2
+    ),
+    feats AS (
+      SELECT * FROM f0
+      UNION ALL
+      SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM documents
+    ),
+    labels AS (
+      SELECT doc_id,
+             CASE WHEN list_contains(list_filter(string_split(text, ' '),
+                                                 x -> x <> ''), 'spark')
+                  THEN 1 ELSE -1 END AS y
+      FROM documents
+    ),
+    w1 AS (
+      SELECT bucket, CAST(sum(y * n) AS BIGINT) AS w
+      FROM feats JOIN labels USING (doc_id) GROUP BY bucket
+    ),
+    s2 AS (
+      SELECT f.doc_id, CAST(sum(f.n * coalesce(w1.w, 0)) AS BIGINT) AS sc
+      FROM feats f LEFT JOIN w1 ON f.bucket = w1.bucket GROUP BY 1
+    ),
+    m2 AS (
+      SELECT l.doc_id, l.y FROM labels l JOIN s2 USING (doc_id)
+      WHERE l.y * s2.sc <= 0
+    ),
+    u2 AS (
+      SELECT bucket, CAST(sum(y * n) AS BIGINT) AS dw
+      FROM feats JOIN m2 USING (doc_id) GROUP BY bucket
+    ),
+    w2 AS (
+      SELECT coalesce(w1.bucket, u2.bucket) AS bucket,
+             coalesce(w1.w, 0) + coalesce(u2.dw, 0) AS w
+      FROM w1 FULL JOIN u2 ON w1.bucket = u2.bucket
+    ),
+    s3 AS (
+      SELECT f.doc_id, CAST(sum(f.n * coalesce(w2.w, 0)) AS BIGINT) AS sc
+      FROM feats f LEFT JOIN w2 ON f.bucket = w2.bucket GROUP BY 1
+    ),
+    m3 AS (
+      SELECT l.doc_id, l.y FROM labels l JOIN s3 USING (doc_id)
+      WHERE l.y * s3.sc <= 0
+    ),
+    u3 AS (
+      SELECT bucket, CAST(sum(y * n) AS BIGINT) AS dw
+      FROM feats JOIN m3 USING (doc_id) GROUP BY bucket
+    ),
+    w3 AS (
+      SELECT coalesce(w2.bucket, u3.bucket) AS bucket,
+             coalesce(w2.w, 0) + coalesce(u3.dw, 0) AS w
+      FROM w2 FULL JOIN u3 ON w2.bucket = u3.bucket
+    ),
+    grid AS (SELECT range - 1 AS bucket FROM range(65))
+    SELECT g.bucket, CAST(coalesce(w3.w, 0) AS BIGINT) AS weight
+    FROM grid g LEFT JOIN w3 ON g.bucket = w3.bucket
+    """
+
+
+@query("perceptron_train_rounds", oracle=_perceptron_oracle())
+def q_perceptron_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed integer batch-perceptron training of a hashed-bag quality filter (3 rounds, contains-'spark' label) - exact weight trajectory, dictionary-sized driver handoff per round."""
+    from datalake_etlscripts_spark.operators.text import perceptron_train, tokens
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    label = F.when(
+        F.array_contains(tokens(F.col("text")), "spark"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    return perceptron_train(d, label, rounds=3)
