@@ -167,3 +167,79 @@ def test_uri_storage_sync_e2e_over_file_uris(spark, tmp_path):
     assert counts == {"BACKUP": 1, "DEL": 1}
     assert backup.file_read("ntp00000001_doc.pdf") == b"one"
     assert not src.file_exists("ntp00000001_doc.pdf")
+
+
+def test_perceptron_learns_the_label_token(spark):
+    """The contains-'spark' label is linearly separable on bucket
+    features when 'spark' hashes alone: after 3 integer rounds the
+    'spark' bucket's weight must be strictly positive and score
+    separation must improve over the zero init (fewer misclassified
+    than total)."""
+    from datalake_etlscripts_spark.functions.scalar import md5_hash32
+    from datalake_etlscripts_spark.operators.text import perceptron_train, tokens
+    from pyspark.sql import functions as F
+
+    rows = [(i, ("spark wins " if i % 3 == 0 else "flink rules ") + f"doc {i}")
+            for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    label = F.when(
+        F.array_contains(tokens(F.col("text")), "spark"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    w = {r["bucket"]: r["weight"] for r in perceptron_train(d, label, rounds=3).collect()}
+    spark_bucket = d.select(
+        (md5_hash32(F.lit("spark")) % 64).alias("b")
+    ).first()["b"]
+    assert w[spark_bucket] > 0
+    # the trained weights classify the training set well
+    feats = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    scored = (
+        feats.withColumn("b", md5_hash32(F.col("t")) % 64)
+        .withColumn("w", F.lit(0) + sum(F.when(F.col("b") == b, wt).otherwise(0) for b, wt in w.items() if b >= 0))
+        .groupBy("doc_id")
+        .agg((F.sum("w") + w[-1]).alias("sc"))
+        .join(d.select("doc_id", label.alias("y")), "doc_id")
+    )
+    n_bad = scored.filter(F.col("y") * F.col("sc") <= 0).count()
+    assert n_bad <= 6  # >= 90% training accuracy
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Docs whose tokens mirror the target slice must out-weigh docs
+    drawn from a disjoint vocabulary."""
+    from datalake_etlscripts_spark.operators.sampling import dsir_logweights
+
+    target = spark.createDataFrame(
+        [(1000 + i, "science physics theorem proof lemma") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "physics theorem proof"), (2, "celebrity gossip fashion shoes")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in dsir_logweights(raw, target).collect()}
+    assert got[1]["log_weight_micro"] > got[2]["log_weight_micro"]
+    assert got[1]["keep"] and not got[2]["keep"]
+
+
+def test_bitext_margin_suppresses_hubs(spark):
+    """A hub vector close to EVERYTHING must lose to a vector with one
+    distinctive match: raw cosine picks the hub, margin does not."""
+    from datalake_etlscripts_spark.operators.similarity import bitext_margin_topk
+
+    # side A: query 0 aligned with b=11; hub b=99 moderately close to all
+    a_rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    hub = [0.5, 0.5, 0.5, 0.28]
+    b_rows = [
+        (11, [0.95, 0.05, 0.0, 0.0]),   # true match for 0
+        (13, [0.1, 0.9, 0.1, 0.0]),     # true match for 2
+        (15, [0.0, 0.1, 0.9, 0.1]),     # true match for 4
+        (99, hub),
+    ]
+    a = spark.createDataFrame(a_rows, "vec_id bigint, embedding array<float>")
+    b = spark.createDataFrame(b_rows, "vec_id bigint, embedding array<float>")
+    got = {r["a_id"]: r["b_id"] for r in bitext_margin_topk(a, b, k=2, top=1).collect()}
+    assert got == {0: 11, 2: 13, 4: 15}
