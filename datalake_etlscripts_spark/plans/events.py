@@ -1382,9 +1382,9 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: the exact statistic needs a per-type cumulative count
     over the DISTINCT-VALUE grid — one window partition per type, so
     this is the audit-scale form (fine while distinct values per type
-    fit a task). The 100 TB drift check is the binned
-    distribution_drift query; or quantize values first (the
-    quality_deciles boundary trick) to bound the grid."""
+    fit a task). The 100 TB forms are registered beside it:
+    `ks_two_sample_quantized` (64-bin grid, window bounded at 64 rows
+    per type) and the binned `distribution_drift` chi-square."""
     e = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     v = e.select(
         "event_type",
