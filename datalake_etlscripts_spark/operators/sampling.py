@@ -496,3 +496,61 @@ def dsir_logweights(
         "log_weight_micro",
         (F.col("log_weight_micro") > 0).alias("keep"),
     )
+
+
+def gumbel_topk_resample(
+    weighted: DataFrame,
+    k: int = 100,
+    id_col: str = "doc_id",
+    weight_col: str = "log_weight_micro",
+    n_levels: int = 1024,
+    scale: int = 1_000_000,
+    seed: str = "gumbel1",
+) -> DataFrame:
+    """Gumbel-top-k importance RESAMPLING over integer log-weights —
+    the selection step DSIR actually prescribes (top-k of
+    log w + Gumbel noise ~ sampling WITHOUT replacement ∝ w). The
+    noise is deterministic and engine-portable: each row's md5-uniform
+    quantizes to one of ``n_levels`` levels, and the ≤ n_levels Gumbel
+    values  g(u) = -ln(-ln(u))  are fixed to integer micro-nats ON THE
+    DRIVER (same floor-half-up + same-host-libm contract as the DSIR
+    weights themselves), broadcast back as a lookup dim. Quantized
+    noise is still a valid Gumbel-max scheme (documented: ties within
+    a level resolve by id — a 1/n_levels-granularity floor on the
+    noise, not a bias). Selection is one TakeOrdered — never a global
+    sort. Returns (id, log_weight_micro, gumbel_micro, key, rank)."""
+    import math
+
+    from datalake_etlscripts_spark.functions.scalar import md5_hash32
+
+    spark = weighted.sparkSession
+    levels = [
+        (
+            lv,
+            int(
+                math.floor(
+                    -math.log(-math.log((lv + 0.5) / n_levels)) * scale + 0.5
+                )
+            ),
+        )
+        for lv in range(n_levels)
+    ]
+    gdim = spark.createDataFrame(levels, "lvl bigint, gumbel_micro bigint")
+    keyed = (
+        weighted.withColumn(
+            "lvl", md5_hash32(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+            % n_levels
+        )
+        .join(F.broadcast(gdim), "lvl")
+        .select(
+            id_col,
+            weight_col,
+            "gumbel_micro",
+            (F.col(weight_col) + F.col("gumbel_micro")).alias("key"),
+        )
+    )
+    w = W.orderBy(F.desc("key"), F.asc(id_col))
+    # orderBy+limit compiles to TakeOrderedAndProject (distributed
+    # partial top-k, no single-partition sort)
+    ranked = keyed.orderBy(F.desc("key"), F.asc(id_col)).limit(k)
+    return ranked.withColumn("rank", F.row_number().over(w))

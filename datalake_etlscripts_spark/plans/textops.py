@@ -3630,7 +3630,7 @@ def q_leakage_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines fix the per-bucket ln-ratio to integer micro-nats; doc
 # scoring is pure BIGINT.
 # ---------------------------------------------------------------------------
-_DSIR_ORACLE = f"""
+_DSIR_CTES = f"""
     WITH tok AS (
       SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
       FROM documents
@@ -3653,12 +3653,19 @@ _DSIR_ORACLE = f"""
       SELECT doc_id, bucket, count(*) AS n FROM b
       WHERE doc_id % 97 <> 0 GROUP BY 1, 2
     )
+    """
+
+
+_DSIR_ORACLE = (
+    _DSIR_CTES
+    + """
     SELECT doc_id,
            CAST(sum(n * w.lnr) AS BIGINT) AS log_weight_micro,
            sum(n * w.lnr) > 0 AS keep
     FROM pd JOIN w ON pd.bucket = w.bucket
     GROUP BY doc_id
 """
+)
 
 
 @query("dsir_importance_weights", oracle=_DSIR_ORACLE)
@@ -3808,3 +3815,54 @@ def q_perceptron_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(tokens(F.col("text")), "spark"), F.lit(1)
     ).otherwise(F.lit(-1))
     return perceptron_train(d, label, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# DSIR step 2 (r4): Gumbel-top-k RESAMPLING over the importance
+# weights — selection ∝ weight without replacement, fully
+# deterministic: per-doc md5-uniform quantizes to 1024 levels whose
+# integer micro-nat Gumbel values are fixed driver-side (same
+# floor-half-up + same-host-libm contract as the weights).
+# ---------------------------------------------------------------------------
+_GUMBEL_ORACLE = (
+    _DSIR_CTES
+    + f""",
+    dsirout AS (
+      SELECT doc_id, CAST(sum(n * w.lnr) AS BIGINT) AS log_weight_micro
+      FROM pd JOIN w ON pd.bucket = w.bucket
+      GROUP BY doc_id
+    ),
+    gdim AS (
+      SELECT range AS lvl,
+             CAST(floor(-ln(-ln((range + 0.5) / 1024)) * 1000000 + 0.5)
+                  AS BIGINT) AS gumbel_micro
+      FROM range(1024)
+    ),
+    keyed AS (
+      SELECT d.doc_id, d.log_weight_micro, g.gumbel_micro,
+             d.log_weight_micro + g.gumbel_micro AS key
+      FROM dsirout d
+      JOIN gdim g
+        ON {ddb_hex32("md5('gumbel1' || CAST(d.doc_id AS VARCHAR))")} % 1024
+           = g.lvl
+    )
+    SELECT doc_id, log_weight_micro, gumbel_micro, key,
+           CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS INT) AS rank
+    FROM (SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT 100)
+    """
+)
+
+
+@query("dsir_gumbel_resample", oracle=_GUMBEL_ORACLE)
+def q_dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR selection: Gumbel-top-100 resampling over the importance weights - quantized integer Gumbel noise (1024 driver-fixed micro-nat levels), distributed TakeOrdered, no global sort."""
+    from datalake_etlscripts_spark.operators.sampling import (
+        dsir_logweights,
+        gumbel_topk_resample,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    target = d.filter(F.col("doc_id") % 97 == 0)
+    raw = d.filter(F.col("doc_id") % 97 != 0)
+    weighted = dsir_logweights(raw, target).select("doc_id", "log_weight_micro")
+    return gumbel_topk_resample(weighted, k=100)
