@@ -720,3 +720,234 @@ def run_streaming_funnel(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def binned_value_counts(
+    events: DataFrame, bin_width: float = 10.0
+) -> DataFrame:
+    """(event_type, bin, n) value-histogram grain — the mergeable count
+    monoid shared by the drift monitor's reference snapshot, its
+    streaming fold, and the batch twin (stream ≡ batch is then an
+    equality over the same plan, not a reimplementation)."""
+    return (
+        events.select(
+            "event_type",
+            F.floor(F.col("value") / F.lit(bin_width)).cast("long").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def drift_report_from_counts(
+    ref_counts: DataFrame, obs_counts: DataFrame
+) -> DataFrame:
+    """Per-type drift between a reference histogram and the observed
+    one: Σ_bins (p_ref − p_obs)²/(p_ref + p_obs), folded IN BIN ORDER
+    (sorted collect — the engine's deterministic-double-sum policy).
+    Same statistic as operators/events.distribution_drift and for the
+    same reason: PSI's per-bin ln() is not bit-portable across
+    engines, and this form separates identical-vs-disjoint (0 → 2)
+    with only +,−,×,÷. Returns (event_type, n_ref, n_obs, drift)."""
+    c = (
+        ref_counts.select(
+            "event_type", "bin", F.col("n").alias("_na"), F.lit(0).alias("_nb")
+        )
+        .unionByName(
+            obs_counts.select(
+                "event_type", "bin", F.lit(0).alias("_na"), F.col("n").alias("_nb")
+            )
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.sum("_na").alias("_na"), F.sum("_nb").alias("_nb"))
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("_na").alias("n_ref"),
+        F.sum("_nb").alias("n_obs"),
+        F.array_sort(F.collect_list(F.struct("bin", "_na", "_nb"))).alias("_arr"),
+    )
+
+    def term(s):
+        pa = s["_na"].cast("double") / F.col("n_ref")
+        pb = s["_nb"].cast("double") / F.col("n_obs")
+        return F.when(
+            (s["_na"] > 0) | (s["_nb"] > 0),
+            (pa - pb) * (pa - pb) / (pa + pb),
+        ).otherwise(F.lit(0.0))
+
+    return t.select(
+        "event_type",
+        "n_ref",
+        "n_obs",
+        F.aggregate(F.col("_arr"), F.lit(0.0), lambda acc, s: acc + term(s)).alias(
+            "drift"
+        ),
+    )
+
+
+def run_streaming_drift_monitor(
+    spark: SparkSession,
+    incoming_dir: str,
+    state_dir: str,
+    ref_counts_path: str,
+    schema: str = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    ),
+    bin_width: float = 10.0,
+):
+    """Streaming distribution-drift monitor (the PSI-dashboard shape):
+    a frozen reference histogram (``binned_value_counts`` over the
+    training snapshot, persisted once at ``ref_counts_path``) is
+    compared against the live event stream. Each micro-batch folds its
+    binned counts into a persistent (event_type, bin, n) state table —
+    the counts monoid, (types × bins)-sized, never the event history —
+    then the per-type drift report is re-derived from the updated
+    state into ``{state_dir}/report``.
+
+    Exactly-once: the count fold is a sum, so the state table carries
+    the ``folded_through`` epoch written atomically with the counts
+    (directory-rename swap); a replayed micro-batch (same epoch_id —
+    Spark's foreachBatch contract) skips the fold and only re-derives
+    the idempotent report. Same pattern as
+    run_streaming_trending_terms. Streamed report ≡ batch
+    drift_report_from_counts over the union of all drops (tested)."""
+    import os
+
+    counts_path = os.path.join(state_dir, "counts")
+    report_path = os.path.join(state_dir, "report")
+    ref_counts = spark.read.parquet(ref_counts_path)
+
+    def _emit_report(state_counts: DataFrame, epoch_id: int) -> None:
+        report = drift_report_from_counts(
+            ref_counts, state_counts.drop("folded_through")
+        )
+        _stage_swap(spark, report, report_path, f"epoch{epoch_id}")
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if _fs_path_exists(spark, counts_path):
+            state = spark.read.parquet(counts_path)
+            folded_through = state.agg(F.max("folded_through").alias("m")).collect()[
+                0
+            ]["m"]
+            if folded_through is not None and epoch_id <= folded_through:
+                _emit_report(state, epoch_id)
+                return
+            merged = (
+                state.drop("folded_through")
+                .unionByName(binned_value_counts(batch_df, bin_width))
+                .groupBy("event_type", "bin")
+                .agg(F.sum("n").alias("n"))
+            )
+        else:
+            merged = binned_value_counts(batch_df, bin_width)
+        merged = merged.withColumn("folded_through", F.lit(epoch_id).cast("bigint"))
+        _stage_swap(spark, merged, counts_path, f"epoch{epoch_id}")
+        _emit_report(spark.read.parquet(counts_path), epoch_id)
+
+    stream = spark.readStream.schema(schema).parquet(incoming_dir)
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", f"{state_dir}__checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_compacted_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Reader view over a run_streaming_compaction table: compacted
+    base + not-yet-folded fragment epochs."""
+    import glob
+    import os
+
+    parts = []
+    base = os.path.join(table_dir, "base")
+    if os.path.exists(base):
+        parts.append(spark.read.parquet(base).drop("compacted_through"))
+    frags = sorted(glob.glob(os.path.join(table_dir, "frag", "epoch=*")))
+    if frags:
+        parts.append(spark.read.parquet(*frags))
+    if not parts:
+        raise FileNotFoundError(f"no base or fragments under {table_dir}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def run_streaming_compaction(
+    spark: SparkSession,
+    incoming_dir: str,
+    table_dir: str,
+    schema: str,
+    max_fragments: int = 4,
+):
+    """Streaming ingest with an in-loop compaction service — the
+    maintenance half every streaming table needs: each micro-batch
+    lands as a fragment (``frag/epoch=N``, idempotent overwrite);
+    once more than ``max_fragments`` fragments accumulate, base +
+    fragments are folded into a new compacted base with one
+    directory-rename swap, and the folded fragments are removed. Reads
+    (``read_compacted_table``) stay bounded at base + ≤max_fragments
+    fragment dirs — at 100 TB the alternative is a table whose file
+    count grows by one-per-task every epoch until reads are
+    footer-bound, not data-bound (io/writers.compact_files is the
+    one-shot form; Delta's OPTIMIZE the managed one).
+
+    Exactly-once under replay: the base carries ``compacted_through``
+    (max epoch folded in, written atomically with the data); a
+    replayed epoch ≤ compacted_through is skipped entirely — its rows
+    are already in the base — and stale fragment dirs from a crash
+    between swap and cleanup are deleted, never re-folded."""
+    import os
+    import shutil
+
+    base_path = os.path.join(table_dir, "base")
+    frag_root = os.path.join(table_dir, "frag")
+
+    def _frag_epochs() -> list[int]:
+        if not os.path.exists(frag_root):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(frag_root)
+            if d.startswith("epoch=")
+        )
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        compacted_through = -1
+        if _fs_path_exists(spark, base_path):
+            compacted_through = spark.read.parquet(base_path).agg(
+                F.max("compacted_through").alias("m")
+            ).collect()[0]["m"]
+        # crash-leftover fragments already folded into the base: remove
+        for e in _frag_epochs():
+            if e <= compacted_through:
+                shutil.rmtree(os.path.join(frag_root, f"epoch={e}"), ignore_errors=True)
+        if epoch_id <= compacted_through:
+            return  # replayed micro-batch: rows already in the base
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(frag_root, f"epoch={epoch_id}")
+        )
+        epochs = _frag_epochs()
+        if len(epochs) <= max_fragments:
+            return
+        folded = spark.read.parquet(
+            *[os.path.join(frag_root, f"epoch={e}") for e in epochs]
+        )
+        if compacted_through >= 0:
+            folded = spark.read.parquet(base_path).drop("compacted_through").unionByName(folded)
+        folded = folded.coalesce(max(1, folded.rdd.getNumPartitions() // 8)).withColumn(
+            "compacted_through", F.lit(max(epochs)).cast("bigint")
+        )
+        _stage_swap(spark, folded, base_path, f"epoch{epoch_id}")
+        for e in epochs:
+            shutil.rmtree(os.path.join(frag_root, f"epoch={e}"), ignore_errors=True)
+
+    stream = spark.readStream.schema(schema).parquet(incoming_dir)
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", f"{table_dir}__checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -651,3 +651,109 @@ def test_streaming_funnel_matches_batch(spark, sf_dir):
         assert streamed == want and len(want) == 3
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_drift_monitor_matches_batch(spark, tmp_path, sf_dir):
+    """Streamed drift report ≡ batch drift over the union of all
+    drops; self-drift is exactly 0; replayed micro-batches (wiped
+    checkpoint) leave counts and report byte-identical."""
+    from datalake_etlscripts_spark.io.readers import read_table
+    from datalake_etlscripts_spark.streaming.ingest import (
+        binned_value_counts,
+        drift_report_from_counts,
+        run_streaming_drift_monitor,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    obs = ev.filter(F.col("event_id") % 2 == 1)
+    ref_path = str(tmp_path / "ref_counts")
+    binned_value_counts(ref).write.parquet(ref_path)
+
+    # self-drift: a distribution compared against itself is exactly 0
+    self_drift = drift_report_from_counts(
+        binned_value_counts(ref), binned_value_counts(ref)
+    ).collect()
+    assert self_drift and all(r["drift"] == 0.0 for r in self_drift)
+
+    incoming = str(tmp_path / "incoming")
+    state = str(tmp_path / "drift_state")
+    os.makedirs(incoming)
+    d1 = obs.filter(F.col("event_id") < 500)
+    d2 = obs.filter(F.col("event_id") >= 500)
+    d1.coalesce(1).write.mode("append").parquet(incoming)
+    run_streaming_drift_monitor(spark, incoming, state, ref_path).awaitTermination(120)
+    d2.coalesce(1).write.mode("append").parquet(incoming)
+    run_streaming_drift_monitor(spark, incoming, state, ref_path).awaitTermination(120)
+
+    def report_rows():
+        return sorted(
+            (r["event_type"], r["n_ref"], r["n_obs"], r["drift"])
+            for r in spark.read.parquet(os.path.join(state, "report")).collect()
+        )
+
+    streamed = report_rows()
+    batch = sorted(
+        (r["event_type"], r["n_ref"], r["n_obs"], r["drift"])
+        for r in drift_report_from_counts(
+            spark.read.parquet(ref_path), binned_value_counts(obs)
+        ).collect()
+    )
+    assert streamed == batch
+    assert all(0.0 <= d < 2.0 for (_, _, _, d) in streamed)
+    # n_obs column really is the streamed half
+    assert sum(n for (_, _, n, _) in streamed) == obs.count()
+
+    shutil.rmtree(f"{state}__checkpoint")
+    run_streaming_drift_monitor(spark, incoming, state, ref_path).awaitTermination(120)
+    assert report_rows() == streamed
+
+
+def test_streaming_compaction_bounds_fragments(spark, tmp_path):
+    """7 drops at max_fragments=2: two folds fire, reads stay bounded
+    at base + ≤2 fragment dirs, no row lost or duplicated — including
+    after a wiped-checkpoint full replay."""
+    from datalake_etlscripts_spark.streaming.ingest import (
+        read_compacted_table,
+        run_streaming_compaction,
+    )
+
+    schema = "event_id bigint, value double"
+    incoming = str(tmp_path / "in")
+    table = str(tmp_path / "table")
+    os.makedirs(incoming)
+    for i in range(7):
+        spark.createDataFrame(
+            [(i * 10 + j, float(j)) for j in range(10)], schema
+        ).coalesce(1).write.mode("append").parquet(incoming)
+        run_streaming_compaction(
+            spark, incoming, table, schema, max_fragments=2
+        ).awaitTermination(120)
+
+    got = read_compacted_table(spark, table)
+    assert got.count() == 70
+    assert sorted(r["event_id"] for r in got.collect()) == list(range(0, 70))
+    frag_dirs = [
+        d for d in os.listdir(os.path.join(table, "frag")) if d.startswith("epoch=")
+    ]
+    assert len(frag_dirs) <= 2, frag_dirs
+    assert os.path.exists(os.path.join(table, "base"))
+    # compacted base holds everything through the last fold
+    assert (
+        spark.read.parquet(os.path.join(table, "base"))
+        .agg(F.max("compacted_through"))
+        .first()[0]
+        == 5
+    )
+
+    # full replay under a fresh checkpoint: every drop re-fires as one
+    # epoch-0 batch; compacted_through detects it and skips — no dupes
+    shutil.rmtree(f"{table}__checkpoint")
+    run_streaming_compaction(
+        spark, incoming, table, schema, max_fragments=2
+    ).awaitTermination(120)
+    again = read_compacted_table(spark, table)
+    assert again.count() == 70
+    assert sorted(r["event_id"] for r in again.collect()) == list(range(0, 70))
