@@ -232,3 +232,86 @@ def l_diversity(
         F.min("_d").alias("min_distinct_sensitive"),
         F.coalesce(F.min("_d") >= l, F.lit(True)).alias("diverse"),
     )
+
+
+def t_closeness(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, t: float = 0.2
+) -> DataFrame:
+    """t-closeness audit (Li et al. 2007), the distribution-skew
+    complement to k_anonymity/l_diversity: a quasi-id group can be
+    large AND diverse yet still leak — if its sensitive-value
+    DISTRIBUTION sits far from the global one (e.g. a group that is
+    90% lowest-income band). Requires ordered-EMD(group, global) <= t
+    for every quasi-id group; ``sensitive_col`` must be an ordinal
+    integer (a band/bucket).
+
+    Ordered EMD = (1/(m-1)) * Σ_j |Σ_{i<=j} (p_i - q_i)| over the m
+    global sensitive values in value order. Computed EXACTLY in
+    integers: scaling by N_g*N turns every cumulative term into
+    Σ(n_i*N - m_i*N_g) — products in DECIMAL(38,0), one double
+    division per group at the very end (the engine's determinism
+    policy: no double summation anywhere).
+
+    Plan: global value dim (m rows, broadcast) × the group table,
+    left-joined with per-(group, value) counts; the cumulative window
+    partitions per GROUP over m rows — never a corpus-scale
+    partition. Output is the usual 1-row summary (t, n_groups,
+    n_risky_groups, n_risky_rows, max_emd, close); per-group EMDs
+    stay distributed (publishing the worst groups would leak the
+    quasi-ids under audit).
+    """
+    from pyspark.sql import Window
+
+    glob = df.groupBy(F.col(sensitive_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_m")
+    )
+    tot = glob.agg(
+        F.sum("_m").cast("bigint").alias("_tN"),
+        F.count(F.lit(1)).alias("_nv"),
+    )
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("_ng"))
+    gc = df.groupBy(*quasi_cols, F.col(sensitive_col).alias("_v")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    grid = (
+        groups.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(gc, [*quasi_cols, "_v"], "left")
+        .withColumn("_n", F.coalesce(F.col("_n"), F.lit(0)))
+    )
+    term = (
+        F.col("_n").cast("decimal(19,0)") * F.col("_tN").cast("decimal(19,0)")
+        - F.col("_m").cast("decimal(19,0)") * F.col("_ng").cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    w = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.withColumn("_d", F.sum(term).over(w))
+    per = cum.groupBy(*quasi_cols, "_ng", "_tN", "_nv").agg(
+        F.sum(F.abs(F.col("_d"))).cast("decimal(38,0)").alias("_sumabs")
+    )
+    den = (
+        F.col("_ng").cast("decimal(19,0)")
+        * F.col("_tN").cast("decimal(19,0)")
+        * (F.col("_nv") - 1).cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    scored = per.withColumn(
+        "_emd",
+        F.when(F.col("_nv") <= 1, F.lit(0.0)).otherwise(
+            F.col("_sumabs").cast("double") / den.cast("double")
+        ),
+    )
+    return scored.agg(
+        F.lit(t).alias("t"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.coalesce(F.sum(F.when(F.col("_emd") > t, 1)), F.lit(0))
+        .cast("bigint")
+        .alias("n_risky_groups"),
+        F.coalesce(F.sum(F.when(F.col("_emd") > t, F.col("_ng"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_risky_rows"),
+        F.max("_emd").alias("max_emd"),
+        F.coalesce(F.max("_emd") <= t, F.lit(True)).alias("close"),
+    )

@@ -1010,3 +1010,73 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bal_band", F.floor(F.col("c_acctbal") / 2000).cast("bigint")
     )
     return l_diversity(c, ["c_nationkey", "c_mktsegment"], "bal_band", l=2)
+
+
+# ---------------------------------------------------------------------------
+# t-closeness completes the privacy triad: a big, diverse quasi-id
+# group still leaks when its sensitive DISTRIBUTION skews far from the
+# table's. Ordered EMD in exact integers (scaled cumulative counts in
+# DECIMAL(38,0)); ONE double division per group at the end, so the
+# cross-engine hash is safe — DuckDB's HUGEINT products route to
+# double through VARCHAR (the engine's decimal→double convention).
+# ---------------------------------------------------------------------------
+@query(
+    "t_closeness_audit",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS b
+      FROM customer
+    ),
+    gdist AS (SELECT b, count(*) AS m FROM g GROUP BY 1),
+    tot AS (SELECT CAST(sum(m) AS BIGINT) AS N, count(*) AS nv FROM gdist),
+    grp AS (SELECT c_nationkey, c_mktsegment, count(*) AS ng FROM g GROUP BY 1, 2),
+    gc AS (SELECT c_nationkey, c_mktsegment, b, count(*) AS n FROM g GROUP BY 1, 2, 3),
+    grid AS (
+      SELECT grp.c_nationkey, grp.c_mktsegment, grp.ng, gdist.b, gdist.m,
+             COALESCE(gc.n, 0) AS n
+      FROM grp CROSS JOIN gdist
+      LEFT JOIN gc ON gc.c_nationkey = grp.c_nationkey
+                  AND gc.c_mktsegment = grp.c_mktsegment
+                  AND gc.b = gdist.b
+    ),
+    cum AS (
+      SELECT c_nationkey, c_mktsegment, ng,
+             sum(CAST(n AS HUGEINT) * (SELECT N FROM tot)
+                 - CAST(m AS HUGEINT) * ng)
+               OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY b) AS d
+      FROM grid
+    ),
+    per AS (
+      SELECT c_nationkey, c_mktsegment, ng, sum(abs(d)) AS sumabs
+      FROM cum GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT ng,
+             CASE WHEN (SELECT nv FROM tot) <= 1 THEN 0.0
+                  ELSE CAST(CAST(sumabs AS VARCHAR) AS DOUBLE)
+                       / CAST(CAST(CAST(ng AS HUGEINT) * (SELECT N FROM tot)
+                                   * ((SELECT nv FROM tot) - 1) AS VARCHAR)
+                              AS DOUBLE)
+             END AS emd
+      FROM per
+    )
+    SELECT 0.2 AS t,
+           count(*) AS n_groups,
+           CAST(COALESCE(sum(CASE WHEN emd > 0.2 THEN 1 END), 0) AS BIGINT)
+             AS n_risky_groups,
+           CAST(COALESCE(sum(CASE WHEN emd > 0.2 THEN ng END), 0) AS BIGINT)
+             AS n_risky_rows,
+           max(emd) AS max_emd,
+           COALESCE(max(emd) <= 0.2, TRUE) AS close
+    FROM scored
+    """,
+)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit: ordered EMD between each quasi-id group's sensitive distribution and the global one, exact integer cumulative sums, one double division per group - the distribution-skew gate beside k-anonymity/l-diversity."""
+    from datalake_etlscripts_spark.operators.expectations import t_closeness
+
+    c = read_table(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 2000).cast("bigint")
+    )
+    return t_closeness(c, ["c_nationkey", "c_mktsegment"], "bal_band", t=0.2)
