@@ -167,3 +167,13 @@ def md5_hash32(c: Column) -> Column:
     value — oracle-checked paths and stable-assignment sinks; hot
     production hashing stays on xxhash64."""
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def md5_hash60(c: Column) -> Column:
+    """60-bit hash from the first 15 hex digits of md5 (DuckDB twin:
+    plans/registry.ddb_hex60). The wide lane for order-statistic
+    sketches (KMV/theta): a 32-bit lane collides ~quadratically and
+    would bias k-minimum estimators at corpus scale; 60 bits keeps
+    the k smallest values collision-free to ~2^30 distinct items and
+    still fits BIGINT in both engines."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")

@@ -455,3 +455,145 @@ def negate_histogram(hist: DataFrame) -> DataFrame:
     yields the histogram of the post-delete data — the removal story
     HLL registers cannot offer (max-merge is insert-only)."""
     return hist.select("bin", (-F.col("n")).alias("n"))
+
+
+# ------------------------------------------------------------------ KMV/theta
+KMV_HASH_BITS = 60
+KMV_HASH_SPACE = 1 << KMV_HASH_BITS
+
+
+def kmv_sketch_table(
+    df: DataFrame, keys: list[str], value: str, k: int = 256
+) -> DataFrame:
+    """K-Minimum-Values (theta) sketch per group: the k SMALLEST
+    distinct 60-bit hashes of ``value`` as (*keys, pos, h) rows —
+    an ORDER-STATISTIC sketch (Bar-Yossef et al. 2002; the Apache
+    DataSketches theta family). Unlike HLL registers, KMV supports a
+    direct set-INTERSECTION estimate (kmv_overlap_estimate) instead
+    of error-amplifying inclusion-exclusion, and is fully
+    deterministic: the k smallest hashes are a property of the SET,
+    independent of partitioning or arrival order — so an external
+    engine replays the sketch bit-for-bit.
+
+    Scale shape: dedup (keys, h) once (one keyed shuffle), then exact
+    distributed k-min — every physical partition emits its own ≤k
+    candidates (window over (keys, partition-id); intermediate
+    partition ids don't affect the final answer), and the global
+    k-min window runs over ≤ partitions×k survivors per group, never
+    the corpus. Merge of two sketch tables = union → same k-min
+    (the sketch is a monoid).
+    """
+    from pyspark.sql import Window
+
+    from datalake_etlscripts_spark.functions.scalar import md5_hash60
+
+    hashed = df.select(
+        *keys, md5_hash60(F.col(value).cast("string")).alias("h")
+    ).dropDuplicates([*keys, "h"])
+    cand = hashed.withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy(*keys, "_pid").orderBy("h")
+    stage1 = (
+        cand.withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= k)
+        .drop("_pid", "_r")
+    )
+    w2 = Window.partitionBy(*keys).orderBy("h")
+    return (
+        stage1.withColumn("pos", F.row_number().over(w2))
+        .filter(F.col("pos") <= k)
+        .select(*keys, "pos", "h")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, keys: list[str], k: int = 256) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch table: for a full
+    sketch, D̂ = (k−1) · 2^60 / h_(k) (the unbiased KMV estimator);
+    a group with fewer than k hashes is EXACT (its estimate is the
+    count itself). One double division of exact integers per group —
+    decimal(38,0) product, so (k−1)·2^60 never overflows BIGINT."""
+    agg = sketch.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_k"), F.max("h").alias("kth")
+    )
+    num = (
+        (F.col("n_k") - 1).cast("decimal(19,0)")
+        * F.lit(KMV_HASH_SPACE).cast("decimal(19,0)")
+    ).cast("decimal(38,0)")
+    return agg.select(
+        *keys,
+        "n_k",
+        "kth",
+        F.when(F.col("n_k") < k, F.col("n_k").cast("double"))
+        .otherwise(num.cast("double") / F.col("kth").cast("double"))
+        .alias("est_distinct"),
+    )
+
+
+def kmv_overlap_estimate(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Set-overlap estimates from two keyless KMV sketches (columns
+    pos, h): theta-sketch intersection. θ* = min(h_(k)^A, h_(k)^B);
+    hashes present in BOTH sketches at or below θ* are a uniform
+    sample of the intersection at sampling rate θ*/2^60, so
+    est_intersection = |common ≤ θ*| · 2^60 / θ*, and jaccard_est =
+    |common ≤ θ*| / |union of sketch hashes ≤ θ*| (the fixed-θ* MinHash
+    identity). All counts are exact integers; two double divisions.
+
+    A sketch with fewer than k hashes IS its full set (nothing was
+    discarded), so its threshold is the whole hash space 2^60 — when
+    neither sketch is full the estimates collapse to the EXACT
+    intersection and Jaccard. Sketch-sized inputs only (≤ k rows
+    each) — the join is a broadcast of k hashes, never corpus-scale."""
+    ka = sketch_a.agg(F.max("h").alias("kth_a"), F.count(F.lit(1)).alias("nka"))
+    kb = sketch_b.agg(F.max("h").alias("kth_b"), F.count(F.lit(1)).alias("nkb"))
+    both = (
+        sketch_a.select(F.col("h").alias("ha"))
+        .join(sketch_b.select(F.col("h").alias("hb")), F.col("ha") == F.col("hb"))
+        .select(F.col("ha").alias("h"))
+    )
+    uni = (
+        sketch_a.select("h").unionByName(sketch_b.select("h")).dropDuplicates()
+    )
+    theta = ka.crossJoin(F.broadcast(kb)).withColumn(
+        "theta",
+        F.least(
+            F.when(F.col("nka") < k, F.lit(KMV_HASH_SPACE)).otherwise(
+                F.col("kth_a")
+            ),
+            F.when(F.col("nkb") < k, F.lit(KMV_HASH_SPACE)).otherwise(
+                F.col("kth_b")
+            ),
+        ),
+    )
+    n_common = (
+        both.crossJoin(F.broadcast(theta.select("theta")))
+        .filter(F.col("h") <= F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    n_union = (
+        uni.crossJoin(F.broadcast(theta.select("theta")))
+        .filter(F.col("h") <= F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_union_theta"))
+    )
+    space = F.lit(KMV_HASH_SPACE).cast("decimal(19,0)")
+    return (
+        theta.crossJoin(F.broadcast(n_common))
+        .crossJoin(F.broadcast(n_union))
+        .select(
+            "kth_a",
+            "kth_b",
+            "theta",
+            "n_common",
+            "n_union_theta",
+            (
+                (F.col("n_common").cast("decimal(19,0)") * space)
+                .cast("decimal(38,0)")
+                .cast("double")
+                / F.col("theta").cast("double")
+            ).alias("est_intersection"),
+            (
+                F.col("n_common").cast("double")
+                / F.col("n_union_theta").cast("double")
+            ).alias("jaccard_est"),
+        )
+    )

@@ -1058,3 +1058,76 @@ def q_layout_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("scan_fraction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV/theta-sketch corpus overlap (r4): the order-statistic sibling of
+# corpus_overlap_approx. HLL can only reach an intersection through
+# inclusion-exclusion (error grows with set sizes); the KMV sketches'
+# common-hashes-below-θ* sample estimates the intersection DIRECTLY,
+# and the whole sketch is deterministic (the k smallest 60-bit hashes
+# are a property of the set), so DuckDB replays it bit-for-bit.
+# ---------------------------------------------------------------------------
+def _kmv_overlap_oracle(k: int = 256) -> str:
+    from datalake_etlscripts_spark.operators.sketches import KMV_HASH_SPACE
+    from datalake_etlscripts_spark.plans.registry import ddb_hex60
+
+    return f"""
+    WITH tk AS (
+      SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT source IN ('src0','src1','src2','src3','src4') AS in_a,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 3, 1)),
+               i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]))) AS s
+      FROM tk
+    ),
+    h AS (SELECT DISTINCT in_a, {ddb_hex60("md5(s)")} AS h FROM sh),
+    sk AS (
+      SELECT in_a, h, row_number() OVER (PARTITION BY in_a ORDER BY h) AS pos
+      FROM h QUALIFY pos <= {k}
+    ),
+    ka AS (SELECT max(h) AS kth_a, count(*) AS nka FROM sk WHERE in_a),
+    kb AS (SELECT max(h) AS kth_b, count(*) AS nkb FROM sk WHERE NOT in_a),
+    th AS (
+      SELECT kth_a, kth_b,
+             least(CASE WHEN nka < {k} THEN {KMV_HASH_SPACE} ELSE kth_a END,
+                   CASE WHEN nkb < {k} THEN {KMV_HASH_SPACE} ELSE kth_b END)
+               AS theta
+      FROM ka, kb
+    ),
+    common AS (
+      SELECT a.h FROM (SELECT h FROM sk WHERE in_a) a
+      JOIN (SELECT h FROM sk WHERE NOT in_a) b USING (h)
+    ),
+    ncom AS (SELECT count(*) AS n_common FROM common, th WHERE h <= theta),
+    nuni AS (
+      SELECT count(*) AS n_union_theta
+      FROM (SELECT DISTINCT h FROM sk) u, th WHERE u.h <= theta
+    )
+    SELECT kth_a, kth_b, theta, n_common, n_union_theta,
+           CAST(CAST(CAST(n_common AS HUGEINT) * {KMV_HASH_SPACE} AS VARCHAR)
+                AS DOUBLE)
+             / CAST(theta AS DOUBLE) AS est_intersection,
+           CAST(n_common AS DOUBLE) / CAST(n_union_theta AS DOUBLE)
+             AS jaccard_est
+    FROM th, ncom, nuni
+    """
+
+
+@query("kmv_overlap", oracle=_kmv_overlap_oracle())
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV/theta-sketch corpus overlap: k=256 smallest 60-bit shingle hashes per corpus half, direct intersection estimate from common hashes below theta* - deterministic order-statistic sketch, exact distributed k-min, sketch-sized joins only."""
+    from datalake_etlscripts_spark.operators import sketches, text
+
+    d = read_table(spark, sf_dir, "documents").select("source", "text")
+    sh = d.select(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4").alias("in_a"),
+        F.explode(text.shingles(F.col("text"), 5)).alias("s"),
+    )
+    sk = sketches.kmv_sketch_table(sh, ["in_a"], "s", k=256)
+    a = sk.filter(F.col("in_a")).select("pos", "h")
+    b = sk.filter(~F.col("in_a")).select("pos", "h")
+    return sketches.kmv_overlap_estimate(a, b, k=256)

@@ -37,6 +37,20 @@ def ddb_hex32(md5_expr: str, offset: int = 0) -> str:
     return f"({terms})"
 
 
+def ddb_hex60(md5_expr: str) -> str:
+    """DuckDB SQL: first 15 hex digits of an md5 varchar → BIGINT
+    (≤ 2^60−1 — the sum of 15 digit·16^i terms stays < 1.16e18, inside
+    BIGINT). Spark twin: functions/scalar.md5_hash60 via
+    conv(substring(md5(x), 1, 15), 16, 10). The wide lane for
+    order-statistic sketches (KMV/theta)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({md5_expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    return f"({terms})"
+
+
 def query(name: str, oracle: str | None = None):
     """Decorator: register a query (and optionally its DuckDB oracle)."""
 

@@ -2531,3 +2531,66 @@ def test_parse_image_header_all_formats():
 
     with _pytest.raises(ValueError):
         mm.parse_image_header(b"not an image at all")
+
+
+def test_kmv_sketch_estimate_and_merge(spark, sf_dir):
+    """KMV: (1) the sketch is partitioning-independent (a property of
+    the set), (2) estimates land within theory error of exact distinct
+    counts, (3) union-of-sketches re-sketched == sketch of union (the
+    monoid law), (4) small sets estimate EXACTLY."""
+    from datalake_etlscripts_spark.io.readers import read_table
+    from datalake_etlscripts_spark.operators import sketches
+
+    o = read_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 2 == 0).alias("half"), "o_custkey"
+    )
+    sk = sketches.kmv_sketch_table(o, ["half"], "o_custkey", k=128)
+    sk_repart = sketches.kmv_sketch_table(
+        o.repartition(13), ["half"], "o_custkey", k=128
+    )
+    assert sorted(map(tuple, sk.collect())) == sorted(map(tuple, sk_repart.collect()))
+
+    est = {
+        r["half"]: r["est_distinct"]
+        for r in sketches.kmv_estimate(sk, ["half"], k=128).collect()
+    }
+    exact = {
+        r["half"]: r["n"]
+        for r in o.groupBy("half")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for hkey, n in exact.items():
+        # KMV RSE ~ 1/sqrt(k-2); allow 4 sigma
+        assert abs(est[hkey] - n) <= max(4 * n / (126**0.5), 2.0), (hkey, est[hkey], n)
+
+    # monoid: sketch(union) == kmin(sketch_a ∪ sketch_b)
+    a = sk.filter(F.col("half")).select("h")
+    b = sk.filter(~F.col("half")).select("h")
+    from pyspark.sql import Window
+
+    remerged = (
+        a.unionByName(b)
+        .dropDuplicates()
+        .withColumn("pos", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("pos") <= 128)
+    )
+    direct = sketches.kmv_sketch_table(
+        o.select(F.lit(1).alias("g"), "o_custkey"), ["g"], "o_custkey", k=128
+    ).select("pos", "h")
+    assert sorted(map(tuple, remerged.select("pos", "h").collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    # exactness below k: tiny sets pass through unestimated
+    tiny = o.filter(F.col("o_custkey") % 97 == 0)
+    n_tiny = tiny.select("o_custkey").distinct().count()
+    assert n_tiny < 128
+    est_tiny = sketches.kmv_estimate(
+        sketches.kmv_sketch_table(
+            tiny.select(F.lit(1).alias("g"), "o_custkey"), ["g"], "o_custkey", k=128
+        ),
+        ["g"],
+        k=128,
+    ).collect()[0]["est_distinct"]
+    assert est_tiny == float(n_tiny)
