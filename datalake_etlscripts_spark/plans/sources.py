@@ -501,3 +501,78 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("name"),
         F.coalesce("component", F.col("n")).alias("entity"),
     )
+
+
+# Fellegi–Sunter probabilistic linkage (r4): the calibrated scoring
+# layer the rule-based entity_resolution lacks — per-field agreement
+# weights ln(m/u_f) with u_f from the field's value histogram (rare
+# fields earn large weights). ln follows the DSIR convention: exact
+# integer (S_f, N²) scalars, cast-then-divide, same-host libm, fixed
+# to integer micro-nats; pair scoring is pure BIGINT.
+_FS_ORACLE = """
+    WITH r AS (
+      SELECT p_partkey, p_type, p_brand,
+             string_split(p_name, ' ')[1] AS name_head,
+             CAST(floor(p_size / 10) AS BIGINT) AS size_band,
+             CAST(floor(p_retailprice / 5) AS BIGINT) AS price_band
+      FROM part
+    ),
+    n AS (SELECT count(*) AS N FROM r),
+    sb AS (SELECT CAST(sum(c*c) AS BIGINT) AS s FROM (SELECT count(*) AS c FROM r GROUP BY p_brand)),
+    sm AS (SELECT CAST(sum(c*c) AS BIGINT) AS s FROM (SELECT count(*) AS c FROM r GROUP BY name_head)),
+    sc AS (SELECT CAST(sum(c*c) AS BIGINT) AS s FROM (SELECT count(*) AS c FROM r GROUP BY price_band)),
+    ss AS (SELECT CAST(sum(c*c) AS BIGINT) AS s FROM (SELECT count(*) AS c FROM r GROUP BY size_band)),
+    w AS (
+      SELECT
+        CAST(floor(ln(CAST(95 * N * N AS DOUBLE) / CAST(100 * sb.s AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS wab,
+        CAST(floor(ln(CAST(5 * N * N AS DOUBLE) / CAST(100 * (N * N - sb.s) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS wdb,
+        CAST(floor(ln(CAST(95 * N * N AS DOUBLE) / CAST(100 * sm.s AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS wam,
+        CAST(floor(ln(CAST(5 * N * N AS DOUBLE) / CAST(100 * (N * N - sm.s) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS wdm,
+        CAST(floor(ln(CAST(95 * N * N AS DOUBLE) / CAST(100 * sc.s AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS wac,
+        CAST(floor(ln(CAST(5 * N * N AS DOUBLE) / CAST(100 * (N * N - sc.s) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS wdc,
+        CAST(floor(ln(CAST(95 * N * N AS DOUBLE) / CAST(100 * ss.s AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS was,
+        CAST(floor(ln(CAST(5 * N * N AS DOUBLE) / CAST(100 * (N * N - ss.s) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS wds
+      FROM n, sb, sm, sc, ss
+    ),
+    p AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+             a.p_brand = b.p_brand AS gb, a.name_head = b.name_head AS gm,
+             a.price_band = b.price_band AS gc,
+             a.size_band = b.size_band AS gs
+      FROM r a JOIN r b ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+    )
+    SELECT id_a, id_b,
+           CAST((CASE WHEN gb THEN 1 ELSE 0 END + CASE WHEN gm THEN 1 ELSE 0 END
+                 + CASE WHEN gc THEN 1 ELSE 0 END + CASE WHEN gs THEN 1 ELSE 0 END)
+                AS INT) AS n_agree,
+           CAST((CASE WHEN gb THEN wab ELSE wdb END
+                 + CASE WHEN gm THEN wam ELSE wdm END
+                 + CASE WHEN gc THEN wac ELSE wdc END
+                 + CASE WHEN gs THEN was ELSE wds END) AS BIGINT) AS score_micro
+    FROM p, w
+    WHERE (CASE WHEN gb THEN wab ELSE wdb END
+           + CASE WHEN gm THEN wam ELSE wdm END
+           + CASE WHEN gc THEN wac ELSE wdc END
+           + CASE WHEN gs THEN was ELSE wds END) > 0
+"""
+
+
+@query("fellegi_sunter_linkage", oracle=_FS_ORACLE)
+def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage: type-blocked part pairs scored by per-field ln(m/u) agreement weights with u estimated from value histograms - integer micro-nat scoring, blocked equi-join, never all-pairs."""
+    from datalake_etlscripts_spark.operators.enrichment import fellegi_sunter_pairs
+
+    r = read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_type",
+        "p_brand",
+        F.split(F.col("p_name"), " ").getItem(0).alias("name_head"),
+        F.floor(F.col("p_size") / 10).cast("bigint").alias("size_band"),
+        F.floor(F.col("p_retailprice") / 5).cast("bigint").alias("price_band"),
+    )
+    return fellegi_sunter_pairs(
+        r,
+        id_col="p_partkey",
+        block_col="p_type",
+        compare_cols=["p_brand", "name_head", "price_band", "size_band"],
+    )

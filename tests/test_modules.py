@@ -2594,3 +2594,45 @@ def test_kmv_sketch_estimate_and_merge(spark, sf_dir):
         k=128,
     ).collect()[0]["est_distinct"]
     assert est_tiny == float(n_tiny)
+
+
+def test_fellegi_sunter_weights_calibrate_by_rarity(spark):
+    """FS: agreeing on a RARE field must outweigh agreeing on a common
+    one; a pair agreeing everywhere outscores partial agreements; a
+    field every pair agrees on is rejected (u=1 carries no signal)."""
+    import pytest
+
+    from datalake_etlscripts_spark.operators.enrichment import fellegi_sunter_pairs
+
+    rows = []
+    for i in range(64):
+        rows.append((i, "blk", f"rare{i % 32}", f"common{i % 2}"))
+    df = spark.createDataFrame(rows, "rid int, blk string, rare string, common string")
+    out = fellegi_sunter_pairs(
+        df,
+        id_col="rid",
+        block_col="blk",
+        compare_cols=["rare", "common"],
+        threshold_micro=-(10**12),
+    )
+    scored = {(r["id_a"], r["id_b"]): (r["n_agree"], r["score_micro"]) for r in out.collect()}
+    # (0, 32): agrees on rare AND common; (0, 2): agrees only on common;
+    # (0, 1): agrees on neither
+    both = scored[(0, 32)]
+    common_only = scored[(0, 2)]
+    neither = scored[(0, 1)]
+    assert both[0] == 2 and common_only[0] == 1 and neither[0] == 0
+    assert both[1] > common_only[1] > neither[1]
+    # rare-agree pair (0, 32) vs a hypothetical common-agree-only gain:
+    # rare agreement contributes more than common agreement
+    rare_gain = both[1] - common_only[1]      # = w_a(rare) - w_d(rare)
+    common_gain = common_only[1] - neither[1]  # = w_a(common) - w_d(common)
+    assert rare_gain > common_gain
+
+    with pytest.raises(ValueError, match="u=1"):
+        fellegi_sunter_pairs(
+            df.withColumn("konst", F.lit("x")),
+            id_col="rid",
+            block_col="blk",
+            compare_cols=["konst"],
+        ).collect()
