@@ -970,3 +970,99 @@ def bitext_margin_topk(
     return m.withColumn("rank", F.row_number().over(wt)).filter(
         F.col("rank") <= top
     )
+
+
+def knn_shapley(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: int = 10**9,
+) -> DataFrame:
+    """Exact KNN-Shapley data valuation (Jia et al. 2019, "Efficient
+    Task-Specific Data Valuation for Nearest Neighbor Algorithms"):
+    each TRAINING point's Shapley value for a k-NN classifier over a
+    held-out test block, via the closed-form recurrence over the
+    per-test ranking (nearest = rank 1, n = |corpus|):
+
+        s_n = 1[y_n = y_q] / n
+        s_j = s_{j+1} + (1[y_j=y_q] − 1[y_{j+1}=y_q])/k · min(k,j)/j
+
+    Points whose label agrees with nearby test points earn positive
+    value; mislabeled or adversarial points go NEGATIVE — the
+    principled "which training data helped" audit behind data-market
+    and data-cleaning pipelines (drop the bottom tail before
+    training). Callers pass DISJOINT corpus/queries (a leaked test
+    point would value itself).
+
+    Determinism: every per-rank term is integerized HALF-UP to
+    nano-values — magnitude (2·scale·min(k,j) + k·j) // (2·k·j), sign
+    applied AFTER the division so the integer division only ever sees
+    non-negative operands (Spark ``div`` truncates, DuckDB ``//``
+    floors; they agree exactly on non-negatives) — and the recurrence
+    is a tail cumulative SUM of integers (one ordered window), so the
+    whole valuation is replayable bit-for-bit.
+
+    Scale shape: the test block broadcasts (|queries| ≪ |corpus|),
+    the corpus streams once; the per-test full ranking rides ONE
+    window per query — audit-scale like ks_two_sample's exact twin.
+    The 100 TB paths: (a) per-query bucketed sort-rank (the
+    quality_deciles plan) to split the rank window, or (b) truncated
+    Shapley — ranks beyond M contribute ≤ Σ_{j>M} 1/(k·j) ≈ ln(n/M)/k
+    total, so an LSH/IVF candidate front-end bounds the window at M
+    candidates with a documented bias bound.
+
+    Returns (vec_id, label, n_tests, shapley_nano) — shapley_nano is
+    the SUM over test points of the scaled per-test values (integer;
+    divide by n_tests·scale for the average in [−1, 1]).
+    """
+    n = corpus.count()
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("_ql"),
+        F.col(vec_col).alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_nl"),
+        F.col(vec_col).alias("_cv"),
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "_ql",
+        "neighbor_id",
+        "_nl",
+        cosine(F.col("_qv"), F.col("_cv")).alias("_cos"),
+    )
+    w_rank = W.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    ranked = scored.withColumn("_j", F.row_number().over(w_rank)).withColumn(
+        "_m", (F.col("_ql") == F.col("_nl")).cast("int")
+    )
+    lead_m = F.lead("_m").over(w_rank)
+    # 2·scale·min(k,j) exceeds int32 — force BIGINT before the products
+    mag = F.expr(
+        f"(CAST({2 * scale} AS BIGINT) * least({k}, _j) + {k} * _j)"
+        f" div (2 * {k} * _j)"
+    ).cast("long")
+    base = F.expr(
+        f"(CAST({2 * scale} AS BIGINT) + {n}) div (2 * {n})"
+    ).cast("long")
+    delta = F.when(F.col("_j") == n, F.col("_m") * base).otherwise(
+        (F.col("_m") - lead_m).cast("long") * mag
+    )
+    w_tail = (
+        W.partitionBy("query_id")
+        .orderBy("_j")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    valued = ranked.withColumn("_delta", delta).withColumn(
+        "_s", F.sum("_delta").over(w_tail)
+    )
+    return valued.groupBy(
+        F.col("neighbor_id").alias(id_col), F.col("_nl").alias(label_col)
+    ).agg(
+        F.count(F.lit(1)).cast("int").alias("n_tests"),
+        F.sum("_s").cast("long").alias("shapley_nano"),
+    )

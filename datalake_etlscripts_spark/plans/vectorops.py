@@ -481,3 +481,70 @@ def q_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     side_a = e.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 40))
     side_b = e.filter(F.col("vec_id") % 2 == 1)
     return bitext_margin_topk(side_a, side_b, k=4, top=1)
+
+
+# ---------------------------------------------------------------------------
+# KNN-Shapley data valuation (r4): which training points HELP a k-NN
+# classifier on the held-out block, exactly (Jia et al. 2019 closed
+# form). Every per-rank term is half-up integer nano-values with the
+# sign applied AFTER the division (Spark div truncates, DuckDB //
+# floors — they agree only on non-negatives), so the whole valuation
+# is one integer tail-cumsum, replayed bit-for-bit by the oracle.
+# ---------------------------------------------------------------------------
+_SHAPLEY_ORACLE = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id % 97 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nl
+          FROM embeddings WHERE vec_id % 97 <> 0),
+    nn AS (SELECT count(*) AS n FROM c),
+    scored AS (
+      SELECT query_id, ql, neighbor_id, nl,
+        list_reduce(list_prepend(0.0, list_transform(list_zip(qv, cv),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a,b) -> a + b)
+        / (sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b))
+         * sqrt(list_reduce(list_prepend(0.0, list_transform(cv,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b))) AS cos_sim
+      FROM c, q
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, nl,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS j,
+             CASE WHEN ql = nl THEN 1 ELSE 0 END AS m
+      FROM scored
+    ),
+    d AS (
+      SELECT query_id, neighbor_id, nl, j,
+             CASE WHEN j = nn.n
+                  THEN m * ((2000000000 + nn.n) // (2 * nn.n))
+                  ELSE (m - lead(m) OVER (PARTITION BY query_id ORDER BY j))
+                       * ((2000000000 * least(5, j) + 5 * j) // (2 * 5 * j))
+             END AS delta
+      FROM ranked, nn
+    ),
+    s AS (
+      SELECT neighbor_id, nl,
+             sum(delta) OVER (PARTITION BY query_id ORDER BY j
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS sv
+      FROM d
+    )
+    SELECT neighbor_id AS vec_id, nl AS label,
+           CAST(count(*) AS INT) AS n_tests,
+           CAST(sum(sv) AS BIGINT) AS shapley_nano
+    FROM s GROUP BY 1, 2
+"""
+
+
+@query("knn_shapley_values", oracle=_SHAPLEY_ORACLE)
+def q_knn_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN-Shapley data valuation: exact closed-form Shapley value of every training vector for a 5-NN classifier over the held-out test block - integer nano-value recurrence, one ranking window + one tail cumsum per test point."""
+    from datalake_etlscripts_spark.operators.similarity import knn_shapley
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return knn_shapley(
+        e.filter(F.col("vec_id") % 97 != 0),
+        e.filter(F.col("vec_id") % 97 == 0),
+        k=5,
+    )

@@ -2636,3 +2636,47 @@ def test_fellegi_sunter_weights_calibrate_by_rarity(spark):
             block_col="blk",
             compare_cols=["konst"],
         ).collect()
+
+
+def test_knn_shapley_flags_mislabeled_points(spark):
+    """Semantic check on two separated clusters: a deliberately
+    FLIPPED-label training point must receive the lowest, negative
+    Shapley value; correctly-labeled points must be non-negative on
+    average; and the total value equals the classifier's per-test
+    accuracy mass (Σ values ≈ n_tests in nano units — the Shapley
+    efficiency axiom for 1-NN-style utility)."""
+    from datalake_etlscripts_spark.operators.similarity import knn_shapley
+
+    rows = []
+    vid = 0
+    for cluster, (cx, cy) in enumerate([(10.0, 0.0), (0.0, 10.0)]):
+        for i in range(20):
+            rows.append((vid, [cx + (i % 5) * 0.1, cy + (i // 5) * 0.1], cluster))
+            vid += 1
+    # a mislabeled point sitting right on top of the cluster-0 test
+    # block: nearest neighbor with the WRONG label = maximal damage
+    flipped_id = 999
+    rows.append((flipped_id, [10.25, 0.15], 1))
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    tests = spark.createDataFrame(
+        [
+            (1000, [10.2, 0.2], 0),
+            (1001, [10.3, 0.1], 0),
+            (1002, [0.2, 10.2], 1),
+            (1003, [0.1, 10.3], 1),
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    vals = {r["vec_id"]: r["shapley_nano"] for r in knn_shapley(corpus, tests, k=3).collect()}
+    assert min(vals, key=vals.get) == flipped_id
+    assert vals[flipped_id] < 0
+    clean = [v for i, v in vals.items() if i != flipped_id]
+    assert sum(clean) > 0
+    # efficiency axiom: Σ_i s_i per test = utility of the full set =
+    # fraction of the k nearest with the correct label (here 1.0 per
+    # test — the clean cluster dominates each 3-NN vote), so the grand
+    # total is 4e9 nano up to per-rank half-up rounding (≤ n·tests nano)
+    total = sum(vals.values())
+    assert abs(total - 4 * 10**9) <= 4 * len(rows)
