@@ -980,6 +980,7 @@ def knn_shapley(
     vec_col: str = "embedding",
     label_col: str = "label",
     scale: int = 10**9,
+    truncate_at: int | None = None,
 ) -> DataFrame:
     """Exact KNN-Shapley data valuation (Jia et al. 2019, "Efficient
     Task-Specific Data Valuation for Nearest Neighbor Algorithms"):
@@ -1014,11 +1015,17 @@ def knn_shapley(
     total, so an LSH/IVF candidate front-end bounds the window at M
     candidates with a documented bias bound.
 
+    ``truncate_at=M`` registers path (b) directly: each test point
+    values only its top-M ranked candidates (the exact Shapley of the
+    reduced M-candidate problem — what you get when an ANN front-end
+    feeds the recurrence); points outside every test's top-M are
+    exactly absent from the output.
+
     Returns (vec_id, label, n_tests, shapley_nano) — shapley_nano is
     the SUM over test points of the scaled per-test values (integer;
     divide by n_tests·scale for the average in [−1, 1]).
     """
-    n = corpus.count()
+    n = truncate_at if truncate_at is not None else corpus.count()
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("_ql"),
@@ -1040,6 +1047,8 @@ def knn_shapley(
     ranked = scored.withColumn("_j", F.row_number().over(w_rank)).withColumn(
         "_m", (F.col("_ql") == F.col("_nl")).cast("int")
     )
+    if truncate_at is not None:
+        ranked = ranked.filter(F.col("_j") <= truncate_at)
     lead_m = F.lead("_m").over(w_rank)
     # 2·scale·min(k,j) exceeds int32 — force BIGINT before the products
     mag = F.expr(

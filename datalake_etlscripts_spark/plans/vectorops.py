@@ -548,3 +548,66 @@ def q_knn_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") % 97 == 0),
         k=5,
     )
+
+
+# Truncated KNN-Shapley: the registered 100 TB path beside the exact
+# baseline — each test point values only its top-64 candidates (what
+# an LSH/IVF front-end would feed), tail contribution bound ln(n/M)/k.
+_SHAPLEY_TRUNC_ORACLE = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id % 97 = 0),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv, label AS nl
+          FROM embeddings WHERE vec_id % 97 <> 0),
+    scored AS (
+      SELECT query_id, ql, neighbor_id, nl,
+        list_reduce(list_prepend(0.0, list_transform(list_zip(qv, cv),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a,b) -> a + b)
+        / (sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b))
+         * sqrt(list_reduce(list_prepend(0.0, list_transform(cv,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b))) AS cos_sim
+      FROM c, q
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, nl,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS j,
+             CASE WHEN ql = nl THEN 1 ELSE 0 END AS m
+      FROM scored
+    ),
+    trunc AS (SELECT * FROM ranked WHERE j <= 64),
+    d AS (
+      SELECT query_id, neighbor_id, nl, j,
+             CASE WHEN j = 64
+                  THEN m * ((2000000000 + 64) // (2 * 64))
+                  ELSE (m - lead(m) OVER (PARTITION BY query_id ORDER BY j))
+                       * ((2000000000 * least(5, j) + 5 * j) // (2 * 5 * j))
+             END AS delta
+      FROM trunc
+    ),
+    s AS (
+      SELECT neighbor_id, nl,
+             sum(delta) OVER (PARTITION BY query_id ORDER BY j
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS sv
+      FROM d
+    )
+    SELECT neighbor_id AS vec_id, nl AS label,
+           CAST(count(*) AS INT) AS n_tests,
+           CAST(sum(sv) AS BIGINT) AS shapley_nano
+    FROM s GROUP BY 1, 2
+"""
+
+
+@query("knn_shapley_truncated", oracle=_SHAPLEY_TRUNC_ORACLE)
+def q_knn_shapley_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated KNN-Shapley (top-64 candidates per test point): the ANN-front-end scale path registered beside the exact baseline - identical integer recurrence on the reduced candidate problem."""
+    from datalake_etlscripts_spark.operators.similarity import knn_shapley
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return knn_shapley(
+        e.filter(F.col("vec_id") % 97 != 0),
+        e.filter(F.col("vec_id") % 97 == 0),
+        k=5,
+        truncate_at=64,
+    )
