@@ -1075,3 +1075,47 @@ def knn_shapley(
         F.count(F.lit(1)).cast("int").alias("n_tests"),
         F.sum("_s").cast("long").alias("shapley_nano"),
     )
+
+
+def rrf_fuse(
+    ranked: list[tuple[str, DataFrame]],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    c: int = 60,
+    scale: int = 10**9,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of heterogeneous
+    retrievers — the standard hybrid-search combiner (keyword BM25 ⊕
+    embedding ANN) because it needs NO score calibration, only ranks:
+
+        rrf(d) = Σ_retrievers 1 / (c + rank_r(d))
+
+    Integerized exactly: each term is scale // (c + rank) — integer
+    division of positive operands, identical in Spark and any external
+    engine; the fused score is a SUM of integers, so the fusion is
+    bit-deterministic with no float anywhere.
+
+    ``ranked``: [(name, df)] where df carries (id_col, rank_col);
+    each retriever's rank joins in as ``{name}_rank`` (NULL when that
+    retriever missed the doc — contributing 0). Inputs are top-k
+    result lists (bounded), so every join is broadcast-sized.
+    Returns (id_col, *_rank..., rrf_nano, fused_rank ≤ k)."""
+    out = None
+    for name, df in ranked:
+        side = df.select(
+            F.col(id_col), F.col(rank_col).cast("int").alias(f"{name}_rank")
+        )
+        out = side if out is None else out.join(side, id_col, "full_outer")
+    score = F.lit(0).cast("long")
+    for name, _ in ranked:
+        score = score + F.coalesce(
+            F.expr(f"CAST({scale} AS BIGINT) div ({c} + {name}_rank)"),
+            F.lit(0).cast("long"),
+        )
+    w = W.orderBy(F.desc("rrf_nano"), F.asc(id_col))
+    return (
+        out.withColumn("rrf_nano", score)
+        .withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+    )

@@ -3866,3 +3866,70 @@ def q_dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = d.filter(F.col("doc_id") % 97 != 0)
     weighted = dsir_logweights(raw, target).select("doc_id", "log_weight_micro")
     return gumbel_topk_resample(weighted, k=100)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval via reciprocal-rank fusion (r4): keyword BM25 ⊕
+# embedding ANN without score calibration — each retriever contributes
+# scale // (60 + rank), integer division both engines, fused score a
+# pure integer sum. The RAG-stack retrieval shape.
+# ---------------------------------------------------------------------------
+_RRF_ORACLE = f"""
+    WITH bm AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+               AS r
+      FROM ({_BM25_ORACLE})
+    ),
+    qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+    ann0 AS (
+      SELECT vec_id AS doc_id,
+        list_reduce(list_prepend(0.0, list_transform(list_zip(qv, embedding),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a,b) -> a + b)
+        / (sqrt(list_reduce(list_prepend(0.0, list_transform(qv,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b))
+         * sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a,b) -> a + b)))
+          AS cs
+      FROM embeddings, qv WHERE vec_id <> 7
+    ),
+    ann AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY cs DESC, doc_id) AS INT)
+               AS r
+      FROM ann0 QUALIFY r <= 20
+    ),
+    f AS (
+      SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+             bm.r AS bm25_rank, ann.r AS ann_rank,
+             CAST(COALESCE(1000000000 // (60 + bm.r), 0)
+                  + COALESCE(1000000000 // (60 + ann.r), 0) AS BIGINT)
+               AS rrf_nano
+      FROM bm FULL JOIN ann ON bm.doc_id = ann.doc_id
+    )
+    SELECT doc_id, bm25_rank, ann_rank, rrf_nano,
+           CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc_id) AS INT)
+             AS fused_rank
+    FROM f QUALIFY fused_rank <= 10
+"""
+
+
+@query("hybrid_search_rrf", oracle=_RRF_ORACLE)
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 and embedding-ANN top-20 fused by reciprocal-rank fusion - integer scale//(60+rank) terms, no score calibration, fused top-10."""
+    from datalake_etlscripts_spark.operators.similarity import (
+        brute_force_topk,
+        rrf_fuse,
+    )
+
+    from pyspark.sql import Window
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bm = text.bm25_topk(d, _BM25_TERMS, k=20)
+    wbm = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm_ranked = bm.withColumn("rank", F.row_number().over(wbm)).select(
+        "doc_id", "rank"
+    )
+    e = read_table(spark, sf_dir, "embeddings")
+    ann = brute_force_topk(e, e.filter(F.col("vec_id") == 7), k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([("bm25", bm_ranked), ("ann", ann)], k=10)
