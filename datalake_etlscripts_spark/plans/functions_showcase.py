@@ -1131,3 +1131,62 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sk.filter(F.col("in_a")).select("pos", "h")
     b = sk.filter(~F.col("in_a")).select("pos", "h")
     return sketches.kmv_overlap_estimate(a, b, k=256)
+
+
+# ---------------------------------------------------------------------------
+# GDPR erasure planning (r4): the lakehouse delete-propagation shape.
+# A right-to-be-forgotten batch (every 211th customer) must remove all
+# its orders; per affected file the planner chooses Delta's two
+# mechanisms — a DELETION VECTOR (tombstone the rows, cheap, read-time
+# mask) when few rows die, a full REWRITE when the deleted fraction
+# passes 20% (the point where dragging dead rows through every future
+# scan costs more than one rewrite). Files derive from insertion-order
+# key ranges (o_orderkey div 1024) like the layout audits — aggregates
+# only, no global sort; the erasure keys are a broadcast semi-join.
+# ---------------------------------------------------------------------------
+@query(
+    "deletion_vector_plan",
+    oracle="""
+    WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 211 = 0),
+    o AS (
+      SELECT o_orderkey // 1024 AS file_id,
+             CASE WHEN d.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS dead
+      FROM orders LEFT JOIN del d ON o_custkey = d.c_custkey
+    ),
+    files AS (
+      SELECT file_id, count(*) AS n_rows,
+             CAST(sum(dead) AS BIGINT) AS n_deleted
+      FROM o GROUP BY file_id
+    )
+    SELECT file_id, n_rows, n_deleted,
+           CASE WHEN n_deleted = 0 THEN 'untouched'
+                WHEN n_deleted * 5 >= n_rows THEN 'rewrite'
+                ELSE 'deletion_vector' END AS action
+    FROM files
+    """,
+)
+def q_deletion_vector_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR erasure plan: per insertion-range file, rows killed by the forget-batch and the Delta-style action (deletion vector vs rewrite at 20% dead) - broadcast semi-join + one aggregate, integer-only decision rule."""
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 211 == 0
+    ).select(F.col("c_custkey").alias("o_custkey"))
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    flagged = o.join(
+        F.broadcast(c.withColumn("_dead", F.lit(1))), "o_custkey", "left"
+    ).select(
+        F.expr("o_orderkey div 1024").alias("file_id"),
+        F.coalesce(F.col("_dead"), F.lit(0)).alias("dead"),
+    )
+    files = flagged.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("dead").cast("bigint").alias("n_deleted"),
+    )
+    return files.select(
+        "file_id",
+        "n_rows",
+        "n_deleted",
+        F.when(F.col("n_deleted") == 0, F.lit("untouched"))
+        .when(F.col("n_deleted") * 5 >= F.col("n_rows"), F.lit("rewrite"))
+        .otherwise(F.lit("deletion_vector"))
+        .alias("action"),
+    )
