@@ -315,3 +315,67 @@ def t_closeness(
         F.max("_emd").alias("max_emd"),
         F.coalesce(F.max("_emd") <= t, F.lit(True)).alias("close"),
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon_inv: int = 1,
+    n_levels: int = 1024,
+    seed: str = "dp1",
+) -> DataFrame:
+    """ε-differentially-private count release (discrete / two-sided
+    geometric mechanism, Ghosh-Roughgarden-Sundararajan 2012) — the
+    RELEASE half of the privacy family: the audits
+    (k_anonymity/l_diversity/t_closeness) say whether raw groups are
+    publishable; this publishes counts that are safe regardless, with
+    noise = G₁ − G₂ for two geometrics P(G=g) ∝ e^(−εg), the discrete
+    Laplace that ε-DP count queries require (sensitivity 1). ε =
+    1/``epsilon_inv``.
+
+    Noise is deterministic and engine-portable (the Gumbel-resample
+    scheme): each group's two md5-uniform lanes quantize to
+    ``n_levels`` levels whose geometric values floor(−ln(u)/ε) are
+    fixed to integers ON THE DRIVER (same-host-libm ln, the documented
+    boundary) and broadcast back as a lookup dim — quantization floors
+    the tail at −ln(1/(2·n_levels))/ε ≈ 7.6·epsilon_inv, a documented
+    truncation, not a bias in the bulk. Seeded determinism is the
+    test/replay mode; a production release would draw the two lanes
+    from a real entropy source (determinism here is for the oracle,
+    not a DP claim about adversarial seeds).
+
+    One grouping shuffle + two broadcast joins; group keys never leave
+    the executors unaggregated. Returns (*group_cols, noisy_count).
+    """
+    import math
+
+    from datalake_etlscripts_spark.functions.scalar import md5_hash32
+
+    spark = df.sparkSession
+    levels = [
+        (
+            lv,
+            int(
+                math.floor(
+                    -math.log((lv + 0.5) / n_levels) * epsilon_inv
+                )
+            ),
+        )
+        for lv in range(n_levels)
+    ]
+    gdim = spark.createDataFrame(levels, "lvl bigint, geo bigint")
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    keyed = counts.withColumn(
+        "_lv1", md5_hash32(F.concat(F.lit(seed + "a"), key)) % n_levels
+    ).withColumn("_lv2", md5_hash32(F.concat(F.lit(seed + "b"), key)) % n_levels)
+    g1 = gdim.select(F.col("lvl").alias("_lv1"), F.col("geo").alias("_g1"))
+    g2 = gdim.select(F.col("lvl").alias("_lv2"), F.col("geo").alias("_g2"))
+    return (
+        keyed.join(F.broadcast(g1), "_lv1")
+        .join(F.broadcast(g2), "_lv2")
+        .select(
+            *group_cols,
+            (F.col("_n") + F.col("_g1") - F.col("_g2")).alias("noisy_count"),
+        )
+    )

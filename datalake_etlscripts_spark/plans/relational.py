@@ -11,7 +11,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from datalake_etlscripts_spark.io.readers import read_table
-from datalake_etlscripts_spark.plans.registry import query
+from datalake_etlscripts_spark.plans.registry import ddb_hex32, query
 from datalake_etlscripts_spark.summary import summary_counts
 
 
@@ -1080,3 +1080,41 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bal_band", F.floor(F.col("c_acctbal") / 2000).cast("bigint")
     )
     return t_closeness(c, ["c_nationkey", "c_mktsegment"], "bal_band", t=0.2)
+
+
+# ---------------------------------------------------------------------------
+# DP release (r4): the privacy family's RELEASE half — audits gate raw
+# publication; this publishes ε=1 noisy counts that are safe anyway.
+# Discrete-Laplace noise = difference of two geometrics, each a
+# 1024-level quantized floor(−ln(u)) lookup (driver-fixed integers for
+# Spark, ln in SQL for DuckDB — same-host libm, the Gumbel-resample
+# convention).
+# ---------------------------------------------------------------------------
+@query(
+    "dp_noisy_release",
+    oracle=f"""
+    WITH gdim AS (
+      SELECT range AS lvl,
+             CAST(floor(-ln((range + 0.5) / 1024)) AS BIGINT) AS geo
+      FROM range(1024)
+    ),
+    c AS (
+      SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+             o_orderpriority || chr(31) || o_orderstatus AS key
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT c.o_orderpriority, c.o_orderstatus,
+           CAST(c.n + g1.geo - g2.geo AS BIGINT) AS noisy_count
+    FROM c
+    JOIN gdim g1 ON {ddb_hex32("md5('dp1a' || key)")} % 1024 = g1.lvl
+    JOIN gdim g2 ON {ddb_hex32("md5('dp1b' || key)")} % 1024 = g2.lvl
+    """,
+)
+def q_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release: per (priority, status) order counts plus seeded discrete-Laplace noise (difference of two quantized geometrics) - one grouping shuffle, two broadcast lookups, epsilon=1."""
+    from datalake_etlscripts_spark.operators.expectations import dp_noisy_counts
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus"
+    )
+    return dp_noisy_counts(o, ["o_orderpriority", "o_orderstatus"])

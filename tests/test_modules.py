@@ -2680,3 +2680,26 @@ def test_knn_shapley_flags_mislabeled_points(spark):
     # total is 4e9 nano up to per-rank half-up rounding (≤ n·tests nano)
     total = sum(vals.values())
     assert abs(total - 4 * 10**9) <= 4 * len(rows)
+
+
+def test_dp_noise_distribution_shape(spark):
+    """Discrete-Laplace mechanism: over 2000 groups the seeded noise
+    is centered (mean ≈ 0), has the e⁻¹-geometric-difference variance
+    (≈ 1.84), is symmetric-ish, and is a pure function of the group
+    key (rerun = identical release)."""
+    from datalake_etlscripts_spark.operators.expectations import dp_noisy_counts
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 2000).alias("g")
+    )
+    rel = dp_noisy_counts(df, ["g"])
+    noise = [r["noisy_count"] - 10 for r in rel.collect()]
+    n = len(noise)
+    assert n == 2000
+    mean = sum(noise) / n
+    var = sum((x - mean) ** 2 for x in noise) / n
+    assert abs(mean) < 0.15, mean
+    assert 1.4 < var < 2.3, var
+    # deterministic replay
+    again = [r["noisy_count"] - 10 for r in dp_noisy_counts(df, ["g"]).collect()]
+    assert sorted(noise) == sorted(again)
