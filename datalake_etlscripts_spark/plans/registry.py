@@ -97,22 +97,23 @@ PRIORITY: list[str] = [
     "event_pattern_match",
     "q4_priority_late_orders",
     "q11_important_parts",
+    # round-4 additions (never driver-checked, freshest operators)
+    "t_closeness_audit",
+    "dp_noisy_release",
+    "kmv_overlap",
+    "fellegi_sunter_linkage",
+    "knn_shapley_values",
+    "knn_shapley_truncated",
+    "hybrid_search_rrf",
+    "deletion_vector_plan",
+    "dsir_gumbel_resample",
     # events family
     "interval_overlap",
     "seasonality_lag24",
     "peak_concurrency",
     "time_weighted_avg",
     "funnel_deadline",
-    "top_session_paths",
-    "event_transition_matrix",
     "distribution_drift",
-    "rolling_distinct_users",
-    "winsorized_mean",
-    "robust_outliers",
-    "percentile_summary",
-    "interarrival_stats",
-    "rolling_hour_mean",
-    "value_trend_per_type",
     # graph family
     "graph_label_propagation",
     "graph_link_prediction",
