@@ -1523,3 +1523,89 @@ def q_ks_two_sample_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(d).alias("d_num"),
         (F.max(d).cast("double") / (F.col("n_a") * F.col("n_b"))).alias("ks_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct via HLL register state (r4): the wide-window scale
+# path that rolling_distinct_users documents, registered. Hourly
+# (type, hour) register tables merge by max into every trailing
+# window they cover — the fan-out multiplies the 256-register STATE,
+# never the entity grain, so a 30-day window over billions of users
+# costs windows × 256 rows instead of windows × |users|. Raw-estimator
+# regime note: below ~2.5·m distinct the raw HLL overestimates (the
+# exact twin is the small-n answer); the oracle replays the registers
+# bit-for-bit either way.
+# ---------------------------------------------------------------------------
+def _rolling_hll_oracle() -> str:
+    from datalake_etlscripts_spark.operators.sketches import (
+        HLL_BUCKETS,
+        HLL_EST_NUM,
+        HLL_WORD_BITS,
+    )
+    from datalake_etlscripts_spark.plans.registry import ddb_hex32
+
+    ladder = " ".join(
+        f"WHEN w >= {1 << i} THEN {HLL_WORD_BITS - i}"
+        for i in range(HLL_WORD_BITS - 1, -1, -1)
+    )
+    scale = 1 << (HLL_WORD_BITS + 1)
+    est = (
+        f"{HLL_EST_NUM!r} / (sum(CAST(1 AS BIGINT) << ({HLL_WORD_BITS + 1} - reg))"
+        f" + ({HLL_BUCKETS} - count(*)) * {scale})"
+    )
+    return f"""
+    WITH e AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             {ddb_hex32("md5(CAST(user_id AS VARCHAR))")} AS hh
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    hb AS (
+      SELECT event_type, h, hh & {HLL_BUCKETS - 1} AS bucket, hh >> 8 AS w
+      FROM e
+    ),
+    regs AS (
+      SELECT event_type, h, bucket,
+             max(CASE {ladder} ELSE {HLL_WORD_BITS + 1} END) AS reg
+      FROM hb GROUP BY 1, 2, 3
+    ),
+    fan AS (
+      SELECT event_type,
+             h + unnest([INTERVAL 0 HOUR, INTERVAL 1 HOUR, INTERVAL 2 HOUR])
+               AS window_end,
+             bucket, reg
+      FROM regs
+    ),
+    m AS (
+      SELECT event_type, window_end, bucket, max(reg) AS reg
+      FROM fan GROUP BY 1, 2, 3
+    )
+    SELECT event_type, window_end, {est} AS est_users
+    FROM m GROUP BY event_type, window_end
+    """
+
+
+@query("rolling_distinct_hll", oracle=_rolling_hll_oracle())
+def q_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-hour distinct users from mergeable HLL register state: hourly sketches max-merge into each trailing window - state-sized fan-out (256 registers), the wide-window twin of the exact rolling distinct."""
+    from datalake_etlscripts_spark.operators import sketches
+
+    e = read_table(spark, sf_dir, "events").select("event_type", "ts", "user_id")
+    hourly = e.withColumn("_h", F.date_trunc("hour", F.col("ts")))
+    state = sketches.hll_register_table(hourly, ["event_type", "_h"], "user_id")
+    fanned = state.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.col("_h") + F.make_interval(hours=F.lit(k))
+                    for k in range(3)
+                ]
+            )
+        ).alias("window_end"),
+        "bucket",
+        "register",
+    )
+    merged = fanned.groupBy("event_type", "window_end", "bucket").agg(
+        F.max("register").alias("register")
+    )
+    return sketches.hll_register_estimate(merged, alias="est_users")
