@@ -1003,3 +1003,82 @@ def funnel_advance(
 
     fold = F.aggregate(F.col("_evs"), F.col("_init"), advance)
     return per_user.select(user_col, fold.alias("max_step"))
+
+
+def survival_km(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier retention survival with right-censoring — the
+    product-limit estimator S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) over user
+    lifetimes (days between first and last event). Users whose last
+    event falls within ``censor_days`` of the corpus end are CENSORED
+    (still alive — treating them as churned is the classic retention
+    bias); they leave the risk set without contributing a death.
+
+    Scale shape: one (user) aggregate reduces the event log to a
+    lifetime row per user; everything after runs on the DAY-grain grid
+    (≤ corpus-span rows — calendar-sized, never user-sized), so the
+    single ordered window and the prefix-product fold are bounded.
+    Survival multiplies (1 − d/n) factors — each one double division
+    of exact integers — IN LIFETIME ORDER via a sorted-array fold
+    (the engine's deterministic-double policy; products reorder as
+    badly as sums). Returns (t_days, n_risk, n_deaths, survival).
+    """
+    from pyspark.sql import Window
+
+    u = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.to_date(F.min(ts_col)).alias("_f"),
+        F.to_date(F.max(ts_col)).alias("_l"),
+    )
+    mx = u.agg(F.max("_l").alias("_m"))
+    lab = u.crossJoin(F.broadcast(mx)).select(
+        F.datediff(F.col("_l"), F.col("_f")).alias("t_days"),
+        F.when(
+            F.col("_l") >= F.date_sub(F.col("_m"), censor_days), 1
+        ).otherwise(0).alias("_cen"),
+    )
+    g = lab.groupBy("t_days").agg(
+        F.sum(1 - F.col("_cen")).cast("long").alias("n_deaths"),
+        F.sum("_cen").cast("long").alias("_c"),
+    )
+    tot = g.agg(F.sum(F.col("n_deaths") + F.col("_c")).cast("long").alias("_n"))
+    w_prior = (
+        Window.orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            F.col("_n")
+            - F.coalesce(
+                F.sum(F.col("n_deaths") + F.col("_c")).over(w_prior),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(Window.orderBy("t_days")))
+    )
+    arr = r.groupBy().agg(
+        F.array_sort(
+            F.collect_list(F.struct("t_days", "n_deaths", "n_risk"))
+        ).alias("_a")
+    )
+    factors = lambda s: F.lit(1.0) - s["n_deaths"].cast("double") / s[  # noqa: E731
+        "n_risk"
+    ].cast("double")
+    return (
+        r.crossJoin(F.broadcast(arr))
+        .select(
+            "t_days",
+            "n_risk",
+            "n_deaths",
+            F.aggregate(
+                F.slice(F.col("_a"), 1, F.col("_rn")),
+                F.lit(1.0),
+                lambda acc, s: acc * factors(s),
+            ).alias("survival"),
+        )
+    )

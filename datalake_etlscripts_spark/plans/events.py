@@ -1609,3 +1609,60 @@ def q_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("register").alias("register")
     )
     return sketches.hll_register_estimate(merged, alias="est_users")
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier retention survival (r4): the product-limit estimator
+# with right-censoring — cohort_retention's statistically-honest
+# sibling (users still active at corpus end are censored, not
+# churned). Day-grain grid only; survival is an ordered prefix
+# product of (1 − d/n) factors, each a double division of exact
+# integers, folded via a sorted array (products reorder like sums).
+# ---------------------------------------------------------------------------
+@query(
+    "survival_retention_km",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS f, CAST(max(ts) AS DATE) AS l
+      FROM events GROUP BY 1
+    ),
+    mx AS (SELECT max(l) AS m FROM u),
+    lab AS (
+      SELECT date_diff('day', f, l) AS t_days,
+             CASE WHEN l >= m - 7 THEN 1 ELSE 0 END AS cen
+      FROM u, mx
+    ),
+    g AS (
+      SELECT t_days, CAST(sum(1 - cen) AS BIGINT) AS n_deaths,
+             CAST(sum(cen) AS BIGINT) AS c
+      FROM lab GROUP BY t_days
+    ),
+    tot AS (SELECT CAST(sum(n_deaths + c) AS BIGINT) AS n FROM g),
+    r AS (
+      SELECT t_days, n_deaths, c,
+             CAST(tot.n - COALESCE(sum(n_deaths + c) OVER (
+               ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS n_risk,
+             CAST(row_number() OVER (ORDER BY t_days) AS BIGINT) AS rn
+      FROM g, tot
+    ),
+    arr AS (
+      SELECT list(struct_pack(t := t_days, d := n_deaths, n := n_risk)
+                  ORDER BY t_days) AS a
+      FROM r
+    )
+    SELECT r.t_days, r.n_risk, r.n_deaths,
+           list_reduce(
+             list_prepend(1.0, list_transform(
+               list_slice(arr.a, 1, r.rn),
+               x -> 1.0 - CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE))),
+             (p, q) -> p * q) AS survival
+    FROM r, arr
+    """,
+)
+def q_survival_retention_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention survival: per-lifetime-day risk set, deaths, and product-limit survival with 7-day right-censoring - day-grain grid, ordered prefix-product fold."""
+    from datalake_etlscripts_spark.operators.events import survival_km
+
+    e = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    return survival_km(e)

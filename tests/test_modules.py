@@ -2703,3 +2703,28 @@ def test_dp_noise_distribution_shape(spark):
     # deterministic replay
     again = [r["noisy_count"] - 10 for r in dp_noisy_counts(df, ["g"]).collect()]
     assert sorted(noise) == sorted(again)
+
+
+def test_survival_km_monotone_and_censoring(spark, sf_dir):
+    """KM survival is non-increasing in lifetime, within (0, 1], and
+    censoring reduces the death count versus naive churn labeling."""
+    from datalake_etlscripts_spark.io.readers import read_table
+    from datalake_etlscripts_spark.operators.events import survival_km
+
+    e = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    rows = sorted(
+        (r["t_days"], r["n_risk"], r["n_deaths"], r["survival"])
+        for r in survival_km(e).collect()
+    )
+    assert rows
+    surv = [s for (_, _, _, s) in rows]
+    assert all(0.0 < s <= 1.0 for s in surv)
+    assert all(a >= b - 1e-12 for a, b in zip(surv, surv[1:]))
+    # risk set shrinks over time, starts at the full cohort
+    assert rows[0][1] == e.select("user_id").distinct().count()
+    deaths_censored = sum(d for (_, _, d, _) in rows)
+    naive = sum(
+        r["n_deaths"]
+        for r in survival_km(e, censor_days=-1).collect()
+    )
+    assert deaths_censored < naive
