@@ -394,3 +394,86 @@ def kcore(
     return e.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).filter(
         F.col("degree") >= k
     ).select(F.col("src").alias("node"), "degree")
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping: tuple[int, int] = (DAMPING_NUM, DAMPING_DEN),
+    scale: int = SCALE,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Personalized PageRank: random walks RESTART at the seed set
+    instead of everywhere, so rank mass concentrates in the seeds'
+    neighborhood — the seed-expansion primitive behind crawl-frontier
+    prioritization and "find more documents like these" corpus
+    growth (the quality-propagation idea behind graph-based seed
+    expansion of curated URL lists).
+
+        rank'(v) = [v ∈ S]·((den−num)·init)//den
+                   + (num · Σ_{u→v} rank(u)//deg(u)) // den
+
+    with init = scale//|S|; only seeds get teleport mass (and the
+    dangling redistribution when the caller's graph has sinks — this
+    implementation expects a symmetrized/sink-free edge set like
+    q_graph_pagerank's, where the dangling term is structurally
+    zero). Same integer contract as pagerank: 64-bit scaled ranks,
+    ``div`` arithmetic, bit-replayable externally.
+
+    Scale shape identical to pagerank: the (src, dst, deg) table
+    settles once, each iteration is one equi-join + one dst aggregate;
+    the seed flag is a broadcast-joined boolean. ``edges`` must be
+    DISTINCT (caller contract, like dedup_shuffle="none").
+    Returns (node, ppr)."""
+    num, den = damping
+    edges = edges.select("src", "dst")
+    deg = degree_table(edges)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+    )
+    seed_nodes = seeds.select(F.col(seeds.columns[0]).alias("node")).dropDuplicates()
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    flagged = nodes.join(
+        F.broadcast(seed_nodes.withColumn("_seed", F.lit(True))), "node", "left"
+    ).select("node", F.coalesce("_seed", F.lit(False)).alias("_seed"))
+    flagged = flagged.localCheckpoint()
+    edges_deg = edges.join(deg, "src").localCheckpoint()
+
+    init = scale // n_seeds
+    base = ((den - num) * init) // den
+    ranks = flagged.select(
+        "node",
+        "_seed",
+        F.when(F.col("_seed"), F.lit(init)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for it in range(iterations):
+        rank_side = ranks.select(F.col("node").alias("src"), "rank")
+        contrib = (
+            edges_deg.join(rank_side, "src")
+            .select(F.col("dst").alias("node"), F.expr("rank div deg").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            flagged.join(contrib, "node", "left")
+            .select(
+                "node",
+                "_seed",
+                (
+                    F.when(F.col("_seed"), F.lit(base)).otherwise(F.lit(0)).cast(
+                        "long"
+                    )
+                    + F.expr(f"({num} * coalesce(s, CAST(0 AS BIGINT))) div {den}")
+                ).alias("rank"),
+            )
+        )
+        ranks = cut_lineage(ranks, it, checkpoint_dir, checkpoint_every, eager=False)
+    return ranks.select("node", F.col("rank").alias("ppr"))

@@ -1190,3 +1190,78 @@ def q_deletion_vector_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("deletion_vector"))
         .alias("action"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV rollup (r4): the order-statistic twin of rollup_hll_registers —
+# distinct customers per nation as 64-hash KMV state, rolled to the
+# region grain by re-taking the k smallest over each region's nation
+# sketches (the sketch is a monoid: kmin(A ∪ B) = kmin(kmin(A) ∪
+# kmin(B))), never re-touching the customer table. Estimates are
+# (k−1)·2^60/h_(k), one double division of exact integers; sub-k
+# groups estimate exactly.
+# ---------------------------------------------------------------------------
+def _kmv_rollup_oracle(k: int = 64) -> str:
+    from datalake_etlscripts_spark.operators.sketches import KMV_HASH_SPACE
+    from datalake_etlscripts_spark.plans.registry import ddb_hex60
+
+    return f"""
+    WITH f AS (
+      SELECT n.n_regionkey AS region, c.c_nationkey AS nation,
+             {ddb_hex60("md5(CAST(c.c_custkey AS VARCHAR))")} AS h
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    dh AS (SELECT DISTINCT region, nation, h FROM f),
+    skn AS (
+      SELECT region, nation, h,
+             row_number() OVER (PARTITION BY region, nation ORDER BY h) AS pos
+      FROM dh QUALIFY pos <= {k}
+    ),
+    skr AS (
+      SELECT region, h,
+             row_number() OVER (PARTITION BY region ORDER BY h) AS pos
+      FROM (SELECT DISTINCT region, h FROM skn)
+      QUALIFY pos <= {k}
+    ),
+    agg AS (
+      SELECT region, count(*) AS n_k, max(h) AS kth FROM skr GROUP BY region
+    )
+    SELECT region, CAST(n_k AS BIGINT) AS n_k, kth,
+           CASE WHEN n_k < {k} THEN CAST(n_k AS DOUBLE)
+                ELSE CAST(CAST(CAST(n_k - 1 AS HUGEINT) * {KMV_HASH_SPACE}
+                               AS VARCHAR) AS DOUBLE)
+                     / CAST(kth AS DOUBLE)
+           END AS est_distinct
+    FROM agg
+    """
+
+
+@query("kmv_rollup_distinct", oracle=_kmv_rollup_oracle())
+def q_kmv_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch rollup: per-nation 64-hash customer sketches max-merge... k-min-merge to the region grain without re-scanning the fact table - monoid law, sketch-sized windows only."""
+    from pyspark.sql import Window
+
+    from datalake_etlscripts_spark.operators import sketches
+
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_regionkey").alias("region"),
+    )
+    f = c.join(F.broadcast(n), "c_nationkey").select(
+        "region", F.col("c_nationkey").alias("nation"), "c_custkey"
+    )
+    skn = sketches.kmv_sketch_table(f, ["region", "nation"], "c_custkey", k=64)
+    w = Window.partitionBy("region").orderBy("h")
+    skr = (
+        skn.select("region", "h")
+        .dropDuplicates()
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 64)
+    )
+    return sketches.kmv_estimate(skr, ["region"], k=64).select(
+        "region",
+        F.col("n_k").cast("long").alias("n_k"),
+        "kth",
+        "est_distinct",
+    )

@@ -334,3 +334,75 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_etlscripts_spark.operators.graph import kcore
 
     return kcore(_co_order_edges_w2(spark, sf_dir), k=2, rounds=4)
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (r4): restart mass only at the seed suppliers
+# — the "more like these" seed-expansion / crawl-frontier signal.
+# Same unrolled integer recurrence as graph_pagerank, with teleport
+# gated on the seed flag; the symmetrized co-purchase graph has no
+# sinks, so no dangling CTEs.
+# ---------------------------------------------------------------------------
+_PPR_ITER = 3
+
+
+def _ppr_oracle(iterations: int = _PPR_ITER) -> str:
+    scale, num, den = _PR_SCALE, _PR_NUM, _PR_DEN
+    ns = "(SELECT count(*) FROM seedset)"
+    init = f"(CAST({scale} AS BIGINT) // {ns})"
+    parts = [
+        f"""
+    WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS src,
+                                l_partkey * 2 + 1 AS dst
+                FROM lineitem),
+    edges AS (SELECT src, dst FROM e0
+              UNION SELECT dst AS src, src AS dst FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst AS node FROM edges),
+    seedset AS (SELECT DISTINCT l_suppkey * 2 AS node FROM lineitem
+                WHERE l_suppkey % 53 = 0),
+    flagged AS (SELECT n.node, s.node IS NOT NULL AS seed
+                FROM nodes n LEFT JOIN seedset s ON s.node = n.node),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT node, seed,
+                  CASE WHEN seed THEN {init} ELSE 0 END AS pr
+           FROM flagged)"""
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    c{i} AS (SELECT e.dst AS node, SUM(r.pr // d.deg) AS s
+             FROM edges e
+             JOIN deg d ON e.src = d.src
+             JOIN r{p} r ON r.node = e.src
+             GROUP BY e.dst),
+    r{i} AS (SELECT f.node, f.seed,
+             CASE WHEN f.seed
+                  THEN (({den} - {num}) * {init}) // {den} ELSE 0 END
+             + ({num} * COALESCE(c.s, 0)) // {den} AS pr
+             FROM flagged f LEFT JOIN c{i} c ON c.node = f.node)"""
+        )
+    parts.append(
+        f"\n    SELECT node, CAST(pr AS BIGINT) AS ppr FROM r{iterations}"
+    )
+    return "".join(parts)
+
+
+@query("graph_ppr_seeds", oracle=_ppr_oracle())
+def q_graph_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from seed suppliers over the co-purchase graph: teleport mass only at seeds, integer-scaled ranks - the seed-expansion / crawl-frontier prioritization signal."""
+    from datalake_etlscripts_spark.operators.graph import personalized_pagerank
+
+    li = read_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).dropDuplicates()
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = li.filter(F.col("l_suppkey") % 53 == 0).select(
+        (F.col("l_suppkey") * 2).alias("node")
+    )
+    return personalized_pagerank(edges, seeds, iterations=_PPR_ITER)

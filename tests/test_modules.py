@@ -2728,3 +2728,25 @@ def test_survival_km_monotone_and_censoring(spark, sf_dir):
         for r in survival_km(e, censor_days=-1).collect()
     )
     assert deaths_censored < naive
+
+
+def test_personalized_pagerank_localizes_to_seed_component(spark):
+    """PPR semantics on two disconnected rings: teleport only at seeds
+    means the seedless component holds EXACTLY zero mass, seeds outrank
+    their neighbors, and total mass stays ≤ scale (integer leakage
+    only ever loses mass, never invents it)."""
+    from datalake_etlscripts_spark.operators.graph import SCALE, personalized_pagerank
+
+    def ring(offset, n):
+        return [(offset + i, offset + (i + 1) % n) for i in range(n)]
+
+    und = [(s, d) for (s, d) in ring(0, 8) + ring(100, 8)]
+    edges = spark.createDataFrame(
+        und + [(d, s) for (s, d) in und], "src bigint, dst bigint"
+    ).dropDuplicates()
+    seeds = spark.createDataFrame([(0,), (1,)], "node bigint")
+    ppr = {r["node"]: r["ppr"] for r in personalized_pagerank(edges, seeds).collect()}
+    assert all(ppr[n] == 0 for n in range(100, 108))
+    assert all(ppr[n] > 0 for n in range(0, 8))
+    assert min(ppr[0], ppr[1]) > max(ppr[4], ppr[5])  # seeds beat far side
+    assert sum(ppr.values()) <= SCALE
