@@ -951,3 +951,117 @@ def run_streaming_compaction(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_zone_stats(
+    spark: SparkSession,
+    incoming_dir: str,
+    table_dir: str,
+    schema: str,
+    stat_cols: list[str],
+):
+    """Streaming ingest that maintains a MANIFEST beside the data —
+    per-epoch min/max/count zone stats for ``stat_cols`` (the
+    Delta add-file-stats / Iceberg manifest idea): at 100 TB, range
+    pruning by listing parquet footers is itself a metadata scan over
+    10⁶ files; a stats TABLE answers "which files can match" in one
+    small read. Layout:
+
+      data/epoch=N    the micro-batch rows (idempotent overwrite)
+      stats/epoch=N   one row per stat col: (col, min_v, max_v, n_rows)
+
+    Stats are written AFTER their data epoch from the same batch
+    DataFrame, both keyed by the foreachBatch epoch. Replay contract
+    (the compacted_through rule): epochs strictly increase under a
+    live checkpoint, so an epoch BELOW the max on disk can only be a
+    restarted-from-scratch replay of already-ingested drops — skipped
+    entirely; an epoch EQUAL to the max re-overwrites both data and
+    stats idempotently (covers a crash between the two writes).
+    Readers use ``read_zone_pruned`` to touch only intersecting
+    epochs; stats are per-col doubles, generic over the schema.
+    """
+    import glob
+    import os
+    import re
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        existing = [
+            int(re.search(r"epoch=(\d+)$", d).group(1))
+            for d in glob.glob(os.path.join(table_dir, "data", "epoch=*"))
+        ]
+        if existing and epoch_id < max(existing):
+            return  # wiped-checkpoint replay of already-ingested drops
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(table_dir, "data", f"epoch={epoch_id}")
+        )
+        aggs = []
+        for c in stat_cols:
+            aggs += [
+                F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
+            ]
+        row = batch_df.agg(F.count(F.lit(1)).alias("_n"), *aggs).collect()[0]
+        stats = spark.createDataFrame(
+            [
+                (c, row[f"_min_{c}"], row[f"_max_{c}"], row["_n"])
+                for c in stat_cols
+            ],
+            "col string, min_v double, max_v double, n_rows bigint",
+        )
+        stats.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(table_dir, "stats", f"epoch={epoch_id}")
+        )
+
+    stream = spark.readStream.schema(schema).parquet(incoming_dir)
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", f"{table_dir}__checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_zone_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo: float,
+    hi: float,
+):
+    """Manifest-pruned read: consult the stats table for the epochs
+    whose [min, max] on ``col`` intersects [lo, hi], read ONLY those
+    data epochs, and re-apply the exact predicate (zone stats are
+    advisory — they may admit a file, never wrongly exclude one).
+    Returns (df, epochs_read, epochs_total)."""
+    import glob
+    import os
+    import re
+
+    stat_dirs = sorted(glob.glob(os.path.join(table_dir, "stats", "epoch=*")))
+    if not stat_dirs:
+        raise FileNotFoundError(f"no stats manifest under {table_dir}")
+    keep: list[int] = []
+    total = 0
+    for d in stat_dirs:
+        epoch = int(re.search(r"epoch=(\d+)$", d).group(1))
+        total += 1
+        row = (
+            spark.read.parquet(d)
+            .filter(F.col("col") == col)
+            .collect()
+        )
+        if not row:
+            keep.append(epoch)  # no stats for this col: must scan
+            continue
+        r = row[0]
+        if r["min_v"] is None or (r["max_v"] >= lo and r["min_v"] <= hi):
+            keep.append(epoch)
+    if not keep:
+        empty = spark.read.parquet(
+            os.path.join(table_dir, "data", f"epoch={total - 1}")
+        ).limit(0)
+        return empty, 0, total
+    df = spark.read.parquet(
+        *[os.path.join(table_dir, "data", f"epoch={e}") for e in keep]
+    ).filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    return df, len(keep), total

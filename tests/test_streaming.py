@@ -757,3 +757,59 @@ def test_streaming_compaction_bounds_fragments(spark, tmp_path):
     again = read_compacted_table(spark, table)
     assert again.count() == 70
     assert sorted(r["event_id"] for r in again.collect()) == list(range(0, 70))
+
+
+def test_streaming_zone_stats_manifest_prunes_reads(spark, tmp_path):
+    """Manifest-pruned reads: 6 drops with disjoint value ranges; a
+    narrow range predicate reads 1 of 6 epochs via the stats table,
+    returns exactly the full-scan answer, and a replay (wiped
+    checkpoint) leaves data + manifest byte-stable."""
+    from datalake_etlscripts_spark.streaming.ingest import (
+        read_zone_pruned,
+        run_streaming_zone_stats,
+    )
+
+    schema = "event_id bigint, value double"
+    incoming = str(tmp_path / "in")
+    table = str(tmp_path / "t")
+    os.makedirs(incoming)
+    for i in range(6):
+        spark.createDataFrame(
+            [(i * 100 + j, float(i * 1000 + j)) for j in range(50)], schema
+        ).coalesce(1).write.mode("append").parquet(incoming)
+        run_streaming_zone_stats(
+            spark, incoming, table, schema, ["value"]
+        ).awaitTermination(120)
+
+    df, read, total = read_zone_pruned(spark, table, "value", 3000.0, 3010.0)
+    assert total == 6 and read == 1
+    got = sorted(r["event_id"] for r in df.collect())
+    assert got == list(range(300, 311))
+    # advisory, never lossy: full-scan filter agrees
+    alldata = spark.read.parquet(os.path.join(table, "data"))
+    expect = sorted(
+        r["event_id"]
+        for r in alldata.filter(
+            (F.col("value") >= 3000.0) & (F.col("value") <= 3010.0)
+        ).collect()
+    )
+    assert got == expect
+    # out-of-range predicate: zero epochs read, empty result
+    none_df, read0, _ = read_zone_pruned(spark, table, "value", 99999.0, 99999.5)
+    assert read0 == 0 and none_df.count() == 0
+
+    before = sorted(
+        (r["event_id"], r["value"]) for r in spark.read.parquet(
+            os.path.join(table, "data")
+        ).collect()
+    )
+    shutil.rmtree(f"{table}__checkpoint")
+    run_streaming_zone_stats(
+        spark, incoming, table, schema, ["value"]
+    ).awaitTermination(120)
+    after = sorted(
+        (r["event_id"], r["value"]) for r in spark.read.parquet(
+            os.path.join(table, "data")
+        ).collect()
+    )
+    assert after == before
