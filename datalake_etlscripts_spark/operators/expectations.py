@@ -379,3 +379,50 @@ def dp_noisy_counts(
             (F.col("_n") + F.col("_g1") - F.col("_g2")).alias("noisy_count"),
         )
     )
+
+
+def rank_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """EXACT ROC-AUC via the Mann-Whitney rank identity — the
+    classifier-evaluation metric computed at corpus scale without a
+    global sort: group by DISTINCT score, order the (score, n_pos,
+    n_neg) grid ascending, and
+
+        U₂ = Σ_s p_s · (2·cumneg_<s + q_s),   AUC = U₂ / (2·P·Q)
+
+    (the 2× scaling makes the tie term n_neg_s/2 integral, so U₂ is an
+    exact BIGINT and AUC is ONE double division of exact integers).
+
+    The ordered window runs over the distinct-SCORE grid — use integer
+    or quantized scores so the grid is dictionary-sized (token counts,
+    micro-nat margins, deciles), the same boundedness contract as the
+    quantized KS. Returns one row (n_pos, n_neg, u2, auc); AUC is NULL
+    for degenerate inputs (all-positive or all-negative)."""
+    from pyspark.sql import Window
+
+    g = df.select(
+        F.col(score_col).alias("_s"), F.col(label_col).cast("int").alias("_y")
+    )
+    grid = g.groupBy("_s").agg(
+        F.sum("_y").cast("long").alias("_p"),
+        F.sum(1 - F.col("_y")).cast("long").alias("_q"),
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grid.withColumn(
+        "_cq", F.coalesce(F.sum("_q").over(w), F.lit(0).cast("long"))
+    )
+    agg = cum.agg(
+        F.sum("_p").cast("long").alias("n_pos"),
+        F.sum("_q").cast("long").alias("n_neg"),
+        F.sum(F.col("_p") * (2 * F.col("_cq") + F.col("_q")))
+        .cast("long")
+        .alias("u2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        (
+            F.col("u2").cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )

@@ -3933,3 +3933,78 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("doc_id"), "rank"
     )
     return rrf_fuse([("bm25", bm_ranked), ("ann", ann)], k=10)
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC (r4): how much of the Gopher keep decision does raw
+# length alone explain — the filter-ablation question, answered with
+# the Mann-Whitney identity so the whole metric is exact integers +
+# one division. The ordered window runs over the distinct TOKEN-COUNT
+# grid (dictionary-sized), not the corpus.
+# ---------------------------------------------------------------------------
+_AUC_ORACLE = r"""
+    WITH feat AS (
+      SELECT doc_id, length(text) AS nc,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk,
+             len(regexp_extract_all(text, '[^\w\s]')) AS np
+      FROM documents
+    ),
+    f2 AS (
+      SELECT doc_id, nc, np, len(tk) AS nt,
+             len(list_distinct(tk)) AS nd,
+             list_transform(range(1, greatest(len(tk) - 1, 1)),
+                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g3
+      FROM feat
+    ),
+    sig AS (
+      SELECT nt,
+        CASE WHEN
+          coalesce(nt >= 20 AND nt <= 100000, false)
+          AND coalesce(CASE WHEN nt > 0 THEN CAST(nc - (nt - 1) AS DOUBLE) / nt END
+                       BETWEEN 2.0 AND 12.0, false)
+          AND coalesce(CASE WHEN nc > 0 THEN CAST(np AS DOUBLE) / nc END <= 0.3,
+                       false)
+          AND coalesce(CASE WHEN nt > 0 THEN CAST(nd AS DOUBLE) / nt END >= 0.3,
+                       false)
+          AND coalesce(CASE WHEN len(g3) > 0 THEN
+                CAST(list_max(list_transform(list_distinct(g3),
+                     d -> len(list_filter(g3, x -> x = d)))) AS DOUBLE) / len(g3)
+              END <= 0.18, false)
+        THEN 1 ELSE 0 END AS pos
+      FROM f2
+    ),
+    grid AS (
+      SELECT nt AS s, CAST(sum(pos) AS BIGINT) AS p,
+             CAST(sum(1 - pos) AS BIGINT) AS q
+      FROM sig GROUP BY nt
+    ),
+    cum AS (
+      SELECT s, p, q,
+             CAST(COALESCE(sum(q) OVER (ORDER BY s ROWS BETWEEN
+               UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cq
+      FROM grid
+    )
+    SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(q) AS BIGINT) AS n_neg,
+           CAST(sum(p * (2 * cq + q)) AS BIGINT) AS u2,
+           CAST(CAST(sum(p * (2 * cq + q)) AS BIGINT) AS DOUBLE)
+             / CAST(2 * CAST(sum(p) AS BIGINT) * CAST(sum(q) AS BIGINT)
+                    AS DOUBLE) AS auc
+    FROM cum
+"""
+
+
+@query("gopher_length_auc", oracle=_AUC_ORACLE)
+def q_gopher_length_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of token count at predicting the Gopher keep decision (Mann-Whitney rank identity) - filter ablation as exact integers plus one division, distinct-token-count grid window."""
+    from datalake_etlscripts_spark.operators.expectations import rank_auc
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = d.select(
+        "doc_id", F.size(text.tokens(F.col("text"))).alias("n_tokens")
+    )
+    keep = text.gopher_quality_filter(d).select("doc_id", "keep")
+    joined = scored.join(keep, "doc_id").select(
+        "n_tokens", F.col("keep").cast("int").alias("label")
+    )
+    return rank_auc(joined, "n_tokens", "label")

@@ -2750,3 +2750,27 @@ def test_personalized_pagerank_localizes_to_seed_component(spark):
     assert all(ppr[n] > 0 for n in range(0, 8))
     assert min(ppr[0], ppr[1]) > max(ppr[4], ppr[5])  # seeds beat far side
     assert sum(ppr.values()) <= SCALE
+
+
+def test_rank_auc_exactness_properties(spark):
+    """AUC axioms: perfect separation → 1.0, inverted → 0.0, ties at a
+    single score → 0.5; matches a naive pairwise count on a mixed
+    tie-heavy case."""
+    from datalake_etlscripts_spark.operators.expectations import rank_auc
+
+    def auc_of(rows):
+        df = spark.createDataFrame(rows, "s bigint, y int")
+        return rank_auc(df, "s", "y").collect()[0]["auc"]
+
+    perfect = [(i, 1 if i >= 10 else 0) for i in range(20)]
+    assert auc_of(perfect) == 1.0
+    assert auc_of([(s, 1 - y) for (s, y) in perfect]) == 0.0
+    assert auc_of([(5, y) for (_, y) in perfect]) == 0.5
+
+    mixed = [(1, 0), (1, 1), (2, 0), (3, 1), (3, 1), (3, 0), (4, 1)]
+    pos = [s for s, y in mixed if y == 1]
+    neg = [s for s, y in mixed if y == 0]
+    naive = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    ) / (len(pos) * len(neg))
+    assert abs(auc_of(mixed) - naive) < 1e-12
