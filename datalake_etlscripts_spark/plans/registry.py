@@ -107,11 +107,11 @@ PRIORITY: list[str] = [
     "hybrid_search_rrf",
     "deletion_vector_plan",
     "dsir_gumbel_resample",
+    "graph_ppr_seeds",
+    "kmv_rollup_distinct",
+    "gopher_length_auc",
     # events family
-    "interval_overlap",
-    "seasonality_lag24",
     "peak_concurrency",
-    "time_weighted_avg",
     "funnel_deadline",
     "distribution_drift",
     # graph family
