@@ -1265,3 +1265,96 @@ def q_kmv_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kth",
         "est_distinct",
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS join-size estimation (r4): the optimizer's sketch trick — the
+# inner product of two count-min states estimates |A ⋈ B| (AGMS-style
+# Σ_k a_k·b_k), and a state's self-inner-product estimates the F2
+# self-join size, without materializing either join. Estimates are
+# min-over-depths of exact integer dot products, so the whole query is
+# oracle-hashable. The deciding input for broadcast-vs-shuffle and
+# skew-mitigation choices before a big join runs.
+# ---------------------------------------------------------------------------
+def _join_size_oracle() -> str:
+    def lanes(src: str, name: str) -> str:
+        h1 = _ddb_hex32(f"md5(CAST(k AS VARCHAR) || '|101')")
+        h2 = _ddb_hex32(f"md5(CAST(k AS VARCHAR) || '|202')")
+        return f"""
+    {name}h AS (SELECT k, c, {h1} AS h1, {h2} AS h2 FROM {src}),
+    {name}l AS (
+      SELECT k, c, d.d AS depth, (h1 + d.d * h2) % {CMS_WIDTH_SQL} AS bucket
+      FROM {name}h CROSS JOIN (VALUES (0), (1), (2), (3), (4)) d(d)
+    ),
+    {name}c AS (SELECT depth, bucket, CAST(sum(c) AS BIGINT) AS n
+                FROM {name}l GROUP BY 1, 2)"""
+
+    return f"""
+    WITH af AS (SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+    bf AS (SELECT p_partkey AS k, count(*) AS c FROM part
+           WHERE p_size >= 25 GROUP BY 1),
+    exact AS (
+      SELECT CAST(COALESCE(sum(af.c * bf.c), 0) AS BIGINT) AS exact_join_size
+      FROM af JOIN bf USING (k)
+    ),
+    f2 AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2 FROM af),{lanes("af", "a")},{lanes("bf", "b")},
+    dot AS (
+      SELECT a.depth, CAST(sum(a.n * b.n) AS BIGINT) AS s
+      FROM ac a JOIN bc b ON a.depth = b.depth AND a.bucket = b.bucket
+      GROUP BY a.depth
+    ),
+    dot2 AS (SELECT depth, CAST(sum(n * n) AS BIGINT) AS s FROM ac GROUP BY depth)
+    SELECT exact.exact_join_size,
+           (SELECT CAST(min(s) AS BIGINT) FROM dot) AS cms_join_estimate,
+           f2.exact_f2,
+           (SELECT CAST(min(s) AS BIGINT) FROM dot2) AS cms_f2_estimate
+    FROM exact, f2
+    """
+
+
+@query("join_size_estimate", oracle=_join_size_oracle())
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS join-size estimation: |lineitem x filtered part| and the lineitem F2 self-join size from count-min inner products (min over depths) beside the exact answers - the pre-join planning signal, counter-sized state only."""
+    from datalake_etlscripts_spark.operators import sketches
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k")
+    )
+    pf = read_table(spark, sf_dir, "part").filter(F.col("p_size") >= 25).select(
+        F.col("p_partkey").alias("k")
+    )
+    cms_a = sketches.cms_sketch_table(li, "k", scheme="md5")
+    cms_b = sketches.cms_sketch_table(pf, "k", scheme="md5")
+    a_counts = li.groupBy("k").agg(F.count(F.lit(1)).alias("_ca"))
+    b_counts = pf.groupBy("k").agg(F.count(F.lit(1)).alias("_cb"))
+    exact = a_counts.join(b_counts, "k").agg(
+        F.coalesce(F.sum(F.col("_ca") * F.col("_cb")), F.lit(0))
+        .cast("long")
+        .alias("exact_join_size")
+    )
+    f2 = a_counts.agg(
+        F.sum(F.col("_ca") * F.col("_ca")).cast("long").alias("exact_f2")
+    )
+    dot = (
+        cms_a.select("depth", "bucket", F.col("n").alias("_na"))
+        .join(
+            cms_b.select("depth", "bucket", F.col("n").alias("_nb")),
+            ["depth", "bucket"],
+        )
+        .groupBy("depth")
+        .agg(F.sum(F.col("_na") * F.col("_nb")).cast("long").alias("_s"))
+        .agg(F.min("_s").cast("long").alias("cms_join_estimate"))
+    )
+    dot2 = (
+        cms_a.groupBy("depth")
+        .agg(F.sum(F.col("n") * F.col("n")).cast("long").alias("_s"))
+        .agg(F.min("_s").cast("long").alias("cms_f2_estimate"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(dot))
+        .crossJoin(F.broadcast(f2))
+        .crossJoin(F.broadcast(dot2))
+        .select(
+            "exact_join_size", "cms_join_estimate", "exact_f2", "cms_f2_estimate"
+        )
+    )
