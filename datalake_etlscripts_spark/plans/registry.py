@@ -110,8 +110,8 @@ PRIORITY: list[str] = [
     "graph_ppr_seeds",
     "kmv_rollup_distinct",
     "gopher_length_auc",
+    "join_size_estimate",
     # events family
-    "peak_concurrency",
     "funnel_deadline",
     "distribution_drift",
     # graph family
