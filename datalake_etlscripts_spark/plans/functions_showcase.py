@@ -1358,3 +1358,85 @@ def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_join_size", "cms_join_estimate", "exact_f2", "cms_f2_estimate"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit (r4): the classic fabricated-numbers /
+# data-quality screen. Expected digit probabilities log10(1+1/d) are
+# DATA-INDEPENDENT constants fixed once as integer micro-probabilities
+# (they sum to exactly 1e6) and shared as literals by both engines —
+# no runtime log anywhere. First digits extract via a pure-integer
+# CASE ladder (no log10, no string form — double formatting is not a
+# cross-engine contract). One scan, one 9-row aggregate.
+# ---------------------------------------------------------------------------
+_BENFORD_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def _first_digit_sql(y: str) -> str:
+    conds = " ".join(
+        f"WHEN {y} < {10 ** (k + 1)} THEN {y} // {10 ** k}"
+        for k in range(0, 12)
+    )
+    return f"(CASE {conds} END)"
+
+
+@query(
+    "benford_audit",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(floor(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem WHERE l_extendedprice >= 1
+    ),
+    d AS (SELECT {_first_digit_sql("y")} AS digit FROM v),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    exp AS (SELECT * FROM (VALUES
+      {", ".join(f"({d}, {m})" for d, m in sorted(_BENFORD_MICRO.items()))}
+      ) e(digit, benford_micro)),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+    SELECT e.digit, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+           CAST(COALESCE(c.n, 0) AS DOUBLE) / tot.t AS share,
+           e.benford_micro,
+           (CAST(COALESCE(c.n, 0) AS DOUBLE) / tot.t
+            - e.benford_micro / 1000000.0) AS excess
+    FROM exp e LEFT JOIN c ON c.digit = e.digit, tot
+    """,
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of extended prices: observed digit shares vs the log10(1+1/d) expectation (fixed micro-probability literals, integer CASE-ladder digit extraction) - the fabricated-numbers screen, one scan + 9-row aggregate."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice") >= 1
+    )
+    y = F.floor(F.col("l_extendedprice")).cast("long")
+
+    def div_pow(k):
+        return F.expr(f"CAST(floor(l_extendedprice) AS BIGINT) div {10 ** k}")
+
+    digit = div_pow(11)
+    for k in range(10, -1, -1):
+        digit = F.when(y < F.lit(10 ** (k + 1)), div_pow(k)).otherwise(digit)
+    c = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spark_exp = li.sparkSession.createDataFrame(
+        sorted(_BENFORD_MICRO.items()), "digit bigint, benford_micro bigint"
+    )
+    tot = c.agg(F.sum("n").cast("long").alias("_t"))
+    return (
+        spark_exp.join(c, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            (F.coalesce("n", F.lit(0)).cast("double") / F.col("_t")).alias(
+                "share"
+            ),
+            "benford_micro",
+            (
+                F.coalesce("n", F.lit(0)).cast("double") / F.col("_t")
+                - F.col("benford_micro") / F.lit(1000000.0)
+            ).alias("excess"),
+        )
+    )
