@@ -876,3 +876,68 @@ def perceptron_train(
     return spark.createDataFrame(
         sorted(w.items()), "bucket bigint, weight bigint"
     )
+
+
+def chi2_term_label(
+    df: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    min_df: int = 3,
+    top_k: int = 50,
+) -> DataFrame:
+    """Chi-square feature selection: rank vocabulary terms by how
+    strongly document-level PRESENCE associates with a binary label —
+    the classic filter for pruning a hashed-classifier vocabulary
+    (fastText-style quality/domain filters) before training.
+
+    Per term the 2x2 contingency table (a = pos docs containing it,
+    b = neg docs containing it, c/d = the complements) gives
+
+        chi2 = N * (a*d - b*c)^2 / ((a+b)(c+d)(a+c)(b+d))
+
+    Scale + portability shape: one corpus scan -> distinct-terms
+    explode -> one term-keyed shuffle; the two class totals are a
+    1-row broadcast. All counts and the cross-product delta are exact
+    integers (delta in DECIMAL to survive a*d at web-corpus N); chi2
+    itself is doubles multiplied/divided in ONE fixed parenthesization
+    both engines replay bit-for-bit. Top-k is TakeOrdered (no global
+    sort), ties broken by term.
+    """
+    base = df.select(label.cast("int").alias("_y"), F.col(text_col).alias("_t"))
+    totals = base.agg(
+        F.sum("_y").cast("long").alias("_npos"),
+        F.sum(1 - F.col("_y")).cast("long").alias("_nneg"),
+    )
+    per_term = (
+        base.select(
+            "_y", F.explode(F.array_distinct(tokens(F.col("_t")))).alias("term")
+        )
+        .groupBy("term")
+        .agg(
+            F.sum("_y").cast("long").alias("df_pos"),
+            F.sum(1 - F.col("_y")).cast("long").alias("df_neg"),
+        )
+    )
+    j = per_term.crossJoin(F.broadcast(totals))
+    dec = "decimal(19,0)"
+    a, b = F.col("df_pos"), F.col("df_neg")
+    c = (F.col("_npos") - a).alias("_c")
+    d = (F.col("_nneg") - b).alias("_d")
+    j = j.withColumn("_c", c).withColumn("_d", d)
+    delta = (
+        a.cast(dec) * F.col("_d").cast(dec) - b.cast(dec) * F.col("_c").cast(dec)
+    )
+    n = (F.col("_npos") + F.col("_nneg")).alias("_n")
+    df_q = (a + b).alias("_df")
+    j = j.withColumn("_delta", delta).withColumn("_n", n).withColumn("_df", df_q)
+    delta_d = F.col("_delta").cast("string").cast("double")
+    chi2 = (F.col("_n").cast("double") * delta_d * delta_d) / (
+        (F.col("_df").cast("double") * (F.col("_n") - F.col("_df")).cast("double"))
+        * (F.col("_npos").cast("double") * F.col("_nneg").cast("double"))
+    )
+    return (
+        j.filter((F.col("_df") >= min_df) & (F.col("_n") - F.col("_df") > 0))
+        .select("term", "df_pos", "df_neg", chi2.alias("chi2"))
+        .orderBy(F.col("chi2").desc(), F.col("term").asc())
+        .limit(top_k)
+    )

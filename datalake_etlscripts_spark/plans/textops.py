@@ -4008,3 +4008,53 @@ def q_gopher_length_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens", F.col("keep").cast("int").alias("label")
     )
     return rank_auc(joined, "n_tokens", "label")
+
+
+# ---------------------------------------------------------------------------
+# chi-square feature selection (r5): which vocabulary terms carry
+# label signal — the pruning step in front of every hashed-bag
+# classifier here (perceptron / DSIR / NB-style filters). Exact
+# integer contingency tables; chi2 is one fixed-order double
+# expression; top-k is TakeOrdered, never a global sort.
+# ---------------------------------------------------------------------------
+_CHI2_ORACLE = """
+    WITH lab AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS tk
+      FROM documents
+    ),
+    tot AS (
+      SELECT CAST(sum(y) AS BIGINT) AS npos,
+             CAST(sum(1 - y) AS BIGINT) AS nneg
+      FROM lab
+    ),
+    pt AS (SELECT unnest(tk) AS term, y FROM lab),
+    ag AS (
+      SELECT term, CAST(sum(y) AS BIGINT) AS df_pos,
+             CAST(sum(1 - y) AS BIGINT) AS df_neg
+      FROM pt GROUP BY term
+    ),
+    x AS (
+      SELECT term, df_pos, df_neg, npos, nneg,
+             CAST(df_pos AS HUGEINT) * (nneg - df_neg)
+               - CAST(df_neg AS HUGEINT) * (npos - df_pos) AS delta,
+             df_pos + df_neg AS dfq, npos + nneg AS n
+      FROM ag CROSS JOIN tot
+    )
+    SELECT term, df_pos, df_neg,
+           ((CAST(n AS DOUBLE) * CAST(CAST(delta AS VARCHAR) AS DOUBLE))
+              * CAST(CAST(delta AS VARCHAR) AS DOUBLE))
+           / ((CAST(dfq AS DOUBLE) * CAST(n - dfq AS DOUBLE))
+              * (CAST(npos AS DOUBLE) * CAST(nneg AS DOUBLE))) AS chi2
+    FROM x
+    WHERE dfq >= 3 AND n - dfq > 0
+    ORDER BY chi2 DESC, term ASC LIMIT 50
+"""
+
+
+@query("chi2_feature_select", oracle=_CHI2_ORACLE)
+def q_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square term-label feature selection (the vocabulary-pruning step in front of hashed-bag classifiers) - exact integer contingency tables, one fixed-order double expression, TakeOrdered top-k."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.chi2_term_label(d, F.col("lang") == "en")
