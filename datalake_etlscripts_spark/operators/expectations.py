@@ -426,3 +426,56 @@ def rank_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
             / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
         ).alias("auc"),
     )
+
+
+def average_precision(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """EXACT average precision (the PR-curve area, sklearn's
+    step-integration definition) without a global sort:
+
+        AP = Σ_s  (p_s / P) · TP_s / (TP_s + FP_s)
+
+    over the distinct-score grid in DESCENDING score order, where
+    TP_s/FP_s are cumulative positives/negatives at threshold s. Every
+    count is an exact BIGINT; each precision term is one fixed-order
+    double expression; the terms fold in GRID ORDER (sorted collected
+    array, dictionary-sized by the quantized-score contract — the
+    distribution_drift policy), so the sum is
+    partitioning-deterministic. Returns one row
+    (n_pos, n_neg, ap)."""
+    from pyspark.sql import Window
+
+    g = df.select(
+        F.col(score_col).alias("_s"), F.col(label_col).cast("int").alias("_y")
+    )
+    grid = g.groupBy("_s").agg(
+        F.sum("_y").cast("long").alias("_p"),
+        F.sum(1 - F.col("_y")).cast("long").alias("_q"),
+    )
+    w = Window.orderBy(F.col("_s").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.withColumn("_tp", F.sum("_p").over(w).cast("long")).withColumn(
+        "_fp", F.sum("_q").over(w).cast("long")
+    )
+    v = (F.col("_p").cast("double") * F.col("_tp").cast("double")) / (
+        F.col("_tp") + F.col("_fp")
+    ).cast("double")
+    agg = cum.select(
+        F.struct(F.col("_s").alias("k"), v.alias("v")).alias("_st"),
+        "_p",
+        "_q",
+    ).agg(
+        F.collect_list("_st").alias("_arr"),
+        F.sum("_p").cast("long").alias("n_pos"),
+        F.sum("_q").cast("long").alias("n_neg"),
+    )
+    total = F.aggregate(
+        F.reverse(F.sort_array(F.col("_arr"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["v"],
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (total / F.col("n_pos").cast("double")).alias("ap"),
+    )

@@ -4058,3 +4058,53 @@ def q_chi2_feature_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square term-label feature selection (the vocabulary-pruning step in front of hashed-bag classifiers) - exact integer contingency tables, one fixed-order double expression, TakeOrdered top-k."""
     d = read_table(spark, sf_dir, "documents")
     return text.chi2_term_label(d, F.col("lang") == "en")
+
+
+# ---------------------------------------------------------------------------
+# Average precision (r5): the PR-curve twin of gopher_length_auc —
+# does English-stopword density retrieve the English slice? Exact
+# integer grid counts, per-threshold precision as one fixed-order
+# double term, terms folded in descending-score order (bounded grid).
+# ---------------------------------------------------------------------------
+_AP_ORACLE = """
+    WITH g AS (
+      SELECT len(list_filter(list_filter(string_split(text, ' '),
+                                         x -> x <> ''),
+                 t -> list_contains(['the','and','of','to','a','in','is',
+                                     'it','for','on'], t))) AS s,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    grid AS (
+      SELECT s, CAST(sum(y) AS BIGINT) AS p,
+             CAST(sum(1 - y) AS BIGINT) AS q
+      FROM g GROUP BY s
+    ),
+    cum AS (
+      SELECT s, p, q,
+             CAST(sum(p) OVER (ORDER BY s DESC) AS BIGINT) AS tp,
+             CAST(sum(q) OVER (ORDER BY s DESC) AS BIGINT) AS fp
+      FROM grid
+    )
+    SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(q) AS BIGINT) AS n_neg,
+           list_reduce(
+             list_prepend(0.0,
+               list((CAST(p AS DOUBLE) * CAST(tp AS DOUBLE))
+                      / CAST(tp + fp AS DOUBLE) ORDER BY s DESC)),
+             (a, b) -> a + b) / CAST(sum(p) AS DOUBLE) AS ap
+    FROM cum
+"""
+
+
+@query("average_precision", oracle=_AP_ORACLE)
+def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision of English-stopword density at retrieving the English slice (PR-curve area, step integration) - integer grid counts, descending-score ordered fold."""
+    from datalake_etlscripts_spark.operators.expectations import average_precision
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select(
+        text.stopword_hits(F.col("text"), "en").alias("sw_hits"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return average_precision(scored, "sw_hits", "is_en")
