@@ -479,3 +479,53 @@ def average_precision(df: DataFrame, score_col: str, label_col: str) -> DataFram
         "n_neg",
         (total / F.col("n_pos").cast("double")).alias("ap"),
     )
+
+
+def calibration_table(
+    df: DataFrame,
+    p_micro_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reliability diagram + per-bin Brier score for a probabilistic
+    classifier, computed entirely from exact integers: predictions
+    arrive as micro-probabilities (BIGINT in [0, scale]), bins are the
+    equal-width ladder, and per bin
+
+        avg_pred = Σp / (n·scale),  frac_pos = Σy / n,
+        brier    = Σ(p − y·scale)² / (n·scale²)
+
+    with the squared sums in DECIMAL(38,0) (n·scale² exceeds BIGINT at
+    corpus n). One groupBy shuffle over ≤ n_bins groups; each output
+    double is one fixed-order division chain. The calibration gap
+    (avg_pred − frac_pos) per bin is the model-audit signal."""
+    width = scale // n_bins
+    g = df.select(
+        F.least(F.col(p_micro_col), F.lit(scale - 1))
+        .cast("long")
+        .alias("_p"),
+        F.col(label_col).cast("int").cast("long").alias("_y"),
+    ).withColumn("bin", F.expr(f"_p div {width}"))
+    sq = (F.col("_p") - F.col("_y") * F.lit(scale)).cast("decimal(19,0)")
+    agg = g.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_p").cast("decimal(38,0)").alias("_sp"),
+        F.sum("_y").cast("long").alias("n_pos"),
+        F.sum(sq * sq).alias("_sq"),
+    )
+    n_d = F.col("n").cast("double")
+    return agg.select(
+        "bin",
+        "n",
+        "n_pos",
+        (
+            (F.col("_sp").cast("string").cast("double") / n_d)
+            / F.lit(float(scale))
+        ).alias("avg_pred"),
+        (F.col("n_pos").cast("double") / n_d).alias("frac_pos"),
+        (
+            (F.col("_sq").cast("string").cast("double") / n_d)
+            / F.lit(float(scale) * float(scale))
+        ).alias("brier"),
+    )

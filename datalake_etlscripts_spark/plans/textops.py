@@ -4108,3 +4108,52 @@ def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").alias("is_en"),
     )
     return average_precision(scored, "sw_hits", "is_en")
+
+
+# ---------------------------------------------------------------------------
+# Calibration audit (r5): reliability diagram + per-bin Brier score of
+# the stopword-density "probability" at predicting the English slice.
+# Micro-probability integers end to end; squared sums in DECIMAL;
+# every double is one fixed-order division chain.
+# ---------------------------------------------------------------------------
+_CALIB_ORACLE = """
+    WITH g AS (
+      SELECT least(least(len(list_filter(list_filter(string_split(text, ' '),
+                                                     x -> x <> ''),
+                        t -> list_contains(['the','and','of','to','a','in',
+                                            'is','it','for','on'], t)))
+                     , 10) * 100000, 999999) AS p,
+             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+      FROM documents
+    ),
+    agg AS (
+      SELECT p // 100000 AS bin, count(*) AS n,
+             CAST(sum(p) AS HUGEINT) AS sp,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(CAST(p - y * 1000000 AS HUGEINT)
+                      * CAST(p - y * 1000000 AS HUGEINT)) AS HUGEINT) AS sq
+      FROM g GROUP BY 1
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n, n_pos,
+           (CAST(CAST(sp AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+             / 1000000.0 AS avg_pred,
+           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+           (CAST(CAST(sq AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+             / 1000000000000.0 AS brier
+    FROM agg
+"""
+
+
+@query("calibration_bins", oracle=_CALIB_ORACLE)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + per-bin Brier score (classifier calibration audit) - micro-probability integers, DECIMAL squared sums, fixed-order division chains."""
+    from datalake_etlscripts_spark.operators.expectations import calibration_table
+
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select(
+        (F.least(text.stopword_hits(F.col("text"), "en"), F.lit(10)) * 100000)
+        .cast("long")
+        .alias("p_micro"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return calibration_table(scored, "p_micro", "is_en")
