@@ -1118,3 +1118,41 @@ def q_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", "o_orderstatus"
     )
     return dp_noisy_counts(o, ["o_orderpriority", "o_orderstatus"])
+
+
+# ---------------------------------------------------------------------------
+# 2-d skyline / Pareto frontier (r5): parts no other part beats on
+# BOTH (bigger size, cheaper price) — the multi-objective shortlist
+# operator (Börzsönyi et al., "The Skyline Operator"). Plan: collapse
+# to the distinct-size grid (bounded domain), prefix-min price over
+# strictly-larger sizes on that grid only, then one broadcast join
+# back — no pairwise self-join anywhere. The oracle is the
+# INDEPENDENT NOT-EXISTS dominance definition, so the sweep plan is
+# checked against the spec, not against itself.
+# ---------------------------------------------------------------------------
+@query(
+    "skyline_pareto",
+    oracle="""
+    SELECT q.p_partkey, q.p_size, q.p_retailprice
+    FROM part q
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part p
+      WHERE p.p_size >= q.p_size AND p.p_retailprice <= q.p_retailprice
+        AND (p.p_size > q.p_size OR p.p_retailprice < q.p_retailprice)
+    )
+    """,
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-d skyline (Pareto frontier) of parts on (maximize size, minimize price) - distinct-size grid sweep with prefix-min price, broadcast join back; oracle is the independent NOT-EXISTS dominance spec."""
+    p = read_table(spark, sf_dir, "part")
+    grid = p.groupBy("p_size").agg(F.min("p_retailprice").alias("_gmin"))
+    w = W.orderBy(F.col("p_size").desc()).rowsBetween(W.unboundedPreceding, -1)
+    grid = grid.withColumn("_pmin", F.min("_gmin").over(w))
+    return (
+        p.join(F.broadcast(grid), "p_size")
+        .filter(
+            (F.col("_pmin").isNull() | (F.col("_pmin") > F.col("p_retailprice")))
+            & (F.col("p_retailprice") == F.col("_gmin"))
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
