@@ -1082,3 +1082,92 @@ def survival_km(
             ).alias("survival"),
         )
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    type_col: str = "event_type",
+    value_col: str = "value",
+    half_col: str = "event_id",
+    bin_width: float = 10.0,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Population Stability Index per key between the two snapshot
+    halves — the industry-standard drift score beside the ln-free
+    distribution_drift. With +1 Laplace smoothing over each key's
+    union bin set, every PSI term reduces to integers over ONE
+    per-key denominator:
+
+        pa/pb = x/y,  pa − pb = (x − y)/D
+        x = (ca+1)(Nb+B),  y = (cb+1)(Na+B),  D = (Na+B)(Nb+B)
+        PSI = Σ_bins (x − y)·(ln x − ln y)  /  (D · 1e6)
+
+    with ln quantized to integer micro-nats DRIVER-side over the
+    distinct x/y values (bounded: ≤ 2·bins·keys rows collect, the DSIR
+    ln-portability pattern — same-host libm is the one documented
+    boundary). The whole sum is exact BIGINT; one double division per
+    key at the end. At corpus scale x·Δln and D belong in DECIMAL —
+    counts beyond ~1e9 per key overflow the BIGINT products.
+    Returns (key, n_bins, psi, drift)."""
+    import math
+
+    b = df.select(
+        F.col(type_col).alias("_k"),
+        (F.col(half_col) % 2).alias("_h"),
+        F.floor(F.col(value_col) / F.lit(bin_width)).cast("long").alias("_bin"),
+    )
+    c = b.groupBy("_k", "_bin").agg(
+        F.sum(F.when(F.col("_h") == 0, 1).otherwise(0)).cast("long").alias("_ca"),
+        F.sum(F.when(F.col("_h") == 1, 1).otherwise(0)).cast("long").alias("_cb"),
+    )
+    t = c.groupBy("_k").agg(
+        F.sum("_ca").cast("long").alias("_na"),
+        F.sum("_cb").cast("long").alias("_nb"),
+        F.count(F.lit(1)).alias("_nbins"),
+    )
+    j = (
+        c.join(t, "_k")
+        .withColumn("_x", (F.col("_ca") + 1) * (F.col("_nb") + F.col("_nbins")))
+        .withColumn("_y", (F.col("_cb") + 1) * (F.col("_na") + F.col("_nbins")))
+        .withColumn(
+            "_d", (F.col("_na") + F.col("_nbins")) * (F.col("_nb") + F.col("_nbins"))
+        )
+    )
+    args = sorted(
+        r["arg"]
+        for r in j.select(F.col("_x").alias("arg"))
+        .union(j.select(F.col("_y").alias("arg")))
+        .distinct()
+        .collect()
+    )
+    spark = df.sparkSession
+    lt = spark.createDataFrame(
+        [(a, int(math.floor(math.log(a) * 1_000_000 + 0.5))) for a in args],
+        "arg bigint, lnm bigint",
+    )
+    j2 = (
+        j.join(F.broadcast(lt.withColumnRenamed("lnm", "_lnx")), j["_x"] == lt["arg"])
+        .drop("arg")
+        .join(
+            F.broadcast(lt.withColumnRenamed("lnm", "_lny")),
+            F.col("_y") == F.col("arg"),
+        )
+        .drop("arg")
+    )
+    s = (
+        j2.groupBy("_k", "_d", "_nbins")
+        .agg(
+            F.sum((F.col("_x") - F.col("_y")) * (F.col("_lnx") - F.col("_lny")))
+            .cast("long")
+            .alias("_num")
+        )
+    )
+    psi = F.col("_num").cast("string").cast("double") / (
+        F.col("_d").cast("string").cast("double") * F.lit(1_000_000.0)
+    )
+    return s.select(
+        F.col("_k").alias(type_col),
+        F.col("_nbins").cast("long").alias("n_bins"),
+        psi.alias("psi"),
+        (psi > F.lit(threshold)).alias("drift"),
+    )

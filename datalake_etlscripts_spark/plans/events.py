@@ -1666,3 +1666,58 @@ def q_survival_retention_km(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events").select("user_id", "ts")
     return survival_km(e)
+
+
+# ---------------------------------------------------------------------------
+# PSI drift (r5): the industry-standard ln-based drift score beside
+# the ln-free distribution_drift — Laplace-smoothed per-type value
+# histograms of the two snapshot halves; all terms exact integers over
+# one per-type denominator; ln quantized to micro-nats (driver-side in
+# Spark, same-host libm in the oracle — the DSIR boundary).
+# ---------------------------------------------------------------------------
+@query(
+    "psi_drift",
+    oracle="""
+    WITH b AS (
+      SELECT event_type AS k, event_id % 2 AS h,
+             CAST(floor(value / 10.0) AS BIGINT) AS bin
+      FROM events
+    ),
+    c AS (
+      SELECT k, bin,
+             CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      FROM b GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT k, CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+             CAST(count(*) AS BIGINT) AS nbins
+      FROM c GROUP BY 1
+    ),
+    j AS (
+      SELECT c.k, (ca + 1) * (nb + nbins) AS x, (cb + 1) * (na + nbins) AS y,
+             (na + nbins) * (nb + nbins) AS d, nbins
+      FROM c JOIN t USING (k)
+    ),
+    s AS (
+      SELECT k, d, nbins,
+             CAST(sum((x - y) *
+               (CAST(floor(ln(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+                - CAST(floor(ln(CAST(y AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)))
+               AS BIGINT) AS num
+      FROM j GROUP BY 1, 2, 3
+    )
+    SELECT k AS event_type, nbins AS n_bins,
+           CAST(CAST(num AS VARCHAR) AS DOUBLE)
+             / (CAST(CAST(d AS VARCHAR) AS DOUBLE) * 1000000.0) AS psi,
+           CAST(CAST(num AS VARCHAR) AS DOUBLE)
+             / (CAST(CAST(d AS VARCHAR) AS DOUBLE) * 1000000.0) > 0.2 AS drift
+    FROM s
+    """,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type between snapshot halves (Laplace-smoothed histograms) - exact integer terms over one per-type denominator, driver-side micro-nat ln table, one double division per type."""
+    from datalake_etlscripts_spark.operators.events import psi_drift
+
+    e = read_table(spark, sf_dir, "events")
+    return psi_drift(e)
