@@ -255,3 +255,58 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = updates.unionByName(inserts).unionByName(deletes)
     return apply_changeset(base, changes, key="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# IVM for a JOIN view (r5): revenue-by-(segment, priority) maintained
+# under a signed order delta — inserts AND deletes — by the counting
+# algorithm. The oracle recomputes the view from the final fact set;
+# hash-equality is the incremental ≡ recompute claim, deletes proven
+# by groups whose count returns to zero vanishing.
+# ---------------------------------------------------------------------------
+@query(
+    "ivm_join_view",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o_orderkey % 5 <> 1
+    GROUP BY 1, 2
+    """,
+)
+def q_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-aggregate view maintained from a signed fact delta (counting-algorithm IVM, deletes first-class) - base facts never rescanned, dim broadcast, view-sized merge shuffle."""
+    from datalake_etlscripts_spark.summary import incremental_join_view
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(14,2)").alias("price"),
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    keys = ["c_mktsegment", "o_orderpriority"]
+    base = o.filter(F.col("o_orderkey") % 5 != 0)
+    # the persisted view state (stand-in for a stored table)
+    old_view = (
+        base.join(F.broadcast(c), "o_custkey")
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price").cast("decimal(26,2)").alias("_tot"),
+        )
+        .localCheckpoint()
+    )
+    delta = o.filter(F.col("o_orderkey") % 5 == 0).withColumn(
+        "_sign", F.lit(1)
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 5 == 1).withColumn("_sign", F.lit(-1))
+    )
+    v = incremental_join_view(old_view, delta, c, "o_custkey", keys, "price")
+    return v.select(
+        *keys, "n", F.col("_tot").cast("double").alias("total_price")
+    )

@@ -92,3 +92,51 @@ def incremental_summary(
         .agg(F.sum("cnt").alias("cnt"))
         .filter(F.col("cnt") != 0)
     )
+
+
+def incremental_join_view(
+    old_view: DataFrame,
+    delta: DataFrame,
+    dim: DataFrame,
+    join_key: str,
+    view_keys: list[str],
+    measure: str,
+    sign_col: str = "_sign",
+) -> DataFrame:
+    """Incremental maintenance of a JOIN-aggregate view (the counting
+    algorithm of classical IVM, e.g. DBToaster/Materialize): the view
+
+        V = fact ⋈ dim GROUP BY view_keys → (n, total)
+
+    is refreshed from a SIGNED fact delta (+1 inserts, −1 deletes)
+    alone:
+
+        ΔV = Δfact ⋈ dim GROUP BY view_keys → (Σs, Σs·measure)
+        V' = merge(V, ΔV) dropping groups whose count reaches 0
+
+    The dim side broadcasts (it must be the small side for this to be
+    delta-sized work); the base fact table is NEVER rescanned — the
+    whole refresh shuffles view-sized + batch-sized data. Deletes are
+    first-class: a group vanishes exactly when its maintained count
+    hits zero, which is why the count column must ride along even when
+    only the sum is wanted. Measures stay DECIMAL end to end so
+    increments commute exactly."""
+    dv = (
+        delta.join(F.broadcast(dim), join_key)
+        .groupBy(*view_keys)
+        .agg(
+            F.sum(sign_col).cast("long").alias("n"),
+            F.sum(F.col(sign_col) * F.col(measure))
+            .cast("decimal(26,2)")
+            .alias("_tot"),
+        )
+    )
+    old = old_view.select(
+        *view_keys, F.col("n").cast("long"), F.col("_tot").cast("decimal(26,2)")
+    )
+    return (
+        old.unionByName(dv)
+        .groupBy(*view_keys)
+        .agg(F.sum("n").cast("long").alias("n"), F.sum("_tot").alias("_tot"))
+        .filter(F.col("n") > 0)
+    )

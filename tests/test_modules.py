@@ -2774,3 +2774,47 @@ def test_rank_auc_exactness_properties(spark):
         1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
     ) / (len(pos) * len(neg))
     assert abs(auc_of(mixed) - naive) < 1e-12
+
+
+def test_ivm_join_view_deletes_and_skyline(spark):
+    """IVM counting algorithm: a group whose rows all delete vanishes;
+    increments match recompute exactly. Skyline: no survivor dominates
+    another, and every dropped point is dominated by some survivor."""
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.summary import incremental_join_view
+
+    fact = spark.createDataFrame(
+        [(1, 10, "5.00"), (2, 10, "7.00"), (3, 20, "1.00")],
+        "k bigint, fk bigint, price string",
+    ).withColumn("price", F.col("price").cast("decimal(14,2)"))
+    dim = spark.createDataFrame([(10, "A"), (20, "B")], "fk bigint, g string")
+    view = (
+        fact.join(dim, "fk")
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price").cast("decimal(26,2)").alias("_tot"),
+        )
+    )
+    # delete BOTH rows of group B's only fact key -> B must vanish;
+    # add one row to A
+    delta = spark.createDataFrame(
+        [(3, 20, "1.00", -1), (4, 10, "2.00", 1)],
+        "k bigint, fk bigint, price string, _sign int",
+    ).withColumn("price", F.col("price").cast("decimal(14,2)"))
+    out = {
+        r["g"]: (r["n"], float(r["_tot"]))
+        for r in incremental_join_view(view, delta, dim, "fk", ["g"], "price").collect()
+    }
+    assert out == {"A": (3, 14.0)}
+
+    import __spark_entry__ as e
+
+    sky = e.queries()["skyline_pareto"](spark, "/root/testdata/sf0.001").collect()
+    pts = [(r["p_size"], r["p_retailprice"]) for r in sky]
+    for a in pts:
+        for b in pts:
+            assert not (
+                a != b and a[0] >= b[0] and a[1] <= b[1] and (a[0] > b[0] or a[1] < b[1])
+            )
