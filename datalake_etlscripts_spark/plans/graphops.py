@@ -22,7 +22,7 @@ from datalake_etlscripts_spark.operators.graph import (
 )
 from datalake_etlscripts_spark.operators.sampling import weighted_sample_topk
 from datalake_etlscripts_spark.operators.text import phrase_matches
-from datalake_etlscripts_spark.plans.registry import ddb_hex32, query
+from datalake_etlscripts_spark.plans.registry import ddb_hex32, ddb_hex60, query
 
 _PR_ITER = 4
 # one definition: the oracle replays whatever the operator defaults to
@@ -31,22 +31,34 @@ _PR_NUM = DAMPING_NUM
 _PR_DEN = DAMPING_DEN
 
 
-def _pagerank_oracle(iterations: int = _PR_ITER) -> str:
-    """Unrolled-CTE twin of operators/graph.pagerank: one (cN, dN, rN)
-    stage per iteration. DuckDB's recursive CTEs forbid aggregates in
-    the recursive term, so the fixed iteration count is unrolled
-    textually — every step is the same integer arithmetic Spark runs
-    (``//`` ≡ ``div`` for non-negative longs)."""
-    scale, num, den = _PR_SCALE, _PR_NUM, _PR_DEN
-    n_sql = "(SELECT count(*) FROM nodes)"
-    init_sql = f"(CAST({scale} AS BIGINT) // {n_sql})"
-    parts = [
-        f"""
+_PR_BASE_CTE = """
     WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS src,
                                 l_partkey * 2 + 1 AS dst
                 FROM lineitem),
     edges AS (SELECT src, dst FROM e0
-              UNION SELECT dst AS src, src AS dst FROM e0),
+              UNION SELECT dst AS src, src AS dst FROM e0)"""
+
+_PR_FINAL = "\n    SELECT node, CAST(pr AS BIGINT) AS pr FROM r{n}"
+
+
+def _pagerank_oracle(
+    iterations: int = _PR_ITER,
+    base_cte: str = _PR_BASE_CTE,
+    final_select: str = _PR_FINAL,
+) -> str:
+    """Unrolled-CTE twin of operators/graph.pagerank: one (cN, dN, rN)
+    stage per iteration. DuckDB's recursive CTEs forbid aggregates in
+    the recursive term, so the fixed iteration count is unrolled
+    textually — every step is the same integer arithmetic Spark runs
+    (``//`` ≡ ``div`` for non-negative longs). ``base_cte`` must open
+    the WITH list and end defining ``edges(src, dst)``;
+    ``final_select`` consumes ``r{n}``."""
+    scale, num, den = _PR_SCALE, _PR_NUM, _PR_DEN
+    n_sql = "(SELECT count(*) FROM nodes)"
+    init_sql = f"(CAST({scale} AS BIGINT) // {n_sql})"
+    parts = [
+        base_cte
+        + f""",
     nodes AS (SELECT DISTINCT src AS node FROM edges
               UNION SELECT DISTINCT dst AS node FROM edges),
     deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
@@ -69,7 +81,7 @@ def _pagerank_oracle(iterations: int = _PR_ITER) -> str:
                          + (SELECT dang FROM d{i}) // {n_sql})) // {den} AS pr
              FROM nodes n LEFT JOIN c{i} c ON c.node = n.node)"""
         )
-    parts.append(f"\n    SELECT node, CAST(pr AS BIGINT) AS pr FROM r{iterations}")
+    parts.append(final_select.format(n=iterations))
     return "".join(parts)
 
 
@@ -406,3 +418,81 @@ def q_graph_ppr_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 2).alias("node")
     )
     return personalized_pagerank(edges, seeds, iterations=_PPR_ITER)
+
+
+# ---------------------------------------------------------------------------
+# TextRank keyword extraction (r5): PageRank over the word
+# co-occurrence graph (adjacent-token pairs, symmetrized) — Mihalcea &
+# Tarau's unsupervised keyword ranker, composed from the existing
+# integer-exact pagerank. Node ids are the 60-bit md5 lane (hash
+# collisions, if any, collapse identically in both engines); the
+# word↔node map joins back for labels; top-30 ties break on word.
+# ---------------------------------------------------------------------------
+_TR_BASE = f"""
+    WITH tkl AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk
+                 FROM documents),
+    pr0 AS (SELECT tk[u.i] AS a, tk[u.i + 1] AS b
+            FROM tkl CROSS JOIN LATERAL unnest(range(1, len(tk))) u(i)),
+    e1 AS (SELECT DISTINCT a, b FROM pr0 WHERE a <> b),
+    eh AS (SELECT {ddb_hex60("md5(a)")} AS src,
+                  {ddb_hex60("md5(b)")} AS dst FROM e1),
+    edges AS (SELECT src, dst FROM eh UNION SELECT dst, src FROM eh)"""
+
+_TR_FINAL = """,
+    wm AS (SELECT DISTINCT word FROM
+             (SELECT a AS word FROM e1 UNION ALL SELECT b FROM e1)),
+    wh AS (SELECT word, {hash60} AS node FROM wm)
+    SELECT wh.word, CAST(r.pr AS BIGINT) AS pr
+    FROM r{n} r JOIN wh ON wh.node = r.node
+    ORDER BY pr DESC, word ASC LIMIT 30"""
+
+
+@query(
+    "textrank_keywords",
+    oracle=_pagerank_oracle(
+        base_cte=_TR_BASE,
+        final_select=_TR_FINAL.replace("{hash60}", ddb_hex60("md5(word)")),
+    ),
+)
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords: integer-exact PageRank over the symmetrized adjacent-token co-occurrence graph, 60-bit md5 node ids, word map joined back - top 30 by rank."""
+    from datalake_etlscripts_spark.functions.scalar import md5_hash60
+    from datalake_etlscripts_spark.operators.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    tk = d.select(tokens(F.col("text")).alias("_tk")).filter(F.size("_tk") >= 2)
+    pairs = tk.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_tk)-1),"
+                " i -> struct(_tk[i-1] AS a, _tk[i] AS b))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("wa"), F.col("p.b").alias("wb"))
+    e1 = pairs.filter(F.col("wa") != F.col("wb")).distinct()
+    eh = e1.select(
+        md5_hash60(F.col("wa")).alias("src"), md5_hash60(F.col("wb")).alias("dst")
+    )
+    edges = eh.unionByName(
+        eh.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(
+        edges,
+        iterations=_PR_ITER,
+        damping=(_PR_NUM, _PR_DEN),
+        scale=_PR_SCALE,
+        dedup_shuffle="edge",
+        dangling="none",
+    )
+    wm = (
+        e1.select(F.col("wa").alias("word"))
+        .unionByName(e1.select(F.col("wb").alias("word")))
+        .distinct()
+        .withColumn("node", md5_hash60(F.col("word")))
+    )
+    return (
+        ranks.join(wm, "node")
+        .select("word", F.col("rank").alias("pr"))
+        .orderBy(F.col("pr").desc(), F.col("word").asc())
+        .limit(30)
+    )
