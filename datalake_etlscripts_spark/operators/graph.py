@@ -477,3 +477,52 @@ def personalized_pagerank(
         )
         ranks = cut_lineage(ranks, it, checkpoint_dir, checkpoint_every, eager=False)
     return ranks.select("node", F.col("rank").alias("ppr"))
+
+
+def neighborhood_hll(
+    edges: DataFrame,
+    radius: int = 2,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna): per-node r-hop neighborhood-size
+    estimates from mergeable HLL register state — the graph analogue
+    of the sketch rollups. Ball state per node is ≤ 256 (bucket,
+    register) rows NO MATTER how large the ball grows, so the whole
+    iteration is state-sized:
+
+        B_0(v)   = {v}
+        B_{i+1}(v) = B_i(v) ∪ ⋃_{(u,v)∈E} B_i(u)
+
+    as one edges⋈state join + one (node, bucket) max-merge per round.
+    Exact ball materialization is Θ(Σ|B_r(v)|) — quadratic on dense
+    graphs; the registers make the effective-diameter / neighborhood-
+    function question answerable at 100 TB. Estimates use the
+    integer-denominator raw HLL form (sketches.hll_register_estimate);
+    small balls sit below the raw estimator's valid regime — the
+    DETERMINISTIC register contract, not small-n accuracy, is what the
+    oracle checks (same policy as rolling_distinct_hll).
+
+    ``edges`` must contain (src, dst) with every undirected edge in
+    both directions. Returns (node, est_ball)."""
+    from datalake_etlscripts_spark.operators.sketches import (
+        hll_register_estimate,
+        hll_register_table,
+    )
+
+    nodes = edges.select(F.col("src").alias("node")).dropDuplicates()
+    state = hll_register_table(
+        nodes.withColumn("member", F.col("node")), ["node"], "member"
+    ).localCheckpoint()
+    e = edges.localCheckpoint()
+    for i in range(1, radius + 1):
+        contrib = e.join(state, e["src"] == state["node"]).select(
+            F.col("dst").alias("node"), "bucket", "register"
+        )
+        state = (
+            state.unionByName(contrib)
+            .groupBy("node", "bucket")
+            .agg(F.max("register").alias("register"))
+        )
+        state = cut_lineage(state, i, checkpoint_dir, checkpoint_every, eager=True)
+    return hll_register_estimate(state, alias="est_ball")

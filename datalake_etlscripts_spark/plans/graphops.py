@@ -496,3 +496,74 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pr").desc(), F.col("word").asc())
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperBall neighborhood function (r5): per-node 2-hop ball-size
+# estimates from mergeable HLL registers — state stays ≤ 256 rows per
+# node however large the ball, so effective-diameter questions run at
+# graph scale. Oracle replays the registers (md5 lanes + comparison
+# ladder) and the integer-denominator estimate bit-for-bit.
+# ---------------------------------------------------------------------------
+def _hyperball_oracle(radius: int = 2) -> str:
+    from datalake_etlscripts_spark.operators.sketches import (
+        HLL_BUCKETS,
+        HLL_EST_NUM,
+        HLL_WORD_BITS,
+    )
+
+    ladder = " ".join(
+        f"WHEN w >= {1 << i} THEN {HLL_WORD_BITS - i}"
+        for i in range(HLL_WORD_BITS - 1, -1, -1)
+    )
+    scale = 1 << (HLL_WORD_BITS + 1)
+    est = (
+        f"{HLL_EST_NUM!r} / (sum(CAST(1 AS BIGINT) << ({HLL_WORD_BITS + 1} - reg))"
+        f" + ({HLL_BUCKETS} - count(*)) * {scale})"
+    )
+    hh = ddb_hex32("md5(CAST(node AS VARCHAR))")
+    parts = [
+        f"""
+    WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS src,
+                                l_partkey * 2 + 1 AS dst
+                FROM lineitem),
+    edges AS (SELECT src, dst FROM e0
+              UNION SELECT dst AS src, src AS dst FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    h AS (SELECT node, {hh} AS hh FROM nodes),
+    s0 AS (SELECT node, hh & {HLL_BUCKETS - 1} AS bucket,
+                  CASE {ladder.replace('w >=', f'(hh >> {8}) >=')} ELSE {HLL_WORD_BITS + 1} END AS reg
+           FROM h)"""
+    ]
+    for i in range(1, radius + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    s{i} AS (SELECT node, bucket, max(reg) AS reg FROM (
+               SELECT node, bucket, reg FROM s{p}
+               UNION ALL
+               SELECT e.dst AS node, s.bucket, s.reg
+               FROM edges e JOIN s{p} s ON s.node = e.src
+             ) GROUP BY 1, 2)"""
+        )
+    parts.append(
+        f"""
+    SELECT node, {est} AS est_ball FROM s{radius} GROUP BY node"""
+    )
+    return "".join(parts)
+
+
+@query("graph_neighborhood_hll", oracle=_hyperball_oracle())
+def q_graph_neighborhood_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall: per-node 2-hop neighborhood-size estimates via mergeable HLL register state (<=256 rows per node regardless of ball size) - one edge join + one max-merge per round."""
+    from datalake_etlscripts_spark.operators.graph import neighborhood_hll
+
+    li = read_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).dropDuplicates()
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return neighborhood_hll(edges, radius=2)
