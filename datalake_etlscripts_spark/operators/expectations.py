@@ -529,3 +529,79 @@ def calibration_table(
             / F.lit(float(scale) * float(scale))
         ).alias("brier"),
     )
+
+
+def decision_stump(df: DataFrame, feature_col: str = "feature",
+                   x_col: str = "x", label_col: str = "y") -> DataFrame:
+    """Depth-1 decision-tree training (the boosting weak learner /
+    quality-filter baseline) by EXACT Gini split search: input is the
+    long format (feature, x, y) with x already QUANTIZED so each
+    feature's candidate grid is dictionary-sized (the quantized-KS
+    boundedness contract). For every candidate threshold t (split
+    x <= t):
+
+        cost(t) = (A·r + B·l) / (l·r)
+        A = l² − lp² − ln²,  B = r² − rp² − rn²
+
+    — the weighted Gini impurity with all counts exact BIGINTs from
+    ONE grid scan (prefix sums over the per-feature grid window), cost
+    one fixed-order double expression, argmin tie-broken on (cost,
+    threshold). Counts beyond ~3e9 need the DECIMAL ladder for the
+    squares. Returns one row per feature: (feature, threshold,
+    n_left, n_right, cost) — the best stump per feature; the global
+    winner is the min-cost row."""
+    from pyspark.sql import Window
+
+    g = df.groupBy(feature_col, x_col).agg(
+        F.sum(F.col(label_col)).cast("long").alias("_p"),
+        F.sum(1 - F.col(label_col)).cast("long").alias("_q"),
+    )
+    wc = (
+        Window.partitionBy(feature_col)
+        .orderBy(x_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy(feature_col)
+    c = (
+        g.withColumn("_lp", F.sum("_p").over(wc).cast("long"))
+        .withColumn("_ln", F.sum("_q").over(wc).cast("long"))
+        .withColumn("_tp", F.sum("_p").over(wt).cast("long"))
+        .withColumn("_tq", F.sum("_q").over(wt).cast("long"))
+    )
+    l = F.col("_lp") + F.col("_ln")
+    r = (F.col("_tp") + F.col("_tq")) - l
+    rp = F.col("_tp") - F.col("_lp")
+    rn = F.col("_tq") - F.col("_ln")
+    c = (
+        c.withColumn("_l", l)
+        .withColumn("_r", r)
+        .filter(F.col("_r") > 0)
+        .withColumn(
+            "_A",
+            F.col("_l") * F.col("_l") - F.col("_lp") * F.col("_lp")
+            - F.col("_ln") * F.col("_ln"),
+        )
+        .withColumn(
+            "_B",
+            F.col("_r") * F.col("_r") - rp * rp - rn * rn,
+        )
+    )
+    cost = (
+        F.col("_A").cast("double") * F.col("_r").cast("double")
+        + F.col("_B").cast("double") * F.col("_l").cast("double")
+    ) / (F.col("_l").cast("double") * F.col("_r").cast("double"))
+    ranked = c.withColumn("_cost", cost).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy(feature_col).orderBy(
+                F.col("_cost").asc(), F.col(x_col).asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("_rk") == 1).select(
+        F.col(feature_col).alias("feature"),
+        F.col(x_col).alias("threshold"),
+        F.col("_l").alias("n_left"),
+        F.col("_r").alias("n_right"),
+        F.col("_cost").alias("cost"),
+    )

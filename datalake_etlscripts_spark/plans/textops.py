@@ -4157,3 +4157,77 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").alias("is_en"),
     )
     return calibration_table(scored, "p_micro", "is_en")
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump training (r5): the boosting weak learner / filter
+# baseline trained in-engine — exact integer Gini split search over
+# quantized (n_chars, n_tokens) grids predicting the English slice.
+# ---------------------------------------------------------------------------
+_STUMP_ORACLE = """
+    WITH base AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             n_chars // 16 AS xc,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) // 4 AS xt
+      FROM documents
+    ),
+    u AS (
+      SELECT 'n_chars_div16' AS feature, xc AS x, y FROM base
+      UNION ALL
+      SELECT 'n_tokens_div4' AS feature, xt AS x, y FROM base
+    ),
+    g AS (
+      SELECT feature, x, CAST(sum(y) AS BIGINT) AS p,
+             CAST(sum(1 - y) AS BIGINT) AS q
+      FROM u GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT feature, x, p, q,
+             CAST(sum(p) OVER (PARTITION BY feature ORDER BY x) AS BIGINT) AS lp,
+             CAST(sum(q) OVER (PARTITION BY feature ORDER BY x) AS BIGINT) AS ln,
+             CAST(sum(p) OVER (PARTITION BY feature) AS BIGINT) AS tp,
+             CAST(sum(q) OVER (PARTITION BY feature) AS BIGINT) AS tq
+      FROM g
+    ),
+    s AS (
+      SELECT feature, x, lp + ln AS l, (tp + tq) - (lp + ln) AS r,
+             (lp + ln) * (lp + ln) - lp * lp - ln * ln AS a,
+             ((tp + tq) - (lp + ln)) * ((tp + tq) - (lp + ln))
+               - (tp - lp) * (tp - lp) - (tq - ln) * (tq - ln) AS b
+      FROM c
+    ),
+    k AS (
+      SELECT feature, x, l, r,
+             (CAST(a AS DOUBLE) * CAST(r AS DOUBLE)
+                + CAST(b AS DOUBLE) * CAST(l AS DOUBLE))
+               / (CAST(l AS DOUBLE) * CAST(r AS DOUBLE)) AS cost,
+             row_number() OVER (PARTITION BY feature
+                                ORDER BY (CAST(a AS DOUBLE) * CAST(r AS DOUBLE)
+                + CAST(b AS DOUBLE) * CAST(l AS DOUBLE))
+               / (CAST(l AS DOUBLE) * CAST(r AS DOUBLE)) ASC, x ASC) AS rk
+      FROM s WHERE r > 0
+    )
+    SELECT feature, CAST(x AS BIGINT) AS threshold, l AS n_left, r AS n_right,
+           cost
+    FROM k WHERE rk = 1
+"""
+
+
+@query("decision_stump_train", oracle=_STUMP_ORACLE)
+def q_decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-1 decision-tree training by exact integer Gini split search over quantized feature grids (the boosting weak learner) - one grid shuffle, fixed-order double cost, deterministic argmin."""
+    from datalake_etlscripts_spark.operators.expectations import decision_stump
+
+    d = read_table(spark, sf_dir, "documents")
+    y = (F.col("lang") == "en").cast("int").alias("y")
+    f1 = d.select(
+        F.lit("n_chars_div16").alias("feature"),
+        F.expr("n_chars div 16").alias("x"),
+        y,
+    )
+    f2 = d.select(
+        F.lit("n_tokens_div4").alias("feature"),
+        F.expr("size(filter(split(text, ' '), t -> t != '')) div 4").alias("x"),
+        y,
+    )
+    return decision_stump(f1.unionByName(f2))

@@ -2818,3 +2818,15 @@ def test_ivm_join_view_deletes_and_skyline(spark):
             assert not (
                 a != b and a[0] >= b[0] and a[1] <= b[1] and (a[0] > b[0] or a[1] < b[1])
             )
+
+
+def test_decision_stump_learns_planted_split(spark):
+    """A perfectly separable planted threshold yields zero Gini cost
+    at exactly that threshold."""
+    from datalake_etlscripts_spark.operators.expectations import decision_stump
+
+    rows = [("f", x, 1 if x >= 50 else 0) for x in range(100)]
+    df = spark.createDataFrame(rows, "feature string, x bigint, y int")
+    r = decision_stump(df).collect()[0]
+    assert r["threshold"] == 49 and r["cost"] == 0.0
+    assert r["n_left"] == 50 and r["n_right"] == 50
