@@ -597,3 +597,57 @@ def kmv_overlap_estimate(
             ).alias("jaccard_est"),
         )
     )
+
+
+def kmv_difference_estimate(
+    sketch_a: DataFrame, sketch_b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Theta-sketch A-NOT-B from two keyless KMV sketches (columns
+    pos, h): below θ* = min(θ_A, θ_B) the retained hashes of A are a
+    uniform sample of A, so the ones ABSENT from B's sketch sample
+    A∖B at rate θ*/2^60:
+
+        est_difference = |{h ∈ A-sketch : h ≤ θ*, h ∉ B-sketch}| · 2^60 / θ*
+
+    (the DataSketches AnotB operation). Exact integers throughout, one
+    double division; when neither sketch is full nothing was discarded
+    and the answer is the EXACT difference. Anti-join of ≤ k hashes —
+    sketch-sized work only."""
+    ka = sketch_a.agg(F.max("h").alias("kth_a"), F.count(F.lit(1)).alias("nka"))
+    kb = sketch_b.agg(F.max("h").alias("kth_b"), F.count(F.lit(1)).alias("nkb"))
+    theta = ka.crossJoin(F.broadcast(kb)).withColumn(
+        "theta",
+        F.least(
+            F.when(F.col("nka") < k, F.lit(KMV_HASH_SPACE)).otherwise(
+                F.col("kth_a")
+            ),
+            F.when(F.col("nkb") < k, F.lit(KMV_HASH_SPACE)).otherwise(
+                F.col("kth_b")
+            ),
+        ),
+    )
+    only_a = sketch_a.select("h").join(
+        sketch_b.select("h"), "h", "left_anti"
+    )
+    n_diff = (
+        only_a.crossJoin(F.broadcast(theta.select("theta")))
+        .filter(F.col("h") <= F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+    )
+    space = F.lit(KMV_HASH_SPACE).cast("decimal(19,0)")
+    return (
+        theta.crossJoin(F.broadcast(n_diff))
+        .select(
+            "kth_a",
+            "kth_b",
+            "theta",
+            "n_diff",
+            (
+                (F.col("n_diff").cast("decimal(19,0)") * space)
+                .cast("decimal(38,0)")
+                .cast("string")
+                .cast("double")
+                / F.col("theta").cast("double")
+            ).alias("est_difference"),
+        )
+    )

@@ -1440,3 +1440,68 @@ def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("excess"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch A-NOT-B (r5): which shingle mass is UNIQUE to corpus
+# half A — the DataSketches difference operation beside kmv_overlap's
+# intersection; same deterministic k-min sketches, anti-join of ≤k
+# hashes below theta*.
+# ---------------------------------------------------------------------------
+def _kmv_anotb_oracle(k: int = 256) -> str:
+    from datalake_etlscripts_spark.operators.sketches import KMV_HASH_SPACE
+    from datalake_etlscripts_spark.plans.registry import ddb_hex60
+
+    return f"""
+    WITH tk AS (
+      SELECT source, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT source IN ('src0','src1','src2','src3','src4') AS in_a,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(tk) - 3, 1)),
+               i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]))) AS s
+      FROM tk
+    ),
+    h AS (SELECT DISTINCT in_a, {ddb_hex60("md5(s)")} AS h FROM sh),
+    sk AS (
+      SELECT in_a, h, row_number() OVER (PARTITION BY in_a ORDER BY h) AS pos
+      FROM h QUALIFY pos <= {k}
+    ),
+    ka AS (SELECT max(h) AS kth_a, count(*) AS nka FROM sk WHERE in_a),
+    kb AS (SELECT max(h) AS kth_b, count(*) AS nkb FROM sk WHERE NOT in_a),
+    th AS (
+      SELECT kth_a, kth_b,
+             least(CASE WHEN nka < {k} THEN {KMV_HASH_SPACE} ELSE kth_a END,
+                   CASE WHEN nkb < {k} THEN {KMV_HASH_SPACE} ELSE kth_b END)
+               AS theta
+      FROM ka, kb
+    ),
+    onlya AS (
+      SELECT a.h FROM (SELECT h FROM sk WHERE in_a) a
+      WHERE a.h NOT IN (SELECT h FROM sk WHERE NOT in_a)
+    ),
+    nd AS (SELECT count(*) AS n_diff FROM onlya, th WHERE h <= theta)
+    SELECT kth_a, kth_b, theta, n_diff,
+           CAST(CAST(CAST(n_diff AS HUGEINT) * {KMV_HASH_SPACE} AS VARCHAR)
+                AS DOUBLE)
+             / CAST(theta AS DOUBLE) AS est_difference
+    FROM th, nd
+    """
+
+
+@query("kmv_a_not_b", oracle=_kmv_anotb_oracle())
+def q_kmv_a_not_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set difference (DataSketches AnotB): shingle mass unique to corpus half A from the k-min sketches alone - anti-join of <=k hashes below theta*, one double division."""
+    from datalake_etlscripts_spark.operators import sketches, text
+
+    d = read_table(spark, sf_dir, "documents").select("source", "text")
+    sh = d.select(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4").alias("in_a"),
+        F.explode(text.shingles(F.col("text"), 5)).alias("s"),
+    )
+    sk = sketches.kmv_sketch_table(sh, ["in_a"], "s", k=256)
+    a = sk.filter(F.col("in_a")).select("pos", "h")
+    b = sk.filter(~F.col("in_a")).select("pos", "h")
+    return sketches.kmv_difference_estimate(a, b, k=256)
