@@ -1065,3 +1065,105 @@ def read_zone_pruned(
         *[os.path.join(table_dir, "data", f"epoch={e}") for e in keep]
     ).filter((F.col(col) >= lo) & (F.col(col) <= hi))
     return df, len(keep), total
+
+
+def run_streaming_late_quarantine(
+    spark: SparkSession,
+    incoming_dir: str,
+    state_dir: str,
+    schema: str = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    ),
+    allowed_lateness_minutes: int = 30,
+):
+    """Watermark-governed late-data quarantine (the dead-letter half
+    of every windowed streaming aggregate): each micro-batch splits
+    against the CURRENT watermark — rows with ts older than it would
+    silently mutate already-closed windows downstream, so they are
+    quarantined to ``{state_dir}/late/epoch=N`` (with the epoch and
+    the watermark that rejected them) instead of folding; on-time rows
+    fold into the hourly per-type count state. The watermark then
+    advances to max(previous, batch max ts − allowed_lateness) — the
+    Structured Streaming watermark recurrence, made explicit so the
+    quarantined set is an auditable TABLE, not a metric.
+
+    Exactly-once: agg + watermark state carry ``folded_through`` and
+    swap atomically; a replayed epoch (≤ folded_through) is a no-op —
+    its late partition is already on disk and is NOT reclassified
+    under the (later) current watermark, which is what keeps replay
+    byte-stable. State is (types × hours) + one watermark row; the
+    event history is never re-read."""
+    import datetime
+    import os
+
+    agg_path = os.path.join(state_dir, "agg")
+    wm_path = os.path.join(state_dir, "wm")
+    late_dir = os.path.join(state_dir, "late")
+    lateness = datetime.timedelta(minutes=allowed_lateness_minutes)
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        wm_prev = None
+        if _fs_path_exists(spark, wm_path):
+            rows = spark.read.parquet(wm_path).collect()
+            if rows:
+                wm_prev = rows[0]["watermark"]
+                if epoch_id <= rows[0]["folded_through"]:
+                    return
+        batch_df = batch_df.localCheckpoint()
+        mx = batch_df.agg(F.max("ts").alias("m")).collect()[0]["m"]
+        if wm_prev is not None:
+            late = batch_df.filter(F.col("ts") < F.lit(wm_prev))
+            ontime = batch_df.filter(F.col("ts") >= F.lit(wm_prev))
+        else:
+            late = batch_df.limit(0)
+            ontime = batch_df
+        n_late = late.count()
+        if n_late:
+            late.withColumn("epoch", F.lit(epoch_id).cast("bigint")).withColumn(
+                "rejected_by_watermark", F.lit(wm_prev)
+            ).write.mode("overwrite").parquet(
+                os.path.join(late_dir, f"epoch={epoch_id}")
+            )
+        counts = ontime.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        if _fs_path_exists(spark, agg_path):
+            counts = (
+                spark.read.parquet(agg_path)
+                .drop("folded_through")
+                .unionByName(counts)
+                .groupBy("event_type", "hour")
+                .agg(F.sum("n").alias("n"))
+            )
+        counts = counts.withColumn(
+            "folded_through", F.lit(epoch_id).cast("bigint")
+        )
+        _stage_swap(spark, counts, agg_path, f"epoch{epoch_id}")
+        wm_new = wm_prev
+        if mx is not None:
+            cand = mx - lateness
+            wm_new = cand if wm_prev is None else max(wm_prev, cand)
+        wm_df = spark.createDataFrame(
+            [(wm_new, epoch_id)], "watermark timestamp, folded_through bigint"
+        )
+        _stage_swap(spark, wm_df, wm_path, f"epoch{epoch_id}")
+
+    stream = spark.readStream.schema(schema).parquet(incoming_dir)
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", f"{state_dir}__checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_quarantined_late(spark: SparkSession, state_dir: str) -> DataFrame:
+    """All quarantined rows across epochs (empty-safe schema read)."""
+    import glob
+    import os
+
+    dirs = sorted(glob.glob(os.path.join(state_dir, "late", "epoch=*")))
+    if not dirs:
+        raise FileNotFoundError(f"no quarantined epochs under {state_dir}")
+    return spark.read.parquet(*dirs)

@@ -813,3 +813,85 @@ def test_streaming_zone_stats_manifest_prunes_reads(spark, tmp_path):
         ).collect()
     )
     assert after == before
+
+
+def test_streaming_late_quarantine(spark, tmp_path):
+    """Late rows (older than the advancing watermark) land in the
+    auditable quarantine table instead of mutating closed windows;
+    on-time counts match a batch recompute over on-time rows only;
+    wiped-checkpoint replay leaves every output identical."""
+    import datetime
+
+    from datalake_etlscripts_spark.streaming.ingest import (
+        read_quarantined_late,
+        run_streaming_late_quarantine,
+    )
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double"
+    )
+    t = lambda s: datetime.datetime.fromisoformat(f"2024-01-01 {s}")  # noqa: E731
+    incoming = str(tmp_path / "in")
+    state = str(tmp_path / "lq_state")
+    os.makedirs(incoming)
+
+    b1 = spark.createDataFrame(
+        [
+            (1, t("10:00"), 1, "click", 1.0),
+            (2, t("11:10"), 1, "click", 1.0),
+            (3, t("12:00"), 2, "view", 1.0),
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.mode("append").parquet(incoming)
+    run_streaming_late_quarantine(spark, incoming, state).awaitTermination(120)
+    # watermark after b1 = 12:00 - 30min = 11:30
+    wm = spark.read.parquet(os.path.join(state, "wm")).collect()[0]
+    assert wm["watermark"] == t("11:30")
+
+    b2 = spark.createDataFrame(
+        [
+            (4, t("10:15"), 3, "click", 1.0),  # late: < 11:30
+            (5, t("11:45"), 3, "view", 1.0),   # on time
+            (6, t("13:00"), 4, "click", 1.0),  # on time, advances wm
+        ],
+        schema,
+    )
+    b2.coalesce(1).write.mode("append").parquet(incoming)
+    run_streaming_late_quarantine(spark, incoming, state).awaitTermination(120)
+
+    late = read_quarantined_late(spark, state).collect()
+    assert [(r["event_id"], r["epoch"], r["rejected_by_watermark"]) for r in late] == [
+        (4, 1, t("11:30"))
+    ]
+
+    def agg_rows():
+        return sorted(
+            (r["event_type"], r["hour"], r["n"])
+            for r in spark.read.parquet(os.path.join(state, "agg")).collect()
+        )
+
+    streamed = agg_rows()
+    ontime = b1.unionByName(b2.filter(F.col("event_id") != 4))
+    batch = sorted(
+        (r["event_type"], r["hour"], r["n"])
+        for r in ontime.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert streamed == batch
+    wm2 = spark.read.parquet(os.path.join(state, "wm")).collect()[0]
+    assert wm2["watermark"] == t("12:30")
+
+    # wiped-checkpoint full replay: everything byte-stable
+    shutil.rmtree(f"{state}__checkpoint")
+    run_streaming_late_quarantine(spark, incoming, state).awaitTermination(120)
+    assert agg_rows() == streamed
+    late2 = read_quarantined_late(spark, state).collect()
+    assert [(r["event_id"], r["epoch"]) for r in late2] == [(4, 1)]
+    assert spark.read.parquet(os.path.join(state, "wm")).collect()[0][
+        "watermark"
+    ] == t("12:30")
