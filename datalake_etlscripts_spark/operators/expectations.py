@@ -605,3 +605,43 @@ def decision_stump(df: DataFrame, feature_col: str = "feature",
         F.col("_r").alias("n_right"),
         F.col("_cost").alias("cost"),
     )
+
+
+def k_anonymity_ladder(
+    df: DataFrame, levels: list[list[Column]], k: int = 5
+) -> DataFrame:
+    """Global-recoding generalization — the RELEASE half of the
+    k_anonymity audit (Samarati's full-domain generalization): given a
+    ladder of progressively coarser quasi-identifier encodings
+    (wider bands, then suppressed columns), report every level's group
+    profile and mark the MINIMAL level whose smallest group reaches k
+    — the level a release would publish at. One grouping shuffle per
+    ladder level (the ladder is small and fixed); per-level output is
+    a 1-row summary, so nothing row-scale leaves the executors.
+    Returns (level, n_groups, min_group_size, meets_k, chosen) with
+    chosen falling back to the coarsest level when none meets k."""
+    summaries = []
+    for i, cols in enumerate(levels):
+        g = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n"))
+        s = g.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("_n").cast("long").alias("min_group_size"),
+        ).select(F.lit(i).cast("long").alias("level"), "n_groups", "min_group_size")
+        summaries.append(s)
+    u = summaries[0]
+    for s in summaries[1:]:
+        u = u.unionByName(s)
+    u = u.withColumn("meets_k", F.col("min_group_size") >= k)
+    best = u.agg(
+        F.min(F.when(F.col("meets_k"), F.col("level"))).alias("_best"),
+        F.max("level").alias("_last"),
+    )
+    return u.crossJoin(F.broadcast(best)).select(
+        "level",
+        "n_groups",
+        "min_group_size",
+        "meets_k",
+        (F.col("level") == F.coalesce(F.col("_best"), F.col("_last"))).alias(
+            "chosen"
+        ),
+    )

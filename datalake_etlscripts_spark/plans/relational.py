@@ -1156,3 +1156,60 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_size", "p_retailprice")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity generalization ladder (r5): the release half of the
+# audit — full-domain global recoding (Samarati): widen the balance
+# band, then suppress segment, then nation; publish at the first
+# level whose smallest group reaches k.
+# ---------------------------------------------------------------------------
+@query(
+    "k_anonymity_generalize",
+    oracle="""
+    WITH l0 AS (
+      SELECT count(*) AS n FROM customer
+      GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 2000) AS BIGINT)
+    ),
+    l1 AS (
+      SELECT count(*) AS n FROM customer
+      GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 8000) AS BIGINT)
+    ),
+    l2 AS (
+      SELECT count(*) AS n FROM customer
+      GROUP BY c_nationkey, CAST(floor(c_acctbal / 8000) AS BIGINT)
+    ),
+    l3 AS (
+      SELECT count(*) AS n FROM customer
+      GROUP BY CAST(floor(c_acctbal / 8000) AS BIGINT)
+    ),
+    u AS (
+      SELECT 0 AS level, count(*) AS n_groups, CAST(min(n) AS BIGINT) AS m FROM l0
+      UNION ALL SELECT 1, count(*), CAST(min(n) AS BIGINT) FROM l1
+      UNION ALL SELECT 2, count(*), CAST(min(n) AS BIGINT) FROM l2
+      UNION ALL SELECT 3, count(*), CAST(min(n) AS BIGINT) FROM l3
+    ),
+    b AS (
+      SELECT min(CASE WHEN m >= 5 THEN level END) AS best, max(level) AS last
+      FROM u
+    )
+    SELECT CAST(level AS BIGINT) AS level, n_groups,
+           m AS min_group_size, m >= 5 AS meets_k,
+           level = COALESCE(best, last) AS chosen
+    FROM u, b
+    """,
+)
+def q_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-domain generalization ladder: widen balance bands, then suppress segment, then nation; mark the minimal level whose smallest quasi-id group reaches k=5 - one grouping shuffle per level, 1-row summaries only."""
+    from datalake_etlscripts_spark.operators.expectations import k_anonymity_ladder
+
+    c = read_table(spark, sf_dir, "customer")
+    band2 = F.floor(F.col("c_acctbal") / 2000).cast("bigint").alias("band")
+    band8 = F.floor(F.col("c_acctbal") / 8000).cast("bigint").alias("band")
+    levels = [
+        [F.col("c_nationkey"), F.col("c_mktsegment"), band2],
+        [F.col("c_nationkey"), F.col("c_mktsegment"), band8],
+        [F.col("c_nationkey"), band8],
+        [band8],
+    ]
+    return k_anonymity_ladder(c, levels, k=5)
