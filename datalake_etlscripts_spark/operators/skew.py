@@ -67,3 +67,64 @@ def spread_small_input(df: DataFrame, min_parallelism: int | None = None) -> Dat
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def rendezvous_assign(
+    df: DataFrame, key_col: str, n_shards: int, out_col: str = "shard"
+) -> DataFrame:
+    """Rendezvous / highest-random-weight placement (Thaler &
+    Ravishankar): each key goes to argmax_s md5(key ':' s) — the
+    shard-assignment scheme whose resize property matters at lake
+    scale: growing n→n+1 shards moves ONLY the keys that now win on
+    the new shard (≈ 1/(n+1) of data), never a full rehash like
+    key % n. Pure per-row expression — no shuffle, no state, any
+    engine replays the md5 argmax bit-for-bit. Ties (h, s) break to
+    the larger shard id on both engines (struct max ≡ ORDER BY h
+    DESC, s DESC)."""
+    from datalake_etlscripts_spark.functions.scalar import md5_hash32
+
+    entries = [
+        F.struct(
+            md5_hash32(
+                F.concat(F.col(key_col).cast("string"), F.lit(f":{s}"))
+            ).alias("h"),
+            F.lit(s).cast("long").alias("s"),
+        )
+        for s in range(n_shards)
+    ]
+    return df.withColumn(out_col, F.array_max(F.array(*entries))["s"])
+
+
+def rendezvous_resize_audit(
+    df: DataFrame, key_col: str, n_old: int, n_new: int
+) -> DataFrame:
+    """Shard-count resize plan: per shard, occupancy under ``n_old``
+    and ``n_new`` shards plus how many keys ARRIVE in the resize. For
+    HRW growth (n_new = n_old + 1) arrivals concentrate entirely on
+    the new shards — the minimal-movement guarantee, visible as
+    moved_in = 0 on every surviving shard. One scan, one tiny
+    aggregate."""
+    a = rendezvous_assign(
+        rendezvous_assign(df, key_col, n_old, "_s_old"), key_col, n_new, "_s_new"
+    )
+    per_old = a.groupBy(F.col("_s_old").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_old_shards")
+    )
+    per_new = a.groupBy(F.col("_s_new").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_new_shards")
+    )
+    moved = (
+        a.filter(F.col("_s_old") != F.col("_s_new"))
+        .groupBy(F.col("_s_new").alias("shard"))
+        .agg(F.count(F.lit(1)).alias("moved_in"))
+    )
+    return (
+        per_new.join(per_old, "shard", "left")
+        .join(moved, "shard", "left")
+        .select(
+            "shard",
+            F.coalesce(F.col("n_old_shards"), F.lit(0)).cast("long").alias("n_with_old"),
+            F.col("n_new_shards").cast("long").alias("n_with_new"),
+            F.coalesce(F.col("moved_in"), F.lit(0)).cast("long").alias("moved_in"),
+        )
+    )

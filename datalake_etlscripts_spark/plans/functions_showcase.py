@@ -1505,3 +1505,50 @@ def q_kmv_a_not_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sk.filter(F.col("in_a")).select("pos", "h")
     b = sk.filter(~F.col("in_a")).select("pos", "h")
     return sketches.kmv_difference_estimate(a, b, k=256)
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous sharding resize audit (r5): highest-random-weight
+# placement of documents onto shards and the 8→9 resize plan —
+# minimal movement is VISIBLE in the output (moved_in = 0 on every
+# surviving shard; only the new shard receives keys).
+# ---------------------------------------------------------------------------
+def _rendezvous_oracle(n_old: int = 8, n_new: int = 9) -> str:
+    from datalake_etlscripts_spark.plans.registry import ddb_hex32
+
+    h = ddb_hex32("md5(CAST(doc_id AS VARCHAR) || ':' || CAST(u.s AS VARCHAR))")
+    return f"""
+    WITH so AS (
+      SELECT doc_id, u.s AS s, {h} AS h
+      FROM documents CROSS JOIN LATERAL unnest(range({n_old})) u(s)
+    ),
+    ao AS (SELECT doc_id, s FROM so
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY h DESC, s DESC) = 1),
+    sn AS (
+      SELECT doc_id, u.s AS s, {h} AS h
+      FROM documents CROSS JOIN LATERAL unnest(range({n_new})) u(s)
+    ),
+    an AS (SELECT doc_id, s FROM sn
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY h DESC, s DESC) = 1),
+    j AS (SELECT ao.doc_id, ao.s AS old_s, an.s AS new_s
+          FROM ao JOIN an USING (doc_id)),
+    po AS (SELECT old_s AS shard, count(*) AS n_old FROM j GROUP BY 1),
+    pn AS (SELECT new_s AS shard, count(*) AS n_new FROM j GROUP BY 1),
+    mv AS (SELECT new_s AS shard, count(*) AS m FROM j
+           WHERE old_s <> new_s GROUP BY 1)
+    SELECT pn.shard, CAST(COALESCE(po.n_old, 0) AS BIGINT) AS n_with_old,
+           CAST(pn.n_new AS BIGINT) AS n_with_new,
+           CAST(COALESCE(mv.m, 0) AS BIGINT) AS moved_in
+    FROM pn LEFT JOIN po USING (shard) LEFT JOIN mv USING (shard)
+    """
+
+
+@query("rendezvous_sharding", oracle=_rendezvous_oracle())
+def q_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous/HRW shard placement and the 8-to-9 resize audit: md5 argmax per key, arrivals concentrate on the new shard only (minimal movement) - pure per-row expressions, one tiny aggregate."""
+    from datalake_etlscripts_spark.operators.skew import rendezvous_resize_audit
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    return rendezvous_resize_audit(d, "doc_id", 8, 9)

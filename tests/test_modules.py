@@ -2830,3 +2830,21 @@ def test_decision_stump_learns_planted_split(spark):
     r = decision_stump(df).collect()[0]
     assert r["threshold"] == 49 and r["cost"] == 0.0
     assert r["n_left"] == 50 and r["n_right"] == 50
+
+
+def test_rendezvous_minimal_movement(spark):
+    """HRW resize property: growing 8→9 shards moves keys ONLY onto
+    the new shard, at roughly 1/9 of the population."""
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.operators.skew import rendezvous_resize_audit
+
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    rows = rendezvous_resize_audit(df, "k", 8, 9).collect()
+    by = {r["shard"]: r for r in rows}
+    assert set(by) == set(range(9))
+    for s in range(8):
+        assert by[s]["moved_in"] == 0
+    assert by[8]["n_with_old"] == 0
+    assert 2000 / 9 * 0.6 < by[8]["moved_in"] < 2000 / 9 * 1.5
+    assert sum(r["n_with_new"] for r in rows) == 2000
