@@ -941,3 +941,55 @@ def chi2_term_label(
         .orderBy(F.col("chi2").desc(), F.col("term").asc())
         .limit(top_k)
     )
+
+
+def boolean_retrieval(
+    df: DataFrame,
+    must: list[str],
+    should: list[str] | None = None,
+    must_not: list[str] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Boolean inverted-index retrieval (AND / OR / NOT): documents
+    containing ALL ``must`` terms and NONE of ``must_not``, scored by
+    how many ``should`` terms they also hit. The postings list is
+    pruned to the query's terms BEFORE any shuffle, so downstream work
+    is (query terms × matching docs)-sized — in production the
+    postings table is persisted once (the phrase_search index) and
+    this operator only runs the three keyed reductions. AND is a
+    distinct-term count reaching |must|, NOT a left-anti join,
+    OR/scoring a left join — no corpus self-joins anywhere."""
+    should = should or []
+    must_not = must_not or []
+    all_terms = [*must, *should, *must_not]
+    post = (
+        df.select(
+            F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term")
+        )
+        .filter(F.col("term").isin(all_terms))
+    )
+    cand = (
+        post.filter(F.col("term").isin(must))
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("term")).alias("_nm"))
+        .filter(F.col("_nm") == len(must))
+        .select(id_col)
+    )
+    if must_not:
+        nn = post.filter(F.col("term").isin(must_not)).select(id_col).distinct()
+        cand = cand.join(nn, id_col, "left_anti")
+    sh = (
+        post.filter(F.col("term").isin(should))
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.col("term")).alias("n_should"))
+        if should
+        else None
+    )
+    if sh is not None:
+        out = cand.join(sh, id_col, "left").select(
+            id_col, F.coalesce(F.col("n_should"), F.lit(0)).cast("long").alias("n_should")
+        )
+    else:
+        out = cand.select(id_col, F.lit(0).cast("long").alias("n_should"))
+    return out

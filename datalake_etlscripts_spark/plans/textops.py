@@ -4231,3 +4231,38 @@ def q_decision_stump_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         y,
     )
     return decision_stump(f1.unionByName(f2))
+
+
+# ---------------------------------------------------------------------------
+# Boolean retrieval (r5): (scan AND join) AND NOT window, scored by
+# should-hits on {merge, sort} — the inverted-index Boolean operator
+# beside phrase_search/bm25; postings pruned to query terms before
+# any shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "boolean_retrieval",
+    oracle="""
+    WITH post0 AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(string_split(text, ' '),
+                                              x -> x <> ''))) AS term
+      FROM documents
+    ),
+    p AS (SELECT doc_id, term FROM post0
+          WHERE term IN ('scan','join','merge','sort','window')),
+    m AS (SELECT doc_id FROM p WHERE term IN ('scan','join')
+          GROUP BY doc_id HAVING count(DISTINCT term) = 2),
+    nn AS (SELECT DISTINCT doc_id FROM p WHERE term = 'window'),
+    s AS (SELECT doc_id, count(DISTINCT term) AS n_should FROM p
+          WHERE term IN ('merge','sort') GROUP BY 1)
+    SELECT m.doc_id, CAST(COALESCE(s.n_should, 0) AS BIGINT) AS n_should
+    FROM m LEFT JOIN s USING (doc_id)
+    WHERE m.doc_id NOT IN (SELECT doc_id FROM nn)
+    """,
+)
+def q_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean inverted-index retrieval: must={scan, join}, must_not={window}, scored by should-hits on {merge, sort} - postings pruned to query terms, keyed reductions only."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.boolean_retrieval(
+        d, must=["scan", "join"], should=["merge", "sort"], must_not=["window"]
+    )
