@@ -993,3 +993,62 @@ def boolean_retrieval(
     else:
         out = cand.select(id_col, F.lit(0).cast("long").alias("n_should"))
     return out
+
+
+def source_token_entropy(
+    df: DataFrame, key_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Shannon entropy of each source's unigram distribution — the
+    diversity signal that separates template/boilerplate-heavy crawl
+    sources (low H) from genuinely varied text before mixing weights
+    are chosen. Exact-integer decomposition:
+
+        H = ln N − (Σ_t c_t · ln c_t) / N
+          = (N·lnμ(N) − Σ c·lnμ(c)) / (N · 1e6)
+
+    with lnμ = micro-nat ln over the DISTINCT count values only
+    (Zipf counts repeat massively — the lookup table is tiny), built
+    driver-side and broadcast (the DSIR/PSI ln-portability pattern;
+    same-host libm is the documented boundary). One term-keyed
+    shuffle + one source-keyed reduce; the numerator is an exact
+    BIGINT, one double division per source. Returns (key, n_tokens,
+    n_types, entropy_nats)."""
+    import math
+
+    tok = df.select(
+        F.col(key_col).alias("_k"), F.explode(tokens(F.col(text_col))).alias("_t")
+    )
+    c = tok.groupBy("_k", "_t").agg(F.count(F.lit(1)).alias("_c"))
+    t = c.groupBy("_k").agg(
+        F.sum("_c").cast("long").alias("_n"),
+        F.count(F.lit(1)).alias("_types"),
+    )
+    args = sorted(
+        {r["v"] for r in c.select(F.col("_c").alias("v")).distinct().collect()}
+        | {r["v"] for r in t.select(F.col("_n").alias("v")).distinct().collect()}
+    )
+    spark = df.sparkSession
+    lt = spark.createDataFrame(
+        [(a, int(math.floor(math.log(a) * 1_000_000 + 0.5))) for a in args],
+        "arg bigint, lnm bigint",
+    )
+    s = (
+        c.join(F.broadcast(lt), c["_c"] == lt["arg"])
+        .groupBy("_k")
+        .agg(F.sum(F.col("_c") * F.col("lnm")).alias("_s"))
+    )
+    out = (
+        t.join(s, "_k")
+        .join(F.broadcast(lt.withColumnRenamed("lnm", "_lnn")), t["_n"] == lt["arg"])
+        .drop("arg")
+    )
+    ent = (
+        (F.col("_n") * F.col("_lnn") - F.col("_s")).cast("string").cast("double")
+        / (F.col("_n").cast("double") * F.lit(1_000_000.0))
+    )
+    return out.select(
+        F.col("_k").alias(key_col),
+        F.col("_n").alias("n_tokens"),
+        F.col("_types").cast("long").alias("n_types"),
+        ent.alias("entropy_nats"),
+    )

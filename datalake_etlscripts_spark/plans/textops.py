@@ -4266,3 +4266,38 @@ def q_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.boolean_retrieval(
         d, must=["scan", "join"], should=["merge", "sort"], must_not=["window"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram entropy (r5): the diversity signal that flags
+# template-heavy sources before mixing weights are chosen — exact
+# integer numerator via the distinct-count micro-nat ln table.
+# ---------------------------------------------------------------------------
+@query(
+    "source_token_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT source AS k,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      FROM documents
+    ),
+    c AS (SELECT k, t, count(*) AS c FROM tok GROUP BY 1, 2),
+    tt AS (SELECT k, CAST(sum(c) AS BIGINT) AS n,
+                  CAST(count(*) AS BIGINT) AS types
+           FROM c GROUP BY 1),
+    s AS (
+      SELECT k, CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5)
+                                  AS BIGINT)) AS BIGINT) AS s
+      FROM c GROUP BY 1
+    )
+    SELECT tt.k AS source, tt.n AS n_tokens, tt.types AS n_types,
+           CAST(CAST(tt.n * CAST(floor(ln(CAST(tt.n AS DOUBLE)) * 1000000 + 0.5)
+                                 AS BIGINT) - s.s AS VARCHAR) AS DOUBLE)
+             / (CAST(tt.n AS DOUBLE) * 1000000.0) AS entropy_nats
+    FROM tt JOIN s USING (k)
+    """,
+)
+def q_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's unigram distribution (template/boilerplate detector) - exact BIGINT numerator from a distinct-count micro-nat ln table, one division per source."""
+    d = read_table(spark, sf_dir, "documents")
+    return text.source_token_entropy(d)
