@@ -1171,3 +1171,89 @@ def psi_drift(
         psi.alias("psi"),
         (psi > F.lit(threshold)).alias("drift"),
     )
+
+
+def position_attribution(
+    purchases: DataFrame,
+    touches: DataFrame,
+    lookback_us: int = 3_600_000_000,
+) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution beside the
+    last-touch operator: every click/view inside the lookback window
+    shares a purchase's value 40% first / 40% last / 20% split across
+    middles. Credit is INTEGER micro-units per touch —
+
+        k=1 → 1_000_000;  k=2 → 500_000 each;
+        k≥3 → 400_000 ends, 200_000 div (k−2) per middle
+
+    (the div truncation short-changes totals by < k−2 micro-units per
+    purchase — documented, and replayed identically by any engine) —
+    times the DECIMAL(18,4)-scaled value, so every sum is an exact
+    BIGINT and only the final unit conversion divides. Touch ordering
+    ties break on (ts, channel). Purchases with no touch credit
+    'none' in full. The join is user-keyed (per-user event counts are
+    operationally bounded); per-purchase windows are touch-count
+    sized. Returns (channel, n_credits, total_value)."""
+    p = purchases.select(
+        "event_id",
+        F.col("user_id").alias("_u"),
+        F.col("ts").alias("_pts"),
+        (F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("long")
+        .alias("_v4"),
+    )
+    t = touches.select(
+        F.col("user_id").alias("_u"),
+        F.col("ts").alias("_tts"),
+        "channel",
+    )
+    j = p.join(t, "_u", "left").withColumn(
+        "_ok",
+        F.col("_tts").isNotNull()
+        & (F.col("_tts") <= F.col("_pts"))
+        & (F.unix_micros("_pts") - F.unix_micros("_tts") <= lookback_us),
+    )
+    j = j.select(
+        "event_id",
+        "_v4",
+        F.when(F.col("_ok"), F.col("_tts")).alias("_tts"),
+        F.when(F.col("_ok"), F.col("channel")).alias("_ch"),
+    )
+    w = W.partitionBy("event_id").orderBy(
+        F.col("_tts").asc_nulls_last(), F.col("_ch").asc_nulls_last()
+    )
+    wk = W.partitionBy("event_id")
+    r = (
+        j.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_k", F.sum(F.col("_ch").isNotNull().cast("int")).over(wk))
+        # one row per (purchase, valid touch); a no-touch purchase —
+        # including one whose user HAS touches, all outside the
+        # window — collapses to exactly one null row (rn = 1)
+        .filter(
+            F.col("_ch").isNotNull()
+            | ((F.col("_k") == 0) & (F.col("_rn") == 1))
+        )
+    )
+    wmicro = (
+        F.when(F.col("_k") == 0, F.lit(1_000_000))
+        .when(F.col("_k") == 1, F.lit(1_000_000))
+        .when(F.col("_k") == 2, F.lit(500_000))
+        .when(F.col("_rn") == 1, F.lit(400_000))
+        .when(F.col("_rn") == F.col("_k"), F.lit(400_000))
+        .otherwise(F.expr("200000 div (_k - 2)"))
+    )
+    return (
+        r.withColumn("_w", wmicro)
+        .groupBy(F.coalesce(F.col("_ch"), F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum(F.col("_v4") * F.col("_w")).cast("long").alias("_cr"),
+        )
+        .select(
+            "channel",
+            "n_credits",
+            (
+                F.col("_cr").cast("string").cast("double") / F.lit(1.0e10)
+            ).alias("total_value"),
+        )
+    )

@@ -1721,3 +1721,74 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return psi_drift(e)
+
+
+# ---------------------------------------------------------------------------
+# Position-based (U-shaped) attribution (r5): 40/20/40 multi-touch
+# credit in integer micro-units beside last-touch — div-truncated
+# middle shares documented and replayed identically.
+# ---------------------------------------------------------------------------
+@query(
+    "attribution_position_based",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t0 AS (
+      SELECT user_id, ts, min(event_type) AS channel FROM events
+      WHERE event_type IN ('click', 'view') GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT p.event_id, p.v4, p.ts AS pts, t0.ts AS tts, t0.channel AS ch
+      FROM p LEFT JOIN t0 USING (user_id)
+    ),
+    v AS (
+      SELECT event_id, v4,
+             CASE WHEN tts IS NOT NULL AND tts <= pts
+                   AND epoch_us(pts) - epoch_us(tts) <= 3600000000
+                  THEN tts END AS tts2,
+             CASE WHEN tts IS NOT NULL AND tts <= pts
+                   AND epoch_us(pts) - epoch_us(tts) <= 3600000000
+                  THEN ch END AS ch2
+      FROM j
+    ),
+    r AS (
+      SELECT event_id, v4, tts2, ch2,
+             row_number() OVER (PARTITION BY event_id
+               ORDER BY tts2 ASC NULLS LAST, ch2 ASC NULLS LAST) AS rn,
+             CAST(sum(CASE WHEN ch2 IS NOT NULL THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY event_id) AS BIGINT) AS k
+      FROM v
+    ),
+    f AS (SELECT * FROM r WHERE ch2 IS NOT NULL OR (k = 0 AND rn = 1)),
+    wgt AS (
+      SELECT v4, COALESCE(ch2, 'none') AS channel,
+             CASE WHEN k <= 1 THEN 1000000
+                  WHEN k = 2 THEN 500000
+                  WHEN rn = 1 THEN 400000
+                  WHEN rn = k THEN 400000
+                  ELSE 200000 // (k - 2) END AS w
+      FROM f
+    )
+    SELECT channel, count(*) AS n_credits,
+           CAST(CAST(sum(v4 * w) AS VARCHAR) AS DOUBLE) / 10000000000.0
+             AS total_value
+    FROM wgt GROUP BY 1
+    """,
+)
+def q_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution: 40% first / 40% last / 20% split middles in integer micro-credit units times decimal-scaled value - user-keyed join, purchase-sized windows, one division at the end."""
+    from datalake_etlscripts_spark.operators.events import position_attribution
+
+    e = read_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_type").alias("channel"))
+    )
+    return position_attribution(purchases, touches)
