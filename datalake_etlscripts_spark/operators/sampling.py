@@ -554,3 +554,105 @@ def gumbel_topk_resample(
     # partial top-k, no single-partition sort)
     ranked = keyed.orderBy(F.desc("key"), F.asc(id_col)).limit(k)
     return ranked.withColumn("rank", F.row_number().over(w))
+
+
+def naive_bayes_confusion(
+    train: DataFrame,
+    test: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Multinomial Naive Bayes trained IN-ENGINE and evaluated as a
+    confusion matrix — the multi-class sibling of the binary DSIR /
+    perceptron filters (fastText-style lang-id / domain routing).
+    Per class c and hashed token bucket b:
+
+        score(d, c) = lnμ P(c) + Σ_b n_b(d) · lnμ P(b|c)
+
+    with +1 Laplace smoothing. Both models are (classes × buckets)
+    aggregates; ONLY those bounded tables reach the driver, where ln
+    is fixed to integer micro-nats (the DSIR convention). Document
+    scoring is pure BIGINT: one bucket explode, a broadcast weight
+    join fanning each doc's buckets across the class axis, one
+    (doc, class) sum, argmax by a class-count-sized window (score
+    desc, class asc — deterministic ties). Returns
+    (actual, predicted, n)."""
+    import math
+
+    from datalake_etlscripts_spark.functions.scalar import md5_hash32
+    from datalake_etlscripts_spark.operators.text import tokens
+    from pyspark.sql import Window
+
+    def bucketize(df: DataFrame, extra_expr, extra_name: str) -> DataFrame:
+        return df.select(
+            extra_expr.alias(extra_name),
+            F.explode(tokens(F.col(text_col))).alias("_term"),
+        ).select(
+            extra_name, (md5_hash32(F.col("_term")) % n_buckets).alias("bucket")
+        )
+
+    cls_counts = (
+        bucketize(train, F.col(label_col), "_c")
+        .groupBy("_c", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    doc_counts = {
+        r["_c"]: r["n"]
+        for r in train.groupBy(F.col(label_col).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    classes = sorted(doc_counts)
+    d_total = sum(doc_counts.values())
+    tok_totals = {c: 0 for c in classes}
+    by_cb = {}
+    for r in cls_counts:
+        by_cb[(r["_c"], r["bucket"])] = r["n"]
+        tok_totals[r["_c"]] += r["n"]
+
+    def mn(x: float) -> int:
+        return int(math.floor(math.log(x) * scale + 0.5))
+
+    spark = train.sparkSession
+    weights = spark.createDataFrame(
+        [
+            (c, b, mn((by_cb.get((c, b), 0) + 1) / (tok_totals[c] + n_buckets)))
+            for c in classes
+            for b in range(n_buckets)
+        ],
+        "cls string, bucket bigint, lnp bigint",
+    )
+    priors = spark.createDataFrame(
+        [(c, mn(doc_counts[c] / d_total)) for c in classes],
+        "cls string, lnprior bigint",
+    )
+    feats = (
+        bucketize(test, F.col(id_col), id_col)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    scores = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col, "cls")
+        .agg(F.sum(F.col("_n") * F.col("lnp")).alias("_s"))
+        .join(F.broadcast(priors), "cls")
+        .withColumn("_score", F.col("_s") + F.col("lnprior"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_score").desc(), F.col("cls").asc()
+    )
+    pred = (
+        scores.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("cls").alias("predicted"))
+    )
+    return (
+        test.select(id_col, F.col(label_col).alias("actual"))
+        .join(pred, id_col)
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

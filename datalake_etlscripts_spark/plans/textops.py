@@ -4301,3 +4301,69 @@ def q_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of each source's unigram distribution (template/boilerplate detector) - exact BIGINT numerator from a distinct-count micro-nat ln table, one division per source."""
     d = read_table(spark, sf_dir, "documents")
     return text.source_token_entropy(d)
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes (r5): the multi-class lang-id classifier
+# trained in-engine on the even half, evaluated on the odd half as a
+# confusion matrix — bucket-sized models only at the driver, micro-nat
+# ln weights, pure-BIGINT scoring, window argmax with deterministic
+# ties.
+# ---------------------------------------------------------------------------
+def _nb_oracle(n_buckets: int = 512) -> str:
+    from datalake_etlscripts_spark.plans.registry import ddb_hex32
+
+    h = ddb_hex32("md5(t)")
+    return f"""
+    WITH tr AS (SELECT lang, text FROM documents WHERE doc_id % 2 = 0),
+    te AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1),
+    trb AS (
+      SELECT lang AS c, {h} % {n_buckets} AS bucket
+      FROM (SELECT lang, unnest(list_filter(string_split(text, ' '),
+                                            x -> x <> '')) AS t FROM tr)
+    ),
+    cb AS (SELECT c, bucket, count(*) AS n FROM trb GROUP BY 1, 2),
+    tc AS (SELECT c, CAST(sum(n) AS BIGINT) AS tot FROM cb GROUP BY 1),
+    dc AS (SELECT lang AS c, count(*) AS d FROM tr GROUP BY 1),
+    dt AS (SELECT CAST(sum(d) AS BIGINT) AS dtot FROM dc),
+    grid AS (SELECT tc.c, gs.b AS bucket FROM tc
+             CROSS JOIN (SELECT unnest(range({n_buckets})) AS b) gs),
+    w AS (
+      SELECT grid.c, grid.bucket,
+             CAST(floor(ln((COALESCE(cb.n, 0) + 1)
+                           / CAST(tc.tot + {n_buckets} AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT) AS lnp
+      FROM grid JOIN tc ON tc.c = grid.c
+      LEFT JOIN cb ON cb.c = grid.c AND cb.bucket = grid.bucket
+    ),
+    pr AS (SELECT c, CAST(floor(ln(d / CAST(dtot AS DOUBLE)) * 1000000 + 0.5)
+                          AS BIGINT) AS lnprior
+           FROM dc, dt),
+    feats AS (
+      SELECT doc_id, bucket, count(*) AS n FROM (
+        SELECT doc_id, {h} % {n_buckets} AS bucket
+        FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                                x -> x <> '')) AS t FROM te)
+      ) GROUP BY 1, 2
+    ),
+    sc AS (SELECT f.doc_id, w.c, CAST(sum(f.n * w.lnp) AS BIGINT) AS s
+           FROM feats f JOIN w ON f.bucket = w.bucket GROUP BY 1, 2),
+    sc2 AS (SELECT sc.doc_id, sc.c, sc.s + pr.lnprior AS score
+            FROM sc JOIN pr ON pr.c = sc.c),
+    p AS (SELECT doc_id, c FROM sc2
+          QUALIFY row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, c ASC) = 1)
+    SELECT te.lang AS actual, p.c AS predicted, count(*) AS n
+    FROM te JOIN p USING (doc_id) GROUP BY 1, 2
+    """
+
+
+@query("naive_bayes_confusion", oracle=_nb_oracle())
+def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes lang-id trained on the even half, confusion matrix on the odd half - bounded class-bucket models, micro-nat ln weights, pure-BIGINT scoring with deterministic argmax."""
+    from datalake_etlscripts_spark.operators.sampling import naive_bayes_confusion
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    return naive_bayes_confusion(train, test)

@@ -2848,3 +2848,21 @@ def test_rendezvous_minimal_movement(spark):
     assert by[8]["n_with_old"] == 0
     assert 2000 / 9 * 0.6 < by[8]["moved_in"] < 2000 / 9 * 1.5
     assert sum(r["n_with_new"] for r in rows) == 2000
+
+
+def test_naive_bayes_learns_separable_vocab(spark):
+    """NB trained on class-specific vocab classifies held-out docs
+    perfectly (diagonal confusion matrix)."""
+    from datalake_etlscripts_spark.operators.sampling import naive_bayes_confusion
+
+    rows = []
+    for i in range(40):
+        cls = "A" if i % 2 == 0 else "B"
+        word = "alpha" if cls == "A" else "beta"
+        rows.append((i, cls, f"{word} common filler {word}"))
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    train = df.filter("doc_id < 30")
+    test = df.filter("doc_id >= 30")
+    out = {(r["actual"], r["predicted"]): r["n"]
+           for r in naive_bayes_confusion(train, test).collect()}
+    assert out == {("A", "A"): 5, ("B", "B"): 5}
