@@ -1119,3 +1119,65 @@ def rrf_fuse(
         .withColumn("fused_rank", F.row_number().over(w))
         .filter(F.col("fused_rank") <= k)
     )
+
+
+def embedding_covariance(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding dimensions —
+    the single-pass PCA/whitening fit (what RowMatrix.computeCovariance
+    gives MLlib, re-expressed relationally): one posexplode, a
+    vec-keyed self-join producing the d(d+1)/2 cross products per row,
+    and one (dim_i, dim_j) aggregate — Θ(n·d²) work spread across the
+    cluster with no driver involvement; eigendecomposition of the
+    d×d result is driver-side by design. Cross products form in
+    DOUBLE then accumulate via shortest-repr-string DECIMAL(38,21)
+    (the feature_scaling_stats policy), so sums are
+    partitioning-independent; cov is one fixed-order double
+    expression. Returns (dim_i, dim_j, n, cov) for dim_i ≤ dim_j."""
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("_dim", "_x"),
+    )
+    a = ex.select(
+        F.col("_id"), F.col("_dim").alias("_di"), F.col("_x").alias("_xa")
+    )
+    b = ex.select(
+        F.col("_id"), F.col("_dim").alias("_dj"), F.col("_x").alias("_xb")
+    )
+    g = (
+        a.join(b, "_id")
+        .filter(F.col("_dj") >= F.col("_di"))
+        .groupBy("_di", "_dj")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("_xa") * F.col("_xb"))
+                .cast("string")
+                .cast("decimal(38,21)")
+            ).alias("_sxy"),
+        )
+    )
+    s = ex.groupBy(F.col("_dim")).agg(
+        F.sum(F.col("_x").cast("string").cast("decimal(30,21)")).alias("_s")
+    )
+    si = s.select(F.col("_dim").alias("_di"), F.col("_s").alias("_si"))
+    sj = s.select(F.col("_dim").alias("_dj"), F.col("_s").alias("_sj"))
+    n_d = F.col("n").cast("double")
+    cov = (
+        n_d * F.col("_sxy").cast("string").cast("double")
+        - F.col("_si").cast("string").cast("double")
+        * F.col("_sj").cast("string").cast("double")
+    ) / (n_d * n_d)
+    return (
+        g.join(F.broadcast(si), "_di")
+        .join(F.broadcast(sj), "_dj")
+        .select(
+            F.col("_di").alias("dim_i"),
+            F.col("_dj").alias("dim_j"),
+            "n",
+            cov.alias("cov"),
+        )
+    )

@@ -611,3 +611,46 @@ def q_knn_shapley_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         truncate_at=64,
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance (r5): the single-pass PCA/whitening fit —
+# n·d²/2 cross products distributed, d×d result for driver-side
+# eigendecomposition; shortest-repr decimal accumulation.
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_covariance",
+    oracle="""
+    WITH o AS (
+      SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i, embedding
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, CAST(i AS INT) - 1 AS dim,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM o
+    ),
+    g AS (
+      SELECT a.dim AS di, b.dim AS dj, count(*) AS n,
+             SUM(CAST(CAST(a.x * b.x AS VARCHAR) AS DECIMAL(38,21))) AS sxy
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND b.dim >= a.dim
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT dim, SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(30,21))) AS sv
+      FROM ex GROUP BY 1
+    )
+    SELECT g.di AS dim_i, g.dj AS dim_j, g.n AS n,
+           (CAST(g.n AS DOUBLE) * CAST(CAST(g.sxy AS VARCHAR) AS DOUBLE)
+            - CAST(CAST(si.sv AS VARCHAR) AS DOUBLE)
+              * CAST(CAST(sj.sv AS VARCHAR) AS DOUBLE))
+           / (CAST(g.n AS DOUBLE) * CAST(g.n AS DOUBLE)) AS cov
+    FROM g JOIN s si ON si.dim = g.di JOIN s sj ON sj.dim = g.dj
+    """,
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass embedding covariance matrix (PCA fit input): distributed n*d^2 cross products with decimal-exact accumulation, d x d upper triangle out - eigendecomposition stays driver-side by design."""
+    from datalake_etlscripts_spark.operators.similarity import embedding_covariance
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return embedding_covariance(e)
