@@ -1257,3 +1257,61 @@ def position_attribution(
             ).alias("total_value"),
         )
     )
+
+
+def seasonal_mase(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    season: int = 24,
+) -> DataFrame:
+    """Forecast-quality gate for the seasonal-naive model: per key,
+    build the gap-filled hourly count series (a generated hour spine —
+    zero hours count, they are real observations), forecast each hour
+    with the value ``season`` hours earlier, and score
+
+        MASE = Σ|c_h − c_{h−24}|  /  Σ|c_h − c_{h−1}|
+
+    over the common eval window (h ≥ season) — the scale-free Hyndman
+    & Koehler metric as a ratio of two exact BIGINT sums, one double
+    division. MASE < 1 ⇒ the seasonal pattern beats naive persistence
+    ⇒ the key is worth a real forecaster. The spine/window is per-key
+    HOUR-grain (operationally bounded — days × 24 rows), never the
+    event grain. Returns (key, n_eval, sae_seasonal, sae_naive,
+    mase)."""
+    hc = df.groupBy(
+        F.col(type_col).alias("_k"),
+        F.date_trunc("hour", F.col(ts_col)).alias("_h"),
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    rng = hc.groupBy("_k").agg(F.min("_h").alias("_lo"), F.max("_h").alias("_hi"))
+    spine = rng.select(
+        "_k",
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr("interval 1 hour"))
+        ).alias("_h"),
+    )
+    g = spine.join(hc, ["_k", "_h"], "left").select(
+        "_k", "_h", F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("_c")
+    )
+    w = W.partitionBy("_k").orderBy("_h")
+    g = (
+        g.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_c1", F.lag("_c", 1).over(w))
+        .withColumn("_cs", F.lag("_c", season).over(w))
+    )
+    ev = g.filter(F.col("_rn") > season)
+    agg = ev.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum(F.abs(F.col("_c") - F.col("_cs"))).cast("long").alias("sae_seasonal"),
+        F.sum(F.abs(F.col("_c") - F.col("_c1"))).cast("long").alias("sae_naive"),
+    )
+    return agg.select(
+        F.col("_k").alias(type_col),
+        "n_eval",
+        "sae_seasonal",
+        "sae_naive",
+        (
+            F.col("sae_seasonal").cast("double")
+            / F.col("sae_naive").cast("double")
+        ).alias("mase"),
+    )

@@ -1792,3 +1792,47 @@ def q_attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("event_type").alias("channel"))
     )
     return position_attribution(purchases, touches)
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive MASE (r5): is each event type's daily cycle real —
+# the scale-free forecastability gate as a ratio of two exact integer
+# error sums over the gap-filled hourly spine.
+# ---------------------------------------------------------------------------
+@query(
+    "forecast_mase",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type AS k, date_trunc('hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    rng AS (SELECT k, min(h) AS lo, max(h) AS hi FROM hc GROUP BY 1),
+    spine AS (
+      SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM rng
+    ),
+    g AS (
+      SELECT spine.k, spine.h, CAST(COALESCE(hc.c, 0) AS BIGINT) AS c
+      FROM spine LEFT JOIN hc ON hc.k = spine.k AND hc.h = spine.h
+    ),
+    l AS (
+      SELECT k, h, c,
+             row_number() OVER (PARTITION BY k ORDER BY h) AS rn,
+             lag(c, 1) OVER (PARTITION BY k ORDER BY h) AS c1,
+             lag(c, 24) OVER (PARTITION BY k ORDER BY h) AS cs
+      FROM g
+    )
+    SELECT k AS event_type, count(*) AS n_eval,
+           CAST(sum(abs(c - cs)) AS BIGINT) AS sae_seasonal,
+           CAST(sum(abs(c - c1)) AS BIGINT) AS sae_naive,
+           CAST(CAST(sum(abs(c - cs)) AS BIGINT) AS DOUBLE)
+             / CAST(CAST(sum(abs(c - c1)) AS BIGINT) AS DOUBLE) AS mase
+    FROM l WHERE rn > 24 GROUP BY k
+    """,
+)
+def q_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast evaluation per event type: MASE as a ratio of exact integer error sums over the gap-filled hourly spine - hour-grain windows only, one division per type."""
+    from datalake_etlscripts_spark.operators.events import seasonal_mase
+
+    e = read_table(spark, sf_dir, "events")
+    return seasonal_mase(e)
