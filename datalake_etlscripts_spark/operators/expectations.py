@@ -645,3 +645,52 @@ def k_anonymity_ladder(
             "chosen"
         ),
     )
+
+
+def rank_auc_by(
+    df: DataFrame, group_col: str, score_col: str, label_col: str
+) -> DataFrame:
+    """Disaggregated (per-slice) exact ROC-AUC — rank_auc's grouped
+    twin, the fairness/robustness evaluation practice of scoring a
+    classifier per language/domain/cohort rather than trusting one
+    global number. Same Mann-Whitney integer identity, with the
+    ordered window running over each slice's distinct-score grid
+    (PARTITION BY slice — grids stay dictionary-sized per the
+    quantized-score contract). Slices with one class present return
+    NULL auc. Returns (group, n_pos, n_neg, u2, auc)."""
+    from pyspark.sql import Window
+
+    g = df.select(
+        F.col(group_col).alias("_g"),
+        F.col(score_col).alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    )
+    grid = g.groupBy("_g", "_s").agg(
+        F.sum("_y").cast("long").alias("_p"),
+        F.sum(1 - F.col("_y")).cast("long").alias("_q"),
+    )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = grid.withColumn(
+        "_cq", F.coalesce(F.sum("_q").over(w), F.lit(0).cast("long"))
+    )
+    agg = cum.groupBy("_g").agg(
+        F.sum("_p").cast("long").alias("n_pos"),
+        F.sum("_q").cast("long").alias("n_neg"),
+        F.sum(F.col("_p") * (2 * F.col("_cq") + F.col("_q")))
+        .cast("long")
+        .alias("u2"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.try_divide(
+            F.col("u2").cast("double"),
+            (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+        ).alias("auc"),
+    )

@@ -4367,3 +4367,78 @@ def q_naive_bayes_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.filter(F.col("doc_id") % 2 == 0)
     test = d.filter(F.col("doc_id") % 2 == 1)
     return naive_bayes_confusion(train, test)
+
+
+# ---------------------------------------------------------------------------
+# Per-slice AUC (r5): gopher_length_auc disaggregated by language —
+# the robustness-evaluation practice of never trusting one global
+# metric; same exact Mann-Whitney integers per slice.
+# ---------------------------------------------------------------------------
+_AUC_BY_ORACLE = r"""
+    WITH feat AS (
+      SELECT lang, length(text) AS nc,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk,
+             len(regexp_extract_all(text, '[^\w\s]')) AS np
+      FROM documents
+    ),
+    f2 AS (
+      SELECT lang, nc, np, len(tk) AS nt,
+             len(list_distinct(tk)) AS nd,
+             list_transform(range(1, greatest(len(tk) - 1, 1)),
+                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g3
+      FROM feat
+    ),
+    sig AS (
+      SELECT lang, nt,
+        CASE WHEN
+          coalesce(nt >= 20 AND nt <= 100000, false)
+          AND coalesce(CASE WHEN nt > 0 THEN CAST(nc - (nt - 1) AS DOUBLE) / nt END
+                       BETWEEN 2.0 AND 12.0, false)
+          AND coalesce(CASE WHEN nc > 0 THEN CAST(np AS DOUBLE) / nc END <= 0.3,
+                       false)
+          AND coalesce(CASE WHEN nt > 0 THEN CAST(nd AS DOUBLE) / nt END >= 0.3,
+                       false)
+          AND coalesce(CASE WHEN len(g3) > 0 THEN
+                CAST(list_max(list_transform(list_distinct(g3),
+                     d -> len(list_filter(g3, x -> x = d)))) AS DOUBLE) / len(g3)
+              END <= 0.18, false)
+        THEN 1 ELSE 0 END AS pos
+      FROM f2
+    ),
+    grid AS (
+      SELECT lang, nt AS s, CAST(sum(pos) AS BIGINT) AS p,
+             CAST(sum(1 - pos) AS BIGINT) AS q
+      FROM sig GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT lang, s, p, q,
+             CAST(COALESCE(sum(q) OVER (PARTITION BY lang ORDER BY s ROWS
+               BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cq
+      FROM grid
+    )
+    SELECT lang, CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(q) AS BIGINT) AS n_neg,
+           CAST(sum(p * (2 * cq + q)) AS BIGINT) AS u2,
+           CASE WHEN sum(p) > 0 AND sum(q) > 0 THEN
+             CAST(CAST(sum(p * (2 * cq + q)) AS BIGINT) AS DOUBLE)
+               / CAST(2 * CAST(sum(p) AS BIGINT) * CAST(sum(q) AS BIGINT)
+                      AS DOUBLE)
+           END AS auc
+    FROM cum GROUP BY lang
+"""
+
+
+@query("auc_by_language", oracle=_AUC_BY_ORACLE)
+def q_auc_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disaggregated exact ROC-AUC: token count vs the Gopher keep decision scored PER LANGUAGE (slice-based model evaluation) - Mann-Whitney integers per slice, try_divide degenerate slices."""
+    from datalake_etlscripts_spark.operators.expectations import rank_auc_by
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = d.select(
+        "doc_id", "lang", F.size(text.tokens(F.col("text"))).alias("n_tokens")
+    )
+    keep = text.gopher_quality_filter(d).select("doc_id", "keep")
+    joined = scored.join(keep, "doc_id").select(
+        "lang", "n_tokens", F.col("keep").cast("int").alias("label")
+    )
+    return rank_auc_by(joined, "lang", "n_tokens", "label")
