@@ -576,3 +576,66 @@ def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_col="p_type",
         compare_cols=["p_brand", "name_head", "price_band", "size_band"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Id-completeness audit (r5): which 1024-key blocks of the orderkey
+# space are missing rows — the ingestion-gap monitor (did a backfill
+# skip a range?). Block spine generated from the global bounds so
+# FULLY-missing blocks surface too; one groupBy + broadcast bounds.
+# ---------------------------------------------------------------------------
+@query(
+    "id_completeness",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderkey // 1024 AS block, count(*) AS n_present
+      FROM orders GROUP BY 1
+    ),
+    g AS (SELECT min(o_orderkey) AS lo, max(o_orderkey) AS hi FROM orders),
+    spine AS (
+      SELECT unnest(generate_series(lo // 1024, hi // 1024)) AS block, lo, hi
+      FROM g
+    )
+    SELECT spine.block,
+           CAST(COALESCE(b.n_present, 0) AS BIGINT) AS n_present,
+           CAST(least(hi, spine.block * 1024 + 1023)
+                - greatest(lo, spine.block * 1024) + 1 AS BIGINT) AS n_expected,
+           CAST(least(hi, spine.block * 1024 + 1023)
+                - greatest(lo, spine.block * 1024) + 1
+                - COALESCE(b.n_present, 0) AS BIGINT) AS n_missing
+    FROM spine LEFT JOIN b ON b.block = spine.block
+    WHERE least(hi, spine.block * 1024 + 1023)
+          - greatest(lo, spine.block * 1024) + 1
+          - COALESCE(b.n_present, 0) > 0
+    """,
+)
+def q_id_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-gap audit: per 1024-key block of the orderkey space, present vs expected counts with fully-missing blocks surfaced via a generated spine - one groupBy plus broadcast bounds."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    b = o.groupBy(F.expr("o_orderkey div 1024").alias("block")).agg(
+        F.count(F.lit(1)).alias("n_present")
+    )
+    g = o.agg(F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi"))
+    spine = g.select(
+        F.explode(
+            F.sequence(F.expr("lo div 1024"), F.expr("hi div 1024"))
+        ).alias("block"),
+        "lo",
+        "hi",
+    ).repartition(8, "block")
+    j = spine.join(b, "block", "left")
+    expected = (
+        F.least(F.col("hi"), F.col("block") * 1024 + 1023)
+        - F.greatest(F.col("lo"), F.col("block") * 1024)
+        + 1
+    )
+    present = F.coalesce(F.col("n_present"), F.lit(0)).cast("long")
+    return (
+        j.select(
+            "block",
+            present.alias("n_present"),
+            expected.cast("long").alias("n_expected"),
+            (expected - present).cast("long").alias("n_missing"),
+        )
+        .filter(F.col("n_missing") > 0)
+    )
