@@ -656,3 +656,125 @@ def naive_bayes_confusion(
         .groupBy("actual", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def mixture_waterfill(
+    counts: DataFrame,
+    budget: int,
+    key_col: str = "source",
+    n_col: str = "n_docs",
+    w_col: str = "w_micro",
+) -> DataFrame:
+    """Water-filling mixture planner: given per-source sizes n_s and
+    target mixture weights w_s, allocate a total document budget B as
+
+        kept_s = min(n_s, C · w_s)
+
+    with the water level C chosen so Σ kept_s = B — the exact solve
+    behind "sample sources ∝ target weights, but a small source can't
+    give more than it has; redistribute its shortfall" (the
+    DoReMi/Pile mixture-realization step). C is found RELATIONALLY:
+    sort sources by saturation point n_s/w_s, and for each saturated
+    prefix k the candidate C_k = (B − Σ_{j≤k} n_j) / Σ_{j>k} w_j is
+    valid iff t_k ≤ C_k ≤ t_{k+1} — every check an exact integer
+    cross-multiplication (n·w products need DECIMAL beyond ~1e12·1e6),
+    no floats, no driver solve. The table is #sources-sized
+    throughout; kept uses integer div (≤ 1 doc lost per unsaturated
+    source, documented). Returns (key, n_docs, w_micro, kept,
+    saturated)."""
+    from pyspark.sql import Window
+
+    src = counts.select(
+        F.col(key_col).alias("_k"),
+        F.col(n_col).cast("long").alias("_n"),
+        F.col(w_col).cast("long").alias("_w"),
+    )
+    # saturation order: t_s = n_s/w_s ascending (double sort key is
+    # order-identical across engines; ties break on the key)
+    w_ord = Window.orderBy(
+        (F.col("_n").cast("double") / F.col("_w").cast("double")).asc(),
+        F.col("_k").asc(),
+    )
+    tot = src.agg(
+        F.sum("_n").cast("long").alias("_tn"), F.sum("_w").cast("long").alias("_tw")
+    )
+    ranked = (
+        src.withColumn("_rn", F.row_number().over(w_ord))
+        .withColumn(
+            "_cumn",
+            F.sum("_n").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "_cumw",
+            F.sum("_w").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("_nn", F.lead("_n").over(w_ord))
+        .withColumn("_nw", F.lead("_w").over(w_ord))
+    )
+    cand = (
+        ranked.crossJoin(F.broadcast(tot))
+        # virtual k=0 row (nothing saturated): num=B, den=total w,
+        # lower bound t_0 = 0 — expressed by unioning a synthetic row
+        .select(
+            F.col("_rn").alias("_key_rn"),
+            (F.lit(budget) - F.col("_cumn")).alias("_num"),
+            (F.col("_tw") - F.col("_cumw")).alias("_den"),
+            F.col("_n").alias("_bn"),
+            F.col("_w").alias("_bw"),
+            F.col("_nn"),
+            F.col("_nw"),
+        )
+        .unionByName(
+            tot.select(
+                F.lit(0).alias("_key_rn"),
+                F.lit(budget).cast("long").alias("_num"),
+                F.col("_tw").alias("_den"),
+                F.lit(0).cast("long").alias("_bn"),
+                F.lit(1).cast("long").alias("_bw"),
+                F.lit(None).cast("long").alias("_nn"),
+                F.lit(None).cast("long").alias("_nw"),
+            ).join(
+                src.orderBy(
+                    (F.col("_n").cast("double") / F.col("_w").cast("double")).asc(),
+                    F.col("_k").asc(),
+                )
+                .limit(1)
+                .select(
+                    F.col("_n").alias("_nn0"), F.col("_w").alias("_nw0")
+                ),
+                how="cross",
+            )
+            .select(
+                "_key_rn",
+                "_num",
+                "_den",
+                "_bn",
+                "_bw",
+                F.col("_nn0").alias("_nn"),
+                F.col("_nw0").alias("_nw"),
+            )
+        )
+    )
+    # validity: C_k ≥ t_k  (num·w_k ≥ n_k·den)  and, unless last,
+    # C_k ≤ t_{k+1}  (num·w_{k+1} ≤ n_{k+1}·den)
+    valid = cand.filter(
+        (F.col("_num") * F.col("_bw") >= F.col("_bn") * F.col("_den"))
+        & (
+            F.col("_nn").isNull()
+            | (F.col("_num") * F.col("_nw") <= F.col("_nn") * F.col("_den"))
+        )
+    )
+    chosen = valid.orderBy(F.col("_key_rn").asc()).limit(1).select(
+        F.col("_key_rn").alias("_kstar"), "_num", "_den"
+    )
+    out = ranked.crossJoin(F.broadcast(chosen)).select(
+        F.col("_k").alias(key_col),
+        F.col("_n").alias(n_col),
+        F.col("_w").alias(w_col),
+        F.when(F.col("_rn") <= F.col("_kstar"), F.col("_n"))
+        .otherwise(F.expr("(_num * _w) div _den"))
+        .cast("long")
+        .alias("kept"),
+        (F.col("_rn") <= F.col("_kstar")).alias("saturated"),
+    )
+    return out

@@ -111,33 +111,39 @@ PRIORITY: list[str] = [
     "kmv_rollup_distinct",
     "gopher_length_auc",
     "join_size_estimate",
-    # events family
-    "funnel_deadline",
+    "benford_audit",
+    # round-5 additions (this session's operators, never driver-checked)
+    "chi2_feature_select",
+    "average_precision",
+    "auc_by_language",
+    "calibration_bins",
+    "skyline_pareto",
+    "psi_drift",
     "distribution_drift",
-    # graph family
-    "graph_label_propagation",
-    "graph_link_prediction",
-    # privacy / profiling audits
-    "k_anonymity_audit",
-    "l_diversity_audit",
-    "join_skew_audit",
-    "profile_columns",
-    "correlation_matrix",
-    "frequent_triples",
-    # vector family
-    "hard_negatives",
-    "label_outliers",
-    "feature_scaling_stats",
-    "knn_label_vote",
-    "embedding_drift",
-    "ann_multiprobe_topk",
-    "ann_projected_topk",
-    "embedding_quantize_int8",
-    "dedup_embedding_incremental",
-    # dedup stragglers
-    "dedup_containment",
-    "source_duplication_matrix",
+    "ivm_join_view",
+    "textrank_keywords",
+    "graph_neighborhood_hll",
+    "k_anonymity_generalize",
+    "rendezvous_sharding",
+    "boolean_retrieval",
+    "source_token_entropy",
+    "attribution_position_based",
+    "naive_bayes_confusion",
+    "embedding_covariance",
+    "decision_stump_train",
+    "forecast_mase",
+    "kmv_a_not_b",
 ]
+# Bumped to the next rotation (replica-harness green, driver evidence
+# queued): funnel_deadline, graph_label_propagation,
+# graph_link_prediction, k_anonymity_audit, l_diversity_audit,
+# join_skew_audit, profile_columns, correlation_matrix,
+# frequent_triples, hard_negatives, label_outliers,
+# feature_scaling_stats, knn_label_vote, embedding_drift,
+# ann_multiprobe_topk, ann_projected_topk, embedding_quantize_int8,
+# dedup_embedding_incremental, dedup_containment,
+# source_duplication_matrix, id_completeness, plus the remaining
+# sources/BPE/sampling/multimodal/TPC-H set.
 
 
 def _ordered(d: dict) -> dict:

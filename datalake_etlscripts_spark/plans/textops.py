@@ -4442,3 +4442,73 @@ def q_auc_by_language(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "n_tokens", F.col("keep").cast("int").alias("label")
     )
     return rank_auc_by(joined, "lang", "n_tokens", "label")
+
+
+# ---------------------------------------------------------------------------
+# Water-filling mixture plan (r5): realize target source weights under
+# a total budget with saturation redistribution — the exact relational
+# solve (integer cross-multiplications, no floats, no driver loop).
+# ---------------------------------------------------------------------------
+_WATERFILL_ORACLE = """
+    WITH src AS (SELECT source AS k, CAST(count(*) AS BIGINT) AS n
+                 FROM documents GROUP BY 1),
+    wts AS (SELECT k, n,
+                   CAST(row_number() OVER (ORDER BY k) * 100000 AS BIGINT) AS w
+            FROM src),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(w) AS BIGINT) AS tw
+            FROM wts),
+    bud AS (SELECT CAST(tn * 3 // 5 AS BIGINT) AS b, tw FROM tot),
+    rk AS (
+      SELECT k, n, w,
+             row_number() OVER (ORDER BY CAST(n AS DOUBLE) / CAST(w AS DOUBLE)
+                                ASC, k ASC) AS rn,
+             CAST(sum(n) OVER (ORDER BY CAST(n AS DOUBLE) / CAST(w AS DOUBLE)
+                  ASC, k ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cumn,
+             CAST(sum(w) OVER (ORDER BY CAST(n AS DOUBLE) / CAST(w AS DOUBLE)
+                  ASC, k ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cumw,
+             lead(n) OVER (ORDER BY CAST(n AS DOUBLE) / CAST(w AS DOUBLE)
+                           ASC, k ASC) AS nn,
+             lead(w) OVER (ORDER BY CAST(n AS DOUBLE) / CAST(w AS DOUBLE)
+                           ASC, k ASC) AS nw
+      FROM wts
+    ),
+    cand AS (
+      SELECT rn AS key_rn, b - cumn AS num, tw - cumw AS den,
+             n AS bn, w AS bw, nn, nw
+      FROM rk, bud
+      UNION ALL
+      SELECT 0, b, tw, CAST(0 AS BIGINT), CAST(1 AS BIGINT), f.n, f.w
+      FROM bud, (SELECT n, w FROM rk WHERE rn = 1) f
+    ),
+    valid AS (
+      SELECT * FROM cand
+      WHERE num * bw >= bn * den
+        AND (nn IS NULL OR num * nw <= nn * den)
+    ),
+    ch AS (SELECT key_rn AS kstar, num, den FROM valid
+           ORDER BY key_rn ASC LIMIT 1)
+    SELECT rk.k AS source, rk.n AS n_docs, rk.w AS w_micro,
+           CAST(CASE WHEN rk.rn <= ch.kstar THEN rk.n
+                     ELSE (ch.num * rk.w) // ch.den END AS BIGINT) AS kept,
+           rk.rn <= ch.kstar AS saturated
+    FROM rk, ch
+"""
+
+
+@query("mixture_waterfill", oracle=_WATERFILL_ORACLE)
+def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling mixture realization: allocate a 60% corpus budget across sources proportional to target weights with exact saturation redistribution - integer cross-multiplication solve, sources-sized table, no driver loop."""
+    from pyspark.sql import Window
+
+    from datalake_etlscripts_spark.operators.sampling import mixture_waterfill
+
+    d = read_table(spark, sf_dir, "documents")
+    src = d.groupBy(F.col("source")).agg(F.count(F.lit(1)).alias("n_docs"))
+    wts = src.withColumn(
+        "w_micro",
+        (F.row_number().over(Window.orderBy("source")) * 100000).cast("long"),
+    )
+    budget = d.count() * 3 // 5
+    return mixture_waterfill(wts, budget)

@@ -2866,3 +2866,23 @@ def test_naive_bayes_learns_separable_vocab(spark):
     out = {(r["actual"], r["predicted"]): r["n"]
            for r in naive_bayes_confusion(train, test).collect()}
     assert out == {("A", "A"): 5, ("B", "B"): 5}
+
+
+def test_mixture_waterfill_saturation(spark):
+    """A tiny source saturates (kept = its size); the remaining budget
+    splits across the others proportional to weights; the total stays
+    within one doc per unsaturated source of the budget."""
+    from datalake_etlscripts_spark.operators.sampling import mixture_waterfill
+
+    counts = spark.createDataFrame(
+        [("tiny", 10, 500000), ("big_a", 10000, 250000), ("big_b", 10000, 250000)],
+        "source string, n_docs bigint, w_micro bigint",
+    )
+    out = {r["source"]: r for r in mixture_waterfill(counts, 5000).collect()}
+    assert out["tiny"]["saturated"] and out["tiny"]["kept"] == 10
+    assert not out["big_a"]["saturated"] and not out["big_b"]["saturated"]
+    assert out["big_a"]["kept"] == out["big_b"]["kept"]
+    total = sum(r["kept"] for r in out.values())
+    assert 5000 - 2 <= total <= 5000
+    # equal weights, equal sizes -> (5000-10)/2 = 2495 each
+    assert out["big_a"]["kept"] == 2495
