@@ -4512,3 +4512,69 @@ def q_mixture_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     budget = d.count() * 3 // 5
     return mixture_waterfill(wts, budget)
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation (r5): recall@5 and MRR of the IVF index
+# against the exact brute-force ground truth — THE standard ANN
+# acceptance metric, composed by nesting the two already-registered
+# oracles, so the eval can never drift from what the queries compute.
+# Reciprocal ranks are exact integers via the LCM(1..5)=60 scaling.
+# ---------------------------------------------------------------------------
+from datalake_etlscripts_spark.plans import registry as _registry  # noqa: E402
+
+_RECALL_ORACLE = f"""
+    WITH brute AS (
+      SELECT query_id, neighbor_id AS true_nn
+      FROM ({_registry.ORACLES["ann_cosine_topk"]}) WHERE rank = 1
+    ),
+    appr AS (
+      SELECT query_id, neighbor_id, rank
+      FROM ({_registry.ORACLES["ann_ivf_topk"]})
+    ),
+    j AS (
+      SELECT b.query_id, a.rank
+      FROM brute b LEFT JOIN appr a
+        ON a.query_id = b.query_id AND a.neighbor_id = b.true_nn
+    )
+    SELECT count(*) AS n_queries,
+           CAST(count(rank) AS BIGINT) AS n_found,
+           CAST(count(rank) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_at_5,
+           CAST(CAST(COALESCE(sum(60 // rank), 0) AS BIGINT) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 60.0) AS mrr
+    FROM j
+"""
+
+
+@query("ann_recall_mrr", oracle=_RECALL_ORACLE)
+def q_ann_recall_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index acceptance metrics: recall@5 and MRR of IVF against exact brute-force ground truth - reciprocal ranks exact via LCM-60 integers, oracles composed from the registered twins."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    brute1 = (
+        similarity.brute_force_topk(e, q, k=5)
+        .filter(F.col("rank") == 1)
+        .select("query_id", F.col("neighbor_id").alias("true_nn"))
+    )
+    appr = similarity.ivf_ann_topk(
+        e, q, k=5, centroids=_ivf_literal_centroids()
+    ).select(F.col("query_id").alias("_qid"), "neighbor_id", "rank")
+    j = brute1.join(
+        appr,
+        (brute1["query_id"] == appr["_qid"])
+        & (brute1["true_nn"] == appr["neighbor_id"]),
+        "left",
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.count("rank").cast("long").alias("n_found"),
+        (
+            F.count("rank").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("recall_at_5"),
+        (
+            F.coalesce(F.sum(F.expr("60 div rank")), F.lit(0))
+            .cast("long")
+            .cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(60.0))
+        ).alias("mrr"),
+    )
