@@ -694,3 +694,197 @@ def rank_auc_by(
             (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
         ).alias("auc"),
     )
+
+
+def adaboost_stumps(
+    feats: DataFrame, labels: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """AdaBoost over decision stumps trained IN-ENGINE with EXACT
+    arithmetic (Freund & Schapire's reweighting, beside the
+    perceptron / naive-Bayes / single-stump trainers; reference has
+    no learners — this serves the quality-filter training loop a
+    corpus pipeline needs, cf. generate_training_data.py semantics).
+
+    The float-free trick: the multiplicative update
+    ``w ·= exp(±alpha)``, ``exp(2·alpha) = (W−err)/err`` only ever
+    needs the RATIO between wrong and right weights, so multiplying
+    misclassified rows by ``W−err`` and correct rows by ``err`` keeps
+    the exact AdaBoost distribution with INTEGER weights (common
+    factor cancels in the next round's weighted-error argmin). Weights
+    live in DECIMAL(38,0); totals obey W_{t+1} = 2·err·(W−err) ≤
+    W²/2, so three rounds from n ≤ ~5·10⁴ docs stay inside 38 digits
+    — the docstring-level bound; wider T at corpus scale renormalizes
+    (divide by gcd / rescale to a fixed sum) between rounds.
+
+    Per round, ONE plan: weighted class masses per (feature, x) grid
+    cell (the quantized-grid contract keeps it dictionary-sized),
+    prefix sums per feature for both stump polarities
+    (h = pol·sign(thr − x)), a global deterministic argmin
+    (err, feature, x), then the 1-row winner broadcast back over the
+    docs to flip weights. Only dictionary-sized grids are windowed;
+    nothing row-scale reaches the driver.
+
+    Inputs: ``feats`` (id, feature, x) with x pre-quantized;
+    ``labels`` (id, ypm) with ypm ∈ {+1, −1}. Returns one row per
+    round: (round, feature, threshold, polarity, err_rate, n_mis) —
+    the model trajectory (err_rate = weighted error / total, one
+    division of exact decimals; n_mis = unweighted misclassified
+    count)."""
+    from pyspark.sql import Window
+
+    dec = "decimal(38,0)"
+    w_t = labels.select("id", F.lit(1).cast(dec).alias("w"))
+    outs: list[DataFrame] = []
+    fl = feats.join(labels, "id")
+    for t in range(1, rounds + 1):
+        j = fl.join(w_t, "id")
+        grid = j.groupBy("feature", "x").agg(
+            F.sum(F.when(F.col("ypm") == 1, F.col("w")).otherwise(F.lit(0)))
+            .cast(dec)
+            .alias("wp"),
+            F.sum(F.when(F.col("ypm") == -1, F.col("w")).otherwise(F.lit(0)))
+            .cast(dec)
+            .alias("wn"),
+        )
+        wc = (
+            Window.partitionBy("feature")
+            .orderBy("x")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        wt_ = Window.partitionBy("feature")
+        c = (
+            grid.withColumn("cwp", F.sum("wp").over(wc).cast(dec))
+            .withColumn("cwn", F.sum("wn").over(wc).cast(dec))
+            .withColumn("tp", F.sum("wp").over(wt_).cast(dec))
+            .withColumn("tn", F.sum("wn").over(wt_).cast(dec))
+        )
+        err_a = F.col("cwn") + (F.col("tp") - F.col("cwp"))
+        err_b = F.col("cwp") + (F.col("tn") - F.col("cwn"))
+        e = c.select(
+            "feature",
+            F.col("x").alias("thr"),
+            F.when(err_a <= err_b, F.lit(1)).otherwise(F.lit(-1)).alias("pol"),
+            F.when(err_a <= err_b, err_a).otherwise(err_b).cast(dec).alias("err"),
+            (F.col("tp") + F.col("tn")).cast(dec).alias("tot"),
+        )
+        best = (
+            e.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.orderBy(
+                        F.col("err").asc(), F.col("feature").asc(), F.col("thr").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+            .localCheckpoint(eager=False)
+        )
+        b = F.broadcast(best.select(
+            F.col("feature").alias("_bf"),
+            F.col("thr").alias("_bt"),
+            F.col("pol").alias("_bp"),
+            F.col("err").alias("_be"),
+            F.col("tot").alias("_bw"),
+        ))
+        h = (
+            fl.join(b, fl["feature"] == F.col("_bf"))
+            .select(
+                "id",
+                "ypm",
+                F.when(F.col("x") <= F.col("_bt"), F.col("_bp"))
+                .otherwise(-F.col("_bp"))
+                .alias("h"),
+            )
+        )
+        err_eff = F.when(F.col("_be") > 0, F.col("_be")).otherwise(
+            F.lit(1).cast(dec)
+        )
+        w_t = (
+            w_t.join(h, "id")
+            .crossJoin(b)
+            .select(
+                "id",
+                (
+                    F.col("w")
+                    * F.when(
+                        F.col("h") != F.col("ypm"), F.col("_bw") - err_eff
+                    ).otherwise(err_eff)
+                )
+                .cast(dec)
+                .alias("w"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        n_mis = h.agg(
+            F.sum(F.when(F.col("h") != F.col("ypm"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_mis")
+        )
+        outs.append(
+            best.crossJoin(F.broadcast(n_mis)).select(
+                F.lit(t).cast("long").alias("round"),
+                "feature",
+                F.col("thr").cast("long").alias("threshold"),
+                F.col("pol").cast("long").alias("polarity"),
+                (
+                    F.col("err").cast("string").cast("double")
+                    / F.col("tot").cast("string").cast("double")
+                ).alias("err_rate"),
+                "n_mis",
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u
+
+
+def grouped_ols(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group simple linear regression SOLVED IN CLOSED FORM from
+    one scan: the five moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate
+    as DECIMAL(38,0) integers in a single map-side-combined groupBy,
+    then Cramer's rule gives every coefficient as ONE division of two
+    exact integers —
+
+        slope     = (nΣxy − ΣxΣy) / D,   D = nΣx² − (Σx)²
+        intercept = (ΣyΣx² − ΣxΣxy) / D
+        r²        = (nΣxy − ΣxΣy)² / (D · (nΣy² − (Σy)²))
+
+    so the result is bit-deterministic cross-engine (the house float
+    policy). Constant-x or constant-y groups return NULL coefficients
+    instead of dividing by zero. Inputs must be integer-valued
+    (pre-quantize reals by a fixed scale); at corpus scale the moment
+    products stay inside DECIMAL(38,0) for |x|,|y| ≤ ~10⁶ over ~10⁹
+    rows — beyond that, quantize coarser. One shuffle total; output is
+    group-cardinality-sized."""
+    dec = "decimal(38,0)"
+    x = F.col(x_col).cast(dec)
+    y = F.col(y_col).cast(dec)
+    m = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast(dec).alias("_n"),
+        F.sum(x).cast(dec).alias("_sx"),
+        F.sum(y).cast(dec).alias("_sy"),
+        F.sum(x * y).cast(dec).alias("_sxy"),
+        F.sum(x * x).cast(dec).alias("_sxx"),
+        F.sum(y * y).cast(dec).alias("_syy"),
+    )
+    d_ = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast(dec)
+    num_s = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast(dec)
+    num_i = (F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")).cast(
+        dec
+    )
+    den_y = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast(dec)
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return m.select(
+        group_col,
+        F.col("_n").cast("long").alias("n"),
+        F.when(d_ != 0, as_d(num_s) / as_d(d_)).alias("slope"),
+        F.when(d_ != 0, as_d(num_i) / as_d(d_)).alias("intercept"),
+        F.when(
+            (d_ != 0) & (den_y != 0),
+            (as_d(num_s) * as_d(num_s)) / (as_d(d_) * as_d(den_y)),
+        ).alias("r2"),
+    )

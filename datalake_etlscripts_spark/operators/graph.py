@@ -526,3 +526,38 @@ def neighborhood_hll(
         )
         state = cut_lineage(state, i, checkpoint_dir, checkpoint_every, eager=True)
     return hll_register_estimate(state, alias="est_ball")
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Multi-source BFS hop distance (the seed-expansion /
+    blast-radius primitive beside personalized_pagerank's weighted
+    form): ``seeds`` (node) start at distance 0; each round expands
+    the CURRENT frontier one hop and anti-joins the visited set, so
+    every edge partition is touched at most ``max_hops`` times and the
+    per-round join is frontier × edges, never visited × edges —
+    the delta-iteration shape that keeps late rounds cheap as the
+    frontier shrinks. Distances are minimal by construction (a node
+    enters on the first round that reaches it). Returns (node, dist)
+    for nodes within ``max_hops``. Lineage is cut per round
+    (localCheckpoint; ``checkpoint_dir`` swaps in reliable
+    checkpoints for executor-loss recovery at scale)."""
+    dist = seeds.select("node", F.lit(0).cast("long").alias("dist")).distinct()
+    frontier = dist
+    for it in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(it).cast("long").alias("dist"))
+        )
+        nxt = cut_lineage(nxt, it, checkpoint_dir, checkpoint_every, eager=False)
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    return dist

@@ -133,6 +133,8 @@ PRIORITY: list[str] = [
     "decision_stump_train",
     "forecast_mase",
     "kmv_a_not_b",
+    # round-6 additions (this session)
+    "adaboost_train_rounds",
 ]
 # Bumped to the next rotation (replica-harness green, driver evidence
 # queued): funnel_deadline, graph_label_propagation,

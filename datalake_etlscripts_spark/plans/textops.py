@@ -4578,3 +4578,158 @@ def q_ann_recall_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)).cast("double") * F.lit(60.0))
         ).alias("mrr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AdaBoost rounds (r6): the boosting loop over the stump weak learner
+# — exact integer reweighting ((W−err)/err ratio as two integer
+# factors), unrolled-CTE oracle mirroring every argmin.
+# ---------------------------------------------------------------------------
+def _adaboost_oracle(rounds: int = 3) -> str:
+    parts = [
+        """
+    WITH base AS (
+      SELECT doc_id AS id,
+             CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS ypm,
+             n_chars // 16 AS xc,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) // 4 AS xt
+      FROM documents
+    ),
+    feats AS (
+      SELECT id, 'n_chars_div16' AS feature, xc AS x, ypm FROM base
+      UNION ALL
+      SELECT id, 'n_tokens_div4' AS feature, xt AS x, ypm FROM base
+    ),
+    w0 AS (SELECT id, CAST(1 AS HUGEINT) AS w FROM base)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(f""",
+    g{t} AS (
+      SELECT f.feature, f.x,
+             CAST(sum(CASE WHEN f.ypm = 1 THEN w.w ELSE 0 END) AS HUGEINT) AS wp,
+             CAST(sum(CASE WHEN f.ypm = -1 THEN w.w ELSE 0 END) AS HUGEINT) AS wn
+      FROM feats f JOIN w{t - 1} w USING (id) GROUP BY 1, 2
+    ),
+    c{t} AS (
+      SELECT feature, x,
+             sum(wp) OVER (PARTITION BY feature ORDER BY x) AS cwp,
+             sum(wn) OVER (PARTITION BY feature ORDER BY x) AS cwn,
+             sum(wp) OVER (PARTITION BY feature) AS tp,
+             sum(wn) OVER (PARTITION BY feature) AS tn
+      FROM g{t}
+    ),
+    e{t} AS (
+      SELECT feature, x AS thr,
+             CASE WHEN cwn + (tp - cwp) <= cwp + (tn - cwn)
+                  THEN 1 ELSE -1 END AS pol,
+             CASE WHEN cwn + (tp - cwp) <= cwp + (tn - cwn)
+                  THEN cwn + (tp - cwp) ELSE cwp + (tn - cwn) END AS err,
+             tp + tn AS tot
+      FROM c{t}
+    ),
+    b{t} AS (
+      SELECT feature, thr, pol, err, tot FROM (
+        SELECT *, row_number() OVER (ORDER BY err ASC, feature ASC, thr ASC) AS rk
+        FROM e{t}
+      ) WHERE rk = 1
+    ),
+    h{t} AS (
+      SELECT f.id, f.ypm,
+             CASE WHEN f.x <= b.thr THEN b.pol ELSE -b.pol END AS h
+      FROM feats f JOIN b{t} b ON f.feature = b.feature
+    ),
+    w{t} AS (
+      SELECT h.id,
+             CAST(w.w * (CASE WHEN h.h <> h.ypm
+                    THEN b.tot - (CASE WHEN b.err > 0 THEN b.err ELSE 1 END)
+                    ELSE (CASE WHEN b.err > 0 THEN b.err ELSE 1 END) END)
+               AS HUGEINT) AS w
+      FROM w{t - 1} w JOIN h{t} h USING (id) CROSS JOIN b{t} b
+    ),
+    out{t} AS (
+      SELECT CAST({t} AS BIGINT) AS round, b.feature,
+             CAST(b.thr AS BIGINT) AS threshold,
+             CAST(b.pol AS BIGINT) AS polarity,
+             CAST(CAST(b.err AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(b.tot AS VARCHAR) AS DOUBLE) AS err_rate,
+             (SELECT CAST(sum(CASE WHEN h <> ypm THEN 1 ELSE 0 END) AS BIGINT)
+              FROM h{t}) AS n_mis
+      FROM b{t} b
+    )""")
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT * FROM out{t}" for t in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n    " + union
+
+
+@query("adaboost_train_rounds", oracle=_adaboost_oracle())
+def q_adaboost_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AdaBoost over decision stumps trained in-engine (3 rounds): exact integer reweighting via the (W-err)/err ratio as two integer factors, DECIMAL(38,0) weights, deterministic global argmin per round."""
+    from datalake_etlscripts_spark.operators.expectations import adaboost_stumps
+
+    d = read_table(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("lang") == "en", 1).otherwise(-1).alias("ypm"),
+        F.expr("n_chars div 16").alias("xc"),
+        F.expr("size(filter(split(text, ' '), t -> t != '')) div 4").alias("xt"),
+    )
+    feats = base.select(
+        "id", F.lit("n_chars_div16").alias("feature"), F.col("xc").alias("x")
+    ).unionByName(
+        base.select(
+            "id", F.lit("n_tokens_div4").alias("feature"), F.col("xt").alias("x")
+        )
+    )
+    labels = base.select("id", "ypm")
+    return adaboost_stumps(feats, labels, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# Closed-form grouped OLS (r6): the trend/scaling-law fit beside
+# correlation_matrix — per-language chars-on-tokens regression.
+# ---------------------------------------------------------------------------
+@query(
+    "ols_trend_by_lang",
+    oracle="""
+    WITH base AS (
+      SELECT lang,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                  AS HUGEINT) AS x,
+             CAST(n_chars AS HUGEINT) AS y
+      FROM documents
+    ),
+    m AS (
+      SELECT lang, CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM base GROUP BY 1
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) END AS slope,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             CAST(CAST(sy * sxx - sx * sxy AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) END
+             AS intercept,
+           CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
+             (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE))
+               / (CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)) END
+             AS r2
+    FROM m
+    """,
+)
+def q_ols_trend_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language OLS fit of n_chars on n_tokens solved in closed form: exact DECIMAL(38,0) moments from one scan, Cramer's rule, one division per coefficient."""
+    from datalake_etlscripts_spark.operators.expectations import grouped_ols
+
+    d = read_table(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        F.expr("size(filter(split(text, ' '), t -> t != ''))").alias("x"),
+        F.col("n_chars").alias("y"),
+    )
+    return grouped_ols(base, "lang", "x", "y")

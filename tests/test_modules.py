@@ -2886,3 +2886,69 @@ def test_mixture_waterfill_saturation(spark):
     assert 5000 - 2 <= total <= 5000
     # equal weights, equal sizes -> (5000-10)/2 = 2495 each
     assert out["big_a"]["kept"] == 2495
+
+
+def test_adaboost_boosts_past_single_stump(spark):
+    """On a two-feature dataset no single stump separates (an
+    axis-aligned 'L' shape), round 1 has positive weighted error but
+    reweighting makes round 2 pick the OTHER feature; on a separable
+    planted split round 1 is exact (err_rate 0, n_mis 0) and stays
+    exact."""
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.operators.expectations import adaboost_stumps
+
+    # separable: y = +1 iff x >= 50 on feature f1 (f2 pure noise-ish
+    # constant, never cheaper than the perfect f1 split)
+    rows = [(i, 1 if i >= 50 else -1, i, i % 3) for i in range(100)]
+    base = spark.createDataFrame(rows, "id long, ypm int, x1 long, x2 long")
+    feats = base.select(
+        "id", F.lit("f1").alias("feature"), F.col("x1").alias("x")
+    ).unionByName(
+        base.select("id", F.lit("f2").alias("feature"), F.col("x2").alias("x"))
+    )
+    out = {
+        r["round"]: r
+        for r in adaboost_stumps(feats, base.select("id", "ypm"), rounds=2).collect()
+    }
+    assert out[1]["feature"] == "f1" and out[1]["err_rate"] == 0.0
+    assert out[1]["n_mis"] == 0 and out[1]["threshold"] == 49
+    assert out[1]["polarity"] == -1  # left of 49 is the -1 class
+
+    # non-separable L: +1 iff (a >= 3 and b >= 3) on a 10x10 grid —
+    # the best single stump (split a at 2) errs on the (a>=3, b<3)
+    # strip; upweighting that strip makes round 2 split b instead.
+    rows2 = [
+        (10 * a + b, 1 if (a >= 3 and b >= 3) else -1, a, b)
+        for a in range(10)
+        for b in range(10)
+    ]
+    base2 = spark.createDataFrame(rows2, "id long, ypm int, x1 long, x2 long")
+    feats2 = base2.select(
+        "id", F.lit("fa").alias("feature"), F.col("x1").alias("x")
+    ).unionByName(
+        base2.select("id", F.lit("fb").alias("feature"), F.col("x2").alias("x"))
+    )
+    out2 = {
+        r["round"]: r
+        for r in adaboost_stumps(feats2, base2.select("id", "ypm"), rounds=2).collect()
+    }
+    assert 0.0 < out2[1]["err_rate"] < 0.5
+    assert out2[1]["feature"] == "fa" and out2[2]["feature"] == "fb"
+    assert out2[2]["err_rate"] < out2[1]["err_rate"]
+
+
+def test_grouped_ols_recovers_planted_line(spark):
+    """y = 3x + 7 exactly -> slope 3, intercept 7, r2 = 1; a
+    constant-x group returns NULL coefficients instead of dividing by
+    zero."""
+    from datalake_etlscripts_spark.operators.expectations import grouped_ols
+
+    rows = [("line", x, 3 * x + 7) for x in range(50)]
+    rows += [("flat", 4, y) for y in range(10)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    out = {r["g"]: r for r in grouped_ols(df, "g", "x", "y").collect()}
+    assert out["line"]["slope"] == 3.0
+    assert out["line"]["intercept"] == 7.0
+    assert out["line"]["r2"] == 1.0
+    assert out["flat"]["slope"] is None and out["flat"]["r2"] is None
