@@ -567,3 +567,56 @@ def q_graph_neighborhood_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     return neighborhood_hll(edges, radius=2)
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS (r6): hop distances from seed suppliers over the
+# symmetrized supplier-part graph — the frontier/anti-join delta
+# iteration beside personalized_pagerank's weighted expansion.
+# ---------------------------------------------------------------------------
+def _bfs_oracle(max_hops: int = 4, seeds: str = "2, 4") -> str:
+    parts = [
+        f"""
+    WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS src,
+                                l_partkey * 2 + 1 AS dst
+                FROM lineitem),
+    edges AS (SELECT src, dst FROM e0
+              UNION SELECT dst AS src, src AS dst FROM e0),
+    d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+           FROM edges WHERE src IN ({seeds})),
+    f0 AS (SELECT node FROM d0)"""
+    ]
+    for t in range(1, max_hops + 1):
+        p = t - 1
+        parts.append(
+            f""",
+    n{t} AS (SELECT DISTINCT e.dst AS node
+             FROM edges e JOIN f{p} f ON e.src = f.node
+             WHERE e.dst NOT IN (SELECT node FROM d{p})),
+    d{t} AS (SELECT node, dist FROM d{p}
+             UNION ALL SELECT node, CAST({t} AS BIGINT) FROM n{t}),
+    f{t} AS (SELECT node FROM n{t})"""
+        )
+    parts.append(f"\n    SELECT node, dist FROM d{max_hops}")
+    return "".join(parts)
+
+
+@query("graph_bfs_hops", oracle=_bfs_oracle())
+def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances from seed suppliers over the supplier-part graph - frontier x edges delta iteration with anti-joined visited set, never visited x edges."""
+    from datalake_etlscripts_spark.operators.graph import bfs_hops
+
+    li = read_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).dropDuplicates()
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = (
+        edges.filter(F.col("src").isin(2, 4))
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    return bfs_hops(edges, seeds, max_hops=4)

@@ -135,6 +135,8 @@ PRIORITY: list[str] = [
     "kmv_a_not_b",
     # round-6 additions (this session)
     "adaboost_train_rounds",
+    "ols_trend_by_lang",
+    "graph_bfs_hops",
 ]
 # Bumped to the next rotation (replica-harness green, driver evidence
 # queued): funnel_deadline, graph_label_propagation,

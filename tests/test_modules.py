@@ -2952,3 +2952,22 @@ def test_grouped_ols_recovers_planted_line(spark):
     assert out["line"]["intercept"] == 7.0
     assert out["line"]["r2"] == 1.0
     assert out["flat"]["slope"] is None and out["flat"]["r2"] is None
+
+
+def test_bfs_hops_minimal_distances(spark):
+    """On a path 0-1-2-3-4 plus an isolated edge 10-11, seeds {0}:
+    dist is the path index, the isolated component never appears, and
+    max_hops truncates the frontier."""
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.operators.graph import bfs_hops
+
+    e0 = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
