@@ -137,6 +137,7 @@ PRIORITY: list[str] = [
     "adaboost_train_rounds",
     "ols_trend_by_lang",
     "graph_bfs_hops",
+    "dedup_lsh_recall",
 ]
 # Bumped to the next rotation (replica-harness green, driver evidence
 # queued): funnel_deadline, graph_label_propagation,

@@ -4733,3 +4733,89 @@ def q_ols_trend_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").alias("y"),
     )
     return grouped_ols(base, "lang", "x", "y")
+
+
+# ---------------------------------------------------------------------------
+# Dedup acceptance metrics (r6): the ann_recall_mrr twin for the
+# fuzzy-dedup stack — minhash-LSH's verified pair set cross-audited
+# against the blocked exact-Jaccard join's pair set. Each side is an
+# approximation with a DIFFERENT blind spot (banding's s-curve can
+# drop a true pair; (lang × length)-blocking can't see cross-block
+# pairs), so the full-outer comparison reports both: lsh_misses =
+# pairs only the blocked join found, blocking_misses = pairs only LSH
+# found. Composed from the two registered oracle twins.
+# ---------------------------------------------------------------------------
+_LSH_RECALL_ORACLE = _MINHASH_ORACLE.rsplit("SELECT id_a", 1)[0] + r"""
+    , lshp AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.04),
+    base2 AS (
+      SELECT doc_id, lang, CAST(floor(length(text) / 100) AS INT) AS lb,
+             list_distinct(list_transform(
+               range(1, greatest(len(list_filter(string_split(text,' '), x -> x <> '')) - 1, 1)),
+               i -> list_filter(string_split(text,' '), x -> x <> '')[i] || ' ' ||
+                    list_filter(string_split(text,' '), x -> x <> '')[i+1] || ' ' ||
+                    list_filter(string_split(text,' '), x -> x <> '')[i+2]
+             )) AS sh2
+      FROM documents
+    ),
+    blocked AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM base2 a JOIN base2 b ON a.lang = b.lang AND a.lb = b.lb
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.sh2, b.sh2)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh2, b.sh2))) >= 0.04
+    ),
+    fj AS (
+      SELECT l.id_a IS NOT NULL AS in_lsh, b.id_a IS NOT NULL AS in_blocked
+      FROM lshp l FULL JOIN blocked b
+        ON l.id_a = b.id_a AND l.id_b = b.id_b
+    )
+    SELECT CAST(sum(CASE WHEN in_blocked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocked,
+           CAST(sum(CASE WHEN in_lsh THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+           CAST(sum(CASE WHEN in_lsh AND in_blocked THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_common,
+           CAST(sum(CASE WHEN in_lsh AND in_blocked THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / CAST(sum(CASE WHEN in_blocked THEN 1 ELSE 0 END) AS DOUBLE)
+             AS lsh_recall,
+           CAST(sum(CASE WHEN in_blocked AND NOT in_lsh THEN 1 ELSE 0 END)
+                AS BIGINT) AS lsh_misses,
+           CAST(sum(CASE WHEN in_lsh AND NOT in_blocked THEN 1 ELSE 0 END)
+                AS BIGINT) AS blocking_misses
+    FROM fj
+"""
+
+
+@query("dedup_lsh_recall", oracle=_LSH_RECALL_ORACLE)
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup acceptance metrics: minhash-LSH verified pairs cross-audited against the blocked exact-Jaccard pair set via one full outer join - reports each approximation's blind spot (s-curve drops vs cross-block pairs)."""
+    from datalake_etlscripts_spark.operators.skew import spread_small_input
+
+    d = read_table(spark, sf_dir, "documents")
+    lsh = (
+        dedup.minhash_lsh_pairs(
+            spread_small_input(d), threshold=0.04, scheme="md5"
+        )
+        .select("id_a", "id_b", F.lit(True).alias("in_lsh"))
+    )
+    blocked = dedup.ngram_jaccard_pairs(d, threshold=0.04).select(
+        "id_a", "id_b", F.lit(True).alias("in_blocked")
+    )
+    fj = lsh.join(blocked, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("in_lsh", F.lit(False)).alias("in_lsh"),
+        F.coalesce("in_blocked", F.lit(False)).alias("in_blocked"),
+    )
+    both = F.sum(F.when(F.col("in_lsh") & F.col("in_blocked"), 1).otherwise(0))
+    n_blk = F.sum(F.when(F.col("in_blocked"), 1).otherwise(0))
+    return fj.agg(
+        n_blk.cast("long").alias("n_blocked"),
+        F.sum(F.when(F.col("in_lsh"), 1).otherwise(0)).cast("long").alias("n_lsh"),
+        both.cast("long").alias("n_common"),
+        (both.cast("double") / n_blk.cast("double")).alias("lsh_recall"),
+        F.sum(F.when(F.col("in_blocked") & ~F.col("in_lsh"), 1).otherwise(0))
+        .cast("long")
+        .alias("lsh_misses"),
+        F.sum(F.when(F.col("in_lsh") & ~F.col("in_blocked"), 1).otherwise(0))
+        .cast("long")
+        .alias("blocking_misses"),
+    )
