@@ -1315,3 +1315,90 @@ def seasonal_mase(
             / F.col("sae_naive").cast("double")
         ).alias("mase"),
     )
+
+
+def burst_smoothing(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    gamma: int = 2,
+) -> DataFrame:
+    """Kleinberg-style burst detection (the 2-state automaton of
+    "Bursty and Hierarchical Structure in Streams", binned form): per
+    key, the gap-filled hourly count series is reduced to a high/low
+    observation (count·H > 2·total — strictly above twice the mean,
+    integer cross-multiplication), then a 2-state Viterbi DP finds the
+    minimum-cost burst labeling where each label-observation mismatch
+    costs 1 and each state switch costs ``gamma`` — smoothing out
+    single-hour blips that a plain threshold would call bursts.
+
+    Exactness: the DP folds PACKED integers ``cost·2²⁰ + burst_hours``
+    (the unigram-Viterbi packing trick), so plain ``min()``/``least()``
+    resolves cost ties toward FEWER burst hours identically in both
+    engines; costs stay < 2⁴³ for series up to a million hours.
+
+    Scale shape: the hourly aggregation is the only corpus-scale
+    shuffle; the DP runs on ONE array per key (time-bounded — hours in
+    the retention window, not event-grain), folded with a single
+    ``aggregate`` expression. A per-key sequential DP cannot be
+    split across tasks without changing the answer; keys parallelize.
+    Returns (key, n_hours, n_high, smooth_cost, burst_hours)."""
+    pack = 1 << 20
+    gp = gamma * pack
+    hc = df.groupBy(
+        F.col(type_col).alias("_k"),
+        F.date_trunc("hour", F.col(ts_col)).alias("_h"),
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    rng = hc.groupBy("_k").agg(F.min("_h").alias("_lo"), F.max("_h").alias("_hi"))
+    spine = rng.select(
+        "_k",
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.expr("interval 1 hour"))
+        ).alias("_h"),
+    )
+    g = spine.join(hc, ["_k", "_h"], "left").select(
+        "_k", "_h", F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("_c")
+    )
+    tw = W.partitionBy("_k")
+    g = g.withColumn(
+        "_hi_bit",
+        (
+            F.col("_c") * F.count(F.lit(1)).over(tw)
+            > 2 * F.sum("_c").over(tw)
+        ).cast("long"),
+    )
+    seq = g.groupBy("_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("_hi_bit").cast("long").alias("n_high"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_h", "_hi_bit"))),
+            lambda s: s["_hi_bit"],
+        ).alias("_bits"),
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("k0"), F.lit(gp).cast("long").alias("k1")
+    )
+    folded = seq.withColumn(
+        "_dp",
+        F.aggregate(
+            "_bits",
+            init,
+            lambda acc, h: F.struct(
+                (
+                    F.least(acc["k0"], acc["k1"] + F.lit(gp)) + h * F.lit(pack)
+                ).alias("k0"),
+                (
+                    F.least(acc["k1"], acc["k0"] + F.lit(gp))
+                    + (1 - h) * F.lit(pack)
+                    + F.lit(1)
+                ).alias("k1"),
+            ),
+        ),
+    ).withColumn("_best", F.least(F.col("_dp.k0"), F.col("_dp.k1")))
+    return folded.select(
+        F.col("_k").alias(type_col),
+        "n_hours",
+        "n_high",
+        F.expr(f"_best div {pack}").alias("smooth_cost"),
+        (F.col("_best") % pack).alias("burst_hours"),
+    )

@@ -1836,3 +1836,67 @@ def q_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return seasonal_mase(e)
+
+
+# ---------------------------------------------------------------------------
+# Burst smoothing (r6): Kleinberg 2-state Viterbi over the hourly
+# spine — packed-integer DP, recursive-CTE oracle replaying the fold.
+# ---------------------------------------------------------------------------
+@query(
+    "burst_detection",
+    oracle="""
+    WITH RECURSIVE hc AS (
+      SELECT event_type AS k, date_trunc('hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    rng AS (SELECT k, min(h) AS lo, max(h) AS hi FROM hc GROUP BY 1),
+    spine AS (
+      SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM rng
+    ),
+    g AS (
+      SELECT spine.k, spine.h, CAST(COALESCE(hc.c, 0) AS BIGINT) AS c
+      FROM spine LEFT JOIN hc ON hc.k = spine.k AND hc.h = spine.h
+    ),
+    seq AS (
+      SELECT k, h,
+             CAST(c * (count(*) OVER (PARTITION BY k))
+                  > 2 * (sum(c) OVER (PARTITION BY k)) AS BIGINT) AS hi_bit,
+             row_number() OVER (PARTITION BY k ORDER BY h) AS rn
+      FROM g
+    ),
+    dp AS (
+      SELECT k, rn,
+             least(CAST(0 AS BIGINT), 2097152 + 2097152) + hi_bit * 1048576
+               AS k0,
+             least(CAST(2097152 AS BIGINT), 0 + 2097152)
+               + (1 - hi_bit) * 1048576 + 1 AS k1
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.k, s.rn,
+             least(d.k0, d.k1 + 2097152) + s.hi_bit * 1048576,
+             least(d.k1, d.k0 + 2097152) + (1 - s.hi_bit) * 1048576 + 1
+      FROM dp d JOIN seq s ON s.k = d.k AND s.rn = d.rn + 1
+    ),
+    last AS (
+      SELECT k, k0, k1,
+             row_number() OVER (PARTITION BY k ORDER BY rn DESC) AS rk
+      FROM dp
+    ),
+    stats AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(hi_bit) AS BIGINT) AS n_high
+      FROM seq GROUP BY k
+    )
+    SELECT s.k AS event_type, s.n_hours, s.n_high,
+           least(l.k0, l.k1) // 1048576 AS smooth_cost,
+           least(l.k0, l.k1) % 1048576 AS burst_hours
+    FROM stats s JOIN last l ON l.k = s.k AND l.rk = 1
+    """,
+)
+def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg-style burst smoothing per event type: 2-state Viterbi DP over the gap-filled hourly spine with packed-integer costs - mismatches cost 1, switches cost 2, ties resolve to fewer burst hours."""
+    from datalake_etlscripts_spark.operators.events import burst_smoothing
+
+    e = read_table(spark, sf_dir, "events")
+    return burst_smoothing(e)

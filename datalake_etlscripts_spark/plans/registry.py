@@ -138,6 +138,7 @@ PRIORITY: list[str] = [
     "ols_trend_by_lang",
     "graph_bfs_hops",
     "dedup_lsh_recall",
+    "burst_detection",
 ]
 # Bumped to the next rotation (replica-harness green, driver evidence
 # queued): funnel_deadline, graph_label_propagation,

@@ -2971,3 +2971,26 @@ def test_bfs_hops_minimal_distances(spark):
     seeds = spark.createDataFrame([(0,)], "node long")
     got = {r["node"]: r["dist"] for r in bfs_hops(edges, seeds, max_hops=3).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_burst_smoothing_dp_semantics(spark):
+    """An isolated high hour is smoothed away (1 mismatch < 2x switch
+    cost); a sustained 10-hour burst is labeled (4 switch cost < 10
+    mismatches). Ties resolve to fewer burst hours by the packing."""
+    import datetime as dt
+
+    from datalake_etlscripts_spark.operators.events import burst_smoothing
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for kind, burst_hours in (("blip", {24}), ("burst", set(range(20, 30)))):
+        for h in range(48):
+            n = 10 if h in burst_hours else 1
+            for i in range(n):
+                rows.append((kind, t0 + dt.timedelta(hours=h, minutes=i % 60)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {r["event_type"]: r for r in burst_smoothing(df).collect()}
+    assert out["blip"]["n_high"] == 1
+    assert out["blip"]["burst_hours"] == 0 and out["blip"]["smooth_cost"] == 1
+    assert out["burst"]["n_high"] == 10
+    assert out["burst"]["burst_hours"] == 10 and out["burst"]["smooth_cost"] == 4
