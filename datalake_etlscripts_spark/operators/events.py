@@ -1402,3 +1402,127 @@ def burst_smoothing(
         F.expr(f"_best div {pack}").alias("smooth_cost"),
         (F.col("_best") % pack).alias("burst_hours"),
     )
+
+
+def markov_removal_attribution(
+    events: DataFrame,
+    channels: tuple[str, ...],
+    absorbing: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+    steps: int = 4,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven
+    successor of last-touch/position-based: model user journeys as a
+    first-order chain over event types with ``absorbing`` as the
+    absorbing conversion state, score each channel by how much the
+    K-step conversion probability drops when that channel is REMOVED
+    (its incoming transitions lost, NOT renormalized — the walker that
+    would have gone there is lost, the standard removal-effect
+    semantics; denominators stay the original out-totals).
+
+    Exactness: absorption probabilities are integer-scaled
+    (``scale``-nanoprobabilities) with one floor division per DP cell
+    — the PageRank integer-recurrence discipline — so both engines
+    replay the recurrence bit-for-bit; the removal effect is one final
+    double division.
+
+    Scale shape: the event-grain work is ONE user-keyed lead window
+    (transition pairs) + one first-touch window + one distinct count.
+    Everything after runs on the transition MATRIX — dictionary-sized
+    (|event types|²) — so the (1 base + |channels|) × ``steps`` DP
+    rounds are joins between broadcast-tiny dims regardless of corpus
+    size. Returns (removed_channel, cvr_scaled, removal_effect) with
+    '(none)' = the intact-chain baseline (NULL effect)."""
+    w = W.partitionBy(user_col).orderBy(ts_col, tie_col)
+    base = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("cur"),
+        F.lead(type_col).over(w).alias("nxt"),
+        F.row_number().over(w).alias("_rn"),
+    )
+    pairs = (
+        base.filter(
+            F.col("nxt").isNotNull() & (F.col("cur") != absorbing)
+        )
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tot = pairs.groupBy("cur").agg(F.sum("n").cast("long").alias("t"))
+    nodes = (
+        pairs.select("cur")
+        .distinct()
+        .unionByName(
+            pairs.sparkSession.createDataFrame([(absorbing,)], "cur string")
+        )
+        .distinct()
+        .select(F.col("cur").alias("node"))
+    )
+    ft = (
+        base.filter(F.col("_rn") == 1)
+        .groupBy(F.col("cur").alias("et"))
+        .agg(F.count(F.lit(1)).cast("long").alias("nf"))
+        .localCheckpoint(eager=False)
+    )
+    nu = ft.agg(F.sum("nf").cast("long").alias("_nu"))
+
+    def absorb_cvr(removed: str | None):
+        pv = pairs if removed is None else pairs.filter(F.col("nxt") != removed)
+        r = nodes.select(
+            "node",
+            F.when(F.col("node") == absorbing, F.lit(scale))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("val"),
+        )
+        for _ in range(steps):
+            s = (
+                pv.join(
+                    F.broadcast(r), pv["nxt"] == F.col("node")
+                )
+                .join(F.broadcast(tot), "cur")
+                .groupBy("cur")
+                .agg(F.expr("sum(n * val) div max(t)").cast("long").alias("v"))
+            )
+            r = nodes.join(F.broadcast(s), nodes["node"] == s["cur"], "left").select(
+                "node",
+                F.when(F.col("node") == absorbing, F.lit(scale))
+                .otherwise(F.coalesce(F.col("v"), F.lit(0)))
+                .cast("long")
+                .alias("val"),
+            )
+        ftv = ft if removed is None else ft.filter(F.col("et") != removed)
+        return (
+            ftv.join(F.broadcast(r), ftv["et"] == F.col("node"))
+            .agg(F.sum(F.col("nf") * F.col("val")).cast("long").alias("_s"))
+            .crossJoin(F.broadcast(nu))
+            .select(F.expr("_s div _nu").cast("long").alias("cvr_scaled"))
+        )
+
+    base_cvr = absorb_cvr(None).localCheckpoint(eager=False)
+    out = base_cvr.select(
+        F.lit("(none)").alias("removed_channel"),
+        F.col("cvr_scaled").alias("_base"),
+        F.col("cvr_scaled"),
+    )
+    for c in channels:
+        out = out.unionByName(
+            absorb_cvr(c)
+            .crossJoin(
+                F.broadcast(base_cvr.select(F.col("cvr_scaled").alias("_base")))
+            )
+            .select(F.lit(c).alias("removed_channel"), "_base", "cvr_scaled")
+        )
+    return out.select(
+        "removed_channel",
+        "cvr_scaled",
+        F.when(
+            F.col("removed_channel") != "(none)",
+            (F.col("_base") - F.col("cvr_scaled")).cast("double")
+            / F.col("_base").cast("double"),
+        ).alias("removal_effect"),
+    )

@@ -1900,3 +1900,92 @@ def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return burst_smoothing(e)
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (r6): the data-driven attribution
+# model beside last-touch/position-based — integer-scaled K-step
+# absorption DP per (intact chain + each removed channel), all on the
+# dictionary-sized transition matrix. Oracle unrolls every variant.
+# ---------------------------------------------------------------------------
+def _markov_attr_oracle(
+    channels: tuple[str, ...] = ("view", "click", "signup", "error"),
+    steps: int = 4,
+    scale: int = 1_000_000_000,
+) -> str:
+    parts = [
+        """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    pairs AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n FROM seq
+      WHERE nxt IS NOT NULL AND cur <> 'purchase' GROUP BY 1, 2
+    ),
+    tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS t FROM pairs GROUP BY 1),
+    nodes AS (SELECT DISTINCT cur AS node FROM pairs
+              UNION SELECT 'purchase'),
+    ft AS (SELECT cur AS et, CAST(count(*) AS BIGINT) AS nf
+           FROM seq WHERE rn = 1 GROUP BY 1),
+    nu AS (SELECT CAST(sum(nf) AS BIGINT) AS u FROM ft)"""
+    ]
+    variants = [("base", None)] + [(f"rm{i}", c) for i, c in enumerate(channels)]
+    for v, c in variants:
+        pv = "pairs" if c is None else f"(SELECT * FROM pairs WHERE nxt <> '{c}')"
+        parts.append(f""",
+    r_{v}_0 AS (SELECT node,
+                CASE WHEN node = 'purchase' THEN CAST({scale} AS BIGINT)
+                     ELSE 0 END AS val
+                FROM nodes)""")
+        for t in range(1, steps + 1):
+            parts.append(f""",
+    r_{v}_{t} AS (
+      SELECT n.node,
+             CASE WHEN n.node = 'purchase' THEN CAST({scale} AS BIGINT)
+                  ELSE COALESCE(s.v, 0) END AS val
+      FROM nodes n LEFT JOIN (
+        SELECT p.cur, CAST(sum(p.n * r.val) AS BIGINT) // max(t.t) AS v
+        FROM {pv} p
+        JOIN r_{v}_{t - 1} r ON r.node = p.nxt
+        JOIN tot t ON t.cur = p.cur
+        GROUP BY p.cur
+      ) s ON s.cur = n.node
+    )""")
+        ftw = "" if c is None else f" WHERE f.et <> '{c}'"
+        parts.append(f""",
+    cvr_{v} AS (
+      SELECT CAST(COALESCE(sum(f.nf * r.val), 0) AS BIGINT)
+               // (SELECT u FROM nu) AS cvr
+      FROM ft f JOIN r_{v}_{steps} r ON r.node = f.et{ftw}
+    )""")
+    sel = [
+        f"""
+    SELECT '(none)' AS removed_channel, cvr AS cvr_scaled,
+           CAST(NULL AS DOUBLE) AS removal_effect
+    FROM cvr_base"""
+    ]
+    for i, c in enumerate(channels):
+        sel.append(f"""
+    SELECT '{c}', cvr,
+           CAST((SELECT cvr FROM cvr_base) - cvr AS DOUBLE)
+             / CAST((SELECT cvr FROM cvr_base) AS DOUBLE)
+    FROM cvr_rm{i}""")
+    return "".join(parts) + "\n    UNION ALL".join(sel)
+
+
+@query("attribution_markov_removal", oracle=_markov_attr_oracle())
+def q_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution: K-step absorption probability per channel-removed chain, integer nanoprobability DP on the dictionary-sized transition matrix - one event-grain window, everything after is broadcast-tiny."""
+    from datalake_etlscripts_spark.operators.events import (
+        markov_removal_attribution,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    return markov_removal_attribution(
+        e, channels=("view", "click", "signup", "error")
+    )

@@ -139,6 +139,7 @@ PRIORITY: list[str] = [
     "graph_bfs_hops",
     "dedup_lsh_recall",
     "burst_detection",
+    "attribution_markov_removal",
 ]
 # Bumped to the next rotation (replica-harness green, driver evidence
 # queued): funnel_deadline, graph_label_propagation,

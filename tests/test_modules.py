@@ -2994,3 +2994,36 @@ def test_burst_smoothing_dp_semantics(spark):
     assert out["blip"]["burst_hours"] == 0 and out["blip"]["smooth_cost"] == 1
     assert out["burst"]["n_high"] == 10
     assert out["burst"]["burst_hours"] == 10 and out["burst"]["smooth_cost"] == 4
+
+
+def test_markov_removal_attribution_planted(spark):
+    """A channel on every converting path carries the full removal
+    effect; a channel on no converting path has zero effect."""
+    import datetime as dt
+
+    from datalake_etlscripts_spark.operators.events import (
+        markov_removal_attribution,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(10):  # converting journeys: gate -> purchase
+        for i, et in enumerate(["gate", "purchase"]):
+            rows.append((f"u{u}", et, t0 + dt.timedelta(minutes=i), eid))
+            eid += 1
+    for u in range(10):  # dead ends: decoy -> error
+        for i, et in enumerate(["decoy", "error"]):
+            rows.append((f"v{u}", et, t0 + dt.timedelta(minutes=i), eid))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp, event_id long"
+    )
+    out = {
+        r["removed_channel"]: r
+        for r in markov_removal_attribution(df, channels=("gate", "decoy")).collect()
+    }
+    assert out["(none)"]["cvr_scaled"] == 500_000_000  # half the users convert
+    assert out["gate"]["cvr_scaled"] == 0 and out["gate"]["removal_effect"] == 1.0
+    assert out["decoy"]["removal_effect"] == 0.0
+    assert out["(none)"]["removal_effect"] is None
