@@ -140,6 +140,7 @@ PRIORITY: list[str] = [
     "dedup_lsh_recall",
     "burst_detection",
     "attribution_markov_removal",
+    "ivm_minmax_view",
 ]
 # Bumped to the next rotation (replica-harness green, driver evidence
 # queued): funnel_deadline, graph_label_propagation,

@@ -310,3 +310,100 @@ def q_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         *keys, "n", F.col("_tot").cast("double").alias("total_price")
     )
+
+
+# ---------------------------------------------------------------------------
+# MIN-view IVM (r6): the aggregate the counting algorithm canNOT
+# self-maintain — min-multiplicity state absorbs most deletes, only
+# min-exhausted groups rescan the base via a pruned semi-join. The
+# oracle recomputes the view from the final fact set (incremental ≡
+# recompute) and derives the rescanned flag from the same pre/delta
+# aggregates the engine uses.
+# ---------------------------------------------------------------------------
+@query(
+    "ivm_minmax_view",
+    oracle="""
+    WITH f AS (
+      SELECT l_suppkey AS g, CAST(l_extendedprice AS DECIMAL(12,2)) AS v,
+             l_orderkey % 5 AS m
+      FROM lineitem
+    ),
+    base AS (SELECT g, v FROM f WHERE m <> 0),
+    finalt AS (SELECT g, v FROM f WHERE m <> 1),
+    oldmin AS (SELECT g, min(v) AS old_min FROM base GROUP BY g),
+    oldnmin AS (
+      SELECT b.g, CAST(count(*) AS BIGINT) AS n_min_old
+      FROM base b JOIN oldmin o ON o.g = b.g AND b.v = o.old_min
+      GROUP BY b.g
+    ),
+    sd AS (
+      SELECT g, v, 1 AS s FROM f WHERE m = 0
+      UNION ALL
+      SELECT g, v, -1 AS s FROM f WHERE m = 1
+    ),
+    d1 AS (
+      SELECT g, min(CASE WHEN s = 1 THEN v END) AS ins_min FROM sd GROUP BY g
+    ),
+    dat AS (
+      SELECT x.g, CAST(sum(x.s) AS BIGINT) AS d_at_old_min
+      FROM sd x JOIN oldmin o ON o.g = x.g AND x.v = o.old_min
+      GROUP BY x.g
+    ),
+    newv AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n, min(v) AS min_v
+      FROM finalt GROUP BY g
+    ),
+    newnmin AS (
+      SELECT t.g, CAST(count(*) AS BIGINT) AS n_min
+      FROM finalt t JOIN newv nv ON nv.g = t.g AND t.v = nv.min_v
+      GROUP BY t.g
+    )
+    SELECT nv.g, nv.n, CAST(nv.min_v AS DOUBLE) AS min_v, nm.n_min,
+           CASE
+             WHEN d1.ins_min IS NOT NULL
+                  AND (o.old_min IS NULL OR d1.ins_min < o.old_min) THEN FALSE
+             WHEN o.old_min IS NOT NULL
+                  AND COALESCE(no.n_min_old, 0)
+                        + COALESCE(dat.d_at_old_min, 0) > 0
+                  AND NOT (d1.ins_min IS NOT NULL
+                           AND d1.ins_min < o.old_min) THEN FALSE
+             ELSE TRUE
+           END AS rescanned
+    FROM newv nv
+    JOIN newnmin nm ON nm.g = nv.g
+    LEFT JOIN oldmin o ON o.g = nv.g
+    LEFT JOIN oldnmin no ON no.g = nv.g
+    LEFT JOIN d1 ON d1.g = nv.g
+    LEFT JOIN dat ON dat.g = nv.g
+    """,
+)
+def q_ivm_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN-aggregate view maintained incrementally with min-multiplicity state (Gupta-Mumick self-maintenance) - deletes at the min only rescan base when multiplicity exhausts, rescan pruned to dirty keys by semi-join."""
+    from datalake_etlscripts_spark.summary import incremental_minmax_view
+
+    li = read_table(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.col("l_suppkey").alias("g"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("v"),
+        (F.col("l_orderkey") % 5).alias("_m"),
+    )
+    base = f.filter(F.col("_m") != 0)
+    mn = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.min("v").alias("min_v")
+    )
+    old_view = (
+        base.join(F.broadcast(mn), "g")
+        .filter(F.col("v") == F.col("min_v"))
+        .groupBy("g", "n", "min_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_min"))
+        .localCheckpoint()
+    )
+    delta = (
+        f.filter(F.col("_m") == 0)
+        .withColumn("_sign", F.lit(1))
+        .unionByName(f.filter(F.col("_m") == 1).withColumn("_sign", F.lit(-1)))
+        .select("g", "v", "_sign")
+    )
+    current = f.filter(F.col("_m") != 1).select("g", "v")
+    out = incremental_minmax_view(old_view, delta, current, "g", "v")
+    return out.withColumn("min_v", F.col("min_v").cast("double"))

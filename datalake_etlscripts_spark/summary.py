@@ -140,3 +140,116 @@ def incremental_join_view(
         .agg(F.sum("n").cast("long").alias("n"), F.sum("_tot").alias("_tot"))
         .filter(F.col("n") > 0)
     )
+
+
+def incremental_minmax_view(
+    old_view: DataFrame,
+    delta: DataFrame,
+    current_base: DataFrame,
+    group_col: str,
+    value_col: str,
+    sign_col: str = "_sign",
+) -> DataFrame:
+    """Incremental maintenance of a MIN-aggregate view — the case the
+    counting algorithm canNOT self-maintain: deleting the group's
+    current minimum forces a look at the base table. The classical
+    answer (Gupta-Mumick self-maintenance) is implemented exactly:
+
+      * view state carries (n, min_v, n_min) — the min's MULTIPLICITY
+        is the extra state that absorbs most deletes for free;
+      * inserts below the old min, or inserts into a new group, settle
+        from the delta alone;
+      * deletes at the min only dirty the group when they exhaust
+        n_min — ONLY those groups re-read the base, via a semi-join
+        that prunes the rescan to the dirty keys (partition/file
+        pruning at scale), never a full recompute.
+
+    ``current_base`` is the post-delta fact table (it exists anyway in
+    a lake after the batch applies); groups whose count reaches zero
+    vanish. Returns (group, n, min_v, n_min, rescanned) — the
+    rescanned flag is the maintenance-cost audit signal."""
+    g, v = group_col, value_col
+    d1 = delta.groupBy(g).agg(
+        F.sum(sign_col).cast("long").alias("_dn"),
+        F.min(F.when(F.col(sign_col) > 0, F.col(v))).alias("_ins_min"),
+    )
+    old = old_view.select(
+        g,
+        F.col("n").alias("_n_old"),
+        F.col("min_v").alias("_old_min"),
+        F.col("n_min").alias("_n_min_old"),
+    )
+    d2 = (
+        delta.join(old.select(g, "_old_min"), g, "left")
+        .join(d1.select(g, "_ins_min"), g)
+        .groupBy(g)
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col(sign_col) > 0) & (F.col(v) == F.col("_ins_min")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("_n_at_ins_min"),
+            F.sum(
+                F.when(F.col(v) == F.col("_old_min"), F.col(sign_col)).otherwise(0)
+            )
+            .cast("long")
+            .alias("_d_at_old_min"),
+        )
+    )
+    m = (
+        old.join(d1, g, "full_outer")
+        .join(d2, g, "left")
+        .withColumn(
+            "n",
+            (F.coalesce("_n_old", F.lit(0)) + F.coalesce("_dn", F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .filter(F.col("n") > 0)
+    )
+    new_min_ins = F.col("_ins_min").isNotNull() & (
+        F.col("_old_min").isNull() | (F.col("_ins_min") < F.col("_old_min"))
+    )
+    still_old = (
+        F.col("_old_min").isNotNull()
+        & (
+            F.col("_n_min_old") + F.coalesce("_d_at_old_min", F.lit(0)) > 0
+        )
+        & ~(
+            F.col("_ins_min").isNotNull()
+            & (F.col("_ins_min") < F.col("_old_min"))
+        )
+    )
+    m = m.withColumn(
+        "_case",
+        F.when(new_min_ins, F.lit(1)).when(still_old, F.lit(2)).otherwise(F.lit(3)),
+    ).localCheckpoint(eager=False)
+    clean = m.filter(F.col("_case") != 3).select(
+        g,
+        "n",
+        F.when(F.col("_case") == 1, F.col("_ins_min"))
+        .otherwise(F.col("_old_min"))
+        .alias("min_v"),
+        F.when(F.col("_case") == 1, F.col("_n_at_ins_min"))
+        .otherwise(
+            F.col("_n_min_old") + F.coalesce("_d_at_old_min", F.lit(0))
+        )
+        .cast("long")
+        .alias("n_min"),
+        F.lit(False).alias("rescanned"),
+    )
+    dirty = m.filter(F.col("_case") == 3).select(g, "n")
+    rescan_rows = current_base.join(F.broadcast(dirty.select(g)), g, "left_semi")
+    r1 = rescan_rows.groupBy(g).agg(F.min(v).alias("min_v"))
+    r2 = (
+        rescan_rows.join(F.broadcast(r1), g)
+        .filter(F.col(v) == F.col("min_v"))
+        .groupBy(g, "min_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_min"))
+    )
+    rescanned = dirty.join(r2, g).select(
+        g, "n", "min_v", "n_min", F.lit(True).alias("rescanned")
+    )
+    return clean.unionByName(rescanned)

@@ -3027,3 +3027,46 @@ def test_markov_removal_attribution_planted(spark):
     assert out["gate"]["cvr_scaled"] == 0 and out["gate"]["removal_effect"] == 1.0
     assert out["decoy"]["removal_effect"] == 0.0
     assert out["(none)"]["removal_effect"] is None
+
+
+def test_ivm_minmax_rescans_only_exhausted_groups(spark):
+    """Deleting ONE of two copies of the min keeps the group clean
+    (multiplicity absorbs it); deleting the last copy dirties the
+    group and the rescan finds the runner-up; inserts below the min
+    settle from the delta alone."""
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.summary import incremental_minmax_view
+
+    base = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("a", 9), ("b", 3), ("b", 7), ("c", 4)],
+        "g string, v long",
+    )
+    old = (
+        base.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.min("v").alias("min_v"))
+        .join(base, "g")
+        .filter(F.col("v") == F.col("min_v"))
+        .groupBy("g", "n", "min_v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_min"))
+    )
+    delta = spark.createDataFrame(
+        [
+            ("a", 5, -1),  # one of two min copies: clean
+            ("b", 3, -1),  # last min copy: dirty -> rescan finds 7
+            ("c", 1, 1),  # insert below min: clean new min
+        ],
+        "g string, v long, _sign int",
+    )
+    current = spark.createDataFrame(
+        [("a", 5), ("a", 9), ("b", 7), ("c", 4), ("c", 1)], "g string, v long"
+    )
+    out = {
+        r["g"]: r
+        for r in incremental_minmax_view(old, delta, current, "g", "v").collect()
+    }
+    assert out["a"]["min_v"] == 5 and out["a"]["n_min"] == 1
+    assert not out["a"]["rescanned"]
+    assert out["b"]["min_v"] == 7 and out["b"]["rescanned"]
+    assert out["c"]["min_v"] == 1 and not out["c"]["rescanned"]
+    assert out["c"]["n"] == 2
