@@ -1052,3 +1052,97 @@ def source_token_entropy(
         F.col("_types").cast("long").alias("n_types"),
         ent.alias("entropy_nats"),
     )
+
+
+def mmr_rerank(
+    cands: DataFrame,
+    postings: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    lam: float = 0.7,
+    mu: float = 0.3,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein) —
+    the diversity stage a RAG stack runs AFTER retrieval: greedily pick
+    the candidate maximizing ``lam·rel − (1−lam)·max_sim(selected)``
+    where similarity is exact token-set Jaccard. ``cands`` is the
+    retrieval top-N (id, score) — N is small by contract (the
+    retriever already cut to top-N), so the k unrolled greedy rounds
+    join candidate-sized tables only; ``postings`` is (id, tok)
+    DISTINCT, pruned to the candidates before any shuffle. Every
+    Jaccard is one division of exact ints, the greedy argmax breaks
+    ties (mmr desc, id asc), and missing pairs coalesce to similarity
+    0 — fully deterministic cross-engine. Returns (rank, id, score,
+    mmr)."""
+    from pyspark.sql import Window
+
+    # lam and mu are SEPARATE literals on purpose: 1.0 - 0.7 in IEEE754
+    # is 0.30000000000000004, one ulp off the SQL literal 0.3 an
+    # external oracle would write.
+    sz = postings.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("_sz"))
+    first = (
+        cands.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.orderBy(F.desc(score_col), F.asc(id_col))
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.lit(1).cast("long").alias("rank"),
+            id_col,
+            score_col,
+            (
+                F.lit(lam) * F.col(score_col) - F.lit(mu) * F.lit(0.0)
+            ).alias("mmr"),
+        )
+    )
+    out = first
+    sel = first.select(id_col)
+    for t in range(2, k + 1):
+        rem = cands.join(sel, id_col, "left_anti")
+        pa = postings.join(
+            F.broadcast(rem.select(id_col)), id_col, "left_semi"
+        ).select(F.col(id_col).alias("_a"), "tok")
+        pb = postings.join(F.broadcast(sel), id_col, "left_semi").select(
+            F.col(id_col).alias("_b"), "tok"
+        )
+        inter = (
+            pa.join(pb, "tok")
+            .groupBy("_a", "_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("_i"))
+        )
+        ms = (
+            inter.join(sz.select(F.col(id_col).alias("_a"), F.col("_sz").alias("_za")), "_a")
+            .join(sz.select(F.col(id_col).alias("_b"), F.col("_sz").alias("_zb")), "_b")
+            .groupBy("_a")
+            .agg(
+                F.max(
+                    F.col("_i").cast("double")
+                    / (F.col("_za") + F.col("_zb") - F.col("_i")).cast("double")
+                ).alias("_maxsim")
+            )
+        )
+        scored = rem.join(
+            ms, rem[id_col] == ms["_a"], "left"
+        ).select(
+            id_col,
+            score_col,
+            (
+                F.lit(lam) * F.col(score_col)
+                - F.lit(mu) * F.coalesce(F.col("_maxsim"), F.lit(0.0))
+            ).alias("mmr"),
+        )
+        pick = (
+            scored.withColumn(
+                "_rk",
+                F.row_number().over(Window.orderBy(F.desc("mmr"), F.asc(id_col))),
+            )
+            .filter(F.col("_rk") == 1)
+            .select(F.lit(t).cast("long").alias("rank"), id_col, score_col, "mmr")
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(pick)
+        sel = sel.unionByName(pick.select(id_col))
+    return out

@@ -141,6 +141,7 @@ PRIORITY: list[str] = [
     "burst_detection",
     "attribution_markov_removal",
     "ivm_minmax_view",
+    "mmr_diversified_topk",
 ]
 # Bumped to the next rotation (replica-harness green, driver evidence
 # queued): funnel_deadline, graph_label_propagation,

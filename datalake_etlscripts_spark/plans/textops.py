@@ -4819,3 +4819,90 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("blocking_misses"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking (r6): the diversity stage after
+# retrieval — greedy argmax of lam*rel - (1-lam)*max Jaccard to the
+# already-selected set, unrolled k rounds over the BM25 top-20.
+# ---------------------------------------------------------------------------
+def _mmr_oracle(k: int = 5) -> str:
+    base = _BM25_ORACLE.rsplit("SELECT doc_id, n_hit, score", 1)[0]
+    parts = [
+        base
+        + """,
+    cand AS MATERIALIZED (
+      SELECT doc_id, score FROM agg ORDER BY score DESC, doc_id LIMIT 20
+    ),
+    post AS MATERIALIZED (
+      SELECT t.doc_id, unnest(list_distinct(t.tk)) AS tok
+      FROM tk t JOIN cand USING (doc_id)
+    ),
+    sz AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM post GROUP BY 1),
+    s1 AS (
+      SELECT CAST(1 AS BIGINT) AS rank, doc_id, score,
+             0.7 * score - 0.3 * 0.0 AS mmr
+      FROM (SELECT * FROM cand ORDER BY score DESC, doc_id LIMIT 1)
+    ),
+    sel1 AS MATERIALIZED (SELECT doc_id FROM s1)"""
+    ]
+    for t in range(2, k + 1):
+        p = t - 1
+        parts.append(f""",
+    rem{t} AS (SELECT c.* FROM cand c
+               WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{p})),
+    i{t} AS (
+      SELECT pa.doc_id AS a, pb.doc_id AS b, CAST(count(*) AS BIGINT) AS i
+      FROM post pa
+      JOIN rem{t} r ON r.doc_id = pa.doc_id
+      JOIN post pb ON pb.tok = pa.tok
+      JOIN sel{p} s ON s.doc_id = pb.doc_id
+      GROUP BY 1, 2
+    ),
+    ms{t} AS (
+      SELECT a AS doc_id,
+             max(CAST(i.i AS DOUBLE) / CAST(za.sz + zb.sz - i.i AS DOUBLE))
+               AS maxsim
+      FROM i{t} i JOIN sz za ON za.doc_id = i.a JOIN sz zb ON zb.doc_id = i.b
+      GROUP BY 1
+    ),
+    s{t} AS MATERIALIZED (
+      SELECT CAST({t} AS BIGINT) AS rank, doc_id, score, mmr FROM (
+        SELECT r.doc_id, r.score,
+               0.7 * r.score - 0.3 * COALESCE(ms.maxsim, 0.0) AS mmr
+        FROM rem{t} r LEFT JOIN ms{t} ms USING (doc_id)
+        ORDER BY mmr DESC, doc_id LIMIT 1
+      )
+    ),
+    sel{t} AS MATERIALIZED (SELECT doc_id FROM sel{p}
+                            UNION ALL SELECT doc_id FROM s{t})""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT rank, doc_id, score, mmr FROM s{t}" for t in range(1, k + 1)
+    )
+    return "".join(parts) + "\n    " + union
+
+
+@query("mmr_diversified_topk", oracle=_mmr_oracle())
+def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-5 re-ranking of the BM25 top-20: greedy lam*rel - (1-lam)*max-Jaccard argmax per round, candidate-sized joins only, postings pruned before any shuffle."""
+    from datalake_etlscripts_spark.operators.text import mmr_rerank
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cands = (
+        text.bm25_topk(d, _BM25_TERMS, k=20)
+        .select("doc_id", "score")
+        .localCheckpoint(eager=False)
+    )
+    postings = (
+        d.join(F.broadcast(cands.select("doc_id")), "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.filter(F.split("text", " "), lambda x: x != "")
+                )
+            ).alias("tok"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    return mmr_rerank(cands, postings, k=5)

@@ -3070,3 +3070,22 @@ def test_ivm_minmax_rescans_only_exhausted_groups(spark):
     assert out["b"]["min_v"] == 7 and out["b"]["rescanned"]
     assert out["c"]["min_v"] == 1 and not out["c"]["rescanned"]
     assert out["c"]["n"] == 2
+
+
+def test_mmr_rerank_prefers_diverse_over_redundant(spark):
+    """Three near-identical high-scorers and one distinct mid-scorer:
+    plain top-2 takes two clones, MMR's second pick is the distinct
+    doc. Rank-1 is always the relevance argmax."""
+    from datalake_etlscripts_spark.operators.text import mmr_rerank
+
+    cands = spark.createDataFrame(
+        [(1, 10.0), (2, 9.9), (3, 9.8), (4, 9.5)], "doc_id long, score double"
+    )
+    toks = []
+    for d in (1, 2, 3):
+        toks += [(d, t) for t in ("alpha", "beta", "gamma", "delta")]
+    toks += [(4, t) for t in ("omega", "sigma", "tau", "rho")]
+    postings = spark.createDataFrame(toks, "doc_id long, tok string")
+    out = {r["rank"]: r for r in mmr_rerank(cands, postings, k=2).collect()}
+    assert out[1]["doc_id"] == 1
+    assert out[2]["doc_id"] == 4  # the diverse doc beats the clones
