@@ -651,3 +651,44 @@ def kmv_difference_estimate(
             ).alias("est_difference"),
         )
     )
+
+
+def bitmap_distinct_state(
+    df: DataFrame, key_col: str, id_col: str, word_bits: int = 62
+) -> DataFrame:
+    """EXACT distinct-count state as a bitmap index (the roaring-bitmap
+    shape beside the HLL/KMV sketches — exact where they estimate):
+    integer ids pack into 62-bit words (62, not 64: a 1<<63 shift
+    overflows signed BIGINT in external engines), keyed by
+    (key, word_idx = id div 62); only NON-EMPTY words are stored —
+    exactly roaring's container trick, so sparse id ranges cost
+    nothing. The state is a mergeable monoid under bitwise OR:
+    rollups to coarser keys OR the words and never re-read the fact
+    table; |state| ≤ distinct ids regardless of row count. One
+    map-side-combined groupBy. Returns (key, widx, word)."""
+    return df.groupBy(
+        F.col(key_col).alias("key"),
+        F.expr(f"{id_col} div {word_bits}").alias("widx"),
+    ).agg(
+        F.expr(f"bit_or(shiftleft(1L, int({id_col} % {word_bits})))").alias(
+            "word"
+        )
+    )
+
+
+def bitmap_distinct_counts(state: DataFrame) -> DataFrame:
+    """Per-key exact distinct from bitmap state: Σ bit_count(word)."""
+    return state.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.bit_count("word")).cast("long").alias("distinct_ids"),
+    )
+
+
+def bitmap_rollup(state: DataFrame, rollup_key: str = "(all)") -> DataFrame:
+    """OR-merge bitmap state to one coarser key — the monoid law; the
+    fact table is never touched."""
+    return (
+        state.groupBy("widx")
+        .agg(F.expr("bit_or(word)").alias("word"))
+        .select(F.lit(rollup_key).alias("key"), "widx", "word")
+    )

@@ -1552,3 +1552,45 @@ def q_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents").select("doc_id")
     return rendezvous_resize_audit(d, "doc_id", 8, 9)
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-index exact distinct (r6): the EXACT mergeable-state twin of
+# the HLL/KMV rollups — roaring-style 62-bit words keyed by
+# (key, word_idx), OR-monoid rollup, popcount readout. The oracle
+# replays the identical bit arithmetic AND the rollup never re-reads
+# the fact table.
+# ---------------------------------------------------------------------------
+@query(
+    "bitmap_distinct_rollup",
+    oracle="""
+    WITH state AS (
+      SELECT event_type AS key, user_id // 62 AS widx,
+             bit_or(1::BIGINT << CAST(user_id % 62 AS INT)) AS word
+      FROM events GROUP BY 1, 2
+    ),
+    rolled AS (
+      SELECT '(all)' AS key, widx, bit_or(word) AS word
+      FROM state GROUP BY widx
+    ),
+    u AS (SELECT * FROM state UNION ALL SELECT * FROM rolled)
+    SELECT key, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(bit_count(word)) AS BIGINT) AS distinct_ids
+    FROM u GROUP BY key
+    """,
+)
+def q_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type AND rolled up globally from bitmap-index state alone: 62-bit words as an OR-monoid, popcount readout, fact table read once."""
+    from datalake_etlscripts_spark.operators.sketches import (
+        bitmap_distinct_counts,
+        bitmap_distinct_state,
+        bitmap_rollup,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    state = bitmap_distinct_state(e, "event_type", "user_id").localCheckpoint(
+        eager=False
+    )
+    return bitmap_distinct_counts(
+        state.unionByName(bitmap_rollup(state))
+    )

@@ -142,6 +142,7 @@ PRIORITY: list[str] = [
     "attribution_markov_removal",
     "ivm_minmax_view",
     "mmr_diversified_topk",
+    "bitmap_distinct_rollup",
 ]
 # Bumped to the next rotation (replica-harness green, driver evidence
 # queued): funnel_deadline, graph_label_propagation,

@@ -3089,3 +3089,34 @@ def test_mmr_rerank_prefers_diverse_over_redundant(spark):
     out = {r["rank"]: r for r in mmr_rerank(cands, postings, k=2).collect()}
     assert out[1]["doc_id"] == 1
     assert out[2]["doc_id"] == 4  # the diverse doc beats the clones
+
+
+def test_bitmap_distinct_exact_and_mergeable(spark):
+    """Bitmap state gives EXACT distinct counts (vs countDistinct) and
+    the OR-rollup equals a direct global distinct without re-reading
+    the facts."""
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.operators.sketches import (
+        bitmap_distinct_counts,
+        bitmap_distinct_state,
+        bitmap_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [(k, (i * 37) % 200) for k in ("a", "b") for i in range(150)],
+        "k string, uid long",
+    )
+    truth = {
+        r["k"]: r["d"]
+        for r in df.groupBy("k").agg(F.countDistinct("uid").alias("d")).collect()
+    }
+    truth["(all)"] = df.select("uid").distinct().count()
+    state = bitmap_distinct_state(df, "k", "uid")
+    got = {
+        r["key"]: r["distinct_ids"]
+        for r in bitmap_distinct_counts(
+            state.unionByName(bitmap_rollup(state))
+        ).collect()
+    }
+    assert got == truth
