@@ -888,3 +888,93 @@ def grouped_ols(
             (as_d(num_s) * as_d(num_s)) / (as_d(d_) * as_d(den_y)),
         ).alias("r2"),
     )
+
+
+def dp_quantile_exponential(
+    df: DataFrame,
+    value_col: str,
+    n_levels: int = 1024,
+    micro: int = 1_000_000,
+    seed: str = "dpq1",
+) -> DataFrame:
+    """ε=1 differentially-private MEDIAN via the exponential mechanism
+    (McSherry-Talwar; Smith's quantile instantiation) — the privacy
+    family's release half for order statistics, beside
+    dp_noisy_counts' geometric mechanism for counts. Candidates are
+    the distinct-value grid (pre-quantize continuous columns — the
+    bounded-grid contract); utility is the rank distance
+    u(v) = −|2·cnt_le(v) − n|/2 with sensitivity 1, so the exponent
+    ε·u/2 is the INTEGER micro-nat score −(|2·cnt_le − n|·micro div 4).
+    Selection uses the Gumbel-max trick with the engine's quantized
+    Gumbel table (md5-level assignment, driver-fixed integer
+    micro-nats, the gumbel_topk_resample convention) — argmax of
+    score + Gumbel IS a sample from the exponential mechanism.
+    Deterministic seeding is the replay/oracle mode; production draws
+    real entropy. One grid-sized window; the exact median rides along
+    for the utility-gap audit. Returns one row
+    (n, true_median, dp_median, rank_dist_true, rank_dist_dp)."""
+    import math
+
+    from pyspark.sql import Window
+
+    from datalake_etlscripts_spark.functions.scalar import md5_hash32
+
+    spark = df.sparkSession
+    levels = [
+        (
+            lv,
+            int(
+                math.floor(
+                    -math.log(-math.log((lv + 0.5) / n_levels)) * micro + 0.5
+                )
+            ),
+        )
+        for lv in range(n_levels)
+    ]
+    gdim = spark.createDataFrame(levels, "lvl bigint, gumbel_micro bigint")
+    grid = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    wt = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wa = Window.partitionBy()
+    g = grid.withColumn("_le", F.sum("_c").over(wt).cast("long")).withColumn(
+        "_n", F.sum("_c").over(wa).cast("long")
+    )
+    d = F.abs(2 * F.col("_le") - F.col("_n"))
+    scored = (
+        g.withColumn("_d", d)
+        .withColumn(
+            "lvl", md5_hash32(F.concat(F.lit(seed), F.col("v").cast("string")))
+            % n_levels
+        )
+        .join(F.broadcast(gdim), "lvl")
+        .withColumn(
+            "_score",
+            -F.expr(f"(_d * {micro}) div 4") + F.col("gumbel_micro"),
+        )
+    )
+    pick = (
+        scored.withColumn(
+            "_rk",
+            F.row_number().over(Window.orderBy(F.desc("_score"), F.asc("v"))),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("_n").alias("n"),
+            F.col("v").alias("dp_median"),
+            F.col("_d").alias("rank_dist_dp"),
+        )
+    )
+    exact = (
+        scored.withColumn(
+            "_rk", F.row_number().over(Window.orderBy(F.asc("_d"), F.asc("v")))
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("v").alias("true_median"),
+            F.col("_d").alias("rank_dist_true"),
+        )
+    )
+    return pick.crossJoin(F.broadcast(exact)).select(
+        "n", "true_median", "dp_median", "rank_dist_true", "rank_dist_dp"
+    )

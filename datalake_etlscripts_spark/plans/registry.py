@@ -143,6 +143,7 @@ PRIORITY: list[str] = [
     "ivm_minmax_view",
     "mmr_diversified_topk",
     "bitmap_distinct_rollup",
+    "dp_quantile_release",
 ]
 # Bumped to the next rotation (replica-harness green, driver evidence
 # queued): funnel_deadline, graph_label_propagation,

@@ -1213,3 +1213,57 @@ def q_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         [band8],
     ]
     return k_anonymity_ladder(c, levels, k=5)
+
+
+# ---------------------------------------------------------------------------
+# DP median (r6): exponential mechanism over the distinct-value grid
+# via the quantized-Gumbel argmax — order-statistic release beside
+# dp_noisy_release's count release.
+# ---------------------------------------------------------------------------
+@query(
+    "dp_quantile_release",
+    oracle=f"""
+    WITH gdim AS (
+      SELECT range AS lvl,
+             CAST(floor(-ln(-ln((range + 0.5) / 1024)) * 1000000 + 0.5)
+                  AS BIGINT) AS gumbel_micro
+      FROM range(1024)
+    ),
+    grid AS (
+      SELECT CAST(floor(value) AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT v, c,
+             CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS le,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM grid
+    ),
+    scored AS (
+      SELECT v, n, abs(2 * le - n) AS d,
+             -((abs(2 * le - n) * 1000000) // 4) + gd.gumbel_micro AS score
+      FROM g JOIN gdim gd
+        ON {ddb_hex32("md5('dpq1' || CAST(v AS VARCHAR))")} % 1024 = gd.lvl
+    ),
+    pick AS (
+      SELECT n, v AS dp_median, d AS rank_dist_dp FROM scored
+      ORDER BY score DESC, v ASC LIMIT 1
+    ),
+    exact AS (
+      SELECT v AS true_median, d AS rank_dist_true FROM scored
+      ORDER BY d ASC, v ASC LIMIT 1
+    )
+    SELECT p.n, e.true_median, p.dp_median, e.rank_dist_true, p.rank_dist_dp
+    FROM pick p CROSS JOIN exact e
+    """,
+)
+def q_dp_quantile_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private median of event values via the exponential mechanism: integer micro-nat rank utilities plus quantized-Gumbel argmax over the bounded distinct-value grid - exact median rides along for the utility-gap audit."""
+    from datalake_etlscripts_spark.operators.expectations import (
+        dp_quantile_exponential,
+    )
+
+    e = read_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value")).cast("long").alias("vq")
+    )
+    return dp_quantile_exponential(e, "vq")

@@ -3120,3 +3120,18 @@ def test_bitmap_distinct_exact_and_mergeable(spark):
         ).collect()
     }
     assert got == truth
+
+
+def test_dp_quantile_exponential_invariants(spark):
+    """Exact-median companion is right on a planted grid, and the DP
+    pick can never beat the exact median's rank distance."""
+    from datalake_etlscripts_spark.operators.expectations import (
+        dp_quantile_exponential,
+    )
+
+    df = spark.createDataFrame([(v,) for v in range(1, 102)], "vq long")
+    r = dp_quantile_exponential(df, "vq").collect()[0]
+    assert r["n"] == 101 and r["true_median"] in (50, 51)
+    assert r["rank_dist_true"] == 1
+    assert r["rank_dist_dp"] >= r["rank_dist_true"]
+    assert 1 <= r["dp_median"] <= 101
