@@ -163,3 +163,64 @@ def frequent_triples(
         .agg(F.count(F.lit(1)).alias("triple_support"))
         .filter(F.col("triple_support") >= min_support)
     )
+
+
+def frequent_sequences3(
+    events: DataFrame,
+    minsup: int = 2,
+    topk: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Frequent ORDERED 3-sequences (GSP/PrefixSpan semantics, gaps
+    allowed) — the sequential twin of the frequent_pairs/triples
+    itemset miners: a user supports (a, b, c) when some a precedes
+    some b precedes some c in their stream. Existence is decided by
+    the GREEDY witness (earliest a; earliest b after it; any c after
+    that) — provably equivalent and it keeps every join at the
+    (user × type) grain instead of the event-pair grain:
+
+        stage 1  min pos per (user, type)           one shuffle
+        stage 2  min pos(b) after pa: user-keyed join vs the
+                 (user × |types|²)-bounded prefix table
+        stage 3  EXISTS c after pb: semi-shaped join, distinct
+
+    |types| is dictionary-sized by contract, so intermediates are
+    user-grain × a small constant; per-user hot streams cap exactly as
+    event_pattern_matches documents. Returns the top-k
+    (a, b, c, support) with support ≥ minsup, deterministic order."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, tie_col)
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col(type_col).alias("_et"),
+        F.row_number().over(w).alias("_pos"),
+    ).localCheckpoint(eager=False)
+    first_a = ev.groupBy("_u", F.col("_et").alias("a")).agg(
+        F.min("_pos").alias("_pa")
+    )
+    b_ev = ev.select(F.col("_u").alias("_ub"), F.col("_et").alias("b"), "_pos")
+    j2 = (
+        first_a.join(b_ev, first_a["_u"] == b_ev["_ub"])
+        .filter(F.col("_pos") > F.col("_pa"))
+        .groupBy("_u", "a", "b")
+        .agg(F.min("_pos").alias("_pb"))
+    )
+    c_ev = ev.select(F.col("_u").alias("_uc"), F.col("_et").alias("c"), "_pos")
+    j3 = (
+        j2.join(c_ev, j2["_u"] == c_ev["_uc"])
+        .filter(F.col("_pos") > F.col("_pb"))
+        .select("_u", "a", "b", "c")
+        .distinct()
+    )
+    sup = j3.groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    return (
+        sup.filter(F.col("support") >= minsup)
+        .orderBy(F.desc("support"), "a", "b", "c")
+        .limit(topk)
+    )

@@ -778,3 +778,40 @@ def mixture_waterfill(
         (F.col("_rn") <= F.col("_kstar")).alias("saturated"),
     )
     return out
+
+
+def stratified_kfold(
+    df: DataFrame, key_col: str, stratum_col: str, k: int = 5
+) -> DataFrame:
+    """Exactly-balanced stratified k-fold assignment: within each
+    stratum, rows order by their md5 hash (deterministic, key-driven)
+    and fold = row_number % k — every stratum's folds differ by AT
+    MOST ONE row, the parity guarantee plain hash-mod can't give
+    (hash-mod is the shuffle-free approximate path; this is the
+    exact-balance path for when fold parity matters — CV on imbalanced
+    labels). One window per stratum; at corpus scale pre-split hot
+    strata with a salt bucket and run the window per (stratum, salt) —
+    balance then holds within ±n_salts. Adds ``fold``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return df.withColumn(
+        "fold", ((F.row_number().over(w) - 1) % k).cast("long")
+    )
+
+
+def kfold_balance_audit(assigned: DataFrame, stratum_col: str) -> DataFrame:
+    """Per-(stratum, fold) counts plus the stratum's fold spread
+    (max n − min n) — the ≤1 guarantee made visible. Two tiny
+    aggregates over the assignment."""
+    from pyspark.sql import Window
+
+    g = assigned.groupBy(stratum_col, "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy(stratum_col)
+    return g.withColumn(
+        "spread", (F.max("n").over(w) - F.min("n").over(w)).cast("long")
+    )

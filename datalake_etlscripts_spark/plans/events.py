@@ -1989,3 +1989,43 @@ def q_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return markov_removal_attribution(
         e, channels=("view", "click", "signup", "error")
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent ordered 3-sequences (r6): GSP semantics via the greedy
+# witness — user-grain joins only, never event-pair blowup.
+# ---------------------------------------------------------------------------
+@query(
+    "frequent_sequences",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id AS u, event_type AS et,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS pos
+      FROM events
+    ),
+    fa AS (SELECT u, et AS a, min(pos) AS pa FROM ev GROUP BY 1, 2),
+    j2 AS (
+      SELECT fa.u, fa.a, ev.et AS b, min(ev.pos) AS pb
+      FROM fa JOIN ev ON ev.u = fa.u AND ev.pos > fa.pa
+      GROUP BY 1, 2, 3
+    ),
+    j3 AS (
+      SELECT DISTINCT j2.u, j2.a, j2.b, ev.et AS c
+      FROM j2 JOIN ev ON ev.u = j2.u AND ev.pos > j2.pb
+    ),
+    sup AS (
+      SELECT a, b, c, CAST(count(*) AS BIGINT) AS support
+      FROM j3 GROUP BY 1, 2, 3
+    )
+    SELECT a, b, c, support FROM sup
+    WHERE support >= 2
+    ORDER BY support DESC, a, b, c LIMIT 20
+    """,
+)
+def q_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent ordered 3-sequences of event types (GSP, gaps allowed) via the greedy earliest-witness joins - user-grain intermediates bounded by the dictionary-sized type set."""
+    from datalake_etlscripts_spark.operators.itemsets import frequent_sequences3
+
+    e = read_table(spark, sf_dir, "events")
+    return frequent_sequences3(e, minsup=2, topk=20)

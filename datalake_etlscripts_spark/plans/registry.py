@@ -144,6 +144,8 @@ PRIORITY: list[str] = [
     "mmr_diversified_topk",
     "bitmap_distinct_rollup",
     "dp_quantile_release",
+    "stratified_kfold",
+    "frequent_sequences",
 ]
 # Bumped to the next rotation (replica-harness green, driver evidence
 # queued): funnel_deadline, graph_label_propagation,

@@ -4906,3 +4906,37 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     return mmr_rerank(cands, postings, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold (r6): exact per-stratum fold parity via hash-order
+# row numbering — the CV-split guarantee hash-mod can't give.
+# ---------------------------------------------------------------------------
+@query(
+    "stratified_kfold",
+    oracle="""
+    WITH a AS (
+      SELECT lang,
+             (row_number() OVER (PARTITION BY lang
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                          doc_id) - 1) % 5 AS fold
+      FROM documents
+    ),
+    g AS (SELECT lang, CAST(fold AS BIGINT) AS fold,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM a GROUP BY 1, 2)
+    SELECT lang, fold, n,
+           CAST(max(n) OVER (PARTITION BY lang)
+                - min(n) OVER (PARTITION BY lang) AS BIGINT) AS spread
+    FROM g
+    """,
+)
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-balanced stratified 5-fold CV assignment per language: md5-ordered row numbering mod k, per-stratum fold spread <= 1 made visible in the audit."""
+    from datalake_etlscripts_spark.operators.sampling import (
+        kfold_balance_audit,
+        stratified_kfold,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return kfold_balance_audit(stratified_kfold(d, "doc_id", "lang", k=5), "lang")

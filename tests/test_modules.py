@@ -3135,3 +3135,30 @@ def test_dp_quantile_exponential_invariants(spark):
     assert r["rank_dist_true"] == 1
     assert r["rank_dist_dp"] >= r["rank_dist_true"]
     assert 1 <= r["dp_median"] <= 101
+
+
+def test_frequent_sequences_greedy_witness(spark):
+    """Order matters (C-B-A does not support A-B-C) and the greedy
+    re-scan finds witnesses whose b occurs earlier in the stream than
+    the chosen a (B A B C supports A-B-C)."""
+    import datetime as dt
+
+    from datalake_etlscripts_spark.operators.itemsets import frequent_sequences3
+
+    t0 = dt.datetime(2024, 1, 1)
+    streams = {"u1": "ABC", "u2": "CBA", "u3": "BABC"}
+    rows = []
+    eid = 0
+    for u, s in streams.items():
+        for i, et in enumerate(s):
+            rows.append((u, et, t0 + dt.timedelta(minutes=i), eid))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp, event_id long"
+    )
+    sup = {
+        (r["a"], r["b"], r["c"]): r["support"]
+        for r in frequent_sequences3(df, minsup=1, topk=200).collect()
+    }
+    assert sup[("A", "B", "C")] == 2  # u1 and u3, NOT u2
+    assert ("C", "B", "A") in sup and sup[("C", "B", "A")] == 1
