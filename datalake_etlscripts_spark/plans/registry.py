@@ -97,43 +97,7 @@ PRIORITY: list[str] = [
     "event_pattern_match",
     "q4_priority_late_orders",
     "q11_important_parts",
-    # round-4 additions (never driver-checked, freshest operators)
-    "t_closeness_audit",
-    "dp_noisy_release",
-    "kmv_overlap",
-    "fellegi_sunter_linkage",
-    "knn_shapley_values",
-    "knn_shapley_truncated",
-    "hybrid_search_rrf",
-    "deletion_vector_plan",
-    "dsir_gumbel_resample",
-    "graph_ppr_seeds",
-    "kmv_rollup_distinct",
-    "gopher_length_auc",
-    "join_size_estimate",
-    "benford_audit",
-    # round-5 additions (this session's operators, never driver-checked)
-    "chi2_feature_select",
-    "average_precision",
-    "auc_by_language",
-    "calibration_bins",
-    "skyline_pareto",
-    "psi_drift",
-    "distribution_drift",
-    "ivm_join_view",
-    "textrank_keywords",
-    "graph_neighborhood_hll",
-    "k_anonymity_generalize",
-    "rendezvous_sharding",
-    "boolean_retrieval",
-    "source_token_entropy",
-    "attribution_position_based",
-    "naive_bayes_confusion",
-    "embedding_covariance",
-    "decision_stump_train",
-    "forecast_mase",
-    "kmv_a_not_b",
-    # round-6 additions (this session)
+    # round-6 additions (this session, freshest operators)
     "adaboost_train_rounds",
     "ols_trend_by_lang",
     "graph_bfs_hops",
@@ -146,12 +110,38 @@ PRIORITY: list[str] = [
     "dp_quantile_release",
     "stratified_kfold",
     "frequent_sequences",
+    # round-4/5 additions (never driver-checked)
+    "t_closeness_audit",
+    "dp_noisy_release",
+    "kmv_overlap",
+    "fellegi_sunter_linkage",
+    "knn_shapley_values",
+    "hybrid_search_rrf",
+    "deletion_vector_plan",
+    "dsir_gumbel_resample",
+    "graph_ppr_seeds",
+    "kmv_rollup_distinct",
+    "gopher_length_auc",
+    "join_size_estimate",
+    "benford_audit",
+    "chi2_feature_select",
+    "average_precision",
+    "ivm_join_view",
+    "textrank_keywords",
+    "graph_neighborhood_hll",
+    "k_anonymity_generalize",
+    "embedding_covariance",
+    "decision_stump_train",
+    "forecast_mase",
 ]
 # Bumped to the next rotation (replica-harness green, driver evidence
-# queued): funnel_deadline, graph_label_propagation,
-# graph_link_prediction, k_anonymity_audit, l_diversity_audit,
-# join_skew_audit, profile_columns, correlation_matrix,
-# frequent_triples, hard_negatives, label_outliers,
+# queued): knn_shapley_truncated, auc_by_language, calibration_bins,
+# skyline_pareto, psi_drift, distribution_drift, rendezvous_sharding,
+# boolean_retrieval, source_token_entropy, attribution_position_based,
+# naive_bayes_confusion, kmv_a_not_b, funnel_deadline,
+# graph_label_propagation, graph_link_prediction, k_anonymity_audit,
+# l_diversity_audit, join_skew_audit, profile_columns,
+# correlation_matrix, frequent_triples, hard_negatives, label_outliers,
 # feature_scaling_stats, knn_label_vote, embedding_drift,
 # ann_multiprobe_topk, ann_projected_topk, embedding_quantize_int8,
 # dedup_embedding_incremental, dedup_containment,
