@@ -1181,3 +1181,72 @@ def embedding_covariance(
             cov.alias("cov"),
         )
     )
+
+
+def kmeans_round_exact(
+    df: DataFrame,
+    k: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """ONE Lloyd's iteration made EXACT and oracle-checkable — the
+    verifiable core of kmeans_train_distributed (whose multi-round
+    float trainer is deterministic only modulo sum reassociation):
+    vectors quantize to integers (floor(x·scale + 0.5), the engine's
+    quantizer idiom), the k lowest-id vectors seed integer centroids,
+    assignment is the exact integer argmin of squared L2 (ties break
+    on cell id), and the update is reported as RATIONALS — per
+    (cell, dim) the exact sum and count, with the mean as one double
+    division. Per-cell SSE rides along as the convergence metric.
+
+    Plan shape: broadcast k seed rows × corpus (the canonical
+    assignment cost), one argmin window keyed by point id, one
+    posexplode shuffle of k·dim aggregate rows. Returns
+    (cell, dim, s, n, mean, sse)."""
+    from pyspark.sql import Window
+
+    xq = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    pts = df.select(F.col(id_col).alias("_pid"), xq.alias("_xq"))
+    cents = pts.filter(F.col("_pid") < k).select(
+        F.col("_pid").alias("cell"), F.col("_xq").alias("_cq")
+    )
+    d = pts.crossJoin(F.broadcast(cents)).withColumn(
+        "_dist",
+        F.aggregate(
+            F.zip_with(F.col("_xq"), F.col("_cq"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    a = (
+        d.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy("_dist", "cell")
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select("_pid", "cell", "_dist", "_xq")
+        .localCheckpoint(eager=False)
+    )
+    cellstats = a.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_dist").cast("long").alias("sse"),
+    )
+    dims = (
+        a.select("cell", F.posexplode("_xq").alias("dim", "_x"))
+        .groupBy("cell", F.col("dim").cast("long").alias("dim"))
+        .agg(F.sum("_x").cast("long").alias("s"))
+    )
+    return dims.join(F.broadcast(cellstats), "cell").select(
+        "cell",
+        "dim",
+        "s",
+        "n",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("mean"),
+        "sse",
+    )

@@ -110,6 +110,7 @@ PRIORITY: list[str] = [
     "dp_quantile_release",
     "stratified_kfold",
     "frequent_sequences",
+    "kmeans_round_exact",
     # round-4/5 additions (never driver-checked)
     "t_closeness_audit",
     "dp_noisy_release",
@@ -132,10 +133,9 @@ PRIORITY: list[str] = [
     "k_anonymity_generalize",
     "embedding_covariance",
     "decision_stump_train",
-    "forecast_mase",
 ]
 # Bumped to the next rotation (replica-harness green, driver evidence
-# queued): knn_shapley_truncated, auc_by_language, calibration_bins,
+# queued): forecast_mase, knn_shapley_truncated, auc_by_language, calibration_bins,
 # skyline_pareto, psi_drift, distribution_drift, rendezvous_sharding,
 # boolean_retrieval, source_token_entropy, attribution_position_based,
 # naive_bayes_confusion, kmv_a_not_b, funnel_deadline,

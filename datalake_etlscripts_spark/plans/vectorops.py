@@ -654,3 +654,57 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "embeddings")
     return embedding_covariance(e)
+
+
+# ---------------------------------------------------------------------------
+# Exact Lloyd's round (r6): integer-quantized assignment + rational
+# centroid update — the oracle-checkable core of the k-means trainer.
+# ---------------------------------------------------------------------------
+@query(
+    "kmeans_round_exact",
+    oracle="""
+    WITH pts AS (
+      SELECT vec_id AS pid,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+               AS xq
+      FROM embeddings
+    ),
+    cents AS (SELECT pid AS cell, xq AS cq FROM pts WHERE pid < 4),
+    d AS (
+      SELECT p.pid, c.cell, p.xq,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_zip(p.xq, c.cq),
+                 x -> (x[1] - x[2]) * (x[1] - x[2]))),
+               (a, b) -> a + b) AS dist
+      FROM pts p CROSS JOIN cents c
+    ),
+    a AS (
+      SELECT pid, cell, dist, xq FROM (
+        SELECT *, row_number() OVER (PARTITION BY pid
+                                     ORDER BY dist, cell) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    cellstats AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(dist) AS BIGINT) AS sse
+      FROM a GROUP BY 1
+    ),
+    o AS (SELECT cell, unnest(generate_series(1, len(xq))) AS i, xq FROM a),
+    dims AS (
+      SELECT cell, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(sum(xq[i]) AS BIGINT) AS s
+      FROM o GROUP BY 1, 2
+    )
+    SELECT d.cell, d.dim, d.s, cs.n,
+           CAST(d.s AS DOUBLE) / CAST(cs.n AS DOUBLE) AS mean, cs.sse
+    FROM dims d JOIN cellstats cs USING (cell)
+    """,
+)
+def q_kmeans_round_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd's k-means round over quantized embeddings: integer argmin assignment against the k seed centroids, rational centroid update (sum, count, one division), per-cell SSE convergence metric."""
+    from datalake_etlscripts_spark.operators.similarity import kmeans_round_exact
+
+    e = read_table(spark, sf_dir, "embeddings")
+    return kmeans_round_exact(e, k=4)

@@ -3162,3 +3162,25 @@ def test_frequent_sequences_greedy_witness(spark):
     }
     assert sup[("A", "B", "C")] == 2  # u1 and u3, NOT u2
     assert ("C", "B", "A") in sup and sup[("C", "B", "A")] == 1
+
+
+def test_kmeans_round_exact_planted_clusters(spark):
+    """Two well-separated planted blobs seeded from one point each:
+    the round assigns every point to its blob's seed, means land on
+    blob centers, SSE is the exact within-blob spread."""
+    from datalake_etlscripts_spark.operators.similarity import kmeans_round_exact
+
+    rows = []
+    for i in range(10):  # blob around (0, 0): ids 0,2,..; seed id 0
+        rows.append((2 * i, [0.001 * i, 0.0]))
+    for i in range(10):  # blob around (5, 5): ids 1,3,..; seed id 1
+        rows.append((2 * i + 1, [5.0 + 0.001 * i, 5.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_round_exact(df, k=2).collect()
+    by = {(r["cell"], r["dim"]): r for r in out}
+    assert by[(0, 0)]["n"] == 10 and by[(1, 0)]["n"] == 10
+    # dim-1 sums: blob0 all zero; blob1 all 5000 (quantized x1000)
+    assert by[(0, 1)]["s"] == 0 and by[(1, 1)]["s"] == 50000
+    assert by[(1, 1)]["mean"] == 5000.0
+    # SSE: quantized xs are seed+{0..9}: sum of squares 0..9^2 = 285
+    assert by[(0, 0)]["sse"] == 285 and by[(1, 0)]["sse"] == 285
