@@ -1267,3 +1267,48 @@ def q_dp_quantile_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value")).cast("long").alias("vq")
     )
     return dp_quantile_exponential(e, "vq")
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (r6): the one multi-grain grouping surface cube/rollup
+# don't show — an explicit, non-hierarchical set list with
+# grouping_id disambiguating real NULLs from subtotal rows.
+# ---------------------------------------------------------------------------
+@query(
+    "grouping_sets_report",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+             AS total_price,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain order report via explicit GROUPING SETS (both grains, each margin, grand total) with grouping_id separating subtotal rows from real NULLs - one pass, Spark expands sets without rescanning."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [
+                ["o_orderpriority", "o_orderstatus"],
+                ["o_orderpriority"],
+                ["o_orderstatus"],
+                [],
+            ],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.expr("grouping_id(o_orderpriority, o_orderstatus)")
+            .cast("long")
+            .alias("gid"),
+        )
+    )

@@ -114,3 +114,89 @@ def q_purge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_partkey") % 4 == 0).alias("obsolete_version"),
     )
     return plan_purge(listing, store)
+
+
+# ---------------------------------------------------------------------------
+# Merkle anti-entropy diff (r6): replica checksum trees compared
+# top-down — superblocks prune the leaf comparison to the damaged
+# keyspace, order-independent 60-bit digest sums patch incrementally.
+# ---------------------------------------------------------------------------
+def _merkle_oracle() -> str:
+    from datalake_etlscripts_spark.plans.registry import ddb_hex60
+
+    digest = ddb_hex60(
+        "md5(concat_ws('|', CAST(l_orderkey AS VARCHAR),"
+        " CAST(l_linenumber AS VARCHAR), CAST(qn AS VARCHAR)))"
+    )
+    return f"""
+    WITH a0 AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qn
+      FROM lineitem
+    ),
+    b0 AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_orderkey % 991 = 0 THEN qn + 100 ELSE qn END AS qn
+      FROM a0 WHERE l_orderkey % 997 <> 0
+    ),
+    ha AS (SELECT l_orderkey // 4096 AS block, {digest} AS h FROM a0),
+    hb AS (SELECT l_orderkey // 4096 AS block, {digest} AS h FROM b0),
+    la AS (SELECT block, CAST(count(*) AS BIGINT) AS n_a,
+                  CAST(sum(h) % 1152921504606846976 AS BIGINT) AS h_a
+           FROM ha GROUP BY 1),
+    lb AS (SELECT block, CAST(count(*) AS BIGINT) AS n_b,
+                  CAST(sum(h) % 1152921504606846976 AS BIGINT) AS h_b
+           FROM hb GROUP BY 1),
+    sa AS (SELECT block // 64 AS sb, sum(n_a) AS n, 
+                  CAST(sum(h_a) % 1152921504606846976 AS BIGINT) AS h
+           FROM la GROUP BY 1),
+    sb_ AS (SELECT block // 64 AS sb, sum(n_b) AS n,
+                  CAST(sum(h_b) % 1152921504606846976 AS BIGINT) AS h
+           FROM lb GROUP BY 1),
+    bad AS (
+      SELECT COALESCE(sa.sb, sb_.sb) AS sb
+      FROM sa FULL JOIN sb_ ON sa.sb = sb_.sb
+      WHERE NOT (sa.h IS NOT DISTINCT FROM sb_.h
+                 AND sa.n IS NOT DISTINCT FROM sb_.n)
+    ),
+    laf AS (SELECT * FROM la WHERE block // 64 IN (SELECT sb FROM bad)),
+    lbf AS (SELECT * FROM lb WHERE block // 64 IN (SELECT sb FROM bad))
+    SELECT COALESCE(laf.block, lbf.block) AS block,
+           COALESCE(laf.n_a, 0) AS n_a, COALESCE(lbf.n_b, 0) AS n_b,
+           laf.h_a AS h_a, lbf.h_b AS h_b
+    FROM laf FULL JOIN lbf ON laf.block = lbf.block
+    WHERE NOT (laf.h_a IS NOT DISTINCT FROM lbf.h_b
+               AND laf.n_a IS NOT DISTINCT FROM lbf.n_b)
+    """
+
+
+@query("merkle_diff_blocks", oracle=_merkle_oracle())
+def q_merkle_diff_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy replica diff via Merkle checksum state: order-independent 60-bit digest sums per 4096-key block roll into superblocks, the descent compares superblocks first and reads leaves only under damage."""
+    from datalake_etlscripts_spark.storesync import (
+        merkle_block_state,
+        merkle_diff_blocks,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("qn"),
+    )
+    b = li.filter(F.col("l_orderkey") % 997 != 0).withColumn(
+        "qn",
+        F.when(F.col("l_orderkey") % 991 == 0, F.col("qn") + 100).otherwise(
+            F.col("qn")
+        ),
+    )
+    rep = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.col("qn").cast("string"),
+    )
+    sa = merkle_block_state(li, "l_orderkey", rep)
+    sb = merkle_block_state(b, "l_orderkey", rep)
+    return merkle_diff_blocks(sa, sb)

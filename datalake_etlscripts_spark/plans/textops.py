@@ -4940,3 +4940,37 @@ def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return kfold_balance_audit(stratified_kfold(d, "doc_id", "lang", k=5), "lang")
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading ease (r6): vowel-run syllable heuristic, exact
+# integer counts, two fixed-order divisions.
+# ---------------------------------------------------------------------------
+@query(
+    "readability_flesch",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                  AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           CASE WHEN n_words > 0 THEN
+             206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+           END AS flesch
+    FROM c
+    """,
+)
+def q_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease score per document: vowel-run syllable heuristic, punctuation-run sentences floored at 1, exact integer counts with two fixed-order divisions - a pure JVM-expression quality feature."""
+    from datalake_etlscripts_spark.operators.text import flesch_readability
+
+    d = read_table(spark, sf_dir, "documents")
+    return flesch_readability(d)

@@ -123,3 +123,110 @@ def plan_purge(
     return doomed.select(F.lit("BACKUP").alias("op"), name_col, "ntp_id").unionByName(
         doomed.select(F.lit("DEL").alias("op"), name_col, "ntp_id")
     )
+
+
+def merkle_block_state(
+    df: DataFrame,
+    key_col: str,
+    repr_col,
+    block_size: int = 4096,
+    fanout: int = 64,
+) -> DataFrame:
+    """Merkle-style checksum state for anti-entropy replica repair
+    (the Dynamo/Cassandra pattern, relationalized): each row digests
+    to a 60-bit md5 lane, blocks of ``block_size`` keys sum digests
+    mod 2⁶⁰ (ORDER-INDEPENDENT and an addition monoid — an insert or
+    delete patches the block hash without re-reading the block), and
+    ``fanout`` blocks roll into one superblock the same way. Returns
+    (level, block, n_rows, h) with level 0 = leaf blocks, 1 =
+    superblocks — the state each replica publishes."""
+    from datalake_etlscripts_spark.functions.scalar import md5_hash60
+
+    mod = 1 << 60
+    leaf = (
+        df.select(
+            F.expr(f"{key_col} div {block_size}").alias("block"),
+            md5_hash60(repr_col).alias("_h"),
+        )
+        .groupBy("block")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            # digests are < 2^60 but a block of 4096 of them tops 2^72:
+            # accumulate in DECIMAL(38,0), mod back into the 60-bit lane
+            (F.sum(F.col("_h").cast("decimal(38,0)")) % mod)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    sup = (
+        leaf.groupBy(F.expr(f"block div {fanout}").alias("block"))
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            (F.sum(F.col("h").cast("decimal(38,0)")) % mod)
+            .cast("long")
+            .alias("h"),
+        )
+        .select(F.lit(1).cast("long").alias("level"), "block", "n_rows", "h")
+    )
+    return leaf.select(
+        F.lit(0).cast("long").alias("level"), "block", "n_rows", "h"
+    ).unionByName(sup)
+
+
+def merkle_diff_blocks(
+    state_a: DataFrame, state_b: DataFrame, fanout: int = 64
+) -> DataFrame:
+    """Anti-entropy descent over two replicas' Merkle state: compare
+    SUPERBLOCKS first, then look at leaf blocks only under differing
+    superblocks — exactly the pruning that makes replica repair read
+    a fraction of the keyspace. A full outer join at each level keeps
+    blocks missing entirely from one side. Returns the differing leaf
+    blocks (block, n_a, n_b, h_a, h_b) — the repair work list."""
+    def split(st, suffix):
+        return (
+            st.filter(F.col("level") == 0).select(
+                "block",
+                F.col("n_rows").alias(f"n_{suffix}"),
+                F.col("h").alias(f"h_{suffix}"),
+            ),
+            st.filter(F.col("level") == 1).select(
+                "block",
+                F.col("n_rows").alias(f"n_{suffix}"),
+                F.col("h").alias(f"h_{suffix}"),
+            ),
+        )
+
+    leaf_a, sup_a = split(state_a, "a")
+    leaf_b, sup_b = split(state_b, "b")
+    bad_sup = (
+        sup_a.join(sup_b, "block", "full_outer")
+        .filter(
+            ~(
+                F.col("h_a").eqNullSafe(F.col("h_b"))
+                & F.col("n_a").eqNullSafe(F.col("n_b"))
+            )
+        )
+        .select(F.col("block").alias("_sb"))
+    )
+    la = leaf_a.join(
+        F.broadcast(bad_sup), F.expr(f"block div {fanout}") == F.col("_sb"), "left_semi"
+    )
+    lb = leaf_b.join(
+        F.broadcast(bad_sup), F.expr(f"block div {fanout}") == F.col("_sb"), "left_semi"
+    )
+    return (
+        la.join(lb, "block", "full_outer")
+        .filter(
+            ~(
+                F.col("h_a").eqNullSafe(F.col("h_b"))
+                & F.col("n_a").eqNullSafe(F.col("n_b"))
+            )
+        )
+        .select(
+            "block",
+            F.coalesce("n_a", F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).cast("long").alias("n_b"),
+            F.col("h_a").cast("long").alias("h_a"),
+            F.col("h_b").cast("long").alias("h_b"),
+        )
+    )

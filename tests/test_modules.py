@@ -3184,3 +3184,29 @@ def test_kmeans_round_exact_planted_clusters(spark):
     assert by[(1, 1)]["mean"] == 5000.0
     # SSE: quantized xs are seed+{0..9}: sum of squares 0..9^2 = 285
     assert by[(0, 0)]["sse"] == 285 and by[(1, 0)]["sse"] == 285
+
+
+def test_merkle_diff_finds_only_damaged_blocks(spark):
+    """A one-row change or deletion surfaces exactly its leaf block;
+    identical replicas diff to nothing; the digest sum is
+    order-independent (repartition-stable)."""
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.storesync import (
+        merkle_block_state,
+        merkle_diff_blocks,
+    )
+
+    a = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 7).alias("v"))
+    rep = F.concat_ws("|", F.col("k").cast("string"), F.col("v").cast("string"))
+    sa = merkle_block_state(a, "k", rep, block_size=100, fanout=4)
+    assert merkle_diff_blocks(sa, sa, fanout=4).count() == 0
+    # damage: modify k=250, delete k=777
+    b = a.filter(F.col("k") != 777).withColumn(
+        "v", F.when(F.col("k") == 250, F.lit(-1)).otherwise(F.col("v"))
+    )
+    sb = merkle_block_state(b.repartition(13), "k", rep, block_size=100, fanout=4)
+    bad = {r["block"]: r for r in merkle_diff_blocks(sa, sb, fanout=4).collect()}
+    assert set(bad) == {2, 7}  # 250//100 and 777//100
+    assert bad[7]["n_a"] == 100 and bad[7]["n_b"] == 99
+    assert bad[2]["n_a"] == bad[2]["n_b"] == 100
