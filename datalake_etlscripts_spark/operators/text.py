@@ -1185,3 +1185,142 @@ def flesch_readability(
             - F.lit(84.6) * (F.col("n_syllables").cast("double") / w),
         ),
     )
+
+
+def rocchio_prf_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_feedback: int = 3,
+    k_expansion: int = 5,
+    min_term_len: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (Rocchio's query expansion,
+    the classic two-pass trick): BM25 rank the original query, assume
+    the top ``k_feedback`` docs are relevant, mine their
+    ``k_expansion`` most characteristic terms (feedback term frequency
+    × the log-free Robertson rarity ratio, one double division per
+    term, ties on term text), and re-score the corpus with the
+    expanded term set at uniform weight (β=1 — documented
+    simplification of Rocchio's weighted centroid).
+
+    Scale shape: ONE corpus token explode feeds both passes (settled
+    with a lazy checkpoint); every per-term dim (feedback hits,
+    document frequencies, the expanded term set) is query-sized and
+    broadcast; per-doc scores fold per-term doubles in TERM ORDER so
+    the result is partitioning-independent. Returns (id, n_hit,
+    score) for the top-k under the expanded query."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    tok = df.select(
+        F.col(id_col), F.explode(toks).alias("_t")
+    ).localCheckpoint(eager=False)
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_dl").cast("long").alias("_l"),
+    )
+
+    def score_terms(hits):
+        dft = hits.groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+        return (
+            hits.join(F.broadcast(dft), "_t")
+            .join(dl, id_col)
+            .crossJoin(F.broadcast(stats))
+            .select(
+                F.col(id_col),
+                "_t",
+                (
+                    (
+                        (2 * F.col("_n") - 2 * F.col("_df") + 1)
+                        * 22
+                        * F.col("_tf")
+                        * F.col("_l")
+                    ).cast("double")
+                    / (
+                        (2 * F.col("_df") + 1)
+                        * (
+                            10 * F.col("_tf") * F.col("_l")
+                            + 3 * F.col("_l")
+                            + 9 * F.col("_dl") * F.col("_n")
+                        )
+                    ).cast("double")
+                ).alias("_sc"),
+            )
+        )
+
+    def fold_scores(sc):
+        return sc.groupBy(id_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_t", "_sc"))),
+                    lambda s: s["_sc"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+
+    hits0 = (
+        tok.filter(F.col("_t").isin(list(query_terms)))
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+    )
+    fb = (
+        fold_scores(score_terms(hits0))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k_feedback)
+        .select(id_col)
+    )
+    cand = (
+        tok.join(F.broadcast(fb), id_col, "left_semi")
+        .filter(
+            (F.length("_t") >= min_term_len)
+            & ~F.col("_t").isin(list(query_terms))
+        )
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("_fbtf"))
+    )
+    cdf = (
+        tok.join(F.broadcast(cand.select("_t")), "_t", "left_semi")
+        .select("_t", id_col)
+        .distinct()
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    )
+    exp = (
+        cand.join(cdf, "_t")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "_t",
+            (
+                (F.col("_fbtf") * (2 * F.col("_n") - 2 * F.col("_df") + 1)).cast(
+                    "double"
+                )
+                / (2 * F.col("_df") + 1).cast("double")
+            ).alias("_es"),
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(Window.orderBy(F.desc("_es"), F.asc("_t"))),
+        )
+        .filter(F.col("_rk") <= k_expansion)
+        .select("_t")
+    )
+    terms = exp.unionByName(
+        df.sparkSession.createDataFrame([(t,) for t in query_terms], "_t string")
+    ).localCheckpoint(eager=False)
+    hits1 = (
+        tok.join(F.broadcast(terms), "_t")
+        .groupBy(id_col, "_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+    )
+    return (
+        fold_scores(score_terms(hits1))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

@@ -4974,3 +4974,95 @@ def q_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return flesch_readability(d)
+
+
+# ---------------------------------------------------------------------------
+# Rocchio PRF (r6): two-pass pseudo-relevance-feedback retrieval —
+# feedback docs from BM25, expansion terms by tf x rarity ratio,
+# expanded re-score. Shared CTEs MATERIALIZED (cf. the MMR lesson).
+# ---------------------------------------------------------------------------
+_PRF_ORACLE = """
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS t
+      FROM documents
+    ),
+    dl AS MATERIALIZED (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+    ),
+    stats AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS l
+      FROM dl
+    ),
+    h0 AS (
+      SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tok
+      WHERE t IN ('data', 'join', 'spark') GROUP BY 1, 2
+    ),
+    df0 AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM h0 GROUP BY 1),
+    sc0 AS (
+      SELECT h.doc_id, h.t,
+             CAST((2 * s.n - 2 * d.df + 1) * 22 * h.tf * s.l AS DOUBLE)
+             / CAST((2 * d.df + 1)
+                    * (10 * h.tf * s.l + 3 * s.l + 9 * dl.dl * s.n) AS DOUBLE)
+               AS sc
+      FROM h0 h JOIN df0 d USING (t) JOIN dl USING (doc_id) CROSS JOIN stats s
+    ),
+    fb AS MATERIALIZED (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               list_reduce(list_prepend(0.0, list(sc ORDER BY t)),
+                           (a, b) -> a + b) AS score
+        FROM sc0 GROUP BY doc_id
+      ) ORDER BY score DESC, doc_id LIMIT 3
+    ),
+    cand AS MATERIALIZED (
+      SELECT t, CAST(count(*) AS BIGINT) AS fbtf
+      FROM tok JOIN fb USING (doc_id)
+      WHERE length(t) >= 3 AND t NOT IN ('data', 'join', 'spark')
+      GROUP BY 1
+    ),
+    cdf AS (
+      SELECT t, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok WHERE t IN (SELECT t FROM cand) GROUP BY 1
+    ),
+    exp AS MATERIALIZED (
+      SELECT t FROM (
+        SELECT c.t,
+               CAST(c.fbtf * (2 * s.n - 2 * cdf.df + 1) AS DOUBLE)
+                 / CAST(2 * cdf.df + 1 AS DOUBLE) AS es
+        FROM cand c JOIN cdf USING (t) CROSS JOIN stats s
+      ) ORDER BY es DESC, t ASC LIMIT 5
+    ),
+    terms AS MATERIALIZED (
+      SELECT t FROM exp
+      UNION ALL SELECT unnest(['data', 'join', 'spark'])
+    ),
+    h1 AS (
+      SELECT tok.doc_id, tok.t, CAST(count(*) AS BIGINT) AS tf
+      FROM tok JOIN terms USING (t) GROUP BY 1, 2
+    ),
+    df1 AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM h1 GROUP BY 1),
+    sc1 AS (
+      SELECT h.doc_id, h.t,
+             CAST((2 * s.n - 2 * d.df + 1) * 22 * h.tf * s.l AS DOUBLE)
+             / CAST((2 * d.df + 1)
+                    * (10 * h.tf * s.l + 3 * s.l + 9 * dl.dl * s.n) AS DOUBLE)
+               AS sc
+      FROM h1 h JOIN df1 d USING (t) JOIN dl USING (doc_id) CROSS JOIN stats s
+    )
+    SELECT doc_id, n_hit, score FROM (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+             list_reduce(list_prepend(0.0, list(sc ORDER BY t)),
+                         (a, b) -> a + b) AS score
+      FROM sc1 GROUP BY doc_id
+    ) ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+@query("rocchio_prf_topk", oracle=_PRF_ORACLE)
+def q_rocchio_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval: BM25 top-3 feedback docs mine 5 expansion terms (tf x log-free rarity ratio), corpus re-scored with the expanded query - one token explode feeds both passes, every dim broadcast."""
+    from datalake_etlscripts_spark.operators.text import rocchio_prf_topk
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return rocchio_prf_topk(d, _BM25_TERMS, k_feedback=3, k_expansion=5, k=10)

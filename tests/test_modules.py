@@ -3210,3 +3210,25 @@ def test_merkle_diff_finds_only_damaged_blocks(spark):
     assert set(bad) == {2, 7}  # 250//100 and 777//100
     assert bad[7]["n_a"] == 100 and bad[7]["n_b"] == 99
     assert bad[2]["n_a"] == bad[2]["n_b"] == 100
+
+
+def test_rocchio_prf_expands_to_cooccurring_terms(spark):
+    """Docs about the query term share a companion term; PRF must pull
+    in docs that contain ONLY the companion (invisible to the plain
+    query), ranking them above unrelated docs."""
+    from datalake_etlscripts_spark.operators.text import rocchio_prf_topk
+
+    rows = []
+    for i in range(5):  # feedback-shaped: query term + companion
+        rows.append((i, "quantum flux"))
+    for i in range(5, 8):  # reachable only via expansion
+        rows.append((i, "flux flux flux beta"))
+    for i in range(8, 20):  # noise
+        rows.append((i, "lorem ipsum dolor sit amet"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = rocchio_prf_topk(
+        df, ["quantum"], k_feedback=3, k_expansion=2, k=10
+    ).collect()
+    got = {r["doc_id"] for r in out}
+    assert {5, 6, 7} <= got  # companion-only docs retrieved
+    assert not ({8, 9, 10} & got)  # noise stays out
