@@ -1526,3 +1526,114 @@ def markov_removal_attribution(
             / F.col("_base").cast("double"),
         ).alias("removal_effect"),
     )
+
+
+def weighted_median_arrow(
+    df: DataFrame, key_col: str, value_col: str, weight_col: str
+) -> DataFrame:
+    """Per-key weighted LOWER median computed in an Arrow-batched
+    applyInPandas UDAF — the sanctioned Python escape hatch
+    demonstrated on an operator an external engine can still verify
+    exactly: the result is the smallest v whose cumulative weight
+    reaches half the total (2·cumw ≥ W, integer comparison), so the
+    pandas path and a SQL window replay agree bit-for-bit. Inputs must
+    be integer-valued. One grouped shuffle; each group sorts in-memory
+    (per-key data must fit an executor — the same per-key contract as
+    the window ops; pre-aggregate to the distinct-value grain first
+    when values repeat heavily, which also bounds the batch).
+    Returns (key, total_w, wmedian)."""
+    import pandas as pd
+
+    def wmed(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            pdf.groupby("_v", as_index=False)["_w"]
+            .sum()
+            .sort_values("_v", kind="mergesort")
+        )
+        cum = g["_w"].cumsum()
+        total = int(g["_w"].sum())
+        idx = (2 * cum >= total).idxmax()
+        return pd.DataFrame(
+            {
+                "key": [pdf["_k"].iloc[0]],
+                "total_w": [total],
+                "wmedian": [int(g["_v"].loc[idx])],
+            }
+        )
+
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(value_col).cast("long").alias("_v"),
+        F.col(weight_col).cast("long").alias("_w"),
+    )
+    return base.groupBy("_k").applyInPandas(
+        wmed, "key string, total_w long, wmedian long"
+    )
+
+
+def ab_test_ztest(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+) -> DataFrame:
+    """Two-proportion z-test for an A/B split (variant = user id
+    parity — the deterministic stand-in for an assignment table):
+    conversion = the user is an ABOVE-AVERAGE ``convert_type`` emitter
+    (cnt_u·n_users > total, integer cross-multiplication — a plain
+    has-one flag is degenerate on dense streams where every user
+    fires every type). All counts are exact integers from ONE
+    user-grain aggregate; the pooled-variance z statistic is a
+    fixed-order double expression (sqrt is the one engine-portable
+    libm call — IEEE correctly-rounded), NULL when the pooled
+    variance is zero. Returns one row
+    (n_a, conv_a, n_b, conv_b, p_a, p_b, z)."""
+    cnts = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.sum(
+            F.when(F.col(type_col) == convert_type, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("_k")
+    )
+    tot = cnts.agg(
+        F.sum("_k").cast("long").alias("_tot"),
+        F.count(F.lit(1)).cast("long").alias("_nu"),
+    )
+    u = cnts.crossJoin(F.broadcast(tot)).select(
+        "_u",
+        (F.col("_k") * F.col("_nu") > F.col("_tot")).cast("int").alias("_c"),
+    )
+    agg = u.agg(
+        F.sum(F.when(F.col("_u") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("_u") % 2 == 0, F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("_u") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("_u") % 2 == 1, F.col("_c")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    na, ca = F.col("n_a").cast("double"), F.col("conv_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("conv_b").cast("double")
+    pa, pb = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    return agg.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        pa.alias("p_a"),
+        pb.alias("p_b"),
+        F.when(
+            (F.col("conv_a") + F.col("conv_b") > 0)
+            & (F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b")),
+            (pa - pb)
+            / F.sqrt(
+                pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+            ),
+        ).alias("z"),
+    )

@@ -2029,3 +2029,161 @@ def q_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "events")
     return frequent_sequences3(e, minsup=2, topk=20)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-UDAF weighted median (r6): the applyInPandas escape hatch on
+# an operator the oracle can still replay exactly — the rare
+# driver-checkable Pandas surface (others are unit-only by nature).
+# ---------------------------------------------------------------------------
+@query(
+    "weighted_median_arrow",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag AS key,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+             CAST(floor(l_quantity) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    g AS (SELECT key, v, CAST(sum(w) AS BIGINT) AS w FROM b GROUP BY 1, 2),
+    c AS (
+      SELECT key, v,
+             CAST(sum(w) OVER (PARTITION BY key ORDER BY v) AS BIGINT) AS cum,
+             CAST(sum(w) OVER (PARTITION BY key) AS BIGINT) AS total
+      FROM g
+    )
+    SELECT key, min(total) AS total_w, CAST(min(v) AS BIGINT) AS wmedian
+    FROM c WHERE 2 * cum >= total GROUP BY key
+    """,
+)
+def q_weighted_median_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted lower median price per return flag via an Arrow-batched applyInPandas UDAF - integer threshold rule (2*cumw >= W) that the SQL window oracle replays bit-for-bit."""
+    from datalake_etlscripts_spark.operators.events import weighted_median_arrow
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).alias("vq"),
+        F.floor(F.col("l_quantity")).alias("wq"),
+    )
+    return weighted_median_arrow(li, "l_returnflag", "vq", "wq")
+
+
+# ---------------------------------------------------------------------------
+# A/B z-test (r6): exact integer counts, fixed-order pooled-variance
+# double expression, sqrt the one portable libm call.
+# ---------------------------------------------------------------------------
+@query(
+    "ab_test_ztest",
+    oracle="""
+    WITH cnts AS (
+      SELECT user_id AS u,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(k) AS BIGINT) AS t,
+                   CAST(count(*) AS BIGINT) AS nu FROM cnts),
+    u AS (
+      SELECT u, CASE WHEN k * (SELECT nu FROM tot) > (SELECT t FROM tot)
+                     THEN 1 ELSE 0 END AS c
+      FROM cnts
+    ),
+    a AS (
+      SELECT CAST(sum(CASE WHEN u % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN u % 2 = 0 THEN c ELSE 0 END) AS BIGINT)
+               AS conv_a,
+             CAST(sum(CASE WHEN u % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN u % 2 = 1 THEN c ELSE 0 END) AS BIGINT)
+               AS conv_b
+      FROM u
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+           CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+             (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                    * (1.0 - (CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                               / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+           END AS z
+    FROM a
+    """,
+)
+def q_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B z-test on purchase conversion (variant = user parity): one user-grain aggregate, exact integer counts, fixed-order pooled-variance expression."""
+    from datalake_etlscripts_spark.operators.events import ab_test_ztest
+
+    e = read_table(spark, sf_dir, "events")
+    return ab_test_ztest(e)
+
+
+# ---------------------------------------------------------------------------
+# Rolling EXACT distinct via bitmap state (r6): the exact twin of
+# rolling_distinct_hll at the same window shape — hourly 62-bit word
+# tables OR-merge into each trailing window; fan-out multiplies the
+# word-grain state (≤ |id universe|/62 per hour), never the entity
+# grain. Pick this over HLL when ids are dense integers; HLL when
+# they are wide/sparse.
+# ---------------------------------------------------------------------------
+@query(
+    "rolling_distinct_bitmap",
+    oracle="""
+    WITH state AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, user_id // 62 AS widx,
+             bit_or(1::BIGINT << CAST(user_id % 62 AS INT)) AS word
+      FROM events GROUP BY 1, 2, 3
+    ),
+    fan AS (
+      SELECT event_type,
+             h + unnest([INTERVAL 0 HOUR, INTERVAL 1 HOUR, INTERVAL 2 HOUR])
+               AS window_end,
+             widx, word
+      FROM state
+    ),
+    m AS (
+      SELECT event_type, window_end, widx, bit_or(word) AS word
+      FROM fan GROUP BY 1, 2, 3
+    )
+    SELECT event_type, window_end,
+           CAST(sum(bit_count(word)) AS BIGINT) AS distinct_users
+    FROM m GROUP BY 1, 2
+    """,
+)
+def q_rolling_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-hour EXACT distinct users from bitmap-word state: hourly 62-bit words OR-merge into each trailing window - word-grain fan-out, the exact dense-id twin of rolling_distinct_hll."""
+    from datalake_etlscripts_spark.operators.sketches import bitmap_distinct_state
+
+    e = read_table(spark, sf_dir, "events").select(
+        F.struct("event_type", F.date_trunc("hour", F.col("ts")).alias("h")).alias(
+            "key"
+        ),
+        "user_id",
+    )
+    state = bitmap_distinct_state(e, "key", "user_id").select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("key.h").alias("_h"),
+        "widx",
+        "word",
+    )
+    fanned = state.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.col("_h") + F.make_interval(hours=F.lit(k))
+                    for k in range(3)
+                ]
+            )
+        ).alias("window_end"),
+        "widx",
+        "word",
+    )
+    m = fanned.groupBy("event_type", "window_end", "widx").agg(
+        F.expr("bit_or(word)").alias("word")
+    )
+    return m.groupBy("event_type", "window_end").agg(
+        F.sum(F.bit_count("word")).cast("long").alias("distinct_users")
+    )

@@ -115,6 +115,9 @@ PRIORITY: list[str] = [
     "readability_flesch",
     "merkle_diff_blocks",
     "rocchio_prf_topk",
+    "weighted_median_arrow",
+    "ab_test_ztest",
+    "rolling_distinct_bitmap",
     # round-4/5 additions (never driver-checked)
     "t_closeness_audit",
     "dp_noisy_release",
@@ -130,12 +133,9 @@ PRIORITY: list[str] = [
     "join_size_estimate",
     "benford_audit",
     "ivm_join_view",
-    "textrank_keywords",
-    "graph_neighborhood_hll",
-    "k_anonymity_generalize",
 ]
 # Bumped to the next rotation (replica-harness green, driver evidence
-# queued): average_precision, embedding_covariance, decision_stump_train, chi2_feature_select, forecast_mase, knn_shapley_truncated, auc_by_language, calibration_bins,
+# queued): textrank_keywords, graph_neighborhood_hll, k_anonymity_generalize, average_precision, embedding_covariance, decision_stump_train, chi2_feature_select, forecast_mase, knn_shapley_truncated, auc_by_language, calibration_bins,
 # skyline_pareto, psi_drift, distribution_drift, rendezvous_sharding,
 # boolean_retrieval, source_token_entropy, attribution_position_based,
 # naive_bayes_confusion, kmv_a_not_b, funnel_deadline,
