@@ -131,6 +131,28 @@ def read_text_lines(
     return df
 
 
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    spec: list[tuple[str, int, int, str]],
+) -> DataFrame:
+    """Fixed-width (mainframe/COBOL-copybook shaped) text source: each
+    field is (name, 1-based start, length, spark type). The scan is
+    the plain distributed text source; slicing is per-row substring +
+    trim + cast expressions — whole-stage-codegen'd, no UDF, no
+    sequential pass, splittable like any text read (unlike the
+    line-numbered read_text_lines side-input path). Empty slices cast
+    to NULL."""
+    df = spark.read.text(path)
+    cols = []
+    for name, start, length, typ in spec:
+        c = F.trim(F.substring(F.col("value"), start, length))
+        cols.append(
+            F.when(c == "", None).otherwise(c).cast(typ).alias(name)
+        )
+    return df.select(*cols)
+
+
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — same columnar pushdown/pruning contract as parquet
     (filters and column pruning reach the ORC reader)."""

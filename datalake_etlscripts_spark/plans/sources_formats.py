@@ -146,3 +146,51 @@ def q_xml_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_suppliers"),
         F.sum("bal").cast("double").alias("sum_acctbal"),
     )
+
+
+# S-variant fixed width (r6): COBOL-copybook shaped text — write
+# padded supplier rows, read back via the substring-spec scan,
+# aggregate; the oracle replays the aggregate over parquet (lossless
+# round-trip proof, same contract as the ORC/XML twins).
+@query(
+    "fixed_width_scan",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS bal_cents
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def q_fixed_width_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width text source: padded supplier records round-trip through the substring-spec scan (pure codegen expressions, splittable) - aggregate hash proves losslessness."""
+    from datalake_etlscripts_spark.io.readers import read_fixed_width
+
+    out = os.path.join(tempfile.mkdtemp(prefix="fw_src_"), "supplier_fw")
+    sup = read_table(spark, sf_dir, "supplier").select(
+        F.concat(
+            F.lpad(F.col("s_suppkey").cast("string"), 10, " "),
+            F.lpad(F.col("s_nationkey").cast("string"), 5, " "),
+            F.lpad(
+                F.floor(F.col("s_acctbal") * 100 + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+                12,
+                " ",
+            ),
+        ).alias("value")
+    )
+    sup.write.mode("overwrite").text(out)
+    back = read_fixed_width(
+        spark,
+        out,
+        [
+            ("s_suppkey", 1, 10, "long"),
+            ("s_nationkey", 11, 5, "int"),
+            ("bal_cents", 16, 12, "long"),
+        ],
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("bal_cents").cast("long").alias("bal_cents"),
+    )
