@@ -147,6 +147,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", help="optional parquet path for the kept documents")
     p.add_argument("--text-col", default="text")
 
+    p = sub.add_parser(
+        "repair",
+        help="anti-entropy Merkle diff of two table replicas (work list of damaged blocks)",
+    )
+    p.add_argument("--a", required=True, help="parquet replica A")
+    p.add_argument("--b", required=True, help="parquet replica B")
+    p.add_argument("--key", required=True, help="integer blocking key column")
+    p.add_argument("--cols", required=True, help="comma list of columns to digest")
+    p.add_argument("--block-size", type=int, default=4096)
+    p.add_argument("--fanout", type=int, default=64)
+
     p = sub.add_parser("optimize", help="space-filling-curve rewrite for multi-column data skipping")
     p.add_argument("--table", required=True)
     p.add_argument("--out", required=True)
@@ -468,6 +479,29 @@ def main(argv: list[str] | None = None) -> int:
         else:
             cluster_write(spark.read.parquet(args.table), args.out, cols, args.files)
         print(f"{args.curve}-clustered {args.table} by {cols} into {args.files} files at {args.out}")
+
+    elif args.cmd == "repair":
+        from datalake_etlscripts_spark.storesync import (
+            merkle_block_state,
+            merkle_diff_blocks,
+        )
+
+        cols = args.cols.split(",")
+        rep = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        sa = merkle_block_state(
+            spark.read.parquet(args.a), args.key, rep, args.block_size, args.fanout
+        )
+        sb = merkle_block_state(
+            spark.read.parquet(args.b), args.key, rep, args.block_size, args.fanout
+        )
+        bad = merkle_diff_blocks(sa, sb, args.fanout).orderBy("block").collect()
+        for r in bad:
+            print(
+                f"block={r['block']} n_a={r['n_a']} n_b={r['n_b']}"
+                f" h_a={r['h_a']} h_b={r['h_b']}"
+            )
+        print(f"damaged_blocks={len(bad)}")
+        return 0 if not bad else 1
 
     elif args.cmd == "check":
         from datalake_etlscripts_spark.versioning import (

@@ -3232,3 +3232,28 @@ def test_rocchio_prf_expands_to_cooccurring_terms(spark):
     got = {r["doc_id"] for r in out}
     assert {5, 6, 7} <= got  # companion-only docs retrieved
     assert not ({8, 9, 10} & got)  # noise stays out
+
+
+def test_cli_repair_lists_damaged_blocks(tmp_path, spark, capsys):
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.__main__ import main
+
+    a = spark.range(0, 500).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    b = a.withColumn(
+        "v", F.when(F.col("k") == 123, F.lit(0)).otherwise(F.col("v"))
+    )
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    a.write.parquet(pa)
+    b.write.parquet(pb)
+    rc = main(
+        ["repair", "--a", pa, "--b", pb, "--key", "k", "--cols", "k,v",
+         "--block-size", "100", "--fanout", "2"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 1 and "damaged_blocks=1" in out and "block=1 " in out
+    rc2 = main(
+        ["repair", "--a", pa, "--b", pa, "--key", "k", "--cols", "k,v",
+         "--block-size", "100", "--fanout", "2"]
+    )
+    assert rc2 == 0 and "damaged_blocks=0" in capsys.readouterr().out
