@@ -1637,3 +1637,41 @@ def ab_test_ztest(
             ),
         ).alias("z"),
     )
+
+
+def interval_coalesce(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Coalesce overlapping/touching intervals per key (the
+    gaps-and-islands idiom): an interval starts a new span when its
+    start exceeds the running max of prior ends (cummax window — the
+    carry that plain lag() gets wrong when an early interval swallows
+    later ones). Per-key windows only; timestamps compare as integer
+    epoch seconds. Returns one row per key:
+    (key, n_intervals, n_spans, covered_seconds)."""
+    s = F.unix_timestamp(F.col(start_col))
+    e = F.unix_timestamp(F.col(end_col))
+    g = df.select(key_col, s.alias("_s"), e.alias("_e"))
+    w = W.partitionBy(key_col).orderBy("_s", "_e").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    g = g.withColumn("_carry", F.max("_e").over(w)).withColumn(
+        "_new", (F.col("_carry").isNull() | (F.col("_s") > F.col("_carry"))).cast("long")
+    )
+    ws = W.partitionBy(key_col).orderBy("_s", "_e").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    g = g.withColumn("_span", F.sum("_new").over(ws))
+    spans = g.groupBy(key_col, "_span").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.min("_s").alias("_lo"),
+        F.max("_e").alias("_hi"),
+    )
+    return spans.groupBy(key_col).agg(
+        F.sum("_n").cast("long").alias("n_intervals"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("_hi") - F.col("_lo")).cast("long").alias("covered_seconds"),
+    )

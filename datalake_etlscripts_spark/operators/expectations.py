@@ -978,3 +978,48 @@ def dp_quantile_exponential(
     return pick.crossJoin(F.broadcast(exact)).select(
         "n", "true_median", "dp_median", "rank_dist_true", "rank_dist_dp"
     )
+
+
+def fk_inference(
+    pairs: list[tuple[str, DataFrame, str, DataFrame, str]]
+) -> DataFrame:
+    """Foreign-key / join-key DISCOVERY (the catalog-inference audit):
+    for each candidate (name, child df, child col, parent df, parent
+    col), measure distinct-value containment of the child in the
+    parent — orphans via one left-anti join on the deduplicated child
+    side (distinct first: the anti join then runs at key cardinality,
+    not fact cardinality). containment = 1 − orphans/distinct; a true
+    FK has zero orphans. Candidate pairs come from schema/type
+    matching upstream; this pass is the data check. Returns one row
+    per candidate (candidate, n_child_distinct, n_orphans,
+    containment, is_fk)."""
+    outs = []
+    for name, child, ccol, parent, pcol in pairs:
+        cd = child.select(F.col(ccol).alias("_k")).distinct()
+        pd_ = parent.select(F.col(pcol).alias("_k")).distinct()
+        orphans = cd.join(pd_, "_k", "left_anti")
+        outs.append(
+            cd.agg(F.count(F.lit(1)).cast("long").alias("n_child_distinct"))
+            .crossJoin(
+                F.broadcast(
+                    orphans.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_orphans")
+                    )
+                )
+            )
+            .select(
+                F.lit(name).alias("candidate"),
+                "n_child_distinct",
+                "n_orphans",
+                (
+                    F.lit(1.0)
+                    - F.col("n_orphans").cast("double")
+                    / F.col("n_child_distinct").cast("double")
+                ).alias("containment"),
+                (F.col("n_orphans") == 0).alias("is_fk"),
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u

@@ -2187,3 +2187,52 @@ def q_rolling_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("event_type", "window_end").agg(
         F.sum(F.bit_count("word")).cast("long").alias("distinct_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval coalescing (r6): gaps-and-islands with the cummax carry —
+# union length per user of 5-minute activity intervals.
+# ---------------------------------------------------------------------------
+@query(
+    "interval_coalesce",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS carry
+      FROM iv
+    ),
+    m AS (
+      SELECT user_id, s, e,
+             sum(CASE WHEN carry IS NULL OR s > carry THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+      FROM c
+    ),
+    sp AS (
+      SELECT user_id, span, CAST(count(*) AS BIGINT) AS n,
+             min(s) AS lo, max(e) AS hi
+      FROM m GROUP BY 1, 2
+    )
+    SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(hi - lo) AS BIGINT) AS covered_seconds
+    FROM sp GROUP BY user_id
+    """,
+)
+def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user union length of 5-minute activity intervals: gaps-and-islands coalescing with the cummax carry (an early long interval can swallow later ones - lag() alone is wrong)."""
+    from datalake_etlscripts_spark.operators.events import interval_coalesce
+
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("ivs"),
+        (F.col("ts") + F.make_interval(mins=F.lit(5))).alias("ive"),
+    )
+    return interval_coalesce(e, "user_id", "ivs", "ive")

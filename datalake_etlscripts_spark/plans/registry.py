@@ -119,6 +119,9 @@ PRIORITY: list[str] = [
     "ab_test_ztest",
     "rolling_distinct_bitmap",
     "fixed_width_scan",
+    "txn_conflict_detect",
+    "fk_inference",
+    "interval_coalesce",
     # round-4/5 additions (never driver-checked)
     "t_closeness_audit",
     "dp_noisy_release",
@@ -130,12 +133,9 @@ PRIORITY: list[str] = [
     "dsir_gumbel_resample",
     "graph_ppr_seeds",
     "kmv_rollup_distinct",
-    "gopher_length_auc",
-    "join_size_estimate",
-    "benford_audit",
 ]
 # Bumped to the next rotation (replica-harness green, driver evidence
-# queued): ivm_join_view, textrank_keywords, graph_neighborhood_hll, k_anonymity_generalize, average_precision, embedding_covariance, decision_stump_train, chi2_feature_select, forecast_mase, knn_shapley_truncated, auc_by_language, calibration_bins,
+# queued): gopher_length_auc, join_size_estimate, benford_audit, ivm_join_view, textrank_keywords, graph_neighborhood_hll, k_anonymity_generalize, average_precision, embedding_covariance, decision_stump_train, chi2_feature_select, forecast_mase, knn_shapley_truncated, auc_by_language, calibration_bins,
 # skyline_pareto, psi_drift, distribution_drift, rendezvous_sharding,
 # boolean_retrieval, source_token_entropy, attribution_position_based,
 # naive_bayes_confusion, kmv_a_not_b, funnel_deadline,

@@ -1312,3 +1312,65 @@ def q_grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gid"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# FK inference (r6): data-side join-key discovery — distinct-value
+# containment via anti joins at key cardinality.
+# ---------------------------------------------------------------------------
+@query(
+    "fk_inference",
+    oracle="""
+    WITH c1 AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    o1 AS (SELECT count(*) AS o FROM c1
+           WHERE k NOT IN (SELECT c_custkey FROM customer)),
+    c2 AS (SELECT DISTINCT l_partkey AS k FROM lineitem),
+    o2 AS (SELECT count(*) AS o FROM c2
+           WHERE k NOT IN (SELECT p_partkey FROM part)),
+    c3 AS (SELECT DISTINCT c_custkey AS k FROM customer),
+    o3 AS (SELECT count(*) AS o FROM c3
+           WHERE k NOT IN (SELECT o_custkey FROM orders)),
+    c4 AS (SELECT DISTINCT l_suppkey AS k FROM lineitem),
+    o4 AS (SELECT count(*) AS o FROM c4
+           WHERE k NOT IN (SELECT n_nationkey FROM nation))
+    , cand AS (
+      SELECT 'orders.o_custkey->customer.c_custkey' AS candidate,
+             CAST((SELECT count(*) FROM c1) AS BIGINT) AS n_child_distinct,
+             CAST((SELECT o FROM o1) AS BIGINT) AS n_orphans
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part.p_partkey',
+             CAST((SELECT count(*) FROM c2) AS BIGINT),
+             CAST((SELECT o FROM o2) AS BIGINT)
+      UNION ALL
+      SELECT 'customer.c_custkey->orders.o_custkey',
+             CAST((SELECT count(*) FROM c3) AS BIGINT),
+             CAST((SELECT o FROM o3) AS BIGINT)
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->nation.n_nationkey',
+             CAST((SELECT count(*) FROM c4) AS BIGINT),
+             CAST((SELECT o FROM o4) AS BIGINT)
+    )
+    SELECT candidate, n_child_distinct, n_orphans,
+           1.0 - CAST(n_orphans AS DOUBLE) / CAST(n_child_distinct AS DOUBLE)
+             AS containment,
+           n_orphans = 0 AS is_fk
+    FROM cand
+    """,
+)
+def q_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key discovery: distinct-value containment of four candidate child-parent pairs via key-cardinality anti joins - true FKs show zero orphans, the reverse direction and a decoy show orphan mass."""
+    from datalake_etlscripts_spark.operators.expectations import fk_inference
+
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    n = read_table(spark, sf_dir, "nation")
+    return fk_inference(
+        [
+            ("orders.o_custkey->customer.c_custkey", o, "o_custkey", c, "c_custkey"),
+            ("lineitem.l_partkey->part.p_partkey", li, "l_partkey", p, "p_partkey"),
+            ("customer.c_custkey->orders.o_custkey", c, "c_custkey", o, "o_custkey"),
+            ("lineitem.l_suppkey->nation.n_nationkey", li, "l_suppkey", n, "n_nationkey"),
+        ]
+    )

@@ -407,3 +407,76 @@ def q_ivm_minmax_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     current = f.filter(F.col("_m") != 1).select("g", "v")
     out = incremental_minmax_view(old_view, delta, current, "g", "v")
     return out.withColumn("min_v", F.col("min_v").cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# Transaction conflict detection (r6): the OCC/SSI certifier as a
+# relational pass — write-write intersection plus SSI's rw
+# antidependency (T2 read overlapping T1's write), first-committer
+# (T1) wins. One full-outer key join, nothing row-scale collected.
+# ---------------------------------------------------------------------------
+@query(
+    "txn_conflict_detect",
+    oracle="""
+    WITH w1 AS (SELECT DISTINCT o_orderkey AS k FROM orders
+                WHERE o_orderkey % 7 = 0),
+    w2 AS (SELECT DISTINCT o_orderkey AS k FROM orders
+           WHERE o_orderkey % 5 = 0),
+    r2 AS (SELECT DISTINCT o_orderkey AS k FROM orders
+           WHERE o_orderkey % 3 = 0),
+    u AS (
+      SELECT COALESCE(w1.k, w2.k, r2.k) AS k,
+             w1.k IS NOT NULL AS in_w1,
+             w2.k IS NOT NULL AS in_w2,
+             r2.k IS NOT NULL AS in_r2
+      FROM w1
+      FULL JOIN w2 ON w1.k = w2.k
+      FULL JOIN r2 ON COALESCE(w1.k, w2.k) = r2.k
+    ),
+    c AS (
+      SELECT k,
+             CASE WHEN in_w1 AND in_w2 THEN 'ww_conflict'
+                  WHEN in_w1 AND in_r2 THEN 'rw_conflict'
+                  WHEN in_w1 THEN 't1_write'
+                  WHEN in_w2 THEN 't2_write'
+                  ELSE 't2_read' END AS outcome
+      FROM u
+    )
+    SELECT outcome, CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(min(k) AS BIGINT) AS first_key
+    FROM c GROUP BY outcome
+    """,
+)
+def q_txn_conflict_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCC/SSI commit certification over two concurrent batches: write-write intersection and the rw-antidependency class, first-committer wins - one full-outer key join, outcome-class counts out."""
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey")
+    w1 = o.filter(F.col("o_orderkey") % 7 == 0).distinct().select(
+        F.col("o_orderkey").alias("k"), F.lit(True).alias("in_w1")
+    )
+    w2 = o.filter(F.col("o_orderkey") % 5 == 0).distinct().select(
+        F.col("o_orderkey").alias("k"), F.lit(True).alias("in_w2")
+    )
+    r2 = o.filter(F.col("o_orderkey") % 3 == 0).distinct().select(
+        F.col("o_orderkey").alias("k"), F.lit(True).alias("in_r2")
+    )
+    u = (
+        w1.join(w2, "k", "full_outer")
+        .join(r2, "k", "full_outer")
+        .select(
+            "k",
+            F.coalesce("in_w1", F.lit(False)).alias("in_w1"),
+            F.coalesce("in_w2", F.lit(False)).alias("in_w2"),
+            F.coalesce("in_r2", F.lit(False)).alias("in_r2"),
+        )
+    )
+    outcome = (
+        F.when(F.col("in_w1") & F.col("in_w2"), "ww_conflict")
+        .when(F.col("in_w1") & F.col("in_r2"), "rw_conflict")
+        .when(F.col("in_w1"), "t1_write")
+        .when(F.col("in_w2"), "t2_write")
+        .otherwise("t2_read")
+    )
+    return u.select("k", outcome.alias("outcome")).groupBy("outcome").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.min("k").cast("long").alias("first_key"),
+    )

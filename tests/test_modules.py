@@ -3257,3 +3257,29 @@ def test_cli_repair_lists_damaged_blocks(tmp_path, spark, capsys):
          "--block-size", "100", "--fanout", "2"]
     )
     assert rc2 == 0 and "damaged_blocks=0" in capsys.readouterr().out
+
+
+def test_interval_coalesce_swallowed_intervals(spark):
+    """An early long interval swallows two later short ones (the case
+    lag()-based islands gets wrong); disjoint spans stay separate."""
+    import datetime as dt
+
+    from datalake_etlscripts_spark.operators.events import interval_coalesce
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def iv(u, s, e):
+        return (u, t0 + dt.timedelta(minutes=s), t0 + dt.timedelta(minutes=e))
+
+    rows = [
+        iv("u1", 0, 60),   # long
+        iv("u1", 10, 20),  # swallowed
+        iv("u1", 30, 40),  # swallowed (lag-based would restart here)
+        iv("u1", 70, 80),  # separate span
+        iv("u2", 0, 10),
+        iv("u2", 10, 20),  # touching -> coalesced
+    ]
+    df = spark.createDataFrame(rows, "user_id string, s timestamp, e timestamp")
+    out = {r["user_id"]: r for r in interval_coalesce(df, "user_id", "s", "e").collect()}
+    assert out["u1"]["n_spans"] == 2 and out["u1"]["covered_seconds"] == 70 * 60
+    assert out["u2"]["n_spans"] == 1 and out["u2"]["covered_seconds"] == 20 * 60
