@@ -10,6 +10,7 @@ from datalake_etlscripts_spark.plans.registry import (  # noqa: F401
 from datalake_etlscripts_spark.plans import (  # noqa: F401, E402
     diffcrawl,
     events,
+    featureops,
     functions_showcase,
     graphops,
     relational,

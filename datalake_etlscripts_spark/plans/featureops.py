@@ -1,0 +1,401 @@
+"""Feature-engineering query plans (r7): target encoding, the hashing
+trick, log-template mining, the mergeable moments sketch, seasonal
+decomposition, EWMA anomaly flags, the A/B DiD readout, and item-item
+co-occurrence similarity. Beyond-reference LLM/training-pipeline
+surface (the reference has no feature layer); every entry is
+oracle-backed under the house float-determinism policy."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_etlscripts_spark.io.readers import read_table
+from datalake_etlscripts_spark.operators import features
+from datalake_etlscripts_spark.plans.registry import ddb_hex32, query
+
+_D = "CAST(CAST({x} AS VARCHAR) AS DOUBLE)"
+
+
+def _d(x: str) -> str:
+    return _D.format(x=x)
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding — orders priority vs finished status.
+# ---------------------------------------------------------------------------
+@query(
+    "target_encode_loo",
+    oracle=f"""
+    WITH f AS (
+      SELECT o_orderkey AS id, o_orderpriority AS cat,
+             CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS HUGEINT)
+               AS y
+      FROM orders
+    ),
+    c AS (
+      SELECT cat, CAST(count(*) AS HUGEINT) AS n_c, sum(y) AS s_c
+      FROM f GROUP BY 1
+    ),
+    g AS (SELECT CAST(count(*) AS HUGEINT) AS n_g, sum(y) AS s_g FROM f)
+    SELECT f.id, f.cat, CAST(f.y AS BIGINT) AS y_int,
+           CASE WHEN c.n_c - 1 <> 0 THEN
+             {_d('c.s_c - f.y')} / {_d('c.n_c - 1')} END AS loo_encode,
+           {_d('(c.s_c - f.y) * g.n_g + 20 * g.s_g')}
+             / {_d('(c.n_c - 1 + 20) * g.n_g')} AS smoothed_encode
+    FROM f JOIN c USING (cat) CROSS JOIN g
+    """,
+)
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free leave-one-out target encoding of order priority against finished status, with m=20 shrinkage toward the global prior - exact DECIMAL sums, one integer division per output."""
+    o = read_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    return features.target_encode_loo(
+        base, "o_orderkey", "o_orderpriority", "y", smoothing=20
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick feature vectors over documents.
+# ---------------------------------------------------------------------------
+@query(
+    "feature_hash_vectors",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+      FROM documents
+    ),
+    h AS (SELECT id, {ddb_hex32("md5(tok)")} AS lane FROM toks)
+    SELECT id, CAST(lane % 64 AS BIGINT) AS bucket,
+           CAST(sum(CASE WHEN (lane // 64) % 2 = 0 THEN 1 ELSE -1 END)
+                AS BIGINT) AS feat,
+           CAST(count(*) AS BIGINT) AS n_tok
+    FROM h GROUP BY 1, 2
+    """,
+)
+def q_feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick sparse feature vectors: tokens land in md5-lane buckets with a sign bit, no vocabulary built and no dictionary shuffle - one explode plus one keyed groupBy."""
+    d = read_table(spark, sf_dir, "documents")
+    out = features.feature_hash_vectors(d, "doc_id", "text", n_buckets=64)
+    return out.withColumn("bucket", F.col("bucket").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Log-template mining over synthesized event log lines.
+# ---------------------------------------------------------------------------
+@query(
+    "log_template_mining",
+    oracle="""
+    WITH lines AS (
+      SELECT event_type || ' user ' || user_id || ' k '
+             || json_extract_string(props, '$.k') || ' v '
+             || CAST(CAST(CAST(value AS DECIMAL(12,4)) * 10000 AS BIGINT)
+                     AS VARCHAR) AS line
+      FROM events
+    ),
+    t AS (
+      SELECT list_filter(string_split(line, ' '), x -> x <> '') AS toks
+      FROM lines
+    ),
+    g AS (SELECT toks, len(toks) AS n_tokens, toks[1] AS t1 FROM t),
+    gc AS (
+      SELECT n_tokens, t1, CAST(count(*) AS BIGINT) AS n_lines
+      FROM g GROUP BY 1, 2
+    ),
+    ps AS (
+      SELECT unnest(generate_series(1, (SELECT max(n_tokens) FROM g))) AS pos
+    ),
+    px AS (
+      SELECT g.n_tokens, g.t1, ps.pos, g.toks[ps.pos] AS tok
+      FROM g, ps WHERE ps.pos <= g.n_tokens
+    ),
+    sl AS (
+      SELECT n_tokens, t1, pos,
+             CASE WHEN count(DISTINCT tok) > 1 THEN '<*>' ELSE min(tok) END
+               AS piece
+      FROM px GROUP BY 1, 2, 3
+    ),
+    tp AS (
+      SELECT n_tokens, t1, string_agg(piece, ' ' ORDER BY pos) AS template,
+             CAST(sum(CASE WHEN piece = '<*>' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_wild
+      FROM sl GROUP BY 1, 2
+    )
+    SELECT tp.template, CAST(tp.n_tokens AS INT) AS n_tokens, tp.n_wild,
+           gc.n_lines
+    FROM tp JOIN gc USING (n_tokens, t1)
+    """,
+)
+def q_log_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain-lite relational log-template mining: lines grouped by (token count, first token), positions with >1 distinct value become wildcard slots, templates reassembled position-ordered with support counts."""
+    e = read_table(spark, sf_dir, "events")
+    cents = (
+        (F.col("value").cast("decimal(12,4)") * 10000)
+        .cast("bigint")
+        .cast("string")
+    )
+    lines = e.select(
+        F.concat_ws(
+            " ",
+            F.col("event_type"),
+            F.lit("user"),
+            F.col("user_id"),
+            F.lit("k"),
+            F.get_json_object("props", "$.k"),
+            F.lit("v"),
+            cents,
+        ).alias("line")
+    )
+    return features.template_mine(lines, "line")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable moments sketch over documents.n_chars by source.
+# ---------------------------------------------------------------------------
+@query(
+    "moments_sketch_merge",
+    oracle=f"""
+    WITH b AS (
+      SELECT source AS key, CAST(n_chars AS HUGEINT) AS x FROM documents
+    ),
+    st AS (
+      SELECT key, CAST(count(*) AS HUGEINT) AS n, sum(x) AS s1,
+             sum(x * x) AS s2, sum(x * x * x) AS s3,
+             sum(x * x * x * x) AS s4
+      FROM b GROUP BY 1
+    ),
+    u AS (
+      SELECT * FROM st
+      UNION ALL
+      SELECT '__total__', sum(n), sum(s1), sum(s2), sum(s3), sum(s4) FROM st
+    )
+    SELECT key, CAST(n AS BIGINT) AS n,
+           {_d('s1')} AS s1, {_d('s2')} AS s2, {_d('s3')} AS s3,
+           {_d('s4')} AS s4,
+           {_d('s1')} / {_d('n')} AS mean,
+           {_d('n * s2 - s1 * s1')} / {_d('n * n')} AS variance
+    FROM u
+    """,
+)
+def q_moments_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable moments sketch per source plus a __total__ row built by ADDING the per-source states (facts never rescanned) - exact DECIMAL power sums, mean and variance as single integer divisions."""
+    d = read_table(spark, sf_dir, "documents")
+    return features.moments_state_merge(d, "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition of the hourly event-count series.
+# ---------------------------------------------------------------------------
+@query(
+    "seasonal_decompose",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type AS k, date_trunc('hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    rng AS (SELECT k, min(h) AS lo, max(h) AS hi FROM hc GROUP BY 1),
+    spine AS (
+      SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM rng
+    ),
+    g AS (
+      SELECT spine.k, spine.h, CAST(COALESCE(hc.c, 0) AS BIGINT) AS c
+      FROM spine LEFT JOIN hc ON hc.k = spine.k AND hc.h = spine.h
+    ),
+    w AS (
+      SELECT k, h, c, sum(c) OVER win AS s, count(*) OVER win AS wn
+      FROM g
+      WINDOW win AS (PARTITION BY k ORDER BY h
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    d AS (
+      SELECT k, h, c,
+             CASE WHEN wn = 25 THEN CAST(s AS BIGINT) END AS s25,
+             CASE WHEN wn = 25 THEN CAST(25 * c - s AS BIGINT) END AS dev25
+      FROM w
+    ),
+    se AS (
+      SELECT k, extract(hour FROM h) AS hod,
+             CAST(sum(dev25) AS BIGINT) AS sn,
+             CAST(25 * count(*) AS BIGINT) AS sd
+      FROM d WHERE dev25 IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT d.k AS event_type, d.h AS hour, d.c AS y,
+           CAST(d.s25 AS DOUBLE) / CAST(25 AS DOUBLE) AS trend,
+           CASE WHEN d.s25 IS NOT NULL THEN
+             CAST(se.sn AS DOUBLE) / CAST(se.sd AS DOUBLE) END AS seasonal,
+           CASE WHEN d.s25 IS NOT NULL THEN
+             CAST(d.c AS DOUBLE) - CAST(d.s25 AS DOUBLE) / CAST(25 AS DOUBLE)
+               - CAST(se.sn AS DOUBLE) / CAST(se.sd AS DOUBLE) END AS residual
+    FROM d LEFT JOIN se
+      ON se.k = d.k AND se.hod = extract(hour FROM d.h)
+    """,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition y = trend + seasonal + residual per event type: centered 25h moving average, hour-of-day means of the 25x-scaled INTEGER detrended series, three exact end divisions."""
+    e = read_table(spark, sf_dir, "events")
+    out = features.seasonal_decompose_hourly(e)
+    return out.select("event_type", "hour", "y", "trend", "seasonal", "residual")
+
+
+# ---------------------------------------------------------------------------
+# Truncated-EWMA anomaly flags on the hourly series.
+# ---------------------------------------------------------------------------
+_EWMA_W = [3 ** (i - 1) * 4 ** (8 - i) for i in range(1, 9)]
+_EWMA_NUM = " + ".join(
+    f"COALESCE({w} * c{i}, 0)" for i, w in enumerate(_EWMA_W, start=1)
+)
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN c{i} IS NOT NULL THEN {w} ELSE 0 END)"
+    for i, w in enumerate(_EWMA_W, start=1)
+)
+_EWMA_LAGS = ",\n             ".join(
+    f"lag(c, {i}) OVER win AS c{i}" for i in range(1, 9)
+)
+
+
+@query(
+    "ewma_anomaly",
+    oracle=f"""
+    WITH hc AS (
+      SELECT event_type AS k, date_trunc('hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    rng AS (SELECT k, min(h) AS lo, max(h) AS hi FROM hc GROUP BY 1),
+    spine AS (
+      SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM rng
+    ),
+    g AS (
+      SELECT spine.k, spine.h, CAST(COALESCE(hc.c, 0) AS BIGINT) AS c
+      FROM spine LEFT JOIN hc ON hc.k = spine.k AND hc.h = spine.h
+    ),
+    l AS (
+      SELECT k, h, c,
+             {_EWMA_LAGS}
+      FROM g WINDOW win AS (PARTITION BY k ORDER BY h)
+    ),
+    e AS (
+      SELECT k, h, c,
+             CAST({_EWMA_NUM} AS BIGINT) AS num,
+             CAST({_EWMA_DEN} AS BIGINT) AS den
+      FROM l
+    )
+    SELECT k AS event_type, h AS hour, c AS y,
+           CASE WHEN den > 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+             END AS ewma_pred,
+           CASE WHEN den > 0 THEN c * den > 3 * num END AS spike
+    FROM e
+    """,
+)
+def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA forecast over the last 8 past hours with denominator-cleared integer weights 3^(i-1)*4^(8-i); spike flag y > 3*pred decided by integer cross-multiplication, never a float compare."""
+    e = read_table(spark, sf_dir, "events")
+    return features.ewma_anomaly_hourly(e)
+
+
+# ---------------------------------------------------------------------------
+# A/B diff-in-differences readout with SRM guard.
+# ---------------------------------------------------------------------------
+@query(
+    "experiment_did",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id, ts,
+             ({ddb_hex32("md5(CAST(user_id AS VARCHAR))")} % 2 = 1) AS treat,
+             (ts >= TIMESTAMP '2024-01-16 00:00:00') AS post,
+             CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                  AS BIGINT) AS y
+      FROM events
+    ),
+    a AS (
+      SELECT
+        CAST(sum(CASE WHEN NOT treat AND NOT post THEN y ELSE 0 END)
+             AS BIGINT) AS s00,
+        CAST(sum(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END)
+             AS BIGINT) AS n00,
+        CAST(sum(CASE WHEN NOT treat AND post THEN y ELSE 0 END)
+             AS BIGINT) AS s01,
+        CAST(sum(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END)
+             AS BIGINT) AS n01,
+        CAST(sum(CASE WHEN treat AND NOT post THEN y ELSE 0 END)
+             AS BIGINT) AS s10,
+        CAST(sum(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END)
+             AS BIGINT) AS n10,
+        CAST(sum(CASE WHEN treat AND post THEN y ELSE 0 END)
+             AS BIGINT) AS s11,
+        CAST(sum(CASE WHEN treat AND post THEN 1 ELSE 0 END)
+             AS BIGINT) AS n11,
+        CAST(count(DISTINCT CASE WHEN treat THEN user_id END) AS BIGINT)
+          AS users_treat,
+        CAST(count(DISTINCT CASE WHEN NOT treat THEN user_id END) AS BIGINT)
+          AS users_ctrl
+      FROM f
+    )
+    SELECT users_treat, users_ctrl,
+           CAST((users_treat - users_ctrl) * (users_treat - users_ctrl)
+                AS DOUBLE)
+             / CAST(users_treat + users_ctrl AS DOUBLE) AS srm_chi2,
+           CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE) AS m_ctrl_pre,
+           CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE) AS m_ctrl_post,
+           CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE) AS m_treat_pre,
+           CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE) AS m_treat_post,
+           (CAST(s11 AS DOUBLE) / CAST(n11 AS DOUBLE)
+              - CAST(s10 AS DOUBLE) / CAST(n10 AS DOUBLE))
+             - (CAST(s01 AS DOUBLE) / CAST(n01 AS DOUBLE)
+                  - CAST(s00 AS DOUBLE) / CAST(n00 AS DOUBLE)) AS did
+    FROM a
+    """,
+)
+def q_experiment_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan A/B readout: md5-lane arm assignment, pre/post split, difference-in-differences over four exact cell means, and the sample-ratio-mismatch chi-square guard on distinct user counts."""
+    e = read_table(spark, sf_dir, "events")
+    return features.experiment_did(e)
+
+
+# ---------------------------------------------------------------------------
+# Item-item co-occurrence similarity over order baskets.
+# ---------------------------------------------------------------------------
+@query(
+    "item_item_cf",
+    oracle=f"""
+    WITH oi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    sz AS (SELECT b, count(*) AS bs FROM oi GROUP BY 1),
+    oif AS (SELECT oi.b, oi.i FROM oi JOIN sz USING (b) WHERE sz.bs <= 64),
+    ni AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM oif GROUP BY 1),
+    p AS (
+      SELECT a.i AS ia, b2.i AS ib, CAST(count(*) AS BIGINT) AS cooc
+      FROM oif a JOIN oif b2 ON a.b = b2.b AND a.i < b2.i GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT ia, ib, cooc FROM p
+      UNION ALL
+      SELECT ib, ia, cooc FROM p
+    ),
+    sc AS (
+      SELECT s.ia, s.ib, s.cooc, na.n AS n_a, nb.n AS n_b,
+             {_d('CAST(s.cooc AS HUGEINT) * s.cooc')}
+               / {_d('CAST(na.n AS HUGEINT) * nb.n')} AS cosine_sq
+      FROM s JOIN ni na ON na.i = s.ia JOIN ni nb ON nb.i = s.ib
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY ia
+                                   ORDER BY cosine_sq DESC, ib) AS rnk
+      FROM sc
+    )
+    SELECT ia AS item, ib AS neighbor, cooc, n_a, n_b, cosine_sq,
+           CAST(rnk AS INT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering from order-basket co-occurrence: cosine-squared ranking as one exact integer division per pair, mega-baskets capped at 64 items to bound the pair blowup, top-3 neighbors per part."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return features.item_item_topk(
+        li, "l_orderkey", "l_partkey", k=3, max_basket=64
+    )
