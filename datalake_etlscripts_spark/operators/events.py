@@ -1675,3 +1675,61 @@ def interval_coalesce(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum(F.col("_hi") - F.col("_lo")).cast("long").alias("covered_seconds"),
     )
+
+
+def bot_regularity(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    min_events: int = 20,
+    bot_min_events: int = 50,
+    max_std_seconds: int = 30,
+) -> DataFrame:
+    """Automation/bot detection by inter-arrival REGULARITY: humans
+    produce bursty, high-variance gaps; schedulers tick like clocks.
+    Per user, gaps are exact epoch-microsecond differences (one lag
+    window), and the gap variance is formed without ever leaving
+    integers —
+
+        var_num = m·Σg² − (Σg)²ᅟᅟvar_den = m²ᅟᅟ(m = n−1 gaps)
+
+    accumulated in DECIMAL(38,0) (µs² fourth-power-free but still
+    ~10²⁴ magnitudes). The bot flag is an INTEGER cross-multiplication,
+    never a float compare:
+
+        is_bot  ⇔  n ≥ bot_min_events  AND
+                   var_num < max_std_seconds²·10¹² · var_den
+
+    (std < 30 s in µs² units). Output is user-grain, restricted to
+    users with ≥ ``min_events`` so the report stays review-sized;
+    mean gap and variance ride along as single exact divisions. One
+    user-keyed window + one groupBy — the same shuffle key, so Spark
+    reuses the partitioning; no self-joins at any scale."""
+    dec = "decimal(38,0)"
+    w = W.partitionBy(user_col).orderBy("_us")
+    gaps = df.select(
+        user_col, F.unix_micros(F.col(ts_col)).alias("_us")
+    ).withColumn("_g", (F.col("_us") - F.lag("_us", 1).over(w)).cast(dec))
+    st = gaps.groupBy(user_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("_g").cast(dec).alias("_m"),
+        F.sum("_g").cast(dec).alias("_sg"),
+        F.sum(F.col("_g") * F.col("_g")).cast(dec).alias("_sg2"),
+    )
+    st = st.filter(F.col("n_events") >= min_events)
+    var_num = (F.col("_m") * F.col("_sg2") - F.col("_sg") * F.col("_sg")).cast(
+        dec
+    )
+    var_den = (F.col("_m") * F.col("_m")).cast(dec)
+    thresh = max_std_seconds * max_std_seconds * 1_000_000_000_000
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return st.select(
+        user_col,
+        "n_events",
+        (as_d(F.col("_sg")) / as_d(F.col("_m"))).alias("mean_gap_us"),
+        (as_d(var_num) / as_d(var_den)).alias("var_gap_us2"),
+        (
+            (F.col("n_events") >= bot_min_events)
+            & (var_num < F.lit(thresh).cast(dec) * var_den)
+        ).alias("is_bot"),
+    )

@@ -2236,3 +2236,59 @@ def q_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.make_interval(mins=F.lit(5))).alias("ive"),
     )
     return interval_coalesce(e, "user_id", "ivs", "ive")
+
+
+# ---------------------------------------------------------------------------
+# Bot detection by inter-arrival regularity (r7): schedulers tick like
+# clocks — exact integer gap variance per user, flag decided by integer
+# cross-multiplication. A 200-event metronome bot (60 s period) is
+# injected identically in both engines to prove the detector fires.
+# ---------------------------------------------------------------------------
+@query(
+    "bot_detection",
+    oracle="""
+    WITH bots AS (
+      SELECT 999999999 AS user_id,
+             make_timestamp(1704412800000000 + i * 60000000) AS ts
+      FROM (SELECT unnest(range(0, 200)) AS i)
+    ),
+    ev AS (
+      SELECT user_id, ts FROM events
+      UNION ALL SELECT user_id, ts FROM bots
+    ),
+    g AS (SELECT user_id, epoch_us(ts) AS us FROM ev),
+    l AS (
+      SELECT user_id,
+             CAST(us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                  AS HUGEINT) AS gp
+      FROM g
+    ),
+    s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(gp) AS HUGEINT) AS m, sum(gp) AS sg,
+             sum(gp * gp) AS sg2
+      FROM l GROUP BY 1
+    )
+    SELECT user_id, n_events,
+           CAST(CAST(sg AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(m AS VARCHAR) AS DOUBLE) AS mean_gap_us,
+           CAST(CAST(m * sg2 - sg * sg AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(m * m AS VARCHAR) AS DOUBLE) AS var_gap_us2,
+           (n_events >= 50
+              AND m * sg2 - sg * sg < 900000000000000 * (m * m)) AS is_bot
+    FROM s WHERE n_events >= 20
+    """,
+)
+def q_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot detection by inter-arrival regularity: exact integer gap variance per user (one lag window, one groupBy on the same key), flag std < 30s decided by integer cross-multiplication; planted 60s-metronome bot proves the detector."""
+    from datalake_etlscripts_spark.operators.events import bot_regularity
+
+    e = read_table(spark, sf_dir, "events")
+    bots = spark.range(200).select(
+        F.lit(999999999).cast("long").alias("user_id"),
+        F.timestamp_micros(
+            F.lit(1704412800000000) + F.col("id") * 60_000_000
+        ).alias("ts"),
+    )
+    ev = e.select("user_id", "ts").unionByName(bots)
+    return bot_regularity(ev)

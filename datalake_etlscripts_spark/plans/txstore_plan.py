@@ -480,3 +480,94 @@ def q_txn_conflict_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.min("k").cast("long").alias("first_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TOP-K view IVM (r7): the third maintenance shape beside the counting
+# algorithm and min-multiplicity state — a 2k-buffer with floor τ; only
+# non-buffer delta keys whose upper bound τ+Δ clears the updated k-th
+# count rescan the base (dirty-key semi-join). The oracle RECOMPUTES
+# the top-k from the post-delta facts (incremental ≡ recompute) and
+# derives the rescanned flag from the same pre/delta aggregates the
+# engine uses — including the refill condition (updated k-th count
+# sinking below the floor flags every row rescanned). Delta:
+# o_orderkey%7=0 inserts (absent from base), %7=1 AND %3=0 deletes
+# (pressure tuned so the incremental path, not refill, runs at the
+# test SFs; the refill branch is unit-tested with mass deletes).
+# ---------------------------------------------------------------------------
+@query(
+    "ivm_topk_view",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS g FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    bc AS (SELECT g, CAST(count(*) AS BIGINT) AS cnt FROM base GROUP BY 1),
+    buf AS (
+      SELECT g, cnt FROM (
+        SELECT g, cnt, row_number() OVER (ORDER BY cnt DESC, g) AS rn
+        FROM bc
+      ) WHERE rn <= 20
+    ),
+    tau AS (
+      SELECT CASE WHEN (SELECT count(*) FROM buf) >= 20
+                  THEN (SELECT min(cnt) FROM buf) ELSE 0 END AS t
+    ),
+    d AS (
+      SELECT o_custkey AS g,
+             CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE -1 END)
+                  AS BIGINT) AS dn
+      FROM orders
+      WHERE o_orderkey % 7 = 0
+         OR (o_orderkey % 7 = 1 AND o_orderkey % 3 = 0)
+      GROUP BY 1
+    ),
+    b2 AS (
+      SELECT buf.g, buf.cnt + COALESCE(d.dn, 0) AS cnt
+      FROM buf LEFT JOIN d USING (g)
+      WHERE buf.cnt + COALESCE(d.dn, 0) > 0
+    ),
+    kth AS (
+      SELECT min(cnt) AS kv FROM (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, g) AS rn FROM b2
+      ) WHERE rn <= 10
+    ),
+    resc AS (
+      SELECT d.g FROM d, tau, kth
+      WHERE d.g NOT IN (SELECT g FROM buf) AND tau.t + d.dn >= kth.kv
+    ),
+    post AS (
+      SELECT o_custkey AS g FROM orders
+      WHERE NOT (o_orderkey % 7 = 1 AND o_orderkey % 3 = 0)
+    ),
+    r AS (
+      SELECT g, cnt, row_number() OVER (ORDER BY cnt DESC, g) AS rnk
+      FROM (SELECT g, CAST(count(*) AS BIGINT) AS cnt FROM post GROUP BY 1)
+    )
+    SELECT CAST(rnk AS INT) AS rank, g AS o_custkey, cnt AS n,
+           CASE WHEN (SELECT count(*) FROM b2) < 10
+                  OR (SELECT kv FROM kth) < (SELECT t FROM tau)
+             THEN TRUE ELSE g IN (SELECT g FROM resc) END AS rescanned
+    FROM r WHERE rnk <= 10
+    """,
+)
+def q_ivm_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k-by-count view maintained from a signed delta with a 2k buffer and floor bound - only non-buffer keys whose upper bound clears the updated k-th count rescan the base; oracle recomputes from post-delta facts (incremental = recompute)."""
+    from datalake_etlscripts_spark.summary import incremental_topk_view
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    base = o.filter(F.col("o_orderkey") % 7 != 0)
+    buf = (
+        base.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("o_custkey"))
+        .limit(20)
+        .localCheckpoint()  # the persisted view state (stand-in for a table)
+    )
+    is_del = (F.col("o_orderkey") % 7 == 1) & (F.col("o_orderkey") % 3 == 0)
+    delta = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "_sign", F.lit(1)
+    ).unionByName(o.filter(is_del).withColumn("_sign", F.lit(-1)))
+    post = o.filter(~is_del)
+    return incremental_topk_view(
+        buf, delta, post, "o_custkey", k=10, buffer_cap=20
+    )

@@ -8,7 +8,7 @@ grouping sets so the 100 TB table is scanned once, not once per field.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -253,3 +253,92 @@ def incremental_minmax_view(
         g, "n", "min_v", "n_min", F.lit(True).alias("rescanned")
     )
     return clean.unionByName(rescanned)
+
+
+def incremental_topk_view(
+    old_buffer: DataFrame,
+    delta: DataFrame,
+    current_base: DataFrame,
+    group_col: str,
+    k: int = 10,
+    buffer_cap: int | None = None,
+    sign_col: str = "_sign",
+) -> DataFrame:
+    """Incremental maintenance of a TOP-K-by-count view — the third
+    IVM shape beside the counting algorithm (incremental_join_view)
+    and min-multiplicity state (incremental_minmax_view). Full group
+    counts are exactly what a top-k view must NOT maintain (the whole
+    point is state ≪ group count), so the classical k-buffer answer:
+
+      * state = the top-``2k`` groups with their counts, plus the
+        buffer floor τ (the 2k-th count at build — every key OUTSIDE
+        the buffer is known to have count ≤ τ);
+      * buffer keys update in place from the signed delta;
+      * a NON-buffer delta key can only reach the top-k if its upper
+        bound τ + Δ clears the updated buffer's k-th count — only
+        those keys rescan the base, via a semi-join pruned to the
+        dirty keys (partition/file pruning at scale);
+      * if deletes sink the updated k-th count BELOW τ, the floor no
+        longer protects the untouched keys and the buffer REFILLS
+        from the base (the 2k margin exists to absorb k deletions
+        before this triggers) — a view-state control-flow decision
+        taken on two driver-side scalars, like any maintenance job.
+
+    ``current_base`` is the post-delta fact table. Returns the top-k
+    rows (rank, group, n, rescanned); ``rescanned`` audits the
+    maintenance cost exactly like the minmax view's flag."""
+    g = group_col
+    cap = buffer_cap or 2 * k
+    d = delta.groupBy(g).agg(F.sum(sign_col).cast("long").alias("_dn"))
+    upd = (
+        old_buffer.select(g, F.col("n").cast("long").alias("_n0"))
+        .join(d, g, "left")
+        .select(
+            g,
+            (F.col("_n0") + F.coalesce("_dn", F.lit(0))).cast("long").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    upd = upd.localCheckpoint(eager=False)
+    stats0 = old_buffer.agg(
+        F.count(F.lit(1)).alias("_bn"), F.min("n").alias("_bmin")
+    ).collect()[0]
+    tau = int(stats0["_bmin"] or 0) if int(stats0["_bn"]) >= cap else 0
+    kth_rows = (
+        upd.orderBy(F.desc("n"), F.asc(g)).limit(k).orderBy(F.asc("n")).limit(1)
+    ).collect()
+    kth = int(kth_rows[0]["n"]) if upd.count() >= k and kth_rows else None
+    if kth is None or kth < tau:
+        # refill: the floor no longer bounds untouched keys
+        refreshed = (
+            current_base.groupBy(g)
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc(g))
+            .limit(k)  # distributed TakeOrdered — no global window
+        )
+        return refreshed.select(
+            F.row_number()
+            .over(W.orderBy(F.desc("n"), F.asc(g)))
+            .cast("int")
+            .alias("rank"),
+            F.col(g),
+            F.col("n"),
+            F.lit(True).alias("rescanned"),
+        )
+    cand = d.join(old_buffer.select(g), g, "left_anti").filter(
+        F.lit(tau) + F.col("_dn") >= F.lit(kth)
+    )
+    rescan = (
+        current_base.join(F.broadcast(cand.select(g)), g, "left_semi")
+        .groupBy(g)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    u = upd.withColumn("rescanned", F.lit(False)).unionByName(
+        rescan.withColumn("rescanned", F.lit(True))
+    )
+    ranked = u.withColumn(
+        "rank", F.row_number().over(W.orderBy(F.desc("n"), F.asc(g)))
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        F.col("rank").cast("int"), F.col(g), F.col("n"), "rescanned"
+    )

@@ -130,3 +130,81 @@ def test_seasonal_decompose_flat_series_has_zero_seasonal(spark):
         assert r["residual"] == 0.0
     # edges carry no trend by construction
     assert sum(1 for r in out if r["trend"] is None) == 24
+
+
+def _counts_df(spark, counts: dict):
+    rows = [(k,) for k, c in counts.items() for _ in range(c)]
+    return spark.createDataFrame(rows, "g string")
+
+
+def test_ivm_topk_incremental_path_rescans_riser(spark):
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.summary import incremental_topk_view
+
+    base = _counts_df(spark, {"a": 5, "b": 4, "c": 3, "d": 3, "e": 2})
+    buf = (
+        base.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("g"))
+        .limit(4)
+    )
+    # e gains 5 inserts → post count 7, must enter via rescan
+    delta = spark.createDataFrame([("e", 1)] * 5, "g string, _sign int")
+    post = base.unionByName(_counts_df(spark, {"e": 5}))
+    out = {
+        r["rank"]: r
+        for r in incremental_topk_view(buf, delta, post, "g", k=2, buffer_cap=4).collect()
+    }
+    assert out[1]["g"] == "e" and out[1]["n"] == 7 and out[1]["rescanned"] is True
+    assert out[2]["g"] == "a" and out[2]["n"] == 5 and out[2]["rescanned"] is False
+
+
+def test_ivm_topk_refill_on_mass_delete(spark):
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.summary import incremental_topk_view
+
+    base = _counts_df(spark, {"a": 5, "b": 4, "c": 3, "d": 3, "e": 2})
+    buf = (
+        base.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("g"))
+        .limit(4)
+    )
+    # mass deletes sink the buffer's k-th below the floor τ=3 →
+    # refill; e (untouched, outside the buffer) is only reachable
+    # by the base recompute.
+    delta = spark.createDataFrame(
+        [("a", -1)] * 4 + [("b", -1)] * 3 + [("c", -1)] * 2,
+        "g string, _sign int",
+    )
+    post = _counts_df(spark, {"a": 1, "b": 1, "c": 1, "d": 3, "e": 2})
+    out = {
+        r["rank"]: r
+        for r in incremental_topk_view(buf, delta, post, "g", k=2, buffer_cap=4).collect()
+    }
+    assert out[1]["g"] == "d" and out[1]["n"] == 3
+    assert out[2]["g"] == "e" and out[2]["n"] == 2
+    assert all(r["rescanned"] is True for r in out.values())
+
+
+def test_bot_regularity_flags_metronome_only(spark):
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.operators.events import bot_regularity
+
+    bot = spark.range(60).select(
+        F.lit(1).cast("long").alias("user_id"),
+        F.timestamp_micros(F.col("id") * 60_000_000).alias("ts"),
+    )
+    # human: same event count, gaps 1m/9m alternating → huge variance
+    human = spark.range(60).select(
+        F.lit(2).cast("long").alias("user_id"),
+        F.timestamp_micros(
+            (F.col("id") * 300 + (F.col("id") % 2) * 240) * F.lit(1_000_000)
+        ).alias("ts"),
+    )
+    out = {r["user_id"]: r for r in bot_regularity(bot.unionByName(human)).collect()}
+    assert out[1]["is_bot"] is True and out[1]["var_gap_us2"] == 0.0
+    assert out[2]["is_bot"] is False
