@@ -389,3 +389,102 @@ def unigram_train(
         costs = _recost(uses, scale)
         out.append((costs, uses))
     return out
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    vocab: list[tuple[str, bool]],
+    text_col: str = "text",
+) -> DataFrame:
+    """WordPiece ENCODING — greedy longest-match-first (the BERT
+    tokenizer's inference rule; Wu et al. 2016), the third tokenizer
+    beside BPE merge-replay (bpe_encode) and unigram Viterbi
+    (unigram_viterbi_encode). ``vocab`` is (piece_text, is_cont):
+    continuation pieces only match at positions > 1 and display with
+    the ``##`` prefix. Any word the chase cannot tile end-to-end
+    collapses to ``[UNK]`` — whole-word, exactly like BERT.
+
+    Plan: the DP never touches the corpus — one corpus-scale shuffle
+    builds (word, freq), then everything runs on the DISTINCT-word
+    table: (word, position, piece-length) candidates equi-join the
+    broadcast vocab on the substring VALUE (explode over the vocab's
+    distinct lengths keeps it a hash join, never a nested-loop on a
+    computed predicate), one argmax picks the longest match per
+    position, and the greedy walk is a bounded pointer chase — at most
+    max-word-length iterations of distinct-word-sized joins, each step
+    advancing every unfinished word by ≥ 1 character. Returns
+    (word, freq, n_pieces, pieces, is_unk)."""
+    spark = df.sparkSession
+    wf = word_frequencies(df, text_col).withColumn("_wl", F.length("word"))
+    vrows = [
+        (t[2:] if t.startswith("##") else t, t.startswith("##"))
+        for t, _ in [(t, c) for t, c in vocab]
+    ]
+    vrows = [
+        (txt, cont, len(txt), ("##" + txt) if cont else txt)
+        for txt, cont in {(t, c) for t, c in vrows}
+    ]
+    vdf = spark.createDataFrame(
+        vrows, "txt string, cont boolean, vlen int, disp string"
+    )
+    lens = sorted({r[2] for r in vrows})
+    pos = wf.select(
+        "word",
+        "_wl",
+        F.explode(F.sequence(F.lit(1), F.col("_wl"))).alias("pos"),
+    ).select(
+        "word",
+        "_wl",
+        "pos",
+        F.explode(F.array(*[F.lit(L) for L in lens])).alias("plen"),
+    ).filter(F.col("pos") + F.col("plen") - 1 <= F.col("_wl"))
+    cand = pos.withColumn(
+        "_sub", F.expr("substring(word, pos, plen)")
+    ).join(
+        F.broadcast(vdf),
+        (F.col("_sub") == F.col("txt"))
+        & (F.col("cont") == (F.col("pos") > 1))
+        & (F.col("plen") == F.col("vlen")),
+    ).select("word", "pos", F.col("vlen").alias("blen"), "disp")
+    best = cand.groupBy("word", "pos").agg(
+        F.max(F.struct(F.col("blen"), F.col("disp"))).alias("_b")
+    ).select(
+        "word", "pos", F.col("_b.blen").alias("blen"), F.col("_b.disp").alias("bdisp")
+    )
+    max_wl = wf.agg(F.max("_wl")).collect()[0][0] or 0
+    state = wf.select(
+        "word",
+        "freq",
+        "_wl",
+        F.lit(1).alias("pos"),
+        F.lit(0).alias("np"),
+        F.lit("").alias("pieces"),
+        F.lit(False).alias("stuck"),
+    )
+    for i in range(int(max_wl)):
+        st = state.join(best, ["word", "pos"], "left")
+        active = (~F.col("stuck")) & (F.col("pos") <= F.col("_wl"))
+        adv = active & F.col("blen").isNotNull()
+        state = st.select(
+            "word",
+            "freq",
+            "_wl",
+            F.when(adv, F.col("pos") + F.col("blen"))
+            .otherwise(F.col("pos"))
+            .alias("pos"),
+            F.when(adv, F.col("np") + 1).otherwise(F.col("np")).alias("np"),
+            F.when(adv, F.concat_ws(" ", F.col("pieces"), F.col("bdisp")))
+            .otherwise(F.col("pieces"))
+            .alias("pieces"),
+            (F.col("stuck") | (active & F.col("blen").isNull())).alias("stuck"),
+        )
+        if i % 6 == 5:
+            state = state.localCheckpoint(eager=False)
+    ok = F.col("pos") == F.col("_wl") + 1
+    return state.select(
+        "word",
+        "freq",
+        F.when(ok, F.col("np")).otherwise(F.lit(1)).cast("long").alias("n_pieces"),
+        F.when(ok, F.expr("trim(pieces)")).otherwise(F.lit("[UNK]")).alias("pieces"),
+        (~ok).alias("is_unk"),
+    )

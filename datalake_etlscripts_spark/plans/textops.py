@@ -5066,3 +5066,106 @@ def q_rocchio_prf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return rocchio_prf_topk(d, _BM25_TERMS, k_feedback=3, k_expansion=5, k=10)
+
+
+# ---------------------------------------------------------------------------
+# WordPiece greedy encoding (r7): the third tokenizer beside BPE
+# merge-replay and unigram Viterbi — BERT's longest-match-first rule
+# against a literal (piece, is_continuation) vocabulary shared
+# verbatim by both engines. 'q' is deliberately absent from the char
+# fallback, so 'query' exercises the whole-word [UNK] collapse. The
+# greedy walk is a bounded pointer chase on the distinct-word table;
+# the oracle replays it as a recursive CTE over the same argmax table.
+# ---------------------------------------------------------------------------
+_WP_CHARS = [c for c in "abcdefghijklmnoprstuvwxyz"]  # no 'q'
+_WP_VOCAB: list[tuple[str, bool]] = (
+    [
+        (w, False)
+        for w in (
+            "the", "scan", "order", "sort", "merge", "batch", "stream",
+            "wind", "win", "cust", "col", "row", "key", "part", "small",
+            "fast", "slow", "big", "data", "agg", "val", "group", "line",
+            "join", "hash", "filt", "vec", "spark", "dup", "tab",
+        )
+    ]
+    + [
+        ("##" + s, True)
+        for s in (
+            "er", "om", "dow", "ow", "umn", "eam", "le", "ue", "ter",
+            "tor", "ta", "up", "an", "ery",
+        )
+    ]
+    + [(c, False) for c in _WP_CHARS]
+    + [("##" + c, True) for c in _WP_CHARS]
+)
+
+
+def _wp_oracle() -> str:
+    vals = ",\n      ".join(
+        "('{t}', {c}, {n}, '{d}')".format(
+            t=t[2:] if t.startswith("##") else t,
+            c="TRUE" if t.startswith("##") else "FALSE",
+            n=len(t[2:]) if t.startswith("##") else len(t),
+            d=t,
+        )
+        for t, _ in _WP_VOCAB
+    )
+    return f"""
+    WITH RECURSIVE v(txt, cont, vlen, disp) AS (
+      VALUES {vals}
+    ),
+    wf AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+             CAST(length(w) AS INT) AS wl
+      FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents
+      ) GROUP BY 1
+    ),
+    ps AS (
+      SELECT word, wl, unnest(generate_series(1, wl)) AS pos FROM wf
+    ),
+    cand AS (
+      SELECT p.word, p.pos, v.vlen, v.disp
+      FROM ps p JOIN v
+        ON substr(p.word, CAST(p.pos AS INT), v.vlen) = v.txt
+       AND v.cont = (p.pos > 1)
+       AND p.pos + v.vlen - 1 <= p.wl
+    ),
+    best AS (
+      SELECT word, pos, max(vlen) AS blen,
+             max_by(disp, vlen) AS bdisp
+      FROM cand GROUP BY 1, 2
+    ),
+    chase AS (
+      SELECT word, wl, freq, CAST(1 AS BIGINT) AS pos,
+             CAST(0 AS BIGINT) AS np, CAST('' AS VARCHAR) AS pieces
+      FROM wf
+      UNION ALL
+      SELECT c.word, c.wl, c.freq, c.pos + b.blen, c.np + 1,
+             CASE WHEN c.pieces = '' THEN b.bdisp
+                  ELSE c.pieces || ' ' || b.bdisp END
+      FROM chase c JOIN best b ON b.word = c.word AND b.pos = c.pos
+      WHERE c.pos <= c.wl
+    ),
+    fin AS (
+      SELECT word, freq, wl, pos, np, pieces,
+             row_number() OVER (PARTITION BY word ORDER BY pos DESC) AS rn
+      FROM chase
+    )
+    SELECT word, freq,
+           CAST(CASE WHEN pos = wl + 1 THEN np ELSE 1 END AS BIGINT)
+             AS n_pieces,
+           CASE WHEN pos = wl + 1 THEN pieces ELSE '[UNK]' END AS pieces,
+           (pos <> wl + 1) AS is_unk
+    FROM fin WHERE rn = 1
+    """
+
+
+@query("wordpiece_encode", oracle=_wp_oracle())
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece greedy longest-match-first encoding of every distinct corpus word against a literal continuation-aware vocabulary - bounded pointer chase on the distinct-word table, whole-word [UNK] collapse when the tiling fails."""
+    from datalake_etlscripts_spark.operators import bpe
+
+    d = read_table(spark, sf_dir, "documents").select("text")
+    return bpe.wordpiece_encode(d, _WP_VOCAB)

@@ -208,3 +208,19 @@ def test_bot_regularity_flags_metronome_only(spark):
     out = {r["user_id"]: r for r in bot_regularity(bot.unionByName(human)).collect()}
     assert out[1]["is_bot"] is True and out[1]["var_gap_us2"] == 0.0
     assert out[2]["is_bot"] is False
+
+
+def test_wordpiece_greedy_prefers_longest_and_collapses_unk(spark):
+    from datalake_etlscripts_spark.operators.bpe import wordpiece_encode
+
+    vocab = [
+        ("ab", False), ("abc", False), ("##d", True), ("##cd", True),
+        ("a", False), ("b", False), ("c", False), ("d", False),
+        ("##a", True), ("##b", True), ("##c", True),
+    ]
+    df = spark.createDataFrame([("abcd abcd zz",)], "text string")
+    out = {r["word"]: r for r in wordpiece_encode(df, vocab).collect()}
+    # greedy longest-first: 'abc' beats 'ab' even though 'ab ##cd' also tiles
+    assert out["abcd"]["pieces"] == "abc ##d"
+    assert out["abcd"]["n_pieces"] == 2 and out["abcd"]["freq"] == 2
+    assert out["zz"]["pieces"] == "[UNK]" and out["zz"]["is_unk"] is True
