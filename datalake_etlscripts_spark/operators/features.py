@@ -514,3 +514,102 @@ def item_item_topk(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed exact global rank (the quality_deciles plan, factored)
+# ---------------------------------------------------------------------------
+def distributed_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    out_col: str = "rank",
+    part_cols: tuple[str, ...] = (),
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Exact 1-based rank by (value, tiebreak) without a single-task
+    global window — the quality_deciles distributed sort-rank plan
+    (plans/textops.py) factored for reuse: approxQuantile picks range
+    buckets (approximation affects only bucket BALANCE, never
+    correctness — equal values always share a bucket), row_number runs
+    per (partition, bucket) with bounded state, and a driver-side
+    cumsum of the bucket counts (≤ |partitions|·n_buckets longs, which
+    must stay driver-bounded — fine for language/type-grain partition
+    columns) converts them to exact global ranks within each
+    partition. Appends ``out_col``."""
+    probes = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(
+        set(df.approxQuantile(value_col, probes, 0.01))
+    )
+    bkt = F.lit(0)
+    for b in bounds:
+        bkt = bkt + F.when(F.col(value_col) > b, 1).otherwise(0)
+    bucketed = df.withColumn("_bkt", bkt)
+    cnt_rows = (
+        bucketed.groupBy(*part_cols, "_bkt")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )
+    offsets: dict[tuple, int] = {}
+    acc: dict[tuple, int] = {}
+    for r in sorted(cnt_rows, key=lambda r: (tuple(str(r[c]) for c in part_cols), r["_bkt"])):
+        pk = tuple(r[c] for c in part_cols)
+        offsets[pk + (r["_bkt"],)] = acc.get(pk, 0)
+        acc[pk] = acc.get(pk, 0) + r["_c"]
+    off = F.lit(0)
+    for key, v in offsets.items():
+        cond = F.col("_bkt") == key[-1]
+        for c, kv in zip(part_cols, key[:-1]):
+            cond = cond & (F.col(c) == F.lit(kv))
+        off = F.when(cond, F.lit(v)).otherwise(off)
+    w = W.partitionBy(*part_cols, "_bkt").orderBy(value_col, tiebreak_col)
+    return bucketed.withColumn(out_col, off + F.row_number().over(w)).drop(
+        "_bkt"
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Quantile normalization across groups (the microarray-era
+    Bolstad et al. transform, here for aligning per-language /
+    per-source score distributions before thresholding): each row is
+    replaced by the POOLED distribution's value at its within-group
+    quantile position,
+
+        qn(row) = pooled[ ⌈ r·N / n_g ⌉ ]ᅟᅟ(r = rank in group,
+                                            n_g = group size, N = total)
+
+    so every group ends up with (a subsample of) the same marginal
+    distribution and a single global threshold means the same thing in
+    every group. The index arithmetic is pure integers (⌈a/b⌉ =
+    (a+b−1) div b) and the pooled lookup is an equi-join on the index,
+    so the result is engine-exact. Ranks on both sides come from the
+    distributed sort-rank plan — no single-task global window."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("v"),
+    )
+    ranked = distributed_rank(base, "v", "id", "_r", part_cols=("grp",))
+    sizes = base.groupBy("grp").agg(F.count(F.lit(1)).alias("_ng"))
+    pooled = distributed_rank(base, "v", "id", "_idx").select(
+        F.col("_idx"), F.col("v").alias("_ref")
+    )
+    n_total = base.count()
+    j = ranked.join(F.broadcast(sizes), "grp").withColumn(
+        "_tidx",
+        F.expr(f"(_r * CAST({n_total} AS BIGINT) + _ng - 1) div _ng"),
+    )
+    return (
+        j.join(pooled, j["_tidx"] == pooled["_idx"])
+        .select(
+            F.col("id").alias(id_col),
+            F.col("grp").alias(group_col),
+            F.col("v").alias(value_col),
+            F.col("_ref").alias("qn_" + value_col),
+        )
+    )

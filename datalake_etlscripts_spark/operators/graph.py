@@ -561,3 +561,58 @@ def bfs_hops(
         dist = dist.unionByName(nxt)
         frontier = nxt
     return dist
+
+
+def hits_scores(
+    edges: DataFrame,
+    rounds: int = 2,
+    k: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS (Kleinberg 1999) hubs-and-authorities on a directed /
+    bipartite edge set, UNNORMALIZED so every score stays an exact
+    integer: with hub⁰ ≡ 1, round t computes
+
+        auth^t(p) = Σ_{s→p} hub^{t-1}(s)ᅟᅟhub^t(s) = Σ_{s→p} auth^t(p)
+
+    — after t rounds the scores are path COUNTS (walks of length 2t
+    alternating the two sides), which order identically to the
+    L2-normalized fixed-point iterate, so the top-k is the real HITS
+    answer with zero float drift. Same execution discipline as
+    pagerank (operators/graph.py:45): one edge⨝score join + one
+    destination-keyed aggregate per half-round, scores in
+    DECIMAL(38,0) (degree^(2t) growth — rounds ≤ 3 at web scale), only
+    the two top-k lists reach the driver. Returns
+    (side, id, score, rank) for the top-k of each side."""
+    dec = "decimal(38,0)"
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("p")).distinct()
+    hub = e.groupBy("s").agg(F.count(F.lit(1)).cast(dec).alias("score"))
+    auth = None
+    for t in range(rounds):
+        if t > 0:
+            hub = (
+                e.join(auth, "p")
+                .groupBy("s")
+                .agg(F.sum("score").cast(dec).alias("score"))
+            )
+        auth = (
+            e.join(hub.select("s", "score"), "s")
+            .groupBy("p")
+            .agg(F.sum("score").cast(dec).alias("score"))
+        )
+    def topk(df, idc, side):
+        t = df.orderBy(F.desc("score"), F.asc(idc)).limit(k)
+        from pyspark.sql import Window as W
+
+        return t.select(
+            F.lit(side).alias("side"),
+            F.col(idc).cast("long").alias("id"),
+            F.col("score").cast("string").cast("double").alias("score"),
+            F.row_number()
+            .over(W.orderBy(F.desc("score"), F.asc(idc)))
+            .cast("int")
+            .alias("rank"),
+        )
+
+    return topk(hub, "s", "hub").unionByName(topk(auth, "p", "authority"))

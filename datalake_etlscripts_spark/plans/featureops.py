@@ -399,3 +399,144 @@ def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features.item_item_topk(
         li, "l_orderkey", "l_partkey", k=3, max_basket=64
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization across languages (r7): every language's
+# n_chars distribution is mapped onto the pooled distribution by rank,
+# so one global threshold means the same thing in every language.
+# Integer index arithmetic; ranks from the distributed sort-rank plan.
+# ---------------------------------------------------------------------------
+@query(
+    "quantile_normalize",
+    oracle="""
+    WITH b AS (SELECT doc_id, lang, n_chars FROM documents),
+    g AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+             CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS ng
+      FROM b
+    ),
+    p AS (
+      SELECT n_chars AS ref,
+             CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+               AS idx
+      FROM b
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM b)
+    SELECT g.doc_id, g.lang, g.n_chars, p.ref AS qn_n_chars
+    FROM g CROSS JOIN n
+    JOIN p ON p.idx = (g.r * n.nn + g.ng - 1) // g.ng
+    """,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-language length distributions onto the pooled distribution: within-group rank mapped to the pooled value at ceil(r*N/n_g) - exact integer index arithmetic, distributed sort-rank windows, one equi-join lookup."""
+    d = read_table(spark, sf_dir, "documents")
+    return features.quantile_normalize(d, "lang", "n_chars", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Item-item CF acceptance metric (r7): hit-rate@3 of the co-occurrence
+# recommender under a leave-one-out basket split — the third
+# acceptance-metric twin beside ann_recall_mrr and dedup_lsh_recall.
+# Train/test split on the shared md5 lane; each test basket holds out
+# its max item and asks whether any remaining item's top-3 neighbor
+# list recovers it.
+# ---------------------------------------------------------------------------
+_ITEMCF_EVAL_ORACLE = f"""
+    WITH lo AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    split AS (
+      SELECT b, i,
+             ({ddb_hex32("md5(CAST(b AS VARCHAR))")} % 5 = 0) AS is_test
+      FROM lo
+    ),
+    oi AS (SELECT b, i FROM split WHERE NOT is_test),
+    sz AS (SELECT b, count(*) AS bs FROM oi GROUP BY 1),
+    oif AS (SELECT oi.b, oi.i FROM oi JOIN sz USING (b) WHERE sz.bs <= 64),
+    ni AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM oif GROUP BY 1),
+    pr AS (
+      SELECT a.i AS ia, b2.i AS ib, CAST(count(*) AS BIGINT) AS cooc
+      FROM oif a JOIN oif b2 ON a.b = b2.b AND a.i < b2.i GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT ia, ib, cooc FROM pr
+      UNION ALL SELECT ib, ia, cooc FROM pr
+    ),
+    sc AS (
+      SELECT s.ia, s.ib,
+             CAST(CAST(CAST(s.cooc AS HUGEINT) * s.cooc AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(CAST(na.n AS HUGEINT) * nb.n AS VARCHAR) AS DOUBLE)
+               AS cosine_sq
+      FROM s JOIN ni na ON na.i = s.ia JOIN ni nb ON nb.i = s.ib
+    ),
+    nb3 AS (
+      SELECT ia, ib FROM (
+        SELECT ia, ib, row_number() OVER (PARTITION BY ia
+                         ORDER BY cosine_sq DESC, ib) AS rnk
+        FROM sc
+      ) WHERE rnk <= 3
+    ),
+    tb AS (SELECT b, i FROM split WHERE is_test),
+    tsz AS (SELECT b, count(*) AS n FROM tb GROUP BY 1 HAVING count(*) >= 2),
+    held AS (SELECT tb.b, max(tb.i) AS held FROM tb JOIN tsz USING (b) GROUP BY 1),
+    ctx AS (
+      SELECT tb.b, tb.i, h.held FROM tb JOIN held h USING (b)
+      WHERE tb.i <> h.held
+    ),
+    hits AS (
+      SELECT DISTINCT c.b FROM ctx c JOIN nb3 ON nb3.ia = c.i
+      WHERE nb3.ib = c.held
+    )
+    SELECT CAST((SELECT count(*) FROM tsz) AS BIGINT) AS n_test_baskets,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+           CAST((SELECT count(*) FROM hits) AS DOUBLE)
+             / CAST((SELECT count(*) FROM tsz) AS DOUBLE) AS hitrate
+"""
+
+
+@query("itemcf_hitrate", oracle=_ITEMCF_EVAL_ORACLE)
+def q_itemcf_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance metric for the co-occurrence recommender: leave-one-out hit-rate@3 over md5-split held-out baskets - did any remaining item's top-3 neighbor list recover the held-out item."""
+    from datalake_etlscripts_spark.functions.scalar import md5_hash32
+
+    li = read_table(spark, sf_dir, "lineitem")
+    lo = li.select(
+        F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i")
+    ).distinct()
+    is_test = md5_hash32(F.col("b").cast("string")) % 5 == 0
+    train = lo.filter(~is_test)
+    test = lo.filter(is_test)
+    nb3 = features.item_item_topk(train, "b", "i", k=3, max_basket=64).select(
+        F.col("item").alias("ia"), F.col("neighbor").alias("ib")
+    )
+    tsz = test.groupBy("b").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") >= 2
+    )
+    held = (
+        test.join(tsz.select("b"), "b")
+        .groupBy("b")
+        .agg(F.max("i").alias("held"))
+    )
+    ctx = test.join(held, "b").filter(F.col("i") != F.col("held"))
+    hits = (
+        ctx.join(nb3, ctx["i"] == nb3["ia"])
+        .filter(F.col("ib") == F.col("held"))
+        .select("b")
+        .distinct()
+    )
+    n_test = tsz.agg(F.count(F.lit(1)).cast("long").alias("n_test_baskets"))
+    n_hits = hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    return (
+        n_test.crossJoin(n_hits)
+        .select(
+            "n_test_baskets",
+            "n_hits",
+            (
+                F.col("n_hits").cast("double")
+                / F.col("n_test_baskets").cast("double")
+            ).alias("hitrate"),
+        )
+    )

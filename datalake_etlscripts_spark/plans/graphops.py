@@ -620,3 +620,57 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return bfs_hops(edges, seeds, max_hops=4)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (r7): unnormalized integer alternation on the
+# supplier→part bipartite graph — after t rounds scores are exact walk
+# counts, ordering identically to the L2-normalized fixed point. Same
+# per-round shape as pagerank: one edge⨝score join + one keyed
+# aggregate; only the two top-k lists leave the cluster.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_hits_scores",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    h1 AS (SELECT s, CAST(count(*) AS HUGEINT) AS score FROM e GROUP BY 1),
+    a1 AS (
+      SELECT e.p, CAST(sum(h1.score) AS HUGEINT) AS score
+      FROM e JOIN h1 USING (s) GROUP BY 1
+    ),
+    h2 AS (
+      SELECT e.s, CAST(sum(a1.score) AS HUGEINT) AS score
+      FROM e JOIN a1 USING (p) GROUP BY 1
+    ),
+    a2 AS (
+      SELECT e.p, CAST(sum(h2.score) AS HUGEINT) AS score
+      FROM e JOIN h2 USING (s) GROUP BY 1
+    ),
+    th AS (
+      SELECT 'hub' AS side, CAST(s AS BIGINT) AS id,
+             CAST(CAST(score AS VARCHAR) AS DOUBLE) AS score,
+             CAST(row_number() OVER (ORDER BY score DESC, s) AS INT) AS rank
+      FROM h2
+    ),
+    ta AS (
+      SELECT 'authority' AS side, CAST(p AS BIGINT) AS id,
+             CAST(CAST(score AS VARCHAR) AS DOUBLE) AS score,
+             CAST(row_number() OVER (ORDER BY score DESC, p) AS INT) AS rank
+      FROM a2
+    )
+    SELECT * FROM th WHERE rank <= 20
+    UNION ALL
+    SELECT * FROM ta WHERE rank <= 20
+    """,
+)
+def q_graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs and authorities on the supplier-part bipartite graph: two unnormalized integer alternation rounds (scores are exact walk counts, same order as the normalized fixed point), top-20 per side."""
+    from datalake_etlscripts_spark.operators.graph import hits_scores
+
+    li = read_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return hits_scores(edges, rounds=2, k=20)
