@@ -613,3 +613,135 @@ def quantile_normalize(
             F.col("_ref").alias("qn_" + value_col),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust trend statistics on the hourly spine
+# ---------------------------------------------------------------------------
+def mann_kendall(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Mann-Kendall trend test per key — the NONPARAMETRIC twin of
+    grouped OLS (expectations.grouped_ols): monotone-trend evidence
+    that no outlier can drag, because the statistic only looks at
+    SIGNS of pairwise differences,
+
+        S = Σ_{i<j} sgn(y_j − y_i)ᅟᅟτ_a = S / (n(n−1)/2)
+
+    — exact integers until the one τ division. The pair self-join runs
+    at HOUR grain per key (a year is 8 760 rows → ~38M sign pairs per
+    key, executor-local after the key shuffle; the fact table itself is
+    touched once by the count groupBy). Keys with n < 2 are dropped.
+    Returns (event_type, n_hours, s_stat, tau_a)."""
+    g = _hourly_counts_spine(df, type_col, ts_col)
+    a = g.select(F.col("k"), F.col("h").alias("ha"), F.col("c").alias("ca"))
+    b = g.select(F.col("k"), F.col("h").alias("hb"), F.col("c").alias("cb"))
+    pairs = a.join(b, "k").filter(F.col("ha") < F.col("hb"))
+    s = pairs.groupBy("k").agg(
+        F.sum(F.signum(F.col("cb") - F.col("ca")).cast("long"))
+        .cast("long")
+        .alias("s_stat")
+    )
+    n = g.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_hours"))
+    j = n.join(s, "k").filter(F.col("n_hours") >= 2)
+    denom = (F.col("n_hours") * (F.col("n_hours") - 1) / 2).cast("long")
+    return j.select(
+        F.col("k").alias(type_col),
+        "n_hours",
+        "s_stat",
+        (F.col("s_stat").cast("double") / denom.cast("double")).alias("tau_a"),
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Theil-Sen robust slope per key: the MEDIAN of all pairwise
+    slopes (y_j − y_i)/(x_j − x_i) over the hourly spine — up to ~29%
+    corrupted hours cannot move it (breakdown point), where one wild
+    outlier hour ruins an OLS fit. Each slope is an exact rational
+    (integer Δcount over integer Δhours); the median is selected by
+    ORDER (slope double from one exact division, ties broken by the
+    rational pair), so both engines pick the identical pair and the
+    reported slope is that pair's own division — no averaging of two
+    middles (lower median for even counts, documented). Same hour-grain
+    pair join as mann_kendall. Returns (event_type, n_pairs,
+    slope_per_hour)."""
+    g = _hourly_counts_spine(df, type_col, ts_col)
+    g = g.withColumn("x", F.expr("unix_micros(h) div 3600000000"))
+    a = g.select("k", F.col("x").alias("xa"), F.col("c").alias("ca"))
+    b = g.select("k", F.col("x").alias("xb"), F.col("c").alias("cb"))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            "k",
+            (F.col("cb") - F.col("ca")).alias("dy"),
+            (F.col("xb") - F.col("xa")).alias("dx"),
+        )
+        .withColumn(
+            "slope", F.col("dy").cast("double") / F.col("dx").cast("double")
+        )
+    )
+    w = W.partitionBy("k").orderBy("slope", "dy", "dx")
+    cnt = W.partitionBy("k")
+    ranked = pairs.withColumn("_r", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(cnt)
+    )
+    med = ranked.filter(F.col("_r") == F.expr("(_n + 1) div 2"))
+    return med.select(
+        F.col("k").alias(type_col),
+        F.col("_n").cast("long").alias("n_pairs"),
+        F.col("slope").alias("slope_per_hour"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Concentration metrics: Gini + Herfindahl-Hirschman
+# ---------------------------------------------------------------------------
+def concentration_metrics(
+    df: DataFrame,
+    group_col: str,
+    entity_col: str,
+    amount_col: str,
+) -> DataFrame:
+    """Market-concentration readout per group over entity totals (who
+    owns the revenue): the Gini coefficient from the sorted-rank
+    identity
+
+        G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)ᅟᅟ(xᵢ ascending, i = rank)
+
+    and the Herfindahl-Hirschman index Σ(xᵢ/Σx)² = Σxᵢ²/(Σx)². Amounts
+    must be pre-quantized integers (cents); every numerator and
+    denominator accumulates in DECIMAL(38,0) and each metric is ONE
+    exact division. Ranks within each group come from a window ordered
+    (amount, entity) — per-group entity grain (customers per nation,
+    suppliers per region: bounded); for a single giant group compose
+    with distributed_rank. Returns (group, n_entities, total_amount,
+    gini, hhi)."""
+    dec = "decimal(38,0)"
+    ent = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(entity_col).alias("ent")
+    ).agg(F.sum(F.col(amount_col).cast(dec)).cast(dec).alias("x"))
+    w = W.partitionBy("grp").orderBy("x", "ent")
+    r = ent.withColumn("_i", F.row_number().over(w).cast(dec))
+    st = r.groupBy("grp").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum(F.col("_i") * F.col("x")).cast(dec).alias("six"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+    )
+    gini_num = (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast(dec)
+    gini_den = (F.col("n") * F.col("sx")).cast(dec)
+    hhi_den = (F.col("sx") * F.col("sx")).cast(dec)
+    return st.select(
+        F.col("grp").alias(group_col),
+        F.col("n").cast("long").alias("n_entities"),
+        _as_double(F.col("sx")).alias("total_amount"),
+        (_as_double(gini_num) / _as_double(gini_den)).alias("gini"),
+        (_as_double(F.col("sxx")) / _as_double(hhi_den)).alias("hhi"),
+    )

@@ -540,3 +540,127 @@ def q_itemcf_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hitrate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust trend twins of ols_trend_by_lang (r7): Mann-Kendall sign
+# statistic + Theil-Sen median slope over the hourly spine — exact
+# integers until one division each.
+# ---------------------------------------------------------------------------
+_SPINE_SQL = """
+    WITH hc AS (
+      SELECT event_type AS k, date_trunc('hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    rng AS (SELECT k, min(h) AS lo, max(h) AS hi FROM hc GROUP BY 1),
+    spine AS (
+      SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM rng
+    ),
+    g AS (
+      SELECT spine.k, spine.h, CAST(COALESCE(hc.c, 0) AS BIGINT) AS c
+      FROM spine LEFT JOIN hc ON hc.k = spine.k AND hc.h = spine.h
+    )"""
+
+
+@query(
+    "mann_kendall_trend",
+    oracle=_SPINE_SQL
+    + """,
+    p AS (
+      SELECT a.k,
+             CAST(CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+                  ELSE 0 END AS BIGINT) AS sgn
+      FROM g a JOIN g b ON a.k = b.k AND a.h < b.h
+    ),
+    s AS (SELECT k, CAST(sum(sgn) AS BIGINT) AS s_stat FROM p GROUP BY 1),
+    n AS (SELECT k, CAST(count(*) AS BIGINT) AS n_hours FROM g GROUP BY 1)
+    SELECT n.k AS event_type, n.n_hours, s.s_stat,
+           CAST(s.s_stat AS DOUBLE)
+             / CAST(n.n_hours * (n.n_hours - 1) // 2 AS DOUBLE) AS tau_a
+    FROM n JOIN s USING (k) WHERE n.n_hours >= 2
+    """,
+)
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test per event type: exact integer sign statistic over all hour pairs of the gap-filled spine, tau-a as the single end division - the outlier-proof twin of the OLS fit."""
+    e = read_table(spark, sf_dir, "events")
+    return features.mann_kendall(e)
+
+
+@query(
+    "theil_sen_slope",
+    oracle=_SPINE_SQL
+    + """,
+    hx AS (SELECT k, epoch_us(h) // 3600000000 AS x, c FROM g),
+    p AS (
+      SELECT a.k, b.c - a.c AS dy, b.x - a.x AS dx,
+             CAST(b.c - a.c AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+      FROM hx a JOIN hx b ON a.k = b.k AND a.x < b.x
+    ),
+    r AS (
+      SELECT k, slope,
+             row_number() OVER (PARTITION BY k ORDER BY slope, dy, dx) AS rn,
+             count(*) OVER (PARTITION BY k) AS n
+      FROM p
+    )
+    SELECT k AS event_type, CAST(n AS BIGINT) AS n_pairs,
+           slope AS slope_per_hour
+    FROM r WHERE rn = (n + 1) // 2
+    """,
+)
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope per event type: lower median of all pairwise exact-rational slopes over the hourly spine, selected by deterministic (slope, dy, dx) order - 29% breakdown point vs OLS's zero."""
+    e = read_table(spark, sf_dir, "events")
+    return features.theil_sen(e)
+
+
+# ---------------------------------------------------------------------------
+# Concentration metrics (r7): who owns the revenue — Gini from the
+# sorted-rank identity + Herfindahl-Hirschman, per customer nation.
+# ---------------------------------------------------------------------------
+@query(
+    "gini_concentration",
+    oracle=f"""
+    WITH ent AS (
+      SELECT c.c_nationkey AS grp, o.o_custkey AS ent,
+             CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+                  AS HUGEINT)) AS HUGEINT) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT grp, x,
+             CAST(row_number() OVER (PARTITION BY grp ORDER BY x, ent)
+                  AS HUGEINT) AS i
+      FROM ent
+    ),
+    st AS (
+      SELECT grp, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+             sum(i * x) AS six, sum(x * x) AS sxx
+      FROM r GROUP BY 1
+    )
+    SELECT CAST(grp AS BIGINT) AS c_nationkey,
+           CAST(n AS BIGINT) AS n_entities,
+           {_d('sx')} AS total_amount,
+           {_d('2 * six - (n + 1) * sx')} / {_d('n * sx')} AS gini,
+           {_d('sxx')} / {_d('sx * sx')} AS hhi
+    FROM st
+    """,
+)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per customer nation: Gini from the sorted-rank identity and Herfindahl index, integer cents in DECIMAL throughout, one exact division per metric."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        o["o_custkey"] == c["c_custkey"],
+    ).select(
+        "c_nationkey",
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("decimal(38,0)")
+        .alias("cents"),
+    )
+    return features.concentration_metrics(
+        j, "c_nationkey", "o_custkey", "cents"
+    )
