@@ -54,6 +54,12 @@ HEADLINE = [
     "refinedweb_pipeline",
     "graph_kcore",
     "pricing_summary_double",
+    # round-7 additions (headline 33 → 36; totals non-comparable,
+    # compare per-query): the new tokenizer, IVM shape, and the
+    # recommender acceptance metric
+    "wordpiece_encode",
+    "ivm_topk_view",
+    "itemcf_hitrate",
 ]
 
 

@@ -745,3 +745,68 @@ def concentration_metrics(
         (_as_double(gini_num) / _as_double(gini_den)).alias("gini"),
         (_as_double(F.col("sxx")) / _as_double(hhi_den)).alias("hhi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema profiling: functional dependencies & candidate keys
+# ---------------------------------------------------------------------------
+def fd_audit(df: DataFrame, pairs: list[tuple[str, str]]) -> DataFrame:
+    """Functional-dependency discovery over a HUMAN-BOUNDED candidate
+    list (the Metanome/TANE-style profiling primitive, restricted to
+    the pairs a schema reviewer actually asks about): A → B holds iff
+    every A-group sees exactly one B value, and the audit reports the
+    exact violation mass
+
+        violations(A→B) = Σ_A (|distinct B in group| − 1)
+
+    so "almost-FDs" (dirty foreign columns, stale denormalizations)
+    are visible, not just booleans. One lhs-keyed distinct-count
+    aggregate per candidate pair — each is a single shuffle on A over
+    one table scan; the union output is |pairs| rows. Complements
+    fk_inference (cross-table containment) with the intra-table half
+    of schema discovery."""
+    outs = []
+    for lhs, rhs in pairs:
+        g = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("_nd"))
+        outs.append(
+            g.agg(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum(F.col("_nd") - 1).cast("long").alias("violations"),
+                (F.sum(F.col("_nd") - 1) == 0).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def key_audit(df: DataFrame, candidates: list[tuple[str, ...]]) -> DataFrame:
+    """Candidate-key audit: a column set is a key iff its distinct
+    count equals the row count; the report carries both numbers plus
+    the exact duplicate mass (n_rows − n_distinct) per candidate. One
+    distinct-count aggregate per candidate set over one table scan;
+    output is |candidates| rows."""
+    outs = []
+    for cand in candidates:
+        outs.append(
+            df.agg(
+                F.lit(",".join(cand)).alias("columns"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.countDistinct(F.struct(*[F.col(c) for c in cand]))
+                .cast("long")
+                .alias("n_distinct"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "columns",
+        "n_rows",
+        "n_distinct",
+        (F.col("n_rows") - F.col("n_distinct")).alias("dup_mass"),
+        (F.col("n_rows") == F.col("n_distinct")).alias("is_key"),
+    )

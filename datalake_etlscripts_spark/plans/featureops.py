@@ -664,3 +664,328 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features.concentration_metrics(
         j, "c_nationkey", "o_custkey", "cents"
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event predictor accuracy (r7): the acceptance metric for
+# event_transition_matrix — train the argmax-next-type predictor on
+# md5-split users, score it on held-out users' transitions. Exact
+# counts; deterministic (count desc, type asc) argmax.
+# ---------------------------------------------------------------------------
+@query(
+    "markov_next_accuracy",
+    oracle=f"""
+    WITH tr AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt,
+             ({ddb_hex32("md5(CAST(user_id AS VARCHAR))")} % 4 = 0) AS is_test
+      FROM events
+    ),
+    t AS (SELECT * FROM tr WHERE nxt IS NOT NULL),
+    cnt AS (
+      SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM t WHERE NOT is_test GROUP BY 1, 2
+    ),
+    model AS (
+      SELECT cur, nxt AS pred FROM (
+        SELECT cur, nxt,
+               row_number() OVER (PARTITION BY cur ORDER BY n DESC, nxt) AS rn
+        FROM cnt
+      ) WHERE rn = 1
+    ),
+    ev AS (
+      SELECT t.cur, (t.nxt = m.pred) AS ok
+      FROM t JOIN model m ON m.cur = t.cur WHERE t.is_test
+    ),
+    per AS (
+      SELECT cur, CAST(count(*) AS BIGINT) AS n_eval,
+             CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+      FROM ev GROUP BY 1
+    ),
+    allr AS (
+      SELECT '__all__' AS cur, CAST(sum(n_eval) AS BIGINT) AS n_eval,
+             CAST(sum(n_correct) AS BIGINT) AS n_correct
+      FROM per
+    )
+    SELECT cur, n_eval, n_correct,
+           CAST(n_correct AS DOUBLE) / CAST(n_eval AS DOUBLE) AS accuracy
+    FROM (SELECT * FROM per UNION ALL SELECT * FROM allr)
+    """,
+)
+def q_markov_next_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance metric for the Markov transition model: argmax next-event predictor trained on md5-split users, exact accuracy per current type plus an __all__ row on held-out transitions."""
+    from pyspark.sql import Window as W
+
+    from datalake_etlscripts_spark.functions.scalar import md5_hash32
+
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = e.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+        (md5_hash32(F.col("user_id").cast("string")) % 4 == 0).alias(
+            "is_test"
+        ),
+    ).filter(F.col("nxt").isNotNull())
+    cnt = (
+        tr.filter(~F.col("is_test"))
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    mw = W.partitionBy("cur").orderBy(F.desc("n"), F.asc("nxt"))
+    model = (
+        cnt.withColumn("_rn", F.row_number().over(mw))
+        .filter(F.col("_rn") == 1)
+        .select("cur", F.col("nxt").alias("pred"))
+    )
+    ev = (
+        tr.filter(F.col("is_test"))
+        .join(F.broadcast(model), "cur")
+        .select("cur", (F.col("nxt") == F.col("pred")).alias("ok"))
+    )
+    per = ev.groupBy("cur").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+    )
+    allr = per.agg(
+        F.lit("__all__").alias("cur"),
+        F.sum("n_eval").cast("long").alias("n_eval"),
+        F.sum("n_correct").cast("long").alias("n_correct"),
+    )
+    u = per.unionByName(allr)
+    return u.select(
+        "cur",
+        "n_eval",
+        "n_correct",
+        (F.col("n_correct").cast("double") / F.col("n_eval").cast("double")).alias(
+            "accuracy"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema profiling (r7): intra-table functional dependencies (the
+# fk_inference twin) and candidate-key audit with exact violation /
+# duplicate mass over human-bounded candidate lists.
+# ---------------------------------------------------------------------------
+_FD_PAIRS = [
+    ("o_orderkey", "o_custkey"),
+    ("o_orderkey", "o_orderstatus"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderdate", "o_orderstatus"),
+    ("o_orderpriority", "o_orderstatus"),
+]
+
+
+def _fd_oracle() -> str:
+    parts = [
+        f"""
+    SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(nd - 1) AS BIGINT) AS violations,
+           (sum(nd - 1) = 0) AS holds
+    FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS nd FROM orders GROUP BY 1)"""
+        for lhs, rhs in _FD_PAIRS
+    ]
+    return "\n    UNION ALL\n".join(parts)
+
+
+@query("fd_discovery", oracle=_fd_oracle())
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit over a reviewer-bounded candidate list: A->B violation mass as the exact sum of (distinct-B-per-A minus 1) - one lhs-keyed shuffle per pair, almost-FDs visible, not just booleans."""
+    o = read_table(spark, sf_dir, "orders")
+    return features.fd_audit(o, _FD_PAIRS)
+
+
+_KEY_CANDS = [
+    ("o_orderkey",),
+    ("o_custkey",),
+    ("o_orderdate",),
+    ("o_custkey", "o_orderdate"),
+    ("o_custkey", "o_orderdate", "o_totalprice"),
+]
+
+
+def _key_oracle() -> str:
+    parts = [
+        f"""
+    SELECT '{",".join(c)}' AS columns,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT ({", ".join(c)})) AS BIGINT) AS n_distinct,
+           CAST(count(*) - count(DISTINCT ({", ".join(c)})) AS BIGINT)
+             AS dup_mass,
+           (count(*) = count(DISTINCT ({", ".join(c)}))) AS is_key
+    FROM orders"""
+        for c in _KEY_CANDS
+    ]
+    return "\n    UNION ALL\n".join(parts)
+
+
+@query("candidate_keys", oracle=_key_oracle())
+def q_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key audit: distinct count vs row count with exact duplicate mass per candidate column set - one distinct aggregate per candidate over a single scan."""
+    o = read_table(spark, sf_dir, "orders")
+    return features.key_audit(o, _KEY_CANDS)
+
+
+# ---------------------------------------------------------------------------
+# Funnel latency quantiles (r7): exact p50/p90 of first-view →
+# first-purchase conversion time, quantiles defined by explicit rank
+# selection (engines disagree on interpolation) and ranked by the
+# distributed sort-rank plan — no single-task global window.
+# ---------------------------------------------------------------------------
+@query(
+    "funnel_latency_quantiles",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS vt FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS pt
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.vt GROUP BY 1
+    ),
+    l AS (
+      SELECT p.user_id,
+             (epoch_us(pt) - epoch_us(vt)) // 1000000 AS lat
+      FROM p JOIN v USING (user_id)
+    ),
+    r AS (
+      SELECT user_id, lat, row_number() OVER (ORDER BY lat, user_id) AS rn,
+             count(*) OVER () AS n
+      FROM l
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converters,
+           CAST(max(CASE WHEN rn = (n + 1) // 2 THEN lat END) AS BIGINT)
+             AS p50_s,
+           CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN lat END) AS BIGINT)
+             AS p90_s
+    FROM r
+    """,
+)
+def q_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact conversion-latency quantiles for the view->purchase funnel: lower-median and ceil-rank p90 selected by explicit rank (no interpolation), ranks from the distributed sort-rank plan."""
+    e = read_table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    lat = (
+        p.join(v, "user_id")
+        .select(
+            "user_id",
+            F.expr("(unix_micros(pt) - unix_micros(vt)) div 1000000").alias(
+                "lat"
+            ),
+        )
+    )
+    ranked = features.distributed_rank(lat, "lat", "user_id", "_r")
+    n = lat.count()
+    k50, k90 = (n + 1) // 2, (9 * n + 9) // 10
+    return ranked.agg(
+        F.lit(n).cast("long").alias("n_converters"),
+        F.max(F.when(F.col("_r") == k50, F.col("lat")))
+        .cast("long")
+        .alias("p50_s"),
+        F.max(F.when(F.col("_r") == k90, F.col("lat")))
+        .cast("long")
+        .alias("p90_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GDPR erasure impact (r7): right-to-be-forgotten cascade — a
+# deterministic forget-list of customers propagated through orders →
+# lineitem and into the (shared-id-space) event log; exact affected
+# row/key counts per table, the work list a deletion-vector writer
+# consumes. Semi-joins only; fact tables never shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "erasure_impact",
+    oracle="""
+    WITH forget AS (
+      SELECT c_custkey AS id FROM customer WHERE c_custkey % 97 = 0
+    ),
+    o AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_custkey IN (SELECT id FROM forget)
+    ),
+    li AS (
+      SELECT l_orderkey FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM o)
+    ),
+    ev AS (
+      SELECT user_id FROM events WHERE user_id IN (SELECT id FROM forget)
+    )
+    SELECT 'customer' AS table_name,
+           CAST((SELECT count(*) FROM forget) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM forget) AS BIGINT) AS n_keys
+    UNION ALL
+    SELECT 'orders', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT o_custkey) AS BIGINT) FROM o
+    UNION ALL
+    SELECT 'lineitem', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM li
+    UNION ALL
+    SELECT 'events', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT) FROM ev
+    """,
+)
+def q_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: forget-list customers propagated customer->orders->lineitem plus the shared-id event log, exact affected rows and keys per table via semi-joins - the deletion-vector work list."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    e = read_table(spark, sf_dir, "events")
+    forget = c.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("id")
+    )
+    fo = o.join(
+        F.broadcast(forget), o["o_custkey"] == forget["id"], "left_semi"
+    )
+    fl = li.join(
+        F.broadcast(fo.select("o_orderkey")),
+        li["l_orderkey"] == fo["o_orderkey"],
+        "left_semi",
+    )
+    fe = e.join(F.broadcast(forget), e["user_id"] == forget["id"], "left_semi")
+    rows = [
+        forget.agg(
+            F.lit("customer").alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+        ),
+        fo.agg(
+            F.lit("orders").alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("o_custkey").cast("long").alias("n_keys"),
+        ),
+        fl.agg(
+            F.lit("lineitem").alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_keys"),
+        ),
+        fe.agg(
+            F.lit("events").alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("user_id").cast("long").alias("n_keys"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

@@ -122,20 +122,26 @@ PRIORITY: list[str] = [
     "txn_conflict_detect",
     "fk_inference",
     "interval_coalesce",
-    # round-4/5 additions (never driver-checked)
-    "t_closeness_audit",
-    "dp_noisy_release",
-    "kmv_overlap",
-    "fellegi_sunter_linkage",
-    "knn_shapley_values",
-    "hybrid_search_rrf",
-    "deletion_vector_plan",
-    "dsir_gumbel_resample",
-    "graph_ppr_seeds",
-    "kmv_rollup_distinct",
+    # round-7 additions (this session, freshest operators)
+    "ivm_topk_view",
+    "wordpiece_encode",
+    "graph_hits_scores",
+    "quantile_normalize",
+    "itemcf_hitrate",
+    "gini_concentration",
+    "theil_sen_slope",
+    "mann_kendall_trend",
+    "log_template_mining",
+    "target_encode_loo",
 ]
 # Bumped to the next rotation (replica-harness green, driver evidence
-# queued): gopher_length_auc, join_size_estimate, benford_audit, ivm_join_view, textrank_keywords, graph_neighborhood_hll, k_anonymity_generalize, average_precision, embedding_covariance, decision_stump_train, chi2_feature_select, forecast_mase, knn_shapley_truncated, auc_by_language, calibration_bins,
+# queued): t_closeness_audit, dp_noisy_release, kmv_overlap,
+# fellegi_sunter_linkage, knn_shapley_values, hybrid_search_rrf,
+# deletion_vector_plan, dsir_gumbel_resample, graph_ppr_seeds,
+# kmv_rollup_distinct, feature_hash_vectors, moments_sketch_merge,
+# ewma_anomaly, seasonal_decompose, experiment_did, item_item_cf,
+# bot_detection, markov_next_accuracy,
+# gopher_length_auc, join_size_estimate, benford_audit, ivm_join_view, textrank_keywords, graph_neighborhood_hll, k_anonymity_generalize, average_precision, embedding_covariance, decision_stump_train, chi2_feature_select, forecast_mase, knn_shapley_truncated, auc_by_language, calibration_bins,
 # skyline_pareto, psi_drift, distribution_drift, rendezvous_sharding,
 # boolean_retrieval, source_token_entropy, attribution_position_based,
 # naive_bayes_confusion, kmv_a_not_b, funnel_deadline,

@@ -333,12 +333,19 @@ def incremental_topk_view(
         .groupBy(g)
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    u = upd.withColumn("rescanned", F.lit(False)).unionByName(
-        rescan.withColumn("rescanned", F.lit(True))
+    u = (
+        upd.withColumn("rescanned", F.lit(False))
+        .unionByName(rescan.withColumn("rescanned", F.lit(True)))
+        .orderBy(F.desc("n"), F.asc(g))
+        .limit(k)  # distributed TakeOrdered — rescan side can be
+        # delta-sized at scale, never rank it in one task
     )
-    ranked = u.withColumn(
-        "rank", F.row_number().over(W.orderBy(F.desc("n"), F.asc(g)))
-    )
-    return ranked.filter(F.col("rank") <= k).select(
-        F.col("rank").cast("int"), F.col(g), F.col("n"), "rescanned"
+    return u.select(
+        F.row_number()
+        .over(W.orderBy(F.desc("n"), F.asc(g)))
+        .cast("int")
+        .alias("rank"),
+        F.col(g),
+        F.col("n"),
+        "rescanned",
     )
