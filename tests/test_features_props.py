@@ -1,0 +1,127 @@
+"""Property tests (hypothesis) for the r7 statistical operators:
+Spark results vs pure-Python replays on generated series. Each example
+builds one small DataFrame → one job, following test_properties.py."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SET = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+counts = st.lists(st.integers(min_value=0, max_value=9), min_size=2, max_size=24)
+
+
+def _hours_df(spark, cs):
+    """One event row per count unit in consecutive hours (count 0 hours
+    appear only via the spine gap fill) — plus sentinel rows pinning
+    the first and last hour so the spine is exactly len(cs) hours."""
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = []
+    for h, c in enumerate(cs):
+        for _ in range(c):
+            rows.append(("t", base + timedelta(hours=h, minutes=5)))
+    # pin the spine ends (adds 1 to first and last counts)
+    rows.append(("t", base + timedelta(minutes=1)))
+    rows.append(("t", base + timedelta(hours=len(cs) - 1, minutes=1)))
+    return spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+
+@SET
+@given(cs=counts)
+def test_mann_kendall_matches_python(spark, cs):
+    from datalake_etlscripts_spark.operators.features import mann_kendall
+
+    ys = list(cs)
+    ys[0] += 1
+    ys[-1] += 1
+    row = mann_kendall(_hours_df(spark, cs)).collect()[0]
+    s = sum(
+        (ys[j] > ys[i]) - (ys[j] < ys[i])
+        for i in range(len(ys))
+        for j in range(i + 1, len(ys))
+    )
+    n = len(ys)
+    assert row["n_hours"] == n
+    assert row["s_stat"] == s
+    assert row["tau_a"] == s / (n * (n - 1) / 2)
+
+
+@SET
+@given(cs=counts)
+def test_theil_sen_matches_python_lower_median(spark, cs):
+    from datalake_etlscripts_spark.operators.features import theil_sen
+
+    ys = list(cs)
+    ys[0] += 1
+    ys[-1] += 1
+    row = theil_sen(_hours_df(spark, cs)).collect()[0]
+    slopes = sorted(
+        (
+            (ys[j] - ys[i]) / (j - i),
+            ys[j] - ys[i],
+            j - i,
+        )
+        for i in range(len(ys))
+        for j in range(i + 1, len(ys))
+    )
+    n = len(slopes)
+    expect = slopes[(n + 1) // 2 - 1][0]
+    assert row["n_pairs"] == n
+    assert row["slope_per_hour"] == expect
+
+
+@SET
+@given(
+    xs=st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 50)),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_quantile_normalize_matches_python(spark, xs):
+    from datalake_etlscripts_spark.operators.features import quantile_normalize
+
+    rows = [(i, g, v) for i, (g, v) in enumerate(xs)]
+    df = spark.createDataFrame(rows, "id int, grp string, v int")
+    out = {r["id"]: r["qn_v"] for r in quantile_normalize(df, "grp", "v", "id").collect()}
+    pooled = sorted((v, i) for i, (g, v) in enumerate(xs))
+    n_total = len(xs)
+    by_grp: dict[str, list[tuple[int, int]]] = {}
+    for i, (g, v) in enumerate(xs):
+        by_grp.setdefault(g, []).append((v, i))
+    for g, members in by_grp.items():
+        members.sort()
+        ng = len(members)
+        for r0, (v, i) in enumerate(members, start=1):
+            tidx = (r0 * n_total + ng - 1) // ng
+            assert out[i] == pooled[tidx - 1][0], (g, i, v)
+
+
+@SET
+@given(
+    amounts=st.lists(st.integers(min_value=1, max_value=1000), min_size=1, max_size=20)
+)
+def test_gini_matches_python(spark, amounts):
+    from datalake_etlscripts_spark.operators.features import (
+        concentration_metrics,
+    )
+
+    rows = [("g", i, a) for i, a in enumerate(amounts)]
+    df = spark.createDataFrame(rows, "grp string, ent int, amt int")
+    row = concentration_metrics(df, "grp", "ent", "amt").collect()[0]
+    xs = sorted(amounts)
+    n, sx = len(xs), sum(xs)
+    gini = (2 * sum((i + 1) * x for i, x in enumerate(xs)) - (n + 1) * sx) / (
+        n * sx
+    )
+    hhi = sum(x * x for x in xs) / (sx * sx)
+    assert row["n_entities"] == n
+    assert row["gini"] == gini
+    assert row["hhi"] == hhi
