@@ -477,6 +477,10 @@ def item_item_topk(
         F.col(basket_col).alias("b"), F.col(item_col).alias("i")
     ).distinct()
     sizes = oi.groupBy("b").agg(F.count(F.lit(1)).alias("_bs"))
+    # the capped base feeds three consumers (item counts, both sides
+    # of the pair self-join); Catalyst's ReuseExchange already shares
+    # the distinct's shuffle across them (verified: a lazy
+    # localCheckpoint here measured neutral-to-worse at sf0.1)
     oi = oi.join(sizes.filter(F.col("_bs") <= max_basket), "b").drop("_bs")
     ni = oi.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a = oi.alias("a")

@@ -989,3 +989,193 @@ def q_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time training join (r7): the feature-store correctness
+# shape — every label row sees each feature's value as of STRICTLY
+# BEFORE the label timestamp (no leakage), via ONE union+carry pass
+# per user: label rows sort before feature rows at equal timestamps,
+# so an equal-ts feature can never leak into its own label. Two
+# feature streams (running view count, last error time) carry
+# independently in the same window — one user-keyed shuffle total,
+# no inequality join, no per-feature passes.
+# ---------------------------------------------------------------------------
+@query(
+    "pit_training_join",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+    ),
+    u AS (
+      SELECT event_id, user_id, ts, 0 AS tag,
+             NULL::BIGINT AS vcnt, NULL::TIMESTAMP AS ets
+      FROM base WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT NULL, user_id, ts, 1,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id),
+             NULL
+      FROM base WHERE event_type = 'view'
+      UNION ALL
+      SELECT NULL, user_id, ts, 1, NULL, ts
+      FROM base WHERE event_type = 'error'
+    ),
+    c AS (
+      SELECT event_id, user_id, ts, tag,
+             max(vcnt) OVER w AS n_views_before,
+             max(ets) OVER w AS last_err
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id,
+           CAST(COALESCE(n_views_before, 0) AS BIGINT) AS n_views_before,
+           CAST((epoch_us(ts) - epoch_us(last_err)) // 1000000 AS BIGINT)
+             AS err_age_s
+    FROM c WHERE tag = 0
+    """,
+)
+def q_pit_training_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join for training labels: running view count and seconds-since-last-error as of strictly before each purchase, both features carried in ONE user-keyed union+carry window - the no-leakage feature-store shape without inequality joins."""
+    from pyspark.sql import Window as W
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    labels = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("vcnt"),
+        F.lit(None).cast("timestamp").alias("ets"),
+    )
+    vw = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    views = e.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.row_number().over(vw).cast("long").alias("vcnt"),
+        F.lit(None).cast("timestamp").alias("ets"),
+    )
+    errs = e.filter(F.col("event_type") == "error").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("vcnt"),
+        F.col("ts").alias("ets"),
+    )
+    u = labels.unionByName(views).unionByName(errs)
+    cw = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = u.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "tag",
+        F.max("vcnt").over(cw).alias("n_views_before"),
+        F.max("ets").over(cw).alias("last_err"),
+    )
+    return c.filter(F.col("tag") == 0).select(
+        "event_id",
+        "user_id",
+        F.coalesce("n_views_before", F.lit(0)).cast("long").alias(
+            "n_views_before"
+        ),
+        F.expr("(unix_micros(ts) - unix_micros(last_err)) div 1000000")
+        .cast("long")
+        .alias("err_age_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ingest coverage gaps (r7): the outage report — zero-count runs on
+# the gap-filled hourly spine, islands found by the rn-difference
+# trick; per type the gap mass, outage count, and longest outage.
+# ---------------------------------------------------------------------------
+@query(
+    "coverage_gaps",
+    oracle="""
+    WITH hc AS (
+      SELECT event_type AS k, date_trunc('hour', ts) AS h, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    rng AS (SELECT k, min(h) AS lo, max(h) AS hi FROM hc GROUP BY 1),
+    spine AS (
+      SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM rng
+    ),
+    g AS (
+      SELECT spine.k, spine.h, CAST(COALESCE(hc.c, 0) AS BIGINT) AS c
+      FROM spine LEFT JOIN hc ON hc.k = spine.k AND hc.h = spine.h
+    ),
+    z AS (
+      SELECT k, h,
+             row_number() OVER (PARTITION BY k ORDER BY h) AS rn
+      FROM g WHERE c = 0
+    ),
+    isl AS (
+      SELECT k, count(*) AS len
+      FROM z GROUP BY k, h - rn * INTERVAL 1 HOUR
+    ),
+    agg AS (
+      SELECT k, CAST(sum(len) AS BIGINT) AS n_gap_hours,
+             CAST(count(*) AS BIGINT) AS n_outages,
+             CAST(max(len) AS BIGINT) AS longest_outage_h
+      FROM isl GROUP BY 1
+    ),
+    tot AS (SELECT k, CAST(count(*) AS BIGINT) AS n_hours FROM g GROUP BY 1)
+    SELECT t.k AS event_type, t.n_hours,
+           CAST(COALESCE(a.n_gap_hours, 0) AS BIGINT) AS n_gap_hours,
+           CAST(COALESCE(a.n_outages, 0) AS BIGINT) AS n_outages,
+           CAST(COALESCE(a.longest_outage_h, 0) AS BIGINT)
+             AS longest_outage_h
+    FROM tot t LEFT JOIN agg a ON a.k = t.k
+    """,
+)
+def q_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest outage report per event type: zero-hour islands on the gap-filled spine via the rn-difference trick - gap mass, outage count, longest outage, all exact hour-grain integers."""
+    from pyspark.sql import Window as W
+
+    from datalake_etlscripts_spark.operators.features import (
+        _hourly_counts_spine,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    g = _hourly_counts_spine(e, "event_type", "ts")
+    z = g.filter(F.col("c") == 0).withColumn(
+        "rn", F.row_number().over(W.partitionBy("k").orderBy("h"))
+    )
+    isl = (
+        z.withColumn(
+            "grp", F.expr("h - make_interval(0, 0, 0, 0, rn, 0, 0)")
+        )
+        .groupBy("k", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    agg = isl.groupBy("k").agg(
+        F.sum("len").cast("long").alias("n_gap_hours"),
+        F.count(F.lit(1)).cast("long").alias("n_outages"),
+        F.max("len").cast("long").alias("longest_outage_h"),
+    )
+    tot = g.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("n_hours"))
+    return (
+        tot.join(agg, "k", "left")
+        .select(
+            F.col("k").alias("event_type"),
+            "n_hours",
+            F.coalesce("n_gap_hours", F.lit(0)).cast("long").alias(
+                "n_gap_hours"
+            ),
+            F.coalesce("n_outages", F.lit(0)).cast("long").alias("n_outages"),
+            F.coalesce("longest_outage_h", F.lit(0)).cast("long").alias(
+                "longest_outage_h"
+            ),
+        )
+    )
