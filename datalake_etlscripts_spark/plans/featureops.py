@@ -1179,3 +1179,213 @@ def q_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 ranking evaluation (r7): completes the IR-eval set beside
+# average_precision and ann_recall_mrr. Graded relevance = number of
+# distinct query terms present (gain 2^rel−1 ∈ {0,1,3}); the ranking
+# under evaluation is the tf-sum scorer. The DCG fold is a FIXED-ORDER
+# 10-term expression over literal 1/log2(i+1) discounts (identical
+# literals both engines), so the float result is bit-deterministic —
+# no order-dependent double summation anywhere.
+# ---------------------------------------------------------------------------
+_NDCG_W = [
+    "1.0", "0.6309297535714575", "0.5", "0.43067655807339306",
+    "0.38685280723454163", "0.3562071871080222", "0.3333333333333333",
+    "0.31546487678572877", "0.3010299956639812", "0.2890648263178879",
+]
+_NDCG_QUERIES = [("q_hash_join", "hash", "join"), ("q_slow_scan", "slow", "scan")]
+
+
+def _ndcg_fold(prefix: str) -> str:
+    terms = " + ".join(
+        f"CAST({w} AS DOUBLE) * {prefix}{i}" for i, w in enumerate(_NDCG_W, 1)
+    )
+    return f"({terms})"
+
+
+def _ndcg_oracle() -> str:
+    qvals = ", ".join(f"('{q}', '{a}', '{b}')" for q, a, b in _NDCG_QUERIES)
+    g_cols = ",\n             ".join(
+        f"CAST(COALESCE(max(CASE WHEN rnk = {i} THEN gain END), 0) AS BIGINT)"
+        f" AS g{i}"
+        for i in range(1, 11)
+    )
+    s_cols = ",\n             ".join(
+        f"CAST(COALESCE(max(CASE WHEN srnk = {i} THEN gain END), 0) AS BIGINT)"
+        f" AS s{i}"
+        for i in range(1, 11)
+    )
+    return f"""
+    WITH q(query, t1, t2) AS (VALUES {qvals}),
+    d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    sc AS (
+      SELECT q.query, d.doc_id,
+             len(list_filter(d.tk, x -> x = q.t1))
+               + len(list_filter(d.tk, x -> x = q.t2)) AS tf,
+             CAST(CASE WHEN len(list_filter(d.tk, x -> x = q.t1)) > 0
+                       THEN 1 ELSE 0 END
+                + CASE WHEN len(list_filter(d.tk, x -> x = q.t2)) > 0
+                       THEN 1 ELSE 0 END AS BIGINT) AS rel
+      FROM q, d
+    ),
+    top AS (
+      SELECT query, doc_id, rel,
+             CASE WHEN rel = 2 THEN 3 WHEN rel = 1 THEN 1 ELSE 0 END AS gain,
+             row_number() OVER (PARTITION BY query
+                                ORDER BY tf DESC, doc_id) AS rnk
+      FROM sc WHERE tf > 0
+    ),
+    t10 AS (SELECT * FROM top WHERE rnk <= 10),
+    ideal AS (
+      SELECT query, gain,
+             row_number() OVER (PARTITION BY query
+                                ORDER BY gain DESC, doc_id) AS srnk
+      FROM t10
+    ),
+    gm AS (SELECT query, {g_cols} FROM t10 GROUP BY query),
+    sm AS (SELECT query, {s_cols} FROM ideal GROUP BY query),
+    f AS (
+      SELECT gm.query, {_ndcg_fold('g')} AS dcg, {_ndcg_fold('s')} AS idcg
+      FROM gm JOIN sm ON sm.query = gm.query
+    )
+    SELECT query, dcg, idcg,
+           CASE WHEN idcg > 0 THEN dcg / idcg END AS ndcg
+    FROM f
+    """
+
+
+@query("ndcg_at_k", oracle=_ndcg_oracle())
+def q_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the tf-sum ranking against distinct-term graded relevance: fixed-order 10-term DCG fold over literal log2 discounts (bit-deterministic, no order-dependent double sums), ideal ordering re-ranked from the same top-10."""
+    from pyspark.sql import Window as W
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    outs = []
+    for qname, t1, t2 in _NDCG_QUERIES:
+        c1 = F.size(F.filter(toks, lambda t: t == t1))
+        c2 = F.size(F.filter(toks, lambda t: t == t2))
+        sc = d.select(
+            F.lit(qname).alias("query"),
+            "doc_id",
+            (c1 + c2).alias("tf"),
+            (
+                F.when(c1 > 0, 1).otherwise(0) + F.when(c2 > 0, 1).otherwise(0)
+            ).cast("long").alias("rel"),
+        ).filter(F.col("tf") > 0)
+        top = sc.withColumn(
+            "gain",
+            F.when(F.col("rel") == 2, 3)
+            .when(F.col("rel") == 1, 1)
+            .otherwise(0)
+            .cast("long"),
+        ).withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("query").orderBy(F.desc("tf"), F.asc("doc_id"))
+            ),
+        ).filter(F.col("rnk") <= 10)
+        ideal = top.withColumn(
+            "srnk",
+            F.row_number().over(
+                W.partitionBy("query").orderBy(F.desc("gain"), F.asc("doc_id"))
+            ),
+        )
+        gm = top.groupBy("query").agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("rnk") == i, F.col("gain"))), F.lit(0)
+                )
+                .cast("long")
+                .alias(f"g{i}")
+                for i in range(1, 11)
+            ]
+        )
+        sm = ideal.groupBy("query").agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("srnk") == i, F.col("gain"))), F.lit(0)
+                )
+                .cast("long")
+                .alias(f"s{i}")
+                for i in range(1, 11)
+            ]
+        )
+        dcg = None
+        idcg = None
+        for i, w in enumerate(_NDCG_W, 1):
+            tg = F.lit(float(w)).cast("double") * F.col(f"g{i}")
+            ts = F.lit(float(w)).cast("double") * F.col(f"s{i}")
+            dcg = tg if dcg is None else dcg + tg
+            idcg = ts if idcg is None else idcg + ts
+        outs.append(
+            gm.join(sm, "query").select(
+                "query",
+                dcg.alias("dcg"),
+                idcg.alias("idcg"),
+                F.when(idcg > 0, dcg / idcg).alias("ndcg"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Quantized Brier score (r7): calibration loss of a deterministic
+# stopword-ratio probability, quantized to permille by INTEGER
+# division so the squared-error sum is exact integers; one division.
+# ---------------------------------------------------------------------------
+@query(
+    "brier_score_permille",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id,
+             CAST(1000 * len(list_filter(tk, x -> x = 'the' OR x = 'a'))
+                  // len(tk) AS BIGINT) AS p_pm,
+             CAST(CASE WHEN lang = 'en' THEN 1000 ELSE 0 END AS BIGINT)
+               AS y_pm
+      FROM d WHERE len(tk) > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum((p_pm - y_pm) * (p_pm - y_pm)) AS BIGINT) AS sq_sum_pm2,
+           CAST(sum((p_pm - y_pm) * (p_pm - y_pm)) AS DOUBLE)
+             / (1000000.0 * count(*)) AS brier
+    FROM p
+    """,
+)
+def q_brier_score_permille(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier calibration score of the stopword-ratio english predictor with probabilities quantized to permille by integer division - exact integer squared-error sum, one end division."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    p = d.select(
+        F.expr(
+            "CAST(1000 * size(filter(filter(split(text, ' '), x -> x != ''),"
+            " x -> x = 'the' OR x = 'a'))"
+            " div size(filter(split(text, ' '), x -> x != '')) AS BIGINT)"
+        ).alias("p_pm"),
+        F.when(F.col("lang") == "en", 1000).otherwise(0).cast("long").alias(
+            "y_pm"
+        ),
+        F.size(toks).alias("_nt"),
+    ).filter(F.col("_nt") > 0)
+    sq = (F.col("p_pm") - F.col("y_pm")) * (F.col("p_pm") - F.col("y_pm"))
+    return p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(sq).cast("long").alias("sq_sum_pm2"),
+        (
+            F.sum(sq).cast("double")
+            / (F.lit(1000000.0) * F.count(F.lit(1)))
+        ).alias("brier"),
+    )
