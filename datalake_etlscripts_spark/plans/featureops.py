@@ -1389,3 +1389,153 @@ def q_brier_score_permille(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(1000000.0) * F.count(F.lit(1)))
         ).alias("brier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Croston intermittent-demand forecast (r7): the forecast-family
+# closer beside seasonal-naive MASE and the EWMA spike flag — for
+# series that are mostly zeros, smooth the nonzero demand SIZES and
+# the INTERVALS between them separately and forecast their ratio.
+# Both EWMAs use the denominator-cleared integer weights
+# 3^(i-1)*4^(8-i) over the 8 most recent observations, so the ratio
+#   croston = size_ewma / interval_ewma
+#           = (s_num * i_den) / (s_den * i_num)
+# is ONE exact integer division.
+# ---------------------------------------------------------------------------
+_CRO_W = {i: 3 ** (i - 1) * 4 ** (8 - i) for i in range(1, 9)}
+_CRO_CASE = (
+    "CASE rn "
+    + " ".join(f"WHEN {i} THEN {w}" for i, w in _CRO_W.items())
+    + " ELSE 0 END"
+)
+
+
+@query(
+    "croston_forecast",
+    oracle=f"""
+    WITH hc AS (
+      SELECT event_type AS k, date_trunc('hour', ts) AS h, count(*) AS c
+      FROM events WHERE event_type = 'purchase' OR event_type = 'error'
+      GROUP BY 1, 2
+    ),
+    rng AS (SELECT k, min(h) AS lo, max(h) AS hi FROM hc GROUP BY 1),
+    spine AS (
+      SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+      FROM rng
+    ),
+    g AS (
+      SELECT spine.k, spine.h, CAST(COALESCE(hc.c, 0) AS BIGINT) AS c
+      FROM spine LEFT JOIN hc ON hc.k = spine.k AND hc.h = spine.h
+    ),
+    nz AS (
+      SELECT k, h, c, epoch_us(h) // 3600000000 AS x,
+             row_number() OVER (PARTITION BY k ORDER BY h DESC) AS rn
+      FROM g WHERE c > 0
+    ),
+    sz AS (
+      SELECT k,
+             CAST(sum(({_CRO_CASE}) * c) AS BIGINT) AS s_num,
+             CAST(sum({_CRO_CASE}) AS BIGINT) AS s_den,
+             CAST(count(*) AS BIGINT) AS n_recent
+      FROM nz WHERE rn <= 8 GROUP BY 1
+    ),
+    iv0 AS (
+      SELECT k, h, x - lag(x) OVER (PARTITION BY k ORDER BY x) AS iv
+      FROM nz
+    ),
+    ivr AS (
+      SELECT k, iv,
+             row_number() OVER (PARTITION BY k ORDER BY h DESC) AS rn
+      FROM iv0 WHERE iv IS NOT NULL
+    ),
+    ia AS (
+      SELECT k,
+             CAST(sum(({_CRO_CASE}) * iv) AS BIGINT) AS i_num,
+             CAST(sum({_CRO_CASE}) AS BIGINT) AS i_den
+      FROM ivr WHERE rn <= 8 GROUP BY 1
+    ),
+    nn AS (SELECT k, CAST(count(*) AS BIGINT) AS n_nonzero FROM nz GROUP BY 1)
+    SELECT nn.k AS event_type, nn.n_nonzero,
+           CAST(sz.s_num AS DOUBLE) / CAST(sz.s_den AS DOUBLE) AS size_ewma,
+           CAST(ia.i_num AS DOUBLE) / CAST(ia.i_den AS DOUBLE)
+             AS interval_ewma,
+           CASE WHEN ia.i_num > 0 THEN
+             CAST(CAST(sz.s_num AS HUGEINT) * ia.i_den AS DOUBLE)
+               / CAST(CAST(sz.s_den AS HUGEINT) * ia.i_num AS DOUBLE) END
+             AS croston_rate
+    FROM nn JOIN sz ON sz.k = nn.k LEFT JOIN ia ON ia.k = nn.k
+    """,
+)
+def q_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast per sparse event type: separate integer-weight EWMAs of nonzero sizes and inter-demand intervals, the demand rate as one exact cross-multiplied division."""
+    from pyspark.sql import Window as W
+
+    from datalake_etlscripts_spark.operators.features import (
+        _hourly_counts_spine,
+    )
+
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    g = _hourly_counts_spine(e, "event_type", "ts")
+    nz = (
+        g.filter(F.col("c") > 0)
+        .withColumn("x", F.expr("unix_micros(h) div 3600000000"))
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("k").orderBy(F.desc("h")))
+        )
+    )
+    wcase = F.expr(_CRO_CASE)
+    sz = (
+        nz.filter(F.col("rn") <= 8)
+        .groupBy("k")
+        .agg(
+            F.sum(wcase * F.col("c")).cast("long").alias("s_num"),
+            F.sum(wcase).cast("long").alias("s_den"),
+        )
+    )
+    iv0 = nz.withColumn(
+        "iv", F.col("x") - F.lag("x").over(W.partitionBy("k").orderBy("x"))
+    )
+    ivr = (
+        iv0.filter(F.col("iv").isNotNull())
+        .withColumn(
+            "rn2",
+            F.row_number().over(W.partitionBy("k").orderBy(F.desc("h"))),
+        )
+        .withColumn("rn", F.col("rn2"))
+    )
+    ia = (
+        ivr.filter(F.col("rn2") <= 8)
+        .groupBy("k")
+        .agg(
+            F.sum(wcase * F.col("iv")).cast("long").alias("i_num"),
+            F.sum(wcase).cast("long").alias("i_den"),
+        )
+    )
+    nn = g.filter(F.col("c") > 0).groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nonzero")
+    )
+    dec = "decimal(38,0)"
+    out = nn.join(sz, "k").join(ia, "k", "left")
+    return out.select(
+        F.col("k").alias("event_type"),
+        "n_nonzero",
+        (F.col("s_num").cast("double") / F.col("s_den").cast("double")).alias(
+            "size_ewma"
+        ),
+        (F.col("i_num").cast("double") / F.col("i_den").cast("double")).alias(
+            "interval_ewma"
+        ),
+        F.when(
+            F.col("i_num") > 0,
+            (F.col("s_num").cast(dec) * F.col("i_den"))
+            .cast(dec)
+            .cast("string")
+            .cast("double")
+            / (F.col("s_den").cast(dec) * F.col("i_num"))
+            .cast(dec)
+            .cast("string")
+            .cast("double"),
+        ).alias("croston_rate"),
+    )
