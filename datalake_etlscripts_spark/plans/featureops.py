@@ -1539,3 +1539,96 @@ def q_croston_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double"),
         ).alias("croston_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Business-hours SLA latency (r7): view→purchase latency counted only
+# inside Mon-Fri 09:00-17:00 UTC. No calendar functions at all — the
+# weekday comes from pure epoch arithmetic (epoch day 0 was a
+# Thursday; +3 anchors Monday=0), so both engines compute the SAME
+# integers with no dayofweek-convention trap (Spark 1=Sunday vs
+# DuckDB isodow 1=Monday):
+#   days = epoch_s div 86400;  sod = epoch_s mod 86400
+#   dow  = (days + 3) mod 7;   fw = (days + 3) div 7
+#   bh(t) = fw*144000 + least(dow,5)*28800
+#         + IF(dow<5, clamp(sod-32400, 0, 28800), 0)
+#   business_latency = bh(t2) - bh(t1)
+# ---------------------------------------------------------------------------
+_BH_SQL = """(
+      ((epoch_us({t}) // 1000000 // 86400 + 3) // 7) * 144000
+      + least((epoch_us({t}) // 1000000 // 86400 + 3) % 7, 5) * 28800
+      + CASE WHEN (epoch_us({t}) // 1000000 // 86400 + 3) % 7 < 5
+          THEN least(greatest(epoch_us({t}) // 1000000 % 86400 - 32400, 0),
+                     28800) ELSE 0 END
+    )"""
+
+
+@query(
+    "business_hours_latency",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, min(ts) AS vt FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS pt
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.vt GROUP BY 1
+    ),
+    l AS (
+      SELECT p.user_id,
+             CAST({_BH_SQL.format(t='pt')} - {_BH_SQL.format(t='vt')}
+                  AS BIGINT) AS bl,
+             CAST((epoch_us(pt) - epoch_us(vt)) // 1000000 AS BIGINT)
+               AS wall_s
+      FROM p JOIN v USING (user_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converters,
+           CAST(sum(bl) AS BIGINT) AS sum_business_s,
+           CAST(sum(bl) AS DOUBLE) / count(*) AS mean_business_s,
+           CAST(sum(wall_s) AS DOUBLE) / count(*) AS mean_wall_s
+    FROM l
+    """,
+)
+def q_business_hours_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View-to-purchase latency counted only inside Mon-Fri 9-17 UTC: weekday from pure epoch arithmetic (Monday anchor, no engine dayofweek conventions), business-second accumulator as one closed-form integer expression per timestamp."""
+    e = read_table(spark, sf_dir, "events")
+
+    def bh(t: str):
+        return F.expr(
+            f"((unix_micros({t}) div 1000000 div 86400 + 3) div 7) * 144000"
+            f" + least((unix_micros({t}) div 1000000 div 86400 + 3) % 7, 5)"
+            f" * 28800"
+            f" + CASE WHEN (unix_micros({t}) div 1000000 div 86400 + 3) % 7 < 5"
+            f" THEN least(greatest(unix_micros({t}) div 1000000 % 86400"
+            f" - 32400, 0), 28800) ELSE 0 END"
+        )
+
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    lat = p.join(v, "user_id").select(
+        (bh("pt") - bh("vt")).cast("long").alias("bl"),
+        F.expr("(unix_micros(pt) - unix_micros(vt)) div 1000000")
+        .cast("long")
+        .alias("wall_s"),
+    )
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converters"),
+        F.sum("bl").cast("long").alias("sum_business_s"),
+        (F.sum("bl").cast("double") / F.count(F.lit(1))).alias(
+            "mean_business_s"
+        ),
+        (F.sum("wall_s").cast("double") / F.count(F.lit(1))).alias(
+            "mean_wall_s"
+        ),
+    )

