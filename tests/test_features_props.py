@@ -125,3 +125,95 @@ def test_gini_matches_python(spark, amounts):
     assert row["n_entities"] == n
     assert row["gini"] == gini
     assert row["hhi"] == hhi
+
+
+@SET
+@given(
+    base=st.dictionaries(
+        st.sampled_from("abcdefgh"), st.integers(1, 6), min_size=3, max_size=8
+    ),
+    deltas=st.lists(
+        st.tuples(st.sampled_from("abcdefghij"), st.integers(-3, 4)),
+        max_size=6,
+    ),
+)
+def test_ivm_topk_equals_recompute_under_any_delta(spark, base, deltas):
+    """Incremental ≡ recompute for the top-k view under ARBITRARY
+    signed deltas (deletes capped at the available count so post
+    counts stay ≥ 0) — covers buffer updates, riser rescans, and the
+    refill rule without enumerating cases by hand."""
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.summary import incremental_topk_view
+
+    post = dict(base)
+    applied = []
+    for g, d in deltas:
+        avail = post.get(g, 0)
+        d = max(d, -avail)  # a lake delta can't delete absent rows
+        if d == 0:
+            continue
+        post[g] = avail + d
+        applied.extend([(g, 1)] * d if d > 0 else [(g, -1)] * (-d))
+    post = {g: c for g, c in post.items() if c > 0}
+    k, cap = 2, 4
+    base_df = spark.createDataFrame(
+        [(g,) for g, c in base.items() for _ in range(c)], "g string"
+    )
+    buf = (
+        base_df.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("g"))
+        .limit(cap)
+    )
+    delta_df = spark.createDataFrame(
+        applied or [("zz", 0)], "g string, _sign int"
+    )
+    post_df = spark.createDataFrame(
+        [(g,) for g, c in post.items() for _ in range(c)] or [("__none__",)],
+        "g string",
+    )
+    if not post:
+        return  # empty view — nothing to rank
+    out = incremental_topk_view(buf, delta_df, post_df, "g", k=k, buffer_cap=cap)
+    got = [(r["rank"], r["g"], r["n"]) for r in out.collect()]
+    expect = sorted(post.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    expect = [(i + 1, g, c) for i, (g, c) in enumerate(expect)]
+    assert sorted(got) == expect
+
+
+@SET
+@given(words=st.lists(st.text(alphabet="abcdz", min_size=1, max_size=8), min_size=1, max_size=8))
+def test_wordpiece_matches_python_greedy(spark, words):
+    from datalake_etlscripts_spark.operators.bpe import wordpiece_encode
+
+    vocab = [
+        ("ab", False), ("abc", False), ("ba", False), ("##d", True),
+        ("##cd", True), ("##bc", True), ("a", False), ("b", False),
+        ("c", False), ("d", False), ("##a", True), ("##b", True),
+        ("##c", True),
+        # note: no 'z' anywhere and no '##d'-initial / 'd'-cont gaps:
+        # 'd' exists initial, '##d' cont; 'z' forces [UNK]
+    ]
+    init = {t: len(t) for t, c in vocab if not c}
+    cont = {t[2:]: len(t) - 2 for t, c in vocab if c}
+
+    def py_encode(w):
+        pos, pieces = 0, []
+        while pos < len(w):
+            table = init if pos == 0 else cont
+            best = 0
+            for t, ln in table.items():
+                if w[pos : pos + ln] == t and ln > best:
+                    best = ln
+            if best == 0:
+                return ["[UNK]"]
+            t = w[pos : pos + best]
+            pieces.append(t if pos == 0 else "##" + t)
+            pos += best
+        return pieces
+
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    out = {r["word"]: r["pieces"] for r in wordpiece_encode(df, vocab).collect()}
+    for w in set(words):
+        assert out[w] == " ".join(py_encode(w)), w
