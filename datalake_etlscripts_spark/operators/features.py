@@ -814,3 +814,62 @@ def key_audit(df: DataFrame, candidates: list[tuple[str, ...]]) -> DataFrame:
         (F.col("n_rows") - F.col("n_distinct")).alias("dup_mass"),
         (F.col("n_rows") == F.col("n_distinct")).alias("is_key"),
     )
+
+
+def pit_feature_rows(e: DataFrame) -> DataFrame:
+    """Point-in-time feature rows for purchase labels over an event
+    set: running view count and last error timestamp as of STRICTLY
+    before each label, via ONE union+carry window per user (labels
+    sort before features at equal timestamps — an equal-ts feature can
+    never leak into its own label). Shared by the registered
+    pit_training_join query and the streaming feature-store service's
+    in-batch half. Input columns: event_id, user_id, ts, event_type.
+    Returns (event_id, user_id, ts, n_views_before, last_err)."""
+    labels = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("vcnt"),
+        F.lit(None).cast("timestamp").alias("ets"),
+    )
+    vw = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    views = e.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.row_number().over(vw).cast("long").alias("vcnt"),
+        F.lit(None).cast("timestamp").alias("ets"),
+    )
+    errs = e.filter(F.col("event_type") == "error").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("vcnt"),
+        F.col("ts").alias("ets"),
+    )
+    u = labels.unionByName(views).unionByName(errs)
+    cw = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = u.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "tag",
+        F.max("vcnt").over(cw).alias("n_views_before"),
+        F.max("ets").over(cw).alias("last_err"),
+    )
+    return c.filter(F.col("tag") == 0).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce("n_views_before", F.lit(0)).cast("long").alias(
+            "n_views_before"
+        ),
+        "last_err",
+    )

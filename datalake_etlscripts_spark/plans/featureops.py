@@ -1038,56 +1038,14 @@ def q_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pit_training_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time feature join for training labels: running view count and seconds-since-last-error as of strictly before each purchase, both features carried in ONE user-keyed union+carry window - the no-leakage feature-store shape without inequality joins."""
-    from pyspark.sql import Window as W
-
     e = read_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type"
     )
-    labels = e.filter(F.col("event_type") == "purchase").select(
+    c = features.pit_feature_rows(e)
+    return c.select(
         "event_id",
         "user_id",
-        "ts",
-        F.lit(0).alias("tag"),
-        F.lit(None).cast("long").alias("vcnt"),
-        F.lit(None).cast("timestamp").alias("ets"),
-    )
-    vw = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    views = e.filter(F.col("event_type") == "view").select(
-        F.lit(None).cast("long").alias("event_id"),
-        "user_id",
-        "ts",
-        F.lit(1).alias("tag"),
-        F.row_number().over(vw).cast("long").alias("vcnt"),
-        F.lit(None).cast("timestamp").alias("ets"),
-    )
-    errs = e.filter(F.col("event_type") == "error").select(
-        F.lit(None).cast("long").alias("event_id"),
-        "user_id",
-        "ts",
-        F.lit(1).alias("tag"),
-        F.lit(None).cast("long").alias("vcnt"),
-        F.col("ts").alias("ets"),
-    )
-    u = labels.unionByName(views).unionByName(errs)
-    cw = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "tag")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    c = u.select(
-        "event_id",
-        "user_id",
-        "ts",
-        "tag",
-        F.max("vcnt").over(cw).alias("n_views_before"),
-        F.max("ets").over(cw).alias("last_err"),
-    )
-    return c.filter(F.col("tag") == 0).select(
-        "event_id",
-        "user_id",
-        F.coalesce("n_views_before", F.lit(0)).cast("long").alias(
-            "n_views_before"
-        ),
+        "n_views_before",
         F.expr("(unix_micros(ts) - unix_micros(last_err)) div 1000000")
         .cast("long")
         .alias("err_age_s"),

@@ -1167,3 +1167,124 @@ def read_quarantined_late(spark: SparkSession, state_dir: str) -> DataFrame:
     if not dirs:
         raise FileNotFoundError(f"no quarantined epochs under {state_dir}")
     return spark.read.parquet(*dirs)
+
+
+def run_streaming_feature_store(
+    spark: SparkSession,
+    events_dir: str,
+    root: str,
+    schema: str = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING",
+):
+    """Streaming point-in-time feature store: each micro-batch of
+    events (a) emits training rows for its purchase labels with
+    features as of STRICTLY before the label — per-user running view
+    count and last error timestamp — and (b) folds the batch into the
+    per-user feature state for future batches.
+
+    A label's features = carried-in state (everything from prior
+    batches) + the in-batch strictly-earlier events, computed by the
+    same union+carry window as the batch twin
+    (operators/features.pit_feature_rows), so for TIME-ORDERED drops
+    the streamed training table is row-identical to the batch
+    pit_training_join over the union of all drops (tested). Ordered
+    ingest is the contract, exactly like the CDC mirror's sequence
+    assumption: a feature event arriving after a later-timestamped
+    label was already emitted cannot retroactively patch that row.
+
+    State: ``{root}/state`` (user_id, n_views, last_err,
+    folded_through) — user-grain, never event history. Training rows:
+    ``{root}/training/epoch=N`` — the epoch-keyed directory makes a
+    replayed micro-batch overwrite ITS OWN output (idempotent), and
+    the folded_through watermark skips the state re-fold, the same
+    exactly-once discipline as run_streaming_trending_terms."""
+    from datalake_etlscripts_spark.operators.features import pit_feature_rows
+
+    state_path = f"{root}/state"
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()
+        have_state = _fs_path_exists(spark, state_path)
+        if have_state:
+            state = spark.read.parquet(state_path)
+            folded = state.agg(F.max("folded_through").alias("m")).collect()[
+                0
+            ]["m"]
+            if folded is not None and epoch_id <= folded:
+                return  # replay: training epoch dir + state already final
+        else:
+            state = None
+
+        inb = pit_feature_rows(batch_df)
+        if state is not None:
+            st = state.select(
+                F.col("user_id"),
+                F.col("n_views").alias("_sn"),
+                F.col("last_err").alias("_se"),
+            )
+            rows = (
+                inb.join(st, "user_id", "left")
+                .select(
+                    "event_id",
+                    "user_id",
+                    "ts",
+                    (
+                        F.col("n_views_before")
+                        + F.coalesce("_sn", F.lit(0))
+                    ).cast("long").alias("n_views_before"),
+                    F.greatest("last_err", "_se").alias("last_err"),
+                )
+            )
+        else:
+            rows = inb
+        training = rows.select(
+            "event_id",
+            "user_id",
+            "n_views_before",
+            F.expr("(unix_micros(ts) - unix_micros(last_err)) div 1000000")
+            .cast("long")
+            .alias("err_age_s"),
+        )
+        # epoch-keyed overwrite = replay-idempotent append
+        training.write.mode("overwrite").parquet(
+            f"{root}/training/epoch={epoch_id}"
+        )
+
+        binc = batch_df.groupBy("user_id").agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("_dv"),
+            F.max(
+                F.when(F.col("event_type") == "error", F.col("ts"))
+            ).alias("_de"),
+        )
+        if state is not None:
+            new_state = (
+                state.select("user_id", "n_views", "last_err")
+                .join(binc, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce("n_views", F.lit(0))
+                        + F.coalesce("_dv", F.lit(0))
+                    ).cast("long").alias("n_views"),
+                    F.greatest("last_err", "_de").alias("last_err"),
+                )
+            )
+        else:
+            new_state = binc.select(
+                "user_id",
+                F.col("_dv").cast("long").alias("n_views"),
+                F.col("_de").alias("last_err"),
+            )
+        new_state = new_state.withColumn(
+            "folded_through", F.lit(epoch_id).cast("bigint")
+        )
+        _stage_swap(spark, new_state, state_path, f"epoch{epoch_id}")
+
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", f"{root}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -895,3 +895,89 @@ def test_streaming_late_quarantine(spark, tmp_path):
     assert spark.read.parquet(os.path.join(state, "wm")).collect()[0][
         "watermark"
     ] == t("12:30")
+
+
+def test_streaming_feature_store_matches_batch_pit(spark, tmp_path):
+    """Stream≡batch for the point-in-time feature store under
+    time-ordered drops, plus replay idempotence (wiped checkpoint →
+    identical training table, state not double-folded)."""
+    from datetime import datetime
+
+    from datalake_etlscripts_spark.operators.features import pit_feature_rows
+    from datalake_etlscripts_spark.streaming import run_streaming_feature_store
+    from pyspark.sql import functions as F
+
+    events_dir = str(tmp_path / "events")
+    root = str(tmp_path / "fs")
+    os.makedirs(events_dir)
+    schema = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING"
+    T = datetime
+    b1 = spark.createDataFrame(
+        [
+            (1, 7, T(2024, 1, 1, 9, 0), "view"),
+            (2, 7, T(2024, 1, 1, 9, 30), "error"),
+            (3, 7, T(2024, 1, 1, 10, 0), "purchase"),   # 1 view, err 30m ago
+            (4, 8, T(2024, 1, 1, 10, 0), "view"),
+            (5, 7, T(2024, 1, 1, 10, 0), "view"),       # equal-ts w/ label 3? no: same user later batch check
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (6, 7, T(2024, 1, 1, 11, 0), "purchase"),   # sees 2 views (1+5)
+            (7, 8, T(2024, 1, 1, 11, 30), "purchase"),  # 1 view, no error
+            (8, 8, T(2024, 1, 1, 11, 30), "view"),      # equal-ts: not counted
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.mode("append").parquet(events_dir)
+    q = run_streaming_feature_store(spark, events_dir, root, schema)
+    q.awaitTermination(120)
+    b2.coalesce(1).write.mode("append").parquet(events_dir)
+    q = run_streaming_feature_store(spark, events_dir, root, schema)
+    q.awaitTermination(120)
+
+    streamed = sorted(
+        (r["event_id"], r["user_id"], r["n_views_before"], r["err_age_s"])
+        for r in spark.read.parquet(f"{root}/training").collect()
+    )
+    batch_rows = pit_feature_rows(b1.unionByName(b2)).select(
+        "event_id",
+        "user_id",
+        "n_views_before",
+        F.expr("(unix_micros(ts) - unix_micros(last_err)) div 1000000")
+        .cast("long")
+        .alias("err_age_s"),
+    )
+    batch = sorted(
+        (r["event_id"], r["user_id"], r["n_views_before"], r["err_age_s"])
+        for r in batch_rows.collect()
+    )
+    assert streamed == batch
+    got = {e: (u, v, a) for e, u, v, a in streamed}
+    assert got[3] == (7, 1, 1800)
+    assert got[6] == (7, 2, 5400)
+    assert got[7] == (8, 1, None)  # equal-ts view 8 not counted, no error
+
+    # replay: wipe the checkpoint; folded_through must skip the fold
+    state_before = sorted(
+        (r["user_id"], r["n_views"])
+        for r in spark.read.parquet(f"{root}/state").collect()
+    )
+    shutil.rmtree(f"{root}/checkpoint")
+    q = run_streaming_feature_store(spark, events_dir, root, schema)
+    q.awaitTermination(120)
+    assert (
+        sorted(
+            (r["user_id"], r["n_views"])
+            for r in spark.read.parquet(f"{root}/state").collect()
+        )
+        == state_before
+    )
+    assert (
+        sorted(
+            (r["event_id"], r["user_id"], r["n_views_before"], r["err_age_s"])
+            for r in spark.read.parquet(f"{root}/training").collect()
+        )
+        == streamed
+    )
