@@ -1590,3 +1590,89 @@ def q_business_hours_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_wall_s"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy shares (r7): share-of-parent at every level of the
+# region → nation → market-segment revenue hierarchy — the BI
+# "percent of parent" readout as exact integer-cents ratios, one
+# division per share. Aggregates once at the leaf grain; parents are
+# map-side rollups of the leaf table, never a second fact scan.
+# ---------------------------------------------------------------------------
+@query(
+    "hierarchy_shares",
+    oracle="""
+    WITH leaf AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             c.c_mktsegment AS segment,
+             CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+                  AS HUGEINT)) AS HUGEINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2, 3
+    ),
+    nat AS (
+      SELECT region, nation, sum(cents) AS cents FROM leaf GROUP BY 1, 2
+    ),
+    reg AS (SELECT region, sum(cents) AS cents FROM nat GROUP BY 1),
+    tot AS (SELECT sum(cents) AS cents FROM reg)
+    SELECT leaf.region, leaf.nation, leaf.segment,
+           CAST(CAST(leaf.cents AS VARCHAR) AS DOUBLE) / 100.0 AS revenue,
+           CAST(CAST(leaf.cents AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(nat.cents AS VARCHAR) AS DOUBLE) AS share_of_nation,
+           CAST(CAST(nat.cents AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(reg.cents AS VARCHAR) AS DOUBLE) AS share_of_region,
+           CAST(CAST(reg.cents AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(tot.cents AS VARCHAR) AS DOUBLE) AS share_of_total
+    FROM leaf
+    JOIN nat USING (region, nation)
+    JOIN reg USING (region)
+    CROSS JOIN tot
+    """,
+)
+def q_hierarchy_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent at every level of the region->nation->segment revenue hierarchy: one leaf-grain aggregate, parents rolled up from the leaf table (fact scanned once), exact integer-cents ratios."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    dec = "decimal(38,0)"
+    leaf = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast(dec)
+            )
+            .cast(dec)
+            .alias("cents")
+        )
+    )
+    nat = leaf.groupBy("region", "nation").agg(
+        F.sum("cents").cast(dec).alias("ncents")
+    )
+    reg = nat.groupBy("region").agg(F.sum("ncents").cast(dec).alias("rcents"))
+    tot = reg.agg(F.sum("rcents").cast(dec).alias("tcents"))
+    as_d = lambda c_: F.col(c_).cast("string").cast("double")  # noqa: E731
+    return (
+        leaf.join(F.broadcast(nat), ["region", "nation"])
+        .join(F.broadcast(reg), "region")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "region",
+            "nation",
+            "segment",
+            (as_d("cents") / F.lit(100.0)).alias("revenue"),
+            (as_d("cents") / as_d("ncents")).alias("share_of_nation"),
+            (as_d("ncents") / as_d("rcents")).alias("share_of_region"),
+            (as_d("rcents") / as_d("tcents")).alias("share_of_total"),
+        )
+    )
