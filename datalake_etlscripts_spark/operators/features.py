@@ -873,3 +873,129 @@ def pit_feature_rows(e: DataFrame) -> DataFrame:
         ),
         "last_err",
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series diagnostics: ACF grid + weighted Holt trend
+# ---------------------------------------------------------------------------
+def acf_grid(
+    df: DataFrame,
+    max_lag: int = 24,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Autocorrelation function r_1..r_max_lag per key over the hourly
+    spine — the seasonality DIAGNOSTIC behind seasonality_lag24's
+    single point. Cleared of the mean's denominator so everything is
+    exact integers until one division per (key, lag):
+
+        r_k = [n²·Σy_t·y_{t−k} − n·S·(H_k+T_k) + (n−k)·S²]
+              / [n·(n−k)/n... ]  — normalized by n·(n·Σy² − S²)
+
+    where S = Σy, H_k/T_k are the head/tail window sums. The k-lag
+    pairing is ONE equi-join of the spine against itself shifted by an
+    exploded lag column — hour-grain × max_lag rows, time-bounded.
+    Returns (key, lag, n_pairs, r)."""
+    dec = "decimal(38,0)"
+    g = _hourly_counts_spine(df, type_col, ts_col).withColumn(
+        "x", F.expr("unix_micros(h) div 3600000000")
+    )
+    st = g.groupBy("k").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("c").cast(dec).alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c")).cast(dec).alias("syy"),
+    )
+    lags = g.select(
+        "k",
+        "x",
+        F.col("c").alias("ch"),
+        F.explode(F.array(*[F.lit(i) for i in range(1, max_lag + 1)])).alias(
+            "lag"
+        ),
+    )
+    tails = g.select("k", F.col("x").alias("xt"), F.col("c").alias("ct"))
+    pairs = lags.join(
+        tails,
+        (lags["k"] == tails["k"]) & (tails["xt"] == lags["x"] - lags["lag"]),
+    ).select(lags["k"].alias("k"), "lag", "ch", "ct")
+    pk = pairs.groupBy("k", "lag").agg(
+        F.count(F.lit(1)).cast(dec).alias("m"),
+        F.sum(F.col("ch").cast(dec) * F.col("ct")).cast(dec).alias("syy_k"),
+        F.sum("ch").cast(dec).alias("hk"),
+        F.sum("ct").cast(dec).alias("tk"),
+    )
+    j = pk.join(F.broadcast(st), "k")
+    num = (
+        F.col("n") * F.col("n") * F.col("syy_k")
+        - F.col("n") * F.col("s") * (F.col("hk") + F.col("tk"))
+        + F.col("m") * F.col("s") * F.col("s")
+    ).cast(dec)
+    den = (
+        F.col("n") * (F.col("n") * F.col("syy") - F.col("s") * F.col("s"))
+    ).cast(dec)
+    return j.select(
+        F.col("k").alias(type_col),
+        F.col("lag").cast("int").alias("lag"),
+        F.col("m").cast("long").alias("n_pairs"),
+        F.when(den != 0, _as_double(num) / _as_double(den)).alias("r"),
+    )
+
+
+def holt_weighted_trend(
+    df: DataFrame,
+    window: int = 16,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Holt-style level+trend from the last ``window`` hours, made
+    exact: instead of the recursive smoother (whose state is an
+    unbounded-denominator rational), fit a WEIGHTED least squares line
+    with geometric weights (3/4)^age cleared of denominators
+    (w_a = 3^a·4^(K−1−a) — the truncated-EWMA integer trick applied to
+    both Holt equations at once). With x = −age, Cramer's rule gives
+
+        slope = (W·Sxy − Sx·Sy) / Dᅟᅟlevel = (Sy·Sxx − Sx·Sxy) / D
+
+    and the h-step forecast (level_num + h·slope_num)/D is still ONE
+    exact division. Keys with < 2 recent hours return NULLs. Per-key
+    work is ``window`` rows."""
+    dec = "decimal(38,0)"
+    g = _hourly_counts_spine(df, type_col, ts_col)
+    w_rank = W.partitionBy("k").orderBy(F.desc("h"))
+    recent = g.withColumn("age", F.row_number().over(w_rank) - 1).filter(
+        F.col("age") < window
+    )
+    wexpr = "CASE age " + " ".join(
+        f"WHEN {a} THEN {3 ** a * 4 ** (window - 1 - a)}"
+        for a in range(window)
+    ) + " ELSE 0 END"
+    r = recent.select(
+        "k",
+        F.expr(wexpr).cast(dec).alias("w"),
+        (-F.col("age")).cast(dec).alias("x"),
+        F.col("c").cast(dec).alias("y"),
+    )
+    m = r.groupBy("k").agg(
+        F.count(F.lit(1)).alias("nh"),
+        F.sum("w").cast(dec).alias("sw"),
+        F.sum(F.col("w") * F.col("x")).cast(dec).alias("sx"),
+        F.sum(F.col("w") * F.col("y")).cast(dec).alias("sy"),
+        F.sum(F.col("w") * F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("w") * F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+    )
+    d_ = (F.col("sw") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(dec)
+    num_s = (F.col("sw") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(dec)
+    num_l = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast(dec)
+    ok = (F.col("nh") >= 2) & (d_ != 0)
+    return m.select(
+        F.col("k").alias(type_col),
+        F.col("nh").cast("int").alias("n_hours_used"),
+        F.when(ok, _as_double(num_l) / _as_double(d_)).alias("level"),
+        F.when(ok, _as_double(num_s) / _as_double(d_)).alias("trend"),
+        F.when(
+            ok, _as_double((num_l + num_s).cast(dec)) / _as_double(d_)
+        ).alias("forecast_1h"),
+        F.when(
+            ok, _as_double((num_l + 24 * num_s).cast(dec)) / _as_double(d_)
+        ).alias("forecast_24h"),
+    )

@@ -1676,3 +1676,238 @@ def q_hierarchy_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
             (as_d("rcents") / as_d("tcents")).alias("share_of_total"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series diagnostics (r7): the full ACF grid behind
+# seasonality_lag24's single point, and a Holt-style level+trend fit
+# made exact via integer-weight WLS.
+# ---------------------------------------------------------------------------
+@query(
+    "acf_grid",
+    oracle=_SPINE_SQL
+    + """,
+    hx AS (SELECT k, epoch_us(h) // 3600000000 AS x, c FROM g),
+    st AS (
+      SELECT k, CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(c) AS HUGEINT) AS s,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS syy
+      FROM hx GROUP BY 1
+    ),
+    lg AS (SELECT unnest(generate_series(1, 24)) AS lag),
+    p AS (
+      SELECT a.k, lg.lag, a.c AS ch, b.c AS ct
+      FROM hx a CROSS JOIN lg
+      JOIN hx b ON b.k = a.k AND b.x = a.x - lg.lag
+    ),
+    pk AS (
+      SELECT k, lag, CAST(count(*) AS HUGEINT) AS m,
+             CAST(sum(CAST(ch AS HUGEINT) * ct) AS HUGEINT) AS syyk,
+             CAST(sum(ch) AS HUGEINT) AS hk, CAST(sum(ct) AS HUGEINT) AS tk
+      FROM p GROUP BY 1, 2
+    )
+    SELECT pk.k AS event_type, CAST(pk.lag AS INT) AS lag,
+           CAST(pk.m AS BIGINT) AS n_pairs,
+           CASE WHEN st.n * (st.n * st.syy - st.s * st.s) <> 0 THEN
+             CAST(CAST(st.n * st.n * pk.syyk
+                       - st.n * st.s * (pk.hk + pk.tk)
+                       + pk.m * st.s * st.s AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(st.n * (st.n * st.syy - st.s * st.s) AS VARCHAR)
+                      AS DOUBLE) END AS r
+    FROM pk JOIN st USING (k)
+    """,
+)
+def q_acf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full autocorrelation grid r_1..r_24 per event type over the hourly spine: mean cleared of its denominator so every numerator and denominator is an exact integer, one division per (type, lag); lag pairing is one exploded equi-join."""
+    e = read_table(spark, sf_dir, "events")
+    return features.acf_grid(e, max_lag=24)
+
+
+_HOLT_W = {a: 3 ** a * 4 ** (15 - a) for a in range(16)}
+_HOLT_CASE = (
+    "CASE age "
+    + " ".join(f"WHEN {a} THEN {w}" for a, w in _HOLT_W.items())
+    + " ELSE 0 END"
+)
+
+
+@query(
+    "holt_trend_forecast",
+    oracle=_SPINE_SQL
+    + f""",
+    rec AS (
+      SELECT k, c,
+             row_number() OVER (PARTITION BY k ORDER BY h DESC) - 1 AS age
+      FROM g
+    ),
+    r AS (
+      SELECT k, CAST({_HOLT_CASE} AS HUGEINT) AS w,
+             CAST(-age AS HUGEINT) AS x, CAST(c AS HUGEINT) AS y
+      FROM rec WHERE age < 16
+    ),
+    m AS (
+      SELECT k, CAST(count(*) AS INT) AS nh, sum(w) AS sw,
+             sum(w * x) AS sx, sum(w * y) AS sy,
+             sum(w * x * y) AS sxy, sum(w * x * x) AS sxx
+      FROM r GROUP BY 1
+    )
+    SELECT k AS event_type, nh AS n_hours_used,
+           CASE WHEN nh >= 2 AND sw * sxx - sx * sx <> 0 THEN
+             CAST(CAST(sy * sxx - sx * sxy AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(sw * sxx - sx * sx AS VARCHAR) AS DOUBLE) END
+             AS level,
+           CASE WHEN nh >= 2 AND sw * sxx - sx * sx <> 0 THEN
+             CAST(CAST(sw * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(sw * sxx - sx * sx AS VARCHAR) AS DOUBLE) END
+             AS trend,
+           CASE WHEN nh >= 2 AND sw * sxx - sx * sx <> 0 THEN
+             CAST(CAST((sy * sxx - sx * sxy) + (sw * sxy - sx * sy)
+                       AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(sw * sxx - sx * sx AS VARCHAR) AS DOUBLE) END
+             AS forecast_1h,
+           CASE WHEN nh >= 2 AND sw * sxx - sx * sx <> 0 THEN
+             CAST(CAST((sy * sxx - sx * sxy) + 24 * (sw * sxy - sx * sy)
+                       AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(sw * sxx - sx * sx AS VARCHAR) AS DOUBLE) END
+             AS forecast_24h
+    FROM m
+    """,
+)
+def q_holt_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-style level and trend from the last 16 hours as an exact integer-weight WLS fit (geometric (3/4)^age weights cleared of denominators, Cramer's rule) - the h-step forecast is still one exact division."""
+    e = read_table(spark, sf_dir, "events")
+    return features.holt_weighted_trend(e, window=16)
+
+
+# ---------------------------------------------------------------------------
+# Importance-sampling health (r7): effective sample size of
+# length-proportional weights per source — (Σw)²/Σw², the standard
+# collapse diagnostic, exact integers until one division.
+# ---------------------------------------------------------------------------
+@query(
+    "ess_diagnostic",
+    oracle="""
+    WITH b AS (
+      SELECT source AS key, CAST(n_chars AS HUGEINT) AS w FROM documents
+    ),
+    st AS (
+      SELECT key, CAST(count(*) AS HUGEINT) AS n, sum(w) AS sw,
+             sum(w * w) AS sww
+      FROM b GROUP BY 1
+      UNION ALL
+      SELECT '__total__', CAST(count(*) AS HUGEINT), sum(w), sum(w * w)
+      FROM b
+    )
+    SELECT key, CAST(n AS BIGINT) AS n,
+           CAST(CAST(sw * sw AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(sww AS VARCHAR) AS DOUBLE) AS ess,
+           CAST(CAST(sw * sw AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(n * sww AS VARCHAR) AS DOUBLE) AS ess_ratio
+    FROM st
+    """,
+)
+def q_ess_diagnostic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of length-proportional sampling weights per source plus __total__: (sum w)^2 / sum w^2 with exact DECIMAL accumulation - the weight-collapse diagnostic every importance-sampling pipeline needs."""
+    d = read_table(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+    b = d.select(
+        F.col("source").alias("key"), F.col("n_chars").cast(dec).alias("w")
+    )
+    st = b.groupBy("key").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("w").cast(dec).alias("sw"),
+        F.sum(F.col("w") * F.col("w")).cast(dec).alias("sww"),
+    )
+    tot = b.agg(
+        F.lit("__total__").alias("key"),
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("w").cast(dec).alias("sw"),
+        F.sum(F.col("w") * F.col("w")).cast(dec).alias("sww"),
+    )
+    u = st.unionByName(tot)
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return u.select(
+        "key",
+        F.col("n").cast("long").alias("n"),
+        (as_d((F.col("sw") * F.col("sw")).cast(dec)) / as_d(F.col("sww"))).alias(
+            "ess"
+        ),
+        (
+            as_d((F.col("sw") * F.col("sw")).cast(dec))
+            / as_d((F.col("n") * F.col("sww")).cast(dec))
+        ).alias("ess_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox audit (r7): does the price-quantity association
+# within each return-flag group point the OPPOSITE way from the pooled
+# association? Sign of the covariance numerator n·Σxy − Σx·Σy — exact
+# integers, no division at all.
+# ---------------------------------------------------------------------------
+@query(
+    "simpsons_paradox_audit",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag AS grp,
+             CAST(l_quantity AS HUGEINT) AS x,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT)
+               AS y
+      FROM lineitem
+    ),
+    g AS (
+      SELECT grp, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+             sum(y) AS sy, sum(x * y) AS sxy
+      FROM b GROUP BY 1
+    ),
+    p AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy
+      FROM b
+    )
+    SELECT g.grp AS l_returnflag, CAST(g.n AS BIGINT) AS n_rows,
+           CAST(CASE WHEN g.n * g.sxy > g.sx * g.sy THEN 1
+                     WHEN g.n * g.sxy < g.sx * g.sy THEN -1
+                     ELSE 0 END AS INT) AS sign_group,
+           CAST(CASE WHEN p.n * p.sxy > p.sx * p.sy THEN 1
+                     WHEN p.n * p.sxy < p.sx * p.sy THEN -1
+                     ELSE 0 END AS INT) AS sign_pooled,
+           ((g.n * g.sxy > g.sx * g.sy) <> (p.n * p.sxy > p.sx * p.sy))
+             AS reversed
+    FROM g CROSS JOIN p
+    """,
+)
+def q_simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation-bias audit: sign of the quantity-price covariance numerator within each return-flag group vs pooled - exact integer cross products, zero divisions; a reversal flags a Simpson's-paradox slice."""
+    li = read_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    b = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast(dec).alias("x"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast(dec)
+        .alias("y"),
+    )
+    g = b.groupBy("grp").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+    )
+    p = b.agg(
+        F.count(F.lit(1)).cast(dec).alias("pn"),
+        F.sum("x").cast(dec).alias("psx"),
+        F.sum("y").cast(dec).alias("psy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("psxy"),
+    )
+    j = g.crossJoin(F.broadcast(p))
+    gc = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    pc = F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy")
+    sign = lambda c: F.when(c > 0, 1).when(c < 0, -1).otherwise(0)  # noqa: E731
+    return j.select(
+        F.col("grp").alias("l_returnflag"),
+        F.col("n").cast("long").alias("n_rows"),
+        sign(gc).cast("int").alias("sign_group"),
+        sign(pc).cast("int").alias("sign_pooled"),
+        ((gc > 0) != (pc > 0)).alias("reversed"),
+    )
