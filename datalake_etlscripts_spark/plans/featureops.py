@@ -1911,3 +1911,161 @@ def q_simpsons_paradox_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         sign(pc).cast("int").alias("sign_pooled"),
         ((gc > 0) != (pc > 0)).alias("reversed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-threshold hysteresis alerting (r7): enter alarm at c ≥ hi, leave
+# at c < lo — the flapping-proof monitor. Relationally: the state at
+# any hour is decided by the MOST RECENT crossing (a last-non-null
+# carry), so no sequential fold is needed; crossings are sparse, the
+# carry is one window.
+# ---------------------------------------------------------------------------
+@query(
+    "hysteresis_alerts",
+    oracle=_SPINE_SQL
+    + """,
+    cr AS (
+      SELECT k, h, c,
+             CASE WHEN c >= 25 THEN 1 WHEN c < 10 THEN 0 END AS cross_state
+      FROM g
+    ),
+    st AS (
+      SELECT k, h, c,
+             COALESCE(max_by(cross_state, h) FILTER (cross_state IS NOT NULL)
+               OVER (PARTITION BY k ORDER BY h
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               0) AS alarm
+      FROM cr
+    ),
+    ep AS (
+      SELECT k, alarm,
+             alarm - COALESCE(lag(alarm) OVER (PARTITION BY k ORDER BY h), 0)
+               AS delta
+      FROM st
+    )
+    SELECT k AS event_type,
+           CAST(sum(alarm) AS BIGINT) AS alarm_hours,
+           CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_episodes
+    FROM ep GROUP BY 1
+    """,
+)
+def q_hysteresis_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-threshold hysteresis monitor per event type: alarm enters at >=25 events/h and exits below 10, state decided by the most recent crossing via one last-non-null carry window - flap-proof alerting with exact episode counts."""
+    from pyspark.sql import Window as W
+
+    from datalake_etlscripts_spark.operators.features import (
+        _hourly_counts_spine,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    g = _hourly_counts_spine(e, "event_type", "ts")
+    cross = F.when(F.col("c") >= 25, 1).when(F.col("c") < 10, 0)
+    cw = (
+        W.partitionBy("k")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    st = g.withColumn("cross_state", cross).withColumn(
+        "alarm",
+        F.coalesce(
+            F.last("cross_state", ignorenulls=True).over(cw), F.lit(0)
+        ),
+    )
+    ep = st.withColumn(
+        "delta",
+        F.col("alarm")
+        - F.coalesce(
+            F.lag("alarm").over(W.partitionBy("k").orderBy("h")), F.lit(0)
+        ),
+    )
+    return ep.groupBy(F.col("k").alias("event_type")).agg(
+        F.sum("alarm").cast("long").alias("alarm_hours"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_episodes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-source-out data valuation (r7): each source's influence on
+# the corpus-level calibration loss, computed from ONE pass — the
+# excluded-source Brier is (total squared-error − source's) over
+# (total n − source's), pure arithmetic on per-source partial sums.
+# ---------------------------------------------------------------------------
+@query(
+    "loso_source_influence",
+    oracle="""
+    WITH d AS (
+      SELECT source, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    p AS (
+      SELECT source,
+             CAST(1000 * len(list_filter(tk, x -> x = 'the' OR x = 'a'))
+                  // len(tk) AS HUGEINT) AS p_pm,
+             CAST(CASE WHEN lang = 'en' THEN 1000 ELSE 0 END AS HUGEINT)
+               AS y_pm
+      FROM d WHERE len(tk) > 0
+    ),
+    s AS (
+      SELECT source, CAST(count(*) AS HUGEINT) AS n,
+             sum((p_pm - y_pm) * (p_pm - y_pm)) AS sq
+      FROM p GROUP BY 1
+    ),
+    t AS (SELECT sum(n) AS tn, sum(sq) AS tsq FROM s)
+    SELECT s.source, CAST(s.n AS BIGINT) AS n_docs,
+           CAST(CAST(s.sq AS VARCHAR) AS DOUBLE)
+             / (1000000.0 * CAST(s.n AS BIGINT)) AS brier_source,
+           CAST(CAST(t.tsq - s.sq AS VARCHAR) AS DOUBLE)
+             / (1000000.0 * CAST(t.tn - s.n AS BIGINT)) AS brier_without,
+           CAST(CAST(t.tsq AS VARCHAR) AS DOUBLE)
+             / (1000000.0 * CAST(t.tn AS BIGINT))
+             - CAST(CAST(t.tsq - s.sq AS VARCHAR) AS DOUBLE)
+               / (1000000.0 * CAST(t.tn - s.n AS BIGINT)) AS influence
+    FROM s CROSS JOIN t
+    """,
+)
+def q_loso_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out influence on the corpus Brier calibration loss: excluded-source loss from total-minus-source partial sums (one scan, K sources evaluated with zero rescans); positive influence = the source makes calibration worse."""
+    d = read_table(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+    p = d.select(
+        "source",
+        F.expr(
+            "CAST(1000 * size(filter(filter(split(text, ' '), x -> x != ''),"
+            " x -> x = 'the' OR x = 'a'))"
+            " div size(filter(split(text, ' '), x -> x != '')) AS BIGINT)"
+        ).cast(dec).alias("p_pm"),
+        F.when(F.col("lang") == "en", 1000).otherwise(0).cast(dec).alias(
+            "y_pm"
+        ),
+        F.expr("size(filter(split(text, ' '), x -> x != ''))").alias("_nt"),
+    ).filter(F.col("_nt") > 0)
+    sq = (F.col("p_pm") - F.col("y_pm")) * (F.col("p_pm") - F.col("y_pm"))
+    s = p.groupBy("source").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(sq).cast(dec).alias("sqs"),
+    )
+    t = s.agg(
+        F.sum("n").cast(dec).alias("tn"), F.sum("sqs").cast(dec).alias("tsq")
+    )
+    j = s.crossJoin(F.broadcast(t))
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    brier_src = as_d(F.col("sqs")) / (
+        F.lit(1000000.0) * F.col("n").cast("long")
+    )
+    brier_wo = as_d((F.col("tsq") - F.col("sqs")).cast(dec)) / (
+        F.lit(1000000.0) * (F.col("tn") - F.col("n")).cast("long")
+    )
+    brier_tot = as_d(F.col("tsq")) / (
+        F.lit(1000000.0) * F.col("tn").cast("long")
+    )
+    return j.select(
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        brier_src.alias("brier_source"),
+        brier_wo.alias("brier_without"),
+        (brier_tot - brier_wo).alias("influence"),
+    )
