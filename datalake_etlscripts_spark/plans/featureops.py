@@ -2069,3 +2069,52 @@ def q_loso_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         brier_wo.alias("brier_without"),
         (brier_tot - brier_wo).alias("influence"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dispersion index (r7): variance-to-mean ratio of the hourly counts —
+# the Poisson-adequacy check that tells you whether threshold alerts
+# (hysteresis_alerts) and z-based monitors are even valid for a key.
+# VMR = (n·Σy² − S²) / (n·S): exact integers, ONE division; the
+# overdispersion flag is an integer cross-multiplication.
+# ---------------------------------------------------------------------------
+@query(
+    "dispersion_index",
+    oracle=_SPINE_SQL
+    + """,
+    st AS (
+      SELECT k, CAST(count(*) AS HUGEINT) AS n, CAST(sum(c) AS HUGEINT) AS s,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS syy
+      FROM g GROUP BY 1
+    )
+    SELECT k AS event_type, CAST(n AS BIGINT) AS n_hours,
+           CASE WHEN s > 0 THEN
+             CAST(CAST(n * syy - s * s AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(n * s AS VARCHAR) AS DOUBLE) END AS vmr,
+           (n * syy - s * s > 2 * n * s) AS overdispersed
+    FROM st
+    """,
+)
+def q_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean ratio of hourly counts per event type (Poisson adequacy): exact integer numerator and denominator, one division; overdispersed (VMR>2) decided by cross-multiplication."""
+    from datalake_etlscripts_spark.operators.features import (
+        _hourly_counts_spine,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    dec = "decimal(38,0)"
+    g = _hourly_counts_spine(e, "event_type", "ts")
+    st = g.groupBy("k").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("c").cast(dec).alias("s"),
+        F.sum(F.col("c").cast(dec) * F.col("c")).cast(dec).alias("syy"),
+    )
+    num = (F.col("n") * F.col("syy") - F.col("s") * F.col("s")).cast(dec)
+    den = (F.col("n") * F.col("s")).cast(dec)
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return st.select(
+        F.col("k").alias("event_type"),
+        F.col("n").cast("long").alias("n_hours"),
+        F.when(F.col("s") > 0, as_d(num) / as_d(den)).alias("vmr"),
+        (num > 2 * den).alias("overdispersed"),
+    )
