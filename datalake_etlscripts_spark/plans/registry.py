@@ -140,7 +140,12 @@ PRIORITY: list[str] = [
 # deletion_vector_plan, dsir_gumbel_resample, graph_ppr_seeds,
 # kmv_rollup_distinct, feature_hash_vectors, moments_sketch_merge,
 # ewma_anomaly, seasonal_decompose, experiment_did, item_item_cf,
-# bot_detection, markov_next_accuracy,
+# bot_detection, markov_next_accuracy, fd_discovery, candidate_keys,
+# funnel_latency_quantiles, erasure_impact, pit_training_join,
+# coverage_gaps, ndcg_at_k, brier_score_permille, croston_forecast,
+# business_hours_latency, hierarchy_shares, acf_grid,
+# holt_trend_forecast, ess_diagnostic, simpsons_paradox_audit,
+# hysteresis_alerts, loso_source_influence, dispersion_index,
 # gopher_length_auc, join_size_estimate, benford_audit, ivm_join_view, textrank_keywords, graph_neighborhood_hll, k_anonymity_generalize, average_precision, embedding_covariance, decision_stump_train, chi2_feature_select, forecast_mase, knn_shapley_truncated, auc_by_language, calibration_bins,
 # skyline_pareto, psi_drift, distribution_drift, rendezvous_sharding,
 # boolean_retrieval, source_token_entropy, attribution_position_based,
