@@ -616,3 +616,69 @@ def hits_scores(
         )
 
     return topk(hub, "s", "hub").unionByName(topk(auth, "p", "authority"))
+
+
+def sssp_rounds(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Multi-source weighted shortest paths, ``rounds`` Bellman-Ford
+    relaxations (bounded-hop SSSP — the weighted twin of bfs_hops):
+    ``edges`` carries (src, dst, w) with non-negative integer weights,
+    ``seeds`` (node) start at distance 0. Each round relaxes ONLY the
+    frontier (nodes whose distance improved last round) against the
+    edge set, then folds candidates into the running minimum with one
+    keyed aggregate — the delta-iteration shape: late rounds touch
+    shrinking frontiers, never the whole visited set. Distances after
+    round t are exact minimal t-hop-bounded path weights (integers;
+    no float accumulation). Returns (node, dist). Lineage cut per
+    round (localCheckpoint; ``checkpoint_dir`` swaps in reliable
+    checkpoints for executor-loss recovery at scale)."""
+    dist = (
+        seeds.select("node", F.lit(0).cast("long").alias("dist"))
+        .groupBy("node")
+        .agg(F.min("dist").alias("dist"))
+    )
+    frontier = dist
+    for it in range(rounds):
+        fr = frontier.select(
+            F.col("node").alias("fnode"), F.col("dist").alias("fdist")
+        )
+        cand = (
+            fr.join(edges, fr["fnode"] == edges["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("fdist") + F.col("w")).alias("dist"),
+            )
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        merged = cut_lineage(
+            merged, it, checkpoint_dir, checkpoint_every, eager=False
+        )
+        # frontier = nodes that are new or strictly improved this round
+        frontier = (
+            merged.alias("m")
+            .join(
+                dist.select(
+                    F.col("node").alias("pnode"),
+                    F.col("dist").alias("pdist"),
+                ),
+                F.col("node") == F.col("pnode"),
+                "left",
+            )
+            .filter(
+                F.col("pdist").isNull() | (F.col("dist") < F.col("pdist"))
+            )
+            .select("node", "dist")
+        )
+        dist = merged
+    return dist

@@ -13,9 +13,11 @@ from datalake_etlscripts_spark.plans import (  # noqa: F401, E402
     featureops,
     functions_showcase,
     graphops,
+    lakeops,
     relational,
     sources,
     sources_formats,
+    statops,
     sync,
     textops,
     tpch_more,

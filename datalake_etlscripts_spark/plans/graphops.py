@@ -674,3 +674,151 @@ def q_graph_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
     )
     return hits_scores(edges, rounds=2, k=20)
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity (r9): Pearson correlation of endpoint degrees
+# across the symmetrized supplier-part edge list — the one-number
+# answer to "do hubs link to hubs?". Exact DECIMAL(38,0) moments from
+# one edge scan (+ one degree join); r is a single fixed-order double
+# combine. At 100 TB: two keyed shuffles (degree, moments), no
+# iteration, scalars only to the driver.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_assortativity",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+      FROM lineitem
+    ),
+    edges AS (SELECT src, dst FROM e0
+              UNION ALL SELECT dst, src FROM e0),
+    deg AS (SELECT src AS node, CAST(count(*) AS HUGEINT) AS d
+            FROM edges GROUP BY 1),
+    pairs AS (
+      SELECT ds.d AS x, dd.d AS y
+      FROM edges e
+      JOIN deg ds ON ds.node = e.src
+      JOIN deg dd ON dd.node = e.dst
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM pairs
+    )
+    SELECT CAST(n AS BIGINT) AS m_edges,
+           CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE) AS num,
+           CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE) AS vx,
+           CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE) AS vy,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             / (sqrt(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE))
+                * sqrt(CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE)))
+           END AS assortativity
+    FROM m
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier-part graph: Pearson r of endpoint degrees over the symmetrized edge list - exact DECIMAL moments, one fixed-order double combine, scalars only to the driver."""
+    li = read_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).dropDuplicates()
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("d")
+    )
+    ds = deg.select(F.col("node").alias("sn"), F.col("d").alias("x"))
+    dd = deg.select(F.col("node").alias("dn"), F.col("d").alias("y"))
+    pairs = (
+        edges.join(ds, edges["src"] == ds["sn"])
+        .join(dd, edges["dst"] == dd["dn"])
+        .select("x", "y")
+    )
+    m = pairs.groupBy().agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+
+    def dd_(c):
+        return c.cast("string").cast("double")
+
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        F.col("n").cast("long").alias("m_edges"),
+        dd_(num).alias("num"),
+        dd_(vx).alias("vx"),
+        dd_(vy).alias("vy"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            dd_(num) / (F.sqrt(dd_(vx)) * F.sqrt(dd_(vy))),
+        ).alias("assortativity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop weighted shortest paths (r9): K Bellman-Ford relaxation
+# rounds from seed suppliers over the symmetrized supplier-part graph,
+# edge weight = min lineitem quantity for the pair (exact integers, no
+# float path sums). The engine side is the delta-iteration sssp_rounds
+# operator (frontier-only relaxation); the oracle unrolls the same K
+# rounds as CTEs — bit-identical distances because min-fold order is
+# irrelevant over integers.
+# ---------------------------------------------------------------------------
+def _sssp_oracle(rounds: int = 4) -> str:
+    parts = [
+        """
+    WITH e0 AS (
+      SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst,
+             CAST(min(l_quantity) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    edges AS (SELECT src, dst, w FROM e0
+              UNION ALL SELECT dst, src, w FROM e0),
+    d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist
+           FROM edges WHERE src IN (2, 4))"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+    c{t} AS (SELECT e.dst AS node, d.dist + e.w AS dist
+             FROM d{t - 1} d JOIN edges e ON e.src = d.node),
+    d{t} AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM
+             (SELECT * FROM d{t - 1} UNION ALL SELECT * FROM c{t})
+             GROUP BY 1)"""
+        )
+    parts.append(f"\n    SELECT node, dist FROM d{rounds}")
+    return "".join(parts)
+
+
+@query("graph_shortest_paths", oracle=_sssp_oracle(4))
+def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop weighted shortest paths (4 Bellman-Ford rounds) from seed suppliers - delta-iteration frontier relaxation, exact integer path weights, min-fold per round."""
+    from datalake_etlscripts_spark.operators.graph import sssp_rounds
+
+    li = read_table(spark, sf_dir, "lineitem")
+    e0 = li.groupBy(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+    edges = e0.unionByName(
+        e0.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    seeds = (
+        edges.filter(F.col("src").isin(2, 4))
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    return sssp_rounds(edges, seeds, rounds=4)

@@ -1,0 +1,766 @@
+"""Lakehouse / data-engineering query plans (r9): exact proportional
+allocation (Hamilton largest-remainder), RFM customer segmentation on
+the distributed rank lane, SCD type-2 dimension build from a change
+stream, FIFO lot allocation via the cumulative-interval sweep,
+per-field survivorship (golden record), and SRE error-budget burn
+rates. Beyond-reference warehouse surface; every entry is
+oracle-backed under the house float-determinism policy (exact
+integers / DECIMAL until one final division).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from datalake_etlscripts_spark.io.readers import read_table
+from datalake_etlscripts_spark.operators.features import (
+    _as_double,
+    distributed_rank,
+)
+from datalake_etlscripts_spark.plans.registry import query
+
+_D = "CAST(CAST({x} AS VARCHAR) AS DOUBLE)"
+
+
+def _d(x: str) -> str:
+    return _D.format(x=x)
+
+
+_CENTS = "CAST(CAST(CAST({x} AS DECIMAL(14,2)) * 100 AS HUGEINT) AS HUGEINT)"
+
+
+# ---------------------------------------------------------------------------
+# Hamilton largest-remainder apportionment: distribute EXACTLY S units
+# across nations proportional to revenue. floor(S·x_i/T) seats first,
+# then the S − Σfloor leftovers go to the largest remainders
+# (ties → lower nationkey). Everything is integer arithmetic — the
+# invariant Σseats = S holds bit-exactly in both engines. One
+# fact-table aggregate, then dictionary-sized (25-row) window math.
+# At 100 TB the only data-sized stage is the first groupBy; the
+# apportionment itself is dimension-sized.
+# ---------------------------------------------------------------------------
+@query(
+    "largest_remainder_alloc",
+    oracle=f"""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nationkey,
+             sum({_CENTS.format(x='o.o_totalprice')}) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ),
+    t AS (SELECT sum(cents) AS tot FROM rev),
+    q AS (
+      SELECT nationkey, cents,
+             (10000 * cents) // t.tot AS floor_units,
+             (10000 * cents) % t.tot AS rem
+      FROM rev CROSS JOIN t
+    ),
+    r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY rem DESC, nationkey ASC) AS rk,
+             10000 - sum(floor_units) OVER () AS leftover
+      FROM q
+    )
+    SELECT CAST(nationkey AS BIGINT) AS nationkey, n.n_name AS nation,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(floor_units AS BIGINT) AS floor_units,
+           CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS INT) AS extra,
+           CAST(floor_units + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS units
+    FROM r JOIN nation n ON n.n_nationkey = r.nationkey
+    """,
+)
+def q_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamilton largest-remainder apportionment of 10000 budget units across nations proportional to exact revenue cents - pure integer floor/remainder math, ties to the lower nationkey, sum-of-units invariant exact."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("cents")
+        )
+    )
+    tot = rev.groupBy().agg(F.sum("cents").alias("tot"))
+    q = rev.crossJoin(F.broadcast(tot)).select(
+        "nationkey",
+        "cents",
+        F.expr("(CAST(10000 AS DECIMAL(38,0)) * cents) div tot").alias(
+            "floor_units"
+        ),
+        F.expr("(CAST(10000 AS DECIMAL(38,0)) * cents) % tot").alias("rem"),
+    )
+    w_rk = W.orderBy(F.col("rem").desc(), F.col("nationkey").asc())
+    r = q.withColumn("rk", F.row_number().over(w_rk)).withColumn(
+        "leftover",
+        F.lit(10000) - F.sum("floor_units").over(W.partitionBy()),
+    )
+    extra = F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+    return r.join(
+        F.broadcast(n), r["nationkey"] == n["n_nationkey"]
+    ).select(
+        F.col("nationkey").cast("long").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+        F.col("cents").cast("long").alias("cents"),
+        F.col("floor_units").cast("long").alias("floor_units"),
+        extra.cast("int").alias("extra"),
+        (F.col("floor_units") + extra).cast("long").alias("units"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: quintile scores for Recency / Frequency / Monetary
+# per customer, ranks from the distributed sort-rank plan (never a
+# single-task global window), scores by pure integer index arithmetic
+# 1 + ((rank−1)·5) div n. Recency in whole days from epoch arithmetic
+# (no engine date-diff conventions). Output is the segment-grain
+# report: customers per RFM cell with the exact average monetary.
+# ---------------------------------------------------------------------------
+_RFM_BASE = f"""
+    base AS (
+      SELECT o_custkey AS custkey,
+             CAST((max(epoch(o_orderdate))) AS BIGINT) AS last_ep,
+             CAST(count(*) AS BIGINT) AS freq,
+             sum({_CENTS.format(x='o_totalprice')}) AS cents
+      FROM orders GROUP BY 1
+    ),
+    ref AS (SELECT max(last_ep) AS ref_ep, count(*) AS n FROM base),
+    m AS (
+      SELECT custkey, freq, cents,
+             (ref.ref_ep - last_ep) // 86400 AS rec_days, ref.n AS n
+      FROM base CROSS JOIN ref
+    ),
+    ranked AS (
+      SELECT custkey, n, rec_days, freq, cents,
+             row_number() OVER (ORDER BY rec_days DESC, custkey ASC) AS r_rk,
+             row_number() OVER (ORDER BY freq ASC, custkey ASC) AS f_rk,
+             row_number() OVER (ORDER BY cents ASC, custkey ASC) AS m_rk
+      FROM m
+    ),
+    scored AS (
+      SELECT custkey, cents,
+             1 + ((r_rk - 1) * 5) // n AS r_s,
+             1 + ((f_rk - 1) * 5) // n AS f_s,
+             1 + ((m_rk - 1) * 5) // n AS m_s
+      FROM ranked
+    )
+"""
+
+
+@query(
+    "rfm_segments",
+    oracle=f"""
+    WITH {_RFM_BASE}
+    SELECT CAST(r_s AS INT) AS r_score, CAST(f_s AS INT) AS f_score,
+           CAST(m_s AS INT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           {_d('sum(cents)')} / {_d('count(*)')} AS avg_cents
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary quintiles from the distributed sort-rank lane with integer index arithmetic, epoch-exact recency days, segment-grain counts and exact average cents."""
+    o = read_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.unix_timestamp("o_orderdate")).alias("last_ep"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast(
+                "decimal(38,0)"
+            )
+        ).alias("cents"),
+    )
+    ref = base.groupBy().agg(
+        F.max("last_ep").alias("ref_ep"), F.count(F.lit(1)).alias("n")
+    )
+    m = base.crossJoin(F.broadcast(ref)).select(
+        "custkey",
+        "freq",
+        "cents",
+        ((F.col("ref_ep") - F.col("last_ep")) / F.lit(86400))
+        .cast("long")
+        .alias("rec_days"),
+        "n",
+    )
+    # three distributed rank passes — one per RFM dimension
+    m = distributed_rank(
+        m.withColumn("_neg_rec", -F.col("rec_days")),
+        "_neg_rec",
+        "custkey",
+        out_col="r_rk",
+    ).drop("_neg_rec")
+    m = distributed_rank(m, "freq", "custkey", out_col="f_rk")
+    m = distributed_rank(
+        m.withColumn("_cd", F.col("cents").cast("double")),
+        "_cd",
+        "custkey",
+        out_col="m_rk",
+    ).drop("_cd")
+    scored = m.select(
+        "cents",
+        F.expr("CAST(1 + ((r_rk - 1) * 5) div n AS INT)").alias("r_score"),
+        F.expr("CAST(1 + ((f_rk - 1) * 5) div n AS INT)").alias("f_score"),
+        F.expr("CAST(1 + ((m_rk - 1) * 5) div n AS INT)").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("cents").cast("long").alias("cents"),
+        (
+            _as_double(F.sum("cents"))
+            / _as_double(F.count(F.lit(1)))
+        ).alias("avg_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 dimension build from a change stream: per user, collapse
+# consecutive runs of the same event_type into versioned validity
+# intervals [effective_from, effective_to), open-ended for the current
+# run. The run detector is the lag≠current marker + running sum — one
+# user-keyed shuffle, windows bounded per user, no self-joins. This is
+# the warehouse twin of the versioned store's validity intervals
+# (reference read_parquet.py assigns them at ingest; here they are
+# DERIVED from an event log).
+# ---------------------------------------------------------------------------
+@query(
+    "scd2_build",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, ts, event_id, event_type,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS version
+      FROM e
+    ),
+    dim AS (
+      SELECT user_id, CAST(version AS BIGINT) AS version,
+             min(event_type) AS status,
+             min(ts) AS effective_from,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, version
+    )
+    SELECT user_id, version, status, effective_from,
+           lead(effective_from) OVER
+             (PARTITION BY user_id ORDER BY version) AS effective_to,
+           n_events,
+           CAST(CASE WHEN lead(effective_from) OVER
+                  (PARTITION BY user_id ORDER BY version) IS NULL
+                THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM dim
+    """,
+)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension from the event change stream: consecutive equal-status runs collapse to versioned validity intervals via the lag-marker running sum, open-ended current rows - one user-keyed shuffle."""
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    ).withColumn("version", F.sum("chg").over(w))
+    dim = runs.groupBy("user_id", "version").agg(
+        F.min("event_type").alias("status"),
+        F.min("ts").alias("effective_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = W.partitionBy("user_id").orderBy("version")
+    eff_to = F.lead("effective_from").over(wv)
+    return dim.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "status",
+        "effective_from",
+        eff_to.alias("effective_to"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.when(eff_to.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FIFO lot allocation — the classic inventory-costing shape: demands
+# consume supply lots strictly in arrival order. Both sides get exact
+# integer cumulative-quantity intervals; the sweep then partitions the
+# matched range (0, M] at the union of breakpoints, and each segment
+# finds its covering lot/demand by PURE COUNTING (receipt index =
+# 1 + #lots with cum < hi) inside ONE part-keyed window over the
+# unioned rows — no inequality join, no per-part quadratic pair join.
+# At 100 TB: one shuffle on partkey, per-part state linear in lines.
+# Supply = 'F' lines, demand = 'O' lines, FIFO order (shipdate,
+# orderkey, linenumber).
+# ---------------------------------------------------------------------------
+_FIFO_BASE = """
+    li AS (
+      SELECT l_partkey AS part, l_orderkey AS okey, l_linenumber AS lno,
+             l_shipdate AS sd, l_linestatus AS st,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem WHERE l_quantity > 0
+    ),
+    r AS (
+      SELECT part, okey, lno, qty,
+             CAST(row_number() OVER w AS BIGINT) AS rord,
+             CAST(sum(qty) OVER w AS BIGINT) AS rcum
+      FROM li WHERE st = 'F'
+      WINDOW w AS (PARTITION BY part ORDER BY sd, okey, lno
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    d AS (
+      SELECT part, okey, lno, qty,
+             CAST(row_number() OVER w AS BIGINT) AS dord,
+             CAST(sum(qty) OVER w AS BIGINT) AS dcum
+      FROM li WHERE st = 'O'
+      WINDOW w AS (PARTITION BY part ORDER BY sd, okey, lno
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    m AS (
+      SELECT part, least(max(rcum), max(dcum)) AS matched
+      FROM (SELECT part, max(rcum) AS rcum, NULL AS dcum FROM r GROUP BY 1
+            UNION ALL
+            SELECT part, NULL, max(dcum) FROM d GROUP BY 1)
+      GROUP BY part HAVING count(*) = 2
+    ),
+    bp AS (
+      SELECT DISTINCT part, key FROM (
+        SELECT part, rcum AS key FROM r
+        UNION ALL SELECT part, dcum FROM d
+      ) u JOIN m USING (part) WHERE key <= m.matched
+    ),
+    ev AS (
+      SELECT part, key, 0 AS tag, NULL::BIGINT AS idx FROM bp
+      UNION ALL SELECT part, rcum, 1, rord FROM r
+      UNION ALL SELECT part, dcum, 2, dord FROM d
+    ),
+    seg AS (
+      SELECT part, key AS hi,
+             1 + sum(CASE WHEN tag = 1 THEN 1 ELSE 0 END) OVER w AS ridx,
+             1 + sum(CASE WHEN tag = 2 THEN 1 ELSE 0 END) OVER w AS didx,
+             tag
+      FROM ev
+      WINDOW w AS (PARTITION BY part ORDER BY key, tag
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    seg0 AS (
+      SELECT part, hi, ridx, didx,
+             hi - coalesce(lag(hi) OVER (PARTITION BY part ORDER BY hi), 0)
+               AS seg_qty
+      FROM seg WHERE tag = 0
+    ),
+    alloc AS (
+      SELECT s.part, d.okey AS d_okey, d.lno AS d_lno, d.qty AS d_qty,
+             r.okey AS r_okey, r.lno AS r_lno, s.seg_qty
+      FROM seg0 s
+      JOIN r ON r.part = s.part AND r.rord = s.ridx
+      JOIN d ON d.part = s.part AND d.dord = s.didx
+      WHERE s.seg_qty > 0
+    )
+"""
+
+
+@query(
+    "fifo_allocation",
+    oracle=f"""
+    WITH {_FIFO_BASE}
+    SELECT d.part, d.okey AS d_orderkey, d.lno AS d_linenumber,
+           d.qty AS demand_qty,
+           CAST(coalesce(sum(a.seg_qty), 0) AS BIGINT) AS allocated_qty,
+           CAST(count(DISTINCT a.r_okey * 16 + a.r_lno) AS BIGINT) AS n_lots,
+           CAST(CASE WHEN coalesce(sum(a.seg_qty), 0) = d.qty
+                THEN 1 ELSE 0 END AS INT) AS fulfilled
+    FROM d LEFT JOIN alloc a
+      ON a.part = d.part AND a.d_okey = d.okey AND a.d_lno = d.lno
+    GROUP BY d.part, d.okey, d.lno, d.qty
+    """,
+)
+def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot allocation: demands consume supply lots in arrival order via the cumulative-interval sweep - segment-to-lot assignment by pure counting in one part-keyed window, never an inequality or pair join."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .select(
+            F.col("l_partkey").alias("part"),
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_linenumber").alias("lno"),
+            F.col("l_shipdate").alias("sd"),
+            F.col("l_linestatus").alias("st"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+    )
+    w = (
+        W.partitionBy("part")
+        .orderBy("sd", "okey", "lno")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wr = W.partitionBy("part").orderBy("sd", "okey", "lno")
+    r = (
+        li.filter(F.col("st") == "F")
+        .withColumn("rord", F.row_number().over(wr).cast("long"))
+        .withColumn("rcum", F.sum("qty").over(w))
+        .drop("sd", "st")
+    )
+    d = (
+        li.filter(F.col("st") == "O")
+        .withColumn("dord", F.row_number().over(wr).cast("long"))
+        .withColumn("dcum", F.sum("qty").over(w))
+        .drop("sd", "st")
+    )
+    m = (
+        r.groupBy("part")
+        .agg(F.max("rcum").alias("rmax"))
+        .join(d.groupBy("part").agg(F.max("dcum").alias("dmax")), "part")
+        .select("part", F.least("rmax", "dmax").alias("matched"))
+    )
+    bp = (
+        r.select("part", F.col("rcum").alias("key"))
+        .unionByName(d.select("part", F.col("dcum").alias("key")))
+        .join(m, "part")
+        .filter(F.col("key") <= F.col("matched"))
+        .select("part", "key")
+        .distinct()
+    )
+    ev = (
+        bp.select(
+            "part", "key", F.lit(0).alias("tag"),
+            F.lit(None).cast("long").alias("idx"),
+        )
+        .unionByName(
+            r.select(
+                "part", F.col("rcum").alias("key"), F.lit(1).alias("tag"),
+                F.col("rord").alias("idx"),
+            )
+        )
+        .unionByName(
+            d.select(
+                "part", F.col("dcum").alias("key"), F.lit(2).alias("tag"),
+                F.col("dord").alias("idx"),
+            )
+        )
+    )
+    we = (
+        W.partitionBy("part")
+        .orderBy("key", "tag")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    seg = ev.select(
+        "part",
+        F.col("key").alias("hi"),
+        (1 + F.sum(F.when(F.col("tag") == 1, 1).otherwise(0)).over(we)).alias(
+            "ridx"
+        ),
+        (1 + F.sum(F.when(F.col("tag") == 2, 1).otherwise(0)).over(we)).alias(
+            "didx"
+        ),
+        "tag",
+    )
+    ws = W.partitionBy("part").orderBy("hi")
+    seg0 = seg.filter(F.col("tag") == 0).select(
+        "part",
+        "hi",
+        "ridx",
+        "didx",
+        (F.col("hi") - F.coalesce(F.lag("hi").over(ws), F.lit(0))).alias(
+            "seg_qty"
+        ),
+    )
+    r_keyed = r.select(
+        F.col("part").alias("rpart"),
+        F.col("rord").alias("r_ord"),
+        F.col("okey").alias("r_okey"),
+        F.col("lno").alias("r_lno"),
+    )
+    d_keyed = d.select(
+        F.col("part").alias("dpart"),
+        F.col("dord").alias("d_ord"),
+        F.col("okey").alias("d_okey"),
+        F.col("lno").alias("d_lno"),
+    )
+    alloc = (
+        seg0.filter(F.col("seg_qty") > 0)
+        .join(
+            r_keyed,
+            (F.col("part") == F.col("rpart"))
+            & (F.col("ridx") == F.col("r_ord")),
+        )
+        .join(
+            d_keyed,
+            (F.col("part") == F.col("dpart"))
+            & (F.col("didx") == F.col("d_ord")),
+        )
+        .select("part", "d_okey", "d_lno", "r_okey", "r_lno", "seg_qty")
+    )
+    dem = d.select(
+        F.col("part").alias("q_part"),
+        F.col("okey").alias("q_okey"),
+        F.col("lno").alias("q_lno"),
+        F.col("qty").alias("demand_qty"),
+    )
+    out = dem.join(
+        alloc,
+        (F.col("q_part") == alloc["part"])
+        & (F.col("q_okey") == alloc["d_okey"])
+        & (F.col("q_lno") == alloc["d_lno"]),
+        "left",
+    )
+    return out.groupBy("q_part", "q_okey", "q_lno", "demand_qty").agg(
+        F.coalesce(F.sum("seg_qty"), F.lit(0)).cast("long").alias(
+            "allocated_qty"
+        ),
+        F.countDistinct(
+            F.col("r_okey") * 16 + F.col("r_lno")
+        ).cast("long").alias("n_lots"),
+        F.when(
+            F.coalesce(F.sum("seg_qty"), F.lit(0)) == F.col("demand_qty"), 1
+        ).otherwise(0).cast("int").alias("fulfilled"),
+    ).select(
+        F.col("q_part").alias("part"),
+        F.col("q_okey").alias("d_orderkey"),
+        F.col("q_lno").alias("d_linenumber"),
+        "demand_qty",
+        "allocated_qty",
+        "n_lots",
+        "fulfilled",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Golden-record survivorship: duplicate customer records (entity =
+# custkey mod 499, the synthetic dup clustering) merge into ONE row by
+# per-field rules — longest name (tie → lexicographic min), account
+# balance from the latest record (max custkey), most frequent market
+# segment (tie → lexicographic min). Three per-entity argmax branches,
+# each ONE entity-keyed window or aggregate — never a self-join. At
+# 100 TB: survivorship is a groupBy-shaped pass; rules compose as
+# struct-ordered max/min so the whole merge is one shuffle per rule
+# family.
+# ---------------------------------------------------------------------------
+@query(
+    "golden_record_merge",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey % 499 AS ent, c_custkey, c_name, c_acctbal,
+             c_mktsegment
+      FROM customer
+    ),
+    name_pick AS (
+      SELECT ent, c_name AS golden_name FROM (
+        SELECT ent, c_name,
+               row_number() OVER (PARTITION BY ent
+                 ORDER BY length(c_name) DESC, c_name ASC) AS rn
+        FROM c
+      ) WHERE rn = 1
+    ),
+    bal_pick AS (
+      SELECT ent, c_acctbal AS golden_acctbal FROM (
+        SELECT ent, c_acctbal,
+               row_number() OVER (PARTITION BY ent
+                 ORDER BY c_custkey DESC) AS rn
+        FROM c
+      ) WHERE rn = 1
+    ),
+    seg_pick AS (
+      SELECT ent, c_mktsegment AS golden_segment FROM (
+        SELECT ent, c_mktsegment,
+               row_number() OVER (PARTITION BY ent
+                 ORDER BY cnt DESC, c_mktsegment ASC) AS rn
+        FROM (SELECT ent, c_mktsegment, count(*) AS cnt
+              FROM c GROUP BY 1, 2)
+      ) WHERE rn = 1
+    ),
+    stats AS (
+      SELECT ent, CAST(count(*) AS BIGINT) AS n_records,
+             CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+      FROM c GROUP BY 1
+    )
+    SELECT s.ent, s.n_records, s.n_segments, n.golden_name,
+           b.golden_acctbal, g.golden_segment
+    FROM stats s
+    JOIN name_pick n USING (ent)
+    JOIN bal_pick b USING (ent)
+    JOIN seg_pick g USING (ent)
+    """,
+)
+def q_golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship merge: per-field rules (longest name, latest balance, most frequent segment - deterministic tie-breaks) resolved by entity-keyed windows, one shuffle per rule family, no self-joins."""
+    c = read_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 499).alias("ent"),
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    wn = W.partitionBy("ent").orderBy(
+        F.length("c_name").desc(), F.col("c_name").asc()
+    )
+    name_pick = (
+        c.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select("ent", F.col("c_name").alias("golden_name"))
+    )
+    wb = W.partitionBy("ent").orderBy(F.col("c_custkey").desc())
+    bal_pick = (
+        c.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("ent", F.col("c_acctbal").alias("golden_acctbal"))
+    )
+    seg_cnt = c.groupBy("ent", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ws = W.partitionBy("ent").orderBy(
+        F.col("cnt").desc(), F.col("c_mktsegment").asc()
+    )
+    seg_pick = (
+        seg_cnt.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") == 1)
+        .select("ent", F.col("c_mktsegment").alias("golden_segment"))
+    )
+    stats = c.groupBy("ent").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.countDistinct("c_mktsegment").cast("long").alias("n_segments"),
+    )
+    return (
+        stats.join(name_pick, "ent")
+        .join(bal_pick, "ent")
+        .join(seg_pick, "ent")
+        .select(
+            "ent",
+            "n_records",
+            "n_segments",
+            "golden_name",
+            "golden_acctbal",
+            "golden_segment",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SRE error-budget burn rate: multi-window (1h / 6h / 24h) burn of a
+# 80%-success SLO over the dense hourly spine, alert flags decided by
+# INTEGER cross-multiplication (5·err > k·tot) so both engines agree
+# bit-exactly; the ratios themselves are one exact division each. The
+# spine is time-bounded (~720 rows/month), so the single ordered
+# window is dictionary-sized — the same bounded-series argument as
+# the ACF/Holt diagnostics. Facts are touched once (one hourly
+# aggregate).
+# ---------------------------------------------------------------------------
+@query(
+    "slo_burn_rate",
+    oracle="""
+    WITH b AS (
+      SELECT min(date_trunc('hour', ts)) AS lo,
+             max(date_trunc('hour', ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b
+    ),
+    h AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS tot,
+             CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS err
+      FROM events GROUP BY 1
+    ),
+    dense AS (
+      SELECT s.hr, coalesce(h.tot, 0) AS tot, coalesce(h.err, 0) AS err
+      FROM spine s LEFT JOIN h ON h.hr = s.hr
+    ),
+    w AS (
+      SELECT hr, tot AS tot1, err AS err1,
+             CAST(sum(tot) OVER w6 AS BIGINT) AS tot6,
+             CAST(sum(err) OVER w6 AS BIGINT) AS err6,
+             CAST(sum(tot) OVER w24 AS BIGINT) AS tot24,
+             CAST(sum(err) OVER w24 AS BIGINT) AS err24
+      FROM dense
+      WINDOW w6 AS (ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+             w24 AS (ORDER BY hr ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT hr, tot1, err1, tot6, err6, tot24, err24,
+           CASE WHEN tot1 > 0 THEN
+             CAST(5 * err1 AS DOUBLE) / CAST(tot1 AS DOUBLE) END AS burn1,
+           CASE WHEN tot6 > 0 THEN
+             CAST(5 * err6 AS DOUBLE) / CAST(tot6 AS DOUBLE) END AS burn6,
+           CASE WHEN tot24 > 0 THEN
+             CAST(5 * err24 AS DOUBLE) / CAST(tot24 AS DOUBLE) END AS burn24,
+           CAST(CASE WHEN 5 * err1 > 2 * tot1 AND 10 * err6 > 3 * tot6
+                THEN 1 ELSE 0 END AS INT) AS page,
+           CAST(CASE WHEN 50 * err24 > 12 * tot24
+                THEN 1 ELSE 0 END AS INT) AS ticket
+    FROM w
+    """,
+)
+def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SRE error-budget burn rate (1h/6h/24h) on the dense hourly spine: alert flags by integer cross-multiplication, exact-division ratios, facts aggregated once."""
+    e = read_table(spark, sf_dir, "events")
+    h = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).alias("tot"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("err"),
+    )
+    b = h.groupBy().agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = b.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    dense = spine.join(h, "hr", "left").select(
+        "hr",
+        F.coalesce("tot", F.lit(0)).alias("tot"),
+        F.coalesce("err", F.lit(0)).alias("err"),
+    )
+    w6 = W.orderBy("hr").rowsBetween(-5, 0)
+    w24 = W.orderBy("hr").rowsBetween(-23, 0)
+    w = dense.select(
+        "hr",
+        F.col("tot").alias("tot1"),
+        F.col("err").alias("err1"),
+        F.sum("tot").over(w6).alias("tot6"),
+        F.sum("err").over(w6).alias("err6"),
+        F.sum("tot").over(w24).alias("tot24"),
+        F.sum("err").over(w24).alias("err24"),
+    )
+    def burn(err, tot):
+        return F.when(
+            F.col(tot) > 0,
+            (5 * F.col(err)).cast("double") / F.col(tot).cast("double"),
+        )
+    return w.select(
+        "hr",
+        "tot1",
+        "err1",
+        "tot6",
+        "err6",
+        "tot24",
+        "err24",
+        burn("err1", "tot1").alias("burn1"),
+        burn("err6", "tot6").alias("burn6"),
+        burn("err24", "tot24").alias("burn24"),
+        F.when(
+            (5 * F.col("err1") > 2 * F.col("tot1"))
+            & (10 * F.col("err6") > 3 * F.col("tot6")),
+            1,
+        ).otherwise(0).cast("int").alias("page"),
+        F.when(50 * F.col("err24") > 12 * F.col("tot24"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("ticket"),
+    )

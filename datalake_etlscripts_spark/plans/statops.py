@@ -1,0 +1,358 @@
+"""Statistical / signal-processing query plans (r9): multilevel Haar
+wavelet transform in pure integers, cross-correlation lead-lag
+detection between two event series, and isotonic (PAV) calibration via
+the minimax identity over bounded score bins. All spine- or
+dictionary-bounded after one fact scan; house float-determinism policy
+(exact integers until final divisions; doubles only in fixed-order
+combines both engines evaluate identically)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from datalake_etlscripts_spark.io.readers import read_table
+from datalake_etlscripts_spark.plans.registry import query
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet transform of the global hourly event-count series,
+# first 256 hours, levels 1..8 — the unnormalized (integer) Haar:
+# detail(ℓ, p) = Σ_{t in block} x_t · s(t), s = +1 on the first half
+# of the 2^ℓ block, −1 on the second. Every coefficient is an exact
+# integer; the closed form needs NO iteration — each hour explodes to
+# its 8 (level, position, sign) slots and ONE groupBy computes the
+# whole pyramid. The top-level approximation (sum of all 256) rides
+# along as level 0. Energy compaction reads off coef². At 100 TB the
+# fact scan is the only data-sized stage; the pyramid is 256 rows.
+# ---------------------------------------------------------------------------
+@query(
+    "wavelet_haar",
+    oracle="""
+    WITH b AS (SELECT min(date_trunc('hour', ts)) AS lo FROM events),
+    h AS (
+      SELECT CAST(epoch(date_trunc('hour', ts))
+                  - epoch((SELECT lo FROM b)) AS BIGINT) // 3600 AS idx,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    spine AS (
+      SELECT unnest(range(0, 256)) AS idx
+    ),
+    dense AS (
+      SELECT s.idx, coalesce(h.x, 0) AS x
+      FROM spine s LEFT JOIN h ON h.idx = s.idx
+    ),
+    lv AS (SELECT unnest(range(1, 9)) AS lev),
+    detail AS (
+      SELECT CAST(lev AS INT) AS level,
+             CAST(idx // (1 << lev) AS BIGINT) AS pos,
+             CAST(sum(CASE WHEN (idx // (1 << (lev - 1))) % 2 = 0
+                      THEN x ELSE -x END) AS BIGINT) AS coef
+      FROM dense CROSS JOIN lv
+      GROUP BY 1, 2
+    ),
+    approx AS (
+      SELECT CAST(0 AS INT) AS level, CAST(0 AS BIGINT) AS pos,
+             CAST(sum(x) AS BIGINT) AS coef
+      FROM dense
+    )
+    SELECT level, pos, coef, CAST(coef * coef AS BIGINT) AS energy
+    FROM (SELECT * FROM detail UNION ALL SELECT * FROM approx)
+    """,
+)
+def q_wavelet_haar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilevel Haar wavelet pyramid of the hourly event-count series (256 hours, 8 levels) - closed-form signed groupBy, every coefficient an exact integer, no iteration."""
+    e = read_table(spark, sf_dir, "events")
+    h = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    lo = h.groupBy().agg(F.min("hr").alias("lo"))
+    idx = h.crossJoin(F.broadcast(lo)).select(
+        (
+            (F.unix_timestamp("hr") - F.unix_timestamp("lo")) / 3600
+        ).cast("long").alias("idx"),
+        "x",
+    )
+    spine = spark.range(0, 256).select(F.col("id").alias("idx"))
+    dense = spine.join(idx, "idx", "left").select(
+        "idx", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    lv = spark.range(1, 9).select(F.col("id").cast("int").alias("lev"))
+    detail = (
+        dense.crossJoin(F.broadcast(lv))
+        .groupBy(
+            F.col("lev").alias("level"),
+            F.expr("idx div (1 << lev)").cast("long").alias("pos"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("(idx div (1 << (lev - 1))) % 2 = 0"),
+                    F.col("x"),
+                ).otherwise(-F.col("x"))
+            ).cast("long").alias("coef")
+        )
+    )
+    approx = dense.groupBy().agg(
+        F.sum("x").cast("long").alias("coef")
+    ).select(
+        F.lit(0).cast("int").alias("level"),
+        F.lit(0).cast("long").alias("pos"),
+        "coef",
+    )
+    out = detail.select("level", "pos", "coef").unionByName(approx)
+    return out.select(
+        "level", "pos", "coef", (F.col("coef") * F.col("coef")).cast(
+            "long"
+        ).alias("energy")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation lead-lag: Pearson r between the 'view' and
+# 'purchase' hourly series at lags −12..+12 (y shifted ℓ hours after
+# x), exact integer moments per lag, r in one fixed-order double
+# combine (the seasonality_lag24 policy), best lag flagged by
+# (r DESC, lag ASC). Answers "which series leads, and by how much" —
+# the scheduling primitive behind metric-causality dashboards. Spine-
+# bounded: the lag explode is 25× the DENSE HOURLY GRID, never the
+# raw facts.
+# ---------------------------------------------------------------------------
+@query(
+    "ccf_lead_lag",
+    oracle="""
+    WITH b AS (
+      SELECT min(date_trunc('hour', ts)) AS lo,
+             max(date_trunc('hour', ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b
+    ),
+    xv AS (
+      SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    yp AS (
+      SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    dx AS (SELECT s.hr, coalesce(x.c, 0) AS x
+           FROM spine s LEFT JOIN xv x ON x.hr = s.hr),
+    dy AS (SELECT s.hr, coalesce(y.c, 0) AS y
+           FROM spine s LEFT JOIN yp y ON y.hr = s.hr),
+    lags AS (SELECT unnest(range(-12, 13)) AS lag),
+    paired AS (
+      SELECT l.lag, dx.x, dy.y
+      FROM dx CROSS JOIN lags l
+      JOIN dy ON dy.hr = dx.hr + to_hours(l.lag)
+    ),
+    m AS (
+      SELECT CAST(lag AS INT) AS lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM paired GROUP BY 1
+    ),
+    r AS (
+      SELECT lag, n,
+             CAST(n * sxy - sx * sy AS BIGINT) AS num,
+             CAST(n * sxx - sx * sx AS BIGINT) AS vx,
+             CAST(n * syy - sy * sy AS BIGINT) AS vy,
+             CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                  THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             END AS r
+      FROM m
+    )
+    SELECT lag, n, num, vx, vy, r,
+           CAST(CASE WHEN row_number() OVER (ORDER BY r DESC, lag ASC) = 1
+                THEN 1 ELSE 0 END AS INT) AS best
+    FROM r
+    """,
+)
+def q_ccf_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation lead-lag between the view and purchase hourly series at lags -12..+12: exact integer moments per lag, fixed-order Pearson combine, best lag flagged deterministically."""
+    e = read_table(spark, sf_dir, "events")
+
+    def dense(tp: str, out: str) -> DataFrame:
+        h = (
+            e.filter(F.col("event_type") == tp)
+            .groupBy(F.date_trunc("hour", F.col("ts")).alias("hr"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return h
+
+    bounds = e.groupBy().agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hr"
+        )
+    )
+    dx = spine.join(dense("view", "x"), "hr", "left").select(
+        "hr", F.coalesce("c", F.lit(0)).alias("x")
+    )
+    dy = spine.join(dense("purchase", "y"), "hr", "left").select(
+        F.col("hr").alias("yhr"), F.coalesce("c", F.lit(0)).alias("y")
+    )
+    lags = spark.range(-12, 13).select(F.col("id").cast("int").alias("lag"))
+    paired = (
+        dx.crossJoin(F.broadcast(lags))
+        .withColumn(
+            "thr",
+            F.col("hr")
+            + F.make_dt_interval(hours=F.col("lag")),
+        )
+        .join(dy, F.col("yhr") == F.col("thr"))
+    )
+    m = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("long")
+    r = m.select(
+        "lag",
+        F.col("n").cast("long").alias("n"),
+        num.alias("num"),
+        vx.alias("vx"),
+        vy.alias("vy"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            num.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+        ).alias("r"),
+    )
+    wb = W.orderBy(F.col("r").desc(), F.col("lag").asc())
+    return r.withColumn(
+        "best",
+        F.when(F.row_number().over(wb) == 1, 1).otherwise(0).cast("int"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic (PAV) calibration of the stopword-ratio english predictor
+# via the minimax identity: over score bins b (permille div 50, ≤21
+# bins) with prefix sums (N, S),
+#     iso(i) = max_{j≤i} min_{k≥i} (S_k − S_{j−1}) / (N_k − N_{j−1})
+# — the closed form of pool-adjacent-violators, so NO sequential fold
+# is needed: a triple (j,i,k) join on the BIN table (≤21³ combos)
+# computes the exact monotone fit. Each candidate average is one exact
+# division; max/min over those doubles is value-deterministic. The
+# fact scan happens once; everything after is dictionary-sized.
+# ---------------------------------------------------------------------------
+@query(
+    "isotonic_calibration",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    p AS (
+      SELECT CAST((1000 * len(list_filter(tk, x -> x = 'the' OR x = 'a'))
+                   // len(tk)) // 50 AS BIGINT) AS bin,
+             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+      FROM d WHERE len(tk) > 0
+    ),
+    bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS s
+      FROM p GROUP BY 1
+    ),
+    pre AS (
+      SELECT bin, n, s,
+             CAST(sum(n) OVER w AS BIGINT) AS cn,
+             CAST(sum(s) OVER w AS BIGINT) AS cs
+      FROM bins WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+    ),
+    pairs AS (
+      SELECT j.bin AS jb, k.bin AS kb,
+             CAST(k.cs - (j.cs - j.s) AS DOUBLE)
+               / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS avg_jk
+      FROM pre j JOIN pre k ON j.bin <= k.bin
+    ),
+    inner_min AS (
+      SELECT i.bin, p.jb, min(p.avg_jk) AS mn
+      FROM pre i JOIN pairs p ON p.jb <= i.bin AND p.kb >= i.bin
+      GROUP BY 1, 2
+    ),
+    iso AS (SELECT bin, max(mn) AS iso_fit FROM inner_min GROUP BY 1)
+    SELECT b.bin, b.n, b.s,
+           CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS raw_rate,
+           i.iso_fit
+    FROM bins b JOIN iso i USING (bin)
+    """,
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration fit over stopword-ratio score bins via the closed-form minimax identity - triple join on the bounded bin table, exact-division candidate averages, value-deterministic max-min."""
+    d = read_table(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    stop = F.filter(tk, lambda t: (t == "the") | (t == "a"))
+    p = d.filter(F.size(tk) > 0).select(
+        F.expr(
+            "CAST((1000 * size(filter(split(text, ' '), x -> x = 'the' OR"
+            " x = 'a')) div size(filter(split(text, ' '), x -> x != '')))"
+            " div 50 AS BIGINT)"
+        ).alias("bin"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias("y"),
+    )
+    bins = p.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+    )
+    wp = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    pre = bins.select(
+        "bin",
+        "n",
+        "s",
+        F.sum("n").over(wp).alias("cn"),
+        F.sum("s").over(wp).alias("cs"),
+    )
+    j = pre.select(
+        F.col("bin").alias("jb"),
+        (F.col("cs") - F.col("s")).alias("js0"),
+        (F.col("cn") - F.col("n")).alias("jn0"),
+    )
+    k = pre.select(
+        F.col("bin").alias("kb"),
+        F.col("cs").alias("kcs"),
+        F.col("cn").alias("kcn"),
+    )
+    pairs = j.join(F.broadcast(k), F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        (
+            (F.col("kcs") - F.col("js0")).cast("double")
+            / (F.col("kcn") - F.col("jn0")).cast("double")
+        ).alias("avg_jk"),
+    )
+    i = pre.select(F.col("bin").alias("ib"))
+    inner_min = (
+        i.join(
+            F.broadcast(pairs),
+            (F.col("jb") <= F.col("ib")) & (F.col("kb") >= F.col("ib")),
+        )
+        .groupBy("ib", "jb")
+        .agg(F.min("avg_jk").alias("mn"))
+    )
+    iso = inner_min.groupBy("ib").agg(F.max("mn").alias("iso_fit"))
+    return bins.join(iso, bins["bin"] == iso["ib"]).select(
+        "bin",
+        "n",
+        "s",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias(
+            "raw_rate"
+        ),
+        "iso_fit",
+    )
