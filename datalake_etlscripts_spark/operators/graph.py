@@ -682,3 +682,72 @@ def sssp_rounds(
         )
         dist = merged
     return dist
+
+
+def mutual_matching(
+    edges: DataFrame,
+    rounds: int = 3,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Greedy maximal weighted matching by mutual-best edges — the
+    classic distributed matching round (each node points at its best
+    alive neighbor by (w DESC, neighbor ASC); an edge locks when both
+    endpoints point at each other), repeated ``rounds`` times on the
+    shrinking alive subgraph. Expects a SYMMETRIZED (src, dst, w) edge
+    set. Per round: one per-src argmax window + one self-equi-join on
+    the best table + two anti-joins to retire matched endpoints — all
+    keyed shuffles, no pair explosion. Deterministic: the tie order
+    makes every round's pointer set unique, so both engines lock the
+    same edges. Returns (u, v, w, round) with u < v."""
+    from pyspark.sql import Window as W
+
+    matched = None
+    alive = edges
+    out = None
+    for it in range(1, rounds + 1):
+        wb = W.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst").asc())
+        best = (
+            alive.withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") == 1)
+            .select("src", "dst", "w")
+        )
+        b2 = best.select(
+            F.col("src").alias("b2src"), F.col("dst").alias("b2dst")
+        )
+        lock = (
+            best.join(
+                b2,
+                (F.col("b2src") == F.col("dst"))
+                & (F.col("b2dst") == F.col("src")),
+            )
+            .filter(F.col("src") < F.col("dst"))
+            .select(
+                F.col("src").alias("u"),
+                F.col("dst").alias("v"),
+                "w",
+                F.lit(it).cast("int").alias("round"),
+            )
+        )
+        lock = cut_lineage(lock, it, checkpoint_dir, checkpoint_every, eager=False)
+        out = lock if out is None else out.unionByName(lock)
+        nodes = lock.select(F.col("u").alias("node")).unionByName(
+            lock.select(F.col("v").alias("node"))
+        )
+        matched = (
+            nodes if matched is None else matched.unionByName(nodes)
+        ).distinct()
+        alive = (
+            alive.join(
+                matched.select(F.col("node").alias("msrc")),
+                F.col("src") == F.col("msrc"),
+                "left_anti",
+            )
+            .join(
+                matched.select(F.col("node").alias("mdst")),
+                F.col("dst") == F.col("mdst"),
+                "left_anti",
+            )
+        )
+        alive = cut_lineage(alive, it, checkpoint_dir, checkpoint_every, eager=False)
+    return out

@@ -822,3 +822,72 @@ def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return sssp_rounds(edges, seeds, rounds=4)
+
+
+# ---------------------------------------------------------------------------
+# Greedy mutual-best maximal matching (r9): the distributed matching
+# round — each alive node points at its best remaining neighbor by
+# (weight DESC, id ASC); edges whose endpoints point at each other
+# lock, matched nodes retire, repeat. Three rounds on the symmetrized
+# min-quantity supplier-part graph. Per round: one per-src argmax
+# window, one equi-self-join on the (node-sized) pointer table, two
+# anti-joins — never a pair explosion; the alive subgraph only
+# shrinks. The oracle unrolls identical rounds as CTEs; the
+# deterministic tie order makes both engines lock the same edge set.
+# ---------------------------------------------------------------------------
+def _matching_oracle(rounds: int = 3) -> str:
+    parts = [
+        """
+    WITH e0 AS (
+      SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst,
+             CAST(min(l_quantity) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    a1 AS (SELECT src, dst, w FROM e0
+           UNION ALL SELECT dst, src, w FROM e0)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+    b{t} AS (
+      SELECT src, dst, w FROM (
+        SELECT src, dst, w, row_number() OVER (PARTITION BY src
+          ORDER BY w DESC, dst ASC) AS rn
+        FROM a{t}
+      ) WHERE rn = 1
+    ),
+    m{t} AS (
+      SELECT x.src AS u, x.dst AS v, x.w, {t} AS round
+      FROM b{t} x JOIN b{t} y ON y.src = x.dst AND y.dst = x.src
+      WHERE x.src < x.dst
+    ),
+    n{t} AS (SELECT u AS node FROM m{t} UNION SELECT v FROM m{t}),
+    nn{t} AS (SELECT node FROM n{t}{''.join(f' UNION SELECT node FROM n{s}' for s in range(1, t))}),
+    a{t + 1} AS (
+      SELECT e.src, e.dst, e.w FROM a{t} e
+      WHERE e.src NOT IN (SELECT node FROM nn{t})
+        AND e.dst NOT IN (SELECT node FROM nn{t})
+    )"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT u, v, w, CAST(round AS INT) AS round FROM m{t}"
+        for t in range(1, rounds + 1)
+    )
+    parts.append("\n    " + sel)
+    return "".join(parts)
+
+
+@query("graph_mutual_matching", oracle=_matching_oracle(3))
+def q_graph_mutual_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximal weighted matching via mutual-best pointer rounds (3) on the symmetrized supplier-part graph - per-src argmax window + pointer self-join + anti-join retirement, deterministic tie order, no pair explosion."""
+    from datalake_etlscripts_spark.operators.graph import mutual_matching
+
+    li = read_table(spark, sf_dir, "lineitem")
+    e0 = li.groupBy(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    return mutual_matching(edges, rounds=3)

@@ -267,7 +267,14 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 dimension from the event change stream: consecutive equal-status runs collapse to versioned validity intervals via the lag-marker running sum, open-ended current rows - one user-keyed shuffle."""
-    e = read_table(spark, sf_dir, "events")
+    return scd2_from_events(read_table(spark, sf_dir, "events"))
+
+
+def scd2_from_events(e: DataFrame) -> DataFrame:
+    """The SCD2 collapse over an event DataFrame (user_id, ts,
+    event_id, event_type) — shared by the batch query above and the
+    streaming twin's stream≡batch test (streaming/ingest.py
+    run_streaming_scd2)."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     runs = e.select(
         "user_id",

@@ -356,3 +356,315 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "iso_fit",
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark lateness audit (r9): how out-of-order is the stream? For
+# each event, lateness = (running max event-time in ARRIVAL order) −
+# own event-time, in exact integer microseconds. The running max is
+# computed DISTRIBUTED: arrival ids bucket by div 4096, a bucket-grain
+# prefix max supplies each bucket's carry-in, and the within-bucket
+# window is bounded at 4096 rows — the two-level prefix-scan shape
+# (recurse the bucket level for another 4096× at extreme scale; the
+# oracle is the single flat window, identical by associativity of
+# max). Output: per-type drop counts at candidate watermark delays —
+# the input you need to CHOOSE a Structured Streaming watermark.
+# ---------------------------------------------------------------------------
+@query(
+    "watermark_lateness_audit",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, event_id, epoch_us(ts) AS t_us FROM events
+    ),
+    lag_ AS (
+      SELECT event_type,
+             max(t_us) OVER (ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) - t_us AS late_us
+      FROM e
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(late_us) AS BIGINT) AS sum_late_us,
+           CAST(max(late_us) AS BIGINT) AS max_late_us,
+           CAST(count(*) FILTER (late_us > 60000000) AS BIGINT)
+             AS drop_1m,
+           CAST(count(*) FILTER (late_us > 300000000) AS BIGINT)
+             AS drop_5m,
+           CAST(count(*) FILTER (late_us > 3600000000) AS BIGINT)
+             AS drop_1h
+    FROM lag_ GROUP BY 1
+    """,
+)
+def q_watermark_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark lateness audit: per-event out-of-orderness vs the running arrival-order max event-time, computed with a two-level distributed prefix max (4096-row buckets + bucket-grain carry-in) - exact integer microseconds, per-type drop counts at 1m/5m/1h watermark delays."""
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+    ).withColumn("bkt", F.expr("event_id div 4096"))
+    # level 1: per-bucket max; carry-in = running max over PRIOR buckets
+    bmax = e.groupBy("bkt").agg(F.max("t_us").alias("bmax"))
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    carry = bmax.select(
+        "bkt", F.max("bmax").over(wb).alias("carry_us")
+    )
+    # level 2: within-bucket running max (bounded 4096-row window)
+    ww = (
+        W.partitionBy("bkt")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    late = (
+        e.join(F.broadcast(carry), "bkt")
+        .withColumn("run_in", F.max("t_us").over(ww))
+        .withColumn(
+            "late_us",
+            F.greatest(
+                F.coalesce(F.col("carry_us"), F.lit(-(2**62))),
+                F.col("run_in"),
+            )
+            - F.col("t_us"),
+        )
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("late_us").cast("long").alias("sum_late_us"),
+        F.max("late_us").cast("long").alias("max_late_us"),
+        F.sum(F.when(F.col("late_us") > 60_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("drop_1m"),
+        F.sum(F.when(F.col("late_us") > 300_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("drop_5m"),
+        F.sum(F.when(F.col("late_us") > 3_600_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("drop_1h"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lo–MacKinlay variance-ratio test (r9): is the hourly event-count
+# series a random walk? VR(k) = Var(k-step diffs)/(k·Var(1-step
+# diffs)); VR < 1 → mean reversion, > 1 → trending. Both variances are
+# exact integers via the n·Σz²−(Σz)² identity; the ratio is ONE double
+# division of two DECIMAL products, and the mean-reversion flag is an
+# integer cross-multiplication. Spine-bounded after one fact scan.
+# ---------------------------------------------------------------------------
+@query(
+    "variance_ratio_test",
+    oracle="""
+    WITH b AS (
+      SELECT min(date_trunc('hour', ts)) AS lo,
+             max(date_trunc('hour', ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b
+    ),
+    h AS (
+      SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    dense AS (
+      SELECT s.hr, coalesce(h.c, 0) AS x,
+             row_number() OVER (ORDER BY s.hr) AS i
+      FROM spine s LEFT JOIN h ON h.hr = s.hr
+    ),
+    d1 AS (
+      SELECT a.x - b.x AS d
+      FROM dense a JOIN dense b ON b.i = a.i - 1
+    ),
+    dk AS (
+      SELECT a.x - b.x AS d
+      FROM dense a JOIN dense b ON b.i = a.i - 4
+    ),
+    m1 AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(d) AS s,
+                  sum(d * d) AS ss FROM d1),
+    mk AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(d) AS s,
+                  sum(d * d) AS ss FROM dk)
+    SELECT CAST(m1.n AS BIGINT) AS n_1, CAST(mk.n AS BIGINT) AS n_k,
+           CAST(m1.n * m1.ss - m1.s * m1.s AS BIGINT) AS s2_1,
+           CAST(mk.n * mk.ss - mk.s * mk.s AS BIGINT) AS s2_k,
+           CAST(CAST((mk.n * mk.ss - mk.s * mk.s)
+                     * m1.n * (m1.n - 1) AS VARCHAR) AS DOUBLE)
+           / CAST(CAST(4 * (m1.n * m1.ss - m1.s * m1.s)
+                       * mk.n * (mk.n - 1) AS VARCHAR) AS DOUBLE) AS vr,
+           CAST(CASE WHEN (mk.n * mk.ss - mk.s * mk.s)
+                          * m1.n * (m1.n - 1)
+                        < 4 * (m1.n * m1.ss - m1.s * m1.s)
+                          * mk.n * (mk.n - 1)
+                THEN 1 ELSE 0 END AS INT) AS mean_reverting
+    FROM m1 CROSS JOIN mk
+    """,
+)
+def q_variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio random-walk test on the hourly series (k=4): exact integer variances via the n-sum-of-squares identity, one double division, cross-multiplied mean-reversion flag."""
+    e = read_table(spark, sf_dir, "events")
+    h = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    b = h.groupBy().agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = b.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hr"
+        )
+    )
+    wi = W.orderBy("hr")
+    dense = (
+        spine.join(h, "hr", "left")
+        .select("hr", F.coalesce("c", F.lit(0)).alias("x"))
+        .withColumn("i", F.row_number().over(wi).cast("long"))
+    )
+
+    def diffs(k: int) -> DataFrame:
+        a = dense.select(F.col("i").alias("ia"), F.col("x").alias("xa"))
+        bb = dense.select(F.col("i").alias("ib"), F.col("x").alias("xb"))
+        return a.join(bb, F.col("ib") == F.col("ia") - k).select(
+            (F.col("xa") - F.col("xb")).cast("decimal(38,0)").alias("d")
+        )
+
+    def mom(df: DataFrame, pre: str) -> DataFrame:
+        return df.groupBy().agg(
+            F.count(F.lit(1)).cast("decimal(38,0)").alias(f"{pre}n"),
+            F.sum("d").alias(f"{pre}s"),
+            F.sum(F.col("d") * F.col("d")).alias(f"{pre}ss"),
+        )
+
+    m1 = mom(diffs(1), "a")
+    mk = mom(diffs(4), "b")
+    j = m1.crossJoin(F.broadcast(mk))
+    s2_1 = F.col("an") * F.col("ass") - F.col("as") * F.col("as")
+    s2_k = F.col("bn") * F.col("bss") - F.col("bs") * F.col("bs")
+    num = s2_k * F.col("an") * (F.col("an") - 1)
+    den = 4 * s2_1 * F.col("bn") * (F.col("bn") - 1)
+
+    def dd_(c):
+        return c.cast("string").cast("double")
+
+    return j.select(
+        F.col("an").cast("long").alias("n_1"),
+        F.col("bn").cast("long").alias("n_k"),
+        s2_1.cast("long").alias("s2_1"),
+        s2_k.cast("long").alias("s2_k"),
+        (dd_(num) / dd_(den)).alias("vr"),
+        F.when(num < den, 1).otherwise(0).cast("int").alias(
+            "mean_reverting"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test (r9): randomness of the hourly count series
+# around its median — too few runs = clustering/regimes, too many =
+# oscillation. The median is an explicit rank pick on the bounded
+# spine (no interpolation), runs are a lag-marker sum, E[R] and the
+# z-score combine exact integers in fixed order. One fact scan; spine-
+# bounded thereafter.
+# ---------------------------------------------------------------------------
+@query(
+    "runs_test",
+    oracle="""
+    WITH b AS (
+      SELECT min(date_trunc('hour', ts)) AS lo,
+             max(date_trunc('hour', ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b
+    ),
+    h AS (
+      SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    dense AS (
+      SELECT s.hr, coalesce(h.c, 0) AS x
+      FROM spine s LEFT JOIN h ON h.hr = s.hr
+    ),
+    med AS (
+      SELECT x AS m FROM (
+        SELECT x, row_number() OVER (ORDER BY x, hr) AS r,
+               count(*) OVER () AS n
+        FROM dense
+      ) WHERE r = (n + 1) // 2
+    ),
+    signs AS (
+      SELECT hr, CASE WHEN x > m THEN 1 ELSE 0 END AS s
+      FROM dense CROSS JOIN med WHERE x <> m
+    ),
+    runs AS (
+      SELECT s, CASE WHEN lag(s) OVER (ORDER BY hr) IS DISTINCT FROM s
+                THEN 1 ELSE 0 END AS chg
+      FROM signs
+    ),
+    agg AS (
+      SELECT CAST(sum(chg) AS BIGINT) AS r_runs,
+             CAST(sum(s) AS BIGINT) AS n1,
+             CAST(count(*) - sum(s) AS BIGINT) AS n2,
+             CAST(count(*) AS BIGINT) AS n
+      FROM runs
+    )
+    SELECT r_runs, n1, n2,
+           1.0 + CAST(2 * n1 * n2 AS DOUBLE) / CAST(n AS DOUBLE) AS e_runs,
+           (CAST(r_runs AS DOUBLE)
+            - (1.0 + CAST(2 * n1 * n2 AS DOUBLE) / CAST(n AS DOUBLE)))
+           / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - n) AS DOUBLE)
+                  / CAST(n * n * (n - 1) AS DOUBLE)) AS z
+    FROM agg
+    """,
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test of the hourly series around its exact rank-picked median: lag-marker run count, integer-exact E[R] inputs, fixed-order z combine."""
+    e = read_table(spark, sf_dir, "events")
+    h = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    b = h.groupBy().agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = b.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hr"
+        )
+    )
+    dense = spine.join(h, "hr", "left").select(
+        "hr", F.coalesce("c", F.lit(0)).alias("x")
+    )
+    wm = W.orderBy("x", "hr")
+    med = (
+        dense.withColumn("r", F.row_number().over(wm))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy()))
+        .filter(F.expr("r = (n + 1) div 2"))
+        .select(F.col("x").alias("m"))
+    )
+    signs = (
+        dense.crossJoin(F.broadcast(med))
+        .filter(F.col("x") != F.col("m"))
+        .select(
+            "hr", F.when(F.col("x") > F.col("m"), 1).otherwise(0).alias("s")
+        )
+    )
+    wo = W.orderBy("hr")
+    runs = signs.select(
+        "s",
+        F.when(~F.lag("s").over(wo).eqNullSafe(F.col("s")), 1)
+        .otherwise(0)
+        .alias("chg"),
+    )
+    agg = runs.groupBy().agg(
+        F.sum("chg").cast("long").alias("r_runs"),
+        F.sum("s").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("long").alias("n2"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    e_runs = F.lit(1.0) + (2 * F.col("n1") * F.col("n2")).cast(
+        "double"
+    ) / F.col("n").cast("double")
+    var = (
+        2 * F.col("n1") * F.col("n2") * (2 * F.col("n1") * F.col("n2") - F.col("n"))
+    ).cast("double") / (
+        F.col("n") * F.col("n") * (F.col("n") - 1)
+    ).cast("double")
+    return agg.select(
+        "r_runs",
+        "n1",
+        "n2",
+        e_runs.alias("e_runs"),
+        ((F.col("r_runs").cast("double") - e_runs) / F.sqrt(var)).alias("z"),
+    )

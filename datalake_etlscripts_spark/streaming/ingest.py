@@ -1288,3 +1288,160 @@ def run_streaming_feature_store(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_scd2(
+    spark: SparkSession,
+    events_dir: str,
+    root: str,
+    schema: str = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING",
+):
+    """Streaming SCD type-2 dimension maintenance: each micro-batch's
+    per-user status runs fold into the versioned dimension at
+    ``{root}/dim`` — an open (is_current) row EXTENDS when the batch
+    continues its status, CLOSES (effective_to = first new run's
+    start) when the status changes, and new runs append with version
+    numbers continuing the user's history. The fold is the same
+    run-collapse as the batch twin (plans/lakeops.scd2_from_events)
+    applied to (open row ∪ batch runs) per user, so for TIME-ORDERED
+    drops the maintained dimension is row-identical to rebuilding from
+    the union of all drops (tested). Ordered ingest is the contract,
+    like the CDC mirror's sequence assumption: an event arriving
+    behind an already-folded later timestamp cannot retroactively
+    split a closed interval.
+
+    Replay-idempotent: every dim row carries ``folded_through``; a
+    replayed micro-batch (epoch ≤ folded_through) is skipped, and the
+    dim swap is staged — the same exactly-once discipline as
+    run_streaming_feature_store."""
+    from pyspark.sql import Window as W
+
+    dim_path = f"{root}/dim"
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()
+        dim = None
+        if _fs_path_exists(spark, dim_path):
+            dim = spark.read.parquet(dim_path)
+            folded = dim.agg(F.max("folded_through").alias("m")).collect()[
+                0
+            ]["m"]
+            if folded is not None and epoch_id <= folded:
+                return  # replay: dim already reflects this batch
+
+        wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+        bruns = (
+            batch_df.select(
+                "user_id",
+                "ts",
+                "event_id",
+                "event_type",
+                F.when(
+                    ~F.lag("event_type")
+                    .over(wseq)
+                    .eqNullSafe(F.col("event_type")),
+                    1,
+                )
+                .otherwise(0)
+                .alias("chg"),
+            )
+            .withColumn("bord", F.sum("chg").over(wseq))
+            .groupBy("user_id", "bord")
+            .agg(
+                F.min("event_type").alias("status"),
+                F.min("ts").alias("eff_from"),
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+            )
+        )
+        busers = bruns.select("user_id").distinct()
+        if dim is not None:
+            closed = dim.filter(F.col("is_current") == 0).select(
+                "user_id",
+                "version",
+                "status",
+                "effective_from",
+                "effective_to",
+                "n_events",
+                "is_current",
+            )
+            open_all = dim.filter(F.col("is_current") == 1)
+            open_batch = open_all.join(busers, "user_id").select(
+                "user_id",
+                F.lit(0).cast("long").alias("bord"),
+                "status",
+                F.col("effective_from").alias("eff_from"),
+                "n_events",
+            )
+            open_keep = open_all.join(busers, "user_id", "left_anti").select(
+                "user_id",
+                "version",
+                "status",
+                "effective_from",
+                "effective_to",
+                "n_events",
+                "is_current",
+            )
+            base_ver = (
+                closed.groupBy("user_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_closed"))
+            )
+            combined = open_batch.unionByName(bruns)
+        else:
+            closed = open_keep = None
+            base_ver = None
+            combined = bruns
+
+        wc = W.partitionBy("user_id").orderBy("bord")
+        groups = (
+            combined.withColumn(
+                "chg",
+                F.when(
+                    ~F.lag("status").over(wc).eqNullSafe(F.col("status")), 1
+                ).otherwise(0),
+            )
+            .withColumn("grp", F.sum("chg").over(wc))
+            .groupBy("user_id", "grp")
+            .agg(
+                F.min("status").alias("status"),
+                F.min("eff_from").alias("effective_from"),
+                F.sum("n_events").cast("long").alias("n_events"),
+            )
+        )
+        if base_ver is not None:
+            groups = groups.join(base_ver, "user_id", "left").withColumn(
+                "version",
+                (F.coalesce("n_closed", F.lit(0)) + F.col("grp")).cast(
+                    "long"
+                ),
+            )
+        else:
+            groups = groups.withColumn("version", F.col("grp").cast("long"))
+        wv = W.partitionBy("user_id").orderBy("grp")
+        eff_to = F.lead("effective_from").over(wv)
+        fresh = groups.select(
+            "user_id",
+            "version",
+            "status",
+            "effective_from",
+            eff_to.alias("effective_to"),
+            "n_events",
+            F.when(eff_to.isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_current"),
+        )
+        new_dim = fresh
+        if closed is not None:
+            new_dim = closed.unionByName(open_keep).unionByName(fresh)
+        new_dim = new_dim.withColumn(
+            "folded_through", F.lit(epoch_id).cast("bigint")
+        )
+        _stage_swap(spark, new_dim, dim_path, f"epoch{epoch_id}")
+
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", f"{root}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

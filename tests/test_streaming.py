@@ -981,3 +981,91 @@ def test_streaming_feature_store_matches_batch_pit(spark, tmp_path):
         )
         == streamed
     )
+
+
+def test_streaming_scd2_matches_batch(spark, tmp_path):
+    """Stream≡batch for SCD2 maintenance under time-ordered drops:
+    the maintained dimension equals rebuilding from the union of all
+    drops (extend / close+new / fresh-user paths all exercised), and
+    a replayed run (wiped checkpoint) leaves the dimension unchanged."""
+    from datetime import datetime
+
+    from datalake_etlscripts_spark.plans.lakeops import scd2_from_events
+    from datalake_etlscripts_spark.streaming import run_streaming_scd2
+
+    events_dir = str(tmp_path / "events")
+    root = str(tmp_path / "scd2")
+    os.makedirs(events_dir)
+    schema = "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING"
+    T = datetime
+    b1 = spark.createDataFrame(
+        [
+            (1, 7, T(2024, 1, 1, 9, 0), "view"),
+            (2, 7, T(2024, 1, 1, 9, 30), "view"),
+            (3, 7, T(2024, 1, 1, 10, 0), "error"),
+            (4, 8, T(2024, 1, 1, 10, 0), "view"),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (5, 7, T(2024, 1, 1, 11, 0), "error"),   # extends open run
+            (6, 8, T(2024, 1, 1, 11, 30), "click"),  # closes view, opens click
+            (7, 9, T(2024, 1, 1, 12, 0), "signup"),  # fresh user
+            (8, 7, T(2024, 1, 1, 12, 30), "view"),   # closes error, opens view
+        ],
+        schema,
+    )
+
+    def dim_rows():
+        return sorted(
+            (
+                r["user_id"],
+                r["version"],
+                r["status"],
+                r["effective_from"],
+                r["effective_to"],
+                r["n_events"],
+                r["is_current"],
+            )
+            for r in spark.read.parquet(f"{root}/dim").collect()
+        )
+
+    b1.coalesce(1).write.mode("append").parquet(events_dir)
+    q = run_streaming_scd2(spark, events_dir, root, schema)
+    q.awaitTermination(120)
+    b2.coalesce(1).write.mode("append").parquet(events_dir)
+    q = run_streaming_scd2(spark, events_dir, root, schema)
+    q.awaitTermination(120)
+
+    streamed = dim_rows()
+    batch = sorted(
+        (
+            r["user_id"],
+            r["version"],
+            r["status"],
+            r["effective_from"],
+            r["effective_to"],
+            r["n_events"],
+            r["is_current"],
+        )
+        for r in scd2_from_events(b1.unionByName(b2)).collect()
+    )
+    assert streamed == batch
+    # spot-check the three paths
+    by_user = {}
+    for row in streamed:
+        by_user.setdefault(row[0], []).append(row)
+    assert [r[2] for r in by_user[7]] == ["view", "error", "view"]
+    assert by_user[7][1][5] == 2  # error run extended across the boundary
+    assert [r[2] for r in by_user[8]] == ["view", "click"]
+    assert by_user[8][0][6] == 0 and by_user[8][1][6] == 1
+    assert by_user[9] == [
+        (9, 1, "signup", T(2024, 1, 1, 12, 0), None, 1, 1)
+    ]
+
+    # replay: wipe the checkpoint; folded_through must skip the fold
+    shutil.rmtree(f"{root}/checkpoint")
+    q = run_streaming_scd2(spark, events_dir, root, schema)
+    q.awaitTermination(120)
+    assert dim_rows() == streamed
