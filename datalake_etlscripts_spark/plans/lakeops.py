@@ -374,8 +374,7 @@ _FIFO_BASE = """
       FROM seg WHERE tag = 0
     ),
     alloc AS (
-      SELECT s.part, d.okey AS d_okey, d.lno AS d_lno, d.qty AS d_qty,
-             r.okey AS r_okey, r.lno AS r_lno, s.seg_qty
+      SELECT s.part, d.dord AS d_ord, r.rord AS r_ord, s.seg_qty
       FROM seg0 s
       JOIN r ON r.part = s.part AND r.rord = s.ridx
       JOIN d ON d.part = s.part AND d.dord = s.didx
@@ -384,19 +383,23 @@ _FIFO_BASE = """
 """
 
 
+# NOTE: (l_orderkey, l_linenumber) is NOT unique in the synthetic
+# lineitem, so the demand identity is its FIFO sequence number dord
+# (caught by the conservation invariant test, not the oracle — the
+# oracle replicated the fan-out identically).
 @query(
     "fifo_allocation",
     oracle=f"""
     WITH {_FIFO_BASE}
-    SELECT d.part, d.okey AS d_orderkey, d.lno AS d_linenumber,
-           d.qty AS demand_qty,
+    SELECT d.part, d.dord AS demand_seq, d.okey AS d_orderkey,
+           d.lno AS d_linenumber, d.qty AS demand_qty,
            CAST(coalesce(sum(a.seg_qty), 0) AS BIGINT) AS allocated_qty,
-           CAST(count(DISTINCT a.r_okey * 16 + a.r_lno) AS BIGINT) AS n_lots,
+           CAST(count(DISTINCT a.r_ord) AS BIGINT) AS n_lots,
            CAST(CASE WHEN coalesce(sum(a.seg_qty), 0) = d.qty
                 THEN 1 ELSE 0 END AS INT) AS fulfilled
     FROM d LEFT JOIN alloc a
-      ON a.part = d.part AND a.d_okey = d.okey AND a.d_lno = d.lno
-    GROUP BY d.part, d.okey, d.lno, d.qty
+      ON a.part = d.part AND a.d_ord = d.dord
+    GROUP BY d.part, d.dord, d.okey, d.lno, d.qty
     """,
 )
 def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -490,16 +493,7 @@ def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     r_keyed = r.select(
-        F.col("part").alias("rpart"),
-        F.col("rord").alias("r_ord"),
-        F.col("okey").alias("r_okey"),
-        F.col("lno").alias("r_lno"),
-    )
-    d_keyed = d.select(
-        F.col("part").alias("dpart"),
-        F.col("dord").alias("d_ord"),
-        F.col("okey").alias("d_okey"),
-        F.col("lno").alias("d_lno"),
+        F.col("part").alias("rpart"), F.col("rord").alias("r_ord")
     )
     alloc = (
         seg0.filter(F.col("seg_qty") > 0)
@@ -508,15 +502,11 @@ def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("part") == F.col("rpart"))
             & (F.col("ridx") == F.col("r_ord")),
         )
-        .join(
-            d_keyed,
-            (F.col("part") == F.col("dpart"))
-            & (F.col("didx") == F.col("d_ord")),
-        )
-        .select("part", "d_okey", "d_lno", "r_okey", "r_lno", "seg_qty")
+        .select("part", F.col("didx").alias("a_ord"), "r_ord", "seg_qty")
     )
     dem = d.select(
         F.col("part").alias("q_part"),
+        F.col("dord").alias("demand_seq"),
         F.col("okey").alias("q_okey"),
         F.col("lno").alias("q_lno"),
         F.col("qty").alias("demand_qty"),
@@ -524,22 +514,22 @@ def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dem.join(
         alloc,
         (F.col("q_part") == alloc["part"])
-        & (F.col("q_okey") == alloc["d_okey"])
-        & (F.col("q_lno") == alloc["d_lno"]),
+        & (F.col("demand_seq") == F.col("a_ord")),
         "left",
     )
-    return out.groupBy("q_part", "q_okey", "q_lno", "demand_qty").agg(
+    return out.groupBy(
+        "q_part", "demand_seq", "q_okey", "q_lno", "demand_qty"
+    ).agg(
         F.coalesce(F.sum("seg_qty"), F.lit(0)).cast("long").alias(
             "allocated_qty"
         ),
-        F.countDistinct(
-            F.col("r_okey") * 16 + F.col("r_lno")
-        ).cast("long").alias("n_lots"),
+        F.countDistinct(F.col("r_ord")).cast("long").alias("n_lots"),
         F.when(
             F.coalesce(F.sum("seg_qty"), F.lit(0)) == F.col("demand_qty"), 1
         ).otherwise(0).cast("int").alias("fulfilled"),
     ).select(
         F.col("q_part").alias("part"),
+        "demand_seq",
         F.col("q_okey").alias("d_orderkey"),
         F.col("q_lno").alias("d_linenumber"),
         "demand_qty",
@@ -770,4 +760,283 @@ def q_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("int")
         .alias("ticket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown of the daily cumulative-revenue equity curve:
+# running peak minus current equity, all in exact integer cents on the
+# calendar-bounded day grid (one fact aggregate, then day-grain
+# windows). The trough is the (drawdown DESC, day ASC) argmax; its
+# peak day is recovered by an equi-join on the peak value — no struct
+# window portability tricks. dd_frac is one exact division.
+# ---------------------------------------------------------------------------
+@query(
+    "max_drawdown",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             sum({_CENTS.format(x='o_totalprice')}) AS cents
+      FROM orders GROUP BY 1
+    ),
+    eq AS (
+      SELECT d, CAST(sum(cents) OVER (ORDER BY d
+                 ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS e
+      FROM daily
+    ),
+    dd AS (
+      SELECT d, e,
+             CAST(max(e) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                  AS HUGEINT) AS p
+      FROM eq
+    ),
+    trough AS (
+      SELECT d AS trough_day, e AS trough_cents, p AS peak_cents,
+             p - e AS max_dd
+      FROM dd ORDER BY p - e DESC, d ASC LIMIT 1
+    )
+    SELECT CAST((SELECT min(d) FROM dd, trough
+            WHERE dd.e = trough.peak_cents AND dd.d <= trough.trough_day)
+             AS VARCHAR) AS peak_day,
+           CAST(trough_day AS VARCHAR) AS trough_day,
+           CAST(peak_cents AS BIGINT) AS peak_cents,
+           CAST(trough_cents AS BIGINT) AS trough_cents,
+           CAST(max_dd AS BIGINT) AS max_dd_cents,
+           {_d('max_dd')} / {_d('peak_cents')} AS dd_frac
+    FROM trough
+    """,
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily revenue curve: exact integer cents on the calendar-bounded day grid, trough by deterministic argmax, peak day recovered by value equi-join, one exact division."""
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast(
+                "decimal(38,0)"
+            )
+        ).alias("cents")
+    )
+    wd = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    dd = daily.select(
+        "d", F.sum("cents").over(wd).alias("e")
+    ).withColumn("p", F.max("e").over(wd))
+    wt = W.orderBy((F.col("p") - F.col("e")).desc(), F.col("d").asc())
+    trough = (
+        dd.withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("d").alias("trough_day"),
+            F.col("e").alias("trough_cents"),
+            F.col("p").alias("peak_cents"),
+            (F.col("p") - F.col("e")).alias("max_dd"),
+        )
+    )
+    peak = (
+        dd.crossJoin(F.broadcast(trough))
+        .filter(
+            (F.col("e") == F.col("peak_cents"))
+            & (F.col("d") <= F.col("trough_day"))
+        )
+        .groupBy(
+            "trough_day", "trough_cents", "peak_cents", "max_dd"
+        )
+        .agg(F.min("d").alias("peak_day"))
+    )
+    return peak.select(
+        F.col("peak_day").cast("string").alias("peak_day"),
+        F.col("trough_day").cast("string").alias("trough_day"),
+        F.col("peak_cents").cast("long").alias("peak_cents"),
+        F.col("trough_cents").cast("long").alias("trough_cents"),
+        F.col("max_dd").cast("long").alias("max_dd_cents"),
+        (_as_double(F.col("max_dd")) / _as_double(F.col("peak_cents"))).alias(
+            "dd_frac"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) classification of parts by revenue: rank parts by exact
+# cents descending, accumulate the ranked prefix with the SAME
+# two-level distributed prefix scan as the watermark audit (4096-rank
+# buckets + bucket-grain carry-in — never a single-task running sum at
+# part grain), classify by integer cross-multiplication
+# (100·cum ≤ 80·tot → A, ≤ 95 → B, else C). Output is the class-grain
+# report.
+# ---------------------------------------------------------------------------
+@query(
+    "abc_classification",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey AS part,
+             sum({_CENTS.format(x='l_extendedprice')}) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    t AS (SELECT sum(cents) AS tot FROM rev),
+    ranked AS (
+      SELECT part, cents,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, part ASC
+                  ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum
+      FROM rev
+    ),
+    cls AS (
+      SELECT part, cents,
+             CASE WHEN 100 * cum <= 80 * t.tot THEN 'A'
+                  WHEN 100 * cum <= 95 * t.tot THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked CROSS JOIN t
+    )
+    SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           {_d('sum(cents)')} / {_d('(SELECT tot FROM t)')} AS share
+    FROM cls GROUP BY 1
+    """,
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classification of parts by revenue: exact-cents ranking with a two-level distributed prefix sum (4096-rank buckets + carry-in), cross-multiplied 80/95 class boundaries, class-grain report."""
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast(
+                "decimal(38,0)"
+            )
+        ).alias("cents")
+    )
+    tot = rev.groupBy().agg(F.sum("cents").alias("tot"))
+    ranked = distributed_rank(
+        rev.withColumn("_neg", -F.col("cents").cast("double")),
+        "_neg",
+        "part",
+        out_col="rk",
+    ).drop("_neg")
+    # two-level prefix sum over the rank order (watermark-audit shape)
+    ranked = ranked.withColumn("bkt", F.expr("rk div 4096"))
+    bsum = ranked.groupBy("bkt").agg(F.sum("cents").alias("bs"))
+    wb = W.orderBy("bkt").rowsBetween(W.unboundedPreceding, -1)
+    carry = bsum.select(
+        "bkt",
+        F.coalesce(F.sum("bs").over(wb), F.lit(0).cast("decimal(38,0)")).alias(
+            "carry"
+        ),
+    )
+    ww = (
+        W.partitionBy("bkt")
+        .orderBy("rk")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = (
+        ranked.join(F.broadcast(carry), "bkt")
+        .withColumn("cum", F.col("carry") + F.sum("cents").over(ww))
+    )
+    cls = cum.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        F.when(100 * F.col("cum") <= 80 * F.col("tot"), "A")
+        .when(100 * F.col("cum") <= 95 * F.col("tot"), "B")
+        .otherwise("C")
+        .alias("abc"),
+        "tot",
+    )
+    return cls.groupBy("abc").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("cents").cast("long").alias("cents"),
+        (_as_double(F.sum("cents")) / _as_double(F.first("tot"))).alias(
+            "share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BOM-style subtree rollup on the implicit part tree parent(k) =
+# k div 8: every part's revenue propagates to ALL ancestors in one
+# closed-form explode (ancestor_i = k div 8^i, i = 0..7) + one keyed
+# aggregate — no iteration, no recursive join, depth from the same
+# arithmetic. share_of_parent is subtree(k)/subtree(parent(k)) as one
+# exact division. The hierarchical-rollup pattern for key-encoded
+# trees (categories, org charts, file systems).
+# ---------------------------------------------------------------------------
+@query(
+    "bom_subtree_rollup",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey AS k,
+             sum({_CENTS.format(x='l_extendedprice')}) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    lv AS (SELECT unnest(range(0, 8)) AS i),
+    up AS (
+      SELECT k // (1 << (3 * i)) AS node, cents
+      FROM rev CROSS JOIN lv
+      WHERE k // (1 << (3 * i)) > 0 OR i = 0
+    ),
+    sub AS (
+      SELECT node, CAST(sum(cents) AS HUGEINT) AS subtree_cents
+      FROM up GROUP BY 1
+    )
+    SELECT s.node,
+           CAST((CASE WHEN s.node >= 8 THEN 1 ELSE 0 END
+                 + CASE WHEN s.node >= 64 THEN 1 ELSE 0 END
+                 + CASE WHEN s.node >= 512 THEN 1 ELSE 0 END
+                 + CASE WHEN s.node >= 4096 THEN 1 ELSE 0 END
+                 + CASE WHEN s.node >= 32768 THEN 1 ELSE 0 END
+                 + CASE WHEN s.node >= 262144 THEN 1 ELSE 0 END
+                 + CASE WHEN s.node >= 2097152 THEN 1 ELSE 0 END)
+                AS INT) AS depth,
+           CAST(s.subtree_cents AS BIGINT) AS subtree_cents,
+           CAST(coalesce(r.cents, 0) AS BIGINT) AS own_cents,
+           CASE WHEN s.node > 0 THEN
+             {_d('s.subtree_cents')} / {_d('p.subtree_cents')}
+           END AS share_of_parent
+    FROM sub s
+    LEFT JOIN rev r ON r.k = s.node
+    LEFT JOIN sub p ON p.node = s.node // 8 AND s.node > 0
+    """,
+)
+def q_bom_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOM-style subtree revenue rollup on the key-encoded part tree (parent = key div 8): closed-form ancestor explode, one keyed aggregate, exact-cents share-of-parent - no recursion or iteration."""
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast(
+                "decimal(38,0)"
+            )
+        ).alias("cents")
+    )
+    lv = F.sequence(F.lit(0), F.lit(7))
+    up = (
+        rev.select(
+            F.explode(lv).alias("i"), "k", "cents"
+        )
+        .withColumn("node", F.expr("k div CAST(pow(8, i) AS BIGINT)"))
+        .filter((F.col("node") > 0) | (F.col("i") == 0))
+    )
+    sub = up.groupBy("node").agg(
+        F.sum("cents").alias("subtree_cents")
+    )
+    depth = sum(
+        F.when(F.col("node") >= 8**j, 1).otherwise(0) for j in range(1, 8)
+    )
+    parent = sub.select(
+        F.col("node").alias("pnode"),
+        F.col("subtree_cents").alias("parent_cents"),
+    )
+    own = rev.select(F.col("k").alias("onode"), F.col("cents").alias("own"))
+    return (
+        sub.join(own, sub["node"] == own["onode"], "left")
+        .join(
+            parent,
+            (F.expr("node div 8") == F.col("pnode")) & (F.col("node") > 0),
+            "left",
+        )
+        .select(
+            "node",
+            depth.cast("int").alias("depth"),
+            F.col("subtree_cents").cast("long").alias("subtree_cents"),
+            F.coalesce(F.col("own"), F.lit(0)).cast("long").alias(
+                "own_cents"
+            ),
+            F.when(
+                F.col("node") > 0,
+                _as_double(F.col("subtree_cents"))
+                / _as_double(F.col("parent_cents")),
+            ).alias("share_of_parent"),
+        )
     )

@@ -668,3 +668,213 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         e_runs.alias("e_runs"),
         ((F.col("r_runs").cast("double") - e_runs) / F.sqrt(var)).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation of zero-hours (r9): per event type, hours with
+# no events get y = (y0·(i1−i) + y1·(i−i0)) / (i1−i0) between the
+# bracketing observed hours — integer numerators, ONE exact division
+# per gap row. Prev/next brackets come from struct-carry windows on
+# the per-type dense grid (the forward-fill shape + its mirror); the
+# oracle uses two ASOF joins. Interior-only by construction (the grid
+# spans each type's own observed range). Spine-bounded.
+# ---------------------------------------------------------------------------
+@query(
+    "interpolate_linear",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS i,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (
+      SELECT event_type, min(i) AS lo, max(i) AS hi FROM h GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, unnest(range(lo, hi + 1)) AS i FROM b
+    ),
+    dense AS (
+      SELECT g.event_type, g.i, coalesce(h.y, 0) AS y
+      FROM grid g LEFT JOIN h ON h.event_type = g.event_type AND h.i = g.i
+    ),
+    obs AS (SELECT event_type, i, y FROM dense WHERE y > 0),
+    obs_neg AS (SELECT event_type, -i AS ni, i, y FROM obs),
+    prev AS (
+      SELECT d.event_type, d.i, d.y, o.i AS i0, o.y AS y0
+      FROM dense d ASOF LEFT JOIN obs o
+        ON d.event_type = o.event_type AND d.i >= o.i
+    ),
+    nxt AS (
+      SELECT d.event_type, d.i, o.i AS i1, o.y AS y1
+      FROM (SELECT event_type, -i AS ni, i FROM dense) d
+      ASOF LEFT JOIN obs_neg o
+        ON d.event_type = o.event_type AND d.ni >= o.ni
+    )
+    SELECT p.event_type, p.i AS hour_idx, p.y AS observed,
+           CASE WHEN p.y > 0 THEN CAST(p.y AS DOUBLE)
+                ELSE CAST(p.y0 * (n.i1 - p.i) + n.y1 * (p.i - p.i0)
+                          AS DOUBLE)
+                     / CAST(n.i1 - p.i0 AS DOUBLE) END AS y_interp
+    FROM prev p JOIN nxt n ON n.event_type = p.event_type AND n.i = p.i
+    """,
+)
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear interpolation of zero-hours between bracketing observed hours: integer numerators with one exact division per gap, struct-carry prev/next windows on the dense grid."""
+    e = read_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        "event_type",
+        F.expr(
+            "CAST(unix_seconds(date_trunc('hour', ts)) AS BIGINT) div 3600"
+        ).alias("i"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    b = h.groupBy("event_type").agg(
+        F.min("i").alias("lo"), F.max("i").alias("hi")
+    )
+    grid = b.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("i")
+    )
+    dense = grid.join(h, ["event_type", "i"], "left").select(
+        "event_type", "i", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    obs_struct = F.when(
+        F.col("y") > 0, F.struct(F.col("i"), F.col("y"))
+    )
+    wp = (
+        W.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wn = (
+        W.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    br = dense.select(
+        "event_type",
+        "i",
+        "y",
+        F.max(obs_struct).over(wp).alias("p0"),
+        F.min(obs_struct).over(wn).alias("p1"),
+    )
+    y0, i0 = F.col("p0.y"), F.col("p0.i")
+    y1, i1 = F.col("p1.y"), F.col("p1.i")
+    return br.select(
+        "event_type",
+        F.col("i").alias("hour_idx"),
+        F.col("y").alias("observed"),
+        F.when(F.col("y") > 0, F.col("y").cast("double")).otherwise(
+            (y0 * (i1 - F.col("i")) + y1 * (F.col("i") - i0)).cast("double")
+            / (i1 - i0).cast("double")
+        ).alias("y_interp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau between two nation rankings (r9): revenue rank vs total
+# account balance rank over the 25-nation dimension — concordant and
+# discordant pairs counted exactly on the dictionary-sized pair join
+# (n² = 625 combos after the fact aggregates), tau-a as one exact
+# division. The rank-agreement primitive behind "do two metrics order
+# entities the same way".
+# ---------------------------------------------------------------------------
+@query(
+    "kendall_tau_nations",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nk,
+             CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100
+                  AS HUGEINT)) AS HUGEINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ),
+    bal AS (
+      SELECT c_nationkey AS nk,
+             CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(14,2)) * 100
+                  AS HUGEINT)) AS HUGEINT) AS bcents
+      FROM customer GROUP BY 1
+    ),
+    r AS (
+      SELECT rev.nk,
+             row_number() OVER (ORDER BY rev.cents DESC, rev.nk ASC) AS rx,
+             row_number() OVER (ORDER BY bal.bcents DESC, bal.nk ASC) AS ry
+      FROM rev JOIN bal ON bal.nk = rev.nk
+    ),
+    pairs AS (
+      SELECT CASE WHEN (a.rx - b.rx) * (a.ry - b.ry) > 0 THEN 1 ELSE 0 END
+               AS conc
+      FROM r a JOIN r b ON a.nk < b.nk
+    )
+    SELECT CAST((SELECT count(*) FROM r) AS BIGINT) AS n,
+           CAST(sum(conc) AS BIGINT) AS concordant,
+           CAST(count(*) - sum(conc) AS BIGINT) AS discordant,
+           CAST(2 * sum(conc) - count(*) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS tau
+    FROM pairs
+    """,
+)
+def q_kendall_tau_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-a between nation revenue and account-balance rankings: exact concordant/discordant pair counts on the 25-row dimension, one exact division."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    rev = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("cents")
+        )
+    )
+    bal = c.groupBy(F.col("c_nationkey").alias("bnk")).agg(
+        F.sum(
+            (F.col("c_acctbal").cast("decimal(14,2)") * 100).cast(
+                "decimal(38,0)"
+            )
+        ).alias("bcents")
+    )
+    j = rev.join(F.broadcast(bal), F.col("nk") == F.col("bnk"))
+    wx = W.orderBy(F.col("cents").desc(), F.col("nk").asc())
+    wy = W.orderBy(F.col("bcents").desc(), F.col("nk").asc())
+    r = j.select(
+        "nk",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    a = r.select(
+        F.col("nk").alias("ank"), F.col("rx").alias("arx"),
+        F.col("ry").alias("ary"),
+    )
+    bt = r.select(
+        F.col("nk").alias("bnk2"), F.col("rx").alias("brx"),
+        F.col("ry").alias("bry"),
+    )
+    pairs = a.join(F.broadcast(bt), F.col("ank") < F.col("bnk2")).select(
+        F.when(
+            (F.col("arx") - F.col("brx")) * (F.col("ary") - F.col("bry"))
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("conc")
+    )
+    n = r.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n"))
+    agg = pairs.groupBy().agg(
+        F.sum("conc").cast("long").alias("concordant"),
+        (F.count(F.lit(1)) - F.sum("conc")).cast("long").alias("discordant"),
+        F.count(F.lit(1)).alias("np"),
+    )
+    return agg.crossJoin(F.broadcast(n)).select(
+        "n",
+        "concordant",
+        "discordant",
+        (
+            (2 * F.col("concordant") - F.col("np")).cast("double")
+            / F.col("np").cast("double")
+        ).alias("tau"),
+    )

@@ -1,0 +1,253 @@
+"""Invariant tests for the r9 lakehouse / stats / graph operators —
+structural properties the DuckDB oracle equality cannot express
+(conservation laws, matching validity, interval partitioning,
+independent-implementation replays)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datalake_etlscripts_spark.plans import QUERIES
+
+
+def _run(name, spark, sf_dir):
+    return QUERIES[name](spark, sf_dir)
+
+
+def test_largest_remainder_units_sum_and_quota(spark, sf_dir):
+    rows = _run("largest_remainder_alloc", spark, sf_dir).collect()
+    assert sum(r["units"] for r in rows) == 10000
+    # quota rule: every nation gets floor or floor+1
+    for r in rows:
+        assert r["units"] in (r["floor_units"], r["floor_units"] + 1)
+        assert r["extra"] == r["units"] - r["floor_units"]
+
+
+def test_fifo_allocation_conservation(spark, sf_dir):
+    """Per part: Σ allocated across demands = min(supply, demand)
+    (FIFO matches everything the shorter side offers), and no demand
+    line is over-filled."""
+    out = _run("fifo_allocation", spark, sf_dir)
+    rows = out.collect()
+    for r in rows:
+        assert 0 <= r["allocated_qty"] <= r["demand_qty"]
+        assert (r["fulfilled"] == 1) == (
+            r["allocated_qty"] == r["demand_qty"]
+        )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = {
+        r["part"]: r["q"]
+        for r in li.filter("l_linestatus = 'F' AND l_quantity > 0")
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+        .collect()
+    }
+    dem = {}
+    alloc = {}
+    for r in rows:
+        dem[r["part"]] = dem.get(r["part"], 0) + r["demand_qty"]
+        alloc[r["part"]] = alloc.get(r["part"], 0) + r["allocated_qty"]
+    for part, a in alloc.items():
+        assert a == min(sup.get(part, 0), dem[part])
+
+
+def test_scd2_intervals_partition_history(spark, sf_dir):
+    out = _run("scd2_build", spark, sf_dir).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    ev_counts = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for uid, rows in by_user.items():
+        rows.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(r["is_current"] for r in rows) == 1
+        assert rows[-1]["is_current"] == 1 and rows[-1]["effective_to"] is None
+        for a, b in zip(rows, rows[1:]):
+            assert a["effective_to"] == b["effective_from"]
+            assert a["status"] != b["status"]
+        assert sum(r["n_events"] for r in rows) == ev_counts[uid]
+
+
+def test_mutual_matching_is_a_matching(spark, sf_dir):
+    out = _run("graph_mutual_matching", spark, sf_dir).collect()
+    seen = set()
+    for r in out:
+        assert r["u"] < r["v"]
+        assert r["u"] not in seen and r["v"] not in seen
+        seen.add(r["u"])
+        seen.add(r["v"])
+    # every matched pair is a real edge with the real weight
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ew = {
+        (r["s"], r["p"]): r["w"]
+        for r in li.groupBy(
+            (F.col("l_suppkey") * 2).alias("s"),
+            (F.col("l_partkey") * 2 + 1).alias("p"),
+        )
+        .agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+        .collect()
+    }
+    for r in out:
+        assert ew[(r["u"], r["v"])] == r["w"]
+
+
+def test_sssp_rounds_monotone_and_bounded(spark, sf_dir):
+    """More relaxation rounds can only improve (never worsen) the
+    distances, and round-4 distances agree with BFS reachability."""
+    from datalake_etlscripts_spark.operators.graph import sssp_rounds
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e0 = li.groupBy(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    seeds = (
+        edges.filter(F.col("src").isin(2, 4))
+        .select(F.col("src").alias("node"))
+        .distinct()
+    )
+    d4 = {r["node"]: r["dist"] for r in sssp_rounds(edges, seeds, 4).collect()}
+    d5 = {r["node"]: r["dist"] for r in sssp_rounds(edges, seeds, 5).collect()}
+    assert set(d4) <= set(d5)
+    for n, dv in d4.items():
+        assert d5[n] <= dv
+    assert d4[2] == 0 and d4[4] == 0
+
+
+def test_wavelet_haar_matches_recursive_pyramid(spark, sf_dir):
+    """Closed-form signed-groupBy coefficients == the classic
+    recursive (pairwise sum/diff) pyramid computed in pure Python on
+    the same dense series."""
+    import duckdb
+
+    con = duckdb.connect()
+    xs = con.execute(
+        f"""
+        WITH b AS (SELECT min(date_trunc('hour', ts)) AS lo
+                   FROM read_parquet('{sf_dir}/events.parquet')),
+        h AS (
+          SELECT CAST(epoch(date_trunc('hour', ts))
+                      - epoch((SELECT lo FROM b)) AS BIGINT) // 3600 AS idx,
+                 count(*) AS x
+          FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1
+        )
+        SELECT s.idx, coalesce(h.x, 0) AS x
+        FROM (SELECT unnest(range(0, 256)) AS idx) s
+        LEFT JOIN h ON h.idx = s.idx ORDER BY s.idx
+        """
+    ).fetchall()
+    a = [int(x) for _, x in xs]
+    expect = {}
+    for lev in range(1, 9):
+        nxt, det = [], []
+        for p in range(len(a) // 2):
+            nxt.append(a[2 * p] + a[2 * p + 1])
+            det.append(a[2 * p] - a[2 * p + 1])
+            expect[(lev, p)] = a[2 * p] - a[2 * p + 1]
+        a = nxt
+    expect[(0, 0)] = a[0]
+    got = {
+        (r["level"], r["pos"]): r["coef"]
+        for r in _run("wavelet_haar", spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_isotonic_matches_pav(spark, sf_dir):
+    """The minimax closed form == classic pool-adjacent-violators."""
+    rows = sorted(
+        (r["bin"], r["n"], r["s"], r["iso_fit"])
+        for r in _run("isotonic_calibration", spark, sf_dir).collect()
+    )
+    blocks = []  # (n, s) pools
+    for _, n, s, _ in rows:
+        blocks.append([n, s])
+        while len(blocks) > 1 and (
+            blocks[-2][1] * blocks[-1][0] >= blocks[-1][1] * blocks[-2][0]
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+    fits = []
+    for n, s in blocks:
+        fits.extend([s / n] * 1)
+    # expand pools back over their bins
+    expanded = []
+    bi = 0
+    for n, s in blocks:
+        covered = 0
+        while covered < n:
+            covered += rows[bi][1]
+            expanded.append(s / n)
+            bi += 1
+    assert len(expanded) == len(rows)
+    for (_, _, _, iso), exp in zip(rows, expanded):
+        assert iso == pytest.approx(exp, rel=0, abs=1e-12)
+    # monotone non-decreasing
+    isos = [r[3] for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(isos, isos[1:]))
+
+
+def test_interpolate_linear_brackets(spark, sf_dir):
+    rows = _run("interpolate_linear", spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for tp, rs in by_type.items():
+        rs.sort(key=lambda r: r["hour_idx"])
+        obs = [
+            (r["hour_idx"], r["observed"]) for r in rs if r["observed"] > 0
+        ]
+        # endpoints of each type's grid are observed (interior-only gaps)
+        assert rs[0]["observed"] > 0 and rs[-1]["observed"] > 0
+        import bisect
+
+        oi = [i for i, _ in obs]
+        for r in rs:
+            if r["observed"] > 0:
+                assert r["y_interp"] == float(r["observed"])
+            else:
+                k = bisect.bisect_left(oi, r["hour_idx"])
+                i0, y0 = obs[k - 1]
+                i1, y1 = obs[k]
+                assert r["y_interp"] == pytest.approx(
+                    (y0 * (i1 - r["hour_idx"]) + y1 * (r["hour_idx"] - i0))
+                    / (i1 - i0),
+                    rel=0,
+                    abs=1e-12,
+                )
+
+
+def test_abc_classes_cover_all_revenue(spark, sf_dir):
+    rows = {r["abc"]: r for r in _run("abc_classification", spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    tot = li.select(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast(
+                "decimal(38,0)"
+            )
+        ).alias("t")
+    ).collect()[0]["t"]
+    assert sum(r["cents"] for r in rows.values()) == int(tot)
+    assert set(rows) <= {"A", "B", "C"}
+    # A is the head: fewer parts than C but more revenue per part
+    if "A" in rows and "C" in rows:
+        a, c = rows["A"], rows["C"]
+        assert a["cents"] / a["n_parts"] > c["cents"] / c["n_parts"]
+
+
+def test_max_drawdown_consistency(spark, sf_dir):
+    r = _run("max_drawdown", spark, sf_dir).collect()[0]
+    assert r["peak_day"] <= r["trough_day"]
+    assert r["max_dd_cents"] == r["peak_cents"] - r["trough_cents"]
+    assert 0.0 <= r["dd_frac"] <= 1.0
