@@ -878,3 +878,432 @@ def q_kendall_tau_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("np").cast("double")
         ).alias("tau"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI (r9): the resampling scheme that actually works
+# distributed — independent Poisson(1) weights per (row, replicate)
+# replace multinomial resampling (Chamandy et al., "Estimating
+# Uncertainty for Massive Data Streams", Google 2012), so 32 bootstrap
+# replicates of the mean come from ONE scan with a 32-way explode and
+# a keyed aggregate. The weights are decided by comparing the 32-bit
+# md5 lane against PRECOMPUTED INTEGER cutoffs (inverse Poisson CDF ·
+# 2^32) — no floats anywhere until each replicate's single exact mean
+# division. CI = explicit order statistics of the 32 replicate means.
+# ---------------------------------------------------------------------------
+_POIS_CUTS = (1580030168, 3160060337, 3950075421, 4213413783)
+
+
+def _pois_w(lane: str) -> str:
+    c = _POIS_CUTS
+    return (
+        f"CASE WHEN {lane} < {c[0]} THEN 0 WHEN {lane} < {c[1]} THEN 1 "
+        f"WHEN {lane} < {c[2]} THEN 2 WHEN {lane} < {c[3]} THEN 3 "
+        f"ELSE 4 END"
+    )
+
+
+@query(
+    "bootstrap_ci_poisson",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey AS id,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS HUGEINT)
+               AS cents
+      FROM orders
+    ),
+    reps AS (SELECT unnest(range(0, 32)) AS b),
+    w AS (
+      SELECT r.b, o.cents,
+             {_pois_w("(" + __import__("datalake_etlscripts_spark.plans.registry", fromlist=["ddb_hex32"]).ddb_hex32("md5(CAST(o.id AS VARCHAR) || '#' || CAST(r.b AS VARCHAR))") + ")")} AS wt
+      FROM o CROSS JOIN reps r
+    ),
+    boot AS (
+      SELECT CAST(b AS INT) AS replicate,
+             CAST(sum(wt) AS BIGINT) AS n_eff,
+             CAST(sum(wt * cents) AS BIGINT) AS s_cents,
+             CAST(CAST(sum(wt * cents) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(sum(wt) AS VARCHAR) AS DOUBLE) AS mean_cents
+      FROM w GROUP BY 1
+    ),
+    pt AS (
+      SELECT CAST(CAST(sum(cents) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(count(*) AS VARCHAR) AS DOUBLE) AS point_mean
+      FROM o
+    )
+    SELECT replicate, n_eff, s_cents, mean_cents,
+           CAST(row_number() OVER (ORDER BY mean_cents, replicate)
+                AS BIGINT) AS rk,
+           pt.point_mean
+    FROM boot CROSS JOIN pt
+    """,
+)
+def q_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson(1) bootstrap of the mean order value: 32 replicates from one scan via integer md5-cutoff weights (no multinomial shuffle), exact per-replicate mean divisions, CI read off explicit order statistics."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("decimal(38,0)")
+        .alias("cents"),
+    )
+    reps = spark.range(0, 32).select(F.col("id").cast("int").alias("b"))
+    lane = (
+        "conv(substring(md5(concat(CAST(id AS STRING), '#',"
+        " CAST(b AS STRING))), 1, 8), 16, 10)"
+    )
+    w = o.crossJoin(F.broadcast(reps)).withColumn(
+        "wt", F.expr(_pois_w(f"CAST({lane} AS BIGINT)")).cast("decimal(38,0)")
+    )
+    boot = w.groupBy(F.col("b").alias("replicate")).agg(
+        F.sum("wt").cast("long").alias("n_eff"),
+        F.sum(F.col("wt") * F.col("cents")).cast("long").alias("s_cents"),
+        (
+            F.sum(F.col("wt") * F.col("cents")).cast("string").cast("double")
+            / F.sum("wt").cast("string").cast("double")
+        ).alias("mean_cents"),
+    )
+    pt = o.groupBy().agg(
+        (
+            F.sum("cents").cast("string").cast("double")
+            / F.count(F.lit(1)).cast("string").cast("double")
+        ).alias("point_mean")
+    )
+    wr = W.orderBy("mean_cents", "replicate")
+    return (
+        boot.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .crossJoin(F.broadcast(pt))
+        .select(
+            "replicate", "n_eff", "s_cents", "mean_cents", "rk", "point_mean"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SPRT sequential A/B monitor (r9): Wald's sequential probability
+# ratio test of conversion rate per md5 arm — H0 p=0.45 vs H1 p=0.55,
+# α = β = 0.05. Each hour's log-likelihood ratio is computed DIRECTLY
+# from the exact cumulative (successes k, trials n) as
+# k·L1 + (n−k)·L2 with L1/L2 PYTHON-PRECOMPUTED double literals (both
+# engines parse the identical decimal literal — never a running float
+# sum, never an in-engine ln). Boundaries ±ln(19) likewise literal.
+# The per-arm cumulative counts ride the hourly spine.
+# ---------------------------------------------------------------------------
+_SPRT_L1 = "CAST(0.20067069546215124 AS DOUBLE)"
+_SPRT_L2 = "CAST(-0.20067069546215124 AS DOUBLE)"
+_SPRT_A = "2.9444389791664403"
+_SPRT_AD = "CAST(2.9444389791664403 AS DOUBLE)"
+
+
+@query(
+    "sprt_ab_monitor",
+    oracle=f"""
+    WITH t AS (
+      SELECT CASE WHEN {__import__("datalake_etlscripts_spark.plans.registry", fromlist=["ddb_hex32"]).ddb_hex32("md5(CAST(user_id AS VARCHAR))")} % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             date_trunc('hour', ts) AS hr,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS succ
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    h AS (
+      SELECT arm, hr, CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum(succ) AS BIGINT) AS k_h
+      FROM t GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT arm, hr,
+             CAST(sum(n_h) OVER w AS BIGINT) AS n,
+             CAST(sum(k_h) OVER w AS BIGINT) AS k
+      FROM h WINDOW w AS (PARTITION BY arm ORDER BY hr
+                          ROWS UNBOUNDED PRECEDING)
+    ),
+    l AS (
+      SELECT arm, hr, n, k,
+             k * {_SPRT_L1} + (n - k) * ({_SPRT_L2}) AS llr
+      FROM c
+    )
+    SELECT arm, hr, n, k, llr,
+           CASE WHEN llr >= {_SPRT_AD} THEN 'accept_h1'
+                WHEN llr <= -{_SPRT_AD} THEN 'accept_h0'
+                ELSE 'continue' END AS decision,
+           CAST(CASE WHEN abs(llr) >= {_SPRT_AD}
+                     AND row_number() OVER (PARTITION BY arm,
+                       CASE WHEN abs(llr) >= {_SPRT_AD} THEN 1 ELSE 0 END
+                       ORDER BY hr) = 1
+                THEN 1 ELSE 0 END AS INT) AS first_crossing
+    FROM l
+    """,
+)
+def q_sprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT sequential conversion-rate monitor per md5 arm: hourly LLR computed directly from exact cumulative counts times Python-precomputed literals (no in-engine ln, no running float sum), literal +/-ln(19) boundaries, first-crossing flags."""
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    lane = "conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
+    t = e.select(
+        F.when(F.expr(f"CAST({lane} AS BIGINT) % 2 = 0"), "A")
+        .otherwise("B")
+        .alias("arm"),
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "succ"
+        ),
+    )
+    h = t.groupBy("arm", "hr").agg(
+        F.count(F.lit(1)).alias("n_h"), F.sum("succ").alias("k_h")
+    )
+    wc = (
+        W.partitionBy("arm")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    c = h.select(
+        "arm",
+        "hr",
+        F.sum("n_h").over(wc).cast("long").alias("n"),
+        F.sum("k_h").over(wc).cast("long").alias("k"),
+    )
+    llr = F.expr(f"k * {_SPRT_L1} + (n - k) * ({_SPRT_L2})")
+    l = c.withColumn("llr", llr)
+    crossed = F.abs(F.col("llr")) >= float(_SPRT_A)
+    wf = W.partitionBy(
+        "arm", F.when(crossed, 1).otherwise(0)
+    ).orderBy("hr")
+    return l.select(
+        "arm",
+        "hr",
+        "n",
+        "k",
+        "llr",
+        F.when(F.col("llr") >= float(_SPRT_A), "accept_h1")
+        .when(F.col("llr") <= -float(_SPRT_A), "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+        F.when(crossed & (F.row_number().over(wf) == 1), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("first_crossing"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact ridge regression (r9): y = n_chars on (1, n_tokens,
+# n_sentences) with λ = 100, solved in closed form by Cramer's rule on
+# the 3×3 regularized normal equations — every matrix entry is an
+# exact DECIMAL(38,0) moment from ONE scan, each determinant a fixed
+# polynomial of those integers, each coefficient ONE exact division.
+# The multivariate big sibling of ols_trend_by_lang (which is 1D).
+# At extreme scale pre-scale features by a common power of ten to keep
+# determinant magnitude inside DECIMAL(38) — noted, not needed here.
+# ---------------------------------------------------------------------------
+_RIDGE_FEATS = """
+      SELECT CAST(n_chars AS HUGEINT) AS y,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                  AS HUGEINT) AS x1,
+             CAST(len(string_split(text, '.')) - 1 AS HUGEINT) AS x2
+      FROM documents
+"""
+
+
+@query(
+    "ridge_regression_exact",
+    oracle=f"""
+    WITH f AS ({_RIDGE_FEATS}),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12,
+             sum(x2 * x2) AS s22,
+             sum(x1 * y) AS s1y, sum(x2 * y) AS s2y
+      FROM f
+    ),
+    d AS (
+      SELECT n, sy, s1y, s2y,
+             (n + 100) AS a, s1 AS b, s2 AS c,
+             (s11 + 100) AS e, s12 AS g, (s22 + 100) AS h
+      FROM m
+    ),
+    det AS (
+      SELECT *,
+             a * (e * h - g * g) - b * (b * h - g * c)
+               + c * (b * g - e * c) AS dd,
+             sy * (e * h - g * g) - b * (s1y * h - g * s2y)
+               + c * (s1y * g - e * s2y) AS d0,
+             a * (s1y * h - s2y * g) - sy * (b * h - g * c)
+               + c * (b * s2y - s1y * c) AS d1,
+             a * (e * s2y - s1y * g) - b * (b * s2y - s1y * c)
+               + sy * (b * g - e * c) AS d2
+      FROM d
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(CAST(dd AS VARCHAR) AS DOUBLE) AS det,
+           CAST(CAST(d0 AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(dd AS VARCHAR) AS DOUBLE) AS b0,
+           CAST(CAST(d1 AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(dd AS VARCHAR) AS DOUBLE) AS b1,
+           CAST(CAST(d2 AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(dd AS VARCHAR) AS DOUBLE) AS b2
+    FROM det
+    """,
+)
+def q_ridge_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression (lambda=100) of doc length on token and sentence counts: exact DECIMAL normal-equation moments from one scan, Cramer determinants as fixed integer polynomials, one exact division per coefficient."""
+    d = read_table(spark, sf_dir, "documents")
+    f = d.select(
+        F.col("n_chars").cast("decimal(38,0)").alias("y"),
+        F.expr(
+            "CAST(size(filter(split(text, ' '), t -> t != ''))"
+            " AS DECIMAL(38,0))"
+        ).alias("x1"),
+        (F.size(F.split(F.col("text"), "\\.")) - 1)
+        .cast("decimal(38,0)")
+        .alias("x2"),
+    )
+    m = f.groupBy().agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+    )
+    a = F.col("n") + 100
+    b = F.col("s1")
+    c = F.col("s2")
+    e = F.col("s11") + 100
+    g = F.col("s12")
+    h = F.col("s22") + 100
+    sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
+    dd = a * (e * h - g * g) - b * (b * h - g * c) + c * (b * g - e * c)
+    d0 = sy * (e * h - g * g) - b * (s1y * h - g * s2y) + c * (
+        s1y * g - e * s2y
+    )
+    d1 = a * (s1y * h - s2y * g) - sy * (b * h - g * c) + c * (
+        b * s2y - s1y * c
+    )
+    d2 = a * (e * s2y - s1y * g) - b * (b * s2y - s1y * c) + sy * (
+        b * g - e * c
+    )
+
+    def dd_(x):
+        return x.cast("string").cast("double")
+
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        dd_(dd).alias("det"),
+        (dd_(d0) / dd_(dd)).alias("b0"),
+        (dd_(d1) / dd_(dd)).alias("b1"),
+        (dd_(d2) / dd_(dd)).alias("b2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact 2×2 PCA (r9): principal axes of embedding dims (0, 1) —
+# coordinates quantized to integers by floor(x·2^20) (exact: float32→
+# double is lossless, ×2^20 is a power-of-two scale, floor is
+# deterministic), covariance numerators via the n·Σ−ΣΣ identity in
+# DECIMAL, then the 2×2 eigenpair in closed form:
+# λ± = (tr ± √(tr²−4·det))/2 with the eigenvector reported as its
+# un-normalized components (no atan2, no libm angle). Explained-
+# variance ratio is one division.
+# ---------------------------------------------------------------------------
+@query(
+    "pca_2d_eigen",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) * 1048576)
+                  AS HUGEINT) AS a,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) * 1048576)
+                  AS HUGEINT) AS b
+      FROM embeddings
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(a) AS sa, sum(b) AS sb,
+             sum(a * a) AS saa, sum(b * b) AS sbb, sum(a * b) AS sab
+      FROM q
+    ),
+    c AS (
+      SELECT n,
+             n * saa - sa * sa AS ca,
+             n * sbb - sb * sb AS cb,
+             n * sab - sa * sb AS cab
+      FROM m
+    ),
+    ei AS (
+      SELECT n, ca, cb, cab,
+             CAST(CAST(ca AS VARCHAR) AS DOUBLE) AS cad,
+             CAST(CAST(cb AS VARCHAR) AS DOUBLE) AS cbd,
+             CAST(CAST(cab AS VARCHAR) AS DOUBLE) AS cabd
+      FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+           CAST(cab AS BIGINT) AS cab,
+           (cad + cbd + sqrt((cad - cbd) * (cad - cbd)
+                             + 4 * cabd * cabd)) / 2 AS lam1,
+           (cad + cbd - sqrt((cad - cbd) * (cad - cbd)
+                             + 4 * cabd * cabd)) / 2 AS lam2,
+           (cad + cbd + sqrt((cad - cbd) * (cad - cbd)
+                             + 4 * cabd * cabd)) / 2
+             / (cad + cbd) AS evr,
+           cabd AS v_x,
+           (cbd - cad + sqrt((cad - cbd) * (cad - cbd)
+                             + 4 * cabd * cabd)) / 2 AS v_y
+    FROM ei
+    """,
+)
+def q_pca_2d_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2x2 PCA of embedding dims 0-1: power-of-two integer quantization, DECIMAL covariance numerators, closed-form eigenpair with the eigenvector as raw components - no libm beyond one sqrt."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.floor(F.col("embedding")[0].cast("double") * 1048576)
+        .cast("decimal(38,0)")
+        .alias("a"),
+        F.floor(F.col("embedding")[1].cast("double") * 1048576)
+        .cast("decimal(38,0)")
+        .alias("b"),
+    )
+    m = q.groupBy().agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+    )
+    ca = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    cb = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    cab = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+
+    def dd_(x):
+        return x.cast("string").cast("double")
+
+    c = m.select(
+        F.col("n").cast("long").alias("n"),
+        ca.cast("long").alias("ca"),
+        cb.cast("long").alias("cb"),
+        cab.cast("long").alias("cab"),
+        dd_(ca).alias("cad"),
+        dd_(cb).alias("cbd"),
+        dd_(cab).alias("cabd"),
+    )
+    disc = F.sqrt(
+        (F.col("cad") - F.col("cbd")) * (F.col("cad") - F.col("cbd"))
+        + 4 * F.col("cabd") * F.col("cabd")
+    )
+    lam1 = (F.col("cad") + F.col("cbd") + disc) / 2
+    lam2 = (F.col("cad") + F.col("cbd") - disc) / 2
+    return c.select(
+        "n",
+        "ca",
+        "cb",
+        "cab",
+        lam1.alias("lam1"),
+        lam2.alias("lam2"),
+        (lam1 / (F.col("cad") + F.col("cbd"))).alias("evr"),
+        F.col("cabd").alias("v_x"),
+        ((F.col("cbd") - F.col("cad") + disc) / 2).alias("v_y"),
+    )

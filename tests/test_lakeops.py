@@ -251,3 +251,75 @@ def test_max_drawdown_consistency(spark, sf_dir):
     assert r["peak_day"] <= r["trough_day"]
     assert r["max_dd_cents"] == r["peak_cents"] - r["trough_cents"]
     assert 0.0 <= r["dd_frac"] <= 1.0
+
+
+def test_ridge_matches_numpy_solve(spark, sf_dir):
+    """Cramer's-rule coefficients == numpy.linalg.solve on the same
+    (independently recomputed) regularized normal equations."""
+    import numpy as np
+
+    r = _run("ridge_regression_exact", spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    X, y = [], []
+    for d in docs:
+        toks = [t for t in d["text"].split(" ") if t != ""]
+        sents = d["text"].count(".")
+        X.append([1.0, float(len(toks)), float(sents)])
+        y.append(float(d["n_chars"]))
+    X, y = np.array(X), np.array(y)
+    M = X.T @ X + 100 * np.eye(3)
+    beta = np.linalg.solve(M, X.T @ y)
+    assert r["b0"] == pytest.approx(beta[0], rel=1e-9)
+    assert r["b1"] == pytest.approx(beta[1], rel=1e-9)
+    assert r["b2"] == pytest.approx(beta[2], rel=1e-9)
+
+
+def test_pca_eigenpair_satisfies_definition(spark, sf_dir):
+    r = _run("pca_2d_eigen", spark, sf_dir).collect()[0]
+    assert r["lam1"] >= r["lam2"]
+    assert 0.5 <= r["evr"] <= 1.0 or r["lam1"] == 0
+    # (C − λ1·I)·v ≈ 0 for the reported un-normalized eigenvector
+    ca, cb, cab = float(r["ca"]), float(r["cb"]), float(r["cab"])
+    vx, vy = r["v_x"], r["v_y"]
+    scale = max(abs(ca), abs(cb), abs(cab), 1.0)
+    n1 = (ca - r["lam1"]) * vx + cab * vy
+    n2 = cab * vx + (cb - r["lam1"]) * vy
+    vnorm = max(abs(vx), abs(vy), 1.0)
+    assert abs(n1) / (scale * vnorm) < 1e-9
+    assert abs(n2) / (scale * vnorm) < 1e-9
+    # trace and determinant identities
+    assert r["lam1"] + r["lam2"] == pytest.approx(ca + cb, rel=1e-12)
+
+
+def test_bootstrap_replicates_behave(spark, sf_dir):
+    rows = _run("bootstrap_ci_poisson", spark, sf_dir).collect()
+    assert len(rows) == 32
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    means = sorted(r["mean_cents"] for r in rows)
+    point = rows[0]["point_mean"]
+    for r in rows:
+        # Poisson(1) weights: effective n within ±25% of the real n
+        assert abs(r["n_eff"] - n_orders) < 0.25 * n_orders
+        assert r["s_cents"] > 0
+    # ranks are a permutation and order by mean
+    assert sorted(r["rk"] for r in rows) == list(range(1, 33))
+    # the point estimate sits inside the full replicate range
+    assert means[0] <= point <= means[-1]
+
+
+def test_sprt_llr_replay(spark, sf_dir):
+    import math
+
+    rows = _run("sprt_ab_monitor", spark, sf_dir).collect()
+    L1 = 0.20067069546215124
+    A = 2.9444389791664403
+    per_arm_crossings = {}
+    for r in rows:
+        expect = r["k"] * L1 + (r["n"] - r["k"]) * (-L1)
+        assert r["llr"] == expect  # bit-exact: same literals, same ops
+        if r["decision"] != "continue":
+            assert abs(r["llr"]) >= A
+        per_arm_crossings.setdefault(r["arm"], 0)
+        per_arm_crossings[r["arm"]] += r["first_crossing"]
+    for arm, c in per_arm_crossings.items():
+        assert c <= 1
