@@ -60,6 +60,12 @@ HEADLINE = [
     "wordpiece_encode",
     "ivm_topk_view",
     "itemcf_hitrate",
+    # round-9 additions (headline 36 → 39; totals non-comparable,
+    # compare per-query): the FIFO sweep's window stack, the two-level
+    # distributed prefix max, and the mutual-matching rounds
+    "fifo_allocation",
+    "watermark_lateness_audit",
+    "graph_mutual_matching",
 ]
 
 

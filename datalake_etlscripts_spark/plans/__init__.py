@@ -14,6 +14,7 @@ from datalake_etlscripts_spark.plans import (  # noqa: F401, E402
     functions_showcase,
     graphops,
     lakeops,
+    linkops,
     relational,
     sources,
     sources_formats,
