@@ -1307,3 +1307,412 @@ def q_pca_2d_eigen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cabd").alias("v_x"),
         ((F.col("cbd") - F.col("cad") + disc) / 2).alias("v_y"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-truncation recall (r9): how much ANN quality survives
+# using only the first d dims of the 64-dim embeddings (the MRL
+# deployment question — shorter prefixes mean cheaper indexes)?
+# Top-5 per query at d ∈ {8, 16, 32, 64} via the SAME left-fold dot
+# product as ann_cosine_topk (fixed order → bit-deterministic), then
+# overlap@5 against the full-dim answer — integer overlap counts, one
+# exact division. At scale each prefix run is the standard broadcast
+# query block; the d-sweep multiplies work by |dims|, not corpus².
+# ---------------------------------------------------------------------------
+def _mat_scored(d: int) -> str:
+    slice_q = f"list_slice(qv, 1, {d})"
+    slice_c = f"list_slice(cv, 1, {d})"
+    return f"""
+      SELECT {d} AS dim, query_id, neighbor_id,
+        list_reduce(list_prepend(0.0, list_transform(
+            list_zip({slice_q}, {slice_c}),
+            x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+            (a, b) -> a + b)
+        / (sqrt(list_reduce(list_prepend(0.0, list_transform({slice_q},
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b))
+         * sqrt(list_reduce(list_prepend(0.0, list_transform({slice_c},
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (a, b) -> a + b)))
+          AS cos_sim
+      FROM c, q WHERE query_id <> neighbor_id"""
+
+
+_MAT_DIMS = (8, 16, 32, 64)
+
+_MAT_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS ({" UNION ALL ".join(_mat_scored(d) for d in _MAT_DIMS)}),
+    topk AS (
+      SELECT dim, query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY dim, query_id
+          ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM scored
+      ) WHERE rank <= 5
+    ),
+    full_ AS (SELECT query_id, neighbor_id FROM topk WHERE dim = 64)
+    SELECT t.dim, t.query_id,
+           CAST(count(f.neighbor_id) AS BIGINT) AS overlap,
+           CAST(count(f.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM topk t LEFT JOIN full_ f
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY 1, 2
+"""
+
+
+@query("matryoshka_recall", oracle=_MAT_ORACLE)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka prefix-truncation recall: top-5 cosine neighbors at dims 8/16/32/64 via the fixed-order fold, overlap@5 vs the full dimension - integer overlaps, one division."""
+    from datalake_etlscripts_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    parts = []
+    for d in _MAT_DIMS:
+        ed = e.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        qd = q.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        parts.append(
+            brute_force_topk(ed, qd, k=5)
+            .select("query_id", "neighbor_id")
+            .withColumn("dim", F.lit(d))
+        )
+    topk = parts[0]
+    for p in parts[1:]:
+        topk = topk.unionByName(p)
+    full = topk.filter(F.col("dim") == 64).select(
+        F.col("query_id").alias("fq"), F.col("neighbor_id").alias("fn")
+    )
+    j = topk.join(
+        full,
+        (F.col("query_id") == F.col("fq"))
+        & (F.col("neighbor_id") == F.col("fn")),
+        "left",
+    )
+    return j.groupBy("dim", "query_id").agg(
+        F.count("fn").cast("long").alias("overlap"),
+        (F.count("fn").cast("double") / F.lit(5.0)).alias("recall_at_5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (r9): the industry-standard experiment
+# adjustment — Y_adj = Y − θ(X − E[X]) with X a PRE-period covariate
+# and θ = cov(X,Y)/var(X) pooled across arms. All moments are exact
+# integers from one user-grain aggregate; θ, the adjusted means and
+# the variance-reduction ratio are fixed-order double combines. Arms
+# on the md5 lane; pre = Jan 1–15 activity count, Y = post purchases.
+# ---------------------------------------------------------------------------
+@query(
+    "cuped_adjusted_ab",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN {__import__("datalake_etlscripts_spark.plans.registry", fromlist=["ddb_hex32"]).ddb_hex32("md5(CAST(user_id AS VARCHAR))")} % 2 = 0
+                  THEN 'A' ELSE 'B' END AS arm,
+             CAST(count(*) FILTER (ts < TIMESTAMP '2024-01-16') AS HUGEINT)
+               AS x,
+             CAST(count(*) FILTER (ts >= TIMESTAMP '2024-01-16'
+                  AND event_type = 'purchase') AS HUGEINT) AS y
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy, sum(y * y) AS syy
+      FROM u
+    ),
+    th AS (
+      SELECT n, sx, sy,
+             CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+               AS theta,
+             CAST(CAST(sx AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(n AS VARCHAR) AS DOUBLE) AS mx
+      FROM g
+    ),
+    adj AS (
+      SELECT u.arm,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(u.y) AS BIGINT) AS sum_y,
+             CAST(CAST(sum(u.y) AS VARCHAR) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS raw_mean,
+             CAST(CAST(sum(u.y) AS VARCHAR) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE)
+             - any_value(th.theta)
+               * (CAST(CAST(sum(u.x) AS VARCHAR) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) - any_value(th.mx))
+               AS adj_mean
+      FROM u CROSS JOIN th GROUP BY u.arm
+    )
+    SELECT a.arm, a.n_users, a.sum_y, a.raw_mean, a.adj_mean,
+           th.theta,
+           1.0 - CAST(CAST(g.n * g.sxy - g.sx * g.sy AS VARCHAR) AS DOUBLE)
+                 * CAST(CAST(g.n * g.sxy - g.sx * g.sy AS VARCHAR)
+                        AS DOUBLE)
+                 / (CAST(CAST(g.n * g.sxx - g.sx * g.sx AS VARCHAR)
+                         AS DOUBLE)
+                    * CAST(CAST(g.n * g.syy - g.sy * g.sy AS VARCHAR)
+                           AS DOUBLE)) AS var_ratio
+    FROM adj a CROSS JOIN th CROSS JOIN g
+    """,
+)
+def q_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted A/B readout: pooled theta = cov/var from exact integer moments, per-arm raw and adjusted means, residual variance ratio 1-rho^2 - fixed-order double combines only."""
+    e = read_table(spark, sf_dir, "events")
+    lane = "conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
+    cut = "2024-01-16"
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < F.lit(cut).cast("timestamp"), 1).otherwise(
+                0
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("x"),
+        F.sum(
+            F.when(
+                (F.col("ts") >= F.lit(cut).cast("timestamp"))
+                & (F.col("event_type") == "purchase"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("y"),
+    ).withColumn(
+        "arm",
+        F.when(F.expr(f"CAST({lane} AS BIGINT) % 2 = 0"), "A").otherwise(
+            "B"
+        ),
+    )
+    g = u.groupBy().agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+
+    def dd_(c):
+        return c.cast("string").cast("double")
+
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    th = g.select(
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+        "syy",
+        (dd_(num) / dd_(vx)).alias("theta"),
+        (dd_(F.col("sx")) / F.col("n").cast("double")).alias("mx"),
+    )
+    adj = (
+        u.crossJoin(F.broadcast(th))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("y").cast("long").alias("sum_y"),
+            (
+                dd_(F.sum("y")) / F.count(F.lit(1)).cast("double")
+            ).alias("raw_mean"),
+            # algebraic form: Σ(y−θ(x−mx)) = Σy − θ(Σx − n·mx), so the
+            # combine uses ONLY exact integer sums (never a float sum
+            # over user-grain terms — reduction order would leak in)
+            (
+                dd_(F.sum("y")) / F.count(F.lit(1)).cast("double")
+                - F.first("theta")
+                * (
+                    dd_(F.sum("x")) / F.count(F.lit(1)).cast("double")
+                    - F.first("mx")
+                )
+            ).alias("adj_mean"),
+            F.first("theta").alias("theta"),
+        )
+    )
+    var_ratio = F.lit(1.0) - dd_(num) * dd_(num) / (dd_(vx) * dd_(vy))
+    gg = g.select(var_ratio.alias("var_ratio"))
+    return adj.crossJoin(F.broadcast(gg)).select(
+        "arm",
+        "n_users",
+        "sum_y",
+        "raw_mean",
+        "adj_mean",
+        "theta",
+        "var_ratio",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SPC c-chart (r9): statistical process control on hourly error
+# counts — centerline c̄ and ±3√c̄ control limits, but every violation
+# flag is decided by PURE INTEGER cross-multiplication:
+# with S = Σc, n = hours, X = x·n − S, flag iff X > 0 ∧ X² > 9·S·n
+# (upper) or X < 0 ∧ X² > 9·S·n (lower) — algebraically identical to
+# |x − c̄| > 3√c̄, no sqrt in the decision path. The limits themselves
+# ride along as display doubles. One fact aggregate; spine-bounded.
+# ---------------------------------------------------------------------------
+@query(
+    "spc_c_chart",
+    oracle="""
+    WITH b AS (
+      SELECT min(date_trunc('hour', ts)) AS lo,
+             max(date_trunc('hour', ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b
+    ),
+    h AS (
+      SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    dense AS (
+      SELECT s.hr, coalesce(h.c, 0) AS x FROM spine s
+      LEFT JOIN h ON h.hr = s.hr
+    ),
+    g AS (SELECT CAST(sum(x) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+          FROM dense)
+    SELECT d.hr, d.x,
+           CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE) AS center,
+           CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)
+             + 3 * sqrt(CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)) AS ucl,
+           CAST(CASE WHEN d.x * g.n - g.s > 0
+                     AND (d.x * g.n - g.s) * (d.x * g.n - g.s)
+                         > 9 * g.s * g.n
+                THEN 1 ELSE 0 END AS INT) AS above_ucl,
+           CAST(CASE WHEN d.x * g.n - g.s < 0
+                     AND (d.x * g.n - g.s) * (d.x * g.n - g.s)
+                         > 9 * g.s * g.n
+                THEN 1 ELSE 0 END AS INT) AS below_lcl
+    FROM dense d CROSS JOIN g
+    """,
+)
+def q_spc_c_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPC c-chart on hourly error counts: 3-sigma Poisson control limits with violation flags decided by integer cross-multiplication (no sqrt in the decision path), spine-bounded."""
+    e = read_table(spark, sf_dir, "events")
+    h = (
+        e.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    b = e.groupBy().agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = b.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hr"
+        )
+    )
+    dense = spine.join(h, "hr", "left").select(
+        "hr", F.coalesce("c", F.lit(0)).alias("x")
+    )
+    g = dense.groupBy().agg(
+        F.sum("x").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    d = dense.crossJoin(F.broadcast(g))
+    X = F.col("x") * F.col("n") - F.col("s")
+    thresh = 9 * F.col("s") * F.col("n")
+    center = F.col("s").cast("double") / F.col("n").cast("double")
+    return d.select(
+        "hr",
+        "x",
+        center.alias("center"),
+        (center + 3 * F.sqrt(center)).alias("ucl"),
+        F.when((X > 0) & (X * X > thresh), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("above_ucl"),
+        F.when((X < 0) & (X * X > thresh), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("below_lcl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IPS / SNIPS off-policy evaluation (r9): estimate a TARGET policy's
+# value from logs of a uniform-random logging policy without running
+# it — the counterfactual primitive behind recommendation and ranking
+# iteration. Logged action = md5 lane mod 4 (propensity exactly 1/4),
+# reward = deterministic md5 draw whose success rate RISES with the
+# arm index, target policy = always arm 3. IPS multiplies matched
+# rewards by the exact integer inverse propensity (×4); SNIPS
+# self-normalizes. Integer sums, two exact divisions.
+# ---------------------------------------------------------------------------
+@query(
+    "ips_offpolicy_estimate",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_id,
+             {__import__("datalake_etlscripts_spark.plans.registry", fromlist=["ddb_hex32"]).ddb_hex32("md5(CAST(event_id AS VARCHAR))")} % 4 AS a_log,
+             {__import__("datalake_etlscripts_spark.plans.registry", fromlist=["ddb_hex32"]).ddb_hex32("md5('r:' || CAST(event_id AS VARCHAR))")} % 10 AS rdraw
+      FROM events
+    ),
+    l AS (
+      SELECT event_id, a_log,
+             CASE WHEN rdraw < 3 + a_log THEN 1 ELSE 0 END AS r,
+             CASE WHEN a_log = 3 THEN 1 ELSE 0 END AS match_
+      FROM t
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(match_) AS BIGINT) AS n_matched,
+             CAST(sum(r * match_) AS BIGINT) AS matched_r
+      FROM l
+    )
+    SELECT n, n_matched, sum_r, matched_r,
+           CAST(sum_r AS DOUBLE) / CAST(n AS DOUBLE) AS logged_value,
+           CAST(4 * matched_r AS DOUBLE) / CAST(n AS DOUBLE) AS ips,
+           CAST(matched_r AS DOUBLE) / CAST(n_matched AS DOUBLE) AS snips
+    FROM m
+    """,
+)
+def q_ips_offpolicy_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPS and SNIPS off-policy value estimates from uniform-random logs: exact integer inverse-propensity weights (x4), md5-deterministic actions and rewards, two exact divisions."""
+    e = read_table(spark, sf_dir, "events")
+    lane = "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    rlane = "CAST(conv(substring(md5(concat('r:', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    l = e.select(
+        F.expr(f"{lane} % 4").alias("a_log"),
+        F.expr(f"{rlane} % 10").alias("rdraw"),
+    ).select(
+        "a_log",
+        F.when(F.col("rdraw") < 3 + F.col("a_log"), 1).otherwise(0).alias(
+            "r"
+        ),
+        F.when(F.col("a_log") == 3, 1).otherwise(0).alias("match_"),
+    )
+    m = l.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").cast("long").alias("sum_r"),
+        F.sum("match_").cast("long").alias("n_matched"),
+        F.sum(F.col("r") * F.col("match_")).cast("long").alias("matched_r"),
+    )
+    return m.select(
+        "n",
+        "n_matched",
+        "sum_r",
+        "matched_r",
+        (F.col("sum_r").cast("double") / F.col("n").cast("double")).alias(
+            "logged_value"
+        ),
+        (
+            (4 * F.col("matched_r")).cast("double")
+            / F.col("n").cast("double")
+        ).alias("ips"),
+        (
+            F.col("matched_r").cast("double")
+            / F.col("n_matched").cast("double")
+        ).alias("snips"),
+    )
