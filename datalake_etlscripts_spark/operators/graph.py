@@ -751,3 +751,55 @@ def mutual_matching(
         )
         alive = cut_lineage(alive, it, checkpoint_dir, checkpoint_every, eager=False)
     return out
+
+
+def ktruss(
+    edges_uv: DataFrame,
+    k: int = 4,
+    rounds: int = 3,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """k-truss peeling on an undirected edge set given in canonical
+    (u < v) form: each round counts every edge's triangle support with
+    the ordered three-way join (a<b<c — each triangle enumerated
+    exactly once), drops edges supporting < k−2 triangles, repeats.
+    The cohesion refinement of k-core: cores bound DEGREE, trusses
+    bound TRIANGLE membership, so trusses reject hub-spoke noise that
+    cores keep. Returns surviving edges with their support at the
+    final round's count. Per round: two keyed self-joins + one
+    explode-aggregate — never an open wedge materialization beyond
+    the triangle join itself (degree-ordered orientation is the
+    upgrade at power-law scale, as in triangle_counts). Lineage cut
+    per round."""
+    e = edges_uv.select("u", "v")
+    supp = None
+    for it in range(rounds):
+        e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
+        e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+        tri = (
+            e1.join(e2, F.col("b") == F.col("b2"))
+            .join(
+                e3,
+                (F.col("a") == F.col("a3")) & (F.col("c2") == F.col("c3")),
+            )
+            .select("a", "b", F.col("c2").alias("c"))
+        )
+        sides = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                    F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
+                    F.struct(F.col("a").alias("u"), F.col("c").alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
+        supp = sides.groupBy("u", "v").agg(
+            F.count(F.lit(1)).cast("long").alias("support")
+        )
+        e = supp.filter(F.col("support") >= k - 2).select("u", "v")
+        e = cut_lineage(e, it, checkpoint_dir, checkpoint_every, eager=False)
+    return supp.filter(F.col("support") >= k - 2).select(
+        "u", "v", "support"
+    )

@@ -891,3 +891,65 @@ def q_graph_mutual_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
     )
     return mutual_matching(edges, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# k-truss (r9): the triangle-cohesion refinement of k-core on the
+# part co-order graph — 4-truss peeling for 3 rounds (edges must sit
+# in ≥2 triangles among SURVIVING edges). Each round is one ordered
+# a<b<c triangle join + one 3-way explode aggregate + the filter; the
+# oracle unrolls identical rounds. Output = surviving edges with
+# their final-round support.
+# ---------------------------------------------------------------------------
+def _ktruss_oracle(rounds: int = 3) -> str:
+    parts = [
+        """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e1 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM li a JOIN li b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+    tri{t} AS (
+      SELECT x.u AS a, x.v AS b, y.v AS c
+      FROM e{t} x JOIN e{t} y ON y.u = x.v
+      JOIN e{t} z ON z.u = x.u AND z.v = y.v
+    ),
+    supp{t} AS (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS support FROM (
+        SELECT a AS u, b AS v FROM tri{t}
+        UNION ALL SELECT b, c FROM tri{t}
+        UNION ALL SELECT a, c FROM tri{t}
+      ) GROUP BY 1, 2
+    ),
+    e{t + 1} AS (SELECT u, v FROM supp{t} WHERE support >= 2)"""
+        )
+    parts.append(
+        f"""
+    SELECT u, v, support FROM supp{rounds} WHERE support >= 2"""
+    )
+    return "".join(parts)
+
+
+@query("graph_ktruss", oracle=_ktruss_oracle(3))
+def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss peeling (3 rounds) on the part co-order graph: ordered triangle join + explode-aggregate support per round, edges needing 2+ triangles among survivors - the cohesion refinement of k-core."""
+    from datalake_etlscripts_spark.operators.graph import ktruss
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("v")
+    )
+    e0 = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+    )
+    return ktruss(e0, k=4, rounds=3)

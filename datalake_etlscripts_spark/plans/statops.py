@@ -1716,3 +1716,84 @@ def q_ips_offpolicy_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_matched").cast("double")
         ).alias("snips"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Doubly-robust off-policy estimate (r9): DR = direct model + IPS
+# correction. With a per-arm mean-reward model q̂(a) = S_a/N_a fit on
+# the same logs and the target "always arm 3", the estimator folds to
+# the ALGEBRAIC form
+#     DR = S₃/N₃ + (4/n)·(matched_r − n_matched·S₃/N₃)
+# so — like the CUPED combine — no float sum ever runs over row-grain
+# terms: integer sums from one scan, three exact divisions in fixed
+# order. Reports direct, IPS and DR side by side (DR keeps IPS's
+# unbiasedness with the model's variance).
+# ---------------------------------------------------------------------------
+@query(
+    "dr_offpolicy_estimate",
+    oracle=f"""
+    WITH t AS (
+      SELECT event_id,
+             {__import__("datalake_etlscripts_spark.plans.registry", fromlist=["ddb_hex32"]).ddb_hex32("md5(CAST(event_id AS VARCHAR))")} % 4 AS a_log,
+             {__import__("datalake_etlscripts_spark.plans.registry", fromlist=["ddb_hex32"]).ddb_hex32("md5('r:' || CAST(event_id AS VARCHAR))")} % 10 AS rdraw
+      FROM events
+    ),
+    l AS (
+      SELECT CASE WHEN rdraw < 3 + a_log THEN 1 ELSE 0 END AS r,
+             CASE WHEN a_log = 3 THEN 1 ELSE 0 END AS match_
+      FROM t
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(match_) AS BIGINT) AS n3,
+             CAST(sum(r * match_) AS BIGINT) AS s3
+      FROM l
+    )
+    SELECT n, n3, s3,
+           CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE) AS direct_q3,
+           CAST(4 * s3 AS DOUBLE) / CAST(n AS DOUBLE) AS ips,
+           CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE)
+             + (CAST(4 * s3 AS DOUBLE)
+                - CAST(4 * n3 AS DOUBLE)
+                  * (CAST(s3 AS DOUBLE) / CAST(n3 AS DOUBLE)))
+               / CAST(n AS DOUBLE) AS dr
+    FROM m
+    """,
+)
+def q_dr_offpolicy_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust off-policy value: per-arm direct model plus exact-weight IPS correction folded to an algebraic combine of integer sums - no row-grain float summation, three fixed-order divisions."""
+    e = read_table(spark, sf_dir, "events")
+    lane = "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    rlane = "CAST(conv(substring(md5(concat('r:', CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    l = e.select(
+        F.expr(f"{lane} % 4").alias("a_log"),
+        F.expr(f"{rlane} % 10").alias("rdraw"),
+    ).select(
+        F.when(F.col("rdraw") < 3 + F.col("a_log"), 1).otherwise(0).alias(
+            "r"
+        ),
+        F.when(F.col("a_log") == 3, 1).otherwise(0).alias("match_"),
+    )
+    m = l.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("match_").cast("long").alias("n3"),
+        F.sum(F.col("r") * F.col("match_")).cast("long").alias("s3"),
+    )
+    q3 = F.col("s3").cast("double") / F.col("n3").cast("double")
+    return m.select(
+        "n",
+        "n3",
+        "s3",
+        q3.alias("direct_q3"),
+        ((4 * F.col("s3")).cast("double") / F.col("n").cast("double")).alias(
+            "ips"
+        ),
+        (
+            q3
+            + (
+                (4 * F.col("s3")).cast("double")
+                - (4 * F.col("n3")).cast("double") * q3
+            )
+            / F.col("n").cast("double")
+        ).alias("dr"),
+    )

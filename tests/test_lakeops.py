@@ -323,3 +323,52 @@ def test_sprt_llr_replay(spark, sf_dir):
         per_arm_crossings[r["arm"]] += r["first_crossing"]
     for arm, c in per_arm_crossings.items():
         assert c <= 1
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Scale proof: a fact table partitioned on ship month joined to a
+    FILTERED month dimension gets a runtime DPP filter on the scan —
+    the plan carries `dynamicpruning` in the fact side's partition
+    filters, so only the dim's surviving months are read. This is the
+    mechanism that turns a 100 TB full scan into a handful of
+    partitions when the dim filter is only known at runtime."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    fact_path = str(tmp_path / "fact_by_month")
+    li.write.partitionBy("ship_month").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = fact.select("ship_month").distinct()
+    dim_path = str(tmp_path / "dim_months")
+    dim.write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+
+    # the benefit heuristic uses table stats: at test scale the fact
+    # side is tiny, so pin the heuristic to the fallback ratio — the
+    # MECHANISM (runtime subquery filter on the partition column) is
+    # what this test proves; at 100 TB the stats say yes on their own
+    saved = spark.conf.get(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats"
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.useStats", "false"
+    )
+    try:
+        # gotcha: the dim-side filter must be "likely selective"
+        # (BinaryComparison / IN / LIKE / string predicate) for the
+        # PartitionPruning rule to fire — a bare boolean attribute
+        # filter does NOT qualify and silently skips DPP
+        joined = fact.join(
+            dim.filter(F.col("ship_month").like("%-01")), "ship_month"
+        ).groupBy("ship_month").agg(F.sum("l_quantity").alias("q"))
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan[:2000]
+        # and the result is correct: only January partitions aggregated
+        rows = {r["ship_month"] for r in joined.collect()}
+        assert rows and all(m.endswith("-01") for m in rows)
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.useStats", saved
+        )
