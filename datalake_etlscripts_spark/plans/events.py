@@ -2292,3 +2292,108 @@ def q_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = e.select("user_id", "ts").unionByName(bots)
     return bot_regularity(ev)
+
+
+# ---------------------------------------------------------------------------
+# Time-decay multi-touch attribution (r9): each purchase credits its
+# click/view touches within 24h by (3/4)^hours-before — the decay
+# weights are 24 PRECOMPUTED INTEGER literals (3^h·4^(23−h), the
+# cleared-denominator EWMA trick), credit shares are integer
+# micro-credit divisions of decimal-scaled value, and untouched
+# purchases land in an explicit '(none)' bucket. Completes the
+# attribution family beside last-touch, U-shaped and Markov removal.
+# One user-keyed join; purchase-sized windows.
+# ---------------------------------------------------------------------------
+_DECAY_W = "CASE h WHEN 0 THEN 70368744177664 WHEN 1 THEN 52776558133248 WHEN 2 THEN 39582418599936 WHEN 3 THEN 29686813949952 WHEN 4 THEN 22265110462464 WHEN 5 THEN 16698832846848 WHEN 6 THEN 12524124635136 WHEN 7 THEN 9393093476352 WHEN 8 THEN 7044820107264 WHEN 9 THEN 5283615080448 WHEN 10 THEN 3962711310336 WHEN 11 THEN 2972033482752 WHEN 12 THEN 2229025112064 WHEN 13 THEN 1671768834048 WHEN 14 THEN 1253826625536 WHEN 15 THEN 940369969152 WHEN 16 THEN 705277476864 WHEN 17 THEN 528958107648 WHEN 18 THEN 396718580736 WHEN 19 THEN 297538935552 WHEN 20 THEN 223154201664 WHEN 21 THEN 167365651248 WHEN 22 THEN 125524238436 WHEN 23 THEN 94143178827 ELSE 0 END"
+
+
+@query(
+    "attribution_time_decay",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, ts,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts, event_type AS ch FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+      SELECT p.event_id, p.v4, t.ch,
+             (epoch_us(p.ts) - epoch_us(t.ts)) // 3600000000 AS h
+      FROM p JOIN t ON t.user_id = p.user_id
+       AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 24 HOUR
+    ),
+    wgt AS (SELECT event_id, v4, ch, CAST({{w}} AS HUGEINT) AS w FROM j),
+    tot AS (SELECT event_id, sum(w) AS sw FROM wgt GROUP BY 1),
+    credit AS (
+      SELECT wgt.ch,
+             (CAST(wgt.v4 AS HUGEINT) * wgt.w * 1000000) // tot.sw
+               AS micro
+      FROM wgt JOIN tot USING (event_id)
+    ),
+    none_ AS (
+      SELECT '(none)' AS ch,
+             CAST(CAST(p.v4 AS HUGEINT) * 1000000 AS HUGEINT) AS micro
+      FROM p WHERE NOT EXISTS (SELECT 1 FROM wgt WHERE wgt.event_id = p.event_id)
+    ),
+    allc AS (SELECT * FROM credit UNION ALL SELECT * FROM none_)
+    SELECT ch AS channel, CAST(sum(micro) AS BIGINT) AS credit_micro,
+           CAST(CAST(sum(micro) AS VARCHAR) AS DOUBLE) / 1e10
+             AS credit_value
+    FROM allc GROUP BY 1
+    """.format(w=_DECAY_W),
+)
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution with 24 precomputed integer (3/4)^h weights: micro-credit integer divisions of decimal-scaled purchase value, explicit '(none)' bucket, one user-keyed join."""
+    e = read_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("pts"),
+        (F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("long")
+        .alias("v4"),
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("ch"),
+    )
+    j = p.join(
+        t,
+        (F.col("tu") == F.col("user_id"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 24 HOUR")),
+    ).select(
+        "event_id",
+        "v4",
+        "ch",
+        F.expr(
+            "(unix_micros(pts) - unix_micros(tts)) div 3600000000"
+        ).alias("h"),
+    )
+    wgt = j.withColumn(
+        "w", F.expr(_DECAY_W).cast("decimal(38,0)")
+    )
+    tot = wgt.groupBy("event_id").agg(F.sum("w").alias("sw"))
+    credit = wgt.join(tot, "event_id").select(
+        "ch",
+        F.expr(
+            "(CAST(v4 AS DECIMAL(38,0)) * w * 1000000) div sw"
+        ).alias("micro"),
+    )
+    none_ = p.join(
+        wgt.select("event_id").distinct(), "event_id", "left_anti"
+    ).select(
+        F.lit("(none)").alias("ch"),
+        (F.col("v4").cast("decimal(38,0)") * 1000000).alias("micro"),
+    )
+    allc = credit.unionByName(none_)
+    return allc.groupBy(F.col("ch").alias("channel")).agg(
+        F.sum("micro").cast("long").alias("credit_micro"),
+        (
+            F.sum("micro").cast("string").cast("double") / F.lit(1e10)
+        ).alias("credit_value"),
+    )

@@ -250,3 +250,160 @@ def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n00",
         (num.cast("double") / den.cast("double")).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (r9): candidate phrases are maximal
+# stopword-free token runs (the pos-minus-rank islands trick), each
+# word scores deg/freq over the candidate set, and a phrase's RAKE
+# score Σ deg(w)/freq(w) is carried as ONE EXACT FRACTION —
+# num = Σ degᵢ·Π_{j≠i} freqⱼ, den = Π freqᵢ over ≤4 words — so the
+# ranking double is a single division. Top-20 via orderBy+limit
+# (TakeOrdered, distributed-safe), deterministic (score, phrase) tie
+# order. The unsupervised cousin of textrank_keywords.
+# ---------------------------------------------------------------------------
+_RAKE_STOPS = "('the', 'a', 'of', 'and', 'in', 'to', 'is')"
+
+
+@query(
+    "rake_keyphrases",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, u.tok, u.pos
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS tok,
+                           generate_subscripts(string_split(text, ' '), 1)
+                             AS pos) u
+    ),
+    ns AS (
+      SELECT doc_id, tok, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM toks WHERE tok <> '' AND tok NOT IN {_RAKE_STOPS}
+    ),
+    phr AS (
+      SELECT doc_id, island,
+             string_agg(tok, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM ns GROUP BY 1, 2 HAVING count(*) <= 4
+    ),
+    winst AS (
+      SELECT ns.tok, phr.plen
+      FROM ns JOIN phr ON phr.doc_id = ns.doc_id
+       AND phr.island = ns.island
+    ),
+    wstat AS (
+      SELECT tok, CAST(count(*) AS HUGEINT) AS freq,
+             CAST(sum(plen) AS HUGEINT) AS deg
+      FROM winst GROUP BY 1
+    ),
+    dphr AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+             string_split(phrase, ' ') AS ws
+      FROM phr GROUP BY 1
+    ),
+    scored AS (
+      SELECT p.phrase, p.n_occurrences,
+             CAST(coalesce(w1.deg, 0) * coalesce(w2.freq, 1)
+                    * coalesce(w3.freq, 1) * coalesce(w4.freq, 1)
+                + coalesce(w2.deg, 0) * coalesce(w1.freq, 1)
+                    * coalesce(w3.freq, 1) * coalesce(w4.freq, 1)
+                + coalesce(w3.deg, 0) * coalesce(w1.freq, 1)
+                    * coalesce(w2.freq, 1) * coalesce(w4.freq, 1)
+                + coalesce(w4.deg, 0) * coalesce(w1.freq, 1)
+                    * coalesce(w2.freq, 1) * coalesce(w3.freq, 1)
+               AS HUGEINT) AS num,
+             CAST(coalesce(w1.freq, 1) * coalesce(w2.freq, 1)
+                    * coalesce(w3.freq, 1) * coalesce(w4.freq, 1)
+               AS HUGEINT) AS den
+      FROM dphr p
+      LEFT JOIN wstat w1 ON w1.tok = ws[1]
+      LEFT JOIN wstat w2 ON w2.tok = ws[2]
+      LEFT JOIN wstat w3 ON w3.tok = ws[3]
+      LEFT JOIN wstat w4 ON w4.tok = ws[4]
+    )
+    SELECT phrase, n_occurrences, CAST(num AS BIGINT) AS num,
+           CAST(den AS BIGINT) AS den,
+           CAST(CAST(num AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(den AS VARCHAR) AS DOUBLE) AS rake_score
+    FROM scored
+    ORDER BY rake_score DESC, phrase ASC LIMIT 20
+    """,
+)
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrases: stopword-free island phrases, deg/freq word scores carried as one exact fraction per phrase (<=4 words), single-division ranking double, top-20 via distributed TakeOrdered."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    stops = ["the", "a", "of", "and", "in", "to", "is"]
+    wn = W.partitionBy("doc_id").orderBy("pos")
+    ns = (
+        toks.filter((F.col("tok") != "") & ~F.col("tok").isin(stops))
+        .withColumn("island", F.col("pos") - F.row_number().over(wn))
+    )
+    phr = (
+        ns.groupBy("doc_id", "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("plen"),
+        )
+        .filter(F.col("plen") <= 4)
+    )
+    winst = ns.join(
+        phr.select(
+            F.col("doc_id").alias("pd"),
+            F.col("island").alias("pi"),
+            "plen",
+        ),
+        (F.col("doc_id") == F.col("pd")) & (F.col("island") == F.col("pi")),
+    ).select("tok", "plen")
+    wstat = winst.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("freq"),
+        F.sum("plen").cast("decimal(38,0)").alias("deg"),
+    )
+    dphr = phr.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    ).withColumn("ws", F.split(F.col("phrase"), " "))
+    j = dphr
+    for i in range(1, 5):
+        wi = wstat.select(
+            F.col("tok").alias(f"t{i}"),
+            F.col("freq").alias(f"f{i}"),
+            F.col("deg").alias(f"d{i}"),
+        )
+        j = j.join(
+            wi, F.try_element_at(F.col("ws"), F.lit(i)) == F.col(f"t{i}"),
+            "left",
+        )
+    one = F.lit(1).cast("decimal(38,0)")
+    zero = F.lit(0).cast("decimal(38,0)")
+    f = [F.coalesce(F.col(f"f{i}"), one) for i in range(1, 5)]
+    dg = [F.coalesce(F.col(f"d{i}"), zero) for i in range(1, 5)]
+    num = (
+        dg[0] * f[1] * f[2] * f[3]
+        + dg[1] * f[0] * f[2] * f[3]
+        + dg[2] * f[0] * f[1] * f[3]
+        + dg[3] * f[0] * f[1] * f[2]
+    )
+    den = f[0] * f[1] * f[2] * f[3]
+    scored = j.select(
+        "phrase",
+        "n_occurrences",
+        num.cast("long").alias("num"),
+        den.cast("long").alias("den"),
+        (
+            num.cast("string").cast("double")
+            / den.cast("string").cast("double")
+        ).alias("rake_score"),
+    )
+    return scored.orderBy(
+        F.col("rake_score").desc(), F.col("phrase").asc()
+    ).limit(20)

@@ -1797,3 +1797,162 @@ def q_dr_offpolicy_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n").cast("double")
         ).alias("dr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Propensity-stratified ATE (r9): the observational-causal companion
+# to the randomized CUPED readout — users stratify into quintiles of
+# the pre-period activity covariate (distributed rank + integer index
+# arithmetic, the RFM lane), the treatment effect is estimated within
+# each stratum and combined with stratum-share weights. The combine
+# PIVOTS the five strata into literal columns so the final
+# Σ (n_s/n)·(ȳ₁s − ȳ₀s) is one FIXED-ORDER expression — never a float
+# sum over a 5-row aggregate whose reduction order could drift.
+# ---------------------------------------------------------------------------
+_PSM_LANE = "md5(CAST(user_id AS VARCHAR))"
+
+
+def _psm_cell(s: int, arm: int, agg: str) -> str:
+    return (
+        f"CAST(coalesce(sum(CASE WHEN st = {s} AND arm = {arm}"
+        f" THEN {agg} END), 0) AS BIGINT)"
+    )
+
+
+def _psm_oracle() -> str:
+    from datalake_etlscripts_spark.plans.registry import ddb_hex32
+
+    cells = ",\n             ".join(
+        f"{_psm_cell(s, a, agg)} AS {n}{s}_{a}"
+        for s in range(1, 6)
+        for a, agg in ((1, "1"), (0, "1"))
+        for n in ("c",)
+    ) + ",\n             " + ",\n             ".join(
+        f"{_psm_cell(s, a, 'y')} AS s{s}_{a}"
+        for s in range(1, 6)
+        for a in (1, 0)
+    )
+    diffs = " + ".join(
+        f"(CASE WHEN c{s}_1 > 0 AND c{s}_0 > 0 THEN"
+        f" (CAST(c{s}_1 + c{s}_0 AS DOUBLE) / CAST(n AS DOUBLE))"
+        f" * (CAST(s{s}_1 AS DOUBLE) / CAST(c{s}_1 AS DOUBLE)"
+        f"    - CAST(s{s}_0 AS DOUBLE) / CAST(c{s}_0 AS DOUBLE))"
+        f" ELSE 0.0 END)"
+        for s in range(1, 6)
+    )
+    return f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN {ddb_hex32(_PSM_LANE)} % 2 = 0 THEN 1 ELSE 0 END
+               AS arm,
+             CAST(count(*) FILTER (ts < TIMESTAMP '2024-01-16') AS BIGINT)
+               AS x,
+             CAST(count(*) FILTER (ts >= TIMESTAMP '2024-01-16'
+                  AND event_type = 'purchase') AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT *, row_number() OVER (ORDER BY x, user_id) AS rk,
+             count(*) OVER () AS nn
+      FROM u
+    ),
+    st AS (
+      SELECT arm, y, CAST(1 + ((rk - 1) * 5) // nn AS INT) AS st FROM r
+    ),
+    wide AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             {cells}
+      FROM st
+    )
+    SELECT n,
+           {', '.join(f'c{s}_1, c{s}_0, s{s}_1, s{s}_0' for s in range(1, 6))},
+           {diffs} AS ate
+    FROM wide
+    """
+
+
+@query("psm_stratified_ate", oracle=_psm_oracle())
+def q_psm_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-stratified average treatment effect: pre-period covariate quintiles from the distributed rank lane, per-stratum exact cell sums pivoted to literal columns, one fixed-order five-term combine."""
+    from datalake_etlscripts_spark.operators.features import distributed_rank
+
+    e = read_table(spark, sf_dir, "events")
+    lane = "conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
+    cut = "2024-01-16"
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < F.lit(cut).cast("timestamp"), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("x"),
+        F.sum(
+            F.when(
+                (F.col("ts") >= F.lit(cut).cast("timestamp"))
+                & (F.col("event_type") == "purchase"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("y"),
+    ).withColumn(
+        "arm",
+        F.when(F.expr(f"CAST({lane} AS BIGINT) % 2 = 0"), 1).otherwise(0),
+    )
+    n_tot = u.groupBy().agg(F.count(F.lit(1)).alias("nn"))
+    u = distributed_rank(u, "x", "user_id", out_col="rk").crossJoin(
+        F.broadcast(n_tot)
+    )
+    st = u.select(
+        "arm", "y", F.expr("CAST(1 + ((rk - 1) * 5) div nn AS INT)").alias("st")
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for s in range(1, 6):
+        for a in (1, 0):
+            aggs.append(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("st") == s) & (F.col("arm") == a), 1
+                        )
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"c{s}_{a}")
+            )
+    for s in range(1, 6):
+        for a in (1, 0):
+            aggs.append(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("st") == s) & (F.col("arm") == a),
+                            F.col("y"),
+                        )
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias(f"s{s}_{a}")
+            )
+    wide = st.groupBy().agg(*aggs)
+    ate = None
+    for s in range(1, 6):
+        share = (F.col(f"c{s}_1") + F.col(f"c{s}_0")).cast("double") / F.col(
+            "n"
+        ).cast("double")
+        diff = F.col(f"s{s}_1").cast("double") / F.col(f"c{s}_1").cast(
+            "double"
+        ) - F.col(f"s{s}_0").cast("double") / F.col(f"c{s}_0").cast("double")
+        # empty-cell strata contribute exactly 0 (guard matches the
+        # oracle; also dodges ANSI divide-by-zero)
+        term = F.when(
+            (F.col(f"c{s}_1") > 0) & (F.col(f"c{s}_0") > 0), share * diff
+        ).otherwise(F.lit(0.0))
+        ate = term if ate is None else ate + term
+    cols = ["n"]
+    for s in range(1, 6):
+        cols += [f"c{s}_1", f"c{s}_0", f"s{s}_1", f"s{s}_0"]
+    return wide.select(*cols, ate.alias("ate"))
