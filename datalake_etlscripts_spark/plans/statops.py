@@ -1956,3 +1956,215 @@ def q_psm_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in range(1, 6):
         cols += [f"c{s}_1", f"c{s}_0", f"s{s}_1", f"s{s}_0"]
     return wide.select(*cols, ate.alias("ate"))
+
+
+# ---------------------------------------------------------------------------
+# Per-class F1 for a rule-based language identifier (r9): the five
+# fixed labels pivot to literal confusion columns (tp/fp/fn per
+# class, exact integers from one scan), every P/R/F1 is one division
+# (F1 = 2tp/(2tp+fp+fn) — no nested ratios), micro-F1 is accuracy,
+# macro-F1 a fixed-order five-term mean. The multi-class eval beside
+# auc_by_language / naive_bayes_confusion.
+# ---------------------------------------------------------------------------
+_LANGS = ("en", "de", "es", "fr", "zh")
+_PRED_SQL = """CASE
+  WHEN strpos(text, ' the ') > 0 THEN 'en'
+  WHEN strpos(text, ' der ') > 0 OR strpos(text, ' und ') > 0 THEN 'de'
+  WHEN strpos(text, ' el ') > 0 OR strpos(text, ' los ') > 0 THEN 'es'
+  WHEN strpos(text, ' le ') > 0 OR strpos(text, ' les ') > 0 THEN 'fr'
+  ELSE 'zh' END"""
+_PRED_SPARK = _PRED_SQL.replace("strpos", "instr")
+
+
+def _f1_oracle() -> str:
+    cells = ",\n           ".join(
+        f"CAST(sum(CASE WHEN lang = '{c}' AND pred = '{c}' THEN 1 ELSE 0 END) AS BIGINT) AS tp_{c},\n"
+        f"           CAST(sum(CASE WHEN lang <> '{c}' AND pred = '{c}' THEN 1 ELSE 0 END) AS BIGINT) AS fp_{c},\n"
+        f"           CAST(sum(CASE WHEN lang = '{c}' AND pred <> '{c}' THEN 1 ELSE 0 END) AS BIGINT) AS fn_{c}"
+        for c in _LANGS
+    )
+    f1s = {
+        c: f"CAST(2 * tp_{c} AS DOUBLE) / CAST(2 * tp_{c} + fp_{c} + fn_{c} AS DOUBLE)"
+        for c in _LANGS
+    }
+    macro = "(" + " + ".join(f1s[c] for c in _LANGS) + ") / 5"
+    micro = (
+        "CAST(" + " + ".join(f"tp_{c}" for c in _LANGS) + " AS DOUBLE)"
+        " / CAST(n AS DOUBLE)"
+    )
+    f1_cols = ",\n           ".join(
+        f"{f1s[c]} AS f1_{c}" for c in _LANGS
+    )
+    tpfn = ",\n           ".join(
+        f"tp_{c}, fp_{c}, fn_{c}" for c in _LANGS
+    )
+    return f"""
+    WITH p AS (
+      SELECT lang, {_PRED_SQL} AS pred FROM documents
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+           {cells}
+      FROM p
+    )
+    SELECT n,
+           {tpfn},
+           {f1_cols},
+           {micro} AS micro_f1,
+           {macro} AS macro_f1
+    FROM m
+    """
+
+
+@query("f1_scores_langid", oracle=_f1_oracle())
+def q_f1_scores_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-class F1 of a rule-based language identifier: literal-column confusion cells, one-division F1 per class (2tp/(2tp+fp+fn)), fixed-order macro mean."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "lang", F.expr(_PRED_SPARK).alias("pred")
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in _LANGS:
+        aggs += [
+            F.sum(
+                F.when((F.col("lang") == c) & (F.col("pred") == c), 1)
+                .otherwise(0)
+            ).cast("long").alias(f"tp_{c}"),
+            F.sum(
+                F.when((F.col("lang") != c) & (F.col("pred") == c), 1)
+                .otherwise(0)
+            ).cast("long").alias(f"fp_{c}"),
+            F.sum(
+                F.when((F.col("lang") == c) & (F.col("pred") != c), 1)
+                .otherwise(0)
+            ).cast("long").alias(f"fn_{c}"),
+        ]
+    m = d.groupBy().agg(*aggs)
+    f1 = {
+        c: (2 * F.col(f"tp_{c}")).cast("double")
+        / (2 * F.col(f"tp_{c}") + F.col(f"fp_{c}") + F.col(f"fn_{c}")).cast(
+            "double"
+        )
+        for c in _LANGS
+    }
+    macro = sum(f1[c] for c in _LANGS) / 5
+    micro = sum(F.col(f"tp_{c}") for c in _LANGS).cast("double") / F.col(
+        "n"
+    ).cast("double")
+    cols = ["n"]
+    for c in _LANGS:
+        cols += [f"tp_{c}", f"fp_{c}", f"fn_{c}"]
+    sel = [F.col(x) for x in cols] + [
+        f1[c].alias(f"f1_{c}") for c in _LANGS
+    ] + [micro.alias("micro_f1"), macro.alias("macro_f1")]
+    return m.select(*sel)
+
+
+# ---------------------------------------------------------------------------
+# Codec advisor (r9): per-column physical-encoding suggestion from
+# exact layout statistics — distinct ratio (dictionary candidate),
+# average run length in the table's natural (orderkey, linenumber)
+# order (RLE candidate; runs counted inside bounded per-order
+# windows, so no global single-task sort), and the top value's share.
+# Decision rules are integer cross-multiplications:
+# DICT iff 100·distinct ≤ n, else RLE iff n ≥ 8·runs, else PLAIN.
+# The storage-layout twin of compaction_plan / layout_pruning_audit.
+# ---------------------------------------------------------------------------
+_CODEC_COLS = (
+    ("l_returnflag", "l_returnflag"),
+    ("l_linestatus", "l_linestatus"),
+    ("l_quantity", "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)"),
+    ("ship_month", "strftime(l_shipdate, '%Y-%m')"),
+)
+_CODEC_COLS_SPARK = (
+    ("l_returnflag", "l_returnflag"),
+    ("l_linestatus", "l_linestatus"),
+    ("l_quantity", "CAST(CAST(l_quantity AS BIGINT) AS STRING)"),
+    ("ship_month", "date_format(l_shipdate, 'yyyy-MM')"),
+)
+
+
+def _codec_oracle() -> str:
+    branches = "\n      UNION ALL ".join(
+        f"SELECT l_orderkey AS okey, l_linenumber AS lno, '{name}' AS col,"
+        f" {expr} AS val FROM lineitem"
+        for name, expr in _CODEC_COLS
+    )
+    return f"""
+    WITH u AS ({branches}),
+    runs AS (
+      SELECT col, val,
+             CASE WHEN lag(val) OVER (PARTITION BY col, okey ORDER BY lno, val)
+                  IS DISTINCT FROM val THEN 1 ELSE 0 END AS chg
+      FROM u
+    ),
+    s AS (
+      SELECT col, CAST(count(*) AS BIGINT) AS n,
+             CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+             CAST(sum(chg) AS BIGINT) AS n_runs
+      FROM runs GROUP BY 1
+    ),
+    tops AS (
+      SELECT col, CAST(max(c) AS BIGINT) AS top_cnt FROM (
+        SELECT col, val, count(*) AS c FROM u GROUP BY 1, 2
+      ) GROUP BY 1
+    )
+    SELECT s.col, s.n, s.n_distinct, s.n_runs, t.top_cnt,
+           CAST(t.top_cnt AS DOUBLE) / CAST(s.n AS DOUBLE) AS top_share,
+           CASE WHEN 100 * s.n_distinct <= s.n THEN 'DICT'
+                WHEN s.n >= 8 * s.n_runs THEN 'RLE'
+                ELSE 'PLAIN' END AS codec
+    FROM s JOIN tops t ON t.col = s.col
+    """
+
+
+@query("codec_advisor", oracle=_codec_oracle())
+def q_codec_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column encoding advisor: exact distinct/run/top-share layout stats (runs inside bounded per-order windows), integer cross-multiplied DICT/RLE/PLAIN rules."""
+    li = read_table(spark, sf_dir, "lineitem")
+    parts = []
+    for name, expr in _CODEC_COLS_SPARK:
+        parts.append(
+            li.select(
+                F.col("l_orderkey").alias("okey"),
+                F.col("l_linenumber").alias("lno"),
+                F.lit(name).alias("col"),
+                F.expr(expr).alias("val"),
+            )
+        )
+    u = parts[0]
+    for pdf in parts[1:]:
+        u = u.unionByName(pdf)
+    wr = W.partitionBy("col", "okey").orderBy("lno", "val")
+    runs = u.withColumn(
+        "chg",
+        F.when(~F.lag("val").over(wr).eqNullSafe(F.col("val")), 1).otherwise(
+            0
+        ),
+    )
+    s = runs.groupBy("col").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("val").cast("long").alias("n_distinct"),
+        F.sum("chg").cast("long").alias("n_runs"),
+    )
+    tops = (
+        u.groupBy("col", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("col")
+        .agg(F.max("c").cast("long").alias("top_cnt"))
+        .withColumnRenamed("col", "tcol")
+    )
+    j = s.join(tops, F.col("col") == F.col("tcol"))
+    return j.select(
+        "col",
+        "n",
+        "n_distinct",
+        "n_runs",
+        "top_cnt",
+        (F.col("top_cnt").cast("double") / F.col("n").cast("double")).alias(
+            "top_share"
+        ),
+        F.when(100 * F.col("n_distinct") <= F.col("n"), "DICT")
+        .when(F.col("n") >= 8 * F.col("n_runs"), "RLE")
+        .otherwise("PLAIN")
+        .alias("codec"),
+    )
