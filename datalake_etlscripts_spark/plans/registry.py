@@ -158,6 +158,20 @@ PRIORITY: list[str] = [
 # dedup_embedding_incremental, dedup_containment,
 # source_duplication_matrix, id_completeness, plus the remaining
 # sources/BPE/sampling/multimodal/TPC-H set.
+# r9 builder-session additions (all oracle-backed, replica-green at
+# both test SFs; queue for the next driver rotation):
+# largest_remainder_alloc, rfm_segments, scd2_build, fifo_allocation,
+# golden_record_merge, slo_burn_rate, wavelet_haar, ccf_lead_lag,
+# isotonic_calibration, graph_assortativity, graph_shortest_paths,
+# watermark_lateness_audit, variance_ratio_test, runs_test,
+# graph_mutual_matching, max_drawdown, abc_classification,
+# bom_subtree_rollup, interpolate_linear, kendall_tau_nations,
+# bootstrap_ci_poisson, sprt_ab_monitor, ridge_regression_exact,
+# pca_2d_eigen, phonetic_blocking, negative_sampling_pairs,
+# cohens_kappa, matryoshka_recall, cuped_adjusted_ab, spc_c_chart,
+# ips_offpolicy_estimate, graph_ktruss, dr_offpolicy_estimate,
+# attribution_time_decay, psm_stratified_ate, rake_keyphrases,
+# f1_scores_langid, codec_advisor, voptimal_histogram.
 
 
 def _ordered(d: dict) -> dict:

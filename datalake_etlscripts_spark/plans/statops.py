@@ -2168,3 +2168,240 @@ def q_codec_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("PLAIN")
         .alias("codec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# V-optimal histogram (r9): the optimizer-statistics classic
+# (Jagadish et al., VLDB'98) — partition the 256-hour count series
+# into K=6 variance-minimal buckets by exact dynamic programming over
+# 32 pre-aggregated 8-hour segments. Segment prefix sums are exact
+# integers; every candidate bucket's SSE is ONE fixed-order double
+# expression (SSQ − SUM²/CNT); each DP layer picks its argmin with a
+# deterministic (cost, split) tie order; backpointers reconstruct the
+# optimal boundaries. All state is 32²-bounded after one fact scan —
+# this is how an engine would build its own stats at 100 TB.
+# ---------------------------------------------------------------------------
+_VOPT_K = 6
+
+
+def _vopt_oracle(K: int = _VOPT_K) -> str:
+    parts = [
+        """
+    WITH b AS (SELECT min(date_trunc('hour', ts)) AS lo FROM events),
+    h AS (
+      SELECT CAST(epoch(date_trunc('hour', ts))
+                  - epoch((SELECT lo FROM b)) AS BIGINT) // 3600 AS idx,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    dense AS (
+      SELECT s.idx, coalesce(h.x, 0) AS x
+      FROM (SELECT unnest(range(0, 256)) AS idx) s
+      LEFT JOIN h ON h.idx = s.idx
+    ),
+    seg AS (
+      SELECT idx // 8 AS s, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(x) AS BIGINT) AS sm,
+             CAST(sum(x * x) AS BIGINT) AS sq
+      FROM dense GROUP BY 1
+    ),
+    pre AS (
+      SELECT s + 1 AS i,
+             CAST(sum(cnt) OVER w AS BIGINT) AS pcnt,
+             CAST(sum(sm) OVER w AS BIGINT) AS psm,
+             CAST(sum(sq) OVER w AS BIGINT) AS psq
+      FROM seg WINDOW w AS (ORDER BY s ROWS UNBOUNDED PRECEDING)
+    ),
+    pre0 AS (
+      SELECT i, pcnt, psm, psq FROM pre
+      UNION ALL SELECT 0, 0, 0, 0
+    ),
+    pairs AS (
+      SELECT j.i AS j, i.i AS i,
+             CAST(i.psq - j.psq AS DOUBLE)
+             - CAST(i.psm - j.psm AS DOUBLE)
+               * CAST(i.psm - j.psm AS DOUBLE)
+               / CAST(i.pcnt - j.pcnt AS DOUBLE) AS sse
+      FROM pre0 j JOIN pre0 i ON j.i < i.i
+    ),
+    c1 AS (SELECT i, sse AS cost, 0 AS bp FROM pairs WHERE j = 0)"""
+    ]
+    for k in range(2, K + 1):
+        parts.append(
+            f""",
+    c{k} AS (
+      SELECT i, cost, bp FROM (
+        SELECT p.i, c.cost + p.sse AS cost, p.j AS bp,
+               row_number() OVER (PARTITION BY p.i
+                 ORDER BY c.cost + p.sse, p.j) AS rn
+        FROM c{k - 1} c JOIN pairs p ON p.j = c.i
+      ) WHERE rn = 1
+    )"""
+        )
+    # backwalk: e6 = 32, e5 = bp6(32), ...
+    walk = [f"w{K} AS (SELECT 32 AS hi, bp AS lo FROM c{K} WHERE i = 32)"]
+    for k in range(K - 1, 0, -1):
+        walk.append(
+            f"w{k} AS (SELECT w.lo AS hi, c.bp AS lo"
+            f" FROM w{k + 1} w JOIN c{k} c ON c.i = w.lo)"
+        )
+    parts.append(",\n    " + ",\n    ".join(walk))
+    sel = " UNION ALL ".join(
+        f"SELECT {k} AS bucket, lo AS seg_from, hi - 1 AS seg_to FROM w{k}"
+        for k in range(1, K + 1)
+    )
+    parts.append(
+        f""",
+    bounds AS ({sel})
+    SELECT b.bucket, b.seg_from, b.seg_to,
+           CAST(i.pcnt - j.pcnt AS BIGINT) AS n_hours,
+           CAST(i.psm - j.psm AS BIGINT) AS bucket_sum,
+           CAST(i.psq - j.psq AS DOUBLE)
+           - CAST(i.psm - j.psm AS DOUBLE)
+             * CAST(i.psm - j.psm AS DOUBLE)
+             / CAST(i.pcnt - j.pcnt AS DOUBLE) AS bucket_sse,
+           (SELECT cost FROM c{K} WHERE i = 32) AS total_sse
+    FROM bounds b
+    JOIN pre0 j ON j.i = b.seg_from
+    JOIN pre0 i ON i.i = b.seg_to + 1"""
+    )
+    return "".join(parts)
+
+
+@query("voptimal_histogram", oracle=_vopt_oracle())
+def q_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V-optimal histogram (K=6) of the 256-hour series by exact DP over 32 pre-aggregated segments: integer prefix sums, fixed-order SSE doubles, deterministic argmin layers with backpointer reconstruction."""
+    e = read_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.expr(
+            "CAST(unix_seconds(date_trunc('hour', ts)) AS BIGINT)"
+        ).alias("ep")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    lo = h.groupBy().agg(F.min("ep").alias("lo"))
+    idx = h.crossJoin(F.broadcast(lo)).select(
+        F.expr("(ep - lo) div 3600").alias("idx"), "x"
+    )
+    dense = (
+        spark.range(0, 256)
+        .select(F.col("id").alias("idx"))
+        .join(idx, "idx", "left")
+        .select("idx", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    seg = dense.groupBy(F.expr("idx div 8").alias("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("x").cast("long").alias("sm"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sq"),
+    )
+    wp = W.orderBy("s").rowsBetween(W.unboundedPreceding, 0)
+    pre = seg.select(
+        (F.col("s") + 1).alias("i"),
+        F.sum("cnt").over(wp).alias("pcnt"),
+        F.sum("sm").over(wp).alias("psm"),
+        F.sum("sq").over(wp).alias("psq"),
+    )
+    zero = spark.createDataFrame(
+        [(0, 0, 0, 0)], "i BIGINT, pcnt BIGINT, psm BIGINT, psq BIGINT"
+    )
+    pre0 = pre.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("pcnt").cast("long").alias("pcnt"),
+        F.col("psm").cast("long").alias("psm"),
+        F.col("psq").cast("long").alias("psq"),
+    ).unionByName(zero).localCheckpoint()
+    pj = pre0.select(
+        F.col("i").alias("j"),
+        F.col("pcnt").alias("jc"),
+        F.col("psm").alias("js"),
+        F.col("psq").alias("jq"),
+    )
+    pi = pre0.select("i", "pcnt", "psm", "psq")
+    sse = (
+        (F.col("psq") - F.col("jq")).cast("double")
+        - (F.col("psm") - F.col("js")).cast("double")
+        * (F.col("psm") - F.col("js")).cast("double")
+        / (F.col("pcnt") - F.col("jc")).cast("double")
+    )
+    pairs = (
+        pj.join(F.broadcast(pi), F.col("j") < F.col("i"))
+        .select("j", "i", sse.alias("sse"))
+        .localCheckpoint()
+    )
+    layers = {}
+    c = pairs.filter(F.col("j") == 0).select(
+        "i", F.col("sse").alias("cost"), F.lit(0).cast("long").alias("bp")
+    )
+    layers[1] = c.localCheckpoint()
+    for k in range(2, _VOPT_K + 1):
+        prev = layers[k - 1].select(
+            F.col("i").alias("pi"), F.col("cost").alias("pcost")
+        )
+        wr = W.partitionBy("i").orderBy(
+            (F.col("pcost") + F.col("sse")).asc(), F.col("j").asc()
+        )
+        c = (
+            pairs.join(F.broadcast(prev), F.col("j") == F.col("pi"))
+            .withColumn("rn", F.row_number().over(wr))
+            .filter(F.col("rn") == 1)
+            .select(
+                "i",
+                (F.col("pcost") + F.col("sse")).alias("cost"),
+                F.col("j").alias("bp"),
+            )
+        )
+        layers[k] = c.localCheckpoint()
+    # backwalk from i=32 through the bp chain
+    walk = {
+        _VOPT_K: layers[_VOPT_K]
+        .filter(F.col("i") == 32)
+        .select(F.lit(32).cast("long").alias("hi"), F.col("bp").alias("lo"))
+    }
+    for k in range(_VOPT_K - 1, 0, -1):
+        wprev = walk[k + 1].select(F.col("lo").alias("wlo"))
+        walk[k] = (
+            layers[k]
+            .join(F.broadcast(wprev), F.col("i") == F.col("wlo"))
+            .select(F.col("i").alias("hi"), F.col("bp").alias("lo"))
+        )
+    bounds = None
+    for k in range(1, _VOPT_K + 1):
+        bk = walk[k].select(
+            F.lit(k).alias("bucket"),
+            F.col("lo").alias("seg_from"),
+            (F.col("hi") - 1).alias("seg_to"),
+        )
+        bounds = bk if bounds is None else bounds.unionByName(bk)
+    total = layers[_VOPT_K].filter(F.col("i") == 32).select(
+        F.col("cost").alias("total_sse")
+    )
+    jj = pre0.select(
+        F.col("i").alias("ji"),
+        F.col("pcnt").alias("jc"),
+        F.col("psm").alias("js"),
+        F.col("psq").alias("jq"),
+    )
+    ii = pre0.select(
+        F.col("i").alias("ii"),
+        F.col("pcnt").alias("ic"),
+        F.col("psm").alias("is_"),
+        F.col("psq").alias("iq"),
+    )
+    out = (
+        bounds.join(F.broadcast(jj), F.col("seg_from") == F.col("ji"))
+        .join(F.broadcast(ii), F.col("seg_to") + 1 == F.col("ii"))
+        .crossJoin(F.broadcast(total))
+    )
+    bsse = (
+        (F.col("iq") - F.col("jq")).cast("double")
+        - (F.col("is_") - F.col("js")).cast("double")
+        * (F.col("is_") - F.col("js")).cast("double")
+        / (F.col("ic") - F.col("jc")).cast("double")
+    )
+    return out.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("seg_from").cast("long").alias("seg_from"),
+        F.col("seg_to").cast("long").alias("seg_to"),
+        (F.col("ic") - F.col("jc")).cast("long").alias("n_hours"),
+        (F.col("is_") - F.col("js")).cast("long").alias("bucket_sum"),
+        bsse.alias("bucket_sse"),
+        "total_sse",
+    )

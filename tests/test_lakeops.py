@@ -372,3 +372,161 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
         spark.conf.set(
             "spark.sql.optimizer.dynamicPartitionPruning.useStats", saved
         )
+
+
+def test_negative_samples_never_positive(spark, sf_dir):
+    rows = _run("negative_sampling_pairs", spark, sf_dir).collect()
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pos = {
+        (r["u"], r["p"])
+        for r in o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .collect()
+    }
+    per_pair = {}
+    for r in rows:
+        assert (r["u"], r["neg_part"]) not in pos
+        per_pair.setdefault((r["u"], r["pos_part"]), 0)
+        per_pair[(r["u"], r["pos_part"])] += 1
+    assert max(per_pair.values()) <= 3
+
+
+def test_phonetic_codes_well_formed(spark, sf_dir):
+    import re
+
+    rows = _run("phonetic_blocking", spark, sf_dir).collect()
+    for r in rows:
+        assert re.fullmatch(r"[A-Z][1-6]{0,3}0{0,3}", r["code"]), r["code"]
+        assert len(r["code"]) == 4
+        assert (r["needs_review"] == 1) == (r["n_names"] > 1)
+
+
+def test_kappa_and_f1_bounds(spark, sf_dir):
+    k = _run("cohens_kappa", spark, sf_dir).collect()[0]
+    assert -1.0 <= k["kappa"] <= 1.0
+    assert k["n11"] + k["n10"] + k["n01"] + k["n00"] > 0
+    f = _run("f1_scores_langid", spark, sf_dir).collect()[0]
+    assert 0.0 <= f["micro_f1"] <= 1.0 and 0.0 <= f["macro_f1"] <= 1.0
+    # micro-F1 of a single-label classifier IS accuracy
+    acc = sum(f[f"tp_{c}"] for c in ("en", "de", "es", "fr", "zh")) / f["n"]
+    assert f["micro_f1"] == acc
+
+
+def test_matryoshka_full_dim_recall_is_one(spark, sf_dir):
+    rows = _run("matryoshka_recall", spark, sf_dir).collect()
+    by_dim = {}
+    for r in rows:
+        by_dim.setdefault(r["dim"], []).append(r)
+    for r in by_dim[64]:
+        assert r["overlap"] == 5 and r["recall_at_5"] == 1.0
+    # recall cannot be negative and at most 1 anywhere
+    for rs in by_dim.values():
+        for r in rs:
+            assert 0 <= r["overlap"] <= 5
+
+
+def test_ktruss_edges_have_min_support(spark, sf_dir):
+    """Every surviving 4-truss edge really sits in >= 2 triangles
+    WITHIN the surviving edge set (closure property, replayed in
+    Python)."""
+    rows = _run("graph_ktruss", spark, sf_dir).collect()
+    edges = {(r["u"], r["v"]) for r in rows}
+    support = {}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for u, v in edges:
+        common = adj[u] & adj[v]
+        support[(u, v)] = len(common)
+    for r in rows:
+        assert support[(r["u"], r["v"])] == r["support"] >= 2
+
+
+def test_codec_advisor_rules_replay(spark, sf_dir):
+    rows = _run("codec_advisor", spark, sf_dir).collect()
+    names = {r["col"] for r in rows}
+    assert names == {"l_returnflag", "l_linestatus", "l_quantity",
+                     "ship_month"}
+    for r in rows:
+        if 100 * r["n_distinct"] <= r["n"]:
+            assert r["codec"] == "DICT"
+        elif r["n"] >= 8 * r["n_runs"]:
+            assert r["codec"] == "RLE"
+        else:
+            assert r["codec"] == "PLAIN"
+        assert 0 < r["top_cnt"] <= r["n"]
+
+
+def test_voptimal_matches_python_dp(spark, sf_dir):
+    """The distributed DP == a plain-Python O(S²K) dynamic program on
+    the same segment table (exact cost equality and same boundaries
+    under the (cost, split) tie order)."""
+    import duckdb
+
+    con = duckdb.connect()
+    segs = con.execute(
+        f"""
+        WITH b AS (SELECT min(date_trunc('hour', ts)) AS lo
+                   FROM read_parquet('{sf_dir}/events.parquet')),
+        h AS (
+          SELECT CAST(epoch(date_trunc('hour', ts))
+                      - epoch((SELECT lo FROM b)) AS BIGINT) // 3600 AS idx,
+                 count(*) AS x
+          FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1
+        ),
+        dense AS (
+          SELECT s.idx, coalesce(h.x, 0) AS x
+          FROM (SELECT unnest(range(0, 256)) AS idx) s
+          LEFT JOIN h ON h.idx = s.idx
+        )
+        SELECT idx // 8 AS s, count(*) AS c, sum(x) AS sm, sum(x*x) AS sq
+        FROM dense GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    import itertools
+
+    pc = [0]
+    ps = [0]
+    pq = [0]
+    for _, c, sm, sq in segs:
+        pc.append(pc[-1] + int(c))
+        ps.append(ps[-1] + int(sm))
+        pq.append(pq[-1] + int(sq))
+    S, K = 32, 6
+
+    def sse(j, i):
+        cnt = pc[i] - pc[j]
+        sm = ps[i] - ps[j]
+        return float(pq[i] - pq[j]) - float(sm) * float(sm) / float(cnt)
+
+    INF = float("inf")
+    cost = {(i, 1): sse(0, i) for i in range(1, S + 1)}
+    bp = {}
+    for k in range(2, K + 1):
+        for i in range(k, S + 1):
+            best = (INF, -1)
+            for j in range(k - 1, i):
+                c = cost.get((j, k - 1), INF) + sse(j, i)
+                if (c, j) < best:
+                    best = (c, j)
+            cost[(i, k)] = best[0]
+            bp[(i, k)] = best[1]
+    # walk back
+    bounds = []
+    hi = S
+    for k in range(K, 0, -1):
+        lo = bp[(hi, k)] if k > 1 else 0
+        bounds.append((k, lo, hi - 1))
+        hi = lo
+    expect = {b: (lo, hi) for b, lo, hi in bounds}
+    rows = _run("voptimal_histogram", spark, sf_dir).collect()
+    assert len(rows) == K
+    for r in rows:
+        assert expect[r["bucket"]] == (r["seg_from"], r["seg_to"])
+        assert r["total_sse"] == pytest.approx(cost[(S, K)], rel=0,
+                                               abs=1e-9)
