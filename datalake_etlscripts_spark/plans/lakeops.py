@@ -416,6 +416,11 @@ def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").cast("long").alias("qty"),
         )
     )
+    # A/B'd against a combined (part, st)-keyed single window: that
+    # form re-shuffles every branch back to (part) partitioning
+    # downstream (14 exchanges vs 10, same wall-clock) — the
+    # two-branch (part)-windowed form keeps its partitioning usable
+    # by the breakpoint/segment stages, so it stays.
     w = (
         W.partitionBy("part")
         .orderBy("sd", "okey", "lno")
