@@ -439,3 +439,42 @@ def ahash_near_dup_pairs(
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def arrow_utf8_stats(df, text_col: str = "text", id_cols=("doc_id", "lang")):
+    """mapInArrow byte-level text statistics — the ZERO-COPY Python
+    lane (pyspark 4 ``mapInArrow``): Arrow record batches flow from
+    the JVM into pyarrow.compute kernels (vectorized C++, no pandas
+    conversion, no per-row Python) and back. The cheapest Python hook
+    when the logic is expressible in Arrow kernels — one notch below
+    mapInPandas in overhead, far below any row UDF. Returns the id
+    columns + ``n_bytes`` (UTF-8 octet length, matching SQL
+    octet_length)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    id_cols = list(id_cols)
+
+    def batches(it):
+        for batch in it:
+            n_bytes = pc.cast(
+                pc.binary_length(
+                    pc.cast(batch.column(text_col), pa.binary())
+                ),
+                pa.int64(),
+            )
+            cols = [batch.column(c) for c in id_cols] + [n_bytes]
+            yield pa.record_batch(cols, names=id_cols + ["n_bytes"])
+
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_fields = [df.schema[c] for c in id_cols] + [
+        StructField("n_bytes", LongType())
+    ]
+    return df.select(*id_cols, text_col).mapInArrow(
+        batches, StructType(out_fields)
+    )

@@ -194,3 +194,132 @@ def q_fixed_width_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("bal_cents").cast("long").alias("bal_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT ingestion (r9): the Spark 4 open-variant lane for
+# semi-structured columns — props parses ONCE to VARIANT
+# (parse_json), fields extract with variant_get path expressions and
+# SCHEMA-LESS storage semantics (the shredded-JSON answer to "don't
+# re-parse strings per extraction, don't force a schema at write").
+# The oracle reads the same fields with DuckDB's JSON path functions;
+# values compare exactly because extraction is typed at the edge.
+# ---------------------------------------------------------------------------
+@query(
+    "variant_props_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(CASE WHEN json_extract_string(props, '$.missing')
+                     IS NULL THEN 1 ELSE 0 END AS INT) AS missing_is_null
+    FROM events GROUP BY 1, 4
+    """,
+)
+def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT lane: props parses once to VARIANT, fields extract with try_variant_get typed paths (missing paths are NULL, never errors) - no per-extraction string re-parse, no write-time schema."""
+    e = read_table(spark, sf_dir, "events")
+    v = e.select(
+        "user_id", F.parse_json(F.col("props")).alias("vp")
+    )
+    shredded = v.select(
+        "user_id",
+        F.try_variant_get(F.col("vp"), "$.k", "bigint").alias("k"),
+        F.try_variant_get(F.col("vp"), "$.missing", "string").alias(
+            "missing"
+        ),
+    )
+    return shredded.groupBy(
+        "k",
+        F.when(F.col("missing").isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("missing_is_null"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    ).select("k", "n", "n_users", "missing_is_null")
+
+
+# ---------------------------------------------------------------------------
+# Custom Python DataSource (r9): the Spark 4 ``pyspark.sql.datasource``
+# seam — a connector-less feed (here a deterministic sensor generator;
+# in production an API/device puller) declared with PARTITIONS so the
+# scan parallelizes like any file source. The generation rule is the
+# md5 integer lane, so the DuckDB oracle replays the identical rows
+# from SQL alone and the query is hash-verified end-to-end even though
+# no bytes ever touch disk.
+# ---------------------------------------------------------------------------
+def _pysource_oracle() -> str:
+    from datalake_etlscripts_spark.plans.registry import ddb_hex32
+
+    lane = ddb_hex32(
+        "md5(CAST(s.s AS VARCHAR) || ':' || CAST(t.t AS VARCHAR))"
+    )
+    return f"""
+    WITH s AS (SELECT unnest(range(0, 5)) AS s),
+    t AS (SELECT unnest(range(0, 1024)) AS t),
+    r AS (
+      SELECT s.s AS sensor_id, t.t AS tick,
+             {lane} % 1000 AS reading
+      FROM s CROSS JOIN t
+    )
+    SELECT CAST(sensor_id AS INT) AS sensor_id,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           CAST(sum(reading) AS BIGINT) AS total,
+           CAST(min(reading) AS INT) AS min_r,
+           CAST(max(reading) AS INT) AS max_r,
+           CAST(sum(CASE WHEN reading >= 900 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alerts
+    FROM r GROUP BY 1
+    """
+
+
+@query("python_datasource_scan", oracle=_pysource_oracle())
+def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 custom Python DataSource scan: partition-parallel connector-less feed on the md5 lane, aggregated per sensor - the oracle replays identical rows from SQL, end-to-end hash-verified with no files involved."""
+    from datalake_etlscripts_spark.io import pysource
+
+    pysource.register(spark)
+    df = spark.read.format("synthetic_sensor").load()
+    return df.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        F.sum("reading").cast("long").alias("total"),
+        F.min("reading").cast("int").alias("min_r"),
+        F.max("reading").cast("int").alias("max_r"),
+        F.sum(F.when(F.col("reading") >= 900, 1).otherwise(0))
+        .cast("long")
+        .alias("n_alerts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow lane (r9): UTF-8 byte statistics through pyarrow.compute
+# kernels — Arrow batches cross the JVM↔Python boundary zero-copy and
+# the kernel is vectorized C++ (no pandas materialization, no per-row
+# Python). The oracle is SQL octet_length, so the Arrow path is
+# value-verified against the engines' own byte semantics. Completes
+# the Python-lane ladder: row UDF (banned) < mapInPandas < mapInArrow.
+# ---------------------------------------------------------------------------
+@query(
+    "arrow_utf8_stats",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(max(strlen(text)) AS BIGINT) AS max_bytes
+    FROM documents GROUP BY 1
+    """,
+)
+def q_arrow_utf8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow byte statistics: zero-copy Arrow batches through pyarrow.compute kernels, aggregated JVM-side, value-verified against SQL byte length (strlen)."""
+    from datalake_etlscripts_spark.operators.multimodal import (
+        arrow_utf8_stats,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    st = arrow_utf8_stats(d)
+    return st.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.max("n_bytes").cast("long").alias("max_bytes"),
+    )
