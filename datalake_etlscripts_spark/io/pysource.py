@@ -24,6 +24,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -68,3 +69,53 @@ class SyntheticSensorDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration (re-register is a no-op overwrite)."""
     spark.dataSource.register(SyntheticSensorDataSource)
+
+
+class _SensorStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming twin: each micro-batch emits the ticks
+    between the last committed offset and the current head (the head
+    advances ``STREAM_STEP`` ticks per poll). Offsets are plain dicts
+    — Spark checkpoints them, so a restarted query resumes exactly
+    where it stopped (exactly-once source semantics come from the
+    deterministic generation rule + offset replay)."""
+
+    def initialOffset(self):
+        return {"tick": 0}
+
+    def read(self, start):
+        lo = start["tick"]
+        hi = lo + STREAM_STEP
+        rows = [
+            (s, t, sensor_reading(s, t))
+            for t in range(lo, hi)
+            for s in range(N_SENSORS)
+        ]
+        return iter(rows), {"tick": hi}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            (s, t, sensor_reading(s, t))
+            for t in range(start["tick"], end["tick"])
+            for s in range(N_SENSORS)
+        )
+
+
+STREAM_STEP = 64
+
+
+class SyntheticSensorStreamSource(DataSource):
+    """``spark.readStream.format("synthetic_sensor_stream")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_sensor_stream"
+
+    def schema(self) -> str:
+        return "sensor_id INT, tick INT, reading INT"
+
+    def simpleStreamReader(self, schema: StructType):
+        return _SensorStreamReader()
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(SyntheticSensorStreamSource)

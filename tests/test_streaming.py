@@ -1069,3 +1069,50 @@ def test_streaming_scd2_matches_batch(spark, tmp_path):
     q = run_streaming_scd2(spark, events_dir, root, schema)
     q.awaitTermination(120)
     assert dim_rows() == streamed
+
+
+def test_python_streaming_datasource_batches_and_resume(spark, tmp_path):
+    """Spark 4 Python streaming DataSource: micro-batches advance the
+    offset by STREAM_STEP ticks, rows equal the deterministic
+    generation rule, and a RESTARTED query resumes from the
+    checkpointed offset (no re-emission, no gap)."""
+    from datalake_etlscripts_spark.io import pysource
+
+    pysource.register_stream(spark)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.format("synthetic_sensor_stream").load()
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(out).collect()
+    ticks1 = {r["tick"] for r in first}
+    assert ticks1 and min(ticks1) == 0
+    hi1 = max(ticks1) + 1
+    assert hi1 % pysource.STREAM_STEP == 0
+    for r in first:
+        assert r["reading"] == pysource.sensor_reading(
+            r["sensor_id"], r["tick"]
+        )
+    assert len(first) == hi1 * pysource.N_SENSORS  # no dup, no gap
+
+    # restart: resumes from the committed offset — strictly new ticks
+    q = (
+        spark.readStream.format("synthetic_sensor_stream")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    both = spark.read.parquet(out).collect()
+    ticks2 = {r["tick"] for r in both}
+    assert min(ticks2) == 0 and max(ticks2) >= hi1
+    assert len(both) == (max(ticks2) + 1) * pysource.N_SENSORS
