@@ -1045,3 +1045,282 @@ def q_bom_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share_of_parent"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue waterfall (r9): gross → discount → net → tax decomposition
+# per return flag, entirely in exact integer money units. TPC-H's
+# charge expression price·(1−disc)·(1+tax) decomposes into additive
+# components scaled to 1e-6 currency units (price cents × 4-decimal
+# rate factors are exact integers) — the warehouse bridge report with
+# zero float accumulation.
+# ---------------------------------------------------------------------------
+@query(
+    "revenue_waterfall",
+    oracle="""
+    WITH f AS (
+      SELECT l_returnflag AS flag,
+             CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                  AS HUGEINT) AS cents,
+             CAST(CAST(l_discount AS DECIMAL(8,4)) * 10000 AS HUGEINT)
+               AS disc4,
+             CAST(CAST(l_tax AS DECIMAL(8,4)) * 10000 AS HUGEINT) AS tax4
+      FROM lineitem
+    ),
+    c AS (
+      SELECT flag,
+             CAST(sum(cents * 10000) AS HUGEINT) AS gross_u,
+             CAST(sum(cents * disc4) AS HUGEINT) AS discount_u,
+             CAST(sum(cents * (10000 - disc4)) AS HUGEINT) AS net_u,
+             CAST(sum(cents * (10000 - disc4) * tax4) AS HUGEINT)
+               AS tax_u4
+      FROM f GROUP BY 1
+    )
+    SELECT flag, CAST(gross_u AS BIGINT) AS gross_u,
+           CAST(discount_u AS BIGINT) AS discount_u,
+           CAST(net_u AS BIGINT) AS net_u,
+           CAST(tax_u4 AS BIGINT) AS tax_u4,
+           CAST(CAST(net_u * 10000 + tax_u4 AS VARCHAR) AS DOUBLE) / 1e10
+             AS charged_total
+    FROM c
+    """,
+)
+def q_revenue_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gross-discount-net-tax revenue waterfall per return flag in exact scaled integer money units (price cents x 4-decimal rate factors) - the additive decomposition of the TPC-H charge expression, zero float accumulation."""
+    li = read_table(spark, sf_dir, "lineitem")
+    f = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice").cast("decimal(14,2)") * 100)
+        .cast("decimal(38,0)")
+        .alias("cents"),
+        (F.col("l_discount").cast("decimal(8,4)") * 10000)
+        .cast("decimal(38,0)")
+        .alias("disc4"),
+        (F.col("l_tax").cast("decimal(8,4)") * 10000)
+        .cast("decimal(38,0)")
+        .alias("tax4"),
+    )
+    c = f.groupBy("flag").agg(
+        F.sum(F.col("cents") * 10000).alias("gross_u"),
+        F.sum(F.col("cents") * F.col("disc4")).alias("discount_u"),
+        F.sum(F.col("cents") * (10000 - F.col("disc4"))).alias("net_u"),
+        F.sum(
+            F.col("cents") * (10000 - F.col("disc4")) * F.col("tax4")
+        ).alias("tax_u4"),
+    )
+    return c.select(
+        "flag",
+        F.col("gross_u").cast("long").alias("gross_u"),
+        F.col("discount_u").cast("long").alias("discount_u"),
+        F.col("net_u").cast("long").alias("net_u"),
+        F.col("tax_u4").cast("long").alias("tax_u4"),
+        (
+            (F.col("net_u") * 10000 + F.col("tax_u4"))
+            .cast("string")
+            .cast("double")
+            / F.lit(1e10)
+        ).alias("charged_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Price-volume-mix bridge (r9): the FP&A classic — decompose each
+# brand's 1995→1996 revenue change into a PRICE effect
+# ((S₁Q₀ − S₀Q₁)/Q₀, holding volume at current) and a VOLUME effect
+# (S₀(Q₁ − Q₀)/Q₀, at base price), each ONE exact division of integer
+# products; the two effects sum exactly to ΔS by construction (an
+# identity the invariant test replays). Facts scan once; the bridge
+# is brand-dimension sized.
+# ---------------------------------------------------------------------------
+@query(
+    "pvm_bridge",
+    oracle="""
+    WITH f AS (
+      SELECT p.p_brand AS brand,
+             CAST(year(l.l_shipdate) AS INT) AS yr,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                  AS HUGEINT) AS cents,
+             CAST(l.l_quantity AS HUGEINT) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE year(l.l_shipdate) IN (1995, 1996)
+    ),
+    g AS (
+      SELECT brand,
+             CAST(sum(CASE WHEN yr = 1995 THEN cents ELSE 0 END)
+                  AS HUGEINT) AS s0,
+             CAST(sum(CASE WHEN yr = 1995 THEN qty ELSE 0 END)
+                  AS HUGEINT) AS q0,
+             CAST(sum(CASE WHEN yr = 1996 THEN cents ELSE 0 END)
+                  AS HUGEINT) AS s1,
+             CAST(sum(CASE WHEN yr = 1996 THEN qty ELSE 0 END)
+                  AS HUGEINT) AS q1
+      FROM f GROUP BY 1
+    )
+    SELECT brand, CAST(s0 AS BIGINT) AS s0, CAST(q0 AS BIGINT) AS q0,
+           CAST(s1 AS BIGINT) AS s1, CAST(q1 AS BIGINT) AS q1,
+           CAST(s1 - s0 AS BIGINT) AS delta_cents,
+           CASE WHEN q0 > 0 THEN
+             CAST(CAST(s1 * q0 - s0 * q1 AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(q0 AS VARCHAR) AS DOUBLE) END AS price_effect,
+           CASE WHEN q0 > 0 THEN
+             CAST(CAST(s0 * (q1 - q0) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(q0 AS VARCHAR) AS DOUBLE) END AS volume_effect
+    FROM g
+    """,
+)
+def q_pvm_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix revenue bridge per brand between 1995 and 1996: each effect one exact division of integer products, effects summing exactly to the revenue delta."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    f = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li["l_partkey"] == p["p_partkey"],
+        )
+        .filter(F.year("l_shipdate").isin(1995, 1996))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").alias("yr"),
+            (F.col("l_extendedprice").cast("decimal(14,2)") * 100)
+            .cast("decimal(38,0)")
+            .alias("cents"),
+            F.col("l_quantity").cast("decimal(38,0)").alias("qty"),
+        )
+    )
+    g = f.groupBy("brand").agg(
+        F.sum(F.when(F.col("yr") == 1995, F.col("cents")).otherwise(0)).alias(
+            "s0"
+        ),
+        F.sum(F.when(F.col("yr") == 1995, F.col("qty")).otherwise(0)).alias(
+            "q0"
+        ),
+        F.sum(F.when(F.col("yr") == 1996, F.col("cents")).otherwise(0)).alias(
+            "s1"
+        ),
+        F.sum(F.when(F.col("yr") == 1996, F.col("qty")).otherwise(0)).alias(
+            "q1"
+        ),
+    )
+
+    def dd_(c):
+        return c.cast("string").cast("double")
+
+    return g.select(
+        "brand",
+        F.col("s0").cast("long").alias("s0"),
+        F.col("q0").cast("long").alias("q0"),
+        F.col("s1").cast("long").alias("s1"),
+        F.col("q1").cast("long").alias("q1"),
+        (F.col("s1") - F.col("s0")).cast("long").alias("delta_cents"),
+        F.when(
+            F.col("q0") > 0,
+            dd_(F.col("s1") * F.col("q0") - F.col("s0") * F.col("q1"))
+            / dd_(F.col("q0")),
+        ).alias("price_effect"),
+        F.when(
+            F.col("q0") > 0,
+            dd_(F.col("s0") * (F.col("q1") - F.col("q0")))
+            / dd_(F.col("q0")),
+        ).alias("volume_effect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekend lift (r9): weekend vs weekday hourly-rate ratio per event
+# type, the weekday derived from pure epoch arithmetic
+# ((days+3) mod 7 ≥ 5 — the business_hours_latency convention, no
+# engine dayofweek conventions), exact integer counts and hour
+# denominators from the dense spine, the lift one cross-multiplied
+# division.
+# ---------------------------------------------------------------------------
+@query(
+    "weekend_lift",
+    oracle="""
+    WITH b AS (
+      SELECT min(date_trunc('hour', ts)) AS lo,
+             max(date_trunc('hour', ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b
+    ),
+    sp AS (
+      SELECT hr, CASE WHEN ((epoch(hr) // 86400) + 3) % 7 >= 5
+                 THEN 1 ELSE 0 END AS wk
+      FROM spine
+    ),
+    hrs AS (
+      SELECT CAST(sum(wk) AS BIGINT) AS wk_hours,
+             CAST(count(*) - sum(wk) AS BIGINT) AS wd_hours
+      FROM sp
+    ),
+    e AS (
+      SELECT event_type,
+             CASE WHEN ((epoch(date_trunc('hour', ts)) // 86400) + 3) % 7
+                  >= 5 THEN 1 ELSE 0 END AS wk
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, CAST(sum(wk) AS BIGINT) AS wk_cnt,
+             CAST(count(*) - sum(wk) AS BIGINT) AS wd_cnt
+      FROM e GROUP BY 1
+    )
+    SELECT c.event_type, c.wk_cnt, c.wd_cnt, h.wk_hours, h.wd_hours,
+           CASE WHEN c.wd_cnt > 0 AND h.wk_hours > 0 THEN
+             CAST(c.wk_cnt * h.wd_hours AS DOUBLE)
+             / CAST(c.wd_cnt * h.wk_hours AS DOUBLE) END AS lift,
+           CAST(CASE WHEN c.wk_cnt * h.wd_hours > c.wd_cnt * h.wk_hours
+                THEN 1 ELSE 0 END AS INT) AS weekend_heavier
+    FROM c CROSS JOIN hrs h
+    """,
+)
+def q_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend vs weekday hourly-rate lift per event type: epoch-arithmetic weekday, exact counts and spine hour denominators, one cross-multiplied division and integer comparison flag."""
+    e = read_table(spark, sf_dir, "events")
+    wk_expr = (
+        "CASE WHEN ((unix_seconds(date_trunc('hour', ts)) div 86400) + 3)"
+        " % 7 >= 5 THEN 1 ELSE 0 END"
+    )
+    b = e.groupBy().agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = b.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hr"
+        )
+    )
+    sp = spine.select(
+        F.expr(
+            "CASE WHEN ((unix_seconds(hr) div 86400) + 3) % 7 >= 5"
+            " THEN 1 ELSE 0 END"
+        ).alias("wk")
+    )
+    hrs = sp.groupBy().agg(
+        F.sum("wk").cast("long").alias("wk_hours"),
+        (F.count(F.lit(1)) - F.sum("wk")).cast("long").alias("wd_hours"),
+    )
+    c = e.select("event_type", F.expr(wk_expr).alias("wk")).groupBy(
+        "event_type"
+    ).agg(
+        F.sum("wk").cast("long").alias("wk_cnt"),
+        (F.count(F.lit(1)) - F.sum("wk")).cast("long").alias("wd_cnt"),
+    )
+    j = c.crossJoin(F.broadcast(hrs))
+    return j.select(
+        "event_type",
+        "wk_cnt",
+        "wd_cnt",
+        "wk_hours",
+        "wd_hours",
+        F.when(
+            (F.col("wd_cnt") > 0) & (F.col("wk_hours") > 0),
+            (F.col("wk_cnt") * F.col("wd_hours")).cast("double")
+            / (F.col("wd_cnt") * F.col("wk_hours")).cast("double"),
+        ).alias("lift"),
+        F.when(
+            F.col("wk_cnt") * F.col("wd_hours")
+            > F.col("wd_cnt") * F.col("wk_hours"),
+            1,
+        ).otherwise(0).cast("int").alias("weekend_heavier"),
+    )

@@ -530,3 +530,27 @@ def test_voptimal_matches_python_dp(spark, sf_dir):
         assert expect[r["bucket"]] == (r["seg_from"], r["seg_to"])
         assert r["total_sse"] == pytest.approx(cost[(S, K)], rel=0,
                                                abs=1e-9)
+
+
+def test_pvm_effects_sum_to_delta(spark, sf_dir):
+    """Price effect + volume effect == exact revenue delta (the
+    bridge identity, here in doubles whose inputs are exact)."""
+    rows = _run("pvm_bridge", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["q0"] > 0:
+            assert r["price_effect"] + r["volume_effect"] == pytest.approx(
+                float(r["delta_cents"]), rel=1e-9, abs=1e-6
+            )
+
+
+def test_waterfall_identity(spark, sf_dir):
+    """gross − discount == net, and charged_total replays the TPC-H
+    charge expression summed in exact units."""
+    rows = _run("revenue_waterfall", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["gross_u"] - r["discount_u"] == r["net_u"]
+        assert r["charged_total"] == pytest.approx(
+            (r["net_u"] * 10000 + r["tax_u4"]) / 1e10, rel=0, abs=0
+        )
