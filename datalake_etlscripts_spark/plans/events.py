@@ -2397,3 +2397,53 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("micro").cast("string").cast("double") / F.lit(1e10)
         ).alias("credit_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RANGE-interval window frames (r9): the trailing 2h window defined by
+# EVENT TIME, not row count — the frame every SLA/rate query actually
+# wants (ROWS frames silently break on gaps and ties). Both engines
+# run the numeric RANGE frame over epoch seconds (identical tie
+# semantics: all equal-key rows join the frame), values sum in exact
+# DECIMAL. Per-type windows; no global ordering.
+# ---------------------------------------------------------------------------
+@query(
+    "range_interval_window",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type, CAST(epoch(ts) AS BIGINT) AS ep,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS v4
+      FROM events
+    )
+    SELECT event_id, event_type,
+           CAST(count(*) OVER w AS BIGINT) AS n_2h,
+           CAST(CAST(sum(v4) OVER w AS VARCHAR) AS DOUBLE) / 1e4
+             AS value_2h
+    FROM e
+    WINDOW w AS (PARTITION BY event_type ORDER BY ep
+                 RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 2-hour RANGE frame by event time per type: gap- and tie-correct where ROWS frames break, exact DECIMAL value sums, numeric range over epoch seconds in both engines."""
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("ep"),
+        (F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("decimal(38,0)")
+        .alias("v4"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ep")
+        .rangeBetween(-7200, 0)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_2h"),
+        (
+            F.sum("v4").over(w).cast("string").cast("double") / F.lit(1e4)
+        ).alias("value_2h"),
+    )

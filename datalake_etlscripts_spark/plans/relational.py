@@ -1374,3 +1374,33 @@ def q_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("lineitem.l_suppkey->nation.n_nationkey", li, "l_suppkey", n, "n_nationkey"),
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive SQL surface (r9): Spark 4 supports WITH RECURSIVE, so the
+# IDENTICAL recursive statement runs through spark.sql over a temp
+# view AND through the DuckDB oracle — one SQL text, two engines, same
+# hash (the recursive twin of sql_api_demo). The recursion walks the
+# key-encoded part tree (parent = floor(k/8) — floor of a double
+# division is exact for these magnitudes in both engines) from the
+# first 64 parts up to the root.
+# ---------------------------------------------------------------------------
+_SQL_RECURSIVE_STMT = """
+    WITH RECURSIVE up(part, anc, depth) AS (
+      SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey <= 64
+      UNION ALL
+      SELECT part, CAST(floor(anc / 8) AS BIGINT), depth + 1
+      FROM up WHERE anc > 0
+    )
+    SELECT part, CAST(count(*) AS BIGINT) AS chain_len,
+           CAST(max(depth) AS INT) AS root_depth,
+           CAST(sum(anc) AS BIGINT) AS anc_sum
+    FROM up GROUP BY part
+"""
+
+
+@query("sql_recursive_demo", oracle=_SQL_RECURSIVE_STMT)
+def q_sql_recursive_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive SQL surface: the identical WITH RECURSIVE ancestor walk runs through spark.sql and the DuckDB oracle - one SQL text, two engines, same hash."""
+    read_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_SQL_RECURSIVE_STMT)
