@@ -2411,7 +2411,7 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "range_interval_window",
     oracle="""
     WITH e AS (
-      SELECT event_id, event_type, CAST(epoch(ts) AS BIGINT) AS ep,
+      SELECT event_id, event_type, epoch_us(ts) AS ep,
              CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS v4
       FROM events
     )
@@ -2421,15 +2421,15 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS value_2h
     FROM e
     WINDOW w AS (PARTITION BY event_type ORDER BY ep
-                 RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)
+                 RANGE BETWEEN 7200000000 PRECEDING AND CURRENT ROW)
     """,
 )
 def q_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing 2-hour RANGE frame by event time per type: gap- and tie-correct where ROWS frames break, exact DECIMAL value sums, numeric range over epoch seconds in both engines."""
+    """Trailing 2-hour RANGE frame by event time per type: gap- and tie-correct where ROWS frames break, exact DECIMAL value sums, numeric range over exact epoch microseconds in both engines (whole seconds would round vs floor differently)."""
     e = read_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
-        F.unix_timestamp("ts").alias("ep"),
+        F.unix_micros("ts").alias("ep"),
         (F.col("value").cast("decimal(18,4)") * 10000)
         .cast("decimal(38,0)")
         .alias("v4"),
@@ -2437,7 +2437,7 @@ def q_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         W.partitionBy("event_type")
         .orderBy("ep")
-        .rangeBetween(-7200, 0)
+        .rangeBetween(-7_200_000_000, 0)
     )
     return e.select(
         "event_id",
