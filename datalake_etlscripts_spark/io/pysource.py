@@ -23,8 +23,10 @@ import hashlib
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -119,3 +121,72 @@ class SyntheticSensorStreamSource(DataSource):
 
 def register_stream(spark) -> None:
     spark.dataSource.register(SyntheticSensorStreamSource)
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path = path
+        self.n = n
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Per-task JSONL part files + a driver-side commit manifest —
+    the two-phase pattern every transactional sink uses: tasks write
+    to uniquely-named parts and return commit messages; only the
+    DRIVER's commit() publishes the manifest listing the surviving
+    parts, so a failed/speculative task's orphan file is never
+    visible to readers (they read the manifest, not the directory).
+    ``abort()`` removes staged parts."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        part = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        os.makedirs(self.path, exist_ok=True)
+        n = 0
+        with open(part, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(part, n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "parts": sorted(m.path for m in messages),
+            "rows": sum(m.n for m in messages),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
+class JsonlManifestSink(DataSource):
+    """``df.write.format("jsonl_manifest").option("path", dir)`` after
+    ``spark.dataSource.register(JsonlManifestSink)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_manifest"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return _JsonlWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlManifestSink)
