@@ -953,3 +953,103 @@ def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return ktruss(e0, k=4, rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# Sampled eccentricity / closeness (r9): bounded-hop BFS from the
+# three smallest part keys over the co-order graph — per seed the
+# 4-hop eccentricity (a diameter lower-bound witness) and the exact
+# closeness numerator Σdist. Engine side reuses the delta-iteration
+# bfs_hops operator per seed; the oracle runs one bounded recursive
+# CTE per seed (UNION-dedup keeps state ≤ hops·|nodes|).
+# ---------------------------------------------------------------------------
+def _ecc_oracle() -> str:
+    seed_sel = (
+        "(SELECT l_partkey FROM (SELECT DISTINCT l_partkey FROM lineitem"
+        " ORDER BY 1 LIMIT 3) s ORDER BY 1 OFFSET {k} LIMIT 1)"
+    )
+    per_seed = []
+    for k in range(3):
+        s = seed_sel.format(k=k)
+        per_seed.append(
+            f"""
+    r{k}(node, dist) AS (
+      SELECT CAST({s} AS BIGINT), 0
+      UNION
+      SELECT e.dst, r.dist + 1
+      FROM r{k} r JOIN edges e ON e.src = r.node
+      WHERE r.dist < 4
+    ),
+    m{k} AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist
+             FROM r{k} GROUP BY 1)"""
+        )
+    sel = " UNION ALL ".join(
+        f"""SELECT CAST({seed_sel.format(k=k)} AS BIGINT) AS seed,
+           CAST(count(*) AS BIGINT) AS n_reached,
+           CAST(max(dist) AS BIGINT) AS ecc4,
+           CAST(sum(dist) AS BIGINT) AS sum_dist
+    FROM m{k}"""
+        for k in range(3)
+    )
+    return f"""
+    WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey
+                          FROM lineitem),
+    e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM li a JOIN li b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    edges AS (SELECT u AS src, v AS dst FROM e0
+              UNION ALL SELECT v, u FROM e0),{",".join(per_seed)}
+    {sel}
+    """
+
+
+@query("graph_eccentricity_sample", oracle=_ecc_oracle())
+def q_graph_eccentricity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop eccentricity and exact closeness numerator from three deterministic seeds on the co-order graph - per-seed delta-iteration BFS, diameter lower-bound witnesses."""
+    from datalake_etlscripts_spark.operators.graph import bfs_hops
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("v")
+    )
+    e0 = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(
+        e0.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    seeds = [
+        r["l_partkey"]
+        for r in li.select("l_partkey")
+        .distinct()
+        .orderBy("l_partkey")
+        .limit(3)
+        .collect()
+    ]
+    out = None
+    for s in seeds:
+        seed_df = edges.sparkSession.createDataFrame(
+            [(s,)], "node BIGINT"
+        )
+        d = bfs_hops(edges, seed_df, max_hops=4)
+        agg = d.groupBy().agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.max("dist").cast("long").alias("ecc4"),
+            F.sum("dist").cast("long").alias("sum_dist"),
+        ).select(
+            F.lit(s).cast("long").alias("seed"),
+            "n_reached",
+            "ecc4",
+            "sum_dist",
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
