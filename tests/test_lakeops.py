@@ -554,3 +554,60 @@ def test_waterfall_identity(spark, sf_dir):
         assert r["charged_total"] == pytest.approx(
             (r["net_u"] * 10000 + r["tax_u4"]) / 1e10, rel=0, abs=0
         )
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """Scale proof: AQE's OptimizeSkewedJoin splits a hot join key at
+    RUNTIME — the final adaptive plan marks the sort-merge join with
+    skew=true once the skewed side exceeds the (test-pinned)
+    thresholds. This is the no-code-change answer to Zipf keys at
+    100 TB (salting, operators/skew.py, remains for aggregations)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "32KB",
+    )
+    spark.conf.set(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB"
+    )
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
+    )
+    try:
+        # hot key 0 carries ~100× the rows of every other key; the
+        # downstream aggregate is keyless — a groupBy on the join key
+        # would REQUIRE hashpartitioning(k) and AQE then refuses to
+        # split the skewed partition (it would break the required
+        # distribution); that refusal is itself part of the lesson
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") < 350_000, 0)
+            .otherwise(F.col("id") % 50)
+            .alias("k"),
+            F.sha2(F.concat(F.lit("payload-"), F.col("id")), 256).alias(
+                "pl"
+            ),
+        )
+        right = spark.range(0, 50).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = left.join(right, "k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("pl")).alias("bytes"),
+        )
+        j.collect()  # AQE finalizes the plan at execution
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
