@@ -1594,3 +1594,76 @@ def q_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bitmap_distinct_counts(
         state.unionByName(bitmap_rollup(state))
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL accuracy audit (r9): estimate-vs-exact side by side — distinct
+# orders per return flag through the explicit-register HLL next to
+# the exact COUNT(DISTINCT), with the signed relative error. The
+# audit you run once per pipeline to decide whether m=256 registers
+# are enough for the grain — kept in-registry so the error claim is
+# itself hash-verified (both engines replay registers bit-for-bit).
+# ---------------------------------------------------------------------------
+def _hll_audit_oracle() -> str:
+    from datalake_etlscripts_spark.operators.sketches import (
+        HLL_BUCKETS,
+        HLL_EST_NUM,
+        HLL_WORD_BITS,
+    )
+    from datalake_etlscripts_spark.plans.registry import ddb_hex32
+
+    ladder = " ".join(
+        f"WHEN w >= {1 << i} THEN {HLL_WORD_BITS - i}"
+        for i in range(HLL_WORD_BITS - 1, -1, -1)
+    )
+    scale = 1 << (HLL_WORD_BITS + 1)
+    return f"""
+    WITH src AS (
+      SELECT l_returnflag AS k, l_orderkey AS v FROM lineitem
+      WHERE l_orderkey IS NOT NULL
+    ),
+    h0 AS (SELECT k, {ddb_hex32("md5(CAST(v AS VARCHAR))")} AS h FROM src),
+    h AS (SELECT k, h & {HLL_BUCKETS - 1} AS bucket, h >> 8 AS w FROM h0),
+    regs AS (
+      SELECT k, bucket, max(CASE {ladder} ELSE {HLL_WORD_BITS + 1} END)
+        AS reg
+      FROM h GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT k, sum(CAST(1 AS BIGINT) << ({HLL_WORD_BITS + 1} - reg)) AS s,
+             count(*) AS nb
+      FROM regs GROUP BY 1
+    ),
+    ex AS (SELECT k, CAST(count(DISTINCT v) AS BIGINT) AS exact_distinct
+           FROM src GROUP BY 1)
+    SELECT per.k AS flag, ex.exact_distinct,
+           {HLL_EST_NUM!r} / (s + ({HLL_BUCKETS} - nb) * {scale})
+             AS approx_distinct,
+           ({HLL_EST_NUM!r} / (s + ({HLL_BUCKETS} - nb) * {scale})
+            - CAST(ex.exact_distinct AS DOUBLE))
+             / CAST(ex.exact_distinct AS DOUBLE) AS rel_err
+    FROM per JOIN ex ON ex.k = per.k
+    """
+
+
+@query("hll_accuracy_audit", oracle=_hll_audit_oracle())
+def q_hll_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL estimate vs exact distinct orders per return flag with the signed relative error - the per-grain register-budget audit, itself hash-verified."""
+    from datalake_etlscripts_spark.operators import sketches
+
+    li = read_table(spark, sf_dir, "lineitem")
+    state = sketches.hll_register_table(li, ["l_returnflag"], "l_orderkey")
+    est = sketches.hll_register_estimate(state)
+    exact = li.groupBy(F.col("l_returnflag")).agg(
+        F.countDistinct("l_orderkey").cast("long").alias("exact_distinct")
+    ).withColumnRenamed("l_returnflag", "ek")
+    j = est.join(exact, est["l_returnflag"] == F.col("ek"))
+    return j.select(
+        F.col("l_returnflag").alias("flag"),
+        "exact_distinct",
+        "approx_distinct",
+        (
+            (F.col("approx_distinct") - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double")
+        ).alias("rel_err"),
+    )

@@ -1445,3 +1445,81 @@ def run_streaming_scd2(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_sensor_alerts(spark: SparkSession, root: str):
+    """End-to-end composition of the Spark-4 Python streaming
+    DataSource with a stateful foreachBatch fold: the synthetic
+    sensor stream (io/pysource.py) feeds per-sensor running stats at
+    ``{root}/state`` (n, total, n_alerts, folded_through) and the
+    alert rows (reading ≥ 900) land in epoch-keyed directories under
+    ``{root}/alerts`` — replays overwrite their own output and skip
+    the state fold, the house exactly-once discipline. Because the
+    source is deterministic, the whole pipeline is stream ≡ batch
+    verifiable: the maintained state equals a batch aggregate over
+    the generated tick range (tested)."""
+    from datalake_etlscripts_spark.io import pysource
+
+    pysource.register_stream(spark)
+    state_path = f"{root}/state"
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()
+        state = None
+        if _fs_path_exists(spark, state_path):
+            state = spark.read.parquet(state_path)
+            folded = state.agg(F.max("folded_through").alias("m")).collect()[
+                0
+            ]["m"]
+            if folded is not None and epoch_id <= folded:
+                return
+        alerts = batch_df.filter(F.col("reading") >= 900)
+        alerts.write.mode("overwrite").parquet(
+            f"{root}/alerts/epoch={epoch_id}"
+        )
+        binc = batch_df.groupBy("sensor_id").agg(
+            F.count(F.lit(1)).cast("long").alias("_dn"),
+            F.sum("reading").cast("long").alias("_dt"),
+            F.sum(F.when(F.col("reading") >= 900, 1).otherwise(0))
+            .cast("long")
+            .alias("_da"),
+        )
+        if state is not None:
+            new_state = (
+                state.select("sensor_id", "n", "total", "n_alerts")
+                .join(binc, "sensor_id", "full_outer")
+                .select(
+                    "sensor_id",
+                    (
+                        F.coalesce("n", F.lit(0))
+                        + F.coalesce("_dn", F.lit(0))
+                    ).cast("long").alias("n"),
+                    (
+                        F.coalesce("total", F.lit(0))
+                        + F.coalesce("_dt", F.lit(0))
+                    ).cast("long").alias("total"),
+                    (
+                        F.coalesce("n_alerts", F.lit(0))
+                        + F.coalesce("_da", F.lit(0))
+                    ).cast("long").alias("n_alerts"),
+                )
+            )
+        else:
+            new_state = binc.select(
+                "sensor_id",
+                F.col("_dn").alias("n"),
+                F.col("_dt").alias("total"),
+                F.col("_da").alias("n_alerts"),
+            )
+        new_state = new_state.withColumn(
+            "folded_through", F.lit(epoch_id).cast("bigint")
+        )
+        _stage_swap(spark, new_state, state_path, f"epoch{epoch_id}")
+
+    stream = spark.readStream.format("synthetic_sensor_stream").load()
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", f"{root}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

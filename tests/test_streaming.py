@@ -1116,3 +1116,54 @@ def test_python_streaming_datasource_batches_and_resume(spark, tmp_path):
     ticks2 = {r["tick"] for r in both}
     assert min(ticks2) == 0 and max(ticks2) >= hi1
     assert len(both) == (max(ticks2) + 1) * pysource.N_SENSORS
+
+
+def test_streaming_sensor_alerts_stream_equals_batch(spark, tmp_path):
+    """The custom-source alert service's maintained state equals a
+    batch aggregate over the generated tick range, alert rows replay
+    the generation rule, and a wiped-checkpoint replay leaves both
+    state and alerts unchanged."""
+    from datalake_etlscripts_spark.io import pysource
+    from datalake_etlscripts_spark.streaming import (
+        run_streaming_sensor_alerts,
+    )
+
+    root = str(tmp_path / "sensors")
+    q = run_streaming_sensor_alerts(spark, root)
+    q.awaitTermination(120)
+
+    state = {
+        r["sensor_id"]: (r["n"], r["total"], r["n_alerts"])
+        for r in spark.read.parquet(f"{root}/state").collect()
+    }
+    ticks_done = state[0][0]  # rows per sensor == ticks folded
+    # batch twin from the shared generation rule
+    expect = {}
+    for s in range(pysource.N_SENSORS):
+        readings = [
+            pysource.sensor_reading(s, t) for t in range(ticks_done)
+        ]
+        expect[s] = (
+            len(readings),
+            sum(readings),
+            sum(1 for r in readings if r >= 900),
+        )
+    assert state == expect
+
+    alerts = spark.read.parquet(f"{root}/alerts").collect()
+    for r in alerts:
+        assert r["reading"] >= 900
+        assert r["reading"] == pysource.sensor_reading(
+            r["sensor_id"], r["tick"]
+        )
+    assert len(alerts) == sum(v[2] for v in expect.values())
+
+    # replay: wipe checkpoint; folded_through skips the fold
+    shutil.rmtree(f"{root}/checkpoint")
+    q = run_streaming_sensor_alerts(spark, root)
+    q.awaitTermination(120)
+    state2 = {
+        r["sensor_id"]: (r["n"], r["total"], r["n_alerts"])
+        for r in spark.read.parquet(f"{root}/state").collect()
+    }
+    assert state2 == state
