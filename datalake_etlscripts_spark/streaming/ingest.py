@@ -1523,3 +1523,142 @@ def run_streaming_sensor_alerts(spark: SparkSession, root: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_minibatch_kmeans(
+    spark: SparkSession,
+    vec_dir: str,
+    root: str,
+    k: int = 4,
+    scale: int = 1000,
+    schema: str = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT",
+):
+    """Streaming mini-batch k-means in EXACT integer arithmetic: each
+    micro-batch of vectors quantizes (floor(x·scale + 0.5)), assigns
+    to the CURRENT integer centroids (exact squared-L2 argmin, ties to
+    the lower cell), and folds per-(cell, dim) sums + per-cell counts
+    into ``{root}/state`` — centroids are ALWAYS the derived integer
+    quotients s div n, so the whole trajectory is replayable
+    bit-for-bit by a sequential fold (tested against a pure-Python
+    replay). The first batch's k lowest-id vectors seed the centroids,
+    exactly like the batch kmeans_round_exact seeding. Per-epoch
+    assignment stats land epoch-keyed under ``{root}/assign``;
+    replays skip on folded_through with staged state swaps."""
+    state_path = f"{root}/state"
+
+    def current_centroids(state):
+        # bounded: k·dim rows → driver → broadcast centroid table
+        rows = state.collect()
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        ns: dict[int, int] = {}
+        for r in rows:
+            by_cell.setdefault(r["cell"], {})[r["dim"]] = r["s"]
+            ns[r["cell"]] = r["n"]
+        data = []
+        for cell, dims in by_cell.items():
+            vec = [
+                dims[d] // ns[cell] for d in sorted(dims)
+            ]
+            data.append((cell, vec))
+        return spark.createDataFrame(
+            data, "cell INT, cq ARRAY<BIGINT>"
+        )
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint()
+        state = None
+        if _fs_path_exists(spark, state_path):
+            state = spark.read.parquet(state_path)
+            folded = state.agg(F.max("folded_through").alias("m")).collect()[
+                0
+            ]["m"]
+            if folded is not None and epoch_id <= folded:
+                return
+
+        xq = F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+        pts = batch_df.select(
+            F.col("vec_id").alias("pid"), xq.alias("xq")
+        )
+        if state is None:
+            cents = pts.orderBy("pid").limit(k).select(
+                F.col("pid").cast("int").alias("cell"),
+                F.col("xq").alias("cq"),
+            )
+        else:
+            cents = current_centroids(state)
+        d = pts.crossJoin(F.broadcast(cents)).withColumn(
+            "dist",
+            F.aggregate(
+                F.zip_with(
+                    F.col("xq"), F.col("cq"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        from pyspark.sql import Window as W
+
+        a = (
+            d.withColumn(
+                "rk",
+                F.row_number().over(
+                    W.partitionBy("pid").orderBy("dist", "cell")
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("pid", "cell", "dist", "xq")
+            .localCheckpoint()
+        )
+        a.groupBy("cell").agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned"),
+            F.sum("dist").cast("long").alias("sse"),
+        ).write.mode("overwrite").parquet(f"{root}/assign/epoch={epoch_id}")
+
+        binc = (
+            a.select("cell", F.posexplode("xq").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("x").cast("long").alias("ds"))
+        )
+        bn = a.groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("dn"))
+        binc = binc.join(bn, "cell")
+        if state is not None:
+            new_state = (
+                state.select("cell", "dim", "s", "n")
+                .join(binc, ["cell", "dim"], "full_outer")
+                .select(
+                    "cell",
+                    "dim",
+                    (
+                        F.coalesce("s", F.lit(0))
+                        + F.coalesce("ds", F.lit(0))
+                    ).cast("long").alias("s"),
+                    (
+                        F.coalesce("n", F.lit(0))
+                        + F.coalesce("dn", F.lit(0))
+                    ).cast("long").alias("n"),
+                )
+            )
+        else:
+            new_state = binc.select(
+                F.col("cell").cast("int").alias("cell"),
+                F.col("dim").cast("int").alias("dim"),
+                F.col("ds").alias("s"),
+                F.col("dn").alias("n"),
+            )
+        new_state = new_state.withColumn(
+            "folded_through", F.lit(epoch_id).cast("bigint")
+        )
+        _stage_swap(spark, new_state, state_path, f"epoch{epoch_id}")
+
+    stream = spark.readStream.schema(schema).parquet(vec_dir)
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", f"{root}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1167,3 +1167,84 @@ def test_streaming_sensor_alerts_stream_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(f"{root}/state").collect()
     }
     assert state2 == state
+
+
+def test_streaming_minibatch_kmeans_matches_python_replay(spark, tmp_path):
+    """The streaming mini-batch k-means state (integer sums/counts)
+    is bit-identical to a sequential pure-Python replay of the same
+    fold over the same drops — quantize, argmin vs evolving integer
+    centroids (s // n), accumulate. Replay idempotence included."""
+    import math
+
+    from datalake_etlscripts_spark.streaming import (
+        run_streaming_minibatch_kmeans,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vec_dir = str(tmp_path / "vecs")
+    root = str(tmp_path / "km")
+    os.makedirs(vec_dir)
+    b1 = emb.filter("vec_id < 250")
+    b2 = emb.filter("vec_id >= 250")
+    b1.coalesce(1).write.mode("append").parquet(vec_dir)
+    q = run_streaming_minibatch_kmeans(spark, vec_dir, root)
+    q.awaitTermination(180)
+    b2.coalesce(1).write.mode("append").parquet(vec_dir)
+    q = run_streaming_minibatch_kmeans(spark, vec_dir, root)
+    q.awaitTermination(180)
+
+    got = {
+        (r["cell"], r["dim"]): (r["s"], r["n"])
+        for r in spark.read.parquet(f"{root}/state").collect()
+    }
+
+    # pure-Python sequential replay
+    def quant(vec):
+        return [math.floor(float(x) * 1000 + 0.5) for x in vec]
+
+    batches = []
+    for b in (b1, b2):
+        rows = sorted(
+            ((r["vec_id"], quant(r["embedding"])) for r in b.collect())
+        )
+        batches.append(rows)
+    sums: dict = {}
+    ns: dict = {}
+    cents = {pid: xq for pid, xq in batches[0][:4]}
+    for bi, rows in enumerate(batches):
+        if bi > 0:
+            cents = {
+                c: [
+                    sums[(c, d)] // ns[c]
+                    for d in range(len(batches[0][0][1]))
+                ]
+                for c in ns
+            }
+        for pid, xq in rows:
+            best = min(
+                (
+                    (
+                        sum((a - b) ** 2 for a, b in zip(xq, cq)),
+                        cell,
+                    )
+                    for cell, cq in cents.items()
+                )
+            )
+            cell = best[1]
+            ns[cell] = ns.get(cell, 0) + 1
+            for d, x in enumerate(xq):
+                sums[(cell, d)] = sums.get((cell, d), 0) + x
+    expect = {
+        (c, d): (sums[(c, d)], ns[c]) for (c, d) in sums
+    }
+    assert got == expect
+
+    # replay: wiped checkpoint leaves the state unchanged
+    shutil.rmtree(f"{root}/checkpoint")
+    q = run_streaming_minibatch_kmeans(spark, vec_dir, root)
+    q.awaitTermination(180)
+    got2 = {
+        (r["cell"], r["dim"]): (r["s"], r["n"])
+        for r in spark.read.parquet(f"{root}/state").collect()
+    }
+    assert got2 == got
