@@ -1324,3 +1324,341 @@ def q_weekend_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0).cast("int").alias("weekend_heavier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Consistent-hash ring with virtual nodes (r9): 4 physical nodes × 8
+# vnodes on the md5 ring; every customer key routes to the first
+# vnode clockwise (the classic Karger ring, wraparound to the ring
+# minimum). Assignment is a UNION+CARRY sweep over (vnodes ∪ keys)
+# ordered by ring position — one window, no per-key vnode scan. The
+# movement audit re-rings with a 5th node and reports exactly which
+# share of keys move (the ~1/5 consistency promise, measured not
+# assumed). All positions are integer md5 lanes.
+# ---------------------------------------------------------------------------
+def _ring_oracle() -> str:
+    from datalake_etlscripts_spark.plans.registry import ddb_hex32
+
+    def vnodes(n_nodes: int, alias: str) -> str:
+        lane = ddb_hex32("md5('node-' || CAST(n.n AS VARCHAR) || '#' || CAST(v.v AS VARCHAR))")
+        return f"""
+    {alias} AS (
+      SELECT n.n AS node, {lane} AS pos
+      FROM (SELECT unnest(range(0, {n_nodes})) AS n) n
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS v) v
+    )"""
+
+    key_lane = ddb_hex32("md5('key-' || CAST(c_custkey AS VARCHAR))")
+
+    return f"""
+    WITH {vnodes(4, "vn4").strip()},
+    {vnodes(5, "vn5").strip()},
+    keys AS (
+      SELECT c_custkey AS key, {key_lane} AS pos FROM customer
+    ),
+    u4 AS (
+      SELECT pos, key, node, tag FROM (
+        SELECT pos, NULL::BIGINT AS key, node, 1 AS tag FROM vn4
+        UNION ALL SELECT pos, key, NULL, 0 FROM keys
+      )
+    ),
+    a4 AS (
+      SELECT key,
+             coalesce(min(CASE WHEN tag = 1 THEN node END) OVER
+                        (ORDER BY pos, tag
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+                      (SELECT node FROM vn4 ORDER BY pos, node LIMIT 1))
+               AS node, tag
+      FROM u4
+    ),
+    r4 AS (SELECT key, node FROM a4 WHERE tag = 0),
+    u5 AS (
+      SELECT pos, key, node, tag FROM (
+        SELECT pos, NULL::BIGINT AS key, node, 1 AS tag FROM vn5
+        UNION ALL SELECT pos, key, NULL, 0 FROM keys
+      )
+    ),
+    a5 AS (
+      SELECT key,
+             coalesce(min(CASE WHEN tag = 1 THEN node END) OVER
+                        (ORDER BY pos, tag
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+                      (SELECT node FROM vn5 ORDER BY pos, node LIMIT 1))
+               AS node, tag
+      FROM u5
+    ),
+    r5 AS (SELECT key, node FROM a5 WHERE tag = 0)
+    SELECT r4.node AS node,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN r5.node <> r4.node THEN 1 ELSE 0 END)
+                AS BIGINT) AS moved_on_resize,
+           CAST(CAST(sum(CASE WHEN r5.node <> r4.node THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS DOUBLE) AS move_share
+    FROM r4 JOIN r5 ON r5.key = r4.key
+    GROUP BY 1
+    """
+
+
+@query("consistent_hash_ring", oracle=_ring_oracle())
+def q_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring with 8 vnodes per node: key routing by a union+carry sweep over ring positions (one window, no per-key vnode scan), plus the measured key-movement share when a fifth node joins."""
+    c = read_table(spark, sf_dir, "customer")
+    key_lane = "CAST(conv(substring(md5(concat('key-', CAST(c_custkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+    keys = c.select(
+        F.col("c_custkey").alias("key"), F.expr(key_lane).alias("pos")
+    )
+
+    def ring(n_nodes: int) -> DataFrame:
+        nodes = spark.range(0, n_nodes).select(
+            F.col("id").cast("int").alias("node")
+        )
+        vns = spark.range(0, 8).select(F.col("id").cast("int").alias("v"))
+        lane = (
+            "CAST(conv(substring(md5(concat('node-', CAST(node AS STRING),"
+            " '#', CAST(v AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        )
+        return nodes.crossJoin(vns).select(
+            "node", F.expr(lane).alias("pos")
+        )
+
+    def assign(vn: DataFrame) -> DataFrame:
+        wrap = vn.orderBy("pos", "node").limit(1).select(
+            F.col("node").alias("wrap_node")
+        )
+        u = vn.select(
+            "pos",
+            F.lit(None).cast("long").alias("key"),
+            "node",
+            F.lit(1).alias("tag"),
+        ).unionByName(
+            keys.select(
+                "pos",
+                "key",
+                F.lit(None).cast("int").alias("node"),
+                F.lit(0).alias("tag"),
+            )
+        )
+        wseek = (
+            W.orderBy("pos", "tag")
+            .rowsBetween(0, W.unboundedFollowing)
+        )
+        carried = u.withColumn(
+            "next_node",
+            F.min(F.when(F.col("tag") == 1, F.col("node"))).over(wseek),
+        )
+        return (
+            carried.filter(F.col("tag") == 0)
+            .crossJoin(F.broadcast(wrap))
+            .select(
+                "key",
+                F.coalesce("next_node", "wrap_node").alias("node"),
+            )
+        )
+
+    r4 = assign(ring(4)).withColumnRenamed("node", "node4")
+    r5 = assign(ring(5)).withColumnRenamed("node", "node5").withColumnRenamed(
+        "key", "key5"
+    )
+    j = r4.join(r5, F.col("key") == F.col("key5"))
+    return j.groupBy(F.col("node4").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(
+            F.when(F.col("node5") != F.col("node4"), 1).otherwise(0)
+        ).cast("long").alias("moved_on_resize"),
+        (
+            F.sum(
+                F.when(F.col("node5") != F.col("node4"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("move_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Idempotency-window dedup (r9): the at-least-once ingest cleaner —
+# events identical in (user, type, permille-quantized value) within
+# 10 s of the kept predecessor are retry duplicates. One content-keyed
+# window; the "kept predecessor" is exact because duplicates chain:
+# inside a content group, an event survives iff the gap to its
+# PREVIOUS event exceeds 10 s (chained retries collapse to the run
+# head). Output is the survivors + per-type drop accounting.
+# ---------------------------------------------------------------------------
+@query(
+    "idempotency_window_dedup",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, event_type, ts,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4,
+             epoch_us(ts) AS ep
+      FROM events
+    ),
+    marked AS (
+      SELECT event_type,
+             CASE WHEN lag(ep) OVER w IS NULL
+                  OR ep - lag(ep) OVER w > 10000000 THEN 1 ELSE 0 END
+               AS keep
+      FROM e
+      WINDOW w AS (PARTITION BY user_id, event_type, v4
+                   ORDER BY ep, event_id)
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(keep) AS BIGINT) AS n_dropped
+    FROM marked GROUP BY 1
+    """,
+)
+def q_idempotency_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once retry dedup: same-content events within 10s of the previous one drop (chained retries collapse to the run head) - one content-keyed window, per-type drop accounting."""
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("long")
+        .alias("v4"),
+        F.unix_micros("ts").alias("ep"),
+    )
+    w = W.partitionBy("user_id", "event_type", "v4").orderBy(
+        "ep", "event_id"
+    )
+    lag_ep = F.lag("ep").over(w)
+    marked = e.select(
+        "event_type",
+        F.when(
+            lag_ep.isNull() | (F.col("ep") - lag_ep > 10_000_000), 1
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+    return marked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("keep")).cast("long").alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-N + OTHERS rollup (r9): the long-tail reporting collapse — the
+# top 5 part types by exact revenue keep their names, everything else
+# folds into one OTHER row, shares stay exact. Rank by (cents DESC,
+# type ASC); the type dictionary is bounded so the rank window is
+# dictionary-sized after the fact aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "topn_with_others",
+    oracle=f"""
+    WITH rev AS (
+      SELECT p.p_type AS typ,
+             sum({_CENTS.format(x='l.l_extendedprice')}) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1
+    ),
+    t AS (SELECT sum(cents) AS tot FROM rev),
+    r AS (
+      SELECT typ, cents,
+             row_number() OVER (ORDER BY cents DESC, typ ASC) AS rk
+      FROM rev
+    ),
+    g AS (
+      SELECT CASE WHEN rk <= 5 THEN typ ELSE 'OTHER' END AS bucket,
+             CAST(sum(cents) AS HUGEINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(min(rk) AS BIGINT) AS best_rank
+      FROM r GROUP BY 1
+    )
+    SELECT bucket, CAST(g.cents AS BIGINT) AS cents, n_types, best_rank,
+           {_d('g.cents')} / {_d('t.tot')} AS share
+    FROM g CROSS JOIN t
+    """,
+)
+def q_topn_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 part types by exact revenue with the long tail folded into OTHER - dictionary-sized rank window after one fact aggregate, exact shares."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    rev = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_type")),
+            li["l_partkey"] == p["p_partkey"],
+        )
+        .groupBy(F.col("p_type").alias("typ"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("cents")
+        )
+    )
+    tot = rev.groupBy().agg(F.sum("cents").alias("tot"))
+    wr = W.orderBy(F.col("cents").desc(), F.col("typ").asc())
+    r = rev.withColumn("rk", F.row_number().over(wr))
+    g = r.groupBy(
+        F.when(F.col("rk") <= 5, F.col("typ")).otherwise("OTHER").alias(
+            "bucket"
+        )
+    ).agg(
+        F.sum("cents").alias("cents"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.min("rk").cast("long").alias("best_rank"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.col("cents").cast("long").alias("cents"),
+        "n_types",
+        "best_rank",
+        (_as_double(F.col("cents")) / _as_double(F.col("tot"))).alias(
+            "share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Governed masked view (r9): the row-filter + column-mask governance
+# shape — BUILDING customers only, names masked to first char + '***',
+# balances generalized to 1000-unit bands, keys pseudonymized on the
+# md5 lane. Pure JVM expressions; the audit columns count what the
+# mask destroyed (distinct names before/after) so the privacy/utility
+# trade is measured, not asserted.
+# ---------------------------------------------------------------------------
+@query(
+    "data_masking_view",
+    oracle=f"""
+    WITH m AS (
+      SELECT substr(md5('pid-' || CAST(c_custkey AS VARCHAR)), 1, 12)
+               AS pid,
+             substr(c_name, 1, 1) || '***' AS masked_name,
+             CAST(floor(CAST(c_acctbal AS DECIMAL(14,2)) / 1000)
+                  AS BIGINT) * 1000 AS bal_band,
+             c_mktsegment, c_name
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT bal_band, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT c_name) AS BIGINT) AS distinct_before,
+           CAST(count(DISTINCT masked_name) AS BIGINT) AS distinct_after,
+           min(pid) AS sample_pid
+    FROM m GROUP BY 1
+    """,
+)
+def q_data_masking_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-filtered, column-masked governance view: md5 pseudonyms, first-char name masks, 1000-unit balance bands, with before/after distinct counts measuring what the mask destroyed."""
+    c = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    m = c.select(
+        F.expr(
+            "substring(md5(concat('pid-', CAST(c_custkey AS STRING))), 1, 12)"
+        ).alias("pid"),
+        F.concat(F.substring("c_name", 1, 1), F.lit("***")).alias(
+            "masked_name"
+        ),
+        (
+            F.floor(F.col("c_acctbal").cast("decimal(14,2)") / 1000) * 1000
+        ).cast("long").alias("bal_band"),
+        "c_name",
+    )
+    return m.groupBy("bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("c_name").cast("long").alias("distinct_before"),
+        F.countDistinct("masked_name").cast("long").alias("distinct_after"),
+        F.min("pid").alias("sample_pid"),
+    )
