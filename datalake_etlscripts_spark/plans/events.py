@@ -2447,3 +2447,147 @@ def q_range_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v4").over(w).cast("string").cast("double") / F.lit(1e4)
         ).alias("value_2h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-level sessionization (r9): micro-sessions (5-min gaps) nested
+# inside macro-visits (60-min gaps), both from ONE user-keyed ordered
+# pass — two lag markers, two running sums, no self-joins. The
+# hierarchy report (micro count / event count / exact duration per
+# visit) is the engagement-depth shape single-level sessionize can't
+# express.
+# ---------------------------------------------------------------------------
+@query(
+    "nested_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS ep FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, ts, ep,
+             CASE WHEN lag(ep) OVER w IS NULL
+                  OR ep - lag(ep) OVER w > 3600000000 THEN 1 ELSE 0 END
+               AS macro_chg,
+             CASE WHEN lag(ep) OVER w IS NULL
+                  OR ep - lag(ep) OVER w > 300000000 THEN 1 ELSE 0 END
+               AS micro_chg
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+    ),
+    ids AS (
+      SELECT user_id, ts, ep,
+             CAST(sum(macro_chg) OVER w AS BIGINT) AS visit,
+             CAST(sum(micro_chg) OVER w AS BIGINT) AS micro
+      FROM marked
+      WINDOW w AS (PARTITION BY user_id ORDER BY ep, event_id)
+    )
+    SELECT user_id, visit,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT micro) AS BIGINT) AS n_micro_sessions,
+           CAST(max(ep) - min(ep) AS BIGINT) AS duration_us
+    FROM ids GROUP BY 1, 2
+    """,
+)
+def q_nested_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level sessionization in one user-keyed pass: 5-min micro-sessions nested in 60-min visits via two lag markers and running sums - per-visit depth report with exact microsecond durations."""
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ep")
+    )
+    w = W.partitionBy("user_id").orderBy("ep", "event_id")
+    lag_ep = F.lag("ep").over(w)
+    marked = e.select(
+        "user_id",
+        "event_id",
+        "ep",
+        F.when(
+            lag_ep.isNull() | (F.col("ep") - lag_ep > 3_600_000_000), 1
+        )
+        .otherwise(0)
+        .alias("macro_chg"),
+        F.when(
+            lag_ep.isNull() | (F.col("ep") - lag_ep > 300_000_000), 1
+        )
+        .otherwise(0)
+        .alias("micro_chg"),
+    )
+    ids = marked.select(
+        "user_id",
+        "ep",
+        F.sum("macro_chg").over(w).cast("long").alias("visit"),
+        F.sum("micro_chg").over(w).cast("long").alias("micro"),
+    )
+    return ids.groupBy("user_id", "visit").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("micro").cast("long").alias("n_micro_sessions"),
+        (F.max("ep") - F.min("ep")).cast("long").alias("duration_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-to-ship cycle time (r9): per order, the makespan from order
+# date to the LAST ship date in exact integer days; per priority the
+# distribution report with the median picked by explicit rank (no
+# interpolation) and the tail share past 90 days by integer
+# comparison. One join, one order-grain aggregate, dictionary-sized
+# percentile windows per priority.
+# ---------------------------------------------------------------------------
+@query(
+    "order_cycle_time",
+    oracle="""
+    WITH m AS (
+      SELECT o.o_orderkey, o.o_orderpriority AS pri,
+             (epoch(max(l.l_shipdate)) - epoch(o.o_orderdate)) // 86400
+               AS days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2, o.o_orderdate
+    ),
+    r AS (
+      SELECT pri, days,
+             row_number() OVER (PARTITION BY pri ORDER BY days,
+                                o_orderkey) AS rk,
+             count(*) OVER (PARTITION BY pri) AS n
+      FROM m
+    )
+    SELECT pri, CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(min(days) AS BIGINT) AS min_days,
+           CAST(max(days) AS BIGINT) AS max_days,
+           CAST(max(CASE WHEN rk = (n + 1) // 2 THEN days END) AS BIGINT)
+             AS median_days,
+           CAST(sum(CASE WHEN days > 90 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_over_90d
+    FROM r GROUP BY 1
+    """,
+)
+def q_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-last-ship cycle time per priority: exact integer days, rank-picked median (no interpolation), tail count past 90 days."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    m = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", F.col("o_orderpriority").alias("pri"),
+                 "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            "o_orderkey",
+            "pri",
+            F.expr(
+                "(unix_seconds(last_ship) - unix_seconds(o_orderdate))"
+                " div 86400"
+            ).alias("days"),
+        )
+    )
+    wr = W.partitionBy("pri").orderBy("days", "o_orderkey")
+    r = (
+        m.withColumn("rk", F.row_number().over(wr))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("pri")))
+    )
+    return r.groupBy("pri").agg(
+        F.max("n").cast("long").alias("n_orders"),
+        F.min("days").cast("long").alias("min_days"),
+        F.max("days").cast("long").alias("max_days"),
+        F.max(
+            F.when(F.expr("rk = (n + 1) div 2"), F.col("days"))
+        ).cast("long").alias("median_days"),
+        F.sum(F.when(F.col("days") > 90, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over_90d"),
+    )
