@@ -2405,3 +2405,144 @@ def q_voptimal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         bsse.alias("bucket_sse"),
         "total_sse",
     )
+
+
+# ---------------------------------------------------------------------------
+# Spectral power at the daily period (r9): the DFT bin for period 24
+# computed PHASE-FOLDED — hours group by (idx mod 24) first, so the
+# trig combine is a FIXED-ORDER 24-term expression over exact integer
+# phase sums (never a float sum over the raw series), and every
+# cos/sin is a PYTHON-PRECOMPUTED literal (no in-engine trig, the
+# sprt literal discipline). Output: the integer phase sums' n, the
+# real/imag parts, the bin power, and the DC-removed total power
+# ratio — "how much of the variance is the daily cycle".
+# ---------------------------------------------------------------------------
+
+@query(
+    "spectral_power_daily",
+    oracle=f"""
+    WITH b AS (SELECT min(date_trunc('hour', ts)) AS lo FROM events),
+    h AS (
+      SELECT CAST(epoch(date_trunc('hour', ts))
+                  - epoch((SELECT lo FROM b)) AS BIGINT) // 3600 AS idx,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    dense AS (
+      SELECT s.idx, coalesce(h.x, 0) AS x
+      FROM (SELECT unnest(range(0, 720)) AS idx) s
+      LEFT JOIN h ON h.idx = s.idx
+    ),
+    ph AS (
+      SELECT CAST(idx % 24 AS INT) AS ph, CAST(sum(x) AS BIGINT) AS sx
+      FROM dense GROUP BY 1
+    ),
+    wide AS (
+      SELECT CAST(sum(sx) AS BIGINT) AS tot,
+             CAST(coalesce(sum(CASE WHEN ph = 0 THEN sx END), 0) AS BIGINT) AS p0,
+             CAST(coalesce(sum(CASE WHEN ph = 1 THEN sx END), 0) AS BIGINT) AS p1,
+             CAST(coalesce(sum(CASE WHEN ph = 2 THEN sx END), 0) AS BIGINT) AS p2,
+             CAST(coalesce(sum(CASE WHEN ph = 3 THEN sx END), 0) AS BIGINT) AS p3,
+             CAST(coalesce(sum(CASE WHEN ph = 4 THEN sx END), 0) AS BIGINT) AS p4,
+             CAST(coalesce(sum(CASE WHEN ph = 5 THEN sx END), 0) AS BIGINT) AS p5,
+             CAST(coalesce(sum(CASE WHEN ph = 6 THEN sx END), 0) AS BIGINT) AS p6,
+             CAST(coalesce(sum(CASE WHEN ph = 7 THEN sx END), 0) AS BIGINT) AS p7,
+             CAST(coalesce(sum(CASE WHEN ph = 8 THEN sx END), 0) AS BIGINT) AS p8,
+             CAST(coalesce(sum(CASE WHEN ph = 9 THEN sx END), 0) AS BIGINT) AS p9,
+             CAST(coalesce(sum(CASE WHEN ph = 10 THEN sx END), 0) AS BIGINT) AS p10,
+             CAST(coalesce(sum(CASE WHEN ph = 11 THEN sx END), 0) AS BIGINT) AS p11,
+             CAST(coalesce(sum(CASE WHEN ph = 12 THEN sx END), 0) AS BIGINT) AS p12,
+             CAST(coalesce(sum(CASE WHEN ph = 13 THEN sx END), 0) AS BIGINT) AS p13,
+             CAST(coalesce(sum(CASE WHEN ph = 14 THEN sx END), 0) AS BIGINT) AS p14,
+             CAST(coalesce(sum(CASE WHEN ph = 15 THEN sx END), 0) AS BIGINT) AS p15,
+             CAST(coalesce(sum(CASE WHEN ph = 16 THEN sx END), 0) AS BIGINT) AS p16,
+             CAST(coalesce(sum(CASE WHEN ph = 17 THEN sx END), 0) AS BIGINT) AS p17,
+             CAST(coalesce(sum(CASE WHEN ph = 18 THEN sx END), 0) AS BIGINT) AS p18,
+             CAST(coalesce(sum(CASE WHEN ph = 19 THEN sx END), 0) AS BIGINT) AS p19,
+             CAST(coalesce(sum(CASE WHEN ph = 20 THEN sx END), 0) AS BIGINT) AS p20,
+             CAST(coalesce(sum(CASE WHEN ph = 21 THEN sx END), 0) AS BIGINT) AS p21,
+             CAST(coalesce(sum(CASE WHEN ph = 22 THEN sx END), 0) AS BIGINT) AS p22,
+             CAST(coalesce(sum(CASE WHEN ph = 23 THEN sx END), 0) AS BIGINT) AS p23
+      FROM ph
+    ),
+    g AS (
+      SELECT tot,
+             CAST(p0 AS DOUBLE) * 1.0e0 + CAST(p1 AS DOUBLE) * 0.9659258262890683e0 + CAST(p2 AS DOUBLE) * 0.8660254037844387e0 + CAST(p3 AS DOUBLE) * 0.7071067811865476e0 + CAST(p4 AS DOUBLE) * 0.5000000000000001e0 + CAST(p5 AS DOUBLE) * 0.25881904510252074e0 + CAST(p6 AS DOUBLE) * 6.123233995736766e-17 + CAST(p7 AS DOUBLE) * -0.25881904510252063e0 + CAST(p8 AS DOUBLE) * -0.4999999999999998e0 + CAST(p9 AS DOUBLE) * -0.7071067811865475e0 + CAST(p10 AS DOUBLE) * -0.8660254037844387e0 + CAST(p11 AS DOUBLE) * -0.9659258262890682e0 + CAST(p12 AS DOUBLE) * -1.0e0 + CAST(p13 AS DOUBLE) * -0.9659258262890683e0 + CAST(p14 AS DOUBLE) * -0.8660254037844388e0 + CAST(p15 AS DOUBLE) * -0.7071067811865479e0 + CAST(p16 AS DOUBLE) * -0.5000000000000004e0 + CAST(p17 AS DOUBLE) * -0.25881904510252063e0 + CAST(p18 AS DOUBLE) * -1.8369701987210297e-16 + CAST(p19 AS DOUBLE) * 0.2588190451025203e0 + CAST(p20 AS DOUBLE) * 0.5000000000000001e0 + CAST(p21 AS DOUBLE) * 0.7071067811865474e0 + CAST(p22 AS DOUBLE) * 0.8660254037844384e0 + CAST(p23 AS DOUBLE) * 0.9659258262890681e0 AS re,
+             CAST(p0 AS DOUBLE) * 0.0e0 + CAST(p1 AS DOUBLE) * 0.25881904510252074e0 + CAST(p2 AS DOUBLE) * 0.49999999999999994e0 + CAST(p3 AS DOUBLE) * 0.7071067811865475e0 + CAST(p4 AS DOUBLE) * 0.8660254037844386e0 + CAST(p5 AS DOUBLE) * 0.9659258262890683e0 + CAST(p6 AS DOUBLE) * 1.0e0 + CAST(p7 AS DOUBLE) * 0.9659258262890683e0 + CAST(p8 AS DOUBLE) * 0.8660254037844387e0 + CAST(p9 AS DOUBLE) * 0.7071067811865476e0 + CAST(p10 AS DOUBLE) * 0.49999999999999994e0 + CAST(p11 AS DOUBLE) * 0.258819045102521e0 + CAST(p12 AS DOUBLE) * 1.2246467991473532e-16 + CAST(p13 AS DOUBLE) * -0.2588190451025208e0 + CAST(p14 AS DOUBLE) * -0.4999999999999997e0 + CAST(p15 AS DOUBLE) * -0.7071067811865471e0 + CAST(p16 AS DOUBLE) * -0.8660254037844384e0 + CAST(p17 AS DOUBLE) * -0.9659258262890683e0 + CAST(p18 AS DOUBLE) * -1.0e0 + CAST(p19 AS DOUBLE) * -0.9659258262890684e0 + CAST(p20 AS DOUBLE) * -0.8660254037844386e0 + CAST(p21 AS DOUBLE) * -0.7071067811865477e0 + CAST(p22 AS DOUBLE) * -0.5000000000000004e0 + CAST(p23 AS DOUBLE) * -0.25881904510252157e0 AS im
+      FROM wide
+    ),
+    v AS (
+      SELECT CAST(sum(x * x) AS BIGINT) AS sxx, CAST(count(*) AS BIGINT)
+               AS n, CAST(sum(x) AS BIGINT) AS sx
+      FROM dense
+    )
+    SELECT g.tot, g.re, g.im,
+           g.re * g.re + g.im * g.im AS power_24,
+           CAST(v.n * v.sxx - v.sx * v.sx AS BIGINT) AS var_num,
+           (g.re * g.re + g.im * g.im)
+             / (CAST(v.n * v.sxx - v.sx * v.sx AS DOUBLE) / v.n) AS
+             power_to_var
+    FROM g CROSS JOIN v
+    """,
+)
+def q_spectral_power_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFT bin power at period 24 via phase folding: exact integer phase sums, a fixed-order 24-term literal-trig combine (no in-engine cos/sin, no raw-series float sums), power-to-variance ratio."""
+    e = read_table(spark, sf_dir, "events")
+    h = e.groupBy(
+        F.expr(
+            "CAST(unix_seconds(date_trunc('hour', ts)) AS BIGINT)"
+        ).alias("ep")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    lo = h.groupBy().agg(F.min("ep").alias("lo"))
+    idx = h.crossJoin(F.broadcast(lo)).select(
+        F.expr("(ep - lo) div 3600").alias("idx"), "x"
+    )
+    dense = (
+        spark.range(0, 720)
+        .select(F.col("id").alias("idx"))
+        .join(idx, "idx", "left")
+        .select("idx", F.coalesce("x", F.lit(0)).alias("x"))
+    )
+    ph = dense.groupBy(
+        (F.col("idx") % 24).cast("int").alias("ph")
+    ).agg(F.sum("x").cast("long").alias("sx"))
+    # 24-term fixed-order combine via a pivot to literal columns
+    aggs = [
+        F.sum("sx").cast("long").alias("tot"),
+    ]
+    for k in range(24):
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("ph") == k, F.col("sx"))), F.lit(0)
+            ).cast("long").alias(f"p{k}")
+        )
+    wide = ph.groupBy().agg(*aggs)
+    import math as _math
+
+    re = None
+    im = None
+    for k in range(24):
+        c = F.lit(_math.cos(2 * _math.pi * k / 24))
+        s = F.lit(_math.sin(2 * _math.pi * k / 24))
+        tr = F.col(f"p{k}").cast("double") * c
+        ti = F.col(f"p{k}").cast("double") * s
+        re = tr if re is None else re + tr
+        im = ti if im is None else im + ti
+    v = dense.groupBy().agg(
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx_all"),
+    )
+    g = wide.crossJoin(F.broadcast(v))
+    var_num = F.col("n") * F.col("sxx") - F.col("sx_all") * F.col("sx_all")
+    power = re * re + im * im
+    return g.select(
+        "tot",
+        re.alias("re"),
+        im.alias("im"),
+        power.alias("power_24"),
+        var_num.cast("long").alias("var_num"),
+        (power / (var_num.cast("double") / F.col("n").cast("double"))).alias(
+            "power_to_var"
+        ),
+    )
