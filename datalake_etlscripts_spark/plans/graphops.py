@@ -1053,3 +1053,104 @@ def q_graph_eccentricity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient (r9): do high-degree nodes preferentially
+# connect to each other? φ(k) = 2·E_k / (n_k(n_k−1)) over the nodes
+# with degree > k, at k ∈ {4, 8, 16} — exact integer edge and node
+# counts via one degree join per threshold (the thresholds are
+# literals, so the three passes are three filters over the SAME
+# degree-annotated edge list, not three graph builds).
+# ---------------------------------------------------------------------------
+@query(
+    "graph_rich_club",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM li a JOIN li b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+      ) GROUP BY 1
+    ),
+    ks AS (SELECT unnest([4, 8, 16]) AS k),
+    nk AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_k
+      FROM ks JOIN deg ON deg.d > ks.k GROUP BY 1
+    ),
+    ek AS (
+      SELECT ks.k, CAST(count(*) AS BIGINT) AS e_k
+      FROM e0
+      JOIN deg du ON du.node = e0.u
+      JOIN deg dv ON dv.node = e0.v
+      CROSS JOIN ks
+      WHERE du.d > ks.k AND dv.d > ks.k
+      GROUP BY 1
+    )
+    SELECT nk.k, nk.n_k, coalesce(ek.e_k, 0) AS e_k,
+           CASE WHEN nk.n_k > 1 THEN
+             CAST(2 * coalesce(ek.e_k, 0) AS DOUBLE)
+             / CAST(nk.n_k * (nk.n_k - 1) AS DOUBLE) END AS phi
+    FROM nk LEFT JOIN ek ON ek.k = nk.k
+    """,
+)
+def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(k) at k in {4,8,16} on the co-order graph: exact edge/node counts from one degree-annotated edge list, one division per threshold."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("v")
+    )
+    e0 = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    anno = (
+        e0.join(
+            deg.select(F.col("node").alias("un"), F.col("d").alias("du")),
+            F.col("u") == F.col("un"),
+        )
+        .join(
+            deg.select(F.col("node").alias("vn"), F.col("d").alias("dv")),
+            F.col("v") == F.col("vn"),
+        )
+        .select("u", "v", "du", "dv")
+    )
+    ks = spark.createDataFrame([(4,), (8,), (16,)], "k INT")
+    nk = (
+        deg.crossJoin(F.broadcast(ks))
+        .filter(F.col("d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_k"))
+    )
+    ek = (
+        anno.crossJoin(F.broadcast(ks))
+        .filter((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+        .withColumnRenamed("k", "ek_k")
+    )
+    j = nk.join(ek, F.col("k") == F.col("ek_k"), "left")
+    return j.select(
+        "k",
+        "n_k",
+        F.coalesce("e_k", F.lit(0)).cast("long").alias("e_k"),
+        F.when(
+            F.col("n_k") > 1,
+            (2 * F.coalesce("e_k", F.lit(0))).cast("double")
+            / (F.col("n_k") * (F.col("n_k") - 1)).cast("double"),
+        ).alias("phi"),
+    )

@@ -1662,3 +1662,120 @@ def q_data_masking_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("masked_name").cast("long").alias("distinct_after"),
         F.min("pid").alias("sample_pid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inventory aging (r9): the unmatched side of the FIFO sweep — supply
+# lots (or tails of lots) beyond the matched quantity M are the
+# remaining stock; each remnant ages from its ship date to the
+# table's horizon and buckets into 0-30 / 31-90 / 91+ days. Remnant
+# quantity is pure interval arithmetic on the same exact cumulative
+# sums as fifo_allocation: leftover(i) = rcum − max(rcum − qty, M)
+# when positive. One part-keyed window + one bucket aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "inventory_aging",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey AS part, l_orderkey AS okey, l_linenumber AS lno,
+             l_shipdate AS sd, l_linestatus AS st,
+             CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem WHERE l_quantity > 0
+    ),
+    r AS (
+      SELECT part, sd, qty,
+             CAST(sum(qty) OVER w AS BIGINT) AS rcum
+      FROM li WHERE st = 'F'
+      WINDOW w AS (PARTITION BY part ORDER BY sd, okey, lno
+                   ROWS UNBOUNDED PRECEDING)
+    ),
+    dsum AS (
+      SELECT part, CAST(sum(qty) AS BIGINT) AS dtot
+      FROM li WHERE st = 'O' GROUP BY 1
+    ),
+    m AS (
+      SELECT r.part, least(max(r.rcum), coalesce(max(d.dtot), 0)) AS matched
+      FROM r LEFT JOIN dsum d ON d.part = r.part
+      GROUP BY 1
+    ),
+    horizon AS (SELECT max(sd) AS hz FROM li),
+    rem AS (
+      SELECT r.part, r.sd,
+             r.rcum - greatest(r.rcum - r.qty, m.matched) AS leftover,
+             (epoch(h.hz) - epoch(r.sd)) // 86400 AS age_days
+      FROM r JOIN m ON m.part = r.part CROSS JOIN horizon h
+      WHERE r.rcum > m.matched
+    )
+    SELECT CASE WHEN age_days <= 30 THEN '0-30'
+                WHEN age_days <= 90 THEN '31-90'
+                ELSE '91+' END AS age_bucket,
+           CAST(count(*) AS BIGINT) AS n_lots,
+           CAST(sum(leftover) AS BIGINT) AS leftover_qty,
+           CAST(max(age_days) AS BIGINT) AS oldest_days
+    FROM rem GROUP BY 1
+    """,
+)
+def q_inventory_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining-stock aging report - the unmatched side of the FIFO sweep: remnant lot quantities by exact interval arithmetic on cumulative sums, aged to the table horizon, bucketed 0-30/31-90/91+ days."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .select(
+            F.col("l_partkey").alias("part"),
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_linenumber").alias("lno"),
+            F.col("l_shipdate").alias("sd"),
+            F.col("l_linestatus").alias("st"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+    )
+    w = (
+        W.partitionBy("part")
+        .orderBy("sd", "okey", "lno")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    r = li.filter(F.col("st") == "F").select(
+        "part", "sd", "qty", F.sum("qty").over(w).alias("rcum")
+    )
+    dsum = (
+        li.filter(F.col("st") == "O")
+        .groupBy("part")
+        .agg(F.sum("qty").alias("dtot"))
+        .withColumnRenamed("part", "dpart")
+    )
+    m = (
+        r.groupBy("part")
+        .agg(F.max("rcum").alias("rmax"))
+        .join(dsum, F.col("part") == F.col("dpart"), "left")
+        .select(
+            F.col("part").alias("mpart"),
+            F.least(
+                F.col("rmax"), F.coalesce(F.col("dtot"), F.lit(0))
+            ).alias("matched"),
+        )
+    )
+    hz = li.groupBy().agg(F.max("sd").alias("hz"))
+    rem = (
+        r.join(m, F.col("part") == F.col("mpart"))
+        .filter(F.col("rcum") > F.col("matched"))
+        .crossJoin(F.broadcast(hz))
+        .select(
+            (
+                F.col("rcum")
+                - F.greatest(F.col("rcum") - F.col("qty"), F.col("matched"))
+            ).alias("leftover"),
+            F.expr(
+                "(unix_seconds(hz) - unix_seconds(sd)) div 86400"
+            ).alias("age_days"),
+        )
+    )
+    return rem.groupBy(
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .otherwise("91+")
+        .alias("age_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lots"),
+        F.sum("leftover").cast("long").alias("leftover_qty"),
+        F.max("age_days").cast("long").alias("oldest_days"),
+    )

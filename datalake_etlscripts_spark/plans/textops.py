@@ -5169,3 +5169,83 @@ def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents").select("text")
     return bpe.wordpiece_encode(d, _WP_VOCAB)
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth (r9): distinct-vocabulary size after
+# the first N documents, at doubling cutoffs — WITHOUT re-scanning
+# per cutoff: each token's FIRST document (one min aggregate) places
+# it on the growth curve, each doc's token count places the x-axis,
+# and every cutoff reads two bounded aggregates. The sub-linearity of
+# V(N) vs N is the Heaps exponent evidence corpora are judged by.
+# ---------------------------------------------------------------------------
+@query(
+    "heaps_law_points",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS tok
+      FROM documents
+    ),
+    firsts AS (
+      SELECT tok, CAST(min(doc_id) AS BIGINT) AS first_doc
+      FROM toks GROUP BY 1
+    ),
+    dlen AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+      FROM toks GROUP BY 1
+    ),
+    cuts AS (SELECT unnest([50, 100, 200, 400, 800]) AS cutoff)
+    SELECT c.cutoff,
+           CAST(coalesce((SELECT sum(n_tok) FROM dlen
+                          WHERE doc_id < c.cutoff), 0) AS BIGINT)
+             AS total_tokens,
+           CAST((SELECT count(*) FROM firsts
+                 WHERE first_doc < c.cutoff) AS BIGINT) AS vocab
+    FROM cuts c
+    """,
+)
+def q_heaps_law_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law growth curve: vocabulary size vs total tokens at doubling document cutoffs, from ONE corpus scan (token first-doc + doc length aggregates) - no per-cutoff rescan."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    firsts = toks.groupBy("tok").agg(
+        F.min("doc_id").cast("long").alias("first_doc")
+    )
+    dlen = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    cuts = spark.createDataFrame(
+        [(50,), (100,), (200,), (400,), (800,)], "cutoff INT"
+    )
+    tt = (
+        dlen.crossJoin(F.broadcast(cuts))
+        .filter(F.col("doc_id") < F.col("cutoff"))
+        .groupBy("cutoff")
+        .agg(F.sum("n_tok").cast("long").alias("total_tokens"))
+        .withColumnRenamed("cutoff", "tcut")
+    )
+    vv = (
+        firsts.crossJoin(F.broadcast(cuts))
+        .filter(F.col("first_doc") < F.col("cutoff"))
+        .groupBy("cutoff")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+        .withColumnRenamed("cutoff", "vcut")
+    )
+    return (
+        cuts.join(tt, F.col("cutoff") == F.col("tcut"), "left")
+        .join(vv, F.col("cutoff") == F.col("vcut"), "left")
+        .select(
+            "cutoff",
+            F.coalesce("total_tokens", F.lit(0)).cast("long").alias(
+                "total_tokens"
+            ),
+            F.coalesce("vocab", F.lit(0)).cast("long").alias("vocab"),
+        )
+    )
