@@ -2591,3 +2591,97 @@ def q_order_cycle_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_over_90d"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type co-occurrence lift (r9): which event types show up in
+# the same user-hour more often than independence predicts? Exact
+# integer cell counts over the (user, hour) presence table, lift =
+# n·n_ab/(n_a·n_b) as one cross-multiplied division, over-represented
+# flag by pure integer comparison. A 5×5-bounded pair join AFTER the
+# presence aggregate — facts are touched once.
+# ---------------------------------------------------------------------------
+@query(
+    "type_cooccurrence_lift",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS hr, event_type
+      FROM events
+    ),
+    cells AS (SELECT DISTINCT user_id, hr FROM pres),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_cells FROM cells),
+    per AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+      FROM pres GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS ta, b.event_type AS tb,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM pres a JOIN pres b
+        ON b.user_id = a.user_id AND b.hr = a.hr
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.ta, p.tb, p.n_ab, pa.n_t AS n_a, pb.n_t AS n_b, n.n_cells,
+           CAST(n.n_cells * p.n_ab AS DOUBLE)
+             / CAST(pa.n_t * pb.n_t AS DOUBLE) AS lift,
+           CAST(CASE WHEN n.n_cells * p.n_ab > pa.n_t * pb.n_t
+                THEN 1 ELSE 0 END AS INT) AS over_represented
+    FROM pairs p
+    JOIN per pa ON pa.event_type = p.ta
+    JOIN per pb ON pb.event_type = p.tb
+    CROSS JOIN n
+    """,
+)
+def q_type_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence lift within user-hours: exact presence-cell counts, cross-multiplied lift and over-representation flags, dictionary-bounded pair join after one fact aggregate."""
+    e = read_table(spark, sf_dir, "events")
+    pres = e.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        "event_type",
+    ).distinct()
+    n = pres.select("user_id", "hr").distinct().groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells")
+    )
+    per = pres.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    b = pres.select(
+        F.col("user_id").alias("bu"),
+        F.col("hr").alias("bh"),
+        F.col("event_type").alias("tb"),
+    )
+    pairs = (
+        pres.join(
+            b,
+            (F.col("user_id") == F.col("bu"))
+            & (F.col("hr") == F.col("bh"))
+            & (F.col("event_type") < F.col("tb")),
+        )
+        .groupBy(F.col("event_type").alias("ta"), "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    pa = per.select(F.col("event_type").alias("ka"), F.col("n_t").alias("n_a"))
+    pb = per.select(F.col("event_type").alias("kb"), F.col("n_t").alias("n_b"))
+    j = (
+        pairs.join(F.broadcast(pa), F.col("ta") == F.col("ka"))
+        .join(F.broadcast(pb), F.col("tb") == F.col("kb"))
+        .crossJoin(F.broadcast(n))
+    )
+    return j.select(
+        "ta",
+        "tb",
+        "n_ab",
+        "n_a",
+        "n_b",
+        "n_cells",
+        (
+            (F.col("n_cells") * F.col("n_ab")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("lift"),
+        F.when(
+            F.col("n_cells") * F.col("n_ab") > F.col("n_a") * F.col("n_b"),
+            1,
+        ).otherwise(0).cast("int").alias("over_represented"),
+    )

@@ -5249,3 +5249,77 @@ def q_heaps_law_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("vocab", F.lit(0)).cast("long").alias("vocab"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf doubling ratios (r9): the rank-frequency law checked WITHOUT
+# logarithms — under Zipf with exponent s, freq(r)/freq(2r) ≈ 2^s, so
+# the ratio table at doubling ranks r ∈ {1..64} reads the exponent
+# off directly (ratio ≈ 2 ⇔ s ≈ 1), and the s=1 adequacy flag is an
+# integer cross-multiplication |f(r) − 2·f(2r)| ≤ f(2r) (ratio in
+# [1.?, 3]). Ranks come from one term aggregate + a dictionary-sized
+# rank window; each ratio is one exact division.
+# ---------------------------------------------------------------------------
+@query(
+    "zipf_doubling_ratios",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+        AS tok
+      FROM documents
+    ),
+    tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+    ranked AS (
+      SELECT tok, f, row_number() OVER (ORDER BY f DESC, tok ASC) AS r
+      FROM tf
+    ),
+    rs AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64]) AS r0)
+    SELECT rs.r0 AS rank, a.tok AS term, a.f AS freq,
+           b.f AS freq_2r,
+           CAST(a.f AS DOUBLE) / CAST(b.f AS DOUBLE) AS doubling_ratio,
+           CAST(CASE WHEN abs(a.f - 2 * b.f) <= b.f THEN 1 ELSE 0 END
+                AS INT) AS zipf1_adequate
+    FROM rs
+    JOIN ranked a ON a.r = rs.r0
+    JOIN ranked b ON b.r = 2 * rs.r0
+    """,
+)
+def q_zipf_doubling_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's law without logarithms: freq(r)/freq(2r) at doubling ranks reads the exponent directly, with an integer cross-multiplied s=1 adequacy flag - one term aggregate, one rank window, one division per point."""
+    d = read_table(spark, sf_dir, "documents")
+    tf = d.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tok")
+    ).groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("f"))
+    from pyspark.sql import Window as W
+
+    wr = W.orderBy(F.col("f").desc(), F.col("tok").asc())
+    ranked = tf.withColumn("r", F.row_number().over(wr))
+    rs = spark.createDataFrame(
+        [(1,), (2,), (4,), (8,), (16,), (32,), (64,)], "r0 INT"
+    )
+    a = ranked.select(
+        F.col("r").alias("ra"), F.col("tok").alias("term"),
+        F.col("f").alias("freq"),
+    )
+    b = ranked.select(
+        F.col("r").alias("rb"), F.col("f").alias("freq_2r")
+    )
+    j = (
+        rs.join(a, F.col("ra") == F.col("r0"))
+        .join(b, F.col("rb") == 2 * F.col("r0"))
+    )
+    return j.select(
+        F.col("r0").alias("rank"),
+        "term",
+        "freq",
+        "freq_2r",
+        (F.col("freq").cast("double") / F.col("freq_2r").cast("double")).alias(
+            "doubling_ratio"
+        ),
+        F.when(
+            F.abs(F.col("freq") - 2 * F.col("freq_2r")) <= F.col("freq_2r"),
+            1,
+        ).otherwise(0).cast("int").alias("zipf1_adequate"),
+    )
