@@ -611,3 +611,107 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_ring_assignment_total_and_balance(spark, sf_dir):
+    rows = _run("consistent_hash_ring", spark, sf_dir).collect()
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(r["n_keys"] for r in rows) == n_cust
+    assert {r["node"] for r in rows} <= {0, 1, 2, 3}
+    for r in rows:
+        assert 0 <= r["moved_on_resize"] <= r["n_keys"]
+    # consistency promise: overall movement well under half the keys
+    moved = sum(r["moved_on_resize"] for r in rows)
+    assert moved < 0.5 * n_cust
+
+
+def test_idempotency_dedup_accounting(spark, sf_dir):
+    rows = _run("idempotency_window_dedup", spark, sf_dir).collect()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r["n_events"] for r in rows) == n_events
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_events"]
+        assert r["n_kept"] >= 1
+
+
+def test_topn_others_shares(spark, sf_dir):
+    rows = _run("topn_with_others", spark, sf_dir).collect()
+    named = [r for r in rows if r["bucket"] != "OTHER"]
+    assert len(named) <= 5
+    assert sum(r["share"] for r in rows) == pytest.approx(1.0, abs=1e-9)
+    for r in named:
+        assert r["n_types"] == 1
+
+
+def test_nested_sessions_nest(spark, sf_dir):
+    rows = _run("nested_sessionize", spark, sf_dir).collect()
+    for r in rows:
+        assert 1 <= r["n_micro_sessions"] <= r["n_events"]
+        assert r["duration_us"] >= 0
+
+
+def test_inventory_aging_conservation(spark, sf_dir):
+    """Σ leftover across buckets == total supply − total matched
+    (recomputed independently from the raw table)."""
+    rows = _run("inventory_aging", spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        "l_quantity > 0"
+    )
+    sup = {
+        r["part"]: r["q"]
+        for r in li.filter("l_linestatus = 'F'")
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+        .collect()
+    }
+    dem = {
+        r["part"]: r["q"]
+        for r in li.filter("l_linestatus = 'O'")
+        .groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+        .collect()
+    }
+    expected_leftover = sum(
+        s - min(s, dem.get(p, 0)) for p, s in sup.items()
+    )
+    assert sum(r["leftover_qty"] for r in rows) == expected_leftover
+
+
+def test_heaps_points_monotone(spark, sf_dir):
+    rows = sorted(
+        _run("heaps_law_points", spark, sf_dir).collect(),
+        key=lambda r: r["cutoff"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b["total_tokens"] >= a["total_tokens"]
+        assert b["vocab"] >= a["vocab"]
+    # sub-linearity: vocab grows slower than tokens once both move
+    if rows[0]["vocab"] > 0 and rows[-1]["total_tokens"] > rows[0][
+        "total_tokens"
+    ] > 0:
+        growth_v = rows[-1]["vocab"] / rows[0]["vocab"]
+        growth_t = rows[-1]["total_tokens"] / rows[0]["total_tokens"]
+        assert growth_v <= growth_t
+
+
+def test_rich_club_and_cooccurrence_bounds(spark, sf_dir):
+    for r in _run("graph_rich_club", spark, sf_dir).collect():
+        if r["phi"] is not None:
+            assert 0.0 <= r["phi"] <= 1.0
+        assert 0 <= r["e_k"] <= r["n_k"] * (r["n_k"] - 1) // 2
+    for r in _run("type_cooccurrence_lift", spark, sf_dir).collect():
+        assert r["n_ab"] <= min(r["n_a"], r["n_b"])
+        assert (r["over_represented"] == 1) == (
+            r["n_cells"] * r["n_ab"] > r["n_a"] * r["n_b"]
+        )
+
+
+def test_zipf_ratios_and_spectral_power(spark, sf_dir):
+    for r in _run("zipf_doubling_ratios", spark, sf_dir).collect():
+        assert r["freq"] >= r["freq_2r"] > 0
+        assert r["doubling_ratio"] >= 1.0
+    s = _run("spectral_power_daily", spark, sf_dir).collect()[0]
+    assert s["power_24"] >= 0.0
+    assert s["power_24"] == pytest.approx(
+        s["re"] * s["re"] + s["im"] * s["im"], rel=1e-12
+    )
