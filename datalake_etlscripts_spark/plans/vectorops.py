@@ -708,3 +708,114 @@ def q_kmeans_round_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = read_table(spark, sf_dir, "embeddings")
     return kmeans_round_exact(e, k=4)
+
+
+# ---------------------------------------------------------------------------
+# Cluster purity against labels (r9): how well do the exact-k-means
+# cells recover the embedding labels? Assignment replays
+# kmeans_round_exact's integer argmin (quantized L2 against the k
+# lowest-id seed centroids, ties to the lower cell); purity is
+# Σ_cell max_label-count / n — exact integer majority counts, one
+# division per cell + one overall. The unsupervised-vs-ground-truth
+# audit beside knn_label_vote.
+# ---------------------------------------------------------------------------
+@query(
+    "kmeans_cluster_purity",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5)
+                         AS BIGINT)) AS xq
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cell, xq AS cq FROM q WHERE vec_id < 4),
+    d AS (
+      SELECT q.vec_id, q.label, c.cell,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(list_zip(q.xq, c.cq),
+                 p -> (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT))
+                      * (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT)))),
+               (a, b) -> a + b) AS dist
+      FROM q CROSS JOIN cents c
+    ),
+    a AS (
+      SELECT vec_id, label, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY dist, cell) AS rk
+        FROM d
+      ) WHERE rk = 1
+    ),
+    cl AS (
+      SELECT cell, label, CAST(count(*) AS BIGINT) AS c
+      FROM a GROUP BY 1, 2
+    ),
+    maj AS (
+      SELECT cell, CAST(sum(c) AS BIGINT) AS n_cell,
+             CAST(max(c) AS BIGINT) AS n_majority
+      FROM cl GROUP BY 1
+    )
+    SELECT cell, n_cell, n_majority,
+           CAST(n_majority AS DOUBLE) / CAST(n_cell AS DOUBLE) AS purity,
+           CAST((SELECT sum(n_majority) FROM maj) AS DOUBLE)
+             / CAST((SELECT sum(n_cell) FROM maj) AS DOUBLE)
+             AS overall_purity
+    FROM maj
+    """,
+)
+def q_kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster purity of the exact integer k-means assignment against embedding labels: majority counts per cell, one division each, plus the overall purity."""
+    from pyspark.sql import Window as W
+
+    e = read_table(spark, sf_dir, "embeddings")
+    xq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+    )
+    q = e.select("vec_id", "label", xq.alias("xq"))
+    cents = q.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell"), F.col("xq").alias("cq")
+    )
+    d = q.crossJoin(F.broadcast(cents)).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with(
+                F.col("xq"), F.col("cq"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    a = (
+        d.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy("dist", "cell")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "label", "cell")
+    )
+    cl = a.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    maj = cl.groupBy("cell").agg(
+        F.sum("c").cast("long").alias("n_cell"),
+        F.max("c").cast("long").alias("n_majority"),
+    )
+    tot = maj.groupBy().agg(
+        (
+            F.sum("n_majority").cast("double")
+            / F.sum("n_cell").cast("double")
+        ).alias("overall_purity")
+    )
+    return maj.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_cell",
+        "n_majority",
+        (
+            F.col("n_majority").cast("double")
+            / F.col("n_cell").cast("double")
+        ).alias("purity"),
+        "overall_purity",
+    )

@@ -715,3 +715,46 @@ def test_zipf_ratios_and_spectral_power(spark, sf_dir):
     assert s["power_24"] == pytest.approx(
         s["re"] * s["re"] + s["im"] * s["im"], rel=1e-12
     )
+
+
+def test_partition_only_query_reads_no_data_columns(spark, sf_dir, tmp_path):
+    """Scale proof: aggregating ONLY the partition column reads zero
+    parquet data columns (ReadSchema is empty) — partition listings
+    answer the query, the 100 TB of data files contribute nothing."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "flag", F.col("l_returnflag")
+    )
+    path = str(tmp_path / "by_flag")
+    li.write.partitionBy("flag").parquet(path)
+    t = spark.read.parquet(path)
+    q = t.groupBy("flag").count()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<>" in plan, plan[:1200]
+    rows = {r["flag"]: r["count"] for r in q.collect()}
+    assert sum(rows.values()) == li.count()
+
+
+def test_nested_schema_pruning_reads_one_subfield(spark, sf_dir, tmp_path):
+    """Scale proof: selecting one struct subfield prunes the parquet
+    ReadSchema down to that leaf — sibling subfields are never
+    decoded (nestedSchemaPruning)."""
+    d = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("bal"),
+            F.col("c_mktsegment").alias("seg"),
+        ).alias("payload"),
+    )
+    path = str(tmp_path / "nested")
+    d.write.parquet(path)
+    t = spark.read.parquet(path)
+    q = t.select(F.col("payload.seg").alias("seg")).groupBy("seg").count()
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    import re
+
+    schema = re.search(r"ReadSchema: (struct<[^\n]*)", plan).group(1)
+    assert "seg" in schema and "name" not in schema and "bal" not in schema, (
+        schema
+    )
