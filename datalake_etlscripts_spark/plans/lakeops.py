@@ -1779,3 +1779,100 @@ def q_inventory_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("leftover").cast("long").alias("leftover_qty"),
         F.max("age_days").cast("long").alias("oldest_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Revenue-recognition schedule (r9): each order's value spreads
+# evenly across the calendar months from order date to its last ship
+# date — cents div n_months per month with the REMAINDER recognized
+# in the first month (the accounting convention, and the same
+# largest-remainder integer discipline as the apportionment query:
+# Σ recognized ≡ order cents exactly). Month explode is bounded by
+# the order's span; output is the calendar-month ledger.
+# ---------------------------------------------------------------------------
+@query(
+    "rev_recognition_schedule",
+    oracle="""
+    WITH o AS (
+      SELECT o.o_orderkey AS okey,
+             CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS HUGEINT)
+               AS cents,
+             date_trunc('month', o.o_orderdate) AS m0,
+             date_trunc('month', max(l.l_shipdate)) AS m1
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2, 3
+    ),
+    span AS (
+      SELECT okey, cents, m0,
+             greatest(CAST(1 AS HUGEINT),
+                      CAST((year(m1) - year(m0)) * 12
+                           + (month(m1) - month(m0)) + 1 AS HUGEINT))
+               AS n_m
+      FROM o
+    ),
+    sched AS (
+      SELECT s.okey,
+             s.m0 + to_months(CAST(g.i AS INT)) AS month,
+             s.cents // s.n_m
+               + CASE WHEN g.i = 0 THEN s.cents % s.n_m ELSE 0 END
+               AS recognized
+      FROM span s,
+           LATERAL (SELECT unnest(range(0, CAST(s.n_m AS BIGINT))) AS i) g
+    )
+    SELECT CAST(strftime(month, '%Y-%m') AS VARCHAR) AS month,
+           CAST(count(DISTINCT okey) AS BIGINT) AS n_orders,
+           CAST(sum(recognized) AS BIGINT) AS recognized_cents
+    FROM sched GROUP BY 1
+    """,
+)
+def q_rev_recognition_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Straight-line revenue recognition from order month to last-ship month: integer cents div months with the remainder in month one (sums reconcile exactly), calendar-month ledger."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    base = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("o_orderkey").alias("okey"),
+            (F.col("o_totalprice").cast("decimal(14,2)") * 100)
+            .cast("decimal(38,0)")
+            .alias("cents"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("m0"),
+        )
+        .agg(F.date_trunc("month", F.max("l_shipdate")).alias("m1"))
+    )
+    span = base.select(
+        "okey",
+        "cents",
+        "m0",
+        # synthetic ship dates can precede the order month — clamp
+        F.greatest(
+            F.lit(1).cast("decimal(38,0)"),
+            (
+                (F.year("m1") - F.year("m0")) * 12
+                + (F.month("m1") - F.month("m0"))
+                + 1
+            ).cast("decimal(38,0)"),
+        ).alias("n_m"),
+    )
+    sched = span.select(
+        "okey",
+        "cents",
+        "n_m",
+        "m0",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("n_m") - 1).cast("int"))
+        ).alias("i"),
+    ).select(
+        "okey",
+        F.add_months(F.col("m0"), F.col("i")).alias("month"),
+        (
+            F.expr("cents div n_m")
+            + F.when(F.col("i") == 0, F.expr("cents % n_m")).otherwise(0)
+        ).alias("recognized"),
+    )
+    return sched.groupBy(
+        F.date_format("month", "yyyy-MM").alias("month")
+    ).agg(
+        F.countDistinct("okey").cast("long").alias("n_orders"),
+        F.sum("recognized").cast("long").alias("recognized_cents"),
+    )
