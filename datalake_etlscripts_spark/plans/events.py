@@ -2685,3 +2685,74 @@ def q_type_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0).cast("int").alias("over_represented"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Second-order Markov contexts (r9): the (prev2, prev1) → next
+# transition counts and each context's argmax prediction — the
+# next-best-action baseline one order above event_transition_matrix.
+# Contexts come from two lags in ONE user-keyed window pass; the
+# dictionary is ≤ |types|³ so the argmax window is bounded. Exact
+# counts, one probability division per row.
+# ---------------------------------------------------------------------------
+@query(
+    "markov2_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type, 1) OVER w AS p1,
+             lag(event_type, 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    c AS (
+      SELECT p2, p1, event_type AS nxt, CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE p2 IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    t AS (
+      SELECT p2, p1, CAST(sum(n) AS BIGINT) AS n_ctx FROM c GROUP BY 1, 2
+    )
+    SELECT c.p2, c.p1, c.nxt, c.n, t.n_ctx,
+           CAST(c.n AS DOUBLE) / CAST(t.n_ctx AS DOUBLE) AS p,
+           CAST(CASE WHEN row_number() OVER (PARTITION BY c.p2, c.p1
+                ORDER BY c.n DESC, c.nxt ASC) = 1
+                THEN 1 ELSE 0 END AS INT) AS is_prediction
+    FROM c JOIN t ON t.p2 = c.p2 AND t.p1 = c.p1
+    """,
+)
+def q_markov2_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order Markov transition table with per-context argmax predictions: two lags in one user-keyed pass, dictionary-bounded context windows, exact counts and one division per row."""
+    e = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    c = s.groupBy("p2", "p1", F.col("event_type").alias("nxt")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = c.groupBy(
+        F.col("p2").alias("t2"), F.col("p1").alias("t1")
+    ).agg(F.sum("n").cast("long").alias("n_ctx"))
+    j = c.join(
+        F.broadcast(t),
+        (F.col("p2") == F.col("t2")) & (F.col("p1") == F.col("t1")),
+    )
+    wa = W.partitionBy("p2", "p1").orderBy(
+        F.col("n").desc(), F.col("nxt").asc()
+    )
+    return j.select(
+        "p2",
+        "p1",
+        "nxt",
+        "n",
+        "n_ctx",
+        (F.col("n").cast("double") / F.col("n_ctx").cast("double")).alias(
+            "p"
+        ),
+        F.when(F.row_number().over(wa) == 1, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_prediction"),
+    )

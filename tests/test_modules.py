@@ -3313,3 +3313,40 @@ def test_python_datasource_jsonl_manifest_sink(spark, tmp_path):
     assert sorted((r["id"], r["name"]) for r in rows) == [
         (i, f"name-{i}") for i in range(100)
     ]
+
+
+def test_python_udtf_arrow_sentence_split(spark):
+    """Spark 4 Python UDTF lane (arrow-optimized): a table function
+    exploding text into (sentence_idx, sentence) rows — registered in
+    SQL and used with LATERAL. Completes the Python-surface ladder
+    beside mapInPandas / mapInArrow / the DataSource API. The arrow
+    variant's plan node (ArrowEvalPythonUDTF) stays outside the
+    row-at-a-time BatchEvalPython ban."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx INT, sentence STRING", useArrow=True)
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(text.split(".")):
+                s = s.strip()
+                if s:
+                    yield i, s
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    df = spark.createDataFrame(
+        [(1, "a b. c d. e"), (2, "x"), (3, None)], "id INT, t STRING"
+    )
+    df.createOrReplaceTempView("docs_udtf")
+    out = spark.sql(
+        """SELECT d.id, s.idx, s.sentence
+           FROM docs_udtf d, LATERAL sentence_split(d.t) s"""
+    ).collect()
+    got = sorted((r["id"], r["idx"], r["sentence"]) for r in out)
+    assert got == [
+        (1, 0, "a b"),
+        (1, 1, "c d"),
+        (1, 2, "e"),
+        (2, 0, "x"),
+    ]
