@@ -2546,3 +2546,89 @@ def q_spectral_power_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "power_to_var"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score intervals (r9): the proportion CI that behaves at the
+# extremes — per event type, the purchase-share 95% bounds from exact
+# integer (k, n) in ONE fixed-order double expression with the
+# z = 1.96 literal in e-notation (the literal-parsing discipline).
+# The last piece of the proportion toolkit beside the z-test and SPRT.
+# ---------------------------------------------------------------------------
+_WILSON_Z = "1.96e0"
+
+
+@query(
+    "wilson_interval",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted
+      FROM c
+    )
+    SELECT n_users, n_converted,
+           CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE) AS p_hat,
+           (CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
+            + {_WILSON_Z} * {_WILSON_Z} / (2 * CAST(n_users AS DOUBLE))
+            - {_WILSON_Z} * sqrt(
+                (CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE))
+                * (1 - CAST(n_converted AS DOUBLE)
+                       / CAST(n_users AS DOUBLE))
+                  / CAST(n_users AS DOUBLE)
+                + {_WILSON_Z} * {_WILSON_Z}
+                  / (4 * CAST(n_users AS DOUBLE)
+                       * CAST(n_users AS DOUBLE))))
+           / (1 + {_WILSON_Z} * {_WILSON_Z} / CAST(n_users AS DOUBLE))
+             AS wilson_lo,
+           (CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE)
+            + {_WILSON_Z} * {_WILSON_Z} / (2 * CAST(n_users AS DOUBLE))
+            + {_WILSON_Z} * sqrt(
+                (CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE))
+                * (1 - CAST(n_converted AS DOUBLE)
+                       / CAST(n_users AS DOUBLE))
+                  / CAST(n_users AS DOUBLE)
+                + {_WILSON_Z} * {_WILSON_Z}
+                  / (4 * CAST(n_users AS DOUBLE)
+                       * CAST(n_users AS DOUBLE))))
+           / (1 + {_WILSON_Z} * {_WILSON_Z} / CAST(n_users AS DOUBLE))
+             AS wilson_hi
+    FROM g
+    """,
+)
+def q_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson 95% score interval for the user conversion share: exact integer counts, one fixed-order double expression per bound, e-notation z literal."""
+    e = read_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("k")
+    )
+    g = c.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("k") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_converted"),
+    )
+    z = 1.96
+    n = F.col("n_users").cast("double")
+    p = F.col("n_converted").cast("double") / n
+    half = F.lit(z) * F.sqrt(
+        p * (1 - p) / n + F.lit(z) * F.lit(z) / (4 * n * n)
+    )
+    center = p + F.lit(z) * F.lit(z) / (2 * n)
+    denom = 1 + F.lit(z) * F.lit(z) / n
+    return g.select(
+        "n_users",
+        "n_converted",
+        p.alias("p_hat"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    )

@@ -758,3 +758,25 @@ def test_nested_schema_pruning_reads_one_subfield(spark, sf_dir, tmp_path):
     assert "seg" in schema and "name" not in schema and "bal" not in schema, (
         schema
     )
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
+    """Scale proof #3 for AQE: a shuffle configured with many
+    partitions over tiny data coalesces at runtime — the final
+    adaptive plan reads the shuffle with 'coalesced'. The inverse of
+    the skew test: partition count adapts DOWN when stats say so."""
+    from pyspark.sql import functions as F
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    try:
+        df = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "coalesced" in plan, plan[:1200]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
