@@ -1404,3 +1404,29 @@ def q_sql_recursive_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive SQL surface: the identical WITH RECURSIVE ancestor walk runs through spark.sql and the DuckDB oracle - one SQL text, two engines, same hash."""
     read_table(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_SQL_RECURSIVE_STMT)
+
+
+# ---------------------------------------------------------------------------
+# SQL hint surface (r9): the IDENTICAL statement text carries Spark
+# optimizer hints (/*+ BROADCAST, REPARTITION */) that DuckDB simply
+# reads as comments — one SQL text, two engines, same hash, but Spark
+# gets the physical steering. The hint-compatibility trick every
+# cross-engine SQL layer relies on.
+# ---------------------------------------------------------------------------
+_SQL_HINT_STMT = """
+    SELECT /*+ BROADCAST(nation), REPARTITION(8) */
+           n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CAST(CAST(c.c_acctbal AS DECIMAL(14,2)) * 100
+                AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@query("sql_hint_demo", oracle=_SQL_HINT_STMT)
+def q_sql_hint_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer hints in shared SQL text: Spark applies BROADCAST/REPARTITION, DuckDB reads them as comments - one statement, two engines, same hash."""
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    read_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_SQL_HINT_STMT)

@@ -5323,3 +5323,45 @@ def q_zipf_doubling_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
             1,
         ).otherwise(0).cast("int").alias("zipf1_adequate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew-safe term counts (r9): the Zipf-head answer as a
+# REGISTERED query — term counting through the two-phase salted
+# aggregate (operators/skew.salted_aggregate: partials per
+# (term, salt), then merge per term), so the hottest stopword never
+# lands on one task. The salt assignment is partitioning-dependent
+# but sum partials are salt-INVARIANT, which is exactly why the
+# plain-GROUP-BY oracle hash-matches: correctness is independent of
+# the physical spreading. Top-50 by (count desc, term asc).
+# ---------------------------------------------------------------------------
+@query(
+    "salted_term_counts",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+        AS tok
+      FROM documents
+    ),
+    tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1)
+    SELECT tok, n FROM tf ORDER BY n DESC, tok ASC LIMIT 50
+    """,
+)
+def q_salted_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe term counting through the two-phase salted aggregate - sum partials are salt-invariant, so the plain GROUP BY oracle hash-matches while no single task ever owns a stopword's full mass."""
+    from datalake_etlscripts_spark.operators.skew import salted_aggregate
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tok")
+    )
+    counts = salted_aggregate(
+        toks,
+        "tok",
+        [F.count(F.lit(1)).alias("n")],
+        n_salts=16,
+        merge_aggs=[F.sum("n").cast("long").alias("n")],
+    )
+    return counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(50)
