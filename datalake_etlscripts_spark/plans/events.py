@@ -2756,3 +2756,91 @@ def q_markov2_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_prediction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve (r9): cumulative purchases per signup-week cohort
+# as a function of weeks-since-signup — the retention economics twin
+# of cohort_retention. Signup = first event week per user; exact
+# integer purchase counts cumulate over the ≤5-week age axis inside
+# cohort-keyed windows (calendar-bounded). The per-user rate is one
+# exact division.
+# ---------------------------------------------------------------------------
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT f.cohort, f.user_id,
+             CAST((epoch(date_trunc('week', e.ts)) - epoch(f.cohort))
+                  // 604800 AS BIGINT) AS age_w
+      FROM events e JOIN first_seen f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    sizes AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n_users
+      FROM first_seen GROUP BY 1
+    ),
+    cells AS (
+      SELECT cohort, age_w, CAST(count(*) AS BIGINT) AS purchases
+      FROM p GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort, age_w, purchases,
+             CAST(sum(purchases) OVER (PARTITION BY cohort ORDER BY age_w
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_purchases
+      FROM cells
+    )
+    SELECT CAST(strftime(c.cohort, '%Y-%m-%d') AS VARCHAR) AS cohort,
+           c.age_w, c.purchases, c.cum_purchases, s.n_users,
+           CAST(c.cum_purchases AS DOUBLE) / CAST(s.n_users AS DOUBLE)
+             AS ltv_per_user
+    FROM cum c JOIN sizes s ON s.cohort = c.cohort
+    """,
+)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative purchases per signup-week cohort by weeks-since-signup: exact integer counts, cohort-keyed calendar-bounded windows, one division for the per-user LTV."""
+    e = read_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort",
+            F.expr(
+                "CAST((unix_seconds(date_trunc('week', ts))"
+                " - unix_seconds(cohort)) div 604800 AS BIGINT)"
+            ).alias("age_w"),
+        )
+    )
+    sizes = first_seen.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    ).withColumnRenamed("cohort", "scohort")
+    cells = p.groupBy("cohort", "age_w").agg(
+        F.count(F.lit(1)).cast("long").alias("purchases")
+    )
+    wc = (
+        W.partitionBy("cohort")
+        .orderBy("age_w")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = cells.withColumn(
+        "cum_purchases", F.sum("purchases").over(wc).cast("long")
+    )
+    j = cum.join(sizes, F.col("cohort") == F.col("scohort"))
+    return j.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+        "age_w",
+        "purchases",
+        "cum_purchases",
+        "n_users",
+        (
+            F.col("cum_purchases").cast("double")
+            / F.col("n_users").cast("double")
+        ).alias("ltv_per_user"),
+    )

@@ -2632,3 +2632,96 @@ def q_wilson_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - half) / denom).alias("wilson_lo"),
         ((center + half) / denom).alias("wilson_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cumulative gains table (r9): rank documents by the stopword-ratio
+# english score (descending), split into deciles by integer index
+# arithmetic on the distributed rank lane, and report each decile's
+# cumulative share of all positives — the gains/lift chart behind
+# "how deep must we screen to catch X% of the targets". Cumulative
+# sums run on the 10-row decile table; everything before is one scan
+# + one rank pass.
+# ---------------------------------------------------------------------------
+@query(
+    "gains_table_deciles",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(1000 * len(list_filter(tk, x -> x = 'the' OR x = 'a'))
+                  // len(tk) AS BIGINT) AS score,
+             CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+      FROM d WHERE len(tk) > 0
+    ),
+    r AS (
+      SELECT score, y,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk,
+             count(*) OVER () AS n
+      FROM s
+    ),
+    dec AS (
+      SELECT CAST(1 + ((rk - 1) * 10) // n AS INT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(y) AS BIGINT) AS positives
+      FROM r GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(positives) AS BIGINT) AS p FROM dec)
+    SELECT decile, n_docs, positives,
+           CAST(sum(positives) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_positives,
+           CAST(sum(positives) OVER (ORDER BY decile
+                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+             / CAST(tot.p AS DOUBLE) AS cum_gain
+    FROM dec CROSS JOIN tot
+    """,
+)
+def q_gains_table_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains table: score-ranked deciles via the distributed rank lane's integer index arithmetic, each decile's cumulative positive share as one division on the 10-row table."""
+    from datalake_etlscripts_spark.operators.features import (
+        distributed_rank,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    tk = "filter(split(text, ' '), x -> x != '')"
+    s = d.filter(F.expr(f"size({tk}) > 0")).select(
+        "doc_id",
+        F.expr(
+            f"CAST(1000 * size(filter({tk}, x -> x = 'the' OR x = 'a'))"
+            f" div size({tk}) AS BIGINT)"
+        ).alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).cast("long").alias(
+            "y"
+        ),
+    )
+    n_tot = s.groupBy().agg(F.count(F.lit(1)).alias("nn"))
+    ranked = distributed_rank(
+        s.withColumn("_neg", -F.col("score").cast("double")),
+        "_neg",
+        "doc_id",
+        out_col="rk",
+    ).crossJoin(F.broadcast(n_tot))
+    dec = ranked.groupBy(
+        F.expr("CAST(1 + ((rk - 1) * 10) div nn AS INT)").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("positives"),
+    )
+    tot = dec.groupBy().agg(F.sum("positives").cast("long").alias("p"))
+    wd = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    cum = dec.withColumn(
+        "cum_positives", F.sum("positives").over(wd).cast("long")
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_docs",
+        "positives",
+        "cum_positives",
+        (
+            F.col("cum_positives").cast("double") / F.col("p").cast("double")
+        ).alias("cum_gain"),
+    )
