@@ -407,3 +407,93 @@ def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("rake_score").desc(), F.col("phrase").asc()
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa (r9): chance-corrected agreement for THREE rule-based
+# raters (stopword ratio / ' the ' / ' a ') on the binary english
+# call — the multi-annotator generalization of cohens_kappa. With
+# n = 3 raters and votes v ∈ {0..3} per item, the per-item agreement
+# P_i = (v² + (3−v)² − 3)/6 folds to integer sums (Σv, Σv²), and P̄,
+# P̄_e, κ are a fixed-order double combine of those exact integers —
+# one scan, no per-item float math.
+# ---------------------------------------------------------------------------
+@query(
+    "fleiss_kappa",
+    oracle="""
+    WITH d AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk,
+             text
+      FROM documents
+    ),
+    r AS (
+      SELECT (CASE WHEN 1000 * len(list_filter(tk, x -> x = 'the'
+                        OR x = 'a')) >= 100 * len(tk)
+                   THEN 1 ELSE 0 END
+            + CASE WHEN strpos(text, ' the ') > 0 THEN 1 ELSE 0 END
+            + CASE WHEN strpos(text, ' a ') > 0 THEN 1 ELSE 0 END)
+               AS v
+      FROM d WHERE len(tk) > 0
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(v) AS BIGINT) AS sv,
+             CAST(sum(v * v) AS BIGINT) AS svv
+      FROM r
+    )
+    SELECT n_items, sv, svv,
+           CAST(2 * svv - 6 * sv + 9 * n_items - 3 * n_items AS DOUBLE)
+             / CAST(6 * n_items AS DOUBLE) AS p_bar,
+           (CAST(sv AS DOUBLE) / CAST(3 * n_items AS DOUBLE))
+             * (CAST(sv AS DOUBLE) / CAST(3 * n_items AS DOUBLE))
+           + (1 - CAST(sv AS DOUBLE) / CAST(3 * n_items AS DOUBLE))
+             * (1 - CAST(sv AS DOUBLE) / CAST(3 * n_items AS DOUBLE))
+             AS p_e,
+           ((CAST(2 * svv - 6 * sv + 9 * n_items - 3 * n_items AS DOUBLE)
+               / CAST(6 * n_items AS DOUBLE))
+            - ((CAST(sv AS DOUBLE) / CAST(3 * n_items AS DOUBLE))
+                 * (CAST(sv AS DOUBLE) / CAST(3 * n_items AS DOUBLE))
+               + (1 - CAST(sv AS DOUBLE) / CAST(3 * n_items AS DOUBLE))
+                 * (1 - CAST(sv AS DOUBLE)
+                        / CAST(3 * n_items AS DOUBLE))))
+           / (1 - ((CAST(sv AS DOUBLE) / CAST(3 * n_items AS DOUBLE))
+                     * (CAST(sv AS DOUBLE) / CAST(3 * n_items AS DOUBLE))
+                   + (1 - CAST(sv AS DOUBLE) / CAST(3 * n_items AS DOUBLE))
+                     * (1 - CAST(sv AS DOUBLE)
+                            / CAST(3 * n_items AS DOUBLE))))
+             AS kappa
+    FROM m
+    """,
+)
+def q_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa for three rule-based raters: per-item agreement folded to integer vote sums ((v^2+(3-v)^2-3)/6), chance correction and kappa as one fixed-order combine."""
+    d = read_table(spark, sf_dir, "documents")
+    tk = "filter(split(text, ' '), x -> x != '')"
+    v = (
+        F.expr(
+            f"CASE WHEN 1000 * size(filter({tk}, x -> x = 'the' OR"
+            f" x = 'a')) >= 100 * size({tk}) THEN 1 ELSE 0 END"
+        )
+        + F.when(F.instr(F.col("text"), " the ") > 0, 1).otherwise(0)
+        + F.when(F.instr(F.col("text"), " a ") > 0, 1).otherwise(0)
+    )
+    r = d.filter(F.expr(f"size({tk}) > 0")).select(v.alias("v"))
+    m = r.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("svv"),
+    )
+    n = F.col("n_items")
+    p_bar = (
+        2 * F.col("svv") - 6 * F.col("sv") + 9 * n - 3 * n
+    ).cast("double") / (6 * n).cast("double")
+    p1 = F.col("sv").cast("double") / (3 * n).cast("double")
+    p_e = p1 * p1 + (1 - p1) * (1 - p1)
+    return m.select(
+        "n_items",
+        "sv",
+        "svv",
+        p_bar.alias("p_bar"),
+        p_e.alias("p_e"),
+        ((p_bar - p_e) / (1 - p_e)).alias("kappa"),
+    )
