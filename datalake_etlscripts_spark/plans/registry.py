@@ -171,7 +171,18 @@ PRIORITY: list[str] = [
 # cohens_kappa, matryoshka_recall, cuped_adjusted_ab, spc_c_chart,
 # ips_offpolicy_estimate, graph_ktruss, dr_offpolicy_estimate,
 # attribution_time_decay, psm_stratified_ate, rake_keyphrases,
-# f1_scores_langid, codec_advisor, voptimal_histogram.
+# f1_scores_langid, codec_advisor, voptimal_histogram,
+# variant_props_extract, python_datasource_scan, arrow_utf8_stats,
+# sql_recursive_demo, range_interval_window, hll_accuracy_audit,
+# graph_eccentricity_sample, revenue_waterfall, pvm_bridge,
+# weekend_lift, consistent_hash_ring, idempotency_window_dedup,
+# topn_with_others, data_masking_view, nested_sessionize,
+# order_cycle_time, inventory_aging, graph_rich_club,
+# heaps_law_points, zipf_doubling_ratios, type_cooccurrence_lift,
+# spectral_power_daily, kmeans_cluster_purity,
+# rev_recognition_schedule, markov2_transitions, wilson_interval,
+# salted_term_counts, sql_hint_demo, cohort_ltv_curve,
+# gains_table_deciles, fleiss_kappa.
 
 
 def _ordered(d: dict) -> dict:
