@@ -1876,3 +1876,189 @@ def q_rev_recognition_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("okey").cast("long").alias("n_orders"),
         F.sum("recognized").cast("long").alias("recognized_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekly rank movers (r9): the BI "top movers" report — part types
+# ranked by exact revenue in two adjacent January weeks, joined on
+# type, biggest |Δrank| first. Ranks run per week on the
+# dictionary-sized type table after one fact aggregate; ties are
+# (cents DESC, type ASC) in both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "weekly_rank_movers",
+    oracle=f"""
+    WITH f AS (
+      SELECT p.p_type AS typ, date_trunc('week', l.l_shipdate) AS wk,
+             sum({_CENTS.format(x='l.l_extendedprice')}) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1996-01-15'
+      GROUP BY 1, 2
+    ),
+    wks AS (SELECT DISTINCT wk FROM f ORDER BY wk LIMIT 2),
+    r AS (
+      SELECT typ, wk, cents,
+             row_number() OVER (PARTITION BY wk
+               ORDER BY cents DESC, typ ASC) AS rk
+      FROM f WHERE wk IN (SELECT wk FROM wks)
+    ),
+    a AS (SELECT typ, cents AS cents_w1, rk AS rk_w1 FROM r
+          WHERE wk = (SELECT min(wk) FROM wks)),
+    b AS (SELECT typ, cents AS cents_w2, rk AS rk_w2 FROM r
+          WHERE wk = (SELECT max(wk) FROM wks))
+    SELECT a.typ, CAST(a.cents_w1 AS BIGINT) AS cents_w1,
+           CAST(b.cents_w2 AS BIGINT) AS cents_w2,
+           CAST(a.rk_w1 AS BIGINT) AS rk_w1,
+           CAST(b.rk_w2 AS BIGINT) AS rk_w2,
+           CAST(a.rk_w1 - b.rk_w2 AS BIGINT) AS rank_gain
+    FROM a JOIN b ON b.typ = a.typ
+    """,
+)
+def q_weekly_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week part-type rank movers in two adjacent weeks: exact-cents per-week rankings on the dictionary-sized type table, deterministic tie order, signed rank gains."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-15").cast("timestamp"))
+    )
+    p = read_table(spark, sf_dir, "part")
+    f = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_type")),
+            li["l_partkey"] == p["p_partkey"],
+        )
+        .groupBy(
+            F.col("p_type").alias("typ"),
+            F.date_trunc("week", F.col("l_shipdate")).alias("wk"),
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("cents")
+        )
+    )
+    wks = [
+        r["wk"]
+        for r in f.select("wk").distinct().orderBy("wk").limit(2).collect()
+    ]
+    r = f.filter(F.col("wk").isin(wks)).withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("wk").orderBy(
+                F.col("cents").desc(), F.col("typ").asc()
+            )
+        ),
+    )
+    a = r.filter(F.col("wk") == wks[0]).select(
+        "typ", F.col("cents").alias("cents_w1"), F.col("rk").alias("rk_w1")
+    )
+    b = r.filter(F.col("wk") == wks[1]).select(
+        F.col("typ").alias("typ2"),
+        F.col("cents").alias("cents_w2"),
+        F.col("rk").alias("rk_w2"),
+    )
+    return a.join(b, F.col("typ") == F.col("typ2")).select(
+        "typ",
+        F.col("cents_w1").cast("long").alias("cents_w1"),
+        F.col("cents_w2").cast("long").alias("cents_w2"),
+        F.col("rk_w1").cast("long").alias("rk_w1"),
+        F.col("rk_w2").cast("long").alias("rk_w2"),
+        (F.col("rk_w1") - F.col("rk_w2")).cast("long").alias("rank_gain"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arc elasticity (r9): the midpoint price-elasticity of demand per
+# brand between 1995 and 1996, with the average-price rationals'
+# common denominators CANCELLED algebraically:
+#   E = (q₁−q₀)(s₁q₀ + s₀q₁) / ((q₁+q₀)(s₁q₀ − s₀q₁))
+# — pure integer products, ONE division, sign meaningful. The
+# economics twin of pvm_bridge on the same moments.
+# ---------------------------------------------------------------------------
+@query(
+    "arc_elasticity",
+    oracle="""
+    WITH f AS (
+      SELECT p.p_brand AS brand, CAST(year(l.l_shipdate) AS INT) AS yr,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                  AS HUGEINT) AS cents,
+             CAST(l.l_quantity AS HUGEINT) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE year(l.l_shipdate) IN (1995, 1996)
+    ),
+    g AS (
+      SELECT brand,
+             CAST(sum(CASE WHEN yr = 1995 THEN cents ELSE 0 END)
+                  AS HUGEINT) AS s0,
+             CAST(sum(CASE WHEN yr = 1995 THEN qty ELSE 0 END)
+                  AS HUGEINT) AS q0,
+             CAST(sum(CASE WHEN yr = 1996 THEN cents ELSE 0 END)
+                  AS HUGEINT) AS s1,
+             CAST(sum(CASE WHEN yr = 1996 THEN qty ELSE 0 END)
+                  AS HUGEINT) AS q1
+      FROM f GROUP BY 1
+    )
+    SELECT brand, CAST(q0 AS BIGINT) AS q0, CAST(q1 AS BIGINT) AS q1,
+           CAST(s0 AS BIGINT) AS s0, CAST(s1 AS BIGINT) AS s1,
+           CASE WHEN q0 > 0 AND q1 > 0
+                 AND (q1 + q0) * (s1 * q0 - s0 * q1) <> 0 THEN
+             CAST(CAST((q1 - q0) * (s1 * q0 + s0 * q1) AS VARCHAR)
+                  AS DOUBLE)
+             / CAST(CAST((q1 + q0) * (s1 * q0 - s0 * q1) AS VARCHAR)
+                    AS DOUBLE) END AS elasticity
+    FROM g
+    """,
+)
+def q_arc_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Midpoint arc price-elasticity per brand between 1995 and 1996: average-price denominators cancelled algebraically so the estimate is pure integer products and one division."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    f = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li["l_partkey"] == p["p_partkey"],
+        )
+        .filter(F.year("l_shipdate").isin(1995, 1996))
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").alias("yr"),
+            (F.col("l_extendedprice").cast("decimal(14,2)") * 100)
+            .cast("decimal(38,0)")
+            .alias("cents"),
+            F.col("l_quantity").cast("decimal(38,0)").alias("qty"),
+        )
+    )
+    g = f.groupBy("brand").agg(
+        F.sum(F.when(F.col("yr") == 1995, F.col("cents")).otherwise(0)).alias(
+            "s0"
+        ),
+        F.sum(F.when(F.col("yr") == 1995, F.col("qty")).otherwise(0)).alias(
+            "q0"
+        ),
+        F.sum(F.when(F.col("yr") == 1996, F.col("cents")).otherwise(0)).alias(
+            "s1"
+        ),
+        F.sum(F.when(F.col("yr") == 1996, F.col("qty")).otherwise(0)).alias(
+            "q1"
+        ),
+    )
+    num = (F.col("q1") - F.col("q0")) * (
+        F.col("s1") * F.col("q0") + F.col("s0") * F.col("q1")
+    )
+    den = (F.col("q1") + F.col("q0")) * (
+        F.col("s1") * F.col("q0") - F.col("s0") * F.col("q1")
+    )
+    return g.select(
+        "brand",
+        F.col("q0").cast("long").alias("q0"),
+        F.col("q1").cast("long").alias("q1"),
+        F.col("s0").cast("long").alias("s0"),
+        F.col("s1").cast("long").alias("s1"),
+        F.when(
+            (F.col("q0") > 0) & (F.col("q1") > 0) & (den != 0),
+            num.cast("string").cast("double")
+            / den.cast("string").cast("double"),
+        ).alias("elasticity"),
+    )
