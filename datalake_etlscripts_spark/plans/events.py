@@ -2844,3 +2844,138 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_users").cast("double")
         ).alias("ltv_per_user"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Longest activity streaks (r9): consecutive-active-day runs per user
+# via the day-minus-dense-rank islands trick on DISTINCT active days —
+# one user-keyed window pass, exact integer day arithmetic. Output:
+# per user the longest and current streak and the island count — the
+# engagement metric every product dashboard carries.
+# ---------------------------------------------------------------------------
+@query(
+    "user_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+               AS grp
+      FROM days
+    ),
+    runs AS (
+      SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+             CAST(max(d) AS BIGINT) AS last_d
+      FROM isl GROUP BY 1, 2
+    ),
+    horizon AS (
+      SELECT CAST(max(epoch(date_trunc('day', ts))) AS BIGINT) // 86400
+        AS hz
+      FROM events
+    )
+    SELECT r.user_id,
+           CAST(max(r.len) AS BIGINT) AS longest_streak,
+           CAST(count(*) AS BIGINT) AS n_streaks,
+           CAST(coalesce(max(CASE WHEN r.last_d = h.hz THEN r.len END), 0)
+                AS BIGINT) AS current_streak
+    FROM runs r CROSS JOIN horizon h
+    GROUP BY 1
+    """,
+)
+def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest and current consecutive-active-day streaks per user via day-minus-rank islands on distinct active days - one user-keyed pass, exact integer day arithmetic."""
+    e = read_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.expr(
+            "CAST(unix_seconds(date_trunc('day', ts)) AS BIGINT)"
+            " div 86400"
+        ).alias("d"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp", F.col("d") - F.row_number().over(w)
+    )
+    runs = isl.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.max("d").cast("long").alias("last_d"),
+    )
+    hz = e.groupBy().agg(
+        F.expr(
+            "CAST(max(unix_seconds(date_trunc('day', ts))) AS BIGINT)"
+            " div 86400"
+        ).alias("hz")
+    )
+    j = runs.crossJoin(F.broadcast(hz))
+    return j.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        F.coalesce(
+            F.max(F.when(F.col("last_d") == F.col("hz"), F.col("len"))),
+            F.lit(0),
+        ).cast("long").alias("current_streak"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# New-vs-repeat purchaser mix (r9): per calendar day, how many
+# purchasing users are first-timers vs returning — first purchase day
+# per user from one aggregate, the daily mix from one more, shares
+# exact. The acquisition/retention balance readout.
+# ---------------------------------------------------------------------------
+@query(
+    "new_vs_repeat_mix",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, date_trunc('day', ts) AS d
+      FROM events WHERE event_type = 'purchase'
+    ),
+    firsts AS (
+      SELECT user_id, min(d) AS first_d FROM p GROUP BY 1
+    ),
+    daily AS (
+      SELECT DISTINCT p.user_id, p.d, f.first_d
+      FROM p JOIN firsts f ON f.user_id = p.user_id
+    )
+    SELECT CAST(strftime(d, '%Y-%m-%d') AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS purchasers,
+           CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           CAST(sum(CASE WHEN d <> first_d THEN 1 ELSE 0 END) AS BIGINT)
+             AS repeat_users,
+           CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS new_share
+    FROM daily GROUP BY 1
+    """,
+)
+def q_new_vs_repeat_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-repeat purchaser mix: first purchase day per user from one aggregate, exact daily splits and one share division."""
+    e = read_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    )
+    firsts = p.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    daily = p.join(firsts, "user_id").select(
+        "user_id", "d", "first_d"
+    ).distinct()
+    return daily.groupBy(
+        F.date_format("d", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("purchasers"),
+        F.sum(F.when(F.col("d") == F.col("first_d"), 1).otherwise(0))
+        .cast("long")
+        .alias("new_users"),
+        F.sum(F.when(F.col("d") != F.col("first_d"), 1).otherwise(0))
+        .cast("long")
+        .alias("repeat_users"),
+        (
+            F.sum(
+                F.when(F.col("d") == F.col("first_d"), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("new_share"),
+    )
