@@ -2979,3 +2979,186 @@ def q_new_vs_repeat_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("new_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# First-touch attribution (r9): the mirror of attribution_last_touch —
+# each purchase credits its EARLIEST click/view inside the 1-hour
+# lookback. The bounded window join (the time-decay query's shape)
+# plus a per-purchase (ts ASC, channel ASC) argmin; '(none)' bucket
+# for untouched purchases. Completes the attribution set: first,
+# last, U-shaped, time-decay, Markov removal.
+# ---------------------------------------------------------------------------
+@query(
+    "attribution_first_touch",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS v4
+      FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts, event_type AS ch FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+      SELECT p.event_id, p.v4, t.ch, t.ts AS tts,
+             row_number() OVER (PARTITION BY p.event_id
+               ORDER BY t.ts ASC, t.ch ASC) AS rk
+      FROM p JOIN t ON t.user_id = p.user_id
+       AND t.ts < p.ts AND t.ts >= p.ts - INTERVAL 1 HOUR
+    ),
+    credit AS (
+      SELECT ch, v4 FROM j WHERE rk = 1
+    ),
+    none_ AS (
+      SELECT '(none)' AS ch, p.v4 FROM p
+      WHERE NOT EXISTS (SELECT 1 FROM j WHERE j.event_id = p.event_id)
+    ),
+    allc AS (SELECT * FROM credit UNION ALL SELECT * FROM none_)
+    SELECT ch AS channel, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(v4) AS BIGINT) AS value4
+    FROM allc GROUP BY 1
+    """,
+)
+def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase credits its earliest click/view in the 1-hour lookback (deterministic argmin), '(none)' bucket for untouched purchases - the mirror of last-touch."""
+    e = read_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("pts"),
+        (F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("long")
+        .alias("v4"),
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("ch"),
+    )
+    j = p.join(
+        t,
+        (F.col("tu") == F.col("user_id"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    wr = W.partitionBy("event_id").orderBy(
+        F.col("tts").asc(), F.col("ch").asc()
+    )
+    credit = (
+        j.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select("event_id", "ch", "v4")
+    )
+    none_ = p.join(
+        credit.select(F.col("event_id").alias("ce")),
+        F.col("event_id") == F.col("ce"),
+        "left_anti",
+    ).select(F.lit("(none)").alias("ch"), "v4")
+    allc = credit.select("ch", "v4").unionByName(none_)
+    return allc.groupBy(F.col("ch").alias("channel")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("v4").cast("long").alias("value4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiplicative seasonal indices (r9): the ratio-to-moving-average
+# method — each hour's count over its centered 25h MA as an EXACT
+# RATIONAL (25·c / Σ25), the hour-of-day index picked as the
+# rank-median ratio (ordered by the exact division double with an
+# (idx) tie-break, so both engines pick the same element), and the
+# indices' mean riding along for normalization. The multiplicative
+# twin of the additive seasonal_decompose.
+# ---------------------------------------------------------------------------
+@query(
+    "seasonal_index_table",
+    oracle="""
+    WITH b AS (
+      SELECT min(date_trunc('hour', ts)) AS lo,
+             max(date_trunc('hour', ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b
+    ),
+    h AS (
+      SELECT date_trunc('hour', ts) AS hr, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    dense AS (
+      SELECT s.hr, coalesce(h.c, 0) AS c,
+             CAST(row_number() OVER (ORDER BY s.hr) AS BIGINT) AS i,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM spine s LEFT JOIN h ON h.hr = s.hr
+    ),
+    ma AS (
+      SELECT hr, c, i, n,
+             CAST(sum(c) OVER (ORDER BY i
+               ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT)
+               AS s25
+      FROM dense
+    ),
+    ratio AS (
+      SELECT CAST(hour(hr) AS INT) AS hod,
+             CAST(25 * c AS BIGINT) AS num, s25 AS den,
+             CAST(25 * c AS DOUBLE) / CAST(s25 AS DOUBLE) AS rv
+      FROM ma WHERE i > 12 AND i <= n - 12 AND s25 > 0
+    ),
+    med AS (
+      SELECT hod, num, den, rv FROM (
+        SELECT hod, num, den, rv,
+               row_number() OVER (PARTITION BY hod
+                 ORDER BY rv, num, den) AS rk,
+               count(*) OVER (PARTITION BY hod) AS m
+        FROM ratio
+      ) WHERE rk = (m + 1) // 2
+    )
+    SELECT hod, num AS med_num, den AS med_den, rv AS seasonal_index
+    FROM med
+    """,
+)
+def q_seasonal_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative seasonal indices by ratio-to-moving-average: exact 25c/S25 rationals, rank-picked median per hour-of-day with deterministic ordering - the multiplicative twin of the additive decomposition."""
+    e = read_table(spark, sf_dir, "events")
+    h = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    b = h.groupBy().agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = b.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "hr"
+        )
+    )
+    wi = W.orderBy("hr")
+    dense = (
+        spine.join(h, "hr", "left")
+        .select("hr", F.coalesce("c", F.lit(0)).alias("c"))
+        .withColumn("i", F.row_number().over(wi).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy()))
+    )
+    wma = W.orderBy("i").rowsBetween(-12, 12)
+    ma = dense.withColumn("s25", F.sum("c").over(wma).cast("long"))
+    ratio = ma.filter(
+        (F.col("i") > 12) & (F.col("i") <= F.col("n") - 12) & (F.col("s25") > 0)
+    ).select(
+        F.hour("hr").cast("int").alias("hod"),
+        (25 * F.col("c")).cast("long").alias("num"),
+        F.col("s25").alias("den"),
+        ((25 * F.col("c")).cast("double") / F.col("s25").cast("double")).alias(
+            "rv"
+        ),
+    )
+    wm = W.partitionBy("hod").orderBy("rv", "num", "den")
+    med = (
+        ratio.withColumn("rk", F.row_number().over(wm))
+        .withColumn("m", F.count(F.lit(1)).over(W.partitionBy("hod")))
+        .filter(F.expr("rk = (m + 1) div 2"))
+    )
+    return med.select(
+        "hod",
+        F.col("num").alias("med_num"),
+        F.col("den").alias("med_den"),
+        F.col("rv").alias("seasonal_index"),
+    )
