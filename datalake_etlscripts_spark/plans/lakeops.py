@@ -2062,3 +2062,135 @@ def q_arc_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / den.cast("string").cast("double"),
         ).alias("elasticity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Monthly ARPU / ARPPU (r9): revenue per active and per paying user
+# by calendar month — exact cents, exact distinct counts, one
+# division each. The unit-economics readout every subscription
+# dashboard leads with.
+# ---------------------------------------------------------------------------
+@query(
+    "arpu_monthly",
+    oracle="""
+    WITH a AS (
+      SELECT date_trunc('month', ts) AS m, user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(18,4)) * 10000
+                       AS BIGINT) ELSE 0 END) AS BIGINT) AS v4
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(strftime(m, '%Y-%m') AS VARCHAR) AS month,
+           CAST(count(*) AS BIGINT) AS active_users,
+           CAST(sum(CASE WHEN v4 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS paying_users,
+           CAST(sum(v4) AS BIGINT) AS revenue4,
+           CAST(sum(v4) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS arpu4,
+           CASE WHEN sum(CASE WHEN v4 > 0 THEN 1 ELSE 0 END) > 0 THEN
+             CAST(sum(v4) AS DOUBLE)
+             / CAST(sum(CASE WHEN v4 > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           END AS arppu4
+    FROM a GROUP BY 1
+    """,
+)
+def q_arpu_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly ARPU and ARPPU: exact decimal-scaled revenue per active and per paying user, one division each."""
+    e = read_table(spark, sf_dir, "events")
+    a = e.groupBy(
+        F.date_trunc("month", F.col("ts")).alias("m"), "user_id"
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                (F.col("value").cast("decimal(18,4)") * 10000).cast("long"),
+            ).otherwise(0)
+        ).cast("long").alias("v4")
+    )
+    paying = F.sum(F.when(F.col("v4") > 0, 1).otherwise(0))
+    return a.groupBy(F.date_format("m", "yyyy-MM").alias("month")).agg(
+        F.count(F.lit(1)).cast("long").alias("active_users"),
+        paying.cast("long").alias("paying_users"),
+        F.sum("v4").cast("long").alias("revenue4"),
+        (
+            F.sum("v4").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("arpu4"),
+        F.when(
+            paying > 0,
+            F.sum("v4").cast("double") / paying.cast("double"),
+        ).alias("arppu4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Supplier concentration risk (r9): per part, the supplier HHI of
+# shipped quantity — Σqᵢ²/Q² as ONE exact division — with sole-source
+# flags and the risk roll-up (parts by supplier-count band). The
+# supply-chain fragility audit, same exact-integer discipline as the
+# customer-revenue HHI.
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_concentration",
+    oracle="""
+    WITH s AS (
+      SELECT l_partkey AS part, l_suppkey AS supp,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT part, CAST(count(*) AS BIGINT) AS n_suppliers,
+             CAST(sum(q) AS HUGEINT) AS qt,
+             CAST(sum(q * q) AS HUGEINT) AS qsq
+      FROM s GROUP BY 1
+    ),
+    h AS (
+      SELECT part, n_suppliers,
+             CAST(CAST(qsq AS VARCHAR) AS DOUBLE)
+               / (CAST(CAST(qt AS VARCHAR) AS DOUBLE)
+                  * CAST(CAST(qt AS VARCHAR) AS DOUBLE)) AS hhi
+      FROM per
+    )
+    SELECT CASE WHEN n_suppliers = 1 THEN 'sole'
+                WHEN n_suppliers <= 3 THEN '2-3'
+                ELSE '4+' END AS supplier_band,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CASE WHEN hhi > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_concentrated,
+           min(hhi) AS min_hhi, max(hhi) AS max_hhi
+    FROM h GROUP BY 1
+    """,
+)
+def q_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part supplier HHI of shipped quantity (one exact division), sole-source flags, and the fragility roll-up by supplier-count band."""
+    li = read_table(spark, sf_dir, "lineitem")
+    s = li.groupBy(
+        F.col("l_partkey").alias("part"), F.col("l_suppkey").alias("supp")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).cast("decimal(38,0)").alias("q"))
+    per = s.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("q").alias("qt"),
+        F.sum(F.col("q") * F.col("q")).alias("qsq"),
+    )
+
+    def dd_(c):
+        return c.cast("string").cast("double")
+
+    h = per.select(
+        "part",
+        "n_suppliers",
+        (dd_(F.col("qsq")) / (dd_(F.col("qt")) * dd_(F.col("qt")))).alias(
+            "hhi"
+        ),
+    )
+    return h.groupBy(
+        F.when(F.col("n_suppliers") == 1, "sole")
+        .when(F.col("n_suppliers") <= 3, "2-3")
+        .otherwise("4+")
+        .alias("supplier_band")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.when(F.col("hhi") > 0.5, 1).otherwise(0))
+        .cast("long")
+        .alias("n_concentrated"),
+        F.min("hhi").alias("min_hhi"),
+        F.max("hhi").alias("max_hhi"),
+    )
