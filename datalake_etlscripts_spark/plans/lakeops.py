@@ -2194,3 +2194,119 @@ def q_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("hhi").alias("min_hhi"),
         F.max("hhi").alias("max_hhi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Brand return rates (r9): per-brand returned-line share with the
+# above-fleet-average flag decided by integer cross-multiplication
+# (n_ret·N_lines > n_lines·N_ret) — the product-quality screen on the
+# same exact-integer discipline as the waterfall. One join, one
+# aggregate, one division per brand.
+# ---------------------------------------------------------------------------
+@query(
+    "brand_return_rates",
+    oracle="""
+    WITH f AS (
+      SELECT p.p_brand AS brand,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_ret
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n_lines) AS BIGINT) AS nl,
+                 CAST(sum(n_ret) AS BIGINT) AS nr FROM f)
+    SELECT f.brand, f.n_lines, f.n_ret,
+           CAST(f.n_ret AS DOUBLE) / CAST(f.n_lines AS DOUBLE)
+             AS return_rate,
+           CAST(CASE WHEN f.n_ret * t.nl > f.n_lines * t.nr
+                THEN 1 ELSE 0 END AS INT) AS above_average
+    FROM f CROSS JOIN t
+    """,
+)
+def q_brand_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand returned-line shares with cross-multiplied above-fleet-average flags - one broadcast join, exact integer counts, one division per brand."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    f = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li["l_partkey"] == p["p_partkey"],
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).cast("long").alias("n_ret"),
+        )
+    )
+    t = f.groupBy().agg(
+        F.sum("n_lines").cast("long").alias("nl"),
+        F.sum("n_ret").cast("long").alias("nr"),
+    )
+    return f.crossJoin(F.broadcast(t)).select(
+        "brand",
+        "n_lines",
+        "n_ret",
+        (F.col("n_ret").cast("double") / F.col("n_lines").cast("double")).alias(
+            "return_rate"
+        ),
+        F.when(
+            F.col("n_ret") * F.col("nl") > F.col("n_lines") * F.col("nr"), 1
+        ).otherwise(0).cast("int").alias("above_average"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discount response curve (r9): does deeper discounting move volume?
+# Lines bucket by exact 4-decimal discount, each bucket reports exact
+# quantity and revenue sums with single-division averages — the
+# pricing-analytics input to the elasticity story (arc_elasticity is
+# the two-period summary; this is the cross-sectional curve).
+# ---------------------------------------------------------------------------
+@query(
+    "discount_response_curve",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(CAST(l_discount AS DECIMAL(8,4)) * 10000 AS BIGINT)
+               AS disc4,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                  AS HUGEINT) AS cents
+      FROM lineitem
+    )
+    SELECT disc4, CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(qty) AS BIGINT) AS total_qty,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(sum(qty) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS avg_qty,
+           CAST(CAST(sum(cents) AS VARCHAR) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg_cents
+    FROM f GROUP BY 1
+    """,
+)
+def q_discount_response_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume and revenue response by exact 4-decimal discount bucket: integer sums, single-division averages - the cross-sectional pricing curve beside arc_elasticity."""
+    li = read_table(spark, sf_dir, "lineitem")
+    f = li.select(
+        (F.col("l_discount").cast("decimal(8,4)") * 10000)
+        .cast("long")
+        .alias("disc4"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(14,2)") * 100)
+        .cast("decimal(38,0)")
+        .alias("cents"),
+    )
+    return f.groupBy("disc4").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("qty").cast("long").alias("total_qty"),
+        F.sum("cents").cast("long").alias("cents"),
+        (F.sum("qty").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avg_qty"
+        ),
+        (
+            F.sum("cents").cast("string").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_cents"),
+    )
