@@ -2310,3 +2310,181 @@ def q_discount_response_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("avg_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Brand cross-sell lift (r9): brand pairs co-purchased within one
+# order vs independence — the frequent_pairs shape lifted to the
+# dictionary-bounded brand grain (≤25², so the pair join runs on
+# order-distinct brand sets after ONE fact join). Exact counts,
+# cross-multiplied lift flags.
+# ---------------------------------------------------------------------------
+@query(
+    "brand_cross_sell",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT CAST(count(DISTINCT okey) AS BIGINT) AS n_orders FROM ob),
+    per AS (
+      SELECT brand, CAST(count(*) AS BIGINT) AS n_b FROM ob GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.brand AS ba, b.brand AS bb,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM ob a JOIN ob b ON b.okey = a.okey AND a.brand < b.brand
+      GROUP BY 1, 2
+    )
+    SELECT p.ba, p.bb, p.n_ab, pa.n_b AS n_a, pb.n_b AS n_b, n.n_orders,
+           CAST(n.n_orders * p.n_ab AS DOUBLE)
+             / CAST(pa.n_b * pb.n_b AS DOUBLE) AS lift,
+           CAST(CASE WHEN n.n_orders * p.n_ab > pa.n_b * pb.n_b
+                THEN 1 ELSE 0 END AS INT) AS complements
+    FROM pairs p
+    JOIN per pa ON pa.brand = p.ba
+    JOIN per pb ON pb.brand = p.bb
+    CROSS JOIN n
+    """,
+)
+def q_brand_cross_sell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand co-purchase lift within orders at the dictionary-bounded brand grain: exact pair counts over order-distinct brand sets, cross-multiplied complement flags."""
+    li = read_table(spark, sf_dir, "lineitem")
+    p = read_table(spark, sf_dir, "part")
+    ob = (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            li["l_partkey"] == p["p_partkey"],
+        )
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n = ob.select("okey").distinct().groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    per = ob.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b")
+    )
+    b2 = ob.select(
+        F.col("okey").alias("ok2"), F.col("brand").alias("bb")
+    )
+    pairs = (
+        ob.join(
+            b2,
+            (F.col("okey") == F.col("ok2"))
+            & (F.col("brand") < F.col("bb")),
+        )
+        .groupBy(F.col("brand").alias("ba"), "bb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    pa = per.select(F.col("brand").alias("ka"), F.col("n_b").alias("n_a"))
+    pb = per.select(F.col("brand").alias("kb"), F.col("n_b").alias("n_b2"))
+    j = (
+        pairs.join(F.broadcast(pa), F.col("ba") == F.col("ka"))
+        .join(F.broadcast(pb), F.col("bb") == F.col("kb"))
+        .crossJoin(F.broadcast(n))
+    )
+    return j.select(
+        "ba",
+        "bb",
+        "n_ab",
+        "n_a",
+        F.col("n_b2").alias("n_b"),
+        "n_orders",
+        (
+            (F.col("n_orders") * F.col("n_ab")).cast("double")
+            / (F.col("n_a") * F.col("n_b2")).cast("double")
+        ).alias("lift"),
+        F.when(
+            F.col("n_orders") * F.col("n_ab")
+            > F.col("n_a") * F.col("n_b2"),
+            1,
+        ).otherwise(0).cast("int").alias("complements"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order backlog curve (r9): open orders over time — cumulative orders
+# placed minus cumulative orders fully shipped, on the calendar-
+# bounded day spine. "Fully shipped" = the order's LAST ship date;
+# both cumulatives are exact integers from day-grain aggregates.
+# The operations-health curve behind cycle-time tails.
+# ---------------------------------------------------------------------------
+@query(
+    "order_backlog_curve",
+    oracle="""
+    WITH placed AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(count(*) AS BIGINT) AS n_placed
+      FROM orders GROUP BY 1
+    ),
+    shipped AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS n_shipped FROM (
+        SELECT o.o_orderkey, date_trunc('day', max(l.l_shipdate)) AS d
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+      ) GROUP BY 1
+    ),
+    b AS (
+      SELECT min(d) AS lo, max(d) AS hi FROM (
+        SELECT d FROM placed UNION ALL SELECT d FROM shipped
+      )
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM b
+    ),
+    dense AS (
+      SELECT s.d, coalesce(p.n_placed, 0) AS n_placed,
+             coalesce(sh.n_shipped, 0) AS n_shipped
+      FROM spine s
+      LEFT JOIN placed p ON p.d = s.d
+      LEFT JOIN shipped sh ON sh.d = s.d
+    )
+    SELECT CAST(strftime(d, '%Y-%m-%d') AS VARCHAR) AS day,
+           CAST(n_placed AS BIGINT) AS n_placed,
+           CAST(n_shipped AS BIGINT) AS n_shipped,
+           CAST(sum(n_placed) OVER w - sum(n_shipped) OVER w AS BIGINT)
+             AS backlog
+    FROM dense
+    WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def q_order_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over the day spine: cumulative placed minus cumulative fully-shipped (last ship date), exact integers throughout."""
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    placed = o.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_placed"))
+    shipped = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(F.date_trunc("day", F.max("l_shipdate")).alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shipped"))
+    )
+    alld = placed.select("d").unionByName(shipped.select("d"))
+    b = alld.groupBy().agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = b.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias(
+            "d"
+        )
+    )
+    dense = (
+        spine.join(placed, "d", "left")
+        .join(shipped, "d", "left")
+        .select(
+            "d",
+            F.coalesce("n_placed", F.lit(0)).alias("n_placed"),
+            F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"),
+        )
+    )
+    w = W.orderBy("d").rowsBetween(W.unboundedPreceding, 0)
+    return dense.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n_placed").cast("long").alias("n_placed"),
+        F.col("n_shipped").cast("long").alias("n_shipped"),
+        (F.sum("n_placed").over(w) - F.sum("n_shipped").over(w))
+        .cast("long")
+        .alias("backlog"),
+    )
