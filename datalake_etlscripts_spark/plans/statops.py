@@ -2725,3 +2725,127 @@ def q_gains_table_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_positives").cast("double") / F.col("p").cast("double")
         ).alias("cum_gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week uniformity chi-square (r9): are orders placed uniformly
+# across the week? With e = n/7 the statistic folds to
+# χ² = (7·Σo² − n²)/n — ONE exact division of integer sums; the
+# rejection flag cross-multiplies against the df=6 critical value
+# (12.592 as an e-notation literal only in the reported bound, the
+# DECISION is integer: 1000·(7Σo² − n²) > 12592·n). Weekday from
+# epoch arithmetic.
+# ---------------------------------------------------------------------------
+@query(
+    "dow_uniformity_chi2",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(((epoch(o_orderdate) // 86400) + 3) % 7 AS INT) AS dow
+      FROM orders
+    ),
+    c AS (SELECT dow, CAST(count(*) AS BIGINT) AS o FROM d GROUP BY 1),
+    m AS (
+      SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(sum(o * o) AS BIGINT) AS soo,
+             CAST(count(*) AS BIGINT) AS k
+      FROM c
+    )
+    SELECT n, k,
+           CAST(7 * soo - n * n AS BIGINT) AS chi2_num,
+           CAST(7 * soo - n * n AS DOUBLE) / CAST(n AS DOUBLE) AS chi2,
+           CAST(CASE WHEN 1000 * (7 * soo - n * n) > 12592 * n
+                THEN 1 ELSE 0 END AS INT) AS reject_uniform
+    FROM m
+    """,
+)
+def q_dow_uniformity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square uniformity of order placement across weekdays folded to one exact division ((7*sum(o^2) - n^2)/n), integer cross-multiplied rejection at the df=6 critical value."""
+    o = read_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.expr(
+            "CAST(((unix_seconds(o_orderdate) div 86400) + 3) % 7 AS INT)"
+        ).alias("dow")
+    )
+    c = d.groupBy("dow").agg(F.count(F.lit(1)).cast("long").alias("o"))
+    m = c.groupBy().agg(
+        F.sum("o").cast("long").alias("n"),
+        F.sum(F.col("o") * F.col("o")).cast("long").alias("soo"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    num = 7 * F.col("soo") - F.col("n") * F.col("n")
+    return m.select(
+        "n",
+        "k",
+        num.cast("long").alias("chi2_num"),
+        (num.cast("double") / F.col("n").cast("double")).alias("chi2"),
+        F.when(1000 * num > 12592 * F.col("n"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("reject_uniform"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discrete purchase-hazard table (r9): P(next purchase on day-age a |
+# no purchase yet) from the inter-purchase day gaps — exact at-risk
+# counts by the suffix-sum trick (at_risk(a) = Σ_{g≥a} n_g, one
+# descending cumulative over the bounded gap grid), hazard one
+# division per age. The discrete-time companion of the KM curve.
+# ---------------------------------------------------------------------------
+@query(
+    "purchase_hazard_table",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT d - lag(d) OVER (PARTITION BY user_id ORDER BY ts) AS g
+      FROM p
+    ),
+    c AS (
+      SELECT CAST(g AS BIGINT) AS age, CAST(count(*) AS BIGINT) AS n_g
+      FROM gaps WHERE g IS NOT NULL GROUP BY 1
+    ),
+    r AS (
+      SELECT age, n_g,
+             CAST(sum(n_g) OVER (ORDER BY age DESC
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk
+      FROM c
+    )
+    SELECT age, n_g, at_risk,
+           CAST(n_g AS DOUBLE) / CAST(at_risk AS DOUBLE) AS hazard
+    FROM r
+    """,
+)
+def q_purchase_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time hazard of the next purchase by day-age: gap counts on the bounded grid, at-risk via one descending cumulative, one division per age."""
+    e = read_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.expr(
+            "CAST(unix_seconds(date_trunc('day', ts)) AS BIGINT)"
+            " div 86400"
+        ).alias("d"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts")
+    gaps = p.select((F.col("d") - F.lag("d").over(w)).alias("g")).filter(
+        F.col("g").isNotNull()
+    )
+    c = gaps.groupBy(F.col("g").cast("long").alias("age")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_g")
+    )
+    wr = W.orderBy(F.col("age").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    r = c.withColumn("at_risk", F.sum("n_g").over(wr).cast("long"))
+    return r.select(
+        "age",
+        "n_g",
+        "at_risk",
+        (F.col("n_g").cast("double") / F.col("at_risk").cast("double")).alias(
+            "hazard"
+        ),
+    )
