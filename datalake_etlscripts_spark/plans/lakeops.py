@@ -2488,3 +2488,151 @@ def q_order_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("backlog"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Price-dispersion audit (r9): the law-of-one-price screen — per part
+# the min and max UNIT price (exact cents/qty rationals, rank-picked
+# by the exact-division double with a deterministic line tie-break)
+# and the dispersion ratio; top-20 most dispersed parts. One fact
+# scan, part-keyed windows.
+# ---------------------------------------------------------------------------
+@query(
+    "price_dispersion_audit",
+    oracle="""
+    WITH f AS (
+      SELECT l_partkey AS part, l_orderkey AS okey, l_linenumber AS lno,
+             CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT) AS cents,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                  AS BIGINT) AS DOUBLE) / CAST(l_quantity AS DOUBLE)
+               AS up
+      FROM lineitem WHERE l_quantity > 0
+    ),
+    r AS (
+      SELECT part, cents, qty, up,
+             row_number() OVER (PARTITION BY part
+               ORDER BY up ASC, okey, lno) AS rlo,
+             row_number() OVER (PARTITION BY part
+               ORDER BY up DESC, okey, lno) AS rhi,
+             count(*) OVER (PARTITION BY part) AS n
+      FROM f
+    ),
+    lo AS (SELECT part, cents AS lo_cents, qty AS lo_qty, up AS lo_up, n
+           FROM r WHERE rlo = 1),
+    hi AS (SELECT part, cents AS hi_cents, qty AS hi_qty, up AS hi_up
+           FROM r WHERE rhi = 1)
+    SELECT lo.part, CAST(lo.n AS BIGINT) AS n_lines,
+           lo.lo_up, hi.hi_up,
+           hi.hi_up / lo.lo_up AS dispersion_ratio
+    FROM lo JOIN hi ON hi.part = lo.part
+    ORDER BY hi.hi_up / lo.lo_up DESC, lo.part ASC LIMIT 20
+    """,
+)
+def q_price_dispersion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Law-of-one-price audit: per-part min/max unit price rank-picked with deterministic tie order, top-20 dispersion ratios via distributed TakeOrdered."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 0
+    )
+    f = li.select(
+        F.col("l_partkey").alias("part"),
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("lno"),
+        (F.col("l_extendedprice").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    ).withColumn(
+        "up", F.col("cents").cast("double") / F.col("qty").cast("double")
+    )
+    wlo = W.partitionBy("part").orderBy(
+        F.col("up").asc(), F.col("okey"), F.col("lno")
+    )
+    whi = W.partitionBy("part").orderBy(
+        F.col("up").desc(), F.col("okey"), F.col("lno")
+    )
+    r = (
+        f.withColumn("rlo", F.row_number().over(wlo))
+        .withColumn("rhi", F.row_number().over(whi))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("part")))
+    )
+    lo = r.filter(F.col("rlo") == 1).select(
+        "part", F.col("up").alias("lo_up"), F.col("n")
+    )
+    hi = r.filter(F.col("rhi") == 1).select(
+        F.col("part").alias("hpart"), F.col("up").alias("hi_up")
+    )
+    j = lo.join(hi, F.col("part") == F.col("hpart")).select(
+        "part",
+        F.col("n").cast("long").alias("n_lines"),
+        "lo_up",
+        "hi_up",
+        (F.col("hi_up") / F.col("lo_up")).alias("dispersion_ratio"),
+    )
+    return j.orderBy(
+        F.col("dispersion_ratio").desc(), F.col("part").asc()
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-invoice candidates (r9): same customer + same exact total
+# within 3 days — the accounts-payable dedup screen. The pair join is
+# BLOCKED on (custkey, cents) so only true amount-collisions ever
+# pair, then the day-window predicate filters; counts + the earliest
+# pair per group. Exact integers end-to-end.
+# ---------------------------------------------------------------------------
+@query(
+    "dup_invoice_candidates",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS okey, o_custkey AS cust,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100 AS BIGINT)
+               AS cents,
+             CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS d
+      FROM orders
+    ),
+    pairs AS (
+      SELECT a.cust, a.cents, a.okey AS okey_a, b.okey AS okey_b,
+             CAST(abs(a.d - b.d) AS BIGINT) AS day_gap
+      FROM o a JOIN o b
+        ON b.cust = a.cust AND b.cents = a.cents AND a.okey < b.okey
+      WHERE abs(a.d - b.d) <= 3
+    )
+    SELECT cust, cents, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(okey_a) AS BIGINT) AS first_okey,
+           CAST(min(day_gap) AS BIGINT) AS min_day_gap
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def q_dup_invoice_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts-payable duplicate screen: same customer and exact total within 3 days, pair join blocked on (customer, cents) so only amount-collisions pair - exact integers end-to-end."""
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_custkey").alias("cust"),
+        (F.col("o_totalprice").cast("decimal(14,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.expr("CAST(unix_seconds(o_orderdate) AS BIGINT) div 86400").alias(
+            "d"
+        ),
+    )
+    b = o.select(
+        F.col("okey").alias("okey_b"),
+        F.col("cust").alias("cust_b"),
+        F.col("cents").alias("cents_b"),
+        F.col("d").alias("d_b"),
+    )
+    pairs = o.join(
+        b,
+        (F.col("cust_b") == F.col("cust"))
+        & (F.col("cents_b") == F.col("cents"))
+        & (F.col("okey") < F.col("okey_b")),
+    ).filter(F.abs(F.col("d") - F.col("d_b")) <= 3)
+    return pairs.groupBy("cust", "cents").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.min("okey").cast("long").alias("first_okey"),
+        F.min(F.abs(F.col("d") - F.col("d_b"))).cast("long").alias(
+            "min_day_gap"
+        ),
+    )
