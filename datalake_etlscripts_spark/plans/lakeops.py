@@ -2636,3 +2636,85 @@ def q_dup_invoice_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_day_gap"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier lead-time variability (r9): per supplier the ship-delay
+# (line ship date − order date, integer days) mean and the EXACT
+# integer variance numerator m·Σd²−(Σd)², with the high-variability
+# flag by cross-multiplication against the fleet's pooled variance —
+# the vendor-reliability screen feeding reorder-point safety stock.
+# ---------------------------------------------------------------------------
+@query(
+    "supplier_leadtime_stats",
+    oracle="""
+    WITH f AS (
+      SELECT l.l_suppkey AS supp,
+             (epoch(l.l_shipdate) - epoch(o.o_orderdate)) // 86400 AS d
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    per AS (
+      SELECT supp, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(d) AS BIGINT) AS sd,
+             CAST(sum(d * d) AS BIGINT) AS sdd
+      FROM f GROUP BY 1
+    ),
+    fleet AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(d) AS HUGEINT) AS s,
+             CAST(sum(d * d) AS HUGEINT) AS ss
+      FROM f
+    )
+    SELECT p.supp, p.m,
+           CAST(p.sd AS DOUBLE) / CAST(p.m AS DOUBLE) AS mean_days,
+           CAST(p.m * p.sdd - p.sd * p.sd AS BIGINT) AS var_num,
+           CAST(CASE WHEN p.m > 1 AND
+                CAST(p.m * p.sdd - p.sd * p.sd AS HUGEINT)
+                  * fleet.n * fleet.n
+                > (fleet.n * fleet.ss - fleet.s * fleet.s)
+                  * CAST(p.m AS HUGEINT) * CAST(p.m AS HUGEINT)
+                THEN 1 ELSE 0 END AS INT) AS high_variability
+    FROM per p CROSS JOIN fleet
+    """,
+)
+def q_supplier_leadtime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier ship-delay mean and exact integer variance numerator, with high-variability flags cross-multiplied against the fleet's pooled variance - the vendor-reliability screen."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    f = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("l_suppkey").alias("supp"),
+        F.expr(
+            "(unix_seconds(l_shipdate) - unix_seconds(o_orderdate))"
+            " div 86400"
+        ).alias("d"),
+    )
+    per = f.groupBy("supp").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+    )
+    fleet = f.groupBy().agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("d").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("d") * F.col("d")).cast("decimal(38,0)").alias("ss"),
+    )
+    j = per.crossJoin(F.broadcast(fleet))
+    vn = F.col("m") * F.col("sdd") - F.col("sd") * F.col("sd")
+    lhs = vn.cast("decimal(38,0)") * F.col("n") * F.col("n")
+    rhs = (
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        * F.col("m").cast("decimal(38,0)")
+        * F.col("m").cast("decimal(38,0)")
+    )
+    return j.select(
+        "supp",
+        "m",
+        (F.col("sd").cast("double") / F.col("m").cast("double")).alias(
+            "mean_days"
+        ),
+        vn.cast("long").alias("var_num"),
+        F.when((F.col("m") > 1) & (lhs > rhs), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("high_variability"),
+    )

@@ -5365,3 +5365,62 @@ def q_salted_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_aggs=[F.sum("n").cast("long").alias("n")],
     )
     return counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Stylometrics by source (r9): punctuation and sentence-shape
+# fingerprints per corpus source — exact integer counts of periods,
+# commas and tokens with single-division rates. The provenance
+# fingerprint beside source_quality_report (machine-generated feeds
+# show up as punctuation-rate outliers long before content checks).
+# ---------------------------------------------------------------------------
+@query(
+    "stylometrics_by_source",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CAST(len(string_split(text, '.')) - 1 AS BIGINT) AS periods,
+             CAST(len(string_split(text, ',')) - 1 AS BIGINT) AS commas,
+             CAST(len(list_filter(string_split(text, ' '),
+                  t -> t <> '')) AS BIGINT) AS toks
+      FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS tokens,
+           CAST(sum(periods) AS BIGINT) AS periods,
+           CAST(sum(commas) AS BIGINT) AS commas,
+           CAST(sum(periods) AS DOUBLE) / CAST(sum(toks) AS DOUBLE)
+             AS period_rate,
+           CAST(sum(commas) AS DOUBLE) / CAST(sum(toks) AS DOUBLE)
+             AS comma_rate
+    FROM d GROUP BY 1
+    """,
+)
+def q_stylometrics_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source punctuation stylometrics: exact integer period/comma/token counts with single-division rates - the provenance fingerprint beside the quality report."""
+    d = read_table(spark, sf_dir, "documents")
+    f = d.select(
+        "source",
+        (F.size(F.split(F.col("text"), "\\.")) - 1)
+        .cast("long")
+        .alias("periods"),
+        (F.size(F.split(F.col("text"), ",")) - 1)
+        .cast("long")
+        .alias("commas"),
+        F.expr(
+            "CAST(size(filter(split(text, ' '), t -> t != ''))"
+            " AS BIGINT)"
+        ).alias("toks"),
+    )
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("toks").cast("long").alias("tokens"),
+        F.sum("periods").cast("long").alias("periods"),
+        F.sum("commas").cast("long").alias("commas"),
+        (
+            F.sum("periods").cast("double") / F.sum("toks").cast("double")
+        ).alias("period_rate"),
+        (
+            F.sum("commas").cast("double") / F.sum("toks").cast("double")
+        ).alias("comma_rate"),
+    )
