@@ -2849,3 +2849,139 @@ def q_purchase_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hazard"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily SRM trace (r9): sample-ratio-mismatch χ² per day for the
+# 50/50 md5 assignment — (n_A−n_B)²/(n_A+n_B) is one exact division,
+# and the alarm cross-multiplies against the df=1 critical value
+# (100·(n_A−n_B)² > 384·n). The guardrail that catches broken
+# assignment pipelines the day they break, not at readout.
+# ---------------------------------------------------------------------------
+@query(
+    "daily_srm_trace",
+    oracle=f"""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day, user_id,
+             CASE WHEN {__import__("datalake_etlscripts_spark.plans.registry", fromlist=["ddb_hex32"]).ddb_hex32("md5(CAST(user_id AS VARCHAR))")} % 2 = 0
+                  THEN 1 ELSE 0 END AS arm_a
+      FROM events
+    ),
+    u AS (SELECT DISTINCT day, user_id, arm_a FROM d),
+    c AS (
+      SELECT day, CAST(sum(arm_a) AS BIGINT) AS n_a,
+             CAST(count(*) - sum(arm_a) AS BIGINT) AS n_b
+      FROM u GROUP BY 1
+    )
+    SELECT CAST(strftime(day, '%Y-%m-%d') AS VARCHAR) AS day, n_a, n_b,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+             / CAST(n_a + n_b AS DOUBLE) AS srm_chi2,
+           CAST(CASE WHEN 100 * (n_a - n_b) * (n_a - n_b)
+                     > 384 * (n_a + n_b) THEN 1 ELSE 0 END AS INT)
+             AS srm_alarm
+    FROM c
+    """,
+)
+def q_daily_srm_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily sample-ratio-mismatch chi-square for the md5 50/50 split: one exact division per day, integer cross-multiplied df=1 alarm."""
+    e = read_table(spark, sf_dir, "events")
+    lane = "conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
+    u = e.select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "user_id",
+        F.when(F.expr(f"CAST({lane} AS BIGINT) % 2 = 0"), 1)
+        .otherwise(0)
+        .alias("arm_a"),
+    ).distinct()
+    c = u.groupBy("day").agg(
+        F.sum("arm_a").cast("long").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("arm_a")).cast("long").alias("n_b"),
+    )
+    diff2 = (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
+    tot = F.col("n_a") + F.col("n_b")
+    return c.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_a",
+        "n_b",
+        (diff2.cast("double") / tot.cast("double")).alias("srm_chi2"),
+        F.when(100 * diff2 > 384 * tot, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("srm_alarm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact skewness by event type (r9): the third central moment's
+# integer numerator n²Σx³ − 3nΣxΣx² + 2(Σx)³ over 4-decimal-scaled
+# values in DECIMAL(38,0), standardized by m₂^{3/2} in one fixed
+# double combine (m₂ from the same integers). Completes the moment
+# ladder beside the variance-based diagnostics.
+# ---------------------------------------------------------------------------
+@query(
+    "value_skewness_by_type",
+    oracle="""
+    WITH f AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS HUGEINT) AS x
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS s1, sum(x * x) AS s2, sum(x * x * x) AS s3
+      FROM f GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+                AS VARCHAR) AS DOUBLE) AS m3_num,
+           CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE) AS m2_num,
+           CASE WHEN n * s2 - s1 * s1 > 0 THEN
+             CAST(CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
+                  AS VARCHAR) AS DOUBLE)
+             / (sqrt(CAST(n AS DOUBLE))
+                * CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE)
+                * sqrt(CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE)))
+           END AS skewness
+    FROM m
+    """,
+)
+def q_value_skewness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact skewness per event type: integer third-central-moment numerator in DECIMAL(38,0), standardized in one fixed-order double combine."""
+    e = read_table(spark, sf_dir, "events")
+    f = e.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("decimal(38,0)")
+        .alias("x"),
+    )
+    m = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+    )
+
+    def dd_(c):
+        return c.cast("string").cast("double")
+
+    m3 = (
+        F.col("n") * F.col("n") * F.col("s3")
+        - 3 * F.col("n") * F.col("s1") * F.col("s2")
+        + 2 * F.col("s1") * F.col("s1") * F.col("s1")
+    )
+    m2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        dd_(m3).alias("m3_num"),
+        dd_(m2).alias("m2_num"),
+        F.when(
+            m2 > 0,
+            dd_(m3)
+            / (
+                F.sqrt(F.col("n").cast("double"))
+                * dd_(m2)
+                * F.sqrt(dd_(m2))
+            ),
+        ).alias("skewness"),
+    )
