@@ -2938,8 +2938,7 @@ def q_daily_srm_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN n * s2 - s1 * s1 > 0 THEN
              CAST(CAST(n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1
                   AS VARCHAR) AS DOUBLE)
-             / (sqrt(CAST(n AS DOUBLE))
-                * CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE)
+             / (CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE)
                 * sqrt(CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE)))
            END AS skewness
     FROM m
@@ -2977,11 +2976,85 @@ def q_value_skewness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd_(m2).alias("m2_num"),
         F.when(
             m2 > 0,
-            dd_(m3)
-            / (
-                F.sqrt(F.col("n").cast("double"))
-                * dd_(m2)
-                * F.sqrt(dd_(m2))
-            ),
+            dd_(m3) / (dd_(m2) * F.sqrt(dd_(m2))),
         ).alias("skewness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact excess kurtosis by type (r9): the fourth-central-moment
+# integer numerator n³Σx⁴ − 4n²Σx·Σx³ + 6n(Σx)²Σx² − 3(Σx)⁴ over
+# CENTI-scaled values (×100, not ×10000 — the fourth power must stay
+# inside DECIMAL(38,0) at fleet row counts; the two dropped decimals
+# cost nothing since the statistic is scale-invariant), standardized
+# by m₂² with the −3 excess in one fixed combine. Completes the
+# moment ladder: mean → variance → skewness → kurtosis.
+# ---------------------------------------------------------------------------
+@query(
+    "value_kurtosis_by_type",
+    oracle="""
+    WITH f AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS x
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS s1, sum(x * x) AS s2,
+             sum(x * x * x) AS s3, sum(x * x * x * x) AS s4
+      FROM f GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(CAST(n * n * n * s4 - 4 * n * n * s1 * s3
+                + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+                AS VARCHAR) AS DOUBLE) AS m4_num,
+           CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE) AS m2_num,
+           CASE WHEN n * s2 - s1 * s1 > 0 THEN
+             CAST(CAST(n * n * n * s4 - 4 * n * n * s1 * s3
+                    + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1
+                    AS VARCHAR) AS DOUBLE)
+             / (CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE))
+             - 3 END AS excess_kurtosis
+    FROM m
+    """,
+)
+def q_value_kurtosis_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact excess kurtosis per event type: integer fourth-central-moment numerator (centi-scaled to stay inside DECIMAL38), standardized by m2 squared in one fixed combine."""
+    e = read_table(spark, sf_dir, "events")
+    f = e.select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")
+        .alias("x"),
+    )
+    m = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+        F.sum(F.col("x") * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(F.col("x") * F.col("x") * F.col("x") * F.col("x")).alias(
+            "s4"
+        ),
+    )
+
+    def dd_(c):
+        return c.cast("string").cast("double")
+
+    m4 = (
+        F.col("n") * F.col("n") * F.col("n") * F.col("s4")
+        - 4 * F.col("n") * F.col("n") * F.col("s1") * F.col("s3")
+        + 6 * F.col("n") * F.col("s1") * F.col("s1") * F.col("s2")
+        - 3 * F.col("s1") * F.col("s1") * F.col("s1") * F.col("s1")
+    )
+    m2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return m.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        dd_(m4).alias("m4_num"),
+        dd_(m2).alias("m2_num"),
+        F.when(
+            m2 > 0,
+            dd_(m4) / (dd_(m2) * dd_(m2)) - 3,
+        ).alias("excess_kurtosis"),
     )

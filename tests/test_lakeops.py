@@ -839,3 +839,58 @@ def test_backlog_and_economics_identities(spark, sf_dir):
         assert 0.0 < r["min_hhi"] <= r["max_hhi"] <= 1.0
         if r["supplier_band"] == "sole":
             assert r["min_hhi"] == 1.0 == r["max_hhi"]
+
+
+def test_moment_ladder_matches_numpy(spark, sf_dir):
+    """Skewness and excess kurtosis per type equal numpy on the
+    ENGINE-quantized values (population formulas; quantization fetched
+    from DuckDB so the test shares the engines' decimal rounding)."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x4,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x2
+        FROM read_parquet('{sf_dir}/events.parquet')
+        """
+    ).fetchall()
+    by_type = {}
+    for tp, x4, x2 in rows:
+        by_type.setdefault(tp, ([], []))
+        by_type[tp][0].append(x4)
+        by_type[tp][1].append(x2)
+    skew = {
+        r["event_type"]: r["skewness"]
+        for r in _run("value_skewness_by_type", spark, sf_dir).collect()
+    }
+    kurt = {
+        r["event_type"]: r["excess_kurtosis"]
+        for r in _run("value_kurtosis_by_type", spark, sf_dir).collect()
+    }
+    for tp, (l4, l2) in by_type.items():
+        x4 = np.array(l4, dtype=float)
+        x2 = np.array(l2, dtype=float)
+        m = x4.mean()
+        s = ((x4 - m) ** 2).mean() ** 0.5
+        exp_skew = ((x4 - m) ** 3).mean() / s**3
+        assert skew[tp] == pytest.approx(exp_skew, rel=1e-9)
+        m2v = x2.mean()
+        s2v = ((x2 - m2v) ** 2).mean()
+        exp_kurt = ((x2 - m2v) ** 4).mean() / s2v**2 - 3
+        assert kurt[tp] == pytest.approx(exp_kurt, rel=1e-9)
+
+
+def test_srm_trace_alarm_rule(spark, sf_dir):
+    rows = _run("daily_srm_trace", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        d2 = (r["n_a"] - r["n_b"]) ** 2
+        assert (r["srm_alarm"] == 1) == (
+            100 * d2 > 384 * (r["n_a"] + r["n_b"])
+        )
+        assert r["srm_chi2"] == pytest.approx(
+            d2 / (r["n_a"] + r["n_b"]), rel=1e-12
+        )
