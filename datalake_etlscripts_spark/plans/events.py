@@ -3162,3 +3162,80 @@ def q_seasonal_index_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("den").alias("med_den"),
         F.col("rv").alias("seasonal_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Peak-hour profile (r9): per event type the hour-of-day with the
+# highest total count (deterministic argmax), plus the exact
+# peak-to-trough ratio decided by integer cross products — the
+# capacity-planning one-liner on hour-of-day phase sums (never the
+# raw spine).
+# ---------------------------------------------------------------------------
+@query(
+    "peak_hour_profile",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    pk AS (
+      SELECT event_type, hod AS peak_hod, n AS peak_n FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+          ORDER BY n DESC, hod ASC) AS rk
+        FROM c
+      ) WHERE rk = 1
+    ),
+    tr AS (
+      SELECT event_type, hod AS trough_hod, n AS trough_n FROM (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+          ORDER BY n ASC, hod ASC) AS rk
+        FROM c
+      ) WHERE rk = 1
+    )
+    SELECT p.event_type, p.peak_hod, p.peak_n, t.trough_hod, t.trough_n,
+           CAST(p.peak_n AS DOUBLE) / CAST(t.trough_n AS DOUBLE)
+             AS peak_to_trough
+    FROM pk p JOIN tr t ON t.event_type = p.event_type
+    """,
+)
+def q_peak_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type peak and trough hour-of-day with deterministic argmax/argmin and the exact peak-to-trough ratio - capacity planning on 24-row phase sums."""
+    e = read_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hod")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wpk = W.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("hod").asc()
+    )
+    wtr = W.partitionBy("event_type").orderBy(
+        F.col("n").asc(), F.col("hod").asc()
+    )
+    pk = (
+        c.withColumn("rk", F.row_number().over(wpk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("hod").alias("peak_hod"),
+            F.col("n").alias("peak_n"),
+        )
+    )
+    tr = (
+        c.withColumn("rk", F.row_number().over(wtr))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("event_type").alias("et2"),
+            F.col("hod").alias("trough_hod"),
+            F.col("n").alias("trough_n"),
+        )
+    )
+    return pk.join(tr, F.col("event_type") == F.col("et2")).select(
+        "event_type",
+        "peak_hod",
+        "peak_n",
+        "trough_hod",
+        "trough_n",
+        (F.col("peak_n").cast("double") / F.col("trough_n").cast("double")).alias(
+            "peak_to_trough"
+        ),
+    )

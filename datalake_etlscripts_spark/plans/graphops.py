@@ -1154,3 +1154,95 @@ def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_k") * (F.col("n_k") - 1)).cast("double"),
         ).alias("phi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph density summary (r9): the one-row shape card for the co-order
+# graph — nodes, edges, density 2E/(n(n−1)), exact mean degree as a
+# fraction, max degree and its argmax node (deterministic tie), and
+# the count of degree-1 leaves. All integer aggregates + two
+# divisions; the first thing you look at before running anything
+# iterative.
+# ---------------------------------------------------------------------------
+@query(
+    "graph_density_summary",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+           FROM li a JOIN li b
+           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0
+      ) GROUP BY 1
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(d) AS BIGINT) AS deg_sum,
+             CAST(max(d) AS BIGINT) AS max_deg,
+             CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaves
+      FROM deg
+    ),
+    am AS (
+      SELECT node AS argmax_node FROM deg
+      ORDER BY d DESC, node ASC LIMIT 1
+    ),
+    e AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e0)
+    SELECT m.n_nodes, e.n_edges, m.max_deg, am.argmax_node, m.n_leaves,
+           CAST(2 * e.n_edges AS DOUBLE)
+             / CAST(m.n_nodes * (m.n_nodes - 1) AS DOUBLE) AS density,
+           CAST(m.deg_sum AS DOUBLE) / CAST(m.n_nodes AS DOUBLE)
+             AS mean_degree
+    FROM m CROSS JOIN e CROSS JOIN am
+    """,
+)
+def q_graph_density_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row shape card for the co-order graph: nodes/edges/density/mean and max degree with a deterministic argmax, leaf count - integer aggregates and two divisions."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    a = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("v")
+    )
+    e0 = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionByName(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    m = deg.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("d").cast("long").alias("deg_sum"),
+        F.max("d").cast("long").alias("max_deg"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_leaves"),
+    )
+    am = deg.orderBy(F.col("d").desc(), F.col("node").asc()).limit(1).select(
+        F.col("node").alias("argmax_node")
+    )
+    e = e0.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    j = m.crossJoin(F.broadcast(e)).crossJoin(F.broadcast(am))
+    return j.select(
+        "n_nodes",
+        "n_edges",
+        "max_deg",
+        "argmax_node",
+        "n_leaves",
+        (
+            (2 * F.col("n_edges")).cast("double")
+            / (F.col("n_nodes") * (F.col("n_nodes") - 1)).cast("double")
+        ).alias("density"),
+        (F.col("deg_sum").cast("double") / F.col("n_nodes").cast("double")).alias(
+            "mean_degree"
+        ),
+    )
