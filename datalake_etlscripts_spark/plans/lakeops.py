@@ -2718,3 +2718,52 @@ def q_supplier_leadtime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("high_variability"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Customer frequency histogram (r9): orders-per-customer distribution
+# with the one-and-done share — the loyalty-shape readout (a heavy
+# freq-1 bar means acquisition without retention). Two exact
+# aggregates; shares are single divisions.
+# ---------------------------------------------------------------------------
+@query(
+    "customer_frequency_histogram",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    h AS (
+      SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+      FROM c GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n_customers) AS BIGINT) AS nc FROM h)
+    SELECT h.n_orders, h.n_customers,
+           CAST(h.n_customers AS DOUBLE) / CAST(t.nc AS DOUBLE)
+             AS customer_share,
+           CAST(CASE WHEN h.n_orders = 1 THEN 1 ELSE 0 END AS INT)
+             AS one_and_done
+    FROM h CROSS JOIN t
+    """,
+)
+def q_customer_frequency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders-per-customer histogram with one-and-done flags and exact customer shares - the loyalty-shape readout."""
+    o = read_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    h = c.groupBy("n_orders").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    t = h.groupBy().agg(F.sum("n_customers").cast("long").alias("nc"))
+    return h.crossJoin(F.broadcast(t)).select(
+        "n_orders",
+        "n_customers",
+        (
+            F.col("n_customers").cast("double") / F.col("nc").cast("double")
+        ).alias("customer_share"),
+        F.when(F.col("n_orders") == 1, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("one_and_done"),
+    )

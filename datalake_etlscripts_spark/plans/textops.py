@@ -5424,3 +5424,65 @@ def q_stylometrics_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("commas").cast("double") / F.sum("toks").cast("double")
         ).alias("comma_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hapax report (r9): per language the vocabulary size, the hapax-
+# legomena share (freq-1 terms — the OCR/noise tell when it spikes),
+# and the head concentration (top term's share of tokens) — exact
+# integer term stats, single divisions. The vocabulary-health card
+# beside Heaps' growth and the Zipf ratios.
+# ---------------------------------------------------------------------------
+@query(
+    "hapax_report",
+    oracle="""
+    WITH toks AS (
+      SELECT lang,
+             unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS f
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(f) AS BIGINT) AS tokens,
+           CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax,
+           CAST(max(f) AS BIGINT) AS top_freq,
+           CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS hapax_share,
+           CAST(max(f) AS DOUBLE) / CAST(sum(f) AS DOUBLE)
+             AS head_share
+    FROM tf GROUP BY 1
+    """,
+)
+def q_hapax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary health: hapax-legomena share and head concentration from exact term frequencies, single divisions."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    )
+    return tf.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum("f").cast("long").alias("tokens"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hapax"),
+        F.max("f").cast("long").alias("top_freq"),
+        (
+            F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("hapax_share"),
+        (F.max("f").cast("double") / F.sum("f").cast("double")).alias(
+            "head_share"
+        ),
+    )
