@@ -2767,3 +2767,97 @@ def q_customer_frequency_histogram(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("int")
         .alias("one_and_done"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal sanity audit (r9): the timestamp-contract checks every
+# ingest should run — ship-before-order lines (REAL in this synthetic
+# set; rev_recognition_schedule clamps for them), negative or
+# over-long order-to-ship spans, and events outside the table's own
+# [min, max] day envelope (structurally zero, asserted not assumed).
+# Exact integer day arithmetic, one scan per table.
+# ---------------------------------------------------------------------------
+@query(
+    "temporal_sanity_audit",
+    oracle="""
+    WITH ls AS (
+      SELECT (epoch(l.l_shipdate) - epoch(o.o_orderdate)) // 86400 AS gap
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    line_audit AS (
+      SELECT 'lineitem_ship_gap' AS check_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN gap < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations,
+             CAST(min(gap) AS BIGINT) AS min_val,
+             CAST(max(gap) AS BIGINT) AS max_val
+      FROM ls
+    ),
+    ev AS (
+      SELECT CAST(epoch(ts) AS BIGINT) // 86400 AS d,
+             CAST((SELECT min(epoch(ts)) FROM events) AS BIGINT) // 86400
+               AS lo,
+             CAST((SELECT max(epoch(ts)) FROM events) AS BIGINT) // 86400
+               AS hi
+      FROM events
+    ),
+    ev_audit AS (
+      SELECT 'events_in_envelope' AS check_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN d < lo OR d > hi THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_violations,
+             CAST(min(d) AS BIGINT) AS min_val,
+             CAST(max(d) AS BIGINT) AS max_val
+      FROM ev
+    )
+    SELECT * FROM line_audit UNION ALL SELECT * FROM ev_audit
+    """,
+)
+def q_temporal_sanity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-contract audit: ship-before-order violation counts with span extremes, and the events-in-envelope structural check - exact integer day arithmetic."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    ls = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.expr(
+            "(unix_seconds(l_shipdate) - unix_seconds(o_orderdate))"
+            " div 86400"
+        ).alias("gap")
+    )
+    line_audit = ls.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("gap") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violations"),
+        F.min("gap").cast("long").alias("min_val"),
+        F.max("gap").cast("long").alias("max_val"),
+    ).select(
+        F.lit("lineitem_ship_gap").alias("check_name"),
+        "n_rows",
+        "n_violations",
+        "min_val",
+        "max_val",
+    )
+    e = read_table(spark, sf_dir, "events").select(
+        F.expr("CAST(unix_seconds(ts) AS BIGINT) div 86400").alias("d")
+    )
+    env = e.groupBy().agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    ev = e.crossJoin(F.broadcast(env))
+    ev_audit = ev.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.when(
+                (F.col("d") < F.col("lo")) | (F.col("d") > F.col("hi")), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_violations"),
+        F.min("d").cast("long").alias("min_val"),
+        F.max("d").cast("long").alias("max_val"),
+    ).select(
+        F.lit("events_in_envelope").alias("check_name"),
+        "n_rows",
+        "n_violations",
+        "min_val",
+        "max_val",
+    )
+    return line_audit.unionByName(ev_audit)
