@@ -5486,3 +5486,93 @@ def q_hapax_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "head_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted vocabulary overlap (r9): Ruzicka (weighted Jaccard)
+# similarity between source pairs' term-frequency profiles, using the
+# identity Σmax(f_a,f_b) = T_a + T_b − Σmin(f_a,f_b) so only the
+# INNER term join is ever computed (no full-outer union of
+# vocabularies). Sources src0..src4 (10 pairs); exact integer mins
+# and totals, one division per pair. The frequency-aware mirror-feed
+# detector beside the exact-pair source_duplication_matrix.
+# ---------------------------------------------------------------------------
+@query(
+    "source_vocab_overlap",
+    oracle="""
+    WITH tf AS (
+      SELECT source,
+             unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS tok
+      FROM documents
+      WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+    ),
+    f AS (
+      SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+      FROM tf GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT source, CAST(sum(n) AS BIGINT) AS t FROM f GROUP BY 1
+    ),
+    inner_ AS (
+      SELECT a.source AS sa, b.source AS sb,
+             CAST(sum(least(a.n, b.n)) AS BIGINT) AS smin
+      FROM f a JOIN f b ON b.tok = a.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.sa, i.sb, i.smin, ta.t AS tot_a, tb.t AS tot_b,
+           CAST(i.smin AS DOUBLE)
+             / CAST(ta.t + tb.t - i.smin AS DOUBLE) AS ruzicka
+    FROM inner_ i
+    JOIN tot ta ON ta.source = i.sa
+    JOIN tot tb ON tb.source = i.sb
+    """,
+)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ruzicka weighted-Jaccard overlap between source term-frequency profiles via the inner-join-only identity (sum-max = totals minus sum-min), exact integers and one division per pair."""
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    )
+    tf = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    f = tf.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = f.groupBy("source").agg(F.sum("n").cast("long").alias("t"))
+    b = f.select(
+        F.col("source").alias("sb"),
+        F.col("tok").alias("tok_b"),
+        F.col("n").alias("nb"),
+    )
+    inner = (
+        f.join(
+            b,
+            (F.col("tok_b") == F.col("tok"))
+            & (F.col("source") < F.col("sb")),
+        )
+        .groupBy(F.col("source").alias("sa"), "sb")
+        .agg(F.sum(F.least("n", "nb")).cast("long").alias("smin"))
+    )
+    ta = tot.select(F.col("source").alias("ka"), F.col("t").alias("tot_a"))
+    tb = tot.select(F.col("source").alias("kb"), F.col("t").alias("tot_b"))
+    return (
+        inner.join(F.broadcast(ta), F.col("sa") == F.col("ka"))
+        .join(F.broadcast(tb), F.col("sb") == F.col("kb"))
+        .select(
+            "sa",
+            "sb",
+            "smin",
+            "tot_a",
+            "tot_b",
+            (
+                F.col("smin").cast("double")
+                / (F.col("tot_a") + F.col("tot_b") - F.col("smin")).cast(
+                    "double"
+                )
+            ).alias("ruzicka"),
+        )
+    )
