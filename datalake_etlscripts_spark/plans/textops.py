@@ -5576,3 +5576,67 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ruzicka"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe recall curve (r9): the tuning-knob evidence — recall@5
+# of the literal-quantizer IVF against the exact answer at n_probe ∈
+# {1, 2, 4}. Each probe level is the SAME IVF plan with a wider cell
+# fan-out; overlap counts are exact integers per (n_probe, query).
+# This is the curve you read before spending memory on more probes at
+# corpus scale (the matryoshka_recall of the candidate-budget axis).
+# ---------------------------------------------------------------------------
+def _ivf_sweep_oracle() -> str:
+    from datalake_etlscripts_spark.plans import registry as _registry
+
+    base = _ANN_IVF_ORACLE
+    sels = []
+    for np_ in (1, 2, 4):
+        sub = base.replace("r <= 3", f"r <= {np_}").strip()
+        assert sub.startswith("WITH ")
+        sub = sub[len("WITH "):]
+        sels.append((np_, sub))
+    body = ["WITH exact AS (", _registry.ORACLES["ann_cosine_topk"], ")"]
+    sel_parts = []
+    for np_, sub in sels:
+        sel_parts.append(
+            f"""SELECT {np_} AS n_probe, e.query_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS overlap,
+           CAST(count(i.neighbor_id) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM exact e LEFT JOIN (
+      WITH {sub}
+    ) i ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    GROUP BY 1, 2"""
+        )
+    return "".join(body) + "\n" + "\n    UNION ALL ".join(sel_parts)
+
+
+@query("ann_ivf_nprobe_sweep", oracle=_ivf_sweep_oracle())
+def q_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall-vs-nprobe curve at {1,2,4} probes against the exact top-5: exact integer overlaps per (n_probe, query) - the candidate-budget tuning evidence."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    exact = similarity.brute_force_topk(e, q, k=5).select(
+        F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en")
+    )
+    out = None
+    for np_ in (1, 2, 4):
+        ivf = similarity.ivf_ann_topk(
+            e, q, k=5, n_probe=np_, centroids=_ivf_literal_centroids()
+        ).select(
+            F.col("query_id").alias("iq"), F.col("neighbor_id").alias("in_")
+        )
+        j = exact.join(
+            ivf,
+            (F.col("eq") == F.col("iq")) & (F.col("en") == F.col("in_")),
+            "left",
+        ).groupBy(F.col("eq").alias("query_id")).agg(
+            F.count("in_").cast("long").alias("overlap"),
+            (F.count("in_").cast("double") / F.lit(5.0)).alias(
+                "recall_at_5"
+            ),
+        ).select(
+            F.lit(np_).alias("n_probe"), "query_id", "overlap", "recall_at_5"
+        )
+        out = j if out is None else out.unionByName(j)
+    return out
