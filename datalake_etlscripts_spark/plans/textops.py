@@ -5640,3 +5640,140 @@ def q_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = j if out is None else out.unionByName(j)
     return out
+
+
+# ---------------------------------------------------------------------------
+# LSH band-count sweep (r9): candidate recall of the md5 minhash
+# pipeline vs the blocked exact-Jaccard pair set at bands ∈ {4, 8, 16}
+# (rows/band 8, 4, 2 — the s-curve slides left as bands grow). The
+# oracle GENERALIZES the 8-band twin: a Python builder emits the
+# r-column band fold per level, so every level is replayed
+# bit-for-bit. Completes the tuning-curve family with
+# matryoshka_recall (dimension axis) and ann_ivf_nprobe_sweep
+# (probe axis): this is the collision-budget axis.
+# ---------------------------------------------------------------------------
+def _minhash_verified_sql(bands: int) -> str:
+    from datalake_etlscripts_spark.plans.registry import ddb_hex32
+
+    r = 32 // bands
+    mcols = ",\n             ".join(
+        f"max(CASE WHEN lane % {r} = {j} THEN m END) AS m{j}"
+        for j in range(r)
+    )
+    acc = "0"
+    for j in range(r):
+        acc = f"(({acc} * 1000003 + m{j}) & 4294967295)"
+    return f"""toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS s
+      FROM toks WHERE len(t) >= 3
+    ),
+    h AS (
+      SELECT doc_id, {ddb_hex32('md5(s)')} AS h1,
+             {ddb_hex32('md5(s)', 8)} AS h2 FROM sh
+    ),
+    lanes AS (
+      SELECT doc_id, l.i AS lane, min(h1 + l.i * h2) AS m
+      FROM h CROSS JOIN (SELECT unnest(range(32)) AS i) l
+      GROUP BY 1, 2
+    ),
+    lanecols AS (
+      SELECT doc_id, lane // {r} AS band,
+             {mcols}
+      FROM lanes GROUP BY 1, 2
+    ),
+    banded AS (SELECT doc_id, band, {acc} AS bucket FROM lanecols),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    hs AS (SELECT DISTINCT doc_id, {ddb_hex32('md5(s)')} AS hv FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS i
+      FROM cand c
+      JOIN hs a ON a.doc_id = c.id_a
+      JOIN hs b ON b.doc_id = c.id_b AND b.hv = a.hv
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b
+    FROM cand c
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    WHERE CAST(coalesce(i.i, 0) AS DOUBLE)
+            / (sa.n + sb.n - coalesce(i.i, 0)) >= 0.04"""
+
+
+def _band_sweep_oracle() -> str:
+    blocked = """
+    base2 AS (
+      SELECT doc_id, lang, CAST(floor(length(text) / 100) AS INT) AS lb,
+             list_distinct(list_transform(
+               range(1, greatest(len(list_filter(string_split(text,' '), x -> x <> '')) - 1, 1)),
+               i -> list_filter(string_split(text,' '), x -> x <> '')[i] || ' ' ||
+                    list_filter(string_split(text,' '), x -> x <> '')[i+1] || ' ' ||
+                    list_filter(string_split(text,' '), x -> x <> '')[i+2]
+             )) AS sh2
+      FROM documents
+    ),
+    blocked AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM base2 a JOIN base2 b ON a.lang = b.lang AND a.lb = b.lb
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.sh2, b.sh2)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh2, b.sh2))) >= 0.04
+    ),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_blocked FROM blocked)
+    """
+    sels = []
+    for b in (4, 8, 16):
+        sels.append(
+            f"""SELECT {b} AS bands,
+           CAST((SELECT count(*) FROM (WITH {_minhash_verified_sql(b)}) x)
+                AS BIGINT) AS n_lsh,
+           CAST((SELECT count(*) FROM (WITH {_minhash_verified_sql(b)}) x
+                 JOIN blocked bl ON bl.id_a = x.id_a AND bl.id_b = x.id_b)
+                AS BIGINT) AS n_common,
+           nb.n_blocked,
+           CAST((SELECT count(*) FROM (WITH {_minhash_verified_sql(b)}) x
+                 JOIN blocked bl ON bl.id_a = x.id_a AND bl.id_b = x.id_b)
+                AS DOUBLE) / CAST(nb.n_blocked AS DOUBLE) AS recall
+    FROM nb"""
+        )
+    return "WITH " + blocked + "\n" + "\n    UNION ALL ".join(sels)
+
+
+@query("dedup_lsh_band_sweep", oracle=_band_sweep_oracle())
+def q_dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash-LSH recall vs band count (4/8/16 bands on 32 hashes) against the blocked exact-Jaccard pair set - the collision-budget tuning curve beside the dimension and probe sweeps."""
+    from datalake_etlscripts_spark.operators.skew import spread_small_input
+
+    d = read_table(spark, sf_dir, "documents")
+    blocked = dedup.ngram_jaccard_pairs(d, threshold=0.04).select(
+        F.col("id_a").alias("ba"), F.col("id_b").alias("bb")
+    ).localCheckpoint()
+    nb = blocked.count()
+    out = None
+    for b in (4, 8, 16):
+        lsh = dedup.minhash_lsh_pairs(
+            spread_small_input(d), threshold=0.04, scheme="md5", bands=b
+        ).select("id_a", "id_b").localCheckpoint()
+        n_lsh = lsh.count()
+        n_common = lsh.join(
+            blocked,
+            (F.col("id_a") == F.col("ba")) & (F.col("id_b") == F.col("bb")),
+        ).count()
+        row = spark.createDataFrame(
+            [(b, n_lsh, n_common, nb, n_common / nb)],
+            "bands INT, n_lsh BIGINT, n_common BIGINT,"
+            " n_blocked BIGINT, recall DOUBLE",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
