@@ -3239,3 +3239,87 @@ def q_peak_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_to_trough"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# D1/D7/D28 retention (r9): per first-seen cohort day, the share of
+# users active again EXACTLY at each offset — the growth-accounting
+# standard. First-seen from one aggregate; the offset checks are one
+# semi-join per literal offset against the distinct (user, day)
+# presence table; shares are single divisions.
+# ---------------------------------------------------------------------------
+@query(
+    "retention_d1_d7_d28",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS d
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, CAST(min(d) AS BIGINT) AS d0 FROM pres GROUP BY 1
+    ),
+    j AS (
+      SELECT f.d0, f.user_id,
+             max(CASE WHEN p.d = f.d0 + 1 THEN 1 ELSE 0 END) AS r1,
+             max(CASE WHEN p.d = f.d0 + 7 THEN 1 ELSE 0 END) AS r7,
+             max(CASE WHEN p.d = f.d0 + 28 THEN 1 ELSE 0 END) AS r28
+      FROM firsts f JOIN pres p ON p.user_id = f.user_id
+      GROUP BY 1, 2
+    )
+    SELECT d0 AS cohort_day, CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(r1) AS BIGINT) AS d1,
+           CAST(sum(r7) AS BIGINT) AS d7,
+           CAST(sum(r28) AS BIGINT) AS d28,
+           CAST(sum(r1) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS d1_rate,
+           CAST(sum(r7) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS d7_rate,
+           CAST(sum(r28) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS d28_rate
+    FROM j GROUP BY 1
+    """,
+)
+def q_retention_d1_d7_d28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic D1/D7/D28 retention per first-seen cohort day: exact presence checks at literal offsets, one division per rate."""
+    e = read_table(spark, sf_dir, "events")
+    pres = e.select(
+        "user_id",
+        F.expr(
+            "CAST(unix_seconds(date_trunc('day', ts)) AS BIGINT)"
+            " div 86400"
+        ).alias("d"),
+    ).distinct()
+    firsts = pres.groupBy("user_id").agg(
+        F.min("d").cast("long").alias("d0")
+    )
+    j = (
+        firsts.join(
+            pres.withColumnRenamed("user_id", "pu"),
+            F.col("pu") == F.col("user_id"),
+        )
+        .groupBy("d0", "user_id")
+        .agg(
+            F.max(
+                F.when(F.col("d") == F.col("d0") + 1, 1).otherwise(0)
+            ).alias("r1"),
+            F.max(
+                F.when(F.col("d") == F.col("d0") + 7, 1).otherwise(0)
+            ).alias("r7"),
+            F.max(
+                F.when(F.col("d") == F.col("d0") + 28, 1).otherwise(0)
+            ).alias("r28"),
+        )
+    )
+    return j.groupBy(F.col("d0").alias("cohort_day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("r1").cast("long").alias("d1"),
+        F.sum("r7").cast("long").alias("d7"),
+        F.sum("r28").cast("long").alias("d28"),
+        (F.sum("r1").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "d1_rate"
+        ),
+        (F.sum("r7").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "d7_rate"
+        ),
+        (F.sum("r28").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "d28_rate"
+        ),
+    )
