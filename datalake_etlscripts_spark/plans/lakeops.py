@@ -2861,3 +2861,61 @@ def q_temporal_sanity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_val",
     )
     return line_audit.unionByName(ev_audit)
+
+
+# ---------------------------------------------------------------------------
+# Unit-value price index (r9): yearly price level vs the 1995 base as
+# (S_t·Q_0)/(S_0·Q_t) — the unit-value index whose ratio form needs
+# only integer revenue and quantity sums (no per-part price rationals
+# to common-denominator), one division per year. The macro companion
+# of arc_elasticity and pvm_bridge on the same moments.
+# ---------------------------------------------------------------------------
+@query(
+    "price_index_unit_value",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(year(l_shipdate) AS INT) AS yr,
+             CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                  AS HUGEINT) AS cents,
+             CAST(l_quantity AS HUGEINT) AS qty
+      FROM lineitem
+    ),
+    g AS (
+      SELECT yr, CAST(sum(cents) AS HUGEINT) AS s,
+             CAST(sum(qty) AS HUGEINT) AS q
+      FROM f GROUP BY 1
+    ),
+    base AS (SELECT s AS s0, q AS q0 FROM g WHERE yr = 1995)
+    SELECT g.yr, CAST(g.s AS BIGINT) AS cents, CAST(g.q AS BIGINT) AS qty,
+           CAST(CAST(g.s * base.q0 AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(base.s0 * g.q AS VARCHAR) AS DOUBLE)
+             AS unit_value_index
+    FROM g CROSS JOIN base
+    """,
+)
+def q_price_index_unit_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly unit-value price index vs the 1995 base: (S_t*Q_0)/(S_0*Q_t) from integer sums, one division per year."""
+    li = read_table(spark, sf_dir, "lineitem")
+    g = li.groupBy(F.year("l_shipdate").cast("int").alias("yr")).agg(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(14,2)") * 100).cast(
+                "decimal(38,0)"
+            )
+        ).alias("s"),
+        F.sum(F.col("l_quantity").cast("decimal(38,0)")).alias("q"),
+    )
+    base = g.filter(F.col("yr") == 1995).select(
+        F.col("s").alias("s0"), F.col("q").alias("q0")
+    )
+
+    def dd_(c):
+        return c.cast("string").cast("double")
+
+    return g.crossJoin(F.broadcast(base)).select(
+        "yr",
+        F.col("s").cast("long").alias("cents"),
+        F.col("q").cast("long").alias("qty"),
+        (
+            dd_(F.col("s") * F.col("q0")) / dd_(F.col("s0") * F.col("q"))
+        ).alias("unit_value_index"),
+    )
