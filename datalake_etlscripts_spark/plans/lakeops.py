@@ -2919,3 +2919,91 @@ def q_price_index_unit_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             dd_(F.col("s") * F.col("q0")) / dd_(F.col("s0") * F.col("q"))
         ).alias("unit_value_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Order reconciliation (r9): the close-the-books check — each order's
+# header total vs the sum of its line charges (price·(1−disc)·(1+tax))
+# in exact 1e-10 currency units, with the mismatch population and the
+# total signed and absolute drift. On this synthetic set the columns
+# are independent, so the drift is large — which is exactly what the
+# report is for.
+# ---------------------------------------------------------------------------
+@query(
+    "order_reconciliation",
+    oracle="""
+    WITH lines AS (
+      SELECT l_orderkey AS okey,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(14,2)) * 100
+                  AS HUGEINT)
+                  * (10000 - CAST(CAST(l_discount AS DECIMAL(8,4)) * 10000
+                     AS HUGEINT))
+                  * (10000 + CAST(CAST(l_tax AS DECIMAL(8,4)) * 10000
+                     AS HUGEINT))) AS HUGEINT) AS charge_u
+      FROM lineitem GROUP BY 1
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(CAST(o.o_totalprice AS DECIMAL(14,2)) * 100 AS HUGEINT)
+               * 100000000 AS header_u,
+             l.charge_u
+      FROM orders o JOIN lines l ON l.okey = o.o_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN header_u <> charge_u THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatched,
+           CAST(CAST(sum(header_u - charge_u) AS VARCHAR) AS DOUBLE)
+             / 1e12 AS signed_drift,
+           CAST(CAST(sum(abs(header_u - charge_u)) AS VARCHAR) AS DOUBLE)
+             / 1e12 AS abs_drift
+    FROM j
+    """,
+)
+def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close-the-books reconciliation: header totals vs exact line-charge sums in scaled integer units, mismatch population and signed/absolute drift."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    lines = li.groupBy(F.col("l_orderkey").alias("okey")).agg(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(14,2)") * 100)
+            .cast("decimal(38,0)")
+            * (
+                10000
+                - (F.col("l_discount").cast("decimal(8,4)") * 10000).cast(
+                    "decimal(38,0)"
+                )
+            )
+            * (
+                10000
+                + (F.col("l_tax").cast("decimal(8,4)") * 10000).cast(
+                    "decimal(38,0)"
+                )
+            )
+        ).alias("charge_u")
+    )
+    j = o.join(lines, o["o_orderkey"] == lines["okey"]).select(
+        (
+            (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast(
+                "decimal(38,0)"
+            )
+            * 100000000
+        ).alias("header_u"),
+        "charge_u",
+    )
+
+    def dd_(c):
+        return c.cast("string").cast("double")
+
+    return j.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.when(F.col("header_u") != F.col("charge_u"), 1).otherwise(0)
+        ).cast("long").alias("n_mismatched"),
+        (
+            dd_(F.sum(F.col("header_u") - F.col("charge_u"))) / F.lit(1e12)
+        ).alias("signed_drift"),
+        (
+            dd_(F.sum(F.abs(F.col("header_u") - F.col("charge_u"))))
+            / F.lit(1e12)
+        ).alias("abs_drift"),
+    )
