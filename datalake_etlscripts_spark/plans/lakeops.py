@@ -3007,3 +3007,69 @@ def q_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e12)
         ).alias("abs_drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quarterly growth (r9): revenue by fiscal quarter with QoQ and YoY
+# rates — exact integer cents on the bounded quarter table, growth as
+# one division per comparison (lag windows over ≤28 rows). The
+# board-deck readout on the house exactness discipline.
+# ---------------------------------------------------------------------------
+@query(
+    "quarterly_growth",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             CAST(quarter(o_orderdate) AS INT) AS qtr,
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                  AS HUGEINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT yr, qtr, cents,
+             lag(cents, 1) OVER (ORDER BY yr, qtr) AS prev_q,
+             lag(cents, 4) OVER (ORDER BY yr, qtr) AS prev_y
+      FROM q
+    )
+    SELECT yr, qtr, cents,
+           CASE WHEN prev_q > 0 THEN
+             CAST(cents - prev_q AS DOUBLE) / CAST(prev_q AS DOUBLE) END
+             AS qoq_growth,
+           CASE WHEN prev_y > 0 THEN
+             CAST(cents - prev_y AS DOUBLE) / CAST(prev_y AS DOUBLE) END
+             AS yoy_growth
+    FROM w
+    """,
+)
+def q_quarterly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarterly revenue with QoQ and YoY growth rates: exact integer cents on the bounded quarter table, one division per comparison."""
+    o = read_table(spark, sf_dir, "orders")
+    q = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast(
+                "decimal(38,0)"
+            )
+        ).cast("long").alias("cents")
+    )
+    w = W.orderBy("yr", "qtr")
+    t = q.withColumn("prev_q", F.lag("cents", 1).over(w)).withColumn(
+        "prev_y", F.lag("cents", 4).over(w)
+    )
+    return t.select(
+        "yr",
+        "qtr",
+        "cents",
+        F.when(
+            F.col("prev_q") > 0,
+            (F.col("cents") - F.col("prev_q")).cast("double")
+            / F.col("prev_q").cast("double"),
+        ).alias("qoq_growth"),
+        F.when(
+            F.col("prev_y") > 0,
+            (F.col("cents") - F.col("prev_y")).cast("double")
+            / F.col("prev_y").cast("double"),
+        ).alias("yoy_growth"),
+    )
