@@ -3073,3 +3073,88 @@ def q_quarterly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("prev_y").cast("double"),
         ).alias("yoy_growth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment migration matrix (r9): customers move between frequency
+# tiers (1 / 2-3 / 4+ orders) from the 1995-96 half to the 1997+
+# half — pure integer tiers (no ranking), one aggregate per half, the
+# transition matrix with per-origin shares. '(gone)' and '(new)'
+# rows account for churn and acquisition exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "segment_migration_matrix",
+    oracle="""
+    WITH h1 AS (
+      SELECT o_custkey AS c, CAST(count(*) AS BIGINT) AS n
+      FROM orders WHERE year(o_orderdate) <= 1996 GROUP BY 1
+    ),
+    h2 AS (
+      SELECT o_custkey AS c, CAST(count(*) AS BIGINT) AS n
+      FROM orders WHERE year(o_orderdate) >= 1997 GROUP BY 1
+    ),
+    t AS (
+      SELECT coalesce(h1.c, h2.c) AS c,
+             CASE WHEN h1.n IS NULL THEN '(new)'
+                  WHEN h1.n = 1 THEN '1'
+                  WHEN h1.n <= 3 THEN '2-3' ELSE '4+' END AS tier_from,
+             CASE WHEN h2.n IS NULL THEN '(gone)'
+                  WHEN h2.n = 1 THEN '1'
+                  WHEN h2.n <= 3 THEN '2-3' ELSE '4+' END AS tier_to
+      FROM h1 FULL OUTER JOIN h2 ON h2.c = h1.c
+    ),
+    m AS (
+      SELECT tier_from, tier_to, CAST(count(*) AS BIGINT) AS n_customers
+      FROM t GROUP BY 1, 2
+    ),
+    o AS (
+      SELECT tier_from, CAST(sum(n_customers) AS BIGINT) AS n_from
+      FROM m GROUP BY 1
+    )
+    SELECT m.tier_from, m.tier_to, m.n_customers, o.n_from,
+           CAST(m.n_customers AS DOUBLE) / CAST(o.n_from AS DOUBLE)
+             AS share_of_origin
+    FROM m JOIN o ON o.tier_from = m.tier_from
+    """,
+)
+def q_segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-tier migration matrix between era halves with exact churn/acquisition rows and per-origin shares - pure integer tiers, one aggregate per half."""
+    o = read_table(spark, sf_dir, "orders")
+    h1 = (
+        o.filter(F.year("o_orderdate") <= 1996)
+        .groupBy(F.col("o_custkey").alias("c1"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    )
+    h2 = (
+        o.filter(F.year("o_orderdate") >= 1997)
+        .groupBy(F.col("o_custkey").alias("c2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    )
+    t = h1.join(h2, F.col("c1") == F.col("c2"), "full_outer").select(
+        F.when(F.col("n1").isNull(), "(new)")
+        .when(F.col("n1") == 1, "1")
+        .when(F.col("n1") <= 3, "2-3")
+        .otherwise("4+")
+        .alias("tier_from"),
+        F.when(F.col("n2").isNull(), "(gone)")
+        .when(F.col("n2") == 1, "1")
+        .when(F.col("n2") <= 3, "2-3")
+        .otherwise("4+")
+        .alias("tier_to"),
+    )
+    m = t.groupBy("tier_from", "tier_to").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    o2 = m.groupBy(F.col("tier_from").alias("tf2")).agg(
+        F.sum("n_customers").cast("long").alias("n_from")
+    )
+    return m.join(o2, F.col("tier_from") == F.col("tf2")).select(
+        "tier_from",
+        "tier_to",
+        "n_customers",
+        "n_from",
+        (
+            F.col("n_customers").cast("double")
+            / F.col("n_from").cast("double")
+        ).alias("share_of_origin"),
+    )
