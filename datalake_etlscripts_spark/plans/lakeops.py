@@ -3158,3 +3158,74 @@ def q_segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_from").cast("double")
         ).alias("share_of_origin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Domestic-vs-international revenue (r9): per customer nation, the
+# revenue split by whether the supplying nation matches — the
+# one-glance trade-balance readout behind TPC-H Q7's bilateral
+# detail. Two broadcast dim joins, exact cents, one division.
+# ---------------------------------------------------------------------------
+@query(
+    "trade_domestic_share",
+    oracle="""
+    WITH f AS (
+      SELECT c.c_nationkey AS cnat, s.s_nationkey AS snat,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(14,2)) * 100
+                  AS HUGEINT) AS cents
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    )
+    SELECT CAST(cnat AS INT) AS customer_nation,
+           CAST(sum(CASE WHEN cnat = snat THEN cents ELSE 0 END)
+                AS BIGINT) AS domestic_cents,
+           CAST(sum(CASE WHEN cnat <> snat THEN cents ELSE 0 END)
+                AS BIGINT) AS international_cents,
+           CAST(CAST(sum(CASE WHEN cnat = snat THEN cents ELSE 0 END)
+                AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(sum(cents) AS VARCHAR) AS DOUBLE)
+             AS domestic_share
+    FROM f GROUP BY 1
+    """,
+)
+def q_trade_domestic_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domestic vs international revenue per customer nation: two broadcast dim joins, exact cents, one share division."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    s = read_table(spark, sf_dir, "supplier")
+    f = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == s["s_suppkey"],
+        )
+        .select(
+            F.col("c_nationkey").alias("cnat"),
+            F.col("s_nationkey").alias("snat"),
+            (F.col("l_extendedprice").cast("decimal(14,2)") * 100)
+            .cast("decimal(38,0)")
+            .alias("cents"),
+        )
+    )
+    dom = F.sum(
+        F.when(F.col("cnat") == F.col("snat"), F.col("cents")).otherwise(0)
+    )
+    intl = F.sum(
+        F.when(F.col("cnat") != F.col("snat"), F.col("cents")).otherwise(0)
+    )
+
+    def dd_(x):
+        return x.cast("string").cast("double")
+
+    return f.groupBy(F.col("cnat").cast("int").alias("customer_nation")).agg(
+        dom.cast("long").alias("domestic_cents"),
+        intl.cast("long").alias("international_cents"),
+        (dd_(dom) / dd_(F.sum("cents"))).alias("domestic_share"),
+    )
