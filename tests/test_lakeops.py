@@ -894,3 +894,44 @@ def test_srm_trace_alarm_rule(spark, sf_dir):
         assert r["srm_chi2"] == pytest.approx(
             d2 / (r["n_a"] + r["n_b"]), rel=1e-12
         )
+
+
+def test_final_stretch_identities(spark, sf_dir):
+    """Bounds/identity checks for the closing-wave reports."""
+    # retention rates bounded, d1 population never exceeds cohort
+    for r in _run("retention_d1_d7_d28", spark, sf_dir).collect():
+        for k in ("d1", "d7", "d28"):
+            assert 0 <= r[k] <= r["n_users"]
+        for k in ("d1_rate", "d7_rate", "d28_rate"):
+            assert 0.0 <= r[k] <= 1.0
+    # price index: base year identically 1
+    idx = {r["yr"]: r["unit_value_index"]
+           for r in _run("price_index_unit_value", spark, sf_dir).collect()}
+    assert idx[1995] == 1.0
+    # reconciliation: |signed| <= abs drift, mismatches <= population
+    rec = _run("order_reconciliation", spark, sf_dir).collect()[0]
+    assert abs(rec["signed_drift"]) <= rec["abs_drift"] + 1e-9
+    assert 0 <= rec["n_mismatched"] <= rec["n_orders"]
+    # migration: per-origin shares sum to 1; (new)->(gone) impossible
+    mig = _run("segment_migration_matrix", spark, sf_dir).collect()
+    by_from = {}
+    for r in mig:
+        by_from.setdefault(r["tier_from"], 0.0)
+        by_from[r["tier_from"]] += r["share_of_origin"]
+        assert not (r["tier_from"] == "(new)" and r["tier_to"] == "(gone)")
+    for v in by_from.values():
+        assert v == pytest.approx(1.0, abs=1e-9)
+    # trade shares bounded and cents split exactly
+    for r in _run("trade_domestic_share", spark, sf_dir).collect():
+        assert 0.0 <= r["domestic_share"] <= 1.0
+    # quarterly growth replays from the cents column
+    q = sorted(
+        _run("quarterly_growth", spark, sf_dir).collect(),
+        key=lambda r: (r["yr"], r["qtr"]),
+    )
+    for i, r in enumerate(q):
+        if i >= 1 and q[i - 1]["cents"] > 0:
+            assert r["qoq_growth"] == pytest.approx(
+                (r["cents"] - q[i - 1]["cents"]) / q[i - 1]["cents"],
+                rel=1e-12,
+            )
