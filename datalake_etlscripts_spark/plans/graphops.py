@@ -1246,3 +1246,108 @@ def q_graph_density_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_degree"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# LPA modularity (r9): Newman's Q for the 3-round label-propagation
+# communities, computed EXACTLY — Q·4m² = Σ_c (4m·m_c − d_c²) is a
+# pure integer sum over communities (order-free), so the only double
+# is the final division. Composes the unrolled LPA oracle with the
+# degree/within-edge aggregates; the quality readout that tells you
+# whether the communities mean anything before you act on them.
+# ---------------------------------------------------------------------------
+def _lpa_modularity_oracle() -> str:
+    base = _lpa_oracle(3)
+    base = base.rsplit("SELECT node, label", 1)[0]
+    return base + """,
+    lab AS (SELECT node, label FROM l3),
+    mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e0),
+    deg AS (SELECT src AS node, CAST(count(*) AS HUGEINT) AS d
+            FROM edges GROUP BY 1),
+    dc AS (SELECT lab.label, CAST(sum(deg.d) AS HUGEINT) AS d_c
+           FROM deg JOIN lab ON lab.node = deg.node GROUP BY 1),
+    mc AS (SELECT la.label, CAST(count(*) AS HUGEINT) AS m_c
+           FROM e0
+           JOIN lab la ON la.node = e0.u
+           JOIN lab lb ON lb.node = e0.v AND lb.label = la.label
+           GROUP BY 1),
+    terms AS (
+      SELECT dc.label,
+             4 * mm.m * coalesce(mc.m_c, 0) - dc.d_c * dc.d_c AS t
+      FROM dc LEFT JOIN mc ON mc.label = dc.label CROSS JOIN mm
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_communities,
+             CAST(sum(t) AS HUGEINT) AS q_num
+      FROM terms
+    )
+    SELECT CAST(mm.m AS BIGINT) AS m_edges, agg.n_communities,
+           CAST(CAST(agg.q_num AS VARCHAR) AS DOUBLE) AS q_num,
+           CAST(CAST(agg.q_num AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(4 * mm.m * mm.m AS VARCHAR) AS DOUBLE)
+             AS modularity
+    FROM agg CROSS JOIN mm
+    """
+
+
+@query("graph_lpa_modularity", oracle=_lpa_modularity_oracle())
+def q_graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 3-round LPA communities computed exactly: Q times 4m-squared as a pure integer sum over communities, one final division."""
+    from datalake_etlscripts_spark.operators.graph import label_propagation
+
+    e0 = _co_order_edges(spark, sf_dir)
+    edges = e0.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(
+        e0.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    lab = label_propagation(edges, iterations=3).select("node", "label")
+    mm = e0.groupBy().agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m")
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("d")
+    )
+    dc = (
+        deg.join(lab, "node")
+        .groupBy("label")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    la = lab.select(F.col("node").alias("ua"), F.col("label").alias("cla"))
+    lb = lab.select(F.col("node").alias("vb"), F.col("label").alias("clb"))
+    mc = (
+        e0.join(la, F.col("u") == F.col("ua"))
+        .join(
+            lb,
+            (F.col("v") == F.col("vb")) & (F.col("clb") == F.col("cla")),
+        )
+        .groupBy(F.col("cla").alias("mlabel"))
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("m_c"))
+    )
+    terms = (
+        dc.join(mc, F.col("label") == F.col("mlabel"), "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            (
+                4 * F.col("m")
+                * F.coalesce(F.col("m_c"), F.lit(0).cast("decimal(38,0)"))
+                - F.col("d_c") * F.col("d_c")
+            ).alias("t")
+        )
+    )
+    agg = terms.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum("t").alias("q_num"),
+    )
+
+    def dd_(c):
+        return c.cast("string").cast("double")
+
+    return agg.crossJoin(F.broadcast(mm)).select(
+        F.col("m").cast("long").alias("m_edges"),
+        "n_communities",
+        dd_(F.col("q_num")).alias("q_num"),
+        (dd_(F.col("q_num")) / dd_(4 * F.col("m") * F.col("m"))).alias(
+            "modularity"
+        ),
+    )
