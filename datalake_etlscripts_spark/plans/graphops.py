@@ -1351,3 +1351,110 @@ def q_graph_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "modularity"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Community conductance (r9): per LPA community the cut share
+# φ(C) = cut(C) / min(vol(C), 2m − vol(C)) — cut and volumes are
+# exact integers from the same label joins as modularity; min by
+# integer comparison; one division per community. Modularity scores
+# the whole partition, conductance exposes WHICH communities leak.
+# ---------------------------------------------------------------------------
+def _conductance_oracle() -> str:
+    base = _lpa_oracle(3)
+    base = base.rsplit("SELECT node, label", 1)[0]
+    return base + """,
+    lab AS (SELECT node, label FROM l3),
+    mm AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e0),
+    deg AS (SELECT src AS node, CAST(count(*) AS HUGEINT) AS d
+            FROM edges GROUP BY 1),
+    vol AS (SELECT lab.label, CAST(sum(deg.d) AS HUGEINT) AS v,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM deg JOIN lab ON lab.node = deg.node GROUP BY 1),
+    cut AS (
+      SELECT la.cla AS label, CAST(count(*) AS HUGEINT) AS c
+      FROM (SELECT e0.u, e0.v FROM e0) e
+      JOIN (SELECT node AS un, label AS cla FROM lab) la ON la.un = e.u
+      JOIN (SELECT node AS vn, label AS clb FROM lab) lb ON lb.vn = e.v
+      WHERE la.cla <> lb.clb
+      GROUP BY 1
+      UNION ALL
+      SELECT lb.clb, CAST(count(*) AS HUGEINT)
+      FROM (SELECT e0.u, e0.v FROM e0) e
+      JOIN (SELECT node AS un, label AS cla FROM lab) la ON la.un = e.u
+      JOIN (SELECT node AS vn, label AS clb FROM lab) lb ON lb.vn = e.v
+      WHERE la.cla <> lb.clb
+      GROUP BY 1
+    ),
+    cc AS (SELECT label, CAST(sum(c) AS HUGEINT) AS cut_c
+           FROM cut GROUP BY 1)
+    SELECT v.label AS community, v.n_nodes,
+           CAST(v.v AS BIGINT) AS volume,
+           CAST(coalesce(cc.cut_c, 0) AS BIGINT) AS cut_edges,
+           CASE WHEN least(v.v, 2 * mm.m - v.v) > 0 THEN
+             CAST(CAST(coalesce(cc.cut_c, 0) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(least(v.v, 2 * mm.m - v.v) AS VARCHAR) AS DOUBLE)
+           END AS conductance
+    FROM vol v LEFT JOIN cc ON cc.label = v.label CROSS JOIN mm
+    """
+
+
+@query("graph_community_conductance", oracle=_conductance_oracle())
+def q_graph_community_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance of the LPA partition: exact integer cut and volume, min by comparison, one division - exposes which communities leak."""
+    from datalake_etlscripts_spark.operators.graph import label_propagation
+
+    e0 = _co_order_edges(spark, sf_dir)
+    edges = e0.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(
+        e0.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    lab = label_propagation(edges, iterations=3).select("node", "label")
+    mm = e0.groupBy().agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m")
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("d")
+    )
+    vol = (
+        deg.join(lab, "node")
+        .groupBy("label")
+        .agg(
+            F.sum("d").alias("v"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        )
+    )
+    la = lab.select(F.col("node").alias("ua"), F.col("label").alias("cla"))
+    lb = lab.select(F.col("node").alias("vb"), F.col("label").alias("clb"))
+    crossing = (
+        e0.join(la, F.col("u") == F.col("ua"))
+        .join(lb, F.col("v") == F.col("vb"))
+        .filter(F.col("cla") != F.col("clb"))
+        .localCheckpoint()
+    )
+    cut = (
+        crossing.select(F.col("cla").alias("clabel"))
+        .unionByName(crossing.select(F.col("clb").alias("clabel")))
+        .groupBy("clabel")
+        .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("cut_c"))
+    )
+    j = vol.join(cut, F.col("label") == F.col("clabel"), "left").crossJoin(
+        F.broadcast(mm)
+    )
+    denom = F.least(F.col("v"), 2 * F.col("m") - F.col("v"))
+    zero = F.lit(0).cast("decimal(38,0)")
+
+    def dd_(c):
+        return c.cast("string").cast("double")
+
+    return j.select(
+        F.col("label").alias("community"),
+        "n_nodes",
+        F.col("v").cast("long").alias("volume"),
+        F.coalesce(F.col("cut_c"), zero).cast("long").alias("cut_edges"),
+        F.when(
+            denom > 0,
+            dd_(F.coalesce(F.col("cut_c"), zero)) / dd_(denom),
+        ).alias("conductance"),
+    )
