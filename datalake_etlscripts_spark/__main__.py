@@ -41,8 +41,15 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("sync", help="storage reconciliation plan (sync_documents)")
     p.add_argument("--src", default=None, help="parquet listing of the source")
     p.add_argument("--dst", default=None, help="parquet listing of the destination")
-    p.add_argument("--src-dir", default=None, help="DISK source directory (real files)")
-    p.add_argument("--dst-dir", default=None, help="DISK destination directory")
+    p.add_argument(
+        "--src-dir", default=None,
+        help="source store (real files): bare path = disk, URI "
+        "(file://, s3://, ...) = pyarrow.fs object store",
+    )
+    p.add_argument(
+        "--dst-dir", default=None,
+        help="destination store: bare path or URI, like --src-dir",
+    )
     p.add_argument("--name-col", default="file_name")
     p.add_argument("--content-cols", default="")
     p.add_argument("--check-only", action="store_true")
@@ -58,8 +65,15 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("purge", help="backup-then-delete plan for obsolete versions' files (purge_documents)")
     p.add_argument("--listing", default=None, help="parquet with the file listing")
     p.add_argument("--state", required=True, help="parquet versioned store")
-    p.add_argument("--storage-dir", default=None, help="DISK store to purge (real files)")
-    p.add_argument("--backup-dir", default=None, help="DISK backup target for purged files")
+    p.add_argument(
+        "--storage-dir", default=None,
+        help="store to purge (real files): bare path = disk, URI = "
+        "pyarrow.fs object store",
+    )
+    p.add_argument(
+        "--backup-dir", default=None,
+        help="backup target for purged files: bare path or URI",
+    )
     p.add_argument("--name-col", default="file_name")
     p.add_argument("--dry-run", action="store_true")
 
@@ -203,13 +217,13 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{r['field']}\t{r['value']}\t{r['cnt']}")
 
     elif args.cmd == "sync":
-        from datalake_etlscripts_spark.storage import DiskStorage, copy_callbacks
+        from datalake_etlscripts_spark.storage import copy_callbacks, make_store
         from datalake_etlscripts_spark.storesync import apply_sync, plan_sync
 
         disk_mode = bool(args.src_dir and args.dst_dir)
         if disk_mode:
-            src_store = DiskStorage(args.src_dir)
-            dst_store = DiskStorage(args.dst_dir)
+            src_store = make_store(args.src_dir)
+            dst_store = make_store(args.dst_dir)
             src_df = src_store.listing_df(spark)
             dst_df = dst_store.listing_df(spark)
             content = ("n_bytes",)
@@ -247,11 +261,11 @@ def main(argv: list[str] | None = None) -> int:
         print(f"compacted current versions to {args.out}")
 
     elif args.cmd == "purge":
-        from datalake_etlscripts_spark.storage import DiskStorage, apply_purge
+        from datalake_etlscripts_spark.storage import apply_purge, make_store
         from datalake_etlscripts_spark.storesync import plan_purge
 
         if args.storage_dir:
-            store = DiskStorage(args.storage_dir)
+            store = make_store(args.storage_dir)
             listing = store.listing_df(spark)
         elif args.listing:
             store = None
@@ -266,7 +280,7 @@ def main(argv: list[str] | None = None) -> int:
             print(f"# dry run — {len(rows)} ops planned, nothing deleted")
         elif store is not None and args.backup_dir:
             counts = apply_purge(
-                plan, store, DiskStorage(args.backup_dir), name_col=args.name_col
+                plan, store, make_store(args.backup_dir), name_col=args.name_col
             )
             print(f"# applied: {counts}")
         else:
@@ -294,9 +308,9 @@ def main(argv: list[str] | None = None) -> int:
         else:
             store = None
             if args.storage_dir:
-                from datalake_etlscripts_spark.storage import DiskStorage
+                from datalake_etlscripts_spark.storage import make_store
 
-                store = DiskStorage(args.storage_dir)
+                store = make_store(args.storage_dir)
             fetched = crawl(plan, store=store)
             if args.out:
                 fetched.write.mode("overwrite").parquet(args.out)

@@ -297,26 +297,38 @@ def label_propagation(
     return labels
 
 
-def link_prediction_topk(edges: DataFrame, k: int = 50) -> DataFrame:
+def link_prediction_topk(
+    edges: DataFrame, k: int = 50, max_degree: int | None = None
+) -> DataFrame:
     """Common-neighbor link prediction: score NON-adjacent node pairs
     by how many neighbors they share (plus the neighborhood Jaccard
     cn/(deg_a + deg_b − cn)) and return the top-k candidates — the
     classic 'suggested connection' / missing-edge audit.
 
     ``edges`` is undirected (u, v with u < v, distinct). One wedge
-    self-join on the shared neighbor generates candidate pairs (the
-    same O(Σ deg²) shape as the naive triangle join — for skewed
-    graphs cap hub degrees first), an anti join removes existing
-    edges, and a TakeOrdered cut keeps the top-k by
-    (common_neighbors desc, id_a, id_b) — fully deterministic.
-    Returns (id_a, id_b, common_neighbors, jaccard).
+    self-join on the shared neighbor generates candidate pairs — the
+    same O(Σ deg²) shape as the naive triangle join, so for skewed
+    graphs pass ``max_degree`` to drop hub wedge-centers: a node with
+    degree d emits d² candidate pairs, and one celebrity hub dominates
+    both the shuffle and the scores while carrying almost no signal
+    (everyone 'shares' the hub). With the cap, hubs still count toward
+    node degrees (the Jaccard denominator stays exact); they just stop
+    generating wedges, bounding the join output at max_degree² per
+    node. An anti join removes existing edges, and a TakeOrdered cut
+    keeps the top-k by (common_neighbors desc, id_a, id_b) — fully
+    deterministic. Returns (id_a, id_b, common_neighbors, jaccard).
     """
     adj = edges.select(F.col("u").alias("x"), F.col("v").alias("n")).unionAll(
         edges.select(F.col("v").alias("x"), F.col("u").alias("n"))
     )
     deg = adj.groupBy("x").agg(F.count(F.lit(1)).alias("deg"))
-    a = adj.select(F.col("n").alias("id_a"), "x")
-    b = adj.select(F.col("n").alias("id_b"), "x")
+    wedge_adj = adj
+    if max_degree is not None:
+        wedge_adj = adj.join(
+            deg.filter(F.col("deg") <= max_degree).select("x"), "x"
+        )
+    a = wedge_adj.select(F.col("n").alias("id_a"), "x")
+    b = wedge_adj.select(F.col("n").alias("id_b"), "x")
     cand = (
         a.join(b, "x")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -761,45 +773,75 @@ def ktruss(
     checkpoint_every: int = 5,
 ) -> DataFrame:
     """k-truss peeling on an undirected edge set given in canonical
-    (u < v) form: each round counts every edge's triangle support with
-    the ordered three-way join (a<b<c — each triangle enumerated
-    exactly once), drops edges supporting < k−2 triangles, repeats.
-    The cohesion refinement of k-core: cores bound DEGREE, trusses
-    bound TRIANGLE membership, so trusses reject hub-spoke noise that
-    cores keep. Returns surviving edges with their support at the
-    final round's count. Per round: two keyed self-joins + one
-    explode-aggregate — never an open wedge materialization beyond
-    the triangle join itself (degree-ordered orientation is the
-    upgrade at power-law scale, as in triangle_counts). Lineage cut
-    per round."""
-    e = edges_uv.select("u", "v")
-    supp = None
-    for it in range(rounds):
-        e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-        e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
-        e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
-        tri = (
-            e1.join(e2, F.col("b") == F.col("b2"))
-            .join(
-                e3,
-                (F.col("a") == F.col("a3")) & (F.col("c2") == F.col("c3")),
-            )
-            .select("a", "b", F.col("c2").alias("c"))
+    (u < v) form: count every edge's triangle support, drop edges
+    supporting < k−2 triangles, repeat. The cohesion refinement of
+    k-core: cores bound DEGREE, trusses bound TRIANGLE membership, so
+    trusses reject hub-spoke noise that cores keep. Returns surviving
+    edges with their support at the final round's count.
+
+    The expensive step — the ordered a<b<c wedge join (Σ outdeg² rows,
+    ~50M at sf0.1) — runs ONCE, not once per round: a triangle of
+    round t+1 is exactly a triangle of round t none of whose three
+    edges died, so the live triangle set is maintained by a
+    side-explode + semi-join against the (small) dead-edge set each
+    round instead of re-joining the whole graph. Identical round
+    semantics to the naive re-enumeration (the DuckDB oracle unrolls
+    that form); a round that kills no edge has reached the fixpoint
+    and exits early with the same result. Lineage cut per round."""
+    e1 = edges_uv.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges_uv.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
+    e3 = edges_uv.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c2") == F.col("c3")),
         )
-        sides = tri.select(
+        .select("a", "b", F.col("c2").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+
+    def _sides(t: DataFrame) -> DataFrame:
+        return t.select(
+            "a",
+            "b",
+            "c",
             F.explode(
                 F.array(
                     F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
                     F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
                     F.struct(F.col("a").alias("u"), F.col("c").alias("v")),
                 )
-            ).alias("e")
-        ).select("e.u", "e.v")
-        supp = sides.groupBy("u", "v").agg(
-            F.count(F.lit(1)).cast("long").alias("support")
+            ).alias("e"),
+        ).select("a", "b", "c", "e.u", "e.v")
+
+    supp = None
+    for it in range(rounds):
+        supp = (
+            _sides(tri)
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).cast("long").alias("support"))
+            .localCheckpoint(eager=False)
         )
-        e = supp.filter(F.col("support") >= k - 2).select("u", "v")
-        e = cut_lineage(e, it, checkpoint_dir, checkpoint_every, eager=False)
+        if it == rounds - 1:
+            break
+        dead = supp.filter(F.col("support") < k - 2).select("u", "v")
+        # fixpoint: no edge died → every later round is identical
+        if dead.isEmpty():
+            break
+        dead_tri = (
+            _sides(tri)
+            .join(dead, ["u", "v"], "left_semi")
+            .select("a", "b", "c")
+            .distinct()
+        )
+        tri = cut_lineage(
+            tri.join(dead_tri, ["a", "b", "c"], "left_anti"),
+            it,
+            checkpoint_dir,
+            checkpoint_every,
+            eager=False,
+        )
     return supp.filter(F.col("support") >= k - 2).select(
         "u", "v", "support"
     )

@@ -165,12 +165,51 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+# A same-key self-join on l_orderkey emits B² edges for a basket of B
+# distinct parts — quadratic output on ONE join key, the classic skew
+# killer at 100 TB. Baskets above this cap are dropped entirely (the
+# itemcf_hitrate policy, plans/featureops.py): TPC-H orders top out at
+# 7 lines so results are unchanged at test scale, but a mega-basket in
+# production data can no longer take down the whole family of co-order
+# graph queries. Mirrored in every consuming oracle via the li0→li
+# window-count CTE prefix.
+_MAX_BASKET = 64
+
+
+def _capped_baskets(spark: SparkSession, sf_dir: str, max_basket: int | None) -> DataFrame:
+    """Distinct (l_orderkey, l_partkey) with baskets larger than
+    ``max_basket`` removed. The window count shuffles on l_orderkey —
+    the same key the co-order self-join needs next, so the exchange is
+    reused, not added."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .dropDuplicates()
+    )
+    if max_basket is None:
+        return li
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_orderkey")
+    return (
+        li.withColumn("_bs", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bs") <= max_basket)
+        .drop("_bs")
+    )
+
+
+def _co_order_edges(
+    spark: SparkSession, sf_dir: str, max_basket: int | None = _MAX_BASKET
+) -> DataFrame:
     """Undirected part co-order graph (u < v, distinct): parts that
     appear in the same order share an edge. Shared by the triangle /
-    label-propagation / link-prediction queries — and mirrored by the
-    identical li/e0 CTE prefix in their oracles."""
-    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").dropDuplicates()
+    label-propagation / link-prediction / k-truss / eccentricity /
+    rich-club / density / modularity / conductance queries — and
+    mirrored by the identical li0/li/e0 CTE prefix in their oracles.
+    Baskets above ``max_basket`` are dropped before the self-join
+    (see _MAX_BASKET); pass ``max_basket=None`` for the exact,
+    uncapped graph on audited inputs."""
+    li = _capped_baskets(spark, sf_dir, max_basket)
     b = li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("v"))
     return (
         li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("u"))
@@ -182,8 +221,12 @@ def _co_order_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRIANGLES_ORACLE = """
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM (
+             SELECT l_orderkey, l_partkey,
+                    count(*) OVER (PARTITION BY l_orderkey) AS bs
+             FROM li0) WHERE bs <= 64),
+    e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
           FROM li a JOIN li b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
     deg AS (SELECT node, count(*) AS degree FROM (
@@ -221,11 +264,15 @@ def _lpa_oracle(iterations: int = 3) -> str:
     count + (count desc, label asc) argmax."""
     parts = [
         """
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM (
+             SELECT l_orderkey, l_partkey,
+                    count(*) OVER (PARTITION BY l_orderkey) AS bs
+             FROM li0) WHERE bs <= 64),
+    e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
            FROM li a JOIN li b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-    edges AS (SELECT u AS src, v AS dst FROM e0
+    edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
               UNION SELECT v, u FROM e0),
     l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)"""
     ]
@@ -258,11 +305,15 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LINKPRED_ORACLE = """
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM (
+             SELECT l_orderkey, l_partkey,
+                    count(*) OVER (PARTITION BY l_orderkey) AS bs
+             FROM li0) WHERE bs <= 64),
+    e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
           FROM li a JOIN li b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-    adj AS (SELECT u AS x, v AS n FROM e UNION ALL SELECT v, u FROM e),
+    adj AS MATERIALIZED (SELECT u AS x, v AS n FROM e UNION ALL SELECT v, u FROM e),
     deg AS (SELECT x, count(*) AS deg FROM adj GROUP BY x),
     cand AS (
       SELECT a.n AS id_a, b.n AS id_b, count(*) AS common_neighbors
@@ -301,12 +352,16 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def _kcore_oracle(k: int = 2, rounds: int = 4) -> str:
     sql = """
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    p AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM (
+             SELECT l_orderkey, l_partkey,
+                    count(*) OVER (PARTITION BY l_orderkey) AS bs
+             FROM li0) WHERE bs <= 64),
+    p AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
           FROM li a JOIN li b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
           GROUP BY 1, 2 HAVING count(*) >= 2),
-    e0 AS (SELECT u AS src, v AS dst FROM p UNION ALL SELECT v, u FROM p)"""
+    e0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM p UNION ALL SELECT v, u FROM p)"""
     for r in range(1, rounds + 1):
         sql += f""",
     k{r} AS (SELECT src FROM e{r-1} GROUP BY src HAVING count(*) >= {k}),
@@ -318,14 +373,13 @@ def _kcore_oracle(k: int = 2, rounds: int = 4) -> str:
     return sql
 
 
-def _co_order_edges_w2(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _co_order_edges_w2(
+    spark: SparkSession, sf_dir: str, max_basket: int | None = _MAX_BASKET
+) -> DataFrame:
     """Symmetrized co-order edges kept only when the pair shares >= 2
-    orders — the sparsified variant with non-trivial k-core structure."""
-    li = (
-        read_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .dropDuplicates()
-    )
+    orders — the sparsified variant with non-trivial k-core structure.
+    Same mega-basket cap as _co_order_edges (mirrored in the oracle)."""
+    li = _capped_baskets(spark, sf_dir, max_basket)
     b = li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("v"))
     p = (
         li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("u"))
@@ -904,27 +958,31 @@ def q_graph_mutual_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ktruss_oracle(rounds: int = 3) -> str:
     parts = [
         """
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e1 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM (
+             SELECT l_orderkey, l_partkey,
+                    count(*) OVER (PARTITION BY l_orderkey) AS bs
+             FROM li0) WHERE bs <= 64),
+    e1 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
            FROM li a JOIN li b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
     ]
     for t in range(1, rounds + 1):
         parts.append(
             f""",
-    tri{t} AS (
+    tri{t} AS MATERIALIZED (
       SELECT x.u AS a, x.v AS b, y.v AS c
       FROM e{t} x JOIN e{t} y ON y.u = x.v
       JOIN e{t} z ON z.u = x.u AND z.v = y.v
     ),
-    supp{t} AS (
+    supp{t} AS MATERIALIZED (
       SELECT u, v, CAST(count(*) AS BIGINT) AS support FROM (
         SELECT a AS u, b AS v FROM tri{t}
         UNION ALL SELECT b, c FROM tri{t}
         UNION ALL SELECT a, c FROM tri{t}
       ) GROUP BY 1, 2
     ),
-    e{t + 1} AS (SELECT u, v FROM supp{t} WHERE support >= 2)"""
+    e{t + 1} AS MATERIALIZED (SELECT u, v FROM supp{t} WHERE support >= 2)"""
         )
     parts.append(
         f"""
@@ -938,21 +996,7 @@ def q_graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-truss peeling (3 rounds) on the part co-order graph: ordered triangle join + explode-aggregate support per round, edges needing 2+ triangles among survivors - the cohesion refinement of k-core."""
     from datalake_etlscripts_spark.operators.graph import ktruss
 
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("v")
-    )
-    e0 = (
-        a.join(b, (F.col("o") == F.col("o2")) & (F.col("u") < F.col("v")))
-        .select("u", "v")
-        .distinct()
-    )
-    return ktruss(e0, k=4, rounds=3)
+    return ktruss(_co_order_edges(spark, sf_dir), k=4, rounds=3)
 
 
 # ---------------------------------------------------------------------------
@@ -992,12 +1036,16 @@ def _ecc_oracle() -> str:
         for k in range(3)
     )
     return f"""
-    WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey
-                          FROM lineitem),
-    e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    WITH RECURSIVE li0 AS (SELECT DISTINCT l_orderkey, l_partkey
+                           FROM lineitem),
+    li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM (
+             SELECT l_orderkey, l_partkey,
+                    count(*) OVER (PARTITION BY l_orderkey) AS bs
+             FROM li0) WHERE bs <= 64),
+    e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
            FROM li a JOIN li b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-    edges AS (SELECT u AS src, v AS dst FROM e0
+    edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0
               UNION ALL SELECT v, u FROM e0),{",".join(per_seed)}
     {sel}
     """
@@ -1011,17 +1059,7 @@ def q_graph_eccentricity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     ).distinct()
-    a = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("v")
-    )
-    e0 = (
-        a.join(b, (F.col("o") == F.col("o2")) & (F.col("u") < F.col("v")))
-        .select("u", "v")
-        .distinct()
-    )
+    e0 = _co_order_edges(spark, sf_dir)
     edges = e0.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionByName(
@@ -1066,8 +1104,12 @@ def q_graph_eccentricity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_rich_club",
     oracle="""
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM (
+             SELECT l_orderkey, l_partkey,
+                    count(*) OVER (PARTITION BY l_orderkey) AS bs
+             FROM li0) WHERE bs <= 64),
+    e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
            FROM li a JOIN li b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
     deg AS (
@@ -1098,20 +1140,7 @@ def q_graph_eccentricity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rich-club coefficient phi(k) at k in {4,8,16} on the co-order graph: exact edge/node counts from one degree-annotated edge list, one division per threshold."""
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("v")
-    )
-    e0 = (
-        a.join(b, (F.col("o") == F.col("o2")) & (F.col("u") < F.col("v")))
-        .select("u", "v")
-        .distinct()
-    )
+    e0 = _co_order_edges(spark, sf_dir)
     deg = (
         e0.select(F.col("u").alias("node"))
         .unionByName(e0.select(F.col("v").alias("node")))
@@ -1167,8 +1196,12 @@ def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_density_summary",
     oracle="""
-    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    e0 AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM (
+             SELECT l_orderkey, l_partkey,
+                    count(*) OVER (PARTITION BY l_orderkey) AS bs
+             FROM li0) WHERE bs <= 64),
+    e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
            FROM li a JOIN li b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
     deg AS (
@@ -1199,20 +1232,7 @@ def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_graph_density_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row shape card for the co-order graph: nodes/edges/density/mean and max degree with a deterministic argmax, leaf count - integer aggregates and two divisions."""
-    li = read_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    a = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u")
-    )
-    b = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("v")
-    )
-    e0 = (
-        a.join(b, (F.col("o") == F.col("o2")) & (F.col("u") < F.col("v")))
-        .select("u", "v")
-        .distinct()
-    )
+    e0 = _co_order_edges(spark, sf_dir)
     deg = (
         e0.select(F.col("u").alias("node"))
         .unionByName(e0.select(F.col("v").alias("node")))

@@ -64,125 +64,93 @@ def query(name: str, oracle: str | None = None):
 
 
 # The correctness driver checks the FIRST 50 entries of queries() per
-# round. Rounds 1 and 3 accumulated 98 distinct driver-green queries
-# (CORRECTNESS_r01.json + CORRECTNESS_r03.json, zero failures); every
-# other query is green in the local replica harness
-# (tests/test_oracle_parity.py, all queries, sf0.01). Round 4 rotates
-# the window onto 47 NEVER-driver-checked queries (the judge's named
-# picks first: ks_two_sample, changepoint/cusum, attribution,
-# sql_api_demo, entity_resolution, leakage_aware_split, hilbert_key,
-# the remaining TPC-H, plus the events/privacy/vector families),
-# keeping three sentinels (`versioned_ingest`, `dedup_minhash_lsh`,
-# `refinedweb_pipeline`) for round-over-round continuity. Remaining
-# never-checked queries (sources, BPE family, sampling, multimodal,
-# rest of TPC-H) are queued for the round-5 rotation — full driver
-# coverage within ~3 rotations. Names not yet registered are skipped;
-# unlisted queries follow in registration order.
+# round. Rounds 1, 3 and 4 accumulated 145 distinct driver-green
+# queries (CORRECTNESS_r0{1,3,4}.json, zero failures); every other
+# query is green in the local replica harness
+# (tests/test_oracle_parity.py, all queries, sf0.01). Round 5 rotates
+# the window onto 47 NEVER-driver-checked queries: the r9
+# builder-session queue the round-4 verdict promoted (fifo_allocation,
+# watermark_lateness_audit, voptimal_histogram, sprt_ab_monitor,
+# cuped_adjusted_ab, graph_ktruss, python_datasource_scan,
+# sql_recursive_demo, variant_props_extract, arrow_utf8_stats), the
+# streaming-twin batch anchors (scd2_build, golden_record_merge), the
+# co-order graph family re-anchored AFTER this round's mega-basket
+# cap (label_propagation, link_prediction, assortativity,
+# shortest_paths, mutual_matching, ktruss), and the lakeops/statops/
+# sketch heads. Three sentinels (`versioned_ingest`,
+# `dedup_minhash_lsh`, `refinedweb_pipeline`) keep round-over-round
+# continuity. Names not yet registered are skipped; unlisted queries
+# follow in registration order.
 PRIORITY: list[str] = [
-    # sentinels (driver-green r01+r03, kept for continuity)
+    # sentinels (driver-green r01+r03+r04, kept for continuity)
     "versioned_ingest",
     "dedup_minhash_lsh",
     "refinedweb_pipeline",
-    # judge-named never-checked picks
-    "hilbert_key",
-    "ks_two_sample",
-    "changepoint_detect",
-    "cusum_rate_shift",
-    "attribution_last_touch",
-    "sql_api_demo",
-    "entity_resolution",
-    "leakage_aware_split",
-    "corpus_stats_incremental",
-    "fuzzy_name_match",
-    "event_pattern_match",
-    "q4_priority_late_orders",
-    "q11_important_parts",
-    # round-6 additions (this session, freshest operators)
-    "adaboost_train_rounds",
-    "ols_trend_by_lang",
-    "graph_bfs_hops",
-    "dedup_lsh_recall",
-    "burst_detection",
-    "attribution_markov_removal",
-    "ivm_minmax_view",
-    "mmr_diversified_topk",
-    "bitmap_distinct_rollup",
-    "dp_quantile_release",
-    "stratified_kfold",
-    "frequent_sequences",
-    "kmeans_round_exact",
-    "grouping_sets_report",
-    "readability_flesch",
-    "merkle_diff_blocks",
-    "rocchio_prf_topk",
-    "weighted_median_arrow",
-    "ab_test_ztest",
-    "rolling_distinct_bitmap",
-    "fixed_width_scan",
-    "txn_conflict_detect",
-    "fk_inference",
-    "interval_coalesce",
-    # round-7 additions (this session, freshest operators)
-    "ivm_topk_view",
-    "wordpiece_encode",
-    "graph_hits_scores",
-    "quantile_normalize",
-    "itemcf_hitrate",
-    "gini_concentration",
-    "theil_sen_slope",
-    "mann_kendall_trend",
-    "log_template_mining",
-    "target_encode_loo",
+    # the staged r9 queue, judge-named first
+    "fifo_allocation",
+    "watermark_lateness_audit",
+    "voptimal_histogram",
+    "sprt_ab_monitor",
+    "cuped_adjusted_ab",
+    "graph_ktruss",
+    "python_datasource_scan",
+    "sql_recursive_demo",
+    "variant_props_extract",
+    "arrow_utf8_stats",
+    # streaming-family batch twins (anchor the shared fold logic)
+    "scd2_build",
+    "golden_record_merge",
+    # lakeops / warehouse heads
+    "abc_classification",
+    "bom_subtree_rollup",
+    "revenue_waterfall",
+    "pvm_bridge",
+    # experimentation / causal heads
+    "ips_offpolicy_estimate",
+    "dr_offpolicy_estimate",
+    "psm_stratified_ate",
+    "bootstrap_ci_poisson",
+    "experiment_did",
+    # co-order graph family (newly capped edge builder this round)
+    "graph_label_propagation",
+    "graph_link_prediction",
+    "graph_assortativity",
+    "graph_shortest_paths",
+    "graph_mutual_matching",
+    # sketches / distributional audits
+    "kmv_overlap",
+    "hll_accuracy_audit",
+    "moments_sketch_merge",
+    "psi_drift",
+    "ks_two_sample_quantized",
+    # time-series / forecasting heads
+    "ewma_anomaly",
+    "seasonal_decompose",
+    "croston_forecast",
+    "holt_trend_forecast",
+    "wavelet_haar",
+    # ML-exact heads
+    "ridge_regression_exact",
+    "pca_2d_eigen",
+    "isotonic_calibration",
+    "ndcg_at_k",
+    "matryoshka_recall",
+    # linkage / retrieval heads
+    "phonetic_blocking",
+    "fellegi_sunter_linkage",
+    "rake_keyphrases",
+    # multimodal pixel path (new this round: real BMP/PPM pixel decode)
+    "image_pixel_stats",
+    # events / training-data heads
+    "funnel_latency_quantiles",
+    "pit_training_join",
 ]
-# Bumped to the next rotation (replica-harness green, driver evidence
-# queued): t_closeness_audit, dp_noisy_release, kmv_overlap,
-# fellegi_sunter_linkage, knn_shapley_values, hybrid_search_rrf,
-# deletion_vector_plan, dsir_gumbel_resample, graph_ppr_seeds,
-# kmv_rollup_distinct, feature_hash_vectors, moments_sketch_merge,
-# ewma_anomaly, seasonal_decompose, experiment_did, item_item_cf,
-# bot_detection, markov_next_accuracy, fd_discovery, candidate_keys,
-# funnel_latency_quantiles, erasure_impact, pit_training_join,
-# coverage_gaps, ndcg_at_k, brier_score_permille, croston_forecast,
-# business_hours_latency, hierarchy_shares, acf_grid,
-# holt_trend_forecast, ess_diagnostic, simpsons_paradox_audit,
-# hysteresis_alerts, loso_source_influence, dispersion_index,
-# gopher_length_auc, join_size_estimate, benford_audit, ivm_join_view, textrank_keywords, graph_neighborhood_hll, k_anonymity_generalize, average_precision, embedding_covariance, decision_stump_train, chi2_feature_select, forecast_mase, knn_shapley_truncated, auc_by_language, calibration_bins,
-# skyline_pareto, psi_drift, distribution_drift, rendezvous_sharding,
-# boolean_retrieval, source_token_entropy, attribution_position_based,
-# naive_bayes_confusion, kmv_a_not_b, funnel_deadline,
-# graph_label_propagation, graph_link_prediction, k_anonymity_audit,
-# l_diversity_audit, join_skew_audit, profile_columns,
-# correlation_matrix, frequent_triples, hard_negatives, label_outliers,
-# feature_scaling_stats, knn_label_vote, embedding_drift,
-# ann_multiprobe_topk, ann_projected_topk, embedding_quantize_int8,
-# dedup_embedding_incremental, dedup_containment,
-# source_duplication_matrix, id_completeness, plus the remaining
-# sources/BPE/sampling/multimodal/TPC-H set.
-# r9 builder-session additions (all oracle-backed, replica-green at
-# both test SFs; queue for the next driver rotation):
-# largest_remainder_alloc, rfm_segments, scd2_build, fifo_allocation,
-# golden_record_merge, slo_burn_rate, wavelet_haar, ccf_lead_lag,
-# isotonic_calibration, graph_assortativity, graph_shortest_paths,
-# watermark_lateness_audit, variance_ratio_test, runs_test,
-# graph_mutual_matching, max_drawdown, abc_classification,
-# bom_subtree_rollup, interpolate_linear, kendall_tau_nations,
-# bootstrap_ci_poisson, sprt_ab_monitor, ridge_regression_exact,
-# pca_2d_eigen, phonetic_blocking, negative_sampling_pairs,
-# cohens_kappa, matryoshka_recall, cuped_adjusted_ab, spc_c_chart,
-# ips_offpolicy_estimate, graph_ktruss, dr_offpolicy_estimate,
-# attribution_time_decay, psm_stratified_ate, rake_keyphrases,
-# f1_scores_langid, codec_advisor, voptimal_histogram,
-# variant_props_extract, python_datasource_scan, arrow_utf8_stats,
-# sql_recursive_demo, range_interval_window, hll_accuracy_audit,
-# graph_eccentricity_sample, revenue_waterfall, pvm_bridge,
-# weekend_lift, consistent_hash_ring, idempotency_window_dedup,
-# topn_with_others, data_masking_view, nested_sessionize,
-# order_cycle_time, inventory_aging, graph_rich_club,
-# heaps_law_points, zipf_doubling_ratios, type_cooccurrence_lift,
-# spectral_power_daily, kmeans_cluster_purity,
-# rev_recognition_schedule, markov2_transitions, wilson_interval,
-# salted_term_counts, sql_hint_demo, cohort_ltv_curve,
-# gains_table_deciles, fleiss_kappa.
+# Per-query driver-evidence ledger (which round last driver-checked
+# each query vs replica-only): see the "driver evidence" column in
+# QUERIES.md, regenerated by scripts/gen_query_catalog.py from
+# CORRECTNESS_r0*.json. ~237 never-driver-checked queries remain
+# after this window — full coverage needs ~5 more rotations at 47
+# fresh names per round.
 
 
 def _ordered(d: dict) -> dict:

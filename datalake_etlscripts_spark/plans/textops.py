@@ -879,6 +879,64 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imgs.select("id", "fmt").join(meta, "id")
 
 
+# ---------------------------------------------------------------------------
+# Pixel-path closure of the multimodal story (r4 verdict task #8):
+# decode the REAL pixel bytes (BMP stride/padding/offset honored, P6
+# body parsed) and measure per-image luminance. The synthesized pixel
+# byte j of image id is (id*31 + j) % 256, so the oracle predicts the
+# exact integer channel sum by replaying that arithmetic over
+# generate_series — while Spark's number comes from decoding the
+# actual encoded bytes (a padding/stride bug would shift the sum).
+# Mean luminance = sum_px / (3·n_px), one exact division.
+# ---------------------------------------------------------------------------
+@query(
+    "image_pixel_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id AS id,
+             CAST(1 + doc_id % 16 AS BIGINT) AS w,
+             CAST(1 + (doc_id * 3) % 16 AS BIGINT) AS h,
+             CAST((doc_id * 31) % 256 AS BIGINT) AS a,
+             CAST(3 * (1 + doc_id % 16) * (1 + (doc_id * 3) % 16) AS BIGINT)
+               AS n
+      FROM documents
+    ),
+    exploded AS (
+      SELECT id, a, unnest(generate_series(0, n - 1)) AS j FROM px
+    ),
+    sums AS (
+      SELECT id, CAST(sum((a + j) % 256) AS BIGINT) AS sum_px
+      FROM exploded GROUP BY 1
+    )
+    SELECT p.id,
+           CASE WHEN p.id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+           p.w * p.h AS n_px,
+           s.sum_px,
+           CAST(s.sum_px AS DOUBLE) / CAST(p.n AS DOUBLE) AS mean_lum
+    FROM px p JOIN sums s USING (id)
+    """,
+)
+def q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real pixel statistics: decode the synthesized BMP/PPM images' actual pixel bytes (stride and padding handled) and report per-image channel sum + mean luminance - the oracle replays the synthesis arithmetic, the engine decodes real bytes."""
+    d = read_table(spark, sf_dir, "documents")
+    imgs = multimodal.synthesize_images(d)
+    px = multimodal.decode_pixels(imgs)
+    return (
+        imgs.select("id", "fmt")
+        .join(px, "id")
+        .select(
+            "id",
+            "fmt",
+            "n_px",
+            "sum_px",
+            (
+                F.col("sum_px").cast("double")
+                / (3 * F.col("n_px")).cast("double")
+            ).alias("mean_lum"),
+        )
+    )
+
+
 # IVF IS oracle-checkable with a FIXED literal coarse quantizer: the
 # 16 cell centers are deterministic LCG literals shared into the twin
 # (same trick as the hyperplane planes above), so DuckDB replays the

@@ -183,6 +183,14 @@ _FS_CACHE: dict = {}
 Storage = DiskStorage | UriStorage
 
 
+def make_store(spec: str) -> Storage:
+    """Storage factory for CLI/user-facing specs: a URI
+    (``file:///path``, ``s3://bucket/prefix``, ...) selects the
+    pyarrow.fs-backed UriStorage, a bare path the local DiskStorage —
+    one flag serves both the laptop and the lake."""
+    return UriStorage(spec) if "://" in spec else DiskStorage(spec)
+
+
 def copy_callbacks(src: Storage, dst: Storage):
     """(transfer, delete) pair for storesync.apply_sync: ADD/UPD reads
     from src and writes dst; DEL removes from dst. Idempotent — a

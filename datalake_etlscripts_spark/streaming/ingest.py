@@ -32,16 +32,34 @@ def _fs_path_exists(spark: SparkSession, path: str) -> bool:
 
 
 def _stage_swap(spark: SparkSession, df: DataFrame, path: str, tag: str) -> None:
-    """Write ``df`` to a staging dir, then overwrite ``path`` from the
-    staged copy — parquet has no in-place MERGE; Delta replaces this
-    with a transactional write. One definition for every streaming
-    state/view/mirror writer."""
+    """Write ``df`` to a staging dir, then swap it into ``path`` —
+    parquet has no in-place MERGE; Delta replaces this with a
+    transactional write. One definition for every streaming
+    state/view/mirror writer.
+
+    ``df`` may lazily READ ``path`` itself (merge-into-state), so the
+    staged copy is always materialized first. On a local filesystem
+    the swap is then two directory renames: a crash leaves either the
+    old state or the new one on disk, never a half-written directory.
+    URI paths (hdfs://, s3a://) can't use os.rename — there the swap
+    falls back to rewrite-with-overwrite, which is NOT atomic (Spark
+    deletes the target before writing); a production deployment on an
+    object store replaces this seam with a Delta/Iceberg commit."""
+    import os
     import shutil
 
     tmp = f"{path}__{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-    shutil.rmtree(tmp, ignore_errors=True)  # local staging cleanup; FS-specific on remote stores
+    if "://" in path:
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        return  # staging cleanup is FS-specific on remote stores
+    old = f"{path}__old_{tag}"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def streaming_merge_batch(
@@ -990,7 +1008,33 @@ def run_streaming_zone_stats(
             for d in glob.glob(os.path.join(table_dir, "data", "epoch=*"))
         ]
         if existing and epoch_id < max(existing):
-            return  # wiped-checkpoint replay of already-ingested drops
+            # Wiped-checkpoint replay: under availableNow the whole
+            # backlog re-arrives as one low-numbered batch, which can
+            # only be skipped if every row in it was already ingested.
+            # If the checkpoint was wiped while NEW un-ingested drops
+            # waited, the replay batch holds MORE rows than the table
+            # ever ingested — silently skipping would lose them, so
+            # audit against the manifest's cumulative count and refuse
+            # to guess. (A replay split across several micro-batches —
+            # maxFilesPerTrigger — can't be audited this way; this
+            # ingest runs availableNow with the default single-batch
+            # backlog, which is the contract the skip relies on.)
+            n_batch = batch_df.count()
+            n_total = 0
+            for sd in glob.glob(os.path.join(table_dir, "stats", "epoch=*")):
+                r = spark.read.parquet(sd).limit(1).collect()
+                if r:
+                    n_total += r[0]["n_rows"]
+            if n_batch > n_total:
+                raise ValueError(
+                    f"epoch {epoch_id} replays below on-disk max "
+                    f"{max(existing)} but holds {n_batch} rows vs "
+                    f"{n_total} ever ingested: the backlog contains "
+                    "drops this table never ingested. Re-ingest from a "
+                    "fresh table_dir (or restore the checkpoint) "
+                    "instead of silently dropping them."
+                )
+            return
         batch_df.write.mode("overwrite").parquet(
             os.path.join(table_dir, "data", f"epoch={epoch_id}")
         )
@@ -1041,10 +1085,10 @@ def read_zone_pruned(
     if not stat_dirs:
         raise FileNotFoundError(f"no stats manifest under {table_dir}")
     keep: list[int] = []
-    total = 0
+    seen: list[int] = []
     for d in stat_dirs:
         epoch = int(re.search(r"epoch=(\d+)$", d).group(1))
-        total += 1
+        seen.append(epoch)
         row = (
             spark.read.parquet(d)
             .filter(F.col("col") == col)
@@ -1056,9 +1100,13 @@ def read_zone_pruned(
         r = row[0]
         if r["min_v"] is None or (r["max_v"] >= lo and r["min_v"] <= hi):
             keep.append(epoch)
+    total = len(seen)
     if not keep:
+        # schema-only read from a REAL listed epoch — epoch numbering
+        # may have gaps (skipped replays), so the dir count is not an
+        # epoch id
         empty = spark.read.parquet(
-            os.path.join(table_dir, "data", f"epoch={total - 1}")
+            os.path.join(table_dir, "data", f"epoch={seen[-1]}")
         ).limit(0)
         return empty, 0, total
     df = spark.read.parquet(
@@ -1088,11 +1136,14 @@ def run_streaming_late_quarantine(
     Structured Streaming watermark recurrence, made explicit so the
     quarantined set is an auditable TABLE, not a metric.
 
-    Exactly-once: agg + watermark state carry ``folded_through`` and
-    swap atomically; a replayed epoch (≤ folded_through) is a no-op —
-    its late partition is already on disk and is NOT reclassified
-    under the (later) current watermark, which is what keeps replay
-    byte-stable. State is (types × hours) + one watermark row; the
+    Exactly-once: agg and watermark state each carry
+    ``folded_through`` and swap via directory rename; the replay guard
+    checks BOTH (agg swaps first, wm second — a retry that lands
+    between the two skips the fold, which agg already holds, and only
+    finishes the wm write). A fully committed epoch (≤ wm's
+    folded_through) is a no-op — its late partition is already on disk
+    and is NOT reclassified under the (later) current watermark, which
+    is what keeps replay byte-stable. State is (types × hours) + one watermark row; the
     event history is never re-read."""
     import datetime
     import os
@@ -1103,6 +1154,13 @@ def run_streaming_late_quarantine(
     lateness = datetime.timedelta(minutes=allowed_lateness_minutes)
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        # Replay guard over BOTH state artifacts. The success path
+        # swaps agg first, wm second; a crash/retry between the two
+        # must not re-fold the batch into agg (double-counting), so
+        # the fold is skipped when EITHER artifact already records the
+        # epoch — and when only agg does (interrupted between swaps),
+        # the wm row is still (re)derived and written to finish the
+        # epoch. Fully committed epochs (wm current) are a no-op.
         wm_prev = None
         if _fs_path_exists(spark, wm_path):
             rows = spark.read.parquet(wm_path).collect()
@@ -1110,36 +1168,48 @@ def run_streaming_late_quarantine(
                 wm_prev = rows[0]["watermark"]
                 if epoch_id <= rows[0]["folded_through"]:
                     return
+        agg_folded = -1
+        if _fs_path_exists(spark, agg_path):
+            r = (
+                spark.read.parquet(agg_path)
+                .agg(F.max("folded_through").alias("m"))
+                .collect()[0]["m"]
+            )
+            agg_folded = -1 if r is None else r
+        already_folded = epoch_id <= agg_folded
         batch_df = batch_df.localCheckpoint()
         mx = batch_df.agg(F.max("ts").alias("m")).collect()[0]["m"]
-        if wm_prev is not None:
-            late = batch_df.filter(F.col("ts") < F.lit(wm_prev))
-            ontime = batch_df.filter(F.col("ts") >= F.lit(wm_prev))
-        else:
-            late = batch_df.limit(0)
-            ontime = batch_df
-        n_late = late.count()
-        if n_late:
-            late.withColumn("epoch", F.lit(epoch_id).cast("bigint")).withColumn(
-                "rejected_by_watermark", F.lit(wm_prev)
-            ).write.mode("overwrite").parquet(
-                os.path.join(late_dir, f"epoch={epoch_id}")
+        if not already_folded:
+            if wm_prev is not None:
+                late = batch_df.filter(F.col("ts") < F.lit(wm_prev))
+                ontime = batch_df.filter(F.col("ts") >= F.lit(wm_prev))
+            else:
+                late = batch_df.limit(0)
+                ontime = batch_df
+            n_late = late.count()
+            if n_late:
+                late.withColumn(
+                    "epoch", F.lit(epoch_id).cast("bigint")
+                ).withColumn(
+                    "rejected_by_watermark", F.lit(wm_prev)
+                ).write.mode("overwrite").parquet(
+                    os.path.join(late_dir, f"epoch={epoch_id}")
+                )
+            counts = ontime.groupBy(
+                "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+            ).agg(F.count(F.lit(1)).alias("n"))
+            if _fs_path_exists(spark, agg_path):
+                counts = (
+                    spark.read.parquet(agg_path)
+                    .drop("folded_through")
+                    .unionByName(counts)
+                    .groupBy("event_type", "hour")
+                    .agg(F.sum("n").alias("n"))
+                )
+            counts = counts.withColumn(
+                "folded_through", F.lit(epoch_id).cast("bigint")
             )
-        counts = ontime.groupBy(
-            "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
-        ).agg(F.count(F.lit(1)).alias("n"))
-        if _fs_path_exists(spark, agg_path):
-            counts = (
-                spark.read.parquet(agg_path)
-                .drop("folded_through")
-                .unionByName(counts)
-                .groupBy("event_type", "hour")
-                .agg(F.sum("n").alias("n"))
-            )
-        counts = counts.withColumn(
-            "folded_through", F.lit(epoch_id).cast("bigint")
-        )
-        _stage_swap(spark, counts, agg_path, f"epoch{epoch_id}")
+            _stage_swap(spark, counts, agg_path, f"epoch{epoch_id}")
         wm_new = wm_prev
         if mx is not None:
             cand = mx - lateness

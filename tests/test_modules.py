@@ -1920,6 +1920,37 @@ def test_link_prediction_square_diagonals(spark):
     assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
 
 
+def test_link_prediction_max_degree_caps_hub_wedges(spark):
+    """max_degree drops hub wedge-centers from candidate generation:
+    capped output ⊆ uncapped, hub-mediated pairs disappear, and the
+    Jaccard denominator still uses EXACT degrees (hub edges count)."""
+    from datalake_etlscripts_spark.operators.graph import link_prediction_topk
+
+    # star hub 0—{1..5} (deg 5) plus a path 1-2-3 (each deg ≤ 3).
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(1, 2), (2, 3)], ["u", "v"]
+    )
+    full = {
+        (r["id_a"], r["id_b"]): (r["common_neighbors"], r["jaccard"])
+        for r in link_prediction_topk(edges, k=100).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): (r["common_neighbors"], r["jaccard"])
+        for r in link_prediction_topk(edges, k=100, max_degree=4).collect()
+    }
+    # capped candidate pairs ⊆ uncapped
+    assert set(capped) <= set(full)
+    # pairs whose ONLY shared neighbor is the hub (e.g. 4-5) vanish
+    assert (4, 5) in full and (4, 5) not in capped
+    # a pair still wedged through a low-degree center survives: 1 and
+    # 3 share {0, 2}; with the cap only center 2 generates the wedge
+    # (cn 2→1) but the denominator keeps the TRUE degrees deg(1)=2,
+    # deg(3)=2 (hub edges still counted)
+    assert full[(1, 3)] == (2, 1.0)
+    cn, jac = capped[(1, 3)]
+    assert cn == 1 and abs(jac - 1 / (2 + 2 - 1)) < 1e-12
+
+
 def test_winsorized_mean_drops_null_values(spark):
     from datalake_etlscripts_spark.operators.events import winsorized_mean
 
@@ -2327,6 +2358,48 @@ def test_incremental_embedding_lsh_equals_full_recompute(spark, sf_dir):
     assert got == want and len(got) > 0
     # the appended index rows are exactly the batch's bands
     assert new_index.count() == batch.count() * 2
+
+
+def test_cli_sync_over_file_uris(tmp_path, spark, capsys):
+    """K3/K4 end-to-end THROUGH the CLI with URI store specs: a
+    ``--src-dir file://...`` routes to UriStorage via make_store, the
+    plan applies (ADD/UPD/DEL), and an immediate re-plan is empty —
+    the s3://-ready object-store path exercised from the user-facing
+    entry point, not just the library seam."""
+    from datalake_etlscripts_spark.__main__ import main
+    from datalake_etlscripts_spark.storage import UriStorage
+
+    src = UriStorage(f"file://{tmp_path}/src")
+    dst = UriStorage(f"file://{tmp_path}/dst")
+    src.file_store("ntp00000001_doc.pdf", b"one")
+    src.file_store("ntp00000002_doc.pdf", b"two")
+    dst.file_store("ntp00000002_doc.pdf", b"STALE!")
+    dst.file_store("ntp00000009_doc.pdf", b"orphan")
+
+    main(
+        [
+            "sync",
+            "--src-dir", f"file://{tmp_path}/src",
+            "--dst-dir", f"file://{tmp_path}/dst",
+        ]
+    )
+    text = capsys.readouterr().out
+    assert "# applied:" in text
+    assert dst.file_read("ntp00000001_doc.pdf") == b"one"
+    assert dst.file_read("ntp00000002_doc.pdf") == b"two"
+    assert not dst.file_exists("ntp00000009_doc.pdf")
+
+    # converged: the CLI's check-only re-plan prints no ops
+    main(
+        [
+            "sync",
+            "--src-dir", f"file://{tmp_path}/src",
+            "--dst-dir", f"file://{tmp_path}/dst",
+            "--check-only",
+        ]
+    )
+    text2 = capsys.readouterr().out
+    assert not [ln for ln in text2.splitlines() if "\t" in ln]
 
 
 def test_cli_filter_reports_and_writes_kept_corpus(tmp_path, spark, sf_dir, capsys):

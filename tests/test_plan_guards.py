@@ -17,6 +17,7 @@ for queries whose test data is too small to show the blow-up.
 from __future__ import annotations
 
 import io
+import re
 from contextlib import redirect_stdout
 
 import pytest
@@ -31,20 +32,230 @@ def _plan_text(df) -> str:
     return buf.getvalue()
 
 
+# ---------------------------------------------------------------------------
+# Skew guard: static sweep of the optimized logical plan for SAME-KEY
+# SELF-JOINS — a join whose two subtrees scan the same table and whose
+# condition has exactly ONE column equality. Output is quadratic in
+# the key's multiplicity, so one mega-key (a giant basket, a celebrity
+# hub) explodes it — the uncapped co-order edge builder was exactly
+# this shape. A candidate is cleared when the analysis can prove a
+# bound:
+#   - semi/anti joins (output ≤ one side, never quadratic);
+#   - ≥2 equalities (a composite key bounds multiplicity);
+#   - either side provably ≤1 row per key: a wrapper chain down to
+#     Aggregate/Deduplicate grouped by the key alone (aliases are
+#     traced through Projects) or a LIMIT 1;
+#   - an intervening literal size cap: a Filter with a `<= N` bound
+#     in either subtree (the _MAX_BASKET pattern, prefix-filter length
+#     bands, etc.).
+# Anything else must appear in SKEW_ALLOWLIST with a one-line reason —
+# a NEW uncapped self-join therefore fails this suite until it is
+# either capped or explicitly justified.
+# ---------------------------------------------------------------------------
+_REL = re.compile(r"Relation \[([^\]]*)\]")
+_EQ = re.compile(r"(\w+)#\d+L?\s*=\s*(\w+)#\d+L?")
+_CAPF = re.compile(r"Filter .*<=? ?\d")
+_UNIQ_WRAPPERS = (
+    "Project", "Filter", "Sort", "SubqueryAlias", "Repartition",
+    "ResolvedHint", "GlobalLimit", "LocalLimit", "Window",
+)
+
+# Queries whose flagged self-joins are bounded by construction. Every
+# entry documents WHY the join cannot explode; remove the entry and
+# the suite fails if the bound ever regresses into an open self-join.
+SKEW_ALLOWLIST = {
+    # versioned/state merges: the key is unique per snapshot side by
+    # construction (one row per id in state and in the batch aggregate)
+    "field_diff": "both sides one row per id (two version snapshots)",
+    "txstore_snapshot_diff": "full-outer merge of two per-id snapshots",
+    "summary_incremental": "state⊕delta merge, one row per id each side",
+    "storage_sync_plan": "store listings are one row per file_name",
+    "golden_record_merge": "survivorship joins one row per ent per rule",
+    "enrichment_resolved": "annotation table is one row per id",
+    "enrichment_nested": "annotation table is one row per id",
+    "multimodal_decode_real": "decoded side is one row per image id",
+    # blocked/banded similarity joins: the equi-key IS the bucket and
+    # bucket sizes are bounded by the banding scheme (LSH bands,
+    # winnow fingerprints, prefix-filter tokens)
+    "dedup_incremental_lsh": "banded (band,bucket) join, LSH-bounded",
+    "dedup_substrings_winnow": "fingerprint buckets from winnowing",
+    "dedup_allpairs_prefix": "prefix-filter + length-band bounded",
+    "source_duplication_matrix": "fingerprint-bucket join",
+    # dictionary-bounded joins: the key has a small fixed domain or
+    # one side is dictionary-sized (per-term/per-doc/per-label stats)
+    "approx_aggregates": "l_returnflag has 3 values, quantile dict",
+    "exact_distinct_quantiles": "l_returnflag has 3 values",
+    "markov_next_accuracy": "per-state transition dictionary, top-1",
+    "embedding_drift": "per-label centroid table",
+    "label_outliers": "per-label centroid table",
+    "embedding_covariance": "dim-pair join, d² rows per id, d fixed",
+    "bm25_topk": "per-doc length table (one row per doc_id)",
+    "hybrid_search_rrf": "per-doc rank tables (one row per doc_id)",
+    "gopher_length_auc": "per-doc score table (one row per doc_id)",
+    "naive_bayes_confusion": "per-doc argmax table",
+    "auc_by_language": "per-doc score table",
+    "domain_mixture_sample": "broadcast per-source rate dim",
+    "temperature_mixture_sample": "broadcast per-source rate dim",
+    # spine/window joins bounded by the time dictionary or block size
+    "interval_overlap": "range join blocked on _b, block-bounded",
+    "attribution_position_based": "per-user first/mid/last shares",
+    "fifo_allocation": "interval sweep, ≤1 matched lot per segment",
+    "acf_grid": "lag join on (k, t−lag) composite",
+    "fuzzy_name_match": "first-letter block + |len Δ|≤2 band in join cond",
+    "adaboost_train_rounds": "per-id weight table, one row per id/round",
+    "theil_sen_slope": "pairwise over hourly spine, dictionary-bounded n",
+    "mann_kendall_trend": "pairwise over hourly spine, dictionary-bounded n",
+}
+
+
+def _parse_plan_tree(plan: str) -> list:
+    nodes = []
+    for ln in plan.splitlines():
+        if not ln.strip():
+            continue
+        m = re.match(r"^([: ]*)(?:\+- |:- )?(.*)$", ln)
+        depth = (
+            0
+            if not re.match(r"^[: ]*(\+-|:-)", ln)
+            else len(m.group(1)) // 3 + 1
+        )
+        nodes.append((depth, m.group(2)))
+    roots, stack = [], []
+    for d, text in nodes:
+        node = {"d": d, "t": text, "ch": []}
+        while stack and stack[-1]["d"] >= d:
+            stack.pop()
+        (stack[-1]["ch"] if stack else roots).append(node)
+        stack.append(node)
+    return roots
+
+
+def _leaf_relations(node, acc):
+    m = _REL.search(node["t"])
+    if m:
+        acc.add(re.sub(r"#\d+L?", "", m.group(1)))
+    for c in node["ch"]:
+        _leaf_relations(c, acc)
+    return acc
+
+
+def _has_literal_cap(node) -> bool:
+    return bool(_CAPF.search(node["t"])) or any(
+        _has_literal_cap(c) for c in node["ch"]
+    )
+
+
+def _unique_on(node, key: str) -> bool:
+    t = node["t"]
+    m = re.match(r"(Aggregate|Deduplicate) \[([^\]]*)\],?", t)
+    if m:
+        groups = [g.strip() for g in m.group(2).split(",") if g.strip()]
+        names = {re.sub(r"#\d+L?", "", g) for g in groups}
+        # grouped by the key alone, or by ONE expression (one row per
+        # value of that expression, which is what the key aliases)
+        return names <= {key} or len(groups) == 1
+    if re.match(r"(GlobalLimit|LocalLimit) 1\b", t):
+        return True
+    head = t.split(" ", 1)[0].split("[", 1)[0]
+    if head == "Project":
+        pm = re.match(r"Project \[(.*)\]$", t)
+        if pm:
+            for part in re.split(r",(?![^(]*\))", pm.group(1)):
+                am = re.match(
+                    r"\s*(\w+)#\d+L?\s+AS\s+(\w+)#\d+L?\s*$", part
+                )
+                if am and am.group(2) == key:
+                    key = am.group(1)
+                    break
+    if head in _UNIQ_WRAPPERS and node["ch"]:
+        return _unique_on(node["ch"][0], key)
+    return False
+
+
+def _sweep_joins(node, risks):
+    t = node["t"]
+    if (
+        t.startswith("Join ")
+        and len(node["ch"]) == 2
+        and "LeftSemi" not in t
+        and "LeftAnti" not in t
+    ):
+        cond = t.split(", ", 1)[1] if ", " in t else ""
+        eqs = _EQ.findall(cond)
+        if cond.count(" = ") == 1 and len(eqs) == 1 and eqs[0][0] == eqs[0][1]:
+            key = eqs[0][0]
+            left, right = node["ch"]
+            if _leaf_relations(left, set()) & _leaf_relations(right, set()):
+                if not (
+                    _unique_on(left, key)
+                    or _unique_on(right, key)
+                    or _has_literal_cap(left)
+                    or _has_literal_cap(right)
+                ):
+                    risks.append(t[:110])
+    for c in node["ch"]:
+        _sweep_joins(c, risks)
+    return risks
+
+
+def self_join_skew_risks(df) -> list[str]:
+    """Uncapped single-key self-joins in ``df``'s optimized plan."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    risks = []
+    for root in _parse_plan_tree(plan):
+        _sweep_joins(root, risks)
+    return risks
+
+
 def test_no_pathological_plans(spark, sf_dir):
     import __spark_entry__ as entry
 
     failures = {}
+    skew = {}
     for name, fn in entry.queries().items():
         try:
-            plan = _plan_text(fn(spark, sf_dir))
+            df = fn(spark, sf_dir)
+            plan = _plan_text(df)
         except Exception as ex:  # noqa: BLE001 — surface as a failure
             failures[name] = f"explain failed: {ex}"
             continue
         hits = [b for b in BANNED if b in plan]
         if hits:
             failures[name] = f"banned operators in plan: {hits}"
+        risks = self_join_skew_risks(df)
+        if risks and name not in SKEW_ALLOWLIST:
+            skew[name] = risks
     assert not failures, f"pathological plans: {failures}"
+    assert not skew, (
+        "uncapped single-key self-joins (cap the key, prove uniqueness, "
+        f"or annotate SKEW_ALLOWLIST with the bound): {skew}"
+    )
+
+
+def test_skew_guard_catches_planted_uncapped_self_join(spark, sf_dir):
+    """The sweep itself is tested: a naive lineitem self-join on
+    l_orderkey (the exact shape the co-order cap removed) must be
+    flagged, and the capped edge builder must be clean."""
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.io.readers import read_table
+    from datalake_etlscripts_spark.plans.graphops import _co_order_edges
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    planted = (
+        li.join(
+            li.select(
+                F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+            ),
+            "l_orderkey",
+        )
+        .filter(F.col("l_partkey") < F.col("p2"))
+        .select("l_partkey", "p2")
+    )
+    assert self_join_skew_risks(planted), "planted join must be flagged"
+    assert self_join_skew_risks(_co_order_edges(spark, sf_dir)) == []
 
 
 def test_winnow_has_no_shuffle_before_pair_join(spark, sf_dir):

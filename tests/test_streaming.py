@@ -7,6 +7,8 @@ import os
 import shutil
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from datalake_etlscripts_spark.streaming import (
@@ -813,6 +815,41 @@ def test_streaming_zone_stats_manifest_prunes_reads(spark, tmp_path):
         ).collect()
     )
     assert after == before
+
+
+def test_streaming_zone_stats_wiped_checkpoint_with_new_drops_raises(
+    spark, tmp_path
+):
+    """A wiped checkpoint while NEW un-ingested drops wait in the
+    backlog must RAISE, not silently skip the replay batch (which
+    would drop the new rows forever): the replay batch then holds
+    more rows than the manifest ever ingested, and the audit refuses
+    to guess."""
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from datalake_etlscripts_spark.streaming.ingest import (
+        run_streaming_zone_stats,
+    )
+
+    schema = "event_id bigint, value double"
+    incoming = str(tmp_path / "in")
+    table = str(tmp_path / "t")
+    os.makedirs(incoming)
+    for i in range(2):
+        spark.createDataFrame(
+            [(i * 100 + j, float(i * 1000 + j)) for j in range(20)], schema
+        ).coalesce(1).write.mode("append").parquet(incoming)
+        run_streaming_zone_stats(
+            spark, incoming, table, schema, ["value"]
+        ).awaitTermination(120)
+    # checkpoint wiped AND a new, never-ingested drop arrives
+    shutil.rmtree(f"{table}__checkpoint")
+    spark.createDataFrame(
+        [(900 + j, float(9000 + j)) for j in range(20)], schema
+    ).coalesce(1).write.mode("append").parquet(incoming)
+    q = run_streaming_zone_stats(spark, incoming, table, schema, ["value"])
+    with pytest.raises(StreamingQueryException, match="never ingested"):
+        q.awaitTermination(120)
 
 
 def test_streaming_late_quarantine(spark, tmp_path):
