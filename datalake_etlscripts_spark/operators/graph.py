@@ -575,6 +575,92 @@ def bfs_hops(
     return dist
 
 
+def stress_centrality(
+    edges: DataFrame,
+    seed: int,
+    max_hops: int = 3,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Bounded-depth stress centrality from one seed (Shimbel's
+    integer cousin of betweenness — Brandes' backward pass kept EXACT
+    by counting paths instead of summing fractional dependencies,
+    so both engines hash-match bit-for-bit):
+
+    - forward: level-synchronous BFS accumulating σ(v) = number of
+      shortest seed→v paths (sum over predecessors, one frontier×edges
+      join + one keyed aggregate per level — never visited×edges);
+    - backward: T(v) = Σ_{w ∈ DAG-succ(v)} (1 + T(w)) = number of
+      shortest-path continuations leaving v, unrolled from the depth
+      bound toward the seed (one level×edges join per step);
+    - through(v) = σ(v)·T(v) = number of bounded shortest paths from
+      the seed PASSING v — the load signal hubs-vs-bridges audits
+      read.
+
+    Returns (node, dist, sigma, through) for every node within
+    ``max_hops``. All integers; per level one shuffle each way; depth
+    bounds the rounds, seeds parallelize by union."""
+    sess = edges.sparkSession
+    lvl0 = sess.createDataFrame([(int(seed),)], "node bigint").select(
+        "node", F.lit(1).cast("long").alias("sigma")
+    )
+    levels = [lvl0]
+    visited = lvl0.select("node")
+    for t in range(1, max_hops + 1):
+        prev = levels[t - 1].select(
+            F.col("node").alias("_p"), F.col("sigma").alias("_ps")
+        )
+        nxt = (
+            prev.join(edges, F.col("_p") == edges["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("_ps").cast("long").alias("sigma"))
+            .join(visited, "node", "left_anti")
+        )
+        nxt = cut_lineage(nxt, t, checkpoint_dir, checkpoint_every, eager=False)
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("node"))
+    # backward: continuations. Deepest level has none.
+    conts = [None] * (max_hops + 1)
+    conts[max_hops] = levels[max_hops].select(
+        "node", F.lit(0).cast("long").alias("t")
+    )
+    for t in range(max_hops - 1, -1, -1):
+        succ = conts[t + 1].select(
+            F.col("node").alias("_w"), F.col("t").alias("_wt")
+        )
+        inc = (
+            edges.join(succ, edges["dst"] == F.col("_w"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.col("_wt") + 1).cast("long").alias("_tin"))
+        )
+        conts[t] = (
+            levels[t]
+            .select("node")
+            .join(inc, "node", "left")
+            .select(
+                "node", F.coalesce("_tin", F.lit(0)).cast("long").alias("t")
+            )
+        )
+        conts[t] = cut_lineage(
+            conts[t], max_hops + (max_hops - t), checkpoint_dir,
+            checkpoint_every, eager=False,
+        )
+    out = None
+    for t in range(max_hops + 1):
+        part = (
+            levels[t]
+            .join(conts[t], "node")
+            .select(
+                "node",
+                F.lit(t).cast("long").alias("dist"),
+                "sigma",
+                (F.col("sigma") * F.col("t")).cast("long").alias("through"),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def hits_scores(
     edges: DataFrame,
     rounds: int = 2,

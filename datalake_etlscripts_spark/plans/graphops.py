@@ -677,6 +677,105 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sampled stress centrality (r10): the integer-exact member of the
+# betweenness family — Brandes' two passes with the backward step
+# counting shortest-path CONTINUATIONS (T(v) = Σ_succ (1+T(w)))
+# instead of summing fractional dependencies, so through(v) = σ(v)·T(v)
+# = #bounded shortest seed-paths passing v is a pure integer both
+# engines replay bit-for-bit. Two seed suppliers, depth 3, on the
+# symmetrized supplier-part graph; the oracle unrolls forward σ levels
+# and backward T levels per seed.
+# ---------------------------------------------------------------------------
+_STRESS_HOPS = 3
+_STRESS_SEEDS = (2, 4)
+
+
+def _stress_oracle(max_hops: int = _STRESS_HOPS, seeds=_STRESS_SEEDS) -> str:
+    parts = [
+        """
+    WITH e0 AS (SELECT DISTINCT l_suppkey * 2 AS src,
+                                l_partkey * 2 + 1 AS dst
+                FROM lineitem),
+    edges AS MATERIALIZED (SELECT src, dst FROM e0
+              UNION SELECT dst AS src, src AS dst FROM e0)"""
+    ]
+    outs = []
+    for i, s in enumerate(seeds):
+        parts.append(
+            f""",
+    s{i}_d0 AS (SELECT CAST({s} AS BIGINT) AS node,
+                       CAST(1 AS BIGINT) AS sig),
+    s{i}_v0 AS (SELECT node FROM s{i}_d0)"""
+        )
+        for t in range(1, max_hops + 1):
+            p = t - 1
+            parts.append(
+                f""",
+    s{i}_d{t} AS MATERIALIZED (
+      SELECT e.dst AS node, CAST(SUM(p.sig) AS BIGINT) AS sig
+      FROM edges e JOIN s{i}_d{p} p ON p.node = e.src
+      WHERE e.dst NOT IN (SELECT node FROM s{i}_v{p}) GROUP BY 1),
+    s{i}_v{t} AS MATERIALIZED (
+      SELECT node FROM s{i}_v{p}
+      UNION ALL SELECT node FROM s{i}_d{t})"""
+            )
+        parts.append(
+            f""",
+    s{i}_c{max_hops} AS (SELECT node, CAST(0 AS BIGINT) AS t
+                         FROM s{i}_d{max_hops})"""
+        )
+        for t in range(max_hops - 1, -1, -1):
+            parts.append(
+                f""",
+    s{i}_c{t} AS (
+      SELECT d.node, CAST(COALESCE(SUM(c.t + 1), 0) AS BIGINT) AS t
+      FROM s{i}_d{t} d
+      LEFT JOIN edges e ON e.src = d.node
+      LEFT JOIN s{i}_c{t + 1} c ON c.node = e.dst
+      GROUP BY 1)"""
+            )
+        outs.append(
+            "\n      UNION ALL ".join(
+                f"""SELECT CAST({s} AS BIGINT) AS seed, d.node,
+             CAST({t} AS BIGINT) AS dist, d.sig AS sigma,
+             CAST(d.sig * c.t AS BIGINT) AS through
+      FROM s{i}_d{t} d JOIN s{i}_c{t} c ON c.node = d.node"""
+                for t in range(max_hops + 1)
+            )
+        )
+    parts.append(
+        "\n    " + "\n    UNION ALL\n    ".join(outs)
+    )
+    return "".join(parts)
+
+
+@query("graph_stress_centrality", oracle=_stress_oracle())
+def q_graph_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth stress centrality from two seed suppliers: forward BFS path counts sigma, backward integer continuation counts, through = sigma*T - the exact-integer betweenness cousin, one keyed join + aggregate per level each way."""
+    from datalake_etlscripts_spark.operators.graph import stress_centrality
+
+    li = read_table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).dropDuplicates()
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = None
+    for s in _STRESS_SEEDS:
+        part = stress_centrality(edges, s, max_hops=_STRESS_HOPS).select(
+            F.lit(s).cast("long").alias("seed"),
+            "node",
+            "dist",
+            "sigma",
+            "through",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # HITS hubs & authorities (r7): unnormalized integer alternation on the
 # supplier→part bipartite graph — after t rounds scores are exact walk
 # counts, ordering identically to the L2-normalized fixed point. Same

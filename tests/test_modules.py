@@ -1920,6 +1920,31 @@ def test_link_prediction_square_diagonals(spark):
     assert got == {(1, 3): (2, 1.0), (2, 4): (2, 1.0)}
 
 
+def test_stress_centrality_diamond_hand_computed(spark):
+    """Independent check of the integer Brandes variant on the
+    diamond 1→{2,3}→4→5 (symmetrized): σ(4)=2 shortest 1-4 paths,
+    continuations T(4)=1, T(2)=T(3)=1+T(4)=2, seed T(1)=6 — so
+    through(4)=2·1=2, through(2)=through(3)=1·2=2, and the seed's
+    through equals the total bounded path count 6."""
+    from datalake_etlscripts_spark.operators.graph import stress_centrality
+
+    und = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], ["src", "dst"]
+    )
+    rows = {
+        r["node"]: (r["dist"], r["sigma"], r["through"])
+        for r in stress_centrality(edges, seed=1, max_hops=3).collect()
+    }
+    assert rows == {
+        1: (0, 1, 6),
+        2: (1, 1, 2),
+        3: (1, 1, 2),
+        4: (2, 2, 2),
+        5: (3, 2, 0),
+    }
+
+
 def test_link_prediction_max_degree_caps_hub_wedges(spark):
     """max_degree drops hub wedge-centers from candidate generation:
     capped output ⊆ uncapped, hub-mediated pairs disappear, and the
