@@ -3229,3 +3229,69 @@ def q_trade_domestic_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         intl.cast("long").alias("international_cents"),
         (dd_(dom) / dd_(F.sum("cents"))).alias("domestic_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction planner (r10): the OPTIMIZE/bin-packing step
+# every lakehouse table needs — concatenate each partition's files in
+# (size desc, id) order and cut bins at a target byte budget, so a
+# bin's id is just floor(start_offset / target): pure window
+# arithmetic, no sequential loop, no driver state. Per (lang, bin):
+# file count, total bytes, fill ratio. documents stands in as the
+# file listing (doc_id = file, n_chars = bytes); at 100 TB the same
+# plan runs over the real manifest with the window partitioned by
+# table partition — one shuffle, bounded state.
+# ---------------------------------------------------------------------------
+_COMPACT_TARGET = 4096
+
+
+@query(
+    "compaction_bins",
+    oracle=f"""
+    WITH f AS (
+      SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS bytes,
+             sum(n_chars) OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    ),
+    b AS (
+      SELECT lang, doc_id, bytes,
+             CAST((cum - bytes) // {_COMPACT_TARGET} AS BIGINT) AS bin_id
+      FROM f
+    )
+    SELECT lang, bin_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           CAST(min(doc_id) AS BIGINT) AS first_file,
+           CAST(sum(bytes) AS DOUBLE) / {_COMPACT_TARGET} AS fill_ratio
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction plan: pack each lang partition's files into target-size bins by start-offset arithmetic over one cumulative-sum window - the OPTIMIZE small-file planner with no sequential state."""
+    d = read_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", F.col("n_chars").cast("long").alias("bytes")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy(F.desc("bytes"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    b = d.select(
+        "lang",
+        "doc_id",
+        "bytes",
+        (
+            (F.sum("bytes").over(w) - F.col("bytes"))
+            / F.lit(_COMPACT_TARGET)
+        ).cast("long").alias("bin_id"),
+    )
+    return b.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.min("doc_id").cast("long").alias("first_file"),
+        (F.sum("bytes").cast("double") / F.lit(_COMPACT_TARGET)).alias(
+            "fill_ratio"
+        ),
+    )

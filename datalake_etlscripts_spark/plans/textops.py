@@ -1175,6 +1175,85 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Decontamination n-gram sweep (r10): the 4th tuning-curve axis beside
+# the band/nprobe/matryoshka sweeps — how the shingle size k trades
+# contamination recall against false positives. One summary row per k
+# over the SAME planted-contamination corpus the decontaminate query
+# uses: shorter shingles flag more docs (k=3 catches common phrases —
+# false positives), longer ones only near-verbatim copies. Evidence
+# BEFORE fixing the production k, exactly like dedup_lsh_band_sweep.
+# ---------------------------------------------------------------------------
+def _ddb_shingle(k: int) -> str:
+    cat = "||' '||".join(f"tk[i+{j}]" if j else "tk[i]" for j in range(k))
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(tk) - {k - 2},"
+        f" 1)), i -> {cat}))"
+    )
+
+
+def _decon_sweep_oracle(ks=(3, 5, 8)) -> str:
+    parts = [
+        """
+    WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+    corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+      UNION ALL
+      SELECT doc_id + 3000000, 'copied doc ' || text FROM bench
+    ),
+    btk AS MATERIALIZED (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM bench),
+    ctk AS MATERIALIZED (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM corpus)"""
+    ]
+    sels = []
+    for k in ks:
+        parts.append(
+            f""",
+    bsh{k} AS (SELECT DISTINCT unnest({_ddb_shingle(k)}) AS sh FROM btk),
+    csh{k} AS (SELECT doc_id, unnest({_ddb_shingle(k)}) AS sh FROM ctk),
+    hit{k} AS (
+      SELECT doc_id, count(*) AS h FROM csh{k}
+      WHERE sh IN (SELECT sh FROM bsh{k}) GROUP BY 1)"""
+        )
+        sels.append(
+            f"""SELECT CAST({k} AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_docs_flagged,
+           CAST(sum(h) AS BIGINT) AS total_hit_shingles
+    FROM hit{k}"""
+        )
+    parts.append("\n    " + "\n    UNION ALL ".join(sels))
+    return "".join(parts)
+
+
+@query("decontamination_ngram_sweep", oracle=_decon_sweep_oracle())
+def q_decontamination_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tuning curve for the decontamination shingle size: per k in {3,5,8} how many docs get flagged and how many shingles hit, over the planted-contamination corpus - pick k from the curve, not folklore."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0).unionByName(
+        bench.select(
+            (F.col("doc_id") + 3000000).alias("doc_id"),
+            F.concat(F.lit("copied doc "), F.col("text")).alias("text"),
+        )
+    )
+    out = None
+    for k in (3, 5, 8):
+        hits = dedup.contamination_hits(corpus, bench, k=k)
+        row = hits.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_flagged"),
+            F.sum("n_hit_shingles").cast("long").alias("total_hit_shingles"),
+        ).select(
+            F.lit(k).cast("long").alias("k"),
+            "n_docs_flagged",
+            "total_hit_shingles",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # quality-decile bucketing (audit the worst slices of the corpus)
 # ---------------------------------------------------------------------------
 @query(
