@@ -74,6 +74,7 @@ SKEW_ALLOWLIST = {
     "enrichment_resolved": "annotation table is one row per id",
     "enrichment_nested": "annotation table is one row per id",
     "multimodal_decode_real": "decoded side is one row per image id",
+    "image_pixel_stats": "decoded side is one row per image id",
     # blocked/banded similarity joins: the equi-key IS the bucket and
     # bucket sizes are bounded by the banding scheme (LSH bands,
     # winnow fingerprints, prefix-filter tokens)
