@@ -728,3 +728,113 @@ def test_cusum_matches_python_replay(spark, counts, mult):
         a += 1 if s > mult * T else 0
         p = max(p, s)
     assert (r["n_hours"], r["total"], r["n_alarms"], r["peak_s"]) == (H, T, a, p)
+
+
+def _py_stress(und_edges, seed, max_hops):
+    """Pure-Python replay of bounded-depth stress centrality: BFS
+    levels with path counts, then backward continuation counts."""
+    adj: dict[int, set[int]] = {}
+    for a, b in und_edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    if seed not in adj:
+        return {seed: (0, 1, 0)}
+    dist = {seed: 0}
+    sigma = {seed: 1}
+    frontier = [seed]
+    for d in range(1, max_hops + 1):
+        nxt: dict[int, int] = {}
+        for v in frontier:
+            for w in adj.get(v, ()):  # noqa: B905
+                if w in dist:
+                    continue
+                nxt[w] = nxt.get(w, 0) + sigma[v]
+        for w, s in nxt.items():
+            dist[w] = d
+            sigma[w] = s
+        frontier = list(nxt)
+    t = {v: 0 for v in dist}
+    for d in range(max_hops - 1, -1, -1):
+        for v in [x for x in dist if dist[x] == d]:
+            t[v] = sum(
+                1 + t[w]
+                for w in adj.get(v, ())
+                if dist.get(w) == d + 1
+            )
+    return {v: (dist[v], sigma[v], sigma[v] * t[v]) for v in dist}
+
+
+@SET
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    hops=st.integers(1, 4),
+)
+def test_stress_centrality_matches_python_reference(spark, edges, hops):
+    """Operator ≡ sequential replay on random ≤10-node graphs: dist,
+    sigma, and through agree for every reached node (independent
+    implementation — catches semantic mistakes oracle parity can't)."""
+    from datalake_etlscripts_spark.operators.graph import stress_centrality
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    seed = und[0][0]
+    sym = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(sym, "src bigint, dst bigint")
+    got = {
+        r["node"]: (r["dist"], r["sigma"], r["through"])
+        for r in stress_centrality(df, seed=seed, max_hops=hops).collect()
+    }
+    assert got == _py_stress(und, seed, hops)
+
+
+def _py_ktruss(und_edges, k, rounds):
+    """Naive re-enumerating k-truss replay (the pre-delta semantics
+    the oracle unrolls): per round, count each edge's triangles among
+    CURRENT edges, keep support >= k-2."""
+    e = set(und_edges)
+    supp: dict[tuple[int, int], int] = {}
+    for _ in range(rounds):
+        supp = {}
+        es = sorted(e)
+        for i, (a, b) in enumerate(es):
+            for (c, d) in es[i + 1:]:
+                if c != b:
+                    continue
+                # wedge a<b=c<d: close with (a, d)
+                if (a, d) in e:
+                    for pair in ((a, b), (b, d), (a, d)):
+                        supp[pair] = supp.get(pair, 0) + 1
+        e = {p for p, s in supp.items() if s >= k - 2}
+    return {p: s for p, s in supp.items() if s >= k - 2}
+
+
+@SET
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=3,
+        max_size=22,
+    ),
+    rounds=st.integers(1, 3),
+)
+def test_ktruss_delta_matches_naive_reenumeration(spark, edges, rounds):
+    """The delta-maintained peeling (triangles enumerated once, dead
+    edges subtracted per round) must equal the naive recompute-
+    everything form on random graphs — including the fixpoint
+    early-exit path."""
+    from datalake_etlscripts_spark.operators.graph import ktruss
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges})
+    df = spark.createDataFrame(und, "u bigint, v bigint")
+    got = {
+        (r["u"], r["v"]): r["support"]
+        for r in ktruss(df, k=4, rounds=rounds).collect()
+    }
+    assert got == _py_ktruss(und, 4, rounds)
