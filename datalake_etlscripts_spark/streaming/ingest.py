@@ -358,7 +358,6 @@ def run_streaming_lsh_dedup(
 
     from datalake_etlscripts_spark.operators.dedup import incremental_minhash_dedup
 
-    import shutil
 
     index_path = os.path.join(state_dir, "index")
     docs_path = os.path.join(state_dir, "docs")
@@ -373,19 +372,9 @@ def run_streaming_lsh_dedup(
         return spark.read.parquet(path)
 
     def _swap(df: DataFrame, path: str, epoch_id: int) -> None:
-        # stage under an epoch-keyed name, then directory-rename swap:
-        # a crash leaves either the old state or the new one, never a
-        # half-written directory (local-FS semantics; an object store
-        # wants a manifest commit instead — cf. io/txstore.py)
-        tmp = f"{path}__staging_{epoch_id}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").parquet(tmp)
-        old = f"{path}__old_{epoch_id}"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+        # epoch-keyed staging + directory-rename swap — one shared
+        # definition (_stage_swap) for every streaming state writer
+        _stage_swap(spark, df, path, f"epoch{epoch_id}")
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         # foreachBatch is at-least-once: every write is keyed by
@@ -626,7 +615,6 @@ def run_streaming_embedding_dedup(
     MISSING state path reads as empty. Union of emitted pairs equals
     a full batch recompute (property-tested)."""
     import os
-    import shutil
 
     from datalake_etlscripts_spark.operators.dedup import incremental_embedding_lsh
 
@@ -640,15 +628,7 @@ def run_streaming_embedding_dedup(
         return spark.read.parquet(path)
 
     def _swap(df: DataFrame, path: str, epoch_id: int) -> None:
-        tmp = f"{path}__staging_{epoch_id}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").parquet(tmp)
-        old = f"{path}__old_{epoch_id}"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+        _stage_swap(spark, df, path, f"epoch{epoch_id}")
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         index = _load(index_path, "vec_id bigint, band int, bucket bigint")
@@ -692,7 +672,6 @@ def run_streaming_funnel(
     time is monotone across batches. Epoch-keyed idempotent writes,
     directory-rename state swap, missing path = first batch."""
     import os
-    import shutil
 
     from datalake_etlscripts_spark.operators.events import funnel_advance
 
@@ -705,15 +684,7 @@ def run_streaming_funnel(
         return spark.read.parquet(path)
 
     def _swap(df: DataFrame, path: str, epoch_id: int) -> None:
-        tmp = f"{path}__staging_{epoch_id}"
-        shutil.rmtree(tmp, ignore_errors=True)
-        df.write.mode("overwrite").parquet(tmp)
-        old = f"{path}__old_{epoch_id}"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.exists(path):
-            os.rename(path, old)
-        os.rename(tmp, path)
-        shutil.rmtree(old, ignore_errors=True)
+        _stage_swap(spark, df, path, f"epoch{epoch_id}")
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         state = _load(state_path, "user_id bigint, max_step int")
