@@ -243,6 +243,70 @@ def running_user_totals(events: DataFrame, timeout: str = "NoTimeout") -> DataFr
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Spark-4 successor lane for the same per-user running totals:
+    ``transformWithStateInPandas`` with a ValueState-backed
+    StatefulProcessor (typed state handles, timers, RocksDB provider —
+    the API applyInPandasWithState is deprecated in favor of).
+
+    ENV BOUNDARY: the transformWithState state-server protocol speaks
+    protobuf between the JVM and a Python driver worker, and this
+    container's ``google.protobuf`` is not importable — the query
+    would crash at initialization (verified: STREAMING_PYTHON_RUNNER_
+    INITIALIZATION_FAILURE, ImportError: cannot import name
+    'descriptor'). On a cluster image, ``pip install protobuf`` and
+    set spark.sql.streaming.stateStore.providerClass to the
+    RocksDBStateStoreProvider. The processor below is the real
+    implementation, gated on the import so the failure is immediate
+    and actionable rather than a mid-query crash."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as ex:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs a working google.protobuf "
+            "(the JVM<->Python state-server protocol); install "
+            "`protobuf` on the cluster image. The applyInPandasWithState "
+            "twin (running_user_totals) runs everywhere."
+        ) from ex
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotal(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n bigint, total double"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _RunningTotal(),
+        "user_id bigint, n_events bigint, total_value double",
+        "Update",
+        "processingTime",
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     key_cols: list[str] | None = None,

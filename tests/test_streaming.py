@@ -1285,3 +1285,28 @@ def test_streaming_minibatch_kmeans_matches_python_replay(spark, tmp_path):
         for r in spark.read.parquet(f"{root}/state").collect()
     }
     assert got2 == got
+
+
+def test_running_user_totals_tws_env_gate(spark):
+    """The Spark-4 transformWithStateInPandas lane is gated on a
+    working google.protobuf (the JVM<->Python state-server protocol);
+    in this container the gate must raise the actionable remedy
+    IMMEDIATELY instead of crashing mid-query. If the image ever grows
+    protobuf, the plan must instead build (same totals as the
+    applyInPandasWithState twin)."""
+    from datalake_etlscripts_spark.streaming.ingest import (
+        running_user_totals_tws,
+    )
+
+    events = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr("value AS user_id", "CAST(value AS DOUBLE) AS value")
+    )
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            running_user_totals_tws(events)
+    else:
+        df = running_user_totals_tws(events)
+        assert set(df.columns) == {"user_id", "n_events", "total_value"}
