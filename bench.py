@@ -66,11 +66,14 @@ HEADLINE = [
     "fifo_allocation",
     "watermark_lateness_audit",
     "graph_mutual_matching",
-    # round-10 additions (headline 39 → 41; totals non-comparable —
+    # round-10 additions (headline 39 → 43; totals non-comparable —
     # use comparable_subsets in the JSON): the second exactness-tax
-    # point (join-heavy) and the capped k-truss peeling
+    # point (join-heavy), the capped delta-peeling k-truss, the
+    # integer Brandes sample, and the compaction planner's window lane
     "revenue_per_nation_double",
     "graph_ktruss",
+    "graph_stress_centrality",
+    "compaction_bins",
 ]
 
 

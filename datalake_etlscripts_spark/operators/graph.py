@@ -577,7 +577,7 @@ def bfs_hops(
 
 def stress_centrality(
     edges: DataFrame,
-    seed: int,
+    seed: int | list[int] | tuple[int, ...],
     max_hops: int = 3,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
@@ -597,48 +597,59 @@ def stress_centrality(
       the seed PASSING v — the load signal hubs-vs-bridges audits
       read.
 
-    Returns (node, dist, sigma, through) for every node within
-    ``max_hops``. All integers; per level one shuffle each way; depth
-    bounds the rounds, seeds parallelize by union."""
+    Returns (seed, node, dist, sigma, through) for every node within
+    ``max_hops`` of each seed. All integers; depth bounds the rounds.
+    ALL seeds advance in ONE pass — the level tables carry a seed
+    column and every join/aggregate keys on (seed, node), so adding
+    seeds widens the (tiny) frontier instead of multiplying the stage
+    count. Frontier/level tables are BROADCAST into every edge join
+    (seeded bounded-depth expansion keeps them node-sized — ≪ the
+    edge table — so edges never shuffle and each level is one
+    map-side join + one keyed aggregate); for cluster-scale frontiers
+    drop the hints and the same plan runs as shuffle joins."""
+    seeds = [int(seed)] if isinstance(seed, int) else [int(s) for s in seed]
     sess = edges.sparkSession
-    lvl0 = sess.createDataFrame([(int(seed),)], "node bigint").select(
-        "node", F.lit(1).cast("long").alias("sigma")
-    )
+    lvl0 = sess.createDataFrame(
+        [(s, s) for s in seeds], "seed bigint, node bigint"
+    ).select("seed", "node", F.lit(1).cast("long").alias("sigma"))
     levels = [lvl0]
-    visited = lvl0.select("node")
+    visited = lvl0.select("seed", "node")
     for t in range(1, max_hops + 1):
         prev = levels[t - 1].select(
-            F.col("node").alias("_p"), F.col("sigma").alias("_ps")
+            "seed", F.col("node").alias("_p"), F.col("sigma").alias("_ps")
         )
         nxt = (
-            prev.join(edges, F.col("_p") == edges["src"])
-            .groupBy(F.col("dst").alias("node"))
+            F.broadcast(prev)
+            .join(edges, F.col("_p") == edges["src"])
+            .groupBy("seed", F.col("dst").alias("node"))
             .agg(F.sum("_ps").cast("long").alias("sigma"))
-            .join(visited, "node", "left_anti")
+            .join(F.broadcast(visited), ["seed", "node"], "left_anti")
         )
         nxt = cut_lineage(nxt, t, checkpoint_dir, checkpoint_every, eager=False)
         levels.append(nxt)
-        visited = visited.unionByName(nxt.select("node"))
+        visited = visited.unionByName(nxt.select("seed", "node"))
     # backward: continuations. Deepest level has none.
     conts = [None] * (max_hops + 1)
     conts[max_hops] = levels[max_hops].select(
-        "node", F.lit(0).cast("long").alias("t")
+        "seed", "node", F.lit(0).cast("long").alias("t")
     )
     for t in range(max_hops - 1, -1, -1):
         succ = conts[t + 1].select(
-            F.col("node").alias("_w"), F.col("t").alias("_wt")
+            "seed", F.col("node").alias("_w"), F.col("t").alias("_wt")
         )
         inc = (
-            edges.join(succ, edges["dst"] == F.col("_w"))
-            .groupBy(F.col("src").alias("node"))
+            edges.join(F.broadcast(succ), edges["dst"] == F.col("_w"))
+            .groupBy("seed", F.col("src").alias("node"))
             .agg(F.sum(F.col("_wt") + 1).cast("long").alias("_tin"))
         )
         conts[t] = (
             levels[t]
-            .select("node")
-            .join(inc, "node", "left")
+            .select("seed", "node")
+            .join(F.broadcast(inc), ["seed", "node"], "left")
             .select(
-                "node", F.coalesce("_tin", F.lit(0)).cast("long").alias("t")
+                "seed",
+                "node",
+                F.coalesce("_tin", F.lit(0)).cast("long").alias("t"),
             )
         )
         conts[t] = cut_lineage(
@@ -649,8 +660,9 @@ def stress_centrality(
     for t in range(max_hops + 1):
         part = (
             levels[t]
-            .join(conts[t], "node")
+            .join(F.broadcast(conts[t]), ["seed", "node"])
             .select(
+                "seed",
                 "node",
                 F.lit(t).cast("long").alias("dist"),
                 "sigma",

@@ -762,17 +762,9 @@ def q_graph_stress_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    out = None
-    for s in _STRESS_SEEDS:
-        part = stress_centrality(edges, s, max_hops=_STRESS_HOPS).select(
-            F.lit(s).cast("long").alias("seed"),
-            "node",
-            "dist",
-            "sigma",
-            "through",
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    return stress_centrality(
+        edges, list(_STRESS_SEEDS), max_hops=_STRESS_HOPS
+    ).select("seed", "node", "dist", "sigma", "through")
 
 
 # ---------------------------------------------------------------------------

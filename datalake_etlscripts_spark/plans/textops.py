@@ -1229,7 +1229,7 @@ def _decon_sweep_oracle(ks=(3, 5, 8)) -> str:
 
 @query("decontamination_ngram_sweep", oracle=_decon_sweep_oracle())
 def q_decontamination_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tuning curve for the decontamination shingle size: per k in {3,5,8} how many docs get flagged and how many shingles hit, over the planted-contamination corpus - pick k from the curve, not folklore."""
+    """Tuning curve for the decontamination shingle size: per k in {3,5,8} how many docs get flagged and how many shingles hit, over the planted-contamination corpus - pick k from the curve, not folklore. Tuning-time audit: three corpus passes here; at 100 TB run it on a sample (the curve's SHAPE is what's read) or tokenize once with positions and build all widths in one pass."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     bench = d.filter(F.col("doc_id") % 97 == 0)
     corpus = d.filter(F.col("doc_id") % 97 != 0).unionByName(
