@@ -394,6 +394,78 @@ def _co_order_edges_w2(
     )
 
 
+# ---------------------------------------------------------------------------
+# Coreness classes (r10): the k-shell index — for each node the
+# largest k ∈ {2,3,4} whose 4-round k-core still contains it (1 =
+# in the graph but outside the 2-core). kcore answers "is v in THE
+# k-core"; coreness ranks every node's structural depth in one table —
+# the standard spreading-power / influence signal. Three peels share
+# one sparsified edge build; the oracle chains the same unrolled
+# rounds per k from one MATERIALIZED base.
+# ---------------------------------------------------------------------------
+def _coreness_oracle(ks=(2, 3, 4), rounds: int = 4) -> str:
+    sql = """
+    WITH li0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM (
+             SELECT l_orderkey, l_partkey,
+                    count(*) OVER (PARTITION BY l_orderkey) AS bs
+             FROM li0) WHERE bs <= 64),
+    p AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+          FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+    base AS MATERIALIZED (SELECT u AS src, v AS dst FROM p
+                          UNION ALL SELECT v, u FROM p),
+    nodes AS (SELECT DISTINCT src AS node FROM base)"""
+    for k in ks:
+        sql += f",\n    c{k}_e0 AS (SELECT src, dst FROM base)"
+        for r in range(1, rounds + 1):
+            sql += f""",
+    c{k}_k{r} AS (SELECT src FROM c{k}_e{r-1}
+                  GROUP BY src HAVING count(*) >= {k}),
+    c{k}_e{r} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM c{k}_e{r-1} e
+      JOIN c{k}_k{r} a ON e.src = a.src
+      JOIN c{k}_k{r} b ON e.dst = b.src)"""
+        sql += f""",
+    core{k} AS (SELECT src AS node FROM c{k}_e{rounds}
+                GROUP BY src HAVING count(*) >= {k})"""
+    cases = " ".join(
+        f"WHEN n.node IN (SELECT node FROM core{k}) THEN {k}"
+        for k in sorted(ks, reverse=True)
+    )
+    return (
+        sql
+        + f"""
+    SELECT n.node, CAST(CASE {cases} ELSE 1 END AS BIGINT) AS coreness
+    FROM nodes n"""
+    )
+
+
+@query("graph_coreness_classes", oracle=_coreness_oracle())
+def q_graph_coreness_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreness (k-shell index) over the sparsified co-order graph: per node the deepest 4-round k-core (k in {2,3,4}) still containing it - three peels over one shared edge build, the structural-depth ranking kcore alone cannot give."""
+    from datalake_etlscripts_spark.operators.graph import kcore
+
+    e = _co_order_edges_w2(spark, sf_dir).localCheckpoint(eager=False)
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    out = nodes
+    for k in (2, 3, 4):
+        mem = kcore(e, k=k, rounds=4).select(
+            "node", F.lit(True).alias(f"_in{k}")
+        )
+        out = out.join(F.broadcast(mem), "node", "left")
+    return out.select(
+        "node",
+        F.when(F.col("_in4"), 4)
+        .when(F.col("_in3"), 3)
+        .when(F.col("_in2"), 2)
+        .otherwise(1)
+        .cast("long")
+        .alias("coreness"),
+    )
+
+
 @query("graph_kcore", oracle=_kcore_oracle())
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core decomposition (k=2) of the weight->=2 part co-order graph - synchronous peeling, one degree aggregate + two semi joins per round, converged within the unrolled oracle rounds."""

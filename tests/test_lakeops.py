@@ -935,3 +935,16 @@ def test_final_stretch_identities(spark, sf_dir):
                 (r["cents"] - q[i - 1]["cents"]) / q[i - 1]["cents"],
                 rel=1e-12,
             )
+
+
+def test_coreness_classes_are_nested_and_consistent(spark, sf_dir):
+    """Coreness invariants on the real fixture: every node of the
+    sparsified graph gets exactly one class in {1,2,3,4}; the class-k
+    node sets are nested (coreness >= 3 implies >= 2, etc.); and the
+    standalone graph_kcore (k=2, same rounds) node set equals exactly
+    the nodes with coreness >= 2."""
+    rows = _run("graph_coreness_classes", spark, sf_dir).collect()
+    classes = {r["node"]: r["coreness"] for r in rows}
+    assert classes and set(classes.values()) <= {1, 2, 3, 4}
+    kcore2 = {r["node"] for r in _run("graph_kcore", spark, sf_dir).collect()}
+    assert {n for n, c in classes.items() if c >= 2} == kcore2
