@@ -607,7 +607,11 @@ def stress_centrality(
     edge table — so edges never shuffle and each level is one
     map-side join + one keyed aggregate); for cluster-scale frontiers
     drop the hints and the same plan runs as shuffle joins."""
-    seeds = [int(seed)] if isinstance(seed, int) else [int(s) for s in seed]
+    # dedupe, order-preserving: a repeated seed would emit two identical
+    # lvl0 rows and double sigma/through for that seed at every level
+    seeds = [int(seed)] if isinstance(seed, int) else list(
+        dict.fromkeys(int(s) for s in seed)
+    )
     sess = edges.sparkSession
     lvl0 = sess.createDataFrame(
         [(s, s) for s in seeds], "seed bigint, node bigint"

@@ -19,6 +19,7 @@ from datalake_etlscripts_spark.plans import (  # noqa: F401, E402
     sources,
     sources_formats,
     statops,
+    streamtwins,
     sync,
     textops,
     tpch_more,

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from datalake_etlscripts_spark.io.readers import read_table
 from datalake_etlscripts_spark.operators import features
-from datalake_etlscripts_spark.plans.registry import ddb_hex32, query
+from datalake_etlscripts_spark.plans.registry import MAX_BASKET, ddb_hex32, query
 
 _D = "CAST(CAST({x} AS VARCHAR) AS DOUBLE)"
 
@@ -366,7 +366,7 @@ def q_experiment_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH oi AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
     sz AS (SELECT b, count(*) AS bs FROM oi GROUP BY 1),
-    oif AS (SELECT oi.b, oi.i FROM oi JOIN sz USING (b) WHERE sz.bs <= 64),
+    oif AS (SELECT oi.b, oi.i FROM oi JOIN sz USING (b) WHERE sz.bs <= __MAX_BASKET__),
     ni AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM oif GROUP BY 1),
     p AS (
       SELECT a.i AS ia, b2.i AS ib, CAST(count(*) AS BIGINT) AS cooc
@@ -397,7 +397,7 @@ def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item collaborative filtering from order-basket co-occurrence: cosine-squared ranking as one exact integer division per pair, mega-baskets capped at 64 items to bound the pair blowup, top-3 neighbors per part."""
     li = read_table(spark, sf_dir, "lineitem")
     return features.item_item_topk(
-        li, "l_orderkey", "l_partkey", k=3, max_basket=64
+        li, "l_orderkey", "l_partkey", k=3, max_basket=MAX_BASKET
     )
 
 
@@ -455,7 +455,7 @@ _ITEMCF_EVAL_ORACLE = f"""
     ),
     oi AS (SELECT b, i FROM split WHERE NOT is_test),
     sz AS (SELECT b, count(*) AS bs FROM oi GROUP BY 1),
-    oif AS (SELECT oi.b, oi.i FROM oi JOIN sz USING (b) WHERE sz.bs <= 64),
+    oif AS (SELECT oi.b, oi.i FROM oi JOIN sz USING (b) WHERE sz.bs <= __MAX_BASKET__),
     ni AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM oif GROUP BY 1),
     pr AS (
       SELECT a.i AS ia, b2.i AS ib, CAST(count(*) AS BIGINT) AS cooc
@@ -509,7 +509,7 @@ def q_itemcf_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_test = md5_hash32(F.col("b").cast("string")) % 5 == 0
     train = lo.filter(~is_test)
     test = lo.filter(is_test)
-    nb3 = features.item_item_topk(train, "b", "i", k=3, max_basket=64).select(
+    nb3 = features.item_item_topk(train, "b", "i", k=3, max_basket=MAX_BASKET).select(
         F.col("item").alias("ia"), F.col("neighbor").alias("ib")
     )
     tsz = test.groupBy("b").agg(F.count(F.lit(1)).alias("n")).filter(

@@ -22,7 +22,12 @@ from datalake_etlscripts_spark.operators.graph import (
 )
 from datalake_etlscripts_spark.operators.sampling import weighted_sample_topk
 from datalake_etlscripts_spark.operators.text import phrase_matches
-from datalake_etlscripts_spark.plans.registry import ddb_hex32, ddb_hex60, query
+from datalake_etlscripts_spark.plans.registry import (
+    MAX_BASKET,
+    ddb_hex32,
+    ddb_hex60,
+    query,
+)
 
 _PR_ITER = 4
 # one definition: the oracle replays whatever the operator defaults to
@@ -173,7 +178,7 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # production data can no longer take down the whole family of co-order
 # graph queries. Mirrored in every consuming oracle via the li0→li
 # window-count CTE prefix.
-_MAX_BASKET = 64
+_MAX_BASKET = MAX_BASKET  # single definition lives in registry.MAX_BASKET
 
 
 def _capped_baskets(spark: SparkSession, sf_dir: str, max_basket: int | None) -> DataFrame:
@@ -225,7 +230,7 @@ _TRIANGLES_ORACLE = """
     li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM (
              SELECT l_orderkey, l_partkey,
                     count(*) OVER (PARTITION BY l_orderkey) AS bs
-             FROM li0) WHERE bs <= 64),
+             FROM li0) WHERE bs <= __MAX_BASKET__),
     e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
           FROM li a JOIN li b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
@@ -268,7 +273,7 @@ def _lpa_oracle(iterations: int = 3) -> str:
     li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM (
              SELECT l_orderkey, l_partkey,
                     count(*) OVER (PARTITION BY l_orderkey) AS bs
-             FROM li0) WHERE bs <= 64),
+             FROM li0) WHERE bs <= __MAX_BASKET__),
     e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
            FROM li a JOIN li b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
@@ -309,7 +314,7 @@ _LINKPRED_ORACLE = """
     li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM (
              SELECT l_orderkey, l_partkey,
                     count(*) OVER (PARTITION BY l_orderkey) AS bs
-             FROM li0) WHERE bs <= 64),
+             FROM li0) WHERE bs <= __MAX_BASKET__),
     e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
           FROM li a JOIN li b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
@@ -356,7 +361,7 @@ def _kcore_oracle(k: int = 2, rounds: int = 4) -> str:
     li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM (
              SELECT l_orderkey, l_partkey,
                     count(*) OVER (PARTITION BY l_orderkey) AS bs
-             FROM li0) WHERE bs <= 64),
+             FROM li0) WHERE bs <= __MAX_BASKET__),
     p AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
           FROM li a JOIN li b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -409,7 +414,7 @@ def _coreness_oracle(ks=(2, 3, 4), rounds: int = 4) -> str:
     li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM (
              SELECT l_orderkey, l_partkey,
                     count(*) OVER (PARTITION BY l_orderkey) AS bs
-             FROM li0) WHERE bs <= 64),
+             FROM li0) WHERE bs <= __MAX_BASKET__),
     p AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
           FROM li a JOIN li b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -1125,7 +1130,7 @@ def _ktruss_oracle(rounds: int = 3) -> str:
     li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM (
              SELECT l_orderkey, l_partkey,
                     count(*) OVER (PARTITION BY l_orderkey) AS bs
-             FROM li0) WHERE bs <= 64),
+             FROM li0) WHERE bs <= __MAX_BASKET__),
     e1 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
            FROM li a JOIN li b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
@@ -1204,7 +1209,7 @@ def _ecc_oracle() -> str:
     li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM (
              SELECT l_orderkey, l_partkey,
                     count(*) OVER (PARTITION BY l_orderkey) AS bs
-             FROM li0) WHERE bs <= 64),
+             FROM li0) WHERE bs <= __MAX_BASKET__),
     e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
            FROM li a JOIN li b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
@@ -1271,7 +1276,7 @@ def q_graph_eccentricity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM (
              SELECT l_orderkey, l_partkey,
                     count(*) OVER (PARTITION BY l_orderkey) AS bs
-             FROM li0) WHERE bs <= 64),
+             FROM li0) WHERE bs <= __MAX_BASKET__),
     e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
            FROM li a JOIN li b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
@@ -1363,7 +1368,7 @@ def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     li AS MATERIALIZED (SELECT l_orderkey, l_partkey FROM (
              SELECT l_orderkey, l_partkey,
                     count(*) OVER (PARTITION BY l_orderkey) AS bs
-             FROM li0) WHERE bs <= 64),
+             FROM li0) WHERE bs <= __MAX_BASKET__),
     e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
            FROM li a JOIN li b
            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),

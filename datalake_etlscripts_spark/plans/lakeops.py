@@ -404,6 +404,18 @@ _FIFO_BASE = """
 )
 def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIFO lot allocation: demands consume supply lots in arrival order via the cumulative-interval sweep - segment-to-lot assignment by pure counting in one part-keyed window, never an inequality or pair join."""
+    return fifo_allocation_frame(spark, sf_dir, qty_type="long")
+
+
+def fifo_allocation_frame(
+    spark: SparkSession, sf_dir: str, qty_type: str = "long"
+) -> DataFrame:
+    """The FIFO sweep plan with the quantity representation as a
+    parameter: ``long`` is the registered exact lane (TPC-H quantities
+    are integral); ``double`` is the bench-only A/B twin that carries
+    native doubles through every window sum — the third
+    (window-dominated) point on the exactness-tax curve beside the
+    scan-heavy and join-heavy twins in bench.py."""
     li = (
         read_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") > 0)
@@ -413,7 +425,7 @@ def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").alias("lno"),
             F.col("l_shipdate").alias("sd"),
             F.col("l_linestatus").alias("st"),
-            F.col("l_quantity").cast("long").alias("qty"),
+            F.col("l_quantity").cast(qty_type).alias("qty"),
         )
     )
     # A/B'd against a combined (part, st)-keyed single window: that
@@ -525,7 +537,7 @@ def q_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy(
         "q_part", "demand_seq", "q_okey", "q_lno", "demand_qty"
     ).agg(
-        F.coalesce(F.sum("seg_qty"), F.lit(0)).cast("long").alias(
+        F.coalesce(F.sum("seg_qty"), F.lit(0)).cast(qty_type).alias(
             "allocated_qty"
         ),
         F.countDistinct(F.col("r_ord")).cast("long").alias("n_lots"),
@@ -3278,14 +3290,18 @@ def q_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bytes"), F.asc("doc_id"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # exact long `div`, never double division — cumulative byte sums
+    # past 2^53 per partition would round and shift bin boundaries
     b = d.select(
         "lang",
         "doc_id",
         "bytes",
-        (
-            (F.sum("bytes").over(w) - F.col("bytes"))
-            / F.lit(_COMPACT_TARGET)
-        ).cast("long").alias("bin_id"),
+        (F.sum("bytes").over(w) - F.col("bytes")).alias("_start"),
+    ).select(
+        "lang",
+        "doc_id",
+        "bytes",
+        F.expr(f"_start div {_COMPACT_TARGET}").cast("long").alias("bin_id"),
     )
     return b.groupBy("lang", "bin_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_files"),

@@ -21,6 +21,14 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Mega-basket cap shared by every co-order / basket self-join query
+# (the skew bound: a same-key self-join emits B² rows per basket of B
+# items). The SINGLE definition — Spark plans import it, and oracle SQL
+# references it via the ``__MAX_BASKET__`` token substituted at
+# registration below, so changing the cap can never desynchronize the
+# engine from its oracles.
+MAX_BASKET = 64
+
 
 def ddb_hex32(md5_expr: str, offset: int = 0) -> str:
     """DuckDB SQL: 8 hex digits of an md5 varchar starting after
@@ -57,100 +65,99 @@ def query(name: str, oracle: str | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         QUERIES[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            ORACLES[name] = oracle.replace("__MAX_BASKET__", str(MAX_BASKET))
         return fn
 
     return deco
 
 
 # The correctness driver checks the FIRST 50 entries of queries() per
-# round. Rounds 1, 3 and 4 accumulated 145 distinct driver-green
-# queries (CORRECTNESS_r0{1,3,4}.json, zero failures); every other
-# query is green in the local replica harness
-# (tests/test_oracle_parity.py, all queries, sf0.01). Round 5 rotates
-# the window onto 47 NEVER-driver-checked queries: the r9
-# builder-session queue the round-4 verdict promoted (fifo_allocation,
-# watermark_lateness_audit, voptimal_histogram, sprt_ab_monitor,
-# cuped_adjusted_ab, graph_ktruss, python_datasource_scan,
-# sql_recursive_demo, variant_props_extract, arrow_utf8_stats), the
-# streaming-twin batch anchors (scd2_build, golden_record_merge), the
-# co-order graph family re-anchored AFTER this round's mega-basket
-# cap (label_propagation, link_prediction, assortativity,
-# shortest_paths, mutual_matching, ktruss), and the lakeops/statops/
-# sketch heads. Three sentinels (`versioned_ingest`,
-# `dedup_minhash_lsh`, `refinedweb_pipeline`) keep round-over-round
-# continuity. Names not yet registered are skipped; unlisted queries
-# follow in registration order.
+# round. Rounds 1/3/4/5 accumulated 191 distinct driver-green queries
+# (CORRECTNESS_r0{1,3,4,5}.json, zero failures); every other query is
+# green in the local replica harness (tests/test_oracle_parity.py, all
+# queries, sf0.01). Round 6 rotates the window onto 47 NEVER-driver-
+# checked names, the families the round-5 verdict staged: events/
+# attribution + retention, the data-quality audit heads, the dedup/ANN
+# tuning curves, the three NEW streaming batch twins (funnel fold,
+# trending-terms state, mini-batch k-means — promoted from unit-only
+# evidence), the remaining co-order graph heads, the privacy suite,
+# the LLM-corpus heads, and four TPC-H classics. compaction_bins is
+# staged deliberately: its bin arithmetic moved to exact long `div`
+# this round. Three sentinels (versioned_ingest, dedup_minhash_lsh,
+# refinedweb_pipeline) keep round-over-round continuity.
+#
+# Rotation plan (round-5 verdict #10): 47 fresh names per round,
+# sentinels pinned, comparable_subsets frozen in bench.py. ~198
+# never-driver-checked names remain after this window → ~4 more
+# rotations to exhaust the registry (r07: events/window analytics +
+# lakeops commerce heads; r08: text/LLM long tail; r09: vector/
+# retrieval + stats; r10: remainder).
 PRIORITY: list[str] = [
-    # sentinels (driver-green r01+r03+r04, kept for continuity)
+    # sentinels (driver-green r01+r03+r04+r05, kept for continuity)
     "versioned_ingest",
     "dedup_minhash_lsh",
     "refinedweb_pipeline",
-    # the staged r9 queue, judge-named first
-    "fifo_allocation",
-    "watermark_lateness_audit",
-    "voptimal_histogram",
-    "sprt_ab_monitor",
-    "cuped_adjusted_ab",
-    "graph_ktruss",
-    "python_datasource_scan",
-    "sql_recursive_demo",
-    "variant_props_extract",
-    "arrow_utf8_stats",
-    # streaming-family batch twins (anchor the shared fold logic)
-    "scd2_build",
-    "golden_record_merge",
-    # lakeops / warehouse heads
-    "abc_classification",
-    "bom_subtree_rollup",
-    "revenue_waterfall",
-    "pvm_bridge",
-    # experimentation / causal heads
-    "ips_offpolicy_estimate",
-    "dr_offpolicy_estimate",
-    "psm_stratified_ate",
-    "bootstrap_ci_poisson",
-    "experiment_did",
-    # co-order graph family (newly capped edge builder this round)
-    "graph_label_propagation",
-    "graph_link_prediction",
-    "graph_assortativity",
-    "graph_shortest_paths",
-    "graph_mutual_matching",
-    # sketches / distributional audits
-    "kmv_overlap",
-    "hll_accuracy_audit",
-    "moments_sketch_merge",
-    "psi_drift",
-    "ks_two_sample_quantized",
-    # time-series / forecasting heads
-    "ewma_anomaly",
-    "seasonal_decompose",
-    "croston_forecast",
-    "holt_trend_forecast",
-    "wavelet_haar",
-    # ML-exact heads
-    "ridge_regression_exact",
-    "pca_2d_eigen",
-    "isotonic_calibration",
-    "ndcg_at_k",
-    "matryoshka_recall",
-    # linkage / retrieval heads
-    "phonetic_blocking",
-    "fellegi_sunter_linkage",
-    "rake_keyphrases",
-    # multimodal pixel path (new this round: real BMP/PPM pixel decode)
-    "image_pixel_stats",
-    # events / training-data heads
-    "funnel_latency_quantiles",
-    "pit_training_join",
+    # attribution / retention family (round-5 verdict #1)
+    "attribution_first_touch",
+    "attribution_position_based",
+    "attribution_time_decay",
+    "retention_d1_d7_d28",
+    "cohort_ltv_curve",
+    "survival_retention_km",
+    "bot_detection",
+    # data-quality audit heads
+    "fd_discovery",
+    "candidate_keys",
+    "benford_audit",
+    "simpsons_paradox_audit",
+    # dedup / ANN tuning curves
+    "ann_multiprobe_topk",
+    "ann_ivf_nprobe_sweep",
+    "dedup_lsh_band_sweep",
+    "ann_recall_mrr",
+    "ann_projected_topk",
+    # streaming batch twins (NEW this round — shared-fold evidence)
+    "funnel_advance_fold",
+    "trending_terms_fold",
+    "minibatch_kmeans_fold",
+    # co-order graph heads without driver rows
+    "graph_stress_centrality",
+    "graph_coreness_classes",
+    "graph_ppr_seeds",
+    "graph_neighborhood_hll",
+    "graph_rich_club",
+    "graph_density_summary",
+    "graph_lpa_modularity",
+    "graph_community_conductance",
+    "textrank_keywords",
+    # privacy / anonymization suite
+    "k_anonymity_audit",
+    "l_diversity_audit",
+    "t_closeness_audit",
+    "dp_noisy_release",
+    "k_anonymity_generalize",
+    # LLM-corpus heads
+    "token_counts",
+    "doc_fingerprints",
+    "dedup_clusters",
+    "train_test_split",
+    "pack_sequences",
+    "vocab_encode",
+    "decontamination_ngram_sweep",
+    # lakehouse heads (compaction_bins: new exact-div arithmetic)
+    "compaction_bins",
+    "txstore_time_travel",
+    "ivm_join_view",
+    # TPC-H classics
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q14_promo_revenue",
+    "q18_large_volume",
 ]
 # Per-query driver-evidence ledger (which round last driver-checked
 # each query vs replica-only): see the "driver evidence" column in
 # QUERIES.md, regenerated by scripts/gen_query_catalog.py from
-# CORRECTNESS_r0*.json. ~237 never-driver-checked queries remain
-# after this window — full coverage needs ~5 more rotations at 47
-# fresh names per round.
+# CORRECTNESS_r0*.json.
 
 
 def _ordered(d: dict) -> dict:

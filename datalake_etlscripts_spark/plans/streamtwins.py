@@ -1,0 +1,215 @@
+"""Registered BATCH TWINS of the stateful streaming services.
+
+Each query replays the streaming fold as two sequential batch epochs
+through the SAME shared function the foreachBatch callback calls
+(streaming/ingest.py / operators/events.py), so a driver-green row
+here is direct evidence for the streaming state logic — the round-5
+verdict asked for exactly this promotion (funnel fold, trending-terms
+state, mini-batch k-means anchored only on unit tests until now).
+
+Reference semantics: the incremental folds mirror the reference's
+resumable ingest loop (nextprocurement/datalake_etlscripts
+incremental_process.py — process only new items, fold into persisted
+state) re-expressed as Spark Structured Streaming state tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datalake_etlscripts_spark.io.readers import read_table
+from datalake_etlscripts_spark.operators.events import funnel_advance
+from datalake_etlscripts_spark.plans.registry import query
+from datalake_etlscripts_spark.streaming.ingest import (
+    minibatch_kmeans_fold_step,
+    trending_topk_from_counts,
+    windowed_token_counts,
+)
+
+
+@query(
+    "funnel_advance_fold",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             list_transform(
+               list_sort(list(struct_pack(ts := ts, id := event_id,
+                                          t := event_type))),
+               e -> e.t) AS ts_types
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+      GROUP BY user_id
+    ),
+    steps AS (
+      SELECT user_id,
+             CAST(list_reduce(list_prepend('0', ts_types), (acc, t) ->
+               CASE WHEN acc = '0' AND t = 'view' THEN '1'
+                    WHEN acc = '1' AND t = 'click' THEN '2'
+                    WHEN acc = '2' AND t = 'purchase' THEN '3'
+                    ELSE acc END) AS INT) AS max_step
+      FROM ev
+    )
+    SELECT max_step, CAST(count(*) AS BIGINT) AS n_users
+    FROM steps GROUP BY 1
+    """,
+)
+def q_funnel_advance_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch replay of the streaming funnel state fold: epoch 1 (ts
+    before the month midpoint) folds from empty state, epoch 2 resumes
+    from the persisted (user, max_step) — the oracle computes the same
+    funnel in ONE fold, which is exactly the stream≡batch equivalence
+    run_streaming_funnel relies on (valid because the ts split honors
+    the per-user monotone-time contract)."""
+    e = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    steps = ["view", "click", "purchase"]
+    st1 = funnel_advance(e.filter(F.col("ts") < cutoff), steps)
+    st2 = funnel_advance(e.filter(F.col("ts") >= cutoff), steps, state=st1)
+    return st2.groupBy(
+        F.col("max_step").cast("int").alias("max_step")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+
+
+@query(
+    "trending_terms_fold",
+    oracle=r"""
+    WITH d AS (
+      SELECT TIMESTAMP '2024-01-01 00:00:00'
+               + (doc_id % 6) * INTERVAL 1 HOUR AS ws,
+             text
+      FROM documents
+    ),
+    tok AS (
+      SELECT ws, u.token
+      FROM d, UNNEST(list_filter(string_split(text, ' '),
+                                 x -> x <> '')) AS u(token)
+    ),
+    cnt AS (SELECT ws, token, count(*) AS n FROM tok GROUP BY 1, 2),
+    rk AS (
+      SELECT ws AS window_start, token, CAST(n AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY ws
+                                ORDER BY n DESC, token) AS rank
+      FROM cnt
+    )
+    SELECT window_start, token, n, CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= 5
+    """,
+)
+def q_trending_terms_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch replay of the streaming trending-terms state: each
+    epoch's hourly token counts sum-merge into the state table (the
+    counts monoid — any split gives the same merged table), then the
+    per-window top-5 is derived by the same shared ranker the stream
+    uses (trending_topk_from_counts). Timestamps are synthesized
+    deterministically from doc_id (hour = doc_id mod 6) on both the
+    Spark and oracle sides; hour-aligned ts makes window_start = ts."""
+    d = read_table(spark, sf_dir, "documents").select(
+        F.expr(
+            "timestamp'2024-01-01 00:00:00'"
+            " + make_interval(0, 0, 0, 0, CAST(doc_id % 6 AS INT))"
+        ).alias("ts"),
+        "text",
+        "doc_id",
+    )
+    c1 = windowed_token_counts(d.filter(F.col("doc_id") % 2 == 0))
+    c2 = windowed_token_counts(d.filter(F.col("doc_id") % 2 == 1))
+    merged = (
+        c1.unionByName(c2)
+        .groupBy("window_start", "token")
+        .agg(F.sum("n").alias("n"))
+    )
+    return trending_topk_from_counts(merged, k=5)
+
+
+# floor-division in exact integer SQL (DuckDB's // matches Python's
+# floor semantics only for non-negative operands; centroid sums can be
+# negative): fdiv(s, n) = (s - ((s % n + n) % n)) / n for n > 0
+def _fdiv(s: str, n: str) -> str:
+    return f"CAST(({s} - ((({s}) % ({n}) + ({n})) % ({n}))) / ({n}) AS BIGINT)"
+
+
+_KMEANS_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS pid,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xq
+      FROM embeddings
+    ),
+    qd AS (
+      SELECT pid,
+             CAST(unnest(generate_series(1, len(xq))) - 1 AS INT) AS dim,
+             unnest(xq) AS x
+      FROM q
+    ),
+    b1 AS (SELECT * FROM qd WHERE pid % 2 = 0),
+    b2 AS (SELECT * FROM qd WHERE pid % 2 = 1),
+    seeds AS (
+      SELECT CAST(pid AS INT) AS cell, dim, x AS c FROM b1
+      WHERE pid IN (SELECT DISTINCT pid FROM b1 ORDER BY pid LIMIT 4)
+    ),
+    d1 AS (
+      SELECT b1.pid, s.cell, sum((b1.x - s.c) * (b1.x - s.c)) AS dist
+      FROM b1 JOIN seeds s USING (dim) GROUP BY 1, 2
+    ),
+    a1 AS (
+      SELECT pid, cell FROM (
+        SELECT pid, cell,
+               row_number() OVER (PARTITION BY pid
+                                  ORDER BY dist, cell) AS rk
+        FROM d1) WHERE rk = 1
+    ),
+    s1 AS (
+      SELECT a1.cell, b1.dim, CAST(sum(b1.x) AS BIGINT) AS s
+      FROM b1 JOIN a1 USING (pid) GROUP BY 1, 2
+    ),
+    n1 AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM a1 GROUP BY 1),
+    c2 AS (
+      SELECT s1.cell, s1.dim, {_fdiv("s1.s", "n1.n")} AS c
+      FROM s1 JOIN n1 USING (cell)
+    ),
+    d2 AS (
+      SELECT b2.pid, c.cell, sum((b2.x - c.c) * (b2.x - c.c)) AS dist
+      FROM b2 JOIN c2 c USING (dim) GROUP BY 1, 2
+    ),
+    a2 AS (
+      SELECT pid, cell FROM (
+        SELECT pid, cell,
+               row_number() OVER (PARTITION BY pid
+                                  ORDER BY dist, cell) AS rk
+        FROM d2) WHERE rk = 1
+    ),
+    s2 AS (
+      SELECT a2.cell, b2.dim, CAST(sum(b2.x) AS BIGINT) AS s
+      FROM b2 JOIN a2 USING (pid) GROUP BY 1, 2
+    ),
+    n2 AS (SELECT cell, CAST(count(*) AS BIGINT) AS n FROM a2 GROUP BY 1)
+    SELECT coalesce(s1.cell, s2.cell) AS cell,
+           coalesce(s1.dim, s2.dim) AS dim,
+           CAST(coalesce(s1.s, 0) + coalesce(s2.s, 0) AS BIGINT) AS s,
+           CAST(coalesce(n1.n, 0) + coalesce(n2.n, 0) AS BIGINT) AS n
+    FROM s1
+    FULL OUTER JOIN s2 ON s1.cell = s2.cell AND s1.dim = s2.dim
+    LEFT JOIN n1 ON n1.cell = coalesce(s1.cell, s2.cell)
+    LEFT JOIN n2 ON n2.cell = coalesce(s1.cell, s2.cell)
+"""
+
+
+@query("minibatch_kmeans_fold", oracle=_KMEANS_ORACLE)
+def q_minibatch_kmeans_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch replay of the streaming mini-batch k-means: epoch 1
+    (even vec_ids) seeds from its 4 lowest ids and folds, epoch 2 (odd
+    vec_ids) assigns against the derived integer centroids (s div n)
+    and folds on top — both epochs through the SAME
+    minibatch_kmeans_fold_step the foreachBatch callback calls. The
+    oracle replays the identical exact-integer arithmetic in SQL
+    (quantize → argmin → per-(cell,dim) sums), floor-division spelled
+    out since centroid sums can be negative."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    s1, _ = minibatch_kmeans_fold_step(
+        spark, emb.filter(F.col("vec_id") % 2 == 0), None, k=4, scale=1000
+    )
+    s2, _ = minibatch_kmeans_fold_step(
+        spark, emb.filter(F.col("vec_id") % 2 == 1), s1, k=4, scale=1000
+    )
+    return s2

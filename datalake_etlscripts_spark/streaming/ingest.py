@@ -20,11 +20,37 @@ from pyspark.sql import functions as F
 from datalake_etlscripts_spark.versioning import STATE_META, empty_state, merge_batch
 
 
+def _recover_swap(path: str) -> None:
+    """Crash recovery for ``_stage_swap``'s two-rename window: a crash
+    between ``os.rename(path, old)`` and ``os.rename(tmp, path)``
+    leaves NO directory at ``path`` but a complete ``__old_*`` sibling.
+    Without this, every loader would treat the missing path as empty
+    first-batch state — a silent state reset. Local paths only (the
+    URI branch of _stage_swap never renames)."""
+    import glob
+    import os
+
+    if "://" in path or os.path.exists(path):
+        return
+    leftovers = sorted(glob.glob(f"{path}__old_*"))
+    if not leftovers:
+        return
+    if len(leftovers) > 1:
+        raise RuntimeError(
+            f"multiple interrupted-swap leftovers for {path}: {leftovers}; "
+            "restore the correct __old_ directory manually"
+        )
+    os.rename(leftovers[0], path)
+
+
 def _fs_path_exists(spark: SparkSession, path: str) -> bool:
     """Existence check through the Hadoop FileSystem API — correct for
     hdfs://, s3a://, file:// and bare local paths alike (os.path.exists
     is local-only and would silently report a remote store as absent,
-    resetting streaming state)."""
+    resetting streaming state). Restores an interrupted _stage_swap
+    first, so a crashed swap reads as the pre-swap state rather than
+    as absent."""
+    _recover_swap(path)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -40,7 +66,9 @@ def _stage_swap(spark: SparkSession, df: DataFrame, path: str, tag: str) -> None
     ``df`` may lazily READ ``path`` itself (merge-into-state), so the
     staged copy is always materialized first. On a local filesystem
     the swap is then two directory renames: a crash leaves either the
-    old state or the new one on disk, never a half-written directory.
+    old state, the new one, or — in the window between the two
+    renames — a complete ``__old_*`` sibling that ``_recover_swap``
+    renames back on the next load, so no crash point resets state.
     URI paths (hdfs://, s3a://) can't use os.rename — there the swap
     falls back to rewrite-with-overwrite, which is NOT atomic (Spark
     deletes the target before writing); a production deployment on an
@@ -48,6 +76,7 @@ def _stage_swap(spark: SparkSession, df: DataFrame, path: str, tag: str) -> None
     import os
     import shutil
 
+    _recover_swap(path)
     tmp = f"{path}__{tag}"
     shutil.rmtree(tmp, ignore_errors=True)
     df.write.mode("overwrite").parquet(tmp)
@@ -1630,6 +1659,111 @@ def run_streaming_sensor_alerts(spark: SparkSession, root: str):
     )
 
 
+def kmeans_state_centroids(spark: SparkSession, state: DataFrame) -> DataFrame:
+    """Integer centroids derived from a mini-batch k-means state table
+    (cell, dim, s, n): per-dim quotient s div n (Python floor
+    division). Bounded — k·dim rows to the driver, broadcast back."""
+    rows = state.collect()
+    by_cell: dict[int, dict[int, int]] = {}
+    ns: dict[int, int] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], {})[r["dim"]] = r["s"]
+        ns[r["cell"]] = r["n"]
+    data = []
+    for cell, dims in by_cell.items():
+        vec = [dims[d] // ns[cell] for d in sorted(dims)]
+        data.append((cell, vec))
+    return spark.createDataFrame(data, "cell INT, cq ARRAY<BIGINT>")
+
+
+def minibatch_kmeans_fold_step(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state: DataFrame | None,
+    k: int = 4,
+    scale: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """ONE mini-batch k-means fold in exact integer arithmetic — the
+    shared core of run_streaming_minibatch_kmeans and its registered
+    batch twin (plans/streamtwins.minibatch_kmeans_fold), so stream ≡
+    batch is an equality of code paths, not a reimplementation.
+
+    Quantize (floor(x·scale + 0.5)), assign to the CURRENT integer
+    centroids (exact squared-L2 argmin, ties to the lower cell;
+    ``state=None`` seeds from the batch's k lowest ids), and fold
+    per-(cell, dim) sums + per-cell counts into the state. Returns
+    ``(new_state(cell, dim, s, n), stats(cell, n_assigned, sse))``."""
+    xq = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    pts = batch_df.select(F.col("vec_id").alias("pid"), xq.alias("xq"))
+    if state is None:
+        cents = pts.orderBy("pid").limit(k).select(
+            F.col("pid").cast("int").alias("cell"),
+            F.col("xq").alias("cq"),
+        )
+    else:
+        cents = kmeans_state_centroids(spark, state)
+    d = pts.crossJoin(F.broadcast(cents)).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with(
+                F.col("xq"), F.col("cq"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    a = (
+        d.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy("dist", "cell")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("pid", "cell", "dist", "xq")
+        .localCheckpoint()
+    )
+    stats = a.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assigned"),
+        F.sum("dist").cast("long").alias("sse"),
+    )
+    binc = (
+        a.select("cell", F.posexplode("xq").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(F.sum("x").cast("long").alias("ds"))
+    )
+    bn = a.groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("dn"))
+    binc = binc.join(bn, "cell")
+    if state is not None:
+        new_state = (
+            state.select("cell", "dim", "s", "n")
+            .join(binc, ["cell", "dim"], "full_outer")
+            .select(
+                "cell",
+                "dim",
+                (
+                    F.coalesce("s", F.lit(0)) + F.coalesce("ds", F.lit(0))
+                ).cast("long").alias("s"),
+                (
+                    F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))
+                ).cast("long").alias("n"),
+            )
+        )
+    else:
+        new_state = binc.select(
+            F.col("cell").cast("int").alias("cell"),
+            F.col("dim").cast("int").alias("dim"),
+            F.col("ds").alias("s"),
+            F.col("dn").alias("n"),
+        )
+    return new_state, stats
+
+
 def run_streaming_minibatch_kmeans(
     spark: SparkSession,
     vec_dir: str,
@@ -1651,24 +1785,6 @@ def run_streaming_minibatch_kmeans(
     replays skip on folded_through with staged state swaps."""
     state_path = f"{root}/state"
 
-    def current_centroids(state):
-        # bounded: k·dim rows → driver → broadcast centroid table
-        rows = state.collect()
-        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
-        ns: dict[int, int] = {}
-        for r in rows:
-            by_cell.setdefault(r["cell"], {})[r["dim"]] = r["s"]
-            ns[r["cell"]] = r["n"]
-        data = []
-        for cell, dims in by_cell.items():
-            vec = [
-                dims[d] // ns[cell] for d in sorted(dims)
-            ]
-            data.append((cell, vec))
-        return spark.createDataFrame(
-            data, "cell INT, cq ARRAY<BIGINT>"
-        )
-
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df = batch_df.localCheckpoint()
         state = None
@@ -1680,81 +1796,12 @@ def run_streaming_minibatch_kmeans(
             if folded is not None and epoch_id <= folded:
                 return
 
-        xq = F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast(
-                "long"
-            ),
+        new_state, stats = minibatch_kmeans_fold_step(
+            spark, batch_df, state, k=k, scale=scale
         )
-        pts = batch_df.select(
-            F.col("vec_id").alias("pid"), xq.alias("xq")
+        stats.write.mode("overwrite").parquet(
+            f"{root}/assign/epoch={epoch_id}"
         )
-        if state is None:
-            cents = pts.orderBy("pid").limit(k).select(
-                F.col("pid").cast("int").alias("cell"),
-                F.col("xq").alias("cq"),
-            )
-        else:
-            cents = current_centroids(state)
-        d = pts.crossJoin(F.broadcast(cents)).withColumn(
-            "dist",
-            F.aggregate(
-                F.zip_with(
-                    F.col("xq"), F.col("cq"), lambda a, b: (a - b) * (a - b)
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
-        )
-        from pyspark.sql import Window as W
-
-        a = (
-            d.withColumn(
-                "rk",
-                F.row_number().over(
-                    W.partitionBy("pid").orderBy("dist", "cell")
-                ),
-            )
-            .filter(F.col("rk") == 1)
-            .select("pid", "cell", "dist", "xq")
-            .localCheckpoint()
-        )
-        a.groupBy("cell").agg(
-            F.count(F.lit(1)).cast("long").alias("n_assigned"),
-            F.sum("dist").cast("long").alias("sse"),
-        ).write.mode("overwrite").parquet(f"{root}/assign/epoch={epoch_id}")
-
-        binc = (
-            a.select("cell", F.posexplode("xq").alias("dim", "x"))
-            .groupBy("cell", "dim")
-            .agg(F.sum("x").cast("long").alias("ds"))
-        )
-        bn = a.groupBy("cell").agg(F.count(F.lit(1)).cast("long").alias("dn"))
-        binc = binc.join(bn, "cell")
-        if state is not None:
-            new_state = (
-                state.select("cell", "dim", "s", "n")
-                .join(binc, ["cell", "dim"], "full_outer")
-                .select(
-                    "cell",
-                    "dim",
-                    (
-                        F.coalesce("s", F.lit(0))
-                        + F.coalesce("ds", F.lit(0))
-                    ).cast("long").alias("s"),
-                    (
-                        F.coalesce("n", F.lit(0))
-                        + F.coalesce("dn", F.lit(0))
-                    ).cast("long").alias("n"),
-                )
-            )
-        else:
-            new_state = binc.select(
-                F.col("cell").cast("int").alias("cell"),
-                F.col("dim").cast("int").alias("dim"),
-                F.col("ds").alias("s"),
-                F.col("dn").alias("n"),
-            )
         new_state = new_state.withColumn(
             "folded_through", F.lit(epoch_id).cast("bigint")
         )

@@ -152,9 +152,16 @@ def _unique_on(node, key: str) -> bool:
     if m:
         groups = [g.strip() for g in m.group(2).split(",") if g.strip()]
         names = {re.sub(r"#\d+L?", "", g) for g in groups}
-        # grouped by the key alone, or by ONE expression (one row per
-        # value of that expression, which is what the key aliases)
-        return names <= {key} or len(groups) == 1
+        if names <= {key}:
+            return True
+        # ONE group expression makes the key unique only if the key IS
+        # that expression (aliased in the aggregate output) — grouping
+        # by an unrelated column must NOT clear the flag
+        if len(groups) == 1:
+            line = re.sub(r"#\d+L?", "", t)
+            g0 = re.sub(r"#\d+L?", "", groups[0])
+            return g0 == key or f"{g0} AS {key}" in line
+        return False
     if re.match(r"(GlobalLimit|LocalLimit) 1\b", t):
         return True
     head = t.split(" ", 1)[0].split("[", 1)[0]
@@ -257,6 +264,23 @@ def test_skew_guard_catches_planted_uncapped_self_join(spark, sf_dir):
     )
     assert self_join_skew_risks(planted), "planted join must be flagged"
     assert self_join_skew_risks(_co_order_edges(spark, sf_dir)) == []
+
+    # grouping ONE side by a column UNRELATED to the join key must not
+    # clear the flag (round-5 advice: the single-group shortcut was a
+    # false negative) …
+    grouped = li.groupBy("l_partkey").agg(
+        F.max("l_orderkey").alias("l_orderkey")
+    )
+    unrelated = li.join(grouped.select("l_orderkey"), "l_orderkey")
+    assert self_join_skew_risks(unrelated), (
+        "group-by on a non-key column must not clear the skew flag"
+    )
+    # … while grouping by the join key itself still does
+    keyed = li.join(
+        li.groupBy("l_orderkey").agg(F.count("*").alias("n")),
+        "l_orderkey",
+    )
+    assert self_join_skew_risks(keyed) == []
 
 
 def test_winnow_has_no_shuffle_before_pair_join(spark, sf_dir):

@@ -1310,3 +1310,40 @@ def test_running_user_totals_tws_env_gate(spark):
     else:
         df = running_user_totals_tws(events)
         assert set(df.columns) == {"user_id", "n_events", "total_value"}
+
+
+def test_stage_swap_crash_window_recovers_old_state(spark, tmp_path):
+    """A crash between _stage_swap's two renames leaves only the
+    __old_* sibling; the next load must restore it instead of reading
+    the missing path as empty first-batch state (round-5 advice)."""
+    import os
+
+    from datalake_etlscripts_spark.streaming.ingest import (
+        _fs_path_exists,
+        _recover_swap,
+        _stage_swap,
+    )
+
+    path = str(tmp_path / "state")
+    df1 = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    _stage_swap(spark, df1, path, "epoch0")
+    assert spark.read.parquet(path).count() == 1
+
+    # simulate the crash window: path renamed away, new state not yet in
+    os.rename(path, f"{path}__old_epoch1")
+    assert not os.path.exists(path)
+    assert _fs_path_exists(spark, path), "recovery must restore the state"
+    assert [r.v for r in spark.read.parquet(path).collect()] == ["a"]
+
+    # a subsequent swap proceeds normally over the recovered state
+    df2 = spark.createDataFrame([(2, "b")], "id bigint, v string")
+    _stage_swap(spark, df2, path, "epoch1")
+    assert [r.v for r in spark.read.parquet(path).collect()] == ["b"]
+
+    # two leftovers is ambiguous — must raise, never guess
+    os.rename(path, f"{path}__old_x")
+    os.makedirs(f"{path}__old_y")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="manual"):
+        _recover_swap(path)
