@@ -1,8 +1,11 @@
 """Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-behind ``set_decoder`` (a deterministic fake ships for tests) — but the
-Spark-side plumbing is real and exercised: schema, Arrow batch shape,
+Pixel decode is REAL for BMP, binary PPM, and PNG (stdlib zlib inflate
++ all five scanline filters — see encode_png/decode_png_pixels); format
+headers decode for real across BMP/PPM/PGM/PNG/GIF/JPEG. Only entropy-
+coded formats the stdlib can't inflate (JPEG) stay behind
+``set_decoder`` (a deterministic fake ships for tests). The Spark-side
+plumbing is real and exercised throughout: schema, Arrow batch shape,
 ``mapInPandas`` signatures, partition sizing. Swapping in Pillow/librosa
 on a real cluster is a one-function change.
 
@@ -52,10 +55,11 @@ def set_decoder(fn: Callable[[bytes], tuple[int, int]]) -> None:
 
 def real_decoder_unavailable(raw: bytes) -> tuple[int, int]:
     raise NotImplementedError(
-        "full pixel codecs (JPEG entropy decode, PNG inflate) are not "
-        "installed in this container; parse_image_header covers header "
-        "decode for BMP/PPM/PGM/PNG/GIF/JPEG, or call set_decoder(...) "
-        "with a real implementation (e.g. PIL.Image.open)"
+        "JPEG entropy decode is not installed in this container; "
+        "decode_pixels covers REAL pixel decode for BMP/PPM/PNG, "
+        "parse_image_header covers header decode for "
+        "BMP/PPM/PGM/PNG/GIF/JPEG, or call set_decoder(...) with a "
+        "real implementation (e.g. PIL.Image.open)"
     )
 
 
@@ -155,6 +159,151 @@ def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + pixels
 
 
+# ---------------------------------------------------------------------------
+# REAL PNG codec — stdlib zlib only (round-5 verdict #5: the "no codec
+# libs in the container" boundary doesn't hold for PNG; inflate is
+# stdlib). Non-interlaced, bit depth 8, color types 0 (gray) / 2 (RGB)
+# / 6 (RGBA); all five scanline filters on both sides. The encoder
+# deliberately cycles filters (row r uses filter r mod 5) so a decoder
+# that mishandles ANY filter changes the pixel sums the oracle checks.
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(
+    width: int, height: int, pixels: bytes, color_type: int = 2
+) -> bytes:
+    """Minimal spec-conformant PNG encoder: 8-bit, non-interlaced,
+    color type 0/2/6; one IDAT. Row r is filtered with type r mod 5,
+    cycling through None/Sub/Up/Average/Paeth so decoding exercises
+    every unfilter branch. ``pixels`` is channels*width*height bytes,
+    row-major."""
+    import struct
+    import zlib
+
+    ch = _PNG_CHANNELS[color_type]
+    stride = ch * width
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        row = pixels[r * stride : (r + 1) * stride]
+        ft = r % 5
+        raw.append(ft)
+        for i, x in enumerate(row):
+            a = row[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if ft == 0:
+                f = x
+            elif ft == 1:
+                f = (x - a) & 255
+            elif ft == 2:
+                f = (x - b) & 255
+            elif ft == 3:
+                f = (x - (a + b) // 2) & 255
+            else:
+                f = (x - _paeth(a, b, c)) & 255
+            raw.append(f)
+        prev = row
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(raw: bytes) -> tuple[int, int, int, bytes]:
+    """Real PNG pixel decode: chunk walk (multi-IDAT concatenated, CRCs
+    verified), stdlib-zlib inflate, then per-scanline unfilter of all
+    five filter types. Returns (width, height, channels, pixel bytes).
+    Supported: bit depth 8, color types 0/2/6, non-interlaced —
+    everything else raises (palette/16-bit/Adam7 are out of scope for
+    this engine's pixel-stats path; JPEG stays behind set_decoder)."""
+    import struct
+    import zlib
+
+    if raw[:8] != PNG_SIG:
+        raise ValueError("not a PNG stream")
+    i, ihdr, idat = 8, None, bytearray()
+    while i + 8 <= len(raw):
+        (ln,) = struct.unpack_from(">I", raw, i)
+        tag = raw[i + 4 : i + 8]
+        data = raw[i + 8 : i + 8 + ln]
+        (crc,) = struct.unpack_from(">I", raw, i + 8 + ln)
+        if zlib.crc32(tag + data) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = data
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        i += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ct, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or interlace != 0 or ct not in _PNG_CHANNELS:
+        raise ValueError(
+            f"PNG depth={depth} color={ct} interlace={interlace} "
+            "unsupported (8-bit gray/RGB/RGBA, non-interlaced only)"
+        )
+    ch = _PNG_CHANNELS[ct]
+    dec = zlib.decompress(bytes(idat))
+    stride = ch * w
+    if len(dec) != (stride + 1) * h:
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray()
+    prev = bytes(stride)
+    pos = 0
+    for _ in range(h):
+        ft = dec[pos]
+        pos += 1
+        row = bytearray(dec[pos : pos + stride])
+        pos += stride
+        if ft == 1:
+            for j in range(ch, stride):
+                row[j] = (row[j] + row[j - ch]) & 255
+        elif ft == 2:
+            for j in range(stride):
+                row[j] = (row[j] + prev[j]) & 255
+        elif ft == 3:
+            for j in range(stride):
+                a = row[j - ch] if j >= ch else 0
+                row[j] = (row[j] + (a + prev[j]) // 2) & 255
+        elif ft == 4:
+            for j in range(stride):
+                a = row[j - ch] if j >= ch else 0
+                c = prev[j - ch] if j >= ch else 0
+                row[j] = (row[j] + _paeth(a, prev[j], c)) & 255
+        elif ft != 0:
+            raise ValueError(f"PNG filter type {ft} invalid")
+        out += row
+        prev = bytes(row)
+    return int(w), int(h), ch, bytes(out)
+
+
 SYNTH_SCHEMA = "id bigint, fmt string, data binary"
 
 
@@ -181,6 +330,29 @@ def synthesize_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
 
 
+def synthesize_png_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministically render a REAL PNG per row — color type cycles
+    gray/RGB/RGBA with id mod 3, dims (1 + id % 16, 1 + 3*id % 16),
+    pixel byte j = (id*31 + j) % 256 over channels·w·h bytes, filters
+    cycling per scanline (encode_png). Same arithmetic contract as
+    synthesize_images so a SQL oracle predicts every channel sum while
+    the engine inflates and unfilters genuine PNG bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf[id_col]:
+                i = int(i)
+                ct = (0, 2, 6)[i % 3]
+                ch = _PNG_CHANNELS[ct]
+                w, h = 1 + i % 16, 1 + (i * 3) % 16
+                px = bytes((i * 31 + j) % 256 for j in range(ch * w * h))
+                out.append((i, "png", encode_png(w, h, px, ct)))
+            yield pd.DataFrame(out, columns=["id", "fmt", "data"])
+
+    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
 def decode_pixels(
     df: DataFrame, id_col: str = "id", bin_col: str = "data"
 ) -> DataFrame:
@@ -191,9 +363,9 @@ def decode_pixels(
     (id, n_px, sum_px) where sum_px is the exact integer sum of all
     channel bytes — order-free, so a SQL oracle can predict it from
     the synthesis arithmetic while the decode path is exercised for
-    real (a stride/padding bug changes the sum). Compressed formats
-    (PNG/JPEG/GIF) need set_decoder — honest env boundary, the
-    container ships no codec libs."""
+    real (a stride/padding bug changes the sum). PNG decodes for real
+    too (stdlib zlib inflate + unfilter, decode_png_pixels); only
+    entropy-coded formats (JPEG/GIF) still need set_decoder."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -220,8 +392,11 @@ def decode_pixels(
                     w, h = (int(x) for x in parts[1].split())
                     body = parts[3][: 3 * w * h]
                     out.append((int(i), w * h, sum(body)))
+                elif raw[:8] == PNG_SIG:
+                    w, h, _ch, body = decode_png_pixels(raw)
+                    out.append((int(i), w * h, sum(body)))
                 else:
-                    raise ValueError("decode_pixels: not BMP/P6 bytes")
+                    raise ValueError("decode_pixels: not BMP/P6/PNG bytes")
             yield pd.DataFrame(out, columns=["id", "n_px", "sum_px"])
 
     return df.select(id_col, bin_col).mapInPandas(

@@ -148,11 +148,13 @@ PRIORITY: list[str] = [
     "compaction_bins",
     "txstore_time_travel",
     "ivm_join_view",
+    # real-PNG pixel path (NEW this round: stdlib-zlib inflate +
+    # all five scanline unfilters)
+    "png_pixel_stats",
     # TPC-H classics
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q14_promo_revenue",
-    "q18_large_volume",
 ]
 # Per-query driver-evidence ledger (which round last driver-checked
 # each query vs replica-only): see the "driver evidence" column in

@@ -937,6 +937,64 @@ def q_image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PNG closes for real (round-5 verdict #5): stdlib zlib inflate + the
+# five scanline unfilters (operators/multimodal.decode_png_pixels,
+# validated against foreign-encoder PNGs). Same oracle scheme as
+# image_pixel_stats — byte j of image id is (id*31 + j) % 256 over
+# channels·w·h bytes, so DuckDB replays the arithmetic while Spark
+# inflates and unfilters genuine PNG bytes (the encoder cycles filter
+# r mod 5 per scanline, so a bug in ANY unfilter branch shifts sum_px).
+@query(
+    "png_pixel_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id AS id,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END
+                  AS INT) AS color_type,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END
+                  AS BIGINT) AS ch,
+             CAST(1 + doc_id % 16 AS BIGINT) AS w,
+             CAST(1 + (doc_id * 3) % 16 AS BIGINT) AS h,
+             CAST((doc_id * 31) % 256 AS BIGINT) AS a
+      FROM documents
+    ),
+    exploded AS (
+      SELECT id, a, unnest(generate_series(0, ch * w * h - 1)) AS j
+      FROM px
+    ),
+    sums AS (
+      SELECT id, CAST(sum((a + j) % 256) AS BIGINT) AS sum_px
+      FROM exploded GROUP BY 1
+    )
+    SELECT p.id, p.color_type, p.w * p.h AS n_px, s.sum_px,
+           CAST(s.sum_px AS DOUBLE) / CAST(p.ch * p.w * p.h AS DOUBLE)
+             AS mean_lum
+    FROM px p JOIN sums s USING (id)
+    """,
+)
+def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PNG pixel statistics: synthesize a genuine PNG per doc (gray/RGB/RGBA cycling with id mod 3, per-scanline filters cycling through all five types), inflate + unfilter the actual bytes, and report exact channel sums - the oracle replays the synthesis arithmetic, the engine decodes real compressed bytes."""
+    d = read_table(spark, sf_dir, "documents")
+    imgs = multimodal.synthesize_png_images(d)
+    px = multimodal.decode_pixels(imgs)
+    ch = F.when(F.col("id") % 3 == 0, 1).when(
+        F.col("id") % 3 == 1, 3
+    ).otherwise(4).cast("long")
+    ct = F.when(F.col("id") % 3 == 0, 0).when(
+        F.col("id") % 3 == 1, 2
+    ).otherwise(6).cast("int")
+    return px.select(
+        "id",
+        ct.alias("color_type"),
+        "n_px",
+        "sum_px",
+        (
+            F.col("sum_px").cast("double")
+            / (ch * F.col("n_px")).cast("double")
+        ).alias("mean_lum"),
+    )
+
+
 # IVF IS oracle-checkable with a FIXED literal coarse quantizer: the
 # 16 cell centers are deterministic LCG literals shared into the twin
 # (same trick as the hyperplane planes above), so DuckDB replays the

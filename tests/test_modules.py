@@ -3448,3 +3448,82 @@ def test_python_udtf_arrow_sentence_split(spark):
         (1, 2, "e"),
         (2, 0, "x"),
     ]
+
+
+# -------------------------------------------------------------- PNG codec
+def test_png_roundtrip_all_color_types_and_filters():
+    """encode_png cycles filter r%5 per scanline, so a height ≥ 5 image
+    exercises every unfilter branch; roundtrip must be byte-exact for
+    gray, RGB, and RGBA."""
+    from datalake_etlscripts_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    for ct, ch in ((0, 1), (2, 3), (6, 4)):
+        w, h = 7, 11
+        px = bytes((j * 37 + ct) % 256 for j in range(ch * w * h))
+        got = decode_png_pixels(encode_png(w, h, px, ct))
+        assert got == (w, h, ch, px)
+
+
+def test_png_decoder_rejects_corruption():
+    import struct
+
+    import pytest
+
+    from datalake_etlscripts_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    enc = bytearray(encode_png(4, 6, bytes(range(72)), 2))
+    # flip one IDAT byte: CRC check must catch it (never a wrong sum)
+    idat_at = bytes(enc).index(b"IDAT") + 4
+    enc[idat_at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_pixels(bytes(enc))
+    # unsupported shapes raise, not misdecode: 16-bit depth
+    good = bytearray(encode_png(4, 6, bytes(range(72)), 2))
+    ihdr_at = bytes(good).index(b"IHDR") + 4
+    good[ihdr_at + 8] = 16  # bit depth byte
+    # re-CRC the tampered IHDR so only the depth check can reject
+    import zlib as _z
+
+    crc = _z.crc32(b"IHDR" + bytes(good[ihdr_at : ihdr_at + 13]))
+    good[ihdr_at + 13 : ihdr_at + 17] = struct.pack(">I", crc)
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png_pixels(bytes(good))
+
+
+def test_png_multi_idat_streams_concatenate():
+    import struct
+    import zlib
+
+    from datalake_etlscripts_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    enc = encode_png(4, 6, bytes(range(72)), 2)
+    sig, i, parts = enc[:8], 8, []
+    while i + 8 <= len(enc):
+        (ln,) = struct.unpack_from(">I", enc, i)
+        parts.append((enc[i + 4 : i + 8], enc[i + 8 : i + 8 + ln]))
+        i += 12 + ln
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    out = sig
+    for tag, data in parts:
+        if tag == b"IDAT":
+            out += chunk(b"IDAT", data[:5]) + chunk(b"IDAT", data[5:])
+        else:
+            out += chunk(tag, data)
+    assert decode_png_pixels(out) == (4, 6, 3, bytes(range(72)))
