@@ -867,12 +867,66 @@ def mutual_matching(
     return out
 
 
+def _triangles_oriented(edges_uv: DataFrame) -> DataFrame:
+    """Triangle enumeration via degree-ordered orientation (the
+    triangle_counts plan shape, returned as node triples): direct every
+    edge toward its higher-(degree, id) endpoint, generate wedges only
+    at oriented sources, close against the canonical edge set. Emits
+    each triangle exactly once as canonical (a < b < c)."""
+    deg = (
+        edges_uv.select(F.col("u").alias("node"))
+        .unionAll(edges_uv.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    e = edges_uv.join(
+        deg.select(F.col("node").alias("u"), F.col("degree").alias("_du")),
+        "u",
+    ).join(
+        deg.select(F.col("node").alias("v"), F.col("degree").alias("_dv")),
+        "v",
+    )
+    u_first = (F.col("_du") < F.col("_dv")) | (
+        (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("_dv")).otherwise(F.col("_du")).alias("_dd"),
+    )
+    o1 = oriented.select(
+        "src", F.col("dst").alias("x"), F.col("_dd").alias("_dx")
+    )
+    o2 = oriented.select(
+        "src", F.col("dst").alias("y"), F.col("_dd").alias("_dy")
+    )
+    wedges = (
+        o1.join(o2, "src")
+        .filter(
+            (F.col("_dx") < F.col("_dy"))
+            | ((F.col("_dx") == F.col("_dy")) & (F.col("x") < F.col("y")))
+        )
+        .select("src", "x", "y")
+    )
+    closed = wedges.join(
+        edges_uv,
+        (F.least("x", "y") == F.col("u"))
+        & (F.greatest("x", "y") == F.col("v")),
+        "left_semi",
+    )
+    t = F.array_sort(F.array("src", "x", "y"))
+    return closed.select(
+        t[0].alias("a"), t[1].alias("b"), t[2].alias("c")
+    )
+
+
 def ktruss(
     edges_uv: DataFrame,
     k: int = 4,
     rounds: int = 3,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
+    oriented: bool = False,
 ) -> DataFrame:
     """k-truss peeling on an undirected edge set given in canonical
     (u < v) form: count every edge's triangle support, drop edges
@@ -889,19 +943,38 @@ def ktruss(
     round instead of re-joining the whole graph. Identical round
     semantics to the naive re-enumeration (the DuckDB oracle unrolls
     that form); a round that kills no edge has reached the fixpoint
-    and exits early with the same result. Lineage cut per round."""
-    e1 = edges_uv.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = edges_uv.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
-    e3 = edges_uv.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
-    tri = (
-        e1.join(e2, F.col("b") == F.col("b2"))
-        .join(
-            e3,
-            (F.col("a") == F.col("a3")) & (F.col("c2") == F.col("c3")),
+    and exits early with the same result. Lineage cut per round.
+
+    ``oriented=True`` enumerates the one-time triangle set with the
+    same degree-ordered orientation triangle_counts uses (wedges only
+    at each triangle's lowest-degree vertex — O(m^1.5) wedge volume
+    regardless of skew) instead of the id-ordered a<b<c wedge join
+    (Σ id-outdeg² rows). The triangle SET is identical either way.
+    Measured A/B on the capped sf0.1 co-order graph (NOTES_r11): the
+    cap makes degrees near-regular, so orientation saves only 17% of
+    wedges (49.3M → 41.1M) and its two degree-attach joins + computed-
+    key closing join cost more than they save (16–20s vs 13.3–14.8s)
+    — id-ordered stays the default HERE. Flip ``oriented=True`` for
+    power-law graphs, where id-ordering's wedge volume explodes at the
+    hubs and degree-ordering's O(m^1.5) bound is the only safe shape
+    (a support-threshold pre-peel was also considered: provably sound
+    — k-truss edges need endpoint degree ≥ k−1 — but vacuous at k=3,
+    where it is a degree ≥ 2 filter on an avg-degree-120 graph)."""
+    if oriented:
+        tri = _triangles_oriented(edges_uv).localCheckpoint(eager=False)
+    else:
+        e1 = edges_uv.select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e2 = edges_uv.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
+        e3 = edges_uv.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+        tri = (
+            e1.join(e2, F.col("b") == F.col("b2"))
+            .join(
+                e3,
+                (F.col("a") == F.col("a3")) & (F.col("c2") == F.col("c3")),
+            )
+            .select("a", "b", F.col("c2").alias("c"))
+            .localCheckpoint(eager=False)
         )
-        .select("a", "b", F.col("c2").alias("c"))
-        .localCheckpoint(eager=False)
-    )
 
     def _sides(t: DataFrame) -> DataFrame:
         return t.select(

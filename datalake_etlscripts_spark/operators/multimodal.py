@@ -479,6 +479,131 @@ def frame_sample(
     )
 
 
+# ---------------------------------------------------------------------------
+# REAL WAV (RIFF/PCM) codec — pure struct arithmetic, the audio twin of
+# the PNG path: PCM is uncompressed, so the full sample decode is
+# honest in-sandbox. 16-bit signed little-endian, mono/stereo.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes:
+    """Minimal RIFF/WAVE encoder: PCM 16-bit LE, ``samples`` is the
+    interleaved channel stream (len divisible by ``channels``)."""
+    import struct
+
+    body = b"".join(struct.pack("<h", s) for s in samples)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(body))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(body))
+        + body
+    )
+
+
+def decode_wav_samples(raw: bytes) -> tuple[int, int, list[int]]:
+    """Real RIFF/WAVE PCM decode: chunk walk (fmt before data, unknown
+    chunks skipped with odd-length padding per spec), 16-bit signed LE
+    samples. Returns (sample_rate, channels, interleaved samples).
+    Non-PCM (compressed) codecs raise — those need a real audio lib,
+    same boundary as JPEG."""
+    import struct
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    i, fmt, data = 12, None, None
+    while i + 8 <= len(raw):
+        tag = raw[i : i + 4]
+        (ln,) = struct.unpack_from("<I", raw, i + 4)
+        if tag == b"fmt ":
+            fmt = raw[i + 8 : i + 8 + ln]
+        elif tag == b"data":
+            data = raw[i + 8 : i + 8 + ln]
+        i += 8 + ln + (ln & 1)  # chunks pad to even length
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, channels, rate, _br, _ba, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0
+    )
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"WAV format={audio_format} bits={bits} unsupported "
+            "(PCM 16-bit only; compressed audio needs a codec lib)"
+        )
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
+    return int(rate), int(channels), samples
+
+
+def synthesize_wav_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministically render a REAL WAV per row: mono for even ids,
+    stereo for odd; 64 + id % 256 frames at 8000 Hz; interleaved
+    sample j = ((id*7 + j*13) % 65536) - 32768. Simple arithmetic so a
+    SQL oracle predicts every sample while the engine decodes genuine
+    RIFF bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf[id_col]:
+                i = int(i)
+                ch = 1 if i % 2 == 0 else 2
+                n = (64 + i % 256) * ch
+                samples = [((i * 7 + j * 13) % 65536) - 32768 for j in range(n)]
+                out.append((i, "wav", encode_wav(8000, samples, ch)))
+            yield pd.DataFrame(out, columns=["id", "fmt", "data"])
+
+    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+def decode_audio_stats(
+    df: DataFrame, id_col: str = "id", bin_col: str = "data"
+) -> DataFrame:
+    """REAL audio decode, Arrow-batched: parse RIFF/PCM bytes and emit
+    exact integer sample statistics per clip — (id, sample_rate,
+    channels, n_samples, sum_abs, peak). Order-free integers, so an
+    arithmetic-replay oracle can predict them while the byte-level
+    chunk walk and sign decode are exercised for real (an endianness
+    or sign bug shifts sum_abs)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, raw in zip(pdf[id_col], pdf[bin_col]):
+                rate, ch, samples = decode_wav_samples(bytes(raw))
+                out.append(
+                    (
+                        int(i),
+                        rate,
+                        ch,
+                        len(samples),
+                        sum(abs(s) for s in samples),
+                        max((abs(s) for s in samples), default=0),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "id", "sample_rate", "channels",
+                    "n_samples", "sum_abs", "peak",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(
+        run,
+        "id bigint, sample_rate int, channels int, "
+        "n_samples bigint, sum_abs bigint, peak bigint",
+    )
+
+
 def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Test helper: synthesize a BINARY column from a text column so the
     multimodal plumbing is exercisable on the synthetic tables."""

@@ -87,7 +87,7 @@ def query(name: str, oracle: str | None = None):
 # refinedweb_pipeline) keep round-over-round continuity.
 #
 # Rotation plan (round-5 verdict #10): 47 fresh names per round,
-# sentinels pinned, comparable_subsets frozen in bench.py. ~198
+# sentinels pinned, comparable_subsets frozen in bench.py. ~200
 # never-driver-checked names remain after this window → ~4 more
 # rotations to exhaust the registry (r07: events/window analytics +
 # lakeops commerce heads; r08: text/LLM long tail; r09: vector/

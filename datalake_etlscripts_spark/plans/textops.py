@@ -995,6 +995,134 @@ def q_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Skip-gram co-occurrence (word2vec-style window statistics) WITHOUT
+# the quadratic token self-join: pairs at distance d are a zip of the
+# token array with its own d-shifted slice — pure per-row JVM array
+# ops, zero shuffles until the pair count. The window bound (d ≤ 3) is
+# structural, so the explode-join guard has nothing to flag.
+@query(
+    "skipgram_pmi",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    uni AS (
+      SELECT t AS term, count(*) AS n FROM (SELECT unnest(tk) AS t FROM tk)
+      GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tokens FROM uni),
+    pr AS (
+      SELECT p.a AS a, p.b AS b, count(*) AS n_ab FROM (
+        SELECT unnest(flatten(list_transform(range(1, 4), d ->
+          list_transform(range(1, greatest(len(tk) - d + 1, 1)),
+                         i -> struct_pack(a := tk[i], b := tk[i + d])))))
+          AS p
+        FROM tk) s(p)
+      GROUP BY 1, 2
+    )
+    SELECT pr.a, pr.b, CAST(pr.n_ab AS BIGINT) AS n_ab,
+           CAST(pr.n_ab AS DOUBLE) * tot.n_tokens
+             / (CAST(ua.n AS DOUBLE) * ub.n) AS lift
+    FROM pr, tot
+    JOIN uni ua ON ua.term = pr.a
+    JOIN uni ub ON ub.term = pr.b
+    WHERE pr.n_ab >= 4
+      AND CAST(pr.n_ab AS DOUBLE) * tot.n_tokens
+            / (CAST(ua.n AS DOUBLE) * ub.n) >= 1.2
+    """,
+)
+def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram lift (window <= 3): ordered co-occurrence pairs from shifted-slice zips of each doc's token array - shuffle-free pair generation, exact integer counts, broadcast unigram dims; the log-free PMI twin of collocations for word2vec-style windows."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = text.tokens(F.col("text"))
+    uni = (
+        d.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = uni.agg(F.sum("n").alias("n_tokens"))
+
+    def pairs_at(tk):
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(3)),
+                lambda dd: F.zip_with(
+                    F.slice(
+                        tk, F.lit(1), F.greatest(F.size(tk) - dd, F.lit(0))
+                    ),
+                    F.slice(
+                        tk, dd + 1, F.greatest(F.size(tk) - dd, F.lit(0))
+                    ),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+
+    pr = (
+        d.select(F.explode(pairs_at(toks)).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    ua = uni.select(F.col("term").alias("a"), F.col("n").alias("_na"))
+    ub = uni.select(F.col("term").alias("b"), F.col("n").alias("_nb"))
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("n_tokens")
+        / (F.col("_na").cast("double") * F.col("_nb"))
+    )
+    return (
+        pr.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tot))
+        .filter((F.col("n_ab") >= 4) & (lift >= 1.2))
+        .select("a", "b", "n_ab", lift.alias("lift"))
+    )
+
+
+# Audio closes for real too (the WAV twin of the PNG path): RIFF/PCM
+# is uncompressed, so the full chunk walk + 16-bit signed LE sample
+# decode is honest in-sandbox (operators/multimodal.decode_wav_samples,
+# cross-validated against stdlib `wave` in tests). Sample j of clip id
+# is ((id*7 + j*13) % 65536) - 32768 over (64 + id%256)·channels
+# frames, so the oracle replays the arithmetic while the engine
+# decodes genuine RIFF bytes (a sign/endianness bug shifts sum_abs).
+@query(
+    "audio_sample_stats",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS id,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT)
+               AS channels,
+             CAST((64 + doc_id % 256)
+                  * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END)
+                  AS BIGINT) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT id,
+             abs(CAST((id * 7 + unnest(generate_series(0, n - 1)) * 13)
+                      % 65536 AS BIGINT) - 32768) AS v
+      FROM a
+    ),
+    agg AS (
+      SELECT id, CAST(sum(v) AS BIGINT) AS sum_abs,
+             CAST(max(v) AS BIGINT) AS peak
+      FROM s GROUP BY 1
+    )
+    SELECT a.id, CAST(8000 AS INT) AS sample_rate, a.channels,
+           a.n AS n_samples, g.sum_abs, g.peak
+    FROM a JOIN agg g USING (id)
+    """,
+)
+def q_audio_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio statistics: synthesize a genuine RIFF/PCM WAV per doc (mono/stereo alternating), decode the actual bytes (chunk walk, 16-bit signed LE), and report exact per-clip sample sums and peaks - the oracle replays the synthesis arithmetic, the engine decodes real bytes."""
+    d = read_table(spark, sf_dir, "documents")
+    clips = multimodal.synthesize_wav_audio(d)
+    return multimodal.decode_audio_stats(clips)
+
+
 # IVF IS oracle-checkable with a FIXED literal coarse quantizer: the
 # 16 cell centers are deterministic LCG literals shared into the twin
 # (same trick as the hyperplane planes above), so DuckDB replays the

@@ -3527,3 +3527,61 @@ def test_png_multi_idat_streams_concatenate():
         else:
             out += chunk(tag, data)
     assert decode_png_pixels(out) == (4, 6, 3, bytes(range(72)))
+
+
+def test_ktruss_oriented_enumeration_matches_id_ordered(spark, sf_dir):
+    """Degree-ordered triangle enumeration (the scale path for skewed
+    graphs) must produce the same k-truss as the id-ordered wedge join
+    the query registers (A/B'd in NOTES_r11)."""
+    from datalake_etlscripts_spark.operators.graph import ktruss
+    from datalake_etlscripts_spark.plans.graphops import _co_order_edges
+
+    ed = _co_order_edges(spark, sf_dir).cache()
+    a = ktruss(ed, k=3, rounds=3, oriented=False)
+    b = ktruss(ed, k=3, rounds=3, oriented=True)
+    assert a.exceptAll(b).isEmpty()
+    assert b.exceptAll(a).isEmpty()
+
+
+# -------------------------------------------------------------- WAV codec
+def test_wav_roundtrip_and_stdlib_cross_validation(tmp_path):
+    """decode_wav_samples must agree with the INDEPENDENT stdlib `wave`
+    reader on our encoder's output, and roundtrip byte-exactly —
+    mono and stereo, including an inserted foreign chunk."""
+    import struct
+    import wave as stdwave
+
+    from datalake_etlscripts_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    for ch in (1, 2):
+        samples = [((j * 977) % 65536) - 32768 for j in range(120 * ch)]
+        raw = encode_wav(8000, samples, ch)
+        rate, ch2, got = decode_wav_samples(raw)
+        assert (rate, ch2, got) == (8000, ch, samples)
+        p = tmp_path / f"t{ch}.wav"
+        p.write_bytes(raw)
+        with stdwave.open(str(p)) as w:
+            assert w.getframerate() == 8000
+            assert w.getnchannels() == ch
+            assert w.getsampwidth() == 2
+            frames = w.readframes(w.getnframes())
+        ref = list(struct.unpack(f"<{len(frames)//2}h", frames))
+        assert ref == samples
+
+    # an unknown odd-length chunk between fmt and data must be skipped
+    raw = encode_wav(8000, [1, -2, 3], 1)
+    fmt_end = raw.index(b"data")
+    foreign = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad
+    patched = raw[:fmt_end] + foreign + raw[fmt_end:]
+    assert decode_wav_samples(patched)[2] == [1, -2, 3]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported"):
+        # flip format code to 3 (IEEE float) — must raise, not misread
+        bad = bytearray(raw)
+        bad[raw.index(b"fmt ") + 8] = 3
+        decode_wav_samples(bytes(bad))

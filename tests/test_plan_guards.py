@@ -215,11 +215,96 @@ def self_join_skew_risks(df) -> list[str]:
     return risks
 
 
+# ---------------------------------------------------------------------------
+# Explode guard (round-5 verdict #7): the OTHER quadratic-output shape
+# — explode an unbounded array column on BOTH sides of an equi-join on
+# the exploded value (shingle→shingle pair generation). Output per
+# bucket is |side1| × |side2|, so one hot shingle/token explodes it
+# exactly like a skewed self-join. A candidate is cleared by a literal
+# `slice(...)`/`<= N` cap in the subtree (bounded shingle windows), or
+# an EXPLODE_ALLOWLIST entry stating the bound.
+# ---------------------------------------------------------------------------
+_GEN_OUT = re.compile(r"Generate (?:pos)?explode\([^\n]*\[([^\]]*)\]\s*$")
+# fan-out absorbers: below one of these, an explode's multiplicity has
+# been collapsed to the group/limit dictionary — the join input is no
+# longer the raw exploded stream
+_GEN_STOPS = ("Aggregate", "Deduplicate", "GlobalLimit", "LocalLimit")
+
+
+def _subtree_has(node, needle: str) -> bool:
+    return needle in node["t"] or any(
+        _subtree_has(c, needle) for c in node["ch"]
+    )
+
+
+def _gen_keys(node, acc):
+    """Names generated by UNBOUNDED Generate-explode nodes reachable
+    without crossing a fan-out absorber. A `slice(` anywhere in the
+    Generate's subtree is a literal window bound and clears it."""
+    head = node["t"].split(" ", 1)[0].split("[", 1)[0]
+    if head in _GEN_STOPS:
+        return acc
+    m = _GEN_OUT.search(node["t"])
+    if m and not _subtree_has(node, "slice("):
+        for out in m.group(1).split(","):
+            acc.add(re.sub(r"#\d+L?", "", out.strip()))
+    for c in node["ch"]:
+        _gen_keys(c, acc)
+    return acc
+
+
+def _sweep_explode_joins(node, risks):
+    t = node["t"]
+    if (
+        t.startswith("Join ")
+        and len(node["ch"]) == 2
+        and "LeftSemi" not in t
+        and "LeftAnti" not in t
+    ):
+        cond = t.split(", ", 1)[1] if ", " in t else ""
+        eqs = _EQ.findall(cond)
+        if cond.count(" = ") == 1 and len(eqs) == 1:
+            lk, rk = eqs[0]
+            left, right = node["ch"]
+            if (
+                lk in _gen_keys(left, set())
+                and rk in _gen_keys(right, set())
+                and not _has_literal_cap(left)
+                and not _has_literal_cap(right)
+            ):
+                risks.append(t[:110])
+    for c in node["ch"]:
+        _sweep_explode_joins(c, risks)
+    return risks
+
+
+def explode_join_risks(df) -> list[str]:
+    """Double-sided uncapped explode→equi-join shapes in ``df``'s
+    optimized plan."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    risks = []
+    for root in _parse_plan_tree(plan):
+        _sweep_explode_joins(root, risks)
+    return risks
+
+
+# Queries whose flagged explode-joins are bounded by construction.
+EXPLODE_ALLOWLIST: dict[str, str] = {
+    # blocked range join: each interval explodes into the _b block ids
+    # it spans (span/block_size per row, spans bounded by the event
+    # horizon), and the join carries the overlap inequalities beside
+    # the _b equality — per-block pairing is the range-join algorithm,
+    # not an unbounded shingle blow-up
+    "interval_overlap": "sequence() blocks bounded by interval span",
+}
+
+
 def test_no_pathological_plans(spark, sf_dir):
     import __spark_entry__ as entry
 
     failures = {}
     skew = {}
+    exploded = {}
     for name, fn in entry.queries().items():
         try:
             df = fn(spark, sf_dir)
@@ -233,10 +318,17 @@ def test_no_pathological_plans(spark, sf_dir):
         risks = self_join_skew_risks(df)
         if risks and name not in SKEW_ALLOWLIST:
             skew[name] = risks
+        erisks = explode_join_risks(df)
+        if erisks and name not in EXPLODE_ALLOWLIST:
+            exploded[name] = erisks
     assert not failures, f"pathological plans: {failures}"
     assert not skew, (
         "uncapped single-key self-joins (cap the key, prove uniqueness, "
         f"or annotate SKEW_ALLOWLIST with the bound): {skew}"
+    )
+    assert not exploded, (
+        "uncapped explode→equi-join pair generation (slice the array, "
+        f"or annotate EXPLODE_ALLOWLIST with the bound): {exploded}"
     )
 
 
@@ -281,6 +373,37 @@ def test_skew_guard_catches_planted_uncapped_self_join(spark, sf_dir):
         "l_orderkey",
     )
     assert self_join_skew_risks(keyed) == []
+
+
+def test_explode_guard_catches_planted_uncapped_shingle_join(spark, sf_dir):
+    """Uncapped shingle pair generation — explode(split(text)) on both
+    sides of an equi-join on the token — must be flagged; slicing the
+    array to a literal bound clears it."""
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.io.readers import read_table
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    pairs = toks.join(
+        toks.select(F.col("doc_id").alias("d2"), F.col("tok").alias("tok")),
+        "tok",
+    ).filter(F.col("doc_id") < F.col("d2"))
+    assert explode_join_risks(pairs), "planted explode-join must be flagged"
+
+    capped = d.select(
+        "doc_id",
+        F.explode(F.slice(F.split("text", " "), 1, 8)).alias("tok"),
+    )
+    cpairs = capped.join(
+        capped.select(
+            F.col("doc_id").alias("d2"), F.col("tok").alias("tok")
+        ),
+        "tok",
+    ).filter(F.col("doc_id") < F.col("d2"))
+    assert explode_join_risks(cpairs) == [], "sliced explode must clear"
 
 
 def test_winnow_has_no_shuffle_before_pair_join(spark, sf_dir):
