@@ -604,6 +604,193 @@ def decode_audio_stats(
     )
 
 
+# ---------------------------------------------------------------------------
+# REAL AVI (RIFF) codec with uncompressed DIB frames — the video twin
+# of the WAV/PNG paths: container walk + frame extraction are honest
+# in-sandbox because 'DIB ' frames carry raw bottom-up BGR rows (BMP
+# body rules: 4-byte row padding). Compressed codecs (MJPEG/H.264)
+# stay behind set_decoder — same boundary as JPEG.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi(
+    width: int, height: int, frames: list[bytes], fps: int = 10
+) -> bytes:
+    """Minimal spec-conformant AVI encoder: RIFF('AVI ') with a proper
+    hdrl (avih + one 'vids'/'DIB ' stream), a movi LIST of '00db'
+    uncompressed frames (bottom-up BGR, rows padded to 4 bytes), and
+    an idx1 index. Each entry of ``frames`` is 3*width*height BGR
+    bytes (unpadded, top-down — padding and flip applied here)."""
+    import struct
+
+    row = 3 * width
+    pad = (-row) % 4
+    stride = row + pad
+
+    def dib(fr: bytes) -> bytes:
+        return b"".join(
+            fr[r * row : (r + 1) * row] + b"\x00" * pad
+            for r in range(height - 1, -1, -1)
+        )
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return tag + struct.pack("<I", len(data)) + data + (
+            b"\x00" if len(data) & 1 else b""
+        )
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return (
+            b"LIST"
+            + struct.pack("<I", 4 + len(payload))
+            + kind
+            + payload
+        )
+
+    frame_bytes = stride * height
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_bytes * fps, 0, 0x10,  # HASINDEX
+        len(frames), 0, 1, frame_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIHHHH",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(frames),
+        frame_bytes, 0, frame_bytes, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_chunks = [chunk(b"00db", dib(fr)) for fr in frames]
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx, off = [], 4
+    for fr in movi_chunks:
+        idx.append(struct.pack("<4sIII", b"00db", 0x10, off, frame_bytes))
+        off += len(fr)
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi_frames(raw: bytes) -> tuple[int, int, list[bytes]]:
+    """Real AVI decode: RIFF walk to strf (frame dims/bpp) and the movi
+    LIST, extract every '00db'/'00dc' frame, strip DIB row padding and
+    flip bottom-up rows. Returns (width, height, frames) with each
+    frame 3*w*h top-down BGR bytes. Only 24-bpp uncompressed DIB is
+    decodable here; compressed fourccs raise (codec-lib boundary)."""
+    import struct
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+
+    strf, movi = None, None
+
+    def walk(buf: bytes) -> None:
+        nonlocal strf, movi
+        i = 0
+        while i + 8 <= len(buf):
+            tag = buf[i : i + 4]
+            (ln,) = struct.unpack_from("<I", buf, i + 4)
+            data = buf[i + 8 : i + 8 + ln]
+            if tag == b"LIST":
+                if data[:4] == b"movi":
+                    movi = data[4:]
+                else:
+                    walk(data[4:])
+            elif tag == b"strf":
+                strf = data
+            i += 8 + ln + (ln & 1)
+
+    walk(raw[12:])
+    if strf is None or movi is None:
+        raise ValueError("AVI missing strf/movi")
+    _sz, w, h, _planes, bpp = struct.unpack_from("<IiiHH", strf, 0)
+    (compression,) = struct.unpack_from("<I", strf, 16)
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"AVI bpp={bpp} compression={compression} unsupported "
+            "(24-bpp uncompressed DIB only; codecs need set_decoder)"
+        )
+    w, h = int(w), abs(int(h))
+    row = 3 * w
+    stride = (row + 3) // 4 * 4
+    frames, i = [], 0
+    while i + 8 <= len(movi):
+        tag = movi[i : i + 4]
+        (ln,) = struct.unpack_from("<I", movi, i + 4)
+        if tag in (b"00db", b"00dc"):
+            body = movi[i + 8 : i + 8 + ln]
+            fr = b"".join(
+                body[r * stride : r * stride + row]
+                for r in range(h - 1, -1, -1)
+            )
+            frames.append(fr)
+        i += 8 + ln + (ln & 1)
+    return w, h, frames
+
+
+def synthesize_avi_videos(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministically render a REAL AVI per row: 1 + id % 4 frames
+    of (1 + id % 8) × (1 + 3*id % 8); frame f's byte j is
+    (id*31 + f*7 + j) % 256 — simple arithmetic so a SQL oracle
+    predicts every frame sum while the engine walks genuine RIFF
+    structure and strips real stride padding."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 1 + i % 8, 1 + (i * 3) % 8
+                n_frames = 1 + i % 4
+                frames = [
+                    bytes((i * 31 + f * 7 + j) % 256 for j in range(3 * w * h))
+                    for f in range(n_frames)
+                ]
+                out.append((i, "avi", encode_avi(w, h, frames)))
+            yield pd.DataFrame(out, columns=["id", "fmt", "data"])
+
+    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+def decode_video_stats(
+    df: DataFrame, id_col: str = "id", bin_col: str = "data"
+) -> DataFrame:
+    """REAL video decode, Arrow-batched: walk RIFF/AVI bytes, extract
+    every uncompressed frame, and emit exact integer statistics —
+    (id, width, height, n_frames, sum_px, max_frame_sum). Order-free
+    integers an arithmetic-replay oracle predicts, while the container
+    walk, stride strip, and row flip are exercised for real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i, raw in zip(pdf[id_col], pdf[bin_col]):
+                w, h, frames = decode_avi_frames(bytes(raw))
+                sums = [sum(fr) for fr in frames]
+                out.append(
+                    (int(i), w, h, len(frames), sum(sums), max(sums, default=0))
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "id", "width", "height",
+                    "n_frames", "sum_px", "max_frame_sum",
+                ],
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(
+        run,
+        "id bigint, width int, height int, "
+        "n_frames bigint, sum_px bigint, max_frame_sum bigint",
+    )
+
+
 def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Test helper: synthesize a BINARY column from a text column so the
     multimodal plumbing is exercisable on the synthetic tables."""
@@ -639,6 +826,55 @@ def set_resizer(fn: Callable[[bytes, int, int], bytes]) -> None:
     _resizer = fn
 
 
+def _decode_any_pixels(raw: bytes) -> tuple[int, int, int, bytes]:
+    """(w, h, channels, top-down pixel bytes) for the three REAL
+    in-tree codecs: 24-bpp BMP (offset/stride/bottom-up honored,
+    BGR kept as stored), binary PPM P6 (RGB), PNG (gray/RGB/RGBA)."""
+    import struct
+
+    if raw[:2] == b"BM":
+        off = struct.unpack("<I", raw[10:14])[0]
+        w = struct.unpack("<i", raw[18:22])[0]
+        h = struct.unpack("<i", raw[22:26])[0]
+        bpp = struct.unpack("<H", raw[28:30])[0]
+        if bpp != 24:
+            raise ValueError(f"BMP bpp {bpp} unsupported")
+        stride = (3 * w + 3) // 4 * 4
+        ah = abs(h)
+        rows = [
+            raw[off + r * stride : off + r * stride + 3 * w]
+            for r in range(ah)
+        ]
+        if h > 0:  # bottom-up → top-down
+            rows.reverse()
+        return w, ah, 3, b"".join(rows)
+    if raw[:2] == b"P6":
+        parts = raw.split(b"\n", 3)
+        w, h = (int(x) for x in parts[1].split())
+        return w, h, 3, parts[3][: 3 * w * h]
+    if raw[:8] == PNG_SIG:
+        return decode_png_pixels(raw)
+    raise ValueError("nn_resize: not BMP/P6/PNG bytes")
+
+
+def nn_resize(raw: bytes, target_w: int, target_h: int) -> bytes:
+    """REAL nearest-neighbor resampler over genuinely decoded pixels
+    (BMP/PPM/PNG in) — output pixel (x, y) samples source pixel
+    (x·sw div tw, y·sh div th), the classic integer NN mapping, so an
+    arithmetic-replay oracle can predict every output byte. Emits raw
+    channels·tw·th top-down pixel bytes (the resize seam's contract —
+    same shape a PIL ``resize(...).tobytes()`` would produce)."""
+    sw, sh, ch, px = _decode_any_pixels(raw)
+    out = bytearray()
+    for y in range(target_h):
+        sy = y * sh // target_h
+        base = sy * sw * ch
+        for x in range(target_w):
+            sx = x * sw // target_w
+            out += px[base + sx * ch : base + (sx + 1) * ch]
+    return bytes(out)
+
+
 RESIZE_SCHEMA = "id bigint, out_w int, out_h int, n_bytes_out bigint, data binary"
 
 
@@ -648,18 +884,22 @@ def resize_images(
     target_h: int = 16,
     id_col: str = "id",
     bin_col: str = "data",
+    resizer: Callable[[bytes, int, int], bytes] | None = None,
 ) -> DataFrame:
     """Binary → fixed-size 'image' resize through the same injectable
     mapInPandas seam as decode/feature-extract: Arrow batches in, one
-    output row per input, resampler swappable (fake byte-stride stub
-    here; codecs are not in this container)."""
+    output row per input, resampler swappable. ``resizer=None`` uses
+    the module seam (fake byte-stride stub / set_resizer); pass
+    ``nn_resize`` for the REAL nearest-neighbor path over decoded
+    BMP/PPM/PNG pixels."""
     import pandas as pd
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rz = resizer if resizer is not None else _resizer
         for pdf in batches:
             out = {"id": [], "out_w": [], "out_h": [], "n_bytes_out": [], "data": []}
             for i, raw in zip(pdf[id_col], pdf[bin_col]):
-                resized = _resizer(bytes(raw), target_w, target_h)
+                resized = rz(bytes(raw), target_w, target_h)
                 out["id"].append(i)
                 out["out_w"].append(target_w)
                 out["out_h"].append(target_h)
@@ -668,6 +908,26 @@ def resize_images(
             yield pd.DataFrame(out, columns=["id", "out_w", "out_h", "n_bytes_out", "data"])
 
     return df.select(id_col, bin_col).mapInPandas(run, RESIZE_SCHEMA)
+
+
+def binary_byte_stats(
+    df: DataFrame, id_col: str = "id", bin_col: str = "data"
+) -> DataFrame:
+    """Exact integer statistics of a binary column, Arrow-batched:
+    (id, n_bytes, sum_bytes). Order-free integers so arithmetic-replay
+    oracles can check pipelines that emit raw byte payloads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                (int(i), len(bytes(raw)), sum(bytes(raw)))
+                for i, raw in zip(pdf[id_col], pdf[bin_col])
+            ]
+            yield pd.DataFrame(out, columns=["id", "n_bytes", "sum_bytes"])
+
+    return df.select(id_col, bin_col).mapInPandas(
+        run, "id bigint, n_bytes bigint, sum_bytes bigint"
+    )
 
 
 AHASH_SCHEMA = "id bigint, ahash_hi bigint, ahash_lo bigint"

@@ -1081,6 +1081,104 @@ def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The resize stub closes too: nn_resize is a REAL nearest-neighbor
+# resampler over genuinely decoded BMP/PPM/PNG pixels (out pixel (x,y)
+# samples source (x·w div 4, y·h div 4) — pure integer mapping), so
+# the oracle replays byte index arithmetic while the engine decodes,
+# remaps, and re-emits real pixel bytes through the same resize seam
+# production uses (fake_resize/set_resizer stays for codec formats).
+@query(
+    "image_resize_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id AS id,
+             CAST(1 + doc_id % 16 AS BIGINT) AS w,
+             CAST(1 + (doc_id * 3) % 16 AS BIGINT) AS h,
+             CAST((doc_id * 31) % 256 AS BIGINT) AS a
+      FROM documents
+    ),
+    g AS (
+      SELECT id, w, h, a, unnest(generate_series(0, 47)) AS t FROM px
+    ),
+    m AS (
+      SELECT id, a,
+             (((t // 12) * h // 4) * w + ((t % 12) // 3) * w // 4) * 3
+               + t % 3 AS j
+      FROM g
+    ),
+    s AS (
+      SELECT id, CAST(sum((a + j) % 256) AS BIGINT) AS sum_out
+      FROM m GROUP BY 1
+    )
+    SELECT p.id, CAST(4 AS INT) AS out_w, CAST(4 AS INT) AS out_h,
+           CAST(48 AS BIGINT) AS n_bytes_out, s.sum_out
+    FROM px p JOIN s USING (id)
+    """,
+)
+def q_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image resize: synthesize genuine BMP/PPM bytes, nearest-neighbor-resample the DECODED pixels to 4x4 through the production resize seam, and report exact output byte sums - the oracle replays the integer source-index mapping, the engine decodes and remaps real bytes."""
+    d = read_table(spark, sf_dir, "documents")
+    imgs = multimodal.synthesize_images(d)
+    rs = multimodal.resize_images(
+        imgs, target_w=4, target_h=4, resizer=multimodal.nn_resize
+    )
+    stats = multimodal.binary_byte_stats(rs)
+    return (
+        rs.select("id", "out_w", "out_h", "n_bytes_out")
+        .join(stats.select("id", F.col("sum_bytes").alias("sum_out")), "id")
+    )
+
+
+# Video completes the multimodal trifecta: RIFF/AVI with uncompressed
+# 24-bpp DIB frames decodes for real (container walk → strf dims →
+# movi frame chunks → stride strip + bottom-up flip;
+# operators/multimodal.decode_avi_frames). Frame f's byte j of clip id
+# is (id*31 + f*7 + j) % 256, so the oracle replays the arithmetic
+# while the engine walks genuine RIFF structure (a stride or flip bug
+# shifts sum_px). Compressed codecs stay behind set_decoder.
+@query(
+    "video_frame_stats",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id AS id,
+             CAST(1 + doc_id % 8 AS INT) AS w,
+             CAST(1 + (doc_id * 3) % 8 AS INT) AS h,
+             CAST(1 + doc_id % 4 AS BIGINT) AS nf,
+             CAST((doc_id * 31) % 256 AS BIGINT) AS a
+      FROM documents
+    ),
+    fr AS (
+      SELECT id, w, h, a,
+             unnest(generate_series(0, nf - 1)) AS f
+      FROM v
+    ),
+    b AS (
+      SELECT id, f, a,
+             unnest(generate_series(0, 3 * w * h - 1)) AS j
+      FROM fr
+    ),
+    fs AS (
+      SELECT id, f, CAST(sum((a + f * 7 + j) % 256) AS BIGINT) AS s
+      FROM b GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT id, CAST(count(*) AS BIGINT) AS n_frames,
+             CAST(sum(s) AS BIGINT) AS sum_px,
+             CAST(max(s) AS BIGINT) AS max_frame_sum
+      FROM fs GROUP BY 1
+    )
+    SELECT v.id, v.w AS width, v.h AS height,
+           g.n_frames, g.sum_px, g.max_frame_sum
+    FROM v JOIN agg g USING (id)
+    """,
+)
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video statistics: synthesize a genuine RIFF/AVI per doc (1-4 uncompressed DIB frames), walk the actual container bytes, strip stride padding and flip rows, and report exact per-clip frame sums - the oracle replays the synthesis arithmetic, the engine decodes real bytes."""
+    d = read_table(spark, sf_dir, "documents")
+    clips = multimodal.synthesize_avi_videos(d)
+    return multimodal.decode_video_stats(clips)
+
+
 # Audio closes for real too (the WAV twin of the PNG path): RIFF/PCM
 # is uncompressed, so the full chunk walk + 16-bit signed LE sample
 # decode is honest in-sandbox (operators/multimodal.decode_wav_samples,

@@ -3585,3 +3585,73 @@ def test_wav_roundtrip_and_stdlib_cross_validation(tmp_path):
         bad = bytearray(raw)
         bad[raw.index(b"fmt ") + 8] = 3
         decode_wav_samples(bytes(bad))
+
+
+# -------------------------------------------------------------- AVI codec
+def test_avi_roundtrip_and_structure():
+    """decode_avi_frames must recover every frame byte-exactly (stride
+    padding stripped, bottom-up flip undone), skip foreign chunks, and
+    raise on compressed fourccs rather than misdecode."""
+    import struct
+
+    import pytest
+
+    from datalake_etlscripts_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi,
+    )
+
+    for w, h, nf in ((1, 1, 1), (3, 5, 4), (5, 2, 3)):
+        frames = [
+            bytes((f * 7 + j) % 256 for j in range(3 * w * h))
+            for f in range(nf)
+        ]
+        assert decode_avi_frames(encode_avi(w, h, frames)) == (w, h, frames)
+
+    # a JUNK chunk before movi must be skipped
+    raw = encode_avi(3, 5, [bytes(45)])
+    movi_at = raw.index(b"LIST", 12 + 4)  # hdrl LIST first
+    movi_at = raw.index(b"movi") - 8
+    junk = b"JUNK" + struct.pack("<I", 6) + b"abcdef"
+    patched = (
+        raw[:movi_at] + junk + raw[movi_at:]
+    )
+    patched = (
+        patched[:4]
+        + struct.pack("<I", len(patched) - 8)
+        + patched[8:]
+    )
+    assert decode_avi_frames(patched)[2] == [bytes(45)]
+
+    # compressed fourcc (biCompression != 0) must raise
+    bad = bytearray(encode_avi(3, 5, [bytes(45)]))
+    strf_at = bytes(bad).index(b"strf") + 8
+    struct.pack_into("<I", bad, strf_at + 16, 0x47504A4D)  # 'MJPG'
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_avi_frames(bytes(bad))
+
+
+def test_nn_resize_real_pixels():
+    """nn_resize must sample decoded pixels at the integer NN mapping
+    for all three real codecs — identity resize returns the original
+    pixel bytes; 2x downsample keeps every other pixel."""
+    from datalake_etlscripts_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        nn_resize,
+    )
+
+    w, h = 4, 2
+    px = bytes(range(3 * w * h))
+    for enc in (encode_bmp, encode_ppm):
+        assert nn_resize(enc(w, h, px), w, h) == px
+    assert nn_resize(encode_png(w, h, px, 2), w, h) == px
+
+    # 4x2 -> 2x1: out (x,y) samples source (2x, 2y) -> pixels 0 and 2
+    got = nn_resize(encode_ppm(w, h, px), 2, 1)
+    assert got == px[0:3] + px[6:9]
+
+    # grayscale PNG resizes channel-correctly (1 byte per pixel)
+    g = bytes(range(w * h))
+    assert nn_resize(encode_png(w, h, g, 0), 2, 1) == bytes([g[0], g[2]])
