@@ -1,13 +1,15 @@
 """Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
 
-Pixel decode is REAL for BMP, binary PPM, and PNG (stdlib zlib inflate
-+ all five scanline filters — see encode_png/decode_png_pixels); format
-headers decode for real across BMP/PPM/PGM/PNG/GIF/JPEG. Only entropy-
-coded formats the stdlib can't inflate (JPEG) stay behind
-``set_decoder`` (a deterministic fake ships for tests). The Spark-side
-plumbing is real and exercised throughout: schema, Arrow batch shape,
-``mapInPandas`` signatures, partition sizing. Swapping in Pillow/librosa
-on a real cluster is a one-function change.
+Pixel decode is REAL for BMP, binary PPM, PNG (stdlib zlib inflate +
+all five scanline filters), and GIF (pure-Python variable-width LZW,
+interlace + local color tables handled); audio decode is REAL for
+RIFF/PCM WAV; video decode is REAL for RIFF/AVI with uncompressed DIB
+frames; format headers decode for real across BMP/PPM/PGM/PNG/GIF/JPEG.
+Only entropy-coded media (JPEG, MJPEG/H.264 video, compressed audio)
+stay behind ``set_decoder`` (a deterministic fake ships for tests).
+The Spark-side plumbing is real and exercised throughout: schema,
+Arrow batch shape, ``mapInPandas`` signatures, partition sizing.
+Swapping in Pillow/librosa on a real cluster is a one-function change.
 
 Design for 100 TB of binaries:
 - binaries travel as BINARY columns read via ``spark.read.format
@@ -56,7 +58,7 @@ def set_decoder(fn: Callable[[bytes], tuple[int, int]]) -> None:
 def real_decoder_unavailable(raw: bytes) -> tuple[int, int]:
     raise NotImplementedError(
         "JPEG entropy decode is not installed in this container; "
-        "decode_pixels covers REAL pixel decode for BMP/PPM/PNG, "
+        "decode_pixels covers REAL pixel decode for BMP/PPM/PNG/GIF, "
         "parse_image_header covers header decode for "
         "BMP/PPM/PGM/PNG/GIF/JPEG, or call set_decoder(...) with a "
         "real implementation (e.g. PIL.Image.open)"
@@ -364,8 +366,9 @@ def decode_pixels(
     channel bytes — order-free, so a SQL oracle can predict it from
     the synthesis arithmetic while the decode path is exercised for
     real (a stride/padding bug changes the sum). PNG decodes for real
-    too (stdlib zlib inflate + unfilter, decode_png_pixels); only
-    entropy-coded formats (JPEG/GIF) still need set_decoder."""
+    too (stdlib zlib inflate + unfilter, decode_png_pixels), and GIF
+    via the full LZW decoder with palette-resolved RGB sums; only
+    JPEG's entropy decode still needs set_decoder."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -395,8 +398,17 @@ def decode_pixels(
                 elif raw[:8] == PNG_SIG:
                     w, h, _ch, body = decode_png_pixels(raw)
                     out.append((int(i), w * h, sum(body)))
+                elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                    w, h, pal, idx = decode_gif_pixels(raw)
+                    total = sum(
+                        pal[3 * k] + pal[3 * k + 1] + pal[3 * k + 2]
+                        for k in idx
+                    )
+                    out.append((int(i), w * h, total))
                 else:
-                    raise ValueError("decode_pixels: not BMP/P6/PNG bytes")
+                    raise ValueError(
+                        "decode_pixels: not BMP/P6/PNG/GIF bytes"
+                    )
             yield pd.DataFrame(out, columns=["id", "n_px", "sum_px"])
 
     return df.select(id_col, bin_col).mapInPandas(
@@ -543,6 +555,27 @@ def decode_wav_samples(raw: bytes) -> tuple[int, int, list[int]]:
     return int(rate), int(channels), samples
 
 
+def synthesize_gif_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministically render a REAL GIF per row: 16-color palette
+    (entry k = (5k, 11k, 17k) mod 256), dims (1 + id % 16,
+    1 + 3*id % 16), pixel index j = (id*31 + j) % 16 — simple
+    arithmetic so a SQL oracle predicts the palette-resolved RGB sums
+    while the engine LZW-decodes genuine GIF bytes."""
+    pal = [((k * 5) % 256, (k * 11) % 256, (k * 17) % 256) for k in range(16)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 1 + i % 16, 1 + (i * 3) % 16
+                idx = bytes((i * 31 + j) % 16 for j in range(w * h))
+                out.append((i, "gif", encode_gif(w, h, idx, pal)))
+            yield pd.DataFrame(out, columns=["id", "fmt", "data"])
+
+    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
 def synthesize_wav_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministically render a REAL WAV per row: mono for even ids,
     stereo for odd; 64 + id % 256 frames at 8000 Hz; interleaved
@@ -602,6 +635,175 @@ def decode_audio_stats(
         "id bigint, sample_rate int, channels int, "
         "n_samples bigint, sum_abs bigint, peak bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL GIF codec — pure-Python LZW (the second compressed format after
+# PNG; GIF's LZW needs no external lib). Encoder writes spec-valid
+# fixed-width literal codes with periodic CLEARs (the classic
+# "uncompressed GIF" stream); the decoder is a FULL LZW implementation
+# (code-width growth, CLEAR/EOI, KwKwK case), so it reads foreign
+# variable-width GIFs too. First frame, non-interlaced, global palette.
+# ---------------------------------------------------------------------------
+
+
+def encode_gif(
+    width: int, height: int, indices: bytes, palette: list[tuple[int, int, int]]
+) -> bytes:
+    """Minimal spec-conformant GIF89a encoder: global color table (padded
+    to a power of two), one image, LZW-coded pixel indices (literal
+    codes at fixed width with a CLEAR every 2^m−2 codes — valid LZW any
+    conformant decoder accepts)."""
+    import struct
+
+    n_pal = max(2, len(palette))
+    m = max(2, (n_pal - 1).bit_length())  # min LZW code size
+    size = 2 ** m
+    gct = b"".join(
+        bytes(palette[k]) if k < len(palette) else b"\x00\x00\x00"
+        for k in range(size)
+    )
+    lsd = struct.pack(
+        "<HHBBB", width, height, 0x80 | ((m - 1) << 4) | (m - 1), 0, 0
+    )
+    img_desc = b"," + struct.pack("<HHHHB", 0, 0, width, height, 0)
+
+    clear, eoi = size, size + 1
+    codes: list[int] = []
+    for i, px in enumerate(indices):
+        if i % (size - 2) == 0:
+            codes.append(clear)
+        codes.append(px)
+    codes.append(eoi)
+    # pack at fixed width m+1, LSB-first
+    bits, nbits, out = 0, 0, bytearray()
+    for c in codes:
+        bits |= c << nbits
+        nbits += m + 1
+        while nbits >= 8:
+            out.append(bits & 0xFF)
+            bits >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(bits & 0xFF)
+    blocks = b"".join(
+        bytes([min(255, len(out) - i)]) + bytes(out[i : i + 255])
+        for i in range(0, len(out), 255)
+    )
+    return (
+        b"GIF89a"
+        + lsd
+        + gct
+        + img_desc
+        + bytes([m])
+        + blocks
+        + b"\x00"  # block terminator
+        + b";"  # trailer
+    )
+
+
+def decode_gif_pixels(raw: bytes) -> tuple[int, int, bytes, bytes]:
+    """Real GIF decode: header + global color table, extension blocks
+    skipped, FIRST image descriptor, full LZW decompression (code-width
+    growth to 12 bits, CLEAR resets, KwKwK self-reference). Returns
+    (width, height, palette_rgb_bytes, index_bytes). Interlaced or
+    local-color-table images raise (out of scope; the engine treats
+    them as the codec-lib boundary)."""
+    import struct
+
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", raw, 6)
+    i = 13
+    palette = b""
+    if flags & 0x80:
+        n = 2 ** ((flags & 7) + 1)
+        palette = raw[i : i + 3 * n]
+        i += 3 * n
+    while i < len(raw):
+        b0 = raw[i]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while raw[i] != 0:
+                i += 1 + raw[i]
+            i += 1
+        elif b0 == 0x2C:  # image descriptor
+            _l, _t, iw, ih, iflags = struct.unpack_from("<HHHHB", raw, i + 1)
+            i += 10
+            if iflags & 0x80:  # local color table overrides the global
+                n = 2 ** ((iflags & 7) + 1)
+                palette = raw[i : i + 3 * n]
+                i += 3 * n
+            m = raw[i]
+            i += 1
+            data = bytearray()
+            while raw[i] != 0:
+                ln = raw[i]
+                data += raw[i + 1 : i + 1 + ln]
+                i += 1 + ln
+            idx = _lzw_decode(bytes(data), m)
+            if iflags & 0x40:  # Adam-style 4-pass interlace: reorder rows
+                rows = [idx[r * iw : (r + 1) * iw] for r in range(ih)]
+                order = [r for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))
+                         for r in range(s, ih, st)]
+                fixed = [b""] * ih
+                for src, dst in enumerate(order):
+                    fixed[dst] = rows[src]
+                idx = b"".join(fixed)
+            return int(iw), int(ih), palette, idx
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("GIF has no image data")
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """GIF-variant LZW: LSB-first bit stream, CLEAR = 2^m, EOI = 2^m+1,
+    code width grows 1 bit when the table fills 2^width (capped at 12)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def reset():
+        return (
+            {k: bytes([k]) for k in range(clear)},
+            min_code_size + 1,
+            eoi + 1,
+        )
+
+    table, width, next_code = reset()
+    out = bytearray()
+    prev: bytes | None = None
+    bits = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)  # truncated stream: emit what we have
+            bits |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bits & ((1 << width) - 1)
+        bits >>= width
+        nbits -= width
+        if code == clear:
+            table, width, next_code = reset()
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------

