@@ -2118,3 +2118,71 @@ def q_dispersion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("s") > 0, as_d(num) / as_d(den)).alias("vmr"),
         (num > 2 * den).alias("overdispersed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial neighbor join via grid bucketing — the geohash pattern: a
+# same-cell equi-join on a COMPOSITE (cx, cy) key after exploding one
+# side to its 3x3 neighbor cells (literal x9 fan-out), never an
+# all-pairs distance join. At 100 TB the cell size tunes bucket
+# occupancy exactly like LSH band width; coordinates here are exact
+# centidegree integers derived from c_custkey so the oracle (which
+# uses the direct quadratic form - fine at oracle scale) matches
+# bit-for-bit. Reference has no spatial ops; beyond-reference surface.
+# ---------------------------------------------------------------------------
+@query(
+    "spatial_neighbors_grid",
+    oracle="""
+    WITH p AS (
+      SELECT c_custkey AS id,
+             CAST((c_custkey * 7919) % 18000 AS BIGINT) AS la,
+             CAST((c_custkey * 104729) % 36000 AS BIGINT) AS lo
+      FROM customer
+    )
+    SELECT a.id AS a, b.id AS b,
+           CAST((a.la - b.la) * (a.la - b.la)
+                + (a.lo - b.lo) * (a.lo - b.lo) AS BIGINT) AS d2
+    FROM p a JOIN p b ON a.id < b.id
+    WHERE (a.la - b.la) * (a.la - b.la)
+          + (a.lo - b.lo) * (a.lo - b.lo) <= 2500
+    """,
+)
+def q_spatial_neighbors_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial neighbor pairs (distance <= 50 centidegrees): points keyed to 1-degree cells, one side exploded to its 3x3 neighborhood (literal bound), composite-key equi-join, exact integer distance filter - the geohash candidate-generation shape, never all-pairs."""
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 7919) % 18000).alias("la"),
+        ((F.col("c_custkey") * 104729) % 36000).alias("lo"),
+    )
+    pts = c.select(
+        "id", "la", "lo",
+        F.expr("la div 100").alias("cx"),
+        F.expr("lo div 100").alias("cy"),
+    )
+    nbr = pts.select(
+        F.col("id").alias("a"),
+        F.col("la").alias("la1"),
+        F.col("lo").alias("lo1"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx -> "
+                "transform(sequence(-1, 1), dy -> "
+                "struct(cx + dx AS ncx, cy + dy AS ncy))))"
+            )
+        ).alias("nc"),
+    ).select("a", "la1", "lo1", "nc.ncx", "nc.ncy")
+    right = pts.select(
+        F.col("id").alias("b"),
+        F.col("la").alias("la2"),
+        F.col("lo").alias("lo2"),
+        F.col("cx").alias("ncx"),
+        F.col("cy").alias("ncy"),
+    )
+    d2 = (F.col("la1") - F.col("la2")) * (F.col("la1") - F.col("la2")) + (
+        F.col("lo1") - F.col("lo2")
+    ) * (F.col("lo1") - F.col("lo2"))
+    return (
+        nbr.join(right, ["ncx", "ncy"])
+        .filter((F.col("a") < F.col("b")) & (d2 <= 2500))
+        .select("a", "b", d2.cast("long").alias("d2"))
+    )
