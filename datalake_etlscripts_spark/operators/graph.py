@@ -575,6 +575,67 @@ def bfs_hops(
     return dist
 
 
+def harmonic_closeness(
+    edges: DataFrame,
+    seeds: list[int] | tuple[int, ...],
+    max_hops: int = 4,
+    scale: int | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Bounded-depth harmonic closeness centrality for a seed set:
+    H(s) = Σ_{t ≠ s, d(s,t) ≤ max_hops} 1/d(s,t) — the
+    disconnected-safe closeness variant (Boldi-Vigna axioms). Kept
+    EXACT by scaling: 1/d is emitted as ``scale``/d where ``scale``
+    defaults to lcm(1..max_hops), so every per-node term is an exact
+    integer division with zero remainder and both engines hash-match
+    bit-for-bit. Returns (seed, reached, harmonic_x{scale}).
+
+    Same delta-iteration shape as stress_centrality's forward pass:
+    all seeds advance in ONE level-synchronous pass, the (seed, node)
+    frontier is BROADCAST into each edge join (seeded bounded-depth
+    expansion keeps it node-sized ≪ edges, so edges never shuffle),
+    and the visited anti-join keeps late rounds frontier-sized. For
+    cluster-scale frontiers drop the hints and the identical plan
+    runs as shuffle joins (the stress_centrality fallback note)."""
+    from math import lcm
+
+    if scale is None:
+        scale = lcm(*range(1, max_hops + 1))
+    seeds = list(dict.fromkeys(int(s) for s in seeds))
+    sess = edges.sparkSession
+    dist = sess.createDataFrame(
+        [(s, s) for s in seeds], "seed bigint, node bigint"
+    ).select("seed", "node", F.lit(0).cast("long").alias("dist"))
+    frontier = dist
+    for t in range(1, max_hops + 1):
+        nxt = (
+            F.broadcast(frontier.select("seed", "node"))
+            .join(edges, F.col("node") == edges["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(
+                F.broadcast(dist.select("seed", "node")),
+                ["seed", "node"],
+                "left_anti",
+            )
+            .select("seed", "node", F.lit(t).cast("long").alias("dist"))
+        )
+        nxt = cut_lineage(nxt, t, checkpoint_dir, checkpoint_every, eager=False)
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    return (
+        dist.filter(F.col("dist") > 0)
+        .groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("reached"),
+            F.sum(F.expr(f"{int(scale)} div dist"))
+            .cast("long")
+            .alias(f"harmonic_x{scale}"),
+        )
+    )
+
+
 def stress_centrality(
     edges: DataFrame,
     seed: int | list[int] | tuple[int, ...],

@@ -113,6 +113,22 @@ def parse_image_header(raw: bytes) -> tuple[int, int]:
     if raw[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack_from("<HH", raw, 6)
         return int(w), int(h)
+    if raw[:2] in (b"II", b"MM") and raw[2:4] in (b"\x2a\x00", b"\x00\x2a"):
+        # TIFF: IFD walk for ImageWidth/ImageLength (tags 256/257) —
+        # header-only, so it reads compressed TIFFs too
+        bo = "<" if raw[:2] == b"II" else ">"
+        (ifd_off,) = struct.unpack_from(bo + "I", raw, 4)
+        (n_entries,) = struct.unpack_from(bo + "H", raw, ifd_off)
+        dims = {}
+        for k in range(n_entries):
+            base = ifd_off + 2 + 12 * k
+            tag, typ, _cnt = struct.unpack_from(bo + "HHI", raw, base)
+            if tag in (256, 257) and typ in (3, 4):
+                fmt = "H" if typ == 3 else "I"
+                dims[tag] = struct.unpack_from(bo + fmt, raw, base + 8)[0]
+        if 256 in dims and 257 in dims:
+            return int(dims[256]), int(dims[257])
+        raise ValueError("TIFF IFD missing ImageWidth/ImageLength")
     if raw[:2] == b"\xff\xd8":
         # JPEG: scan markers for SOFn (C0-CF except C4/C8/CC)
         i = 2
@@ -405,9 +421,12 @@ def decode_pixels(
                         for k in idx
                     )
                     out.append((int(i), w * h, total))
+                elif raw[:2] in (b"II", b"MM"):
+                    w, h, _ch, body = decode_tiff_pixels(raw)
+                    out.append((int(i), w * h, sum(body)))
                 else:
                     raise ValueError(
-                        "decode_pixels: not BMP/P6/PNG/GIF bytes"
+                        "decode_pixels: not BMP/P6/PNG/GIF/TIFF bytes"
                     )
             yield pd.DataFrame(out, columns=["id", "n_px", "sum_px"])
 
@@ -545,10 +564,12 @@ def decode_wav_samples(raw: bytes) -> tuple[int, int, list[int]]:
     audio_format, channels, rate, _br, _ba, bits = struct.unpack_from(
         "<HHIIHH", fmt, 0
     )
+    if audio_format == 7 and bits == 8:  # G.711 µ-law (real expansion)
+        return int(rate), int(channels), mulaw_decode(data)
     if audio_format != 1 or bits != 16:
         raise ValueError(
             f"WAV format={audio_format} bits={bits} unsupported "
-            "(PCM 16-bit only; compressed audio needs a codec lib)"
+            "(PCM 16-bit or µ-law only; other codecs need a codec lib)"
         )
     n = len(data) // 2
     samples = list(struct.unpack(f"<{n}h", data[: 2 * n]))
@@ -1288,3 +1309,267 @@ def arrow_utf8_stats(df, text_col: str = "text", id_cols=("doc_id", "lang")):
     return df.select(*id_cols, text_col).mapInArrow(
         batches, StructType(out_fields)
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL TIFF codec — baseline uncompressed TIFF 6.0, pure struct
+# arithmetic (no compression in the baseline profile, so the full
+# pixel decode is honest in-sandbox, like BMP/PPM/WAV). BOTH byte
+# orders (II little-endian and MM big-endian), gray (1 sample) and
+# RGB (3 samples), 8-bit, MULTI-STRIP layouts — the decoder walks the
+# IFD generically (SHORT/LONG, inline vs offset values) and
+# concatenates strips in order, so a strip-offset or endianness bug
+# changes the pixel sums the oracle checks.
+# ---------------------------------------------------------------------------
+
+_TIFF_SHORT, _TIFF_LONG = 3, 4
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    byte_order: str = "<",
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Minimal baseline TIFF encoder: header, pixel strips, then the
+    IFD (ascending tags per spec). ``pixels`` is channels*w*h bytes in
+    row-major interleaved order; ``byte_order`` is '<' (II) or '>'
+    (MM); strips split every ``rows_per_strip`` rows (default: whole
+    image, one strip)."""
+    import struct
+
+    bo = byte_order
+    if bo not in ("<", ">"):
+        raise ValueError("byte_order must be '<' or '>'")
+    rps = rows_per_strip or height
+    row_bytes = channels * width
+    strips = [
+        pixels[r * row_bytes : min(r + rps, height) * row_bytes]
+        for r in range(0, height, rps)
+    ]
+    n_strips = len(strips)
+    # layout: header(8) | strips | external arrays | IFD
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    extra = b""
+
+    def ext_array(fmt: str, vals: list[int]) -> int:
+        nonlocal extra, pos
+        off = pos
+        extra_bytes = b"".join(struct.pack(bo + fmt, v) for v in vals)
+        extra += extra_bytes
+        pos += len(extra_bytes)
+        return off
+
+    def entry(tag: int, typ: int, vals: list[int]) -> bytes:
+        fmt, size = ("H", 2) if typ == _TIFF_SHORT else ("I", 4)
+        if len(vals) * size <= 4:
+            packed = b"".join(struct.pack(bo + fmt, v) for v in vals)
+            packed += b"\x00" * (4 - len(packed))  # left-justified
+            return struct.pack(bo + "HHI", tag, typ, len(vals)) + packed
+        off = ext_array(fmt, vals)
+        return struct.pack(bo + "HHII", tag, typ, len(vals), off)
+
+    entries = [
+        entry(256, _TIFF_LONG, [width]),
+        entry(257, _TIFF_LONG, [height]),
+        entry(258, _TIFF_SHORT, [8] * channels),
+        entry(259, _TIFF_SHORT, [1]),  # no compression
+        entry(262, _TIFF_SHORT, [1 if channels == 1 else 2]),
+        entry(273, _TIFF_LONG, strip_offsets),
+        entry(277, _TIFF_SHORT, [channels]),
+        entry(278, _TIFF_LONG, [rps]),
+        entry(279, _TIFF_LONG, [len(s) for s in strips]),
+    ]
+    ifd_offset = pos
+    ifd = (
+        struct.pack(bo + "H", len(entries))
+        + b"".join(entries)
+        + struct.pack(bo + "I", 0)
+    )
+    magic = b"II" if bo == "<" else b"MM"
+    header = magic + struct.pack(bo + "HI", 42, ifd_offset)
+    return header + b"".join(strips) + extra + ifd
+
+
+def decode_tiff_pixels(raw: bytes) -> tuple[int, int, int, bytes]:
+    """Real baseline TIFF decode: byte-order probe (II/MM, magic 42),
+    generic IFD walk (SHORT/LONG, inline values left-justified in the
+    4-byte field, external arrays by offset), strip concatenation in
+    order. Returns (width, height, channels, pixels). Compressed TIFF
+    raises — LZW/deflate variants need set_decoder, same boundary as
+    JPEG."""
+    import struct
+
+    if raw[:2] == b"II":
+        bo = "<"
+    elif raw[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF stream")
+    (magic,) = struct.unpack_from(bo + "H", raw, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (ifd_off,) = struct.unpack_from(bo + "I", raw, 4)
+    (n_entries,) = struct.unpack_from(bo + "H", raw, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for k in range(n_entries):
+        base = ifd_off + 2 + 12 * k
+        tag, typ, count = struct.unpack_from(bo + "HHI", raw, base)
+        if typ not in (_TIFF_SHORT, _TIFF_LONG):
+            continue  # rational/ascii metadata tags are irrelevant here
+        fmt, size = ("H", 2) if typ == _TIFF_SHORT else ("I", 4)
+        if count * size <= 4:
+            vals = [
+                struct.unpack_from(bo + fmt, raw, base + 8 + j * size)[0]
+                for j in range(count)
+            ]
+        else:
+            (off,) = struct.unpack_from(bo + "I", raw, base + 8)
+            vals = [
+                struct.unpack_from(bo + fmt, raw, off + j * size)[0]
+                for j in range(count)
+            ]
+        tags[tag] = vals
+    if tags.get(259, [1]) != [1]:
+        raise ValueError(
+            f"TIFF compression={tags[259]} unsupported "
+            "(baseline uncompressed only; LZW/deflate need set_decoder)"
+        )
+    width, height = tags[256][0], tags[257][0]
+    channels = tags.get(277, [1])[0]
+    if tags.get(258, [8] * channels) != [8] * channels:
+        raise ValueError("TIFF bit depth != 8 unsupported")
+    offsets, counts = tags[273], tags[279]
+    body = b"".join(
+        raw[o : o + c] for o, c in zip(offsets, counts)
+    )
+    want = channels * width * height
+    if len(body) != want:
+        raise ValueError(f"TIFF strip bytes {len(body)} != {want}")
+    return width, height, channels, body
+
+
+def synthesize_tiff_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministically render a REAL TIFF per row: gray for
+    id % 3 == 0 else RGB; little-endian II for even ids, big-endian MM
+    for odd; dims (1 + id % 16, 1 + 5*id % 16); rows_per_strip
+    1 + id % 4 (forces multi-strip walks); channel byte
+    j = (id*37 + j*11) % 256 — simple arithmetic so a SQL oracle
+    predicts the sums while the engine decodes genuine TIFF bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 1 + i % 16, 1 + (i * 5) % 16
+                ch = 1 if i % 3 == 0 else 3
+                px = bytes((i * 37 + j * 11) % 256 for j in range(ch * w * h))
+                out.append(
+                    (
+                        i,
+                        "tiff",
+                        encode_tiff(
+                            w,
+                            h,
+                            px,
+                            channels=ch,
+                            byte_order="<" if i % 2 == 0 else ">",
+                            rows_per_strip=1 + i % 4,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["id", "fmt", "data"])
+
+    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL G.711 µ-law companding — the telephony codec beside the PCM WAV
+# path, pure integer arithmetic on both sides (encode: bias 0x84, clip
+# 32635, segment/mantissa extraction; decode: the exact inverse
+# expansion), so the full lossy round-trip is honest in-sandbox AND
+# SQL-replayable: an oracle can predict every decoded sample from the
+# synthesis arithmetic. Carried in RIFF/WAVE with format tag 7.
+# ---------------------------------------------------------------------------
+
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+
+def mulaw_encode(samples: list[int]) -> bytes:
+    """G.711 µ-law encode of 16-bit signed samples (sox/ITU
+    arithmetic: clip to 32635, add bias 132, 3-bit segment +
+    4-bit mantissa, ones-complement)."""
+    out = bytearray()
+    for s in samples:
+        sign = 0x80 if s < 0 else 0
+        v = min(-s if s < 0 else s, _ULAW_CLIP) + _ULAW_BIAS
+        e = (v >> 7).bit_length() - 1  # 0..7
+        mant = (v >> (e + 3)) & 0x0F
+        out.append(~(sign | (e << 4) | mant) & 0xFF)
+    return bytes(out)
+
+
+def mulaw_decode(data: bytes) -> list[int]:
+    """G.711 µ-law expand back to 16-bit signed samples — the exact
+    inverse of the segment arithmetic above."""
+    res = []
+    for b in data:
+        u = ~b & 0xFF
+        e = (u >> 4) & 7
+        mag = ((((u & 0x0F) << 3) + _ULAW_BIAS) << e) - _ULAW_BIAS
+        res.append(-mag if u & 0x80 else mag)
+    return res
+
+
+def encode_wav_mulaw(
+    sample_rate: int, samples: list[int], channels: int = 1
+) -> bytes:
+    """RIFF/WAVE with format tag 7 (µ-law, 8 bits/sample): the
+    interleaved 16-bit ``samples`` are companded to one byte each."""
+    import struct
+
+    body = mulaw_encode(samples)
+    byte_rate = sample_rate * channels
+    fmt = struct.pack(
+        "<HHIIHH", 7, channels, sample_rate, byte_rate, channels, 8
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(body))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(body))
+        + body
+    )
+
+
+def synthesize_mulaw_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministically render a REAL µ-law WAV per row — same frame
+    scheme as synthesize_wav_audio (mono even ids / stereo odd,
+    64 + id % 256 frames, sample j = ((id*7 + j*13) % 65536) − 32768)
+    but companded through the G.711 encoder, so the engine-side decode
+    exercises the real lossy expansion."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf[id_col]:
+                i = int(i)
+                ch = 1 if i % 2 == 0 else 2
+                n = (64 + i % 256) * ch
+                samples = [((i * 7 + j * 13) % 65536) - 32768 for j in range(n)]
+                out.append((i, "wav", encode_wav_mulaw(8000, samples, ch)))
+            yield pd.DataFrame(out, columns=["id", "fmt", "data"])
+
+    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)

@@ -726,6 +726,78 @@ def bm25_topk(
     return agg.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
+def query_likelihood_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    mu: int = 2000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Query-likelihood ranked retrieval with Dirichlet smoothing
+    (Zhai & Lafferty), the language-modelling counterpart of
+    bm25_topk and under the same exactness policy: the per-term
+    probability (tf·C + µ·cf) / ((|d|+µ)·C) is ONE double division of
+    two exact int64 products, and the per-document score is the
+    PRODUCT of the per-term doubles folded in term order — the
+    monotone equivalent of the usual Σ log p without ln()'s libm
+    portability hazard. Candidate docs are those containing ≥1 query
+    term (declared semantics: zero-hit docs are not ranked), each
+    joined against the |q|-row broadcast (term, cf) dim so missing
+    terms still contribute their smoothed background mass.
+
+    Scale shape mirrors bm25_topk: one token explode filtered to the
+    query terms (map-side), broadcast |q|-row cf dim + 1-row C dim,
+    one doc-keyed aggregate, TakeOrdered top-k — the corpus is never
+    shuffled full-width. Int64 headroom: tf·C and (|d|+µ)·C stay
+    < 2^63 for corpora up to ~10^9 total tokens × 10^3 tf; beyond
+    that swap the exact ints for doubles (audit path stays at test
+    scale). Returns (id, n_hit, score) for the top-k, ties by id."""
+    toks = tokens(F.col(text_col))
+    dl = df.select(F.col(id_col), F.size(toks).cast("long").alias("_dl"))
+    stats = dl.agg(F.sum("_dl").cast("long").alias("_c"))
+    tok = df.select(F.col(id_col), F.explode(toks).alias("_t")).filter(
+        F.col("_t").isin(list(query_terms))
+    )
+    cf = tok.groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("_cf"))
+    hits = tok.groupBy(id_col, "_t").agg(
+        F.count(F.lit(1)).cast("long").alias("_tf")
+    )
+    cand = hits.select(id_col).distinct()
+    sc = (
+        cand.crossJoin(F.broadcast(cf))
+        .join(hits, [id_col, "_t"], "left")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.col("_t"),
+            F.coalesce("_tf", F.lit(0)).alias("_tf0"),
+            (
+                (
+                    F.coalesce("_tf", F.lit(0)) * F.col("_c")
+                    + mu * F.col("_cf")
+                ).cast("double")
+                / ((F.col("_dl") + mu) * F.col("_c")).cast("double")
+            ).alias("_sc"),
+        )
+    )
+    agg = sc.groupBy(id_col).agg(
+        F.sum(F.when(F.col("_tf0") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hit"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_t", "_sc"))),
+                lambda s: s["_sc"],
+            ),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        ).alias("score"),
+    )
+    return agg.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
 def corpus_data_card(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-row corpus data card: doc/token counts, mean + exact
     p50/p95 token lengths, exact vocabulary, type-token ratio — shared

@@ -13,6 +13,7 @@ from datalake_etlscripts_spark.plans import (  # noqa: F401, E402
     featureops,
     functions_showcase,
     graphops,
+    inference,
     lakeops,
     linkops,
     relational,

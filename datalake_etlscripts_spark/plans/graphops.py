@@ -1047,6 +1047,67 @@ def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bounded-depth harmonic closeness (r12): H(s) = Σ 1/d(s,t) within 4
+# hops on the symmetrized supplier-part graph, for four seed
+# suppliers — the disconnected-safe centrality beside
+# graph_stress_centrality (load) and graph_shortest_paths (weighted
+# reach). EXACT: 1/d rides as lcm(1..4)/d = 12/d, an integer with
+# zero remainder, so the aggregate is pure int64. The oracle unrolls
+# the same 4 min-fold BFS rounds as CTEs keyed by seed (the
+# _sssp_oracle pattern at unit weight); the engine side is the
+# delta-iteration harmonic_closeness operator (broadcast node-sized
+# frontiers, edges never shuffle — cluster fallback documented on the
+# operator).
+# ---------------------------------------------------------------------------
+def _harmonic_oracle(max_hops: int = 4, scale: int = 12) -> str:
+    parts = [
+        """
+    WITH e0 AS (
+      SELECT l_suppkey * 2 AS src, l_partkey * 2 + 1 AS dst
+      FROM lineitem GROUP BY 1, 2
+    ),
+    edges AS (SELECT src, dst FROM e0
+              UNION ALL SELECT dst, src FROM e0),
+    seeds AS (SELECT unnest([2, 4, 6, 8]) AS seed),
+    d0 AS (SELECT seed, CAST(seed AS BIGINT) AS node,
+                  CAST(0 AS BIGINT) AS dist FROM seeds)"""
+    ]
+    for t in range(1, max_hops + 1):
+        parts.append(
+            f""",
+    c{t} AS (SELECT d.seed, e.dst AS node, CAST({t} AS BIGINT) AS dist
+             FROM d{t - 1} d JOIN edges e ON e.src = d.node),
+    d{t} AS (SELECT seed, node, CAST(min(dist) AS BIGINT) AS dist FROM
+             (SELECT * FROM d{t - 1} UNION ALL SELECT * FROM c{t})
+             GROUP BY 1, 2)"""
+        )
+    parts.append(
+        f"""
+    SELECT seed, CAST(count(*) AS BIGINT) AS reached,
+           CAST(sum({scale} // dist) AS BIGINT) AS harmonic_x{scale}
+    FROM d{max_hops} WHERE dist > 0 GROUP BY seed"""
+    )
+    return "".join(parts)
+
+
+@query("graph_harmonic_closeness", oracle=_harmonic_oracle(4, 12))
+def q_graph_harmonic_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth harmonic closeness (4 hops, 4 seed suppliers) on the supplier-part graph - delta-iteration seeded BFS, 1/d kept exact as 12/d int64, min-fold oracle unroll."""
+    from datalake_etlscripts_spark.operators.graph import harmonic_closeness
+
+    li = read_table(spark, sf_dir, "lineitem")
+    e0 = li.groupBy(
+        (F.col("l_suppkey") * 2).alias("src"),
+        (F.col("l_partkey") * 2 + 1).alias("dst"),
+    ).agg(F.lit(1))
+    e0 = e0.select("src", "dst")
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return harmonic_closeness(edges, [2, 4, 6, 8], max_hops=4)
+
+
+# ---------------------------------------------------------------------------
 # Greedy mutual-best maximal matching (r9): the distributed matching
 # round — each alive node points at its best remaining neighbor by
 # (weight DESC, id ASC); edges whose endpoints point at each other

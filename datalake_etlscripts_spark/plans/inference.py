@@ -1,0 +1,506 @@
+"""Hypothesis-testing query plans (r12): the inferential-statistics
+lane a metrics warehouse runs beside the estimation heads already in
+statops — rank-based two-sample comparison (Mann-Whitney U with tie
+correction), multiple-testing control (Benjamini-Hochberg step-up over
+a deterministic p-value table), paired binary outcomes (McNemar), and
+a robust equality-of-variances test (Brown-Forsythe, median-centred
+Levene). House float-determinism policy throughout: every rank, count
+and deviation is an exact integer (event values quantized to cents);
+doubles appear only in one final fixed-order combine both engines
+evaluate identically (the bm25_topk / graph_assortativity policy).
+
+Reference provenance: the reference engine has no inferential lane —
+this extends the experimentation surface (SURVEY §2 beyond-reference:
+sprt_ab_monitor, cuped_adjusted_ab) with the classical tests that sit
+upstream of those sequential monitors in a real experimentation stack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from datalake_etlscripts_spark.io.readers import read_table
+from datalake_etlscripts_spark.plans.registry import query
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U ('click' vs 'purchase' event values): ranks computed
+# on the VALUE DICTIONARY (distinct cents — bounded by the 2-decimal
+# value domain, ≤ ~50k rows regardless of fact count), never on the
+# facts: per distinct value the cumulative count below it gives the
+# average rank in closed form, avg_rank = c_lt + (n_v + 1)/2, kept
+# integral as 2·avg_rank. U, the tie term Σ(t³−t) and the variance
+# numerator are exact integers (DECIMAL(38,0) for the n³ headroom —
+# int64 overflows at sf≳1); z is one double division over one sqrt at
+# the very end. The single global window runs on the dictionary, so
+# the one-partition sort is bounded by construction — the facts take
+# one hash aggregate. 100 TB: scan → dict aggregate → 50k-row window.
+# ---------------------------------------------------------------------------
+@query(
+    "mann_whitney_u",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    d AS (
+      SELECT v, CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+      FROM e GROUP BY v
+    ),
+    c AS (
+      SELECT v, na, nb,
+             CAST(coalesce(sum(na + nb) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS clt
+      FROM d
+    ),
+    m AS (
+      SELECT CAST(sum(na) AS BIGINT) AS n_a,
+             CAST(sum(nb) AS BIGINT) AS n_b,
+             CAST(sum(na * (2 * clt + na + nb + 1)) AS BIGINT) AS r2a,
+             CAST(sum((na + nb) * (na + nb) * (na + nb) - (na + nb))
+                  AS BIGINT) AS tie_term
+      FROM c
+    )
+    SELECT n_a, n_b,
+           CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           tie_term,
+           CAST(floor(
+             CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
+             / (2 * sqrt(
+                 CAST(CAST(n_a * n_b AS DECIMAL(38,0))
+                      * (CAST(n_a + n_b + 1 AS DECIMAL(38,0))
+                         * (n_a + n_b) * (n_a + n_b - 1) - tie_term)
+                      AS DOUBLE)
+                 / CAST(12 * (n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)))
+             * 1000000 + 0.5) AS BIGINT) AS z_micros
+    FROM m
+    """,
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test on click-vs-purchase event values - dictionary ranks in closed form (2x average rank stays integral), exact tie-corrected variance in DECIMAL, one double division + sqrt at the end."""
+    e = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("b"),
+        )
+    )
+    d = e.groupBy("v").agg(
+        F.sum("a").cast("long").alias("na"),
+        F.sum("b").cast("long").alias("nb"),
+    )
+    # dictionary-sized window (distinct cents, bounded by the value domain)
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    c = d.select(
+        "na",
+        "nb",
+        F.coalesce(F.sum(F.col("na") + F.col("nb")).over(wv), F.lit(0))
+        .cast("long")
+        .alias("clt"),
+    )
+    m = c.groupBy().agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("na") * (2 * F.col("clt") + F.col("na") + F.col("nb") + 1)
+        ).cast("long").alias("r2a"),
+        F.sum(
+            (F.col("na") + F.col("nb")) * (F.col("na") + F.col("nb"))
+            * (F.col("na") + F.col("nb")) - (F.col("na") + F.col("nb"))
+        ).cast("long").alias("tie_term"),
+    )
+    nn = F.col("n_a") + F.col("n_b")
+    varnum = (
+        (F.col("n_a") * F.col("n_b")).cast("decimal(38,0)")
+        * ((nn + 1).cast("decimal(38,0)") * nn * (nn - 1) - F.col("tie_term"))
+    )
+    varden = (12 * nn * (nn - 1)).cast("long")
+    z = (
+        (F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1)
+         - F.col("n_a") * F.col("n_b")).cast("double")
+        / (2 * F.sqrt(varnum.cast("double") / varden.cast("double")))
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        (F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("long")
+        .alias("u2_a"),
+        "tie_term",
+        F.floor(z * 1000000 + 0.5).cast("long").alias("z_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg step-up over the (event_type × day-of-week)
+# hypothesis table: p-values come from the house deterministic
+# md5-uniform (first 8 hex chars as a 32-bit integer — the
+# sampling.uniform_hash scheme, engine-portable), with a planted
+# signal (purchase rows divided by 64) so some discoveries are real.
+# The entire procedure is INTEGER-EXACT: the step-up comparison
+# p_(i) ≤ i·q/m at q = 1/20 becomes p32·m·20 ≤ i·2^32, and the
+# adjusted p is a running min-from-the-bottom of floor-scaled
+# rationals — no float appears anywhere. m is dictionary-sized
+# (|types|·7 = 35), so the windows are trivially bounded; the fact
+# scan contributes only the hypothesis keys. The same shape scales to
+# millions of hypotheses: the window is over the HYPOTHESIS table,
+# never the facts.
+# ---------------------------------------------------------------------------
+@query(
+    "bh_fdr_discoveries",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dw
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT event_type, dw,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(('0x' || substr(
+                         md5(event_type || '|' || CAST(dw AS VARCHAR)),
+                         1, 8)) AS UBIGINT) // 64
+                  ELSE CAST(('0x' || substr(
+                         md5(event_type || '|' || CAST(dw AS VARCHAR)),
+                         1, 8)) AS UBIGINT)
+             END AS p32
+      FROM h
+    ),
+    r AS (
+      SELECT event_type, dw, CAST(p32 AS BIGINT) AS p32,
+             CAST(row_number() OVER (ORDER BY p32, event_type, dw)
+                  AS BIGINT) AS rnk,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM p
+    ),
+    s AS (
+      SELECT *,
+             CAST(max(CASE WHEN p32 * m * 20 <= rnk * 4294967296
+                       THEN rnk ELSE 0 END) OVER () AS BIGINT) AS kmax,
+             CAST(min(least(1000000, (p32 * m * 1000000)
+                                     // (rnk * 4294967296)))
+                  OVER (ORDER BY rnk ROWS BETWEEN CURRENT ROW
+                        AND UNBOUNDED FOLLOWING) AS BIGINT) AS padj_micros
+      FROM r
+    )
+    SELECT event_type, dw, p32, rnk, m,
+           CAST(CASE WHEN rnk <= kmax THEN 1 ELSE 0 END AS INT)
+             AS discovered,
+           padj_micros
+    FROM s
+    """,
+)
+def q_bh_fdr_discoveries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR step-up (q=1/20) over the event_type x day-of-week hypothesis table - md5-deterministic p-values with a planted purchase signal, integer-exact step-up comparison and floor-scaled adjusted p, windows on the 35-row hypothesis table only."""
+    e = read_table(spark, sf_dir, "events")
+    # Spark dayofweek is 1(Sun)..7; DuckDB is 0(Sun)..6 — align on 0..6.
+    h = e.groupBy(
+        "event_type",
+        (F.dayofweek("ts") - 1).cast("long").alias("dw"),
+    ).agg(F.lit(1))
+    p32_raw = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("event_type"), F.col("dw"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    p = h.select(
+        "event_type",
+        "dw",
+        F.when(
+            F.col("event_type") == "purchase",
+            (p32_raw / 64).cast("long"),
+        ).otherwise(p32_raw).alias("p32"),
+    )
+    # hypothesis-table windows (m = |types| * 7 — dictionary-sized)
+    wr = W.orderBy("p32", "event_type", "dw")
+    r = p.select(
+        "event_type",
+        "dw",
+        "p32",
+        F.row_number().over(wr).cast("long").alias("rnk"),
+        F.count(F.lit(1)).over(
+            W.partitionBy().rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).cast("long").alias("m"),
+    )
+    scale = F.lit(4294967296).cast("long")
+    hit = F.when(
+        F.col("p32") * F.col("m") * 20 <= F.col("rnk") * scale,
+        F.col("rnk"),
+    ).otherwise(F.lit(0))
+    wall = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    wtail = W.orderBy("rnk").rowsBetween(0, W.unboundedFollowing)
+    padj_at = F.least(
+        F.lit(1000000).cast("long"),
+        F.expr("(p32 * m * 1000000) div (rnk * 4294967296)"),
+    )
+    s = r.select(
+        "event_type",
+        "dw",
+        "p32",
+        "rnk",
+        "m",
+        F.max(hit).over(wall).cast("long").alias("kmax"),
+        F.min(padj_at).over(wtail).cast("long").alias("padj_micros"),
+    )
+    return s.select(
+        "event_type",
+        "dw",
+        "p32",
+        "rnk",
+        "m",
+        F.when(F.col("rnk") <= F.col("kmax"), 1).otherwise(0)
+        .cast("int")
+        .alias("discovered"),
+        "padj_micros",
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired test on (user, week) exposure units: within each
+# unit the paired binary outcomes are "clicked" and "purchased"; the
+# test reads only the DISCORDANT cells b (click-only) and c
+# (purchase-only). Week index is floor(epoch/604800) — identical
+# arithmetic both engines, no calendar-week semantics to disagree on.
+# χ² = (b−c)²/(b+c) and the continuity-corrected (|b−c|−1)²/(b+c)
+# are emitted as exact floor-scaled integers (pure int64 division —
+# no float at all). One fact scan → unit aggregate → 1 row.
+# ---------------------------------------------------------------------------
+@query(
+    "mcnemar_paired",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(epoch(ts) AS BIGINT) // 604800 AS wk,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cl,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pu
+      FROM events GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_units,
+             CAST(sum(CASE WHEN cl = 1 AND pu = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b_click_only,
+             CAST(sum(CASE WHEN cl = 0 AND pu = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_purchase_only
+      FROM u
+    )
+    SELECT n_units, b_click_only, c_purchase_only,
+           CAST(CASE WHEN b_click_only + c_purchase_only = 0 THEN 0
+                ELSE ((b_click_only - c_purchase_only)
+                      * (b_click_only - c_purchase_only) * 1000000)
+                     // (b_click_only + c_purchase_only) END AS BIGINT)
+             AS stat_micros,
+           CAST(CASE WHEN b_click_only + c_purchase_only = 0
+                       OR abs(b_click_only - c_purchase_only) < 1 THEN 0
+                ELSE ((abs(b_click_only - c_purchase_only) - 1)
+                      * (abs(b_click_only - c_purchase_only) - 1) * 1000000)
+                     // (b_click_only + c_purchase_only) END AS BIGINT)
+             AS stat_cc_micros
+    FROM m
+    """,
+)
+def q_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test on (user, week) units: click-only vs purchase-only discordant counts, chi-square and continuity-corrected statistics as exact floor-scaled int64 - no float anywhere."""
+    e = read_table(spark, sf_dir, "events")
+    u = e.groupBy(
+        "user_id",
+        F.expr("unix_timestamp(ts) div 604800").alias("wk"),
+    ).agg(
+        F.max(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("cl"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("pu"),
+    )
+    m = u.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum(
+            F.when((F.col("cl") == 1) & (F.col("pu") == 0), 1).otherwise(0)
+        ).cast("long").alias("b_click_only"),
+        F.sum(
+            F.when((F.col("cl") == 0) & (F.col("pu") == 1), 1).otherwise(0)
+        ).cast("long").alias("c_purchase_only"),
+    )
+    b, c = F.col("b_click_only"), F.col("c_purchase_only")
+    stat = F.when(b + c == 0, F.lit(0)).otherwise(
+        F.expr(
+            "((b_click_only - c_purchase_only)"
+            " * (b_click_only - c_purchase_only) * 1000000)"
+            " div (b_click_only + c_purchase_only)"
+        )
+    )
+    stat_cc = F.when(
+        (b + c == 0) | (F.abs(b - c) < 1), F.lit(0)
+    ).otherwise(
+        F.expr(
+            "((abs(b_click_only - c_purchase_only) - 1)"
+            " * (abs(b_click_only - c_purchase_only) - 1) * 1000000)"
+            " div (b_click_only + c_purchase_only)"
+        )
+    )
+    return m.select(
+        "n_units",
+        "b_click_only",
+        "c_purchase_only",
+        stat.cast("long").alias("stat_micros"),
+        stat_cc.cast("long").alias("stat_cc_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brown-Forsythe equality-of-variances test across the five event
+# types: deviations are |cents − group lower median| — medians found
+# by row_number on the per-group sort (exact, deterministic; no
+# percentile interpolation to disagree on), deviations and their
+# squares summed as exact int64 per group. The F statistic needs the
+# rational Σ s_g²/n_g, which is NOT integral across unequal groups —
+# so the five per-group terms fold as doubles IN GROUP ORDER
+# (sort_array over a 5-row collect — the bm25 fixed-order-combine
+# policy), then one final double expression. Output: the five exact
+# integer group rows, each carrying the shared f_micros scalar.
+# 100 TB: one fact scan → per-group median window (partitioned by the
+# 5-value type key) → 5-row fold on the driver-side-free plan.
+# ---------------------------------------------------------------------------
+@query(
+    "brown_forsythe_variance",
+    oracle="""
+    WITH e AS (
+      SELECT event_type AS g,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    med AS (
+      SELECT g, v,
+             row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY g) AS cnt
+      FROM e
+    ),
+    md AS (
+      SELECT g, v AS med FROM med WHERE rn = (cnt + 1) // 2
+    ),
+    z AS (
+      SELECT e.g, abs(e.v - md.med) AS z
+      FROM e JOIN md ON e.g = md.g
+    ),
+    gs AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(z) AS BIGINT) AS s_g,
+             CAST(sum(z * z) AS BIGINT) AS q_g
+      FROM z GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(s_g) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS k,
+             list_reduce(
+               list_prepend(0.0, list(CAST(s_g * s_g AS DOUBLE)
+                                      / CAST(n_g AS DOUBLE) ORDER BY g)),
+               (a, b) -> a + b) AS sg2,
+             CAST(sum(q_g) AS BIGINT) AS q
+      FROM gs
+    ),
+    f AS (
+      SELECT CAST(floor(
+               (CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+               * ((sg2 - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                  / (CAST(q AS DOUBLE) - sg2))
+               * 1000000 + 0.5) AS BIGINT) AS f_micros
+      FROM tot
+    )
+    SELECT gs.g AS event_type, gs.n_g, md.med AS med_cents, gs.s_g,
+           gs.q_g, f.f_micros
+    FROM gs JOIN md ON gs.g = md.g CROSS JOIN f
+    """,
+)
+def q_brown_forsythe_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centred Levene) equality-of-variances across event types - exact integer medians/deviations per group, the 5 rational between-group terms folded as doubles in group order, one final F expression."""
+    e = read_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    wg = W.partitionBy("g").orderBy("v")
+    wc = W.partitionBy("g")
+    # aggregate-by-g (not filter) so the skew guard PROVES one row per
+    # key on the join's build side
+    med = (
+        e.select(
+            "g",
+            "v",
+            F.row_number().over(wg).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("cnt"),
+        )
+        .groupBy("g")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("v"))
+            ).alias("med")
+        )
+    )
+    z = e.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("med")).alias("z")
+    )
+    gs = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("z").cast("long").alias("s_g"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("q_g"),
+    )
+    # 5-row fold in group order: the only doubles in the plan
+    tot = gs.groupBy().agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("g"),
+                        (
+                            (F.col("s_g") * F.col("s_g")).cast("double")
+                            / F.col("n_g").cast("double")
+                        ).alias("t"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("sg2"),
+        F.sum("q_g").cast("long").alias("q"),
+    )
+    f = tot.select(
+        F.floor(
+            ((F.col("n") - F.col("k")).cast("double")
+             / (F.col("k") - 1).cast("double"))
+            * (
+                (F.col("sg2")
+                 - F.col("s").cast("double") * F.col("s").cast("double")
+                 / F.col("n").cast("double"))
+                / (F.col("q").cast("double") - F.col("sg2"))
+            )
+            * 1000000
+            + 0.5
+        ).cast("long").alias("f_micros")
+    )
+    return (
+        gs.join(med, "g")
+        .crossJoin(F.broadcast(f))
+        .select(
+            F.col("g").alias("event_type"),
+            "n_g",
+            F.col("med").alias("med_cents"),
+            "s_g",
+            "q_g",
+            "f_micros",
+        )
+    )

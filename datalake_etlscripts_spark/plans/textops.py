@@ -1259,6 +1259,116 @@ def q_audio_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_audio_stats(clips)
 
 
+# REAL baseline TIFF decode (r12): both byte orders (II for even ids,
+# MM for odd), gray/RGB, multi-strip layouts (rows_per_strip = 1+id%4
+# forces the strip walk). The oracle replays the synthesis arithmetic;
+# the engine walks genuine IFDs — an endianness, inline-value or
+# strip-offset bug shifts sum_px.
+@query(
+    "tiff_pixel_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id AS id,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS INT)
+               AS channels,
+             CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END
+               AS byte_order,
+             CAST(1 + doc_id % 16 AS BIGINT) AS w,
+             CAST(1 + (doc_id * 5) % 16 AS BIGINT) AS h
+      FROM documents
+    ),
+    exploded AS (
+      SELECT id,
+             (id * 37 + unnest(generate_series(0, channels * w * h - 1))
+              * 11) % 256 AS b
+      FROM px
+    ),
+    sums AS (
+      SELECT id, CAST(sum(b) AS BIGINT) AS sum_px FROM exploded GROUP BY 1
+    )
+    SELECT p.id, p.channels, p.byte_order, p.w * p.h AS n_px, s.sum_px
+    FROM px p JOIN sums s USING (id)
+    """,
+)
+def q_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline TIFF pixel statistics: synthesize a genuine TIFF per doc (II/MM byte orders alternating, gray/RGB, multi-strip), walk the actual IFD and strips, and report exact channel sums - the oracle replays the synthesis arithmetic, the engine decodes real bytes."""
+    d = read_table(spark, sf_dir, "documents")
+    imgs = multimodal.synthesize_tiff_images(d)
+    px = multimodal.decode_pixels(imgs)
+    return px.select(
+        "id",
+        F.when(F.col("id") % 3 == 0, 1).otherwise(3)
+        .cast("int")
+        .alias("channels"),
+        F.when(F.col("id") % 2 == 0, F.lit("II"))
+        .otherwise(F.lit("MM"))
+        .alias("byte_order"),
+        "n_px",
+        "sum_px",
+    )
+
+
+# REAL G.711 µ-law expansion (r12): same synthesis scheme as the PCM
+# WAV path but companded through the µ-law encoder, so the engine's
+# decode exercises the real lossy segment arithmetic — and the oracle
+# REPLAYS THE FULL COMPANDING ROUND-TRIP IN SQL (clip, bias, segment
+# CASE ladder, mantissa shift, inverse expansion), every sample an
+# exact integer on both sides.
+@query(
+    "mulaw_audio_stats",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS id,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT)
+               AS channels,
+             CAST((64 + doc_id % 256)
+                  * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END)
+                  AS BIGINT) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT id,
+             CAST((id * 7 + unnest(generate_series(0, n - 1)) * 13)
+                  % 65536 AS BIGINT) - 32768 AS x
+      FROM a
+    ),
+    enc AS (
+      SELECT id, least(abs(x), 32635) + 132 AS v FROM s
+    ),
+    ee AS (
+      SELECT id, v,
+             CASE WHEN (v >> 7) >= 128 THEN 7
+                  WHEN (v >> 7) >= 64 THEN 6
+                  WHEN (v >> 7) >= 32 THEN 5
+                  WHEN (v >> 7) >= 16 THEN 4
+                  WHEN (v >> 7) >= 8 THEN 3
+                  WHEN (v >> 7) >= 4 THEN 2
+                  WHEN (v >> 7) >= 2 THEN 1
+                  ELSE 0 END AS e
+      FROM enc
+    ),
+    dec AS (
+      SELECT id,
+             (((v >> (e + 3)) & 15) * 8 + 132) * (1 << e) - 132 AS mag
+      FROM ee
+    ),
+    agg AS (
+      SELECT id, CAST(sum(mag) AS BIGINT) AS sum_abs,
+             CAST(max(mag) AS BIGINT) AS peak
+      FROM dec GROUP BY 1
+    )
+    SELECT a.id, CAST(8000 AS INT) AS sample_rate, a.channels,
+           a.n AS n_samples, g.sum_abs, g.peak
+    FROM a JOIN agg g USING (id)
+    """,
+)
+def q_mulaw_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real G.711 mu-law audio statistics: synthesize a genuine format-7 RIFF clip per doc, expand the actual companded bytes, and report exact decoded sums and peaks - the oracle replays clip/bias/segment/mantissa companding in pure SQL."""
+    d = read_table(spark, sf_dir, "documents")
+    clips = multimodal.synthesize_mulaw_audio(d)
+    return multimodal.decode_audio_stats(clips)
+
+
 # IVF IS oracle-checkable with a FIXED literal coarse quantizer: the
 # 16 cell centers are deterministic LCG literals shared into the twin
 # (same trick as the hyperplane planes above), so DuckDB replays the
@@ -2751,6 +2861,62 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25-shaped top-20 retrieval for a 3-term query - log-free integer idf ratio, broadcast stats dims, corpus never shuffled full-width."""
     d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return text.bm25_topk(d, _BM25_TERMS, k=20)
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood retrieval with Dirichlet smoothing (µ = 2000) —
+# the language-modelling ranking beside bm25_topk, same exactness
+# policy: per-term p = (tf·C + µ·cf)/((|d|+µ)·C) is one double
+# division of exact int64 products; the document score is the product
+# of the per-term doubles folded in TERM ORDER (the monotone stand-in
+# for Σ log p — no ln(), no libm portability hazard). Docs with ≥1
+# hit are candidates; absent terms contribute the smoothed background
+# mass through the broadcast (term, cf) dim.
+# ---------------------------------------------------------------------------
+_QL_ORACLE = f"""
+    WITH tk AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM tk),
+    stats AS (SELECT CAST(sum(dl) AS BIGINT) AS c FROM dl),
+    tok AS (
+      SELECT doc_id, t FROM (SELECT doc_id, unnest(tk) AS t FROM tk)
+      WHERE t IN ({_BM25_TERMS_SQL})
+    ),
+    cf AS (SELECT t, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY t),
+    hits AS (
+      SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, t
+    ),
+    cand AS (SELECT DISTINCT doc_id FROM hits),
+    sc AS (
+      SELECT ca.doc_id, f.t, coalesce(h.tf, 0) AS tf0,
+             CAST(coalesce(h.tf, 0) * s.c + 2000 * f.cf AS DOUBLE)
+             / CAST((d.dl + 2000) * s.c AS DOUBLE) AS sc
+      FROM cand ca CROSS JOIN cf f
+      LEFT JOIN hits h ON h.doc_id = ca.doc_id AND h.t = f.t
+      JOIN dl d ON d.doc_id = ca.doc_id
+      CROSS JOIN stats s
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit,
+             list_reduce(list_prepend(1.0, list(sc ORDER BY t)),
+                         (a, b) -> a * b) AS score
+      FROM sc GROUP BY doc_id
+    )
+    SELECT doc_id, n_hit, score FROM agg
+    ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+@query("query_likelihood_lm", oracle=_QL_ORACLE)
+def q_query_likelihood_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood top-20 retrieval for the same 3-term query as bm25_topk - exact int64 per-term products, one double division each, product-fold in term order (log-free)."""
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.query_likelihood_topk(d, _BM25_TERMS, mu=2000, k=20)
 
 
 # ---------------------------------------------------------------------------

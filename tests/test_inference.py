@@ -1,0 +1,217 @@
+"""Unit tests for the hypothesis-testing lane (plans/inference.py) and
+its companions (query_likelihood_topk, harmonic_closeness): Spark
+results vs independent pure-Python models on small constructed inputs.
+The DuckDB parity suite covers the registered queries end-to-end; these
+pin the STATISTICS themselves against hand-computable references."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _mann_whitney_py(xs: list[int], ys: list[int]):
+    """Exact tie-corrected Mann-Whitney on integers (2x-rank model)."""
+    pooled = sorted(xs + ys)
+    # 2*avg rank per value
+    from collections import Counter
+
+    cnt = Counter(pooled)
+    two_rank = {}
+    below = 0
+    for v in sorted(cnt):
+        two_rank[v] = 2 * below + cnt[v] + 1
+        below += cnt[v]
+    r2a = sum(two_rank[v] for v in xs)
+    na, nb = len(xs), len(ys)
+    n = na + nb
+    u2 = r2a - na * (na + 1)
+    tie = sum(t**3 - t for t in cnt.values())
+    var = (na * nb) * ((n + 1) * n * (n - 1) - tie) / (12 * n * (n - 1))
+    z = (u2 - na * nb) / (2 * math.sqrt(var))
+    return u2, tie, math.floor(z * 1e6 + 0.5)
+
+
+def test_mann_whitney_matches_python_model(spark):
+    from datalake_etlscripts_spark.plans.inference import q_mann_whitney_u
+
+    row = q_mann_whitney_u(spark, SF0001).collect()[0]
+    import duckdb
+
+    con = duckdb.connect()
+    vals = con.execute(
+        "SELECT event_type, CAST(floor(value*100+0.5) AS BIGINT) FROM "
+        f"'{SF0001}/events.parquet' WHERE event_type IN ('click','purchase')"
+    ).fetchall()
+    xs = [v for t, v in vals if t == "click"]
+    ys = [v for t, v in vals if t == "purchase"]
+    u2, tie, zmic = _mann_whitney_py(xs, ys)
+    assert row["n_a"] == len(xs) and row["n_b"] == len(ys)
+    assert row["u2_a"] == u2
+    assert row["tie_term"] == tie
+    assert row["z_micros"] == zmic
+
+
+def test_bh_stepup_invariants(spark):
+    """discovered == (rank <= kmax) for the EXACT step-up kmax, and the
+    adjusted p is nondecreasing in rank (min-from-the-bottom)."""
+    from datalake_etlscripts_spark.plans.inference import q_bh_fdr_discoveries
+
+    rows = sorted(
+        q_bh_fdr_discoveries(spark, SF0001).collect(), key=lambda r: r["rnk"]
+    )
+    m = rows[0]["m"]
+    assert len(rows) == m
+    kmax = max(
+        (r["rnk"] for r in rows if r["p32"] * m * 20 <= r["rnk"] * 2**32),
+        default=0,
+    )
+    for r in rows:
+        assert r["discovered"] == (1 if r["rnk"] <= kmax else 0)
+    padj = [r["padj_micros"] for r in rows]
+    assert padj == sorted(padj)
+    assert all(0 <= p <= 1_000_000 for p in padj)
+    # the planted purchase signal must be discovered first if anything is
+    if kmax:
+        assert rows[0]["event_type"] == "purchase"
+
+
+def test_mcnemar_matches_python_model(spark):
+    from datalake_etlscripts_spark.plans.inference import q_mcnemar_paired
+    import duckdb
+
+    row = q_mcnemar_paired(spark, SF0001).collect()[0]
+    con = duckdb.connect()
+    pairs = con.execute(
+        "SELECT user_id, CAST(epoch(ts) AS BIGINT)//604800,"
+        " max(CASE WHEN event_type='click' THEN 1 ELSE 0 END),"
+        " max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END)"
+        f" FROM '{SF0001}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    b = sum(1 for *_, cl, pu in pairs if cl == 1 and pu == 0)
+    c = sum(1 for *_, cl, pu in pairs if cl == 0 and pu == 1)
+    assert row["n_units"] == len(pairs)
+    assert row["b_click_only"] == b
+    assert row["c_purchase_only"] == c
+    if b + c:
+        assert row["stat_micros"] == ((b - c) * (b - c) * 1_000_000) // (b + c)
+
+
+def test_brown_forsythe_matches_python_model(spark):
+    from datalake_etlscripts_spark.plans.inference import (
+        q_brown_forsythe_variance,
+    )
+    import duckdb
+
+    rows = q_brown_forsythe_variance(spark, SF0001).collect()
+    con = duckdb.connect()
+    vals = con.execute(
+        "SELECT event_type, CAST(floor(value*100+0.5) AS BIGINT) FROM "
+        f"'{SF0001}/events.parquet'"
+    ).fetchall()
+    groups: dict[str, list[int]] = {}
+    for g, v in vals:
+        groups.setdefault(g, []).append(v)
+    gs = {}
+    for g, xs in groups.items():
+        xs.sort()
+        med = xs[(len(xs) + 1) // 2 - 1]
+        z = [abs(x - med) for x in xs]
+        gs[g] = (len(z), med, sum(z), sum(t * t for t in z))
+    for r in rows:
+        n_g, med, s_g, q_g = gs[r["event_type"]]
+        assert (r["n_g"], r["med_cents"], r["s_g"], r["q_g"]) == (
+            n_g,
+            med,
+            s_g,
+            q_g,
+        )
+    n = sum(v[0] for v in gs.values())
+    s = sum(v[2] for v in gs.values())
+    k = len(gs)
+    sg2 = 0.0
+    for g in sorted(gs):  # fixed group order, as the engine folds
+        sg2 += (gs[g][2] ** 2) / gs[g][0]
+    q = sum(v[3] for v in gs.values())
+    f = ((n - k) / (k - 1)) * ((sg2 - s * s / n) / (q - sg2))
+    assert rows[0]["f_micros"] == math.floor(f * 1e6 + 0.5)
+
+
+def test_query_likelihood_matches_python_model(spark):
+    """Top-20 QL ranking replayed in pure Python over the sf0.001
+    corpus: same candidates, same ordering, same scores."""
+    from datalake_etlscripts_spark.operators.text import query_likelihood_topk
+
+    d = spark.read.parquet(f"{SF0001}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    terms = ["data", "join", "spark"]
+    got = query_likelihood_topk(d, terms, mu=2000, k=20).collect()
+    docs = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in d.collect()
+    }
+    c = sum(len(t) for t in docs.values())
+    cf = {
+        t: sum(toks.count(t) for toks in docs.values()) for t in terms
+    }
+    scored = []
+    for did, toks in docs.items():
+        tfs = {t: toks.count(t) for t in terms}
+        if not any(tfs.values()):
+            continue
+        score = 1.0
+        for t in sorted(terms):
+            score *= (tfs[t] * c + 2000 * cf[t]) / ((len(toks) + 2000) * c)
+        scored.append((did, sum(1 for t in terms if tfs[t]), score))
+    scored.sort(key=lambda x: (-x[2], x[0]))
+    want = scored[:20]
+    assert [(r["doc_id"], r["n_hit"], r["score"]) for r in got] == want
+
+
+def test_harmonic_closeness_matches_python_bfs(spark):
+    """Seeded BFS replayed sequentially in Python on the sf0.001
+    supplier-part graph: reached counts and exact 12/d sums match."""
+    from datalake_etlscripts_spark.operators.graph import harmonic_closeness
+
+    li = spark.read.parquet(f"{SF0001}/lineitem.parquet")
+    e0 = (
+        li.select(
+            (F.col("l_suppkey") * 2).alias("src"),
+            (F.col("l_partkey") * 2 + 1).alias("dst"),
+        )
+        .dropDuplicates()
+        .collect()
+    )
+    adj: dict[int, set[int]] = {}
+    for r in e0:
+        adj.setdefault(r["src"], set()).add(r["dst"])
+        adj.setdefault(r["dst"], set()).add(r["src"])
+    edges = spark.createDataFrame(
+        [(r["src"], r["dst"]) for r in e0]
+        + [(r["dst"], r["src"]) for r in e0],
+        "src bigint, dst bigint",
+    )
+    got = {
+        r["seed"]: (r["reached"], r["harmonic_x12"])
+        for r in harmonic_closeness(
+            edges, [2, 4, 6, 8, 4], max_hops=4
+        ).collect()  # duplicate seed must be deduped, not double-counted
+    }
+    for s in (2, 4, 6, 8):
+        dist = {s: 0}
+        frontier = [s]
+        for d_ in range(1, 5):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = d_
+                        nxt.append(v)
+            frontier = nxt
+        want_reached = sum(1 for v, dd in dist.items() if dd > 0)
+        want_h = sum(12 // dd for v, dd in dist.items() if dd > 0)
+        assert got[s] == (want_reached, want_h)

@@ -3721,3 +3721,107 @@ def test_gif_foreign_decoder_validation():
         assert (w, h) == parse_image_header(raw)
         assert len(idx) == w * h
         assert max(idx) < len(pal) // 3
+
+
+# ------------------------------------------------------------- TIFF codec
+def test_tiff_roundtrip_both_byte_orders_multistrip():
+    """encode_tiff/decode_tiff_pixels must roundtrip byte-exactly for
+    gray and RGB, II and MM, single- and multi-strip layouts (the
+    external-array IFD paths only trigger with >1 strip / RGB)."""
+    from datalake_etlscripts_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        encode_tiff,
+        parse_image_header,
+    )
+
+    for bo in ("<", ">"):
+        for ch in (1, 3):
+            for rps in (None, 1, 3):
+                w, h = 5, 7
+                px = bytes((j * 41 + ch) % 256 for j in range(ch * w * h))
+                raw = encode_tiff(
+                    w, h, px, channels=ch, byte_order=bo, rows_per_strip=rps
+                )
+                assert decode_tiff_pixels(raw) == (w, h, ch, px)
+                assert parse_image_header(raw) == (w, h)
+
+
+def test_tiff_decoder_rejects_unsupported():
+    import struct
+
+    import pytest
+
+    from datalake_etlscripts_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        encode_tiff,
+    )
+
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff_pixels(b"XX" + bytes(30))
+    # flip the Compression tag value to 5 (LZW): must raise, not misdecode
+    raw = bytearray(encode_tiff(4, 4, bytes(48), channels=3))
+    (ifd_off,) = struct.unpack_from("<I", raw, 4)
+    (n,) = struct.unpack_from("<H", raw, ifd_off)
+    for k in range(n):
+        base = ifd_off + 2 + 12 * k
+        (tag,) = struct.unpack_from("<H", raw, base)
+        if tag == 259:
+            struct.pack_into("<H", raw, base + 8, 5)
+    with pytest.raises(ValueError, match="compression"):
+        decode_tiff_pixels(bytes(raw))
+
+
+# ------------------------------------------------------------ µ-law codec
+def test_mulaw_decode_matches_audioop_on_all_codes():
+    """All 256 µ-law codes expanded identically to the independent
+    stdlib audioop expander (the direction the engine exercises)."""
+    import struct
+
+    import pytest
+
+    audioop = pytest.importorskip("audioop")
+    from datalake_etlscripts_spark.operators.multimodal import mulaw_decode
+
+    codes = bytes(range(256))
+    ref = list(struct.unpack("<256h", audioop.ulaw2lin(codes, 2)))
+    assert mulaw_decode(codes) == ref
+
+
+def test_mulaw_encode_roundtrip_quantization():
+    """encode→decode is the µ-law quantizer: idempotent (re-encoding a
+    decoded value reproduces the code) and within the segment's step
+    size of the input. NOTE: our encoder is the classic sox/ITU 16-bit
+    arithmetic; stdlib audioop implements the 14-bit G.191 variant
+    (pre-shifts >>2), which differs on a handful of boundary inputs —
+    decode-side agreement is exact (test above), encode-side variants
+    are both spec-conformant."""
+    from datalake_etlscripts_spark.operators.multimodal import (
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    samples = list(range(-32768, 32768, 257)) + [0, 1, -1, 32767, -32768]
+    enc = mulaw_encode(samples)
+    dec = mulaw_decode(enc)
+    # quantizer idempotence on VALUES (codes 0x7F/0xFF both mean 0 —
+    # "negative zero" collapses, so code-level equality is too strict)
+    assert mulaw_decode(mulaw_encode(dec)) == dec
+    for s, d in zip(samples, dec):
+        step = 2 ** ((abs(min(abs(s), 32635) + 132).bit_length() - 8) + 3)
+        assert abs(d - s) <= max(step, 8), (s, d)
+
+
+def test_wav_mulaw_container_roundtrip():
+    from datalake_etlscripts_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav_mulaw,
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    for ch in (1, 2):
+        samples = [((j * 977) % 65536) - 32768 for j in range(60 * ch)]
+        raw = encode_wav_mulaw(8000, samples, ch)
+        rate, ch2, got = decode_wav_samples(raw)
+        assert (rate, ch2) == (8000, ch)
+        assert got == mulaw_decode(mulaw_encode(samples))

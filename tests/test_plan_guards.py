@@ -91,6 +91,7 @@ SKEW_ALLOWLIST = {
     "label_outliers": "per-label centroid table",
     "embedding_covariance": "dim-pair join, d² rows per id, d fixed",
     "bm25_topk": "per-doc length table (one row per doc_id)",
+    "query_likelihood_lm": "per-doc length table (one row per doc_id)",
     "hybrid_search_rrf": "per-doc rank tables (one row per doc_id)",
     "gopher_length_auc": "per-doc score table (one row per doc_id)",
     "naive_bayes_confusion": "per-doc argmax table",
