@@ -504,3 +504,150 @@ def q_brown_forsythe_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f_micros",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H across ALL FIVE event types — the k-group
+# generalization of mann_whitney_u on the same value dictionary:
+# per distinct cents value the per-group counts and the global
+# cumulative-below give every group's rank sum in closed form
+# (2·R_g stays integral). H = 12/(N(N+1))·Σ R_g²/n_g − 3(N+1) needs
+# the rational Σ R_g²/n_g, so the five per-group terms fold as
+# doubles IN GROUP ORDER (the brown_forsythe policy; R_g² rides
+# DECIMAL(38,0) — int64 overflows at sf≳0.1); the tie correction
+# divides by 1 − ΣT/(N³−N) with the same exact tie term the MW query
+# emits. Output: one exact integer row per group plus the shared
+# h_micros / h_tied_micros scalars.
+# ---------------------------------------------------------------------------
+@query(
+    "kruskal_wallis",
+    oracle="""
+    WITH e AS (
+      SELECT event_type AS g,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+    ),
+    d AS (
+      SELECT v, g, CAST(count(*) AS BIGINT) AS ngv FROM e GROUP BY v, g
+    ),
+    nv AS (
+      SELECT v, CAST(sum(ngv) AS BIGINT) AS n_v,
+             CAST(coalesce(sum(sum(ngv)) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS clt
+      FROM d GROUP BY v
+    ),
+    rg AS (
+      SELECT d.g, CAST(sum(d.ngv) AS BIGINT) AS n_g,
+             CAST(sum(d.ngv * (2 * nv.clt + nv.n_v + 1)) AS BIGINT) AS r2_g
+      FROM d JOIN nv USING (v) GROUP BY d.g
+    ),
+    ties AS (
+      SELECT CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT) AS tie_term FROM nv
+    ),
+    tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+             list_reduce(
+               list_prepend(0.0, list(
+                 CAST(CAST(r2_g AS DECIMAL(38,0)) * r2_g AS DOUBLE)
+                 / CAST(4 * n_g AS DOUBLE) ORDER BY g)),
+               (a, b) -> a + b) AS s
+      FROM rg
+    ),
+    h AS (
+      SELECT CAST(floor(
+               (12.0 * s / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+               * 1000000 + 0.5) AS BIGINT) AS h_micros,
+             CAST(floor(
+               (12.0 * s / (CAST(n AS DOUBLE) * (n + 1)) - 3.0 * (n + 1))
+               / (1.0 - CAST(t.tie_term AS DOUBLE)
+                        / CAST(CAST(n AS DECIMAL(38,0)) * n * n - n
+                               AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS h_tied_micros
+      FROM tot CROSS JOIN ties t
+    )
+    SELECT rg.g AS event_type, rg.n_g, rg.r2_g, h.h_micros, h.h_tied_micros
+    FROM rg CROSS JOIN h
+    """,
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the five event types on cent-quantized values - closed-form dictionary ranks (2xR_g integral), DECIMAL-exact squares, five-term fixed-order double fold, exact tie correction."""
+    e = read_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    d = e.groupBy("v", "g").agg(F.count(F.lit(1)).cast("long").alias("ngv"))
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    nv = (
+        d.groupBy("v")
+        .agg(F.sum("ngv").cast("long").alias("n_v"))
+        .select(
+            "v",
+            "n_v",
+            F.coalesce(F.sum("n_v").over(wv), F.lit(0))
+            .cast("long")
+            .alias("clt"),
+        )
+    )
+    rg = (
+        d.join(nv, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("ngv").cast("long").alias("n_g"),
+            F.sum(
+                F.col("ngv") * (2 * F.col("clt") + F.col("n_v") + 1)
+            ).cast("long").alias("r2_g"),
+        )
+    )
+    ties = nv.groupBy().agg(
+        F.sum(
+            F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v")
+        ).cast("long").alias("tie_term")
+    )
+    tot = rg.groupBy().agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("g"),
+                        (
+                            (F.col("r2_g").cast("decimal(38,0)")
+                             * F.col("r2_g")).cast("double")
+                            / (4 * F.col("n_g")).cast("double")
+                        ).alias("t"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("s"),
+    )
+    nn = F.col("n").cast("double")
+    h_raw = 12.0 * F.col("s") / (nn * (F.col("n") + 1)) - 3.0 * (
+        F.col("n") + 1
+    )
+    h = tot.crossJoin(F.broadcast(ties)).select(
+        F.floor(h_raw * 1000000 + 0.5).cast("long").alias("h_micros"),
+        F.floor(
+            h_raw
+            / (
+                1.0
+                - F.col("tie_term").cast("double")
+                / (
+                    F.col("n").cast("decimal(38,0)") * F.col("n")
+                    * F.col("n") - F.col("n")
+                ).cast("double")
+            )
+            * 1000000
+            + 0.5
+        ).cast("long").alias("h_tied_micros"),
+    )
+    return rg.crossJoin(F.broadcast(h)).select(
+        F.col("g").alias("event_type"),
+        "n_g",
+        "r2_g",
+        "h_micros",
+        "h_tied_micros",
+    )

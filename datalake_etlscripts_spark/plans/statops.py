@@ -3058,3 +3058,136 @@ def q_value_kurtosis_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             dd_(m4) / (dd_(m2) * dd_(m2)) - 3,
         ).alias("excess_kurtosis"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic time warping between hour-of-day profiles (r12): the classic
+# O(n·m) DP — D[i][j] = |a_i−b_j| + min(D[i−1][j], D[i−1][j−1],
+# D[i][j−1]) — expressed ENTIRELY as nested functional folds over the
+# 24-point profile arrays: the outer fold carries the previous DP row,
+# the inner fold builds the next row left-to-right (Spark: nested
+# F.aggregate with an array accumulator; DuckDB: nested list_reduce
+# with the house prepend-the-init encoding, elements lifted to
+# single-item lists so accumulator and element types unify). Every
+# cell is an exact integer — both engines replay the identical DP
+# bit-for-bit, no UDF, no driver loop, whole plan stays JVM-side.
+# Profiles are dictionary-sized (5 types × 24 hours) after one fact
+# scan; the 10 unordered pairs ride a broadcast nested-loop join of
+# two 5-row dims. The same fold shape scales to any bounded-window
+# series alignment (the warping band IS the array length).
+# ---------------------------------------------------------------------------
+@query(
+    "dtw_profile_distance",
+    oracle="""
+    WITH ty AS (SELECT DISTINCT event_type AS t FROM events),
+    hrs AS (SELECT unnest(range(0, 24)) AS h),
+    cnt AS (
+      SELECT event_type AS t, CAST(hour(ts) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    prof AS (
+      SELECT ty.t, list(CAST(coalesce(c.c, 0) AS BIGINT) ORDER BY hrs.h) AS p
+      FROM ty CROSS JOIN hrs
+      LEFT JOIN cnt c ON c.t = ty.t AND c.h = hrs.h
+      GROUP BY ty.t
+    ),
+    pairs AS (
+      SELECT a.t AS type_a, b.t AS type_b, a.p AS pa, b.p AS pb
+      FROM prof a JOIN prof b ON a.t < b.t
+    ),
+    r0 AS (
+      SELECT type_a, type_b, pa, pb,
+        list_reduce(
+          list_prepend([abs(pa[1] - pb[1])], list_transform(pb[2:], x -> [x])),
+          (acc, x) -> list_append(acc, abs(pa[1] - x[1]) + acc[len(acc)])
+        ) AS row0
+      FROM pairs
+    )
+    SELECT type_a, type_b,
+      list_reduce(
+        list_prepend(0, list_transform(range(1, 25),
+                                       i -> abs(pa[i] - pb[i]))),
+        (a, b) -> a + b) AS l1,
+      list_reduce(
+        list_prepend(row0, list_transform(pa[2:], x -> [x])),
+        (prev, ai) -> list_reduce(
+            list_prepend([abs(ai[1] - pb[1]) + prev[1]],
+                         list_transform(pb[2:], x -> [x])),
+            (acc, bj) -> list_append(acc,
+              abs(ai[1] - bj[1]) + least(prev[len(acc) + 1],
+                                         prev[len(acc)],
+                                         acc[len(acc)]))
+        )
+      )[24] AS dtw
+    FROM r0
+    """,
+)
+def q_dtw_profile_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DTW distance between the hour-of-day count profiles of every event-type pair - the full O(24x24) DP as nested JVM-side array folds (no UDF, no driver loop), exact integer cells, plus the L1 distance for reference."""
+    e = read_table(spark, sf_dir, "events")
+    cnt = e.groupBy(
+        F.col("event_type").alias("t"),
+        F.hour("ts").cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    prof = cnt.groupBy("t").agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda h: F.coalesce(
+                F.element_at(
+                    F.map_from_entries(
+                        F.collect_list(F.struct(F.col("h"), F.col("c")))
+                    ),
+                    h.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+            ),
+        ).alias("p")
+    )
+    a = prof.select(F.col("t").alias("type_a"), F.col("p").alias("pa"))
+    b = prof.select(F.col("t").alias("type_b"), F.col("p").alias("pb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(
+        F.col("type_a") < F.col("type_b")
+    )
+    pa, pb = F.col("pa"), F.col("pb")
+    l1 = F.aggregate(
+        F.zip_with(pa, pb, lambda x, y: F.abs(x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    row0 = F.aggregate(
+        F.slice(pb, 2, 23),
+        F.array(F.abs(F.element_at(pa, 1) - F.element_at(pb, 1))),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.abs(F.element_at(pa, 1) - x)
+                + F.element_at(acc, F.size(acc))
+            ),
+        ),
+    )
+    dtw_row = F.aggregate(
+        F.slice(pa, 2, 23),
+        row0,
+        lambda prev, ai: F.aggregate(
+            F.slice(pb, 2, 23),
+            F.array(F.abs(ai - F.element_at(pb, 1)) + F.element_at(prev, 1)),
+            lambda acc, bj: F.concat(
+                acc,
+                F.array(
+                    F.abs(ai - bj)
+                    + F.least(
+                        F.element_at(prev, F.size(acc) + 1),
+                        F.element_at(prev, F.size(acc)),
+                        F.element_at(acc, F.size(acc)),
+                    )
+                ),
+            ),
+        ),
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        l1.alias("l1"),
+        F.element_at(dtw_row, 24).alias("dtw"),
+    )

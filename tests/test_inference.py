@@ -215,3 +215,85 @@ def test_harmonic_closeness_matches_python_bfs(spark):
         want_reached = sum(1 for v, dd in dist.items() if dd > 0)
         want_h = sum(12 // dd for v, dd in dist.items() if dd > 0)
         assert got[s] == (want_reached, want_h)
+
+
+def test_kruskal_wallis_matches_python_model(spark):
+    from datalake_etlscripts_spark.plans.inference import q_kruskal_wallis
+    import duckdb
+
+    rows = q_kruskal_wallis(spark, SF0001).collect()
+    con = duckdb.connect()
+    vals = con.execute(
+        "SELECT event_type, CAST(floor(value*100+0.5) AS BIGINT) FROM "
+        f"'{SF0001}/events.parquet'"
+    ).fetchall()
+    from collections import Counter
+
+    groups: dict[str, list[int]] = {}
+    for g, v in vals:
+        groups.setdefault(g, []).append(v)
+    pooled = Counter(v for _, v in vals)
+    two_rank, below = {}, 0
+    for v in sorted(pooled):
+        two_rank[v] = 2 * below + pooled[v] + 1
+        below += pooled[v]
+    n = sum(len(xs) for xs in groups.values())
+    tie = sum(t**3 - t for t in pooled.values())
+    s = 0.0
+    for g in sorted(groups):  # fixed group order, as the engine folds
+        r2 = sum(two_rank[v] for v in groups[g])
+        s += (r2 * r2) / (4 * len(groups[g]))
+    h = 12.0 * s / (n * (n + 1)) - 3.0 * (n + 1)
+    hc = h / (1.0 - tie / (n**3 - n))
+    import math
+
+    for r in rows:
+        assert r["n_g"] == len(groups[r["event_type"]])
+        assert r["r2_g"] == sum(two_rank[v] for v in groups[r["event_type"]])
+        assert r["h_micros"] == math.floor(h * 1e6 + 0.5)
+        assert r["h_tied_micros"] == math.floor(hc * 1e6 + 0.5)
+
+
+def _dtw_py(a: list[int], b: list[int]) -> int:
+    n, m = len(a), len(b)
+    D = [[0] * m for _ in range(n)]
+    for i in range(n):
+        for j in range(m):
+            c = abs(a[i] - b[j])
+            if i == 0 and j == 0:
+                D[i][j] = c
+            elif i == 0:
+                D[i][j] = c + D[i][j - 1]
+            elif j == 0:
+                D[i][j] = c + D[i - 1][j]
+            else:
+                D[i][j] = c + min(
+                    D[i - 1][j], D[i - 1][j - 1], D[i][j - 1]
+                )
+    return D[n - 1][m - 1]
+
+
+def test_dtw_matches_python_dp(spark):
+    """The nested-fold DTW must equal the classic imperative DP on the
+    real sf0.001 hour-of-day profiles AND be symmetric."""
+    from datalake_etlscripts_spark.plans.statops import (
+        q_dtw_profile_distance,
+    )
+    import duckdb
+
+    rows = q_dtw_profile_distance(spark, SF0001).collect()
+    con = duckdb.connect()
+    cnt = con.execute(
+        "SELECT event_type, CAST(hour(ts) AS INT), count(*) FROM "
+        f"'{SF0001}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    prof: dict[str, list[int]] = {}
+    for g, h, c in cnt:
+        prof.setdefault(g, [0] * 24)[h] = c
+    assert len(rows) == 10  # 5 choose 2
+    for r in rows:
+        pa, pb = prof[r["type_a"]], prof[r["type_b"]]
+        assert r["l1"] == sum(abs(x - y) for x, y in zip(pa, pb))
+        assert r["dtw"] == _dtw_py(pa, pb)
+        assert r["dtw"] == _dtw_py(pb, pa)  # symmetry of the DP
+        assert r["dtw"] <= r["l1"]  # warping can only help
