@@ -2186,3 +2186,162 @@ def q_spatial_neighbors_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("a") < F.col("b")) & (d2 <= 2500))
         .select("a", "b", d2.cast("long").alias("d2"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal forecast (r12): REAL triple
+# exponential smoothing — the recurrence holt_trend_forecast's
+# closed-form WLS deliberately avoids — made oracle-checkable by the
+# nested-fold technique proven on dtw_profile_distance: the 27-double
+# state vector [t, level, trend, s_0..s_23] folds over the dense
+# 168-hour series with IDENTICAL IEEE expression trees in Spark
+# (F.aggregate) and DuckDB (list_reduce, elements lifted to
+# single-item lists), so every double matches bit-for-bit — no
+# quantization needed. α=1/4, β=1/8, γ=1/4 (dyadic rationals, exact
+# in binary); init: level = mean of day 1, trend = (mean day 2 −
+# mean day 1)/24, s_i = x_i − level. One fact scan → 168-row dense
+# grid → single-row fold; the fold is O(period · horizon) driver-free
+# JVM work regardless of data size.
+# ---------------------------------------------------------------------------
+def _hw_sql_fold() -> str:
+    P = 24
+    tmod = "CAST(acc[1] AS BIGINT) % 24"
+    lvl_new = f"0.25*(xx[1] - acc[4 + {tmod}]) + 0.75*(acc[2] + acc[3])"
+    return f"""
+    st AS (
+      SELECT list_reduce(
+        list_prepend(
+          list_concat([CAST({P} AS DOUBLE), lvl0, tr0],
+                      list_transform(range(1, {P + 1}), k -> o[k] - lvl0)),
+          list_transform(o[{P + 1}:], x -> [x])),
+        (acc, xx) -> list_concat(
+          [acc[1] + 1.0,
+           {lvl_new},
+           0.125*(({lvl_new}) - acc[2]) + 0.875*acc[3]],
+          list_transform(range(1, {P + 1}), k ->
+            CASE WHEN k - 1 = {tmod}
+                 THEN 0.25*(xx[1] - ({lvl_new})) + 0.75*acc[4 + {tmod}]
+                 ELSE acc[3 + k] END))
+      ) AS st FROM i
+    )"""
+
+
+@query(
+    "holt_winters_forecast",
+    oracle=f"""
+    WITH b AS (SELECT min(date_trunc('hour', ts)) AS lo FROM events),
+    hx AS (
+      SELECT CAST(epoch(date_trunc('hour', ts))
+                  - epoch((SELECT lo FROM b)) AS BIGINT) // 3600 AS idx,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    spine AS (SELECT unnest(range(0, 168)) AS idx),
+    g AS (
+      SELECT s.idx, CAST(coalesce(hx.c, 0) AS DOUBLE) AS x
+      FROM spine s LEFT JOIN hx ON hx.idx = s.idx
+    ),
+    arr AS (SELECT list(x ORDER BY idx) AS o FROM g),
+    i AS (
+      SELECT o,
+        list_reduce(list_prepend(0.0, o[1:24]), (a, b) -> a + b)
+          / 24.0 AS lvl0,
+        (list_reduce(list_prepend(0.0, o[25:48]), (a, b) -> a + b)
+         - list_reduce(list_prepend(0.0, o[1:24]), (a, b) -> a + b))
+          / 576.0 AS tr0
+      FROM arr
+    ),{_hw_sql_fold()}
+    SELECT CAST(h AS INT) AS h,
+           st[2] + h * st[3]
+             + st[4 + (CAST(st[1] AS BIGINT) + h - 1) % 24] AS forecast,
+           st[2] AS level, st[3] AS trend
+    FROM st, (SELECT unnest(range(1, 25)) AS h)
+    """,
+)
+def q_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive seasonal forecast (period 24, alpha=1/4 beta=1/8 gamma=1/4) of the next day from the first 168 hourly event counts - the REAL triple-exponential recurrence as a single JVM-side array fold, bit-identical doubles in both engines."""
+    P, N = 24, 168
+    e = read_table(spark, sf_dir, "events")
+    h = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lo = h.groupBy().agg(F.min("hr").alias("lo"))
+    idx = h.crossJoin(F.broadcast(lo)).select(
+        ((F.unix_timestamp("hr") - F.unix_timestamp("lo")) / 3600)
+        .cast("long")
+        .alias("idx"),
+        "c",
+    )
+    arr = idx.groupBy().agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N - 1)),
+            lambda k: F.coalesce(
+                F.element_at(
+                    F.map_from_entries(
+                        F.collect_list(F.struct(F.col("idx"), F.col("c")))
+                    ),
+                    k.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+            ).cast("double"),
+        ).alias("o")
+    )
+    o = F.col("o")
+    sum1 = F.aggregate(F.slice(o, 1, P), F.lit(0.0), lambda a, b: a + b)
+    sum2 = F.aggregate(F.slice(o, P + 1, P), F.lit(0.0), lambda a, b: a + b)
+    d1 = arr.select(
+        o,
+        (sum1 / float(P)).alias("lvl0"),
+        ((sum2 - sum1) / float(P * P)).alias("tr0"),
+    )
+    init = F.concat(
+        F.array(F.lit(float(P)), F.col("lvl0"), F.col("tr0")),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(P)),
+            lambda k: F.element_at(o, k) - F.col("lvl0"),
+        ),
+    )
+
+    def step(acc, x):
+        tmod = acc[0].cast("long") % P
+        s_old = F.element_at(acc, (tmod + 4).cast("int"))
+        lvl_new = 0.25 * (x - s_old) + 0.75 * (acc[1] + acc[2])
+        tr_new = 0.125 * (lvl_new - acc[1]) + 0.875 * acc[2]
+        return F.concat(
+            F.array(acc[0] + 1.0, lvl_new, tr_new),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(P)),
+                lambda k: F.when(
+                    (k - 1).cast("long") == tmod,
+                    0.25 * (x - lvl_new) + 0.75 * s_old,
+                ).otherwise(F.element_at(acc, (k + 3).cast("int"))),
+            ),
+        )
+
+    st = F.aggregate(F.slice(o, P + 1, N - P), init, step)
+    d2 = d1.select(st.alias("st"))
+    hs = F.sequence(F.lit(1), F.lit(P))
+    out = d2.select(
+        F.explode(
+            F.transform(
+                hs,
+                lambda hh: F.struct(
+                    hh.cast("int").alias("h"),
+                    (
+                        F.element_at(F.col("st"), 2)
+                        + hh.cast("double") * F.element_at(F.col("st"), 3)
+                        + F.element_at(
+                            F.col("st"),
+                            (
+                                (F.col("st")[0].cast("long")
+                                 + hh.cast("long") - 1) % P + 4
+                            ).cast("int"),
+                        )
+                    ).alias("forecast"),
+                    F.element_at(F.col("st"), 2).alias("level"),
+                    F.element_at(F.col("st"), 3).alias("trend"),
+                ),
+            )
+        ).alias("r")
+    )
+    return out.select("r.h", "r.forecast", "r.level", "r.trend")

@@ -297,3 +297,49 @@ def test_dtw_matches_python_dp(spark):
         assert r["dtw"] == _dtw_py(pa, pb)
         assert r["dtw"] == _dtw_py(pb, pa)  # symmetry of the DP
         assert r["dtw"] <= r["l1"]  # warping can only help
+
+
+def test_holt_winters_matches_python_recurrence(spark):
+    """The declarative fold must equal the imperative triple-exponential
+    recurrence (alpha=1/4, beta=1/8, gamma=1/4) on the real sf0.001
+    series — bit-for-bit, since both are IEEE doubles in the same
+    operation order."""
+    from datalake_etlscripts_spark.plans.featureops import (
+        q_holt_winters_forecast,
+    )
+    import duckdb
+
+    rows = {r["h"]: r for r in q_holt_winters_forecast(spark, SF0001).collect()}
+    con = duckdb.connect()
+    cnt = dict(
+        con.execute(
+            "SELECT CAST(epoch(date_trunc('hour', ts)) - epoch((SELECT"
+            " min(date_trunc('hour', ts)) FROM"
+            f" '{SF0001}/events.parquet')) AS BIGINT) // 3600, count(*)"
+            f" FROM '{SF0001}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    obs = [float(cnt.get(i, 0)) for i in range(168)]
+    P = 24
+    lvl = sum_ = 0.0
+    for x in obs[:P]:
+        sum_ += x
+    lvl = sum_ / float(P)
+    s2 = 0.0
+    for x in obs[P : 2 * P]:
+        s2 += x
+    tr = (s2 - sum_) / float(P * P)
+    seas = [obs[i] - lvl for i in range(P)]
+    t = P
+    for x in obs[P:]:
+        idx = t % P
+        s_old = seas[idx]
+        lvl_new = 0.25 * (x - s_old) + 0.75 * (lvl + tr)
+        tr_new = 0.125 * (lvl_new - lvl) + 0.875 * tr
+        seas[idx] = 0.25 * (x - lvl_new) + 0.75 * s_old
+        lvl, tr = lvl_new, tr_new
+        t += 1
+    for h in range(1, P + 1):
+        want = lvl + h * tr + seas[(t + h - 1) % P]
+        assert rows[h]["forecast"] == want
+        assert rows[h]["level"] == lvl and rows[h]["trend"] == tr
