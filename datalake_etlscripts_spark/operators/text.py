@@ -680,9 +680,14 @@ def bm25_topk(
     stats = dl.agg(
         F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_l")
     )
+    # filter INSIDE the array before exploding: the explode output is
+    # |hits|, not |tokens| — at corpus scale the generator never
+    # materializes the non-matching tokens as rows
+    hit_arr = F.filter(toks, lambda t: t.isin(list(query_terms)))
     hits = (
-        df.select(F.col(id_col), F.explode(toks).alias("_t"))
-        .filter(F.col("_t").isin(list(query_terms)))
+        df.select(F.col(id_col), hit_arr.alias("_ha"))
+        .filter(F.size("_ha") > 0)
+        .select(id_col, F.explode("_ha").alias("_t"))
         .groupBy(id_col, "_t")
         .agg(F.count(F.lit(1)).alias("_tf"))
     )
@@ -756,8 +761,15 @@ def query_likelihood_topk(
     toks = tokens(F.col(text_col))
     dl = df.select(F.col(id_col), F.size(toks).cast("long").alias("_dl"))
     stats = dl.agg(F.sum("_dl").cast("long").alias("_c"))
-    tok = df.select(F.col(id_col), F.explode(toks).alias("_t")).filter(
-        F.col("_t").isin(list(query_terms))
+    # same filter-inside-the-array shape as bm25_topk: explode |hits|,
+    # never |tokens|
+    tok = (
+        df.select(
+            F.col(id_col),
+            F.filter(toks, lambda t: t.isin(list(query_terms))).alias("_ha"),
+        )
+        .filter(F.size("_ha") > 0)
+        .select(id_col, F.explode("_ha").alias("_t"))
     )
     cf = tok.groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("_cf"))
     hits = tok.groupBy(id_col, "_t").agg(
