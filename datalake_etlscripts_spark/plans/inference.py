@@ -651,3 +651,140 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h_micros",
         "h_tied_micros",
     )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals (r12): the
+# distribution-free uncertainty wrapper every forecasting service
+# bolts onto a point model. Deterministic md5 split of events into
+# train/calibration/test (60/20/20 — integer threshold comparison on
+# the 32-bit hash, the sampling.uniform_hash scheme); the point model
+# is the train mean of cents per (event_type, hour-of-day) cell (kept
+# as the exact rational sum/n — each residual is ONE double division
+# of two exact integers, so both engines see identical bits); the
+# conformal radius q̂ is the ⌈0.9·(n_cal+1)⌉-th smallest calibration
+# residual (an order statistic — no interpolation to disagree on),
+# and the test coverage count compares bit-identical doubles. The
+# guarantee under exchangeability is coverage ≥ 0.9; the emitted
+# coverage_permille audits it. Dictionary-bounded after one fact scan
+# (cells = |types|·24); the residual sort is calibration-sized.
+# ---------------------------------------------------------------------------
+@query(
+    "conformal_interval_coverage",
+    oracle="""
+    WITH e AS (
+      SELECT event_type AS g, CAST(hour(ts) AS BIGINT) AS h,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS y,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+                  AS UBIGINT) AS p32
+      FROM events
+    ),
+    tr AS (
+      SELECT g, h, CAST(count(*) AS BIGINT) AS n_cell,
+             CAST(sum(y) AS BIGINT) AS s_cell
+      FROM e WHERE p32 * 10 < 4294967296 * 6 GROUP BY g, h
+    ),
+    cal AS (
+      SELECT e.g, e.h,
+             CAST(abs(e.y * t.n_cell - t.s_cell) AS DOUBLE)
+               / CAST(t.n_cell AS DOUBLE) AS r
+      FROM e JOIN tr t ON t.g = e.g AND t.h = e.h
+      WHERE p32 * 10 >= 4294967296 * 6 AND p32 * 10 < 4294967296 * 8
+    ),
+    nq AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal
+    ),
+    qh AS (
+      SELECT r AS qhat FROM (
+        SELECT r, row_number() OVER (ORDER BY r) AS rn FROM cal
+      ), nq
+      WHERE rn = CAST(ceil(0.9 * (nq.n_cal + 1)) AS BIGINT)
+    ),
+    te AS (
+      SELECT e.y, t.n_cell, t.s_cell,
+             CAST(abs(e.y * t.n_cell - t.s_cell) AS DOUBLE)
+               / CAST(t.n_cell AS DOUBLE) AS r
+      FROM e JOIN tr t ON t.g = e.g AND t.h = e.h
+      WHERE p32 * 10 >= 4294967296 * 8
+    )
+    SELECT (SELECT CAST(sum(n_cell) AS BIGINT) FROM tr) AS n_train,
+           nq.n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(floor(qh.qhat * 1000000 + 0.5) AS BIGINT) AS q_micros,
+           CAST(sum(CASE WHEN te.r <= qh.qhat THEN 1 ELSE 0 END)
+                AS BIGINT) AS covered,
+           CAST((sum(CASE WHEN te.r <= qh.qhat THEN 1 ELSE 0 END) * 1000)
+                // count(*) AS BIGINT) AS coverage_permille
+    FROM te CROSS JOIN qh CROSS JOIN nq
+    GROUP BY nq.n_cal, qh.qhat
+    """,
+)
+def q_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval audit: md5-deterministic 60/20/20 split, per-(type,hour) train-mean model kept as an exact rational, order-statistic conformal radius at 90%, bit-exact test coverage in permille."""
+    from datalake_etlscripts_spark.operators.sampling import _hex_key
+
+    e = read_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        F.hour("ts").cast("long").alias("h"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("y"),
+        F.conv(F.substring(_hex_key(F.col("event_id")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("p32"),
+    )
+    scale = F.lit(4294967296).cast("long")
+    tr = (
+        e.filter(F.col("p32") * 10 < scale * 6)
+        .groupBy("g", "h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cell"),
+            F.sum("y").cast("long").alias("s_cell"),
+        )
+    )
+    resid = (
+        F.abs(F.col("y") * F.col("n_cell") - F.col("s_cell")).cast("double")
+        / F.col("n_cell").cast("double")
+    )
+    cal = (
+        e.filter(
+            (F.col("p32") * 10 >= scale * 6) & (F.col("p32") * 10 < scale * 8)
+        )
+        .join(F.broadcast(tr), ["g", "h"])
+        .select(resid.alias("r"))
+    )
+    nq = cal.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    wq = W.orderBy("r")
+    qh = (
+        cal.select("r", F.row_number().over(wq).alias("rn"))
+        .crossJoin(F.broadcast(nq))
+        .filter(
+            F.col("rn")
+            == F.ceil(0.9 * (F.col("n_cal") + 1)).cast("long")
+        )
+        .select(F.col("r").alias("qhat"), "n_cal")
+    )
+    te = (
+        e.filter(F.col("p32") * 10 >= scale * 8)
+        .join(F.broadcast(tr), ["g", "h"])
+        .select(resid.alias("r"))
+    )
+    n_train = tr.groupBy().agg(
+        F.sum("n_cell").cast("long").alias("n_train")
+    )
+    agg = (
+        te.crossJoin(F.broadcast(qh))
+        .groupBy("n_cal", "qhat")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("r") <= F.col("qhat"), 1).otherwise(0)
+            ).cast("long").alias("covered"),
+        )
+    )
+    return agg.crossJoin(F.broadcast(n_train)).select(
+        "n_train",
+        "n_cal",
+        "n_test",
+        F.floor(F.col("qhat") * 1000000 + 0.5).cast("long").alias("q_micros"),
+        "covered",
+        F.expr("(covered * 1000) div n_test").alias("coverage_permille"),
+    )

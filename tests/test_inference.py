@@ -343,3 +343,53 @@ def test_holt_winters_matches_python_recurrence(spark):
         want = lvl + h * tr + seas[(t + h - 1) % P]
         assert rows[h]["forecast"] == want
         assert rows[h]["level"] == lvl and rows[h]["trend"] == tr
+
+
+def test_conformal_matches_python_replay(spark):
+    """Exact Python replay of the md5 split, the rational residuals,
+    the order-statistic radius, and the coverage count."""
+    from datalake_etlscripts_spark.plans.inference import (
+        q_conformal_interval_coverage,
+    )
+    import duckdb
+    import hashlib
+    import math
+
+    row = q_conformal_interval_coverage(spark, SF0001).collect()[0]
+    con = duckdb.connect()
+    ev = con.execute(
+        "SELECT event_id, event_type, CAST(hour(ts) AS INT),"
+        " CAST(floor(value*100+0.5) AS BIGINT) FROM"
+        f" '{SF0001}/events.parquet'"
+    ).fetchall()
+    S = 4294967296
+    split = []
+    for eid, g, h, y in ev:
+        p32 = int(hashlib.md5(str(eid).encode()).hexdigest()[:8], 16)
+        lane = (
+            "tr" if p32 * 10 < S * 6 else "cal" if p32 * 10 < S * 8 else "te"
+        )
+        split.append((lane, g, h, y))
+    cells: dict[tuple, list[int]] = {}
+    for lane, g, h, y in split:
+        if lane == "tr":
+            cells.setdefault((g, h), []).append(y)
+    tr = {k: (len(v), sum(v)) for k, v in cells.items()}
+    cal = sorted(
+        abs(y * tr[(g, h)][0] - tr[(g, h)][1]) / tr[(g, h)][0]
+        for lane, g, h, y in split
+        if lane == "cal" and (g, h) in tr
+    )
+    qhat = cal[math.ceil(0.9 * (len(cal) + 1)) - 1]
+    te = [
+        abs(y * tr[(g, h)][0] - tr[(g, h)][1]) / tr[(g, h)][0]
+        for lane, g, h, y in split
+        if lane == "te" and (g, h) in tr
+    ]
+    covered = sum(1 for r in te if r <= qhat)
+    assert row["n_train"] == sum(n for n, _ in tr.values())
+    assert row["n_cal"] == len(cal)
+    assert row["n_test"] == len(te)
+    assert row["q_micros"] == math.floor(qhat * 1e6 + 0.5)
+    assert row["covered"] == covered
+    assert row["coverage_permille"] == covered * 1000 // len(te)
