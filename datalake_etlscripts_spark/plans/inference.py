@@ -788,3 +788,198 @@ def q_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
         "covered",
         F.expr("(covered * 1000) div n_test").alias("coverage_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Yuen's trimmed-mean test (click vs purchase, 20% trim) — the robust
+# LOCATION test beside brown_forsythe's robust scale test. Everything
+# comes off the VALUE DICTIONARY, never a fact-sized sort: with
+# per-value counts and the cumulative-below, the g-th order statistic
+# is the first value whose cumulative reaches it, the trimmed sum is
+# Σ v · overlap of [clt, clt+cnt) with the kept rank band
+# [g, n−g) (exact partial-tie handling), and the winsorized moments
+# clamp v to [lo, hi] before the same dictionary aggregate. Trimmed
+# means and the winsorized variance numerator A = n·Σw² − (Σw)² stay
+# exact (DECIMAL for the Σw² headroom); t is one fixed-order double
+# expression. 100 TB: one fact scan → dictionary aggregate →
+# two scalar rows.
+# ---------------------------------------------------------------------------
+@query(
+    "yuen_trimmed_test",
+    oracle="""
+    WITH e AS (
+      SELECT event_type AS g,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    d AS (
+      SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY g, v
+    ),
+    c AS (
+      SELECT g, v, cnt,
+             CAST(coalesce(sum(cnt) OVER (
+               PARTITION BY g ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS clt
+      FROM d
+    ),
+    nn AS (
+      SELECT g, CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt) // 5 AS BIGINT) AS gt
+      FROM d GROUP BY g
+    ),
+    oshi AS (
+      SELECT c.g,
+             CAST(min(CASE WHEN c.clt + c.cnt >= nn.gt + 1
+                      THEN c.v END) AS BIGINT) AS lo,
+             CAST(min(CASE WHEN c.clt + c.cnt >= nn.n - nn.gt
+                      THEN c.v END) AS BIGINT) AS hi
+      FROM c JOIN nn USING (g) GROUP BY c.g
+    ),
+    agg AS (
+      SELECT c.g, nn.n, nn.n - 2 * nn.gt AS h, o.lo, o.hi,
+             CAST(sum(c.v * greatest(0,
+               least(nn.n - nn.gt, c.clt + c.cnt) - greatest(nn.gt, c.clt)
+             )) AS BIGINT) AS sum_mid,
+             CAST(sum(least(greatest(c.v, o.lo), o.hi) * c.cnt)
+                  AS BIGINT) AS sw,
+             CAST(sum(CAST(least(greatest(c.v, o.lo), o.hi)
+                           AS DECIMAL(38,0))
+                      * least(greatest(c.v, o.lo), o.hi) * c.cnt)
+                  AS DECIMAL(38,0)) AS sw2
+      FROM c JOIN nn USING (g) JOIN oshi o ON o.g = c.g
+      GROUP BY c.g, nn.n, nn.gt, o.lo, o.hi
+    ),
+    ab AS (
+      SELECT
+        (SELECT n FROM agg WHERE g = 'click') AS n_a,
+        (SELECT h FROM agg WHERE g = 'click') AS h_a,
+        (SELECT lo FROM agg WHERE g = 'click') AS lo_a,
+        (SELECT hi FROM agg WHERE g = 'click') AS hi_a,
+        (SELECT sum_mid FROM agg WHERE g = 'click') AS summid_a,
+        (SELECT CAST(CAST(CAST(n AS DECIMAL(38,0)) * sw2
+                          - CAST(sw AS DECIMAL(38,0)) * sw AS VARCHAR)
+                     AS DOUBLE) FROM agg WHERE g = 'click') AS aa,
+        (SELECT n FROM agg WHERE g = 'purchase') AS n_b,
+        (SELECT h FROM agg WHERE g = 'purchase') AS h_b,
+        (SELECT lo FROM agg WHERE g = 'purchase') AS lo_b,
+        (SELECT hi FROM agg WHERE g = 'purchase') AS hi_b,
+        (SELECT sum_mid FROM agg WHERE g = 'purchase') AS summid_b,
+        (SELECT CAST(CAST(CAST(n AS DECIMAL(38,0)) * sw2
+                          - CAST(sw AS DECIMAL(38,0)) * sw AS VARCHAR)
+                     AS DOUBLE) FROM agg WHERE g = 'purchase') AS ab_
+    )
+    SELECT n_a, n_b, h_a, h_b, lo_a, hi_a, lo_b, hi_b,
+           summid_a, summid_b,
+           CAST(floor(
+             (CAST(summid_a AS DOUBLE) / h_a
+              - CAST(summid_b AS DOUBLE) / h_b)
+             / sqrt(aa / (CAST(n_a AS DOUBLE) * h_a * (h_a - 1))
+                    + ab_ / (CAST(n_b AS DOUBLE) * h_b * (h_b - 1)))
+             * 1000000 + 0.5) AS BIGINT) AS t_micros
+    FROM ab
+    """,
+)
+def q_yuen_trimmed_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's 20%-trimmed-mean test on click-vs-purchase values - order statistics and trimmed/winsorized moments all from the value dictionary (exact partial-tie handling), one fixed-order double t at the end."""
+    e = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.col("event_type").alias("g"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+        )
+    )
+    d = e.groupBy("g", "v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wg = W.partitionBy("g").orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    c = d.select(
+        "g",
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wg), F.lit(0)).cast("long").alias("clt"),
+    )
+    nn = d.groupBy("g").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.expr("sum(cnt) div 5").cast("long").alias("gt"),
+    )
+    cj = c.join(F.broadcast(nn), "g")
+    oshi = cj.groupBy("g").agg(
+        F.min(
+            F.when(
+                F.col("clt") + F.col("cnt") >= F.col("gt") + 1, F.col("v")
+            )
+        ).cast("long").alias("lo"),
+        F.min(
+            F.when(
+                F.col("clt") + F.col("cnt") >= F.col("n") - F.col("gt"),
+                F.col("v"),
+            )
+        ).cast("long").alias("hi"),
+    )
+    wv = F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    agg = (
+        cj.join(F.broadcast(oshi), "g")
+        .groupBy("g", "n", "gt", "lo", "hi")
+        .agg(
+            F.sum(
+                F.col("v")
+                * F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.col("n") - F.col("gt"), F.col("clt") + F.col("cnt")
+                    )
+                    - F.greatest(F.col("gt"), F.col("clt")),
+                )
+            ).cast("long").alias("sum_mid"),
+            F.sum(wv * F.col("cnt")).cast("long").alias("sw"),
+            F.sum(
+                wv.cast("decimal(38,0)") * wv * F.col("cnt")
+            ).cast("decimal(38,0)").alias("sw2"),
+        )
+        .select(
+            "g",
+            "n",
+            (F.col("n") - 2 * F.col("gt")).alias("h"),
+            "lo",
+            "hi",
+            "sum_mid",
+            (
+                F.col("n").cast("decimal(38,0)") * F.col("sw2")
+                - F.col("sw").cast("decimal(38,0)") * F.col("sw")
+            ).cast("decimal(38,0)").cast("string").cast("double").alias("a"),
+        )
+    )
+    a = agg.filter(F.col("g") == "click").select(
+        F.col("n").alias("n_a"),
+        F.col("h").alias("h_a"),
+        F.col("lo").alias("lo_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("sum_mid").alias("summid_a"),
+        F.col("a").alias("aa"),
+    )
+    b = agg.filter(F.col("g") == "purchase").select(
+        F.col("n").alias("n_b"),
+        F.col("h").alias("h_b"),
+        F.col("lo").alias("lo_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("sum_mid").alias("summid_b"),
+        F.col("a").alias("ab_"),
+    )
+    ab = a.crossJoin(F.broadcast(b))
+    t = (
+        (
+            F.col("summid_a").cast("double") / F.col("h_a")
+            - F.col("summid_b").cast("double") / F.col("h_b")
+        )
+        / F.sqrt(
+            F.col("aa")
+            / (F.col("n_a").cast("double") * F.col("h_a") * (F.col("h_a") - 1))
+            + F.col("ab_")
+            / (F.col("n_b").cast("double") * F.col("h_b") * (F.col("h_b") - 1))
+        )
+    )
+    return ab.select(
+        "n_a", "n_b", "h_a", "h_b", "lo_a", "hi_a", "lo_b", "hi_b",
+        "summid_a", "summid_b",
+        F.floor(t * 1000000 + 0.5).cast("long").alias("t_micros"),
+    )

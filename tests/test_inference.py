@@ -393,3 +393,43 @@ def test_conformal_matches_python_replay(spark):
     assert row["q_micros"] == math.floor(qhat * 1e6 + 0.5)
     assert row["covered"] == covered
     assert row["coverage_permille"] == covered * 1000 // len(te)
+
+
+def test_yuen_matches_python_model(spark):
+    """Trimmed/winsorized statistics replayed with plain Python sorts
+    — validates the dictionary partial-tie rank-band arithmetic."""
+    from datalake_etlscripts_spark.plans.inference import q_yuen_trimmed_test
+    import duckdb
+
+    row = q_yuen_trimmed_test(spark, SF0001).collect()[0]
+    con = duckdb.connect()
+    vals = con.execute(
+        "SELECT event_type, CAST(floor(value*100+0.5) AS BIGINT) FROM "
+        f"'{SF0001}/events.parquet' WHERE event_type IN"
+        " ('click','purchase')"
+    ).fetchall()
+
+    def stats(name):
+        xs = sorted(v for g, v in vals if g == name)
+        n = len(xs)
+        g = n // 5
+        h = n - 2 * g
+        mid = xs[g : n - g]
+        lo, hi = xs[g], xs[n - g - 1]
+        w = [min(max(x, lo), hi) for x in xs]
+        a = n * sum(t * t for t in w) - sum(w) ** 2
+        return n, h, lo, hi, sum(mid), float(a)
+
+    n_a, h_a, lo_a, hi_a, sm_a, aa = stats("click")
+    n_b, h_b, lo_b, hi_b, sm_b, ab_ = stats("purchase")
+    assert (row["n_a"], row["h_a"], row["lo_a"], row["hi_a"]) == (
+        n_a, h_a, lo_a, hi_a,
+    )
+    assert (row["n_b"], row["h_b"], row["lo_b"], row["hi_b"]) == (
+        n_b, h_b, lo_b, hi_b,
+    )
+    assert (row["summid_a"], row["summid_b"]) == (sm_a, sm_b)
+    t = (sm_a / h_a - sm_b / h_b) / math.sqrt(
+        aa / (n_a * h_a * (h_a - 1)) + ab_ / (n_b * h_b * (h_b - 1))
+    )
+    assert row["t_micros"] == math.floor(t * 1e6 + 0.5)
