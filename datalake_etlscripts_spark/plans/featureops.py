@@ -2345,3 +2345,226 @@ def q_holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     )
     return out.select("r.h", "r.forecast", "r.level", "r.trend")
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry preference scores over brands (r12): "which brand
+# wins the basket" — pairwise comparisons are co-order brand pairs
+# (winner = larger max line quantity, ties skipped), and the
+# Bradley-Terry MM iteration p_i ← W_i / Σ_j (n_ij + n_ji)/(p_i + p_j)
+# (Hunter 2004) runs TEN SYNCHRONOUS ROUNDS as a driver-free array
+# fold over the K-vector of scores, with the K×K win matrix carried
+# as one K²-double array column (map → dense positions) — the same
+# nested-fold technique as holt_winters_forecast, so both engines
+# produce bit-identical doubles. The pair self-join is brand-level
+# per order (≤ |brands| = 25 rows a side), bounded by the brand
+# dictionary, NOT by basket size. One fact scan → (order, brand)
+# aggregate → pair counts → single-row fold; at 100 TB only the scan
+# and the keyed aggregates grow.
+# ---------------------------------------------------------------------------
+@query(
+    "bradley_terry_brands",
+    oracle="""
+    WITH ob AS (
+      SELECT l_orderkey AS o, p.p_brand AS brand,
+             CAST(max(l_quantity) AS BIGINT) AS q
+      FROM lineitem li JOIN part p ON p.p_partkey = li.l_partkey
+      GROUP BY 1, 2
+    ),
+    bidx AS (
+      SELECT brand, CAST(row_number() OVER (ORDER BY brand) AS BIGINT) AS i
+      FROM (SELECT DISTINCT brand FROM ob)
+    ),
+    oi AS (
+      SELECT ob.o, b.i, ob.q FROM ob JOIN bidx b USING (brand)
+    ),
+    pr AS (
+      SELECT a.i AS ia, b.i AS ib,
+             CAST(sum(CASE WHEN a.q > b.q THEN 1 ELSE 0 END) AS BIGINT)
+               AS wab,
+             CAST(sum(CASE WHEN b.q > a.q THEN 1 ELSE 0 END) AS BIGINT)
+               AS wba
+      FROM oi a JOIN oi b ON a.o = b.o AND a.i < b.i
+      GROUP BY 1, 2
+    ),
+    kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM bidx),
+    ent AS (
+      SELECT (ia - 1) * kk.k + ib AS pos, CAST(wab AS DOUBLE) AS w
+      FROM pr, kk
+      UNION ALL
+      SELECT (ib - 1) * kk.k + ia, CAST(wba AS DOUBLE) FROM pr, kk
+    ),
+    mrow AS (
+      SELECT kk.k,
+             list_transform(range(1, CAST(kk.k * kk.k + 1 AS BIGINT)),
+               pos -> coalesce(mm.m[pos][1], 0.0)) AS m
+      FROM kk, (SELECT map(list(pos ORDER BY pos),
+                           list(w ORDER BY pos)) AS m FROM ent) mm
+    ),
+    wv AS (
+      SELECT k, m,
+             list_transform(range(1, k + 1), i ->
+               list_reduce(list_prepend(0.0,
+                 list_transform(range(1, k + 1), j -> m[(i - 1) * k + j])),
+                 (a, b) -> a + b)) AS w
+      FROM mrow
+    ),
+    ft AS (
+      SELECT k, list_reduce(
+        list_prepend(list_transform(range(1, k + 1), x -> 1.0),
+                     list_transform(range(10), x -> [CAST(x AS DOUBLE)])),
+        (p, _x) -> list_transform(range(1, k + 1), i ->
+          CASE WHEN list_reduce(list_prepend(0.0,
+                 list_transform(range(1, k + 1), j ->
+                   CASE WHEN j = i THEN 0.0
+                        ELSE (m[(i - 1) * k + j] + m[(j - 1) * k + i])
+                             / (p[i] + p[j]) END)),
+                 (a, b) -> a + b) = 0.0 THEN 0.0
+               ELSE w[i] / list_reduce(list_prepend(0.0,
+                 list_transform(range(1, k + 1), j ->
+                   CASE WHEN j = i THEN 0.0
+                        ELSE (m[(i - 1) * k + j] + m[(j - 1) * k + i])
+                             / (p[i] + p[j]) END)),
+                 (a, b) -> a + b) END)
+      ) AS p FROM wv
+    ),
+    sc AS (
+      SELECT CAST(unnest(range(1, k + 1)) AS BIGINT) AS i,
+             unnest(list_transform(p, x -> x /
+               list_reduce(list_prepend(0.0, p), (a, b) -> a + b))) AS score
+      FROM ft
+    )
+    SELECT b.brand, sc.score FROM sc JOIN bidx b USING (i)
+    """,
+)
+def q_bradley_terry_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry brand preference scores from co-order max-quantity wins - 10 MM rounds (Hunter 2004) as a driver-free array fold over the score vector with the KxK win matrix as one dense array column, bit-identical doubles in both engines."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), "l_partkey", "l_quantity"
+    )
+    pt = read_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    ob = (
+        li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
+        .groupBy("o", "brand")
+        .agg(F.max("l_quantity").cast("long").alias("q"))
+    )
+    from pyspark.sql import Window as _W
+
+    bidx = (
+        ob.select("brand")
+        .distinct()
+        .select(
+            "brand",
+            F.row_number().over(_W.orderBy("brand")).cast("long").alias("i"),
+        )
+    )
+    oi = ob.join(F.broadcast(bidx), "brand").select("o", "i", "q")
+    a = oi.select(
+        F.col("o"), F.col("i").alias("ia"), F.col("q").alias("qa")
+    )
+    b = oi.select(
+        F.col("o").alias("ob_"), F.col("i").alias("ib"), F.col("q").alias("qb")
+    )
+    pr = (
+        a.join(b, (a["o"] == b["ob_"]) & (a["ia"] < b["ib"]))
+        .groupBy("ia", "ib")
+        .agg(
+            F.sum(F.when(F.col("qa") > F.col("qb"), 1).otherwise(0))
+            .cast("long")
+            .alias("wab"),
+            F.sum(F.when(F.col("qb") > F.col("qa"), 1).otherwise(0))
+            .cast("long")
+            .alias("wba"),
+        )
+    )
+    kk = bidx.groupBy().agg(F.count(F.lit(1)).cast("long").alias("k"))
+    ent = (
+        pr.crossJoin(F.broadcast(kk))
+        .select(
+            ((F.col("ia") - 1) * F.col("k") + F.col("ib")).alias("pos"),
+            F.col("wab").cast("double").alias("w"),
+        )
+        .unionByName(
+            pr.crossJoin(F.broadcast(kk)).select(
+                ((F.col("ib") - 1) * F.col("k") + F.col("ia")).alias("pos"),
+                F.col("wba").cast("double").alias("w"),
+            )
+        )
+    )
+    mrow = (
+        ent.groupBy()
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("pos"), F.col("w")))
+            ).alias("mm")
+        )
+        .crossJoin(F.broadcast(kk))
+        .select(
+            "k",
+            F.transform(
+                F.sequence(F.lit(1).cast("long"), F.col("k") * F.col("k")),
+                lambda pos: F.coalesce(
+                    F.element_at(F.col("mm"), pos), F.lit(0.0)
+                ),
+            ).alias("m"),
+        )
+    )
+    m, k = F.col("m"), F.col("k")
+    seq_k = F.sequence(F.lit(1).cast("long"), k)
+    wv = mrow.select(
+        "k",
+        "m",
+        F.transform(
+            seq_k,
+            lambda i: F.aggregate(
+                seq_k,
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(m, ((i - 1) * k + j).cast("int")),
+            ),
+        ).alias("w"),
+    )
+    w = F.col("w")
+
+    def den(p, i):
+        return F.aggregate(
+            seq_k,
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.when(j == i, F.lit(0.0)).otherwise(
+                (
+                    F.element_at(m, ((i - 1) * k + j).cast("int"))
+                    + F.element_at(m, ((j - 1) * k + i).cast("int"))
+                )
+                / (
+                    F.element_at(p, i.cast("int"))
+                    + F.element_at(p, j.cast("int"))
+                )
+            ),
+        )
+
+    p0 = F.transform(seq_k, lambda x: F.lit(1.0))
+    fold = F.aggregate(
+        F.sequence(F.lit(1), F.lit(10)),
+        p0,
+        lambda p, _x: F.transform(
+            seq_k,
+            lambda i: F.when(den(p, i) == 0.0, F.lit(0.0)).otherwise(
+                F.element_at(w, i.cast("int")) / den(p, i)
+            ),
+        ),
+    )
+    ft = wv.select("k", fold.alias("p"))
+    s = F.aggregate(F.col("p"), F.lit(0.0), lambda acc, x: acc + x)
+    sc = ft.select(
+        F.explode(
+            F.zip_with(
+                F.sequence(F.lit(1).cast("long"), F.col("k")),
+                F.transform(F.col("p"), lambda x: x / s),
+                lambda i, v: F.struct(i.alias("i"), v.alias("score")),
+            )
+        ).alias("r")
+    ).select("r.i", "r.score")
+    return sc.join(F.broadcast(bidx), "i").select("brand", "score")

@@ -433,3 +433,61 @@ def test_yuen_matches_python_model(spark):
         aa / (n_a * h_a * (h_a - 1)) + ab_ / (n_b * h_b * (h_b - 1))
     )
     assert row["t_micros"] == math.floor(t * 1e6 + 0.5)
+
+
+def test_bradley_terry_matches_python_mm(spark):
+    """Ten synchronous MM rounds replayed in Python from the raw
+    pairwise win counts (DuckDB recomputes the comparisons)."""
+    from datalake_etlscripts_spark.plans.featureops import (
+        q_bradley_terry_brands,
+    )
+    import duckdb
+
+    rows = {
+        r["brand"]: r["score"]
+        for r in q_bradley_terry_brands(spark, SF0001).collect()
+    }
+    con = duckdb.connect()
+    pr = con.execute(
+        f"""
+        WITH ob AS (
+          SELECT l_orderkey AS o, p.p_brand AS brand,
+                 CAST(max(l_quantity) AS BIGINT) AS q
+          FROM '{SF0001}/lineitem.parquet' li
+          JOIN '{SF0001}/part.parquet' p ON p.p_partkey = li.l_partkey
+          GROUP BY 1, 2
+        )
+        SELECT a.brand, b.brand,
+               sum(CASE WHEN a.q > b.q THEN 1 ELSE 0 END),
+               sum(CASE WHEN b.q > a.q THEN 1 ELSE 0 END)
+        FROM ob a JOIN ob b ON a.o = b.o AND a.brand < b.brand
+        GROUP BY 1, 2
+        """
+    ).fetchall()
+    brands = sorted(rows)
+    idx = {br: i for i, br in enumerate(brands)}
+    K = len(brands)
+    n = [[0.0] * K for _ in range(K)]
+    for ba, bb, wab, wba in pr:
+        n[idx[ba]][idx[bb]] = float(wab)
+        n[idx[bb]][idx[ba]] = float(wba)
+    w = []
+    for i in range(K):
+        s = 0.0
+        for j in range(K):
+            s += n[i][j]
+        w.append(s)
+    p = [1.0] * K
+    for _ in range(10):
+        nxt = []
+        for i in range(K):
+            den = 0.0
+            for j in range(K):
+                den += 0.0 if j == i else (n[i][j] + n[j][i]) / (p[i] + p[j])
+            nxt.append(0.0 if den == 0.0 else w[i] / den)
+        p = nxt
+    s = 0.0
+    for x in p:
+        s += x
+    for br in brands:
+        assert rows[br] == p[idx[br]] / s

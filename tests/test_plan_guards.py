@@ -92,6 +92,11 @@ SKEW_ALLOWLIST = {
     "embedding_covariance": "dim-pair join, d² rows per id, d fixed",
     "bm25_topk": "per-doc length table (one row per doc_id)",
     "query_likelihood_lm": "per-doc length table (one row per doc_id)",
+    "bradley_terry_brands": (
+        "brand-index dim is one row per i (row_number over the "
+        "distinct-brand dictionary, |brands| = 25); the co-order pair "
+        "join is brand-level per order, bounded by the same dictionary"
+    ),
     "hybrid_search_rrf": "per-doc rank tables (one row per doc_id)",
     "gopher_length_auc": "per-doc score table (one row per doc_id)",
     "naive_bayes_confusion": "per-doc argmax table",
