@@ -1050,9 +1050,10 @@ def set_resizer(fn: Callable[[bytes, int, int], bytes]) -> None:
 
 
 def _decode_any_pixels(raw: bytes) -> tuple[int, int, int, bytes]:
-    """(w, h, channels, top-down pixel bytes) for the three REAL
-    in-tree codecs: 24-bpp BMP (offset/stride/bottom-up honored,
-    BGR kept as stored), binary PPM P6 (RGB), PNG (gray/RGB/RGBA)."""
+    """(w, h, channels, top-down pixel bytes) for the REAL in-tree
+    codecs: 24-bpp BMP (offset/stride/bottom-up honored, BGR kept as
+    stored), binary PPM P6 (RGB), PNG (gray/RGB/RGBA), and baseline
+    TIFF (gray/RGB, II/MM, multi-strip)."""
     import struct
 
     if raw[:2] == b"BM":
@@ -1077,7 +1078,9 @@ def _decode_any_pixels(raw: bytes) -> tuple[int, int, int, bytes]:
         return w, h, 3, parts[3][: 3 * w * h]
     if raw[:8] == PNG_SIG:
         return decode_png_pixels(raw)
-    raise ValueError("nn_resize: not BMP/P6/PNG bytes")
+    if raw[:2] in (b"II", b"MM"):
+        return decode_tiff_pixels(raw)
+    raise ValueError("nn_resize: not BMP/P6/PNG/TIFF bytes")
 
 
 def nn_resize(raw: bytes, target_w: int, target_h: int) -> bytes:

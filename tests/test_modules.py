@@ -3745,6 +3745,12 @@ def test_tiff_roundtrip_both_byte_orders_multistrip():
                 assert decode_tiff_pixels(raw) == (w, h, ch, px)
                 assert parse_image_header(raw) == (w, h)
 
+    # the resize seam dispatches TIFF too (identity resize = pixels)
+    from datalake_etlscripts_spark.operators.multimodal import nn_resize
+
+    raw = encode_tiff(5, 7, bytes(105), channels=3, rows_per_strip=2)
+    assert nn_resize(raw, 5, 7) == bytes(105)
+
 
 def test_tiff_decoder_rejects_unsupported():
     import struct
