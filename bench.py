@@ -80,6 +80,13 @@ HEADLINE = [
     # integral, so this measures exact-integer vs native-double
     # window arithmetic)
     "fifo_allocation_double",
+    # round-12 additions (headline 44 → 47; totals non-comparable —
+    # use comparable_subsets): the brand-level co-order pair join +
+    # MM fold, the dictionary-rank inference lane's heaviest member,
+    # and the real-TIFF decode path (mapInPandas lane)
+    "bradley_terry_brands",
+    "kruskal_wallis",
+    "tiff_pixel_stats",
 ]
 
 
