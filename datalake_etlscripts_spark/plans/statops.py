@@ -3191,3 +3191,196 @@ def q_dtw_profile_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         l1.alias("l1"),
         F.element_at(dtw_row, 24).alias("dtw"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily motif discovery (r12): matrix-profile-lite over the first
+# seven day-long windows of the hourly event-count series — exact
+# integer SSE between every pair of daily profiles, the closest pair
+# flagged as the motif (ties broken by day indices). The 21-pair
+# "profile" is tiny by construction; at 100 TB only the hourly
+# aggregate scan grows. The pair explosion is a broadcast
+# nested-loop of two 7-row dims — never a fact-sized join.
+# ---------------------------------------------------------------------------
+@query(
+    "daily_motif_pairs",
+    oracle="""
+    WITH b AS (SELECT min(date_trunc('hour', ts)) AS lo FROM events),
+    hx AS (
+      SELECT CAST(epoch(date_trunc('hour', ts))
+                  - epoch((SELECT lo FROM b)) AS BIGINT) // 3600 AS idx,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    spine AS (SELECT unnest(range(0, 168)) AS idx),
+    g AS (
+      SELECT s.idx // 24 AS d, s.idx % 24 AS h,
+             CAST(coalesce(hx.c, 0) AS BIGINT) AS x
+      FROM spine s LEFT JOIN hx ON hx.idx = s.idx
+    ),
+    prof AS (
+      SELECT d, list(x ORDER BY h) AS p FROM g GROUP BY d
+    ),
+    pairs AS (
+      SELECT a.d AS day_a, b.d AS day_b,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, 25),
+                 i -> (a.p[i] - b.p[i]) * (a.p[i] - b.p[i]))),
+               (x, y) -> x + y) AS BIGINT) AS sse
+      FROM prof a JOIN prof b ON a.d < b.d
+    )
+    SELECT day_a, day_b, sse,
+           CAST(CASE WHEN row_number() OVER (ORDER BY sse, day_a, day_b)
+                = 1 THEN 1 ELSE 0 END AS INT) AS is_motif
+    FROM pairs
+    """,
+)
+def q_daily_motif_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix-profile-lite motif discovery over the first 7 daily profiles of the hourly series - exact integer SSE for all 21 day pairs, closest pair flagged, broadcast pair join of two 7-row dims."""
+    e = read_table(spark, sf_dir, "events")
+    h = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lo = h.groupBy().agg(F.min("hr").alias("lo"))
+    idx = h.crossJoin(F.broadcast(lo)).select(
+        ((F.unix_timestamp("hr") - F.unix_timestamp("lo")) / 3600)
+        .cast("long")
+        .alias("idx"),
+        "c",
+    )
+    spine = e.sparkSession.range(0, 168).select(F.col("id").alias("idx"))
+    g = spine.join(idx, "idx", "left").select(
+        F.expr("idx div 24").alias("d"),
+        (F.col("idx") % 24).alias("h"),
+        F.coalesce("c", F.lit(0)).cast("long").alias("x"),
+    )
+    prof = g.groupBy("d").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("h"), F.col("x")))),
+            lambda s: s["x"],
+        ).alias("p")
+    )
+    a = prof.select(F.col("d").alias("day_a"), F.col("p").alias("pa"))
+    b = prof.select(F.col("d").alias("day_b"), F.col("p").alias("pb"))
+    pairs = a.crossJoin(F.broadcast(b)).filter(
+        F.col("day_a") < F.col("day_b")
+    )
+    sse = F.aggregate(
+        F.zip_with(
+            F.col("pa"), F.col("pb"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = W.orderBy("sse", "day_a", "day_b")
+    return pairs.select("day_a", "day_b", sse.alias("sse")).select(
+        "day_a",
+        "day_b",
+        "sse",
+        F.when(F.row_number().over(w) == 1, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_motif"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization (r12): the classic symbolic TS representation —
+# each of the first 7 days is PAA-reduced to 6 four-hour segments and
+# each segment mean is mapped to one of 4 symbols (a..d) by the
+# global quartile breakpoints of the 42 segment means. EXACT: segment
+# sums are integers (means = sum/4 compared by cross-multiplication),
+# the quartile breakpoints are order statistics of the 42 exact sums,
+# and symbols compare sums directly — no float anywhere. The daily
+# SAX words feed motif/novelty indexes; at scale only the hourly
+# aggregate grows (42 segments is fixed by the window).
+# ---------------------------------------------------------------------------
+@query(
+    "sax_daily_symbols",
+    oracle="""
+    WITH b AS (SELECT min(date_trunc('hour', ts)) AS lo FROM events),
+    hx AS (
+      SELECT CAST(epoch(date_trunc('hour', ts))
+                  - epoch((SELECT lo FROM b)) AS BIGINT) // 3600 AS idx,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    spine AS (SELECT unnest(range(0, 168)) AS idx),
+    seg AS (
+      SELECT s.idx // 24 AS d, (s.idx % 24) // 4 AS sg,
+             CAST(sum(coalesce(hx.c, 0)) AS BIGINT) AS ssum
+      FROM spine s LEFT JOIN hx ON hx.idx = s.idx
+      GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT d, sg, ssum,
+             row_number() OVER (ORDER BY ssum, d, sg) AS rn,
+             count(*) OVER () AS n
+      FROM seg
+    ),
+    sym AS (
+      SELECT d, sg, ssum,
+             CAST(CASE WHEN rn * 4 <= n THEN 0
+                       WHEN rn * 2 <= n THEN 1
+                       WHEN rn * 4 <= 3 * n THEN 2
+                       ELSE 3 END AS INT) AS q
+      FROM rk
+    )
+    SELECT d AS day,
+           string_agg(chr(97 + q), '' ORDER BY sg) AS sax_word,
+           CAST(sum(ssum) AS BIGINT) AS day_total
+    FROM sym GROUP BY d
+    """,
+)
+def q_sax_daily_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolic words for the first 7 days (PAA to 6 four-hour segments, 4-symbol alphabet by rank quartiles of the 42 exact segment sums) - pure integer arithmetic, rank-based breakpoints, no float."""
+    e = read_table(spark, sf_dir, "events")
+    h = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lo = h.groupBy().agg(F.min("hr").alias("lo"))
+    idx = h.crossJoin(F.broadcast(lo)).select(
+        ((F.unix_timestamp("hr") - F.unix_timestamp("lo")) / 3600)
+        .cast("long")
+        .alias("idx"),
+        "c",
+    )
+    spine = e.sparkSession.range(0, 168).select(F.col("id").alias("idx"))
+    seg = (
+        spine.join(idx, "idx", "left")
+        .groupBy(
+            F.expr("idx div 24").alias("d"),
+            F.expr("(idx % 24) div 4").alias("sg"),
+        )
+        .agg(F.sum(F.coalesce("c", F.lit(0))).cast("long").alias("ssum"))
+    )
+    wr = W.orderBy("ssum", "d", "sg")
+    wall = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    rk = seg.select(
+        "d",
+        "sg",
+        "ssum",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    q = (
+        F.when(F.col("rn") * 4 <= F.col("n"), 0)
+        .when(F.col("rn") * 2 <= F.col("n"), 1)
+        .when(F.col("rn") * 4 <= 3 * F.col("n"), 2)
+        .otherwise(3)
+    )
+    sym = rk.select("d", "sg", "ssum", q.cast("int").alias("q"))
+    return sym.groupBy(F.col("d").alias("day")).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("sg"), F.col("q")))
+                ),
+                lambda s: F.char(s["q"] + 97),
+            ),
+        ).alias("sax_word"),
+        F.sum("ssum").cast("long").alias("day_total"),
+    )

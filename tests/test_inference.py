@@ -491,3 +491,61 @@ def test_bradley_terry_matches_python_mm(spark):
         s += x
     for br in brands:
         assert rows[br] == p[idx[br]] / s
+
+
+def test_motif_and_sax_match_python(spark):
+    """Motif SSE pairs and SAX words replayed in plain Python."""
+    from datalake_etlscripts_spark.plans.statops import (
+        q_daily_motif_pairs,
+        q_sax_daily_symbols,
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    cnt = dict(
+        con.execute(
+            "SELECT CAST(epoch(date_trunc('hour', ts)) - epoch((SELECT"
+            " min(date_trunc('hour', ts)) FROM"
+            f" '{SF0001}/events.parquet')) AS BIGINT) // 3600, count(*)"
+            f" FROM '{SF0001}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    obs = [cnt.get(i, 0) for i in range(168)]
+    days = [obs[d * 24 : (d + 1) * 24] for d in range(7)]
+
+    want_sse = {}
+    for i in range(7):
+        for j in range(i + 1, 7):
+            want_sse[(i, j)] = sum(
+                (x - y) ** 2 for x, y in zip(days[i], days[j])
+            )
+    motif = min(want_sse, key=lambda k: (want_sse[k], k))
+    rows = q_daily_motif_pairs(spark, SF0001).collect()
+    assert len(rows) == 21
+    for r in rows:
+        assert r["sse"] == want_sse[(r["day_a"], r["day_b"])]
+        assert r["is_motif"] == (
+            1 if (r["day_a"], r["day_b"]) == motif else 0
+        )
+
+    segs = [
+        (d, sg, sum(days[d][sg * 4 : sg * 4 + 4]))
+        for d in range(7)
+        for sg in range(6)
+    ]
+    order = sorted(segs, key=lambda t: (t[2], t[0], t[1]))
+    n = len(order)
+    qof = {}
+    for rn, (d, sg, s) in enumerate(order, 1):
+        qof[(d, sg)] = (
+            0 if rn * 4 <= n else 1 if rn * 2 <= n else 2
+            if rn * 4 <= 3 * n else 3
+        )
+    want_words = {
+        d: "".join(chr(97 + qof[(d, sg)]) for sg in range(6))
+        for d in range(7)
+    }
+    got = {r["day"]: r for r in q_sax_daily_symbols(spark, SF0001).collect()}
+    for d in range(7):
+        assert got[d]["sax_word"] == want_words[d]
+        assert got[d]["day_total"] == sum(days[d])
