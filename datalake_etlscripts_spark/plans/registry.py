@@ -88,10 +88,17 @@ def query(name: str, oracle: str | None = None):
 #
 # Rotation plan (round-5 verdict #10): 47 fresh names per round,
 # sentinels pinned, comparable_subsets frozen in bench.py. ~200
-# never-driver-checked names remain after this window → ~4 more
-# rotations to exhaust the registry (r07: events/window analytics +
-# lakeops commerce heads; r08: text/LLM long tail; r09: vector/
-# retrieval + stats; r10: remainder).
+# never-driver-checked names remained after this window, plus the 17
+# r12-session additions (inference lane: mann_whitney_u,
+# kruskal_wallis, brown_forsythe_variance, bh_fdr_discoveries,
+# mcnemar_paired, yuen_trimmed_test, conformal_interval_coverage;
+# fold lane: dtw_profile_distance, holt_winters_forecast,
+# bradley_terry_brands; TS: daily_motif_pairs, sax_daily_symbols;
+# retrieval: query_likelihood_lm; graph: graph_harmonic_closeness;
+# codecs: tiff_pixel_stats, mulaw_audio_stats, qoi_pixel_stats) →
+# ~5 more rotations (r07: events/window analytics + lakeops commerce
+# heads + the r12 inference/fold lanes; r08: text/LLM long tail;
+# r09: vector/retrieval + stats; r10+: remainder).
 PRIORITY: list[str] = [
     # sentinels (driver-green r01+r03+r04+r05, kept for continuity)
     "versioned_ingest",

@@ -75,6 +75,9 @@ SKEW_ALLOWLIST = {
     "enrichment_nested": "annotation table is one row per id",
     "multimodal_decode_real": "decoded side is one row per image id",
     "image_pixel_stats": "decoded side is one row per image id",
+    "image_resize_stats": (
+        "resize output and its byte-stats map are one row per image id"
+    ),
     # blocked/banded similarity joins: the equi-key IS the bucket and
     # bucket sizes are bounded by the banding scheme (LSH bands,
     # winnow fingerprints, prefix-filter tokens)
