@@ -2568,3 +2568,132 @@ def q_bradley_terry_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.i", "r.score")
     return sc.join(F.broadcast(bidx), "i").select("brand", "score")
+
+
+# ---------------------------------------------------------------------------
+# Recursive least squares AR(1) (r12): ONLINE regression — the
+# Sherman-Morrison rank-1 update of the 2×2 inverse-covariance with
+# forgetting λ = 63/64 (exact in binary), fitting x_t ≈ a + b·x_{t−1}
+# over the 168-hour spine in a single array fold. The third member of
+# the nested-fold family (dtw = alignment DP, holt_winters = smoothing
+# recurrence, rls = recursive matrix update): state
+# [prev_x, a, b, p00, p01, p11] folds once; every slot is computed
+# from the PREVIOUS state (synchronous update), so both engines
+# evaluate the identical IEEE tree and the doubles hash-match raw.
+# At 100 TB only the hourly aggregate grows; the fold is O(spine) on
+# one row.
+# ---------------------------------------------------------------------------
+_RLS_DEN = (
+    "(0.984375 + (acc[4] + acc[5] * acc[1])"
+    " + acc[1] * (acc[5] + acc[6] * acc[1]))"
+)
+_RLS_PU0 = "(acc[4] + acc[5] * acc[1])"
+_RLS_PU1 = "(acc[5] + acc[6] * acc[1])"
+_RLS_E = "(xx[1] - (acc[2] + acc[3] * acc[1]))"
+
+
+@query(
+    "rls_ar1_forecast",
+    oracle=f"""
+    WITH b AS (SELECT min(date_trunc('hour', ts)) AS lo FROM events),
+    hx AS (
+      SELECT CAST(epoch(date_trunc('hour', ts))
+                  - epoch((SELECT lo FROM b)) AS BIGINT) // 3600 AS idx,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    spine AS (SELECT unnest(range(0, 168)) AS idx),
+    g AS (
+      SELECT s.idx, CAST(coalesce(hx.c, 0) AS DOUBLE) AS x
+      FROM spine s LEFT JOIN hx ON hx.idx = s.idx
+    ),
+    arr AS (SELECT list(x ORDER BY idx) AS o FROM g),
+    st AS (
+      SELECT list_reduce(
+        list_prepend([o[1], 0.0, 0.0, 1000.0, 0.0, 1000.0],
+                     list_transform(o[2:], x -> [x])),
+        (acc, xx) -> [
+          xx[1],
+          acc[2] + ({_RLS_PU0} / {_RLS_DEN}) * {_RLS_E},
+          acc[3] + ({_RLS_PU1} / {_RLS_DEN}) * {_RLS_E},
+          (acc[4] - ({_RLS_PU0} / {_RLS_DEN}) * {_RLS_PU0}) / 0.984375,
+          (acc[5] - ({_RLS_PU0} / {_RLS_DEN}) * {_RLS_PU1}) / 0.984375,
+          (acc[6] - ({_RLS_PU1} / {_RLS_DEN}) * {_RLS_PU1}) / 0.984375
+        ]
+      ) AS st FROM arr
+    )
+    SELECT st[2] AS intercept, st[3] AS ar_coef,
+           st[2] + st[3] * st[1] AS forecast_next, st[1] AS last_x
+    FROM st
+    """,
+)
+def q_rls_ar1_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive least squares AR(1) with forgetting 63/64 over the first 168 hourly counts - Sherman-Morrison rank-1 inverse update as a single array fold, bit-identical doubles, one-step-ahead forecast emitted."""
+    N = 168
+    e = read_table(spark, sf_dir, "events")
+    h = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lo = h.groupBy().agg(F.min("hr").alias("lo"))
+    idx = h.crossJoin(F.broadcast(lo)).select(
+        ((F.unix_timestamp("hr") - F.unix_timestamp("lo")) / 3600)
+        .cast("long")
+        .alias("idx"),
+        "c",
+    )
+    arr = idx.groupBy().agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N - 1)),
+            lambda k: F.coalesce(
+                F.element_at(
+                    F.map_from_entries(
+                        F.collect_list(F.struct(F.col("idx"), F.col("c")))
+                    ),
+                    k.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+            ).cast("double"),
+        ).alias("o")
+    )
+    o = F.col("o")
+    lam = 0.984375
+
+    def step(acc, xx):
+        px = F.element_at(acc, 1)
+        a, b = F.element_at(acc, 2), F.element_at(acc, 3)
+        p00, p01, p11 = (
+            F.element_at(acc, 4),
+            F.element_at(acc, 5),
+            F.element_at(acc, 6),
+        )
+        pu0 = p00 + p01 * px
+        pu1 = p01 + p11 * px
+        den = lam + (p00 + p01 * px) + px * (p01 + p11 * px)
+        e_ = xx - (a + b * px)
+        return F.array(
+            xx,
+            a + (pu0 / den) * e_,
+            b + (pu1 / den) * e_,
+            (p00 - (pu0 / den) * pu0) / lam,
+            (p01 - (pu0 / den) * pu1) / lam,
+            (p11 - (pu1 / den) * pu1) / lam,
+        )
+
+    init = F.array(
+        F.element_at(o, 1),
+        F.lit(0.0),
+        F.lit(0.0),
+        F.lit(1000.0),
+        F.lit(0.0),
+        F.lit(1000.0),
+    )
+    st = F.aggregate(F.slice(o, 2, N - 1), init, step)
+    return arr.select(st.alias("st")).select(
+        F.element_at("st", 2).alias("intercept"),
+        F.element_at("st", 3).alias("ar_coef"),
+        (
+            F.element_at("st", 2)
+            + F.element_at("st", 3) * F.element_at("st", 1)
+        ).alias("forecast_next"),
+        F.element_at("st", 1).alias("last_x"),
+    )

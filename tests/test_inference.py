@@ -549,3 +549,41 @@ def test_motif_and_sax_match_python(spark):
     for d in range(7):
         assert got[d]["sax_word"] == want_words[d]
         assert got[d]["day_total"] == sum(days[d])
+
+
+def test_rls_matches_python_recurrence(spark):
+    """The declarative RLS fold equals the imperative Sherman-Morrison
+    recurrence bit-for-bit on the real sf0.001 series."""
+    from datalake_etlscripts_spark.plans.featureops import q_rls_ar1_forecast
+    import duckdb
+
+    row = q_rls_ar1_forecast(spark, SF0001).collect()[0]
+    con = duckdb.connect()
+    cnt = dict(
+        con.execute(
+            "SELECT CAST(epoch(date_trunc('hour', ts)) - epoch((SELECT"
+            " min(date_trunc('hour', ts)) FROM"
+            f" '{SF0001}/events.parquet')) AS BIGINT) // 3600, count(*)"
+            f" FROM '{SF0001}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    obs = [float(cnt.get(i, 0)) for i in range(168)]
+    lam = 0.984375
+    px, a, b = obs[0], 0.0, 0.0
+    p00, p01, p11 = 1000.0, 0.0, 1000.0
+    for t in range(1, len(obs)):
+        y = obs[t]
+        pu0 = p00 + p01 * px
+        pu1 = p01 + p11 * px
+        den = lam + (p00 + p01 * px) + px * (p01 + p11 * px)
+        e = y - (a + b * px)
+        a2 = a + (pu0 / den) * e
+        b2 = b + (pu1 / den) * e
+        p00n = (p00 - (pu0 / den) * pu0) / lam
+        p01n = (p01 - (pu0 / den) * pu1) / lam
+        p11n = (p11 - (pu1 / den) * pu1) / lam
+        a, b, p00, p01, p11, px = a2, b2, p00n, p01n, p11n, y
+    assert row["intercept"] == a
+    assert row["ar_coef"] == b
+    assert row["forecast_next"] == a + b * px
+    assert row["last_x"] == px
