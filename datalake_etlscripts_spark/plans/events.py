@@ -3323,3 +3323,131 @@ def q_retention_d1_d7_d28(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d28_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Viterbi HMM decode of per-user daily activity (r12): a 2-state
+# (idle/active) HMM over each user's 24-bit hour-of-day activity
+# vector, decoded in EXACT max-plus integer arithmetic — emission and
+# transition scores are integer decibans, the per-state best score
+# AND its full traceback ride the fold state (the path is a packed
+# bit field, one bit per hour, built by shifting in the winning
+# predecessor's bits), ties broken toward state 0 in both engines.
+# The fourth member of the nested-fold family, and the only one that
+# is PER-ROW parallel: one fold per user row, no shuffle after the
+# (user, hour) aggregate — a billion users decode embarrassingly
+# parallel. Switch count is one XOR + bit_count on the packed path.
+# ---------------------------------------------------------------------------
+@query(
+    "viterbi_user_state_path",
+    oracle="""
+    WITH a AS (
+      SELECT user_id, CAST(hour(ts) AS BIGINT) AS h
+      FROM events GROUP BY 1, 2
+    ),
+    ax AS (
+      SELECT u.user_id,
+             list_transform(range(0, 24), h ->
+               CASE WHEN list_contains(u.hs, h) THEN CAST(1 AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END) AS o
+      FROM (SELECT user_id, list(h) AS hs FROM a GROUP BY 1) u
+    ),
+    st AS (
+      SELECT user_id, o, list_reduce(
+        list_prepend(
+          [0 + CASE o[1] WHEN 0 THEN 2 ELSE -3 END, CAST(0 AS BIGINT),
+           -1 + CASE o[1] WHEN 0 THEN -2 ELSE 1 END, CAST(1 AS BIGINT)],
+          list_transform(o[2:], x -> [x])),
+        (acc, xx) -> [
+          greatest(acc[1] + 1, acc[3] + -2)
+            + CASE xx[1] WHEN 0 THEN 2 ELSE -3 END,
+          CASE WHEN acc[1] + 1 >= acc[3] + -2 THEN (acc[2] << 1) | 0
+               ELSE (acc[4] << 1) | 0 END,
+          greatest(acc[1] + -2, acc[3] + 1)
+            + CASE xx[1] WHEN 0 THEN -2 ELSE 1 END,
+          CASE WHEN acc[1] + -2 >= acc[3] + 1 THEN (acc[2] << 1) | 1
+               ELSE (acc[4] << 1) | 1 END
+        ]
+      ) AS st FROM ax
+    )
+    SELECT user_id,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), o),
+                            (x, y) -> x + y) AS BIGINT) AS n_active,
+           CAST(CASE WHEN st[1] >= st[3] THEN st[1] ELSE st[3] END
+                AS BIGINT) AS score,
+           CAST(CASE WHEN st[1] >= st[3] THEN st[2] ELSE st[4] END
+                AS BIGINT) AS path_bits,
+           CAST(CASE WHEN st[1] >= st[3] THEN 0 ELSE 1 END AS INT)
+             AS best_state,
+           CAST(bit_count(
+             xor((CASE WHEN st[1] >= st[3] THEN st[2] ELSE st[4] END),
+                 ((CASE WHEN st[1] >= st[3] THEN st[2] ELSE st[4] END)
+                  >> 1)) & 8388607) AS INT) AS switches
+    FROM st
+    """,
+)
+def q_viterbi_user_state_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi decode of a 2-state idle/active HMM over each user's 24-hour activity vector - exact max-plus integer scores, full traceback as packed path bits inside the fold state, per-user parallel (no shuffle after the (user, hour) aggregate)."""
+    e = read_table(spark, sf_dir, "events")
+    a = e.groupBy("user_id", F.hour("ts").cast("long").alias("h")).agg(
+        F.lit(1)
+    )
+    ax = a.groupBy("user_id").agg(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(23).cast("long")),
+            lambda h: F.when(
+                F.array_contains(F.collect_list(F.col("h")), h),
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ).alias("o")
+    )
+    o = F.col("o")
+
+    def em(state, x):
+        if state == 0:
+            return F.when(x == 0, F.lit(2)).otherwise(F.lit(-3)).cast("long")
+        return F.when(x == 0, F.lit(-2)).otherwise(F.lit(1)).cast("long")
+
+    def step(acc, xx):
+        s0, p0 = F.element_at(acc, 1), F.element_at(acc, 2)
+        s1, p1 = F.element_at(acc, 3), F.element_at(acc, 4)
+        c00, c10 = s0 + 1, s1 + (-2)
+        c01, c11 = s0 + (-2), s1 + 1
+        return F.array(
+            F.greatest(c00, c10) + em(0, xx),
+            F.when(c00 >= c10, F.shiftleft(p0, 1)).otherwise(
+                F.shiftleft(p1, 1)
+            ),
+            F.greatest(c01, c11) + em(1, xx),
+            F.when(c01 >= c11, F.shiftleft(p0, 1) + 1).otherwise(
+                F.shiftleft(p1, 1) + 1
+            ),
+        )
+
+    x1 = F.element_at(o, 1)
+    init = F.array(
+        F.lit(0).cast("long") + em(0, x1),
+        F.lit(0).cast("long"),
+        F.lit(-1).cast("long") + em(1, x1),
+        F.lit(1).cast("long"),
+    )
+    st = F.aggregate(F.slice(o, 2, 23), init, step)
+    d = ax.select("user_id", o.alias("o"), st.alias("st"))
+    s0, p0 = F.element_at("st", 1), F.element_at("st", 2)
+    s1, p1 = F.element_at("st", 3), F.element_at("st", 4)
+    best = F.when(s0 >= s1, s0).otherwise(s1)
+    path = F.when(s0 >= s1, p0).otherwise(p1)
+    return d.select(
+        "user_id",
+        F.aggregate(
+            o, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("n_active"),
+        best.cast("long").alias("score"),
+        path.cast("long").alias("path_bits"),
+        F.when(s0 >= s1, 0).otherwise(1).cast("int").alias("best_state"),
+        F.bit_count(
+            F.shiftright(path, 1)
+            .bitwiseXOR(path)
+            .bitwiseAND(F.lit(8388607).cast("long"))
+        ).cast("int").alias("switches"),
+    )

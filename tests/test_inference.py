@@ -587,3 +587,59 @@ def test_rls_matches_python_recurrence(spark):
     assert row["ar_coef"] == b
     assert row["forecast_next"] == a + b * px
     assert row["last_x"] == px
+
+
+def test_viterbi_matches_python_backtrack(spark):
+    """The packed-path fold must equal a classic Viterbi with explicit
+    backpointer arrays, including the decoded state sequence."""
+    from datalake_etlscripts_spark.plans.events import (
+        q_viterbi_user_state_path,
+    )
+    import duckdb
+
+    got = {
+        r["user_id"]: r
+        for r in q_viterbi_user_state_path(spark, SF0001).collect()
+    }
+    con = duckdb.connect()
+    act = con.execute(
+        "SELECT user_id, CAST(hour(ts) AS INT) FROM"
+        f" '{SF0001}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    hours: dict[int, set[int]] = {}
+    for u, h in act:
+        hours.setdefault(u, set()).add(h)
+    E = {(0, 0): 2, (0, 1): -3, (1, 0): -2, (1, 1): 1}
+    T = {(0, 0): 1, (1, 0): -2, (0, 1): -2, (1, 1): 1}
+    for u, hs in hours.items():
+        xs = [1 if h in hs else 0 for h in range(24)]
+        score = [[0] * 2 for _ in range(24)]
+        back = [[0] * 2 for _ in range(24)]
+        score[0][0] = 0 + E[(0, xs[0])]
+        score[0][1] = -1 + E[(1, xs[0])]
+        for t in range(1, 24):
+            for s in range(2):
+                c0 = score[t - 1][0] + T[(0, s)]
+                c1 = score[t - 1][1] + T[(1, s)]
+                if c0 >= c1:  # tie toward state 0, as the engine
+                    score[t][s] = c0 + E[(s, xs[t])]
+                    back[t][s] = 0
+                else:
+                    score[t][s] = c1 + E[(s, xs[t])]
+                    back[t][s] = 1
+        best = 0 if score[23][0] >= score[23][1] else 1
+        path = [best]
+        for t in range(23, 0, -1):
+            path.append(back[t][path[-1]])
+        path.reverse()
+        bits = 0
+        for s in path:
+            bits = (bits << 1) | s
+        r = got[u]
+        assert r["score"] == max(score[23])
+        assert r["best_state"] == best
+        assert r["path_bits"] == bits
+        assert r["n_active"] == sum(xs)
+        assert r["switches"] == sum(
+            1 for i in range(23) if path[i] != path[i + 1]
+        )
