@@ -983,3 +983,191 @@ def q_yuen_trimmed_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "summid_a", "summid_b",
         F.floor(t * 1000000 + 0.5).cast("long").alias("t_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Good-Turing smoothing (r12): the frequency-of-frequencies estimator
+# every n-gram LM pipeline needs — for tokens seen r times, the
+# discounted count r* = (r+1)·N_{r+1}/N_r where N_r = number of
+# distinct tokens with frequency r. Everything is integer-exact off
+# two dictionary aggregates (token counts → count-of-counts); r* and
+# the probability mass emit as exact floor-scaled micros plus the raw
+# integer numerators so downstream smoothers can keep exact rationals.
+# The unseen-mass estimate P0 = N_1/N rides along. 100 TB: one token
+# explode → two keyed aggregates, both dictionary-sized outputs.
+# ---------------------------------------------------------------------------
+@query(
+    "good_turing_counts",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        AS t
+      FROM documents
+    ),
+    tc AS (SELECT t, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY t),
+    ff AS (
+      SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tc GROUP BY r
+    ),
+    tot AS (
+      SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+             CAST(sum(n_r) AS BIGINT) AS n_types
+      FROM ff
+    ),
+    j AS (
+      SELECT f.r, f.n_r, f2.n_r AS n_r1
+      FROM ff f LEFT JOIN ff f2 ON f2.r = f.r + 1
+    )
+    SELECT j.r, j.n_r, coalesce(j.n_r1, 0) AS n_r_plus_1,
+           CAST(CASE WHEN j.n_r1 IS NULL THEN NULL
+                ELSE ((j.r + 1) * j.n_r1 * 1000000) // j.n_r END
+                AS BIGINT) AS r_star_micros,
+           CAST((j.r * j.n_r * 1000000) // t.n_tokens AS BIGINT)
+             AS mass_micros
+    FROM j CROSS JOIN tot t
+    """,
+)
+def q_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency-of-frequencies table over the document tokens - discounted count r* = (r+1)N_{r+1}/N_r and per-r probability mass as exact floor-scaled integers, two dictionary aggregates after one token explode."""
+    from datalake_etlscripts_spark.operators.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("t"))
+    tc = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    ff = tc.groupBy("r").agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    tot = ff.groupBy().agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("long").alias("n_tokens")
+    )
+    f2 = ff.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")
+    )
+    j = ff.join(F.broadcast(f2), "r", "left")
+    return j.crossJoin(F.broadcast(tot)).select(
+        "r",
+        "n_r",
+        F.coalesce("n_r1", F.lit(0)).cast("long").alias("n_r_plus_1"),
+        F.when(
+            F.col("n_r1").isNotNull(),
+            F.expr("((r + 1) * n_r1 * 1000000) div n_r"),
+        ).cast("long").alias("r_star_micros"),
+        F.expr("(r * n_r * 1000000) div n_tokens")
+        .cast("long")
+        .alias("mass_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes shrinkage of per-(type, hour) purchase rates (r12):
+# the beta-binomial method-of-moments prior fitted from the 120-cell
+# rate table, each cell's rate shrunk toward the grand prior by its
+# own sample size — the standard "small cells borrow strength" move
+# behind every CTR/conversion dashboard. Cell counts are exact
+# integers; the MoM moments fold as doubles IN CELL ORDER (the
+# fixed-order policy), and each shrunken rate is one double
+# expression both engines evaluate identically. Dictionary-bounded:
+# the fact scan feeds a 120-row table.
+# ---------------------------------------------------------------------------
+@query(
+    "eb_shrunken_rates",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS g, CAST(hour(ts) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             list_reduce(list_prepend(0.0,
+               list(CAST(x AS DOUBLE) / n ORDER BY g, h)),
+               (a, b) -> a + b) AS s1,
+             list_reduce(list_prepend(0.0,
+               list((CAST(x AS DOUBLE) / n) * (CAST(x AS DOUBLE) / n)
+                    ORDER BY g, h)),
+               (a, b) -> a + b) AS s2
+      FROM c
+    ),
+    pr AS (
+      SELECT k, s1 / k AS mu,
+             (s2 - s1 * (s1 / k)) / (k - 1) AS vr
+      FROM mom
+    ),
+    ab AS (
+      SELECT CASE WHEN vr > 0
+                  THEN (mu * (1.0 - mu) / vr - 1.0) * mu
+                  ELSE 1.0 END AS alpha,
+             CASE WHEN vr > 0
+                  THEN (mu * (1.0 - mu) / vr - 1.0) * (1.0 - mu)
+                  ELSE 1.0 END AS beta
+      FROM pr
+    )
+    SELECT c.g AS event_type, c.h AS hour, c.n, c.x,
+           CAST(c.x AS DOUBLE) / c.n AS raw_rate,
+           (c.x + ab.alpha) / (c.n + ab.alpha + ab.beta)
+             AS shrunk_rate
+    FROM c CROSS JOIN ab
+    """,
+)
+def q_eb_shrunken_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-(type, hour) high-value rates - method-of-moments prior from the 120-cell table (fixed-order double fold), each cell shrunk by its own sample size."""
+    e = read_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        F.col("event_type").alias("g"),
+        F.hour("ts").cast("long").alias("h"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") >= 100, 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    rate = F.col("x").cast("double") / F.col("n")
+    mom = c.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("g"), F.col("h"), rate.alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("s1"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("g"), F.col("h"), (rate * rate).alias("t"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("s2"),
+    )
+    pr = mom.select(
+        "k",
+        (F.col("s1") / F.col("k")).alias("mu"),
+        (
+            (F.col("s2") - F.col("s1") * (F.col("s1") / F.col("k")))
+            / (F.col("k") - 1)
+        ).alias("vr"),
+    )
+    ab = pr.select(
+        F.when(
+            F.col("vr") > 0,
+            (F.col("mu") * (1.0 - F.col("mu")) / F.col("vr") - 1.0)
+            * F.col("mu"),
+        ).otherwise(F.lit(1.0)).alias("alpha"),
+        F.when(
+            F.col("vr") > 0,
+            (F.col("mu") * (1.0 - F.col("mu")) / F.col("vr") - 1.0)
+            * (1.0 - F.col("mu")),
+        ).otherwise(F.lit(1.0)).alias("beta"),
+    )
+    return c.crossJoin(F.broadcast(ab)).select(
+        F.col("g").alias("event_type"),
+        F.col("h").alias("hour"),
+        "n",
+        "x",
+        rate.alias("raw_rate"),
+        (
+            (F.col("x") + F.col("alpha"))
+            / (F.col("n") + F.col("alpha") + F.col("beta"))
+        ).alias("shrunk_rate"),
+    )

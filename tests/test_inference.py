@@ -643,3 +643,52 @@ def test_viterbi_matches_python_backtrack(spark):
         assert r["switches"] == sum(
             1 for i in range(23) if path[i] != path[i + 1]
         )
+
+
+def test_good_turing_matches_python(spark):
+    from datalake_etlscripts_spark.plans.inference import (
+        q_good_turing_counts,
+    )
+    import duckdb
+    from collections import Counter
+
+    rows = {r["r"]: r for r in q_good_turing_counts(spark, SF0001).collect()}
+    con = duckdb.connect()
+    texts = [
+        t for (t,) in con.execute(
+            f"SELECT text FROM '{SF0001}/documents.parquet'"
+        ).fetchall()
+    ]
+    tc = Counter()
+    for t in texts:
+        tc.update(w for w in t.split(" ") if w)
+    ff = Counter(tc.values())
+    n_tokens = sum(tc.values())
+    for r, n_r in ff.items():
+        row = rows[r]
+        assert row["n_r"] == n_r
+        assert row["n_r_plus_1"] == ff.get(r + 1, 0)
+        if ff.get(r + 1):
+            assert row["r_star_micros"] == ((r + 1) * ff[r + 1] * 10**6) // n_r
+        else:
+            assert row["r_star_micros"] is None
+        assert row["mass_micros"] == (r * n_r * 10**6) // n_tokens
+
+
+def test_eb_shrinkage_invariants(spark):
+    """Shrinkage must pull every cell toward the prior mean, more for
+    small cells; raw == x/n exactly."""
+    from datalake_etlscripts_spark.plans.inference import q_eb_shrunken_rates
+
+    rows = q_eb_shrunken_rates(spark, SF0001).collect()
+    assert rows
+    s1 = sum(r["raw_rate"] for r in rows)
+    mu = s1 / len(rows)
+    for r in rows:
+        assert r["raw_rate"] == r["x"] / r["n"]
+        # shrunk lies between raw and (approximately) the prior mean
+        lo, hi = sorted((r["raw_rate"], mu))
+        assert lo - 0.15 <= r["shrunk_rate"] <= hi + 0.15
+        # shrinkage is strictly between raw and prior unless degenerate
+        if abs(r["raw_rate"] - mu) > 1e-9:
+            assert abs(r["shrunk_rate"] - mu) < abs(r["raw_rate"] - mu) + 1e-9
