@@ -1171,3 +1171,201 @@ def q_eb_shrunken_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") + F.col("alpha") + F.col("beta"))
         ).alias("shrunk_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Turning-points randomness test (r12): counts local maxima/minima in
+# the 168-hour series (strict triples — plateaus don't turn) and
+# compares against the i.i.d. expectation E[T] = 2(n−2)/3 with
+# Var[T] = (16n−29)/90 — the classical quick screen for serial
+# structure before fitting any TS model. The count is one lag/lead
+# window over the dense spine; the z-score is exact integers until
+# one sqrt. Emitted: n, turning points, expectation numerators, and
+# z in micros.
+# ---------------------------------------------------------------------------
+@query(
+    "turning_points_test",
+    oracle="""
+    WITH b AS (SELECT min(date_trunc('hour', ts)) AS lo FROM events),
+    hx AS (
+      SELECT CAST(epoch(date_trunc('hour', ts))
+                  - epoch((SELECT lo FROM b)) AS BIGINT) // 3600 AS idx,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    spine AS (SELECT unnest(range(0, 168)) AS idx),
+    g AS (
+      SELECT s.idx, CAST(coalesce(hx.c, 0) AS BIGINT) AS x
+      FROM spine s LEFT JOIN hx ON hx.idx = s.idx
+    ),
+    w AS (
+      SELECT idx, x,
+             lag(x) OVER (ORDER BY idx) AS pv,
+             lead(x) OVER (ORDER BY idx) AS nx
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN pv IS NOT NULL AND nx IS NOT NULL
+                       AND ((x > pv AND x > nx) OR (x < pv AND x < nx))
+                      THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      FROM w
+    )
+    SELECT n, tp,
+           CAST(2 * (n - 2) AS BIGINT) AS expect_x3,
+           CAST(16 * n - 29 AS BIGINT) AS var_x90,
+           CAST(floor(
+             (CAST(3 * tp - 2 * (n - 2) AS DOUBLE) / 3.0)
+             / sqrt(CAST(16 * n - 29 AS DOUBLE) / 90.0)
+             * 1000000 + 0.5) AS BIGINT) AS z_micros
+    FROM t
+    """,
+)
+def q_turning_points_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-points randomness test on the 168-hour series - strict local extrema via one lag/lead window, classical E=2(n-2)/3 and Var=(16n-29)/90, exact integers until the final z."""
+    e = read_table(spark, sf_dir, "events")
+    h = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    lo = h.groupBy().agg(F.min("hr").alias("lo"))
+    idx = h.crossJoin(F.broadcast(lo)).select(
+        ((F.unix_timestamp("hr") - F.unix_timestamp("lo")) / 3600)
+        .cast("long")
+        .alias("idx"),
+        "c",
+    )
+    spine = e.sparkSession.range(0, 168).select(F.col("id").alias("idx"))
+    g = spine.join(idx, "idx", "left").select(
+        "idx", F.coalesce("c", F.lit(0)).cast("long").alias("x")
+    )
+    wo = W.orderBy("idx")
+    w = g.select(
+        "x",
+        F.lag("x").over(wo).alias("pv"),
+        F.lead("x").over(wo).alias("nx"),
+    )
+    t = w.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.col("pv").isNotNull()
+                & F.col("nx").isNotNull()
+                & (
+                    ((F.col("x") > F.col("pv")) & (F.col("x") > F.col("nx")))
+                    | ((F.col("x") < F.col("pv")) & (F.col("x") < F.col("nx")))
+                ),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("tp"),
+    )
+    z = (
+        (3 * F.col("tp") - 2 * (F.col("n") - 2)).cast("double") / 3.0
+    ) / F.sqrt((16 * F.col("n") - 29).cast("double") / 90.0)
+    return t.select(
+        "n",
+        "tp",
+        (2 * (F.col("n") - 2)).cast("long").alias("expect_x3"),
+        (16 * F.col("n") - 29).cast("long").alias("var_x90"),
+        F.floor(z * 1000000 + 0.5).cast("long").alias("z_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V association between event_type and day-of-week (r12):
+# χ² with the expected counts cleared of denominators — each cell
+# contributes (O·N − R·C)²/(N·R·C), an exact integer numerator over
+# an exact integer denominator folded as doubles IN CELL ORDER, so
+# χ² and V = sqrt(χ²/(N·min(r−1, c−1))) are fixed-order expressions
+# both engines replay. The contingency table is |types|·7 = 35 cells.
+# ---------------------------------------------------------------------------
+@query(
+    "cramers_v_type_dow",
+    oracle="""
+    WITH e AS (
+      SELECT event_type AS g, CAST(dayofweek(ts) AS BIGINT) AS dw
+      FROM events
+    ),
+    o AS (
+      SELECT g, dw, CAST(count(*) AS BIGINT) AS obs FROM e GROUP BY 1, 2
+    ),
+    rr AS (SELECT g, CAST(sum(obs) AS BIGINT) AS r FROM o GROUP BY g),
+    cc AS (SELECT dw, CAST(sum(obs) AS BIGINT) AS c FROM o GROUP BY dw),
+    nn AS (SELECT CAST(sum(obs) AS BIGINT) AS n,
+                  CAST(count(DISTINCT g) AS BIGINT) AS kr,
+                  CAST(count(DISTINCT dw) AS BIGINT) AS kc
+           FROM o),
+    chi AS (
+      SELECT nn.n, nn.kr, nn.kc,
+             list_reduce(list_prepend(0.0, list(
+               CAST((o.obs * nn.n - rr.r * cc.c)
+                    * (o.obs * nn.n - rr.r * cc.c) AS DOUBLE)
+               / CAST(nn.n * rr.r * cc.c AS DOUBLE)
+               ORDER BY o.g, o.dw)),
+               (a, b) -> a + b) AS chi2
+      FROM o JOIN rr USING (g) JOIN cc USING (dw) CROSS JOIN nn
+      GROUP BY nn.n, nn.kr, nn.kc
+    )
+    SELECT n, kr AS n_types, kc AS n_dows,
+           CAST(floor(chi2 * 1000000 + 0.5) AS BIGINT) AS chi2_micros,
+           CAST(floor(sqrt(chi2 / (CAST(n AS DOUBLE)
+                 * least(kr - 1, kc - 1))) * 1000000 + 0.5) AS BIGINT)
+             AS v_micros
+    FROM chi
+    """,
+)
+def q_cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V association between event type and day-of-week - chi-square with denominators cleared to exact integer cell numerators, 35-cell fixed-order double fold, one sqrt at the end."""
+    e = read_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("g"),
+        (F.dayofweek("ts") - 1).cast("long").alias("dw0"),
+    )
+    # align with DuckDB dayofweek (Sun=0..6)
+    o = e.groupBy("g", F.col("dw0").alias("dw")).agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    rr = o.groupBy("g").agg(F.sum("obs").cast("long").alias("r"))
+    cc = o.groupBy("dw").agg(F.sum("obs").cast("long").alias("c"))
+    nn = o.groupBy().agg(
+        F.sum("obs").cast("long").alias("n"),
+        F.countDistinct("g").cast("long").alias("kr"),
+        F.countDistinct("dw").cast("long").alias("kc"),
+    )
+    cell = (
+        o.join(F.broadcast(rr), "g")
+        .join(F.broadcast(cc), "dw")
+        .crossJoin(F.broadcast(nn))
+    )
+    num = F.col("obs") * F.col("n") - F.col("r") * F.col("c")
+    term = (num * num).cast("double") / (
+        F.col("n") * F.col("r") * F.col("c")
+    ).cast("double")
+    chi = cell.groupBy("n", "kr", "kc").agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("g"), F.col("dw"), term.alias("t"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("chi2")
+    )
+    return chi.select(
+        "n",
+        F.col("kr").alias("n_types"),
+        F.col("kc").alias("n_dows"),
+        F.floor(F.col("chi2") * 1000000 + 0.5).cast("long").alias(
+            "chi2_micros"
+        ),
+        F.floor(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("kr") - 1, F.col("kc") - 1)
+                )
+            )
+            * 1000000
+            + 0.5
+        ).cast("long").alias("v_micros"),
+    )

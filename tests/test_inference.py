@@ -692,3 +692,52 @@ def test_eb_shrinkage_invariants(spark):
         # shrinkage is strictly between raw and prior unless degenerate
         if abs(r["raw_rate"] - mu) > 1e-9:
             assert abs(r["shrunk_rate"] - mu) < abs(r["raw_rate"] - mu) + 1e-9
+
+
+def test_turning_points_and_cramers_v_match_python(spark):
+    from datalake_etlscripts_spark.plans.inference import (
+        q_cramers_v_type_dow,
+        q_turning_points_test,
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    cnt = dict(
+        con.execute(
+            "SELECT CAST(epoch(date_trunc('hour', ts)) - epoch((SELECT"
+            " min(date_trunc('hour', ts)) FROM"
+            f" '{SF0001}/events.parquet')) AS BIGINT) // 3600, count(*)"
+            f" FROM '{SF0001}/events.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    obs = [cnt.get(i, 0) for i in range(168)]
+    tp = sum(
+        1
+        for i in range(1, 167)
+        if (obs[i] > obs[i - 1] and obs[i] > obs[i + 1])
+        or (obs[i] < obs[i - 1] and obs[i] < obs[i + 1])
+    )
+    row = q_turning_points_test(spark, SF0001).collect()[0]
+    n = 168
+    assert (row["n"], row["tp"]) == (n, tp)
+    z = ((3 * tp - 2 * (n - 2)) / 3.0) / math.sqrt((16 * n - 29) / 90.0)
+    assert row["z_micros"] == math.floor(z * 1e6 + 0.5)
+
+    cells = con.execute(
+        "SELECT event_type, dayofweek(ts), count(*) FROM"
+        f" '{SF0001}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    rr: dict[str, int] = {}
+    cc: dict[int, int] = {}
+    for g, dw, c in cells:
+        rr[g] = rr.get(g, 0) + c
+        cc[dw] = cc.get(dw, 0) + c
+    N = sum(rr.values())
+    chi2 = 0.0
+    for g, dw, o in sorted(cells):
+        num = o * N - rr[g] * cc[dw]
+        chi2 += (num * num) / (N * rr[g] * cc[dw])
+    v = math.sqrt(chi2 / (N * min(len(rr) - 1, len(cc) - 1)))
+    crow = q_cramers_v_type_dow(spark, SF0001).collect()[0]
+    assert crow["chi2_micros"] == math.floor(chi2 * 1e6 + 0.5)
+    assert crow["v_micros"] == math.floor(v * 1e6 + 0.5)
