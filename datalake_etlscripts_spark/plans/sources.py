@@ -639,3 +639,94 @@ def q_id_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_missing") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# CPV spend rollup (r12): THE procurement analytics shape — revenue
+# rolled up the CPV code hierarchy (division = 2-digit prefix,
+# group = 3, class = 4) from the same ';'-quoted dimension CSV the
+# reference loads (load_cpv.py:56-72). Part keys map onto the 10-code
+# fixture deterministically (p_partkey mod |cpv|, by the control
+# order), lineitem revenue stays DECIMAL-exact through the three
+# grouped unions, and the dim join is a broadcast. One fact scan →
+# three dictionary-keyed aggregates; at 100 TB the rollup table is
+# |prefixes|-sized.
+# ---------------------------------------------------------------------------
+@query(
+    "cpv_spend_rollup",
+    oracle=f"""
+    WITH cpv AS (
+      SELECT _id, CAST(control AS INT) AS control
+      FROM read_csv('{CSV}', delim=';', header=true, quote='''',
+                    all_varchar=true)
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS k FROM cpv),
+    pc AS (
+      SELECT p.p_partkey, c._id AS cpv_id
+      FROM part p, n
+      JOIN cpv c ON c.control = CAST(p.p_partkey % n.k + 1 AS INT)
+    ),
+    rev AS (
+      SELECT pc.cpv_id,
+             CAST(li.l_extendedprice * (1 - li.l_discount)
+                  AS DECIMAL(18,4)) AS r
+      FROM lineitem li JOIN pc ON pc.p_partkey = li.l_partkey
+    ),
+    lv AS (
+      SELECT 'division' AS level, substr(cpv_id, 1, 2) AS prefix,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(r) AS DECIMAL(38,4)) AS revenue
+      FROM rev GROUP BY 2
+      UNION ALL
+      SELECT 'group', substr(cpv_id, 1, 3), CAST(count(*) AS BIGINT),
+             CAST(sum(r) AS DECIMAL(38,4))
+      FROM rev GROUP BY 2
+      UNION ALL
+      SELECT 'class', substr(cpv_id, 1, 4), CAST(count(*) AS BIGINT),
+             CAST(sum(r) AS DECIMAL(38,4))
+      FROM rev GROUP BY 2
+    )
+    SELECT level, prefix, n_items, revenue FROM lv
+    """,
+)
+def q_cpv_spend_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rolled up the CPV hierarchy (division/group/class prefixes) from the reference's ';'-quoted CPV dimension CSV - deterministic part-to-code assignment, DECIMAL-exact sums, broadcast dim join."""
+    from datalake_etlscripts_spark.io.readers import read_csv_dim, read_table
+
+    cpv = read_csv_dim(spark, CSV, int_cols=("control",)).select(
+        "_id", "control"
+    )
+    n = cpv.groupBy().agg(F.count(F.lit(1)).cast("long").alias("k"))
+    p = read_table(spark, sf_dir, "part").select("p_partkey")
+    pc = (
+        p.crossJoin(F.broadcast(n))
+        .join(
+            F.broadcast(cpv),
+            F.col("control")
+            == (F.col("p_partkey") % F.col("k") + 1).cast("int"),
+        )
+        .select("p_partkey", F.col("_id").alias("cpv_id"))
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).cast("decimal(18,4)").alias("r"),
+    )
+    rev = li.join(F.broadcast(pc), li["l_partkey"] == pc["p_partkey"]).select(
+        "cpv_id", "r"
+    )
+
+    def lvl(name: str, width: int) -> DataFrame:
+        return rev.groupBy(
+            F.substring("cpv_id", 1, width).alias("prefix")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("r").cast("decimal(38,4)").alias("revenue"),
+        ).select(F.lit(name).alias("level"), "prefix", "n_items", "revenue")
+
+    return (
+        lvl("division", 2)
+        .unionByName(lvl("group", 3))
+        .unionByName(lvl("class", 4))
+    )
