@@ -3311,3 +3311,69 @@ def q_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fill_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Newsvendor stock levels (r12): the classic single-period inventory
+# answer — per brand, the optimal stock is the critical-fractile
+# quantile of weekly demand, q* = inf{q : F̂(q) ≥ cu/(cu+co)} with
+# cu = 3, co = 1 (underage costs 3× overage → the 3/4 fractile).
+# On the discrete empirical distribution that is EXACTLY the
+# ⌈3n/4⌉-th order statistic of the weekly demand samples — integer
+# rank arithmetic, no quantile interpolation. Weeks are
+# floor(epoch/604800) (no calendar semantics to disagree on), demand
+# sums are exact int64, the per-brand window is |weeks|-bounded.
+# ---------------------------------------------------------------------------
+@query(
+    "newsvendor_stock_levels",
+    oracle="""
+    WITH d AS (
+      SELECT p.p_brand AS brand,
+             CAST(epoch(l_shipdate) AS BIGINT) // 604800 AS wk,
+             CAST(sum(l_quantity) AS BIGINT) AS demand
+      FROM lineitem li JOIN part p ON p.p_partkey = li.l_partkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT brand, demand,
+             row_number() OVER (PARTITION BY brand
+                                ORDER BY demand, wk) AS rn,
+             count(*) OVER (PARTITION BY brand) AS n
+      FROM d
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n_weeks,
+           CAST((SELECT sum(demand) FROM d d2 WHERE d2.brand = r.brand)
+                AS BIGINT) AS sum_demand,
+           CAST(demand AS BIGINT) AS q_star_qty
+    FROM r WHERE rn = (3 * n + 3) // 4
+    """,
+)
+def q_newsvendor_stock_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor critical-fractile stock per brand (underage 3x overage -> the ceil(3n/4)-th order statistic of weekly demand) - exact integer ranks on the brand-week demand table, no interpolation."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_shipdate"
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    d = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.expr("unix_timestamp(l_shipdate) div 604800").alias("wk"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("demand"))
+    )
+    wb = W.partitionBy("brand").orderBy("demand", "wk")
+    wc = W.partitionBy("brand")
+    r = d.select(
+        "brand",
+        "demand",
+        F.row_number().over(wb).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+        F.sum("demand").over(wc).cast("long").alias("sum_demand"),
+    )
+    return r.filter(F.col("rn") == F.expr("(3 * n + 3) div 4")).select(
+        "brand",
+        F.col("n").cast("long").alias("n_weeks"),
+        "sum_demand",
+        F.col("demand").cast("long").alias("q_star_qty"),
+    )
