@@ -838,3 +838,70 @@ def test_ktruss_delta_matches_naive_reenumeration(spark, edges, rounds):
         for r in ktruss(df, k=4, rounds=rounds).collect()
     }
     assert got == _py_ktruss(und, 4, rounds)
+
+
+@SET
+@given(
+    data=st.binary(min_size=0, max_size=400),
+    w=st.integers(1, 20),
+    ch=st.sampled_from([3, 4]),
+)
+def test_qoi_roundtrip_random_pixels(data, w, ch):
+    """QOI encode→decode is the identity on arbitrary pixel bytes
+    (padded to a whole number of pixels)."""
+    from datalake_etlscripts_spark.operators.multimodal import (
+        decode_qoi_pixels,
+        encode_qoi,
+    )
+
+    n_px = max(1, len(data) // ch)
+    px = (data + bytes(ch * n_px))[: ch * n_px]
+    h = (n_px + w - 1) // w
+    px = (px + bytes(ch * w * h))[: ch * w * h]
+    assert decode_qoi_pixels(encode_qoi(w, h, px, channels=ch)) == (
+        w,
+        h,
+        ch,
+        px,
+    )
+
+
+@SET
+@given(
+    data=st.binary(min_size=0, max_size=300),
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    ch=st.sampled_from([1, 3]),
+    bo=st.sampled_from(["<", ">"]),
+    rps=st.integers(1, 13),
+)
+def test_tiff_roundtrip_random(data, w, h, ch, bo, rps):
+    from datalake_etlscripts_spark.operators.multimodal import (
+        decode_tiff_pixels,
+        encode_tiff,
+    )
+
+    px = (data + bytes(ch * w * h))[: ch * w * h]
+    raw = encode_tiff(w, h, px, channels=ch, byte_order=bo, rows_per_strip=rps)
+    assert decode_tiff_pixels(raw) == (w, h, ch, px)
+
+
+@SET
+@given(samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=200))
+def test_mulaw_quantizer_properties(samples):
+    """µ-law decode∘encode is a projection (idempotent on values) and
+    sign-preserving; quantization error is bounded by the segment
+    step."""
+    from datalake_etlscripts_spark.operators.multimodal import (
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    dec = mulaw_decode(mulaw_encode(samples))
+    assert mulaw_decode(mulaw_encode(dec)) == dec
+    for s, d in zip(samples, dec):
+        assert (d == 0) or (d > 0) == (s > 0)
+        step = 2 ** max(
+            (min(abs(s), 32635) + 132).bit_length() - 8, 0
+        ) * 8
+        assert abs(d - s) <= max(step, 8)
