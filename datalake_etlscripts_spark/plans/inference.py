@@ -1369,3 +1369,107 @@ def q_cramers_v_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.5
         ).cast("long").alias("v_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mean-excess table (r12): the peaks-over-threshold diagnostic from
+# extreme-value theory — for thresholds at the empirical 90/95/99th
+# percentiles of event values, the count of exceedances and their
+# mean excess E[X − u | X > u]. A linearly increasing mean-excess
+# function signals a heavy (Pareto-type) tail; this table is what an
+# analyst plots before fitting any GPD. EXACT: thresholds are order
+# statistics off the cents dictionary (cumulative-rank arithmetic, no
+# fact sort), excess sums are integer cents, one division per row.
+# ---------------------------------------------------------------------------
+@query(
+    "mean_excess_table",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v FROM events
+    ),
+    d AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt FROM e GROUP BY v),
+    c AS (
+      SELECT v, cnt,
+             CAST(coalesce(sum(cnt) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS clt
+      FROM d
+    ),
+    nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM d),
+    q AS (SELECT unnest([90, 95, 99]) AS pct),
+    th AS (
+      SELECT q.pct,
+             CAST(min(CASE WHEN (c.clt + c.cnt) * 100 >= q.pct * nn.n
+                      THEN c.v END) AS BIGINT) AS u
+      FROM c CROSS JOIN nn CROSS JOIN q
+      GROUP BY q.pct
+    ),
+    ex AS (
+      SELECT th.pct, th.u,
+             CAST(sum(CASE WHEN c.v > th.u THEN c.cnt ELSE 0 END)
+                  AS BIGINT) AS n_exceed,
+             CAST(sum(CASE WHEN c.v > th.u
+                      THEN (c.v - th.u) * c.cnt ELSE 0 END)
+                  AS BIGINT) AS sum_excess
+      FROM c CROSS JOIN th GROUP BY th.pct, th.u
+    )
+    SELECT pct, u AS threshold_cents, n_exceed, sum_excess,
+           CAST(CASE WHEN n_exceed = 0 THEN 0
+                ELSE (sum_excess * 1000000) // n_exceed END AS BIGINT)
+             AS mean_excess_micros
+    FROM ex
+    """,
+)
+def q_mean_excess_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold mean-excess table at the 90/95/99th percentiles - order-statistic thresholds off the cents dictionary, exact integer excess sums, the EVT heavy-tail diagnostic."""
+    e = read_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v")
+    )
+    d = e.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    c = d.select(
+        "v",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0)).cast("long").alias("clt"),
+    )
+    nn = d.groupBy().agg(F.sum("cnt").cast("long").alias("n"))
+    q = e.sparkSession.createDataFrame([(90,), (95,), (99,)], "pct bigint")
+    th = (
+        c.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(q))
+        .groupBy("pct")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("clt") + F.col("cnt")) * 100
+                    >= F.col("pct") * F.col("n"),
+                    F.col("v"),
+                )
+            ).cast("long").alias("u")
+        )
+    )
+    ex = (
+        c.crossJoin(F.broadcast(th))
+        .groupBy("pct", "u")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > F.col("u"), F.col("cnt")).otherwise(0)
+            ).cast("long").alias("n_exceed"),
+            F.sum(
+                F.when(
+                    F.col("v") > F.col("u"),
+                    (F.col("v") - F.col("u")) * F.col("cnt"),
+                ).otherwise(0)
+            ).cast("long").alias("sum_excess"),
+        )
+    )
+    return ex.select(
+        "pct",
+        F.col("u").alias("threshold_cents"),
+        "n_exceed",
+        "sum_excess",
+        F.when(F.col("n_exceed") == 0, F.lit(0))
+        .otherwise(F.expr("(sum_excess * 1000000) div n_exceed"))
+        .cast("long")
+        .alias("mean_excess_micros"),
+    )
