@@ -1452,6 +1452,12 @@ def decode_tiff_pixels(raw: bytes) -> tuple[int, int, int, bytes]:
             f"TIFF compression={tags[259]} unsupported "
             "(baseline uncompressed only; LZW/deflate need set_decoder)"
         )
+    # required-tag presence checked explicitly so a malformed IFD
+    # raises the codec layer's ValueError contract, not a bare
+    # KeyError (round-6 advice)
+    for req in (256, 257, 273, 279):
+        if req not in tags:
+            raise ValueError(f"TIFF missing required tag {req}")
     width, height = tags[256][0], tags[257][0]
     channels = tags.get(277, [1])[0]
     if tags.get(258, [8] * channels) != [8] * channels:
@@ -1691,12 +1697,18 @@ def decode_qoi_pixels(raw: bytes) -> tuple[int, int, int, bytes]:
     i, n = 14, width * height
     px = 0
     while px < n:
+        if i >= len(raw) - 8:  # would eat into the 8-byte end marker
+            raise ValueError("QOI truncated stream")
         byte = raw[i]
         i += 1
         if byte == 0xFE:  # RGB
+            if i + 3 > len(raw) - 8:
+                raise ValueError("QOI truncated stream")
             r, g, b = raw[i], raw[i + 1], raw[i + 2]
             i += 3
         elif byte == 0xFF:  # RGBA
+            if i + 4 > len(raw) - 8:
+                raise ValueError("QOI truncated stream")
             r, g, b, a = raw[i], raw[i + 1], raw[i + 2], raw[i + 3]
             i += 4
         elif byte >> 6 == 0:  # INDEX
@@ -1707,6 +1719,8 @@ def decode_qoi_pixels(raw: bytes) -> tuple[int, int, int, bytes]:
             b = (b + (byte & 3) - 2) % 256
         elif byte >> 6 == 2:  # LUMA
             dg = (byte & 0x3F) - 32
+            if i + 1 > len(raw) - 8:
+                raise ValueError("QOI truncated stream")
             b2 = raw[i]
             i += 1
             r = (r + dg + ((b2 >> 4) & 0x0F) - 8) % 256
@@ -1714,11 +1728,17 @@ def decode_qoi_pixels(raw: bytes) -> tuple[int, int, int, bytes]:
             b = (b + dg + (b2 & 0x0F) - 8) % 256
         else:  # RUN
             run = (byte & 0x3F) + 1
-            for _ in range(run):
+            # clamp to the declared pixel count: a malformed foreign
+            # stream whose run overshoots must not emit a body longer
+            # than w*h*channels (round-6 advice)
+            while run and px < n:
                 out += bytes((r, g, b)) + (
                     bytes((a,)) if channels == 4 else b""
                 )
                 px += 1
+                run -= 1
+            if run:
+                raise ValueError("QOI run overruns declared pixel count")
             index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
             continue
         index[_qoi_hash(r, g, b, a)] = (r, g, b, a)
@@ -1726,6 +1746,8 @@ def decode_qoi_pixels(raw: bytes) -> tuple[int, int, int, bytes]:
         px += 1
     if raw[i : i + 8] != _QOI_END:
         raise ValueError("QOI missing end marker")
+    if len(out) != channels * width * height:
+        raise ValueError("QOI decoded body length mismatch")
     return width, height, channels, bytes(out)
 
 

@@ -60,14 +60,15 @@ from datalake_etlscripts_spark.plans.registry import query
     m AS (
       SELECT CAST(sum(na) AS BIGINT) AS n_a,
              CAST(sum(nb) AS BIGINT) AS n_b,
-             CAST(sum(na * (2 * clt + na + nb + 1)) AS BIGINT) AS r2a,
-             CAST(sum((na + nb) * (na + nb) * (na + nb) - (na + nb))
-                  AS BIGINT) AS tie_term
+             CAST(sum(CAST(na AS DECIMAL(38,0))
+                      * (2 * clt + na + nb + 1)) AS DECIMAL(38,0)) AS r2a,
+             CAST(sum(CAST(na + nb AS DECIMAL(38,0)) * (na + nb) * (na + nb)
+                      - (na + nb)) AS DECIMAL(38,0)) AS tie_term
       FROM c
     )
     SELECT n_a, n_b,
            CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
-           tie_term,
+           CAST(tie_term AS BIGINT) AS tie_term,
            CAST(floor(
              CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE)
              / (2 * sqrt(
@@ -104,16 +105,24 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("clt"),
     )
+    # r2a / tie_term ride DECIMAL(38,0) end-to-end (round-6 advice):
+    # the per-value cube (n_v³) passes 2^63 once a single cents value
+    # holds ~2.1M rows, and the engines would diverge differently
+    # (DuckDB cast error vs Spark silent wrap). Only the BIGINT
+    # *output* columns u2_a/tie_term keep that ceiling — the z
+    # statistic itself is computed from the exact DECIMAL carriers.
     m = c.groupBy().agg(
         F.sum("na").cast("long").alias("n_a"),
         F.sum("nb").cast("long").alias("n_b"),
         F.sum(
-            F.col("na") * (2 * F.col("clt") + F.col("na") + F.col("nb") + 1)
-        ).cast("long").alias("r2a"),
+            F.col("na").cast("decimal(38,0)")
+            * (2 * F.col("clt") + F.col("na") + F.col("nb") + 1)
+        ).cast("decimal(38,0)").alias("r2a"),
         F.sum(
-            (F.col("na") + F.col("nb")) * (F.col("na") + F.col("nb"))
-            * (F.col("na") + F.col("nb")) - (F.col("na") + F.col("nb"))
-        ).cast("long").alias("tie_term"),
+            (F.col("na") + F.col("nb")).cast("decimal(38,0)")
+            * (F.col("na") + F.col("nb")) * (F.col("na") + F.col("nb"))
+            - (F.col("na") + F.col("nb"))
+        ).cast("decimal(38,0)").alias("tie_term"),
     )
     nn = F.col("n_a") + F.col("n_b")
     varnum = (
@@ -132,7 +141,7 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r2a") - F.col("n_a") * (F.col("n_a") + 1))
         .cast("long")
         .alias("u2_a"),
-        "tie_term",
+        F.col("tie_term").cast("long").alias("tie_term"),
         F.floor(z * 1000000 + 0.5).cast("long").alias("z_micros"),
     )
 
@@ -210,13 +219,20 @@ def q_bh_fdr_discoveries(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
+    # integer `div`, not float /: structurally identical to the
+    # oracle's `// 64` (round-6 advice — float division was exact only
+    # because 64 is a power of two and p32 < 2^53)
     p = h.select(
+        "event_type",
+        "dw",
+        p32_raw.alias("p32_raw"),
+    ).select(
         "event_type",
         "dw",
         F.when(
             F.col("event_type") == "purchase",
-            (p32_raw / 64).cast("long"),
-        ).otherwise(p32_raw).alias("p32"),
+            F.expr("p32_raw div 64"),
+        ).otherwise(F.col("p32_raw")).alias("p32"),
     )
     # hypothesis-table windows (m = |types| * 7 — dictionary-sized)
     wr = W.orderBy("p32", "event_type", "dw")
@@ -539,17 +555,20 @@ def q_brown_forsythe_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     rg AS (
       SELECT d.g, CAST(sum(d.ngv) AS BIGINT) AS n_g,
-             CAST(sum(d.ngv * (2 * nv.clt + nv.n_v + 1)) AS BIGINT) AS r2_g
+             CAST(sum(CAST(d.ngv AS DECIMAL(38,0))
+                      * (2 * nv.clt + nv.n_v + 1))
+                  AS DECIMAL(38,0)) AS r2_g
       FROM d JOIN nv USING (v) GROUP BY d.g
     ),
     ties AS (
-      SELECT CAST(sum(n_v * n_v * n_v - n_v) AS BIGINT) AS tie_term FROM nv
+      SELECT CAST(sum(CAST(n_v AS DECIMAL(38,0)) * n_v * n_v - n_v)
+                  AS DECIMAL(38,0)) AS tie_term FROM nv
     ),
     tot AS (
       SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
              list_reduce(
                list_prepend(0.0, list(
-                 CAST(CAST(r2_g AS DECIMAL(38,0)) * r2_g AS DOUBLE)
+                 CAST(r2_g * r2_g AS DOUBLE)
                  / CAST(4 * n_g AS DOUBLE) ORDER BY g)),
                (a, b) -> a + b) AS s
       FROM rg
@@ -566,7 +585,8 @@ def q_brown_forsythe_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
                * 1000000 + 0.5) AS BIGINT) AS h_tied_micros
       FROM tot CROSS JOIN ties t
     )
-    SELECT rg.g AS event_type, rg.n_g, rg.r2_g, h.h_micros, h.h_tied_micros
+    SELECT rg.g AS event_type, rg.n_g,
+           CAST(rg.r2_g AS BIGINT) AS r2_g, h.h_micros, h.h_tied_micros
     FROM rg CROSS JOIN h
     """,
 )
@@ -589,20 +609,26 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clt"),
         )
     )
+    # r2_g / tie_term ride DECIMAL(38,0) internally (round-6 advice:
+    # the per-value cube and the rank sum pass 2^63 at scale and the
+    # engines wrap vs error differently); only the BIGINT r2_g
+    # *output* column keeps that ceiling — H itself is exact.
     rg = (
         d.join(nv, "v")
         .groupBy("g")
         .agg(
             F.sum("ngv").cast("long").alias("n_g"),
             F.sum(
-                F.col("ngv") * (2 * F.col("clt") + F.col("n_v") + 1)
-            ).cast("long").alias("r2_g"),
+                F.col("ngv").cast("decimal(38,0)")
+                * (2 * F.col("clt") + F.col("n_v") + 1)
+            ).cast("decimal(38,0)").alias("r2_g"),
         )
     )
     ties = nv.groupBy().agg(
         F.sum(
-            F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v")
-        ).cast("long").alias("tie_term")
+            F.col("n_v").cast("decimal(38,0)") * F.col("n_v") * F.col("n_v")
+            - F.col("n_v")
+        ).cast("decimal(38,0)").alias("tie_term")
     )
     tot = rg.groupBy().agg(
         F.sum("n_g").cast("long").alias("n"),
@@ -613,8 +639,7 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.struct(
                         F.col("g"),
                         (
-                            (F.col("r2_g").cast("decimal(38,0)")
-                             * F.col("r2_g")).cast("double")
+                            (F.col("r2_g") * F.col("r2_g")).cast("double")
                             / (4 * F.col("n_g")).cast("double")
                         ).alias("t"),
                     )
@@ -647,7 +672,7 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rg.crossJoin(F.broadcast(h)).select(
         F.col("g").alias("event_type"),
         "n_g",
-        "r2_g",
+        F.col("r2_g").cast("long").alias("r2_g"),
         "h_micros",
         "h_tied_micros",
     )
@@ -698,7 +723,7 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT r AS qhat FROM (
         SELECT r, row_number() OVER (ORDER BY r) AS rn FROM cal
       ), nq
-      WHERE rn = CAST(ceil(0.9 * (nq.n_cal + 1)) AS BIGINT)
+      WHERE rn = (9 * (nq.n_cal + 1) + 9) // 10
     ),
     te AS (
       SELECT e.y, t.n_cell, t.s_cell,
@@ -756,10 +781,9 @@ def q_conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame
     qh = (
         cal.select("r", F.row_number().over(wq).alias("rn"))
         .crossJoin(F.broadcast(nq))
-        .filter(
-            F.col("rn")
-            == F.ceil(0.9 * (F.col("n_cal") + 1)).cast("long")
-        )
+        # ⌈9(n+1)/10⌉ in pure integer arithmetic (round-6 advice: the
+        # binary-float 0.9·(n+1) can land epsilon off an integer)
+        .filter(F.col("rn") == F.expr("(9 * (n_cal + 1) + 9) div 10"))
         .select(F.col("r").alias("qhat"), "n_cal")
     )
     te = (

@@ -3775,6 +3775,18 @@ def test_tiff_decoder_rejects_unsupported():
             struct.pack_into("<H", raw, base + 8, 5)
     with pytest.raises(ValueError, match="compression"):
         decode_tiff_pixels(bytes(raw))
+    # drop a required tag (273 StripOffsets → a metadata-only id):
+    # must raise the codec layer's ValueError, not a bare KeyError
+    raw2 = bytearray(encode_tiff(4, 4, bytes(48), channels=3))
+    (ifd_off,) = struct.unpack_from("<I", raw2, 4)
+    (n,) = struct.unpack_from("<H", raw2, ifd_off)
+    for k in range(n):
+        base = ifd_off + 2 + 12 * k
+        (tag,) = struct.unpack_from("<H", raw2, base)
+        if tag == 273:
+            struct.pack_into("<H", raw2, base, 60000)
+    with pytest.raises(ValueError, match="missing required tag 273"):
+        decode_tiff_pixels(bytes(raw2))
 
 
 # ------------------------------------------------------------ µ-law codec
@@ -3887,3 +3899,16 @@ def test_qoi_decoder_rejects_corruption():
     raw[-1] = 0x02  # break the end marker
     with pytest.raises(ValueError, match="end marker"):
         decode_qoi_pixels(bytes(raw))
+    # a RUN overshooting the declared pixel count must raise, not
+    # return an over-long body: 2x1 RGB image whose single op is a
+    # 62-run of the implicit black start pixel
+    import struct
+
+    hdr = b"qoif" + struct.pack(">IIBB", 2, 1, 3, 0)
+    overrun = hdr + bytes([0xC0 | 61]) + b"\x00" * 7 + b"\x01"
+    with pytest.raises(ValueError, match="overruns"):
+        decode_qoi_pixels(overrun)
+    # truncated mid-stream: opcode bytes eaten by the end marker
+    big = bytearray(encode_qoi(8, 8, bytes((j * 7) % 256 for j in range(192)), channels=3))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_qoi_pixels(bytes(big[:18]) + b"\x00" * 7 + b"\x01")
