@@ -72,96 +72,88 @@ def query(name: str, oracle: str | None = None):
 
 
 # The correctness driver checks the FIRST 50 entries of queries() per
-# round. Rounds 1/3/4/5 accumulated 191 distinct driver-green queries
-# (CORRECTNESS_r0{1,3,4,5}.json, zero failures); every other query is
-# green in the local replica harness (tests/test_oracle_parity.py, all
-# queries, sf0.01). Round 6 rotates the window onto 47 NEVER-driver-
-# checked names, the families the round-5 verdict staged: events/
-# attribution + retention, the data-quality audit heads, the dedup/ANN
-# tuning curves, the three NEW streaming batch twins (funnel fold,
-# trending-terms state, mini-batch k-means — promoted from unit-only
-# evidence), the remaining co-order graph heads, the privacy suite,
-# the LLM-corpus heads, and four TPC-H classics. compaction_bins is
-# staged deliberately: its bin arithmetic moved to exact long `div`
-# this round. Three sentinels (versioned_ingest, dedup_minhash_lsh,
-# refinedweb_pipeline) keep round-over-round continuity.
+# round. Rounds 1/3/4/5/6 accumulated 238 distinct driver-green
+# queries (CORRECTNESS_r0{1,3,4,5,6}.json; one r01 row errored —
+# approx_aggregates, since fixed); every other query is green in the
+# local replica harness (tests/test_oracle_parity.py, all queries,
+# sf0.01). Round 7 rotates the window onto 47 NEVER-driver-green
+# names, led by the lanes the round-6 verdict staged: the r12
+# inference family (dictionary-rank tests), the bounded-recurrence
+# fold lane, the real-codec heads (TIFF/QOI/µ-law/GIF), the two TS
+# motif heads, the retrieval + graph strays, the three queries built
+# THIS round (schema-evolution merge, sensor/SCD2 stream-fold twins),
+# approx_aggregates (the only errored row in driver history — its
+# list-valued columns were scalarized rounds ago; this closes the
+# ledger), and the lakeops commerce heads. Three sentinels
+# (versioned_ingest, dedup_minhash_lsh, refinedweb_pipeline) keep
+# round-over-round continuity.
 #
 # Rotation plan (round-5 verdict #10): 47 fresh names per round,
-# sentinels pinned, comparable_subsets frozen in bench.py. ~200
-# never-driver-checked names remained after this window, plus the 17
-# r12-session additions (inference lane: mann_whitney_u,
-# kruskal_wallis, brown_forsythe_variance, bh_fdr_discoveries,
-# mcnemar_paired, yuen_trimmed_test, conformal_interval_coverage;
-# fold lane: dtw_profile_distance, holt_winters_forecast,
-# bradley_terry_brands; TS: daily_motif_pairs, sax_daily_symbols;
-# retrieval: query_likelihood_lm; graph: graph_harmonic_closeness;
-# codecs: tiff_pixel_stats, mulaw_audio_stats, qoi_pixel_stats) →
-# ~5 more rotations (r07: events/window analytics + lakeops commerce
-# heads + the r12 inference/fold lanes; r08: text/LLM long tail;
-# r09: vector/retrieval + stats; r10+: remainder).
+# sentinels pinned, comparable_subsets frozen in bench.py. ~185
+# never-driver-checked names remain after this window → ~4 more
+# rotations (r08: text/LLM long tail; r09: vector/retrieval + stats
+# heads; r10: events/window analytics; r11: remainder + format
+# lanes).
 PRIORITY: list[str] = [
-    # sentinels (driver-green r01+r03+r04+r05, kept for continuity)
+    # sentinels (driver-green r01+r03+r04+r05+r06, kept for continuity)
     "versioned_ingest",
     "dedup_minhash_lsh",
     "refinedweb_pipeline",
-    # attribution / retention family (round-5 verdict #1)
-    "attribution_first_touch",
-    "attribution_position_based",
-    "attribution_time_decay",
-    "retention_d1_d7_d28",
-    "cohort_ltv_curve",
-    "survival_retention_km",
-    "bot_detection",
-    # data-quality audit heads
-    "fd_discovery",
-    "candidate_keys",
-    "benford_audit",
-    "simpsons_paradox_audit",
-    # dedup / ANN tuning curves
-    "ann_multiprobe_topk",
-    "ann_ivf_nprobe_sweep",
-    "dedup_lsh_band_sweep",
-    "ann_recall_mrr",
-    "ann_projected_topk",
-    # streaming batch twins (NEW this round — shared-fold evidence)
-    "funnel_advance_fold",
-    "trending_terms_fold",
-    "minibatch_kmeans_fold",
-    # co-order graph heads without driver rows
-    "graph_stress_centrality",
-    "graph_coreness_classes",
-    "graph_ppr_seeds",
-    "graph_neighborhood_hll",
-    "graph_rich_club",
-    "graph_density_summary",
-    "graph_lpa_modularity",
-    "graph_community_conductance",
-    "textrank_keywords",
-    # privacy / anonymization suite
-    "k_anonymity_audit",
-    "l_diversity_audit",
-    "t_closeness_audit",
-    "dp_noisy_release",
-    "k_anonymity_generalize",
-    # LLM-corpus heads
-    "token_counts",
-    "doc_fingerprints",
-    "dedup_clusters",
-    "train_test_split",
-    "pack_sequences",
-    "vocab_encode",
-    "decontamination_ngram_sweep",
-    # lakehouse heads (compaction_bins: new exact-div arithmetic)
-    "compaction_bins",
-    "txstore_time_travel",
-    "ivm_join_view",
-    # real-PNG pixel path (NEW this round: stdlib-zlib inflate +
-    # all five scanline unfilters)
-    "png_pixel_stats",
-    # TPC-H classics
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q14_promo_revenue",
+    # r12 inference lane (round-6 verdict #1 — zero driver history)
+    "mann_whitney_u",
+    "kruskal_wallis",
+    "brown_forsythe_variance",
+    "bh_fdr_discoveries",
+    "mcnemar_paired",
+    "yuen_trimmed_test",
+    "conformal_interval_coverage",
+    "good_turing_counts",
+    "eb_shrunken_rates",
+    "cramers_v_type_dow",
+    "turning_points_test",
+    "mean_excess_table",
+    # bounded-recurrence fold lane (nested-fold IEEE-replay technique)
+    "dtw_profile_distance",
+    "holt_winters_forecast",
+    "bradley_terry_brands",
+    "rls_ar1_forecast",
+    "viterbi_user_state_path",
+    # real-codec heads (GIF closed per round-6 verdict #4)
+    "tiff_pixel_stats",
+    "qoi_pixel_stats",
+    "mulaw_audio_stats",
+    "gif_pixel_stats",
+    # time-series motif heads
+    "daily_motif_pairs",
+    "sax_daily_symbols",
+    # retrieval + graph strays
+    "query_likelihood_lm",
+    "graph_harmonic_closeness",
+    # built this round (round-6 verdict #6/#9)
+    "evolve_merge_demo",
+    "sensor_alerts_fold",
+    "scd2_stream_fold",
+    # the one ever-errored driver row, re-staged fixed
+    "approx_aggregates",
+    # lakeops / commerce heads (registry plan r07 tranche)
+    "rfm_segments",
+    "max_drawdown",
+    "weekend_lift",
+    "topn_with_others",
+    "inventory_aging",
+    "rev_recognition_schedule",
+    "weekly_rank_movers",
+    "arc_elasticity",
+    "arpu_monthly",
+    "supplier_concentration",
+    "brand_return_rates",
+    "discount_response_curve",
+    "brand_cross_sell",
+    "order_backlog_curve",
+    "price_dispersion_audit",
+    "dup_invoice_candidates",
+    "supplier_leadtime_stats",
+    "customer_frequency_histogram",
 ]
 # Per-query driver-evidence ledger (which round last driver-checked
 # each query vs replica-only): see the "driver evidence" column in

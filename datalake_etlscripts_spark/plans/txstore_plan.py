@@ -571,3 +571,102 @@ def q_ivm_topk_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_topk_view(
         buf, delta, post, "o_custkey", k=10, buffer_cap=20
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution through MERGE (round-6 verdict #6): v1 upserts a
+# source carrying a NEW column through merge(evolve_schema=True) —
+# untouched v0 files stay on disk without the column (no rewrite),
+# the evolved snapshot null-fills them via parquet footer union, and
+# time travel still serves v0 under its ORIGINAL two-column schema.
+# The query aggregates both snapshots plus a schema probe per side,
+# so a driver-green row proves add-column evolution, COW isolation,
+# and old-schema readability at once. Delta-Lake mergeSchema
+# semantics; the reference's Mongo upserts are schemaless so this is
+# the lakehouse-grade replacement surface (read_parquet.py:85-122).
+# ---------------------------------------------------------------------------
+@query(
+    "evolve_merge_demo",
+    oracle="""
+    WITH v0 AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS id,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS p
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    src AS (
+      SELECT CAST(o_orderkey AS VARCHAR) AS id,
+             CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 2
+                  AS DECIMAL(14,2)) AS p,
+             CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS prio
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    v1 AS (
+      SELECT v0.id, v0.p, CAST(NULL AS BIGINT) AS prio
+      FROM v0 LEFT JOIN src ON v0.id = src.id WHERE src.id IS NULL
+      UNION ALL SELECT id, p, prio FROM src
+    )
+    SELECT 0 AS version, CAST(2 AS BIGINT) AS n_cols,
+           COUNT(*) AS n_rows,
+           CAST(0 AS BIGINT) AS n_prio,
+           CAST(0 AS BIGINT) AS sum_prio,
+           CAST(CAST(SUM(p) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM v0
+    UNION ALL
+    SELECT 1 AS version, CAST(3 AS BIGINT) AS n_cols,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(prio) AS BIGINT) AS n_prio,
+           CAST(coalesce(SUM(prio), 0) AS BIGINT) AS sum_prio,
+           CAST(CAST(SUM(p) AS VARCHAR) AS DOUBLE) AS sum_price
+    FROM v1
+    """,
+)
+def q_evolve_merge_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through a COW merge: v1 adds a 'prio' column via merge(evolve_schema=True), v0 time-travels back under its original schema - per-version row/column/priority aggregates prove evolution without rewrite."""
+    base = tempfile.mkdtemp(prefix="txstore_evolve_")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.col("o_totalprice").cast("decimal(14,2)").alias("p"),
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("prio"),
+    )
+    v0 = o.filter(F.col("o_orderkey") % 2 == 0).select("id", "p")
+    st = TransactionalStore.create(
+        spark, os.path.join(base, "t"), v0.repartition(4, "id"), key="id"
+    )
+    src = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "id",
+        (F.col("p") * 2).cast("decimal(14,2)").alias("p"),
+        "prio",
+    )
+
+    def upsert(subset: DataFrame, source: DataFrame) -> DataFrame:
+        return subset.join(
+            source.select("id"), "id", "left_anti"
+        ).unionByName(source)
+
+    st.merge(src, upsert, evolve_schema=True)
+
+    def probe(version: int) -> DataFrame:
+        s = st.snapshot(version=version)
+        has_prio = "prio" in s.columns
+        return s.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.count("prio") if has_prio else F.lit(0)
+            ).cast("long").alias("n_prio"),
+            (
+                F.coalesce(F.sum("prio"), F.lit(0))
+                if has_prio
+                else F.lit(0)
+            ).cast("long").alias("sum_prio"),
+            F.sum("p").cast("double").alias("sum_price"),
+        ).select(
+            F.lit(version).alias("version"),
+            F.lit(len(s.columns)).cast("long").alias("n_cols"),
+            "n_rows",
+            "n_prio",
+            "sum_prio",
+            "sum_price",
+        )
+
+    return probe(0).unionByName(probe(1))

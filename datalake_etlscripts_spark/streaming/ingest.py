@@ -1448,8 +1448,6 @@ def run_streaming_scd2(
     replayed micro-batch (epoch ≤ folded_through) is skipped, and the
     dim swap is staged — the same exactly-once discipline as
     run_streaming_feature_store."""
-    from pyspark.sql import Window as W
-
     dim_path = f"{root}/dim"
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1462,112 +1460,7 @@ def run_streaming_scd2(
             ]["m"]
             if folded is not None and epoch_id <= folded:
                 return  # replay: dim already reflects this batch
-
-        wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
-        bruns = (
-            batch_df.select(
-                "user_id",
-                "ts",
-                "event_id",
-                "event_type",
-                F.when(
-                    ~F.lag("event_type")
-                    .over(wseq)
-                    .eqNullSafe(F.col("event_type")),
-                    1,
-                )
-                .otherwise(0)
-                .alias("chg"),
-            )
-            .withColumn("bord", F.sum("chg").over(wseq))
-            .groupBy("user_id", "bord")
-            .agg(
-                F.min("event_type").alias("status"),
-                F.min("ts").alias("eff_from"),
-                F.count(F.lit(1)).cast("long").alias("n_events"),
-            )
-        )
-        busers = bruns.select("user_id").distinct()
-        if dim is not None:
-            closed = dim.filter(F.col("is_current") == 0).select(
-                "user_id",
-                "version",
-                "status",
-                "effective_from",
-                "effective_to",
-                "n_events",
-                "is_current",
-            )
-            open_all = dim.filter(F.col("is_current") == 1)
-            open_batch = open_all.join(busers, "user_id").select(
-                "user_id",
-                F.lit(0).cast("long").alias("bord"),
-                "status",
-                F.col("effective_from").alias("eff_from"),
-                "n_events",
-            )
-            open_keep = open_all.join(busers, "user_id", "left_anti").select(
-                "user_id",
-                "version",
-                "status",
-                "effective_from",
-                "effective_to",
-                "n_events",
-                "is_current",
-            )
-            base_ver = (
-                closed.groupBy("user_id")
-                .agg(F.count(F.lit(1)).cast("long").alias("n_closed"))
-            )
-            combined = open_batch.unionByName(bruns)
-        else:
-            closed = open_keep = None
-            base_ver = None
-            combined = bruns
-
-        wc = W.partitionBy("user_id").orderBy("bord")
-        groups = (
-            combined.withColumn(
-                "chg",
-                F.when(
-                    ~F.lag("status").over(wc).eqNullSafe(F.col("status")), 1
-                ).otherwise(0),
-            )
-            .withColumn("grp", F.sum("chg").over(wc))
-            .groupBy("user_id", "grp")
-            .agg(
-                F.min("status").alias("status"),
-                F.min("eff_from").alias("effective_from"),
-                F.sum("n_events").cast("long").alias("n_events"),
-            )
-        )
-        if base_ver is not None:
-            groups = groups.join(base_ver, "user_id", "left").withColumn(
-                "version",
-                (F.coalesce("n_closed", F.lit(0)) + F.col("grp")).cast(
-                    "long"
-                ),
-            )
-        else:
-            groups = groups.withColumn("version", F.col("grp").cast("long"))
-        wv = W.partitionBy("user_id").orderBy("grp")
-        eff_to = F.lead("effective_from").over(wv)
-        fresh = groups.select(
-            "user_id",
-            "version",
-            "status",
-            "effective_from",
-            eff_to.alias("effective_to"),
-            "n_events",
-            F.when(eff_to.isNull(), 1)
-            .otherwise(0)
-            .cast("int")
-            .alias("is_current"),
-        )
-        new_dim = fresh
-        if closed is not None:
-            new_dim = closed.unionByName(open_keep).unionByName(fresh)
-        new_dim = new_dim.withColumn(
+        new_dim = scd2_dim_fold(batch_df, dim).withColumn(
             "folded_through", F.lit(epoch_id).cast("bigint")
         )
         _stage_swap(spark, new_dim, dim_path, f"epoch{epoch_id}")
@@ -1578,6 +1471,167 @@ def run_streaming_scd2(
         .option("checkpointLocation", f"{root}/checkpoint")
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def scd2_dim_fold(batch_df: DataFrame, dim: DataFrame | None = None) -> DataFrame:
+    """One SCD2 micro-batch fold, shared by run_streaming_scd2's
+    foreachBatch callback and the registered batch twin
+    (plans/streamtwins.q_scd2_stream_fold): collapse the batch's
+    per-user status runs and merge them into the versioned dimension
+    ``dim`` (None = first epoch). Open rows extend or close, new runs
+    version past the user's closed-row count; rows for untouched users
+    carry through. Returns the new dimension WITHOUT the
+    ``folded_through`` bookkeeping column — the stream adds it."""
+    from pyspark.sql import Window as W
+
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    bruns = (
+        batch_df.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.when(
+                ~F.lag("event_type")
+                .over(wseq)
+                .eqNullSafe(F.col("event_type")),
+                1,
+            )
+            .otherwise(0)
+            .alias("chg"),
+        )
+        .withColumn("bord", F.sum("chg").over(wseq))
+        .groupBy("user_id", "bord")
+        .agg(
+            F.min("event_type").alias("status"),
+            F.min("ts").alias("eff_from"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    busers = bruns.select("user_id").distinct()
+    if dim is not None:
+        closed = dim.filter(F.col("is_current") == 0).select(
+            "user_id",
+            "version",
+            "status",
+            "effective_from",
+            "effective_to",
+            "n_events",
+            "is_current",
+        )
+        open_all = dim.filter(F.col("is_current") == 1)
+        open_batch = open_all.join(busers, "user_id").select(
+            "user_id",
+            F.lit(0).cast("long").alias("bord"),
+            "status",
+            F.col("effective_from").alias("eff_from"),
+            "n_events",
+        )
+        open_keep = open_all.join(busers, "user_id", "left_anti").select(
+            "user_id",
+            "version",
+            "status",
+            "effective_from",
+            "effective_to",
+            "n_events",
+            "is_current",
+        )
+        base_ver = (
+            closed.groupBy("user_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_closed"))
+        )
+        combined = open_batch.unionByName(bruns)
+    else:
+        closed = open_keep = None
+        base_ver = None
+        combined = bruns
+
+    wc = W.partitionBy("user_id").orderBy("bord")
+    groups = (
+        combined.withColumn(
+            "chg",
+            F.when(
+                ~F.lag("status").over(wc).eqNullSafe(F.col("status")), 1
+            ).otherwise(0),
+        )
+        .withColumn("grp", F.sum("chg").over(wc))
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min("status").alias("status"),
+            F.min("eff_from").alias("effective_from"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+    )
+    if base_ver is not None:
+        groups = groups.join(base_ver, "user_id", "left").withColumn(
+            "version",
+            (F.coalesce("n_closed", F.lit(0)) + F.col("grp")).cast(
+                "long"
+            ),
+        )
+    else:
+        groups = groups.withColumn("version", F.col("grp").cast("long"))
+    wv = W.partitionBy("user_id").orderBy("grp")
+    eff_to = F.lead("effective_from").over(wv)
+    fresh = groups.select(
+        "user_id",
+        "version",
+        "status",
+        "effective_from",
+        eff_to.alias("effective_to"),
+        "n_events",
+        F.when(eff_to.isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_current"),
+    )
+    new_dim = fresh
+    if closed is not None:
+        new_dim = closed.unionByName(open_keep).unionByName(fresh)
+    return new_dim
+
+
+def sensor_stats_fold(
+    batch_df: DataFrame, state: DataFrame | None = None
+) -> DataFrame:
+    """One sensor-stats micro-batch fold, shared by
+    run_streaming_sensor_alerts's foreachBatch callback and the
+    registered batch twin (plans/streamtwins.q_sensor_alerts_fold):
+    the batch's per-sensor (count, reading total, alert count ≥ 900)
+    increments sum-merge into ``state`` (None = first epoch) via one
+    full-outer join on the sensor key — the counts monoid, so any
+    epoch split folds to the same table. Returns the new state
+    WITHOUT the ``folded_through`` bookkeeping column."""
+    binc = batch_df.groupBy("sensor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_dn"),
+        F.sum("reading").cast("long").alias("_dt"),
+        F.sum(F.when(F.col("reading") >= 900, 1).otherwise(0))
+        .cast("long")
+        .alias("_da"),
+    )
+    if state is None:
+        return binc.select(
+            "sensor_id",
+            F.col("_dn").alias("n"),
+            F.col("_dt").alias("total"),
+            F.col("_da").alias("n_alerts"),
+        )
+    return (
+        state.select("sensor_id", "n", "total", "n_alerts")
+        .join(binc, "sensor_id", "full_outer")
+        .select(
+            "sensor_id",
+            (
+                F.coalesce("n", F.lit(0)) + F.coalesce("_dn", F.lit(0))
+            ).cast("long").alias("n"),
+            (
+                F.coalesce("total", F.lit(0)) + F.coalesce("_dt", F.lit(0))
+            ).cast("long").alias("total"),
+            (
+                F.coalesce("n_alerts", F.lit(0)) + F.coalesce("_da", F.lit(0))
+            ).cast("long").alias("n_alerts"),
+        )
     )
 
 
@@ -1611,41 +1665,7 @@ def run_streaming_sensor_alerts(spark: SparkSession, root: str):
         alerts.write.mode("overwrite").parquet(
             f"{root}/alerts/epoch={epoch_id}"
         )
-        binc = batch_df.groupBy("sensor_id").agg(
-            F.count(F.lit(1)).cast("long").alias("_dn"),
-            F.sum("reading").cast("long").alias("_dt"),
-            F.sum(F.when(F.col("reading") >= 900, 1).otherwise(0))
-            .cast("long")
-            .alias("_da"),
-        )
-        if state is not None:
-            new_state = (
-                state.select("sensor_id", "n", "total", "n_alerts")
-                .join(binc, "sensor_id", "full_outer")
-                .select(
-                    "sensor_id",
-                    (
-                        F.coalesce("n", F.lit(0))
-                        + F.coalesce("_dn", F.lit(0))
-                    ).cast("long").alias("n"),
-                    (
-                        F.coalesce("total", F.lit(0))
-                        + F.coalesce("_dt", F.lit(0))
-                    ).cast("long").alias("total"),
-                    (
-                        F.coalesce("n_alerts", F.lit(0))
-                        + F.coalesce("_da", F.lit(0))
-                    ).cast("long").alias("n_alerts"),
-                )
-            )
-        else:
-            new_state = binc.select(
-                "sensor_id",
-                F.col("_dn").alias("n"),
-                F.col("_dt").alias("total"),
-                F.col("_da").alias("n_alerts"),
-            )
-        new_state = new_state.withColumn(
+        new_state = sensor_stats_fold(batch_df, state).withColumn(
             "folded_through", F.lit(epoch_id).cast("bigint")
         )
         _stage_swap(spark, new_state, state_path, f"epoch{epoch_id}")
