@@ -242,6 +242,67 @@ def _steal_pct(a, b) -> float | None:
     return round(100.0 * (b[1] - a[1]) / (b[2] - a[2]), 2)
 
 
+_JVM_PID: int | None = None
+
+
+def _find_jvm_pid() -> int | None:
+    """PID of the Spark JVM: the deepest `java` process descending
+    from this driver. The OperatingSystemMXBean/MBeanServer impl
+    classes live in non-exported JDK modules py4j can't reflect into,
+    so CPU comes from /proc/<pid>/stat instead."""
+    me = os.getpid()
+    try:
+        procs = {}  # pid -> (ppid, comm)
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as fh:
+                    parts = fh.read().split()
+                procs[int(d)] = (int(parts[3]), parts[1])
+            except OSError:
+                continue
+        for pid, (ppid, comm) in procs.items():
+            if "java" not in comm:
+                continue
+            p = ppid
+            while p > 1:
+                if p == me:
+                    return pid
+                p = procs.get(p, (0, ""))[0]
+    except OSError:
+        pass
+    return None
+
+
+def _jvm_meters(spark):
+    """(jvm_cpu_jiffy_sec, gc_ms) for the Spark JVM — in local mode
+    the driver JVM IS the executor, so the delta across a query is
+    that query's true JVM CPU + GC cost. This is the second source
+    the round-6 verdict demanded: wall-clock spread with flat JVM CPU
+    = scheduler noise; spread WITH matching CPU growth = a real plan
+    regression. CPU is utime+stime from /proc/<jvm>/stat (user+sys
+    jiffies, immune to steal); GC from the GarbageCollectorMXBeans."""
+    global _JVM_PID
+    cpu = None
+    if _JVM_PID is None:
+        _JVM_PID = _find_jvm_pid() or -1
+    if _JVM_PID > 0:
+        try:
+            with open(f"/proc/{_JVM_PID}/stat") as fh:
+                parts = fh.read().split()
+            hz = os.sysconf("SC_CLK_TCK") or 100
+            cpu = (int(parts[13]) + int(parts[14])) / hz
+        except (OSError, IndexError, ValueError):
+            cpu = None
+    try:
+        mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        gc = sum(b.getCollectionTime() for b in mf.getGarbageCollectorMXBeans())
+    except Exception:
+        gc = None
+    return cpu, gc
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as e
@@ -261,20 +322,59 @@ def main() -> None:
     # Codegen caches persist between runs, so run 1 also absorbs the
     # per-plan compile cost — reported numbers are the steady-state a
     # cluster would see.
+    # Each query also records: first_run (run 1 = the COLD lane a
+    # 100 TB first pass would see — codegen compile + shuffle-file
+    # creation; later runs are the warm steady state), spread_pct of
+    # the timed runs, and the best run's JVM CPU seconds + GC ms from
+    # the MXBeans. If best-of-3 spread exceeds 30% the query escalates
+    # to 3 more runs (round-6 verdict: the itemcf 2.78s-vs-4.83s band
+    # was invisible at fixed repeats) — `runs` records the count.
     timings: dict[str, float] = {}
+    first_runs: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    run_counts: dict[str, int] = {}
+    jvm_cpu: dict[str, float] = {}
+    gc_ms: dict[str, int] = {}
     query_steal: dict[str, float] = {}
     bench_start = _cpu_times()
     for name in names:
-        best, n = float("inf"), 0
+        n = 0
         s0 = _cpu_times()
-        for _ in range(3):
+        samples: list[float] = []
+        best_cpu = None
+        for r in range(6):
+            c0, g0 = _jvm_meters(spark)
             t0 = time.perf_counter()
             n = _force(qs[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            c1, g1 = _jvm_meters(spark)
+            if not samples or dt < min(samples):
+                if c0 is not None and c1 is not None:
+                    best_cpu = c1 - c0
+                if g0 is not None and g1 is not None:
+                    gc_ms[name] = g1 - g0
+            samples.append(dt)
+            # best-of-3 unless the WARM-run spread says the host was
+            # noisy — run 1 is the cold lane (codegen compile, shuffle
+            # file creation; reported separately as first_run) and
+            # would trip the gate on every compile-heavy query.
+            # Relative (30% of min) AND absolute (0.4s) gates so
+            # sub-second queries whose jitter is all JVM scheduling
+            # don't escalate at small SF.
+            warm = samples[1:]
+            spread = max(warm) - min(warm) if warm else 0.0
+            if r >= 2 and (spread <= 0.30 * min(warm) or spread <= 0.4):
+                break
         sp = _steal_pct(s0, _cpu_times())
         if sp is not None:
             query_steal[name] = sp
-        timings[name] = round(best, 3)
+        timings[name] = round(min(samples), 3)
+        first_runs[name] = round(samples[0], 3)
+        warm = samples[1:] or samples
+        spreads[name] = round(100.0 * (max(warm) - min(warm)) / min(warm), 1)
+        run_counts[name] = len(samples)
+        if best_cpu is not None:
+            jvm_cpu[name] = round(best_cpu, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
     overall_steal = _steal_pct(bench_start, _cpu_times())
 
@@ -303,6 +403,11 @@ def main() -> None:
                 "queries": timings,
                 "comparable_subsets": subsets,
                 "best_of": 3,
+                "first_run": first_runs,
+                "spread_pct": spreads,
+                "runs": run_counts,
+                "jvm_cpu_sec": jvm_cpu,
+                "gc_ms": gc_ms,
                 "host_load": list(os.getloadavg()),
                 "steal_pct": overall_steal,
                 "query_steal_pct": query_steal,
