@@ -572,6 +572,8 @@ def decode_wav_samples(raw: bytes) -> tuple[int, int, list[int]]:
     )
     if audio_format == 7 and bits == 8:  # G.711 µ-law (real expansion)
         return int(rate), int(channels), mulaw_decode(data)
+    if audio_format == 17 and bits == 4:  # IMA ADPCM (real stateful decode)
+        return int(rate), int(channels), decode_wav_adpcm(fmt, data)
     if audio_format != 1 or bits != 16:
         raise ValueError(
             f"WAV format={audio_format} bits={bits} unsupported "
@@ -1768,6 +1770,141 @@ def synthesize_qoi_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 ch = 3 if i % 2 == 0 else 4
                 px = bytes((i * 13 + j * j) % 256 for j in range(ch * w * h))
                 out.append((i, "qoi", encode_qoi(w, h, px, channels=ch)))
+            yield pd.DataFrame(out, columns=["id", "fmt", "data"])
+
+    return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL IMA ADPCM codec (DVI4 / WAV format tag 0x11): the classic
+# STATEFUL audio codec — each 4-bit code updates a (predictor, step
+# index) recurrence, so unlike µ-law's per-byte CASE ladder this
+# exercises the bounded-recurrence fold seam: the oracle replays the
+# decode as an exact-integer list fold (the viterbi/rls lane pattern)
+# while the engine walks genuine RIFF blocks. Pure shift/add
+# arithmetic per the IMA reference algorithm — SQL-replayable
+# bit-for-bit. Carried in RIFF/WAVE with format tag 17, the 4-byte
+# block header (initial predictor int16, initial step index uint8)
+# followed by low-nibble-first code bytes.
+# ---------------------------------------------------------------------------
+
+ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+ADPCM_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def adpcm_decode_nibbles(
+    nibbles: list[int], pred0: int, idx0: int
+) -> list[int]:
+    """IMA ADPCM expand: the reference shift/add recurrence. Sample 0
+    is the block header's predictor; each nibble then updates
+    (predictor, step index). Exact integers throughout."""
+    pred, idx = pred0, idx0
+    out = [pred]
+    for nb in nibbles:
+        step = ADPCM_STEPS[idx]
+        diff = step >> 3
+        if nb & 1:
+            diff += step >> 2
+        if nb & 2:
+            diff += step >> 1
+        if nb & 4:
+            diff += step
+        pred = pred - diff if nb & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + ADPCM_INDEX[nb & 7]))
+        out.append(pred)
+    return out
+
+
+def encode_wav_adpcm(
+    sample_rate: int, nibbles: list[int], pred0: int, idx0: int
+) -> bytes:
+    """RIFF/WAVE with format tag 17 (IMA ADPCM, mono, one block): fmt
+    chunk carries the 2-byte extension (samplesPerBlock), the data
+    chunk the 4-byte block header + low-nibble-first code bytes."""
+    import struct
+
+    n_samples = 1 + len(nibbles)
+    body = bytearray(struct.pack("<hBB", pred0, idx0, 0))
+    for i in range(0, len(nibbles), 2):
+        lo = nibbles[i] & 0x0F
+        hi = (nibbles[i + 1] & 0x0F) if i + 1 < len(nibbles) else 0
+        body.append(lo | (hi << 4))
+    block_align = len(body)
+    byte_rate = (sample_rate * block_align + n_samples - 1) // n_samples
+    fmt = struct.pack(
+        "<HHIIHHHH", 17, 1, sample_rate, byte_rate, block_align, 4,
+        2, n_samples,
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 40 + len(body) + (len(body) & 1))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 20)
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(body))
+        + bytes(body)
+        + (b"\x00" if len(body) & 1 else b"")
+    )
+
+
+def decode_wav_adpcm(fmt: bytes, data: bytes) -> list[int]:
+    """Decode a mono single-block IMA ADPCM data chunk using the fmt
+    extension's samplesPerBlock for the exact nibble count (an odd
+    count leaves the final byte's high nibble as spec padding)."""
+    import struct
+
+    if len(fmt) < 20:
+        raise ValueError("IMA ADPCM fmt missing samplesPerBlock extension")
+    (channels,) = struct.unpack_from("<H", fmt, 2)
+    if channels != 1:
+        raise ValueError("IMA ADPCM: mono only")
+    (samples_per_block,) = struct.unpack_from("<H", fmt, 18)
+    if len(data) < 4:
+        raise ValueError("IMA ADPCM block shorter than its header")
+    pred0, idx0, _res = struct.unpack_from("<hBB", data, 0)
+    if not 0 <= idx0 <= 88:
+        raise ValueError(f"IMA ADPCM step index {idx0} out of range")
+    n_nib = samples_per_block - 1
+    if len(data) - 4 < (n_nib + 1) // 2:
+        raise ValueError("IMA ADPCM block truncated")
+    nibbles = []
+    for j in range(n_nib):
+        b = data[4 + (j >> 1)]
+        nibbles.append((b >> 4) & 0x0F if j & 1 else b & 0x0F)
+    return adpcm_decode_nibbles(nibbles, pred0, idx0)
+
+
+def synthesize_adpcm_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministically render a REAL IMA ADPCM WAV per row: mono,
+    64 + id % 128 nibbles with code j = (id*7 + j*j) % 16 (the
+    quadratic pattern hits every code incl. the sign bit), initial
+    predictor ((id*31) % 65536) − 32768, initial step index id % 89 —
+    simple arithmetic so a SQL fold replays every decoded sample while
+    the engine walks genuine format-17 RIFF blocks."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for i in pdf[id_col]:
+                i = int(i)
+                n_nib = 64 + i % 128
+                nibs = [(i * 7 + j * j) % 16 for j in range(n_nib)]
+                pred0 = ((i * 31) % 65536) - 32768
+                idx0 = i % 89
+                out.append(
+                    (i, "wav", encode_wav_adpcm(8000, nibs, pred0, idx0))
+                )
             yield pd.DataFrame(out, columns=["id", "fmt", "data"])
 
     return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)

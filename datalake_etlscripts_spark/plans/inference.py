@@ -1497,3 +1497,344 @@ def q_mean_excess_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mean_excess_micros"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kolmogorov-Smirnov two-sample drift test ('click' vs 'purchase'
+# event values, r13): the distribution-shift detector a feature
+# pipeline runs between serving windows. D = max |ECDF_a - ECDF_b| is
+# computed WITHOUT a single division: per distinct cents value the
+# inclusive cumulative counts ca, cb give the exact integer
+# |ca·NB - cb·NA|, maximized over the value dictionary (bounded by
+# the 2-decimal domain, never the fact count). The α=0.05 decision
+# c(α)=1.358 is an exact integer comparison on the floored d_micros
+# (both engines compare identical integers, so the boundary is
+# deterministic). DECIMAL(38,0) carriers keep the NA·NB product exact
+# past int64 (ADVICE r06 pattern). 100 TB: one fact aggregate → one
+# dictionary window → 1-row result.
+# ---------------------------------------------------------------------------
+@query(
+    "ks_two_sample_drift",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    d AS (
+      SELECT v, CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+      FROM e GROUP BY v
+    ),
+    c AS (
+      SELECT v, sum(na) OVER w AS ca, sum(nb) OVER w AS cb
+      FROM d WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ),
+    t AS (SELECT sum(na) AS n_a, sum(nb) AS n_b FROM d),
+    m AS (
+      SELECT t.n_a, t.n_b,
+             max(abs(CAST(c.ca AS DECIMAL(38,0)) * t.n_b
+                     - CAST(c.cb AS DECIMAL(38,0)) * t.n_a)) AS dnum
+      FROM c CROSS JOIN t GROUP BY t.n_a, t.n_b
+    )
+    -- // on DECIMAL routes through double in DuckDB; HUGEINT keeps
+    -- the quotient exact-integer like Spark's decimal `div`
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(dnum AS BIGINT) AS d_num,
+           CAST(CAST(dnum AS HUGEINT) * 1000000
+                // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT)
+             AS d_micros,
+           CAST(CASE WHEN
+             (CAST(dnum AS HUGEINT) * 1000000
+              // (CAST(n_a AS HUGEINT) * n_b))
+             * (CAST(dnum AS HUGEINT) * 1000000
+                // (CAST(n_a AS HUGEINT) * n_b))
+             * n_a * n_b
+             > CAST(1844164000000 AS HUGEINT) * (n_a + n_b)
+             THEN 1 ELSE 0 END AS INT) AS reject_05
+    FROM m
+    """,
+)
+def q_ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov two-sample drift test on click-vs-purchase event values - exact integer sup-distance over the cents dictionary (no division until the floored d_micros readout), alpha=0.05 decision as an exact integer comparison."""
+    e = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("b"),
+        )
+    )
+    d = e.groupBy("v").agg(
+        F.sum("a").cast("long").alias("na"),
+        F.sum("b").cast("long").alias("nb"),
+    )
+    # dictionary-sized window (distinct cents, bounded by the domain)
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    c = d.select(
+        "v",
+        F.sum("na").over(wv).alias("ca"),
+        F.sum("nb").over(wv).alias("cb"),
+    )
+    t = d.agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+    )
+    m = (
+        c.crossJoin(F.broadcast(t))  # 1-row scalar attach
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("decimal(38,0)") * F.col("n_b")
+                    - F.col("cb").cast("decimal(38,0)") * F.col("n_a")
+                )
+            ).alias("dnum")
+        )
+    )
+    d_micros = F.expr(
+        "dnum * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+    )
+    return m.select(
+        "n_a",
+        "n_b",
+        F.col("dnum").cast("long").alias("d_num"),
+        d_micros.cast("long").alias("d_micros"),
+        F.when(
+            d_micros.cast("decimal(38,0)") * d_micros * F.col("n_a")
+            * F.col("n_b")
+            > F.lit(1844164000000).cast("decimal(38,0)")
+            * (F.col("n_a") + F.col("n_b")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("reject_05"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (quantity vs discount over lineitem,
+# r13): the tie-heavy rank correlation a feature store audits between
+# numeric columns. Average ranks are computed on the MARGINAL
+# dictionaries in closed form (2·avg_rank = 2·c_lt + n_v + 1 stays
+# integral), joined onto the JOINT dictionary (|qty|×|disc| ≤ ~550
+# cells regardless of fact count), and the Pearson moments of the
+# doubled ranks accumulate as DECIMAL(38,0) — products reach 4n³, far
+# past int64 at scale. One double expression at the end, written in
+# the identical fixed order in both engines. 100 TB: one fact
+# aggregate to the joint dictionary; every window is dictionary-sized.
+# ---------------------------------------------------------------------------
+@query(
+    "spearman_rho",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qx,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS qy
+      FROM lineitem
+    ),
+    j AS (SELECT qx, qy, CAST(count(*) AS BIGINT) AS cnt FROM f GROUP BY 1, 2),
+    mx AS (
+      SELECT qx, 2 * coalesce(sum(nx) OVER (ORDER BY qx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + nx + 1 AS rx2
+      FROM (SELECT qx, sum(cnt) AS nx FROM j GROUP BY 1) t
+    ),
+    my AS (
+      SELECT qy, 2 * coalesce(sum(ny) OVER (ORDER BY qy
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + ny + 1 AS ry2
+      FROM (SELECT qy, sum(cnt) AS ny FROM j GROUP BY 1) t
+    ),
+    m AS (
+      SELECT CAST(sum(cnt) AS DECIMAL(38,0)) AS n,
+             sum(CAST(cnt AS DECIMAL(38,0)) * rx2) AS sx,
+             sum(CAST(cnt AS DECIMAL(38,0)) * ry2) AS sy,
+             sum(CAST(cnt AS DECIMAL(38,0)) * rx2 * rx2) AS sxx,
+             sum(CAST(cnt AS DECIMAL(38,0)) * ry2 * ry2) AS syy,
+             sum(CAST(cnt AS DECIMAL(38,0)) * rx2 * ry2) AS sxy
+      FROM j JOIN mx USING (qx) JOIN my USING (qy)
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                * 1000000 + 0.5) AS BIGINT) AS rho_micros
+    FROM m
+    """,
+)
+def q_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between lineitem quantity and discount - tie-averaged ranks in closed form on the marginal dictionaries (2x rank stays integral), exact DECIMAL moments on the joint dictionary, one fixed-order double expression at the end."""
+    f = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("qx"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("qy"),
+    )
+    j = f.groupBy("qx", "qy").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wx = W.orderBy("qx").rowsBetween(W.unboundedPreceding, -1)
+    mx = (
+        j.groupBy("qx")
+        .agg(F.sum("cnt").alias("nx"))
+        .select(
+            "qx",
+            (
+                2 * F.coalesce(F.sum("nx").over(wx), F.lit(0))
+                + F.col("nx")
+                + 1
+            ).alias("rx2"),
+        )
+    )
+    wy = W.orderBy("qy").rowsBetween(W.unboundedPreceding, -1)
+    my = (
+        j.groupBy("qy")
+        .agg(F.sum("cnt").alias("ny"))
+        .select(
+            "qy",
+            (
+                2 * F.coalesce(F.sum("ny").over(wy), F.lit(0))
+                + F.col("ny")
+                + 1
+            ).alias("ry2"),
+        )
+    )
+    cnt_d = F.col("cnt").cast("decimal(38,0)")
+    m = (
+        j.join(F.broadcast(mx), "qx")
+        .join(F.broadcast(my), "qy")
+        .agg(
+            F.sum(cnt_d).alias("n"),
+            F.sum(cnt_d * F.col("rx2")).alias("sx"),
+            F.sum(cnt_d * F.col("ry2")).alias("sy"),
+            F.sum(cnt_d * F.col("rx2") * F.col("rx2")).alias("sxx"),
+            F.sum(cnt_d * F.col("ry2") * F.col("ry2")).alias("syy"),
+            F.sum(cnt_d * F.col("rx2") * F.col("ry2")).alias("sxy"),
+        )
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.floor(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / (
+                F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    .cast("double")
+                )
+                * F.sqrt(
+                    (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                    .cast("double")
+                )
+            )
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("rho_micros"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift alarm over per-type daily revenue (r13): the classic
+# one-sided mean-shift detector (g_t = max(0, g_{t-1} + x_t - ref - k))
+# run as an EXACT INTEGER fold over each event type's day-ordered
+# revenue series — reference level ref = month mean (exact long div),
+# slack k = ref/20, alarm threshold h = ref. The recurrence rides the
+# nested-fold lane: per-type array fold, state = [g, max_g, n_alarms,
+# first_alarm_day, day_idx], bit-identical in DuckDB's list_reduce.
+# Per-key parallel — a million monitored series fold independently
+# after one (type, day) aggregate. 100 TB: one keyed aggregate, one
+# 31-element fold per key, no fact-sized sort.
+# ---------------------------------------------------------------------------
+@query(
+    "cusum_drift_alarm",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             CAST(date_part('day', ts) AS BIGINT) AS day,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             list(x ORDER BY day) AS xs,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) // count(*) AS BIGINT) AS ref
+      FROM d GROUP BY 1
+    ),
+    r AS (
+      SELECT event_type, n_days, ref,
+             list_reduce(
+               list_prepend(
+                 [CAST(0 AS BIGINT), 0, 0, 0, 0],
+                 list_transform(xs, x -> [x, 0, 0, 0, 0])),
+               (acc, xx) -> [
+                 greatest(CAST(0 AS BIGINT),
+                          acc[1] + xx[1] - ref - ref // 20),
+                 greatest(acc[2],
+                          greatest(CAST(0 AS BIGINT),
+                                   acc[1] + xx[1] - ref - ref // 20)),
+                 acc[3] + CASE WHEN greatest(CAST(0 AS BIGINT),
+                     acc[1] + xx[1] - ref - ref // 20) > ref
+                   THEN 1 ELSE 0 END,
+                 CASE WHEN acc[4] = 0 AND greatest(CAST(0 AS BIGINT),
+                     acc[1] + xx[1] - ref - ref // 20) > ref
+                   THEN acc[5] + 1 ELSE acc[4] END,
+                 acc[5] + 1
+               ]) AS st
+      FROM s
+    )
+    SELECT event_type, n_days, ref AS ref_cents,
+           CAST(st[2] AS BIGINT) AS max_g,
+           CAST(st[3] AS BIGINT) AS n_alarms,
+           CAST(st[4] AS BIGINT) AS first_alarm_day
+    FROM r
+    """,
+)
+def q_cusum_drift_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift alarm per event type over day-ordered daily revenue - exact integer fold (slack ref/20, threshold ref), state carries running g, max, alarm count and first alarm day; per-key parallel after one (type, day) aggregate."""
+    e = read_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type", F.dayofmonth("ts").cast("long").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    s = d.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda t: t["x"],
+        ).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.expr("sum(x) div count(*)").cast("long").alias("ref"),
+    )
+    zero = F.lit(0).cast("long")
+    ref = F.col("ref")
+    slack = F.expr("ref div 20")
+
+    def step(acc, x):
+        g = F.greatest(zero, F.element_at(acc, 1) + x - ref - slack)
+        return F.array(
+            g,
+            F.greatest(F.element_at(acc, 2), g),
+            F.element_at(acc, 3)
+            + F.when(g > ref, F.lit(1).cast("long")).otherwise(zero),
+            F.when(
+                (F.element_at(acc, 4) == 0) & (g > ref),
+                F.element_at(acc, 5) + 1,
+            ).otherwise(F.element_at(acc, 4)),
+            F.element_at(acc, 5) + 1,
+        )
+
+    st = F.aggregate(
+        F.col("xs"), F.array(zero, zero, zero, zero, zero), step
+    )
+    return s.select(
+        "event_type",
+        "n_days",
+        ref.alias("ref_cents"),
+        F.element_at(st, 2).cast("long").alias("max_g"),
+        F.element_at(st, 3).cast("long").alias("n_alarms"),
+        F.element_at(st, 4).cast("long").alias("first_alarm_day"),
+    )

@@ -6446,3 +6446,79 @@ def q_dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# REAL IMA ADPCM decode (r13): the stateful audio codec — every 4-bit
+# code updates a (predictor, step-index) recurrence, so the oracle
+# replays the decode as an exact-integer LIST FOLD (the viterbi/rls
+# nested-fold lane) while the engine parses genuine format-17 RIFF
+# blocks and runs the same shift/add arithmetic in the Arrow-batched
+# decode seam. The quadratic code pattern hits every nibble value;
+# the step/index tables ride the SQL as literal lists shared from the
+# one Python source of truth.
+def _adpcm_fold_sql() -> str:
+    step = "stept[CAST(acc[2] + 1 AS INT)]"
+    diff = (
+        f"(({step}) >> 3)"
+        f" + CASE WHEN (xx[1] & 1) = 1 THEN ({step}) >> 2 ELSE 0 END"
+        f" + CASE WHEN (xx[1] & 2) = 2 THEN ({step}) >> 1 ELSE 0 END"
+        f" + CASE WHEN (xx[1] & 4) = 4 THEN {step} ELSE 0 END"
+    )
+    pred = (
+        "greatest(CAST(-32768 AS BIGINT), least(CAST(32767 AS BIGINT), "
+        f"acc[1] + CASE WHEN (xx[1] & 8) = 8 THEN -({diff}) "
+        f"ELSE ({diff}) END))"
+    )
+    idx = (
+        "greatest(CAST(0 AS BIGINT), least(CAST(88 AS BIGINT), "
+        "acc[2] + idxt[CAST((xx[1] & 7) + 1 AS INT)]))"
+    )
+    return (
+        f"list_reduce(list_prepend([pred0, idx0, abs(pred0), abs(pred0)], "
+        f"list_transform(nibs, nb -> [nb, CAST(0 AS BIGINT), 0, 0])), "
+        f"(acc, xx) -> [{pred}, {idx}, acc[3] + abs({pred}), "
+        f"greatest(acc[4], abs({pred}))])"
+    )
+
+
+_ADPCM_STEPT = "[" + ", ".join(
+    f"CAST({v} AS BIGINT)" for v in multimodal.ADPCM_STEPS
+) + "]"
+_ADPCM_IDXT = "[" + ", ".join(
+    f"CAST({v} AS BIGINT)" for v in multimodal.ADPCM_INDEX
+) + "]"
+
+
+@query(
+    "adpcm_audio_stats",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id AS id,
+             CAST(64 + doc_id % 128 AS BIGINT) AS n_nib,
+             CAST((doc_id * 31) % 65536 - 32768 AS BIGINT) AS pred0,
+             CAST(doc_id % 89 AS BIGINT) AS idx0
+      FROM documents
+    ),
+    nb AS (
+      SELECT id, n_nib, pred0, idx0,
+             list_transform(range(0, n_nib),
+               j -> CAST((id * 7 + j * j) % 16 AS BIGINT)) AS nibs,
+             {_ADPCM_STEPT} AS stept,
+             {_ADPCM_IDXT} AS idxt
+      FROM a
+    ),
+    st AS (
+      SELECT id, n_nib, {_adpcm_fold_sql()} AS st FROM nb
+    )
+    SELECT id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+           CAST(n_nib + 1 AS BIGINT) AS n_samples,
+           CAST(st[3] AS BIGINT) AS sum_abs,
+           CAST(st[4] AS BIGINT) AS peak
+    FROM st
+    """,
+)
+def q_adpcm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real IMA ADPCM audio statistics: synthesize a genuine format-17 RIFF block per doc (quadratic nibble pattern, per-doc initial predictor and step index), run the actual stateful shift/add decode, and report exact sums and peaks - the oracle replays the recurrence as an integer list fold."""
+    d = read_table(spark, sf_dir, "documents")
+    clips = multimodal.synthesize_adpcm_audio(d)
+    return multimodal.decode_audio_stats(clips)

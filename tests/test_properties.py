@@ -905,3 +905,54 @@ def test_mulaw_quantizer_properties(samples):
             (min(abs(s), 32635) + 132).bit_length() - 8, 0
         ) * 8
         assert abs(d - s) <= max(step, 8)
+
+
+@SET
+@given(
+    nibbles=st.lists(st.integers(0, 15), min_size=0, max_size=300),
+    pred0=st.integers(-32768, 32767),
+    idx0=st.integers(0, 88),
+)
+def test_adpcm_container_roundtrip_random(nibbles, pred0, idx0):
+    """The format-17 RIFF container carries any nibble stream + block
+    header losslessly: parsing the encoded WAV reproduces exactly the
+    direct recurrence's samples (odd counts exercise the pad nibble),
+    every sample clamped to int16."""
+    from datalake_etlscripts_spark.operators.multimodal import (
+        adpcm_decode_nibbles,
+        decode_wav_samples,
+        encode_wav_adpcm,
+    )
+
+    raw = encode_wav_adpcm(8000, nibbles, pred0, idx0)
+    rate, ch, samples = decode_wav_samples(raw)
+    assert (rate, ch) == (8000, 1)
+    assert samples == adpcm_decode_nibbles(nibbles, pred0, idx0)
+    assert len(samples) == 1 + len(nibbles)
+    assert all(-32768 <= s <= 32767 for s in samples)
+
+
+@SET
+@given(nibbles=st.lists(st.integers(0, 15), min_size=4, max_size=60))
+def test_adpcm_malformed_blocks_raise(nibbles):
+    """Truncated data chunks and out-of-range step indices raise the
+    codec layer's ValueError contract, never IndexError."""
+    import pytest
+
+    from datalake_etlscripts_spark.operators.multimodal import (
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+    )
+
+    raw = encode_wav_adpcm(8000, nibbles, 0, 0)
+    fmt = raw[20:40]
+    data_len = 4 + (len(nibbles) + 1) // 2
+    data = raw[48 : 48 + data_len]
+    assert len(decode_wav_adpcm(fmt, data)) == 1 + len(nibbles)
+    with pytest.raises(ValueError):
+        decode_wav_adpcm(fmt, data[:3])  # shorter than the header
+    with pytest.raises(ValueError):
+        decode_wav_adpcm(fmt, data[: 4 + (len(nibbles) - 1) // 4])
+    bad = bytes([data[0], data[1], 89, 0]) + data[4:]
+    with pytest.raises(ValueError):
+        decode_wav_adpcm(fmt, bad)  # step index out of range
