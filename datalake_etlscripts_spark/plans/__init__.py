@@ -12,6 +12,7 @@ from datalake_etlscripts_spark.plans import (  # noqa: F401, E402
     events,
     featureops,
     functions_showcase,
+    geoops,
     graphops,
     inference,
     lakeops,

@@ -3912,3 +3912,40 @@ def test_qoi_decoder_rejects_corruption():
     big = bytearray(encode_qoi(8, 8, bytes((j * 7) % 256 for j in range(192)), channels=3))
     with pytest.raises(ValueError, match="truncated"):
         decode_qoi_pixels(bytes(big[:18]) + b"\x00" * 7 + b"\x01")
+
+
+def test_geohash_matches_canonical_vector(spark):
+    """The closed-form 20-bit quantize + interleave + base-32 readout
+    reproduces the canonical geohash test vector (57.64911, 10.40744)
+    -> u4pruydq, and the pole/antimeridian corner clamps into the top
+    bucket instead of overflowing the 40-bit field."""
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.plans.geoops import (
+        _gh_chars_sql,
+        _interleave_terms,
+    )
+
+    df = spark.createDataFrame(
+        [(57649110, 10407440), (90000000, 180000000), (-90000000, -180000000)],
+        "lat_micro long, lon_micro long",
+    )
+    out = (
+        df.selectExpr(
+            "least((lat_micro + 90000000) * 1048576 div 180000000, 1048575)"
+            " AS latq",
+            "lon_micro",
+            "lat_micro",
+            "least((lon_micro + 180000000) * 1048576 div 360000000, 1048575)"
+            " AS lonq",
+        )
+        .selectExpr(
+            "lat_micro", f"{_interleave_terms('lonq', 'latq')} AS gh_int"
+        )
+        .selectExpr("lat_micro", f"{_gh_chars_sql('gh_int')} AS geohash")
+        .collect()
+    )
+    by_lat = {r["lat_micro"]: r["geohash"] for r in out}
+    assert by_lat[57649110] == "u4pruydq"
+    assert by_lat[90000000] == "zzzzzzzz"  # NE corner clamps to top cell
+    assert by_lat[-90000000] == "00000000"  # SW corner is the zero cell
