@@ -371,3 +371,121 @@ def q_geo_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trajectory statistics: per-EVENT coordinates (keyed on event_id —
+# users move), ordered per user by time, planar step distances
+# floor(sqrt(dlat² + dlon²)). IEEE-754 sqrt is correctly rounded, so
+# unlike trig it IS cross-engine exact on exact integer inputs; each
+# step floors independently to an integer before the order-free sum.
+# One keyed window per user — the standard movement rollup, no
+# fact-sized global sort.
+# ---------------------------------------------------------------------------
+_DDB_ELAT = (
+    ddb_hex32("md5(CAST(event_id AS VARCHAR) || ':lat')")
+    + " % 180000001 - 90000000"
+)
+_DDB_ELON = (
+    ddb_hex32("md5(CAST(event_id AS VARCHAR) || ':lon')")
+    + " % 360000001 - 180000000"
+)
+
+
+@query(
+    "geo_trajectory_stats",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             CAST({_DDB_ELAT} AS BIGINT) AS lat,
+             CAST({_DDB_ELON} AS BIGINT) AS lon
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, lat, lon,
+             lag(lat) OVER w AS plat, lag(lon) OVER w AS plon
+      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    st AS (
+      SELECT user_id,
+             CAST(floor(sqrt(CAST((lat - plat) * (lat - plat)
+                  + (lon - plon) * (lon - plon) AS DOUBLE))) AS BIGINT)
+               AS step
+      FROM s WHERE plat IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) + 1 AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_steps,
+           CAST(sum(step) AS BIGINT) AS total_dist,
+           CAST(max(step) AS BIGINT) AS max_step
+    FROM st GROUP BY user_id
+    """,
+)
+def q_geo_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trajectory statistics over per-event deterministic coordinates - time-ordered lag window per user, planar step distance floor(sqrt(.)) (IEEE sqrt is correctly rounded, hence cross-engine exact on integer inputs), order-free integer sums."""
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("event_id").cast("string"), F.lit(":lat")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 180000001
+            - 90000000
+        ).alias("lat"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("event_id").cast("string"), F.lit(":lon")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 360000001
+            - 180000000
+        ).alias("lon"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.lag("lat").over(w).alias("plat"),
+        F.lag("lon").over(w).alias("plon"),
+    ).filter(F.col("plat").isNotNull())
+    step = F.floor(
+        F.sqrt(
+            (
+                (F.col("lat") - F.col("plat")) * (F.col("lat") - F.col("plat"))
+                + (F.col("lon") - F.col("plon"))
+                * (F.col("lon") - F.col("plon"))
+            ).cast("double")
+        )
+    ).cast("long")
+    return (
+        s.select("user_id", step.alias("step"))
+        .groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_steps"),
+            F.sum("step").cast("long").alias("total_dist"),
+            F.max("step").cast("long").alias("max_step"),
+        )
+    )

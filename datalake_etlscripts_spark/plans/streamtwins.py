@@ -318,3 +318,79 @@ def q_scd2_stream_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
     d1 = scd2_dim_fold(e.filter(F.col("ts") < cutoff))
     return scd2_dim_fold(e.filter(F.col("ts") >= cutoff), dim=d1)
+
+
+# ---------------------------------------------------------------------------
+# Drift-monitor fold (r13): the streaming distribution-drift
+# monitor's state replayed as two batch epochs through the SAME
+# binned_value_counts monoid + drift_report_from_counts the
+# foreachBatch callback uses. Reference histogram = first half of the
+# month; the observed second half folds in as two epochs (the counts
+# monoid makes any split equivalent). The oracle replays the per-type
+# in-bin-order double fold Σ (p_ref − p_obs)²/(p_ref + p_obs) with
+# the identical operation order, so the drift doubles match bitwise.
+# ---------------------------------------------------------------------------
+@query(
+    "drift_monitor_fold",
+    oracle="""
+    WITH ref AS (
+      SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY 1, 2
+    ),
+    obs AS (
+      SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+      GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bin, sum(na) AS na, sum(nb) AS nb
+      FROM (
+        SELECT event_type, bin, n AS na, 0 AS nb FROM ref
+        UNION ALL
+        SELECT event_type, bin, 0 AS na, n AS nb FROM obs
+      ) GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type,
+             CAST(sum(na) AS BIGINT) AS n_ref,
+             CAST(sum(nb) AS BIGINT) AS n_obs,
+             list({'na': na, 'nb': nb} ORDER BY bin) AS arr
+      FROM c GROUP BY 1
+    )
+    SELECT event_type, n_ref, n_obs,
+           list_reduce(list_prepend(0.0, list_transform(arr, s ->
+             CASE WHEN s.na > 0 OR s.nb > 0 THEN
+               (CAST(s.na AS DOUBLE) / n_ref - CAST(s.nb AS DOUBLE) / n_obs)
+               * (CAST(s.na AS DOUBLE) / n_ref - CAST(s.nb AS DOUBLE) / n_obs)
+               / (CAST(s.na AS DOUBLE) / n_ref + CAST(s.nb AS DOUBLE) / n_obs)
+             ELSE 0.0 END)), (a, b) -> a + b) AS drift
+    FROM t
+    """,
+)
+def q_drift_monitor_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch replay of the streaming drift monitor: the frozen first-half reference histogram vs the second half folded in as two epochs through the shared binned-counts monoid, then the shared in-bin-order drift report - the oracle replays the double fold with identical operation order."""
+    from datalake_etlscripts_spark.streaming.ingest import (
+        binned_value_counts,
+        drift_report_from_counts,
+    )
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    )
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    mid = F.lit("2024-01-23 00:00:00").cast("timestamp")
+    ref = binned_value_counts(e.filter(F.col("ts") < cutoff))
+    s1 = binned_value_counts(
+        e.filter((F.col("ts") >= cutoff) & (F.col("ts") < mid))
+    )
+    # epoch 2 sum-merges into the persisted state exactly as the
+    # foreachBatch callback does
+    merged = (
+        s1.unionByName(binned_value_counts(e.filter(F.col("ts") >= mid)))
+        .groupBy("event_type", "bin")
+        .agg(F.sum("n").alias("n"))
+    )
+    return drift_report_from_counts(ref, merged)
