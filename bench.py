@@ -87,6 +87,13 @@ HEADLINE = [
     "bradley_terry_brands",
     "kruskal_wallis",
     "tiff_pixel_stats",
+    # round-13 additions (headline 47 → 50; totals non-comparable —
+    # use comparable_subsets): the cell-blocked geo radius join, the
+    # stateful-codec decode seam, and the dictionary-exact KS drift
+    # test
+    "geo_radius_join",
+    "adpcm_audio_stats",
+    "ks_two_sample_drift",
 ]
 
 
