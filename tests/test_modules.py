@@ -3949,3 +3949,31 @@ def test_geohash_matches_canonical_vector(spark):
     assert by_lat[57649110] == "u4pruydq"
     assert by_lat[90000000] == "zzzzzzzz"  # NE corner clamps to top cell
     assert by_lat[-90000000] == "00000000"  # SW corner is the zero cell
+
+
+def test_adpcm_decode_matches_audioop_dvi():
+    """The IMA ADPCM recurrence matches stdlib audioop's independent
+    Intel/DVI implementation sample-for-sample on deterministic nibble
+    streams from every initial step index (audioop packs the first
+    nibble in the HIGH half of each byte — repacked accordingly)."""
+    import sys
+
+    import pytest
+
+    audioop = pytest.importorskip("audioop")
+    from datalake_etlscripts_spark.operators.multimodal import (
+        adpcm_decode_nibbles,
+    )
+
+    for idx0 in range(0, 89, 7):
+        nibs = [(idx0 * 7 + j * j) % 16 for j in range(64)]
+        mine = adpcm_decode_nibbles(nibs, 0, idx0)[1:]  # drop header sample
+        frag = bytes(
+            (nibs[i] << 4) | nibs[i + 1] for i in range(0, len(nibs), 2)
+        )
+        dec, _state = audioop.adpcm2lin(frag, 2, (0, idx0))
+        ref = [
+            int.from_bytes(dec[i : i + 2], sys.byteorder, signed=True)
+            for i in range(0, len(dec), 2)
+        ]
+        assert mine == ref, idx0
