@@ -489,3 +489,152 @@ def q_geo_trajectory_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("step").cast("long").alias("max_step"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grid-DBSCAN (cell variant): density-based spatial clustering at the
+# grid grain — core cells are 10° cells holding ≥ 3 events, clusters
+# are connected components of 8-adjacent core cells (the grid-grain
+# form of DBSCAN used when per-point ε-joins would be unbounded).
+# Scale shape: one keyed aggregate to the ≤648-cell table, a bounded
+# 8-neighbor explode + equi-join for edges, then the O(log n)
+# large-star/small-star CC operator the dedup lane already ships.
+# Oracle: recursive min-label CTE over the same bounded cell graph.
+# ---------------------------------------------------------------------------
+_DB_CELL = 10_000_000  # 10° cells
+_DB_MINPTS = 3
+
+
+@query(
+    "geo_dbscan_cells",
+    oracle=f"""
+    WITH RECURSIVE c AS (
+      SELECT (CAST({_DDB_ELAT} AS BIGINT) + 90000000) // {_DB_CELL} AS clat,
+             (CAST({_DDB_ELON} AS BIGINT) + 180000000) // {_DB_CELL} AS clon
+      FROM events
+    ),
+    cells AS (
+      SELECT clat, clon, clat * 37 + clon AS cell_id,
+             CAST(count(*) AS BIGINT) AS n_points
+      FROM c GROUP BY 1, 2 HAVING count(*) >= {_DB_MINPTS}
+    ),
+    edges AS (
+      SELECT a.cell_id AS src, b.cell_id AS dst
+      FROM cells a JOIN cells b
+        ON abs(a.clat - b.clat) <= 1 AND abs(a.clon - b.clon) <= 1
+       AND a.cell_id <> b.cell_id
+    ),
+    reach(node, lab) AS (
+      SELECT cell_id, cell_id FROM cells
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node)
+    SELECT CAST(p.component AS BIGINT) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(c.n_points) AS BIGINT) AS n_points,
+           CAST(min(c.clat) AS BIGINT) AS min_clat,
+           CAST(max(c.clat) AS BIGINT) AS max_clat,
+           CAST(min(c.clon) AS BIGINT) AS min_clon,
+           CAST(max(c.clon) AS BIGINT) AS max_clon
+    FROM comp p JOIN cells c ON c.cell_id = p.node
+    GROUP BY 1
+    """,
+)
+def q_geo_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-DBSCAN spatial clustering: 10-degree core cells (>= 3 events) connected through 8-adjacency into clusters via the large-star/small-star CC operator - one keyed aggregate to the bounded cell table, bounded neighbor explode for edges, singleton cores kept as their own clusters."""
+    from datalake_etlscripts_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("event_id").cast("string"),
+                                F.lit(":lat"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 180000001
+                - 90000000
+                + 90000000
+            )
+        ).alias("lat_s"),
+        (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("event_id").cast("string"),
+                                F.lit(":lon"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 360000001
+                - 180000000
+                + 180000000
+            )
+        ).alias("lon_s"),
+    )
+    cells = (
+        e.select(
+            F.expr(f"lat_s div {_DB_CELL}").alias("clat"),
+            F.expr(f"lon_s div {_DB_CELL}").alias("clon"),
+        )
+        .groupBy("clat", "clon")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_points"))
+        .filter(F.col("n_points") >= _DB_MINPTS)
+        .withColumn("cell_id", F.col("clat") * 37 + F.col("clon"))
+    )
+    # bounded 8-neighbor fan-out of the ≤648-row core-cell dim
+    deltas = [(da, dc) for da in (-1, 0, 1) for dc in (-1, 0, 1)
+              if (da, dc) != (0, 0)]
+    nbrs = cells.select(
+        F.col("cell_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("clat") + da).alias("nlat"),
+                        (F.col("clon") + dc).alias("nlon"),
+                    )
+                    for da, dc in deltas
+                ]
+            )
+        ).alias("nb"),
+    ).select("src", (F.col("nb.nlat") * 37 + F.col("nb.nlon")).alias("dst"))
+    pairs = nbrs.join(
+        F.broadcast(cells.select(F.col("cell_id").alias("dst"))), "dst"
+    ).select(F.col("src").alias("id_a"), F.col("dst").alias("id_b"))
+    comp = connected_components_star(pairs)
+    labeled = cells.join(
+        F.broadcast(comp.withColumnRenamed("node", "cell_id")),
+        "cell_id",
+        "left",
+    ).withColumn("component", F.coalesce("component", "cell_id"))
+    return labeled.groupBy(
+        F.col("component").cast("long").alias("cluster_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n_points").cast("long").alias("n_points"),
+        F.min("clat").cast("long").alias("min_clat"),
+        F.max("clat").cast("long").alias("max_clat"),
+        F.min("clon").cast("long").alias("min_clon"),
+        F.max("clon").cast("long").alias("max_clon"),
+    )
