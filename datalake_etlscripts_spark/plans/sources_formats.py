@@ -323,3 +323,103 @@ def q_arrow_utf8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").cast("long").alias("total_bytes"),
         F.max("n_bytes").cast("long").alias("max_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Parquet footer introspection (r13): row-group zone maps read from
+# the REAL file metadata — no data pages touched. This is the
+# planner-side half of data skipping the layout_pruning_audit models
+# synthetically: at 100 TB a manifest of filenames fans out over
+# executors, each task reads ONLY the footer (pyarrow
+# ParquetFile.metadata) and emits per-row-group (rows, min, max) for
+# the key column; pruning decisions then run on this bounded stats
+# table without opening data. The oracle reads the same footers
+# through DuckDB's independent parquet_metadata() reader — two
+# parquet implementations agreeing on the physical statistics.
+# ---------------------------------------------------------------------------
+_FOOTER_KEYS = [
+    ("region", "r_regionkey"),
+    ("nation", "n_nationkey"),
+    ("customer", "c_custkey"),
+    ("supplier", "s_suppkey"),
+    ("part", "p_partkey"),
+    ("orders", "o_orderkey"),
+    ("lineitem", "l_orderkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+]
+
+
+# Footer statistics are a physical property of one concrete file
+# layout, so the query is PINNED to the canonical sf0.01 files (the
+# scale the driver's oracle comparison runs at) on both sides — the
+# same fixed-input convention as the TSV/CSV fixture scans.
+_FOOTER_SF = "/root/testdata/sf0.01"
+
+
+def _footer_oracle() -> str:
+    parts = [
+        f"""
+        SELECT '{t}' AS table_name, '{c}' AS column_name,
+               CAST(count(*) AS BIGINT) AS n_rowgroups,
+               CAST(sum(row_group_num_rows) AS BIGINT) AS n_rows,
+               CAST(min(CAST(stats_min_value AS BIGINT)) AS BIGINT) AS min_key,
+               CAST(max(CAST(stats_max_value AS BIGINT)) AS BIGINT) AS max_key
+        FROM parquet_metadata('{_FOOTER_SF}/{t}.parquet')
+        WHERE path_in_schema = '{c}'
+        """
+        for t, c in _FOOTER_KEYS
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@query("parquet_footer_stats", oracle=_footer_oracle())
+def q_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group zone maps from real parquet footers, no data pages read: the table manifest fans out over executors, each task reads only ParquetFile.metadata and emits per-row-group key statistics - cross-checked against DuckDB's independent parquet_metadata() reader."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    manifest = spark.createDataFrame(
+        [(t, c, f"{_FOOTER_SF}/{t}.parquet") for t, c in _FOOTER_KEYS],
+        "table_name string, column_name string, path string",
+    ).repartition(4)
+
+    def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for t, c, path in zip(
+                pdf["table_name"], pdf["column_name"], pdf["path"]
+            ):
+                md = pq.ParquetFile(path).metadata
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    for i in range(rg.num_columns):
+                        col = rg.column(i)
+                        if col.path_in_schema == c:
+                            st = col.statistics
+                            out.append(
+                                (t, c, g, rg.num_rows, int(st.min), int(st.max))
+                            )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "table_name", "column_name", "rg", "rg_rows",
+                    "rg_min", "rg_max",
+                ],
+            )
+
+    stats = manifest.mapInPandas(
+        read_footers,
+        "table_name string, column_name string, rg long, rg_rows long, "
+        "rg_min long, rg_max long",
+    )
+    return stats.groupBy("table_name", "column_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rowgroups"),
+        F.sum("rg_rows").cast("long").alias("n_rows"),
+        F.min("rg_min").cast("long").alias("min_key"),
+        F.max("rg_max").cast("long").alias("max_key"),
+    )
