@@ -1908,3 +1908,42 @@ def synthesize_adpcm_audio(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame(out, columns=["id", "fmt", "data"])
 
     return df.select(id_col).mapInPandas(run, SYNTH_SCHEMA)
+
+
+def adpcm_encode_samples(samples: list[int], pred0: int = 0, idx0: int = 0) -> list[int]:
+    """IMA ADPCM encode: quantize each 16-bit sample against the
+    running predictor into a 4-bit code, updating (predictor, step
+    index) with the SAME recurrence the decoder runs — so
+    decode(encode(x)) is the codec's quantization projection. The
+    standard bit-serial quantizer (sign, then three trial
+    subtractions), matching stdlib audioop's DVI variant."""
+    pred, idx = pred0, idx0
+    out = []
+    for s in samples:
+        step = ADPCM_STEPS[idx]
+        delta = s - pred
+        nb = 0
+        if delta < 0:
+            nb = 8
+            delta = -delta
+        if delta >= step:
+            nb |= 4
+            delta -= step
+        if delta >= step >> 1:
+            nb |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            nb |= 1
+        out.append(nb)
+        # replay the decoder's reconstruction for the next prediction
+        diff = step >> 3
+        if nb & 1:
+            diff += step >> 2
+        if nb & 2:
+            diff += step >> 1
+        if nb & 4:
+            diff += step
+        pred = pred - diff if nb & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + ADPCM_INDEX[nb & 7]))
+    return out

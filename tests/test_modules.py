@@ -3977,3 +3977,51 @@ def test_adpcm_decode_matches_audioop_dvi():
             for i in range(0, len(dec), 2)
         ]
         assert mine == ref, idx0
+
+
+def test_adpcm_encode_matches_audioop_dvi():
+    """The IMA ADPCM quantizer matches stdlib audioop's lin2adpcm
+    nibble-for-nibble on deterministic 16-bit sample streams from
+    several initial step indices."""
+    import sys
+
+    import pytest
+
+    audioop = pytest.importorskip("audioop")
+    from datalake_etlscripts_spark.operators.multimodal import (
+        adpcm_encode_samples,
+    )
+
+    for idx0 in range(0, 89, 11):
+        xs = [((idx0 * 997 + j * striding) % 65536) - 32768
+              for j, striding in zip(range(64), [13] * 64)]
+        mine = adpcm_encode_samples(xs, 0, idx0)
+        frag = b"".join(
+            int.to_bytes(x & 0xFFFF, 2, sys.byteorder) for x in xs
+        )
+        enc, _state = audioop.lin2adpcm(frag, 2, (0, idx0))
+        theirs = []
+        for b in enc:
+            theirs += [(b >> 4) & 15, b & 15]
+        assert mine == theirs, idx0
+
+
+def test_adpcm_roundtrip_converges_after_jump():
+    """ADPCM is a slope tracker: a full-range jump cannot be followed
+    in one sample (by design — the step index adapts), but encoding a
+    constant target after the jump must CONVERGE: the reconstruction
+    error shrinks to within the final adaptive step budget, for
+    targets at both extremes and mid-range."""
+    from datalake_etlscripts_spark.operators.multimodal import (
+        adpcm_decode_nibbles,
+        adpcm_encode_samples,
+    )
+
+    for target in (-32768, -1234, 0, 999, 32767):
+        xs = [target] * 120
+        nibs = adpcm_encode_samples(xs, 0, 0)
+        dec = adpcm_decode_nibbles(nibs, 0, 0)[1:]
+        # after the adaptive ramp the error must settle small relative
+        # to the signal magnitude (and exactly for reachable values)
+        tail_err = max(abs(target - d) for d in dec[-20:])
+        assert tail_err <= max(32, abs(target) // 256), (target, tail_err)
