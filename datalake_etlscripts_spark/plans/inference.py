@@ -1670,7 +1670,13 @@ def q_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("qx"),
         F.floor(F.col("l_discount") * 100 + 0.5).cast("long").alias("qy"),
     )
-    j = f.groupBy("qx", "qy").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    # the joint dictionary feeds BOTH marginals and the moment join —
+    # settle it so the fact table is scanned once, not three times
+    j = (
+        f.groupBy("qx", "qy")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     wx = W.orderBy("qx").rowsBetween(W.unboundedPreceding, -1)
     mx = (
         j.groupBy("qx")
