@@ -1566,9 +1566,15 @@ def q_ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("b"),
         )
     )
-    d = e.groupBy("v").agg(
-        F.sum("a").cast("long").alias("na"),
-        F.sum("b").cast("long").alias("nb"),
+    # the cents dictionary feeds BOTH the cumulative window and the
+    # totals row — settle it so the fact table is scanned once
+    d = (
+        e.groupBy("v")
+        .agg(
+            F.sum("a").cast("long").alias("na"),
+            F.sum("b").cast("long").alias("nb"),
+        )
+        .localCheckpoint(eager=False)
     )
     # dictionary-sized window (distinct cents, bounded by the domain)
     wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
