@@ -6522,3 +6522,87 @@ def q_adpcm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     clips = multimodal.synthesize_adpcm_audio(d)
     return multimodal.decode_audio_stats(clips)
+
+
+# ---------------------------------------------------------------------------
+# Gopher rejection-reason histogram (r13): which rule kills how many
+# documents, and how many docs ONLY that rule kills (the marginal
+# value of each threshold — the number a pipeline owner looks at
+# before loosening one). Reads the SAME fail_reasons column the
+# production filter emits; the oracle recomputes the five rule flags
+# independently in SQL. One scan, per-row expressions, one bounded
+# (≤5-row) aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "gopher_rejection_reasons",
+    oracle=r"""
+    WITH t1 AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents
+    ),
+    f2 AS (
+      SELECT doc_id,
+             length(text) AS nc,
+             len(regexp_extract_all(text, '[^\w\s]')) AS np,
+             len(tk) AS nt, len(list_distinct(tk)) AS nd,
+             list_transform(range(1, greatest(len(tk) - 1, 1)),
+                            i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]) AS g3
+      FROM t1
+    ),
+    flags AS (
+      SELECT doc_id,
+        NOT coalesce(nt >= 20 AND nt <= 100000, false) AS f_tokens,
+        NOT coalesce(CASE WHEN nt > 0
+              THEN CAST(nc - (nt-1) AS DOUBLE)/nt END
+              BETWEEN 2.0 AND 12.0, false) AS f_avg_token_len,
+        NOT coalesce(CASE WHEN nc > 0
+              THEN CAST(np AS DOUBLE)/nc END <= 0.3, false) AS f_punct,
+        NOT coalesce(CASE WHEN nt > 0
+              THEN CAST(nd AS DOUBLE)/nt END >= 0.3, false) AS f_distinct,
+        NOT coalesce(CASE WHEN len(g3) > 0 THEN
+              CAST(list_max(list_transform(list_distinct(g3),
+                   dd -> len(list_filter(g3, x -> x = dd)))) AS DOUBLE)
+                /len(g3) END <= 0.18, false) AS f_rep3
+      FROM f2
+    ),
+    n AS (
+      SELECT doc_id,
+             CAST(f_tokens AS INT) + CAST(f_avg_token_len AS INT)
+             + CAST(f_punct AS INT) + CAST(f_distinct AS INT)
+             + CAST(f_rep3 AS INT) AS n_failed,
+             f_tokens, f_avg_token_len, f_punct, f_distinct, f_rep3
+      FROM flags
+    ),
+    u AS (
+      SELECT 'tokens' AS rule, n_failed FROM n WHERE f_tokens
+      UNION ALL
+      SELECT 'avg_token_len', n_failed FROM n WHERE f_avg_token_len
+      UNION ALL SELECT 'punct', n_failed FROM n WHERE f_punct
+      UNION ALL SELECT 'distinct', n_failed FROM n WHERE f_distinct
+      UNION ALL SELECT 'rep3', n_failed FROM n WHERE f_rep3
+    )
+    SELECT rule, CAST(count(*) AS BIGINT) AS n_failed_docs,
+           CAST(sum(CASE WHEN n_failed = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sole_failures
+    FROM u GROUP BY rule
+    """,
+)
+def q_gopher_rejection_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule rejection histogram from the production filter's own fail_reasons column: documents killed per rule and documents ONLY that rule kills (the marginal threshold value) - one scan, a bounded 5-row aggregate."""
+    d = read_table(spark, sf_dir, "documents")
+    gq = text.gopher_quality_filter(d)
+    exploded = (
+        gq.filter(F.col("n_failed") > 0)
+        .select(
+            F.explode(F.split(F.col("fail_reasons"), ",")).alias("rule"),
+            "n_failed",
+        )
+        .filter(F.col("rule") != "")
+    )
+    return exploded.groupBy("rule").agg(
+        F.count(F.lit(1)).cast("long").alias("n_failed_docs"),
+        F.sum(F.when(F.col("n_failed") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sole_failures"),
+    )
