@@ -1538,7 +1538,9 @@ def q_mean_excess_table(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c CROSS JOIN t GROUP BY t.n_a, t.n_b
     )
     -- // on DECIMAL routes through double in DuckDB; HUGEINT keeps
-    -- the quotient exact-integer like Spark's decimal `div`
+    -- the quotient exact-integer like Spark's decimal `div`. The
+    -- n_a/n_b > 0 guard keeps an empty arm from dividing by zero
+    -- DIFFERENTLY per engine (DuckDB errors, Spark yields NULL).
     SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
            CAST(dnum AS BIGINT) AS d_num,
            CAST(CAST(dnum AS HUGEINT) * 1000000
@@ -1552,7 +1554,7 @@ def q_mean_excess_table(spark: SparkSession, sf_dir: str) -> DataFrame:
              * n_a * n_b
              > CAST(1844164000000 AS HUGEINT) * (n_a + n_b)
              THEN 1 ELSE 0 END AS INT) AS reject_05
-    FROM m
+    FROM m WHERE n_a > 0 AND n_b > 0
     """,
 )
 def q_ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1602,6 +1604,9 @@ def q_ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d_micros = F.expr(
         "dnum * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
     )
+    # empty-arm guard: keeps the division from going NULL here while
+    # the oracle's HUGEINT division would error — engines must agree
+    m = m.filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
     return m.select(
         "n_a",
         "n_b",
@@ -1662,11 +1667,15 @@ def q_ks_two_sample_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CAST(cnt AS DECIMAL(38,0)) * rx2 * ry2) AS sxy
       FROM j JOIN mx USING (qx) JOIN my USING (qy)
     )
+    -- a constant variable zeroes its variance: NULL rho in BOTH
+    -- engines rather than a 0/0 NaN that casts differently
     SELECT CAST(n AS BIGINT) AS n,
-           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
-                / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                   * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
-                * 1000000 + 0.5) AS BIGINT) AS rho_micros
+           CAST(CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+                THEN NULL
+                ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                  * 1000000 + 0.5) END AS BIGINT) AS rho_micros
     FROM m
     """,
 )
@@ -1722,24 +1731,21 @@ def q_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cnt_d * F.col("rx2") * F.col("ry2")).alias("sxy"),
         )
     )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    rho = F.floor(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double")))
+        * 1000000
+        + 0.5
+    )
+    # a constant variable zeroes its variance: NULL rho in BOTH
+    # engines rather than a 0/0 NaN that casts differently
     return m.select(
         F.col("n").cast("long").alias("n"),
-        F.floor(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            .cast("double")
-            / (
-                F.sqrt(
-                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                    .cast("double")
-                )
-                * F.sqrt(
-                    (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-                    .cast("double")
-                )
-            )
-            * 1000000
-            + 0.5
-        )
+        F.when((varx == 0) | (vary == 0), F.lit(None))
+        .otherwise(rho)
         .cast("long")
         .alias("rho_micros"),
     )

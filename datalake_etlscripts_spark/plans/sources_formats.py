@@ -401,6 +401,12 @@ def q_parquet_footer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         col = rg.column(i)
                         if col.path_in_schema == c:
                             st = col.statistics
+                            if st is None or not st.has_min_max:
+                                raise ValueError(
+                                    f"{path} row group {g}: column {c} "
+                                    "has no min/max statistics — cannot "
+                                    "build zone maps from this footer"
+                                )
                             out.append(
                                 (t, c, g, rg.num_rows, int(st.min), int(st.max))
                             )
