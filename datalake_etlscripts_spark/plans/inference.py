@@ -1825,6 +1825,11 @@ def q_cusum_drift_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda t: t["x"],
         ).alias("xs"),
         F.count(F.lit(1)).cast("long").alias("n_days"),
+        # nonneg precondition: Spark `div` truncates toward zero while
+        # DuckDB `//` floors, so a NEGATIVE revenue sum would divide
+        # differently — event values are nonnegative by the data
+        # contract (same precondition as the shifted-coordinate geo
+        # divisions), making the two identical here
         F.expr("sum(x) div count(*)").cast("long").alias("ref"),
     )
     zero = F.lit(0).cast("long")
