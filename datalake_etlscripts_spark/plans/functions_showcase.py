@@ -1667,3 +1667,98 @@ def q_hll_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_distinct").cast("double")
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile-sketch acceptance audit (r13): the histogram sketch's
+# q50/q90/q95 estimates side-by-side with the EXACT rank quantiles
+# off the cents dictionary, error in cents — the quantile sibling of
+# ann_recall_mrr (an index is not "done" until its error against
+# ground truth is a queryable number). Sketch side reuses the
+# mergeable histogram state; exact side is explicit rank selection
+# (smallest value whose cumulative count reaches ceil(q·N)) on the
+# value dictionary — one fact aggregate each, dictionary-sized
+# windows only.
+# ---------------------------------------------------------------------------
+@query(
+    "quantile_sketch_error_audit",
+    oracle=f"""
+    WITH h AS (
+      SELECT least(greatest(CAST(floor(l_extendedprice / {_H_W!r}) AS INT), 0),
+                   {_H_BINS - 1}) AS bin,
+             count(*) AS n
+      FROM lineitem GROUP BY 1
+    ),
+    hc AS (
+      SELECT bin, sum(n) OVER (ORDER BY bin) AS cum, sum(n) OVER () AS total
+      FROM h
+    ),
+    qs(q) AS (VALUES (0.5), (0.9), (0.95)),
+    sk AS (
+      SELECT CAST(q AS DOUBLE) AS q,
+             {_H_LO!r} + min(hc.bin) * {_H_W!r} AS estimate
+      FROM qs JOIN hc ON hc.cum >= ceil(CAST(q AS DOUBLE) * hc.total)
+      GROUP BY 1
+    ),
+    d AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+             count(*) AS n
+      FROM lineitem GROUP BY 1
+    ),
+    dc AS (
+      SELECT v, sum(n) OVER (ORDER BY v) AS cum, sum(n) OVER () AS total
+      FROM d
+    ),
+    ex AS (
+      SELECT CAST(q AS DOUBLE) AS q, min(dc.v) AS exact_cents
+      FROM qs JOIN dc ON dc.cum >= ceil(CAST(q AS DOUBLE) * dc.total)
+      GROUP BY 1
+    )
+    SELECT sk.q,
+           CAST(floor(sk.estimate * 100 + 0.5) AS BIGINT) AS sketch_cents,
+           CAST(ex.exact_cents AS BIGINT) AS exact_cents,
+           CAST(abs(CAST(floor(sk.estimate * 100 + 0.5) AS BIGINT)
+                    - ex.exact_cents) AS BIGINT) AS abs_err_cents
+    FROM sk JOIN ex ON sk.q = ex.q
+    """,
+)
+def q_quantile_sketch_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acceptance audit for the histogram quantile sketch: q50/q90/q95 estimates vs exact rank quantiles off the cents dictionary, absolute error in cents - the quantile analogue of the ANN recall/MRR acceptance metrics."""
+    from pyspark.sql import Window as W
+
+    from datalake_etlscripts_spark.operators import sketches
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    state = sketches.histogram_sketch_table(
+        li, "l_extendedprice", _H_LO, _H_HI, _H_BINS
+    )
+    sk = sketches.histogram_quantiles(
+        state, [0.5, 0.9, 0.95], _H_LO, _H_HI, _H_BINS
+    ).select(
+        "q",
+        F.floor(F.col("estimate") * 100 + 0.5).cast("long").alias("sketch_cents"),
+    )
+    d = li.groupBy(
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("v")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    dc = d.select(
+        "v",
+        F.sum("n").over(wv).alias("cum"),
+        F.sum("n").over(W.orderBy("v").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("total"),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.95,)], "q double")
+    ex = (
+        dc.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("total")))
+        .groupBy("q")
+        .agg(F.min("v").cast("long").alias("exact_cents"))
+    )
+    return sk.join(ex, "q").select(
+        "q",
+        "sketch_cents",
+        "exact_cents",
+        F.abs(F.col("sketch_cents") - F.col("exact_cents"))
+        .cast("long")
+        .alias("abs_err_cents"),
+    )
