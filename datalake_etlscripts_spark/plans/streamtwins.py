@@ -394,3 +394,74 @@ def q_drift_monitor_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n"))
     )
     return drift_report_from_counts(ref, merged)
+
+
+# ---------------------------------------------------------------------------
+# Zone-stats manifest fold (r13): the streaming zone-manifest
+# maintenance replayed as two batch epochs through the SAME
+# zone_stats_for_batch the foreachBatch callback writes — per-epoch
+# (col, min, max, count) manifest rows plus the range-pruning verdict
+# read_zone_pruned would reach for a fixed box predicate (value ≥ 900
+# / user_id ≤ 5): epochs whose zone cannot intersect are never
+# scanned. Min/max are exact parquet values (no arithmetic), so the
+# doubles hash bitwise.
+# ---------------------------------------------------------------------------
+@query(
+    "zone_stats_fold",
+    oracle="""
+    WITH e AS (
+      SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 0 ELSE 1 END AS epoch,
+             CAST(value AS DOUBLE) AS value,
+             CAST(user_id AS DOUBLE) AS user_id
+      FROM events
+    ),
+    m AS (
+      SELECT epoch, col, min_v, max_v, n_rows FROM (
+        SELECT epoch, 'value' AS col, min(value) AS min_v,
+               max(value) AS max_v, CAST(count(*) AS BIGINT) AS n_rows
+        FROM e GROUP BY 1
+        UNION ALL
+        SELECT epoch, 'user_id', min(user_id), max(user_id),
+               CAST(count(*) AS BIGINT)
+        FROM e GROUP BY 1
+      )
+    )
+    SELECT CAST(epoch AS INT) AS epoch, col, min_v, max_v, n_rows,
+           CAST(CASE col
+             WHEN 'value' THEN CASE WHEN max_v >= 900.0 THEN 1 ELSE 0 END
+             ELSE CASE WHEN min_v <= 5.0 THEN 1 ELSE 0 END
+           END AS INT) AS scan_hit
+    FROM m
+    """,
+)
+def q_zone_stats_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-epoch replay of the streaming zone-stats manifest: each epoch's (col, min, max, count) rows come from the shared zone_stats_for_batch aggregate, plus the range-pruning verdict for a fixed box predicate - exact parquet min/max doubles, no arithmetic."""
+    from datalake_etlscripts_spark.streaming.ingest import zone_stats_for_batch
+
+    e = read_table(spark, sf_dir, "events").select("ts", "value", "user_id")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    out = []
+    for epoch, part in enumerate(
+        (e.filter(F.col("ts") < cutoff), e.filter(F.col("ts") >= cutoff))
+    ):
+        out.append(
+            zone_stats_for_batch(part, ["value", "user_id"]).select(
+                F.lit(epoch).cast("int").alias("epoch"),
+                "col",
+                "min_v",
+                "max_v",
+                "n_rows",
+            )
+        )
+    m = out[0].unionByName(out[1])
+    scan_hit = (
+        F.when(
+            F.col("col") == "value",
+            F.when(F.col("max_v") >= 900.0, 1).otherwise(0),
+        )
+        .otherwise(F.when(F.col("min_v") <= 5.0, 1).otherwise(0))
+        .cast("int")
+    )
+    return m.select("epoch", "col", "min_v", "max_v", "n_rows",
+                    scan_hit.alias("scan_hit"))

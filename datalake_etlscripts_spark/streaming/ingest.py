@@ -1035,6 +1035,37 @@ def run_streaming_compaction(
     )
 
 
+def zone_stats_for_batch(batch_df: DataFrame, stat_cols: list[str]) -> DataFrame:
+    """One micro-batch's manifest rows — (col, min_v, max_v, n_rows)
+    per stat column — computed fully distributively (one aggregate,
+    no driver collect). Shared by run_streaming_zone_stats'
+    foreachBatch callback and the registered batch twin
+    (plans/streamtwins.q_zone_stats_fold), so stream ≡ batch is an
+    equality over the same plan."""
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
+    for c in stat_cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
+        ]
+    one = batch_df.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"),
+                        F.col(f"_min_{c}").alias("min_v"),
+                        F.col(f"_max_{c}").alias("max_v"),
+                        F.col("_n").alias("n_rows"),
+                    )
+                    for c in stat_cols
+                ]
+            )
+        ).alias("s")
+    ).select("s.col", "s.min_v", "s.max_v", "s.n_rows")
+
+
 def run_streaming_zone_stats(
     spark: SparkSession,
     incoming_dir: str,
@@ -1102,23 +1133,9 @@ def run_streaming_zone_stats(
         batch_df.write.mode("overwrite").parquet(
             os.path.join(table_dir, "data", f"epoch={epoch_id}")
         )
-        aggs = []
-        for c in stat_cols:
-            aggs += [
-                F.min(F.col(c).cast("double")).alias(f"_min_{c}"),
-                F.max(F.col(c).cast("double")).alias(f"_max_{c}"),
-            ]
-        row = batch_df.agg(F.count(F.lit(1)).alias("_n"), *aggs).collect()[0]
-        stats = spark.createDataFrame(
-            [
-                (c, row[f"_min_{c}"], row[f"_max_{c}"], row["_n"])
-                for c in stat_cols
-            ],
-            "col string, min_v double, max_v double, n_rows bigint",
-        )
-        stats.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(table_dir, "stats", f"epoch={epoch_id}")
-        )
+        zone_stats_for_batch(batch_df, stat_cols).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(table_dir, "stats", f"epoch={epoch_id}"))
 
     stream = spark.readStream.schema(schema).parquet(incoming_dir)
     return (
