@@ -15,7 +15,7 @@ state) re-expressed as Spark Structured Streaming state tables.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from datalake_etlscripts_spark.io.readers import read_table
@@ -465,3 +465,65 @@ def q_zone_stats_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select("epoch", "col", "min_v", "max_v", "n_rows",
                     scan_hit.alias("scan_hit"))
+
+
+# ---------------------------------------------------------------------------
+# Late-quarantine fold (r13): run_streaming_late_quarantine's
+# epoch-grain split replayed relationally. The callback's watermark
+# recurrence wm_e = max(wm_{e-1}, max_ts(e-1) − lateness) is a max
+# fold, so its unrolled form is a RUNNING MAX over strictly-prior
+# epochs — one window over the (3-row) epoch table. Epochs are
+# event_id % 3 (an arrival order deliberately shuffled against event
+# time, so real lateness appears); a row is quarantined exactly when
+# its ts predates the watermark its epoch arrived under. Output per
+# epoch: the watermark it arrived under, on-time and quarantined
+# counts — the dead-letter ledger the streaming service writes.
+# ---------------------------------------------------------------------------
+@query(
+    "late_quarantine_fold",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(event_id % 3 AS INT) AS epoch, ts FROM events
+    ),
+    em AS (
+      SELECT epoch, max(ts) AS mx FROM e GROUP BY 1
+    ),
+    wm AS (
+      SELECT epoch,
+             max(mx - INTERVAL 30 MINUTE) OVER
+               (ORDER BY epoch ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING) AS watermark
+      FROM em
+    )
+    SELECT e.epoch,
+           w.watermark,
+           CAST(count(*) FILTER (w.watermark IS NULL OR e.ts >= w.watermark)
+                AS BIGINT) AS n_ontime,
+           CAST(count(*) FILTER (w.watermark IS NOT NULL
+                                 AND e.ts < w.watermark)
+                AS BIGINT) AS n_late
+    FROM e JOIN wm w USING (epoch)
+    GROUP BY 1, 2
+    """,
+)
+def q_late_quarantine_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-grain replay of the streaming late-data quarantine: the callback's watermark recurrence (max fold) unrolled as a running max over strictly-prior epochs, each row quarantined exactly when its ts predates its epoch's arrival watermark - per-epoch watermark + on-time/late counts."""
+    e = read_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 3).cast("int").alias("epoch"), "ts"
+    )
+    em = e.groupBy("epoch").agg(F.max("ts").alias("mx"))
+    wp = W.orderBy("epoch").rowsBetween(W.unboundedPreceding, -1)
+    wm = em.select(
+        "epoch",
+        F.max(F.col("mx") - F.expr("INTERVAL 30 MINUTE")).over(wp).alias(
+            "watermark"
+        ),
+    )
+    j = e.join(F.broadcast(wm), "epoch")
+    is_late = F.col("watermark").isNotNull() & (
+        F.col("ts") < F.col("watermark")
+    )
+    return j.groupBy("epoch", "watermark").agg(
+        F.sum(F.when(~is_late, 1).otherwise(0)).cast("long").alias("n_ontime"),
+        F.sum(F.when(is_late, 1).otherwise(0)).cast("long").alias("n_late"),
+    )
