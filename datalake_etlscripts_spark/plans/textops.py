@@ -6606,3 +6606,58 @@ def q_gopher_rejection_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_sole_failures"),
     )
+
+
+# Exact-integer audio clip features (r13): zero-crossing count (the
+# classic voiced/unvoiced discriminator), energy Σs², peak — decoded
+# from REAL RIFF bytes engine-side while the oracle regenerates every
+# sample from the synthesis formula and counts sign flips with a
+# per-channel lag window (zeros carry the previous sign on both
+# sides: the SQL filters zero samples before the lag, which is the
+# same carry rule the decoder applies).
+@query(
+    "audio_zcr_features",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS id,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INT)
+               AS channels,
+             CAST((64 + doc_id % 256)
+                  * (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END)
+                  AS BIGINT) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT id, channels, n, j.j AS j,
+             CAST((id * 7 + j.j * 13) % 65536 AS BIGINT) - 32768 AS x
+      FROM a, LATERAL (SELECT unnest(range(0, n)) AS j) j
+    ),
+    nz AS (
+      SELECT id, channels, j % channels AS chan, j,
+             CASE WHEN x > 0 THEN 1 ELSE -1 END AS sg
+      FROM s WHERE x <> 0
+    ),
+    flips AS (
+      SELECT id,
+             CASE WHEN sg <> lag(sg) OVER
+               (PARTITION BY id, chan ORDER BY j) THEN 1 ELSE 0 END AS f
+      FROM nz
+    ),
+    z AS (SELECT id, CAST(sum(f) AS BIGINT) AS zero_crossings
+          FROM flips GROUP BY 1),
+    agg AS (
+      SELECT id, CAST(sum(x * x) AS BIGINT) AS energy,
+             CAST(max(abs(x)) AS BIGINT) AS peak
+      FROM s GROUP BY 1
+    )
+    SELECT a.id, a.channels, a.n AS n_samples,
+           coalesce(z.zero_crossings, 0) AS zero_crossings,
+           g.energy, g.peak
+    FROM a JOIN agg g USING (id) LEFT JOIN z USING (id)
+    """,
+)
+def q_audio_zcr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer audio features from real RIFF decode: per-channel zero-crossing count (zeros carry the previous sign), energy sum-of-squares, and peak per clip - the oracle regenerates every sample from the synthesis formula and counts sign flips with a lag window."""
+    d = read_table(spark, sf_dir, "documents")
+    clips = multimodal.synthesize_wav_audio(d)
+    return multimodal.decode_audio_features(clips)
