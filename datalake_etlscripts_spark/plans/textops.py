@@ -6661,3 +6661,84 @@ def q_audio_zcr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     clips = multimodal.synthesize_wav_audio(d)
     return multimodal.decode_audio_features(clips)
+
+
+# ---------------------------------------------------------------------------
+# nDCG@5 acceptance for the IVF index (r13): binary relevance = "in
+# the exact top-5", discounts 1/log2(r+1) carried as INTEGER
+# micro-units (log2 literals precomputed — transcendentals never run
+# in-engine), so DCG sums are exact and only the final mean divides.
+# Third acceptance metric beside recall@5/MRR — rank-position-aware
+# where recall is set-based.
+# ---------------------------------------------------------------------------
+_NDCG_W = [1000000, 630930, 500000, 430677, 386853]  # 1e6/log2(r+1)
+_NDCG_IDEAL = sum(_NDCG_W)
+_NDCG_CASE = "CASE a.rank " + " ".join(
+    f"WHEN {r + 1} THEN {w}" for r, w in enumerate(_NDCG_W)
+) + " ELSE 0 END"
+
+_NDCG_ORACLE = f"""
+    WITH brute AS (
+      SELECT query_id, neighbor_id
+      FROM ({{brute}}) WHERE rank <= 5
+    ),
+    appr AS (
+      SELECT query_id, neighbor_id, rank FROM ({{appr}})
+    ),
+    dcg AS (
+      SELECT a.query_id,
+             CAST(sum(CASE WHEN b.neighbor_id IS NOT NULL
+                      THEN {_NDCG_CASE} ELSE 0 END) AS BIGINT) AS dcg_micro
+      FROM appr a LEFT JOIN brute b
+        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(dcg_micro) AS BIGINT) AS sum_dcg_micro,
+           CAST(sum(dcg_micro) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * {_NDCG_IDEAL}.0) AS mean_ndcg_at_5
+    FROM dcg
+"""
+
+
+@query(
+    "ann_ndcg_acceptance",
+    oracle=_NDCG_ORACLE.format(
+        brute=_registry.ORACLES["ann_cosine_topk"],
+        appr=_registry.ORACLES["ann_ivf_topk"],
+    ),
+)
+def q_ann_ndcg_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@5 acceptance of the IVF index against exact brute-force top-5 (binary relevance): integer micro-unit log discounts keep DCG sums exact, one double division for the mean - the rank-position-aware third metric beside recall and MRR."""
+    e = read_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    brute = (
+        similarity.brute_force_topk(e, q, k=5)
+        .filter(F.col("rank") <= 5)
+        .select(F.col("query_id").alias("_bq"), F.col("neighbor_id").alias("_bn"))
+    )
+    appr = similarity.ivf_ann_topk(
+        e, q, k=5, centroids=_ivf_literal_centroids()
+    ).select("query_id", "neighbor_id", "rank")
+    w = F.lit(0)
+    for r, wt in enumerate(_NDCG_W):
+        w = F.when(F.col("rank") == r + 1, wt).otherwise(w)
+    j = appr.join(
+        brute,
+        (F.col("_bq") == F.col("query_id"))
+        & (F.col("_bn") == F.col("neighbor_id")),
+        "left",
+    )
+    dcg = j.groupBy("query_id").agg(
+        F.sum(F.when(F.col("_bn").isNotNull(), w).otherwise(0))
+        .cast("long")
+        .alias("dcg_micro")
+    )
+    return dcg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("dcg_micro").cast("long").alias("sum_dcg_micro"),
+        (
+            F.sum("dcg_micro").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(float(_NDCG_IDEAL)))
+        ).alias("mean_ndcg_at_5"),
+    )
