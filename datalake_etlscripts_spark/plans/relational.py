@@ -1430,3 +1430,62 @@ def q_sql_hint_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     read_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     return spark.sql(_SQL_HINT_STMT)
+
+
+# ---------------------------------------------------------------------------
+# Distributed two-stage top-k (r13): the global-sort-free top-k shape
+# — per-key sums shuffle once, then each of 16 key-functional salt
+# buckets ranks ITS candidates with a bounded window (≤ its keys, in
+# parallel), and only the 16×10 survivors meet for the final bounded
+# rank. Exact by construction: salt is a function of the key, so the
+# global top-10 keys are each their bucket's top-10. At 100 TB this
+# replaces a single-partition global window over millions of keys
+# with parallel bucket windows + one 160-row sort. The oracle is the
+# plain global ORDER BY LIMIT with a total-order tiebreak.
+# ---------------------------------------------------------------------------
+@query(
+    "salted_topk_exact",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT o_custkey, revenue_cents,
+             row_number() OVER (ORDER BY revenue_cents DESC, o_custkey)
+               AS rk
+      FROM s
+    )
+    SELECT CAST(rk AS INT) AS rk, o_custkey, revenue_cents
+    FROM r WHERE rk <= 10
+    """,
+)
+def q_salted_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 customers by exact revenue cents WITHOUT a global sort: per-key sums, then per-salt-bucket bounded rank windows (salt = key mod 16, key-functional, so no true winner can be lost), then one 160-row final rank - the oracle is the plain global ORDER BY LIMIT."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    s = o.groupBy("o_custkey").agg(
+        F.sum("cents").cast("long").alias("revenue_cents")
+    )
+    # stage 1: bounded rank inside each key-functional salt bucket
+    ws = W.partitionBy("salt").orderBy(
+        F.col("revenue_cents").desc(), F.col("o_custkey")
+    )
+    cand = (
+        s.withColumn("salt", F.col("o_custkey") % 16)
+        .withColumn("_rk", F.row_number().over(ws))
+        .filter(F.col("_rk") <= 10)
+        .drop("salt", "_rk")
+    )
+    # stage 2: final rank over the <=160 survivors
+    wg = W.orderBy(F.col("revenue_cents").desc(), F.col("o_custkey"))
+    return (
+        cand.withColumn("rk", F.row_number().over(wg))
+        .filter(F.col("rk") <= 10)
+        .select(F.col("rk").cast("int").alias("rk"), "o_custkey",
+                "revenue_cents")
+    )
