@@ -568,3 +568,69 @@ def q_url_filter_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         hard_words=_URLF["hard"],
         soft_words=_URLF["soft"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter acceptance audit (r13): the MEASURED false-positive
+# rate of the crawl-recovery Bloom filter against ground truth — the
+# sketch-acceptance sibling of ann_recall_mrr / quantile_sketch_
+# error_audit. Members must all hit (zero false negatives is the
+# Bloom guarantee — asserted as a count the driver hashes), known
+# non-members that hit are false positives; one exact division for
+# the permille rate. Composes the registered bloom_prefilter oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "bloom_fpr_audit",
+    oracle=f"""
+    WITH probe AS ({_bloom_oracle()}),
+    lab AS (
+      SELECT maybe_member,
+             CAST(substr(name, 4, 8) AS BIGINT) % 3 <> 0 AS is_member
+      FROM probe
+    )
+    SELECT CAST(count(*) FILTER (is_member) AS BIGINT) AS n_members,
+           CAST(count(*) FILTER (is_member AND maybe_member) AS BIGINT)
+             AS n_member_hits,
+           CAST(count(*) FILTER (NOT is_member) AS BIGINT) AS n_nonmembers,
+           CAST(count(*) FILTER (NOT is_member AND maybe_member) AS BIGINT)
+             AS n_false_positives,
+           CAST(count(*) FILTER (NOT is_member AND maybe_member) * 1000
+                // count(*) FILTER (NOT is_member) AS BIGINT)
+             AS fpr_permille
+    FROM lab
+    """,
+)
+def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured Bloom false-positive rate against ground truth: members must all hit (the zero-false-negative guarantee as a checked count), non-member hits are false positives, permille rate by exact integer division - the sketch-acceptance audit for the membership lane."""
+    from datalake_etlscripts_spark.operators import sketches
+
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 1000)
+    names = p.select(
+        F.concat(format_ntp_id(F.col("p_partkey")), F.lit("_doc.pdf")).alias(
+            "name"
+        ),
+        (F.col("p_partkey") % 3 != 0).alias("is_member"),
+    )
+    state = sketches.bloom_table(
+        names.filter(F.col("is_member")).select("name"), "name"
+    )
+    probed = sketches.bloom_probe(names.select("name"), state, "name").join(
+        names, "name"
+    )
+    mm = F.col("maybe_member")
+    im = F.col("is_member")
+    return probed.agg(
+        F.sum(F.when(im, 1).otherwise(0)).cast("long").alias("n_members"),
+        F.sum(F.when(im & mm, 1).otherwise(0))
+        .cast("long")
+        .alias("n_member_hits"),
+        F.sum(F.when(~im, 1).otherwise(0)).cast("long").alias("n_nonmembers"),
+        F.sum(F.when((~im) & mm, 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_positives"),
+        F.expr(
+            "CAST(sum(CASE WHEN NOT is_member AND maybe_member THEN 1 "
+            "ELSE 0 END) * 1000 div "
+            "sum(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("fpr_permille"),
+    )
