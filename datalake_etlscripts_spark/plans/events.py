@@ -3451,3 +3451,150 @@ def q_viterbi_user_state_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .bitwiseAND(F.lit(8388607).cast("long"))
         ).cast("int").alias("switches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag cross-correlation (r13): does click activity LEAD purchase
+# activity, and by how many hours? CCF between the two dense hourly
+# series at lags −3..+3 — exact integer moments per lag over the
+# overlap window (7 lag copies of a ≤744-row spine, all bounded), one
+# fixed-order double per lag, zero-variance lags NULL in both
+# engines, and the peak lag flagged by a 7-row window with a
+# deterministic tiebreak. The companion of seasonality_lag24 (ACF)
+# for CROSS-series structure — the lead-lag readout behind
+# "clicks precede purchases by N hours" dashboards.
+# ---------------------------------------------------------------------------
+@query(
+    "lead_lag_ccf",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, count(*) AS c
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY ALL
+    ),
+    bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM h),
+    grid AS (
+      SELECT g.hr FROM bounds b,
+      LATERAL (SELECT unnest(generate_series(b.lo, b.hi,
+                             INTERVAL 1 HOUR)) AS hr) g
+    ),
+    xs AS (
+      SELECT g.hr, COALESCE(h.c, 0) AS c FROM grid g
+      LEFT JOIN h ON h.event_type = 'click' AND h.hr = g.hr
+    ),
+    ys AS (
+      SELECT g.hr, COALESCE(h.c, 0) AS c FROM grid g
+      LEFT JOIN h ON h.event_type = 'purchase' AND h.hr = g.hr
+    ),
+    lags(lag) AS (VALUES (-3), (-2), (-1), (0), (1), (2), (3)),
+    paired AS (
+      SELECT l.lag, x.c AS x, y.c AS y
+      FROM lags l
+      JOIN xs x ON true
+      JOIN ys y ON y.hr = x.hr + l.lag * INTERVAL 1 HOUR
+    ),
+    m AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM paired GROUP BY 1
+    ),
+    r AS (
+      SELECT CAST(lag AS INT) AS lag, n,
+             CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+             THEN CAST(floor(
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+               * 1000000 + 0.5) AS BIGINT)
+             END AS ccf_micros
+      FROM m
+    )
+    SELECT lag, n, ccf_micros,
+           CAST(CASE WHEN row_number() OVER
+             (ORDER BY abs(coalesce(ccf_micros, -2000000)) DESC, lag) = 1
+           THEN 1 ELSE 0 END AS INT) AS is_peak
+    FROM r
+    """,
+)
+def q_lead_lag_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of dense hourly click vs purchase counts at lags -3..+3 - exact integer moments per lag over the shared spine, one fixed-order double per lag (zero-variance lags NULL in both engines), peak lag flagged with a deterministic tiebreak."""
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    h = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    b = h.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    grid = b.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    ).localCheckpoint(eager=False)
+    xs = grid.join(
+        h.filter(F.col("event_type") == "click").select("hr", "c"),
+        "hr",
+        "left",
+    ).select("hr", F.coalesce("c", F.lit(0)).alias("x"))
+    ys = grid.join(
+        h.filter(F.col("event_type") == "purchase").select("hr", "c"),
+        "hr",
+        "left",
+    ).select(F.col("hr").alias("yhr"), F.coalesce("c", F.lit(0)).alias("y"))
+    lags = spark.createDataFrame([(l,) for l in range(-3, 4)], "lag int")
+    paired = (
+        xs.crossJoin(F.broadcast(lags))
+        .join(
+            ys,
+            F.col("yhr")
+            == F.col("hr") + F.col("lag") * F.expr("INTERVAL 1 HOUR"),
+        )
+    )
+    m = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    rho = F.floor(
+        (
+            F.col("n").cast("double") * F.col("sxy")
+            - F.col("sx").cast("double") * F.col("sy")
+        )
+        / (
+            F.sqrt(
+                F.col("n").cast("double") * F.col("sxx")
+                - F.col("sx").cast("double") * F.col("sx")
+            )
+            * F.sqrt(
+                F.col("n").cast("double") * F.col("syy")
+                - F.col("sy").cast("double") * F.col("sy")
+            )
+        )
+        * 1000000
+        + 0.5
+    ).cast("long")
+    r = m.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        F.when((vx > 0) & (vy > 0), rho).alias("ccf_micros"),
+    )
+    wp = W.orderBy(
+        F.abs(F.coalesce(F.col("ccf_micros"), F.lit(-2000000))).desc(),
+        F.col("lag"),
+    )
+    return r.select(
+        "lag",
+        "n",
+        "ccf_micros",
+        F.when(F.row_number().over(wp) == 1, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_peak"),
+    )
