@@ -638,3 +638,88 @@ def q_geo_dbscan_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("clon").cast("long").alias("min_clon"),
         F.max("clon").cast("long").alias("max_clon"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Origin-destination flows (r13): consecutive-event transitions
+# between 30° grid cells per user — the movement-flow matrix behind
+# migration/commute dashboards. One keyed lag window (the trajectory
+# shape) then one aggregate to the bounded cell-pair table; top-20
+# flows with a total-order tiebreak. Self-transitions kept (they ARE
+# the diagonal a flow dashboard shows).
+# ---------------------------------------------------------------------------
+@query(
+    "geo_od_flows",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, ts, event_id,
+             (CAST({_DDB_ELAT} AS BIGINT) + 90000000) // 30000000 AS clat,
+             (CAST({_DDB_ELON} AS BIGINT) + 180000000) // 30000000 AS clon
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, clat, clon,
+             lag(clat) OVER w AS plat, lag(clon) OVER w AS plon
+      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    f AS (
+      SELECT plat * 13 + plon AS from_cell, clat * 13 + clon AS to_cell,
+             CAST(count(*) AS BIGINT) AS n_moves,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM s WHERE plat IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, row_number() OVER
+               (ORDER BY n_moves DESC, from_cell, to_cell) AS rk
+      FROM f
+    )
+    SELECT CAST(from_cell AS BIGINT) AS from_cell,
+           CAST(to_cell AS BIGINT) AS to_cell,
+           n_moves, n_users, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 20
+    """,
+)
+def q_geo_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 origin-destination flows between 30-degree grid cells from consecutive per-user events - one keyed lag window, one aggregate to the bounded cell-pair table, deterministic total-order ranking; self-transitions kept as the diagonal."""
+    e = read_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(
+            "(CAST(conv(substring(md5(concat(CAST(event_id AS STRING), "
+            "':lat')), 1, 8), 16, 10) AS BIGINT) % 180000001) div 30000000"
+        ).alias("clat"),
+        F.expr(
+            "(CAST(conv(substring(md5(concat(CAST(event_id AS STRING), "
+            "':lon')), 1, 8), 16, 10) AS BIGINT) % 360000001) div 30000000"
+        ).alias("clon"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        "clat",
+        "clon",
+        F.lag("clat").over(w).alias("plat"),
+        F.lag("clon").over(w).alias("plon"),
+    ).filter(F.col("plat").isNotNull())
+    f = s.groupBy(
+        (F.col("plat") * 13 + F.col("plon")).alias("from_cell"),
+        (F.col("clat") * 13 + F.col("clon")).alias("to_cell"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_moves"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+    wr = W.orderBy(
+        F.col("n_moves").desc(), F.col("from_cell"), F.col("to_cell")
+    )
+    return (
+        f.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 20)
+        .select(
+            F.col("from_cell").cast("long").alias("from_cell"),
+            F.col("to_cell").cast("long").alias("to_cell"),
+            "n_moves",
+            "n_users",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
