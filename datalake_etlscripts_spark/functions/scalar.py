@@ -177,3 +177,23 @@ def md5_hash60(c: Column) -> Column:
     the k smallest values collision-free to ~2^30 distinct items and
     still fits BIGINT in both engines."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def ordered_pairs(arr: Column) -> Column:
+    """All ordered pairs (x, y) with x strictly before y in ``arr``,
+    as an array of (x, y) structs generated MAP-SIDE:
+    flatten(transform(arr, (x, i) -> transform(slice(arr, i+2, ...),
+    y -> (x, y)))). For a sorted-distinct input array this is exactly
+    the u < v unordered-pair set the basket SELF-JOINS used to emit —
+    minus the self-join's two extra exchanges and sort-merge (guide
+    §2.4: remove shuffles outright). Fan-out is bounded by the
+    caller's basket cap (≤ C(cap, 2) per row)."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.greatest(F.size(arr) - i - F.lit(1), F.lit(0))),
+                lambda y: F.struct(x.alias("x"), y.alias("y")),
+            ),
+        )
+    )

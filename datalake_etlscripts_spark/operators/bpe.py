@@ -415,7 +415,15 @@ def wordpiece_encode(
     advancing every unfinished word by ≥ 1 character. Returns
     (word, freq, n_pieces, pieces, is_unk)."""
     spark = df.sparkSession
-    wf = word_frequencies(df, text_col).withColumn("_wl", F.length("word"))
+    # settle the distinct-word table: it seeds the candidate build,
+    # the max-word-length scalar AND the chase's base state — without
+    # the cut the corpus-scale word-frequency shuffle re-runs for
+    # each consumer (guide §2.4). Lazy.
+    wf = (
+        word_frequencies(df, text_col)
+        .withColumn("_wl", F.length("word"))
+        .localCheckpoint(eager=False)
+    )
     vrows = [
         (t[2:] if t.startswith("##") else t, t.startswith("##"))
         for t, _ in [(t, c) for t, c in vocab]
@@ -446,11 +454,16 @@ def wordpiece_encode(
         & (F.col("cont") == (F.col("pos") > 1))
         & (F.col("plen") == F.col("vlen")),
     ).select("word", "pos", F.col("vlen").alias("blen"), "disp")
+    # settle the per-position best-match table: EVERY chase iteration
+    # (up to max-word-length of them) equi-joins it — without the cut
+    # the position-explode + vocab join + argmax rebuild once per
+    # iteration inside the un-checkpointed lineage windows (guide
+    # §2.4). Lazy.
     best = cand.groupBy("word", "pos").agg(
         F.max(F.struct(F.col("blen"), F.col("disp"))).alias("_b")
     ).select(
         "word", "pos", F.col("_b.blen").alias("blen"), F.col("_b.disp").alias("bdisp")
-    )
+    ).localCheckpoint(eager=False)
     max_wl = wf.agg(F.max("_wl")).collect()[0][0] or 0
     state = wf.select(
         "word",

@@ -485,10 +485,16 @@ def item_item_topk(
     ni = oi.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("n"))
     a = oi.alias("a")
     b = oi.alias("b")
+    # settle the pair counts: the symmetrizing union below reads
+    # `pairs` twice, and without a lineage cut the basket self-join +
+    # aggregation (the only quadratic-ish step) executes once per
+    # branch — the swapped branch's exchange canonicalizes differently
+    # so ReuseExchange does not share it (guide §2.4). Lazy.
     pairs = (
         a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.i") < F.col("b.i")))
         .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
         .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
+        .localCheckpoint(eager=False)
     )
     sym = pairs.unionByName(
         pairs.select(

@@ -380,7 +380,13 @@ def kcore(
     graphs), not the diameter. Returns (node, degree) of the k-core
     subgraph.
     """
-    e = edges.select("src", "dst")
+    # settle the incoming edge set: round 0's degree aggregate and
+    # its two pruning semi-joins each re-derive the caller's edge
+    # build (for the registered query that is a weight-filtered
+    # basket self-join + symmetrizing union) before the first
+    # cut_lineage kicks in (guide §2.4). Lazy: materializes inside
+    # the first action.
+    e = edges.select("src", "dst").localCheckpoint(eager=False)
     i = 0
     prev_nodes = None
     while True:
@@ -673,6 +679,14 @@ def stress_centrality(
     seeds = [int(seed)] if isinstance(seed, int) else list(
         dict.fromkeys(int(s) for s in seed)
     )
+    # settle the edge table once: every forward level and every
+    # backward step probes it (2·max_hops+ joins), and the callers
+    # hand a DERIVED set (scan + distinct + symmetrize) that would
+    # otherwise be rebuilt per join — broadcast-frontier joins never
+    # shuffle the probe side, so no exchange exists for ReuseExchange
+    # to share (guide §2.4). Lazy: materializes inside the first
+    # action.
+    edges = edges.localCheckpoint(eager=False)
     sess = edges.sparkSession
     lvl0 = sess.createDataFrame(
         [(s, s) for s in seeds], "seed bigint, node bigint"
@@ -882,10 +896,16 @@ def mutual_matching(
     out = None
     for it in range(1, rounds + 1):
         wb = W.partitionBy("src").orderBy(F.col("w").desc(), F.col("dst").asc())
+        # settle: the mutual-lock self-join reads `best` twice, and
+        # the pointer window would otherwise run twice per round
+        # (the two sides' exchanges are keyed differently — src vs
+        # the swapped pair — so ReuseExchange cannot share them).
+        # Lazy: materializes inside the round's first action.
         best = (
             alive.withColumn("rn", F.row_number().over(wb))
             .filter(F.col("rn") == 1)
             .select("src", "dst", "w")
+            .localCheckpoint(eager=False)
         )
         b2 = best.select(
             F.col("src").alias("b2src"), F.col("dst").alias("b2dst")
@@ -1021,6 +1041,14 @@ def ktruss(
     (a support-threshold pre-peel was also considered: provably sound
     — k-truss edges need endpoint degree ≥ k−1 — but vacuous at k=3,
     where it is a degree ≥ 2 filter on an avg-degree-120 graph)."""
+    # settle the edge table once: it feeds three wedge-join scans
+    # (e1/e2/e3) below, and when the caller hands us a DERIVED edge
+    # set (the co-order graph is a capped-basket self-join + distinct)
+    # only the two identically-keyed exchanges get ReuseExchange'd —
+    # the third (two-column closing key) re-ran the whole build
+    # (guide §2.4: remove shuffles outright). Lazy: materializes
+    # inside the first action.
+    edges_uv = edges_uv.localCheckpoint(eager=False)
     if oriented:
         tri = _triangles_oriented(edges_uv).localCheckpoint(eager=False)
     else:

@@ -40,16 +40,20 @@ def _capped_baskets(
     )
 
 
-def _pair_supports(items: DataFrame, min_support: int) -> DataFrame:
-    """(x, y, _n) frequent pairs from the exploded (basket, item)
+def _pair_supports(capped: DataFrame, min_support: int) -> DataFrame:
+    """(x, y, _n) frequent pairs from the capped (basket, item-array)
     grain — shared by frequent_pairs (which adds metrics) and
-    frequent_triples (which uses the keys for A-priori candidates)."""
-    a = items.select("_b", F.col("_i").alias("x"))
-    b = items.select("_b", F.col("_i").alias("y"))
+    frequent_triples (which uses the keys for A-priori candidates).
+    r07 optimization (guide §2.4): pairs are generated MAP-SIDE from
+    each basket's sorted-distinct array (functions.scalar.
+    ordered_pairs) instead of the former exploded self-join on the
+    basket key — same pair multiset, two fewer exchanges and no
+    sort-merge join; fan-out bounded by the caller's cap."""
+    from datalake_etlscripts_spark.functions.scalar import ordered_pairs
+
     return (
-        a.join(b, "_b")
-        .filter(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
+        capped.select(F.explode(ordered_pairs(F.col("_items"))).alias("_p"))
+        .groupBy(F.col("_p.x").alias("x"), F.col("_p.y").alias("y"))
         .agg(F.count(F.lit(1)).alias("_n"))
         .filter(F.col("_n") >= min_support)
     )
@@ -79,7 +83,7 @@ def frequent_pairs(
     n_baskets = capped.agg(F.count(F.lit(1)).alias("_n"))
     items = capped.select("_b", F.explode("_items").alias("_i"))
     sup = items.groupBy("_i").agg(F.count(F.lit(1)).alias("_sup"))
-    pairs = _pair_supports(items, min_support).select(
+    pairs = _pair_supports(capped, min_support).select(
         F.col("x").alias("item_a"),
         F.col("y").alias("item_b"),
         F.col("_n").alias("pair_support"),
@@ -137,7 +141,7 @@ def frequent_triples(
     """
     capped = _capped_baskets(baskets, basket_col, item_col, max_items)
     items = capped.select("_b", F.explode("_items").alias("_i"))
-    pairs = _pair_supports(items, min_support).select("x", "y")
+    pairs = _pair_supports(capped, min_support).select("x", "y")
     p1 = pairs.select(F.col("x").alias("item_a"), F.col("y").alias("item_b"))
     p2 = pairs.select(F.col("x").alias("item_a"), F.col("y").alias("item_c"))
     cand = (

@@ -503,9 +503,13 @@ def q_itemcf_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datalake_etlscripts_spark.functions.scalar import md5_hash32
 
     li = read_table(spark, sf_dir, "lineitem")
+    # settle the distinct (order, item) base: train feeds the whole
+    # recommender build (several consumers) and test feeds three
+    # branches — without the cut each re-runs the scan + distinct
+    # (guide §2.4). Lazy.
     lo = li.select(
         F.col("l_orderkey").alias("b"), F.col("l_partkey").alias("i")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     is_test = md5_hash32(F.col("b").cast("string")) % 5 == 0
     train = lo.filter(~is_test)
     test = lo.filter(is_test)
@@ -2449,6 +2453,10 @@ def q_bradley_terry_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(pt), li["l_partkey"] == pt["p_partkey"])
         .groupBy("o", "brand")
         .agg(F.max("l_quantity").cast("long").alias("q"))
+        # settle: feeds the brand index build AND the oi projection —
+        # one lineitem-wide join + aggregate instead of two (guide
+        # §2.4). Lazy.
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql import Window as _W
 
@@ -2460,7 +2468,12 @@ def q_bradley_terry_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(_W.orderBy("brand")).cast("long").alias("i"),
         )
     )
-    oi = ob.join(F.broadcast(bidx), "brand").select("o", "i", "q")
+    # settle: `oi` feeds both sides of the win-pair self-join, and
+    # without the cut the (order, brand) max-quantity aggregate runs
+    # once per side (guide §2.4). Lazy.
+    oi = ob.join(F.broadcast(bidx), "brand").select("o", "i", "q").localCheckpoint(
+        eager=False
+    )
     a = oi.select(
         F.col("o"), F.col("i").alias("ia"), F.col("q").alias("qa")
     )
@@ -2478,6 +2491,10 @@ def q_bradley_terry_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("wba"),
         )
+        # settle: the dense-position union below reads `pr` twice —
+        # without the cut the pair join + win aggregate execute once
+        # per branch (guide §2.4). Lazy.
+        .localCheckpoint(eager=False)
     )
     kk = bidx.groupBy().agg(F.count(F.lit(1)).cast("long").alias("k"))
     ent = (

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datalake_etlscripts_spark.functions.scalar import ordered_pairs
 from datalake_etlscripts_spark.io.readers import read_table
 from datalake_etlscripts_spark.operators.graph import (
     DAMPING_DEN,
@@ -214,13 +215,24 @@ def _co_order_edges(
     Baskets above ``max_basket`` are dropped before the self-join
     (see _MAX_BASKET); pass ``max_basket=None`` for the exact,
     uncapped graph on audited inputs."""
-    li = _capped_baskets(spark, sf_dir, max_basket)
-    b = li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("v"))
+    # r07 optimization (guide §2.4): the basket SELF-JOIN form
+    # (distinct → window count → join on l_orderkey → u<v filter)
+    # spent ~4 exchanges + a sort-merge join to emit the same pairs a
+    # sorted collect_set + map-side ordered_pairs explode emits after
+    # ONE l_orderkey exchange. Pair volume is identical (cap-bounded,
+    # ≤ C(cap, 2) per basket); the u < v order falls out of the
+    # sorted-distinct array. Oracle unchanged — same edge set.
+    arr = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("_items"))
+    )
+    if max_basket is not None:
+        arr = arr.filter(F.size("_items") <= max_basket)
     return (
-        li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("u"))
-        .join(b, "_o")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
+        arr.select(F.explode(ordered_pairs(F.col("_items"))).alias("_p"))
+        .select(F.col("_p.x").alias("u"), F.col("_p.y").alias("v"))
         .dropDuplicates()
     )
 
@@ -384,15 +396,25 @@ def _co_order_edges_w2(
     """Symmetrized co-order edges kept only when the pair shares >= 2
     orders — the sparsified variant with non-trivial k-core structure.
     Same mega-basket cap as _co_order_edges (mirrored in the oracle)."""
-    li = _capped_baskets(spark, sf_dir, max_basket)
-    b = li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("v"))
+    # r07 optimization (guide §2.4): same array-pair rewrite as
+    # _co_order_edges (one l_orderkey exchange replaces the basket
+    # self-join), plus a lazy settle of the weighted pair table — the
+    # symmetrizing union reads it twice and would otherwise run the
+    # pair aggregation once per branch.
+    arr = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("_items"))
+    )
+    if max_basket is not None:
+        arr = arr.filter(F.size("_items") <= max_basket)
     p = (
-        li.select(F.col("l_orderkey").alias("_o"), F.col("l_partkey").alias("u"))
-        .join(b, "_o")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
+        arr.select(F.explode(ordered_pairs(F.col("_items"))).alias("_p"))
+        .groupBy(F.col("_p.x").alias("u"), F.col("_p.y").alias("v"))
         .agg(F.count(F.lit(1)).alias("_w"))
         .filter(F.col("_w") >= 2)
+        .localCheckpoint(eager=False)
     )
     return p.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
         p.select(F.col("v").alias("src"), F.col("u").alias("dst"))
