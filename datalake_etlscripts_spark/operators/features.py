@@ -473,26 +473,37 @@ def item_item_topk(
     (a, b) key; the final top-k window partitions by item — both
     linear in the pair count.
     """
+    from datalake_etlscripts_spark.functions.scalar import ordered_pairs
+
     oi = baskets.select(
         F.col(basket_col).alias("b"), F.col(item_col).alias("i")
     ).distinct()
-    sizes = oi.groupBy("b").agg(F.count(F.lit(1)).alias("_bs"))
-    # the capped base feeds three consumers (item counts, both sides
-    # of the pair self-join); Catalyst's ReuseExchange already shares
-    # the distinct's shuffle across them (verified: a lazy
-    # localCheckpoint here measured neutral-to-worse at sf0.1)
-    oi = oi.join(sizes.filter(F.col("_bs") <= max_basket), "b").drop("_bs")
-    ni = oi.groupBy("i").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    a = oi.alias("a")
-    b = oi.alias("b")
+    # r07 (guide §2.4): one basket-keyed aggregate builds the capped
+    # sorted-distinct item array; pairs are then generated MAP-SIDE
+    # (ordered_pairs) and item counts by exploding the same arrays —
+    # replaces the former sizes-join + basket self-join (two joins,
+    # two extra exchanges) with zero joins. Pair multiset identical
+    # (u < v over distinct per-basket items). Lazy settle: the array
+    # table feeds both ni and the pair build.
+    arrs = (
+        oi.groupBy("b")
+        .agg(F.sort_array(F.collect_list("i")).alias("_items"))
+        .filter(F.size("_items") <= max_basket)
+        .localCheckpoint(eager=False)
+    )
+    ni = (
+        arrs.select(F.explode("_items").alias("i"))
+        .groupBy("i")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
     # settle the pair counts: the symmetrizing union below reads
-    # `pairs` twice, and without a lineage cut the basket self-join +
+    # `pairs` twice, and without a lineage cut the pair explode +
     # aggregation (the only quadratic-ish step) executes once per
     # branch — the swapped branch's exchange canonicalizes differently
     # so ReuseExchange does not share it (guide §2.4). Lazy.
     pairs = (
-        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.i") < F.col("b.i")))
-        .groupBy(F.col("a.i").alias("ia"), F.col("b.i").alias("ib"))
+        arrs.select(F.explode(ordered_pairs(F.col("_items"))).alias("_p"))
+        .groupBy(F.col("_p.x").alias("ia"), F.col("_p.y").alias("ib"))
         .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
         .localCheckpoint(eager=False)
     )

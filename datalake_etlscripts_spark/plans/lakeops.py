@@ -439,17 +439,24 @@ def fifo_allocation_frame(
         .rowsBetween(W.unboundedPreceding, 0)
     )
     wr = W.partitionBy("part").orderBy("sd", "okey", "lno")
+    # r07: settle r and d once (lazy) — each side feeds FOUR consumers
+    # (matched-max, breakpoints, the event union, and the final
+    # alloc/demand joins), and the scan + part-keyed sort + window
+    # stack re-ran per consumer since only the exchange below the
+    # window is shared by ReuseExchange (guide §2.4).
     r = (
         li.filter(F.col("st") == "F")
         .withColumn("rord", F.row_number().over(wr).cast("long"))
         .withColumn("rcum", F.sum("qty").over(w))
         .drop("sd", "st")
+        .localCheckpoint(eager=False)
     )
     d = (
         li.filter(F.col("st") == "O")
         .withColumn("dord", F.row_number().over(wr).cast("long"))
         .withColumn("dcum", F.sum("qty").over(w))
         .drop("sd", "st")
+        .localCheckpoint(eager=False)
     )
     m = (
         r.groupBy("part")

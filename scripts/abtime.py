@@ -42,12 +42,24 @@ def main() -> None:
     for name in args:
         spark.sparkContext.setJobDescription(f"abtime: {name}")
         samples = []
+        cpus = []
+        gcs = []
         for _ in range(n_runs):
+            c0, g0 = bench._jvm_meters(spark)
             t0 = time.perf_counter()
             n = _force(qs[name](spark, sf_dir))
             samples.append(time.perf_counter() - t0)
+            c1, g1 = bench._jvm_meters(spark)
+            cpus.append((c1 - c0) if c0 is not None and c1 is not None else -1.0)
+            gcs.append((g1 - g0) if g0 is not None and g1 is not None else -1)
+        # JVM CPU (utime+stime of the local-mode JVM) is steal-immune:
+        # on this host wall-clock swings ±5x under hypervisor noise
+        # (see bench.py), so A/B decisions key on min CPU, not wall.
         print(
-            f"{name}: min={min(samples):.3f}s runs={[round(s, 2) for s in samples]} rows={n}"
+            f"{name}: min={min(samples):.3f}s cpu_at_best="
+            f"{cpus[samples.index(min(samples))]:.1f}s min_cpu={min(cpus):.1f}s "
+            f"runs={[round(s, 2) for s in samples]} "
+            f"cpu={[round(c, 1) for c in cpus]} gc_ms={gcs} rows={n}"
         )
 
 
