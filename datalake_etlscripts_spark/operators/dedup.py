@@ -132,24 +132,56 @@ def ngram_jaccard_pairs(
     length_bucket: int = 100,
 ) -> DataFrame:
     """Near-duplicate pairs by exact shingle Jaccard, blocked so the
-    self-join is per-block (block = lang × length bucket), never the
-    full n² cross product. Returns (id_a, id_b, jaccard)."""
+    candidate space is per-block (block = lang × length bucket), never
+    the full n² cross product. Returns (id_a, id_b, jaccard).
+
+    r07 (guide §2.3): candidates come from a shared-shingle INVERTED
+    INDEX instead of the former blocked all-pairs self-join — explode
+    shingles, equi-join postings on (block, shingle), count shared
+    shingles per pair, then jaccard = inter / (|A| + |B| − inter)
+    (exact for distinct shingle sets). Equivalent for threshold > 0:
+    a pair with J ≥ t > 0 shares ≥ 1 shingle so it appears in the
+    index join, and zero-overlap / empty-set pairs fail the threshold
+    in both shapes (empty∩empty is NULL-jaccard in the old form,
+    absent here — both filtered). Contract note: pairs sharing NO
+    shingle are never emitted (their jaccard is 0), so a threshold ≤ 0
+    behaves like an infinitesimal positive one. The all-pairs form
+    materialized every same-block pair with both full arrays; the
+    index join's fan-out is Σ df² over per-(block, shingle) doc
+    frequencies, far smaller on natural text, and ships 4 scalars per
+    row."""
+    blocks = [*block_cols, "_lb"]
     base = df.select(
         F.col(id_col).alias("_did"),
         *[F.col(c) for c in block_cols],
         (F.length(text_col) / F.lit(length_bucket)).cast("int").alias("_lb"),
         shingles(F.col(text_col), k).alias("_sh"),
+    ).localCheckpoint(eager=False)  # postings + both size lookups
+    posts = base.select("_did", *blocks, F.explode("_sh").alias("_s"))
+    a = posts.select(F.col("_did").alias("id_a"), *blocks, "_s")
+    b = posts.select(F.col("_did").alias("id_b"), *blocks, "_s")
+    inter = (
+        a.join(b, [*blocks, "_s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    a = base.select(
-        F.col("_did").alias("id_a"), *block_cols, "_lb", F.col("_sh").alias("_sh_a")
+    sizes = base.select(F.col("_did"), F.size("_sh").cast("long").alias("_n"))
+    jac = F.try_divide(
+        F.col("_inter").cast("double"),
+        (F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double"),
     )
-    b = base.select(
-        F.col("_did").alias("id_b"), *block_cols, "_lb", F.col("_sh").alias("_sh_b")
-    )
-    pairs = a.join(b, [*block_cols, "_lb"]).filter(F.col("id_a") < F.col("id_b"))
-    jac = _jaccard(F.col("_sh_a"), F.col("_sh_b"))
-    return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
+    return (
+        inter.join(
+            F.broadcast(sizes.select(F.col("_did").alias("id_a"), F.col("_n").alias("_na"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_did").alias("id_b"), F.col("_n").alias("_nb"))),
+            "id_b",
+        )
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -600,16 +632,67 @@ def embedding_near_dup_pairs(
     vectors are computed once per row BEFORE the join; the per-pair
     work is one zip_with/aggregate fold, JVM-side.
     """
+    # r07 (guide §1.2 "per-task work" + §3): the all-pairs nested-loop
+    # evaluated the FULL 64-dim zip_with/aggregate fold (three array
+    # allocations per pair) on every pair, then filtered. The join
+    # condition now carries an exact Cauchy-Schwarz prefilter on a
+    # 16-dim head: dot ≤ dot(head_a, head_b) + ||tail_a||·||tail_b||,
+    # so ~99% of pairs are rejected after a 16-element fold and the
+    # full-width fold (unchanged arithmetic — the emitted cos_sim is
+    # the identical left fold) runs on survivors only. The 1e-9 margin
+    # dominates the ≤ ~1e-13 float deviation between the real-valued
+    # bound and the evaluated folds, so no qualifying pair can be
+    # pruned; the final ≥ threshold filter is exact as before.
+    from datalake_etlscripts_spark.operators.skew import spread_small_input
+
+    head = 16
+    margin = 1e-9
+    # spread the STREAM side: a small single-row-group parquet scans as
+    # ONE task, so the nested-loop probe (the O(n²) work) would run on
+    # one core regardless of cluster size (guide §2.5 input skew); the
+    # build side is explicitly broadcast below so the planner never
+    # streams the unspread copy instead.
     unit = df.select(F.col(id_col).alias("_eid"), _unit(F.col(vec_col)).alias("_ev"))
-    l_ = unit.select(F.col("_eid").alias("id_a"), F.col("_ev").alias("_va"))
-    r_ = unit.select(F.col("_eid").alias("id_b"), F.col("_ev").alias("_vb"))
+    pre = unit.select(
+        "_eid",
+        "_ev",
+        F.slice("_ev", 1, head).alias("_hd"),
+        F.sqrt(
+            F.aggregate(
+                F.slice("_ev", head + 1, F.greatest(F.size("_ev") - head, F.lit(0))),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ).alias("_tn"),
+    )
+    l_ = spread_small_input(pre).select(
+        F.col("_eid").alias("id_a"),
+        F.col("_ev").alias("_va"),
+        F.col("_hd").alias("_hda"),
+        F.col("_tn").alias("_tna"),
+    )
+    r_ = pre.select(
+        F.col("_eid").alias("id_b"),
+        F.col("_ev").alias("_vb"),
+        F.col("_hd").alias("_hdb"),
+        F.col("_tn").alias("_tnb"),
+    )
+    head_dot = F.aggregate(
+        F.zip_with("_hda", "_hdb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bound = head_dot + F.col("_tna") * F.col("_tnb")
     dot = F.aggregate(
         F.zip_with("_va", "_vb", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     return (
-        l_.join(r_, F.col("id_a") < F.col("id_b"))
+        l_.join(
+            F.broadcast(r_),
+            (F.col("id_a") < F.col("id_b")) & (bound >= F.lit(threshold - margin)),
+        )
         .select("id_a", "id_b", dot.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -1483,18 +1566,41 @@ def containment_pairs(
             (F.length(text_col) / F.lit(length_bucket)).cast("int").alias("_lb"),
         )
         blocks.append("_lb")
-    base = df.select(*sel)
-    a = base.select(
-        F.col("_did").alias("id_a"), *blocks, F.col("_sh").alias("_sh_a")
+    # r07 (guide §2.3): the blocked ALL-PAIRS self-join materialized
+    # every same-block doc pair with BOTH full shingle arrays and ran
+    # array_intersect per pair — at sf0.1 that is 8M pairs × ~50-string
+    # arrays for under 1M pairs that share any shingle at all. The
+    # shared-shingle inverted index computes the same |A∩B|: explode
+    # shingles, equi-join postings on (block, shingle), count per
+    # ordered pair. Exactly equivalent for threshold > 0 — a pair with
+    # containment ≥ t > 0 shares ≥ 1 shingle, so it appears in the
+    # index join; zero-overlap and empty-A pairs fail the threshold in
+    # both shapes (pairs sharing no shingle are never emitted, so
+    # threshold ≤ 0 behaves like an infinitesimal positive one).
+    # Join fan-out is Σ_shingle df² (df ≤ 15 at sf0.1 —
+    # shingle df has no hot keys, unlike unigrams), ~8× below the
+    # all-pairs row count and carrying 3 scalar columns instead of two
+    # arrays.
+    base = df.select(*sel).localCheckpoint(eager=False)  # postings + |A| lookup
+    posts = base.select("_did", *blocks, F.explode("_sh").alias("_s"))
+    a = posts.select(F.col("_did").alias("id_a"), *blocks, "_s")
+    b = posts.select(F.col("_did").alias("id_b"), *blocks, "_s")
+    inter = (
+        a.join(b, [*blocks, "_s"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    b = base.select(
-        F.col("_did").alias("id_b"), *blocks, F.col("_sh").alias("_sh_b")
+    sizes = base.select(
+        F.col("_did").alias("id_a"), F.size("_sh").cast("long").alias("_na")
     )
-    pairs = a.join(b, blocks).filter(F.col("id_a") != F.col("id_b"))
-    inter = F.size(F.array_intersect("_sh_a", "_sh_b"))
-    cont = F.try_divide(inter.cast("double"), F.size("_sh_a"))
-    return pairs.select(
-        F.col("id_a").alias("id_contained"),
-        F.col("id_b").alias("id_container"),
-        cont.alias("containment"),
-    ).filter(F.col("containment") >= threshold)
+    cont = F.try_divide(F.col("_inter").cast("double"), F.col("_na"))
+    return (
+        inter.join(F.broadcast(sizes), "id_a")
+        .select(
+            F.col("id_a").alias("id_contained"),
+            F.col("id_b").alias("id_container"),
+            cont.alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -188,7 +188,7 @@ def pagerank(
     return ranks.select("node", "rank")
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, broadcast_edges: int = 5_000_000) -> DataFrame:
     """Exact per-node triangle counts + local clustering coefficient
     over an undirected edge set (columns ``u``, ``v`` with u < v,
     distinct) — the standard cohesion/spam-farm signal for link
@@ -207,19 +207,29 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
     Returns (node, degree, n_triangles, clustering).
     """
+    # r07 (guide §2.4/§3.1): settle the reused subtrees — ``edges``
+    # feeds the degree aggregate and both attach joins, ``deg`` feeds
+    # the two attaches + the final output join, ``oriented`` feeds
+    # both wedge sides + the closing edge set; each was re-derived per
+    # consumer. The edge count (one scalar) gates broadcasting the
+    # closing side so the Σ-outdeg² wedge stream is filtered through a
+    # broadcast hash probe instead of being exchanged + sorted for a
+    # sort-merge semi-join; beyond broadcast reach the shuffle join
+    # stays. Results identical either way.
+    edges = edges.localCheckpoint(eager=False)
+    bcast = edges.count() <= broadcast_edges
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
     )
-    e = (
-        edges.join(
-            deg.select(F.col("node").alias("u"), F.col("degree").alias("_du")), "u"
-        ).join(
-            deg.select(F.col("node").alias("v"), F.col("degree").alias("_dv")), "v"
-        )
-    )
+    deg_u = deg.select(F.col("node").alias("u"), F.col("degree").alias("_du"))
+    deg_v = deg.select(F.col("node").alias("v"), F.col("degree").alias("_dv"))
+    if bcast:
+        deg_u, deg_v = F.broadcast(deg_u), F.broadcast(deg_v)
+    e = edges.join(deg_u, "u").join(deg_v, "v")
     u_first = (F.col("_du") < F.col("_dv")) | (
         (F.col("_du") == F.col("_dv")) & (F.col("u") < F.col("v"))
     )
@@ -227,7 +237,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("_dv")).otherwise(F.col("_du")).alias("_ddst"),
-    )
+    ).localCheckpoint(eager=False)
     o1 = oriented.select("src", F.col("dst").alias("a"), F.col("_ddst").alias("_da"))
     o2 = oriented.select("src", F.col("dst").alias("b"), F.col("_ddst").alias("_db"))
     wedges = o1.join(o2, "src").filter(
@@ -235,6 +245,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
     )
     closing = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    if bcast:
+        closing = F.broadcast(closing)
     tri = wedges.join(closing, ["a", "b"], "left_semi").select("src", "a", "b")
     tn = (
         tri.select(F.explode(F.array("src", "a", "b")).alias("node"))
@@ -257,6 +269,7 @@ def label_propagation(
     iterations: int = 3,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
+    broadcast_nodes: int = 5_000_000,
 ) -> DataFrame:
     """Synchronous label propagation (community detection): every node
     starts as its own label; each round it adopts the most frequent
@@ -273,16 +286,29 @@ def label_propagation(
     localCheckpoint. Returns (node, label) after ``iterations``
     rounds; connected regions converge toward dense-community labels.
     """
+    # r07 (guide §2.4): settle the edge table once — every round joins
+    # it, and a derived edge set (the co-order build) re-ran per round;
+    # the initial label table is one more consumer.
+    edges = edges.localCheckpoint(eager=False)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    # One scalar to the driver decides the per-round join strategy:
+    # label tables are node-sized, so below the threshold they are
+    # BROADCAST into the edge join (post-checkpoint label tables carry
+    # no stats, so the planner would otherwise sort-merge, re-sorting
+    # the full edge table every round — guide §3.1). Beyond broadcast
+    # reach the shuffle join is kept; results identical either way.
+    bcast = labels.count() <= broadcast_nodes
     from pyspark.sql import Window as W
 
     for it in range(iterations):
-        neigh = edges.join(
-            labels.select(F.col("node").alias("dst"), F.col("label").alias("_nl")),
-            "dst",
+        label_side = labels.select(
+            F.col("node").alias("dst"), F.col("label").alias("_nl")
         )
+        if bcast:
+            label_side = F.broadcast(label_side)
+        neigh = edges.join(label_side, "dst")
         counts = neigh.groupBy("src", "_nl").agg(F.count(F.lit(1)).alias("_c"))
         w = W.partitionBy("src").orderBy(F.desc("_c"), F.asc("_nl"))
         labels = cut_lineage(
@@ -305,44 +331,81 @@ def link_prediction_topk(
     cn/(deg_a + deg_b − cn)) and return the top-k candidates — the
     classic 'suggested connection' / missing-edge audit.
 
-    ``edges`` is undirected (u, v with u < v, distinct). One wedge
-    self-join on the shared neighbor generates candidate pairs — the
-    same O(Σ deg²) shape as the naive triangle join, so for skewed
-    graphs pass ``max_degree`` to drop hub wedge-centers: a node with
-    degree d emits d² candidate pairs, and one celebrity hub dominates
-    both the shuffle and the scores while carrying almost no signal
-    (everyone 'shares' the hub). With the cap, hubs still count toward
-    node degrees (the Jaccard denominator stays exact); they just stop
-    generating wedges, bounding the join output at max_degree² per
-    node. An anti join removes existing edges, and a TakeOrdered cut
-    keeps the top-k by (common_neighbors desc, id_a, id_b) — fully
+    ``edges`` is undirected (u, v with u < v, distinct). Candidate
+    pairs are the C(deg, 2) wedge pairs at each node, generated
+    map-side from per-node sorted neighbor arrays — the same O(Σ deg²)
+    work as the classic wedge self-join, minus the join itself. For
+    skewed graphs pass ``max_degree`` to drop hub wedge-centers: a
+    node with degree d emits d² candidate pairs, and one celebrity hub
+    dominates both the shuffle and the scores while carrying almost no
+    signal (everyone 'shares' the hub). With the cap, hubs still count
+    toward node degrees (the Jaccard denominator stays exact); they
+    just stop generating wedges, bounding the fan-out at max_degree²
+    per node. An anti join removes existing edges, and a TakeOrdered
+    cut keeps the top-k by (common_neighbors desc, id_a, id_b) — fully
     deterministic. Returns (id_a, id_b, common_neighbors, jaccard).
     """
+    from datalake_etlscripts_spark.functions.scalar import ordered_pairs
+
+    # r07 (guide §2.3-2.4): the wedge SELF-JOIN (adj ⋈ adj on the
+    # shared neighbor) materialized Σ deg²/2 join rows through a
+    # sort-merge before the pair aggregate — at sf0.1 that is 148M
+    # wedge rows for 101M candidate pairs. The rewrite builds each
+    # node's sorted neighbor array once and emits its C(deg, 2)
+    # wedge pairs MAP-SIDE (ordered_pairs), feeding partial
+    # aggregation directly: one exchange (the unavoidable pair
+    # aggregate) instead of three. Per-row fan-out is deg²-bounded —
+    # callers with hub-skewed graphs pass max_degree exactly as
+    # before (here it simply filters the arrays).
+    edges = edges.localCheckpoint(eager=False)  # reused by anti-join below
     adj = edges.select(F.col("u").alias("x"), F.col("v").alias("n")).unionAll(
         edges.select(F.col("v").alias("x"), F.col("u").alias("n"))
     )
-    deg = adj.groupBy("x").agg(F.count(F.lit(1)).alias("deg"))
-    wedge_adj = adj
+    # The node-keyed repartition BEFORE the aggregate does double duty
+    # (guide §2.4/§2.5): groupBy reuses its partitioning (no second
+    # exchange), and — because an explicit repartition is exempt from
+    # AQE coalescing — the tiny-in-bytes array table stays spread over
+    # the cluster, so the deg²-heavy explode below runs wide instead
+    # of on the 1-2 partitions AQE would coalesce a ~20 MB table to.
+    n_spread = adj.sparkSession.sparkContext.defaultParallelism * 2
+    adjarr = (
+        adj.repartition(n_spread, "x")
+        .groupBy("x")
+        .agg(F.array_sort(F.collect_list("n")).alias("_nbrs"))
+        .localCheckpoint(eager=False)  # feeds the explode + both deg broadcasts
+    )
+    # degree is just the array length — the separate degree aggregate
+    # (one more exchange over the adjacency table) is gone.
+    deg = adjarr.select("x", F.size("_nbrs").cast("long").alias("deg"))
+    wedge_arr = adjarr
     if max_degree is not None:
-        wedge_adj = adj.join(
-            deg.filter(F.col("deg") <= max_degree).select("x"), "x"
-        )
-    a = wedge_adj.select(F.col("n").alias("id_a"), "x")
-    b = wedge_adj.select(F.col("n").alias("id_b"), "x")
+        wedge_arr = adjarr.filter(F.size("_nbrs") <= max_degree)
     cand = (
-        a.join(b, "x")
-        .filter(F.col("id_a") < F.col("id_b"))
+        wedge_arr.select(F.explode(ordered_pairs(F.col("_nbrs"))).alias("_p"))
+        .select(F.col("_p.x").alias("id_a"), F.col("_p.y").alias("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("common_neighbors"))
         .join(
-            edges.select(F.col("u").alias("id_a"), F.col("v").alias("id_b")),
+            F.broadcast(
+                edges.select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+            ),
             ["id_a", "id_b"],
             "left_anti",
         )
     )
     scored = (
-        cand.join(deg.select(F.col("x").alias("id_a"), F.col("deg").alias("_da")), "id_a")
-        .join(deg.select(F.col("x").alias("id_b"), F.col("deg").alias("_db")), "id_b")
+        cand.join(
+            F.broadcast(
+                deg.select(F.col("x").alias("id_a"), F.col("deg").alias("_da"))
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                deg.select(F.col("x").alias("id_b"), F.col("deg").alias("_db"))
+            ),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",
@@ -565,6 +628,9 @@ def bfs_hops(
     for nodes within ``max_hops``. Lineage is cut per round
     (localCheckpoint; ``checkpoint_dir`` swaps in reliable
     checkpoints for executor-loss recovery at scale)."""
+    # r07 (guide §2.4): every round references ``edges`` — without a
+    # settle the caller's edge build re-runs once per hop.
+    edges = edges.localCheckpoint(eager=False)
     dist = seeds.select("node", F.lit(0).cast("long").alias("dist")).distinct()
     frontier = dist
     for it in range(1, max_hops + 1):
@@ -574,6 +640,38 @@ def bfs_hops(
             .distinct()
             .join(dist, "node", "left_anti")
             .select("node", F.lit(it).cast("long").alias("dist"))
+        )
+        nxt = cut_lineage(nxt, it, checkpoint_dir, checkpoint_every, eager=False)
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    return dist
+
+
+def bfs_hops_tagged(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 4,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Per-seed multi-source BFS: like ``bfs_hops`` but the state is
+    keyed (seed, node), so N independent single-seed BFS runs collapse
+    into ONE delta iteration — each round touches the edge table once
+    instead of once per seed (guide §2.4: fewer passes), at the cost
+    of a frontier ≤ N× larger. Returns (seed, node, dist) — per seed
+    exactly the rows ``bfs_hops`` would return for that seed alone."""
+    edges = edges.localCheckpoint(eager=False)
+    dist = (
+        seeds.select("seed", "node", F.lit(0).cast("long").alias("dist")).distinct()
+    )
+    frontier = dist
+    for it in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, ["seed", "node"], "left_anti")
+            .select("seed", "node", F.lit(it).cast("long").alias("dist"))
         )
         nxt = cut_lineage(nxt, it, checkpoint_dir, checkpoint_every, eager=False)
         dist = dist.unionByName(nxt)
@@ -948,7 +1046,7 @@ def mutual_matching(
     return out
 
 
-def _triangles_oriented(edges_uv: DataFrame) -> DataFrame:
+def _triangles_oriented(edges_uv: DataFrame, bcast: bool = False) -> DataFrame:
     """Triangle enumeration via degree-ordered orientation (the
     triangle_counts plan shape, returned as node triples): direct every
     edge toward its higher-(degree, id) endpoint, generate wedges only
@@ -990,7 +1088,7 @@ def _triangles_oriented(edges_uv: DataFrame) -> DataFrame:
         .select("src", "x", "y")
     )
     closed = wedges.join(
-        edges_uv,
+        F.broadcast(edges_uv) if bcast else edges_uv,
         (F.least("x", "y") == F.col("u"))
         & (F.greatest("x", "y") == F.col("v")),
         "left_semi",
@@ -1008,6 +1106,7 @@ def ktruss(
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
     oriented: bool = False,
+    broadcast_edges: int = 5_000_000,
 ) -> DataFrame:
     """k-truss peeling on an undirected edge set given in canonical
     (u < v) form: count every edge's triangle support, drop edges
@@ -1049,12 +1148,24 @@ def ktruss(
     # (guide §2.4: remove shuffles outright). Lazy: materializes
     # inside the first action.
     edges_uv = edges_uv.localCheckpoint(eager=False)
+    # r07 (guide §3.1): one scalar to the driver decides the join
+    # strategy for every edge-set probe below. The settled edge table
+    # carries no stats, so the planner was sort-merge-joining the
+    # CLOSING join — i.e. exchanging + sorting the full Σ outdeg²
+    # wedge stream (~49M rows at sf0.1) to filter it against a 1.2M-row
+    # edge set that fits a broadcast hash relation many times over.
+    # Same guard for the per-round dead-edge semi-joins (dead ⊆ edges).
+    # Beyond broadcast reach everything stays sort-merge; results are
+    # identical either way.
+    bcast = edges_uv.count() <= broadcast_edges
     if oriented:
-        tri = _triangles_oriented(edges_uv).localCheckpoint(eager=False)
+        tri = _triangles_oriented(edges_uv, bcast=bcast).localCheckpoint(eager=False)
     else:
         e1 = edges_uv.select(F.col("u").alias("a"), F.col("v").alias("b"))
         e2 = edges_uv.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
         e3 = edges_uv.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+        if bcast:
+            e3 = F.broadcast(e3)
         tri = (
             e1.join(e2, F.col("b") == F.col("b2"))
             .join(
@@ -1095,7 +1206,7 @@ def ktruss(
             break
         dead_tri = (
             _sides(tri)
-            .join(dead, ["u", "v"], "left_semi")
+            .join(F.broadcast(dead) if bcast else dead, ["u", "v"], "left_semi")
             .select("a", "b", "c")
             .distinct()
         )

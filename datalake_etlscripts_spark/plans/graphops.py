@@ -1305,7 +1305,7 @@ def _ecc_oracle() -> str:
 @query("graph_eccentricity_sample", oracle=_ecc_oracle())
 def q_graph_eccentricity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-hop eccentricity and exact closeness numerator from three deterministic seeds on the co-order graph - per-seed delta-iteration BFS, diameter lower-bound witnesses."""
-    from datalake_etlscripts_spark.operators.graph import bfs_hops
+    from datalake_etlscripts_spark.operators.graph import bfs_hops_tagged
 
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
@@ -1324,24 +1324,21 @@ def q_graph_eccentricity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(3)
         .collect()
     ]
-    out = None
-    for s in seeds:
-        seed_df = edges.sparkSession.createDataFrame(
-            [(s,)], "node BIGINT"
-        )
-        d = bfs_hops(edges, seed_df, max_hops=4)
-        agg = d.groupBy().agg(
-            F.count(F.lit(1)).cast("long").alias("n_reached"),
-            F.max("dist").cast("long").alias("ecc4"),
-            F.sum("dist").cast("long").alias("sum_dist"),
-        ).select(
-            F.lit(s).cast("long").alias("seed"),
-            "n_reached",
-            "ecc4",
-            "sum_dist",
-        )
-        out = agg if out is None else out.unionByName(agg)
-    return out
+    # r07 (guide §2.4): one seed-tagged delta iteration replaces three
+    # independent 4-hop BFS loops — the edge table is traversed once
+    # per hop instead of once per (seed, hop), and the edge build is
+    # settled once inside the operator instead of re-deriving per
+    # round. Per-seed (node, dist) sets are identical to the former
+    # per-seed runs.
+    seed_df = edges.sparkSession.createDataFrame(
+        [(s, s) for s in seeds], "seed BIGINT, node BIGINT"
+    )
+    d = bfs_hops_tagged(edges, seed_df, max_hops=4)
+    return d.groupBy("seed").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reached"),
+        F.max("dist").cast("long").alias("ecc4"),
+        F.sum("dist").cast("long").alias("sum_dist"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -157,6 +157,12 @@ def merkle_block_state(
             .cast("long")
             .alias("h"),
         )
+        # r07 (guide §2.4): the leaf table feeds BOTH the superblock
+        # rollup and the level-0 union branch (and, through
+        # merkle_diff_blocks' split(), each consumer re-derives it),
+        # re-running the full-corpus md5 digest pass per consumer.
+        # Settle the tiny (keyspace/block_size rows) leaf state once.
+        .localCheckpoint(eager=False)
     )
     sup = (
         leaf.groupBy(F.expr(f"block div {fanout}").alias("block"))

@@ -4025,3 +4025,96 @@ def test_adpcm_roundtrip_converges_after_jump():
         # to the signal magnitude (and exactly for reachable values)
         tail_err = max(abs(target - d) for d in dec[-20:])
         assert tail_err <= max(32, abs(target) // 256), (target, tail_err)
+
+
+def test_bfs_hops_tagged_matches_per_seed_runs(spark):
+    """r07: the seed-tagged multi-source BFS must return, per seed,
+    exactly the (node, dist) set the single-seed operator returns —
+    the consolidation (one delta iteration for N seeds) is a pure
+    traversal-sharing optimization."""
+    from pyspark.sql import functions as F
+
+    from datalake_etlscripts_spark.operators.graph import bfs_hops, bfs_hops_tagged
+
+    e0 = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (2, 10)],
+        "src long, dst long",
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = [0, 10, 5]
+    tagged = bfs_hops_tagged(
+        edges,
+        spark.createDataFrame([(s, s) for s in seeds], "seed long, node long"),
+        max_hops=3,
+    ).collect()
+    got = {
+        s: {(r["node"], r["dist"]) for r in tagged if r["seed"] == s} for s in seeds
+    }
+    for s in seeds:
+        single = bfs_hops(
+            edges, spark.createDataFrame([(s,)], "node long"), max_hops=3
+        ).collect()
+        assert got[s] == {(r["node"], r["dist"]) for r in single}, s
+
+
+def test_inverted_index_dedup_zero_overlap_contract(spark):
+    """r07: the shared-shingle inverted index never emits pairs that
+    share no shingle — at threshold 0 the overlapping pair appears
+    with its exact score and the disjoint pair is absent (score would
+    be 0), the documented contract of the rewrite."""
+    from datalake_etlscripts_spark.operators import dedup
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b c d e", "en"),
+            (2, "a b c x y", "en"),
+            (3, "p q r s t", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    jac = {
+        (r["id_a"], r["id_b"]) for r in dedup.ngram_jaccard_pairs(d, threshold=0.0).collect()
+    }
+    assert (1, 2) in jac and (1, 3) not in jac and (2, 3) not in jac
+    cont = {
+        (r["id_contained"], r["id_container"])
+        for r in dedup.containment_pairs(d, threshold=1e-9).collect()
+    }
+    assert (1, 2) in cont and (2, 1) in cont and (1, 3) not in cont
+
+
+def test_containment_pairs_matches_brute_force(spark):
+    """r07: the inverted-index containment must equal the all-pairs
+    definition |A∩B|/|A| on a corpus with excerpts, including the
+    direction asymmetry and short/empty-shingle documents."""
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps", "en"),          # excerpt of 1
+        (3, "a completely different document about spark", "en"),
+        (4, "the quick brown fox jumps over the lazy dog extended text", "en"),
+        (5, "too short", "en"),                           # < k tokens -> empty shingles
+        (6, "the quick brown fox jumps", "fr"),           # other block
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    from datalake_etlscripts_spark.operators import dedup
+
+    got = {
+        (r["id_contained"], r["id_container"]): r["containment"]
+        for r in dedup.containment_pairs(d, threshold=0.6).collect()
+    }
+
+    def sh(t):
+        tok = [x for x in t.split(" ") if x]
+        return set(" ".join(tok[i : i + 3]) for i in range(len(tok) - 2))
+
+    want = {}
+    for ia, ta, la in docs:
+        for ib, tb, lb in docs:
+            if ia == ib or la != lb:
+                continue
+            a, b = sh(ta), sh(tb)
+            if a and len(a & b) / len(a) >= 0.6:
+                want[(ia, ib)] = len(a & b) / len(a)
+    assert got == want
