@@ -197,3 +197,22 @@ def ordered_pairs(arr: Column) -> Column:
             ),
         )
     )
+
+
+def ordered_pairs_packed(arr: Column) -> Column:
+    """``ordered_pairs`` with each (x, y) pair packed into ONE BIGINT
+    x·2³² + y instead of a struct — callers must guarantee
+    0 ≤ x, y < 2³¹ (then the packing is a bijection and packed numeric
+    order equals (x, y) lexicographic order). The pair array is a
+    primitive long array: no per-element struct allocation in
+    deg²-sized explodes, and downstream aggregates hash/ship one
+    8-byte key (guide §2.3: narrower shuffle keys)."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + F.lit(2), F.greatest(F.size(arr) - i - F.lit(1), F.lit(0))),
+                lambda y: x * F.lit(1 << 32) + y,
+            ),
+        )
+    )

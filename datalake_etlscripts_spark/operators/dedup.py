@@ -425,11 +425,40 @@ def minhash_lsh_pairs(
     funnel into _verify_pairs_against_sets, so the verdict semantics
     are a single definition.
     """
-    r = num_hashes // bands
+    per_doc = minhash_per_doc(df, text_col, id_col, k, num_hashes, scheme)
+    return lsh_pairs_from_per_doc(per_doc, num_hashes, bands, threshold, scheme)
+
+
+def minhash_per_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    scheme: str = "xxhash64",
+) -> DataFrame:
+    """The settled per-doc (signature, verification-hash-set) table
+    minhash_lsh_pairs builds — exposed so sweeps that band the SAME
+    signatures several ways (dedup_lsh_band_sweep: 4/8/16 bands over
+    32 hashes) compute the corpus-wide shingle/hash pipeline ONCE and
+    reuse it per band config (guide §2.4: a band count only changes
+    how minima are grouped, never the minima themselves)."""
     filtered = df.filter(F.size(tokens(F.col(text_col))) >= F.lit(k))
-    per_doc = minhash_signatures(
+    return minhash_signatures(
         filtered, text_col, id_col, k, num_hashes, scheme, with_hash_sets=True
     ).localCheckpoint()
+
+
+def lsh_pairs_from_per_doc(
+    per_doc: DataFrame,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    scheme: str = "xxhash64",
+) -> DataFrame:
+    """Band + pair + verify stage of minhash_lsh_pairs over an
+    already-settled ``minhash_per_doc`` table."""
+    r = num_hashes // bands
     cand = (
         _band_explode(per_doc, bands, r, scheme)
         .groupBy("band", "bucket")

@@ -240,6 +240,14 @@ def triangle_counts(edges: DataFrame, broadcast_edges: int = 5_000_000) -> DataF
     ).localCheckpoint(eager=False)
     o1 = oriented.select("src", F.col("dst").alias("a"), F.col("_ddst").alias("_da"))
     o2 = oriented.select("src", F.col("dst").alias("b"), F.col("_ddst").alias("_db"))
+    # r07 note: broadcasting one wedge side (o2) + spreading o1 was
+    # A/B'd and REJECTED — min JVM CPU tripled (33.7 → 100.4 s at
+    # sf0.1, wall flat). For a wedge-GENERATING join the output (the
+    # O(m^1.5) stream) dwarfs both inputs, and the sort-merge path
+    # emits each match group as a linear merge of sorted runs, while a
+    # broadcast hash probe pays a hash lookup + bucket walk PER
+    # OUTPUT ROW. Broadcast stays reserved for the closing semi-join,
+    # where the probe stream is consumed, not multiplied.
     wedges = o1.join(o2, "src").filter(
         (F.col("_da") < F.col("_db"))
         | ((F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b")))
@@ -300,7 +308,6 @@ def label_propagation(
     # the full edge table every round — guide §3.1). Beyond broadcast
     # reach the shuffle join is kept; results identical either way.
     bcast = labels.count() <= broadcast_nodes
-    from pyspark.sql import Window as W
 
     for it in range(iterations):
         label_side = labels.select(
@@ -310,11 +317,23 @@ def label_propagation(
             label_side = F.broadcast(label_side)
         neigh = edges.join(label_side, "dst")
         counts = neigh.groupBy("src", "_nl").agg(F.count(F.lit(1)).alias("_c"))
-        w = W.partitionBy("src").orderBy(F.desc("_c"), F.asc("_nl"))
+        # r07 (guide §2.4): the per-node argmax used to be a
+        # row_number window over the counts table — a SECOND full
+        # exchange plus a sort of every (src, label) row, every round.
+        # (count desc, label asc) is exactly min of the struct
+        # (-count, label), so a second aggregate computes it instead:
+        # its exchange carries at most one partial min per (src, map
+        # partition) — label-dictionary-sized, not candidate-sized —
+        # and nothing is sorted. Counts are degree-bounded, so the
+        # negation cannot overflow; the label value itself is never
+        # negated.
+        best = counts.groupBy("src").agg(
+            F.min(
+                F.struct((-F.col("_c")).alias("_negc"), F.col("_nl").alias("_l"))
+            ).alias("_m")
+        )
         labels = cut_lineage(
-            counts.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(F.col("src").alias("node"), F.col("_nl").alias("label")),
+            best.select(F.col("src").alias("node"), F.col("_m._l").alias("label")),
             it,
             checkpoint_dir,
             checkpoint_every,
@@ -345,7 +364,10 @@ def link_prediction_topk(
     cut keeps the top-k by (common_neighbors desc, id_a, id_b) — fully
     deterministic. Returns (id_a, id_b, common_neighbors, jaccard).
     """
-    from datalake_etlscripts_spark.functions.scalar import ordered_pairs
+    from datalake_etlscripts_spark.functions.scalar import (
+        ordered_pairs,
+        ordered_pairs_packed,
+    )
 
     # r07 (guide §2.3-2.4): the wedge SELF-JOIN (adj ⋈ adj on the
     # shared neighbor) materialized Σ deg²/2 join rows through a
@@ -380,21 +402,78 @@ def link_prediction_topk(
     wedge_arr = adjarr
     if max_degree is not None:
         wedge_arr = adjarr.filter(F.size("_nbrs") <= max_degree)
-    cand = (
-        wedge_arr.select(F.explode(ordered_pairs(F.col("_nbrs"))).alias("_p"))
-        .select(F.col("_p.x").alias("id_a"), F.col("_p.y").alias("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common_neighbors"))
-        .join(
-            F.broadcast(
-                edges.select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
-            ),
-            ["id_a", "id_b"],
-            "left_anti",
-        )
+    # r07 (guide §2.3: narrower shuffle keys): when every node id fits
+    # in 31 bits (one scalar off the settled adjacency table decides),
+    # a candidate pair rides the whole explode → count → anti-join →
+    # TakeOrdered chain as ONE packed BIGINT (id_a·2³² + id_b) instead
+    # of a two-long struct: the wedge arrays are primitive long arrays
+    # (no per-element struct allocation in the deg²-sized explode), the
+    # pair aggregate hashes 8 key bytes instead of a 16-byte row, and
+    # the exchange ships one column. id_a,id_b < 2³¹ makes the packing
+    # a bijection with (id_a, id_b) lexicographic order == packed
+    # numeric order, so the cut is identical; ids are unpacked on the
+    # k surviving rows. Wider ids keep the struct path — same result.
+    bounds = adjarr.agg(
+        F.min(F.col("x")).alias("lo"), F.max(F.col("x")).alias("hi")
+    ).collect()[0]
+    packable = (
+        bounds["lo"] is not None
+        and bounds["lo"] >= 0
+        and bounds["hi"] < (1 << 31)
     )
+    if packable:
+        pk = F.col("_pk")
+        cand = (
+            wedge_arr.select(
+                F.explode(ordered_pairs_packed(F.col("_nbrs"))).alias("_pk")
+            )
+            .groupBy("_pk")
+            .agg(F.count(F.lit(1)).alias("common_neighbors"))
+            .join(
+                F.broadcast(
+                    edges.select(
+                        (F.col("u") * F.lit(1 << 32) + F.col("v")).alias("_pk")
+                    )
+                ),
+                ["_pk"],
+                "left_anti",
+            )
+        )
+        top = (
+            cand.orderBy(F.desc("common_neighbors"), pk)
+            .limit(k)
+            .select(
+                F.expr(f"_pk div {1 << 32}").alias("id_a"),
+                F.expr(f"_pk % {1 << 32}").alias("id_b"),
+                "common_neighbors",
+            )
+        )
+    else:
+        cand = (
+            wedge_arr.select(F.explode(ordered_pairs(F.col("_nbrs"))).alias("_p"))
+            .select(F.col("_p.x").alias("id_a"), F.col("_p.y").alias("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("common_neighbors"))
+            .join(
+                F.broadcast(
+                    edges.select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+                ),
+                ["id_a", "id_b"],
+                "left_anti",
+            )
+        )
+        # r07 (guide §1.2/§2.3): top-k membership is decided by
+        # (common_neighbors desc, id_a, id_b) ALONE — the jaccard column
+        # does not participate in the ordering — so the TakeOrdered cut
+        # runs on the bare pair counts and the two degree attaches probe
+        # k rows instead of every candidate pair (~101M at sf0.1; two
+        # broadcast-hash probes plus a wide projection over the full
+        # candidate set, all discarded by the cut).
+        top = cand.orderBy(
+            F.desc("common_neighbors"), F.col("id_a"), F.col("id_b")
+        ).limit(k)
     scored = (
-        cand.join(
+        top.join(
             F.broadcast(
                 deg.select(F.col("x").alias("id_a"), F.col("deg").alias("_da"))
             ),
@@ -418,7 +497,7 @@ def link_prediction_topk(
     )
     return scored.orderBy(
         F.desc("common_neighbors"), F.col("id_a"), F.col("id_b")
-    ).limit(k)
+    )
 
 
 def kcore(
@@ -615,6 +694,7 @@ def bfs_hops(
     max_hops: int = 4,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
+    broadcast_edges: int = 5_000_000,
 ) -> DataFrame:
     """Multi-source BFS hop distance (the seed-expansion /
     blast-radius primitive beside personalized_pagerank's weighted
@@ -631,14 +711,23 @@ def bfs_hops(
     # r07 (guide §2.4): every round references ``edges`` — without a
     # settle the caller's edge build re-runs once per hop.
     edges = edges.localCheckpoint(eager=False)
+    # r07 (guide §3.1): frontier and visited tables are node-bounded
+    # and carry no stats after the per-round checkpoint, so the
+    # planner sort-merge-joined them — re-exchanging AND re-sorting
+    # the full edge table every hop. One scalar decides: below the
+    # threshold both per-round joins broadcast the small state side
+    # and the settled edge table is only ever streamed. Beyond
+    # broadcast reach the shuffle joins are kept; identical results.
+    bcast = edges.count() <= broadcast_edges
     dist = seeds.select("node", F.lit(0).cast("long").alias("dist")).distinct()
     frontier = dist
     for it in range(1, max_hops + 1):
+        f_side = F.broadcast(frontier) if bcast else frontier
         nxt = (
-            frontier.join(edges, frontier["node"] == edges["src"])
+            f_side.join(edges, f_side["node"] == edges["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(dist, "node", "left_anti")
+            .join(F.broadcast(dist) if bcast else dist, "node", "left_anti")
             .select("node", F.lit(it).cast("long").alias("dist"))
         )
         nxt = cut_lineage(nxt, it, checkpoint_dir, checkpoint_every, eager=False)
@@ -653,6 +742,7 @@ def bfs_hops_tagged(
     max_hops: int = 4,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
+    broadcast_edges: int = 5_000_000,
 ) -> DataFrame:
     """Per-seed multi-source BFS: like ``bfs_hops`` but the state is
     keyed (seed, node), so N independent single-seed BFS runs collapse
@@ -661,16 +751,22 @@ def bfs_hops_tagged(
     of a frontier ≤ N× larger. Returns (seed, node, dist) — per seed
     exactly the rows ``bfs_hops`` would return for that seed alone."""
     edges = edges.localCheckpoint(eager=False)
+    # r07 (guide §3.1): same gated broadcast as bfs_hops — the
+    # (seed, node) state tables are seeds×nodes-bounded and stats-less
+    # after checkpoints; without the hint every hop re-exchanged and
+    # re-sorted the edge table for a sort-merge join.
+    bcast = edges.count() <= broadcast_edges
     dist = (
         seeds.select("seed", "node", F.lit(0).cast("long").alias("dist")).distinct()
     )
     frontier = dist
     for it in range(1, max_hops + 1):
+        f_side = F.broadcast(frontier) if bcast else frontier
         nxt = (
-            frontier.join(edges, frontier["node"] == edges["src"])
+            f_side.join(edges, f_side["node"] == edges["src"])
             .select("seed", F.col("dst").alias("node"))
             .distinct()
-            .join(dist, ["seed", "node"], "left_anti")
+            .join(F.broadcast(dist) if bcast else dist, ["seed", "node"], "left_anti")
             .select("seed", "node", F.lit(it).cast("long").alias("dist"))
         )
         nxt = cut_lineage(nxt, it, checkpoint_dir, checkpoint_every, eager=False)
@@ -1165,6 +1261,13 @@ def ktruss(
         e2 = edges_uv.select(F.col("u").alias("b2"), F.col("v").alias("c2"))
         e3 = edges_uv.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
         if bcast:
+            # r07 note: additionally broadcasting the wedge join's
+            # middle side (e2) was A/B'd and REJECTED — min JVM CPU
+            # doubled (86.8 → 197.6 s at sf0.1): a wedge-generating
+            # join pays the broadcast hash probe per OUTPUT row
+            # (Σ outdeg² of them) where sort-merge emits match groups
+            # as a linear merge (same finding as triangle_counts).
+            # Broadcast stays on the closing side only.
             e3 = F.broadcast(e3)
         tri = (
             e1.join(e2, F.col("b") == F.col("b2"))

@@ -6429,10 +6429,16 @@ def q_dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("ba"), F.col("id_b").alias("bb")
     ).localCheckpoint()
     nb = blocked.count()
+    # r07 (guide §2.4): the three band configs previously each ran the
+    # FULL minhash pipeline (shingle explode + 32-lane min aggregate +
+    # hash-set collect) via minhash_lsh_pairs; a band count only
+    # regroups the same 32 minima, so the per-doc signature table is
+    # settled once and every config reuses it.
+    per_doc = dedup.minhash_per_doc(spread_small_input(d), scheme="md5")
     out = None
     for b in (4, 8, 16):
-        lsh = dedup.minhash_lsh_pairs(
-            spread_small_input(d), threshold=0.04, scheme="md5", bands=b
+        lsh = dedup.lsh_pairs_from_per_doc(
+            per_doc, 32, b, threshold=0.04, scheme="md5"
         ).select("id_a", "id_b").localCheckpoint()
         n_lsh = lsh.count()
         n_common = lsh.join(

@@ -4118,3 +4118,133 @@ def test_containment_pairs_matches_brute_force(spark):
             if a and len(a & b) / len(a) >= 0.6:
                 want[(ia, ib)] = len(a & b) / len(a)
     assert got == want
+
+
+def test_ordered_pairs_packed_matches_struct_pairs(spark):
+    """r07: ordered_pairs_packed must emit exactly the ordered_pairs
+    set with each (x, y) packed as x*2^32 + y — including empty and
+    singleton arrays, and ids at the 31-bit boundary."""
+    from pyspark.sql import functions as F
+    from datalake_etlscripts_spark.functions.scalar import (
+        ordered_pairs,
+        ordered_pairs_packed,
+    )
+
+    rows = [
+        ([],),
+        ([7],),
+        ([1, 2, 3],),
+        ([0, 5, 9, (1 << 31) - 1],),
+    ]
+    df = spark.createDataFrame(rows, "arr array<bigint>")
+    got = df.select(
+        ordered_pairs(F.col("arr")).alias("p"),
+        ordered_pairs_packed(F.col("arr")).alias("pk"),
+    ).collect()
+    for r in got:
+        want = [x["x"] * (1 << 32) + x["y"] for x in r["p"]]
+        assert r["pk"] == want
+
+
+def test_link_prediction_packed_and_struct_paths_agree(spark):
+    """r07: the packed-key fast path (ids < 2^31) and the struct
+    fallback (forced by offsetting every id past 2^31) must produce
+    the same top-k up to the id offset."""
+    from datalake_etlscripts_spark.operators.graph import link_prediction_topk
+
+    base = [(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (4, 5), (1, 6), (5, 6)]
+    small = spark.createDataFrame(base, "u long, v long")
+    off = 1 << 31
+    big = spark.createDataFrame(
+        [(u + off, v + off) for u, v in base], "u long, v long"
+    )
+    got_small = [
+        (r["id_a"], r["id_b"], r["common_neighbors"], r["jaccard"])
+        for r in link_prediction_topk(small, k=10).collect()
+    ]
+    got_big = [
+        (r["id_a"] - off, r["id_b"] - off, r["common_neighbors"], r["jaccard"])
+        for r in link_prediction_topk(big, k=10).collect()
+    ]
+    assert got_small == got_big and len(got_small) > 0
+
+
+def test_label_propagation_argmax_tie_breaks_to_smallest_label(spark):
+    """r07: the window -> double-aggregate argmax rewrite must keep
+    the (count desc, label asc) policy: node 10's neighbors carry one
+    vote each for labels 1 and 2 -> it must adopt 1."""
+    from pyspark.sql import functions as F
+    from datalake_etlscripts_spark.operators.graph import label_propagation
+
+    und = [(10, 1), (10, 2)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=1).collect()
+    }
+    assert got[10] == 1
+    assert got[1] == 10 and got[2] == 10
+
+
+def test_bfs_hops_broadcast_gate_off_matches_on(spark):
+    """r07: the gated per-round broadcast must not change results —
+    broadcast_edges=0 forces the shuffle-join fallback."""
+    from datalake_etlscripts_spark.operators.graph import bfs_hops, bfs_hops_tagged
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    on = {(r["node"], r["dist"]) for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    off = {
+        (r["node"], r["dist"])
+        for r in bfs_hops(edges, seeds, max_hops=3, broadcast_edges=0).collect()
+    }
+    assert on == off and (4, 3) in on and (6, 2) in on
+    tseeds = spark.createDataFrame([(1, 1), (5, 5)], "seed long, node long")
+    t_on = {
+        (r["seed"], r["node"], r["dist"])
+        for r in bfs_hops_tagged(edges, tseeds, max_hops=3).collect()
+    }
+    t_off = {
+        (r["seed"], r["node"], r["dist"])
+        for r in bfs_hops_tagged(
+            edges, tseeds, max_hops=3, broadcast_edges=0
+        ).collect()
+    }
+    assert t_on == t_off
+
+
+def test_minhash_shared_per_doc_equals_direct_per_band(spark):
+    """r07: banding a SHARED minhash_per_doc table must equal calling
+    minhash_lsh_pairs directly for every band count in the sweep."""
+    from datalake_etlscripts_spark.operators import dedup
+
+    d = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight"),
+            (4, "alpha beta gamma delta epsilon zeta eta theta"),
+            (5, "xx"),
+        ],
+        "doc_id long, text string",
+    )
+    per_doc = dedup.minhash_per_doc(d, scheme="md5")
+    for b in (4, 8, 16):
+        direct = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.minhash_lsh_pairs(
+                d, threshold=0.04, scheme="md5", bands=b
+            ).collect()
+        }
+        shared = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.lsh_pairs_from_per_doc(
+                per_doc, 32, b, threshold=0.04, scheme="md5"
+            ).collect()
+        }
+        assert direct == shared and (1, 4) in {(a, b) for a, b, _ in direct}
