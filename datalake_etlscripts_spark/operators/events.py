@@ -1438,6 +1438,12 @@ def markov_removal_attribution(
     size. Returns (removed_channel, cvr_scaled, removal_effect) with
     '(none)' = the intact-chain baseline (NULL effect)."""
     w = W.partitionBy(user_col).orderBy(ts_col, tie_col)
+    # r07 note: settling this event-grain window (localCheckpoint) was
+    # A/B'd and REJECTED — 7.0 -> 8.5 s wall: the pair aggregate and
+    # the first-touch branch share the window's exchange via
+    # ReuseExchange already, so the settle only added a 600k-row
+    # materialization. Settles pay off when the reused subtree is
+    # EXPENSIVE past its exchange (see ktruss/LPA), not here.
     base = events.select(
         F.col(user_col).alias("_u"),
         F.col(type_col).alias("cur"),

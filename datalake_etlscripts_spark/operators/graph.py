@@ -506,6 +506,7 @@ def kcore(
     rounds: int | None = None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
+    broadcast_edges: int = 5_000_000,
 ) -> DataFrame:
     """k-core decomposition by synchronous peeling: each round drops
     every node whose degree in the CURRENT subgraph is < k, then the
@@ -529,6 +530,13 @@ def kcore(
     # cut_lineage kicks in (guide §2.4). Lazy: materializes inside
     # the first action.
     e = edges.select("src", "dst").localCheckpoint(eager=False)
+    # r07 (guide §3.1): the surviving-node set is node-sized and
+    # stats-less, so both pruning semi-joins sort-merge-joined —
+    # re-exchanging AND re-sorting the edge table twice per round.
+    # One scalar gates broadcasting it; the probe stream SHRINKS
+    # through a semi-join, so the wedge-join broadcast rejection does
+    # not apply. Beyond broadcast reach the shuffle joins stay.
+    bcast = e.count() <= broadcast_edges
     i = 0
     prev_nodes = None
     while True:
@@ -539,9 +547,13 @@ def kcore(
             if prev_nodes is not None and n == prev_nodes:
                 break
             prev_nodes = n
+        keep_src = keep.select("src")
+        keep_dst = keep.select(F.col("src").alias("dst"))
+        if bcast:
+            keep_src, keep_dst = F.broadcast(keep_src), F.broadcast(keep_dst)
         e = cut_lineage(
-            e.join(keep.select("src"), "src", "left_semi").join(
-                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            e.join(keep_src, "src", "left_semi").join(
+                keep_dst, "dst", "left_semi"
             ),
             i,
             checkpoint_dir,
@@ -564,6 +576,7 @@ def personalized_pagerank(
     scale: int = SCALE,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
+    broadcast_nodes: int = 5_000_000,
 ) -> DataFrame:
     """Personalized PageRank: random walks RESTART at the seed set
     instead of everywhere, so rank mass concentrates in the seeds'
@@ -607,6 +620,12 @@ def personalized_pagerank(
 
     init = scale // n_seeds
     base = ((den - num) * init) // den
+    # r07 (guide §3.1): same node-count-gated broadcast as pagerank —
+    # the per-iteration rank table is node-sized and stats-less after
+    # checkpoints, so the planner re-exchanged + re-sorted the settled
+    # (src, dst, deg) table every iteration. Beyond broadcast reach
+    # the shuffle join is kept; integer results identical either way.
+    bcast = flagged.count() <= broadcast_nodes
     ranks = flagged.select(
         "node",
         "_seed",
@@ -616,6 +635,8 @@ def personalized_pagerank(
     )
     for it in range(iterations):
         rank_side = ranks.select(F.col("node").alias("src"), "rank")
+        if bcast:
+            rank_side = F.broadcast(rank_side)
         contrib = (
             edges_deg.join(rank_side, "src")
             .select(F.col("dst").alias("node"), F.expr("rank div deg").alias("c"))
@@ -666,26 +687,93 @@ def neighborhood_hll(
     ``edges`` must contain (src, dst) with every undirected edge in
     both directions. Returns (node, est_ball)."""
     from datalake_etlscripts_spark.operators.sketches import (
-        hll_register_estimate,
+        HLL_BUCKETS,
+        HLL_EST_NUM,
+        HLL_WORD_BITS,
         hll_register_table,
     )
 
+    # r07 (guide §2.3: shuffle keys/metadata, not multiplied rows):
+    # the row-form state (node, bucket, register) made each round's
+    # edge join emit |state(src)| rows PER EDGE — at sf0.1 round 2
+    # that is ~170M rows hashed twice through the (node, bucket)
+    # max-merge, and partial aggregation cannot reduce it (groups ≫
+    # rows per partition). The state now rides as ONE fixed
+    # 256-slot register array per node (absent bucket = register 0),
+    # so the join emits exactly one row per edge and the merge is an
+    # element-wise max fold: per-edge work drops from ~|state| hashed
+    # row updates to one vectorized 256-lane zip_with. The register
+    # VALUES are identical — the array is just the dense layout of
+    # the same (bucket, register) table, and the raw-estimate
+    # arithmetic below is hll_register_estimate's expression with the
+    # absent-bucket term folded in (register 0 contributes 2^25
+    # exactly as (m − present)·2^25 did). A node-count scalar gates
+    # broadcasting the ~node-sized state into the edge join (1:1
+    # output — the stream is not multiplied, so the triangles/ktruss
+    # broadcast rejection does not apply). NOTE for power-law graphs:
+    # the per-node merge collects deg(v) arrays before folding; a hub
+    # with extreme in-degree wants a deterministic salt pre-level
+    # (groupBy(node, pmod(xxhash64(src), k)) fold, then fold the k
+    # partials) — not added here because it doubles the fold work and
+    # every caller is degree-bounded (same policy as max_degree caps).
     nodes = edges.select(F.col("src").alias("node")).dropDuplicates()
-    state = hll_register_table(
+    rows0 = hll_register_table(
         nodes.withColumn("member", F.col("node")), ["node"], "member"
-    ).localCheckpoint()
-    e = edges.localCheckpoint()
-    for i in range(1, radius + 1):
-        contrib = e.join(state, e["src"] == state["node"]).select(
-            F.col("dst").alias("node"), "bucket", "register"
+    )
+    zero = F.array_repeat(F.lit(0).cast("int"), HLL_BUCKETS)
+    state = (
+        rows0.groupBy("node")
+        .agg(
+            F.aggregate(
+                F.collect_list(
+                    F.struct(
+                        F.col("bucket").cast("int").alias("b"),
+                        F.col("register").cast("int").alias("r"),
+                    )
+                ),
+                zero,
+                lambda acc, x: F.transform(
+                    acc,
+                    lambda v, i: F.when(
+                        i == x["b"], F.greatest(v, x["r"])
+                    ).otherwise(v),
+                ),
+            ).alias("regs")
         )
+        .localCheckpoint()
+    )
+    e = edges.localCheckpoint()
+    bcast = state.count() <= 5_000_000
+    for i in range(1, radius + 1):
+        s_side = state.select(F.col("node").alias("_sn"), "regs")
+        if bcast:
+            s_side = F.broadcast(s_side)
+        contrib = e.join(s_side, e["src"] == F.col("_sn")).select(
+            F.col("dst").alias("node"), "regs"
+        )
+        # element-wise max as 256 plain max() aggregate columns (the
+        # transposed form) rather than a collect_list + zip_with fold:
+        # max() is partially aggregable, so the exchange carries at
+        # most one 256-register row per (node, map partition) instead
+        # of every contributed array, and no per-group list object is
+        # ever allocated (the fold variant measured 23s wall with
+        # ~1.2s GC per run from list churn).
         state = (
             state.unionByName(contrib)
-            .groupBy("node", "bucket")
-            .agg(F.max("register").alias("register"))
+            .select("node", *[F.col("regs")[j].alias(f"_r{j}") for j in range(HLL_BUCKETS)])
+            .groupBy("node")
+            .agg(*[F.max(f"_r{j}").alias(f"_r{j}") for j in range(HLL_BUCKETS)])
+            .select(
+                "node",
+                F.array(*[F.col(f"_r{j}") for j in range(HLL_BUCKETS)]).alias("regs"),
+            )
         )
         state = cut_lineage(state, i, checkpoint_dir, checkpoint_every, eager=True)
-    return hll_register_estimate(state, alias="est_ball")
+    denom = F.expr(
+        f"aggregate(regs, CAST(0 AS BIGINT), (acc, r) ->"
+        f" acc + shiftleft(CAST(1 AS BIGINT), {HLL_WORD_BITS + 1} - r))"
+    )
+    return state.select("node", (F.lit(HLL_EST_NUM) / denom).alias("est_ball"))
 
 
 def bfs_hops(
@@ -1007,6 +1095,7 @@ def sssp_rounds(
     rounds: int = 4,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
+    broadcast_edges: int = 5_000_000,
 ) -> DataFrame:
     """Multi-source weighted shortest paths, ``rounds`` Bellman-Ford
     relaxations (bounded-hop SSSP — the weighted twin of bfs_hops):
@@ -1020,6 +1109,13 @@ def sssp_rounds(
     no float accumulation). Returns (node, dist). Lineage cut per
     round (localCheckpoint; ``checkpoint_dir`` swaps in reliable
     checkpoints for executor-loss recovery at scale)."""
+    # r07 (guide §2.4/§3.1): settle the edge table (every round joins
+    # it, and a derived edge build re-ran per round) and gate the
+    # per-round frontier broadcast on one edge-count scalar — the
+    # frontier is node-bounded and stats-less after checkpoints, so
+    # the planner re-exchanged + re-sorted the edge table every round.
+    edges = edges.localCheckpoint(eager=False)
+    bcast = edges.count() <= broadcast_edges
     dist = (
         seeds.select("node", F.lit(0).cast("long").alias("dist"))
         .groupBy("node")
@@ -1030,6 +1126,8 @@ def sssp_rounds(
         fr = frontier.select(
             F.col("node").alias("fnode"), F.col("dist").alias("fdist")
         )
+        if bcast:
+            fr = F.broadcast(fr)
         cand = (
             fr.join(edges, fr["fnode"] == edges["src"])
             .select(

@@ -252,11 +252,39 @@ def ivf_ann_topk(
     cents = centroids if centroids is not None else kmeans_centroids(
         corpus, vec_col, k=n_centroids
     )
-    c = corpus.select(
+    c = ivf_corpus_cells(corpus, cents, id_col, vec_col)
+    return ivf_topk_from_cells(c, queries, cents, k, n_probe, id_col, vec_col)
+
+
+def ivf_corpus_cells(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The corpus side of ``ivf_ann_topk`` — every vector assigned to
+    its nearest cell ONCE. Exposed (r07, guide §2.4) so probe sweeps
+    (ann_ivf_nprobe_sweep: n_probe ∈ {1,2,4}) settle this table and
+    reuse it per probe count: n_probe only changes how many cells a
+    QUERY opens, never the corpus assignment."""
+    return corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),
         F.element_at(_nearest_centroids(F.col(vec_col), cents, 1), 1).alias("cell"),
     )
+
+
+def ivf_topk_from_cells(
+    c: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe + score stage of ``ivf_ann_topk`` over an
+    already-assigned ``ivf_corpus_cells`` table."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
@@ -1140,6 +1168,17 @@ def embedding_covariance(
         F.posexplode(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("_dim", "_x"),
+    )
+    # r07 (guide §2.5): the exploded table is tiny in BYTES (n·d rows)
+    # but the _id self-join below multiplies it to n·d² cross-product
+    # rows — AQE, sizing by bytes, coalesced the join to 1-2 partitions
+    # and the whole Θ(n·d²) decimal accumulation ran near-serially
+    # (wall ≈ JVM CPU on a 32-core host). An explicit _id-keyed
+    # repartition is exempt from AQE coalescing AND pre-satisfies both
+    # join sides' clustering, so the join runs wide with no extra
+    # exchange.
+    ex = ex.repartition(
+        df.sparkSession.sparkContext.defaultParallelism * 2, "_id"
     )
     a = ex.select(
         F.col("_id"), F.col("_dim").alias("_di"), F.col("_x").alias("_xa")

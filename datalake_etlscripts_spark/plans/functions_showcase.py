@@ -1316,9 +1316,15 @@ def _join_size_oracle() -> str:
 def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS join-size estimation: |lineitem x filtered part| and the lineitem F2 self-join size from count-min inner products (min over depths) beside the exact answers - the pre-join planning signal, counter-sized state only."""
     from datalake_etlscripts_spark.operators import sketches
+    from datalake_etlscripts_spark.operators.skew import spread_small_input
 
-    li = read_table(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").alias("k")
+    # r07 (guide §2.5): the one-column projection scans as few tasks
+    # and the per-row md5 CMS lanes dominated on one core; spread is a
+    # no-op once the table has real splits.
+    li = spread_small_input(
+        read_table(spark, sf_dir, "lineitem").select(
+            F.col("l_partkey").alias("k")
+        )
     )
     pf = read_table(spark, sf_dir, "part").filter(F.col("p_size") >= 25).select(
         F.col("p_partkey").alias("k")

@@ -940,18 +940,25 @@ def _pois_w(lane: str) -> str:
 )
 def q_bootstrap_ci_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson(1) bootstrap of the mean order value: 32 replicates from one scan via integer md5-cutoff weights (no multinomial shuffle), exact per-replicate mean divisions, CI read off explicit order statistics."""
+    from datalake_etlscripts_spark.operators.skew import spread_small_input
+
     o = read_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("id"),
         (F.col("o_totalprice").cast("decimal(14,2)") * 100)
         .cast("decimal(38,0)")
         .alias("cents"),
     )
+    # r07 (guide §2.5 input skew): the single-row-group orders file
+    # scans as ONE task, and the ×32-replicate cross join + per-row
+    # md5 weight lane all ran on that one core (wall ≈ JVM CPU).
+    # Spreading the scan is a no-op once the table has real splits.
+    o_wide = spread_small_input(o)
     reps = spark.range(0, 32).select(F.col("id").cast("int").alias("b"))
     lane = (
         "conv(substring(md5(concat(CAST(id AS STRING), '#',"
         " CAST(b AS STRING))), 1, 8), 16, 10)"
     )
-    w = o.crossJoin(F.broadcast(reps)).withColumn(
+    w = o_wide.crossJoin(F.broadcast(reps)).withColumn(
         "wt", F.expr(_pois_w(f"CAST({lane} AS BIGINT)")).cast("decimal(38,0)")
     )
     boot = w.groupBy(F.col("b").alias("replicate")).agg(

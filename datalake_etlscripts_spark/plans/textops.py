@@ -594,7 +594,13 @@ _EMB_LSH_ORACLE = f"""
 @query("dedup_embedding_lsh", oracle=_EMB_LSH_ORACLE)
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via random-hyperplane LSH bands, exact-cosine verification of candidates only."""
-    return dedup.embedding_near_dup_lsh(_near_dup_corpus(spark, sf_dir), threshold=0.9)
+    from datalake_etlscripts_spark.operators.skew import spread_small_input
+
+    # r07 (guide §2.5): single-task embeddings scan -> the per-row
+    # hyperplane signature folds ran on one core (wall ~= JVM CPU).
+    return dedup.embedding_near_dup_lsh(
+        spread_small_input(_near_dup_corpus(spark, sf_dir)), threshold=0.9
+    )
 
 
 # SemDeDup IS oracle-checkable with a FIXED literal quantizer (the
@@ -680,8 +686,13 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the injected-near-dup corpus: cluster, pair within
     cells, keep one representative per duplicate group (operators/
     dedup.semantic_dedup; recall property tested in test_modules)."""
+    from datalake_etlscripts_spark.operators.skew import spread_small_input
+
+    # r07 (guide §2.5): single-row-group embeddings scan -> the
+    # centroid-assignment folds and within-cell pair scoring ran on
+    # one core; spread is a no-op once the input has real splits.
     return dedup.semantic_dedup(
-        _near_dup_corpus(spark, sf_dir),
+        spread_small_input(_near_dup_corpus(spark, sf_dir)),
         threshold=0.9,
         centroids=_ivf_literal_centroids(),
     )
@@ -4057,7 +4068,12 @@ _EMB_INC_ORACLE = f"""
 @query("dedup_embedding_incremental", oracle=_EMB_INC_ORACLE)
 def q_dedup_embedding_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental embedding near-dup: the new batch probes the persisted LSH bucket index - corpus never re-signatured, ingest cost linear in batch size."""
-    corpus = _near_dup_corpus(spark, sf_dir)
+    from datalake_etlscripts_spark.operators.skew import spread_small_input
+
+    # r07 (guide §2.5): spread the single-task scan so the hyperplane
+    # signature folds of both the index build and the batch probe run
+    # wide (no-op once the input has real splits).
+    corpus = spread_small_input(_near_dup_corpus(spark, sf_dir))
     is_batch = (F.col("vec_id") % 2 == 1) | (F.col("vec_id") >= 100000)
     batch = corpus.filter(is_batch)
     existing = corpus.filter(~is_batch)
@@ -6283,15 +6299,26 @@ def _ivf_sweep_oracle() -> str:
 @query("ann_ivf_nprobe_sweep", oracle=_ivf_sweep_oracle())
 def q_ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF recall-vs-nprobe curve at {1,2,4} probes against the exact top-5: exact integer overlaps per (n_probe, query) - the candidate-budget tuning evidence."""
+    from datalake_etlscripts_spark.operators.skew import spread_small_input
+
     e = read_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
-    exact = similarity.brute_force_topk(e, q, k=5).select(
+    # r07 (guide §2.4/§2.5): (a) spread the single-row-group scan so
+    # the cosine/assignment folds run wide; (b) the exact top-5 fed
+    # all three probe branches but was re-derived per branch — settle
+    # it; (c) the corpus cell ASSIGNMENT is probe-count-independent,
+    # so it is settled once and each n_probe only re-derives the
+    # 8-row query side (ivf_corpus_cells / ivf_topk_from_cells split).
+    e_wide = spread_small_input(e)
+    cents = _ivf_literal_centroids()
+    cells = similarity.ivf_corpus_cells(e_wide, cents).localCheckpoint()
+    exact = similarity.brute_force_topk(e_wide, q, k=5).select(
         F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en")
-    )
+    ).localCheckpoint()
     out = None
     for np_ in (1, 2, 4):
-        ivf = similarity.ivf_ann_topk(
-            e, q, k=5, n_probe=np_, centroids=_ivf_literal_centroids()
+        ivf = similarity.ivf_topk_from_cells(
+            cells, q, cents, k=5, n_probe=np_
         ).select(
             F.col("query_id").alias("iq"), F.col("neighbor_id").alias("in_")
         )

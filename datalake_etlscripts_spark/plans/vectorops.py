@@ -240,6 +240,12 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-5: vectors encoded once to 8 codes (argmin-L2 per subspace, literal codebooks), queries scored full-precision against reconstructions."""
     from datalake_etlscripts_spark.operators.similarity import pq_ann_topk
 
+    # r07 note: spreading the single-task embeddings scan
+    # (spread_small_input) was A/B'd and REJECTED here — min wall
+    # 5.4 -> 6.2 s: the whole encode+score chain is ~6 s of work, and
+    # the added exchange + task scheduling cost more than the
+    # parallelism bought (unlike bootstrap_ci_poisson, where the same
+    # spread cut wall 4.6x on a larger per-row md5 workload).
     e = read_table(spark, sf_dir, "embeddings")
     return pq_ann_topk(e, e.filter(F.col("vec_id") < 8), _pq_cbs(), k=5)
 

@@ -4248,3 +4248,106 @@ def test_minhash_shared_per_doc_equals_direct_per_band(spark):
             ).collect()
         }
         assert direct == shared and (1, 4) in {(a, b) for a, b, _ in direct}
+
+
+def test_neighborhood_hll_matches_rowform_primitives(spark):
+    """r07: the array-state HyperBall must produce exactly the raw-HLL
+    estimate the row-form primitives (hll_register_table +
+    hll_register_estimate) give on the true 2-hop ball membership of
+    a small graph."""
+    from datalake_etlscripts_spark.operators.graph import neighborhood_hll
+    from datalake_etlscripts_spark.operators.sketches import (
+        hll_register_estimate,
+        hll_register_table,
+    )
+
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 6)]
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    balls = []
+    for v in adj:
+        ball = {v} | adj[v]
+        for u in set(ball):
+            ball |= adj[u]
+        balls += [(v, m) for m in ball]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["est_ball"]
+        for r in neighborhood_hll(edges, radius=2).collect()
+    }
+    members = spark.createDataFrame(balls, "node long, member long")
+    want = {
+        r["node"]: r["est"]
+        for r in hll_register_estimate(
+            hll_register_table(members, ["node"], "member"), alias="est"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_graph_broadcast_gates_off_match_on(spark):
+    """r07: kcore / sssp_rounds / personalized_pagerank gated
+    broadcasts must not change results (threshold 0 forces the
+    shuffle-join fallback)."""
+    from datalake_etlscripts_spark.operators.graph import (
+        kcore,
+        personalized_pagerank,
+        sssp_rounds,
+    )
+
+    und = [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5), (5, 6), (4, 6), (1, 4)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    on = {(r["node"], r["degree"]) for r in kcore(edges, k=2, rounds=3).collect()}
+    off = {
+        (r["node"], r["degree"])
+        for r in kcore(edges, k=2, rounds=3, broadcast_edges=0).collect()
+    }
+    assert on == off and on
+
+    wedges = edges.withColumn("w", (F.col("src") + F.col("dst")) % 7 + 1)
+    seeds = spark.createDataFrame([(1,)], "node long")
+    s_on = {tuple(r) for r in sssp_rounds(wedges, seeds, rounds=3).collect()}
+    s_off = {
+        tuple(r)
+        for r in sssp_rounds(wedges, seeds, rounds=3, broadcast_edges=0).collect()
+    }
+    assert s_on == s_off and s_on
+
+    p_on = {tuple(r) for r in personalized_pagerank(edges, seeds).collect()}
+    p_off = {
+        tuple(r)
+        for r in personalized_pagerank(edges, seeds, broadcast_nodes=0).collect()
+    }
+    assert p_on == p_off and p_on
+
+
+def test_ivf_split_helpers_match_direct_call(spark, sf_dir):
+    """r07: ivf_corpus_cells + ivf_topk_from_cells (the probe-sweep
+    sharing split) must equal ivf_ann_topk for every n_probe."""
+    from datalake_etlscripts_spark.operators import similarity
+    from datalake_etlscripts_spark.plans.textops import _ivf_literal_centroids
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 4)
+    cents = _ivf_literal_centroids()
+    cells = similarity.ivf_corpus_cells(e, cents)
+    for np_ in (1, 3):
+        direct = {
+            tuple(r)
+            for r in similarity.ivf_ann_topk(
+                e, q, k=3, n_probe=np_, centroids=cents
+            ).collect()
+        }
+        split = {
+            tuple(r)
+            for r in similarity.ivf_topk_from_cells(
+                cells, q, cents, k=3, n_probe=np_
+            ).collect()
+        }
+        assert direct == split and direct
