@@ -363,6 +363,12 @@ def link_prediction_topk(
     per node. An anti join removes existing edges, and a TakeOrdered
     cut keeps the top-k by (common_neighbors desc, id_a, id_b) — fully
     deterministic. Returns (id_a, id_b, common_neighbors, jaccard).
+
+    NOTE: calling this function triggers computation (the packed-key
+    gate collects a min/max scalar off the adjacency table, which also
+    materializes the checkpointed edge/adjacency state) — it is not a
+    lazy plan builder, same contract as the count-gated iterative
+    operators in this module.
     """
     from datalake_etlscripts_spark.functions.scalar import (
         ordered_pairs,
@@ -665,6 +671,7 @@ def neighborhood_hll(
     radius: int = 2,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
+    broadcast_nodes: int = 5_000_000,
 ) -> DataFrame:
     """HyperBall (Boldi & Vigna): per-node r-hop neighborhood-size
     estimates from mergeable HLL register state — the graph analogue
@@ -716,11 +723,26 @@ def neighborhood_hll(
     # (groupBy(node, pmod(xxhash64(src), k)) fold, then fold the k
     # partials) — not added here because it doubles the fold work and
     # every caller is degree-bounded (same policy as max_degree caps).
+    #
+    # r08 (guide §2.3 narrower types; VERDICT item 3): registers ride
+    # as TINYINT end-to-end (values are 1..25 = HLL_WORD_BITS+1 max,
+    # so the cast is lossless): the per-edge register array shrinks
+    # 4→1 byte per slot through the join stage, and the checkpointed
+    # state and the broadcast build shrink 4x. A REJECTED r08
+    # alternative (A/B'd twice, numbers in OPTIMIZATION_r08.md):
+    # augmenting the edge table with per-node self-loops + an
+    # AQE-exempt dst repartition to make the 256-column max-merge
+    # exchange-free — the per-round wide-row exchange it removes is
+    # CHEAPER than whatever the fused single-stage plan costs here
+    # (min JVM CPU 46.6 -> 72-87 s at sf0.1); the exchange also
+    # splits the >100-field interpreted expression chain across two
+    # shorter pipelines. Lesson: an exchange of pre-aggregated rows
+    # is not automatically the expensive part of a wide-row merge.
     nodes = edges.select(F.col("src").alias("node")).dropDuplicates()
     rows0 = hll_register_table(
         nodes.withColumn("member", F.col("node")), ["node"], "member"
     )
-    zero = F.array_repeat(F.lit(0).cast("int"), HLL_BUCKETS)
+    zero = F.array_repeat(F.lit(0).cast("tinyint"), HLL_BUCKETS)
     state = (
         rows0.groupBy("node")
         .agg(
@@ -728,7 +750,7 @@ def neighborhood_hll(
                 F.collect_list(
                     F.struct(
                         F.col("bucket").cast("int").alias("b"),
-                        F.col("register").cast("int").alias("r"),
+                        F.col("register").cast("tinyint").alias("r"),
                     )
                 ),
                 zero,
@@ -742,8 +764,8 @@ def neighborhood_hll(
         )
         .localCheckpoint()
     )
+    bcast = state.count() <= broadcast_nodes
     e = edges.localCheckpoint()
-    bcast = state.count() <= 5_000_000
     for i in range(1, radius + 1):
         s_side = state.select(F.col("node").alias("_sn"), "regs")
         if bcast:
@@ -1351,7 +1373,42 @@ def ktruss(
     # Same guard for the per-round dead-edge semi-joins (dead ⊆ edges).
     # Beyond broadcast reach everything stays sort-merge; results are
     # identical either way.
-    bcast = edges_uv.count() <= broadcast_edges
+    #
+    # r08 (guide §2.3; VERDICT item 6): when every node id fits in
+    # 31 bits (one scalar agg decides — the same gate
+    # link_prediction_topk uses), every edge key — the closing probe,
+    # the per-round support aggregate, and the dead-edge semi-join —
+    # rides as ONE packed BIGINT u·2³² + v (bijective;
+    # order-irrelevant here: only equality is used), so the Σ outdeg²
+    # probe stream hashes 8 key bytes instead of a two-long row.
+    # Ids outside [0, 2³¹) keep the r07 shape — identical triangle
+    # set and support counts either way. A/B at sf0.1 (min wall /
+    # min JVM CPU, within-window): 17.1/135 -> 7.1/52 s, and vs the
+    # best HEAD window 10.1/78 still 1.4x/1.5x. The VERDICT-item-6
+    # MAP-SIDE wedge variant (lower x upper neighbor-array cross
+    # product with an AQE-exempt spread, the link_prediction shape)
+    # was built and REJECTED a third time: 8.3 wall / 102 CPU vs
+    # variant-(a)'s 7.1/52 — the interpreted nested-transform explode
+    # (higher-order functions are CodegenFallback, every packed long
+    # boxed) costs more than the SMJ merge it replaces; link
+    # prediction won with it only because it ALSO deleted a
+    # 148M-row join intermediate, which ktruss's e1-e2 join does not
+    # materialize.
+    stats = edges_uv.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("u").alias("lo"),
+        F.max("v").alias("hi"),
+    ).collect()[0]
+    bcast = (stats["n"] or 0) <= broadcast_edges
+    packable = (
+        not oriented
+        and stats["lo"] is not None
+        and stats["lo"] >= 0
+        and stats["hi"] < (1 << 31)
+    )
+    P32 = F.lit(1 << 32)
+    u_t = dict(edges_uv.dtypes)["u"]
+    v_t = dict(edges_uv.dtypes)["v"]
     if oriented:
         tri = _triangles_oriented(edges_uv, bcast=bcast).localCheckpoint(eager=False)
     else:
@@ -1367,47 +1424,82 @@ def ktruss(
             # as a linear merge (same finding as triangle_counts).
             # Broadcast stays on the closing side only.
             e3 = F.broadcast(e3)
-        tri = (
-            e1.join(e2, F.col("b") == F.col("b2"))
-            .join(
-                e3,
-                (F.col("a") == F.col("a3")) & (F.col("c2") == F.col("c3")),
+        if packable:
+            # packed closing key: the SMJ wedge stream probes ONE
+            # 8-byte key instead of a two-column (least, greatest) row
+            epk = edges_uv.select((F.col("u") * P32 + F.col("v")).alias("_ac"))
+            tri = (
+                e1.join(e2, F.col("b") == F.col("b2"))
+                .withColumn("_ac", F.col("a") * P32 + F.col("c2"))
+                .join(F.broadcast(epk) if bcast else epk, "_ac", "left_semi")
+                .select("a", "b", F.col("c2").alias("c"))
+                .localCheckpoint(eager=False)
             )
-            .select("a", "b", F.col("c2").alias("c"))
-            .localCheckpoint(eager=False)
-        )
-
-    def _sides(t: DataFrame) -> DataFrame:
-        return t.select(
-            "a",
-            "b",
-            "c",
-            F.explode(
-                F.array(
-                    F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
-                    F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
-                    F.struct(F.col("a").alias("u"), F.col("c").alias("v")),
+        else:
+            tri = (
+                e1.join(e2, F.col("b") == F.col("b2"))
+                .join(
+                    e3,
+                    (F.col("a") == F.col("a3")) & (F.col("c2") == F.col("c3")),
                 )
-            ).alias("e"),
-        ).select("a", "b", "c", "e.u", "e.v")
+                .select("a", "b", F.col("c2").alias("c"))
+                .localCheckpoint(eager=False)
+            )
+
+    if packable:
+        # r08: the three side keys of a triangle ride as packed
+        # BIGINTs (only equality is ever used on them), so the
+        # support aggregate and the dead-edge semi-join hash one
+        # 8-byte key per row instead of a two-long row
+        def _sides(t: DataFrame) -> DataFrame:
+            return t.select(
+                "a",
+                "b",
+                "c",
+                F.explode(
+                    F.array(
+                        F.col("a") * P32 + F.col("b"),
+                        F.col("b") * P32 + F.col("c"),
+                        F.col("a") * P32 + F.col("c"),
+                    )
+                ).alias("_e"),
+            )
+
+        side_keys = ["_e"]
+    else:
+        def _sides(t: DataFrame) -> DataFrame:
+            return t.select(
+                "a",
+                "b",
+                "c",
+                F.explode(
+                    F.array(
+                        F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                        F.struct(F.col("b").alias("u"), F.col("c").alias("v")),
+                        F.struct(F.col("a").alias("u"), F.col("c").alias("v")),
+                    )
+                ).alias("e"),
+            ).select("a", "b", "c", "e.u", "e.v")
+
+        side_keys = ["u", "v"]
 
     supp = None
     for it in range(rounds):
         supp = (
             _sides(tri)
-            .groupBy("u", "v")
+            .groupBy(*side_keys)
             .agg(F.count(F.lit(1)).cast("long").alias("support"))
             .localCheckpoint(eager=False)
         )
         if it == rounds - 1:
             break
-        dead = supp.filter(F.col("support") < k - 2).select("u", "v")
+        dead = supp.filter(F.col("support") < k - 2).select(*side_keys)
         # fixpoint: no edge died → every later round is identical
         if dead.isEmpty():
             break
         dead_tri = (
             _sides(tri)
-            .join(F.broadcast(dead) if bcast else dead, ["u", "v"], "left_semi")
+            .join(F.broadcast(dead) if bcast else dead, side_keys, "left_semi")
             .select("a", "b", "c")
             .distinct()
         )
@@ -1418,6 +1510,11 @@ def ktruss(
             checkpoint_every,
             eager=False,
         )
-    return supp.filter(F.col("support") >= k - 2).select(
-        "u", "v", "support"
-    )
+    out = supp.filter(F.col("support") >= k - 2)
+    if packable:
+        return out.select(
+            F.shiftright("_e", 32).cast(u_t).alias("u"),
+            F.col("_e").bitwiseAND(F.lit((1 << 32) - 1)).cast(v_t).alias("v"),
+            "support",
+        )
+    return out.select("u", "v", "support")

@@ -1420,65 +1420,62 @@ def _ring_oracle() -> str:
 
 @query("consistent_hash_ring", oracle=_ring_oracle())
 def q_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Consistent-hash ring with 8 vnodes per node: key routing by a union+carry sweep over ring positions (one window, no per-key vnode scan), plus the measured key-movement share when a fifth node joins."""
+    """Consistent-hash ring with 8 vnodes per node: key routing by the ring's suffix-min lookup folded to a literal threshold chain (the vnode ring is a 32/40-entry constant), plus the measured key-movement share when a fifth node joins."""
+    # r08 (guide §1.2/§2.4 — the 4-7s noise-band sweep, VERDICT item
+    # 9): the union+carry sweep ran TWO single-partition global-order
+    # windows over (keys ∪ vnodes) plus two orderBy().limit(1) wrap
+    # jobs — ~12 job schedulings for a ring that is a LITERAL: vnode
+    # positions depend only on the constants (4/5 nodes × 8 vnodes),
+    # not on data. The positions are md5 lanes computable driver-side
+    # (hashlib md5 == Spark md5 on the same bytes; int(hex[:8], 16) ==
+    # conv(substring(md5, 1, 8), 16, 10)), and the carry
+    #   min(node over vnodes at (pos, tag) ≥ the key row)
+    # is exactly the suffix-min of node over the pos-ascending vnode
+    # list at the first vnode pos ≥ key pos — a 32/40-arm literal
+    # WHEN chain, wrap node as the otherwise arm. Both rings fold
+    # into ONE projection over one customer scan (the old shape also
+    # recomputed the key md5 lane once per ring), so the whole query
+    # is scan → project → one groupBy exchange. Identical assignment
+    # per key, identical output; at any data scale the ring stays a
+    # constant, so the chain is the right shape at 100 TB too.
+    import hashlib
+
     c = read_table(spark, sf_dir, "customer")
     key_lane = "CAST(conv(substring(md5(concat('key-', CAST(c_custkey AS STRING))), 1, 8), 16, 10) AS BIGINT)"
-    keys = c.select(
+
+    def ring_expr(n_nodes: int):
+        vns = sorted(
+            (
+                int(
+                    hashlib.md5(f"node-{n}#{v}".encode()).hexdigest()[:8], 16
+                ),
+                n,
+            )
+            for n in range(n_nodes)
+            for v in range(8)
+        )
+        # suffix-min of node id over the pos-ascending vnode list:
+        # sm[i] = min(node[i:]) == the old window's min(node) over
+        # every vnode row at or after the key row in (pos, tag) order
+        sm = [0] * len(vns)
+        m: int | None = None
+        for i in range(len(vns) - 1, -1, -1):
+            m = vns[i][1] if m is None else min(m, vns[i][1])
+            sm[i] = m
+        wrap = vns[0][1]  # min (pos, node) vnode — the wraparound
+        chain = None
+        for (pos, _node), s in zip(vns, sm):
+            cond = F.col("pos") <= F.lit(pos)
+            chain = (
+                F.when(cond, F.lit(s))
+                if chain is None
+                else chain.when(cond, F.lit(s))
+            )
+        return chain.otherwise(F.lit(wrap)).cast("int")
+
+    j = c.select(
         F.col("c_custkey").alias("key"), F.expr(key_lane).alias("pos")
-    )
-
-    def ring(n_nodes: int) -> DataFrame:
-        nodes = spark.range(0, n_nodes).select(
-            F.col("id").cast("int").alias("node")
-        )
-        vns = spark.range(0, 8).select(F.col("id").cast("int").alias("v"))
-        lane = (
-            "CAST(conv(substring(md5(concat('node-', CAST(node AS STRING),"
-            " '#', CAST(v AS STRING))), 1, 8), 16, 10) AS BIGINT)"
-        )
-        return nodes.crossJoin(vns).select(
-            "node", F.expr(lane).alias("pos")
-        )
-
-    def assign(vn: DataFrame) -> DataFrame:
-        wrap = vn.orderBy("pos", "node").limit(1).select(
-            F.col("node").alias("wrap_node")
-        )
-        u = vn.select(
-            "pos",
-            F.lit(None).cast("long").alias("key"),
-            "node",
-            F.lit(1).alias("tag"),
-        ).unionByName(
-            keys.select(
-                "pos",
-                "key",
-                F.lit(None).cast("int").alias("node"),
-                F.lit(0).alias("tag"),
-            )
-        )
-        wseek = (
-            W.orderBy("pos", "tag")
-            .rowsBetween(0, W.unboundedFollowing)
-        )
-        carried = u.withColumn(
-            "next_node",
-            F.min(F.when(F.col("tag") == 1, F.col("node"))).over(wseek),
-        )
-        return (
-            carried.filter(F.col("tag") == 0)
-            .crossJoin(F.broadcast(wrap))
-            .select(
-                "key",
-                F.coalesce("next_node", "wrap_node").alias("node"),
-            )
-        )
-
-    r4 = assign(ring(4)).withColumnRenamed("node", "node4")
-    r5 = assign(ring(5)).withColumnRenamed("node", "node5").withColumnRenamed(
-        "key", "key5"
-    )
-    j = r4.join(r5, F.col("key") == F.col("key5"))
+    ).select("key", ring_expr(4).alias("node4"), ring_expr(5).alias("node5"))
     return j.groupBy(F.col("node4").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("n_keys"),
         F.sum(

@@ -1,5 +1,6 @@
 """Capture .explain('formatted') output for named queries into
-plans/r07/<query>_<tag>.txt — the optimization round's plan evidence.
+plans/$SPARK_GRAFT_PLANS_SUBDIR/<query>_<tag>.txt (default r08) — the
+optimization round's plan evidence.
 
 Usage: python scripts/capture_plans.py <tag> <query> [<query> ...]
 """
@@ -16,7 +17,11 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r07")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_SUBDIR", "r08"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     import __spark_entry__ as e
     from datalake_etlscripts_spark.session import get_spark

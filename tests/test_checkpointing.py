@@ -8,6 +8,8 @@ These tests prove the knob changes durability, not results."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from datalake_etlscripts_spark.operators.dedup import (
@@ -30,6 +32,7 @@ def _edges(spark):
     return spark.createDataFrame(sym, "src bigint, dst bigint")
 
 
+@pytest.mark.slow
 def test_pagerank_reliable_checkpoint_same_ranks(spark, tmp_path):
     e = _edges(spark)
     base = {
@@ -53,6 +56,7 @@ def test_pagerank_reliable_checkpoint_same_ranks(spark, tmp_path):
     assert found, "reliable checkpoint wrote nothing to checkpoint_dir"
 
 
+@pytest.mark.slow
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13)],
@@ -79,6 +83,7 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert star == base
 
 
+@pytest.mark.slow
 def test_kcore_and_follow_version_knob(spark, tmp_path):
     e = _edges(spark)
     base = {(r["node"], r["degree"]) for r in kcore(e, k=2).collect()}
@@ -111,6 +116,7 @@ def test_kcore_and_follow_version_knob(spark, tmp_path):
     assert base_v == {("a", "c"), ("b", "c"), ("c", "c")}
 
 
+@pytest.mark.slow
 def test_uri_storage_sync_e2e_over_file_uris(spark, tmp_path):
     """K3/K4 over URI-addressed storage (r4 verdict task #8): the same
     plan_sync → apply_sync → empty-replan loop as the disk backend,

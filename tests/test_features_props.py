@@ -4,6 +4,8 @@ builds one small DataFrame → one job, following test_properties.py."""
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime, timedelta, timezone
 
 from hypothesis import HealthCheck, given, settings
@@ -35,6 +37,7 @@ def _hours_df(spark, cs):
 
 @SET
 @given(cs=counts)
+@pytest.mark.slow
 def test_mann_kendall_matches_python(spark, cs):
     from datalake_etlscripts_spark.operators.features import mann_kendall
 
@@ -55,6 +58,7 @@ def test_mann_kendall_matches_python(spark, cs):
 
 @SET
 @given(cs=counts)
+@pytest.mark.slow
 def test_theil_sen_matches_python_lower_median(spark, cs):
     from datalake_etlscripts_spark.operators.features import theil_sen
 
@@ -85,6 +89,7 @@ def test_theil_sen_matches_python_lower_median(spark, cs):
         max_size=30,
     )
 )
+@pytest.mark.slow
 def test_quantile_normalize_matches_python(spark, xs):
     from datalake_etlscripts_spark.operators.features import quantile_normalize
 
@@ -137,6 +142,7 @@ def test_gini_matches_python(spark, amounts):
         max_size=6,
     ),
 )
+@pytest.mark.slow
 def test_ivm_topk_equals_recompute_under_any_delta(spark, base, deltas):
     """Incremental ≡ recompute for the top-k view under ARBITRARY
     signed deltas (deletes capped at the available count so post
@@ -184,6 +190,7 @@ def test_ivm_topk_equals_recompute_under_any_delta(spark, base, deltas):
 
 @SET
 @given(words=st.lists(st.text(alphabet="abcdz", min_size=1, max_size=8), min_size=1, max_size=8))
+@pytest.mark.slow
 def test_wordpiece_matches_python_greedy(spark, words):
     from datalake_etlscripts_spark.operators.bpe import wordpiece_encode
 

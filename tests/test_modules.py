@@ -3,6 +3,8 @@ sync, multimodal plumbing, similarity recall, summary."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from datalake_etlscripts_spark.crawl import (
@@ -431,6 +433,7 @@ def test_hll_sketch_state_merge_and_rollup(spark, sf_dir):
     assert abs(total_from_rollup - total_direct) <= max(3, 0.02 * n_total)
 
 
+@pytest.mark.slow
 def test_connected_components_star_equivalence(spark, sf_dir):
     """large-star/small-star must produce the identical node→component
     map as hash-min across adversarial graph shapes (chain = worst
@@ -629,6 +632,7 @@ def test_semantic_dedup_clusters_and_representatives(spark):
     assert got[20] == (20, True)
 
 
+@pytest.mark.slow
 def test_incremental_minhash_dedup_equals_full_recompute(spark, sf_dir):
     """Batch-wise incremental LSH dedup must find exactly the pairs a
     full-corpus recompute finds: banding is deterministic per doc, so
@@ -978,6 +982,7 @@ def test_fetch_policy_state_machine():
     assert fetch_with_policy("http://h/x", plain) == (2, "html", b"")
 
 
+@pytest.mark.slow
 def test_disk_storage_sync_and_purge_e2e(spark, tmp_path):
     """K3/K4 with the CONCRETE disk backend: plan_sync → apply moves
     real bytes → re-plan is empty; plan_purge → apply backs up then
@@ -1169,6 +1174,7 @@ def test_winnow_guarantee_and_no_false_short_matches(spark):
     assert (1, 2) in pairs_md5
 
 
+@pytest.mark.slow
 def test_bloom_filter_merge_no_false_negatives_and_prefilter(spark):
     """Bloom state: split-batch bit_or merge equals one-pass build;
     members are NEVER reported absent; and the prefilter + exact
@@ -2362,6 +2368,7 @@ def test_normalize_text_folds_variants_to_one_fingerprint(spark):
     assert out[4] == "nino ano"
 
 
+@pytest.mark.slow
 def test_incremental_embedding_lsh_equals_full_recompute(spark, sf_dir):
     from datalake_etlscripts_spark.plans.textops import _near_dup_corpus
 
@@ -2513,6 +2520,7 @@ def test_cusum_rate_shift_detects_injected_burst(spark):
     assert out["b"]["n_alarms"] == 0 and out["b"]["peak_s"] == 0
 
 
+@pytest.mark.slow
 def test_multiprobe_recall_superset_of_single_probe(spark, sf_dir):
     import os
 
@@ -2986,6 +2994,7 @@ def test_mixture_waterfill_saturation(spark):
     assert out["big_a"]["kept"] == 2495
 
 
+@pytest.mark.slow
 def test_adaboost_boosts_past_single_stump(spark):
     """On a two-feature dataset no single stump separates (an
     axis-aligned 'L' shape), round 1 has positive weighted error but
@@ -4027,6 +4036,7 @@ def test_adpcm_roundtrip_converges_after_jump():
         assert tail_err <= max(32, abs(target) // 256), (target, tail_err)
 
 
+@pytest.mark.slow
 def test_bfs_hops_tagged_matches_per_seed_runs(spark):
     """r07: the seed-tagged multi-source BFS must return, per seed,
     exactly the (node, dist) set the single-seed operator returns —
@@ -4188,6 +4198,7 @@ def test_label_propagation_argmax_tie_breaks_to_smallest_label(spark):
     assert got[1] == 10 and got[2] == 10
 
 
+@pytest.mark.slow
 def test_bfs_hops_broadcast_gate_off_matches_on(spark):
     """r07: the gated per-round broadcast must not change results —
     broadcast_edges=0 forces the shuffle-join fallback."""
@@ -4218,6 +4229,7 @@ def test_bfs_hops_broadcast_gate_off_matches_on(spark):
     assert t_on == t_off
 
 
+@pytest.mark.slow
 def test_minhash_shared_per_doc_equals_direct_per_band(spark):
     """r07: banding a SHARED minhash_per_doc table must equal calling
     minhash_lsh_pairs directly for every band count in the sweep."""
@@ -4250,6 +4262,7 @@ def test_minhash_shared_per_doc_equals_direct_per_band(spark):
         assert direct == shared and (1, 4) in {(a, b) for a, b, _ in direct}
 
 
+@pytest.mark.slow
 def test_neighborhood_hll_matches_rowform_primitives(spark):
     """r07: the array-state HyperBall must produce exactly the raw-HLL
     estimate the row-form primitives (hll_register_table +
@@ -4289,6 +4302,7 @@ def test_neighborhood_hll_matches_rowform_primitives(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_graph_broadcast_gates_off_match_on(spark):
     """r07: kcore / sssp_rounds / personalized_pagerank gated
     broadcasts must not change results (threshold 0 forces the
@@ -4326,7 +4340,47 @@ def test_graph_broadcast_gates_off_match_on(spark):
     }
     assert p_on == p_off and p_on
 
+    # r08: neighborhood_hll's gate is now a parameter too (round-7
+    # advice); gate-off additionally exercises the r07 union+shuffle
+    # fallback against the r08 self-loop co-partitioned path
+    from datalake_etlscripts_spark.operators.graph import neighborhood_hll
 
+    # exact float equality: identical registers ⇒ bit-identical ests
+    h_on = {
+        (r["node"], r["est_ball"])
+        for r in neighborhood_hll(edges, radius=2).collect()
+    }
+    h_off = {
+        (r["node"], r["est_ball"])
+        for r in neighborhood_hll(edges, radius=2, broadcast_nodes=0).collect()
+    }
+    assert h_on == h_off and h_on
+
+
+def test_ktruss_packed_vs_join_path_match(spark):
+    """r08: the packed-key map-side wedge path (ids < 2^31) must equal
+    the join path (forced via ids offset beyond the 31-bit gate) —
+    same surviving edges and supports."""
+    from datalake_etlscripts_spark.operators.graph import ktruss
+
+    und = [
+        (1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (1, 4),
+        (4, 5), (5, 6), (4, 6), (6, 7), (5, 7), (1, 7),
+    ]
+    ed = spark.createDataFrame(und, "u long, v long")
+    OFF = 1 << 31
+    ed_off = ed.select(
+        (F.col("u") + OFF).alias("u"), (F.col("v") + OFF).alias("v")
+    )
+    packed = {tuple(r) for r in ktruss(ed, k=4, rounds=3).collect()}
+    joined = {
+        (r["u"] - OFF, r["v"] - OFF, r["support"])
+        for r in ktruss(ed_off, k=4, rounds=3).collect()
+    }
+    assert packed == joined and packed
+
+
+@pytest.mark.slow
 def test_ivf_split_helpers_match_direct_call(spark, sf_dir):
     """r07: ivf_corpus_cells + ivf_topk_from_cells (the probe-sweep
     sharing split) must equal ivf_ann_topk for every n_probe."""

@@ -4,6 +4,8 @@ versioned merge → compaction view → summary counts → invariants."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from datalake_etlscripts_spark.normalize import apply_mapping, normalize_updated
@@ -161,6 +163,7 @@ def test_cli_dedup_minhash_clusters(spark, tmp_path):
     assert res.filter("keep").count() == res.select("component").distinct().count()
 
 
+@pytest.mark.slow
 def test_full_corpus_preparation_chain(spark, tmp_path):
     """The complete training-data path a reference user would run,
     composed from the real operators: quality filter -> URL dedup ->

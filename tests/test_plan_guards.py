@@ -308,13 +308,15 @@ EXPLODE_ALLOWLIST: dict[str, str] = {
 }
 
 
-def test_no_pathological_plans(spark, sf_dir):
+def _sweep_plans(spark, sf_dir, names=None):
     import __spark_entry__ as entry
 
     failures = {}
     skew = {}
     exploded = {}
     for name, fn in entry.queries().items():
+        if names is not None and name not in names:
+            continue
         try:
             df = fn(spark, sf_dir)
             plan = _plan_text(df)
@@ -339,6 +341,20 @@ def test_no_pathological_plans(spark, sf_dir):
         "uncapped explode→equi-join pair generation (slice the array, "
         f"or annotate EXPLODE_ALLOWLIST with the bound): {exploded}"
     )
+
+
+# r08: the all-494-plans sweep (~6 min) is the builder-side marathon
+# tier; the driver-run default tier sweeps the 50+ headline queries,
+# which span every operator module.
+@pytest.mark.slow
+def test_no_pathological_plans(spark, sf_dir):
+    _sweep_plans(spark, sf_dir)
+
+
+def test_no_pathological_plans_headline(spark, sf_dir):
+    import bench
+
+    _sweep_plans(spark, sf_dir, names=set(bench.HEADLINE))
 
 
 def test_skew_guard_catches_planted_uncapped_self_join(spark, sf_dir):

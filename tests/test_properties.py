@@ -10,6 +10,8 @@ job, so the suite stays fast despite JVM round-trips.
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -88,6 +90,7 @@ ts_str = st.datetimes(
     a=st.lists(ts_str, min_size=0, max_size=6),
     b=st.lists(ts_str, min_size=0, max_size=6),
 )
+@pytest.mark.slow
 def test_merge_updates_union_truncate_sort(spark, a, b):
     """A8 (ntp_utils.py:257-265 semantics): merged timestamp set =
     sorted distinct union of the 19-char-truncated strings."""
@@ -109,6 +112,7 @@ def test_merge_updates_union_truncate_sort(spark, a, b):
 
 @SET
 @given(docs=st.lists(doc, min_size=2, max_size=12))
+@pytest.mark.slow
 def test_ngram_jaccard_matches_python(spark, docs):
     from datalake_etlscripts_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -133,6 +137,7 @@ def test_ngram_jaccard_matches_python(spark, docs):
 EDGE_DOCS = ["", " ", "   ", "a", ".", "A B", "é", "a a a", "\t", "x " * 200]
 
 
+@pytest.mark.slow
 def test_text_operators_survive_degenerate_documents(spark):
     """Empty / whitespace / single-token documents must produce NULL
     ratios, never an ANSI divide-by-zero job abort — at 100 TB a
@@ -351,6 +356,7 @@ def test_winnow_fingerprints_match_python_reference(spark, texts, k, w):
     docs=st.lists(doc, min_size=1, max_size=20),
     phrase=st.lists(st.sampled_from(["a", "b", "ab", "X"]), min_size=1, max_size=3),
 )
+@pytest.mark.slow
 def test_phrase_matches_python_reference(spark, docs, phrase):
     from datalake_etlscripts_spark.operators.text import phrase_matches
 
@@ -393,6 +399,7 @@ def _py_lev(a: str, b: str) -> int:
         unique=True,
     )
 )
+@pytest.mark.slow
 def test_fuzzy_match_complete_vs_brute_force(spark, names):
     """Every name ≥ q·(d+1) = 6 chars → the q-gram count-filter
     blocking is COMPLETE: the blocked join must equal brute force."""
@@ -422,6 +429,7 @@ def test_fuzzy_match_complete_vs_brute_force(spark, names):
         st.integers(0, 12), st.text(alphabet="abc", min_size=0, max_size=3), max_size=10
     ),
 )
+@pytest.mark.slow
 def test_cdc_diff_apply_roundtrip(spark, old_rows, new_rows):
     """apply_changeset(old, dataframe_diff(old, new)) ≡ new for any
     pair of keyed tables — the CDC pair is lossless by construction."""
@@ -437,6 +445,7 @@ def test_cdc_diff_apply_roundtrip(spark, old_rows, new_rows):
 
 @SET
 @given(docs=st.lists(doc, min_size=1, max_size=20))
+@pytest.mark.slow
 def test_bm25_matches_python_model(spark, docs):
     """bm25_topk replays a pure-Python model of the same integer
     arithmetic exactly (scores compared bit-for-bit)."""
@@ -478,6 +487,7 @@ def test_bm25_matches_python_model(spark, docs):
         max_size=20,
     )
 )
+@pytest.mark.slow
 def test_triangle_counts_match_brute_force(spark, edges):
     from itertools import combinations
 
@@ -501,6 +511,7 @@ def test_triangle_counts_match_brute_force(spark, edges):
 
 @SET
 @given(docs=st.lists(doc, min_size=1, max_size=16))
+@pytest.mark.slow
 def test_allpairs_prefix_lossless_vs_brute_force(spark, docs):
     """Prefix filtering must be LOSSLESS: the candidate pruning can
     never drop a qualifying pair on any corpus."""
@@ -558,6 +569,7 @@ def test_mixture_upsample_matches_python_model(spark, keys, num, den):
     ),
     w=st.integers(1, 4),
 )
+@pytest.mark.slow
 def test_rolling_distinct_matches_python_model(spark, events, w):
     from datetime import datetime, timedelta
 
@@ -593,6 +605,7 @@ def test_rolling_distinct_matches_python_model(spark, events, w):
     )
 )
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 def test_unigram_viterbi_matches_python_dp(spark, words):
     from datalake_etlscripts_spark.operators.bpe import unigram_viterbi_encode
 
@@ -642,6 +655,7 @@ def test_unigram_viterbi_matches_python_dp(spark, words):
     bucket=st.sampled_from([100, 250, 1000]),
 )
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 def test_interval_overlap_join_matches_bruteforce(spark, lefts, rights, bucket):
     from datalake_etlscripts_spark.operators.events import interval_overlap_join
 
@@ -672,6 +686,7 @@ def test_interval_overlap_join_matches_bruteforce(spark, lefts, rights, bucket):
     )
 )
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 def test_soft_dedup_weights_matches_python(spark, docs):
     from collections import Counter
 
@@ -706,6 +721,7 @@ def test_soft_dedup_weights_matches_python(spark, docs):
     mult=st.sampled_from([1, 2, 3]),
 )
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@pytest.mark.slow
 def test_cusum_matches_python_replay(spark, counts, mult):
     from datetime import datetime, timedelta
 
@@ -775,6 +791,7 @@ def _py_stress(und_edges, seed, max_hops):
     ),
     hops=st.integers(1, 4),
 )
+@pytest.mark.slow
 def test_stress_centrality_matches_python_reference(spark, edges, hops):
     """Operator ≡ sequential replay on random ≤10-node graphs: dist,
     sigma, and through agree for every reached node (independent
@@ -824,6 +841,7 @@ def _py_ktruss(und_edges, k, rounds):
     ),
     rounds=st.integers(1, 3),
 )
+@pytest.mark.slow
 def test_ktruss_delta_matches_naive_reenumeration(spark, edges, rounds):
     """The delta-maintained peeling (triangles enumerated once, dead
     edges subtracted per round) must equal the naive recompute-

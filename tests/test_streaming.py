@@ -20,6 +20,7 @@ FIELDS = ["title"]
 SCHEMA = "id string, updated array<string>, title string"
 
 
+@pytest.mark.slow
 def test_streaming_ingest_merges_batches(spark):
     tmp = tempfile.mkdtemp(prefix="strm_")
     incoming, state = os.path.join(tmp, "in"), os.path.join(tmp, "state")
@@ -87,6 +88,7 @@ def test_windowed_counts_streaming_matches_batch(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_rows(spark):
     """Late-data semantics: rows older than the watermark are excluded
     from finalized windows (append mode only emits closed windows)."""
@@ -136,6 +138,7 @@ def test_watermark_drops_late_rows(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_stateful_running_totals(spark):
     import os
     import shutil
@@ -185,6 +188,7 @@ def test_stateful_running_totals(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_stream_dedup_drops_in_horizon_duplicates(spark, tmp_path):
     """dedup_stream suppresses re-deliveries of the same key arriving
     within the watermark; distinct keys all pass through."""
@@ -247,6 +251,7 @@ def test_session_window_matches_batch_sessionize(spark, sf_dir):
     assert diff == 0
 
 
+@pytest.mark.slow
 def test_stream_stream_join_matches_batch(spark, tmp_path, sf_dir):
     """The watermarked interval join produces the same pairs running
     as two file streams as it does as a plain batch join."""
@@ -279,6 +284,7 @@ def test_stream_stream_join_matches_batch(spark, tmp_path, sf_dir):
     assert len(expected) > 0  # the fixture actually produces pairs
 
 
+@pytest.mark.slow
 def test_streaming_ingest_maintains_views(spark):
     """foreachBatch ingest + continuous materialized views: after two
     file drops the running summary equals a full recompute over ALL
@@ -365,6 +371,7 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path, sf_dir):
     assert got.count() == events.count()
 
 
+@pytest.mark.slow
 def test_streaming_lsh_dedup_matches_batch_recompute(spark, sf_dir):
     """Two document drops through the streaming LSH dedup must emit
     exactly the pairs a one-shot batch recompute finds (deterministic
@@ -408,6 +415,7 @@ def test_streaming_lsh_dedup_matches_batch_recompute(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_streaming_cdc_mirror_matches_sequential_apply(spark, tmp_path):
     """Two changeset drops streamed through run_streaming_cdc_mirror
     must leave the mirror identical to applying both changesets
@@ -442,6 +450,7 @@ def test_streaming_cdc_mirror_matches_sequential_apply(spark, tmp_path):
     assert got == expected == [(2, "TWO"), (3, "three")]
 
 
+@pytest.mark.slow
 def test_streaming_cdc_mirror_backlog_drain_preserves_order(spark, tmp_path):
     """Both changeset files already present when the stream starts:
     maxFilesPerTrigger=1 must replay them as separate ordered batches,
@@ -492,6 +501,7 @@ def test_streaming_cdc_mirror_seq_col_last_wins(spark, tmp_path):
     assert got == [(1, "ONE")]
 
 
+@pytest.mark.slow
 def test_streaming_trending_terms_matches_batch(spark, tmp_path):
     from datetime import datetime
 
@@ -569,6 +579,7 @@ def test_streaming_trending_terms_matches_batch(spark, tmp_path):
     assert replayed_topk == streamed
 
 
+@pytest.mark.slow
 def test_streaming_embedding_dedup_matches_batch_recompute(spark, sf_dir):
     """Two vector drops through the streaming embedding dedup emit
     exactly the pairs a one-shot batch LSH recompute finds."""
@@ -713,6 +724,7 @@ def test_streaming_drift_monitor_matches_batch(spark, tmp_path, sf_dir):
     assert report_rows() == streamed
 
 
+@pytest.mark.slow
 def test_streaming_compaction_bounds_fragments(spark, tmp_path):
     """7 drops at max_fragments=2: two folds fire, reads stay bounded
     at base + ≤2 fragment dirs, no row lost or duplicated — including
@@ -761,6 +773,7 @@ def test_streaming_compaction_bounds_fragments(spark, tmp_path):
     assert sorted(r["event_id"] for r in again.collect()) == list(range(0, 70))
 
 
+@pytest.mark.slow
 def test_streaming_zone_stats_manifest_prunes_reads(spark, tmp_path):
     """Manifest-pruned reads: 6 drops with disjoint value ranges; a
     narrow range predicate reads 1 of 6 epochs via the stats table,
@@ -817,6 +830,7 @@ def test_streaming_zone_stats_manifest_prunes_reads(spark, tmp_path):
     assert after == before
 
 
+@pytest.mark.slow
 def test_streaming_zone_stats_wiped_checkpoint_with_new_drops_raises(
     spark, tmp_path
 ):
@@ -852,6 +866,7 @@ def test_streaming_zone_stats_wiped_checkpoint_with_new_drops_raises(
         q.awaitTermination(120)
 
 
+@pytest.mark.slow
 def test_streaming_late_quarantine(spark, tmp_path):
     """Late rows (older than the advancing watermark) land in the
     auditable quarantine table instead of mutating closed windows;
@@ -934,6 +949,7 @@ def test_streaming_late_quarantine(spark, tmp_path):
     ] == t("12:30")
 
 
+@pytest.mark.slow
 def test_streaming_feature_store_matches_batch_pit(spark, tmp_path):
     """Stream≡batch for the point-in-time feature store under
     time-ordered drops, plus replay idempotence (wiped checkpoint →
@@ -1020,6 +1036,7 @@ def test_streaming_feature_store_matches_batch_pit(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_streaming_scd2_matches_batch(spark, tmp_path):
     """Stream≡batch for SCD2 maintenance under time-ordered drops:
     the maintained dimension equals rebuilding from the union of all
@@ -1108,6 +1125,7 @@ def test_streaming_scd2_matches_batch(spark, tmp_path):
     assert dim_rows() == streamed
 
 
+@pytest.mark.slow
 def test_python_streaming_datasource_batches_and_resume(spark, tmp_path):
     """Spark 4 Python streaming DataSource: micro-batches advance the
     offset by STREAM_STEP ticks, rows equal the deterministic
@@ -1155,6 +1173,7 @@ def test_python_streaming_datasource_batches_and_resume(spark, tmp_path):
     assert len(both) == (max(ticks2) + 1) * pysource.N_SENSORS
 
 
+@pytest.mark.slow
 def test_streaming_sensor_alerts_stream_equals_batch(spark, tmp_path):
     """The custom-source alert service's maintained state equals a
     batch aggregate over the generated tick range, alert rows replay

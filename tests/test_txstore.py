@@ -116,6 +116,7 @@ def _vstate(spark, rows):
     )
 
 
+@pytest.mark.slow
 def test_ingest_versioned_matches_direct_merge(spark, tmp_path):
     """COW ingest through the store ≡ merge_batch over the whole state."""
     fields = ["title", "price"]
@@ -155,6 +156,7 @@ def test_ingest_versioned_matches_direct_merge(spark, tmp_path):
     assert st._read_manifest(st.latest_version())["metadata"]["max_order"] == 4
 
 
+@pytest.mark.slow
 def test_ingest_versioned_idempotent_counter(spark, tmp_path):
     """Re-ingesting the same batch is a no-op on rows AND the counter."""
     fields = ["title", "price"]

@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from datalake_etlscripts_spark.versioning import (
@@ -127,6 +129,7 @@ def test_scd2_mode_creates_new_version_and_demotes(spark):
     assert check_pointers_resolve(s2).count() == 0
 
 
+@pytest.mark.slow
 def test_scd2_chain_repoints_one_hop(spark):
     s = empty_state(spark, FIELDS)
     for i, ts in enumerate(["2024-01-01", "2024-02-01", "2024-03-01"]):
@@ -191,6 +194,7 @@ def test_same_id_twice_in_one_batch_collapses(spark):
     assert r["title"] == "newer"  # latest-timestamp-wins within batch
 
 
+@pytest.mark.slow
 def test_randomized_batches_keep_invariants(spark):
     import random
 
