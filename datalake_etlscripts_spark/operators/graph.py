@@ -419,20 +419,42 @@ def link_prediction_topk(
     # a bijection with (id_a, id_b) lexicographic order == packed
     # numeric order, so the cut is identical; ids are unpacked on the
     # k surviving rows. Wider ids keep the struct path — same result.
+    # r08 (guide §5 memory/spill + §2.5): the pair aggregate's reduce
+    # width was spark.sql.shuffle.partitions (= cores locally) — a
+    # CONSTANT, so per-task group state grows linearly with data and
+    # the hash aggregate tips into sort/spill at scale (measured on
+    # the 3× disjoint-copy scale-up: min JVM CPU 274 s at sf0.1 →
+    # 1705 s, 6.2× for 3× the wedges). The wedge-count scalar below
+    # sizes an explicit (AQE-exempt) pair-keyed repartition so each
+    # reduce task aggregates ~3M wedge rows (~2M groups ≈ 100 MB of
+    # hash state) regardless of data size; the groupBy reuses the
+    # partitioning, so the exchange count is unchanged — the exchange
+    # just moves below the aggregate (raw 8-byte keys vs 16-byte
+    # partial rows: partial aggregation only reduced this stream
+    # 1.46×, measured in r07).
     bounds = adjarr.agg(
-        F.min(F.col("x")).alias("lo"), F.max(F.col("x")).alias("hi")
+        F.min(F.col("x")).alias("lo"),
+        F.max(F.col("x")).alias("hi"),
+        F.sum(
+            F.when(
+                F.lit(max_degree is None) | (F.size("_nbrs") <= F.lit(max_degree or 0)),
+                F.size("_nbrs").cast("long") * (F.size("_nbrs") - 1) / 2,
+            ).otherwise(F.lit(0))
+        ).alias("wedges"),
     ).collect()[0]
     packable = (
         bounds["lo"] is not None
         and bounds["lo"] >= 0
         and bounds["hi"] < (1 << 31)
     )
+    agg_width = max(n_spread, int((bounds["wedges"] or 0) // 3_000_000) + 1)
     if packable:
         pk = F.col("_pk")
         cand = (
             wedge_arr.select(
                 F.explode(ordered_pairs_packed(F.col("_nbrs"))).alias("_pk")
             )
+            .repartition(agg_width, "_pk")
             .groupBy("_pk")
             .agg(F.count(F.lit(1)).alias("common_neighbors"))
             .join(
@@ -458,6 +480,7 @@ def link_prediction_topk(
         cand = (
             wedge_arr.select(F.explode(ordered_pairs(F.col("_nbrs"))).alias("_p"))
             .select(F.col("_p.x").alias("id_a"), F.col("_p.y").alias("id_b"))
+            .repartition(agg_width, "id_a", "id_b")
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("common_neighbors"))
             .join(
